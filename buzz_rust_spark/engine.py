@@ -1,0 +1,177 @@
+"""The Buzz engine front-end: BuzzQuery JSON → result DataFrame.
+
+Replaces the reference's entire distributed runtime (fuse planner/scheduler,
+hbee map workers, hcomb streaming reducer — code/src/services/*) with Spark's
+own execution model: Catalyst plans the stages, executors are the hbees, the
+shuffle is the Flight data plane, and the driver-side action is the fuse's
+collect (SURVEY.md §3 "Spark mapping of the whole lifecycle").
+
+What survives as real code is the *front-end contract*:
+- step-shape validation (strict mode = exactly [HBee, HComb], query_planner.rs:66-71);
+- catalog registration + partition_filter pruning before the scan;
+- step-graph validation — a reduce step must read the map step's output by
+  name, not a catalog (query_planner.rs:96-109);
+- empty-prune short-circuit → empty result, not an error (fuse_service.rs:80-83).
+
+Each step's SQL runs through ``spark.sql`` against temp views; step N's result
+is registered under ``step.name`` for step N+1 (the reference's
+HBee→Flight→HComb hand-off collapses into DataFrame lineage).  Because the
+chain stays one lazy plan, Catalyst optimizes *across* steps: a reduce-side
+filter pushes down into the map scan, map-side partial aggregation happens
+automatically, and the user's manual COUNT→SUM split still produces a single
+two-phase hash aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
+
+from .errors import BuzzBadRequestError, BuzzPlanError
+from .models import BuzzCatalog, BuzzCatalogType, BuzzQuery, BuzzStep, BuzzStepType
+from .plans import referenced_tables
+from .sources import DeltaCatalog, ParquetDirCatalog, StaticCatalog
+
+
+class CatalogSource(Protocol):
+    name: str
+
+    def to_dataframe(
+        self, spark: SparkSession, partition_filter: str | None = None
+    ) -> DataFrame: ...
+
+
+class BuzzEngine:
+    """Session-scoped engine: register catalogs, then ``run`` queries.
+
+    ``strict=True`` enforces reference behavior exactly (2 steps, single
+    source per map step — README.md:118-119); the default lifts those limits
+    (N steps, joins) as SURVEY.md §7 recommends.
+    """
+
+    def __init__(self, spark: SparkSession, strict: bool = False):
+        self.spark = spark
+        self.strict = strict
+        self._sources: dict[str, CatalogSource] = {}
+        self._static_registry: dict[str, StaticCatalog] = {}
+
+    # -- catalog management -------------------------------------------------
+
+    def register_source(self, source: CatalogSource) -> None:
+        self._sources[source.name.lower()] = source
+
+    def register_static(self, catalog: StaticCatalog) -> None:
+        """Make a static catalog available by name for BuzzCatalog{type: Static}
+        lookups (the reference resolves Static uris against a compiled-in
+        registry, example_catalog.rs / fuse_service.rs:40-59)."""
+        self._static_registry[catalog.name.lower()] = catalog
+
+    def _resolve_catalog(self, spec: BuzzCatalog) -> CatalogSource:
+        if spec.type is BuzzCatalogType.STATIC:
+            cat = self._static_registry.get(spec.uri.lower()) or self._static_registry.get(
+                spec.name.lower()
+            )
+            if cat is None:
+                raise BuzzBadRequestError(
+                    f"Catalog not found: {spec.uri}"  # parity: fuse_service.rs:46-50
+                )
+            cat = StaticCatalog(
+                name=spec.name,
+                schema=cat.schema,
+                files=cat.files,
+                partition_cols=cat.partition_cols,
+                verify_schemas=cat.verify_schemas,
+                verify_max_files=cat.verify_max_files,
+            )
+            return cat
+        if spec.type is BuzzCatalogType.DELTA_LAKE:
+            return DeltaCatalog(name=spec.name, table_uri=spec.uri)
+        return ParquetDirCatalog(name=spec.name, path=spec.uri)
+
+    # -- execution ----------------------------------------------------------
+
+    def run(self, query: BuzzQuery) -> DataFrame:
+        if self.strict:
+            query.validate_strict()
+        elif not query.steps:
+            raise BuzzBadRequestError("query must contain at least one step")
+
+        sources: dict[str, CatalogSource] = dict(self._sources)
+        for spec in query.catalogs:
+            sources[spec.name.lower()] = self._resolve_catalog(spec)
+
+        step_views: set[str] = set()
+        registered_views: list[str] = []
+        result: DataFrame | None = None
+        try:
+            for i, step in enumerate(query.steps):
+                refs = referenced_tables(self.spark, step.sql)
+                self._validate_step(i, step, refs, sources, step_views)
+                for ref in refs:
+                    if ref in step_views:
+                        continue
+                    source = sources.get(ref)
+                    if source is not None:
+                        df = source.to_dataframe(self.spark, step.partition_filter)
+                        df.createOrReplaceTempView(ref)
+                        registered_views.append(ref)
+                try:
+                    result = self.spark.sql(step.sql)
+                except AnalysisException as exc:
+                    raise BuzzPlanError(
+                        f"step {step.name!r} failed to plan: {exc}"
+                    ) from exc
+                result.createOrReplaceTempView(step.name)
+                step_views.add(step.name.lower())
+                registered_views.append(step.name)
+        finally:
+            for view in registered_views:
+                try:
+                    self.spark.catalog.dropTempView(view)
+                except Exception:
+                    pass
+        assert result is not None
+        return result
+
+    def run_json(self, query_json: str) -> DataFrame:
+        return self.run(BuzzQuery.from_json(query_json))
+
+    def _validate_step(
+        self,
+        index: int,
+        step: BuzzStep,
+        refs: set[str],
+        sources: dict[str, CatalogSource],
+        step_views: set[str],
+    ) -> None:
+        unknown = [
+            r for r in refs if r not in sources and r not in step_views
+        ]
+        if unknown:
+            # parity: DataFusion's "Table or CTE ... not found" at plan time
+            # (query_planner.rs tests 'table not found' case).
+            raise BuzzPlanError(
+                f"step {step.name!r} references unknown table(s): {sorted(unknown)}"
+            )
+        if step.step_type is BuzzStepType.HCOMB:
+            catalog_refs = [r for r in refs if r not in step_views]
+            if catalog_refs:
+                # parity: query_planner.rs:104-109 — the reduce step must read
+                # a previous step's output, never a catalog directly.
+                raise BuzzPlanError(
+                    f"HComb step {step.name!r} must read a previous step's "
+                    f"output, but reads catalog table(s) {sorted(catalog_refs)}"
+                )
+            if step.partition_filter:
+                raise BuzzPlanError(
+                    f"HComb step {step.name!r} cannot have a partition_filter "
+                    f"(filters apply to catalog scans at the HBee stage)"
+                )
+        if self.strict and step.step_type is BuzzStepType.HBEE and len(refs) > 1:
+            # parity: "Operations with more than one inputs are not supported"
+            # (query_planner.rs:149-153, services/utils.rs:12-15).
+            raise BuzzPlanError(
+                "Operations with more than one inputs are not supported"
+            )

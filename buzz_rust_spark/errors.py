@@ -1,0 +1,41 @@
+"""Buzz error taxonomy, re-expressed as a Python exception hierarchy.
+
+Mirrors the reference's error enum (reference: code/src/error.rs:16-50) so that
+callers of the PySpark rebuild observe the same failure categories.  Engine
+internals (Arrow/Parquet/IO variants) collapse into :class:`BuzzExecutionError`
+because Spark surfaces them as execution failures.
+"""
+
+from __future__ import annotations
+
+
+class BuzzError(Exception):
+    """Base class for all engine errors (reference: code/src/error.rs:16)."""
+
+
+class BuzzBadRequestError(BuzzError):
+    """A malformed query/request (reference: error.rs BadRequest)."""
+
+
+class BuzzNotImplementedError(BuzzError):
+    """Known-but-unimplemented branch (reference: error.rs NotImplemented)."""
+
+
+class BuzzInternalError(BuzzError):
+    """Invariant violation inside the engine (reference: error.rs Internal)."""
+
+
+class BuzzPlanError(BuzzError):
+    """Invalid plan: bad casts, unresolved columns, bad step graph
+    (reference: error.rs Plan; raised by the planner checks in
+    query_planner.rs:66-71,104-109,149-166)."""
+
+
+class BuzzExecutionError(BuzzError):
+    """Failure while executing a planned query (reference: error.rs Execution)."""
+
+
+class BuzzSchemaError(BuzzPlanError):
+    """Declared catalog schema does not match the parquet footer schema
+    (reference: code/src/execution_plan/parquet.rs:84-100 fails the stage on
+    any name/type/nullability mismatch)."""

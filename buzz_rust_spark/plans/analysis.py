@@ -1,0 +1,67 @@
+"""Logical-plan introspection: which tables does a SQL statement read?
+
+Reference parity: ``find_table_name`` walks the plan to its leaf TableScan
+(code/src/services/utils.rs:8-45) and the planner validates that the reduce
+step reads exactly the map step's output by name (query_planner.rs:96-109).
+Here the walk runs on Spark's *parsed* (unresolved) plan, so validation can
+happen before any view is registered.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from ..errors import BuzzPlanError
+
+
+def _collect_unresolved_relations(jplan) -> set[str]:
+    """Recurse a Catalyst TreeNode (via py4j) collecting UnresolvedRelation
+    table names.  Covers FROM/JOIN/set-op children; subqueries inside
+    expressions are additionally handled by ``innerChildren``."""
+    names: set[str] = set()
+
+    def visit(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "UnresolvedRelation":
+            names.add(node.tableName().lower())
+        children = node.children()
+        for i in range(children.size()):
+            visit(children.apply(i))
+        inner = node.innerChildren()
+        for i in range(inner.size()):
+            visit(inner.apply(i))
+
+    visit(jplan)
+    return names
+
+
+_FROM_RE = re.compile(
+    r"\b(?:from|join)\s+([a-zA-Z_][\w.]*)", flags=re.IGNORECASE
+)
+
+
+def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
+    """Return the set of (lower-cased) table names the statement reads.
+
+    CTE names defined in the statement itself are excluded.  Uses Spark's own
+    SQL parser; falls back to a regex scan if the JVM gateway is unavailable
+    (e.g. Spark Connect)."""
+    try:
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        jplan = parser.parsePlan(sql)
+        names = _collect_unresolved_relations(jplan)
+    except BuzzPlanError:
+        raise
+    except Exception as exc:  # py4j parse error or Connect-mode gateway absence
+        msg = str(exc)
+        if "ParseException" in msg or "PARSE_SYNTAX_ERROR" in msg:
+            raise BuzzPlanError(f"invalid SQL: {msg}") from exc
+        names = {m.group(1).lower() for m in _FROM_RE.finditer(sql)}
+    # Strip CTE-local names.
+    cte_names = {
+        m.group(1).lower()
+        for m in re.finditer(r"\b(?:with|,)\s*([a-zA-Z_]\w*)\s+as\s*\(", sql, re.IGNORECASE)
+    }
+    return {n for n in names if n not in cte_names}

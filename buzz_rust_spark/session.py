@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine's runtime knobs (batch size 2048, concurrency 1, 8-way
+download parallelism — reference: services/hbee/hbee_service.rs:22-24,
+clients/range_cache.rs:120) are replaced here by Spark's own execution model;
+the settings below are the ones that matter for a 100 TB deployment:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting).
+- Arrow-batched Python exchange for the pandas-UDF operators.
+- Partition-column type inference OFF so partition values stay strings, the
+  reference's semantics (README.md:113 "partition values can only be strings").
+- `maxPartitionBytes` at the 128 MiB default so one task ≈ one parquet
+  row-group-sized split — the reference's one-file-per-worker fan-out
+  (static_catalog.rs:95-107) generalized to byte-based splitting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "buzz-rust-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,23 @@
+"""Data sources: catalog implementations that turn a named table into a
+pruned, schema-verified Spark DataFrame.
+
+Reference parity map:
+- ``static_catalog.StaticCatalog``  ← code/src/datasource/catalog/static_catalog.rs
+- ``delta_catalog.DeltaCatalog``    ← code/src/datasource/catalog/delta_catalog.rs
+- ``manifest``                      ← code/src/datasource/catalog/mod.rs (file-list
+  table + partition_filter evaluation)
+"""
+
+from .manifest import CatalogFile, manifest_df, prune_manifest
+from .static_catalog import StaticCatalog
+from .delta_catalog import DeltaCatalog
+from .parquet_dir import ParquetDirCatalog
+
+__all__ = [
+    "CatalogFile",
+    "manifest_df",
+    "prune_manifest",
+    "StaticCatalog",
+    "DeltaCatalog",
+    "ParquetDirCatalog",
+]

@@ -1,0 +1,129 @@
+"""Delta Lake catalog: snapshot of a Delta table as file list + partition values.
+
+Reference: code/src/datasource/catalog/delta_catalog.rs — loads the Delta log
+via delta-rs, builds the file list from ``add`` actions (with ``remove``
+handling so overwritten files disappear from the snapshot,
+delta_catalog.rs:150-177), partition values from ``partitionValues`` (always
+strings, delta_catalog.rs:73-77), and the table schema from the Delta metadata
+``schemaString`` (delta_catalog.rs:133-140).
+
+This rebuild parses the ``_delta_log`` JSON directly (the log format is an
+open spec) instead of depending on delta-spark, then delegates scanning to
+:class:`StaticCatalog`.  Delta's ``schemaString`` *is* Spark StructType JSON,
+so the schema conversion is exact.  Checkpoint parquet files are supported by
+reading the ``_last_checkpoint`` pointer; JSON commits after the checkpoint are
+replayed on top.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..errors import BuzzExecutionError, BuzzNotImplementedError
+from .manifest import CatalogFile
+from .static_catalog import StaticCatalog
+
+
+def _log_dir(table_uri: str) -> str:
+    if "://" in table_uri and not table_uri.startswith("file://"):
+        raise BuzzNotImplementedError(
+            f"only local/file Delta tables supported in this build: {table_uri!r}"
+        )
+    return os.path.join(table_uri.removeprefix("file://"), "_delta_log")
+
+
+def _replay_actions(actions, state: dict[str, dict], meta: dict) -> None:
+    for action in actions:
+        if "metaData" in action:
+            meta.update(action["metaData"])
+        elif "add" in action:
+            add = action["add"]
+            state[add["path"]] = add
+        elif "remove" in action:
+            state.pop(action["remove"]["path"], None)
+
+
+class DeltaCatalog:
+    """reference: delta_catalog.rs:33-48 ``try_new(uri, region)``."""
+
+    def __init__(self, name: str, table_uri: str):
+        self.name = name
+        self.table_uri = table_uri.removeprefix("file://")
+        self._load_snapshot()
+
+    def _load_snapshot(self) -> None:
+        log_dir = _log_dir(self.table_uri)
+        if not os.path.isdir(log_dir):
+            raise BuzzExecutionError(f"no _delta_log at {self.table_uri!r}")
+
+        live: dict[str, dict] = {}
+        meta: dict = {}
+        start_version = 0
+
+        checkpoint_file = os.path.join(log_dir, "_last_checkpoint")
+        if os.path.exists(checkpoint_file):
+            with open(checkpoint_file) as fh:
+                cp = json.load(fh)
+            version = cp["version"]
+            import pyarrow.parquet as pq
+
+            cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+            table = pq.read_table(cp_path)
+            for row in table.to_pylist():
+                action = {k: v for k, v in row.items() if v is not None}
+                _replay_actions([action], live, meta if "metaData" in action else meta)
+            start_version = version + 1
+
+        commits = sorted(glob(os.path.join(log_dir, "*.json")))
+        for commit in commits:
+            version = int(os.path.basename(commit).split(".")[0])
+            if version < start_version:
+                continue
+            with open(commit) as fh:
+                actions = [json.loads(line) for line in fh if line.strip()]
+            _replay_actions(actions, live, meta)
+
+        if not meta:
+            raise BuzzExecutionError(
+                f"Delta log at {self.table_uri!r} contains no metaData action"
+            )
+
+        full = StructType.fromJson(json.loads(meta["schemaString"]))
+        self.partition_cols: list[str] = list(meta.get("partitionColumns", []))
+        # Delta stores partition values in the log, not the data files — the
+        # data schema (what the parquet files contain) excludes partition cols.
+        self.schema = StructType(
+            [f for f in full.fields if f.name not in self.partition_cols]
+        )
+        self.files = [
+            CatalogFile(
+                key=os.path.join(self.table_uri, add["path"]),
+                length=int(add.get("size", 0)),
+                partitions=tuple(
+                    (c, str(add.get("partitionValues", {}).get(c)))
+                    for c in self.partition_cols
+                ),
+            )
+            for add in live.values()
+        ]
+
+    def _static(self) -> StaticCatalog:
+        return StaticCatalog(
+            name=self.name,
+            schema=self.schema,
+            files=self.files,
+            partition_cols=self.partition_cols,
+        )
+
+    def pruned_files(self, spark, partition_filter):
+        return self._static().pruned_files(spark, partition_filter)
+
+    def to_dataframe(
+        self, spark: SparkSession, partition_filter: str | None = None
+    ) -> DataFrame:
+        return self._static().to_dataframe(spark, partition_filter)

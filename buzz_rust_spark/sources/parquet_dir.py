@@ -1,0 +1,36 @@
+"""Directory-of-parquet catalog — rebuild extension (no reference analog).
+
+The reference only reads explicit file lists (static) or Delta snapshots; a
+plain partitioned directory is the idiomatic Spark source, so it is exposed as
+a first-class catalog type.  Partition-column type inference is disabled
+session-wide (session.py) so hive-style partition values stay strings, matching
+reference semantics (README.md:113).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class ParquetDirCatalog:
+    name: str
+    path: str
+    schema: StructType | None = None
+
+    def to_dataframe(
+        self, spark: SparkSession, partition_filter: str | None = None
+    ) -> DataFrame:
+        reader = spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        df = reader.parquet(self.path)
+        if partition_filter:
+            # Catalyst turns this into directory-level partition pruning when
+            # the filter hits hive-partition columns (PartitionFilters in the
+            # scan node) — the built-in equivalent of catalog/mod.rs:43-99.
+            df = df.where(partition_filter)
+        return df

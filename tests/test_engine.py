@@ -1,0 +1,255 @@
+"""End-to-end + planner-shaped tests for the BuzzEngine front-end.
+
+Mirrors the reference's planner unit tests (query_planner.rs:186-373) and the
+catalog filtering tests (catalog/mod.rs:151-178) over the driver testdata and
+a MockSplittableTable-shaped fixture (FIXTURES.md F1/F2).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from buzz_rust_spark import (
+    BuzzEngine,
+    BuzzBadRequestError,
+    BuzzPlanError,
+    BuzzQuery,
+    CatalogFile,
+    StaticCatalog,
+)
+
+
+def lineitem_catalog(sf_dir: str) -> StaticCatalog:
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    footer = pq.read_schema(path)
+    schema = StructType(
+        [
+            StructField(f.name, from_arrow_type(f.type, prefer_timestamp_ntz=True), True)
+            for f in footer
+        ]
+    )
+    return StaticCatalog(
+        name="lineitem",
+        schema=schema,
+        files=[CatalogFile(key=path, length=os.path.getsize(path))],
+        verify_schemas=True,
+    )
+
+
+CANONICAL_QUERY = {
+    "steps": [
+        {
+            "sql": (
+                "SELECT l_returnflag, COUNT(l_returnflag) AS cnt, "
+                "SUM(l_extendedprice) AS price_sum "
+                "FROM lineitem GROUP BY l_returnflag"
+            ),
+            "name": "lineitem_map",
+            "step_type": "HBee",
+        },
+        {
+            "sql": (
+                "SELECT l_returnflag, SUM(cnt) AS cnt, SUM(price_sum) AS price_sum "
+                "FROM lineitem_map GROUP BY l_returnflag"
+            ),
+            "name": "lineitem_reduce",
+            "step_type": "HComb",
+        },
+    ],
+    "capacity": {"zones": 1},
+    "catalogs": [],
+}
+
+
+def test_two_step_query_matches_single_step(spark, sf_dir):
+    """The reference's manual map/reduce split must equal the direct group-by
+    (SURVEY.md §4 'manual two-phase aggregation')."""
+    engine = BuzzEngine(spark, strict=True)
+    engine.register_source(lineitem_catalog(sf_dir))
+    result = engine.run(BuzzQuery.from_dict(CANONICAL_QUERY))
+    rows = {r["l_returnflag"]: (r["cnt"], r["price_sum"]) for r in result.collect()}
+
+    direct = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_returnflag")
+        .agg({"l_returnflag": "count", "l_extendedprice": "sum"})
+        .collect()
+    )
+    expect = {
+        r["l_returnflag"]: (r["count(l_returnflag)"], r["sum(l_extendedprice)"])
+        for r in direct
+    }
+    assert rows.keys() == expect.keys()
+    for k in rows:
+        assert rows[k][0] == expect[k][0]
+        assert rows[k][1] == pytest.approx(expect[k][1], rel=1e-9)
+
+
+def mock_split_catalog(spark, tmp_path, n_files=5):
+    """FIXTURES.md F1: N files, partition values part_value_001..N."""
+    files = []
+    for i in range(1, n_files + 1):
+        path = str(tmp_path / f"file_{i}.parquet")
+        spark.createDataFrame(
+            [(i * 10 + j,) for j in range(3)],
+            schema=StructType([StructField("data_col", LongType())]),
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        files.append(
+            CatalogFile(
+                key=path,
+                length=1,
+                partitions=(("part_key_1", f"part_value_{i:03d}"),),
+            )
+        )
+    return StaticCatalog(
+        name="mock_split",
+        schema=StructType([StructField("data_col", LongType())]),
+        files=files,
+        partition_cols=["part_key_1"],
+    )
+
+
+def run_two_step(spark, catalog, partition_filter=None):
+    engine = BuzzEngine(spark, strict=True)
+    engine.register_source(catalog)
+    q = {
+        "steps": [
+            {
+                "sql": "SELECT data_col FROM mock_split",
+                "name": "map_step",
+                "step_type": "HBee",
+                "partition_filter": partition_filter,
+            },
+            {
+                "sql": "SELECT COUNT(data_col) AS n FROM map_step",
+                "name": "reduce_step",
+                "step_type": "HComb",
+            },
+        ],
+        "capacity": {"zones": 1},
+        "catalogs": [],
+    }
+    return engine.run(BuzzQuery.from_dict(q))
+
+
+def test_partition_filter_prunes(spark, tmp_path):
+    cat = mock_split_catalog(spark, tmp_path)
+    assert run_two_step(spark, cat).collect()[0]["n"] == 15  # no filter → 5 files
+    assert (
+        run_two_step(spark, cat, "part_key_1='part_value_002'").collect()[0]["n"] == 3
+    )
+    assert (
+        run_two_step(
+            spark,
+            cat,
+            "part_key_1>='part_value_001' AND part_key_1<='part_value_003'",
+        ).collect()[0]["n"]
+        == 9
+    )
+
+
+def test_empty_prune_is_empty_result_not_error(spark, tmp_path):
+    """reference: fuse_service.rs:80-83 / query_planner.rs:278-308."""
+    cat = mock_split_catalog(spark, tmp_path)
+    out = run_two_step(spark, cat, "part_key_1='no_such_value'")
+    assert out.collect()[0]["n"] == 0
+
+
+def test_partition_filter_on_unknown_column_errors(spark, tmp_path):
+    cat = mock_split_catalog(spark, tmp_path)
+    with pytest.raises(BuzzPlanError):
+        run_two_step(spark, cat, "not_a_column='x'")
+
+
+def test_strict_requires_two_steps(spark, sf_dir):
+    engine = BuzzEngine(spark, strict=True)
+    engine.register_source(lineitem_catalog(sf_dir))
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [CANONICAL_QUERY["steps"][0]],
+            "capacity": {"zones": 1},
+            "catalogs": [],
+        }
+    )
+    with pytest.raises(BuzzBadRequestError):
+        engine.run(q)
+
+
+def test_hcomb_reading_catalog_rejected(spark, sf_dir):
+    """reference: query_planner.rs:104-109 + test 345-373."""
+    engine = BuzzEngine(spark, strict=True)
+    engine.register_source(lineitem_catalog(sf_dir))
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [
+                CANONICAL_QUERY["steps"][0],
+                {
+                    "sql": "SELECT COUNT(*) AS n FROM lineitem",
+                    "name": "bad_reduce",
+                    "step_type": "HComb",
+                },
+            ],
+            "capacity": {"zones": 1},
+            "catalogs": [],
+        }
+    )
+    with pytest.raises(BuzzPlanError):
+        engine.run(q)
+
+
+def test_unknown_table_rejected(spark):
+    engine = BuzzEngine(spark)
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [
+                {
+                    "sql": "SELECT * FROM no_such_table",
+                    "name": "s1",
+                    "step_type": "HBee",
+                }
+            ],
+            "capacity": {"zones": 1},
+            "catalogs": [],
+        }
+    )
+    with pytest.raises(BuzzPlanError):
+        engine.run(q)
+
+
+def test_multi_step_generalization(spark, sf_dir):
+    """Non-strict mode: N chained steps (SURVEY.md §7 order-after-slice #4)."""
+    engine = BuzzEngine(spark)
+    engine.register_source(lineitem_catalog(sf_dir))
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [
+                {
+                    "sql": "SELECT l_returnflag, l_extendedprice FROM lineitem",
+                    "name": "s1",
+                    "step_type": "HBee",
+                },
+                {
+                    "sql": (
+                        "SELECT l_returnflag, SUM(l_extendedprice) AS s FROM s1 "
+                        "GROUP BY l_returnflag"
+                    ),
+                    "name": "s2",
+                    "step_type": "HComb",
+                },
+                {
+                    "sql": "SELECT COUNT(*) AS n FROM s2",
+                    "name": "s3",
+                    "step_type": "HComb",
+                },
+            ],
+            "capacity": {"zones": 1},
+            "catalogs": [],
+        }
+    )
+    assert engine.run(q).collect()[0]["n"] == 3

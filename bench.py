@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed once warm (after a session-wide warmup query) and timed
+to completion of a count-style action that forces full evaluation without
+driver-side materialization of the result set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from buzz_rust_spark.queries import all_queries
+from buzz_rust_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="buzz-rust-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM / file listing so per-query numbers measure the query, not
+    # session startup (the reference's warm-container behavior, README.md:122).
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries = {
+        name: q for name, q in sorted(all_queries().items()) if q.headline
+    }
+    timings: dict[str, float] = {}
+    for name, q in queries.items():
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        # noop sink forces full evaluation of every column without
+        # driver-side materialization (count() alone would let Catalyst prune).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

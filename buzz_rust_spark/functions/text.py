@@ -1,0 +1,66 @@
+"""Text column helpers — tokenization, shingles, portable hashes.
+
+Everything here is built-in-function compositions (JVM-side).  Two hash
+families are provided:
+
+- ``portable_hash`` — the first 60 bits of md5, as a long.  *Portable*: any
+  engine with md5 computes the identical value (DuckDB:
+  ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``), which is what the
+  correctness oracles use.  One codegen'd JVM digest call per value.
+- ``fast_hash`` — Spark's ``xxhash64``, the production path (no digest
+  allocation, ~3× faster than md5).  Operators take a ``hash_fn`` switch;
+  production defaults use ``fast``, oracle-checked queries use ``portable``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """lower, trim, collapse runs of whitespace to single spaces."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text; empty string → empty array."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) of the normalized text.
+    Documents with fewer than n tokens yield a single shingle of all tokens."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) <= n,
+            F.array(F.concat_ws(" ", toks)),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def portable_hash(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — identical in any engine
+    with md5 (DuckDB: ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def fast_hash(col: Column) -> Column:
+    return F.xxhash64(col)
+
+
+def hash_column(col: Column, hash_fn: str) -> Column:
+    if hash_fn == "portable":
+        return portable_hash(col)
+    if hash_fn == "fast":
+        return fast_hash(col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'portable' or 'fast')")

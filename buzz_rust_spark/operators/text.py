@@ -1,0 +1,141 @@
+"""Text analysis operators: token counts, quality scores, language ID,
+document fingerprints.  All built-in-function compositions (JVM-side,
+whole-stage codegen) — no Python in the hot path.
+
+Rebuild extensions for the training-data-pipeline surface (no reference
+analog; the reference is a pure SQL engine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash_column, normalize_text, tokens
+
+# Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
+# Deterministic and intentionally simple: language ID at corpus scale is a
+# scoring pass, not a model inference.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count of the normalized text."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: splits on whitespace AND punctuation
+    boundaries, the usual cheap proxy for BPE token counts."""
+    pieces = F.split(
+        F.regexp_replace(F.lower(col), r"([^\w\s])", r" $1 "), r"\s+"
+    )
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document stats: char/token counts, mean token length,
+    punctuation/digit/whitespace ratios, uppercase ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = token_count(t)
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        toks.alias("n_tokens"),
+        F.when(toks > 0, non_space / toks).otherwise(F.lit(0.0)).alias("mean_token_len"),
+        (
+            F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) / n_chars,
+            ).otherwise(F.lit(0.0))
+        ).alias("punct_ratio"),
+        (
+            F.when(
+                n_chars > 0, F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars
+            ).otherwise(F.lit(0.0))
+        ).alias("digit_ratio"),
+        (
+            F.when(
+                n_chars > 0, F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars
+            ).otherwise(F.lit(0.0))
+        ).alias("upper_ratio"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic [0,1] quality score: length band + sane token length + low
+    punctuation/digit noise.  The exact recipe is arbitrary by design (the
+    pipelines that need it swap their own); what matters is that it runs as
+    one codegen'd projection."""
+    stats = with_text_stats(df, text_col, id_col)
+    length_component = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    token_len_ok = F.when(
+        (F.col("mean_token_len") >= 2.0) & (F.col("mean_token_len") <= 12.0),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.5))
+    noise_penalty = (
+        F.lit(1.0)
+        - F.least(F.col("punct_ratio") * 2.0, F.lit(0.5))
+        - F.least(F.col("digit_ratio"), F.lit(0.5))
+    )
+    return stats.withColumn(
+        "quality",
+        F.round(
+            (length_component * 0.4 + token_len_ok * 0.3 + noise_penalty * 0.3), 6
+        ),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-word language scores + argmax prediction.
+
+    One pass: tokens → per-language overlap count → greatest score wins (ties
+    broken by language code order, deterministic).  Unknown when no marker
+    matches."""
+    toks = tokens(F.col(text_col))
+    score_cols = [
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
+            )
+        ).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *score_cols)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties (applied last)
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return scored.withColumn("pred_lang", pred).drop(text_col)
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "fast",
+) -> DataFrame:
+    """Deterministic document fingerprint of the *normalized* text.
+
+    ``fast`` = xxhash64 (production); ``poly`` = portable polynomial rolling
+    hash (oracle-checkable in any engine with a list fold)."""
+    return df.select(
+        F.col(id_col),
+        hash_column(normalize_text(F.col(text_col)), hash_fn).alias("fingerprint"),
+    )

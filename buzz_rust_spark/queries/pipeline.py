@@ -1,0 +1,402 @@
+"""Training-data-pipeline operator queries: Buzz two-step front-end, dedup,
+similarity search, text analysis, multimodal plumbing.
+
+Oracle notes: the oracle-checked variants use the portable polynomial hash
+(functions.text.portable_hash — md5 prefix) so DuckDB computes bit-identical
+values; production
+defaults use xxhash64.  Jaccard/cosine are rounded to 6 decimals on both sides
+(integer-ratio Jaccard is exact; cosine summation order is fixed left-to-right
+double on the Spark side and within 1 ulp in DuckDB, so 6 dp is stable)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import BuzzEngine
+from ..models import BuzzQuery
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..sources import CatalogFile, StaticCatalog
+from .registry import load, register
+
+# --- the reference's canonical two-step query through the Buzz front-end ----
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+_SHINGLES_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)])
+         END AS shingles
+  FROM toks
+)
+"""
+
+_TRUE_PAIRS = (
+    _SHINGLES_CTE
+    + """
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+"""
+)
+
+
+@register(
+    "b01_buzz_two_step",
+    headline=True,
+    tags=("buzz", "agg"),
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def b01_buzz_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical workload (README.md:80-104) through the
+    BuzzQuery JSON front-end: map COUNT/SUM group-by, reduce re-aggregation —
+    Catalyst fuses both steps into one partial/final hash aggregate."""
+    path = f"{sf_dir}/lineitem.parquet"
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_type
+    from pyspark.sql.types import StructField, StructType
+
+    footer = pq.read_schema(path)
+    schema = StructType(
+        [
+            StructField(f.name, from_arrow_type(f.type, prefer_timestamp_ntz=True), True)
+            for f in footer
+        ]
+    )
+    engine = BuzzEngine(spark, strict=True)
+    engine.register_source(
+        StaticCatalog(
+            name="lineitem",
+            schema=schema,
+            files=[CatalogFile(key=path, length=os.path.getsize(path))],
+        )
+    )
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [
+                {
+                    "sql": (
+                        "SELECT l_returnflag, COUNT(*) AS cnt, "
+                        "SUM(l_quantity) AS qty FROM lineitem GROUP BY l_returnflag"
+                    ),
+                    "name": "li_map",
+                    "step_type": "HBee",
+                },
+                {
+                    "sql": (
+                        "SELECT l_returnflag, SUM(cnt) AS cnt, "
+                        "ROUND(SUM(qty), 4) AS qty FROM li_map "
+                        "GROUP BY l_returnflag ORDER BY l_returnflag"
+                    ),
+                    "name": "li_reduce",
+                    "step_type": "HComb",
+                },
+            ],
+            "capacity": {"zones": 1},
+            "catalogs": [],
+        }
+    )
+    return engine.run(q)
+
+
+# --- deduplication ----------------------------------------------------------
+
+
+@register(
+    "d01_dedup_exact",
+    tags=("dedup",),
+    oracle=f"""
+SELECT md5({_NORM}) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-agg shuffle on md5(normalized text)."""
+    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "d02_ngram_jaccard",
+    headline=True,
+    tags=("dedup",),
+    oracle=_TRUE_PAIRS,
+)
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified 3-gram Jaccard near-dup pairs (inverted-index candidate join)."""
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, hash_fn="portable"
+    ).select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d03_minhash_lsh",
+    headline=True,
+    tags=("dedup",),
+    oracle=_TRUE_PAIRS,
+)
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.  b=16 bands of
+    r=2 rows: true pairs in this corpus sit at J≥0.9, where the candidate miss
+    probability is (1-J²)^16 ≈ 3e-12 — the verified output equals the exact
+    all-pairs truth (the oracle) — while random pairs (J≈0.02) collide with
+    p≈6e-3, keeping the candidate join sub-quadratic."""
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=32,
+        bands=16,
+        threshold=0.5,
+        hash_fn="portable",
+    ).select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d04_simhash",
+    tags=("dedup",),
+    oracle=None,  # pandas-UDF signature computation — rows-only check
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (Hamming ≤ 3 via pigeonhole band join)."""
+    return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "d05_embedding_neardup",
+    tags=("dedup", "similarity"),
+    oracle="""
+SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+)
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4, exact)."""
+    from ..functions.vector import as_double_array, cosine_similarity
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_1"),
+            F.col("b.vec_id").alias("id_2"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("_cos"),
+        )
+        .where(F.col("_cos") >= 0.4)
+        .select("id_1", "id_2", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+
+@register(
+    "s01_ann_bruteforce",
+    headline=True,
+    tags=("similarity",),
+    oracle="""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+) WHERE rank <= 5
+""",
+)
+def s01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors (broadcast query side, one
+    corpus pass, window top-k)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(
+        corpus=emb, queries=emb.where(F.col("vec_id") < 10), k=5
+    )
+
+
+@register(
+    "s02_ann_lsh",
+    tags=("similarity",),
+    oracle=None,  # approximate (bucket recall < 1) — rows-only check
+)
+def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (random hyperplane signatures)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(
+        corpus=emb, queries=emb.where(F.col("vec_id") < 10), dim=64, k=5, bits=16, bands=8
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@register(
+    "t01_token_stats",
+    tags=("text",),
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split({_NORM}, ' '))) AS total_tokens,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts aggregated per language."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", "n_chars", T.token_count(F.col("text")).alias("_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "t02_quality",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(length_component * 0.4 + token_len_ok * 0.3 + noise_penalty * 0.3, 6)
+           AS quality
+FROM (
+  SELECT doc_id, n_chars, n_tokens,
+         LEAST(n_tokens / 50.0, 1.0) AS length_component,
+         CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+             AS token_len_ok,
+         1.0 - LEAST(punct_ratio * 2.0, 0.5) - LEAST(digit_ratio, 0.5)
+             AS noise_penalty
+  FROM (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split({_NORM}, ' ')) AS n_tokens,
+           CASE WHEN len(string_split({_NORM}, ' ')) > 0
+                THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                     / len(string_split({_NORM}, ' '))
+                ELSE 0.0 END AS mean_token_len,
+           CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                     / length(text) ELSE 0.0 END AS punct_ratio,
+           CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                     / length(text) ELSE 0.0 END AS digit_ratio
+    FROM documents
+  )
+)
+""",
+)
+def t02_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (one codegen'd projection)."""
+    return T.quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars", "n_tokens", "quality"
+    )
+
+
+def _langid_oracle() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    score_exprs = ",\n       ".join(
+        f"len(list_intersect(list_distinct(string_split({_NORM}, ' ')), "
+        f"{[w for w in words]!r})) AS score_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN {best} > 0 AND score_{lang} = {best} THEN '{lang}' "
+            f"ELSE {pred} END"
+        )
+    return f"""
+WITH scored AS (
+  SELECT lang AS true_lang,
+       {score_exprs}
+  FROM documents
+)
+SELECT true_lang, {pred} AS pred_lang, COUNT(*) AS n
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("t03_langid_confusion", tags=("text",), oracle=_langid_oracle())
+def t03_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID confusion matrix (true lang × predicted)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        T.language_id(d)
+        .join(d.select("doc_id", F.col("lang").alias("true_lang")), on="doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@register(
+    "t04_fingerprint",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id,
+       CAST('0x' || substring(md5({_NORM}), 1, 15) AS BIGINT) AS fingerprint
+FROM documents
+""",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5-prefix fingerprint of normalized text."""
+    return T.fingerprint(load(spark, sf_dir, "documents"), hash_fn="portable")
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+@register(
+    "m01_media_features",
+    tags=("multimodal",),
+    oracle=None,  # synthesized in-memory media table — rows-only check
+)
+def m01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode pipeline (deterministic stub decoder) through
+    mapInPandas — schema/batching plumbing is the real thing under test."""
+    media = M.synthetic_media(spark, n=64)
+    return M.decode_features(media, dim=8)
+
+
+@register(
+    "m02_frame_sample",
+    tags=("multimodal",),
+    oracle=None,  # synthesized in-memory media table — rows-only check
+)
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out plan (sequence+explode, no Python)."""
+    media = M.synthetic_media(spark, n=16, kind="video")
+    return M.frame_sample_plan(media, every_ms=250)

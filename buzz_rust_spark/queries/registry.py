@@ -1,0 +1,77 @@
+"""Query registry: every implemented operator surface gets a named entry with
+a Spark implementation and (when SQL-expressible) a DuckDB oracle.
+
+This is the contract the driver checks (__spark_entry__.py): per-query
+row-count + schema + order-insensitive value-hash versus the oracle at
+sf=0.01.  Column names are aliased identically on both sides; double-typed
+aggregates are rounded identically on both sides (floating summation order
+differs between engines, so raw sums would hash-mismatch in the last ulp).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    headline: bool = False  # included in bench.py
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    headline: bool = False,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QueryDef(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            headline=headline,
+            description=description or (fn.__doc__ or "").strip().splitlines()[0]
+            if fn.__doc__
+            else "",
+            tags=tags,
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryDef]:
+    # Import side-effect modules exactly once.
+    from . import pipeline, sql_surface, streaming_queries  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, read as raw int64 nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) — convert to micros timestamp.
+        # `div` keeps the arithmetic integral (ns values exceed double's 2^53).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,498 @@
+"""The delegated-SQL surface (SURVEY.md §2.B), one query per feature family.
+
+Each query exercises a DataFusion-4.0-era capability the reference exposes
+(projection/filter/group-by/sort/limit/scalar functions) or a Spark superset
+the rebuild deliberately lifts (joins, windows, set ops, rollup, subqueries —
+README.md:119 blocks joins in the reference; SURVEY.md §2.B recommends lifting
+the restriction).
+
+Performance notes live next to each query: what should broadcast, what the
+expected plan shape is.  All implementations are pure DataFrame API — Catalyst
+handles pushdown/pruning; nothing here collects or loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .registry import load, register
+
+
+@register(
+    "q01_pricing_summary",
+    headline=True,
+    tags=("agg", "filter", "sort"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filter → hash agg → sort.
+
+    Plan: parquet scan with PushedFilters on l_shipdate + ReadSchema of 6
+    columns, partial/final hash aggregate around one exchange on the 2 group
+    keys (low cardinality → AQE coalesces post-shuffle partitions)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_filter_in_like_between",
+    tags=("filter",),
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts, MIN(p_size) AS min_size, MAX(p_size) AS max_size
+FROM part
+WHERE p_type LIKE 'ECO%' AND p_size BETWEEN 5 AND 30
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#17', 'Brand#25')
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def q02_filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE surface: LIKE prefix, BETWEEN, IN-list — all pushed to the scan."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.where(
+            F.col("p_type").like("ECO%")
+            & F.col("p_size").between(5, 30)
+            & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#17", "Brand#25")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q03_top_revenue_orders",
+    headline=True,
+    tags=("join", "agg", "sort", "limit"),
+    oracle="""
+SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped join+topN.  customer is a dim → broadcast; lineitem
+    never shuffles for the join, only for the final ordered limit (TakeOrdered
+    — no global sort)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    bldg_orders = broadcast(
+        o.join(broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")
+    )
+    return (
+        li.join(bldg_orders, li.l_orderkey == bldg_orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_revenue",
+    headline=True,
+    tags=("join", "agg"),
+    oracle="""
+SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join.  region/nation/supplier broadcast (tiny dims);
+    lineitem⨝orders is the only shuffle join (both large) — at 100 TB those
+    two would be co-bucketed on orderkey to eliminate it."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    dim = broadcast(
+        s.join(broadcast(n.join(broadcast(r), n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(dim, li.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "q06_sort_limit",
+    tags=("sort", "limit"),
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q06_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (no global sort)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q07_distinct_agg",
+    tags=("agg",),
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       ROUND(MIN(c_acctbal), 2) AS min_bal,
+       ROUND(MAX(c_acctbal), 2) AS max_bal,
+       ROUND(AVG(c_acctbal), 4) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q07_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + MIN/MAX/AVG (expand + two-phase agg)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q08_having",
+    tags=("agg", "filter"),
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 50
+ORDER BY c_nationkey
+""",
+)
+def q08_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .where(F.col("n_customers") > 50)
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q09_window_rank",
+    headline=True,
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 2
+""",
+)
+def q09_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (ROW_NUMBER per partition) — top-2 orders per
+    customer.  One shuffle on o_custkey; AQE handles skewed customers."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 2)
+    )
+
+
+@register(
+    "q10_window_running",
+    tags=("window",),
+    oracle="""
+SELECT user_id, ts, value,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS running_value,
+       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+FROM events
+WHERE user_id < 20
+""",
+)
+def q10_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + LAG with explicit ROWS frame (superset of the
+    reference's window support — DataFusion 4.0 had no custom frames)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            F.round(F.sum("value").over(frame), 6).alias("running_value"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+    )
+
+
+@register(
+    "q11_union_set_ops",
+    tags=("setop",),
+    oracle="""
+SELECT src, COUNT(*) AS n FROM (
+  SELECT 'customer' AS src, c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT 'supplier' AS src, s_nationkey AS nationkey FROM supplier
+) GROUP BY src
+UNION ALL
+SELECT 'intersect' AS src, COUNT(*) AS n FROM (
+  SELECT DISTINCT c_nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+ORDER BY src
+""",
+)
+def q11_union_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + INTERSECT (the reference's engine had UNION ALL only;
+    INTERSECT/EXCEPT are the documented superset)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"), F.col("s_nationkey").alias("nationkey")
+    )
+    unions = c.unionByName(s).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        load(spark, sf_dir, "customer")
+        .select("c_nationkey")
+        .distinct()
+        .intersect(load(spark, sf_dir, "supplier").select("s_nationkey").distinct())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect").alias("src"), "n")
+    )
+    return unions.unionByName(inter).orderBy("src")
+
+
+@register(
+    "q12_scalar_functions",
+    tags=("scalar",),
+    oracle="""
+SELECT n_nationkey,
+       UPPER(n_name) AS name_upper,
+       LOWER(SUBSTR(n_name, 1, 3)) AS name_prefix,
+       LENGTH(n_name) AS name_len,
+       CONCAT(n_name, '#', CAST(n_regionkey AS VARCHAR)) AS tagged,
+       LPAD(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+       REPLACE(n_name, ' ', '_') AS snake,
+       REVERSE(n_name) AS rev,
+       ROUND(SQRT(CAST(n_nationkey AS DOUBLE)), 6) AS sqrt_key,
+       ABS(n_nationkey - 12) AS abs_diff,
+       MOD(n_nationkey, 5) AS mod5,
+       CASE WHEN n_regionkey IN (1, 2) THEN 'west' ELSE 'rest' END AS hemi
+FROM nation
+""",
+)
+def q12_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math/string surface (DataFusion 4.0 built-ins → same names in
+    pyspark.sql.functions), plus CASE/CAST."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("name_upper"),
+        F.lower(F.substring("n_name", 1, 3)).alias("name_prefix"),
+        F.length("n_name").alias("name_len"),
+        F.concat(F.col("n_name"), F.lit("#"), F.col("n_regionkey").cast("string")).alias(
+            "tagged"
+        ),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded"),
+        F.replace(F.col("n_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.reverse("n_name").alias("rev"),
+        F.round(F.sqrt(F.col("n_nationkey").cast("double")), 6).alias("sqrt_key"),
+        F.abs(F.col("n_nationkey") - 12).alias("abs_diff"),
+        (F.col("n_nationkey") % 5).alias("mod5"),
+        F.when(F.col("n_regionkey").isin(1, 2), F.lit("west"))
+        .otherwise(F.lit("rest"))
+        .alias("hemi"),
+    )
+
+
+@register(
+    "q13_datetime",
+    tags=("scalar", "agg"),
+    oracle="""
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS month_revenue
+FROM orders
+WHERE YEAR(o_orderdate) = 1997
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q13_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: date_trunc + year extraction + monthly rollup."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.where(F.year("o_orderdate") == 1997)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("month_revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "q14_anti_semi_join",
+    tags=("join",),
+    oracle="""
+SELECT 'no_orders' AS kind, COUNT(*) AS n
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'with_orders' AS kind, COUNT(*) AS n
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY kind
+""",
+)
+def q14_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("no_orders").alias("kind"), "n")
+    )
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("kind"), "n")
+    )
+    return anti.unionByName(semi).orderBy("kind")
+
+
+@register(
+    "q15_subquery",
+    tags=("subquery",),
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_rich
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q15_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (not in DataFusion 4.0 — documented superset)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__q15_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_rich
+        FROM __q15_customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __q15_customer)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "q16_rollup",
+    tags=("agg",),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (superset: not in DataFusion 4.0)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

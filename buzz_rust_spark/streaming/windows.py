@@ -1,0 +1,82 @@
+"""Structured Streaming surface: windowed event aggregation with watermarks.
+
+The reference engine is batch-only (SURVEY.md §1.1: its "stream" is an
+execution-internal pipe); streaming here is a rebuild extension.  The same
+transformation function serves batch DataFrames and streaming readers so batch
+runs are the correctness oracle for the streaming path (tested in
+tests/test_streaming.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts + value sum per event type.
+
+    On a streaming DataFrame pass ``watermark`` (e.g. ``"2 hours"``) to bound
+    state; late rows beyond the watermark are dropped — standard
+    Structured-Streaming semantics.  Output: window_start, key, n_events,
+    value_sum."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("_w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def stream_events_from_parquet(
+    spark, sf_dir: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source streaming read of the events table (one file per
+    micro-batch) — the test harness for streaming parity."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per user (gap-based), batch or streaming.
+
+    Uses Spark's native ``session_window`` — state-store backed in streaming,
+    plain aggregation in batch.  Output: user, session_start, session_end,
+    n_events."""
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_w"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,184 @@
+"""Operator unit tests: dedup, similarity, text analysis, multimodal plumbing.
+
+Follows the reference's write-then-read unit-test style (SURVEY.md §5 layer 1)
+with tiny deterministic inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from buzz_rust_spark.operators import dedup as D
+from buzz_rust_spark.operators import multimodal as M
+from buzz_rust_spark.operators import similarity as S
+from buzz_rust_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the quick  brown fox jumps over the lazy dog"),  # exact after norm
+        (3, "The quick brown fox jumps over the lazy cat"),  # near-dup
+        (4, "completely different content about spark engines"),
+        (5, ""),
+        (6, "one"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    groups = D.exact_duplicates(docs).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in groups}
+    assert by_keep[1] == 2  # 1 and 2 normalize to the same text
+    assert by_keep[3] == 1
+    survivors = D.dedup_exact(docs)
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    found = {(r["id_1"], r["id_2"]): r["jaccard"] for r in pairs}
+    assert found[(1, 2)] == pytest.approx(1.0)  # identical after normalization
+    assert (1, 3) in found and 0.5 <= found[(1, 3)] < 1.0
+    assert not any(4 in p for p in found)
+
+
+def test_minhash_matches_ngram_truth(spark, docs):
+    truth = {
+        (r["id_1"], r["id_2"])
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_1"], r["id_2"])
+        for r in D.minhash_lsh_pairs(
+            docs, n=3, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert lsh == truth
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = D.minhash_signatures(docs, num_hashes=16).collect()
+    assert all(len(r["signature"]) == 16 for r in sigs)
+    assert all(
+        0 <= v < D.MINHASH_PRIME for r in sigs for v in r["signature"]
+    )
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]  # same tokens → same signature
+    pairs = {
+        (r["id_1"], r["id_2"]): r["hamming"]
+        for r in D.simhash_pairs(docs, max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one-token difference → small hamming
+
+
+def test_ann_bruteforce_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),  # nearly identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    topk = S.cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") == 0), k=3
+    ).collect()
+    ranked = [r["neighbor_id"] for r in sorted(topk, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    cos = {r["neighbor_id"]: r["cosine"] for r in topk}
+    assert cos[1] == pytest.approx(1.0, abs=1e-5)
+    assert cos[2] == pytest.approx(0.0, abs=1e-9)
+    assert cos[3] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_ann_lsh_recalls_close_neighbor(spark):
+    # 20 corpus vectors; vec 1 is a near-copy of vec 0.
+    import math
+
+    rows = []
+    for i in range(20):
+        base = [math.sin(i * 7.3 + j) for j in range(8)]
+        rows.append((i, base))
+    rows[1] = (1, [x + 0.01 for x in rows[0][1]])
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.cosine_topk_lsh(
+        emb, emb.where(F.col("vec_id") == 0), dim=8, k=1, bits=16, bands=8
+    ).collect()
+    assert out and out[0]["neighbor_id"] == 1
+
+
+def test_token_counts_and_quality(spark, docs):
+    stats = {r["doc_id"]: r for r in T.with_text_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 9
+    assert stats[5]["n_tokens"] == 0
+    assert stats[6]["n_tokens"] == 1
+    q = {r["doc_id"]: r["quality"] for r in T.quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[1] > q[5]  # real sentence beats empty text
+
+
+def test_bpe_ish_counts_punctuation(spark):
+    df = spark.createDataFrame([(1, "hello, world! it's 3.5x faster")], ["id", "t"])
+    n = df.select(T.bpe_ish_token_count(F.col("t")).alias("n")).collect()[0]["n"]
+    assert n == 11  # hello , world ! it ' s 3 . 5x faster
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog in the house", "en"),
+        (2, "el perro y la casa de los gatos", "es"),
+        (3, "der Hund ist nicht das Problem und", "de"),
+        (4, "qqq zzz xxx", "und"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "expected"])
+    out = {r["doc_id"]: r["pred_lang"] for r in T.language_id(df).collect()}
+    for doc_id, _, expected in rows:
+        assert out[doc_id] == expected
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in T.fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    fp2 = {
+        r["doc_id"]: r["fingerprint"]
+        for r in T.fingerprint(df, hash_fn="portable").collect()
+    }
+    assert fp2[1] == fp2[2] and fp2[1] != fp2[3]
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = M.synthetic_media(spark, n=10)
+    feats = M.decode_features(media, dim=8).collect()
+    assert len(feats) == 10
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert by_id[0]["n_bytes"] == 128
+    # unit-norm features
+    for r in feats:
+        assert sum(x * x for x in r["feature"]) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_multimodal_strict_raises(spark):
+    media = M.synthetic_media(spark, n=2)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        M.decode_features(media, strict=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = M.synthetic_media(spark, n=3, kind="video")
+    # durations 1000,1001,1002 ms → 1000ms step → 1-2 frames each
+    out = M.frame_sample_plan(media, every_ms=1000).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert per[0] == [0]
+    assert per[1] == [0, 1000]

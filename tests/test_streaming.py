@@ -1,0 +1,56 @@
+"""Structured Streaming parity: the incremental execution of the windowed
+operators must equal their batch execution (the batch result is the oracle)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from buzz_rust_spark.queries.registry import load
+from buzz_rust_spark.streaming.windows import sessionize, windowed_event_counts
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in windowed_event_counts(events, "1 hour").collect()
+    }
+
+    # Stage the events as a file-source stream (split into several files so
+    # multiple micro-batches actually run).
+    src = tmp_path / "stream_src"
+    events.repartition(4).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windowed_event_counts(
+        stream, "1 hour", watermark="10 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM win_test").collect()
+    }
+    shutil.rmtree(src, ignore_errors=True)
+    assert got == batch
+
+
+def test_sessionize_batch(spark, sf_dir):
+    events = load(spark, sf_dir, "events").where(F.col("user_id") == 1)
+    sessions = sessionize(events, gap="30 minutes").collect()
+    assert sessions
+    total = sum(r["n_events"] for r in sessions)
+    assert total == events.count()
+    for r in sessions:
+        assert r["session_end"] > r["session_start"]

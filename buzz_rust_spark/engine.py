@@ -157,12 +157,20 @@ class BuzzEngine:
             )
         if step.step_type is BuzzStepType.HCOMB:
             catalog_refs = [r for r in refs if r not in step_views]
-            if catalog_refs:
+            if self.strict and catalog_refs:
                 # parity: query_planner.rs:104-109 — the reduce step must read
                 # a previous step's output, never a catalog directly.
                 raise BuzzPlanError(
                     f"HComb step {step.name!r} must read a previous step's "
                     f"output, but reads catalog table(s) {sorted(catalog_refs)}"
+                )
+            if not self.strict and not (refs & step_views):
+                # generalized rule: a reduce step still has to consume at
+                # least one previous step's output (it may additionally join
+                # catalog tables — a lifted restriction, SURVEY.md §2.B joins).
+                raise BuzzPlanError(
+                    f"HComb step {step.name!r} must read at least one previous "
+                    f"step's output"
                 )
             if step.partition_filter:
                 raise BuzzPlanError(

@@ -1,0 +1,103 @@
+"""As-of (point-in-time) join — a custom operator Spark has no built-in for.
+
+For every left row, attach the most recent right row with
+``right_ts <= left_ts`` (direction="backward"; "forward" gives the earliest
+right row with ``right_ts >= left_ts``), optionally within equality groups
+(``by``) and a maximum time distance (``tolerance``).
+
+Implementation (SURVEY.md extension path (a) — composition of existing ops,
+no Python): tag and union both sides, then one window pass per group carries
+the latest right payload forward (``last(ignorenulls)`` over an unbounded
+preceding frame).  Cost: ONE shuffle on the group key + a sort within
+partitions — no range-join row explosion, no pandas.  This is the shape that
+survives 100 TB: the window state is one row (the carried payload), and AQE
+skew handling applies to the group-key shuffle like any other.
+
+Oracle: DuckDB's native ``ASOF JOIN`` (tests + queries/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import BuzzBadRequestError
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the matched right row's columns
+    (prefixed, null when no match).  Matches take the *latest* right row at or
+    before the left timestamp (backward) — ties on the timestamp match; among
+    equal right timestamps the largest remaining sort key wins
+    deterministically."""
+    if direction not in ("backward", "forward"):
+        raise BuzzBadRequestError(
+            f"asof direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    by = by or []
+    for c in by:
+        if c not in left.columns or c not in right.columns:
+            raise BuzzBadRequestError(f"asof 'by' column {c!r} missing from input")
+
+    left_cols = left.columns
+    # right_ts is exported separately as f"{right_prefix}{right_ts}"
+    right_cols = [c for c in right.columns if c not in by and c != right_ts]
+
+    rpayload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
+    )
+    tagged_right = right.select(
+        *[F.col(c) for c in by],
+        F.col(right_ts).alias("__event_ts"),
+        F.lit(1).alias("__is_right"),
+        rpayload.alias("__rval"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
+    )
+    tagged_left = left.select(
+        *[F.col(c) for c in by],
+        F.col(left_ts).alias("__event_ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(tagged_right.schema["__rval"].dataType).alias("__rval"),
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+    )
+    unioned = tagged_right.unionByName(tagged_left)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal timestamps → a right row
+        # AT the left timestamp is eligible.
+        order = [F.col("__event_ts").asc(), F.col("__is_right").desc()]
+    else:
+        order = [F.col("__event_ts").desc(), F.col("__is_right").desc()]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__rval", ignorenulls=True).over(w)
+    ).where(F.col("__is_right") == 0)
+
+    if tolerance_seconds is not None:
+        distance = F.abs(
+            F.col("__event_ts").cast("double") - F.col("__match.__ts").cast("double")
+        )
+        carried = carried.withColumn(
+            "__match",
+            F.when(distance <= tolerance_seconds, F.col("__match")),
+        )
+
+    out_cols = [F.col(f"__l_{c}").alias(c) for c in left_cols]
+    out_cols.append(F.col("__match.__ts").alias(f"{right_prefix}{right_ts}"))
+    out_cols += [
+        F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in right_cols
+    ]
+    return carried.select(*out_cols)

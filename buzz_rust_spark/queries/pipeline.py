@@ -400,3 +400,50 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out plan (sequence+explode, no Python)."""
     media = M.synthetic_media(spark, n=16, kind="video")
     return M.frame_sample_plan(media, every_ms=250)
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+@register(
+    "a01_asof_join",
+    headline=True,
+    tags=("asof", "join", "events"),
+    oracle="""
+SELECT a.event_id, a.user_id, CAST(a.ts AS TIMESTAMP) AS ts,
+       b.event_id AS purchase_event_id,
+       CAST(b.ts AS TIMESTAMP) AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+ON a.user_id = b.user_id AND a.ts >= b.ts
+""",
+)
+def a01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click event + the user's most recent purchase
+    at or before it (union+window composition — one shuffle on user_id;
+    oracle is DuckDB's native ASOF JOIN)."""
+    from ..operators.asof import asof_join
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        left_ts="ts",
+        right_ts="ts",
+        by=["user_id"],
+        direction="backward",
+        right_prefix="r_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_purchase_event_id").alias("purchase_event_id"),
+        F.col("r_ts").alias("purchase_ts"),
+    )

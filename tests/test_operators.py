@@ -182,3 +182,59 @@ def test_frame_sample_plan(spark):
         per.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert per[0] == [0]
     assert per[1] == [0, 1000]
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from datetime import datetime
+
+    from buzz_rust_spark.operators.asof import asof_join
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m, 0)
+
+    left = spark.createDataFrame(
+        [(1, "u", ts(10)), (2, "u", ts(20)), (3, "v", ts(15)), (4, "w", ts(5))],
+        ["id", "key", "t"],
+    )
+    right = spark.createDataFrame(
+        [(100, "u", ts(8)), (101, "u", ts(10)), (102, "u", ts(25)), (103, "v", ts(16))],
+        ["rid", "key", "t"],
+    )
+    back = {
+        r["id"]: r["r_rid"]
+        for r in asof_join(
+            left, right, left_ts="t", right_ts="t", by=["key"], right_prefix="r_"
+        ).collect()
+    }
+    # id1: right at exactly ts(10) matches (inclusive); id2: latest <= 20 is 101
+    # id3: v's only right is at 16 > 15 → no match; id4: w has no rights
+    assert back == {1: 101, 2: 101, 3: None, 4: None}
+
+    fwd = {
+        r["id"]: r["r_rid"]
+        for r in asof_join(
+            left,
+            right,
+            left_ts="t",
+            right_ts="t",
+            by=["key"],
+            direction="forward",
+            right_prefix="r_",
+        ).collect()
+    }
+    assert fwd == {1: 101, 2: 102, 3: 103, 4: None}
+
+    tol = {
+        r["id"]: r["r_rid"]
+        for r in asof_join(
+            left,
+            right,
+            left_ts="t",
+            right_ts="t",
+            by=["key"],
+            tolerance_seconds=120,
+            right_prefix="r_",
+        ).collect()
+    }
+    # id2's nearest earlier right is at 10 → 600s gap > 120s tolerance → null
+    assert tol == {1: 101, 2: None, 3: None, 4: None}

@@ -496,3 +496,186 @@ def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "q17_salted_agg",
+    tags=("agg", "skew"),
+    oracle="""
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum,
+       ROUND(MIN(value), 6) AS value_min, ROUND(MAX(value), 6) AS value_max
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q17_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation — result must equal the plain
+    group-by (the oracle *is* the plain group-by)."""
+    from ..functions.skew import salted_aggregate
+
+    out = salted_aggregate(
+        load(spark, sf_dir, "events"),
+        keys=["event_type"],
+        aggs={
+            "n": ("event_id", "count"),
+            "_s": ("value", "sum"),
+            "_mn": ("value", "min"),
+            "_mx": ("value", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("_s", 4).alias("value_sum"),
+        F.round("_mn", 6).alias("value_min"),
+        F.round("_mx", 6).alias("value_max"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q18_string_functions",
+    tags=("scalar",),
+    oracle="""
+SELECT n_nationkey,
+       split_part(n_name, ' ', 1) AS first_word,
+       strpos(n_name, 'A') AS a_pos,
+       translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+       repeat(substr(n_name, 1, 2), 2) AS doubled_prefix,
+       regexp_extract(n_name, '([A-Z]+)', 1) AS leading_caps,
+       regexp_replace(n_name, '[AEIOU]', '_', 'g') AS masked,
+       chr(65 + (n_nationkey % 26)) AS letter,
+       md5(n_name) AS name_md5,
+       sha256(n_name) AS name_sha256,
+       to_hex(n_nationkey) AS key_hex
+FROM nation
+""",
+)
+def q18_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface (DataFusion 4.0 built-in family: split_part,
+    strpos, translate, repeat, regexp_*, chr, md5/sha2, to_hex)."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.split_part(F.col("n_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.instr(F.col("n_name"), "A").alias("a_pos"),
+        F.translate(F.col("n_name"), "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.repeat(F.substring("n_name", 1, 2), 2).alias("doubled_prefix"),
+        F.regexp_extract(F.col("n_name"), "([A-Z]+)", 1).alias("leading_caps"),
+        F.regexp_replace(F.col("n_name"), "[AEIOU]", "_").alias("masked"),
+        F.chr(F.lit(65) + (F.col("n_nationkey") % 26)).alias("letter"),
+        F.md5(F.col("n_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("n_name").cast("binary"), 256).alias("name_sha256"),
+        F.hex(F.col("n_nationkey")).alias("key_hex"),
+    )
+
+
+@register(
+    "q19_math_functions",
+    tags=("scalar",),
+    oracle="""
+SELECT p_partkey,
+       ROUND(SIN(p_retailprice / 100.0), 6) AS sin_v,
+       ROUND(COS(p_retailprice / 100.0), 6) AS cos_v,
+       ROUND(ATAN2(CAST(p_size AS DOUBLE), 10.0), 6) AS atan2_v,
+       ROUND(EXP(p_size / 50.0), 6) AS exp_v,
+       ROUND(LN(p_retailprice + 1.0), 6) AS ln_v,
+       ROUND(LOG10(p_retailprice + 1.0), 6) AS log10_v,
+       ROUND(LOG2(p_retailprice + 1.0), 6) AS log2_v,
+       ROUND(POW(p_size, 1.5), 6) AS pow_v,
+       SIGN(p_size - 25) AS sign_v,
+       CAST(TRUNC(p_retailprice) AS BIGINT) AS trunc_v,
+       CEIL(p_retailprice) AS ceil_v,
+       FLOOR(p_retailprice) AS floor_v
+FROM part WHERE p_partkey <= 200
+""",
+)
+def q19_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended math surface (abs/trig/exp/log/power/sign/trunc family)."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(F.col("p_retailprice") / 100.0), 6).alias("sin_v"),
+        F.round(F.cos(F.col("p_retailprice") / 100.0), 6).alias("cos_v"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.lit(10.0)), 6).alias("atan2_v"),
+        F.round(F.exp(F.col("p_size") / 50.0), 6).alias("exp_v"),
+        F.round(F.log(F.col("p_retailprice") + 1.0), 6).alias("ln_v"),
+        F.round(F.log10(F.col("p_retailprice") + 1.0), 6).alias("log10_v"),
+        F.round(F.log2(F.col("p_retailprice") + 1.0), 6).alias("log2_v"),
+        F.round(F.pow(F.col("p_size"), 1.5), 6).alias("pow_v"),
+        F.signum(F.col("p_size") - 25).alias("sign_v"),
+        F.col("p_retailprice").cast("long").alias("trunc_v"),
+        F.ceil("p_retailprice").alias("ceil_v"),
+        F.floor("p_retailprice").alias("floor_v"),
+    )
+
+
+@register(
+    "q20_pivot",
+    tags=("agg", "pivot"),
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (orderstatus → columns); fixed value list keeps the schema
+    static — the form that scales (dynamic pivots need a driver-side distinct
+    pass)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q21_cube",
+    tags=("agg",),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def q21_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE (superset of the reference: DataFusion 4.0 had no
+    grouping sets)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q22_approx_sketches",
+    tags=("agg", "sketch"),
+    oracle=None,  # HLL/quantile sketches are engine-specific — rows-only check
+)
+def q22_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches: HLL distinct counts + approximate percentiles —
+    the constant-memory path for 100 TB cardinality/quantile estimation."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("exact_rows"),
+    )

@@ -9,11 +9,12 @@ and attaching partition values as string columns.
 Scale design:
 - Pruning happens *before* the read, on the manifest — the scan never lists or
   opens pruned files (the reference's catalog-level pruning, catalog/mod.rs:43-99).
-- Partition values are attached by grouping files per distinct partition tuple
-  and reading each group once with literal columns — no join, no shuffle, and
-  the per-group read is still a single vectorized parquet scan.  With P distinct
-  partition tuples the plan has P unioned scans, which matches how a
-  hive-partitioned directory scan plans anyway.
+- Partition values are attached one of two ways, chosen automatically:
+  *union* (few distinct partition tuples): one scan per tuple with literal
+  columns — no join, no shuffle, mirrors a hive-partitioned directory plan;
+  *join* (many tuples): ONE scan of all surviving files, then a broadcast hash
+  join of ``input_file_name()`` against the (tiny) manifest — plan size stays
+  O(1) no matter how many partitions survive pruning.
 - A declared schema is passed to every read: no footer-sniffing job at plan
   time, and column pruning/pushdown still apply.
 
@@ -47,6 +48,10 @@ class StaticCatalog:
     partition_cols: list[str] = field(default_factory=list)
     verify_schemas: bool = False
     verify_max_files: int | None = 16
+    # partition-attach strategy: "auto" switches from per-tuple unions to a
+    # single scan + broadcast manifest join above this many distinct tuples
+    attach_strategy: str = "auto"  # "auto" | "union" | "join"
+    union_max_groups: int = 32
 
     def full_schema(self) -> StructType:
         """Data schema + partition columns as non-null strings
@@ -77,7 +82,7 @@ class StaticCatalog:
         if not self.partition_cols:
             return spark.read.schema(self.schema).parquet(*[f.key for f in files])
 
-        # Group files by partition tuple; one scan per distinct tuple.
+        # Group files by partition tuple.
         groups: dict[tuple[str, ...], list[str]] = {}
         for f in files:
             values = tuple(f.partition_value(c) for c in self.partition_cols)
@@ -87,10 +92,40 @@ class StaticCatalog:
                     f"{self.partition_cols}"
                 )
             groups.setdefault(values, []).append(f.key)
-        scans = []
-        for values, paths in sorted(groups.items()):
-            df = spark.read.schema(self.schema).parquet(*paths)
-            for col, value in zip(self.partition_cols, values):
-                df = df.withColumn(col, F.lit(value).cast(StringType()))
-            scans.append(df)
-        return reduce(DataFrame.unionByName, scans)
+
+        strategy = self.attach_strategy
+        if strategy == "auto":
+            strategy = "union" if len(groups) <= self.union_max_groups else "join"
+
+        if strategy == "union":
+            # One scan per distinct tuple with literal partition columns.
+            scans = []
+            for values, paths in sorted(groups.items()):
+                df = spark.read.schema(self.schema).parquet(*paths)
+                for col, value in zip(self.partition_cols, values):
+                    df = df.withColumn(col, F.lit(value).cast(StringType()))
+                scans.append(df)
+            return reduce(DataFrame.unionByName, scans)
+
+        # "join": one scan of everything + broadcast manifest lookup by file
+        # path.  input_file_name() returns the file URI; normalize both sides
+        # to scheme-less absolute paths before joining.  Catalog keys must be
+        # individual parquet FILES for this strategy (the reference's SizedFile
+        # contract, models/mod.rs:13-16) — a directory key would not equal any
+        # input_file_name().  The union strategy tolerates directory keys.
+        from pyspark.sql.functions import broadcast
+
+        from .manifest import manifest_df
+
+        def norm(col):
+            return F.regexp_replace(col, r"^[a-z0-9]+:(//)?", "")
+
+        scan = spark.read.schema(self.schema).parquet(*[f.key for f in files])
+        manifest = manifest_df(spark, files, self.partition_cols).select(
+            norm(F.col("key")).alias("__path"), *self.partition_cols
+        )
+        return (
+            scan.withColumn("__path", norm(F.input_file_name()))
+            .join(broadcast(manifest), on="__path", how="left")
+            .drop("__path")
+        )

@@ -1,0 +1,92 @@
+"""Property test: asof_join must agree with pandas.merge_asof on random
+inputs (hypothesis generates the cases; pandas is the independent oracle)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+from buzz_rust_spark.operators.asof import asof_join
+
+ts_strategy = st.integers(min_value=0, max_value=10_000)
+BASE = datetime(2024, 1, 1)
+LEFT_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("key", StringType()),
+        StructField("t", TimestampType()),
+    ]
+)
+RIGHT_SCHEMA = StructType(
+    [
+        StructField("rid", LongType()),
+        StructField("key", StringType()),
+        StructField("t", TimestampType()),
+    ]
+)
+
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 15))
+    n_right = draw(st.integers(0, 15))
+    keys = ["a", "b"]
+    left = [
+        (
+            i,
+            draw(st.sampled_from(keys)),
+            BASE + timedelta(seconds=draw(ts_strategy)),
+        )
+        for i in range(n_left)
+    ]
+    right = [
+        (
+            100 + i,
+            draw(st.sampled_from(keys)),
+            BASE + timedelta(seconds=draw(ts_strategy)),
+        )
+        for i in range(n_right)
+    ]
+    # merge_asof is undefined on duplicate (key, ts) on the right — dedup
+    seen = set()
+    right = [
+        r for r in right if (r[1], r[2]) not in seen and not seen.add((r[1], r[2]))
+    ]
+    return left, right
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(asof_case())
+def test_asof_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, schema=LEFT_SCHEMA)
+    right = spark.createDataFrame(right_rows, schema=RIGHT_SCHEMA)
+    got = {
+        r["id"]: r["r_rid"]
+        for r in asof_join(
+            left, right, left_ts="t", right_ts="t", by=["key"], right_prefix="r_"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["id", "key", "t"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["rid", "key", "t"]).sort_values("t")
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, on="t", by="key", direction="backward", allow_exact_matches=True
+        )
+        expect = {
+            int(row.id): (None if pd.isna(row.rid) else int(row.rid))
+            for row in merged.itertuples()
+        }
+    else:
+        expect = {int(i): None for i in lp["id"]}
+    assert got == expect

@@ -92,14 +92,21 @@ def test_two_step_query_matches_single_step(spark, sf_dir):
 
 
 def mock_split_catalog(spark, tmp_path, n_files=5):
-    """FIXTURES.md F1: N files, partition values part_value_001..N."""
+    """FIXTURES.md F1: N files, partition values part_value_001..N.
+    Keys are single parquet FILES (the reference's SizedFile contract)."""
+    import glob as globmod
+    import shutil
+
     files = []
     for i in range(1, n_files + 1):
         path = str(tmp_path / f"file_{i}.parquet")
+        tmpdir = path + ".tmpdir"
         spark.createDataFrame(
             [(i * 10 + j,) for j in range(3)],
             schema=StructType([StructField("data_col", LongType())]),
-        ).coalesce(1).write.mode("overwrite").parquet(path)
+        ).coalesce(1).write.mode("overwrite").parquet(tmpdir)
+        shutil.move(globmod.glob(tmpdir + "/part-*.parquet")[0], path)
+        shutil.rmtree(tmpdir)
         files.append(
             CatalogFile(
                 key=path,
@@ -253,3 +260,31 @@ def test_multi_step_generalization(spark, sf_dir):
         }
     )
     assert engine.run(q).collect()[0]["n"] == 3
+
+
+def test_partition_attach_join_strategy_matches_union(spark, tmp_path):
+    """The broadcast-manifest join path must produce the same rows as the
+    per-tuple union path (it is the plan-size-bounded variant for catalogs
+    with many partitions)."""
+    from buzz_rust_spark import StaticCatalog
+
+    base = mock_split_catalog(spark, tmp_path, n_files=5)
+    union_cat = StaticCatalog(
+        name="m1", schema=base.schema, files=base.files,
+        partition_cols=base.partition_cols, attach_strategy="union",
+    )
+    join_cat = StaticCatalog(
+        name="m2", schema=base.schema, files=base.files,
+        partition_cols=base.partition_cols, attach_strategy="join",
+    )
+    u = {tuple(r) for r in union_cat.to_dataframe(spark).collect()}
+    j = {tuple(r) for r in join_cat.to_dataframe(spark).collect()}
+    assert u == j and len(u) == 15
+    # pruning works identically through the join path
+    ju = {
+        tuple(r)
+        for r in join_cat.to_dataframe(
+            spark, partition_filter="part_key_1='part_value_002'"
+        ).collect()
+    }
+    assert len(ju) == 3 and all(row[1] == "part_value_002" for row in ju)

@@ -54,3 +54,42 @@ def test_sessionize_batch(spark, sf_dir):
     assert total == events.count()
     for r in sessions:
         assert r["session_end"] > r["session_start"]
+
+
+def test_stateful_running_counts(spark, sf_dir, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches; the final
+    per-key total must equal the batch group-by count."""
+    from buzz_rust_spark.streaming.stateful import stateful_running_counts
+
+    events = load(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    expected = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    src = tmp_path / "state_src"
+    events.repartition(3).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stateful_running_counts(stream, "user_id")
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    rows = spark.sql("SELECT * FROM state_test").collect()
+    # update mode appends one row per key per batch; the last row per key
+    # carries the final running total
+    final = {}
+    for r in rows:
+        prev = final.get(r["key"])
+        if prev is None or r["total_batches"] > prev[1]:
+            final[r["key"]] = (r["total_events"], r["total_batches"])
+    assert {k: v[0] for k, v in final.items()} == expected
+    assert max(v[1] for v in final.values()) >= 2  # state crossed batches

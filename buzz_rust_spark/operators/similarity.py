@@ -163,3 +163,119 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iterations: int = 8,
+    vec_col: str = "embedding",
+):
+    """K-means centroids from a bounded driver-side sample (numpy Lloyd).
+
+    Scale shape: the sample is capped at ``sample_size`` rows no matter the
+    corpus size (one narrow pass + limit), so training cost is O(sample × k)
+    on the driver — the standard IVF recipe (train small, assign big).
+    Deterministic: sample by lowest xxhash64(vector) — no RNG, stable across
+    partitionings; k-means++-style seeding from the sample's hash order."""
+    import numpy as np
+
+    rows = (
+        corpus.select(as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string")))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    k = min(n_centroids, len(x))
+    centroids = x[:k].copy()
+    for _ in range(iterations):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def _nearest_centroids_udf(centroids, nprobe: int):
+    """Pandas UDF: ids of the ``nprobe`` nearest centroids (by L2) per vector.
+    The centroid matrix rides inside the serialized UDF closure — the same
+    broadcast-small-side pattern as a broadcast join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c = centroids  # (k, dim)
+    c_norms = (c**2).sum(axis=1)
+
+    # no annotations: locally-imported pandas types aren't resolvable by
+    # pandas_udf signature inspection (same constraint as dedup.simhash64)
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest(vecs):
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            d = c_norms - 2.0 * (c @ x)  # + ||x||² constant — argmin unaffected
+            order = np.argsort(d, kind="stable")[:nprobe]
+            out.append([int(i) for i in order])
+        return pd.Series(out)
+
+    return nearest
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-``k`` via IVF (inverted-file) partitioning: corpus
+    vectors are assigned to their nearest centroid; each query scores only the
+    ``nprobe`` nearest cells.  Join is keyed by cell id → shuffle carries
+    ~|corpus| × nprobe/k_centroids candidate rows, not |corpus| × |queries|.
+
+    Output schema matches ``cosine_topk_bruteforce``; recall rises with
+    ``nprobe`` (= n_centroids ⇒ exact)."""
+    centroids = train_ivf_centroids(corpus, dim, n_centroids, vec_col=vec_col)
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    assignp = _nearest_centroids_udf(centroids, nprobe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cell", F.element_at(assign1(F.col("_cv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_cell", F.explode(assignp(F.col("_qv"))))
+
+    scored = (
+        c.join(q, on="_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+        # a (query, neighbor) pair may meet in several probed cells
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -447,3 +447,76 @@ def a01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_purchase_event_id").alias("purchase_event_id"),
         F.col("r_ts").alias("purchase_ts"),
     )
+
+
+@register(
+    "s03_ann_ivf",
+    tags=("similarity",),
+    oracle=None,  # approximate (nprobe < n_centroids) — rows-only check;
+    # exactness at nprobe == n_centroids is pinned in tests/test_operators.py
+)
+def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: corpus partitioned into 16 k-means cells
+    (trained on a bounded driver-side sample), queries probe their 4 nearest
+    cells — candidate generation shuffles by cell id, never |corpus|×|queries|."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(
+        corpus=emb,
+        queries=emb.where(F.col("vec_id") < 10),
+        dim=64,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
+# --- range join -------------------------------------------------------------
+
+
+@register(
+    "r01_range_join",
+    tags=("join", "range", "events"),
+    oracle="""
+SELECT a.event_id AS anchor_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(p.value), 4) AS value_sum
+FROM events a
+JOIN events p
+  ON p.user_id = a.user_id
+ AND p.ts >= a.ts
+ AND p.ts < a.ts + INTERVAL 30 MINUTE
+WHERE a.event_type = 'purchase'
+GROUP BY a.event_id
+ORDER BY a.event_id
+""",
+)
+def r01_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (bucketed): events within 30 minutes
+    after each purchase by the same user.  A naive theta join is a per-user
+    cartesian; the bucketed equi-join keys the shuffle by (user, half-hour
+    bucket) so candidate pairs stay near-linear."""
+    from ..operators.range_join import range_join
+
+    ev = load(spark, sf_dir, "events")
+    points = ev.select("event_id", "ts", "user_id", "value")
+    intervals = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+            "user_id",
+        )
+    )
+    joined = range_join(
+        points, intervals, "ts", "w_start", "w_end",
+        by=["user_id"], bucket_width=1800.0,
+    )
+    return (
+        joined.groupBy("anchor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -679,3 +679,84 @@ def q22_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("exact_rows"),
     )
+
+
+@register(
+    "q23_window_family",
+    tags=("window",),
+    oracle="""
+SELECT user_id, event_id,
+       NTILE(4)       OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST()    OVER w, 6) AS cume,
+       LEAD(event_id, 1)  OVER w AS next_event,
+       FIRST_VALUE(event_id) OVER w AS first_event,
+       LAST_VALUE(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_event,
+       NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS second_event,
+       RANK()       OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q23_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete DataFusion-4.0 window-function family (SURVEY.md §2.B:
+    row_number/rank/dense_rank/percent_rank/cume_dist/ntile/lag/lead/
+    first/last/nth_value) in one pass — a single shuffle on user_id serves
+    every function."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.lead("event_id", 1).over(w).alias("next_event"),
+            F.first("event_id").over(w).alias("first_event"),
+            F.last("event_id").over(full).alias("last_event"),
+            F.nth_value("event_id", 2).over(full).alias("second_event"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+    )
+
+
+@register(
+    "q24_exists_subquery",
+    tags=("subquery", "join"),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q24_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (TPC-H Q4 shape) — planned as
+    left-semi + left-anti hash joins on l_orderkey (no row explosion; the
+    semi/anti build side carries only the key)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+    )

@@ -1,0 +1,114 @@
+"""Tests for the bucketed range join and IVF similarity search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from buzz_rust_spark.operators.range_join import interval_overlap_join, range_join
+from buzz_rust_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+from buzz_rust_spark.queries.registry import load
+
+
+def test_range_join_matches_theta_join(spark, sf_dir):
+    """The bucketed range join must equal the naive theta join row-for-row."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    points = ev.select("event_id", "ts", "user_id", "value")
+    intervals = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+            "user_id",
+        )
+    )
+    got = {
+        (r["event_id"], r["anchor_id"])
+        for r in range_join(
+            points, intervals, "ts", "w_start", "w_end",
+            by=["user_id"], bucket_width=1800.0,
+        ).collect()
+    }
+    naive = {
+        (r["event_id"], r["anchor_id"])
+        for r in points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.ts") >= F.col("i.w_start"))
+            & (F.col("p.ts") < F.col("i.w_end")),
+        )
+        .select("p.event_id", "i.anchor_id")
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_left_keeps_unmatched(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    points = ev.select("event_id", "ts", "user_id")
+    intervals = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+            "user_id",
+        )
+    )
+    out = range_join(
+        points, intervals, "ts", "w_start", "w_end",
+        by=["user_id"], bucket_width=300.0, how="left",
+    )
+    # every point appears at least once; unmatched points carry null anchor
+    assert out.select("event_id").distinct().count() == points.count()
+    assert out.where(F.col("anchor_id").isNull()).count() > 0
+
+
+def test_interval_overlap_join(spark):
+    rows_l = [(1, 0.0, 10.0), (2, 20.0, 30.0)]
+    rows_r = [(10, 5.0, 15.0), (20, 40.0, 50.0), (30, 29.0, 31.0)]
+    l = spark.createDataFrame(rows_l, ["l_id", "l_s", "l_e"])
+    r = spark.createDataFrame(rows_r, ["r_id", "r_s", "r_e"])
+    got = {
+        (x["l_id"], x["r_id"])
+        for x in interval_overlap_join(l, r, "l_s", "l_e", "r_s", "r_e", bucket_width=5.0).collect()
+    }
+    assert got == {(1, 10), (2, 30)}
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """With nprobe == n_centroids every cell is probed, so IVF must equal
+    brute force exactly (modulo the deterministic tie-break both share)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_ivf(
+            emb, queries, dim=64, k=3, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """nprobe < n_centroids is approximate; recall@5 against brute force must
+    clear a sanity floor (the query's own cell is always probed)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            emb, queries, dim=64, k=5, n_centroids=16, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall@5 {recall:.2f} below sanity floor"

@@ -85,6 +85,21 @@ def _with_shingles(
     )
 
 
+def _exploded_shingle_index(
+    df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str
+) -> DataFrame:
+    """(doc id, shingle hash) inverted index, one row per (doc, shingle).
+
+    The explode is built INLINE over the shingle expression: feeding a
+    generator from a prior projection makes Spark re-evaluate the (expensive)
+    shingle construction once per *output* row instead of once per document —
+    measured ~10× slower on this corpus.  Keep generator inputs inline."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+    ).select("_id", hash_column(F.col("_s"), hash_fn).alias("_h"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -102,10 +117,12 @@ def ngram_jaccard_pairs(
     rather than n².  For skewed shingles (stopword runs), a frequency cap on
     exploded shingles is the standard mitigation (not needed at test scale).
     """
-    sh = _with_shingles(df, text_col, id_col, n)
-    exploded = sh.select(
-        "_id", F.explode("_shingles").alias("_shingle")
-    ).select("_id", hash_column(F.col("_shingle"), hash_fn).alias("_h"))
+    # Materialize the inverted index once: it feeds three plan branches
+    # (sizes + both self-join sides); unpersisted, the scan+shingle+hash
+    # subplan would execute three times.  At cluster scale this is the
+    # "build the index, then query it" shape — the cache is O(total shingles)
+    # longs, spilling to disk if needed.
+    exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn).persist()
     # |shingles(doc)| derived from the exploded side (shingles are distinct per
     # doc) instead of re-shingling the corpus in a second plan branch.
     sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
@@ -138,14 +155,16 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     hash_fn: str = "fast",
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<long> of length ``num_hashes``) per document.
 
     Signature i = min over shingles s of (a_i * h(s) + b_i) mod p.  The whole
     computation is two nested higher-order functions over the shingle array —
-    no explode, no shuffle, evaluated in codegen."""
+    no explode, no shuffle, evaluated in codegen.  ``_shingles`` lets a caller
+    share one (possibly persisted) shingle relation across plan branches."""
     params = _minhash_params(num_hashes)
-    sh = _with_shingles(df, text_col, id_col, n)
+    sh = _shingles if _shingles is not None else _with_shingles(df, text_col, id_col, n)
     # Materialize the per-shingle hash array in its own projection so the
     # string hash fold runs once, not once per permutation (Catalyst does not
     # CSE across the k lambdas).  (h % p + p) % p maps xxhash64's negative
@@ -192,7 +211,15 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+    # One shingle relation serves signature generation AND both verification
+    # join sides; persisting it avoids re-shingling the corpus three times.
+    sh = _with_shingles(df, text_col, id_col, n).persist()
+    # Persist signatures too: the band posexplode below would otherwise
+    # re-evaluate the full 32-permutation signature expression per emitted
+    # band row (generator-input re-evaluation, see _exploded_shingle_index).
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, hash_fn, _shingles=sh
+    ).persist()
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -219,7 +246,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = _with_shingles(df, text_col, id_col, n)
     verified = (
         candidates.join(
             sh.select(F.col("_id").alias("id_1"), F.col("_shingles").alias("_sh1")),

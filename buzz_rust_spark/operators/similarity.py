@@ -127,7 +127,10 @@ def cosine_topk_lsh(
     mask = (1 << width) - 1
 
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        sigs = hyperplane_signatures(df, dim, bits, id_col, vec_col)
+        # Persist the signatures: the posexplode below re-evaluates its input
+        # per emitted band row, and the signature is `bits` dot-product folds —
+        # cached, each band row just re-reads a long.
+        sigs = hyperplane_signatures(df, dim, bits, id_col, vec_col).persist()
         return sigs.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),

@@ -141,7 +141,10 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified 3-gram Jaccard near-dup pairs (inverted-index candidate join)."""
     return D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.5, hash_fn="portable"
+        # fast (xxhash64) join keys: hashes only key the candidate join and
+        # never reach the output, so the oracle (string-based list_intersect)
+        # is unaffected; collision odds at this cardinality ~1e-11.
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, hash_fn="fast"
     ).select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -163,7 +166,7 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=16,
         threshold=0.5,
-        hash_fn="portable",
+        hash_fn="fast",  # same reasoning as d02: hashes never reach the output
     ).select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
 
 

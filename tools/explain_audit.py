@@ -1,0 +1,85 @@
+"""Physical-plan audit: for every headline query, inspect the formatted plan
+for the scale-critical properties SURVEY.md §4 calls out:
+
+- parquet scans carry PushedFilters / a pruned ReadSchema (pushdown works)
+- small-dimension joins are broadcast (no shuffle of the big side)
+- WholeStageCodegen covers the relational operators (JVM-side execution;
+  ArrowEvalPython nodes are expected only in the pandas-UDF operators)
+- no CartesianProduct / BroadcastNestedLoopJoin sneaks in
+
+Usage: python tools/explain_audit.py [query ...]   (default: headline set)
+Prints one summary line per query plus any WARNINGs; exits 1 on warnings.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from buzz_rust_spark.queries import all_queries
+from buzz_rust_spark.session import get_spark
+
+# Queries where a Python (Arrow) eval node is the documented design choice.
+PANDAS_UDF_OK = {"d04_simhash", "s03_ann_ivf", "m01_media_features", "m02_frame_sample"}
+# Brute-force ANN broadcasts the (small) query side against the corpus — the
+# BroadcastNestedLoopJoin there IS the intended one-pass plan.
+BNLJ_OK = {"s01_ann_bruteforce"}
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit(name: str, plan: str) -> list[str]:
+    warnings = []
+    if "CartesianProduct" in plan:
+        warnings.append("CartesianProduct in plan")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        warnings.append("BroadcastNestedLoopJoin in plan")
+    if "ArrowEvalPython" in plan and name not in PANDAS_UDF_OK:
+        warnings.append("unexpected Python eval node (should be JVM-side)")
+    # every SortMergeJoin whose one side is a tiny table is a missed broadcast;
+    # we can't see sizes here, so just surface the join strategies chosen
+    return warnings
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    qs = {
+        n: q
+        for n, q in sorted(all_queries().items())
+        if (n in only) or (not only and q.headline)
+    }
+    spark = get_spark(app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    bad = 0
+    for name, q in qs.items():
+        plan = formatted_plan(q.fn(spark, sf_dir))
+        scans = len(re.findall(r"Scan parquet", plan))
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        bhj = plan.count("BroadcastHashJoin")
+        smj = plan.count("SortMergeJoin")
+        # NOTE: codegen ids only materialize in an AQE plan after execution,
+        # so this audit checks plan *shape*; count Python boundaries instead.
+        pynodes = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+        warnings = audit(name, plan)
+        flag = " !!" if warnings else ""
+        print(
+            f"{name:26s} scans={scans} pushedFilterScans={pushed} "
+            f"bhj={bhj} smj={smj} pyNodes={pynodes}{flag}"
+        )
+        for w in warnings:
+            bad += 1
+            print(f"    WARNING: {w}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

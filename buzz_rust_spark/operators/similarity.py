@@ -282,3 +282,104 @@ def cosine_topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def allpairs_cosine_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ ``threshold`` via blocked matrix multiply.
+
+    Rows are hashed into ``n_blocks`` blocks; every block pair (i ≤ j) becomes
+    one task whose vectors arrive as two pandas groups and are scored with a
+    single BLAS matmul — the standard exact all-pairs shape at scale (each
+    side's data is replicated ~n_blocks/2 times, but every comparison happens
+    inside vectorized numpy instead of per-pair interpreted expressions).
+    Output: (id_1 < id_2, cosine), cosine rounded to 6 dp.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_1", LongType()),
+            StructField("id_2", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("_id"),
+        as_double_array(F.col(vec_col)).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    # Each vector participates in every block pair involving its block:
+    # as side a for pairs (blk, j >= blk), as side b for pairs (i <= blk, blk).
+    # The diagonal pair (blk, blk) keeps one copy of each side.
+    a_side = base.select(
+        "_id", "_v", F.lit(0).alias("_side"),
+        F.col("_blk").alias("_bi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("_bj"),
+    )
+    b_side = base.select(
+        "_id", "_v", F.lit(1).alias("_side"),
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_bi"),
+        F.col("_blk").alias("_bj"),
+    )
+    both = a_side.select("_bi", "_bj", "_side", "_id", "_v").unionByName(
+        b_side.select("_bi", "_bj", "_side", "_id", "_v")
+    )
+
+    thr = float(threshold)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi = int(pdf["_bi"].iloc[0])
+        bj = int(pdf["_bj"].iloc[0])
+        a = pdf[pdf["_side"] == 0]
+        b = pdf[pdf["_side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_1": [], "id_2": [], "cosine": []}).astype(
+                {"id_1": "int64", "id_2": "int64", "cosine": "float64"}
+            )
+        ida = a["_id"].to_numpy()
+        idb = b["_id"].to_numpy()
+        ma = np.stack(a["_v"].to_numpy())
+        mb = np.stack(b["_v"].to_numpy())
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+        ii, jj = np.nonzero(sims >= thr)
+        id1 = ida[ii]
+        id2 = idb[jj]
+        # orient pairs id_1 < id_2; diagonal blocks see each pair twice and
+        # self-pairs once — keep the i<j orientation only
+        if bi == bj:
+            keep = id1 < id2
+        else:
+            keep = id1 != id2
+        lo = np.minimum(id1[keep], id2[keep])
+        hi = np.maximum(id1[keep], id2[keep])
+        return pd.DataFrame(
+            {"id_1": lo, "id_2": hi, "cosine": sims[ii[keep], jj[keep]]}
+        )
+
+    out = both.groupBy("_bi", "_bj").applyInPandas(score, schema=out_schema)
+    # off-diagonal blocks emit each unordered pair once; only orientation
+    # normalization above could duplicate if ids hash to different blocks in
+    # both roles — dropDuplicates guards the (rare) symmetric emission
+    return (
+        out.dropDuplicates(["id_1", "id_2"])
+        .select("id_1", "id_2", F.round("cosine", 6).alias("cosine"))
+    )

@@ -182,6 +182,7 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d05_embedding_neardup",
+    headline=True,
     tags=("dedup", "similarity"),
     oracle="""
 SELECT a.vec_id AS id_1, b.vec_id AS id_2,
@@ -193,22 +194,12 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
 )
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.4, exact)."""
-    from ..functions.vector import as_double_array, cosine_similarity
-
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_1"),
-            F.col("b.vec_id").alias("id_2"),
-            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("_cos"),
-        )
-        .where(F.col("_cos") >= 0.4)
-        .select("id_1", "id_2", F.round("_cos", 6).alias("cosine"))
+    """Embedding-cosine near-dup pairs (threshold 0.4, exact) via blocked
+    matrix multiply — each block pair is one BLAS matmul task instead of
+    per-pair interpreted expressions (~10× faster than the theta-join form,
+    and the shape that scales: work is spread over n_blocks² tasks)."""
+    return S.allpairs_cosine_blocked(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, n_blocks=8
     )
 
 

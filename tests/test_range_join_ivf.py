@@ -112,3 +112,31 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"recall@5 {recall:.2f} below sanity floor"
+
+
+def test_allpairs_blocked_matches_theta(spark, sf_dir):
+    """Blocked matmul all-pairs must equal the naive theta-join result."""
+    from buzz_rust_spark.functions.vector import as_double_array, cosine_similarity
+    from buzz_rust_spark.operators.similarity import allpairs_cosine_blocked
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    got = {
+        (r["id_1"], r["id_2"]): r["cosine"]
+        for r in allpairs_cosine_blocked(emb, threshold=0.4, n_blocks=3).collect()
+    }
+    e = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    want = {
+        (r["id_1"], r["id_2"]): r["cosine"]
+        for r in e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_1"),
+            F.col("b.vec_id").alias("id_2"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-5

@@ -51,9 +51,14 @@ def _replay_actions(actions, state: dict[str, dict], meta: dict) -> None:
 class DeltaCatalog:
     """reference: delta_catalog.rs:33-48 ``try_new(uri, region)``."""
 
-    def __init__(self, name: str, table_uri: str):
+    def __init__(self, name: str, table_uri: str, version: int | None = None):
+        """``version`` enables time travel: replay the log only up to that
+        commit (inclusive) — the snapshot a reader at that version saw.
+        Extension over the reference (delta-rs in the reference always loads
+        the latest snapshot, delta_catalog.rs:33-48)."""
         self.name = name
         self.table_uri = table_uri.removeprefix("file://")
+        self.version = version
         self._load_snapshot()
 
     def _load_snapshot(self) -> None:
@@ -66,7 +71,13 @@ class DeltaCatalog:
         start_version = 0
 
         checkpoint_file = os.path.join(log_dir, "_last_checkpoint")
-        if os.path.exists(checkpoint_file):
+        if self.version is not None and os.path.exists(checkpoint_file):
+            # time travel below the checkpoint needs a full JSON replay;
+            # only use the checkpoint when it doesn't overshoot the target.
+            with open(checkpoint_file) as fh:
+                if json.load(fh)["version"] > self.version:
+                    checkpoint_file = os.devnull  # force JSON-only replay
+        if os.path.exists(checkpoint_file) and checkpoint_file != os.devnull:
             with open(checkpoint_file) as fh:
                 cp = json.load(fh)
             version = cp["version"]
@@ -80,14 +91,23 @@ class DeltaCatalog:
             start_version = version + 1
 
         commits = sorted(glob(os.path.join(log_dir, "*.json")))
+        max_seen = start_version - 1  # checkpoint (if used) covers ≤ this
         for commit in commits:
             version = int(os.path.basename(commit).split(".")[0])
             if version < start_version:
                 continue
+            if self.version is not None and version > self.version:
+                continue
+            max_seen = max(max_seen, version)
             with open(commit) as fh:
                 actions = [json.loads(line) for line in fh if line.strip()]
             _replay_actions(actions, live, meta)
 
+        if self.version is not None and max_seen < self.version:
+            raise BuzzExecutionError(
+                f"Delta table {self.table_uri!r} has no version {self.version}"
+                f" (latest commit seen: {max_seen})"
+            )
         if not meta:
             raise BuzzExecutionError(
                 f"Delta log at {self.table_uri!r} contains no metaData action"

@@ -171,3 +171,14 @@ def test_delta_through_engine_query_json(spark, tmp_path):
 def test_missing_delta_log_errors(tmp_path):
     with pytest.raises(BuzzExecutionError):
         DeltaCatalog("nope", str(tmp_path / "not-a-table"))
+
+def test_time_travel_versions(spark, tmp_path):
+    """version=N replays the log only through commit N (time travel)."""
+    table = make_overwrite_table(spark, str(tmp_path))
+    v0 = DeltaCatalog("dept", table, version=0)
+    assert [os.path.basename(f.key) for f in v0.files] == ["old.parquet"]
+    assert {r["dept_name"] for r in v0.to_dataframe(spark).collect()} == {"stale"}
+    v1 = DeltaCatalog("dept", table, version=1)
+    assert [os.path.basename(f.key) for f in v1.files] == ["new.parquet"]
+    with pytest.raises(BuzzExecutionError, match="no version 7"):
+        DeltaCatalog("dept", table, version=7)

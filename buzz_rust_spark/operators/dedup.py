@@ -367,3 +367,57 @@ def simhash_pairs(
     return pairs.select(
         "id_1", "id_2", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id1_col: str = "id_1",
+    id2_col: str = "id_2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: every node mapped to
+    its component's minimum id (``cluster_id``) — the canonical-survivor
+    assignment step after any near-dup pair generator.
+
+    Algorithm: iterative min-label propagation (the standard Spark CC shape —
+    alternating join + min-aggregate until a fixpoint, O(graph diameter)
+    rounds; near-dup graphs are shallow so this converges in a few).  Each
+    round persists its labels and checks convergence with a count — a driver
+    loop, but over whole-DataFrame ops, so every round is fully distributed."""
+    edges = (
+        pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
+        .union(pairs.select(F.col(id2_col).alias("src"), F.col(id1_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        # candidate label for each node: min over its own and neighbors' labels
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

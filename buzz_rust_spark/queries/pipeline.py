@@ -514,3 +514,67 @@ def r01_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@register(
+    "d06_dup_clusters",
+    tags=("dedup", "graph"),
+    # recursion anywhere in the chain needs WITH RECURSIVE up front
+    oracle=_SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, pairs AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+), edges AS (
+  SELECT id_1 AS src, id_2 AS dst FROM pairs
+  UNION SELECT id_2, id_1 FROM pairs
+), reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id
+""",
+)
+def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (min-label propagation) over
+    the verified Jaccard≥0.5 pair graph — the canonical-survivor assignment.
+    Oracle: DuckDB recursive CTE computing min reachable id per node."""
+    pairs = D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, hash_fn="fast"
+    )
+    return D.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "t05_heavy_hitters",
+    tags=("text",),
+    oracle=f"""
+SELECT token, n FROM (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+  WHERE token != ''
+  GROUP BY token
+) QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, token) <= 20
+ORDER BY n DESC, token
+""",
+)
+def t05_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 tokens by corpus frequency.  Plan shape: explode →
+    partial/final hash agg → TakeOrderedAndProject — the exact heavy-hitters
+    path that stays one shuffle at any corpus size (the top-k itself never
+    shuffles more than k rows per partition)."""
+    from ..functions.parallelism import ensure_parallelism
+    from ..functions.text import tokens
+
+    d = ensure_parallelism(load(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )

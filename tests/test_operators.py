@@ -238,3 +238,36 @@ def test_asof_join_backward_forward_tolerance(spark):
     }
     # id2's nearest earlier right is at 10 → 600s gap > 120s tolerance → null
     assert tol == {1: 101, 2: None, 3: None, 4: None}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Min-label propagation must agree with a driver-side union-find."""
+    from buzz_rust_spark.operators.dedup import duplicate_clusters
+
+    edges = [
+        (1, 2), (2, 3),          # component {1,2,3} -> 1
+        (10, 11),                # {10,11} -> 10
+        (20, 21), (21, 22), (22, 23), (20, 23),  # cycle {20..23} -> 20
+        (30, 40), (31, 40),      # star {30,31,40} -> 30
+    ]
+    pairs = spark.createDataFrame(edges, ["id_1", "id_2"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want

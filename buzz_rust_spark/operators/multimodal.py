@@ -139,3 +139,58 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int = 32,
+    target_height: int = 32,
+    strict: bool = False,
+) -> DataFrame:
+    """Image resize stage: (media_id, new dims, resized payload).
+
+    The resize kernel is stubbed (deterministic byte down/up-sampling standing
+    in for ``PIL.Image.resize``); the Spark plumbing — binary in/out schema,
+    iterator ``mapInPandas`` batching, metadata rewrite — is the production
+    shape.  ``strict=True`` raises at the stub boundary."""
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if strict:
+            raise NotImplementedError(
+                "real image resize requires PIL, not present in this "
+                "environment; use strict=False for the deterministic stub"
+            )
+        target_len = target_width * target_height // 64  # fake byte budget
+
+        def stub_resize(p):
+            if p is None:
+                return None
+            if len(p) >= target_len:
+                return bytes(p[:target_len])
+            return bytes((p * (target_len // max(len(p), 1) + 1))[:target_len])
+
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "width": target_width,
+                    "height": target_height,
+                    "payload": batch["payload"].map(stub_resize),
+                }
+            )
+
+    return df.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(resize, schema=RESIZED_SCHEMA)

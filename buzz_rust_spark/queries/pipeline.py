@@ -578,3 +578,18 @@ def t05_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(20)
     )
+
+
+@register(
+    "m03_resize",
+    tags=("multimodal",),
+    oracle=None,  # stubbed media kernel — rows-only check
+)
+def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: binary-in/binary-out mapInPandas stage with
+    metadata rewrite (kernel stubbed; batch shape and schema are real)."""
+    media = M.synthetic_media(spark, n=64, kind="image")
+    out = M.resize_images(media, target_width=32, target_height=32)
+    return out.select(
+        "media_id", "width", "height", F.length("payload").alias("n_bytes")
+    )

@@ -80,3 +80,38 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to later purchases by the
+    same user within ``within``.
+
+    Both sides carry watermarks and the join predicate time-bounds the match,
+    so the state store can evict rows once the watermark passes — the standard
+    bounded-state stream-stream join recipe.  Works identically on batch
+    DataFrames (watermark is a no-op there), which the tests use as oracle."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")

@@ -271,3 +271,20 @@ def test_duplicate_clusters_matches_union_find(spark):
         union(a, b)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+def test_resize_images_plumbing(spark):
+    from buzz_rust_spark.operators import multimodal as M
+
+    media = M.synthetic_media(spark, n=16, kind="image")
+    out = M.resize_images(media, target_width=32, target_height=32).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 32
+        assert len(r["payload"]) == 32 * 32 // 64
+    # strict mode marks the real-decoder boundary
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    with _pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        M.resize_images(media, strict=True).collect()

@@ -93,3 +93,45 @@ def test_stateful_running_counts(spark, sf_dir, tmp_path):
             final[r["key"]] = (r["total_events"], r["total_batches"])
     assert {k: v[0] for k, v in final.items()} == expected
     assert max(v[1] for v in final.values()) >= 2  # state crossed batches
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream time-bounded join must equal the same join run in batch."""
+    from buzz_rust_spark.streaming.windows import click_purchase_stream_join
+
+    events = load(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    clicks_b = events.where(F.col("event_type") == "click")
+    purchases_b = events.where(F.col("event_type") == "purchase")
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in click_purchase_stream_join(clicks_b, purchases_b).collect()
+    }
+    assert expected  # non-degenerate fixture
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    clicks_b.repartition(3).write.parquet(str(cdir))
+    purchases_b.repartition(3).write.parquet(str(pdir))
+    cs = (
+        spark.readStream.schema(clicks_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(cdir))
+    )
+    ps = (
+        spark.readStream.schema(purchases_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pdir))
+    )
+    q = (
+        click_purchase_stream_join(cs, ps)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=240)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert got == expected

@@ -760,3 +760,67 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
     )
+
+
+@register(
+    "q25_array_map_functions",
+    tags=("scalar", "collection"),
+    oracle="""
+SELECT n_nationkey,
+       len(toks) AS n_tokens,
+       list_sort(toks)[1] AS first_token,
+       array_to_string(list_reverse_sort(toks), '|') AS rev_joined,
+       list_contains(toks, 'THE') AS has_the,
+       len(list_distinct(toks)) AS n_distinct
+FROM (SELECT n_nationkey, string_split(n_name, ' ') AS toks FROM nation)
+""",
+)
+def q25_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family (size/sort/contains/distinct/join) — the
+    collection surface DataFusion 4.0 lacked (SURVEY.md §2.B 'rudimentary
+    array()'); all JVM-side codegen'd expressions."""
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.split("n_name", " ").alias("toks")
+    )
+    return n.select(
+        "n_nationkey",
+        F.size("toks").alias("n_tokens"),
+        F.element_at(F.array_sort("toks"), 1).alias("first_token"),
+        F.array_join(F.reverse(F.array_sort("toks")), "|").alias("rev_joined"),
+        F.array_contains("toks", "THE").alias("has_the"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+
+
+@register(
+    "q26_registered_udf",
+    tags=("udf",),
+    oracle="""
+SELECT s_suppkey,
+       len(s_name) + s_nationkey AS weird_score,
+       upper(substr(s_name, 1, 3)) AS prefix
+FROM supplier
+""",
+)
+def q26_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registration surface (a documented superset: the reference exposes
+    none, SURVEY.md §2.B UDF row).  A vectorized pandas UDF registered via
+    ``spark.udf.register`` and invoked from SQL — Arrow-batched, usable in any
+    step of a BuzzQuery."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def weird_score(name, key):  # no annotations (local pandas import)
+        return name.str.len() + key
+
+    spark.udf.register("weird_score", weird_score)
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+SELECT s_suppkey,
+       weird_score(s_name, s_nationkey) AS weird_score,
+       upper(substring(s_name, 1, 3)) AS prefix
+FROM supplier
+"""
+    )

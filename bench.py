@@ -27,13 +27,23 @@ def main() -> None:
     spark = get_spark(app_name="buzz-rust-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM / file listing so per-query numbers measure the query, not
-    # session startup (the reference's warm-container behavior, README.md:122).
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-
     queries = {
         name: q for name, q in sorted(all_queries().items()) if q.headline
     }
+
+    # Warm the JVM (codegen/JIT), Python workers, and file listing by running
+    # every headline query once at the smallest scale factor — per-query
+    # numbers then measure steady-state throughput, the reference's
+    # warm-container comparison point (README.md:122; BASELINE.md methodology).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name, q in queries.items():
+        try:
+            q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort; the measured run surfaces real errors
+
     timings: dict[str, float] = {}
     for name, q in queries.items():
         t0 = time.perf_counter()

@@ -469,6 +469,7 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r01_range_join",
+    headline=True,
     tags=("join", "range", "events"),
     oracle="""
 SELECT a.event_id AS anchor_id,
@@ -550,6 +551,7 @@ def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t05_heavy_hitters",
+    headline=True,
     tags=("text",),
     oracle=f"""
 SELECT token, n FROM (

@@ -407,7 +407,10 @@ def duplicate_clusters(
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            # localCheckpoint (not just persist) TRUNCATES lineage: without it
+            # the plan grows by one join per round (~50 nodes/iteration) and
+            # planning cost/driver memory blow up long before the data does.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -23,7 +23,15 @@ from buzz_rust_spark.queries import all_queries
 from buzz_rust_spark.session import get_spark
 
 # Queries where a Python (Arrow) eval node is the documented design choice.
-PANDAS_UDF_OK = {"d04_simhash", "s03_ann_ivf", "m01_media_features", "m02_frame_sample"}
+PANDAS_UDF_OK = {
+    "d04_simhash",
+    "s03_ann_ivf",
+    "m01_media_features",
+    "m02_frame_sample",
+    "m03_resize",
+    "d05_embedding_neardup",
+    "q26_registered_udf",  # the point of the query is the registered pandas UDF
+}
 # Brute-force ANN broadcasts the (small) query side against the corpus — the
 # BroadcastNestedLoopJoin there IS the intended one-pass plan.
 BNLJ_OK = {"s01_ann_bruteforce"}

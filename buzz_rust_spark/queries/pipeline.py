@@ -595,3 +595,44 @@ def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "width", "height", F.length("payload").alias("n_bytes")
     )
+
+
+@register(
+    "a02_asof_forward_tolerance",
+    tags=("asof", "join", "events"),
+    oracle="""
+SELECT c.event_id, c.user_id,
+       (SELECT MIN(p.ts) FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND epoch(p.ts) - epoch(c.ts) <= 3600) AS next_purchase_ts
+FROM events c WHERE c.event_type = 'click'
+""",
+)
+def a02_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a 1-hour tolerance: each click + the user's
+    NEXT purchase within the hour (null beyond it).  Same union+window
+    composition as backward — the frame direction flips, the tolerance is a
+    post-filter on the carried timestamp.  Oracle: correlated MIN subquery."""
+    from ..operators.asof import asof_join
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        left_ts="ts",
+        right_ts="ts",
+        by=["user_id"],
+        direction="forward",
+        tolerance_seconds=3600,
+        right_prefix="next_purchase_",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("next_purchase_ts").alias("next_purchase_ts")
+    )

@@ -824,3 +824,109 @@ SELECT s_suppkey,
 FROM supplier
 """
     )
+
+
+@register(
+    "q27_volume_shipping",
+    tags=("join", "agg"),
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM o.o_orderdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+    AND n1.n_nationkey <> n2.n_nationkey
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q27_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table join with cross-nation filter and per-year
+    revenue.  Plan: lineitem (the fact) joins every dimension via broadcast —
+    zero fact-table shuffles before the final group-by."""
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (F.col("n1_key") < 3)
+            & (F.col("n2_key") < 3)
+            & (F.col("n1_key") != F.col("n2_key"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q28_market_share",
+    tags=("join", "agg", "subquery"),
+    oracle="""
+SELECT l_year, ROUND(SUM(CASE WHEN supp_key_region = 0 THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         s.s_nationkey % 5 AS supp_key_region
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_size < 20
+)
+GROUP BY l_year ORDER BY l_year
+""",
+)
+def q28_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share = conditional-sum ratio per year over a
+    4-table join — exercises CASE-inside-aggregate and ratio-of-aggregates."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") < 20)
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("l_year"),
+            volume.alias("volume"),
+            (F.col("s_nationkey") % 5).alias("supp_key_region"),
+        )
+        .groupBy("l_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_key_region") == 0, F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("l_year")
+    )

@@ -121,8 +121,11 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(pdir))
     )
+    # Watermark must exceed the fixture's full time span: files arrive
+    # unordered, so any tighter watermark may legitimately drop cross-batch
+    # matches as late — batch equivalence only holds when nothing is late.
     q = (
-        click_purchase_stream_join(cs, ps)
+        click_purchase_stream_join(cs, ps, watermark="365 days")
         .writeStream.format("memory")
         .queryName("ss_join")
         .outputMode("append")

@@ -79,3 +79,31 @@ def catalog_from_written(
         files=scan_manifest(path, partition_cols),
         partition_cols=partition_cols or [],
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (hash-partitioned into ``num_buckets`` files per
+    write task's output, registered in the session catalog).
+
+    This is the co-located-join primitive: two tables bucketed on the same key
+    with the same bucket count join WITHOUT a shuffle (each task reads the
+    matching bucket pair) — at 100 TB the single biggest join saving available,
+    paid once at write time.  ``sort_cols`` additionally pre-sorts each bucket,
+    letting sort-merge joins skip the sort too."""
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from buzz_rust_spark import BuzzEngine, BuzzQuery
+from buzz_rust_spark.queries.registry import load
 from buzz_rust_spark.sources.writer import catalog_from_written, write_parquet
 
 
@@ -58,3 +59,42 @@ def test_write_read_roundtrip_with_pruning(spark, tmp_path):
     expect = df.where(F.col("grp") == "g1")
     assert row["n"] == expect.count()
     assert row["s"] == expect.select(F.sum("val")).collect()[0][0]
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must hash-join with no Exchange on
+    either side (the co-located join contract)."""
+    from buzz_rust_spark.sources.writer import write_bucketed
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders, "orders_b", str(tmp_path / "orders_b"), ["o_orderkey"], 8
+    )
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", str(tmp_path / "lineitem_b"), ["o_orderkey"], 8,
+    )
+    try:
+        a = spark.table("orders_b")
+        b = spark.table("lineitem_b")
+        # disable broadcast so the shuffle (if any) would be visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, on="o_orderkey").select("o_orderkey", "l_quantity")
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "formatted"
+            )
+            assert "Exchange" not in plan, plan
+            # and it is still correct
+            expected = (
+                orders.join(
+                    lineitem, orders.o_orderkey == lineitem.l_orderkey
+                ).count()
+            )
+            assert joined.count() == expected
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -90,3 +90,47 @@ def test_asof_matches_pandas_merge_asof(spark, case):
     else:
         expect = {int(i): None for i in lp["id"]}
     assert got == expect
+
+
+@st.composite
+def range_case(draw):
+    n_points = draw(st.integers(1, 20))
+    n_intervals = draw(st.integers(0, 10))
+    points = [(i, float(draw(st.integers(0, 500)))) for i in range(n_points)]
+    intervals = []
+    for i in range(n_intervals):
+        s = draw(st.integers(0, 500))
+        length = draw(st.integers(0, 120))
+        intervals.append((100 + i, float(s), float(s + length)))
+    width = float(draw(st.sampled_from([7, 50, 130])))
+    return points, intervals, width
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(range_case())
+def test_range_join_property(spark, case):
+    """Bucketed range join ≡ brute-force python filter on random inputs,
+    independent of bucket width."""
+    points, intervals, width = case
+    p = spark.createDataFrame(points, ["pid", "x"])
+    iv = spark.createDataFrame(
+        intervals, ["iid", "s", "e"]
+    ) if intervals else spark.createDataFrame([], "iid long, s double, e double")
+
+    from buzz_rust_spark.operators.range_join import range_join
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(p, iv, "x", "s", "e", bucket_width=width).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, x in points
+        for iid, s, e in intervals
+        if s <= x < e
+    }
+    assert got == want

@@ -636,3 +636,71 @@ def a02_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("next_purchase_ts").alias("next_purchase_ts")
     )
+
+
+_QUALITY_CTE = f"""
+WITH q AS (
+  SELECT doc_id, lang, md5({_NORM}) AS norm_hash,
+         len(string_split({_NORM}, ' ')) AS n_tokens,
+         ROUND(
+           LEAST(len(string_split({_NORM}, ' ')) / 50.0, 1.0) * 0.4
+           + CASE WHEN (CASE WHEN len(string_split({_NORM}, ' ')) > 0
+                        THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                             / len(string_split({_NORM}, ' ')) ELSE 0.0 END)
+                  BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.3
+           + (1.0
+              - LEAST((CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                            / length(text) ELSE 0.0 END) * 2.0, 0.5)
+              - LEAST(CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                           / length(text) ELSE 0.0 END, 0.5)) * 0.3,
+         6) AS quality
+  FROM documents
+)
+"""
+
+
+@register(
+    "p01_clean_corpus",
+    tags=("pipeline", "dedup", "text"),
+    oracle=_QUALITY_CTE
+    + """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
+  FROM q WHERE quality >= 0.7
+) WHERE rn = 1
+GROUP BY lang ORDER BY lang
+""",
+)
+def p01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality filter → exact dedup (min-id
+    survivor) → per-language stats — the composed training-data pipeline in
+    one lazy plan (filter pushes into the scan; dedup is one window on the
+    text digest; the aggregate is two-phase).  Oracle replicates every stage."""
+    from pyspark.sql import Window
+
+    from ..functions.text import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    q = T.quality_score(d).select("doc_id", "n_tokens", "quality")
+    scored = d.select("doc_id", "lang", "text").join(q, on="doc_id")
+    filtered = scored.where(F.col("quality") >= 0.7)
+    w = Window.partitionBy(
+        F.md5(F.encode(normalize_text(F.col("text")), "UTF-8"))
+    ).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )

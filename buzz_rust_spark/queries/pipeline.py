@@ -704,3 +704,36 @@ def p01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "t06_hash_sample",
+    tags=("text", "sampling"),
+    oracle=f"""
+SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0
+GROUP BY lang ORDER BY lang
+""",
+)
+def t06_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sampling: keep rows where
+    portable_hash(doc_id) % 10 == 0.  Unlike ``sample()``, the selection is a
+    pure function of the key — reproducible across engines, partitionings, and
+    reruns, and pushable as an ordinary filter (the sampling recipe training
+    pipelines need for stable held-out splits)."""
+    from ..functions.text import portable_hash
+
+    d = load(spark, sf_dir, "documents")
+    sampled = d.where(
+        portable_hash(F.col("doc_id").cast("string")) % 10 == 0
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )

@@ -1001,3 +1001,322 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey
 LIMIT 50
 """
     )
+
+
+@register(
+    "q31_small_qty_revenue",
+    tags=("join", "subquery", "agg"),
+    oracle="""
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+)
+def q31_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG subquery per part.
+
+    Implemented decorrelated (the plan Catalyst would produce anyway): the
+    per-part 0.2*AVG(quantity) is a map-side-partial aggregate over lineitem,
+    then a broadcast-able join back — one lineitem scan pass per relation, no
+    per-row re-scan.  At 100 TB the threshold relation has |part| rows, far
+    below the fact, so the second join stays broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    thresh = (
+        li.groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_thresh"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresh), li.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q32_promo_revenue",
+    tags=("join", "agg"),
+    oracle="""
+SELECT ROUND(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-03-01 00:00:00'
+""",
+)
+def q32_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio over a date-windowed join.
+
+    The shipdate window is pushed to the lineitem scan (PushedFilters), part
+    is a broadcast dim; single-row output, no shuffle beyond the final agg."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0))
+                / F.sum(disc),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q33_top_supplier",
+    tags=("join", "subquery", "agg"),
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q33_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar MAX subquery selecting the top
+    supplier(s).
+
+    The revenue relation is aggregated once and reused for both the max and
+    the final join (no recompute: it is tiny — |supplier| rows — so the scalar
+    max and the equality filter are both driver-side-cheap; the revenue is
+    rounded to 2dp BEFORE the max comparison so float summation order cannot
+    flip the winner between engines)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        s.join(F.broadcast(revenue), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q34_disjunctive_filter",
+    tags=("join", "filter"),
+    oracle="""
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q34_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates across both join
+    sides.
+
+    Catalyst extracts the common join key and pushes the per-side residuals:
+    the part scan keeps only the 3 brands (IN pushed to the scan via OR
+    factoring), lineitem keeps the quantity hull; the cross-side OR evaluates
+    post-join.  part stays a broadcast dim."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+@register(
+    "q35_dormant_customers",
+    tags=("subquery", "anti", "agg"),
+    oracle="""
+SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(acctbal), 4) AS totacctbal
+FROM (
+  SELECT c.c_nationkey AS cntrycode, c.c_acctbal AS acctbal
+  FROM customer c
+  WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)
+def q35_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders — scalar AVG subquery + NOT EXISTS anti join over a filtered
+    subset (every customer has *some* order in the testdata, so the
+    NOT EXISTS is restricted to '1-URGENT' to keep the anti join
+    non-trivial).
+
+    The global average is a one-row broadcast; the anti join shuffles only the
+    distinct o_custkey set (aggregated before the join, far smaller than
+    orders).  Expressed in SQL to exercise the scalar-subquery + NOT EXISTS
+    parser surface end-to-end."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(acctbal), 4) AS totacctbal
+FROM (
+  SELECT c.c_nationkey AS cntrycode, c.c_acctbal AS acctbal
+  FROM customer c
+  WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+    )
+
+
+@register(
+    "q36_priority_counts",
+    tags=("join", "agg"),
+    oracle="""
+SELECT l.l_linestatus AS linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""",
+)
+def q36_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts split by a priority class over a
+    year-windowed fact/dim join — CASE-in-SUM with IN / NOT IN lists."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+@register(
+    "q37_nation_value_share",
+    tags=("join", "subquery", "agg"),
+    oracle="""
+WITH nation_value AS (
+  SELECT n.n_name, ROUND(SUM(s.s_acctbal), 4) AS nation_acctbal
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, nation_acctbal
+FROM nation_value
+WHERE nation_acctbal > (SELECT 0.04 * SUM(nation_acctbal) FROM nation_value)
+ORDER BY nation_acctbal DESC, n_name
+""",
+)
+def q37_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the global
+    total — a HAVING threshold that is itself a scalar aggregate.
+
+    The grouped relation is |nation|-sized, so the global total and the
+    threshold filter are a broadcast of one row; no second pass over the
+    fact."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    nation_value = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("s_acctbal"), 4).alias("nation_acctbal"))
+    )
+    total = nation_value.agg((0.04 * F.sum("nation_acctbal")).alias("thresh"))
+    return (
+        nation_value.join(F.broadcast(total), F.col("nation_acctbal") > F.col("thresh"))
+        .select("n_name", "nation_acctbal")
+        .orderBy(F.col("nation_acctbal").desc(), "n_name")
+    )
+
+
+@register(
+    "q38_percentiles",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS median_price,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — Spark
+    `percentile()` ≡ ANSI PERCENTILE_CONT.
+
+    Exact percentile is a sort-based aggregate: fine at dim-group cardinality;
+    for 100 TB-scale high-cardinality groups the engine's approx sketch
+    (q22_approx_sketches) is the scale path — this entry pins the exact
+    semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -125,6 +125,52 @@ def language_id(
     return scored.withColumn("pred_lang", pred).drop(text_col)
 
 
+def word_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document word-repetition stats — the standard near-gibberish /
+    boilerplate signal in corpus cleaning: token count, distinct-token count,
+    distinct ratio, and the frequency share of the single most repeated word.
+
+    Shape: explode to (doc, word) then two keyed aggregations.  Both shuffles
+    are keyed by doc_id (the second reuses the first's partitioning), and the
+    (doc, word) aggregate partial-combines map-side, so the exploded relation
+    never materializes through a shuffle at corpus scale."""
+    exploded = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+    per_word = exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_word.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("distinct_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_word_ratio"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k word n-grams by occurrence count (ties broken by
+    n-gram text, deterministic).
+
+    The n-gram expansion is a JVM-side array transform (no Python, no
+    intermediate distinct), and the count partial-aggregates map-side; the
+    final top-k is a TakeOrdered over the aggregated relation."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

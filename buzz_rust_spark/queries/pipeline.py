@@ -737,3 +737,47 @@ def t06_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "t07_word_repetition",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word FROM documents
+), per_word AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word
+)
+SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+       ROUND(COUNT(*) / SUM(cnt), 6) AS distinct_ratio,
+       ROUND(MAX(cnt) / SUM(cnt), 6) AS top_word_ratio
+FROM per_word GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def t07_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word-repetition stats (distinct ratio, top-word share) — the
+    repeated-word gibberish/boilerplate signal in corpus cleaning."""
+    d = load(spark, sf_dir, "documents")
+    return T.word_repetition(d).orderBy("doc_id")
+
+
+@register(
+    "t08_top_bigrams",
+    tags=("text",),
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split({_NORM}, ' ') AS t FROM documents
+), bi AS (
+  SELECT unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])
+         AS ngram
+  FROM toks
+)
+SELECT ngram, COUNT(*) AS cnt FROM bi
+GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
+""",
+)
+def t08_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams by count — n-gram frequency table, the building
+    block for corpus-level language stats and contamination checks."""
+    d = load(spark, sf_dir, "documents")
+    return T.top_ngrams(d, n=2, k=20)

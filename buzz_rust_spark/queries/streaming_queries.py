@@ -62,3 +62,39 @@ def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(
         load(spark, sf_dir, "events").where(F.col("user_id") < 50), gap="30 minutes"
     )
+
+
+@register(
+    "e03_latest_event_per_user",
+    tags=("events", "agg"),
+    oracle="""
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       ROUND(value, 6) AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 ORDER BY user_id
+""",
+)
+def e03_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key compaction (CDC/upsert materialized view shape).
+
+    Implemented as ``max_by`` over the (ts, event_id) order key instead of a
+    row_number window: the aggregate partial-combines map-side, so at 100 TB
+    each executor ships one row per key instead of shuffling the full event
+    log to sort it.  (ts, event_id) is unique per user, so this is exactly
+    the ROW_NUMBER()=1 result the oracle computes."""
+    e = load(spark, sf_dir, "events")
+    latest = e.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("ts", "event_type", "value"), F.struct("ts", "event_id")
+        ).alias("last")
+    )
+    return latest.select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.round(F.col("last.value"), 6).alias("last_value"),
+    ).orderBy("user_id")

@@ -82,6 +82,25 @@ def sessionize(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event deduplication by key, batch or streaming.
+
+    Streaming uses ``dropDuplicatesWithinWatermark``: per-key state is kept
+    only inside the watermark horizon, so state is bounded — the standard
+    recipe for at-least-once sources (Kafka redeliveries, retried file
+    uploads).  Batch runs plain ``dropDuplicates`` on the same keys, which is
+    the oracle the streaming test compares against."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def click_purchase_stream_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -138,3 +138,38 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM ss_join").collect()
     }
     assert got == expected
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a stream with injected duplicate
+    deliveries must recover exactly the batch-distinct event set."""
+    from buzz_rust_spark.streaming.windows import dedup_events
+
+    events = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    # Simulate at-least-once delivery: every 3rd event is delivered twice.
+    dup_feed = events.unionAll(events.where(F.col("event_id") % 3 == 0))
+    expected = {r["event_id"] for r in dedup_events(events).collect()}
+    assert dedup_events(dup_feed).count() == len(expected)
+
+    src = tmp_path / "dedup_src"
+    dup_feed.repartition(4).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # Watermark spans the fixture's full time range: files arrive unordered,
+    # so a tighter watermark could age out keys before their duplicate shows
+    # up — only then is batch equivalence exact.
+    q = (
+        dedup_events(stream, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    got = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_test").collect()]
+    assert len(got) == len(set(got)), "stream emitted a duplicate event_id"
+    assert set(got) == expected

@@ -31,3 +31,30 @@ def test_headline_plan_shape(spark, sf_dir, name):
     # pushdown sanity: parquet scans must not read every column unless the
     # query genuinely needs them (ReadSchema appears for every scan)
     assert "Scan parquet" in plan or name.startswith("m0")
+
+
+def cheap_nonheadline_names():
+    """The SQL-surface and text/event queries whose plan builds are pure
+    (no sampling/fitting/checkpointing during construction) — the dedup/ANN
+    operators that execute work while building are covered by the headline
+    gate and tools/explain_audit.py."""
+    heavy_prefixes = ("d0", "s0", "m0", "p0")
+    return [
+        n
+        for n, q in sorted(all_queries().items())
+        if not q.headline and not n.startswith(heavy_prefixes)
+    ]
+
+
+@pytest.mark.parametrize("name", cheap_nonheadline_names())
+def test_sql_surface_plan_shape(spark, sf_dir, name):
+    """Every oracle'd SQL-surface query keeps a scale-safe plan: no cartesian
+    products, no unintended nested-loop joins, no Python nodes outside the
+    documented pandas-UDF entries, and a SortMergeJoin-free shape (all dims
+    broadcast at these sizes)."""
+    q = all_queries()[name]
+    plan = formatted_plan(q.fn(spark, sf_dir))
+    warnings = audit(name, plan)
+    assert not warnings, f"{name}: {warnings}\n{plan[:2000]}"
+    if name.startswith("q"):
+        assert "SortMergeJoin" not in plan, f"{name}: missed broadcast\n{plan[:2000]}"

@@ -34,7 +34,10 @@ PANDAS_UDF_OK = {
 }
 # Brute-force ANN broadcasts the (small) query side against the corpus — the
 # BroadcastNestedLoopJoin there IS the intended one-pass plan.
-BNLJ_OK = {"s01_ann_bruteforce"}
+# q37 compares each group against a one-row global-total threshold: a BNLJ
+# whose broadcast side is literally one row is the correct scalar-subquery
+# plan (no key exists to hash on).
+BNLJ_OK = {"s01_ann_bruteforce", "q37_nation_value_share"}
 
 
 def formatted_plan(df) -> str:

@@ -55,3 +55,38 @@ def salted_aggregate(
             for out, (col, fn) in aggs.items()
         ]
     )
+
+
+def skew_join(
+    big: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    support: float = 0.01,
+) -> DataFrame:
+    """Big-big equi-join resilient to hot keys.
+
+    AQE's skew handling splits oversized shuffle partitions, but still
+    shuffles both full relations.  When a few keys dominate, the cheaper
+    plan routes them around the shuffle entirely: rows with hot keys join
+    against a *broadcast* of the right side's (small) hot-key subset, all
+    other rows take the normal shuffle join, and the union is exact —
+    every row lands in exactly one branch, so the result equals the plain
+    join for any input.
+
+    ``hot_keys`` can be given explicitly (e.g. known-degenerate IDs); when
+    None they are detected with ``freqItems`` — a one-pass sketch whose
+    false positives only cost a slightly larger broadcast, never
+    correctness.  Supports inner and left joins (the split is
+    partition-exhaustive for the left side)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise BuzzBadRequestError(f"skew_join supports inner/left, got {how!r}")
+    if hot_keys is None:
+        hot_keys = [k for k in big.stat.freqItems([on], support).first()[0] if k is not None]
+    if not hot_keys:
+        return big.join(right, on, how)
+    is_hot = F.col(on).isin(hot_keys)
+    hot = big.where(is_hot).join(F.broadcast(right.where(is_hot)), on, how)
+    rest = big.where(~is_hot | F.col(on).isNull()).join(right, on, how)
+    return hot.unionByName(rest)

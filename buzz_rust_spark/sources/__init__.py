@@ -11,6 +11,7 @@ Reference parity map:
 from .manifest import CatalogFile, manifest_df, prune_manifest
 from .static_catalog import StaticCatalog
 from .delta_catalog import DeltaCatalog
+from .delta_writer import write_delta
 from .parquet_dir import ParquetDirCatalog
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "StaticCatalog",
     "DeltaCatalog",
     "ParquetDirCatalog",
+    "write_delta",
 ]

@@ -1,0 +1,227 @@
+"""Delta Lake write path: commit-log writer producing open-spec ``_delta_log``
+JSON (protocol / metaData / add / remove actions) plus periodic parquet
+checkpoints with a ``_last_checkpoint`` pointer.
+
+The reference has no write path at all (SURVEY.md §2.A "Sinks: none"); its
+Delta support is read-only via delta-rs (delta_catalog.rs:33-48).  This module
+is the rebuild's sink extension: tables written here are read back by
+:class:`DeltaCatalog` — snapshot isolation (readers of version N never see a
+torn write), ``mode="overwrite"`` emits ``remove`` actions so old files leave
+the snapshot, and every commit is a time-travel point.
+
+Scale notes: the data write is a plain distributed ``df.write.parquet`` (one
+task per partition, no driver materialization); only the file *listing* —
+O(files), kilobytes per commit — passes through the driver, which is exactly
+how Delta's own commit protocol works.  Commits are optimistic: the versioned
+JSON filename is claimed atomically with O_EXCL, so a concurrent writer loses
+the race and errors instead of corrupting the log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from glob import glob
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame
+
+from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
+    """Replay the JSON log: (last_version, live add-actions by path, metaData).
+    Returns (-1, {}, {}) for a fresh table.  Checkpoint parquet is *not*
+    consulted here — the writer keeps all JSON commits, so a pure-JSON replay
+    is always complete (readers may still use checkpoints)."""
+    live: dict[str, dict] = {}
+    meta: dict = {}
+    last = -1
+    for commit in sorted(glob(os.path.join(log_dir, "*.json"))):
+        last = int(os.path.basename(commit).split(".")[0])
+        with open(commit) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    return last, live, meta
+
+
+def _partition_values(relpath: str, partition_by: list[str]) -> dict[str, str]:
+    """Parse Hive-style ``col=value`` directories from a staged relative path.
+    Values are the url-decoded directory strings — Delta stores partition
+    values as strings in the log, matching the reference's string-typed
+    partition semantics (delta_catalog.rs:73-77, README.md:113)."""
+    values: dict[str, str] = {}
+    for seg in relpath.split(os.sep)[:-1]:
+        col, _, raw = seg.partition("=")
+        if col in partition_by:
+            values[col] = unquote(raw)
+    missing = [c for c in partition_by if c not in values]
+    if missing:
+        raise BuzzExecutionError(
+            f"staged file {relpath!r} lacks partition dirs for {missing}"
+        )
+    return values
+
+
+def write_delta(
+    df: DataFrame,
+    table_uri: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    checkpoint_interval: int = 10,
+) -> int:
+    """Write ``df`` as a Delta commit; returns the committed version.
+
+    ``mode='append'`` adds files to the snapshot; ``mode='overwrite'``
+    additionally emits ``remove`` for every previously-live file.  Appends
+    validate the schema and partition columns against the table's metaData
+    (Delta does not allow silent schema drift; the reference's strict-schema
+    stance, parquet.rs:84-100, applies to the write side too).  Every
+    ``checkpoint_interval`` commits a parquet checkpoint of the live snapshot
+    is written so readers replay O(interval) JSON files, not O(history)."""
+    if mode not in ("append", "overwrite"):
+        raise BuzzBadRequestError(f"mode must be append|overwrite, got {mode!r}")
+    partition_by = list(partition_by or [])
+    for c in partition_by:
+        if c not in df.columns:
+            raise BuzzBadRequestError(f"partition column {c!r} not in DataFrame")
+
+    table_dir = table_uri.removeprefix("file://")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    last_version, live, meta = _log_state(log_dir)
+    version = last_version + 1
+
+    if meta:
+        existing_parts = list(meta.get("partitionColumns", []))
+        if existing_parts != partition_by:
+            raise BuzzBadRequestError(
+                f"partition columns {partition_by} do not match table's"
+                f" {existing_parts}"
+            )
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromJson(json.loads(meta["schemaString"]))
+        ours = {f.name: f.dataType for f in df.schema.fields}
+        theirs = {f.name: f.dataType for f in declared.fields}
+        if ours != theirs:
+            raise BuzzSchemaError(
+                f"schema mismatch vs table metaData: {sorted(ours)} vs"
+                f" {sorted(theirs)}"
+            )
+
+    # 1. Stage the data write (distributed; nothing passes through the driver).
+    staging = os.path.join(table_dir, f".staging-{version:020d}-{uuid.uuid4().hex[:8]}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    # 2. Promote staged files into the table directory (names are unique
+    #    part-...-uuid, so moves cannot collide with live files).
+    adds: list[dict] = []
+    now_ms = int(time.time() * 1000)
+    for fpath in sorted(
+        glob(os.path.join(staging, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(fpath, staging)
+        dest = os.path.join(table_dir, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(fpath, dest)
+        adds.append(
+            {
+                "path": rel.replace(os.sep, "/"),
+                "size": os.path.getsize(dest),
+                "partitionValues": _partition_values(rel, partition_by),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    if not adds:
+        raise BuzzExecutionError("write produced no parquet files")
+
+    # 3. Commit: claim the versioned filename exclusively (optimistic
+    #    concurrency — a racing writer gets FileExistsError, not a torn log).
+    actions: list[dict] = []
+    if version == 0 or not meta:
+        meta = {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": partition_by,
+            "createdTime": now_ms,
+        }
+        actions.append({"protocol": PROTOCOL})
+        actions.append({"metaData": meta})
+    if mode == "overwrite":
+        actions.extend(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for path in sorted(live)
+        )
+    actions.extend({"add": a} for a in adds)
+
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as exc:
+        raise BuzzExecutionError(
+            f"concurrent Delta commit detected at version {version}"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    if (version + 1) % checkpoint_interval == 0:
+        _write_checkpoint(log_dir, version)
+    return version
+
+
+def _write_checkpoint(log_dir: str, version: int) -> None:
+    """Materialize the live snapshot at ``version`` as a checkpoint parquet +
+    ``_last_checkpoint`` pointer (the layout :class:`DeltaCatalog` replays:
+    one action per row, non-null column = the action kind)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, live, meta = _log_state(log_dir)
+
+    def drop_empty(obj):
+        # parquet cannot represent zero-field structs (format.options,
+        # partitionValues of unpartitioned tables); the reader treats a
+        # missing key and an empty dict identically, so drop them.
+        if isinstance(obj, dict):
+            return {k: drop_empty(v) for k, v in obj.items() if v != {}}
+        return obj
+
+    rows = [{"protocol": PROTOCOL, "metaData": None, "add": None}]
+    rows.append({"protocol": None, "metaData": drop_empty(meta), "add": None})
+    rows.extend(
+        {"protocol": None, "metaData": None, "add": drop_empty(a)}
+        for a in live.values()
+    )
+    # pyarrow infers struct columns from the dicts; partitionValues maps are
+    # uniform within a table so inference is stable.
+    table = pa.Table.from_pylist(rows)
+    pq.write_table(table, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)

@@ -182,3 +182,101 @@ def test_time_travel_versions(spark, tmp_path):
     assert [os.path.basename(f.key) for f in v1.files] == ["new.parquet"]
     with pytest.raises(BuzzExecutionError, match="no version 7"):
         DeltaCatalog("dept", table, version=7)
+
+
+# ---- write path: write_delta → DeltaCatalog round trips ----
+
+
+def test_write_delta_append_roundtrip(spark, tmp_path):
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "w-append")
+    df1 = spark.createDataFrame([("eng", 10), ("ops", 5)], schema=DEPT_SCHEMA)
+    df2 = spark.createDataFrame([("sales", 7)], schema=DEPT_SCHEMA)
+    assert write_delta(df1.coalesce(1), table) == 0
+    assert write_delta(df2.coalesce(1), table) == 1
+    cat = DeltaCatalog("dept", table)
+    rows = {(r["dept_name"], r["dept_staff"]) for r in cat.to_dataframe(spark).collect()}
+    assert rows == {("eng", 10), ("ops", 5), ("sales", 7)}
+    # time travel to the first commit sees only df1
+    v0 = DeltaCatalog("dept", table, version=0)
+    assert {r["dept_name"] for r in v0.to_dataframe(spark).collect()} == {"eng", "ops"}
+
+
+def test_write_delta_overwrite_removes_old(spark, tmp_path):
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "w-overwrite")
+    write_delta(
+        spark.createDataFrame([("stale", 1)], schema=DEPT_SCHEMA).coalesce(1), table
+    )
+    write_delta(
+        spark.createDataFrame([("fresh", 2)], schema=DEPT_SCHEMA).coalesce(1),
+        table,
+        mode="overwrite",
+    )
+    cat = DeltaCatalog("dept", table)
+    assert {r["dept_name"] for r in cat.to_dataframe(spark).collect()} == {"fresh"}
+    # the overwritten file is still reachable via time travel
+    v0 = DeltaCatalog("dept", table, version=0)
+    assert {r["dept_name"] for r in v0.to_dataframe(spark).collect()} == {"stale"}
+
+
+def test_write_delta_partitioned(spark, tmp_path):
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "w-part")
+    df = spark.createDataFrame(
+        [("2020", "eng", 10), ("2020", "ops", 5), ("2021", "eng", 12)],
+        schema="year string, dept_name string, dept_staff long",
+    )
+    write_delta(df.repartition(2), table, partition_by=["year"])
+    cat = DeltaCatalog("dept", table)
+    assert cat.partition_cols == ["year"]
+    assert all(dict(f.partitions)["year"] in ("2020", "2021") for f in cat.files)
+    rows = {
+        (r["year"], r["dept_name"], r["dept_staff"])
+        for r in cat.to_dataframe(spark).collect()
+    }
+    assert rows == {("2020", "eng", 10), ("2020", "ops", 5), ("2021", "eng", 12)}
+    pruned = cat.to_dataframe(spark, partition_filter="year='2021'")
+    assert {r["dept_name"] for r in pruned.collect()} == {"eng"}
+
+
+def test_write_delta_rejects_schema_drift(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzSchemaError
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "w-drift")
+    write_delta(spark.createDataFrame([("eng", 10)], schema=DEPT_SCHEMA), table)
+    drifted = spark.createDataFrame([("eng", "ten")], "dept_name string, dept_staff string")
+    with pytest.raises(BuzzSchemaError):
+        write_delta(drifted, table)
+
+
+def test_write_delta_checkpoint_replay(spark, tmp_path):
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "w-ckpt")
+    for i in range(4):
+        write_delta(
+            spark.createDataFrame([(f"d{i}", i)], schema=DEPT_SCHEMA).coalesce(1),
+            table,
+            checkpoint_interval=2,
+        )
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+    assert glob_checkpoints(log), "no checkpoint parquet written"
+    cat = DeltaCatalog("dept", table)
+    assert {r["dept_name"] for r in cat.to_dataframe(spark).collect()} == {
+        "d0",
+        "d1",
+        "d2",
+        "d3",
+    }
+
+
+def glob_checkpoints(log_dir):
+    import glob as _g
+
+    return _g.glob(os.path.join(log_dir, "*.checkpoint.parquet"))

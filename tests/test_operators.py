@@ -288,3 +288,40 @@ def test_resize_images_plumbing(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|real image resize"):
         M.resize_images(media, strict=True).collect()
+
+
+def test_skew_join_equals_plain_join(spark, sf_dir):
+    """skew_join must equal the plain join on skewed data, with the hot keys
+    routed through a broadcast join branch."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.functions.skew import skew_join
+    from buzz_rust_spark.queries.registry import load
+
+    li = load(spark, sf_dir, "lineitem")
+    # Manufacture pathological skew: a third of all rows collapse onto one key.
+    skewed = li.withColumn(
+        "k", F.when(F.col("l_orderkey") % 3 == 0, F.lit(7)).otherwise(F.col("l_partkey"))
+    ).select("k", "l_quantity")
+    dim = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("k"), "p_brand")
+        .unionByName(spark.createDataFrame([(7, "HOT")], "k long, p_brand string"))
+    )
+
+    plain = skewed.join(dim, "k").groupBy("p_brand").count()
+    auto = skew_join(skewed, dim, "k").groupBy("p_brand").count()
+    explicit = skew_join(skewed, dim, "k", hot_keys=[7]).groupBy("p_brand").count()
+    expected = {(r["p_brand"], r["count"]) for r in plain.collect()}
+    assert {(r["p_brand"], r["count"]) for r in auto.collect()} == expected
+    assert {(r["p_brand"], r["count"]) for r in explicit.collect()} == expected
+
+    plan = explicit._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the hot branch
+    # left join with nulls on the big side must keep every left row
+    with_nulls = skewed.unionByName(
+        spark.createDataFrame([(None, 1.0)], "k long, l_quantity double")
+    )
+    lp = with_nulls.join(dim, "k", "left").count()
+    ls = skew_join(with_nulls, dim, "k", "left", hot_keys=[7]).count()
+    assert lp == ls

@@ -107,3 +107,84 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Z-order (Morton) interleave of ``len(cols)`` numeric columns (names or
+    Column expressions) as a single long sort key — entirely JVM-side
+    expressions (no UDF).
+
+    Inputs must already be non-negative ints < 2^bits (``write_zordered``
+    auto-scales); they are bit-interleaved so that sorting by the result
+    clusters rows that are close in EVERY dimension.  Written files then have
+    tight min/max ranges on *all* z-order columns simultaneously —
+    multi-dimensional row-group/file pruning, where a plain sort only prunes
+    its leading column.  bits*len(cols) must be ≤ 63."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds 63 (long)")
+    exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, e in enumerate(exprs):
+            src = F.shiftright(e.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(src, b * n + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    records_per_file: int | None = None,
+    mode: str = "overwrite",
+    auto_scale: bool = True,
+) -> None:
+    """Write parquet clustered by the Z-order curve over ``zorder_by``.
+
+    ``repartitionByRange`` on the z-key splits the curve into contiguous
+    segments (one per output task — a full shuffle, paid once at write time),
+    then each file covers a compact hyper-rectangle of the key space.  Readers
+    filtering on any z-order column skip whole files/row-groups via parquet
+    min/max stats — the standard layout optimization for multi-dimensional
+    scan-heavy workloads at 100 TB (same trick as Delta OPTIMIZE ZORDER BY).
+
+    ``auto_scale`` (default) maps every dimension onto the full 2^bits range
+    with one distributed min/max pass first — required whenever the columns
+    have different scales, else the wider column's high bits dominate the
+    curve and the narrow column gets no clustering at all."""
+    from pyspark.sql import functions as F
+
+    if auto_scale:
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(zorder_by)],
+            *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(zorder_by)],
+        ).first()
+        top = float(2**bits - 1)
+        scaled = []
+        for i, c in enumerate(zorder_by):
+            lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
+            span = max(1.0, (hi or 0.0) - (lo or 0.0))
+            scaled.append(
+                F.floor((F.col(c).cast("double") - F.lit(lo or 0.0)) * top / span)
+            )
+        zkey = zorder_key(scaled, bits)
+    else:
+        zkey = zorder_key(list(zorder_by), bits)
+    out = (
+        df.withColumn("__zkey", zkey)
+        .repartitionByRange("__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    # NB: dropping __zkey after the repartition keeps the files free of the
+    # helper column while preserving the curve-segment clustering.
+    writer = out.write.mode(mode)
+    if records_per_file:
+        writer = writer.option("maxRecordsPerFile", records_per_file)
+    writer.parquet(path)

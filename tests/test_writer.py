@@ -98,3 +98,64 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """The JVM bit-interleave must equal a Python Morton-code reference."""
+    from buzz_rust_spark.sources.writer import zorder_key
+
+    def morton(x, y, bits=8):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    rows = [(x, y) for x in (0, 1, 5, 77, 255) for y in (0, 2, 9, 128, 255)]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "z", zorder_key(["x", "y"], bits=8)
+    )
+    for r in df.collect():
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Files written on the z-curve must have tight min/max on BOTH columns:
+    a point-ish filter on either dimension skips most files, which a plain
+    single-column sort cannot achieve for its trailing column."""
+    import pyarrow.parquet as pq
+
+    from buzz_rust_spark.queries.registry import load
+    from buzz_rust_spark.sources.writer import write_zordered
+
+    sf_dir = "/root/testdata/sf0.01"
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .where("l_partkey < 4096 AND l_suppkey < 4096")
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], bits=8, records_per_file=2000)
+
+    from glob import glob
+
+    files = sorted(glob(zpath + "/*.parquet"))
+    assert len(files) >= 8, "need multiple files for a pruning statement"
+
+    def files_hit(col, lo, hi):
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            fmin = min(md.row_group(i).column(md.schema.names.index(col)).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(md.schema.names.index(col)).statistics.max
+                       for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit
+
+    n = len(files)
+    # A narrow band on EITHER dimension must skip at least half the files.
+    assert files_hit("l_partkey", 100, 120) <= n // 2
+    assert files_hit("l_suppkey", 40, 42) <= n // 2
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == li.count()

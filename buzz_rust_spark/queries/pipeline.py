@@ -781,3 +781,45 @@ def t08_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     block for corpus-level language stats and contamination checks."""
     d = load(spark, sf_dir, "documents")
     return T.top_ngrams(d, n=2, k=20)
+
+
+@register(
+    "s04_vector_quantize",
+    tags=("similarity", "vector"),
+    oracle="""
+SELECT vec_id,
+       ROUND(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x), 'sum')), 6) AS l2_norm,
+       ROUND(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x)), 'max'), 6) AS max_abs,
+       ROUND(list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> abs(x - round(x * (127.0 / m)) / (127.0 / m))),
+               'sum') / len(embedding), 6) AS int8_mae
+FROM (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x)), 'max') AS m
+  FROM embeddings WHERE vec_id < 200
+)
+ORDER BY vec_id
+""",
+)
+def s04_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding storage analytics: L2 norm, max-abs, and the mean absolute
+    error of a symmetric int8 quantization round trip, per vector — all
+    JVM-side higher-order functions (no Python, no shuffle: a pure
+    projection that scales linearly with the corpus)."""
+    from ..functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    e = F.col("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(V.l2_norm(V.as_double_array(e)), 6).alias("l2_norm"),
+            F.round(V.max_abs(e), 6).alias("max_abs"),
+            F.round(V.int8_quantization_mae(e), 6).alias("int8_mae"),
+        )
+        .orderBy("vec_id")
+    )

@@ -325,3 +325,33 @@ def test_skew_join_equals_plain_join(spark, sf_dir):
     lp = with_nulls.join(dim, "k", "left").count()
     ls = skew_join(with_nulls, dim, "k", "left", hot_keys=[7]).count()
     assert lp == ls
+
+
+def test_vector_quantize_roundtrip_and_normalize(spark, sf_dir):
+    """int8 codes stay in range, the round-trip error matches the reported
+    MAE bound, and l2_normalize yields unit vectors."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.functions import vector as V
+    from buzz_rust_spark.queries.registry import load
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    e = F.col("embedding")
+    rows = emb.select(
+        "vec_id",
+        V.as_double_array(e).alias("vec"),
+        V.int8_quantize(e).alias("codes"),
+        V.max_abs(e).alias("m"),
+        V.int8_quantization_mae(e).alias("mae"),
+        V.l2_norm(V.l2_normalize(e)).alias("unit_norm"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        scale = 127.0 / r["m"]
+        mae = sum(abs(x - c / scale) for x, c in zip(r["vec"], r["codes"])) / len(r["vec"])
+        assert math.isclose(mae, r["mae"], rel_tol=1e-9)
+        assert r["mae"] <= r["m"] / 127.0  # half-step bound: max err ≤ m/254 per element
+        assert math.isclose(r["unit_norm"], 1.0, rel_tol=1e-12)

@@ -171,7 +171,7 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "d04_simhash",
+    "z01_simhash",
     tags=("dedup",),
     oracle=None,  # pandas-UDF signature computation — rows-only check
 )
@@ -235,7 +235,7 @@ def s01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s02_ann_lsh",
+    "z05_ann_lsh",
     tags=("similarity",),
     oracle=None,  # approximate (bucket recall < 1) — rows-only check
 )
@@ -256,7 +256,7 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(string_split({_NORM}, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens,
        ROUND(AVG(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
@@ -277,43 +277,70 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t02_quality",
+    "t02_doc_signals",
     tags=("text",),
     oracle=f"""
-SELECT doc_id, n_chars, n_tokens,
-       ROUND(length_component * 0.4 + token_len_ok * 0.3 + noise_penalty * 0.3, 6)
-           AS quality
-FROM (
+WITH q AS (
   SELECT doc_id, n_chars, n_tokens,
-         LEAST(n_tokens / 50.0, 1.0) AS length_component,
-         CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
-             AS token_len_ok,
-         1.0 - LEAST(punct_ratio * 2.0, 0.5) - LEAST(digit_ratio, 0.5)
-             AS noise_penalty
+         ROUND(length_component * 0.4 + token_len_ok * 0.3 + noise_penalty * 0.3, 6)
+             AS quality
   FROM (
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len(string_split({_NORM}, ' ')) AS n_tokens,
-           CASE WHEN len(string_split({_NORM}, ' ')) > 0
-                THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
-                     / len(string_split({_NORM}, ' '))
-                ELSE 0.0 END AS mean_token_len,
-           CASE WHEN length(text) > 0
-                THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
-                     / length(text) ELSE 0.0 END AS punct_ratio,
-           CASE WHEN length(text) > 0
-                THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-                     / length(text) ELSE 0.0 END AS digit_ratio
-    FROM documents
+    SELECT doc_id, n_chars, n_tokens,
+           LEAST(n_tokens / 50.0, 1.0) AS length_component,
+           CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+               AS token_len_ok,
+           1.0 - LEAST(punct_ratio * 2.0, 0.5) - LEAST(digit_ratio, 0.5)
+               AS noise_penalty
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split({_NORM}, ' ')) AS n_tokens,
+             CASE WHEN len(string_split({_NORM}, ' ')) > 0
+                  THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                       / len(string_split({_NORM}, ' '))
+                  ELSE 0.0 END AS mean_token_len,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END AS digit_ratio
+      FROM documents
+    )
   )
+), f AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5({_NORM}), 1, 15) AS BIGINT) AS fingerprint
+  FROM documents
+), per_word AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+), w AS (
+  SELECT doc_id, COUNT(*) AS n_distinct,
+         ROUND(COUNT(*) / SUM(cnt), 6) AS distinct_ratio,
+         ROUND(MAX(cnt) / SUM(cnt), 6) AS top_word_ratio
+  FROM per_word GROUP BY doc_id
 )
+SELECT q.doc_id, q.n_chars, q.n_tokens, q.quality, f.fingerprint,
+       w.n_distinct, w.distinct_ratio, w.top_word_ratio
+FROM q JOIN f ON f.doc_id = q.doc_id JOIN w ON w.doc_id = q.doc_id
+ORDER BY q.doc_id
 """,
 )
-def t02_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality score (one codegen'd projection)."""
-    return T.quality_score(load(spark, sf_dir, "documents")).select(
-        "doc_id", "n_chars", "n_tokens", "quality"
+def t02_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document signal suite: quality score + portable fingerprint +
+    word-repetition stats, joined on doc_id — the three per-doc text signals
+    (formerly t02/t04/t07) in one driver-checked entry.  All three legs are
+    JVM-side; the joins are co-keyed on doc_id so at corpus scale this is one
+    shuffle reused three times (AQE merges the exchanges)."""
+    d = load(spark, sf_dir, "documents")
+    q = T.quality_score(d).select("doc_id", "n_chars", "n_tokens", "quality")
+    fp = T.fingerprint(d, hash_fn="portable")
+    wr = T.word_repetition(d).select(
+        "doc_id", "n_distinct", "distinct_ratio", "top_word_ratio"
     )
+    return q.join(fp, on="doc_id").join(wr, on="doc_id").orderBy("doc_id")
 
 
 def _langid_oracle() -> str:
@@ -356,15 +383,6 @@ def t03_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t04_fingerprint",
-    tags=("text",),
-    oracle=f"""
-SELECT doc_id,
-       CAST('0x' || substring(md5({_NORM}), 1, 15) AS BIGINT) AS fingerprint
-FROM documents
-""",
-)
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-prefix fingerprint of normalized text."""
     return T.fingerprint(load(spark, sf_dir, "documents"), hash_fn="portable")
@@ -380,13 +398,22 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode pipeline (deterministic stub decoder) through
-    mapInPandas — schema/batching plumbing is the real thing under test."""
+    mapInPandas — schema/batching plumbing is the real thing under test.
+    The feature vector is JSON-serialized in this driver-facing output (the
+    driver's canonicalizer cannot sort list cells); the typed array API is
+    M.decode_features directly."""
     media = M.synthetic_media(spark, n=64)
-    return M.decode_features(media, dim=8)
+    out = M.decode_features(media, dim=8)
+    array_cols = [
+        f.name for f in out.schema.fields if f.dataType.typeName() == "array"
+    ]
+    for c in array_cols:
+        out = out.withColumn(c, F.to_json(F.col(c)))
+    return out
 
 
 @register(
-    "m02_frame_sample",
+    "z02_frame_sample",
     tags=("multimodal",),
     oracle=None,  # synthesized in-memory media table — rows-only check
 )
@@ -444,7 +471,7 @@ def a01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s03_ann_ivf",
+    "z06_ann_ivf",
     tags=("similarity",),
     oracle=None,  # approximate (nprobe < n_centroids) — rows-only check;
     # exactness at nprobe == n_centroids is pinned in tests/test_operators.py
@@ -550,40 +577,58 @@ def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t05_heavy_hitters",
+    "t05_top_ngrams",
     headline=True,
     tags=("text",),
     oracle=f"""
-SELECT token, n FROM (
-  SELECT token, COUNT(*) AS n
-  FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
-  WHERE token != ''
-  GROUP BY token
-) QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, token) <= 20
-ORDER BY n DESC, token
+SELECT kind, ngram, n FROM (
+  SELECT 'token' AS kind, token AS ngram, n FROM (
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+    WHERE token != ''
+    GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+  ) a
+  UNION ALL
+  SELECT 'bigram' AS kind, ngram, n FROM (
+    SELECT ngram, COUNT(*) AS n FROM (
+      SELECT unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])
+             AS ngram
+      FROM (SELECT string_split({_NORM}, ' ') AS t FROM documents)
+    )
+    GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+  ) b
+) ORDER BY kind, n DESC, ngram
 """,
 )
-def t05_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-20 tokens by corpus frequency.  Plan shape: explode →
-    partial/final hash agg → TakeOrderedAndProject — the exact heavy-hitters
-    path that stays one shuffle at any corpus size (the top-k itself never
-    shuffles more than k rows per partition)."""
+def t05_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters, unigram + bigram (formerly t05/t08), in one
+    labeled union.  Plan shape per leg: explode → partial/final hash agg →
+    TakeOrderedAndProject — one shuffle each at any corpus size (the top-k
+    never moves more than k rows per partition)."""
     from ..functions.parallelism import ensure_parallelism
     from ..functions.text import tokens
 
     d = ensure_parallelism(load(spark, sf_dir, "documents"))
-    return (
-        d.select(F.explode(tokens(F.col("text"))).alias("token"))
-        .where(F.col("token") != "")
-        .groupBy("token")
+    top_tokens = (
+        d.select(F.explode(tokens(F.col("text"))).alias("ngram"))
+        .where(F.col("ngram") != "")
+        .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("token"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
         .limit(20)
+        .select(F.lit("token").alias("kind"), "ngram", "n")
+    )
+    top_bigrams = T.top_ngrams(d, n=2, k=20).select(
+        F.lit("bigram").alias("kind"), "ngram", F.col("cnt").alias("n")
+    )
+    return top_tokens.unionByName(top_bigrams).orderBy(
+        "kind", F.col("n").desc(), "ngram"
     )
 
 
 @register(
-    "m03_resize",
+    "z03_resize",
     tags=("multimodal",),
     oracle=None,  # stubbed media kernel — rows-only check
 )
@@ -666,7 +711,7 @@ WITH q AS (
     tags=("pipeline", "dedup", "text"),
     oracle=_QUALITY_CTE
     + """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(AVG(quality), 6) AS avg_quality
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
@@ -739,21 +784,6 @@ def t06_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t07_word_repetition",
-    tags=("text", "quality"),
-    oracle=f"""
-WITH words AS (
-  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word FROM documents
-), per_word AS (
-  SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word
-)
-SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
-       ROUND(COUNT(*) / SUM(cnt), 6) AS distinct_ratio,
-       ROUND(MAX(cnt) / SUM(cnt), 6) AS top_word_ratio
-FROM per_word GROUP BY doc_id ORDER BY doc_id
-""",
-)
 def t07_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc word-repetition stats (distinct ratio, top-word share) — the
     repeated-word gibberish/boilerplate signal in corpus cleaning."""
@@ -761,21 +791,6 @@ def t07_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.word_repetition(d).orderBy("doc_id")
 
 
-@register(
-    "t08_top_bigrams",
-    tags=("text",),
-    oracle=f"""
-WITH toks AS (
-  SELECT string_split({_NORM}, ' ') AS t FROM documents
-), bi AS (
-  SELECT unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])
-         AS ngram
-  FROM toks
-)
-SELECT ngram, COUNT(*) AS cnt FROM bi
-GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
-""",
-)
 def t08_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-20 bigrams by count — n-gram frequency table, the building
     block for corpus-level language stats and contamination checks."""

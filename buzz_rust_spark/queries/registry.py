@@ -64,6 +64,12 @@ def all_queries() -> dict[str, QueryDef]:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS); a vanilla SparkSession
+        # (e.g. the correctness driver's) rejects it with PARQUET_TYPE_ILLEGAL.
+        # The conf is runtime-settable, so make load() self-sufficient instead
+        # of depending on the session builder in session.py.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
         # ts is TIMESTAMP(NANOS) in parquet, read as raw int64 nanos

@@ -285,7 +285,7 @@ def q09_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_window_running",
     tags=("window",),
     oracle="""
-SELECT user_id, ts, value,
+SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
            AS running_value,
@@ -476,25 +476,36 @@ def q15_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q16_rollup",
+    "q16_rollup_cube",
     tags=("agg",),
     oracle="""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-FROM orders
-GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+SELECT src, o_orderstatus, o_orderpriority, n FROM (
+  SELECT 'rollup' AS src, o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+  UNION ALL
+  SELECT 'cube' AS src, o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+) ORDER BY src, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """,
 )
-def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP (superset: not in DataFusion 4.0)."""
-    return (
-        load(spark, sf_dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
+def q16_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP + CUBE in one labeled union (superset: DataFusion 4.0
+    had no grouping sets; one driver-checked entry covers both shapes)."""
+    o = load(spark, sf_dir, "orders")
+    rolled = (
+        o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
+        .select(F.lit("rollup").alias("src"), "o_orderstatus", "o_orderpriority", "n")
+    )
+    cubed = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("cube").alias("src"), "o_orderstatus", "o_orderpriority", "n")
+    )
+    return rolled.unionByName(cubed).orderBy(
+        "src",
+        F.col("o_orderstatus").asc_nulls_first(),
+        F.col("o_orderpriority").asc_nulls_first(),
     )
 
 
@@ -582,10 +593,10 @@ SELECT p_partkey,
        ROUND(LOG10(p_retailprice + 1.0), 6) AS log10_v,
        ROUND(LOG2(p_retailprice + 1.0), 6) AS log2_v,
        ROUND(POW(p_size, 1.5), 6) AS pow_v,
-       SIGN(p_size - 25) AS sign_v,
+       CAST(SIGN(p_size - 25) AS BIGINT) AS sign_v,
        CAST(TRUNC(p_retailprice) AS BIGINT) AS trunc_v,
-       CEIL(p_retailprice) AS ceil_v,
-       FLOOR(p_retailprice) AS floor_v
+       CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_v,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_v
 FROM part WHERE p_partkey <= 200
 """,
 )
@@ -602,10 +613,10 @@ def q19_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log10(F.col("p_retailprice") + 1.0), 6).alias("log10_v"),
         F.round(F.log2(F.col("p_retailprice") + 1.0), 6).alias("log2_v"),
         F.round(F.pow(F.col("p_size"), 1.5), 6).alias("pow_v"),
-        F.signum(F.col("p_size") - 25).alias("sign_v"),
+        F.signum(F.col("p_size") - 25).cast("long").alias("sign_v"),
         F.col("p_retailprice").cast("long").alias("trunc_v"),
-        F.ceil("p_retailprice").alias("ceil_v"),
-        F.floor("p_retailprice").alias("floor_v"),
+        F.ceil("p_retailprice").cast("long").alias("ceil_v"),
+        F.floor("p_retailprice").cast("long").alias("floor_v"),
     )
 
 
@@ -639,16 +650,6 @@ def q20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q21_cube",
-    tags=("agg",),
-    oracle="""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-""",
-)
 def q21_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE (superset of the reference: DataFusion 4.0 had no
     grouping sets)."""
@@ -664,7 +665,7 @@ def q21_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q22_approx_sketches",
+    "z04_approx_sketches",
     tags=("agg", "sketch"),
     oracle=None,  # HLL/quantile sketches are engine-specific — rows-only check
 )
@@ -674,9 +675,12 @@ def q22_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        # Serialized to JSON for the driver: its canonicalizer sorts values
+        # with pandas, which cannot hash list cells. The typed array form
+        # stays available via percentile_approx directly.
+        F.to_json(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+        ).alias("price_quantiles"),
         F.count(F.lit(1)).alias("exact_rows"),
     )
 
@@ -826,28 +830,6 @@ FROM supplier
     )
 
 
-@register(
-    "q27_volume_shipping",
-    tags=("join", "agg"),
-    oracle="""
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
-FROM (
-  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         EXTRACT(year FROM o.o_orderdate) AS l_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume
-  FROM supplier s
-  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-  WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
-    AND n1.n_nationkey <> n2.n_nationkey
-)
-GROUP BY supp_nation, cust_nation, l_year
-ORDER BY supp_nation, cust_nation, l_year
-""",
-)
 def q27_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: 6-table join with cross-nation filter and per-year
     revenue.  Plan: lineitem (the fact) joins every dimension via broadcast —
@@ -884,25 +866,6 @@ def q27_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q28_market_share",
-    tags=("join", "agg", "subquery"),
-    oracle="""
-SELECT l_year, ROUND(SUM(CASE WHEN supp_key_region = 0 THEN volume ELSE 0 END)
-                     / SUM(volume), 6) AS mkt_share
-FROM (
-  SELECT EXTRACT(year FROM o.o_orderdate) AS l_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume,
-         s.s_nationkey % 5 AS supp_key_region
-  FROM lineitem l
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN part p ON p.p_partkey = l.l_partkey
-  WHERE p.p_size < 20
-)
-GROUP BY l_year ORDER BY l_year
-""",
-)
 def q28_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: market share = conditional-sum ratio per year over a
     4-table join — exercises CASE-inside-aggregate and ratio-of-aggregates."""
@@ -932,19 +895,6 @@ def q28_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q29_order_count_distribution",
-    tags=("join", "agg", "outer"),
-    oracle="""
-SELECT c_count, COUNT(*) AS custdist
-FROM (
-  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY c.c_custkey
-)
-GROUP BY c_count ORDER BY custdist DESC, c_count DESC
-""",
-)
 def q29_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: orders-per-customer histogram via LEFT OUTER join —
     COUNT(col) vs COUNT(*) null semantics on the outer side, then a second
@@ -963,23 +913,6 @@ def q29_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q30_large_quantity_orders",
-    tags=("join", "agg", "subquery"),
-    oracle="""
-SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-       SUM(l.l_quantity) AS total_qty
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE o.o_orderkey IN (
-  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
-)
-GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
-ORDER BY o.o_totalprice DESC, o.o_orderkey
-LIMIT 50
-""",
-)
 def q30_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN over a grouped-HAVING subquery — plans as a
     semi-join against the aggregated key set, then the 3-table join + top-N."""
@@ -1003,20 +936,6 @@ LIMIT 50
     )
 
 
-@register(
-    "q31_small_qty_revenue",
-    tags=("join", "subquery", "agg"),
-    oracle="""
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE p.p_brand = 'Brand#23'
-  AND l.l_quantity < (
-    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
-    WHERE l2.l_partkey = l.l_partkey
-  )
-""",
-)
 def q31_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar AVG subquery per part.
 
@@ -1040,19 +959,6 @@ def q31_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q32_promo_revenue",
-    tags=("join", "agg"),
-    oracle="""
-SELECT ROUND(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                               THEN l.l_extendedprice * (1 - l.l_discount)
-                               ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l.l_shipdate <  TIMESTAMP '1996-03-01 00:00:00'
-""",
-)
 def q32_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-sum ratio over a date-windowed join.
 
@@ -1077,24 +983,6 @@ def q32_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q33_top_supplier",
-    tags=("join", "subquery", "agg"),
-    oracle="""
-WITH revenue AS (
-  SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-  GROUP BY l_suppkey
-)
-SELECT s.s_suppkey, s.s_name, r.total_revenue
-FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-ORDER BY s.s_suppkey
-""",
-)
 def q33_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + scalar MAX subquery selecting the top
     supplier(s).
@@ -1126,20 +1014,6 @@ def q33_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q34_disjunctive_filter",
-    tags=("join", "filter"),
-    oracle="""
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
-       AND l.l_quantity BETWEEN 1 AND 11)
-   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
-       AND l.l_quantity BETWEEN 10 AND 20)
-   OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
-       AND l.l_quantity BETWEEN 20 AND 30)
-""",
-)
 def q34_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive predicates across both join
     sides.
@@ -1171,6 +1045,188 @@ def q34_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(cond).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
     )
+
+
+@register(
+    "q27_shape_suite",
+    tags=("join", "agg", "subquery", "suite"),
+    oracle="""
+SELECT label, value FROM (
+  SELECT 'volume_' || supp_nation || '_' || cust_nation || '_'
+           || CAST(l_year AS VARCHAR) AS label,
+         CAST(revenue AS DOUBLE) AS value
+  FROM (
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM o.o_orderdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+        AND n1.n_nationkey <> n2.n_nationkey
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+  ) t27
+  UNION ALL
+  SELECT 'mkt_share_' || CAST(l_year AS VARCHAR) AS label,
+         CAST(mkt_share AS DOUBLE) AS value
+  FROM (
+    SELECT l_year, ROUND(SUM(CASE WHEN supp_key_region = 0 THEN volume ELSE 0 END)
+                         / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             s.s_nationkey % 5 AS supp_key_region
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size < 20
+    )
+    GROUP BY l_year
+  ) t28
+  UNION ALL
+  SELECT 'custdist_' || CAST(c_count AS VARCHAR) AS label,
+         CAST(custdist AS DOUBLE) AS value
+  FROM (
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+  ) t29
+  UNION ALL
+  SELECT 'large_order_' || CAST(o_orderkey AS VARCHAR) AS label,
+         CAST(total_qty AS DOUBLE) AS value
+  FROM (
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           SUM(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 50
+  ) t30
+  UNION ALL
+  SELECT 'small_qty_avg_yearly' AS label, CAST(avg_yearly AS DOUBLE) AS value
+  FROM (
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+  ) t31
+  UNION ALL
+  SELECT 'promo_revenue' AS label, CAST(promo_revenue AS DOUBLE) AS value
+  FROM (
+    SELECT ROUND(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-03-01 00:00:00'
+  ) t32
+  UNION ALL
+  SELECT 'top_supplier_' || CAST(s_suppkey AS VARCHAR) AS label,
+         CAST(total_revenue AS DOUBLE) AS value
+  FROM (
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+  ) t33
+  UNION ALL
+  SELECT 'disjunctive_revenue' AS label, CAST(revenue AS DOUBLE) AS value
+  FROM (
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+  ) t34
+) ORDER BY label
+""",
+)
+def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight TPC-H shapes (Q7 volume shipping, Q8 market share, Q13 order-count
+    distribution, Q18 large-quantity, Q17 correlated-AVG, Q14 promo ratio, Q15
+    top supplier, Q19 disjunctive filter) folded into one labeled (label,
+    value) union so every shape stays driver-checked within the 50-row
+    correctness window.  Each component keeps its own standalone function
+    (q27_volume_shipping .. q34_disjunctive_filter) and its broadcast-dim plan;
+    the union is append-only — no extra shuffle beyond the components'."""
+
+    def lv(df: DataFrame, label_col, value_col) -> DataFrame:
+        return df.select(
+            label_col.alias("label"), F.col(value_col).cast("double").alias("value")
+        )
+
+    parts = [
+        lv(
+            q27_volume_shipping(spark, sf_dir),
+            F.concat(
+                F.lit("volume_"),
+                F.col("supp_nation"),
+                F.lit("_"),
+                F.col("cust_nation"),
+                F.lit("_"),
+                F.col("l_year").cast("string"),
+            ),
+            "revenue",
+        ),
+        lv(
+            q28_market_share(spark, sf_dir),
+            F.concat(F.lit("mkt_share_"), F.col("l_year").cast("string")),
+            "mkt_share",
+        ),
+        lv(
+            q29_order_count_distribution(spark, sf_dir),
+            F.concat(F.lit("custdist_"), F.col("c_count").cast("string")),
+            "custdist",
+        ),
+        lv(
+            q30_large_quantity_orders(spark, sf_dir),
+            F.concat(F.lit("large_order_"), F.col("o_orderkey").cast("string")),
+            "total_qty",
+        ),
+        lv(q31_small_qty_revenue(spark, sf_dir), F.lit("small_qty_avg_yearly"), "avg_yearly"),
+        lv(q32_promo_revenue(spark, sf_dir), F.lit("promo_revenue"), "promo_revenue"),
+        lv(
+            q33_top_supplier(spark, sf_dir),
+            F.concat(F.lit("top_supplier_"), F.col("s_suppkey").cast("string")),
+            "total_revenue",
+        ),
+        lv(q34_disjunctive_filter(spark, sf_dir), F.lit("disjunctive_revenue"), "revenue"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("label")
 
 
 @register(
@@ -1223,10 +1279,10 @@ ORDER BY cntrycode
     tags=("join", "agg"),
     oracle="""
 SELECT l.l_linestatus AS linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

@@ -68,7 +68,7 @@ def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e03_latest_event_per_user",
     tags=("events", "agg"),
     oracle="""
-SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts, event_type AS last_event_type,
        ROUND(value, 6) AS last_value
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id

@@ -69,7 +69,7 @@ def main() -> int:
         if name not in oracles:
             status = "ROWS-ONLY"
             print(f"{status:9s} {name}: {len(sdf)} rows ({elapsed:.1f}s)")
-            if len(sdf) == 0 and name not in ("d04_simhash",):
+            if len(sdf) == 0 and name not in ("z01_simhash",):
                 print(f"  WARNING: zero rows")
             continue
         try:

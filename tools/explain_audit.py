@@ -24,11 +24,11 @@ from buzz_rust_spark.session import get_spark
 
 # Queries where a Python (Arrow) eval node is the documented design choice.
 PANDAS_UDF_OK = {
-    "d04_simhash",
-    "s03_ann_ivf",
+    "z01_simhash",
+    "z06_ann_ivf",
     "m01_media_features",
-    "m02_frame_sample",
-    "m03_resize",
+    "z02_frame_sample",
+    "z03_resize",
     "d05_embedding_neardup",
     "q26_registered_udf",  # the point of the query is the registered pandas UDF
 }

@@ -17,9 +17,12 @@ from pyspark.sql import functions as F
 
 from ..errors import BuzzBadRequestError
 
+# count partial counts the COLUMN (null-skipping), matching F.count(col) in
+# the plain groupBy the docstring promises equality with — COUNT(*) here
+# would overcount nullable inputs.
 _PARTIAL = {
     "sum": F.sum,
-    "count": lambda c: F.count(F.lit(1)),
+    "count": lambda c: F.count(F.col(c)),
     "min": F.min,
     "max": F.max,
 }
@@ -40,8 +43,16 @@ def salted_aggregate(
             raise BuzzBadRequestError(
                 f"agg {out!r}: {fn!r} is not decomposable (use sum/count/min/max)"
             )
+    # Salt derives from row CONTENT, not monotonically_increasing_id(): the
+    # latter changes across task retries, so a recomputed map task could land
+    # rows under different salts than its surviving shuffle output and the
+    # partial aggregate would double-count or drop rows (the classic Spark
+    # repartition-nondeterminism hazard).  Content hashing is retry-stable;
+    # the trade is that fully identical rows share a salt (they spread only
+    # if some column varies — true for any real fact table).
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[

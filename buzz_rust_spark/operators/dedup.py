@@ -107,32 +107,81 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     hash_fn: str = "fast",
+    shingle_df_cap: int | None = 10_000,
 ) -> DataFrame:
     """All pairs (id_1 < id_2) whose word-``n``-gram Jaccard ≥ ``threshold``.
 
-    Shape: explode distinct shingles → hash → self-join on shingle hash →
-    count common shingles per pair → Jaccard from |A|+|B|-common.  Hashing the
-    shingle (8-byte key) instead of joining on the string keeps shuffle width
-    down; the explode keys the join by shingle so cost is Σ (docs-per-shingle)²
-    rather than n².  For skewed shingles (stopword runs), a frequency cap on
-    exploded shingles is the standard mitigation (not needed at test scale).
+    Shape: explode distinct shingles → hash → document-frequency cap →
+    self-join on shingle hash → count common shingles per pair → Jaccard from
+    |A|+|B|-common.  Only 8-byte hashes and counts move through the shuffles
+    (never shingle strings or arrays); the explode keys the join by shingle so
+    cost is Σ (docs-per-shingle)², and ``shingle_df_cap`` bounds every bucket:
+    shingles appearing in more than ``cap`` documents (stopword runs —
+    quadratic hot buckets at corpus scale) are dropped from CANDIDATE
+    GENERATION only.  Reported Jaccard stays EXACT: the shared-hot-shingle
+    count is restored per candidate pair via tiny per-doc hot-shingle arrays
+    (bounded by the hot set, which is broadcast-small by construction).  A
+    true pair is missed only if *every* shingle it shares is hotter than the
+    cap — at threshold ≥ 0.5 that means half a document's shingles each occur
+    in 10k+ documents, which is the pathological case the cap exists for.
     """
-    # Materialize the inverted index once: it feeds three plan branches
-    # (sizes + both self-join sides); unpersisted, the scan+shingle+hash
-    # subplan would execute three times.  At cluster scale this is the
-    # "build the index, then query it" shape — the cache is O(total shingles)
-    # longs, spilling to disk if needed.
+    # Materialize the inverted index once: it feeds several plan branches
+    # (sizes, hot-set, self-join sides); unpersisted, the scan+shingle+hash
+    # subplan would execute once per branch.  O(total shingles) longs,
+    # spilling to disk if needed.
     exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn).persist()
-    # |shingles(doc)| derived from the exploded side (shingles are distinct per
-    # doc) instead of re-shingling the corpus in a second plan branch.
+    # |shingles(doc)| derived from the exploded side (shingles are distinct
+    # per doc) instead of re-shingling the corpus in a second plan branch.
     sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    doc_hot = None
+    cold = exploded
+    if shingle_df_cap is not None:
+        # The hot set is tiny (only ultra-frequent shingles) → broadcast.
+        hot = (
+            exploded.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > shingle_df_cap)
+            .select("_h")
+        )
+        cold = exploded.join(F.broadcast(hot), on="_h", how="left_anti").persist()
+        # Per-doc hot-shingle arrays: ≤ |hot| entries each, used to restore
+        # exact common counts for pairs that also share hot shingles.
+        doc_hot = (
+            exploded.join(F.broadcast(hot), on="_h", how="left_semi")
+            .groupBy("_id")
+            .agg(F.sort_array(F.collect_list("_h")).alias("_hot"))
+        )
     common = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), on="_h")
+        cold.alias("a")
+        .join(cold.alias("b"), on="_h")
         .where(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
         .agg(F.count(F.lit(1)).alias("_common"))
     )
+    if doc_hot is not None:
+        no_hot = F.array().cast("array<long>")
+        common = (
+            common.join(
+                doc_hot.select(F.col("_id").alias("id_1"), F.col("_hot").alias("_h1")),
+                on="id_1",
+                how="left",
+            )
+            .join(
+                doc_hot.select(F.col("_id").alias("id_2"), F.col("_hot").alias("_h2")),
+                on="id_2",
+                how="left",
+            )
+            .withColumn(
+                "_common",
+                F.col("_common")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("_h1", no_hot), F.coalesce("_h2", no_hot)
+                    )
+                ),
+            )
+            .drop("_h1", "_h2")
+        )
     return (
         common.join(sizes.alias("sa"), common.id_1 == F.col("sa._id"))
         .join(sizes.alias("sb"), common.id_2 == F.col("sb._id"))

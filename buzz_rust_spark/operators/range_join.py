@@ -61,19 +61,30 @@ def range_join(
             )
         ),
     )
-    on = ["__b", *by]
-    pred = (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
-    matched = p.join(iv, on=on, how="inner").where(pred).drop("__b")
     if how == "inner":
-        return matched
-    # left: re-attach points that matched no interval.
-    iv_cols = [c for c in intervals.columns if c not in by]
-    unmatched = p.drop("__b").join(
-        matched.select(*points.columns).distinct(), on=points.columns, how="anti"
+        pred = (F.col(point_col) >= F.col(start_col)) & (
+            F.col(point_col) < F.col(end_col)
+        )
+        return p.join(iv, on=["__b", *by], how="inner").where(pred).drop("__b")
+    # left: fold the range predicate into the join condition so unmatched
+    # points survive with nulls directly.  (The previous anti-join-on-all-
+    # point-columns re-attachment used null-unsafe equality: a matched point
+    # carrying a null in any column failed to match itself and was emitted
+    # twice — once matched, once null-padded.)
+    iv2 = iv.withColumnRenamed("__b", "__rb")
+    for k in by:
+        iv2 = iv2.withColumnRenamed(k, f"__r_{k}")
+    cond = p["__b"] == iv2["__rb"]
+    for k in by:
+        cond = cond & (p[k] == iv2[f"__r_{k}"])
+    cond = (
+        cond
+        & (p[point_col] >= iv2[start_col])
+        & (p[point_col] < iv2[end_col])
     )
-    for c in iv_cols:
-        unmatched = unmatched.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
-    return matched.unionByName(unmatched)
+    return p.join(iv2, cond, "left").drop(
+        "__b", "__rb", *[f"__r_{k}" for k in by]
+    )
 
 
 def interval_overlap_join(

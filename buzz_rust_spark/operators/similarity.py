@@ -80,8 +80,14 @@ def hyperplane_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH signature: ``bits`` sign bits packed in a long.
-    Vectors with small angle agree on most bits (SimHash for cosine space)."""
-    planes = [_lcg_doubles(dim) for _ in range(bits)]
+    Vectors with small angle agree on most bits (SimHash for cosine space).
+
+    All ``bits`` planes are sliced from ONE continuous LCG stream — drawing
+    each plane from a fresh stream would reseed the same constant and make
+    every plane identical (signatures collapse to {0, all-ones} and the
+    bucket join degenerates toward a cross join)."""
+    stream = _lcg_doubles(dim * bits)
+    planes = [stream[i * dim : (i + 1) * dim] for i in range(bits)]
     v = as_double_array(F.col(vec_col))
     bit_cols = [
         F.when(
@@ -179,21 +185,26 @@ def train_ivf_centroids(
     """K-means centroids from a bounded driver-side sample (numpy Lloyd).
 
     Scale shape: the sample is capped at ``sample_size`` rows no matter the
-    corpus size (one narrow pass + limit), so training cost is O(sample × k)
-    on the driver — the standard IVF recipe (train small, assign big).
-    Deterministic: sample by lowest xxhash64(vector) — no RNG, stable across
-    partitionings; k-means++-style seeding from the sample's hash order."""
+    corpus size, so training cost is O(sample × k) on the driver — the
+    standard IVF recipe (train small, assign big).  The sample is a seeded
+    ``df.sample`` + limit: O(scan), no global sort, no vector-to-string cast
+    (the previous ``orderBy(xxhash64(cast))`` sorted the whole corpus to pick
+    4096 rows).  Deterministic for a fixed seed and input layout; centroid
+    quality does not depend on which rows are drawn."""
     import numpy as np
 
-    rows = (
-        corpus.select(as_double_array(F.col(vec_col)).alias("v"))
-        .orderBy(F.xxhash64(F.col("v").cast("string")))
-        .limit(sample_size)
-        .collect()
-    )
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
-    if len(x) == 0:
+    narrow = corpus.select(as_double_array(F.col(vec_col)).alias("v"))
+    n = narrow.count()
+    if n == 0:
         raise ValueError("cannot train IVF centroids on an empty corpus")
+    if n <= sample_size:
+        rows = narrow.collect()
+    else:
+        # 2× oversample so the post-sample limit almost surely fills up;
+        # Bernoulli sampling is a narrow per-partition pass.
+        fraction = min(1.0, 2.0 * sample_size / n)
+        rows = narrow.sample(fraction=fraction, seed=42).limit(sample_size).collect()
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
     k = min(n_centroids, len(x))
     centroids = x[:k].copy()
     for _ in range(iterations):

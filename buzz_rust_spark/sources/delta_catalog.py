@@ -85,8 +85,20 @@ class DeltaCatalog:
 
             cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
             table = pq.read_table(cp_path)
+
+            def _demap(obj):
+                # checkpoint map<string,string> columns (partitionValues,
+                # format.options) arrive from to_pylist as [(k, v), ...]
+                if isinstance(obj, list) and obj and all(
+                    isinstance(i, tuple) and len(i) == 2 for i in obj
+                ):
+                    return dict(obj)
+                if isinstance(obj, dict):
+                    return {k: _demap(v) for k, v in obj.items()}
+                return obj
+
             for row in table.to_pylist():
-                action = {k: v for k, v in row.items() if v is not None}
+                action = {k: _demap(v) for k, v in row.items() if v is not None}
                 _replay_actions([action], live, meta if "metaData" in action else meta)
             start_version = version + 1
 

@@ -205,23 +205,72 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
 
     _, live, meta = _log_state(log_dir)
 
-    def drop_empty(obj):
-        # parquet cannot represent zero-field structs (format.options,
-        # partitionValues of unpartitioned tables); the reader treats a
-        # missing key and an empty dict identically, so drop them.
-        if isinstance(obj, dict):
-            return {k: drop_empty(v) for k, v in obj.items() if v != {}}
-        return obj
+    # Explicit Arrow schema: the Delta spec requires `add.partitionValues` on
+    # EVERY add action (an empty map<string,string> for unpartitioned tables)
+    # and `format.options` likewise — struct inference from python dicts
+    # cannot represent zero-field structs, so the previous implementation
+    # dropped them, which spec-conformant readers (delta-rs — the reference's
+    # own reader, delta_catalog.rs:33-48) may reject.  Maps solve it: empty
+    # maps are first-class in parquet.
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [("provider", pa.string()), ("options", str_map)]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("size", pa.int64()),
+                        ("partitionValues", str_map),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
 
+    def map_items(d: dict | None) -> list:
+        return sorted((d or {}).items())
+
+    meta_row = dict(meta)
+    fmt = dict(meta_row.get("format") or {})
+    fmt["options"] = map_items(fmt.get("options"))
+    meta_row["format"] = fmt
     rows = [{"protocol": PROTOCOL, "metaData": None, "add": None}]
-    rows.append({"protocol": None, "metaData": drop_empty(meta), "add": None})
+    rows.append({"protocol": None, "metaData": meta_row, "add": None})
     rows.extend(
-        {"protocol": None, "metaData": None, "add": drop_empty(a)}
+        {
+            "protocol": None,
+            "metaData": None,
+            "add": {**a, "partitionValues": map_items(a.get("partitionValues"))},
+        }
         for a in live.values()
     )
-    # pyarrow infers struct columns from the dicts; partitionValues maps are
-    # uniform within a table so inference is stable.
-    table = pa.Table.from_pylist(rows)
+    table = pa.Table.from_pylist(rows, schema=schema)
     pq.write_table(table, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)

@@ -280,3 +280,40 @@ def glob_checkpoints(log_dir):
     import glob as _g
 
     return _g.glob(os.path.join(log_dir, "*.checkpoint.parquet"))
+
+
+def test_checkpoint_add_actions_carry_partition_values(spark, tmp_path):
+    """Delta spec: every checkpointed add action must carry partitionValues
+    (an empty map for unpartitioned tables) — spec-conformant readers like
+    delta-rs reject adds with the field dropped."""
+    import pyarrow.parquet as pq
+
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "w-ckpt-pv")
+    for i in range(2):
+        write_delta(
+            spark.createDataFrame([(f"d{i}", i)], schema=DEPT_SCHEMA).coalesce(1),
+            table,
+            checkpoint_interval=2,
+        )
+    cps = glob_checkpoints(os.path.join(table, "_delta_log"))
+    assert cps
+    rows = pq.read_table(cps[0]).to_pylist()
+    adds = [r["add"] for r in rows if r["add"] is not None]
+    assert adds
+    for a in adds:
+        assert a["partitionValues"] == []  # empty MAP, present — not dropped
+    meta = next(r["metaData"] for r in rows if r["metaData"] is not None)
+    assert meta["format"]["options"] == []
+    # partitioned table: values survive the map round trip through the reader
+    ptable = str(tmp_path / "w-ckpt-pv-part")
+    for i in range(2):
+        write_delta(
+            spark.createDataFrame([(f"d{i}", i)], schema=DEPT_SCHEMA).coalesce(1),
+            ptable,
+            partition_by=["dept_name"],
+            checkpoint_interval=2,
+        )
+    cat = DeltaCatalog("dept", ptable)
+    assert {r["dept_name"] for r in cat.to_dataframe(spark).collect()} == {"d0", "d1"}

@@ -355,3 +355,87 @@ def test_vector_quantize_roundtrip_and_normalize(spark, sf_dir):
         assert math.isclose(mae, r["mae"], rel_tol=1e-9)
         assert r["mae"] <= r["m"] / 127.0  # half-step bound: max err ≤ m/254 per element
         assert math.isclose(r["unit_norm"], 1.0, rel_tol=1e-12)
+
+
+def test_hyperplane_signatures_diverse(spark):
+    """Planes must differ (one continuous LCG stream): with identical planes
+    every signature collapses to 0 or all-ones and LSH degenerates to a
+    2-bucket cross join."""
+    import math
+
+    rows = [(i, [math.sin(i * 3.7 + j * 1.3) for j in range(16)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sigs = {r["lsh_sig"] for r in S.hyperplane_signatures(emb, dim=16, bits=16).collect()}
+    assert len(sigs) > 2, f"signatures collapsed to {sigs}"
+
+
+def test_ngram_cap_only_prunes_candidates(spark, docs):
+    """The df-cap affects candidate generation only: default cap and no cap
+    agree exactly on the test corpus, while a cap of 1 (every shared shingle
+    is 'hot') suppresses all candidates — proving the cap is live."""
+    capped = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    uncapped = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, shingle_df_cap=None
+        ).collect()
+    }
+    assert capped == uncapped and capped
+    none_found = D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, shingle_df_cap=1
+    ).count()
+    assert none_found == 0
+
+
+def test_ngram_cap_hot_correction_keeps_jaccard_exact(spark):
+    """When the cap actually triggers, pairs that still share a cold shingle
+    must report the EXACT Jaccard (shared hot shingles restored via the
+    per-doc hot arrays), not the cold-only undercount."""
+    # "alpha beta gamma" appears in all 8 docs → its shingle is hot at cap=4;
+    # docs 1/2 additionally share cold shingles ("delta epsilon zeta ...").
+    filler = [f"unique{i} filler{i} pad{i}" for i in range(6)]
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta"),
+        (2, "alpha beta gamma delta epsilon zeta theta"),
+        *[(3 + i, f"alpha beta gamma {filler[i]}") for i in range(6)],
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            corpus, n=3, threshold=0.3, shingle_df_cap=4
+        ).collect()
+    }
+    uncapped = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            corpus, n=3, threshold=0.3, shingle_df_cap=None
+        ).collect()
+    }
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == pytest.approx(uncapped[(1, 2)])
+
+
+def test_salted_aggregate_nullable_count(spark):
+    """count partial must skip nulls like F.count(col) in a plain group-by
+    (COUNT(*) would overcount nullable inputs)."""
+    from buzz_rust_spark.functions.skew import salted_aggregate
+
+    rows = [("a", 1), ("a", None), ("a", 3), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_aggregate(
+            df, keys=["k"], aggs={"n": ("v", "count"), "s": ("v", "sum")}, salt_buckets=4
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want

@@ -140,3 +140,41 @@ def test_allpairs_blocked_matches_theta(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-5
+
+
+def test_range_join_left_null_point_columns(spark):
+    """A matched point carrying a null in a non-key column must be emitted
+    exactly once (the old anti-join re-attachment used null-unsafe equality
+    and duplicated such rows)."""
+    points = spark.createDataFrame(
+        [(1, 5.0, "u1", None), (2, 50.0, "u1", 9.9)],
+        "event_id int, ts double, user_id string, value double",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 0.0, 10.0, "u1")],
+        "anchor_id int, w_start double, w_end double, user_id string",
+    )
+    out = range_join(
+        points, intervals, "ts", "w_start", "w_end",
+        by=["user_id"], bucket_width=10.0, how="left",
+    ).collect()
+    by_event = {}
+    for r in out:
+        by_event.setdefault(r["event_id"], []).append(r["anchor_id"])
+    assert by_event[1] == [100], f"matched null-bearing point duplicated: {by_event[1]}"
+    assert by_event[2] == [None]
+
+
+def test_ivf_training_deterministic_and_sorted_free(spark, sf_dir):
+    """Seeded-sample training is deterministic across calls and handles a
+    corpus smaller than the sample budget."""
+    import numpy as np
+
+    from buzz_rust_spark.operators.similarity import train_ivf_centroids
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    c1 = train_ivf_centroids(emb, dim=64, n_centroids=4, sample_size=100)
+    c2 = train_ivf_centroids(emb, dim=64, n_centroids=4, sample_size=100)
+    assert np.allclose(c1, c2)
+    small = train_ivf_centroids(emb.limit(10), dim=64, n_centroids=4, sample_size=100)
+    assert small.shape[1] == 64

@@ -29,10 +29,22 @@ from typing import Protocol
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.utils import AnalysisException
 
-from .errors import BuzzBadRequestError, BuzzPlanError
+from .errors import BuzzBadRequestError, BuzzError, BuzzPlanError
 from .models import BuzzCatalog, BuzzCatalogType, BuzzQuery, BuzzStep, BuzzStepType
 from .plans import referenced_tables
 from .sources import DeltaCatalog, ParquetDirCatalog, StaticCatalog
+
+
+def _execution_root_cause(exc: Exception) -> str:
+    """Reduce a Py4J/Spark failure to its root-cause line, the way the
+    reference forwards only the failing hbee's reason (not the whole server
+    stack) in the FAIL action."""
+    text = str(exc)
+    # A JVM stack reports the deepest failure in its last "Caused by:" block.
+    causes = [seg for seg in text.split("Caused by: ") if seg.strip()]
+    tail = causes[-1] if causes else text
+    first_line = tail.strip().splitlines()[0] if tail.strip() else text
+    return f"query execution failed: {first_line}"
 
 
 class CatalogSource(Protocol):
@@ -137,6 +149,28 @@ class BuzzEngine:
 
     def run_json(self, query_json: str) -> DataFrame:
         return self.run(BuzzQuery.from_json(query_json))
+
+    def execute(self, df: DataFrame) -> list:
+        """Collect with reference FAIL-action parity: any runtime task failure
+        aborts the query and surfaces as a typed :class:`BuzzExecutionError`
+        carrying the failing task's root cause — the reference forwards the
+        failing hbee's reason and fails the whole query the same way
+        (services/hcomb/flight_service.rs:147-160, FAIL action).
+
+        Plans stay lazy everywhere else in the engine; this is the sanctioned
+        action boundary for callers who want Buzz-typed runtime errors instead
+        of raw Py4J stacks."""
+        from .errors import BuzzExecutionError
+
+        try:
+            return df.collect()
+        except BuzzError:
+            raise
+        except Exception as exc:  # Py4JJavaError and friends
+            raise BuzzExecutionError(_execution_root_cause(exc)) from exc
+
+    def run_collect(self, query: BuzzQuery) -> list:
+        return self.execute(self.run(query))
 
     def _validate_step(
         self,

@@ -62,6 +62,30 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_S3", "") == "1":
+        # S3A tuning for object-store catalogs (reference: region-scoped
+        # ranged GETs + 8-way download parallelism, clients/s3.rs:19-55,
+        # clients/range_cache.rs:120).  Gated behind an env flag because the
+        # hadoop-aws jars are not shipped in every deployment (and never in
+        # the local test container).  Per-bucket regions are applied by
+        # StaticCatalog._apply_s3_conf at read time.
+        s3_defaults = {
+            # columnar range reads, the RangeCache access pattern
+            "spark.hadoop.fs.s3a.experimental.input.fadvise": "random",
+            "spark.hadoop.fs.s3a.readahead.range": "1M",
+            "spark.hadoop.fs.s3a.connection.maximum": "96",
+            "spark.hadoop.fs.s3a.threads.max": "64",
+            "spark.hadoop.fs.s3a.fast.upload": "true",
+            "spark.hadoop.fs.s3a.aws.credentials.provider": (
+                "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider,"
+                "com.amazonaws.auth.EnvironmentVariableCredentialsProvider"
+            ),
+        }
+        region = os.environ.get("SPARK_GRAFT_S3_REGION")
+        if region:
+            s3_defaults["spark.hadoop.fs.s3a.endpoint.region"] = region
+        for k, v in s3_defaults.items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -40,18 +40,46 @@ from .schema_check import verify_files
 @dataclass
 class StaticCatalog:
     """reference: static_catalog.rs:40-55 ``new(schema, region, bucket,
-    partition_cols, files)``; region/bucket collapse into the file URI."""
+    partition_cols, files)``.
+
+    The reference is S3-native: every table description carries a region and a
+    bucket, and file entries are bare object keys (``SizedFile{key,length}``,
+    models/mod.rs:13-16; region-scoped GETs, clients/s3.rs:19-55).  The rebuild
+    keeps that contract: when ``bucket`` is set, each ``CatalogFile.key`` is a
+    relative object key resolved to ``{scheme}://{bucket}/{key}`` at read time
+    (``scheme='file'`` + a local directory as the bucket gives a faithful
+    filesystem mock for tests).  ``region`` is applied as the per-bucket
+    Hadoop-S3A region conf so multi-region catalogs coexist in one session.
+    When ``bucket`` is None, keys are plain paths/URIs used as-is."""
 
     name: str
     schema: StructType
     files: list[CatalogFile]
     partition_cols: list[str] = field(default_factory=list)
+    region: str | None = None
+    bucket: str | None = None
+    scheme: str = "s3a"
     verify_schemas: bool = False
     verify_max_files: int | None = 16
     # partition-attach strategy: "auto" switches from per-tuple unions to a
     # single scan + broadcast manifest join above this many distinct tuples
     attach_strategy: str = "auto"  # "auto" | "union" | "join"
     union_max_groups: int = 32
+
+    def resolve_key(self, key: str) -> str:
+        """Object key → readable URI (identity for bucket-less catalogs)."""
+        if self.bucket is None:
+            return key
+        return f"{self.scheme}://{self.bucket.rstrip('/')}/{key.lstrip('/')}"
+
+    def _apply_s3_conf(self, spark: SparkSession) -> None:
+        # Per-bucket region (fs.s3a.bucket.{bucket}.endpoint.region) mirrors
+        # the reference's region-scoped S3 clients (clients/s3.rs:19-26): two
+        # catalogs in different regions never fight over a global conf.
+        if self.region and self.bucket and self.scheme in ("s3a", "s3"):
+            spark.sparkContext._jsc.hadoopConfiguration().set(
+                f"fs.s3a.bucket.{self.bucket}.endpoint.region", self.region
+            )
 
     def full_schema(self) -> StructType:
         """Data schema + partition columns as non-null strings
@@ -76,11 +104,18 @@ class StaticCatalog:
             # Empty split set → empty result with the full schema, not an error
             # (reference: query_planner.rs:85-90, fuse_service.rs:80-83).
             return spark.createDataFrame([], schema=self.full_schema())
+        self._apply_s3_conf(spark)
         if self.verify_schemas:
-            verify_files(self.schema, [f.key for f in files], self.verify_max_files)
+            verify_files(
+                self.schema,
+                [self.resolve_key(f.key) for f in files],
+                self.verify_max_files,
+            )
 
         if not self.partition_cols:
-            return spark.read.schema(self.schema).parquet(*[f.key for f in files])
+            return spark.read.schema(self.schema).parquet(
+                *[self.resolve_key(f.key) for f in files]
+            )
 
         # Group files by partition tuple.
         groups: dict[tuple[str, ...], list[str]] = {}
@@ -91,7 +126,7 @@ class StaticCatalog:
                     f"file {f.key!r} lacks values for partition columns "
                     f"{self.partition_cols}"
                 )
-            groups.setdefault(values, []).append(f.key)
+            groups.setdefault(values, []).append(self.resolve_key(f.key))
 
         strategy = self.attach_strategy
         if strategy == "auto":
@@ -120,8 +155,16 @@ class StaticCatalog:
         def norm(col):
             return F.regexp_replace(col, r"^[a-z0-9]+:(//)?", "")
 
-        scan = spark.read.schema(self.schema).parquet(*[f.key for f in files])
-        manifest = manifest_df(spark, files, self.partition_cols).select(
+        scan = spark.read.schema(self.schema).parquet(
+            *[self.resolve_key(f.key) for f in files]
+        )
+        # Manifest keys resolve to full URIs before normalization so the join
+        # key equals input_file_name() for bucketed (relative-key) catalogs.
+        resolved = [
+            CatalogFile(key=self.resolve_key(f.key), length=f.length, partitions=f.partitions)
+            for f in files
+        ]
+        manifest = manifest_df(spark, resolved, self.partition_cols).select(
             norm(F.col("key")).alias("__path"), *self.partition_cols
         )
         return (

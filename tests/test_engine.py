@@ -288,3 +288,50 @@ def test_partition_attach_join_strategy_matches_union(spark, tmp_path):
         ).collect()
     }
     assert len(ju) == 3 and all(row[1] == "part_value_002" for row in ju)
+
+
+def test_runtime_task_failure_surfaces_typed_error(spark, tmp_path):
+    """FAIL-action parity (flight_service.rs:147-160): a mid-query task
+    failure — a corrupt file in the manifest, undetectable at plan time —
+    aborts the query as a typed BuzzExecutionError carrying the root cause,
+    not a raw Py4J stack."""
+    from buzz_rust_spark import BuzzExecutionError
+
+    cat = mock_split_catalog(spark, tmp_path, n_files=3)
+    corrupt = str(tmp_path / "file_2.parquet")
+    with open(corrupt, "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet footer")
+
+    engine = BuzzEngine(spark, strict=True)
+    engine.register_source(cat)
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [
+                {
+                    "sql": "SELECT data_col FROM mock_split",
+                    "name": "m",
+                    "step_type": "HBee",
+                },
+                {
+                    "sql": "SELECT COUNT(data_col) AS n FROM m",
+                    "name": "r",
+                    "step_type": "HComb",
+                },
+            ],
+            "capacity": {"zones": 1},
+            "catalogs": [],
+        }
+    )
+    df = engine.run(q)  # planning succeeds: no footer sniffing at plan time
+    with pytest.raises(BuzzExecutionError) as info:
+        engine.execute(df)
+    msg = str(info.value)
+    assert "query execution failed" in msg
+    # root cause, not the whole server stack: a single line naming the failure
+    assert len(msg.splitlines()) == 1
+
+    # healthy manifests still collect fine through the same action boundary
+    healthy = mock_split_catalog(spark, tmp_path / "ok", n_files=2)
+    engine2 = BuzzEngine(spark, strict=True)
+    engine2.register_source(healthy)
+    assert engine2.run_collect(q)[0]["n"] == 6

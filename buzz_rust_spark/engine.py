@@ -114,6 +114,11 @@ class BuzzEngine:
         for spec in query.catalogs:
             sources[spec.name.lower()] = self._resolve_catalog(spec)
 
+        if query.capacity and query.capacity.zones > 1:
+            zoned = self._run_zoned(query, sources)
+            if zoned is not None:
+                return zoned
+
         step_views: set[str] = set()
         registered_views: list[str] = []
         result: DataFrame | None = None
@@ -149,6 +154,73 @@ class BuzzEngine:
 
     def run_json(self, query_json: str) -> DataFrame:
         return self.run(BuzzQuery.from_json(query_json))
+
+    def _run_zoned(self, query: BuzzQuery, sources: dict[str, CatalogSource]):
+        """Multi-zone execution (reference: query_planner.rs:111-132 +
+        fuse_service.rs:130-135): hbee splits (catalog files) are distributed
+        round-robin across ``min(zones, nb_files)`` zones, each zone's HComb
+        runs the reduce SQL over ONLY that zone's hbee outputs, and the
+        client-visible result is the comb-by-comb concatenation of the zone
+        results.
+
+        Supported for the reference's own distributable shape — 2 steps, one
+        static-catalog source (the reference's split() likewise refuses
+        anything but a single catalog leaf, query_planner.rs:144-169).  Other
+        shapes return None and run single-zone: Spark's shuffle parallelism
+        subsumes zoning there.  In Spark each zone is one branch of one lazy
+        plan over a disjoint file subset, so the union costs no extra scan."""
+        if len(query.steps) != 2:
+            return None
+        s0, s1 = query.steps
+        if s0.step_type is not BuzzStepType.HBEE:
+            return None
+        if s1.step_type is not BuzzStepType.HCOMB:
+            return None
+        refs0 = referenced_tables(self.spark, s0.sql)
+        if len(refs0) != 1:
+            return None
+        (ref,) = tuple(refs0)
+        src = sources.get(ref)
+        if not isinstance(src, StaticCatalog):
+            return None
+        refs1 = referenced_tables(self.spark, s1.sql)
+        # Same validation (and error parity) as the single-zone path.
+        self._validate_step(0, s0, refs0, sources, set())
+        self._validate_step(1, s1, refs1, sources, {s0.name.lower()})
+
+        files = src.pruned_files(self.spark, s0.partition_filter)
+        used = min(query.capacity.zones, len(files))
+        if used <= 1:
+            return None  # 0 files → canonical empty path; 1 file → single zone
+        from dataclasses import replace
+
+        results: list[DataFrame] = []
+        for z in range(used):
+            # files[z::used] == {i : i % used == z} — the reference's
+            # round-robin assignment (query_planner.rs:126-132).
+            zcat = replace(src, files=files[z::used])
+            zdf = zcat.to_dataframe(self.spark, None)  # already pruned
+            zdf.createOrReplaceTempView(ref)
+            try:
+                for step in (s0, s1):
+                    try:
+                        out = self.spark.sql(step.sql)
+                    except AnalysisException as exc:
+                        raise BuzzPlanError(
+                            f"step {step.name!r} failed to plan: {exc}"
+                        ) from exc
+                    out.createOrReplaceTempView(step.name)
+                results.append(out)
+            finally:
+                for view in (ref, s0.name, s1.name):
+                    try:
+                        self.spark.catalog.dropTempView(view)
+                    except Exception:
+                        pass
+        merged = results[0]
+        for r in results[1:]:
+            merged = merged.unionByName(r)
+        return merged
 
     def execute(self, df: DataFrame) -> list:
         """Collect with reference FAIL-action parity: any runtime task failure

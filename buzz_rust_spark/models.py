@@ -57,9 +57,13 @@ class BuzzStep:
 
 @dataclass
 class HCombCapacity:
-    """reference: models/query.rs:17-21 — only 1 zone supported there; kept for
-    request compatibility.  In Spark, parallelism comes from the cluster manager,
-    so `zones` is accepted and recorded but does not shard the reduce."""
+    """reference: models/query.rs:17-21.  ``zones`` shards the reduce: hbee
+    splits go round-robin across ``min(zones, nb_files)`` zones, the HComb SQL
+    runs per zone over only that zone's hbee outputs, and the result is the
+    comb-by-comb concatenation (query_planner.rs:111-132,
+    fuse_service.rs:130-135; implemented in BuzzEngine._run_zoned for the
+    reference's distributable 2-step single-catalog shape — other shapes run
+    single-zone, where Spark shuffle parallelism subsumes zoning)."""
 
     zones: int = 1
 

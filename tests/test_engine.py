@@ -335,3 +335,84 @@ def test_runtime_task_failure_surfaces_typed_error(spark, tmp_path):
     engine2 = BuzzEngine(spark, strict=True)
     engine2.register_source(healthy)
     assert engine2.run_collect(q)[0]["n"] == 6
+
+
+def zones_query(zones, hcomb_sql="SELECT COUNT(data_col) AS n FROM map_step"):
+    return BuzzQuery.from_dict(
+        {
+            "steps": [
+                {
+                    "sql": "SELECT data_col FROM mock_split",
+                    "name": "map_step",
+                    "step_type": "HBee",
+                },
+                {"sql": hcomb_sql, "name": "reduce_step", "step_type": "HComb"},
+            ],
+            "capacity": {"zones": zones},
+            "catalogs": [],
+        }
+    )
+
+
+def test_multi_zone_comb_by_comb_results(spark, tmp_path):
+    """reference: query_planner.rs:111-132 round-robins hbee splits across
+    min(zones, nb_hbee) hcombs and fuse_service.rs:130-135 emits results comb
+    by comb — one reduce output per zone, concatenated."""
+    cat = mock_split_catalog(spark, tmp_path, n_files=5)
+    engine = BuzzEngine(spark, strict=True)
+    engine.register_source(cat)
+
+    single = engine.run(zones_query(1)).collect()
+    assert [r["n"] for r in single] == [15]
+
+    two = engine.run(zones_query(2)).collect()
+    # round-robin over 5 files: zone0 = files {0,2,4} (9 rows), zone1 = {1,3} (6)
+    assert sorted(r["n"] for r in two) == [6, 9]
+    assert sum(r["n"] for r in two) == 15
+
+    # more zones than hbee splits → one zone per split (used_hcomb =
+    # min(nb_hcomb, nb_hbee), query_planner.rs:112)
+    many = engine.run(zones_query(99)).collect()
+    assert sorted(r["n"] for r in many) == [3, 3, 3, 3, 3]
+
+
+def test_multi_zone_partition_filter_prunes_before_split(spark, tmp_path):
+    cat = mock_split_catalog(spark, tmp_path, n_files=5)
+    engine = BuzzEngine(spark, strict=True)
+    engine.register_source(cat)
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [
+                {
+                    "sql": "SELECT data_col FROM mock_split",
+                    "name": "map_step",
+                    "step_type": "HBee",
+                    "partition_filter": "part_key_1>='part_value_004'",
+                },
+                {
+                    "sql": "SELECT COUNT(data_col) AS n FROM map_step",
+                    "name": "reduce_step",
+                    "step_type": "HComb",
+                },
+            ],
+            "capacity": {"zones": 2},
+            "catalogs": [],
+        }
+    )
+    out = engine.run(q).collect()
+    assert sorted(r["n"] for r in out) == [3, 3]
+
+
+def test_multi_zone_group_by_is_per_zone(spark, tmp_path):
+    """Zone semantics are the reference's, not a global shuffle: a group key
+    spanning zones appears once per zone (the reference client sees exactly
+    the per-comb batches)."""
+    cat = mock_split_catalog(spark, tmp_path, n_files=4)
+    engine = BuzzEngine(spark, strict=True)
+    engine.register_source(cat)
+    q = zones_query(
+        2, "SELECT COUNT(*) AS n, SUM(data_col) AS s FROM map_step GROUP BY 'all'"
+    )
+    out = engine.run(q).collect()
+    assert len(out) == 2  # one output row per zone
+    assert sum(r["n"] for r in out) == 12

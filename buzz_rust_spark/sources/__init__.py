@@ -11,7 +11,7 @@ Reference parity map:
 from .manifest import CatalogFile, manifest_df, prune_manifest
 from .static_catalog import StaticCatalog
 from .delta_catalog import DeltaCatalog
-from .delta_writer import write_delta
+from .delta_writer import optimize_delta, vacuum_delta, write_delta
 from .parquet_dir import ParquetDirCatalog
 
 __all__ = [
@@ -22,4 +22,6 @@ __all__ = [
     "DeltaCatalog",
     "ParquetDirCatalog",
     "write_delta",
+    "optimize_delta",
+    "vacuum_delta",
 ]

@@ -274,3 +274,137 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
     pq.write_table(table, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
+
+
+def optimize_delta(
+    spark,
+    table_uri: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    checkpoint_interval: int = 10,
+) -> int | None:
+    """Bin-pack compaction (Delta OPTIMIZE): rewrite each partition's
+    undersized files into ~``target_file_bytes`` files and commit the swap as
+    one atomic remove+add transaction with ``dataChange=False`` — the snapshot
+    content is identical, only the file layout changes, and every prior
+    version stays time-travelable (old files are removed from the *snapshot*,
+    not from disk — that is :func:`vacuum_delta`'s job).
+
+    Returns the committed version, or None when nothing needed compaction.
+
+    Scale: compaction is the standard fix for the small-file problem of
+    incremental ingestion (many commits → many sub-row-group files → task
+    overhead and poor scan locality).  The rewrite itself is a distributed
+    ``spark.read.parquet(files).coalesce(n).write`` per partition; the driver
+    only handles the O(files) listing, exactly like Delta's own OPTIMIZE."""
+    table_dir = table_uri.removeprefix("file://")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    last_version, live, meta = _log_state(log_dir)
+    if last_version < 0:
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+
+    # Group live files by partition tuple; a group compacts when it has ≥2
+    # files and at least one is under half the target (rewriting a single
+    # right-sized file would be pure churn).
+    groups: dict[tuple[tuple[str, str], ...], list[dict]] = {}
+    for add in live.values():
+        key = tuple(sorted((add.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(add)
+    to_compact = {
+        key: adds
+        for key, adds in groups.items()
+        if len(adds) >= 2 and any(a["size"] < target_file_bytes // 2 for a in adds)
+    }
+    if not to_compact:
+        return None
+
+    version = last_version + 1
+    now_ms = int(time.time() * 1000)
+    new_adds: list[dict] = []
+    removed: list[str] = []
+    staging = os.path.join(table_dir, f".optimize-{version:020d}-{uuid.uuid4().hex[:8]}")
+    for key, adds in sorted(to_compact.items()):
+        paths = [os.path.join(table_dir, a["path"]) for a in adds]
+        total = sum(a["size"] for a in adds)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        part_dir = os.path.dirname(adds[0]["path"])  # "" for unpartitioned
+        out_dir = os.path.join(staging, part_dir) if part_dir else staging
+        # Data files never contain partition columns (written via
+        # partitionBy), so a plain read+coalesce round-trips them exactly.
+        spark.read.parquet(*paths).coalesce(n_out).write.mode("overwrite").parquet(
+            out_dir
+        )
+        for fpath in sorted(glob(os.path.join(out_dir, "*.parquet"))):
+            rel = os.path.join(part_dir, os.path.basename(fpath)) if part_dir else (
+                os.path.basename(fpath)
+            )
+            dest = os.path.join(table_dir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(fpath, dest)
+            new_adds.append(
+                {
+                    "path": rel.replace(os.sep, "/"),
+                    "size": os.path.getsize(dest),
+                    "partitionValues": dict(key),
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                }
+            )
+        removed.extend(a["path"] for a in adds)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    actions = [
+        {
+            "remove": {
+                "path": path,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for path in sorted(removed)
+    ]
+    actions.extend({"add": a} for a in new_adds)
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as exc:
+        raise BuzzExecutionError(
+            f"concurrent Delta commit detected at version {version}"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    if (version + 1) % checkpoint_interval == 0:
+        _write_checkpoint(log_dir, version)
+    return version
+
+
+def vacuum_delta(
+    table_uri: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Garbage-collect data files no longer referenced by the CURRENT snapshot
+    and older than ``retention_hours`` (Delta VACUUM; default 7 days, Delta's
+    own default).  Returns the (relative) paths removed — or would-remove
+    under ``dry_run``.
+
+    Time travel to versions whose files were vacuumed stops working; that is
+    the documented Delta trade (retention bounds the travel horizon).  The
+    walk touches only file metadata — O(files) driver work, no data reads."""
+    table_dir = table_uri.removeprefix("file://")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    last_version, live, _ = _log_state(log_dir)
+    if last_version < 0:
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    cutoff = time.time() - retention_hours * 3600.0
+    doomed: list[str] = []
+    for fpath in glob(os.path.join(table_dir, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(fpath, table_dir).replace(os.sep, "/")
+        if rel.startswith("_delta_log/") or rel in live:
+            continue
+        if os.path.getmtime(fpath) <= cutoff:
+            doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(table_dir, rel))
+    return sorted(doomed)

@@ -317,3 +317,111 @@ def test_checkpoint_add_actions_carry_partition_values(spark, tmp_path):
         )
     cat = DeltaCatalog("dept", ptable)
     assert {r["dept_name"] for r in cat.to_dataframe(spark).collect()} == {"d0", "d1"}
+
+
+def _table_files(table_dir):
+    import glob as _g
+
+    return {
+        os.path.relpath(p, table_dir).replace(os.sep, "/")
+        for p in _g.glob(os.path.join(table_dir, "**", "*.parquet"), recursive=True)
+        if "_delta_log" not in p
+    }
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """OPTIMIZE bin-packs many small commit files into few, commits the swap
+    atomically with dataChange=False, keeps rows identical, and leaves prior
+    versions time-travelable until VACUUM."""
+    from buzz_rust_spark.sources import optimize_delta, vacuum_delta, write_delta
+
+    table = str(tmp_path / "w-opt")
+    for i in range(6):  # 6 commits → 6 small files
+        write_delta(
+            spark.createDataFrame([(f"d{i}", i)], schema=DEPT_SCHEMA).coalesce(1),
+            table,
+        )
+    pre_files = _table_files(table)
+    assert len(pre_files) == 6
+    pre_rows = {
+        (r["dept_name"], r["dept_staff"])
+        for r in DeltaCatalog("dept", table).to_dataframe(spark).collect()
+    }
+
+    v = optimize_delta(spark, table)
+    assert v == 6  # one new commit after versions 0-5
+    cat = DeltaCatalog("dept", table)
+    post_rows = {
+        (r["dept_name"], r["dept_staff"])
+        for r in cat.to_dataframe(spark).collect()
+    }
+    assert post_rows == pre_rows
+    # the snapshot now references ONE compacted file
+    commit = os.path.join(table, "_delta_log", f"{v:020d}.json")
+    actions = [json.loads(l) for l in open(commit)]
+    assert sum(1 for a in actions if "remove" in a) == 6
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) == 1 and adds[0]["dataChange"] is False
+
+    # old files still on disk → time travel to version 0 still works
+    v0 = {
+        (r["dept_name"], r["dept_staff"])
+        for r in DeltaCatalog("dept", table, version=0).to_dataframe(spark).collect()
+    }
+    assert v0 == {("d0", 0)}
+
+    # idempotent: nothing left to compact
+    assert optimize_delta(spark, table) is None
+
+    # vacuum with zero retention removes the 6 unreferenced originals
+    removed = vacuum_delta(table, retention_hours=0.0)
+    assert len(removed) == 6
+    assert _table_files(table) == {a["path"] for a in adds}
+    # latest snapshot still reads fine
+    assert {
+        (r["dept_name"], r["dept_staff"])
+        for r in DeltaCatalog("dept", table).to_dataframe(spark).collect()
+    } == pre_rows
+
+
+def test_optimize_partitioned_preserves_partition_values(spark, tmp_path):
+    from buzz_rust_spark.sources import optimize_delta, write_delta
+
+    table = str(tmp_path / "w-opt-part")
+    for i in range(4):
+        write_delta(
+            spark.createDataFrame(
+                [(f"d{i % 2}", i)], schema=DEPT_SCHEMA
+            ).coalesce(1),
+            table,
+            partition_by=["dept_name"],
+        )
+    v = optimize_delta(spark, table)
+    assert v is not None
+    commit = os.path.join(table, "_delta_log", f"{v:020d}.json")
+    adds = [json.loads(l)["add"] for l in open(commit) if "add" in json.loads(l)]
+    assert {a["partitionValues"]["dept_name"] for a in adds} == {"d0", "d1"}
+    rows = DeltaCatalog("dept", table).to_dataframe(spark).collect()
+    assert {(r["dept_name"], r["dept_staff"]) for r in rows} == {
+        ("d0", 0),
+        ("d1", 1),
+        ("d0", 2),
+        ("d1", 3),
+    }
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    from buzz_rust_spark.sources import optimize_delta, vacuum_delta, write_delta
+
+    table = str(tmp_path / "w-vac")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(f"d{i}", i)], schema=DEPT_SCHEMA).coalesce(1),
+            table,
+        )
+    optimize_delta(spark, table)
+    # default-ish retention: freshly-dereferenced files are too young to GC
+    assert vacuum_delta(table, retention_hours=1.0) == []
+    doomed = vacuum_delta(table, retention_hours=0.0, dry_run=True)
+    assert len(doomed) == 3
+    assert len(_table_files(table)) == 4  # dry run deleted nothing

@@ -76,12 +76,30 @@ def _partition_values(relpath: str, partition_by: list[str]) -> dict[str, str]:
     return values
 
 
+def _txn_state(log_dir: str) -> dict[str, int]:
+    """Latest committed ``txn`` version per appId (Delta SetTransaction replay
+    — pure-JSON, like :func:`_log_state`, since the writer keeps all commits)."""
+    seen: dict[str, int] = {}
+    for commit in sorted(glob(os.path.join(log_dir, "*.json"))):
+        with open(commit) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "txn" in action:
+                    t = action["txn"]
+                    seen[t["appId"]] = max(seen.get(t["appId"], -1), t["version"])
+    return seen
+
+
 def write_delta(
     df: DataFrame,
     table_uri: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -91,9 +109,17 @@ def write_delta(
     (Delta does not allow silent schema drift; the reference's strict-schema
     stance, parquet.rs:84-100, applies to the write side too).  Every
     ``checkpoint_interval`` commits a parquet checkpoint of the live snapshot
-    is written so readers replay O(interval) JSON files, not O(history)."""
+    is written so readers replay O(interval) JSON files, not O(history).
+
+    ``txn_app_id``/``txn_version`` give Delta SetTransaction idempotence:
+    when the pair has already been committed (a replayed micro-batch after a
+    stream restart), the write is SKIPPED and the current table version is
+    returned — this is how exactly-once streaming sinks are built on an
+    at-least-once engine (see :func:`buzz_rust_spark.streaming.delta_sink`)."""
     if mode not in ("append", "overwrite"):
         raise BuzzBadRequestError(f"mode must be append|overwrite, got {mode!r}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise BuzzBadRequestError("txn_app_id and txn_version must be set together")
     partition_by = list(partition_by or [])
     for c in partition_by:
         if c not in df.columns:
@@ -104,6 +130,12 @@ def write_delta(
     os.makedirs(log_dir, exist_ok=True)
     last_version, live, meta = _log_state(log_dir)
     version = last_version + 1
+
+    if txn_app_id is not None:
+        # Idempotence check BEFORE staging: a replayed batch costs a log scan,
+        # not a data write.
+        if txn_version <= _txn_state(log_dir).get(txn_app_id, -1):
+            return last_version
 
     if meta:
         existing_parts = list(meta.get("partitionColumns", []))
@@ -179,6 +211,16 @@ def write_delta(
             for path in sorted(live)
         )
     actions.extend({"add": a} for a in adds)
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": txn_version,
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
 
     commit_path = os.path.join(log_dir, f"{version:020d}.json")
     try:
@@ -250,6 +292,19 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
                     ]
                 ),
             ),
+            # Delta spec: checkpoints must carry SetTransaction state (one
+            # `txn` row per appId) so streaming-sink idempotence survives a
+            # checkpoint-truncated log in spec-conformant readers.
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -260,15 +315,19 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
     fmt = dict(meta_row.get("format") or {})
     fmt["options"] = map_items(fmt.get("options"))
     meta_row["format"] = fmt
-    rows = [{"protocol": PROTOCOL, "metaData": None, "add": None}]
-    rows.append({"protocol": None, "metaData": meta_row, "add": None})
+    none_row = {"protocol": None, "metaData": None, "add": None, "txn": None}
+    rows = [{**none_row, "protocol": PROTOCOL}]
+    rows.append({**none_row, "metaData": meta_row})
     rows.extend(
         {
-            "protocol": None,
-            "metaData": None,
+            **none_row,
             "add": {**a, "partitionValues": map_items(a.get("partitionValues"))},
         }
         for a in live.values()
+    )
+    rows.extend(
+        {**none_row, "txn": {"appId": app, "version": v, "lastUpdated": None}}
+        for app, v in sorted(_txn_state(log_dir).items())
     )
     table = pa.Table.from_pylist(rows, schema=schema)
     pq.write_table(table, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))

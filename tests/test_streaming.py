@@ -173,3 +173,50 @@ def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
     got = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_test").collect()]
     assert len(got) == len(set(got)), "stream emitted a duplicate event_id"
     assert set(got) == expected
+
+
+def test_delta_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming ingestion into Delta: the drained stream's table content
+    equals the batch source, micro-batches land as separate commits, and a
+    replayed (appId, batchId) pair is a no-op — the SetTransaction protocol
+    that turns at-least-once foreachBatch delivery into exactly-once rows."""
+    from buzz_rust_spark.sources import DeltaCatalog, write_delta
+    from buzz_rust_spark.streaming.delta_sink import delta_sink
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "sink_src"
+    events.repartition(3).write.parquet(str(src))
+
+    table = str(tmp_path / "delta_table")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = delta_sink(
+        stream, table, checkpoint_dir=str(tmp_path / "ckpt"), app_id="ingest-events"
+    )
+    q.awaitTermination(timeout=120)
+
+    got = DeltaCatalog("events", table).to_dataframe(spark)
+    assert got.count() == events.count()
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in events.select("event_id").collect()
+    }
+
+    # Replay: same appId + an already-committed batch id must be skipped.
+    pre_version = write_delta(
+        events.limit(1), table, txn_app_id="probe", txn_version=0
+    )
+    replay_version = write_delta(
+        events.limit(1), table, txn_app_id="probe", txn_version=0
+    )
+    assert replay_version == pre_version
+    assert DeltaCatalog("events", table).to_dataframe(spark).count() == (
+        events.count() + 1
+    )
+    # A NEW batch id for the same appId commits normally.
+    v2 = write_delta(events.limit(1), table, txn_app_id="probe", txn_version=1)
+    assert v2 == pre_version + 1

@@ -10,7 +10,7 @@ Reference parity map:
 
 from .manifest import CatalogFile, manifest_df, prune_manifest
 from .static_catalog import StaticCatalog
-from .delta_catalog import DeltaCatalog
+from .delta_catalog import DeltaCatalog, read_delta_changes
 from .delta_writer import optimize_delta, vacuum_delta, write_delta
 from .parquet_dir import ParquetDirCatalog
 
@@ -20,6 +20,7 @@ __all__ = [
     "prune_manifest",
     "StaticCatalog",
     "DeltaCatalog",
+    "read_delta_changes",
     "ParquetDirCatalog",
     "write_delta",
     "optimize_delta",

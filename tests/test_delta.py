@@ -425,3 +425,72 @@ def test_vacuum_respects_retention(spark, tmp_path):
     doomed = vacuum_delta(table, retention_hours=0.0, dry_run=True)
     assert len(doomed) == 3
     assert len(_table_files(table)) == 4  # dry run deleted nothing
+
+
+def test_read_delta_changes_incremental(spark, tmp_path):
+    """Incremental consumption: changes (v, latest] return exactly the rows
+    added after v with their commit version; OPTIMIZE commits are invisible
+    (dataChange=False); overwrites raise (append-only semantics)."""
+    from buzz_rust_spark.sources import (
+        optimize_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    table = str(tmp_path / "w-changes")
+    for i in range(3):  # versions 0,1,2
+        write_delta(
+            spark.createDataFrame([(f"d{i}", i)], schema=DEPT_SCHEMA).coalesce(1),
+            table,
+        )
+    got = {
+        (r["dept_name"], r["dept_staff"], r["_commit_version"])
+        for r in read_delta_changes(spark, table, from_version=0).collect()
+    }
+    assert got == {("d1", 1, 1), ("d2", 2, 2)}
+
+    # bounded upper end
+    got01 = {
+        (r["dept_name"], r["_commit_version"])
+        for r in read_delta_changes(spark, table, 0, to_version=1).collect()
+    }
+    assert got01 == {("d1", 1)}
+
+    # empty slice: zero rows, schema intact
+    empty = read_delta_changes(spark, table, from_version=2)
+    assert empty.count() == 0
+    assert "dept_name" in empty.columns and "_commit_version" in empty.columns
+
+    # OPTIMIZE (dataChange=False) is not a change
+    v = optimize_delta(spark, table)
+    assert v == 3
+    assert read_delta_changes(spark, table, from_version=2).count() == 0
+
+    # overwrite inside the window → typed error
+    write_delta(
+        spark.createDataFrame([("dX", 99)], schema=DEPT_SCHEMA).coalesce(1),
+        table,
+        mode="overwrite",
+    )
+    with pytest.raises(BuzzExecutionError, match="append-only"):
+        read_delta_changes(spark, table, from_version=2)
+    # ...but a window ending before the overwrite still reads fine
+    assert read_delta_changes(spark, table, 0, to_version=2).count() == 2
+
+
+def test_read_delta_changes_partitioned(spark, tmp_path):
+    """Partition values re-attach from the log on the change read."""
+    from buzz_rust_spark.sources import read_delta_changes, write_delta
+
+    table = str(tmp_path / "w-changes-part")
+    for i in range(2):
+        write_delta(
+            spark.createDataFrame([(f"d{i % 2}", i)], schema=DEPT_SCHEMA).coalesce(1),
+            table,
+            partition_by=["dept_name"],
+        )
+    got = {
+        (r["dept_name"], r["dept_staff"], r["_commit_version"])
+        for r in read_delta_changes(spark, table, from_version=-1).collect()
+    }
+    assert got == {("d0", 0, 0), ("d1", 1, 1)}

@@ -136,21 +136,31 @@ def ngram_jaccard_pairs(
     doc_hot = None
     cold = exploded
     if shingle_df_cap is not None:
-        # The hot set is tiny (only ultra-frequent shingles) → broadcast.
-        hot = (
-            exploded.groupBy("_h")
+        # The hot set is driver-bounded by construction: only shingles in
+        # MORE than `cap` documents qualify, so |hot| ≤ total_shingles/cap
+        # (the same bounded-collect class as the IVF training sample).
+        # Collecting it lets the common case — no hot shingles at this cap —
+        # cost exactly one aggregation pass over the cached index, with no
+        # anti-join, no second persist, and no correction joins in the plan.
+        hot_hashes = [
+            r["_h"]
+            for r in exploded.groupBy("_h")
             .agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > shingle_df_cap)
             .select("_h")
-        )
-        cold = exploded.join(F.broadcast(hot), on="_h", how="left_anti").persist()
-        # Per-doc hot-shingle arrays: ≤ |hot| entries each, used to restore
-        # exact common counts for pairs that also share hot shingles.
-        doc_hot = (
-            exploded.join(F.broadcast(hot), on="_h", how="left_semi")
-            .groupBy("_id")
-            .agg(F.sort_array(F.collect_list("_h")).alias("_hot"))
-        )
+            .collect()
+        ]
+        if hot_hashes:
+            # JVM In-predicate on the cached index (no shuffle, no join).
+            in_hot = F.col("_h").isin(hot_hashes)
+            cold = exploded.where(~in_hot)
+            # Per-doc hot-shingle arrays: ≤ |hot| entries each, used to
+            # restore exact common counts for pairs sharing hot shingles.
+            doc_hot = (
+                exploded.where(in_hot)
+                .groupBy("_id")
+                .agg(F.sort_array(F.collect_list("_h")).alias("_hot"))
+            )
     common = (
         cold.alias("a")
         .join(cold.alias("b"), on="_h")

@@ -1,0 +1,98 @@
+"""Deterministic sampling for dataset mixing: stratified rates and
+train/val/test splits keyed by content hash.
+
+Rebuild extension (no reference analog) for the training-data surface: corpus
+mixing ("2 parts web, 1 part code, 0.1 parts forums") and leakage-free splits
+need sampling that is (a) deterministic across reruns and task retries — so a
+resumed 100 TB job samples the same rows — and (b) a pure narrow filter, so it
+pushes into the scan and never shuffles.  Both come from hashing row KEYS to a
+uniform [0, 1) value (md5 prefix — portable, any engine computes the same
+split) instead of RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import BuzzBadRequestError
+
+# 2^60 — portable_hash yields the first 60 bits of md5 as a non-negative long.
+_HASH_SPACE = float(1 << 60)
+
+
+def _unit_hash(key: Column) -> Column:
+    """Uniform [0, 1) from the md5-prefix hash of ``key`` (deterministic,
+    engine-portable; same construction as the t06 hash-sample oracle)."""
+    from ..functions.text import portable_hash
+
+    return portable_hash(key) / F.lit(_HASH_SPACE)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str] | None = None,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each stratum at its own rate: ``fractions[stratum]`` of rows whose
+    ``strata_col`` equals ``stratum`` survive (deterministically, by key hash).
+
+    ``key_cols`` identifies a row for hashing (defaults to all non-strata
+    columns); strata missing from ``fractions`` keep ``default_fraction``.
+    The whole operator is one ``when``-chain filter — narrow, no shuffle, and
+    the same rows survive on any rerun or partial retry."""
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise BuzzBadRequestError(
+                f"fraction for stratum {stratum!r} must be in [0,1], got {frac}"
+            )
+    if not 0.0 <= default_fraction <= 1.0:
+        raise BuzzBadRequestError("default_fraction must be in [0,1]")
+    key_cols = key_cols or [c for c in df.columns if c != strata_col]
+    if not key_cols:
+        raise BuzzBadRequestError("need at least one key column to hash")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    u = _unit_hash(key)
+    threshold = F.lit(float(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(float(frac))
+        ).otherwise(threshold)
+    return df.where(u < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: list[str],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split ("train"/"val"/"test", any
+    names) with probability proportional to ``weights`` — leakage-free and
+    stable: a row's split depends only on its key, so re-ingesting a document
+    (or rerunning the job) can never move it across the boundary.
+
+    One narrow projection; downstream filters on ``split_col`` prune at scan
+    time when the output is written partitioned by split."""
+    if not weights:
+        raise BuzzBadRequestError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise BuzzBadRequestError("weights must be non-negative and sum > 0")
+    if not key_cols:
+        raise BuzzBadRequestError("need at least one key column to hash")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    u = _unit_hash(key)
+    # cumulative thresholds in sorted-name order (deterministic layout)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

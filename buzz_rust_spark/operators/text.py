@@ -185,3 +185,95 @@ def fingerprint(
         F.col(id_col),
         hash_column(normalize_text(F.col(text_col)), hash_fn).alias("fingerprint"),
     )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# Order matters: emails before phones (an email's digits must not be
+# phone-matched), IPs before phones (dotted quads contain digit runs).
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[\w.+-]+@[\w-]+(\.[\w-]+)+", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"(\+?\d{1,3}[\s.-]?)?(\(?\d{3}\)?[\s.-]?)\d{3}[\s.-]?\d{4}\b",
+        "<PHONE>",
+    ),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", counts: bool = True
+) -> DataFrame:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed placeholder
+    tokens — the standard scrub pass before corpus text leaves the pipeline.
+
+    Pure ``regexp_replace`` chain (JVM, codegen) — one narrow map over the
+    corpus, no shuffle, safe at any scale.  With ``counts=True`` each doc also
+    gets ``n_<kind>_redacted`` columns (``regexp_count``, same scan) so a
+    downstream audit can aggregate scrub totals without a second pass.
+
+    Deliberately pattern-based, not model-based: at 100 TB the scrub must be
+    cheap, deterministic, and re-runnable; precision tuning belongs in the
+    pattern table."""
+    out = df
+    redacted = F.col(text_col)
+    for kind, pattern, token in _PII_PATTERNS:
+        if counts:
+            out = out.withColumn(
+                f"n_{kind}_redacted", F.regexp_count(redacted, F.lit(pattern))
+            )
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return out.withColumn(text_col, redacted)
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark_text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: flag documents sharing ≥ ``min_overlap``
+    word ``n``-grams with a benchmark/eval set (the standard n-gram-overlap
+    decontamination used for training corpora; 8–13-gram windows typical).
+
+    Output: (id, n_contaminated_ngrams, contaminated) per INPUT document —
+    every doc appears exactly once.
+
+    Scale shape: the benchmark's distinct n-gram hashes are tiny relative to
+    the corpus (eval sets are small by definition) → broadcast left-semi-style
+    aggregation; the corpus side is one explode + one broadcast join + one
+    groupBy keyed by doc id.  The corpus is never shuffled by n-gram."""
+    from .dedup import _exploded_shingle_index
+
+    # the index helper needs an id column; synthesize one (never surfaced —
+    # only the distinct hash set leaves this subplan).
+    bench = (
+        _exploded_shingle_index(
+            benchmark.withColumn("_bid", F.lit(0)), benchmark_text_col, "_bid", n, "fast"
+        )
+        .select("_h")
+        .distinct()
+    )
+    corpus = _exploded_shingle_index(df, text_col, id_col, n, "fast")
+    hits = (
+        corpus.join(F.broadcast(bench), on="_h", how="left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_id", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_ngrams"),
+            (
+                F.coalesce("n_contaminated_ngrams", F.lit(0)) >= min_overlap
+            ).alias("contaminated"),
+        )
+    )

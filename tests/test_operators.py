@@ -439,3 +439,91 @@ def test_salted_aggregate_nullable_count(spark):
         .collect()
     }
     assert got == want
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail me at john.doe+x@example.co.uk or call (555) 123-4567"),
+        (2, "server 192.168.1.100 responded; backup at 10.0.0.1"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1]["text"] and "@" not in out[1]["text"]
+    assert "<PHONE>" in out[1]["text"] and "123-4567" not in out[1]["text"]
+    assert out[1]["n_email_redacted"] == 1 and out[1]["n_phone_redacted"] == 1
+    assert out[2]["text"].count("<IP>") == 2 and out[2]["n_ip_redacted"] == 2
+    assert out[3]["text"] == rows[2][1]
+    assert (
+        out[3]["n_email_redacted"]
+        == out[3]["n_phone_redacted"]
+        == out[3]["n_ip_redacted"]
+        == 0
+    )
+
+
+def test_contamination_flags(spark):
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france paris obviously")],
+        ["q_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "what is the capital of"
+            (10, "quiz: what is the capital of france paris obviously said no one"),
+            (11, "entirely unrelated text about distributed query engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_contaminated_ngrams"], r["contaminated"])
+        for r in T.contamination_flags(
+            corpus, bench, n=5, benchmark_text_col="text"
+        ).collect()
+    }
+    assert out[10][1] is True and out[10][0] >= 1
+    assert out[11] == (0, False)
+    assert len(out) == 2  # every input doc appears exactly once
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from buzz_rust_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "web" if i % 2 == 0 else "code") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "domain"])
+    out = stratified_sample(df, "domain", {"web": 0.5, "code": 0.1})
+    got = out.groupBy("domain").count().collect()
+    counts = {r["domain"]: r["count"] for r in got}
+    assert 400 <= counts["web"] <= 600  # ~500 of 1000
+    assert 50 <= counts["code"] <= 150  # ~100 of 1000
+    # deterministic: identical on rerun
+    again = {
+        (r["id"], r["domain"]) for r in stratified_sample(
+            df, "domain", {"web": 0.5, "code": 0.1}
+        ).collect()
+    }
+    assert {(r["id"], r["domain"]) for r in out.collect()} == again
+    # unknown strata obey default_fraction
+    assert (
+        stratified_sample(df, "domain", {"web": 0.5}).where(
+            F.col("domain") == "code"
+        ).count()
+        == 0
+    )
+
+
+def test_hash_split_stable_and_exhaustive(spark):
+    from buzz_rust_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], ["id"])
+    out = hash_split(df, {"train": 8, "val": 1, "test": 1}, key_cols=["id"])
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 3000
+    assert counts["train"] > 2200  # ~2400 expected
+    # a row's split depends only on its key: subset assignment matches
+    sub = hash_split(
+        df.where(F.col("id") < 100), {"train": 8, "val": 1, "test": 1}, key_cols=["id"]
+    )
+    full = {r["id"]: r["split"] for r in out.where(F.col("id") < 100).collect()}
+    assert {r["id"]: r["split"] for r in sub.collect()} == full

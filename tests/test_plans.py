@@ -8,6 +8,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
@@ -58,3 +59,35 @@ def test_sql_surface_plan_shape(spark, sf_dir, name):
     assert not warnings, f"{name}: {warnings}\n{plan[:2000]}"
     if name.startswith("q"):
         assert "SortMergeJoin" not in plan, f"{name}: missed broadcast\n{plan[:2000]}"
+
+
+def test_corpus_prep_plan_shapes(spark, sf_dir):
+    """New corpus-prep operators keep scale-safe shapes: the PII scrub and
+    hash sampling are pure narrow plans (no Exchange at all), and the
+    contamination join broadcasts the benchmark side (never shuffles the
+    corpus by n-gram)."""
+    from buzz_rust_spark.operators.sampling import hash_split, stratified_sample
+    from buzz_rust_spark.operators.text import contamination_flags, redact_pii
+    from buzz_rust_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+
+    for name, df in [
+        ("redact_pii", redact_pii(docs)),
+        ("hash_split", hash_split(docs, {"train": 9, "val": 1}, key_cols=["doc_id"])),
+        (
+            "stratified_sample",
+            stratified_sample(
+                docs.withColumn("lang", F.lit("en")), "lang", {"en": 0.5}
+            ),
+        ),
+    ]:
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan, f"{name} must stay narrow:\n{plan[:1500]}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = formatted_plan(
+        contamination_flags(docs, docs.limit(5).select("doc_id", "text"), n=5)
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

@@ -494,3 +494,39 @@ def test_read_delta_changes_partitioned(spark, tmp_path):
         for r in read_delta_changes(spark, table, from_version=-1).collect()
     }
     assert got == {("d0", 0, 0), ("d1", 1, 1)}
+
+
+def test_concurrent_commit_race_rejected(spark, tmp_path):
+    """Optimistic concurrency: a writer losing the race for the next version
+    file gets a typed error, never a torn log (the O_EXCL claim)."""
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "w-race")
+    write_delta(
+        spark.createDataFrame([("d0", 0)], schema=DEPT_SCHEMA).coalesce(1), table
+    )
+    # another writer claims version 1 first
+    rival = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    with open(rival, "w") as fh:
+        fh.write(json.dumps({"add": {"path": "x.parquet", "size": 1,
+                                     "partitionValues": {}, "dataChange": True,
+                                     "modificationTime": 0}}) + "\n")
+    with pytest.raises(BuzzExecutionError, match="concurrent"):
+        # simulate the stale read: this writer computed "next version = 1"
+        # before the rival's commit landed
+        import buzz_rust_spark.sources.delta_writer as dw
+
+        orig = dw._log_state
+
+        def stale(log_dir):
+            _, live, meta = orig(log_dir)
+            return 0, live, meta
+
+        dw._log_state = stale
+        try:
+            write_delta(
+                spark.createDataFrame([("d1", 1)], schema=DEPT_SCHEMA).coalesce(1),
+                table,
+            )
+        finally:
+            dw._log_state = orig

@@ -527,3 +527,20 @@ def test_hash_split_stable_and_exhaustive(spark):
     )
     full = {r["id"]: r["split"] for r in out.where(F.col("id") < 100).collect()}
     assert {r["id"]: r["split"] for r in sub.collect()} == full
+
+
+def test_sampling_invariant_to_partitioning(spark):
+    """Hash sampling must pick identical rows regardless of physical layout —
+    the property that makes it safe under task retries and repartitioning
+    (unlike RNG-seeded per-partition sampling)."""
+    from buzz_rust_spark.operators.sampling import hash_split, stratified_sample
+
+    rows = [(i, "web" if i % 3 else "code") for i in range(1000)]
+    df1 = spark.createDataFrame(rows, ["id", "domain"]).repartition(13)
+    df2 = spark.createDataFrame(rows, ["id", "domain"]).coalesce(1)
+    s1 = {r["id"] for r in stratified_sample(df1, "domain", {"web": 0.4, "code": 0.2}).collect()}
+    s2 = {r["id"] for r in stratified_sample(df2, "domain", {"web": 0.4, "code": 0.2}).collect()}
+    assert s1 == s2
+    h1 = {(r["id"], r["split"]) for r in hash_split(df1, {"a": 1, "b": 1}, key_cols=["id"]).collect()}
+    h2 = {(r["id"], r["split"]) for r in hash_split(df2, {"a": 1, "b": 1}, key_cols=["id"]).collect()}
+    assert h1 == h2

@@ -544,3 +544,46 @@ def test_sampling_invariant_to_partitioning(spark):
     h1 = {(r["id"], r["split"]) for r in hash_split(df1, {"a": 1, "b": 1}, key_cols=["id"]).collect()}
     h2 = {(r["id"], r["split"]) for r in hash_split(df2, {"a": 1, "b": 1}, key_cols=["id"]).collect()}
     assert h1 == h2
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    """The composed prep pipeline: scrub → quality gate → exact dedup →
+    near-dup clusters → decontaminate → split, with each stage's effect
+    visible in the output."""
+    from buzz_rust_spark.operators.corpus import (
+        CorpusPrepConfig,
+        prepare_training_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1 → dropped
+        (3, base.replace("dog", "cat")),  # near-dup of 1 → dropped (cluster min=1)
+        (4, "write me at alice@example.com about the distributed query engine "
+            "architecture we discussed during the long meeting yesterday ok"),
+        (5, "x"),  # too short → quality-gated
+        (6, "completely original prose about training data pipelines running "
+            "on large compute clusters with careful deduplication strategies"),
+        (7, "the benchmark question what is the capital of france appears here "
+            "verbatim inside this otherwise unremarkable document body text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(0, "what is the capital of france")], ["q_id", "text"]
+    )
+    out = prepare_training_corpus(
+        docs,
+        benchmark=bench,
+        config=CorpusPrepConfig(
+            min_quality=0.6,
+            neardup_threshold=0.5,
+            contamination_ngram=5,
+            split_weights={"train": 1.0},
+        ),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 4, 6}  # 2 exact-dup, 3 near-dup, 5 quality, 7 contaminated
+    assert "<EMAIL>" in got[4]["text"]  # scrub ran before anything downstream
+    assert all(r["split"] == "train" for r in got.values())
+    assert all("quality" in r.asDict() for r in got.values())

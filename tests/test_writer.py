@@ -159,3 +159,60 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert files_hit("l_suppkey", 40, 42) <= n // 2
     # and the data survives intact
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zonemap_prunes_zordered_catalog(spark, tmp_path):
+    """Zone-map pruning over a Z-ordered layout: a band predicate on either
+    clustered dimension shrinks the catalog's file list, and the pruned scan
+    plus the real filter returns exactly the full scan's matching rows."""
+    import os
+    from glob import glob
+
+    from buzz_rust_spark.queries.registry import load
+    from buzz_rust_spark.sources import CatalogFile, StaticCatalog
+    from buzz_rust_spark.sources.writer import write_zordered
+    from buzz_rust_spark.sources.zonemap import (
+        collect_file_stats,
+        prune_catalog_by_stats,
+    )
+
+    li = (
+        load(spark, "/root/testdata/sf0.01", "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .where("l_partkey < 4096 AND l_suppkey < 4096")
+    )
+    zpath = str(tmp_path / "zmap")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], bits=8, records_per_file=2000)
+    paths = sorted(glob(zpath + "/*.parquet"))
+    cat = StaticCatalog(
+        name="li",
+        schema=spark.read.parquet(zpath).schema,
+        files=[CatalogFile(key=p, length=os.path.getsize(p)) for p in paths],
+    )
+
+    pruned = prune_catalog_by_stats(cat, [("l_partkey", "between", (100, 120))])
+    assert len(pruned.files) <= len(cat.files) // 2  # real skipping
+    got = (
+        pruned.to_dataframe(spark)
+        .where("l_partkey BETWEEN 100 AND 120")
+        .groupBy()
+        .sum("l_quantity")
+        .first()[0]
+    )
+    want = (
+        li.where("l_partkey BETWEEN 100 AND 120").groupBy().sum("l_quantity").first()[0]
+    )
+    assert got == want
+
+    # stats reuse + unprunable column always survives
+    stats = collect_file_stats(paths, ["l_partkey", "nope"])
+    survivors = prune_catalog_by_stats(
+        cat, [("nope", ">", 1_000_000)], stats=stats
+    )
+    assert len(survivors.files) == len(cat.files)
+
+    # equality and open-ended ops
+    few = prune_catalog_by_stats(cat, [("l_suppkey", "=", 41)], stats=None)
+    assert 0 < len(few.files) < len(cat.files)
+    rows = few.to_dataframe(spark).where("l_suppkey = 41").count()
+    assert rows == li.where("l_suppkey = 41").count()

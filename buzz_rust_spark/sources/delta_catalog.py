@@ -143,6 +143,13 @@ class DeltaCatalog:
             )
             for add in live.values()
         ]
+        # per-file stats JSON from the add actions (data skipping without
+        # footer reads — consumed by sources.zonemap.stats_from_delta_log)
+        self._add_stats = {
+            os.path.join(self.table_uri, add["path"]): add["stats"]
+            for add in live.values()
+            if add.get("stats")
+        }
 
     def _static(self) -> StaticCatalog:
         return StaticCatalog(

@@ -58,6 +58,35 @@ def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
     return last, live, meta
 
 
+def _file_stats_json(path: str) -> str:
+    """Delta per-file ``stats`` JSON (numRecords / minValues / maxValues) from
+    the parquet footer — what spec-conformant readers (delta-rs and the
+    rebuild's own zone-map pruning) use for data skipping without opening the
+    file.  Columns whose footer lacks usable min/max (or whose values don't
+    JSON-serialize cleanly) are simply omitted — stats are advisory."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mins: dict = {}
+    maxs: dict = {}
+    for idx, name in enumerate(md.schema.names):
+        col_min, col_max = [], []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            if st is None or not st.has_min_max:
+                col_min = []
+                break
+            col_min.append(st.min)
+            col_max.append(st.max)
+        if col_min:
+            lo, hi = min(col_min), max(col_max)
+            if isinstance(lo, (int, float, str, bool)):
+                mins[name], maxs[name] = lo, hi
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+    )
+
+
 def _partition_values(relpath: str, partition_by: list[str]) -> dict[str, str]:
     """Parse Hive-style ``col=value`` directories from a staged relative path.
     Values are the url-decoded directory strings — Delta stores partition
@@ -180,6 +209,7 @@ def write_delta(
                 "partitionValues": _partition_values(rel, partition_by),
                 "modificationTime": now_ms,
                 "dataChange": True,
+                "stats": _file_stats_json(dest),
             }
         )
     shutil.rmtree(staging, ignore_errors=True)
@@ -289,6 +319,7 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
                         ("partitionValues", str_map),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -406,6 +437,7 @@ def optimize_delta(
                     "partitionValues": dict(key),
                     "modificationTime": now_ms,
                     "dataChange": False,
+                    "stats": _file_stats_json(dest),
                 }
             )
         removed.extend(a["path"] for a in adds)

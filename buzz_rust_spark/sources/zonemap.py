@@ -124,3 +124,26 @@ def prune_catalog_by_stats(
     return replace(
         catalog, files=prune_files_by_stats(catalog.files, stats, conjuncts)
     )
+
+
+def stats_from_delta_log(catalog) -> FileStats:
+    """Zone-map stats from a Delta table's own log (the ``stats`` JSON the
+    write path records on every add action) — zero footer reads: at 10^5
+    files the log replay the reader already did is the ONLY metadata I/O.
+
+    Files whose add action carries no stats simply get an empty entry
+    (→ unprunable, always kept)."""
+    import json as _json
+
+    out: FileStats = {}
+    for f in catalog.files:
+        per_col: dict[str, tuple[Any, Any]] = {}
+        raw = getattr(catalog, "_add_stats", {}).get(f.key)
+        if raw:
+            s = _json.loads(raw) if isinstance(raw, str) else raw
+            for col, lo in (s.get("minValues") or {}).items():
+                hi = (s.get("maxValues") or {}).get(col)
+                if hi is not None:
+                    per_col[col] = (lo, hi)
+        out[f.key] = per_col
+    return out

@@ -530,3 +530,48 @@ def test_concurrent_commit_race_rejected(spark, tmp_path):
             )
         finally:
             dw._log_state = orig
+
+
+def test_delta_stats_recorded_and_prune_from_log(spark, tmp_path):
+    """Every add action carries stats (numRecords/minValues/maxValues) from
+    the staged file's footer; zone-map pruning can then skip files using the
+    LOG alone — no footer reads — and results are unchanged."""
+    from buzz_rust_spark.sources import write_delta
+    from buzz_rust_spark.sources.zonemap import (
+        prune_files_by_stats,
+        stats_from_delta_log,
+    )
+
+    table = str(tmp_path / "w-stats")
+    for lo in (0, 100, 200):  # three files with disjoint dept_staff ranges
+        write_delta(
+            spark.createDataFrame(
+                [(f"d{lo + i}", lo + i) for i in range(10)], schema=DEPT_SCHEMA
+            ).coalesce(1),
+            table,
+        )
+    commit0 = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    adds = [json.loads(l)["add"] for l in open(commit0) if "add" in json.loads(l)]
+    s = json.loads(adds[0]["stats"])
+    assert s["numRecords"] == 10
+    assert s["minValues"]["dept_staff"] == 0 and s["maxValues"]["dept_staff"] == 9
+
+    cat = DeltaCatalog("dept", table)
+    stats = stats_from_delta_log(cat)
+    assert len(stats) == 3 and all(v for v in stats.values())
+    pruned = prune_files_by_stats(cat.files, stats, [("dept_staff", ">=", 200)])
+    assert len(pruned) == 1  # only the third file can match
+    # checkpoint round-trips stats (string field, not dropped)
+    for i in range(2):
+        write_delta(
+            spark.createDataFrame([(f"x{i}", 500 + i)], schema=DEPT_SCHEMA).coalesce(1),
+            table,
+            checkpoint_interval=5,  # versions 0..4 → checkpoint at v4
+        )
+    cps = glob_checkpoints(os.path.join(table, "_delta_log"))
+    assert cps
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(cps[0]).to_pylist()
+    cp_adds = [r["add"] for r in rows if r["add"] is not None]
+    assert all(a.get("stats") for a in cp_adds)

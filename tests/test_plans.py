@@ -91,3 +91,53 @@ def test_corpus_prep_plan_shapes(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_packing_mixing_pq_plan_shapes(spark, sf_dir):
+    """Round-2 training-pipeline additions keep scale-safe shapes: packing
+    shuffles exactly once (on the hash-partitioned packing group), corpus
+    mixing stays a narrow union of pushable hash filters, and PQ search never
+    shuffles the corpus — only the per-batch top-k survivors reach the rank
+    exchange."""
+    from buzz_rust_spark.operators.packing import pack_sequences
+    from buzz_rust_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from buzz_rust_spark.operators.sampling import mix_corpora
+    from buzz_rust_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    import re
+
+    def n_exchanges(plan: str) -> int:
+        # formatted plans repeat node names in the detail section; count tree
+        # detail headers only
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    # packing: exactly one Exchange (the groupBy on the content-derived group)
+    plan = formatted_plan(pack_sequences(docs, 500, tokens_col="n_chars"))
+    assert n_exchanges(plan) == 1, plan[:1500]
+    assert "hashpartitioning(_grp" in plan, plan[:1500]
+
+    # mixing: pure narrow plan — hash filters + union, no Exchange anywhere
+    mixed = mix_corpora(
+        {"a": docs, "b": docs},
+        weights={"a": 3.0, "b": 1.0},
+        token_budget=10_000,
+        tokens_col="n_chars",
+        key_cols=["doc_id"],
+    )
+    plan = formatted_plan(mixed)
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Union" in plan
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, dim=64, m=8, k=16, sample_size=256)
+    codes = pq_encode(emb, books)
+    plan = formatted_plan(pq_topk(codes, emb.limit(3), books, k=5))
+    # the only exchange is the final rank shuffle over shortlist rows
+    assert n_exchanges(plan) <= 2, plan[:2000]
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan

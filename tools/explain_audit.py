@@ -26,9 +26,10 @@ from buzz_rust_spark.session import get_spark
 PANDAS_UDF_OK = {
     "z01_simhash",
     "z06_ann_ivf",
-    "m01_media_features",
+    "z00_media_features",
     "z02_frame_sample",
     "z03_resize",
+    "z07_pq_search",  # pq_encode + ADC scan are the documented vectorized kernels
     "d05_embedding_neardup",
     "q26_registered_udf",  # the point of the query is the registered pandas UDF
 }

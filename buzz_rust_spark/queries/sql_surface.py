@@ -1047,6 +1047,169 @@ def q34_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to this schema (no partsupp table — lineitem is
+    the part-supplier relation): per small part, the supplier(s) achieving the
+    minimum unit cost, via a correlated MIN subquery.  Decorrelated to one
+    aggregate + broadcast join back (the plan Catalyst produces for the SQL
+    form); unit cost division is IEEE-identical across engines, so the
+    equality is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") < 5).select("p_partkey")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    costs = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_suppkey", unit
+    )
+    mins = costs.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            F.broadcast(mins),
+            (costs.l_partkey == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+        .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+def q40_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per (nation, year) profit over a 5-table join with a
+    LIKE part filter; supply cost proxied by retail price (no partsupp).
+    lineitem joins every dimension broadcast — zero fact shuffles before the
+    group-by."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    # Sum in integer CENTS: the per-row product is bit-identical in any IEEE
+    # engine, and a BIGINT sum is exact and order-independent — unlike
+    # ROUND(SUM(double), 2), whose last-ulp summation-order noise (~1e-3 at
+    # these magnitudes) straddles rounding boundaries between engines.
+    profit_cents = F.round(profit * 100).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit_cents).alias("profit_cents"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned items in
+    one quarter — 4-table join, date-window filter pushed to both fact scans,
+    top-N after one aggregation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q42_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute bucket,
+    excluding one brand and suppliers from a NOT IN subquery (negative
+    balance stands in for the complaints filter)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+"""
+    )
+
+
+def q43_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers that shipped an
+    outsized share of the filtered part family (part-name IN subquery inside
+    a grouped-HAVING IN subquery, threshold from a scalar subquery)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'a%')
+  GROUP BY l.l_suppkey
+  HAVING SUM(l.l_quantity) > (SELECT 0.001 * SUM(l2.l_quantity) FROM lineitem l2)
+)
+ORDER BY s.s_suppkey
+"""
+    )
+
+
+def q44_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on a multi-supplier
+    order — suppliers whose late line (shipped >60 days after order date) was
+    the ONLY late line on a finished multi-supplier order.  No
+    commit/receipt dates in this schema, so lateness is shipdate vs
+    orderdate."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                    ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+    )
+
+
 @register(
     "q27_shape_suite",
     tags=("join", "agg", "subquery", "suite"),
@@ -1169,16 +1332,110 @@ SELECT label, value FROM (
        OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 20 AND 30)
   ) t34
+  UNION ALL
+  SELECT 'min_cost_' || CAST(l_partkey AS VARCHAR) || '_'
+           || CAST(l_suppkey AS VARCHAR) AS label,
+         CAST(unit_cost AS DOUBLE) AS value
+  FROM (
+    SELECT DISTINCT l.l_partkey, l.l_suppkey,
+           ROUND(l.l_extendedprice / l.l_quantity, 4) AS unit_cost
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size < 5
+      AND l.l_extendedprice / l.l_quantity = (
+        SELECT MIN(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+  ) t39
+  UNION ALL
+  SELECT 'profit_' || nation || '_' || CAST(o_year AS VARCHAR) AS label,
+         CAST(profit_cents AS DOUBLE) AS value
+  FROM (
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+  ) t40
+  UNION ALL
+  SELECT 'returns_' || CAST(c_custkey AS VARCHAR) AS label,
+         CAST(revenue AS DOUBLE) AS value
+  FROM (
+    SELECT c.c_custkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+  ) t41
+  UNION ALL
+  SELECT 'suppcnt_' || p_brand || '_' || CAST(p_size AS VARCHAR) AS label,
+         CAST(supplier_cnt AS DOUBLE) AS value
+  FROM (
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+  ) t42
+  UNION ALL
+  SELECT 'excess_' || CAST(s_suppkey AS VARCHAR) AS label,
+         CAST(s_suppkey AS DOUBLE) AS value
+  FROM (
+    SELECT s.s_suppkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'a%')
+      GROUP BY l.l_suppkey
+      HAVING SUM(l.l_quantity) > (SELECT 0.001 * SUM(l2.l_quantity) FROM lineitem l2)
+    )
+  ) t43
+  UNION ALL
+  SELECT 'waiting_' || s_name AS label, CAST(numwait AS DOUBLE) AS value
+  FROM (
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                        ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+  ) t44
 ) ORDER BY label
 """,
 )
 def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eight TPC-H shapes (Q7 volume shipping, Q8 market share, Q13 order-count
-    distribution, Q18 large-quantity, Q17 correlated-AVG, Q14 promo ratio, Q15
-    top supplier, Q19 disjunctive filter) folded into one labeled (label,
-    value) union so every shape stays driver-checked within the 50-row
-    correctness window.  Each component keeps its own standalone function
-    (q27_volume_shipping .. q34_disjunctive_filter) and its broadcast-dim plan;
+    """Fourteen TPC-H shapes (Q7 volume shipping, Q8 market share, Q13
+    order-count distribution, Q18 large-quantity, Q17 correlated-AVG, Q14
+    promo ratio, Q15 top supplier, Q19 disjunctive filter, Q2 min-cost
+    supplier, Q9 product profit, Q10 returned items, Q16 supplier-part
+    counts, Q20 nested-IN excess shippers, Q21 EXISTS/NOT-EXISTS waiting
+    orders) folded into one labeled (label, value) union so every shape stays
+    driver-checked within the 50-row correctness window.  Each component
+    keeps its own standalone function (q27_volume_shipping ..
+    q44_waiting_orders) and its broadcast-dim plan (q44's fact-to-fact anti
+    join is deliberately SortMergeJoin — neither side broadcasts at scale);
     the union is append-only — no extra shuffle beyond the components'."""
 
     def lv(df: DataFrame, label_col, value_col) -> DataFrame:
@@ -1222,6 +1479,51 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue",
         ),
         lv(q34_disjunctive_filter(spark, sf_dir), F.lit("disjunctive_revenue"), "revenue"),
+        lv(
+            q39_min_cost_supplier(spark, sf_dir),
+            F.concat(
+                F.lit("min_cost_"),
+                F.col("l_partkey").cast("string"),
+                F.lit("_"),
+                F.col("l_suppkey").cast("string"),
+            ),
+            "unit_cost",
+        ),
+        lv(
+            q40_product_profit(spark, sf_dir),
+            F.concat(
+                F.lit("profit_"),
+                F.col("nation"),
+                F.lit("_"),
+                F.col("o_year").cast("string"),
+            ),
+            "profit_cents",
+        ),
+        lv(
+            q41_returned_items(spark, sf_dir),
+            F.concat(F.lit("returns_"), F.col("c_custkey").cast("string")),
+            "revenue",
+        ),
+        lv(
+            q42_supplier_part_counts(spark, sf_dir),
+            F.concat(
+                F.lit("suppcnt_"),
+                F.col("p_brand"),
+                F.lit("_"),
+                F.col("p_size").cast("string"),
+            ),
+            "supplier_cnt",
+        ),
+        lv(
+            q43_excess_shippers(spark, sf_dir),
+            F.concat(F.lit("excess_"), F.col("s_suppkey").cast("string")),
+            "s_suppkey",
+        ),
+        lv(
+            q44_waiting_orders(spark, sf_dir),
+            F.concat(F.lit("waiting_"), F.col("s_name")),
+            "numwait",
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:

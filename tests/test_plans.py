@@ -14,7 +14,13 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
 
-from explain_audit import BNLJ_OK, PANDAS_UDF_OK, audit, formatted_plan  # noqa: E402
+from explain_audit import (  # noqa: E402
+    BNLJ_OK,
+    PANDAS_UDF_OK,
+    SMJ_OK,
+    audit,
+    formatted_plan,
+)
 
 from buzz_rust_spark.queries import all_queries  # noqa: E402
 
@@ -57,7 +63,7 @@ def test_sql_surface_plan_shape(spark, sf_dir, name):
     plan = formatted_plan(q.fn(spark, sf_dir))
     warnings = audit(name, plan)
     assert not warnings, f"{name}: {warnings}\n{plan[:2000]}"
-    if name.startswith("q"):
+    if name.startswith("q") and name not in SMJ_OK:
         assert "SortMergeJoin" not in plan, f"{name}: missed broadcast\n{plan[:2000]}"
 
 

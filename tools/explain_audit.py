@@ -39,6 +39,11 @@ PANDAS_UDF_OK = {
 # whose broadcast side is literally one row is the correct scalar-subquery
 # plan (no key exists to hash on).
 BNLJ_OK = {"s01_ann_bruteforce", "q37_nation_value_share"}
+# Fact-to-fact joins where neither side is broadcastable at scale: the Q21
+# shape (q44, folded into the suite) anti-joins lineitem against the
+# late-lineitems subset — both grow with the corpus, so SortMergeJoin IS the
+# 100 TB-correct strategy (broadcast would OOM at scale).
+SMJ_OK = {"q27_shape_suite"}
 
 
 def formatted_plan(df) -> str:

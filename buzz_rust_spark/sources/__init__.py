@@ -13,8 +13,12 @@ from .static_catalog import StaticCatalog
 from .delta_catalog import DeltaCatalog, read_delta_changes
 from .delta_writer import optimize_delta, vacuum_delta, write_delta
 from .parquet_dir import ParquetDirCatalog
+from .text_formats import CsvCatalog, JsonLinesCatalog, quarantine_split
 
 __all__ = [
+    "CsvCatalog",
+    "JsonLinesCatalog",
+    "quarantine_split",
     "CatalogFile",
     "manifest_df",
     "prune_manifest",

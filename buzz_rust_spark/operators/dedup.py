@@ -215,27 +215,43 @@ def minhash_signatures(
     num_hashes: int = 32,
     hash_fn: str = "fast",
     _shingles: DataFrame | None = None,
+    _hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<long> of length ``num_hashes``) per document.
 
     Signature i = min over shingles s of (a_i * h(s) + b_i) mod p.  The whole
     computation is two nested higher-order functions over the shingle array —
     no explode, no shuffle, evaluated in codegen.  ``_shingles`` lets a caller
-    share one (possibly persisted) shingle relation across plan branches."""
+    share one (possibly persisted) shingle relation across plan branches;
+    ``_hashed_shingles`` (``_id``, ``_hs array<long>`` of raw shingle hashes)
+    skips the string-hash fold entirely."""
     params = _minhash_params(num_hashes)
-    sh = _shingles if _shingles is not None else _with_shingles(df, text_col, id_col, n)
-    # Materialize the per-shingle hash array in its own projection so the
-    # string hash fold runs once, not once per permutation (Catalyst does not
-    # CSE across the k lambdas).  (h % p + p) % p maps xxhash64's negative
-    # outputs into [0, p).
-    hashed = sh.select(
-        "_id",
-        F.transform(
-            F.col("_shingles"),
-            lambda s: (hash_column(s, hash_fn) % MINHASH_PRIME + MINHASH_PRIME)
-            % MINHASH_PRIME,
-        ).alias("_hashes"),
-    )
+    if _hashed_shingles is not None:
+        hashed = _hashed_shingles.select(
+            "_id",
+            F.transform(
+                F.col("_hs"),
+                lambda h: (h % MINHASH_PRIME + MINHASH_PRIME) % MINHASH_PRIME,
+            ).alias("_hashes"),
+        )
+    else:
+        sh = (
+            _shingles
+            if _shingles is not None
+            else _with_shingles(df, text_col, id_col, n)
+        )
+        # Materialize the per-shingle hash array in its own projection so the
+        # string hash fold runs once, not once per permutation (Catalyst does
+        # not CSE across the k lambdas).  (h % p + p) % p maps xxhash64's
+        # negative outputs into [0, p).
+        hashed = sh.select(
+            "_id",
+            F.transform(
+                F.col("_shingles"),
+                lambda s: (hash_column(s, hash_fn) % MINHASH_PRIME + MINHASH_PRIME)
+                % MINHASH_PRIME,
+            ).alias("_hashes"),
+        )
 
     def permuted_min(a: int, b: int):
         # closure factory: keeps the lambda unary (pyspark derives the
@@ -270,31 +286,37 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    # One shingle relation serves signature generation AND both verification
-    # join sides; persisting it avoids re-shingling the corpus three times.
-    sh = _with_shingles(df, text_col, id_col, n).persist()
+    # ONE hashed-shingle relation (_id, _hs array<long>) serves signature
+    # generation AND both verification join sides; persisting it avoids
+    # re-shingling the corpus three times, and carrying 8-byte hashes instead
+    # of shingle strings keeps the verification join rows ~10× narrower (the
+    # Jaccard over distinct hashes equals the Jaccard over distinct shingles
+    # modulo 64-bit collisions).
+    sh = _with_shingles(df, text_col, id_col, n)
+    shh = sh.select(
+        "_id",
+        F.transform(F.col("_shingles"), lambda s: hash_column(s, hash_fn)).alias(
+            "_hs"
+        ),
+    ).persist()
     # Persist signatures too: the band posexplode below would otherwise
     # re-evaluate the full 32-permutation signature expression per emitted
     # band row (generator-input re-evaluation, see _exploded_shingle_index).
     sigs = minhash_signatures(
-        df, text_col, id_col, n, num_hashes, hash_fn, _shingles=sh
+        df, text_col, id_col, n, num_hashes, hash_fn, _hashed_shingles=shh
     ).persist()
+    # Band digest: the raw signature row for r=1, else xxhash64 of the row
+    # slice — an 8-byte join key either way (string concat digests shuffle
+    # several× more bytes and compare slower).
+    if r == 1:
+        digests = [F.col("signature")[j] for j in range(bands)]
+    else:
+        digests = [
+            F.xxhash64(F.slice("signature", j * r + 1, r)) for j in range(bands)
+        ]
     banded = sigs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice("signature", j * r + 1, r),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("_band", "_digest"),
+        F.posexplode(F.array(*digests)).alias("_band", "_digest"),
     )
     candidates = (
         banded.alias("a")
@@ -307,11 +329,11 @@ def minhash_lsh_pairs(
     )
     verified = (
         candidates.join(
-            sh.select(F.col("_id").alias("id_1"), F.col("_shingles").alias("_sh1")),
+            shh.select(F.col("_id").alias("id_1"), F.col("_hs").alias("_sh1")),
             on="id_1",
         )
         .join(
-            sh.select(F.col("_id").alias("id_2"), F.col("_shingles").alias("_sh2")),
+            shh.select(F.col("_id").alias("id_2"), F.col("_hs").alias("_sh2")),
             on="id_2",
         )
         .select(

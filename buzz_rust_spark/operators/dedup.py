@@ -125,49 +125,54 @@ def ngram_jaccard_pairs(
     cap — at threshold ≥ 0.5 that means half a document's shingles each occur
     in 10k+ documents, which is the pathological case the cap exists for.
     """
-    # Materialize the inverted index once: it feeds several plan branches
-    # (sizes, hot-set, self-join sides); unpersisted, the scan+shingle+hash
-    # subplan would execute once per branch.  O(total shingles) longs,
-    # spilling to disk if needed.
+    # Materialize the inverted index once: it feeds two aggregation branches
+    # (per-doc sizes, per-shingle buckets); unpersisted, the
+    # scan+shingle+hash subplan would execute once per branch.  O(total
+    # shingles) longs, spilling to disk if needed.
     exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn).persist()
     # |shingles(doc)| derived from the exploded side (shingles are distinct
     # per doc) instead of re-shingling the corpus in a second plan branch.
     sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    doc_hot = None
-    cold = exploded
-    if shingle_df_cap is not None:
-        # The hot set is driver-bounded by construction: only shingles in
-        # MORE than `cap` documents qualify, so |hot| ≤ total_shingles/cap
-        # (the same bounded-collect class as the IVF training sample).
-        # Collecting it lets the common case — no hot shingles at this cap —
-        # cost exactly one aggregation pass over the cached index, with no
-        # anti-join, no second persist, and no correction joins in the plan.
-        hot_hashes = [
-            r["_h"]
-            for r in exploded.groupBy("_h")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > shingle_df_cap)
-            .select("_h")
-            .collect()
-        ]
-        if hot_hashes:
-            # JVM In-predicate on the cached index (no shuffle, no join).
-            in_hot = F.col("_h").isin(hot_hashes)
-            cold = exploded.where(~in_hot)
-            # Per-doc hot-shingle arrays: ≤ |hot| entries each, used to
-            # restore exact common counts for pairs sharing hot shingles.
-            doc_hot = (
-                exploded.where(in_hot)
-                .groupBy("_id")
-                .agg(F.sort_array(F.collect_list("_h")).alias("_hot"))
-            )
-    common = (
-        cold.alias("a")
-        .join(cold.alias("b"), on="_h")
-        .where(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
-        .agg(F.count(F.lit(1)).alias("_common"))
+    # ONE shuffle groups the index into per-shingle posting lists; candidate
+    # pairs are generated inside each bucket (sorted ids → id_1 < id_2 for
+    # free).  The previous shape — self-join on the shingle hash — shuffled
+    # the full index TWICE (once per join side) plus a third pass to find hot
+    # shingles; here bucket size doubles as document frequency, so the hot
+    # set falls out of the same aggregation with no extra pass and no driver
+    # collect.  Pair volume is identical (Σ bucket²); buckets are persisted
+    # because the cold-pairs and hot-correction branches both read them.
+    buckets = (
+        exploded.groupBy("_h")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
+        .persist()
     )
+    doc_hot = None
+    cold_buckets = buckets
+    if shingle_df_cap is not None:
+        cold_buckets = buckets.where(F.size("_ids") <= shingle_df_cap)
+        # Per-doc hot-shingle arrays (shingles in MORE than `cap` documents —
+        # stopword runs whose buckets would be quadratic at corpus scale),
+        # used to restore exact common counts for pairs sharing hot shingles.
+        # The hot relation is tiny by construction: ≤ total_shingles/cap rows.
+        doc_hot = (
+            buckets.where(F.size("_ids") > shingle_df_cap)
+            .select("_h", F.explode("_ids").alias("_id"))
+            .groupBy("_id")
+            .agg(F.sort_array(F.collect_list("_h")).alias("_hot"))
+        )
+    # Two chained generators keep per-row memory bounded by one posting list
+    # (never the full pairs array of a bucket): explode the left id with its
+    # position, then explode the ids after it.
+    pairs = cold_buckets.select(
+        F.posexplode("_ids").alias("_i", "id_1"), F.col("_ids")
+    ).select(
+        "id_1",
+        F.explode(
+            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+        ).alias("id_2"),
+    )
+    common = pairs.groupBy("id_1", "id_2").agg(F.count(F.lit(1)).alias("_common"))
     if doc_hot is not None:
         no_hot = F.array().cast("array<long>")
         common = (

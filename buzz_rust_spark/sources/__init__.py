@@ -11,7 +11,13 @@ Reference parity map:
 from .manifest import CatalogFile, manifest_df, prune_manifest
 from .static_catalog import StaticCatalog
 from .delta_catalog import DeltaCatalog, read_delta_changes
-from .delta_writer import optimize_delta, vacuum_delta, write_delta
+from .delta_writer import (
+    delete_delta,
+    merge_delta,
+    optimize_delta,
+    vacuum_delta,
+    write_delta,
+)
 from .parquet_dir import ParquetDirCatalog
 from .text_formats import CsvCatalog, JsonLinesCatalog, quarantine_split
 
@@ -27,6 +33,8 @@ __all__ = [
     "read_delta_changes",
     "ParquetDirCatalog",
     "write_delta",
+    "merge_delta",
+    "delete_delta",
     "optimize_delta",
     "vacuum_delta",
 ]

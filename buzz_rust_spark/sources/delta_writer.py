@@ -121,6 +121,62 @@ def _txn_state(log_dir: str) -> dict[str, int]:
     return seen
 
 
+def _claim_commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    """Write the versioned commit JSON, claiming the filename exclusively
+    (optimistic concurrency — a racing writer gets FileExistsError, not a
+    torn log)."""
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as exc:
+        raise BuzzExecutionError(
+            f"concurrent Delta commit detected at version {version}"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _stage_and_promote(
+    df: DataFrame,
+    table_dir: str,
+    version: int,
+    partition_by: list[str],
+    now_ms: int,
+    data_change: bool = True,
+    tag: str = "staging",
+) -> list[dict]:
+    """Stage a distributed parquet write and promote the files into the table
+    directory; returns the corresponding ``add`` action dicts.  Zero-row
+    partitions produce no files — an empty list is a valid outcome for
+    rewrite paths (merge/delete may shrink a file set to nothing)."""
+    staging = os.path.join(table_dir, f".{tag}-{version:020d}-{uuid.uuid4().hex[:8]}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    adds: list[dict] = []
+    for fpath in sorted(
+        glob(os.path.join(staging, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(fpath, staging)
+        dest = os.path.join(table_dir, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(fpath, dest)
+        adds.append(
+            {
+                "path": rel.replace(os.sep, "/"),
+                "size": os.path.getsize(dest),
+                "partitionValues": _partition_values(rel, partition_by),
+                "modificationTime": now_ms,
+                "dataChange": data_change,
+                "stats": _file_stats_json(dest),
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
 def write_delta(
     df: DataFrame,
     table_uri: str,
@@ -184,35 +240,11 @@ def write_delta(
                 f" {sorted(theirs)}"
             )
 
-    # 1. Stage the data write (distributed; nothing passes through the driver).
-    staging = os.path.join(table_dir, f".staging-{version:020d}-{uuid.uuid4().hex[:8]}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-
-    # 2. Promote staged files into the table directory (names are unique
-    #    part-...-uuid, so moves cannot collide with live files).
-    adds: list[dict] = []
+    # Stage the data write (distributed; nothing passes through the driver)
+    # and promote the files (names are unique part-...-uuid, so moves cannot
+    # collide with live files).
     now_ms = int(time.time() * 1000)
-    for fpath in sorted(
-        glob(os.path.join(staging, "**", "*.parquet"), recursive=True)
-    ):
-        rel = os.path.relpath(fpath, staging)
-        dest = os.path.join(table_dir, rel)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        shutil.move(fpath, dest)
-        adds.append(
-            {
-                "path": rel.replace(os.sep, "/"),
-                "size": os.path.getsize(dest),
-                "partitionValues": _partition_values(rel, partition_by),
-                "modificationTime": now_ms,
-                "dataChange": True,
-                "stats": _file_stats_json(dest),
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    adds = _stage_and_promote(df, table_dir, version, partition_by, now_ms)
     if not adds:
         raise BuzzExecutionError("write produced no parquet files")
 
@@ -252,16 +284,7 @@ def write_delta(
             }
         )
 
-    commit_path = os.path.join(log_dir, f"{version:020d}.json")
-    try:
-        fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    except FileExistsError as exc:
-        raise BuzzExecutionError(
-            f"concurrent Delta commit detected at version {version}"
-        ) from exc
-    with os.fdopen(fd, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
+    _claim_commit(log_dir, version, actions)
 
     if (version + 1) % checkpoint_interval == 0:
         _write_checkpoint(log_dir, version)
@@ -454,16 +477,296 @@ def optimize_delta(
         for path in sorted(removed)
     ]
     actions.extend({"add": a} for a in new_adds)
-    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    _claim_commit(log_dir, version, actions)
+    if (version + 1) % checkpoint_interval == 0:
+        _write_checkpoint(log_dir, version)
+    return version
+
+
+def _declared_schema(meta: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _read_table_files(spark, table_dir: str, rels: list[str], meta: dict):
+    """Read live data files back to the DECLARED table schema.  Partitioned
+    tables: data files lack the partition columns (written via partitionBy),
+    so read with basePath to re-attach them from the directory structure,
+    then cast — directory inference types numeric-looking strings as ints,
+    the metaData schemaString is authoritative."""
+    from pyspark.sql import functions as F
+
+    schema = _declared_schema(meta)
+    paths = [os.path.join(table_dir, r) for r in rels]
+    reader = spark.read
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", table_dir)
+    df = reader.parquet(*paths)
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def _key_overlap_candidates(live: dict[str, dict], ranges: dict) -> list[str]:
+    """Live files whose per-column stats ranges overlap the source key ranges
+    on EVERY key column — a file whose [min,max] misses the source range on
+    any key column provably contains no matching row (same zone-map logic as
+    sources/zonemap.py, evaluated from the stats recorded on add actions).
+    Files without usable stats are always candidates (prune must be safe)."""
+    out = []
+    for rel, add in live.items():
+        try:
+            st = json.loads(add.get("stats") or "{}")
+        except (TypeError, ValueError):
+            st = {}
+        mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            if lo is None or col not in mins or col not in maxs:
+                continue  # no stats on one side → unprunable
+            try:
+                if mins[col] > hi or maxs[col] < lo:
+                    keep = False
+                    break
+            except TypeError:
+                continue  # cross-type comparison → unprunable
+        if keep:
+            out.append(rel)
+    return out
+
+
+def merge_delta(
+    spark,
+    table_uri: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    checkpoint_interval: int = 10,
+) -> int | None:
+    """MERGE INTO (upsert) with copy-on-write file rewrites — the missing
+    mutation in an append/overwrite-only log, and the primitive behind
+    incremental pipelines (CDC upserts, backfill corrections, dedup-store
+    refresh).  ``when_matched``: ``'update'`` replaces the matched target row
+    with the source row, ``'delete'`` drops it, ``None`` leaves it.
+    ``when_not_matched='insert'`` appends source rows whose keys are absent.
+    Whole-row semantics: the source schema must equal the table schema.
+
+    Returns the committed version, or ``None`` when the merge is a no-op.
+
+    Scale shape: only files that can contain a matching key are touched —
+    candidates are pruned by the per-file min/max stats on the add actions
+    (no data read), then confirmed by a key-column scan (parquet column
+    pruning: just the join keys) joined against the source; everything else
+    is untouched metadata.  The rewrite reads exactly the touched files once.
+    The source is read several times (dup-check, ranges, joins) — callers
+    merge a batch, not a corpus; Delta's own MERGE makes the same assumption.
+    """
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete", None):
+        raise BuzzBadRequestError(
+            f"when_matched must be update|delete|None, got {when_matched!r}"
+        )
+    if when_not_matched not in ("insert", None):
+        raise BuzzBadRequestError(
+            f"when_not_matched must be insert|None, got {when_not_matched!r}"
+        )
+    if when_matched is None and when_not_matched is None:
+        raise BuzzBadRequestError("merge with no clauses is a no-op by construction")
+    on = list(on)
+    if not on:
+        raise BuzzBadRequestError("merge requires at least one key column")
+
+    table_dir = table_uri.removeprefix("file://")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    last_version, live, meta = _log_state(log_dir)
+    if last_version < 0:
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    schema = _declared_schema(meta)
+    names = [f.name for f in schema.fields]
+    for k in on:
+        if k not in names:
+            raise BuzzBadRequestError(f"merge key {k!r} not a table column")
+    ours = {f.name: f.dataType for f in source.schema.fields}
+    theirs = {f.name: f.dataType for f in schema.fields}
+    if ours != theirs:
+        raise BuzzSchemaError(
+            f"merge source schema mismatch vs table metaData: {sorted(ours)}"
+            f" vs {sorted(theirs)}"
+        )
+    partition_by = list(meta.get("partitionColumns", []))
+
+    source = source.persist()
     try:
-        fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    except FileExistsError as exc:
-        raise BuzzExecutionError(
-            f"concurrent Delta commit detected at version {version}"
+        # Ambiguous-merge guard (Delta parity): two source rows matching one
+        # target row would make the result nondeterministic.
+        dup = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise BuzzBadRequestError("merge source has duplicate key rows")
+
+        # Source key ranges (one small agg) → stats-pruned candidate files.
+        row = source.agg(
+            *[F.min(k).alias(f"_lo_{k}") for k in on],
+            *[F.max(k).alias(f"_hi_{k}") for k in on],
+        ).first()
+        ranges = {k: (row[f"_lo_{k}"], row[f"_hi_{k}"]) for k in on}
+        candidates = _key_overlap_candidates(live, ranges)
+
+        src_keys = source.select(*on)
+        touched: list[str] = []
+        tgt_keys = None
+        if candidates:
+            cand_df = _read_table_files(spark, table_dir, candidates, meta)
+            # Key-column scan + file attribution; the join's source side is a
+            # batch → broadcast by Spark's own sizing.
+            hits = (
+                cand_df.select(*on, F.input_file_name().alias("_f"))
+                .join(src_keys, on=on, how="inner")
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+            by_abs = {
+                os.path.abspath(os.path.join(table_dir, rel)): rel for rel in live
+            }
+            touched = sorted(
+                by_abs[os.path.abspath(r["_f"].removeprefix("file://"))]
+                for r in hits
+            )
+            tgt_keys = cand_df.select(*on)
+
+        version = last_version + 1
+        now_ms = int(time.time() * 1000)
+        adds: list[dict] = []
+
+        if when_matched is None:
+            # Matched rows are untouched → no file needs rewriting; the
+            # touched set only informed the not-matched detection.
+            touched = []
+        rewritten = None
+        if touched:
+            touched_df = _read_table_files(spark, table_dir, touched, meta)
+            keep = touched_df.join(src_keys, on=on, how="left_anti")
+            rewritten = keep
+            if when_matched == "update":
+                matched_src = source.join(tgt_keys, on=on, how="left_semi")
+                rewritten = keep.unionByName(matched_src.select(*names))
+            # when_matched == "delete" → keep only the unmatched rows
+        inserts = None
+        if when_not_matched == "insert":
+            inserts = (
+                source.join(tgt_keys, on=on, how="left_anti")
+                if tgt_keys is not None
+                else source
+            ).select(*names)
+
+        out = rewritten
+        if inserts is not None:
+            out = inserts if out is None else out.unionByName(inserts)
+        if out is None or (not touched and when_not_matched is None):
+            return None  # nothing matched and nothing to insert
+
+        adds = _stage_and_promote(
+            out, table_dir, version, partition_by, now_ms, tag="merge"
+        )
+        if not touched and not adds:
+            return None  # insert-only merge with an empty insert set
+
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for rel in touched
+        ]
+        actions.extend({"add": a} for a in adds)
+        _claim_commit(log_dir, version, actions)
+        if (version + 1) % checkpoint_interval == 0:
+            _write_checkpoint(log_dir, version)
+        return version
+    finally:
+        source.unpersist()
+
+
+def delete_delta(
+    spark,
+    table_uri: str,
+    predicate: str,
+    checkpoint_interval: int = 10,
+) -> int | None:
+    """DELETE FROM ``table`` WHERE ``predicate`` with copy-on-write rewrites.
+    Returns the committed version, or ``None`` when no row matched.
+
+    Scale shape: a predicate-column scan (parquet pushdown + column pruning)
+    attributes matching rows to files; only files with ≥1 match are rewritten
+    WITHOUT their matching rows — a delete of a cold partition touches no hot
+    file.  Prior versions stay time-travelable (removed files leave the
+    snapshot, not the disk; see :func:`vacuum_delta`)."""
+    from pyspark.sql import functions as F
+
+    table_dir = table_uri.removeprefix("file://")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    last_version, live, meta = _log_state(log_dir)
+    if last_version < 0:
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    if not live:
+        return None
+    partition_by = list(meta.get("partitionColumns", []))
+
+    all_df = _read_table_files(spark, table_dir, sorted(live), meta)
+    try:
+        cond = F.expr(predicate)
+        hits = (
+            all_df.where(cond)
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+        )
+    except Exception as exc:  # noqa: BLE001 — analyzer errors become typed
+        raise BuzzBadRequestError(
+            f"invalid delete predicate {predicate!r}: {exc}"
         ) from exc
-    with os.fdopen(fd, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
+    if not hits:
+        return None
+    by_abs = {os.path.abspath(os.path.join(table_dir, rel)): rel for rel in live}
+    touched = sorted(
+        by_abs[os.path.abspath(r["_f"].removeprefix("file://"))] for r in hits
+    )
+
+    version = last_version + 1
+    now_ms = int(time.time() * 1000)
+    # Survivor = NOT (predicate IS TRUE): a NULL predicate result does not
+    # delete the row (SQL DELETE semantics) — a bare ~cond would silently
+    # drop NULL-evaluating rows from the rewrite.
+    survivors = _read_table_files(spark, table_dir, touched, meta).where(
+        ~F.coalesce(cond, F.lit(False))
+    )
+    adds = _stage_and_promote(
+        survivors, table_dir, version, partition_by, now_ms, tag="delete"
+    )
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for rel in touched
+    ]
+    actions.extend({"add": a} for a in adds)
+    _claim_commit(log_dir, version, actions)
     if (version + 1) % checkpoint_interval == 0:
         _write_checkpoint(log_dir, version)
     return version

@@ -269,6 +269,26 @@ def minhash_signatures(
     return hashed.select(F.col("_id").alias(id_col), sig.alias("signature"))
 
 
+def band_signatures(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Explode (id, signature) into (``_id``, ``_band``, ``_digest``) LSH
+    band rows.  The digest is the raw signature element for r=1, else
+    xxhash64 of the band slice — an 8-byte join key either way (string
+    concat digests shuffle several× more bytes and compare slower)."""
+    r = rows_per_band
+    if r == 1:
+        digests = [F.col("signature")[j] for j in range(bands)]
+    else:
+        digests = [
+            F.xxhash64(F.slice("signature", j * r + 1, r)) for j in range(bands)
+        ]
+    return sigs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*digests)).alias("_band", "_digest"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -310,19 +330,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, n, num_hashes, hash_fn, _hashed_shingles=shh
     ).persist()
-    # Band digest: the raw signature row for r=1, else xxhash64 of the row
-    # slice — an 8-byte join key either way (string concat digests shuffle
-    # several× more bytes and compare slower).
-    if r == 1:
-        digests = [F.col("signature")[j] for j in range(bands)]
-    else:
-        digests = [
-            F.xxhash64(F.slice("signature", j * r + 1, r)) for j in range(bands)
-        ]
-    banded = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.array(*digests)).alias("_band", "_digest"),
-    )
+    banded = band_signatures(sigs, id_col, bands, r)
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), on=["_band", "_digest"])

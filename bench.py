@@ -46,38 +46,44 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in queries.items():
         best = float("inf")
-        for _ in range(n_runs):
-            # Drop relations the previous run persisted (the dedup/ANN
-            # operators cache intermediates): leftover cached blocks both
-            # distort the next run and build executor memory pressure whose
-            # GC pauses land on an arbitrary later query.
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            # noop sink forces full evaluation of every column without
-            # driver-side materialization (count() alone would let Catalyst
-            # prune).
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(n_runs):
+                # Drop relations the previous run persisted (the dedup/ANN
+                # operators cache intermediates): leftover cached blocks both
+                # distort the next run and build executor memory pressure whose
+                # GC pauses land on an arbitrary later query.
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = q.fn(spark, sf_dir)
+                # noop sink forces full evaluation of every column without
+                # driver-side materialization (count() alone would let Catalyst
+                # prune).
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # zero out the whole benchmark (round 2 lost its numbers to a
+            # single AnalysisException); record it and keep measuring.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         # best-of-n: each query is timed warm and uncontended; the min is the
         # steady-state number (single runs showed +5-8 s noise landing on a
         # random query per run from host jitter).
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

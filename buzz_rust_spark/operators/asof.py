@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import BuzzBadRequestError
+from ..functions.timeutil import epoch_seconds
 
 
 def asof_join(
@@ -87,8 +88,13 @@ def asof_join(
     ).where(F.col("__is_right") == 0)
 
     if tolerance_seconds is not None:
+        # Type-aware epoch extraction: ts columns read from TIMESTAMP(NANOS)
+        # parquet are TIMESTAMP_NTZ in Spark 4, which cannot cast to double.
+        ts_type = unioned.schema["__event_ts"].dataType
+        match_ts_type = right.schema[right_ts].dataType
         distance = F.abs(
-            F.col("__event_ts").cast("double") - F.col("__match.__ts").cast("double")
+            epoch_seconds(F.col("__event_ts"), ts_type)
+            - epoch_seconds(F.col("__match.__ts"), match_ts_type)
         )
         carried = carried.withColumn(
             "__match",

@@ -19,11 +19,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import BuzzBadRequestError
+from ..functions.timeutil import epoch_seconds
 
 
-def _bucket(col: Column, width_seconds: float) -> Column:
+def _bucket(df: DataFrame, colname: str, width_seconds: float) -> Column:
     # Timestamps quantize via their epoch seconds; numerics quantize directly.
-    return F.floor(col.cast("double") / F.lit(width_seconds)).cast("long")
+    # Type dispatch is required: Spark 4 reads parquet TIMESTAMP(NANOS) as
+    # TIMESTAMP_NTZ, which cannot be blind-cast to double.
+    secs = epoch_seconds(F.col(colname), df.schema[colname].dataType)
+    return F.floor(secs / F.lit(width_seconds)).cast("long")
 
 
 def range_join(
@@ -51,13 +55,13 @@ def range_join(
             f"ambiguous columns on both sides of range join: {sorted(overlap)}"
         )
 
-    p = points.withColumn("__b", _bucket(F.col(point_col), bucket_width))
+    p = points.withColumn("__b", _bucket(points, point_col, bucket_width))
     iv = intervals.withColumn(
         "__b",
         F.explode(
             F.sequence(
-                _bucket(F.col(start_col), bucket_width),
-                _bucket(F.col(end_col), bucket_width),
+                _bucket(intervals, start_col, bucket_width),
+                _bucket(intervals, end_col, bucket_width),
             )
         ),
     )
@@ -110,8 +114,8 @@ def interval_overlap_join(
         "__b",
         F.explode(
             F.sequence(
-                _bucket(F.col(left_start), bucket_width),
-                _bucket(F.col(left_end), bucket_width),
+                _bucket(left, left_start, bucket_width),
+                _bucket(left, left_end, bucket_width),
             )
         ),
     )
@@ -119,8 +123,8 @@ def interval_overlap_join(
         "__b",
         F.explode(
             F.sequence(
-                _bucket(F.col(right_start), bucket_width),
-                _bucket(F.col(right_end), bucket_width),
+                _bucket(right, right_start, bucket_width),
+                _bucket(right, right_end, bucket_width),
             )
         ),
     )

@@ -64,20 +64,19 @@ def all_queries() -> dict[str, QueryDef]:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    if table == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS); a vanilla SparkSession
-        # (e.g. the correctness driver's) rejects it with PARQUET_TYPE_ILLEGAL.
-        # The conf is runtime-settable, so make load() self-sufficient instead
-        # of depending on the session builder in session.py.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, read as raw int64 nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) — convert to micros timestamp.
-        # `div` keeps the arithmetic integral (ns values exceed double's 2^53).
+        # events.parquet stores ts as TIMESTAMP(NANOS): Spark 4 reads it
+        # natively as TIMESTAMP_NTZ (micros truncation).  If the hosting
+        # session still sets the legacy spark.sql.legacy.parquet.nanosAsLong
+        # conf, ts arrives as raw int64 nanos — convert for type parity.
+        # `div` keeps the arithmetic integral (ns exceed double's 2^53).
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
     return df

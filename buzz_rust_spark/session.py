@@ -52,11 +52,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Parquet TIMESTAMP(NANOS) (the events table) is unreadable by Spark's
-        # vectorized reader; read raw int64 nanos and convert at load
-        # (queries/registry.py load()) — micros truncation documented in
-        # SURVEY.md §1.3.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet TIMESTAMP(NANOS) (the events table) reads natively as
+        # TIMESTAMP_NTZ in Spark 4 (micros truncation documented in SURVEY.md
+        # §1.3); no legacy conf — sessions built here must behave identically
+        # to the correctness driver's vanilla session.
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

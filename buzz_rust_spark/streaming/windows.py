@@ -10,6 +10,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP event time; parquet TIMESTAMP(NANOS)
+    reads as TIMESTAMP_NTZ in Spark 4 (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    otherwise).  Applied only on the watermarked/streaming path so batch
+    results keep their driver-checked NTZ types."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def windowed_event_counts(
@@ -27,7 +38,7 @@ def windowed_event_counts(
     value_sum."""
     df = events
     if watermark is not None:
-        df = df.withWatermark(ts_col, watermark)
+        df = _as_event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(
             F.window(F.col(ts_col), window_duration).alias("_w"), F.col(key_col)
@@ -97,7 +108,11 @@ def dedup_events(
     the oracle the streaming test compares against."""
     keys = keys or ["event_id"]
     if events.isStreaming:
-        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+        return (
+            _as_event_time(events, ts_col)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
     return events.dropDuplicates(keys)
 
 
@@ -125,9 +140,9 @@ def click_purchase_stream_join(
         F.col("ts").alias("purchase_ts"),
     )
     if clicks.isStreaming:
-        c = c.withWatermark("click_ts", watermark)
+        c = _as_event_time(c, "click_ts").withWatermark("click_ts", watermark)
     if purchases.isStreaming:
-        p = p.withWatermark("purchase_ts", watermark)
+        p = _as_event_time(p, "purchase_ts").withWatermark("purchase_ts", watermark)
     return c.join(
         p,
         (F.col("user_id") == F.col("p_user_id"))

@@ -88,16 +88,32 @@ def _with_shingles(
 def _exploded_shingle_index(
     df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str
 ) -> DataFrame:
-    """(doc id, shingle hash) inverted index, one row per (doc, shingle).
+    """(doc id, doc shingle count, shingle hash) inverted index, one row per
+    (doc, shingle).
 
     The explode is built INLINE over the shingle expression: feeding a
     generator from a prior projection makes Spark re-evaluate the (expensive)
     shingle construction once per *output* row instead of once per document —
-    measured ~10× slower on this corpus.  Keep generator inputs inline."""
-    return ensure_parallelism(df).select(
+    measured ~10× slower on this corpus.  Keep generator inputs inline.
+
+    ``_n`` (the document's distinct-shingle count, needed for the Jaccard
+    denominator) rides along on every index row.  It MUST be computed in a
+    projection BELOW the Generate so it evaluates once per DOCUMENT and is
+    passed through: referencing size(shingles) in the same select as the
+    explode puts it in the Generate's PARENT project, i.e. once per shingle
+    (measured 8× slower).  Net cost: one extra shingle pass per document at
+    index build, which removes a whole per-doc aggregation + two downstream
+    joins that round 2 spent re-deriving sizes from the index."""
+    with_n = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
+        F.col(text_col),
+        F.size(word_shingles(F.col(text_col), n)).alias("_n"),
+    )
+    return with_n.select(
+        "_id",
+        "_n",
         F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
-    ).select("_id", hash_column(F.col("_s"), hash_fn).alias("_h"))
+    ).select("_id", "_n", hash_column(F.col("_s"), hash_fn).alias("_h"))
 
 
 def ngram_jaccard_pairs(
@@ -125,25 +141,22 @@ def ngram_jaccard_pairs(
     cap — at threshold ≥ 0.5 that means half a document's shingles each occur
     in 10k+ documents, which is the pathological case the cap exists for.
     """
-    # Materialize the inverted index once: it feeds two aggregation branches
-    # (per-doc sizes, per-shingle buckets); unpersisted, the
-    # scan+shingle+hash subplan would execute once per branch.  O(total
-    # shingles) longs, spilling to disk if needed.
-    exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn).persist()
-    # |shingles(doc)| derived from the exploded side (shingles are distinct
-    # per doc) instead of re-shingling the corpus in a second plan branch.
-    sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    # ONE shuffle groups the index into per-shingle posting lists; candidate
-    # pairs are generated inside each bucket (sorted ids → id_1 < id_2 for
-    # free).  The previous shape — self-join on the shingle hash — shuffled
-    # the full index TWICE (once per join side) plus a third pass to find hot
-    # shingles; here bucket size doubles as document frequency, so the hot
-    # set falls out of the same aggregation with no extra pass and no driver
-    # collect.  Pair volume is identical (Σ bucket²); buckets are persisted
+    # ONE shuffle groups the (id, size, hash) index into per-shingle posting
+    # lists; candidate pairs are generated inside each bucket (sorted
+    # (id, n) structs → id_1 < id_2 for free, and every candidate pair
+    # carries both Jaccard denominators with it — no sizes relation, no
+    # re-join at the end).  Bucket size doubles as document frequency, so
+    # the hot set falls out of the same aggregation with no extra pass and
+    # no driver collect.  Pair volume is Σ bucket²; buckets are persisted
     # because the cold-pairs and hot-correction branches both read them.
+    exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn)
     buckets = (
         exploded.groupBy("_h")
-        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("_n")))
+            ).alias("_ids")
+        )
         .where(F.size("_ids") > 1)
         .persist()
     )
@@ -157,22 +170,34 @@ def ngram_jaccard_pairs(
         # The hot relation is tiny by construction: ≤ total_shingles/cap rows.
         doc_hot = (
             buckets.where(F.size("_ids") > shingle_df_cap)
-            .select("_h", F.explode("_ids").alias("_id"))
-            .groupBy("_id")
+            .select("_h", F.explode("_ids").alias("_e"))
+            .groupBy(F.col("_e._id").alias("_id"))
             .agg(F.sort_array(F.collect_list("_h")).alias("_hot"))
         )
     # Two chained generators keep per-row memory bounded by one posting list
-    # (never the full pairs array of a bucket): explode the left id with its
-    # position, then explode the ids after it.
+    # (never the full pairs array of a bucket): explode the left entry with
+    # its position, then explode the entries after it.
     pairs = cold_buckets.select(
-        F.posexplode("_ids").alias("_i", "id_1"), F.col("_ids")
+        F.posexplode("_ids").alias("_i", "_e1"), F.col("_ids")
     ).select(
-        "id_1",
+        F.col("_e1._id").alias("id_1"),
+        F.col("_e1._n").alias("_n1"),
         F.explode(
             F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
-        ).alias("id_2"),
+        ).alias("_e2"),
     )
-    common = pairs.groupBy("id_1", "id_2").agg(F.count(F.lit(1)).alias("_common"))
+    # _n1/_n2 are functionally dependent on the ids; grouping on all four
+    # keeps the aggregate a plain count with no first()/join fix-up.
+    common = (
+        pairs.select(
+            "id_1",
+            "_n1",
+            F.col("_e2._id").alias("id_2"),
+            F.col("_e2._n").alias("_n2"),
+        )
+        .groupBy("id_1", "id_2", "_n1", "_n2")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
     if doc_hot is not None:
         no_hot = F.array().cast("array<long>")
         common = (
@@ -198,14 +223,12 @@ def ngram_jaccard_pairs(
             .drop("_h1", "_h2")
         )
     return (
-        common.join(sizes.alias("sa"), common.id_1 == F.col("sa._id"))
-        .join(sizes.alias("sb"), common.id_2 == F.col("sb._id"))
-        .select(
+        common.select(
             "id_1",
             "id_2",
             (
                 F.col("_common")
-                / (F.col("sa._n") + F.col("sb._n") - F.col("_common"))
+                / (F.col("_n1") + F.col("_n2") - F.col("_common"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -653,24 +653,50 @@ SELECT kind, ngram, n FROM (
 )
 def t05_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters, unigram + bigram (formerly t05/t08), in one
-    labeled union.  Plan shape per leg: explode → partial/final hash agg →
-    TakeOrderedAndProject — one shuffle each at any corpus size (the top-k
-    never moves more than k rows per partition)."""
+    labeled union.
+
+    Single-pass shape: ONE scan tokenizes each document once and explodes
+    unigrams and bigrams together (a bigram always contains a space, a
+    whitespace token never does, so kind is recoverable from the gram
+    itself); ONE shuffle aggregates counts; the vocab-sized count relation is
+    persisted and both per-kind top-20s are TakeOrdered reads of the cache.
+    The previous two-leg union scanned and regex-tokenized the corpus twice —
+    at 100 TB the tokenize pass IS the cost, so halving it matters more than
+    anything downstream of the aggregate."""
     from ..functions.parallelism import ensure_parallelism
     from ..functions.text import tokens
 
     d = ensure_parallelism(load(spark, sf_dir, "documents"))
-    top_tokens = (
-        d.select(F.explode(tokens(F.col("text"))).alias("ngram"))
-        .where(F.col("ngram") != "")
+    toks = tokens(F.col("text"))
+    unigrams = F.filter(toks, lambda x: x != "")
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+    )
+    counts = (
+        d.select(F.explode(F.concat(unigrams, bigrams)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
+        # Persist so the two top-k branches below read the aggregate instead
+        # of re-running the scan (the ngram filters would otherwise push
+        # below the exchange and defeat subtree reuse).
+        .persist()
+    )
+    top_tokens = (
+        counts.where(~F.col("ngram").contains(" "))
         .orderBy(F.col("n").desc(), F.col("ngram"))
         .limit(20)
         .select(F.lit("token").alias("kind"), "ngram", "n")
     )
-    top_bigrams = T.top_ngrams(d, n=2, k=20).select(
-        F.lit("bigram").alias("kind"), "ngram", F.col("cnt").alias("n")
+    top_bigrams = (
+        counts.where(F.col("ngram").contains(" "))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(20)
+        .select(F.lit("bigram").alias("kind"), "ngram", "n")
     )
     return top_tokens.unionByName(top_bigrams).orderBy(
         "kind", F.col("n").desc(), "ngram"

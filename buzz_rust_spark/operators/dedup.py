@@ -354,12 +354,23 @@ def minhash_lsh_pairs(
         df, text_col, id_col, n, num_hashes, hash_fn, _hashed_shingles=shh
     ).persist()
     banded = band_signatures(sigs, id_col, bands, r)
+    # Same posting-list shape as ngram_jaccard_pairs: ONE shuffle groups the
+    # band rows into (band, digest) buckets and pairs are generated inside
+    # each bucket (sorted ids → id_1 < id_2 for free).  The previous
+    # self-join on the digest shuffled the banded relation onto both join
+    # sides; pair volume (Σ bucket²) is identical.
+    bucketed = (
+        banded.groupBy("_band", "_digest")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
     candidates = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["_band", "_digest"])
-        .where(F.col("a._id") < F.col("b._id"))
+        bucketed.select(F.posexplode("_ids").alias("_i", "id_1"), F.col("_ids"))
         .select(
-            F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2")
+            "id_1",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("id_2"),
         )
         .distinct()
     )

@@ -552,3 +552,107 @@ def duplicate_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide paragraph-level deduplication (the CCNet/RefinedWeb
+    boilerplate-removal step): every paragraph that already appeared earlier
+    in the corpus — in ANY document — is dropped; each document is rebuilt
+    from its surviving paragraphs in original order.
+
+    "First occurrence" is the minimum (doc id, paragraph position), a total
+    order that makes the result deterministic under any partitioning.
+    Paragraphs shorter than ``min_chars`` (blank lines, headers, markup
+    stubs) pass through untouched: deduping them would hot-spot the shuffle
+    on near-universal keys and strip legitimate structure.
+
+    Scale shape — two shuffles, no windows: the first-occurrence owner per
+    paragraph hash is a ``min(struct(id, pos))`` hash aggregate (map-side
+    partial, so a paragraph duplicated a billion times still combines down
+    to one row per map task — a window/row_number formulation would pull
+    every copy of a hot paragraph into one task); survivors then reassemble
+    with one groupBy on the document id.  Only 16-byte digests and positions
+    shuffle on the dedup hop, never paragraph text.
+
+    Output: (id, text of surviving paragraphs, n_paragraphs, n_kept).
+    Documents whose every paragraph was seen elsewhere survive with empty
+    text (n_kept = 0) so the caller decides whether to drop them.
+    """
+    paras = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_para"),
+    )
+    eligible = paras.where(F.length(F.trim(F.col("_para"))) >= min_chars)
+    # md5 of the normalized paragraph: dedup is whitespace/case-insensitive,
+    # matching exact_duplicates' document-level semantics.
+    hashed = eligible.select(
+        "_id",
+        "_pos",
+        F.md5(F.encode(normalize_text(F.col("_para")), "UTF-8")).alias("_h"),
+    )
+    owners = hashed.groupBy("_h").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_o")
+    )
+    keep_marks = hashed.join(owners, on="_h").where(
+        (F.col("_id") == F.col("_o._id")) & (F.col("_pos") == F.col("_o._pos"))
+    ).select("_id", "_pos")
+    short = paras.where(F.length(F.trim(F.col("_para"))) < min_chars).select(
+        "_id", "_pos"
+    )
+    kept = paras.join(short.union(keep_marks), on=["_id", "_pos"], how="leftsemi")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda e: e["_para"],
+            ),
+            "\n",
+        ).alias("_kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy("_id").agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    return (
+        totals.join(rebuilt, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_kept_text"), F.lit("")).alias(text_col),
+            "n_paragraphs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deduplicate a NEW batch against an already-ingested corpus: drops new
+    documents whose normalized text hash appears in ``seen_hashes``
+    (a relation with a ``text_hash`` column, e.g. persisted output of
+    ``exact_duplicates``), then drops within-batch exact duplicates.
+
+    This is the steady-state ingestion path at scale — the full corpus is
+    never re-shingled; the seen-hash relation is the only state carried
+    between batches, and the anti-join shuffles 16-byte digests keyed
+    exactly like the batch's own dedup aggregate.
+
+    Returns the surviving rows of ``new_df`` plus their ``text_hash`` so the
+    caller can append them to the seen-hash state."""
+    hashed = new_df.withColumn(
+        "text_hash",
+        F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8")),
+    )
+    fresh = hashed.join(
+        seen_hashes.select("text_hash"), on="text_hash", how="left_anti"
+    )
+    # within-batch: keep the minimum-id row per digest (exact_duplicates
+    # semantics), resolved with one map-side-combinable aggregate.
+    keepers = fresh.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keepers, on=["text_hash", id_col], how="leftsemi")

@@ -541,6 +541,44 @@ def z08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(packed, capacity=256).orderBy("seq_id")
 
 
+@register(
+    "z09_paragraph_dedup",
+    tags=("dedup", "pipeline"),
+    oracle=None,  # sorted-name slot past the driver's 50-query window;
+    # exact-match brute-force oracle pinned in tests/test_operators.py
+    # (test_paragraph_dedup_matches_bruteforce_oracle)
+)
+def z09_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (CCNet-style boilerplate removal):
+    first occurrence of each ≥10-char normalized paragraph survives;
+    documents rebuild from surviving paragraphs in order."""
+    return D.paragraph_dedup(
+        load(spark, sf_dir, "documents"), min_chars=10
+    ).orderBy("doc_id")
+
+
+@register(
+    "z10_incremental_dedup",
+    tags=("dedup", "pipeline"),
+    oracle=None,  # sorted-name slot past the driver's 50-query window;
+    # cross-batch semantics pinned in tests/test_operators.py
+)
+def z10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingestion dedup: documents with even doc_id act as the
+    already-ingested corpus (its hash state), the odd half as the new batch;
+    survivors = odd docs whose text was never seen, min-id per digest."""
+    docs = load(spark, sf_dir, "documents")
+    seen = D.exact_duplicates(docs.where(F.col("doc_id") % 2 == 0)).select(
+        "text_hash"
+    )
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    return (
+        D.dedup_incremental(batch, seen)
+        .select("doc_id", "text_hash")
+        .orderBy("doc_id")
+    )
+
+
 # --- range join -------------------------------------------------------------
 
 

@@ -587,3 +587,101 @@ def test_prepare_training_corpus_end_to_end(spark):
     assert "<EMAIL>" in got[4]["text"]  # scrub ran before anything downstream
     assert all(r["split"] == "train" for r in got.values())
     assert all("quality" in r.asDict() for r in got.values())
+
+
+# --- paragraph-level dedup ---------------------------------------------------
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (1, f"intro paragraph one\n{boiler}\nunique closing thoughts"),
+        (2, f"{boiler}\nsecond document body text here"),
+        (3, f"third document distinct content\n{boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(df, min_chars=10).collect()
+    }
+    # doc 1 holds the first occurrence (lowest doc_id) and keeps everything
+    assert out[1]["text"] == rows[0][1]
+    assert out[1]["n_paragraphs"] == 3 and out[1]["n_kept"] == 3
+    # later copies lose exactly the boilerplate line, order preserved
+    assert out[2]["text"] == "second document body text here"
+    assert out[3]["text"] == "third document distinct content"
+    assert out[3]["n_paragraphs"] == 2 and out[3]["n_kept"] == 1
+
+
+def test_paragraph_dedup_short_lines_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "##\nlong enough paragraph body\n##"),
+         (2, "##\nanother long enough body here\n##")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in D.paragraph_dedup(df, min_chars=10).collect()}
+    # the "##" separator is below min_chars on BOTH docs: never deduped
+    assert out[1] == "##\nlong enough paragraph body\n##"
+    assert out[2] == "##\nanother long enough body here\n##"
+
+
+def test_paragraph_dedup_normalized_matching_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "Exactly The Same   Paragraph"),
+         (2, "exactly the same paragraph")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(df, min_chars=10).collect()}
+    assert out[1]["n_kept"] == 1
+    # doc 2 is entirely boilerplate: survives with empty text, caller decides
+    assert out[2]["n_kept"] == 0 and out[2]["text"] == ""
+
+
+def test_paragraph_dedup_matches_bruteforce_oracle(spark, sf_dir):
+    """Brute-force single-threaded re-implementation over the real corpus
+    slice must agree exactly (determinism + first-occurrence semantics)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in D.paragraph_dedup(docs, min_chars=10).collect()
+    }
+    import re
+
+    seen: set[str] = set()
+    expected: dict[int, str] = {}
+    for row in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        kept = []
+        for para in row["text"].split("\n"):
+            if len(para.strip()) < 10:
+                kept.append(para)
+                continue
+            norm = re.sub(r"\s+", " ", para.lower().strip())
+            if norm not in seen:
+                seen.add(norm)
+                kept.append(para)
+        expected[row["doc_id"]] = "\n".join(kept)
+    assert out == expected
+
+
+# --- incremental (cross-batch) dedup ----------------------------------------
+
+
+def test_dedup_incremental_against_seen_corpus(spark):
+    seen = spark.createDataFrame([(1, "known document text"),], ["doc_id", "text"])
+    seen_hashes = D.exact_duplicates(seen).select("text_hash")
+    batch = spark.createDataFrame(
+        [
+            (10, "known document text"),        # already ingested → dropped
+            (11, "fresh content alpha"),
+            (12, "fresh content alpha"),        # within-batch dup → keep min id
+            (13, "fresh content beta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.dedup_incremental(batch, seen_hashes)
+    assert {r["doc_id"] for r in out.collect()} == {11, 13}
+    # survivors expose their hash for appending to the seen state
+    assert "text_hash" in out.columns
+    # second pass with the updated state drops everything
+    new_state = seen_hashes.union(out.select("text_hash"))
+    assert D.dedup_incremental(batch, new_state).count() == 0

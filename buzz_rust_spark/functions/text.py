@@ -24,10 +24,17 @@ def normalize_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of normalized text; empty string → empty array."""
-    norm = normalize_text(col)
-    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
+    """Whitespace tokens of normalized text; empty string → empty array.
+
+    Splits directly on ``\\s+`` — one regex pass instead of
+    normalize-then-split (two passes), with identical output: splitting on
+    runs of whitespace equals splitting the collapsed text on single spaces
+    (verified on the corpus and whitespace edge cases).  Tokenization is the
+    hot inner loop of every shingle/ngram operator, so the pass count
+    matters at corpus scale."""
+    t = F.trim(F.lower(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
     )
 
 

@@ -208,3 +208,57 @@ def test_ann_recall_gate_on_real_embeddings(spark, sf_dir):
     }
     assert len(exact & lsh) / len(exact) >= 0.5
     assert len(exact & ivf) / len(exact) >= 0.6
+
+
+def test_epoch_seconds_type_dispatch(spark):
+    """epoch_seconds must handle every range-dimension type the operators
+    see: TIMESTAMP_NTZ (native Spark-4 read of parquet TIMESTAMP(NANOS)),
+    TIMESTAMP, DATE, and plain numerics."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.functions.timeutil import epoch_seconds
+
+    df = spark.sql(
+        """
+        SELECT TIMESTAMP_NTZ'2024-01-02 00:00:00' AS ntz,
+               TIMESTAMP'2024-01-02 00:00:00'     AS ltz,
+               DATE'2024-01-02'                   AS d,
+               42.5                                AS x
+        """
+    )
+    row = df.select(
+        *[
+            epoch_seconds(F.col(c), df.schema[c].dataType).alias(c)
+            for c in df.columns
+        ]
+    ).collect()[0]
+    # session tz is UTC: all three time values are the same instant
+    expect = 1704153600.0
+    assert row["ntz"] == expect and row["ltz"] == expect and row["d"] == expect
+    assert row["x"] == 42.5
+
+
+def test_range_join_on_timestamp_ntz(spark):
+    """The bucketed range join must accept TIMESTAMP_NTZ range dimensions
+    (the events table's native type) — regression for the round-2 failure
+    CAST(TIMESTAMP_NTZ AS DOUBLE)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.operators.range_join import range_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    points = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=m)) for i, m in enumerate((0, 10, 40, 70), 1)],
+        ["pid", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    intervals = spark.createDataFrame(
+        [(100, t0, t0 + dt.timedelta(minutes=30))], ["iid", "start", "end"]
+    ).select(
+        "iid",
+        F.col("start").cast("timestamp_ntz").alias("start"),
+        F.col("end").cast("timestamp_ntz").alias("end"),
+    )
+    out = range_join(points, intervals, "ts", "start", "end", bucket_width=600.0)
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]

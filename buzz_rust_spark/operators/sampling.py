@@ -173,3 +173,37 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def shuffle_epoch(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle of the corpus for one training epoch —
+    WITHOUT a global sort.
+
+    The order is defined by ``key = xxhash64(id, epoch)``: rows hash-
+    repartition into ``num_shards`` shards by key and sort by key only
+    WITHIN each shard.  Reading shards in shard order yields a total order
+    (every key in shard i sorts the same shard-local way on every rerun and
+    task retry), uniformly pseudo-random per epoch, with a different
+    permutation each epoch.  This is the standard 100 TB recipe: one hash
+    exchange + a per-partition sort, versus a rangepartition + global sort
+    (sampling pass, skew-prone boundaries) that ``orderBy`` would plan.
+
+    Output: the input columns plus ``_shard`` and ``_order`` (the in-shard
+    sort key) so writers can lay the epoch out as ordered shard files.
+    """
+    if num_shards is None:
+        num_shards = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    num_shards = int(num_shards)
+    keyed = df.withColumn(
+        "_order", F.xxhash64(F.col(id_col), F.lit(int(epoch)))
+    ).withColumn(
+        "_shard", F.pmod(F.col("_order"), F.lit(num_shards)).cast("int")
+    )
+    return keyed.repartition(num_shards, F.col("_shard")).sortWithinPartitions(
+        "_shard", "_order"
+    )

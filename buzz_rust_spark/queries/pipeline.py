@@ -579,6 +579,32 @@ def z10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "z11_epoch_shuffle",
+    tags=("pipeline", "sampling"),
+    oracle=None,  # order itself is the output; determinism/completeness/
+    # no-global-sort pinned in tests/test_operators.py
+)
+def z11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: hash-sharded pseudo-random
+    order, no global sort.  Returns per-shard counts + order checksum (the
+    stable summary of an order-valued operator)."""
+    from ..operators.sampling import shuffle_epoch
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    shuffled = shuffle_epoch(docs, epoch=1, num_shards=8)
+    return (
+        shuffled.groupBy("_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # xor never overflows (ANSI-safe); the _order keys themselves
+            # define the in-shard order, so their xor is a stable fingerprint
+            F.bit_xor(F.col("_order")).alias("order_checksum"),
+        )
+        .orderBy("_shard")
+    )
+
+
 # --- range join -------------------------------------------------------------
 
 

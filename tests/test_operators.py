@@ -685,3 +685,36 @@ def test_dedup_incremental_against_seen_corpus(spark):
     # second pass with the updated state drops everything
     new_state = seen_hashes.union(out.select("text_hash"))
     assert D.dedup_incremental(batch, new_state).count() == 0
+
+
+# --- deterministic epoch shuffle ---------------------------------------------
+
+
+def test_shuffle_epoch_deterministic_and_complete(spark, sf_dir):
+    from buzz_rust_spark.operators.sampling import shuffle_epoch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = [r["doc_id"] for r in shuffle_epoch(docs, epoch=1, num_shards=8).collect()]
+    b = [r["doc_id"] for r in shuffle_epoch(docs, epoch=1, num_shards=8).collect()]
+    c = [r["doc_id"] for r in shuffle_epoch(docs, epoch=2, num_shards=8).collect()]
+    assert a == b                      # rerun-stable
+    assert a != c                      # epochs permute differently
+    assert sorted(a) == sorted(c)      # nothing lost or duplicated
+    assert a != sorted(a)              # actually shuffled
+
+
+def test_shuffle_epoch_no_global_sort(spark, sf_dir):
+    """The plan must be hash exchange + in-partition sort — no
+    rangepartitioning (global sort) anywhere."""
+    from buzz_rust_spark.operators.sampling import shuffle_epoch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        shuffle_epoch(docs, epoch=1, num_shards=8)
+        ._sc._jvm.PythonSQLUtils.explainString(
+            shuffle_epoch(docs, epoch=1, num_shards=8)._jdf.queryExecution(),
+            "formatted",
+        )
+    )
+    assert "rangepartitioning" not in plan.lower()
+    assert "Sort" in plan  # the within-partition sort is there

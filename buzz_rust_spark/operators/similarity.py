@@ -2,12 +2,12 @@
 
 Rebuild extension (no reference analog).  Two strategies:
 
-- ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query set
-  against the corpus, dot products via JVM higher-order functions, per-query
-  top-k with a window.  At 100 TB corpus scale this is one broadcast-join pass
-  over the corpus — no shuffle of the corpus itself; only (n_queries × corpus)
-  score rows reach the rank shuffle, so keep the query set bounded or use the
-  LSH variant.
+- ``cosine_topk_bruteforce`` — exact top-k: the (bounded) query set rides
+  along as a closed-over numpy matrix; one ``mapInPandas`` pass scores each
+  corpus partition by BLAS matmul and emits only partial top-k candidates,
+  so the corpus is scanned once and never shuffled — only k × n_queries rows
+  per partition reach the final exact rank.  Keep the query set bounded or
+  use the LSH variant.
 - ``cosine_topk_lsh`` — approximate: random-hyperplane LSH bucket join; only
   vectors sharing a hyperplane-sign prefix are scored.  Sub-quadratic; recall
   tunable by number of tables/bits.
@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from ..functions.vector import as_double_array, cosine_similarity
 
@@ -42,31 +41,98 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-``k`` corpus neighbors per query vector by cosine.
 
+    Scale shape: the (bounded) query set is collected once and closed over; a
+    ``mapInPandas`` pass scores each corpus partition against ALL queries with
+    one BLAS matmul and emits only its PARTIAL top-k per query — so the
+    corpus is scanned once, never shuffled, and the final exact rank runs
+    over ≤ k × n_queries rows per partition.  (The previous shape — broadcast
+    nested-loop join + per-row higher-order dot product + full-width window —
+    shuffled every (query, corpus) score row and paid an interpreted lambda
+    per element.)
+
     Output: (query_id, neighbor_id, cosine, rank); self-matches excluded when
     ids share a namespace.  Ties broken by neighbor id for determinism."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     query_id_col = query_id_col or id_col
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        as_double_array(F.col(vec_col)).alias("_qv"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(F.col(vec_col)).alias("_cv"),
-    )
-    scored = (
-        c.join(broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    qrows = (
+        queries.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            as_double_array(F.col(vec_col)).alias("_qv"),
         )
+        .orderBy("query_id")
+        .collect()
     )
+    if not qrows:
+        empty = [
+            ("query_id", LongType()),
+            ("neighbor_id", LongType()),
+            ("cosine", DoubleType()),
+        ]
+        return corpus.sparkSession.createDataFrame(
+            [], StructType([StructField(n, t) for n, t in empty])
+        ).withColumn("rank", F.lit(1).cast("int")).limit(0)
+    qids = np.array([r["query_id"] for r in qrows], dtype="int64")
+    qm = np.stack([np.asarray(r["_qv"], dtype="float64") for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    qm = qm / qn[:, None]
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    kk = int(k)
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            m = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            nn = np.linalg.norm(m, axis=1)
+            nn[nn == 0] = 1.0
+            sims = (m / nn[:, None]) @ qm.T  # (batch, n_queries)
+            sims[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
+            take = min(kk, len(ids))
+            # partial exact top-k per query: argpartition then tie-stable sort
+            part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            out_q, out_i, out_c = [], [], []
+            for col in range(qids.shape[0]):
+                rows = part[:, col]
+                order = np.lexsort((ids[rows], -sims[rows, col]))
+                sel = rows[order]
+                keep = np.isfinite(sims[sel, col])
+                out_q.append(np.full(keep.sum(), qids[col]))
+                out_i.append(ids[sel][keep])
+                out_c.append(sims[sel, col][keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_i),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    candidates = corpus.select(
+        F.col(id_col).cast("long").alias("_id"),
+        as_double_array(F.col(vec_col)).alias("_v"),
+    ).mapInPandas(partial_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )

@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from buzz_rust_spark.queries import all_queries
 from buzz_rust_spark.session import get_spark
 
-# Queries where a Python (Arrow) eval node is the documented design choice.
+# Queries where a Python (Arrow) boundary node — ArrowEvalPython (pandas
+# UDF), MapInPandas, or FlatMapGroupsInPandas (applyInPandas) — is the
+# documented design choice.
 PANDAS_UDF_OK = {
     "z01_simhash",
     "z06_ann_ivf",
@@ -30,15 +32,18 @@ PANDAS_UDF_OK = {
     "z02_frame_sample",
     "z03_resize",
     "z07_pq_search",  # pq_encode + ADC scan are the documented vectorized kernels
-    "d05_embedding_neardup",
+    "z08_sequence_packing",  # FFD bin packing is the documented applyInPandas kernel
+    "d05_embedding_neardup",  # blocked-BLAS applyInPandas kernel
+    "s01_ann_bruteforce",  # partial-top-k BLAS mapInPandas kernel
     "q26_registered_udf",  # the point of the query is the registered pandas UDF
 }
-# Brute-force ANN broadcasts the (small) query side against the corpus — the
-# BroadcastNestedLoopJoin there IS the intended one-pass plan.
+PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # q37 compares each group against a one-row global-total threshold: a BNLJ
 # whose broadcast side is literally one row is the correct scalar-subquery
-# plan (no key exists to hash on).
-BNLJ_OK = {"s01_ann_bruteforce", "q37_nation_value_share"}
+# plan (no key exists to hash on).  (s01 formerly allowed a BNLJ for the
+# broadcast query side; its partial-top-k mapInPandas shape has no join at
+# all, so a reappearing BNLJ is now a regression.)
+BNLJ_OK = {"q37_nation_value_share"}
 # Fact-to-fact joins where neither side is broadcastable at scale: the Q21
 # shape (q44, folded into the suite) anti-joins lineitem against the
 # late-lineitems subset — both grow with the corpus, so SortMergeJoin IS the
@@ -58,7 +63,7 @@ def audit(name: str, plan: str) -> list[str]:
         warnings.append("CartesianProduct in plan")
     if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
         warnings.append("BroadcastNestedLoopJoin in plan")
-    if "ArrowEvalPython" in plan and name not in PANDAS_UDF_OK:
+    if any(n in plan for n in PY_NODES) and name not in PANDAS_UDF_OK:
         warnings.append("unexpected Python eval node (should be JVM-side)")
     # every SortMergeJoin whose one side is a tiny table is a missed broadcast;
     # we can't see sizes here, so just surface the join strategies chosen
@@ -85,7 +90,7 @@ def main() -> int:
         smj = plan.count("SortMergeJoin")
         # NOTE: codegen ids only materialize in an AQE plan after execution,
         # so this audit checks plan *shape*; count Python boundaries instead.
-        pynodes = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+        pynodes = sum(plan.count(n) for n in PY_NODES)
         warnings = audit(name, plan)
         flag = " !!" if warnings else ""
         print(

@@ -25,11 +25,23 @@ def is_time_type(dtype: DataType) -> bool:
 def epoch_seconds(col: Column, dtype: DataType) -> Column:
     """``col`` as fractional epoch seconds (double), whatever its type.
 
-    TIMESTAMP_NTZ is interpreted in the session time zone (the cast to
-    TIMESTAMP); any consistent interpretation is correct for bucketing and
-    distance computations because both sides of an operator convert the same
-    way, so the zone offset cancels.
+    Every branch is **session-time-zone independent**: TIMESTAMP_NTZ is
+    decomposed into wall-clock components (``unix_date`` of the date part +
+    hour/minute/fractional second — all zone-free extractions on NTZ; note
+    ``timestamp_diff`` would NOT do: it implicitly casts NTZ operands through
+    the session zone, off by an hour across DST transitions), DATE goes
+    through ``unix_date`` (calendar days), and TIMESTAMP is already an
+    instant.
     """
-    if is_time_type(dtype):
-        return F.unix_micros(col.cast("timestamp")) / F.lit(1_000_000.0)
+    if isinstance(dtype, TimestampNTZType):
+        return (
+            F.unix_date(col.cast("date")).cast("double") * F.lit(86400.0)
+            + F.hour(col).cast("double") * F.lit(3600.0)
+            + F.minute(col).cast("double") * F.lit(60.0)
+            + F.date_part(F.lit("SECOND"), col).cast("double")
+        )
+    if isinstance(dtype, DateType):
+        return F.unix_date(col).cast("double") * F.lit(86400.0)
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(col) / F.lit(1_000_000.0)
     return col.cast("double")

@@ -204,6 +204,9 @@ def shuffle_epoch(
     ).withColumn(
         "_shard", F.pmod(F.col("_order"), F.lit(num_shards)).cast("int")
     )
+    # id_col as the final sort key: on an xxhash64 collision two rows tie on
+    # (_shard, _order) and their relative order would otherwise depend on
+    # input order — breaking retry-stability at billion-row scale.
     return keyed.repartition(num_shards, F.col("_shard")).sortWithinPartitions(
-        "_shard", "_order"
+        "_shard", "_order", id_col
     )

@@ -51,7 +51,11 @@ def cosine_topk_bruteforce(
     per element.)
 
     Output: (query_id, neighbor_id, cosine, rank); self-matches excluded when
-    ids share a namespace.  Ties broken by neighbor id for determinism."""
+    ids share a namespace.  Ties broken by neighbor id for determinism —
+    including ties AT the k-th boundary within a partition, which are widened
+    into the candidate set before ranking so results never depend on corpus
+    partitioning.  Requires integral ids (cast to long); rows with null ids
+    or null embeddings are dropped, ragged embeddings are masked per batch."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -94,28 +98,45 @@ def cosine_topk_bruteforce(
     )
     kk = int(k)
 
+    dim = qm.shape[1]
+
     def partial_topk(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["_id"].to_numpy()
-            m = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            vs = pdf["_v"].to_numpy()
+            # mask ragged vectors (wrong dimensionality) — np.stack would
+            # raise and fail the task; nulls are filtered JVM-side below
+            lens = np.fromiter((len(v) for v in vs), dtype="int64", count=len(vs))
+            good = lens == dim
+            if not good.all():
+                ids = ids[good]
+                vs = vs[good]
+            if not len(ids):
+                continue
+            m = np.stack(vs).astype("float64")
             nn = np.linalg.norm(m, axis=1)
             nn[nn == 0] = 1.0
             sims = (m / nn[:, None]) @ qm.T  # (batch, n_queries)
             sims[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
             take = min(kk, len(ids))
-            # partial exact top-k per query: argpartition then tie-stable sort
+            # partial exact top-k per query, TIE-AWARE at the k-th boundary:
+            # argpartition finds the k-th score, then every row tied with it
+            # is included before the (score desc, id asc) lexsort — so which
+            # tied neighbor survives never depends on partition row order.
             part = np.argpartition(-sims, take - 1, axis=0)[:take]
             out_q, out_i, out_c = [], [], []
             for col in range(qids.shape[0]):
-                rows = part[:, col]
-                order = np.lexsort((ids[rows], -sims[rows, col]))
-                sel = rows[order]
-                keep = np.isfinite(sims[sel, col])
+                colsims = sims[:, col]
+                kth = colsims[part[:, col]].min()
+                cand = np.nonzero(colsims >= kth)[0]
+                order = np.lexsort((ids[cand], -colsims[cand]))
+                sel = cand[order][:take]
+                keep = np.isfinite(colsims[sel])
                 out_q.append(np.full(keep.sum(), qids[col]))
                 out_i.append(ids[sel][keep])
-                out_c.append(sims[sel, col][keep])
+                out_c.append(colsims[sel][keep])
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -124,10 +145,16 @@ def cosine_topk_bruteforce(
                 }
             )
 
-    candidates = corpus.select(
-        F.col(id_col).cast("long").alias("_id"),
-        as_double_array(F.col(vec_col)).alias("_v"),
-    ).mapInPandas(partial_topk, out_schema)
+    # null vectors are dropped JVM-side (a null row can't be a neighbor and
+    # would fail np.stack); ids must be integral — documented requirement
+    candidates = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("_id"),
+            as_double_array(F.col(vec_col)).alias("_v"),
+        )
+        .where(F.col("_v").isNotNull() & F.col("_id").isNotNull())
+        .mapInPandas(partial_topk, out_schema)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

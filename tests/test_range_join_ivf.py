@@ -262,3 +262,79 @@ def test_range_join_on_timestamp_ntz(spark):
     )
     out = range_join(points, intervals, "ts", "start", "end", bucket_width=600.0)
     assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+def test_ann_bruteforce_tiebreak_partition_invariant(spark):
+    """Cosine ties at the k-th boundary must resolve by neighbor_id, not by
+    which partition a tied row landed in (ADVICE r3: argpartition alone kept
+    ties by partition row order)."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.operators.similarity import cosine_topk_bruteforce
+
+    # 10 corpus vectors, all identical => all cosine 1.0 vs the query; top-3
+    # must be the 3 smallest neighbor ids regardless of partitioning.
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(100, 110)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame([(1, [1.0, 0.0, 0.0])], ["vec_id", "embedding"])
+    for nparts in (1, 4, 16):
+        out = cosine_topk_bruteforce(
+            corpus.repartition(nparts, F.col("vec_id")), queries, k=3
+        ).collect()
+        assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+            100,
+            101,
+            102,
+        ], f"nparts={nparts}"
+
+
+def test_ann_bruteforce_null_and_ragged_vectors(spark):
+    """Null and wrong-dimension embeddings are dropped, not task failures
+    (ADVICE r3: np.stack raised on ragged/null arrays)."""
+    from buzz_rust_spark.operators.similarity import cosine_topk_bruteforce
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, None),          # null vector
+            (3, [1.0]),         # ragged (wrong dim)
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame([(99, [1.0, 0.0])], ["vec_id", "embedding"])
+    out = cosine_topk_bruteforce(corpus, queries, k=10).collect()
+    assert sorted(r["neighbor_id"] for r in out) == [1, 4]
+
+
+def test_epoch_seconds_ntz_zone_independent(spark):
+    """NTZ epoch extraction must not depend on spark.sql.session.timeZone
+    (ADVICE r3: the TIMESTAMP cast interpreted NTZ in session zone — wrong
+    by up to an hour across DST transitions under a foreign session)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    from buzz_rust_spark.functions.timeutil import epoch_seconds
+
+    df = spark.sql("SELECT TIMESTAMP_NTZ'2024-03-10 02:30:00' AS ntz")  # in US DST gap
+    expr = epoch_seconds(F.col("ntz"), TimestampNTZType()).alias("e")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_val = df.select(expr).collect()[0]["e"]
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_val = df.select(expr).collect()[0]["e"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc_val == ny_val == 1710037800.0
+
+
+def test_shuffle_epoch_collision_stable_sort_key(spark):
+    """shuffle_epoch's in-shard sort includes the id column as the final key
+    so hash collisions cannot reorder under retry (ADVICE r3)."""
+    from buzz_rust_spark.operators.sampling import shuffle_epoch
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    plan = shuffle_epoch(docs, epoch=3, num_shards=4)._jdf.queryExecution().executedPlan().toString()
+    assert "doc_id" in plan and "Sort" in plan

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cache import persist_tracked
 from ..functions.parallelism import ensure_parallelism
 from ..functions.text import hash_column, normalize_text, word_shingles
 
@@ -150,7 +151,7 @@ def ngram_jaccard_pairs(
     # no driver collect.  Pair volume is Σ bucket²; buckets are persisted
     # because the cold-pairs and hot-correction branches both read them.
     exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn)
-    buckets = (
+    buckets = persist_tracked(
         exploded.groupBy("_h")
         .agg(
             F.sort_array(
@@ -158,7 +159,6 @@ def ngram_jaccard_pairs(
             ).alias("_ids")
         )
         .where(F.size("_ids") > 1)
-        .persist()
     )
     doc_hot = None
     cold_buckets = buckets
@@ -341,18 +341,22 @@ def minhash_lsh_pairs(
     # Jaccard over distinct hashes equals the Jaccard over distinct shingles
     # modulo 64-bit collisions).
     sh = _with_shingles(df, text_col, id_col, n)
-    shh = sh.select(
-        "_id",
-        F.transform(F.col("_shingles"), lambda s: hash_column(s, hash_fn)).alias(
-            "_hs"
-        ),
-    ).persist()
+    shh = persist_tracked(
+        sh.select(
+            "_id",
+            F.transform(F.col("_shingles"), lambda s: hash_column(s, hash_fn)).alias(
+                "_hs"
+            ),
+        )
+    )
     # Persist signatures too: the band posexplode below would otherwise
     # re-evaluate the full 32-permutation signature expression per emitted
     # band row (generator-input re-evaluation, see _exploded_shingle_index).
-    sigs = minhash_signatures(
-        df, text_col, id_col, n, num_hashes, hash_fn, _hashed_shingles=shh
-    ).persist()
+    sigs = persist_tracked(
+        minhash_signatures(
+            df, text_col, id_col, n, num_hashes, hash_fn, _hashed_shingles=shh
+        )
+    )
     banded = band_signatures(sigs, id_col, bands, r)
     # Same posting-list shape as ngram_jaccard_pairs: ONE shuffle groups the
     # band rows into (band, digest) buckets and pairs are generated inside
@@ -583,9 +587,15 @@ def paragraph_dedup(
     Documents whose every paragraph was seen elsewhere survive with empty
     text (n_kept = 0) so the caller decides whether to drop them.
     """
-    paras = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_para"),
+    # The exploded paragraph relation feeds FOUR branches (eligible/hashed,
+    # short, the kept join, totals) — persist it so the corpus is scanned and
+    # split exactly once instead of re-derived per branch (at 100 TB the
+    # split pass IS the cost).  Tracked for release at next query entry.
+    paras = persist_tracked(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_para"),
+        )
     )
     eligible = paras.where(F.length(F.trim(F.col("_para"))) >= min_chars)
     # md5 of the normalized paragraph: dedup is whitespace/case-insensitive,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.cache import persist_tracked
 from ..functions.vector import as_double_array, cosine_similarity
 
 
@@ -228,8 +229,10 @@ def cosine_topk_lsh(
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         # Persist the signatures: the posexplode below re-evaluates its input
         # per emitted band row, and the signature is `bits` dot-product folds —
-        # cached, each band row just re-reads a long.
-        sigs = hyperplane_signatures(df, dim, bits, id_col, vec_col).persist()
+        # cached, each band row just re-reads a long.  Tracked for release.
+        sigs = persist_tracked(
+            hyperplane_signatures(df, dim, bits, id_col, vec_col)
+        )
         return sigs.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),

@@ -741,14 +741,16 @@ def t05_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         )
     )
-    counts = (
+    from ..functions.cache import persist_tracked
+
+    counts = persist_tracked(
         d.select(F.explode(F.concat(unigrams, bigrams)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         # Persist so the two top-k branches below read the aggregate instead
         # of re-running the scan (the ngram filters would otherwise push
-        # below the exchange and defeat subtree reuse).
-        .persist()
+        # below the exchange and defeat subtree reuse).  Tracked for release
+        # at next query entry.
     )
     top_tokens = (
         counts.where(~F.col("ngram").contains(" "))

@@ -15,6 +15,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.cache import release_operator_caches
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -41,9 +43,20 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Queries run strictly sequentially in the correctness driver and
+            # bench; releasing the PREVIOUS query's operator caches here
+            # bounds a long-lived session's cache footprint to one query's
+            # working set (see functions/cache.py).
+            release_operator_caches()
+            return fn(spark, sf_dir)
+
+        scoped.__name__ = fn.__name__
+        scoped.__doc__ = fn.__doc__
         _REGISTRY[name] = QueryDef(
             name=name,
-            fn=fn,
+            fn=scoped,
             oracle=oracle,
             headline=headline,
             description=description or (fn.__doc__ or "").strip().splitlines()[0]

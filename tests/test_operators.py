@@ -718,3 +718,46 @@ def test_shuffle_epoch_no_global_sort(spark, sf_dir):
     )
     assert "rangepartitioning" not in plan.lower()
     assert "Sort" in plan  # the within-partition sort is there
+
+
+# --- operator-scoped cache cleanup ------------------------------------------
+
+
+def test_operator_caches_released_between_queries(spark, sf_dir):
+    """d02+d03+t05 back-to-back must not accumulate persisted relations: the
+    query registry releases the previous query's tracked caches at next-query
+    entry, and release_operator_caches() drains the rest (VERDICT r3 #4)."""
+    from buzz_rust_spark.functions.cache import release_operator_caches
+    from buzz_rust_spark.queries import all_queries
+
+    release_operator_caches()
+    baseline = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    qs = all_queries()
+    for name in ("d02_ngram_jaccard", "d03_minhash_lsh", "t05_top_ngrams"):
+        qs[name].fn(spark, sf_dir).count()
+    release_operator_caches()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= baseline, f"leaked persisted RDDs: {after - baseline}"
+
+
+def test_paragraph_dedup_single_explode_scan(spark):
+    """The exploded paragraph relation must be computed once (persisted) and
+    shared by all four branches — not re-derived per branch (VERDICT r3 #2)."""
+    from buzz_rust_spark.functions.cache import release_operator_caches
+
+    df = spark.createDataFrame(
+        [(1, "alpha paragraph body\nshared boilerplate line"),
+         (2, "shared boilerplate line\nbeta paragraph body")],
+        ["doc_id", "text"],
+    )
+    out = D.paragraph_dedup(df, min_chars=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # With the persist, every branch reads an InMemoryTableScan; the single
+    # Generate lives only inside the cached plan (which toString prints once
+    # per scan), so Generate occurrences == InMemoryRelation occurrences.
+    # Pre-fix, three branches re-derived the explode OUTSIDE any cache, so
+    # the counts differed.
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert plan.count("Generate") == plan.count("InMemoryRelation"), plan
+    out.count()
+    release_operator_caches()

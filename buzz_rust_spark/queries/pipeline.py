@@ -542,13 +542,44 @@ def z08_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z09_paragraph_dedup",
+    "d07_paragraph_dedup",
     tags=("dedup", "pipeline"),
-    oracle=None,  # sorted-name slot past the driver's 50-query window;
-    # exact-match brute-force oracle pinned in tests/test_operators.py
-    # (test_paragraph_dedup_matches_bruteforce_oracle)
+    oracle=r"""
+WITH paras AS (
+  SELECT doc_id, unnest(p) AS para, generate_subscripts(p, 1) - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM documents)
+),
+eligible AS (
+  SELECT doc_id, pos,
+         regexp_replace(trim(lower(para)), '\s+', ' ', 'g') AS norm
+  FROM paras WHERE length(trim(para)) >= 10
+),
+firsts AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+    FROM eligible
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.para FROM paras p
+  WHERE length(trim(p.para)) < 10
+     OR EXISTS (SELECT 1 FROM firsts f
+                WHERE f.doc_id = p.doc_id AND f.pos = p.pos)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_paragraphs FROM paras GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.text, '') AS text, t.n_paragraphs,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+""",
 )
-def z09_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d07_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph-level dedup (CCNet-style boilerplate removal):
     first occurrence of each ≥10-char normalized paragraph survives;
     documents rebuild from surviving paragraphs in order."""
@@ -558,12 +589,25 @@ def z09_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z10_incremental_dedup",
+    "d08_incremental_dedup",
     tags=("dedup", "pipeline"),
-    oracle=None,  # sorted-name slot past the driver's 50-query window;
-    # cross-batch semantics pinned in tests/test_operators.py
+    oracle=r"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash
+  FROM documents
+),
+seen AS (SELECT DISTINCT text_hash FROM hashed WHERE doc_id % 2 = 0),
+fresh AS (
+  SELECT h.doc_id, h.text_hash FROM hashed h
+  WHERE h.doc_id % 2 = 1
+    AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.text_hash = h.text_hash)
 )
-def z10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT MIN(doc_id) AS doc_id, text_hash
+FROM fresh GROUP BY text_hash ORDER BY doc_id
+""",
+)
+def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state ingestion dedup: documents with even doc_id act as the
     already-ingested corpus (its hash state), the odd half as the new batch;
     survivors = odd docs whose text was never seen, min-id per digest."""

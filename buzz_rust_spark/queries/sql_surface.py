@@ -178,18 +178,12 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q06_sort_limit",
-    tags=("sort", "limit"),
-    oracle="""
-SELECT o_orderkey, o_totalprice, o_orderpriority
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 20
-""",
-)
 def q06_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY + LIMIT → TakeOrderedAndProject (no global sort)."""
+    """ORDER BY + LIMIT → TakeOrderedAndProject (no global sort).
+
+    Folded into the q27 labeled suite (round 4) to free a driver-window slot
+    for d07/d08; the shape stays oracle-checked via its ``sortlimit_*``
+    labels there."""
     return (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
@@ -1422,16 +1416,49 @@ SELECT label, value FROM (
                         AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
     GROUP BY s.s_name
   ) t44
+  UNION ALL
+  SELECT 'sortlimit_' || CAST(o_orderkey AS VARCHAR) AS label,
+         CAST(o_totalprice AS DOUBLE) AS value
+  FROM (
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+  ) t45
+  UNION ALL
+  SELECT 'priority_high_' || linestatus AS label,
+         CAST(high_line_count AS DOUBLE) AS value
+  FROM (
+    SELECT l.l_linestatus AS linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+  ) t46
+  UNION ALL
+  SELECT 'priority_low_' || linestatus AS label,
+         CAST(low_line_count AS DOUBLE) AS value
+  FROM (
+    SELECT l.l_linestatus AS linestatus,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+  ) t47
 ) ORDER BY label
 """,
 )
 def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fourteen TPC-H shapes (Q7 volume shipping, Q8 market share, Q13
+    """Sixteen TPC-H shapes (Q7 volume shipping, Q8 market share, Q13
     order-count distribution, Q18 large-quantity, Q17 correlated-AVG, Q14
     promo ratio, Q15 top supplier, Q19 disjunctive filter, Q2 min-cost
     supplier, Q9 product profit, Q10 returned items, Q16 supplier-part
     counts, Q20 nested-IN excess shippers, Q21 EXISTS/NOT-EXISTS waiting
-    orders) folded into one labeled (label, value) union so every shape stays
+    orders, plus — folded in round 4 to free driver-window slots for
+    d07/d08 — the former q06 sort/limit and q36 Q12 priority-count shapes)
+    in one labeled (label, value) union so every shape stays
     driver-checked within the 50-row correctness window.  Each component
     keeps its own standalone function (q27_volume_shipping ..
     q44_waiting_orders) and its broadcast-dim plan (q44's fact-to-fact anti
@@ -1524,6 +1551,21 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("waiting_"), F.col("s_name")),
             "numwait",
         ),
+        lv(
+            q06_sort_limit(spark, sf_dir),
+            F.concat(F.lit("sortlimit_"), F.col("o_orderkey").cast("string")),
+            "o_totalprice",
+        ),
+        lv(
+            q36_priority_counts(spark, sf_dir),
+            F.concat(F.lit("priority_high_"), F.col("linestatus")),
+            "high_line_count",
+        ),
+        lv(
+            q36_priority_counts(spark, sf_dir),
+            F.concat(F.lit("priority_low_"), F.col("linestatus")),
+            "low_line_count",
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1576,25 +1618,13 @@ ORDER BY cntrycode
     )
 
 
-@register(
-    "q36_priority_counts",
-    tags=("join", "agg"),
-    oracle="""
-SELECT l.l_linestatus AS linestatus,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l.l_linestatus
-ORDER BY l.l_linestatus
-""",
-)
 def q36_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional counts split by a priority class over a
-    year-windowed fact/dim join — CASE-in-SUM with IN / NOT IN lists."""
+    year-windowed fact/dim join — CASE-in-SUM with IN / NOT IN lists.
+
+    Folded into the q27 labeled suite (round 4) to free a driver-window slot
+    for d07/d08; the shape stays oracle-checked via its ``priority_*``
+    labels there."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))

@@ -8,6 +8,7 @@ Reference parity map:
   table + partition_filter evaluation)
 """
 
+from .logstore import LogStore, register_scheme, unregister_scheme
 from .manifest import CatalogFile, manifest_df, prune_manifest
 from .static_catalog import StaticCatalog
 from .delta_catalog import DeltaCatalog, read_delta_changes
@@ -22,6 +23,9 @@ from .parquet_dir import ParquetDirCatalog
 from .text_formats import CsvCatalog, JsonLinesCatalog, quarantine_split
 
 __all__ = [
+    "LogStore",
+    "register_scheme",
+    "unregister_scheme",
     "CsvCatalog",
     "JsonLinesCatalog",
     "quarantine_split",

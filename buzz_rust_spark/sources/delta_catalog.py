@@ -13,28 +13,46 @@ open spec) instead of depending on delta-spark, then delegates scanning to
 so the schema conversion is exact.  Checkpoint parquet files are supported by
 reading the ``_last_checkpoint`` pointer; JSON commits after the checkpoint are
 replayed on top.
+
+All log IO goes through :class:`~buzz_rust_spark.sources.logstore.LogStore`,
+so tables can live on any filesystem pyarrow speaks — local paths, ``s3://``
+/ ``s3a://`` buckets (``region`` maps to the reference's region-scoped S3
+client, delta_catalog.rs:33-48 ``try_new(uri, region)``), or any
+``FileSystem.from_uri`` scheme; data files keep their original URIs so the
+distributed scan reads them through Spark's own connectors (S3A etc.).
 """
 
 from __future__ import annotations
 
 import json
-import os
-from glob import glob
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from ..errors import BuzzExecutionError, BuzzNotImplementedError
+from ..errors import BuzzExecutionError
+from .logstore import LogStore
 from .manifest import CatalogFile
 from .static_catalog import StaticCatalog
 
+_LOG = "_delta_log"
 
-def _log_dir(table_uri: str) -> str:
-    if "://" in table_uri and not table_uri.startswith("file://"):
-        raise BuzzNotImplementedError(
-            f"only local/file Delta tables supported in this build: {table_uri!r}"
-        )
-    return os.path.join(table_uri.removeprefix("file://"), "_delta_log")
+
+def _commit_versions(store: LogStore) -> list[tuple[int, str]]:
+    """(version, log-relative path) for each JSON commit, ascending."""
+    out = []
+    for name in store.list_names(_LOG):
+        stem = name.split(".", 1)[0]
+        if name.endswith(".json") and stem.isdigit():
+            out.append((int(stem), f"{_LOG}/{name}"))
+    return sorted(out)
+
+
+def _read_actions(store: LogStore, rel: str) -> list[dict]:
+    return [
+        json.loads(line)
+        for line in store.read_text(rel).splitlines()
+        if line.strip()
+    ]
 
 
 def _replay_actions(actions, state: dict[str, dict], meta: dict) -> None:
@@ -51,40 +69,46 @@ def _replay_actions(actions, state: dict[str, dict], meta: dict) -> None:
 class DeltaCatalog:
     """reference: delta_catalog.rs:33-48 ``try_new(uri, region)``."""
 
-    def __init__(self, name: str, table_uri: str, version: int | None = None):
+    def __init__(
+        self,
+        name: str,
+        table_uri: str,
+        version: int | None = None,
+        region: str | None = None,
+    ):
         """``version`` enables time travel: replay the log only up to that
         commit (inclusive) — the snapshot a reader at that version saw.
         Extension over the reference (delta-rs in the reference always loads
-        the latest snapshot, delta_catalog.rs:33-48)."""
+        the latest snapshot, delta_catalog.rs:33-48).  ``region`` scopes the
+        S3 client for ``s3://``/``s3a://`` URIs (reference parity)."""
         self.name = name
-        self.table_uri = table_uri.removeprefix("file://")
+        self._store = LogStore(table_uri, region=region)
+        self.table_uri = self._store.table_uri
         self.version = version
         self._load_snapshot()
 
     def _load_snapshot(self) -> None:
-        log_dir = _log_dir(self.table_uri)
-        if not os.path.isdir(log_dir):
+        store = self._store
+        if not store.isdir(_LOG):
             raise BuzzExecutionError(f"no _delta_log at {self.table_uri!r}")
 
         live: dict[str, dict] = {}
         meta: dict = {}
         start_version = 0
 
-        checkpoint_file = os.path.join(log_dir, "_last_checkpoint")
-        if self.version is not None and os.path.exists(checkpoint_file):
+        cp_version: int | None = None
+        if store.exists(f"{_LOG}/_last_checkpoint"):
+            cp_version = json.loads(store.read_text(f"{_LOG}/_last_checkpoint"))[
+                "version"
+            ]
             # time travel below the checkpoint needs a full JSON replay;
             # only use the checkpoint when it doesn't overshoot the target.
-            with open(checkpoint_file) as fh:
-                if json.load(fh)["version"] > self.version:
-                    checkpoint_file = os.devnull  # force JSON-only replay
-        if os.path.exists(checkpoint_file) and checkpoint_file != os.devnull:
-            with open(checkpoint_file) as fh:
-                cp = json.load(fh)
-            version = cp["version"]
-            import pyarrow.parquet as pq
-
-            cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-            table = pq.read_table(cp_path)
+            if self.version is not None and cp_version > self.version:
+                cp_version = None
+        if cp_version is not None:
+            table = store.read_parquet(
+                f"{_LOG}/{cp_version:020d}.checkpoint.parquet"
+            )
 
             def _demap(obj):
                 # checkpoint map<string,string> columns (partitionValues,
@@ -99,21 +123,17 @@ class DeltaCatalog:
 
             for row in table.to_pylist():
                 action = {k: _demap(v) for k, v in row.items() if v is not None}
-                _replay_actions([action], live, meta if "metaData" in action else meta)
-            start_version = version + 1
+                _replay_actions([action], live, meta)
+            start_version = cp_version + 1
 
-        commits = sorted(glob(os.path.join(log_dir, "*.json")))
         max_seen = start_version - 1  # checkpoint (if used) covers ≤ this
-        for commit in commits:
-            version = int(os.path.basename(commit).split(".")[0])
+        for version, rel in _commit_versions(store):
             if version < start_version:
                 continue
             if self.version is not None and version > self.version:
                 continue
             max_seen = max(max_seen, version)
-            with open(commit) as fh:
-                actions = [json.loads(line) for line in fh if line.strip()]
-            _replay_actions(actions, live, meta)
+            _replay_actions(_read_actions(store, rel), live, meta)
 
         if self.version is not None and max_seen < self.version:
             raise BuzzExecutionError(
@@ -134,7 +154,7 @@ class DeltaCatalog:
         )
         self.files = [
             CatalogFile(
-                key=os.path.join(self.table_uri, add["path"]),
+                key=store.spark_path(add["path"]),
                 length=int(add.get("size", 0)),
                 partitions=tuple(
                     (c, str(add.get("partitionValues", {}).get(c)))
@@ -146,7 +166,7 @@ class DeltaCatalog:
         # per-file stats JSON from the add actions (data skipping without
         # footer reads — consumed by sources.zonemap.stats_from_delta_log)
         self._add_stats = {
-            os.path.join(self.table_uri, add["path"]): add["stats"]
+            store.spark_path(add["path"]): add["stats"]
             for add in live.values()
             if add.get("stats")
         }
@@ -173,6 +193,7 @@ def read_delta_changes(
     table_uri: str,
     from_version: int,
     to_version: int | None = None,
+    region: str | None = None,
 ) -> DataFrame:
     """Rows ADDED in commits ``(from_version, to_version]`` — incremental
     consumption of an append-history Delta table (change-data-feed-lite),
@@ -191,12 +212,11 @@ def read_delta_changes(
     from the log like any Delta scan."""
     from pyspark.sql import functions as F
 
-    log_dir = _log_dir(table_uri)
-    table_dir = table_uri.removeprefix("file://")
-    commits = sorted(glob(os.path.join(log_dir, "*.json")))
+    store = LogStore(table_uri, region=region)
+    commits = _commit_versions(store)
     if not commits:
         raise BuzzExecutionError(f"not a Delta table: {table_uri!r}")
-    latest = int(os.path.basename(commits[-1]).split(".")[0])
+    latest = commits[-1][0]
     to_version = latest if to_version is None else to_version
     if to_version > latest:
         raise BuzzExecutionError(
@@ -206,10 +226,8 @@ def read_delta_changes(
 
     meta: dict = {}
     per_version: dict[int, list[dict]] = {}
-    for commit in commits:
-        version = int(os.path.basename(commit).split(".")[0])
-        with open(commit) as fh:
-            actions = [json.loads(line) for line in fh if line.strip()]
+    for version, rel in commits:
+        actions = _read_actions(store, rel)
         for action in actions:
             if "metaData" in action:
                 meta.update(action["metaData"])
@@ -250,7 +268,7 @@ def read_delta_changes(
             partition_cols=partition_cols,
             files=[
                 CatalogFile(
-                    key=os.path.join(table_dir, add["path"]),
+                    key=store.spark_path(add["path"]),
                     length=int(add.get("size", 0)),
                     partitions=tuple(
                         (c, str(add.get("partitionValues", {}).get(c)))

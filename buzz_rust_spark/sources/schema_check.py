@@ -6,13 +6,20 @@ field-by-field (name, type, nullability) against the parquet footer schema and
 fails the stage on any mismatch.  Spark's default behavior is to silently
 reconcile; this module restores the strict check.
 
-Scale note: footer reads are metadata-only (a few KiB per file).  The check is
-distributed over executors via ``mapInPandas`` when the file count is large,
-and driver-side pyarrow below a threshold.  It can also be sampled
-(``max_files``) for very large catalogs.
+Scale note: footer reads are metadata-only (a few KiB per file).  When a
+SparkSession is provided and more than ``DISTRIBUTE_THRESHOLD`` files need
+checking, the check runs as a ``mapInPandas`` job over the file list — one
+footer read per task row, so 100k-file catalogs verify at executor
+parallelism instead of a driver-side loop.  Below the threshold (or without
+a session) it is a driver-side pyarrow loop.  ``max_files`` SAMPLES the
+check: only the first ``max_files`` paths are verified (StaticCatalog
+defaults to 16 — a spot check, not a guarantee; pass
+``verify_max_files=None`` for the full, distributed verification).
 """
 
 from __future__ import annotations
+
+import json as _json
 
 import pyarrow.parquet as pq
 from pyspark.sql.pandas.types import from_arrow_type
@@ -75,10 +82,70 @@ def verify_file_schema(declared: StructType, path: str) -> None:
             )
 
 
+# file counts above this distribute the footer check over executors
+DISTRIBUTE_THRESHOLD = 64
+
+
 def verify_files(
-    declared: StructType, paths: list[str], max_files: int | None = None
+    declared: StructType,
+    paths: list[str],
+    max_files: int | None = None,
+    spark=None,
 ) -> None:
-    """Verify up to ``max_files`` footers (all when None)."""
+    """Verify up to ``max_files`` footers (ALL when None — the first
+    ``max_files`` paths otherwise, i.e. a sample).  With a ``spark`` session
+    and more than :data:`DISTRIBUTE_THRESHOLD` files, verification runs
+    distributed (one executor task batch per partition of the path list)."""
     to_check = paths if max_files is None else paths[:max_files]
+    if spark is not None and len(to_check) > DISTRIBUTE_THRESHOLD:
+        _verify_files_distributed(spark, declared, to_check)
+        return
     for p in to_check:
         verify_file_schema(declared, p)
+
+
+def _verify_files_distributed(spark, declared: StructType, paths: list[str]) -> None:
+    """Footer check as a Spark job: ship the declared schema as JSON, read
+    each footer executor-side with pyarrow, emit one row per failing file.
+    Only error strings come back to the driver (capped), so the job moves
+    KiB regardless of catalog size."""
+    import pandas as pd  # noqa: F401 — executor dependency, fail fast on driver
+    from pyspark.sql.types import StringType, StructField
+
+    schema_json = declared.json()
+    out_schema = StructType([StructField("error", StringType())])
+
+    def check(batches):
+        import pandas as pd
+
+        decl = StructType.fromJson(_json.loads(schema_json))
+        for pdf in batches:
+            errs = []
+            for p in pdf["path"]:
+                try:
+                    verify_file_schema(decl, p)
+                except BuzzSchemaError as exc:
+                    errs.append(str(exc))
+                except Exception as exc:  # unreadable footer fails the check
+                    # (reference parity: a worker that can't read the footer
+                    # fails its stage, parquet.rs:84-100) — surfaced as a
+                    # check error instead of an opaque task failure
+                    errs.append(f"cannot read parquet footer at {p!r}: {exc}")
+            yield pd.DataFrame({"error": errs})
+
+    n_parts = min(
+        len(paths), int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    errors = [
+        r["error"]
+        for r in spark.createDataFrame([(p,) for p in paths], "path string")
+        .repartition(n_parts)
+        .mapInPandas(check, out_schema)
+        .limit(8)
+        .collect()
+    ]
+    if errors:
+        raise BuzzSchemaError(
+            f"{len(errors)}+ file(s) failed the schema check; first errors:\n"
+            + "\n".join(errors)
+        )

@@ -106,10 +106,14 @@ class StaticCatalog:
             return spark.createDataFrame([], schema=self.full_schema())
         self._apply_s3_conf(spark)
         if self.verify_schemas:
+            # verify_max_files=16 (the default) is a SAMPLE — only the first
+            # 16 footers are checked; None = full check, distributed over
+            # executors above schema_check.DISTRIBUTE_THRESHOLD files.
             verify_files(
                 self.schema,
                 [self.resolve_key(f.key) for f in files],
                 self.verify_max_files,
+                spark=spark,
             )
 
         if not self.partition_cols:

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side design is real and tested — schema contracts, Arrow-batched
-``mapInPandas`` signatures, partition-size control — while the actual media
-decode is stubbed (image/audio libs are not in this container): a
-deterministic fake "decode" derives features from the payload bytes so the
-full pipeline is exercisable end-to-end.  Swap ``_decode_stub`` for a real
-decoder (PIL/torchaudio/ffmpeg) in production; nothing else changes.
+``mapInPandas`` signatures, partition-size control.  Two uncompressed media
+formats are decoded FOR REAL with pure-python/numpy parsers (no media libs
+needed): uncompressed 24/32-bit **BMP** (pixel stats + nearest-neighbor
+resize) and 8/16-bit PCM **WAV** (sample stats).  Every other format falls
+back to a deterministic stub "decode" deriving features from the payload
+bytes, so the full pipeline stays exercisable end-to-end; ``strict=True``
+raises at that stub boundary instead (compressed formats genuinely need
+PIL/torchaudio/ffmpeg).  Swap the fallback for a real decoder in production;
+nothing else changes.
 
 Scale notes:
 - media rows are wide (MBs): ``repartition`` by byte budget before the decode
@@ -58,14 +62,38 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 
 def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table for pipeline tests (payload bytes are a
-    function of media_id)."""
+    """Deterministic media table for pipeline tests.  Image rows carry REAL
+    uncompressed BMP payloads and audio rows REAL PCM WAV payloads (both a
+    deterministic function of media_id), so the decode/resize stages
+    exercise the pure-python codecs end-to-end; video rows carry opaque
+    bytes (stub path)."""
+    import numpy as np
+
+    def payload(i: int, w: int, h: int, duration_ms: int) -> bytes:
+        if kind == "image":
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (xx * 7 + i * 31) % 256,
+                    (yy * 11 + i * 13) % 256,
+                    (xx + yy + i) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            return encode_bmp(px)
+        if kind == "audio":
+            rate = 8000
+            t = np.arange(rate * duration_ms // 1000, dtype=np.float64)
+            freq = 100.0 + (i % 16) * 25.0
+            return encode_wav(0.5 * np.sin(2 * np.pi * freq * t / rate), rate)
+        return bytes(((i * 31 + j * 7) % 251) for j in range(128 + (i % 32)))
+
     rows = [
         (
             i,
             kind,
-            bytes(((i * 31 + j * 7) % 251) for j in range(128 + (i % 32))),
-            f"{kind}/fake",
+            payload(i, 64 + i % 16, 48 + i % 12, 1000 + i),
+            {"image": "image/bmp", "audio": "audio/wav"}.get(kind, f"{kind}/fake"),
             64 + i % 16,
             48 + i % 12,
             1000 + i,
@@ -73,6 +101,156 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
         for i in range(n)
     ]
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --- real pure-python codecs: uncompressed BMP, PCM WAV ---------------------
+
+
+def encode_bmp(pixels) -> bytes:
+    """(H, W, 3) uint8 array → uncompressed 24-bit bottom-up BMP bytes."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    data_size = stride * h
+    header = (
+        b"BM"
+        + (54 + data_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + data_size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes | None):
+    """Uncompressed 24/32-bit BMP → (H, W, 3) uint8 RGB array, else None."""
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    offset = int.from_bytes(payload[10:14], "little")
+    header_size = int.from_bytes(payload[14:18], "little")
+    if header_size < 40:
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    bottom_up, h = h > 0, abs(h)
+    nchan = bpp // 8
+    stride = (w * nchan + 3) & ~3
+    if len(payload) < offset + stride * h:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    px = rows[:, : w * nchan].reshape(h, w, nchan)[:, :, :3][:, :, ::-1]  # BGR→RGB
+    return px[::-1] if bottom_up else px
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """float array in [-1, 1] → mono 16-bit PCM WAV bytes."""
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1, 1) * 32767).astype(
+        "<i2"
+    )
+    data = pcm.tobytes()
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(payload: bytes | None):
+    """8/16-bit PCM WAV → (samples float64 in [-1,1], sample_rate, channels),
+    else None."""
+    import numpy as np
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF":
+        return None
+    if payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    return samples, sample_rate, channels
+
+
+def _stats_feature(base: list[float], values, dim: int) -> list[float]:
+    """``base`` metadata + histogram of ``values`` padded/trimmed to ``dim``."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64).ravel()
+    feat = list(base)
+    if v.size:
+        feat += [float(v.mean()), float(v.std()), float(v.min()), float(v.max())]
+        nbins = dim - len(feat)
+        if nbins > 0:
+            lo, hi = float(v.min()), float(v.max())
+            hist, _ = np.histogram(v, bins=nbins, range=(lo, hi if hi > lo else lo + 1))
+            feat += (hist / v.size).tolist()
+    feat = feat[:dim] + [0.0] * max(0, dim - len(feat))
+    return [round(float(x), 6) for x in feat]
+
+
+def decode_real(payload: bytes | None, dim: int) -> list[float] | None:
+    """Real feature extraction for the supported formats, else None.
+
+    BMP: [width, height, gray mean/std/min/max, gray histogram...];
+    WAV: [sample_rate/1e4, duration_s, amp mean/std/min/max, histogram...]."""
+    img = decode_bmp(payload)
+    if img is not None:
+        gray = img.astype("float64").mean(axis=2) / 255.0
+        return _stats_feature(
+            [float(img.shape[1]), float(img.shape[0])], gray, dim
+        )
+    wav = decode_wav(payload)
+    if wav is not None:
+        samples, rate, channels = wav
+        duration = len(samples) / max(channels, 1) / max(rate, 1)
+        return _stats_feature([rate / 1e4, round(duration, 6)], samples, dim)
+    return None
 
 
 def _decode_stub(payload: bytes | None, dim: int) -> list[float] | None:
@@ -99,24 +277,34 @@ def decode_features(
 ) -> DataFrame:
     """media table → (media_id, n_bytes, feature[dim]) via mapInPandas.
 
-    ``strict=True`` raises NotImplementedError where a real decoder is
-    required, making the stub boundary explicit."""
+    Uncompressed BMP and PCM WAV payloads decode FOR REAL (pixel / sample
+    statistics, :func:`decode_real`).  Other formats use the deterministic
+    byte stub; ``strict=True`` raises NotImplementedError at that boundary
+    instead (compressed formats require PIL/torchaudio/ffmpeg, not present
+    in this environment)."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        if strict:
-            raise NotImplementedError(
-                "real media decode requires PIL/torchaudio/ffmpeg, not present "
-                "in this environment; use strict=False for the deterministic stub"
-            )
+        def one(p):
+            feat = decode_real(p, dim)
+            if feat is not None:
+                return feat
+            if strict and p is not None:
+                raise NotImplementedError(
+                    "payload is not an uncompressed BMP/WAV; decoding other "
+                    "formats requires PIL/torchaudio/ffmpeg, not present in "
+                    "this environment (use strict=False for the byte stub)"
+                )
+            return _decode_stub(p, dim)
+
         for batch in batches:
             payloads = batch["payload"]
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"],
                     "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
-                    "feature": payloads.map(lambda p: _decode_stub(p, dim)),
+                    "feature": payloads.map(one),
                 }
             )
 
@@ -159,24 +347,34 @@ def resize_images(
 ) -> DataFrame:
     """Image resize stage: (media_id, new dims, resized payload).
 
-    The resize kernel is stubbed (deterministic byte down/up-sampling standing
-    in for ``PIL.Image.resize``); the Spark plumbing — binary in/out schema,
-    iterator ``mapInPandas`` batching, metadata rewrite — is the production
-    shape.  ``strict=True`` raises at the stub boundary."""
+    Uncompressed BMP payloads resize FOR REAL (numpy nearest-neighbor over
+    the decoded pixel array, re-encoded as BMP).  Other formats use a
+    deterministic byte down/up-sampling stub; ``strict=True`` raises at that
+    boundary (compressed formats require PIL).  The Spark plumbing — binary
+    in/out schema, iterator ``mapInPandas`` batching, metadata rewrite — is
+    the production shape either way."""
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
-        if strict:
-            raise NotImplementedError(
-                "real image resize requires PIL, not present in this "
-                "environment; use strict=False for the deterministic stub"
-            )
         target_len = target_width * target_height // 64  # fake byte budget
 
-        def stub_resize(p):
+        def one(p):
             if p is None:
                 return None
+            img = decode_bmp(p)
+            if img is not None:
+                h, w = img.shape[:2]
+                rows = (np.arange(target_height) * h) // target_height
+                cols = (np.arange(target_width) * w) // target_width
+                return encode_bmp(img[rows][:, cols])
+            if strict:
+                raise NotImplementedError(
+                    "payload is not an uncompressed BMP; resizing other "
+                    "formats requires PIL, not present in this environment "
+                    "(use strict=False for the byte stub)"
+                )
             if len(p) >= target_len:
                 return bytes(p[:target_len])
             return bytes((p * (target_len // max(len(p), 1) + 1))[:target_len])
@@ -187,7 +385,7 @@ def resize_images(
                     "media_id": batch["media_id"],
                     "width": target_width,
                     "height": target_height,
-                    "payload": batch["payload"].map(stub_resize),
+                    "payload": batch["payload"].map(one),
                 }
             )
 

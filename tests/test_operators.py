@@ -155,22 +155,57 @@ def test_fingerprint_normalization_invariance(spark):
     assert fp2[1] == fp2[2] and fp2[1] != fp2[3]
 
 
-def test_multimodal_decode_plumbing(spark):
+def test_multimodal_decode_real_bmp_features(spark):
+    """Image rows carry real BMP payloads: features are actual pixel stats
+    (feature[0]/[1] = decoded width/height), not byte-stub hashes."""
     media = M.synthetic_media(spark, n=10)
     feats = M.decode_features(media, dim=8).collect()
     assert len(feats) == 10
     by_id = {r["media_id"]: r for r in feats}
     assert all(len(r["feature"]) == 8 for r in feats)
-    assert by_id[0]["n_bytes"] == 128
-    # unit-norm features
-    for r in feats:
-        assert sum(x * x for x in r["feature"]) == pytest.approx(1.0, abs=1e-3)
+    for i in range(10):
+        w, h = 64 + i % 16, 48 + i % 12
+        stride = (w * 3 + 3) & ~3
+        assert by_id[i]["feature"][0] == pytest.approx(float(w))
+        assert by_id[i]["feature"][1] == pytest.approx(float(h))
+        assert by_id[i]["n_bytes"] == 54 + stride * h
+        # grayscale stats live in [0, 1]
+        assert all(0.0 <= x <= 1.0 for x in by_id[i]["feature"][2:6])
 
 
-def test_multimodal_strict_raises(spark):
-    media = M.synthetic_media(spark, n=2)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+def test_multimodal_decode_real_wav_features(spark):
+    media = M.synthetic_media(spark, n=4, kind="audio")
+    by_id = {r["media_id"]: r for r in M.decode_features(media, dim=8).collect()}
+    for i in range(4):
+        assert by_id[i]["feature"][0] == pytest.approx(0.8)  # 8000 Hz / 1e4
+        assert by_id[i]["feature"][1] == pytest.approx((1000 + i) / 1000.0, abs=1e-3)
+        # 0.5-amplitude sine: mean ~0, max ~0.5
+        assert abs(by_id[i]["feature"][2]) < 0.01
+        assert by_id[i]["feature"][5] == pytest.approx(0.5, abs=0.01)
+
+
+def test_multimodal_strict_raises_on_non_bmp_wav(spark):
+    # video rows carry opaque bytes → strict marks the real-decoder boundary
+    media = M.synthetic_media(spark, n=2, kind="video")
+    with pytest.raises(Exception, match="NotImplementedError|BMP/WAV"):
         M.decode_features(media, strict=True).collect()
+    # but BMP/WAV decode for real even under strict
+    imgs = M.synthetic_media(spark, n=2, kind="image")
+    assert len(M.decode_features(imgs, strict=True).collect()) == 2
+
+
+def test_bmp_wav_codec_roundtrip():
+    import numpy as np
+
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(px)), px)
+    s = np.linspace(-1, 1, 101)
+    samples, rate, channels = M.decode_wav(M.encode_wav(s, 4000))
+    assert rate == 4000 and channels == 1
+    assert np.allclose(samples, s, atol=1e-4)  # 16-bit quantization step
+    # non-media bytes are rejected, not misparsed
+    assert M.decode_bmp(b"not a bitmap at all") is None
+    assert M.decode_wav(b"RIFFxxxxNOPE") is None
 
 
 def test_frame_sample_plan(spark):
@@ -273,21 +308,40 @@ def test_duplicate_clusters_matches_union_find(spark):
     assert got == want
 
 
-def test_resize_images_plumbing(spark):
+def test_resize_images_real_bmp(spark):
+    """BMP payloads resize for real: the output is a decodable BMP at the
+    target dims whose pixels equal a local nearest-neighbor recompute."""
+    import numpy as np
+
     from buzz_rust_spark.operators import multimodal as M
 
     media = M.synthetic_media(spark, n=16, kind="image")
     out = M.resize_images(media, target_width=32, target_height=32).collect()
     assert len(out) == 16
+    originals = {
+        r["media_id"]: M.decode_bmp(r["payload"])
+        for r in media.select("media_id", "payload").collect()
+    }
     for r in out:
         assert r["width"] == 32 and r["height"] == 32
-        assert len(r["payload"]) == 32 * 32 // 64
-    # strict mode marks the real-decoder boundary
+        resized = M.decode_bmp(bytes(r["payload"]))
+        assert resized is not None and resized.shape == (32, 32, 3)
+        src = originals[r["media_id"]]
+        rows = (np.arange(32) * src.shape[0]) // 32
+        cols = (np.arange(32) * src.shape[1]) // 32
+        assert np.array_equal(resized, src[rows][:, cols])
+    # strict mode still marks the boundary for non-BMP payloads; real BMPs
+    # pass.  (kind='video' rows are filtered out by resize_images itself, so
+    # craft an image-kind row with opaque bytes.)
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError  # noqa: F401
 
-    with _pytest.raises(Exception, match="NotImplementedError|real image resize"):
-        M.resize_images(media, strict=True).collect()
+    fake = spark.createDataFrame(
+        [(1, "image", bytes(range(64)), "image/jpeg", 8, 8, 0)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|not an uncompressed BMP"):
+        M.resize_images(fake, strict=True).collect()
+    assert len(M.resize_images(media, strict=True).collect()) == 16
 
 
 def test_skew_join_equals_plain_join(spark, sf_dir):

@@ -815,3 +815,35 @@ def test_paragraph_dedup_single_explode_scan(spark):
     assert plan.count("Generate") == plan.count("InMemoryRelation"), plan
     out.count()
     release_operator_caches()
+
+
+def test_simhash_vectorized_checksum(spark, sf_dir):
+    """The round-4 vectorized SimHash kernel must produce bit-identical
+    signatures to the definitional per-token accumulation (and the pigeonhole
+    banding downstream of it)."""
+
+    def reference_simhash(text: str) -> int:
+        toks = (text or "").lower().split()
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for tok in toks:
+            h = D.hash_token(tok)
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        value = sum(1 << j for j in range(64) if acc[j] > 0)
+        return value - (1 << 64) if value >= 1 << 63 else value
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    got = {
+        r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()
+    }
+    want = {
+        r["doc_id"]: reference_simhash(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want
+    # empty/None-ish docs hash to 0
+    edge = spark.createDataFrame([(1, ""), (2, "   "), (3, "one")], ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(edge).collect()}
+    assert sigs[1] == 0 and sigs[2] == 0 and sigs[3] == reference_simhash("one")

@@ -490,3 +490,102 @@ def allpairs_cosine_blocked(
         out.dropDuplicates(["id_1", "id_2"])
         .select("id_1", "id_2", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    Published recipe (SemDeDup, Abbas et al. 2023): cluster the embeddings
+    with k-means, then WITHIN each cluster drop every item whose cosine to an
+    already-kept item exceeds ``threshold`` — semantically-redundant examples
+    are removed without any text comparison.  This implementation is
+    deterministic end-to-end: centroids come from the seeded bounded-sample
+    trainer (:func:`train_ivf_centroids`) and within-cluster pruning is
+    greedy BY ASCENDING ID (an item is kept iff its cosine to every
+    previously-KEPT lower-id item in the cluster is below the threshold), so
+    the survivor set never depends on partitioning.
+
+    Scale shape: one narrow pass assigns each vector to its nearest centroid
+    (closure-broadcast centroid matrix — no join); ONE shuffle groups by
+    cluster; each cluster prunes inside ``applyInPandas`` with incremental
+    BLAS (each row scores against the kept-prefix matrix in one matvec).
+    Per-task cost is O(cluster_size × kept) — at corpus scale you raise
+    ``n_clusters`` so clusters stay bounded, the same knob as IVF (and the
+    published recipe: they use k ≈ corpus/10k).  Cross-cluster duplicates
+    are not compared — the documented recall trade of the method (near-dups
+    have near-identical embeddings, which land in the same cell).
+
+    Output: every input id with (cluster, kept, max_cosine_kept) where
+    ``max_cosine_kept`` is the similarity to the closest kept lower-id item
+    (the evidence for each drop; 1-indexed rank not needed).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if dim is None:
+        first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            dim = 1
+        else:
+            dim = int(first["d"])
+    centroids = train_ivf_centroids(vectors, dim, n_clusters, vec_col=vec_col)
+    assign1 = _nearest_centroids_udf(centroids, 1)
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cluster", IntegerType()),
+            StructField("kept", BooleanType()),
+            StructField("max_cosine_kept", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        m = np.stack(pdf["_v"].to_numpy()[order]).astype("float64")
+        nn = np.linalg.norm(m, axis=1)
+        nn[nn == 0] = 1.0
+        m = m / nn[:, None]
+        kept = np.zeros(len(ids), dtype=bool)
+        max_cos = np.full(len(ids), -1.0)
+        kept_rows: list[int] = []
+        for i in range(len(ids)):
+            if kept_rows:
+                sims = m[kept_rows] @ m[i]
+                max_cos[i] = float(sims.max())
+            if max_cos[i] < thr:
+                kept[i] = True
+                kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": int(pdf["_cell"].iloc[0]),
+                "kept": kept,
+                "max_cosine_kept": np.round(max_cos, 6),
+            }
+        )
+
+    assigned = vectors.select(
+        F.col(id_col).cast("long").alias("_id"),
+        as_double_array(F.col(vec_col)).alias("_v"),
+    ).where(F.col("_v").isNotNull() & F.col("_id").isNotNull()).withColumn(
+        "_cell", F.element_at(assign1(F.col("_v")), 1)
+    )
+    return assigned.groupBy("_cell").applyInPandas(prune, schema=out_schema)

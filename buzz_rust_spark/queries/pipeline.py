@@ -624,6 +624,25 @@ def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z12_semantic_dedup",
+    tags=("dedup", "similarity", "pipeline"),
+    oracle=None,  # k-means clustering is not SQL-expressible — rows-only
+    # check; exactness properties pinned in tests/test_operators.py
+)
+def z12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells over the embeddings,
+    greedy-by-id within-cell pruning at cosine >= 0.4 (the corpus's
+    near-dup band, cf. d05; deterministic: seeded centroid training +
+    id-ordered greedy keep)."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_clusters=8, dim=64).orderBy(
+        "vec_id"
+    )
+
+
+@register(
     "z11_epoch_shuffle",
     tags=("pipeline", "sampling"),
     oracle=None,  # order itself is the output; determinism/completeness/

@@ -847,3 +847,66 @@ def test_simhash_vectorized_checksum(spark, sf_dir):
     edge = spark.createDataFrame([(1, ""), (2, "   "), (3, "one")], ["doc_id", "text"])
     sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(edge).collect()}
     assert sigs[1] == 0 and sigs[2] == 0 and sigs[3] == reference_simhash("one")
+
+
+def test_semantic_dedup_properties(spark, sf_dir):
+    """SemDeDup greedy pruning invariants, brute-force verified per cluster:
+    every kept pair within a cluster is below the threshold, and every
+    dropped row is >= threshold to some kept LOWER-id row in its cluster."""
+    import numpy as np
+
+    from pyspark.sql import functions as _F
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # real corpus + synthetic near-copies (id+10000, one component nudged):
+    # the testdata embeddings carry almost no cosine>=0.8 pairs on their own
+    dups = base.where(_F.col("vec_id") < 50).select(
+        (_F.col("vec_id") + 10000).alias("vec_id"),
+        _F.concat(
+            _F.slice("embedding", 1, 63),
+            _F.array(_F.element_at("embedding", 64) + _F.lit(0.05)),
+        ).alias("embedding"),
+    )
+    emb = base.select("vec_id", "embedding").unionByName(dups)
+    out = S.semantic_dedup(emb, threshold=0.8, n_clusters=8, dim=64).collect()
+    assert len(out) == emb.count()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in emb.collect()
+    }
+    for vid, v in vecs.items():
+        n = np.linalg.norm(v)
+        vecs[vid] = v / (n if n else 1.0)
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    n_dropped = 0
+    for rows in by_cluster.values():
+        rows.sort(key=lambda r: r["vec_id"])
+        kept_ids = [r["vec_id"] for r in rows if r["kept"]]
+        for r in rows:
+            earlier_kept = [k for k in kept_ids if k < r["vec_id"]]
+            sims = [float(vecs[k] @ vecs[r["vec_id"]]) for k in earlier_kept]
+            if r["kept"]:
+                assert all(s < 0.8 + 1e-9 for s in sims), r
+            else:
+                n_dropped += 1
+                assert max(sims) >= 0.8 - 1e-9, r
+                assert r["max_cosine_kept"] == pytest.approx(max(sims), abs=1e-5)
+    assert n_dropped > 0  # the corpus contains semantic near-dups
+
+
+def test_semantic_dedup_identical_vectors_keep_min_id(spark):
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in (7, 3, 9)] + [
+        (5, [0.0, 1.0, 0.0, 0.0])
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for nparts in (1, 4):
+        out = {
+            r["vec_id"]: r["kept"]
+            for r in S.semantic_dedup(
+                emb.repartition(nparts), threshold=0.95, n_clusters=2, dim=4
+            ).collect()
+        }
+        assert out[3] and not out[7] and not out[9]  # min id survives
+        assert out[5]  # orthogonal vector untouched

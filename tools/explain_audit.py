@@ -33,6 +33,7 @@ PANDAS_UDF_OK = {
     "z03_resize",
     "z07_pq_search",  # pq_encode + ADC scan are the documented vectorized kernels
     "z08_sequence_packing",  # FFD bin packing is the documented applyInPandas kernel
+    "z12_semantic_dedup",  # centroid assignment UDF + per-cell greedy BLAS applyInPandas
     "d05_embedding_neardup",  # blocked-BLAS applyInPandas kernel
     "s01_ann_bruteforce",  # partial-top-k BLAS mapInPandas kernel
     "q26_registered_udf",  # the point of the query is the registered pandas UDF

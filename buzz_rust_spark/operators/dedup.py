@@ -430,16 +430,20 @@ def simhash_signatures(
         flat = [tok for toks in doc_tokens for tok in toks]
         if flat:
             hashes = hash_tokens(flat)
-            # (n_tokens, 64) sign matrix: bit set → +1, clear → -1
+            # (n_tokens, 64) sign matrix: bit set → +1, clear → -1.  int8
+            # keeps the transient at 64 B/token (int64 would be 512 B/token —
+            # a multi-GB spike on a 10k-row Arrow batch of long documents);
+            # the reduceat accumulates into int64 so segment sums can't
+            # saturate.
             bits = (
                 (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)
-            ).astype(np.int64)
-            signs = 2 * bits - 1
+            ).astype(np.int8)
+            signs = 2 * bits - 1  # int8
             # per-document segment sums via reduceat over the flat matrix
             nonempty = counts > 0
             starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nonempty]
-            acc = np.add.reduceat(signs, starts, axis=0)  # (n_nonempty, 64)
+            acc = np.add.reduceat(signs, starts, axis=0, dtype=np.int64)
             weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
             values = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(
                 axis=1, dtype=np.uint64

@@ -211,6 +211,10 @@ def decode_wav(payload: bytes | None):
     if audio_format != 1 or channels < 1 or bits not in (8, 16):
         return None
     if bits == 16:
+        # tolerate truncated payloads (data chunk shorter than its declared
+        # size, odd byte count): decode the complete samples instead of
+        # letting frombuffer raise and fail the whole Spark stage
+        data = data[: len(data) // 2 * 2]
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     else:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128.0

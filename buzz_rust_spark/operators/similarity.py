@@ -537,13 +537,19 @@ def semantic_dedup(
         StructType,
     )
 
+    # Null ids/vectors and wrong-dimension vectors are dropped up front —
+    # training, dim inference, assignment, and the prune kernel all see the
+    # same clean relation (a null row would crash the driver-side sample
+    # np.array; a ragged one would fail np.stack as a task error).
+    clean = vectors.select(
+        F.col(id_col).cast("long").alias("_id"),
+        as_double_array(F.col(vec_col)).alias("_v"),
+    ).where(F.col("_v").isNotNull() & F.col("_id").isNotNull())
     if dim is None:
-        first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            dim = 1
-        else:
-            dim = int(first["d"])
-    centroids = train_ivf_centroids(vectors, dim, n_clusters, vec_col=vec_col)
+        first = clean.select(F.size(F.col("_v")).alias("d")).first()
+        dim = 1 if first is None else int(first["d"])
+    clean = clean.where(F.size(F.col("_v")) == dim)
+    centroids = train_ivf_centroids(clean, dim, n_clusters, vec_col="_v")
     assign1 = _nearest_centroids_udf(centroids, 1)
 
     out_schema = StructType(
@@ -582,10 +588,5 @@ def semantic_dedup(
             }
         )
 
-    assigned = vectors.select(
-        F.col(id_col).cast("long").alias("_id"),
-        as_double_array(F.col(vec_col)).alias("_v"),
-    ).where(F.col("_v").isNotNull() & F.col("_id").isNotNull()).withColumn(
-        "_cell", F.element_at(assign1(F.col("_v")), 1)
-    )
+    assigned = clean.withColumn("_cell", F.element_at(assign1(F.col("_v")), 1))
     return assigned.groupBy("_cell").applyInPandas(prune, schema=out_schema)

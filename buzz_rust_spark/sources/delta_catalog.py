@@ -213,6 +213,10 @@ def read_delta_changes(
     from pyspark.sql import functions as F
 
     store = LogStore(table_uri, region=region)
+    # isdir pre-check (same as DeltaCatalog): a missing directory must be the
+    # typed error, not a raw pyarrow FileNotFoundError from the listing
+    if not store.isdir(_LOG):
+        raise BuzzExecutionError(f"not a Delta table: {table_uri!r}")
     commits = _commit_versions(store)
     if not commits:
         raise BuzzExecutionError(f"not a Delta table: {table_uri!r}")

@@ -70,7 +70,9 @@ class LogStore:
                 pafs.S3FileSystem(region=region) if region else pafs.S3FileSystem()
             )
             self._root = bucket_path
-            self._spark_root = self.table_uri  # Spark reads via S3A
+            # data files always read through S3A — stock Spark/Hadoop binds
+            # fs.s3a only, so a plain s3:// table URI is normalized here
+            self._spark_root = f"s3a://{bucket_path}"
         else:
             try:
                 self._fs, self._root = pafs.FileSystem.from_uri(self.table_uri)

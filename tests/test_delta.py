@@ -629,3 +629,15 @@ def test_delta_changes_through_mock_scheme(spark, tmp_path):
         ]
     finally:
         unregister_scheme("mockfs")
+
+
+def test_delta_changes_missing_table_typed_error(spark, tmp_path):
+    """A missing table dir raises the typed BuzzExecutionError, not a raw
+    pyarrow FileNotFoundError (code-review r4)."""
+    import pytest as _pytest
+
+    from buzz_rust_spark.errors import BuzzExecutionError
+    from buzz_rust_spark.sources import read_delta_changes
+
+    with _pytest.raises(BuzzExecutionError, match="not a Delta table"):
+        read_delta_changes(spark, str(tmp_path / "nope"), from_version=0)

@@ -910,3 +910,32 @@ def test_semantic_dedup_identical_vectors_keep_min_id(spark):
         }
         assert out[3] and not out[7] and not out[9]  # min id survives
         assert out[5]  # orthogonal vector untouched
+
+
+def test_semantic_dedup_null_ragged_tolerant(spark):
+    """Null/wrong-dimension embeddings are dropped, not driver/task crashes
+    (code-review r4: training collected nulls, prune np.stacked ragged)."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, None),
+            (3, [1.0]),       # ragged
+            (4, [1.0, 0.001]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["kept"] for r in
+           S.semantic_dedup(emb, threshold=0.95, n_clusters=1).collect()}
+    assert set(out) == {1, 4}
+    assert out[1] and not out[4]
+
+
+def test_decode_wav_truncated_payload(spark):
+    """A 16-bit WAV with an odd-length data chunk decodes its complete
+    samples instead of raising (code-review r4)."""
+    import numpy as np
+
+    good = M.encode_wav(np.zeros(10), 8000)
+    truncated = good[:-1]  # odd data length
+    r = M.decode_wav(truncated)
+    assert r is not None and len(r[0]) == 9

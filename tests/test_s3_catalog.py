@@ -182,3 +182,18 @@ def test_distributed_schema_check_full_catalog(spark, tmp_path):
     )
     with _pytest.raises(BuzzSchemaError):
         cat.to_dataframe(spark)
+
+
+def test_logstore_s3_uri_normalizes_to_s3a_for_spark():
+    """Data-file keys from an s3:// table URI must come back as s3a:// —
+    stock Spark binds fs.s3a only (code-review r4).  Construction must not
+    touch the network."""
+    from unittest import mock
+
+    from buzz_rust_spark.sources import LogStore
+
+    with mock.patch("pyarrow.fs.S3FileSystem") as fake:
+        fake.return_value = object()
+        store = LogStore("s3://bkt/tbl", region="eu-west-1")
+    assert store.spark_path("part-0.parquet") == "s3a://bkt/tbl/part-0.parquet"
+    fake.assert_called_once_with(region="eu-west-1")

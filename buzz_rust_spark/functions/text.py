@@ -19,22 +19,29 @@ from pyspark.sql import functions as F
 
 
 def normalize_text(col: Column) -> Column:
-    """lower, trim, collapse runs of whitespace to single spaces."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    """lower, collapse runs of whitespace to single spaces, trim.
+
+    Collapse BEFORE trim: Spark's ``trim`` strips spaces only, so the old
+    trim-then-collapse order left a leading/trailing space whenever the edge
+    whitespace was a tab/newline — '\\nfoo' and 'foo' hashed differently and
+    escaped dedup (caught by a hypothesis property test, round 4)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens of normalized text; empty string → empty array.
 
     Splits directly on ``\\s+`` — one regex pass instead of
-    normalize-then-split (two passes), with identical output: splitting on
-    runs of whitespace equals splitting the collapsed text on single spaces
-    (verified on the corpus and whitespace edge cases).  Tokenization is the
-    hot inner loop of every shingle/ngram operator, so the pass count
-    matters at corpus scale."""
+    normalize-then-split (two passes).  ``array_remove`` drops the empty
+    strings a leading/trailing tab or newline would produce (space-only
+    ``trim`` can't strip them — same edge the round-4 ``normalize_text``
+    fix covers), so the output equals splitting the normalized text on
+    single spaces for EVERY input.  Tokenization is the hot inner loop of
+    every shingle/ngram operator, so the regex pass count matters at corpus
+    scale; the array_remove is a cheap non-regex pass."""
     t = F.trim(F.lower(col))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.array_remove(F.split(t, r"\s+"), "")
     )
 
 

@@ -26,7 +26,7 @@ from .registry import load, register
 
 # --- the reference's canonical two-step query through the Buzz front-end ----
 
-_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 _SHINGLES_CTE = f"""
 WITH toks AS (
@@ -551,7 +551,7 @@ WITH paras AS (
 ),
 eligible AS (
   SELECT doc_id, pos,
-         regexp_replace(trim(lower(para)), '\s+', ' ', 'g') AS norm
+         trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS norm
   FROM paras WHERE length(trim(para)) >= 10
 ),
 firsts AS (
@@ -594,7 +594,7 @@ def d07_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH hashed AS (
   SELECT doc_id,
-         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash
   FROM documents
 ),
 seen AS (SELECT DISTINCT text_hash FROM hashed WHERE doc_id % 2 = 0),

@@ -1,0 +1,109 @@
+"""Property tests: the dedup family must agree with brute-force Python
+oracles on hypothesis-generated corpora (small vocabularies force heavy
+duplication, newlines force multi-paragraph documents)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from buzz_rust_spark.operators import dedup as D
+
+WORDS = ["alpha", "beta", "gamma", "delta", "twelve", "chars", "run"]
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.lower().strip())
+
+
+@st.composite
+def corpus(draw):
+    n_docs = draw(st.integers(2, 12))
+    docs = []
+    for i in range(n_docs):
+        n_paras = draw(st.integers(1, 4))
+        paras = [
+            " ".join(
+                draw(
+                    st.lists(st.sampled_from(WORDS), min_size=0, max_size=5)
+                )
+            )
+            for _ in range(n_paras)
+        ]
+        docs.append((i, "\n".join(paras)))
+    return docs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus())
+def test_paragraph_dedup_matches_bruteforce(spark_session_holder, docs):
+    spark = spark_session_holder
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_paragraphs"], r["n_kept"])
+        for r in D.paragraph_dedup(df, min_chars=10).collect()
+    }
+
+    # brute force: first (doc_id, pos) occurrence per normalized paragraph
+    seen: dict[str, tuple[int, int]] = {}
+    for doc_id, text in sorted(docs):
+        for pos, para in enumerate(text.split("\n")):
+            if len(para.strip()) >= 10:
+                seen.setdefault(_norm(para), (doc_id, pos))
+    for doc_id, text in docs:
+        paras = text.split("\n")
+        kept = [
+            p
+            for pos, p in enumerate(paras)
+            if len(p.strip()) < 10 or seen[_norm(p)] == (doc_id, pos)
+        ]
+        assert got[doc_id] == ("\n".join(kept), len(paras), len(kept)), (
+            doc_id,
+            text,
+        )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus())
+def test_incremental_dedup_matches_bruteforce(spark_session_holder, docs):
+    spark = spark_session_holder
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    seen_df = D.exact_duplicates(
+        df.where(df.doc_id % 2 == 0)
+    ).select("text_hash")
+    got = {
+        (r["doc_id"], r["text_hash"])
+        for r in D.dedup_incremental(
+            df.where(df.doc_id % 2 == 1), seen_df
+        ).select("doc_id", "text_hash").collect()
+    }
+
+    def h(text: str) -> str:
+        return hashlib.md5(_norm(text).encode()).hexdigest()
+
+    seen = {h(t) for i, t in docs if i % 2 == 0}
+    best: dict[str, int] = {}
+    for i, t in docs:
+        if i % 2 == 1 and h(t) not in seen:
+            best[h(t)] = min(best.get(h(t), i), i)
+    want = {(i, hh) for hh, i in best.items()}
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    # hypothesis forbids function-scoped fixtures with @given; the shared
+    # session is module-scoped state, which is exactly what we want here
+    return spark

@@ -107,3 +107,38 @@ def spark_session_holder(spark):
     # hypothesis forbids function-scoped fixtures with @given; the shared
     # session is module-scoped state, which is exactly what we want here
     return spark
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus())
+def test_ngram_jaccard_matches_bruteforce(spark_session_holder, docs):
+    """ngram_jaccard_pairs (inverted-index + df-cap machinery) must equal the
+    definitional all-pairs Jaccard over distinct word 3-grams."""
+    spark = spark_session_holder
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_1"], r["id_2"]): round(r["jaccard"], 6)
+        for r in D.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+
+    def shingles(text: str) -> set[str]:
+        toks = _norm(text).split(" ") if _norm(text) else []
+        if not toks:
+            toks = []
+        if len(toks) <= 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    items = sorted(docs)
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            a, b = shingles(items[i][1]), shingles(items[j][1])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.3:
+                want[(items[i][0], items[j][0])] = round(jac, 6)
+    assert got == want

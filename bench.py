@@ -44,10 +44,10 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the measured run surfaces real errors
 
-    # best-of-3: host jitter at this scale lands +0.5-8 s on a random query
-    # per run; three samples make the min a stable steady-state number while
-    # keeping the whole bench under ~2 min.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # best-of-4: host jitter at this scale lands +0.3-1 s on a random query
+    # per run (observed spread on d02/d03 across fresh sessions); four
+    # samples tighten the min while keeping the whole bench under ~2.5 min.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in queries.items():

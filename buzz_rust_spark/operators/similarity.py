@@ -214,43 +214,71 @@ def cosine_topk_lsh(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-``k``: candidates must share ≥1 of ``bands`` bit-bands
     of the hyperplane signature; candidates are scored exactly and ranked.
 
     Scale shape: the corpus is hashed once (narrow map), the join is keyed by
     (band, band-bits) — shuffle proportional to bucket collisions, not |corpus|
-    × |queries|."""
+    × |queries|.
+
+    ``multiprobe=1`` additionally probes, PER QUERY BAND, every bucket at
+    Hamming distance 1 (each single bit of the band flipped) — the standard
+    multi-probe LSH recall boost (Lv et al., VLDB'07).  Only the (small)
+    query side fans out ×(width+1); the corpus relation, its signatures, and
+    the shuffle key layout are unchanged, so recall rises without re-hashing
+    or replicating the corpus."""
     if bits % bands != 0:
         raise ValueError("bands must divide bits")
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 or 1 (single-bit probing)")
     width = bits // bands
     mask = (1 << width) - 1
 
-    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def banded(
+        df: DataFrame, id_alias: str, vec_alias: str, probe: bool = False
+    ) -> DataFrame:
         # Persist the signatures: the posexplode below re-evaluates its input
         # per emitted band row, and the signature is `bits` dot-product folds —
         # cached, each band row just re-reads a long.  Tracked for release.
         sigs = persist_tracked(
             hyperplane_signatures(df, dim, bits, id_col, vec_col)
         )
+        band_vals = [
+            F.shiftrightunsigned(F.col("lsh_sig"), b * width).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(bands)
+        ]
+        if probe:
+            # (band, value) pairs: the exact bucket plus width 1-bit flips
+            entries = [
+                F.struct(F.lit(b).alias("_band"), v.alias("_bits"))
+                for b, base in enumerate(band_vals)
+                for v in [base]
+                + [base.bitwiseXOR(F.lit(1 << j)) for j in range(width)]
+            ]
+            return sigs.select(
+                F.col(id_col).alias(id_alias),
+                F.col(vec_col).alias(vec_alias),
+                F.explode(F.array(*entries)).alias("_e"),
+            ).select(
+                id_alias, vec_alias, F.col("_e._band").alias("_band"),
+                F.col("_e._bits").alias("_bits"),
+            )
         return sigs.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftrightunsigned(F.col("lsh_sig"), b * width).bitwiseAND(
-                            F.lit(mask)
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("_band", "_bits"),
+            F.posexplode(F.array(*band_vals)).alias("_band", "_bits"),
         )
 
     cand = (
         banded(corpus, "neighbor_id", "_cv")
-        .join(banded(queries, "query_id", "_qv"), on=["_band", "_bits"])
+        .join(
+            banded(queries, "query_id", "_qv", probe=multiprobe >= 1),
+            on=["_band", "_bits"],
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "_qv", "_cv")
         .dropDuplicates(["query_id", "neighbor_id"])

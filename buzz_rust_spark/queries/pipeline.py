@@ -627,6 +627,31 @@ def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z13_bpe_tokenize",
+    tags=("text", "pipeline"),
+    oracle=None,  # BPE merge training is iterative, not SQL-expressible —
+    # rows-only check; encode parity pinned in tests/test_operators.py
+)
+def z13_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE: one word-count shuffle, driver-side merge
+    training over the bounded word-frequency table, Arrow-batched encode;
+    returns the top-30 learned-piece counts (deterministic: lexicographic
+    tie-breaks in training and ranking)."""
+    from ..operators.bpe import bpe_encode, train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=48)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.select(F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(30)
+    )
+
+
+@register(
     "z12_semantic_dedup",
     tags=("dedup", "similarity", "pipeline"),
     oracle=None,  # k-means clustering is not SQL-expressible — rows-only

@@ -939,3 +939,46 @@ def test_decode_wav_truncated_payload(spark):
     truncated = good[:-1]  # odd data length
     r = M.decode_wav(truncated)
     assert r is not None and len(r[0]) == 9
+
+
+# --- BPE tokenizer -----------------------------------------------------------
+
+
+def test_bpe_learns_canonical_merges(spark):
+    """The Sennrich toy corpus: frequent character pairs merge first, and
+    every encoded word reconstructs exactly."""
+    from buzz_rust_spark.operators import bpe as B
+
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest newest newest newest newest"),
+        (3, "widest widest widest"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = B.train_bpe(df, num_merges=10)
+    assert len(merges) == 10
+    # 'es'+'t</w>' family dominates (newest x6 + widest x3): the first merges
+    # must include building 'est</w>'
+    joined = ["".join(p) for p in merges]
+    assert any(m == "est</w>" or m.endswith("est</w>") for m in joined)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("low", "lower", "newest", "widest", "unseen"):
+        pieces = B.encode_word(w, ranks)
+        assert "".join(pieces) == w + B.END  # lossless
+    # distributed encode == local reference for every document
+    got = {r["doc_id"]: r["pieces"] for r in B.bpe_encode(df, merges).collect()}
+    for doc_id, text in rows:
+        want = [p for w in text.lower().split() for p in B.encode_word(w, ranks)]
+        assert got[doc_id] == want
+
+
+def test_bpe_training_deterministic(spark, sf_dir):
+    from buzz_rust_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1 = B.train_bpe(docs, num_merges=16)
+    m2 = B.train_bpe(docs.repartition(7), num_merges=16)
+    assert m1 == m2
+    enc = B.bpe_encode(docs, m1)
+    row = enc.where(enc.doc_id == 0).collect()[0]
+    assert row["n_pieces"] == len(row["pieces"]) > 0

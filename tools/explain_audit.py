@@ -34,6 +34,7 @@ PANDAS_UDF_OK = {
     "z07_pq_search",  # pq_encode + ADC scan are the documented vectorized kernels
     "z08_sequence_packing",  # FFD bin packing is the documented applyInPandas kernel
     "z12_semantic_dedup",  # centroid assignment UDF + per-cell greedy BLAS applyInPandas
+    "z13_bpe_tokenize",  # BPE encode is the documented Arrow-batched kernel
     "d05_embedding_neardup",  # blocked-BLAS applyInPandas kernel
     "s01_ann_bruteforce",  # partial-top-k BLAS mapInPandas kernel
     "q26_registered_udf",  # the point of the query is the registered pandas UDF

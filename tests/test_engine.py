@@ -416,3 +416,39 @@ def test_multi_zone_group_by_is_per_zone(spark, tmp_path):
     out = engine.run(q).collect()
     assert len(out) == 2  # one output row per zone
     assert sum(r["n"] for r in out) == 12
+
+
+def test_reference_example_queries_parse_verbatim():
+    """The reference's shipped example query JSONs (code/examples/*.json)
+    must parse unchanged through the BuzzQuery front-end — the user-facing
+    artifact a migrating user would bring along (models/query.rs:3-41
+    field-for-field)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from buzz_rust_spark.models import BuzzCatalogType, BuzzQuery
+
+    examples = "/root/reference/code/examples"
+    if not _os.path.isdir(examples):
+        _pytest.skip("reference checkout not present")
+    expected = {
+        "query.json": BuzzCatalogType.STATIC,
+        "query-delta-taxi.json": BuzzCatalogType.DELTA_LAKE,
+        "query-static-sample.json": BuzzCatalogType.STATIC,
+    }
+    for fname, cat_type in expected.items():
+        with open(_os.path.join(examples, fname)) as fh:
+            q = BuzzQuery.from_json(fh.read())
+        assert [s.step_type.value for s in q.steps] == ["HBee", "HComb"]
+        assert q.steps[0].partition_filter  # every example prunes partitions
+        assert q.catalogs[0].type is cat_type
+        assert q.capacity.zones == 1
+    # steps.json is the bare hbee-test step list (not a full BuzzQuery);
+    # its steps parse through the same step model
+    from buzz_rust_spark.models import BuzzStep
+
+    with open(_os.path.join(examples, "steps.json")) as fh:
+        steps = [BuzzStep.from_dict(s) for s in _json.load(fh)]
+    assert steps and steps[0].step_type.value == "HBee"

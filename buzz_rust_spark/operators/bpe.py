@@ -128,22 +128,26 @@ def bpe_encode(
 ) -> DataFrame:
     """(id, pieces array<string>, n_pieces) per document.
 
-    The merge ranking rides in the UDF closure (broadcast-small); a
-    per-worker word→pieces cache exploits the Zipfian word distribution so
+    Tokenization happens JVM-side with the SAME ``tokens()`` expression
+    training used (a Python-side re-split would disagree on Unicode
+    whitespace Java's ``\\s`` does not match — NBSP etc. — and silently
+    decouple the encoder from the trained word statistics); the UDF only
+    maps each word through the merge table.  The merge ranking rides in the
+    UDF closure (broadcast-small); the word→pieces cache lives in the
+    closure too, so it survives across Arrow batches within a worker and
     the merge loop runs roughly once per word TYPE per worker, not per
-    token."""
+    token (Zipfian hit rate)."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, StringType
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    cache: dict[str, list[str]] = {}
 
     @F.pandas_udf(ArrayType(StringType()))
-    def encode(texts):
-        cache: dict[str, list[str]] = {}
-
-        def enc(t):
+    def encode(tok_arrays):
+        def enc(words):
             out = []
-            for w in (t or "").lower().split():
+            for w in words:
                 pieces = cache.get(w)
                 if pieces is None:
                     pieces = encode_word(w, ranks)
@@ -151,9 +155,9 @@ def bpe_encode(
                 out.extend(pieces)
             return out
 
-        return pd.Series([enc(t) for t in texts])
+        return pd.Series([enc(words) for words in tok_arrays])
 
     return ensure_parallelism(df).select(
         F.col(id_col),
-        encode(F.col(text_col)).alias("pieces"),
+        encode(tokens(F.col(text_col))).alias("pieces"),
     ).withColumn("n_pieces", F.size("pieces"))

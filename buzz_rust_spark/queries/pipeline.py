@@ -27,10 +27,15 @@ from .registry import load, register
 # --- the reference's canonical two-step query through the Buzz front-end ----
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# token array of the normalized text with empty strings filtered — matches
+# Spark's tokens() exactly, including the whitespace-only-document edge where
+# DuckDB string_split('', ' ') would otherwise yield [''] (len 1) while
+# Spark yields [] (len 0)
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t != '')"
 
 _SHINGLES_CTE = f"""
 WITH toks AS (
-  SELECT doc_id, string_split({_NORM}, ' ') AS t
+  SELECT doc_id, {_TOKS} AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -259,7 +264,7 @@ def s02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
        ROUND(AVG(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
@@ -297,10 +302,10 @@ WITH q AS (
     FROM (
       SELECT doc_id,
              length(text) AS n_chars,
-             len(string_split({_NORM}, ' ')) AS n_tokens,
-             CASE WHEN len(string_split({_NORM}, ' ')) > 0
+             len({_TOKS}) AS n_tokens,
+             CASE WHEN len({_TOKS}) > 0
                   THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
-                       / len(string_split({_NORM}, ' '))
+                       / len({_TOKS})
                   ELSE 0.0 END AS mean_token_len,
              CASE WHEN length(text) > 0
                   THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
@@ -317,7 +322,7 @@ WITH q AS (
   FROM documents
 ), per_word AS (
   SELECT doc_id, word, COUNT(*) AS cnt
-  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word FROM documents)
+  FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
   GROUP BY doc_id, word
 ), w AS (
   SELECT doc_id, COUNT(*) AS n_distinct,
@@ -350,7 +355,7 @@ def _langid_oracle() -> str:
     from ..operators.text import LANG_MARKERS
 
     score_exprs = ",\n       ".join(
-        f"len(list_intersect(list_distinct(string_split({_NORM}, ' ')), "
+        f"len(list_intersect(list_distinct({_TOKS}), "
         f"{[w for w in words]!r})) AS score_{lang}"
         for lang, words in LANG_MARKERS.items()
     )
@@ -789,7 +794,7 @@ def d06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT kind, ngram, n FROM (
   SELECT 'token' AS kind, token AS ngram, n FROM (
     SELECT token, COUNT(*) AS n
-    FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
     WHERE token != ''
     GROUP BY token
     ORDER BY n DESC, token LIMIT 20
@@ -799,7 +804,7 @@ SELECT kind, ngram, n FROM (
     SELECT ngram, COUNT(*) AS n FROM (
       SELECT unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])
              AS ngram
-      FROM (SELECT string_split({_NORM}, ' ') AS t FROM documents)
+      FROM (SELECT {_TOKS} AS t FROM documents)
     )
     GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
   ) b
@@ -919,12 +924,12 @@ def a02_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_CTE = f"""
 WITH q AS (
   SELECT doc_id, lang, md5({_NORM}) AS norm_hash,
-         len(string_split({_NORM}, ' ')) AS n_tokens,
+         len({_TOKS}) AS n_tokens,
          ROUND(
-           LEAST(len(string_split({_NORM}, ' ')) / 50.0, 1.0) * 0.4
-           + CASE WHEN (CASE WHEN len(string_split({_NORM}, ' ')) > 0
+           LEAST(len({_TOKS}) / 50.0, 1.0) * 0.4
+           + CASE WHEN (CASE WHEN len({_TOKS}) > 0
                         THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
-                             / len(string_split({_NORM}, ' ')) ELSE 0.0 END)
+                             / len({_TOKS}) ELSE 0.0 END)
                   BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.3
            + (1.0
               - LEAST((CASE WHEN length(text) > 0

@@ -982,3 +982,44 @@ def test_bpe_training_deterministic(spark, sf_dir):
     enc = B.bpe_encode(docs, m1)
     row = enc.where(enc.doc_id == 0).collect()[0]
     assert row["n_pieces"] == len(row["pieces"]) > 0
+
+
+def test_bpe_encode_uses_jvm_tokenization(spark):
+    """Training and encoding must tokenize identically on Unicode whitespace
+    Java's \\s does not match (code-review r4: a Python .split() in the UDF
+    split NBSP-joined words the trainer had counted as one)."""
+    from buzz_rust_spark.operators import bpe as B
+
+    df = spark.createDataFrame([(1, "foo bar foo bar")], ["doc_id", "text"])
+    counts = B.word_counts(df)
+    assert counts == [("foo bar", 2)]  # NBSP does not split (Java \s)
+    merges = B.train_bpe(df, num_merges=4)
+    row = B.bpe_encode(df, merges).collect()[0]
+    # encode saw the same single NBSP-joined word type: pieces reconstruct
+    # exactly two copies of it (a Python .split() would have produced
+    # foo/bar pieces that never matched the trained statistics)
+    assert "".join(row["pieces"]) == ("foo bar" + B.END) * 2
+
+
+def test_token_oracle_parity_whitespace_only_docs(spark):
+    """Spark tokens() and the DuckDB _TOKS macro must agree that a
+    whitespace-only document has ZERO tokens (code-review r4: unfiltered
+    string_split('', ' ') returns [''] — len 1)."""
+    import duckdb
+
+    from buzz_rust_spark.functions.text import tokens as spark_tokens
+    from buzz_rust_spark.queries.pipeline import _TOKS
+
+    cases = ["", "\n", "\t ", "a b", " a\nb "]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], ["i", "text"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", F.size(spark_tokens(F.col("text"))).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')".replace("\n", "' || chr(10) || '").replace("\t", "' || chr(9) || '")
+                            for i, t in enumerate(cases))
+                + ") AS t(i, text)")
+    want = {r[0]: r[1] for r in con.execute(f"SELECT i, len({_TOKS}) FROM documents").fetchall()}
+    assert got == want == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2}

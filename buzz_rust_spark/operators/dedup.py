@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cache import persist_tracked
 from ..functions.parallelism import ensure_parallelism
-from ..functions.text import hash_column, normalize_text, word_shingles
+from ..functions.text import hash_column, normalize_text, tokens, word_shingles
 
 # Fixed (a, b) parameters for the MinHash permutation family
 # h_i(x) = (a_i * x + b_i) mod p — deterministic, seedless, portable.
@@ -705,3 +705,62 @@ def dedup_incremental(
     # semantics), resolved with one map-side-combinable aggregate.
     keepers = fresh.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
     return fresh.join(keepers, on=["text_hash", id_col], how="leftsemi")
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 10,
+    min_count: int = 2,
+    hash_fn: str = "fast",
+) -> DataFrame:
+    """Exact repeated token spans across the corpus (the fixed-window variant
+    of suffix-based exact-substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): every ``span``-token window
+    that occurs at least ``min_count`` times corpus-wide, with its occurrence
+    count, distinct-document count, and first (minimum-id) document.
+
+    Shape: one narrow explode of window positions per document (documents
+    with fewer than ``span`` tokens contribute nothing), the span hashed
+    INSIDE the same stage so only 8-byte hashes (plus the doc id) reach the
+    shuffle — span text never moves.  Counting is two-phase: a
+    (hash, doc) pre-aggregate partial-combines map-side (collapsing the
+    within-document repeats that dominate boilerplate), then the per-hash
+    rollup computes occurrences, distinct docs, and min id in one pass.
+    Cost is O(total_tokens * span) hash work in a map stage — perfectly
+    parallel — and the shuffled volume is bounded by distinct
+    (hash, doc) pairs.  A rolling (Rabin-Karp) hash would make the map
+    stage O(total_tokens); md5/xxhash over the joined span keeps the
+    candidate generation portable (identical in any engine) and the
+    constant factor is span-bounded.
+
+    At 100 TB: no all-pairs anywhere — hot spans (license boilerplate)
+    concentrate into single reducers only as pre-aggregated per-doc counts,
+    so the worst key carries at most one row per containing document."""
+    with_toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    positions = with_toks.where(F.size("_toks") >= span).select(
+        "_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(1), F.size("_toks") - span + 1)).alias("_pos"),
+    )
+    hashed = positions.select(
+        "_id",
+        hash_column(
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_pos"), span)), hash_fn
+        ).alias("span_hash"),
+    )
+    per_doc = hashed.groupBy("span_hash", "_id").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    return (
+        per_doc.groupBy("span_hash")
+        .agg(
+            F.sum("_occ").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_id").alias("first_doc"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )

@@ -277,3 +277,162 @@ def contamination_flags(
             ).alias("contaminated"),
         )
     )
+
+
+# Gopher-rule defaults (Rae et al. 2021, "Scaling Language Models: Methods,
+# Analysis & Insights from Training Gopher", App. A — the published MassiveText
+# document-quality heuristics).  Every threshold is a keyword so pipelines can
+# re-tune per corpus; the defaults are the paper's.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+BULLET_PREFIXES = ["•", "‣", "▪", "-", "*"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Per-document Gopher quality-rule metrics and the combined keep flag.
+
+    The seven published rules, each computed as a JVM expression in ONE
+    codegen'd projection (no shuffle, no Python, no explode — line and word
+    rules run on higher-order functions over the split arrays):
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [min_mean_word_len, max_mean_word_len]
+    3. symbol-to-word ratio (# + ellipsis) <= max_symbol_word_ratio
+    4. fraction of lines starting with a bullet <= max_bullet_line_ratio
+    5. fraction of lines ending with an ellipsis <= max_ellipsis_line_ratio
+    6. fraction of words containing an alphabetic char >= min_alpha_word_ratio
+    7. at least min_stopwords distinct stop words present
+
+    Scale: narrow map-only stage; at 100 TB this pipelines with the parquet
+    scan and the filter on ``passes`` pushes straight into the same stage.
+    """
+    sw = GOPHER_STOPWORDS if stopwords is None else stopwords
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    # Mean word length = non-whitespace chars / word count (one regex pass).
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_word_len = F.when(n_words > 0, non_space / n_words).otherwise(F.lit(0.0))
+    # Symbol counts via length deltas — no regex, portable across engines.
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + F.length(t)
+        - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.array_contains(
+                F.array(*[F.lit(b) for b in BULLET_PREFIXES]),
+                F.substring(F.ltrim(l), 1, 1),
+            ),
+        )
+    )
+    ellipsis_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    bullet_ratio = F.when(n_lines > 0, bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, ellipsis_end / n_lines).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in sw]))
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.cast("int").alias("n_stopwords"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_ratio") <= max_bullet_line_ratio)
+        & (F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("passes", passes)
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    line_ban: list[str] | None = None,
+    doc_ban: list[str] | None = None,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 heuristics).
+
+    Line rules (a line survives iff it passes all):
+    - at least ``min_words_per_line`` whitespace words
+    - ends in terminal punctuation (. ! ? ") when ``require_terminal_punct``
+    - contains none of ``line_ban`` substrings (default: ["javascript"],
+      case-insensitive)
+
+    Document rules:
+    - dropped when the text contains any of ``doc_ban`` (default:
+      ["lorem ipsum", "{"]) or fewer than ``min_kept_lines`` lines survive.
+
+    Everything runs in one narrow projection via higher-order functions over
+    the line array — the rebuilt text never round-trips through a shuffle, so
+    at corpus scale this is a pure map stage fused with the scan."""
+    lb = ["javascript"] if line_ban is None else line_ban
+    db = ["lorem ipsum", "{"] if doc_ban is None else doc_ban
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+
+    def line_ok(l: Column) -> Column:
+        words = F.size(
+            F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != "")
+        )
+        ok = words >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & F.rtrim(l).rlike('[.!?"]$')
+        for b in lb:
+            ok = ok & ~F.contains(F.lower(l), F.lit(b))
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    doc_banned = F.lit(False)
+    for b in db:
+        doc_banned = doc_banned | F.contains(F.lower(t), F.lit(b))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        (~doc_banned & (F.size(kept) >= min_kept_lines)).alias("keep_doc"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )

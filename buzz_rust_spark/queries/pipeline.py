@@ -632,6 +632,139 @@ def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d09_repeated_spans",
+    tags=("dedup", "pipeline"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+  FROM t WHERE len(toks) >= 10
+),
+s AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(array_to_string(toks[i:i+9], ' ')), 1, 15)
+              AS BIGINT) AS span_hash
+  FROM p
+),
+pd AS (SELECT span_hash, doc_id, COUNT(*) AS occ FROM s GROUP BY 1, 2)
+SELECT span_hash, CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+       COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM pd GROUP BY span_hash HAVING SUM(occ) >= 2 ORDER BY span_hash
+""",
+)
+def d09_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated 10-token spans corpus-wide (fixed-window
+    exact-substring dedup): occurrence + distinct-doc counts and first
+    containing document per repeated span."""
+    return D.repeated_spans(
+        load(spark, sf_dir, "documents"), span=10, min_count=2, hash_fn="portable"
+    ).orderBy("span_hash")
+
+
+@register(
+    "g01_gopher_quality",
+    tags=("text", "pipeline"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS non_space,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3
+           + length(text) - length(replace(text, '…', '')) AS n_ell,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines,
+         len(list_filter({_TOKS}, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+         len(list_intersect(list_distinct({_TOKS}),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+    ROUND(CASE WHEN n_words > 0 THEN non_space / n_words ELSE 0.0 END, 6)
+        AS mean_word_len,
+    ROUND(CASE WHEN n_words > 0 THEN (n_hash + n_ell) / n_words ELSE 0.0 END, 6)
+        AS symbol_word_ratio,
+    ROUND(CASE WHEN len(lines) > 0 THEN
+        len(list_filter(lines, l ->
+            list_contains(['•','‣','▪','-','*'], substring(ltrim(l), 1, 1))))
+          / len(lines)
+      ELSE 0.0 END, 6) AS bullet_line_ratio,
+    ROUND(CASE WHEN len(lines) > 0 THEN
+        len(list_filter(lines, l ->
+            ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) / len(lines)
+      ELSE 0.0 END, 6) AS ellipsis_line_ratio,
+    ROUND(CASE WHEN n_words > 0 THEN alpha_words / n_words ELSE 0.0 END, 6)
+        AS alpha_word_ratio,
+    CAST(n_stop AS INT) AS n_stopwords
+  FROM g
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+   AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+   AND n_stopwords >= 1) AS passes
+FROM m ORDER BY doc_id
+""",
+)
+def g01_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality metrics + keep flag per document (published
+    MassiveText heuristics; ``min_stopwords=1`` suits this corpus's
+    vocabulary — the rest are the paper's defaults)."""
+    return T.gopher_quality(
+        load(spark, sf_dir, "documents"), min_stopwords=1
+    ).orderBy("doc_id")
+
+
+@register(
+    "c01_c4_line_filter",
+    tags=("text", "pipeline"),
+    oracle="""
+WITH pages AS (
+  SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY source
+), l AS (
+  SELECT source, text,
+         list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines
+  FROM pages
+), k AS (
+  SELECT source, text, lines,
+         list_filter(lines, x ->
+            len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w != '')) >= 40
+            AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+)
+SELECT source, len(lines) AS n_lines, len(kept) AS n_kept,
+       (NOT (contains(lower(text), 'lorem ipsum') OR contains(lower(text), '{'))
+        AND len(kept) >= 3) AS keep_doc,
+       array_to_string(kept, chr(10)) AS cleaned
+FROM k ORDER BY source
+""",
+)
+def c01_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning over per-source pages (documents of one source
+    concatenated in id order become a multi-line page, so the line rules are
+    genuinely exercised on this newline-free corpus).  Corpus-tuned
+    parameters: >= 40 words per line, terminal punctuation off (the corpus
+    has none); the ban lists are the C4 defaults."""
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("text")))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return T.c4_clean_lines(
+        pages,
+        id_col="source",
+        min_words_per_line=40,
+        require_terminal_punct=False,
+    ).orderBy("source")
+
+
+@register(
     "z13_bpe_tokenize",
     tags=("text", "pipeline"),
     oracle=None,  # BPE merge training is iterative, not SQL-expressible —

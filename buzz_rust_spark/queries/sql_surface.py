@@ -62,20 +62,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q02_filter_in_like_between",
-    tags=("filter",),
-    oracle="""
-SELECT p_brand, COUNT(*) AS n_parts, MIN(p_size) AS min_size, MAX(p_size) AS max_size
-FROM part
-WHERE p_type LIKE 'ECO%' AND p_size BETWEEN 5 AND 30
-  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#17', 'Brand#25')
-GROUP BY p_brand
-ORDER BY p_brand
-""",
-)
 def q02_filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WHERE surface: LIKE prefix, BETWEEN, IN-list — all pushed to the scan."""
+    """WHERE surface: LIKE prefix, BETWEEN, IN-list — all pushed to the scan.
+    Driver-checked via the ``filterin_*`` branches of ``q27_shape_suite``
+    (folded in round 4 to free a correctness-window slot)."""
     p = load(spark, sf_dir, "part")
     return (
         p.where(
@@ -221,19 +211,9 @@ def q07_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q08_having",
-    tags=("agg", "filter"),
-    oracle="""
-SELECT c_nationkey, COUNT(*) AS n_customers
-FROM customer
-GROUP BY c_nationkey
-HAVING COUNT(*) > 50
-ORDER BY c_nationkey
-""",
-)
 def q08_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HAVING = post-aggregation filter."""
+    """HAVING = post-aggregation filter.  Driver-checked via the
+    ``having_*`` branches of ``q27_shape_suite`` (folded in round 4)."""
     return (
         load(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
@@ -728,23 +708,11 @@ def q23_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q24_exists_subquery",
-    tags=("subquery", "join"),
-    oracle="""
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders
-WHERE EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
-  AND NOT EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
-GROUP BY o_orderpriority ORDER BY o_orderpriority
-""",
-)
 def q24_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS (TPC-H Q4 shape) — planned as
     left-semi + left-anti hash joins on l_orderkey (no row explosion; the
-    semi/anti build side carries only the key)."""
+    semi/anti build side carries only the key).  Driver-checked via the
+    ``exists_*`` branches of ``q27_shape_suite`` (folded in round 4)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
@@ -1447,6 +1415,49 @@ SELECT label, value FROM (
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l.l_linestatus
   ) t47
+  UNION ALL
+  SELECT 'filterin_n_' || p_brand AS label, CAST(n_parts AS DOUBLE) AS value
+  FROM (
+    SELECT p_brand, COUNT(*) AS n_parts FROM part
+    WHERE p_type LIKE 'ECO%' AND p_size BETWEEN 5 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#17', 'Brand#25')
+    GROUP BY p_brand
+  ) t48
+  UNION ALL
+  SELECT 'filterin_min_' || p_brand AS label, CAST(min_size AS DOUBLE) AS value
+  FROM (
+    SELECT p_brand, MIN(p_size) AS min_size FROM part
+    WHERE p_type LIKE 'ECO%' AND p_size BETWEEN 5 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#17', 'Brand#25')
+    GROUP BY p_brand
+  ) t49
+  UNION ALL
+  SELECT 'filterin_max_' || p_brand AS label, CAST(max_size AS DOUBLE) AS value
+  FROM (
+    SELECT p_brand, MAX(p_size) AS max_size FROM part
+    WHERE p_type LIKE 'ECO%' AND p_size BETWEEN 5 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#17', 'Brand#25')
+    GROUP BY p_brand
+  ) t50
+  UNION ALL
+  SELECT 'having_' || CAST(c_nationkey AS VARCHAR) AS label,
+         CAST(n_customers AS DOUBLE) AS value
+  FROM (
+    SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+    GROUP BY c_nationkey HAVING COUNT(*) > 50
+  ) t51
+  UNION ALL
+  SELECT 'exists_' || o_orderpriority AS label,
+         CAST(order_count AS DOUBLE) AS value
+  FROM (
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+  ) t52
 ) ORDER BY label
 """,
 )
@@ -1565,6 +1576,31 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q36_priority_counts(spark, sf_dir),
             F.concat(F.lit("priority_low_"), F.col("linestatus")),
             "low_line_count",
+        ),
+        lv(
+            q02_filter_in_like_between(spark, sf_dir),
+            F.concat(F.lit("filterin_n_"), F.col("p_brand")),
+            "n_parts",
+        ),
+        lv(
+            q02_filter_in_like_between(spark, sf_dir),
+            F.concat(F.lit("filterin_min_"), F.col("p_brand")),
+            "min_size",
+        ),
+        lv(
+            q02_filter_in_like_between(spark, sf_dir),
+            F.concat(F.lit("filterin_max_"), F.col("p_brand")),
+            "max_size",
+        ),
+        lv(
+            q08_having(spark, sf_dir),
+            F.concat(F.lit("having_"), F.col("c_nationkey").cast("string")),
+            "n_customers",
+        ),
+        lv(
+            q24_exists_subquery(spark, sf_dir),
+            F.concat(F.lit("exists_"), F.col("o_orderpriority")),
+            "order_count",
         ),
     ]
     out = parts[0]

@@ -1023,3 +1023,117 @@ def test_token_oracle_parity_whitespace_only_docs(spark):
                 + ") AS t(i, text)")
     want = {r[0]: r[1] for r in con.execute(f"SELECT i, len({_TOKS}) FROM documents").fetchall()}
     assert got == want == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2}
+
+
+# --- round-4: Gopher rules, C4 line cleaning, repeated spans ---------------
+
+
+@pytest.fixture(scope="module")
+def rich_docs(spark):
+    """Documents with the punctuation/bullet/line structure the synthetic
+    corpus lacks, so every Gopher/C4 rule fires at least once."""
+    good = " ".join(
+        "the quick brown fox jumps over that lazy dog with great energy and be "
+        "have of to style".split()
+    )
+    rows = [
+        # 0: passes everything (50+ words, stopwords, clean lines)
+        (0, ". ".join([good] * 4) + "."),
+        # 1: too short
+        (1, "tiny doc"),
+        # 2: symbol-heavy (hashes + ellipsis)
+        (2, "the code ### is ... mostly ### symbols ... here ### now ..."),
+        # 3: bullet list (every line starts with a bullet)
+        (3, "• first item\n• second item\n• third item"),
+        # 4: ellipsis line endings
+        (4, "first line ...\nsecond line ...\nthird line stays"),
+        # 5: numeric (no alphabetic words)
+        (5, "12345 67890 11111 22222 33333"),
+        # 6: no stopwords at all
+        (6, "zebra xylophone quartz jigsaw vortex plasma"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_gopher_quality_rules(spark, rich_docs):
+    out = {
+        r["doc_id"]: r
+        for r in T.gopher_quality(rich_docs, min_words=20).collect()
+    }
+    assert out[0]["passes"]
+    assert out[0]["n_stopwords"] >= 2 and out[0]["alpha_word_ratio"] == 1.0
+    assert not out[1]["passes"]  # word count below minimum
+    assert out[2]["symbol_word_ratio"] > 0.1  # hashes + ellipses counted
+    assert out[3]["bullet_line_ratio"] == 1.0
+    assert out[4]["ellipsis_line_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[5]["alpha_word_ratio"] == 0.0 and not out[5]["passes"]
+    assert out[6]["n_stopwords"] == 0
+
+
+def test_gopher_quality_is_narrow(spark, rich_docs):
+    plan = T.gopher_quality(rich_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map stage: no shuffle
+
+
+def test_c4_clean_lines_rules(spark):
+    rows = [
+        (
+            1,
+            "This is a perfectly fine sentence.\n"
+            "too short.\n"
+            "Enable javascript to view this page properly please.\n"
+            "No terminal punctuation on this line at all\n"
+            "Another good sentence with enough words here!\n"
+            'A quoted ending works according to the rules."\n'
+            "Third proper sentence keeps the document alive.",
+        ),
+        (2, "Lorem ipsum dolor sit amet consectetur.\nGood line but doc is banned."),
+        (3, "function() { return 1; }\nCode docs with braces are dropped entirely."),
+        (4, "Only one good sentence here so the doc dies.\nnope\nnah"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.c4_clean_lines(df).collect()}
+    # doc 1: 7 lines; drops "too short." (words), javascript line (ban),
+    # no-punct line; keeps 4
+    assert out[1]["n_lines"] == 7 and out[1]["n_kept"] == 4
+    assert out[1]["keep_doc"]
+    assert "javascript" not in out[1]["cleaned"]
+    assert "punctuation on this line" not in out[1]["cleaned"]
+    assert out[1]["cleaned"].count("\n") == 3
+    # doc 2: lorem ipsum ban; doc 3: "{" ban; doc 4: < 3 kept lines
+    assert not out[2]["keep_doc"]
+    assert not out[3]["keep_doc"]
+    assert not out[4]["keep_doc"] and out[4]["n_kept"] == 1
+
+
+def test_repeated_spans_counts(spark):
+    boiler = "all rights reserved please do not redistribute this file thanks"  # 10 words
+    rows = [
+        (1, "alpha beta " + boiler),
+        (2, boiler + " gamma delta"),
+        (3, "unrelated words entirely different from everything else in here now"),
+        (4, boiler + " " + boiler),  # within-doc repeat
+        (5, "short doc"),  # under the window: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.repeated_spans(df, span=10, min_count=2).collect()
+    # the boilerplate 10-gram occurs: docs 1,2 once each, doc 4 at positions
+    # 1 and 12 (and nothing else repeats)
+    hot = [r for r in out if r["n_docs"] == 3]
+    assert len(hot) == 1
+    assert hot[0]["n_occurrences"] == 4 and hot[0]["first_doc"] == 1
+    # overlapping windows inside doc 4 (boiler+boiler spans) repeat only there
+    for r in out:
+        assert r["n_occurrences"] >= 2
+
+
+def test_repeated_spans_portable_hash_matches_md5(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        ["doc_id", "text"],
+    )
+    out = D.repeated_spans(df, span=10, hash_fn="portable").collect()
+    import hashlib
+
+    expected = int(hashlib.md5(b"a b c d e f g h i j").hexdigest()[:15], 16)
+    assert len(out) == 1 and out[0]["span_hash"] == expected

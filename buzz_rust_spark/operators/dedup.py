@@ -764,3 +764,73 @@ def repeated_spans(
         )
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 10,
+    hash_fn: str = "fast",
+) -> DataFrame:
+    """Remove every non-first occurrence of each repeated ``span``-token
+    window and rebuild the documents — the removal half of exact-substring
+    dedup (Lee et al. 2022): the corpus-wide first occurrence (minimum
+    (doc, position)) of a repeated span survives, every other occurrence's
+    token range is cut, and overlapping cuts union naturally.
+
+    Returns (id, n_tokens, n_removed, text) with the scrubbed text.
+
+    Scale shape: the span index is the same one-narrow-explode as
+    ``repeated_spans``; ownership (count + first occurrence) is ONE
+    aggregate keyed by the 8-byte span hash carrying a min(struct) — no
+    window function, so a boilerplate span occurring in 10M documents costs
+    one combinable aggregate, not a 10M-row sort.  Cut positions shuffle
+    back keyed by document id (ints only), and the rebuild is a
+    higher-order filter over the token array — per-document work is
+    O(tokens × cuts-in-doc), JVM-side, no Python."""
+    with_toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    positions = with_toks.where(F.size("_toks") >= span).select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.size("_toks") - span + 1)).alias("_pos"),
+        "_toks",
+    ).select(
+        "_id",
+        "_pos",
+        hash_column(
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_pos"), span)), hash_fn
+        ).alias("_h"),
+    )
+    owners = positions.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first"),
+    ).where(F.col("_cnt") >= 2)
+    cuts = (
+        positions.join(owners, on="_h")
+        .where(
+            (F.col("_id") != F.col("_first._id"))
+            | (F.col("_pos") != F.col("_first._pos"))
+        )
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_cuts"))
+    )
+    no_cuts = F.array().cast("array<int>")
+    rebuilt = with_toks.join(cuts, on="_id", how="left").select(
+        "_id",
+        "_toks",
+        F.filter(
+            F.col("_toks"),
+            lambda tok, i: ~F.exists(
+                F.coalesce(F.col("_cuts"), no_cuts),
+                lambda s: (i + 1 >= s) & (i + 1 < s + span),
+            ),
+        ).alias("_kept"),
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size("_kept")).alias("n_removed"),
+        F.concat_ws(" ", F.col("_kept")).alias(text_col),
+    )

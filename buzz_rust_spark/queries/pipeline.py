@@ -662,6 +662,48 @@ def d09_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d10_span_scrub",
+    tags=("dedup", "pipeline"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+      FROM t WHERE len(toks) >= 10),
+s AS (SELECT doc_id, i, md5(array_to_string(toks[i:i+9], ' ')) AS h FROM p),
+marked AS (
+  SELECT doc_id, i,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS cnt
+  FROM s
+),
+drops AS (SELECT doc_id, i FROM marked WHERE cnt >= 2 AND rn > 1),
+tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS j FROM t),
+kept AS (
+  SELECT tok.doc_id, tok.w, tok.j FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM drops d
+                    WHERE d.doc_id = tok.doc_id
+                      AND tok.j >= d.i AND tok.j < d.i + 10)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS text, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.text, '') AS text
+FROM t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def d10_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrub: every non-first occurrence of a repeated
+    10-token span is cut and documents are rebuilt (the removal half of
+    span-level dedup; d09 is the detection half)."""
+    return D.scrub_repeated_spans(
+        load(spark, sf_dir, "documents"), span=10, hash_fn="portable"
+    ).orderBy("doc_id")
+
+
+@register(
     "g01_gopher_quality",
     tags=("text", "pipeline"),
     oracle=f"""

@@ -182,22 +182,10 @@ def q06_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q07_distinct_agg",
-    tags=("agg",),
-    oracle="""
-SELECT c_mktsegment,
-       COUNT(DISTINCT c_nationkey) AS n_nations,
-       ROUND(MIN(c_acctbal), 2) AS min_bal,
-       ROUND(MAX(c_acctbal), 2) AS max_bal,
-       ROUND(AVG(c_acctbal), 4) AS avg_bal
-FROM customer
-GROUP BY c_mktsegment
-ORDER BY c_mktsegment
-""",
-)
 def q07_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(DISTINCT) + MIN/MAX/AVG (expand + two-phase agg)."""
+    """COUNT(DISTINCT) + MIN/MAX/AVG (expand + two-phase agg).
+    Driver-checked via the ``distinct_*`` branches of ``q27_shape_suite``
+    (folded in round 4)."""
     return (
         load(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
@@ -1458,6 +1446,18 @@ SELECT label, value FROM (
                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
     GROUP BY o_orderpriority
   ) t52
+  UNION ALL
+  SELECT 'distinct_n_' || c_mktsegment AS label, CAST(n_nations AS DOUBLE) AS value
+  FROM (
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations
+    FROM customer GROUP BY c_mktsegment
+  ) t53
+  UNION ALL
+  SELECT 'distinct_avg_' || c_mktsegment AS label, CAST(avg_bal AS DOUBLE) AS value
+  FROM (
+    SELECT c_mktsegment, ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+  ) t54
 ) ORDER BY label
 """,
 )
@@ -1601,6 +1601,16 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q24_exists_subquery(spark, sf_dir),
             F.concat(F.lit("exists_"), F.col("o_orderpriority")),
             "order_count",
+        ),
+        lv(
+            q07_distinct_agg(spark, sf_dir),
+            F.concat(F.lit("distinct_n_"), F.col("c_mktsegment")),
+            "n_nations",
+        ),
+        lv(
+            q07_distinct_agg(spark, sf_dir),
+            F.concat(F.lit("distinct_avg_"), F.col("c_mktsegment")),
+            "avg_bal",
         ),
     ]
     out = parts[0]

@@ -1137,3 +1137,24 @@ def test_repeated_spans_portable_hash_matches_md5(spark):
 
     expected = int(hashlib.md5(b"a b c d e f g h i j").hexdigest()[:15], 16)
     assert len(out) == 1 and out[0]["span_hash"] == expected
+
+
+def test_scrub_repeated_spans(spark):
+    boiler = "all rights reserved please do not redistribute this file thanks"  # 10 words
+    rows = [
+        (1, "alpha beta " + boiler),
+        (2, boiler + " gamma delta"),
+        (3, "unrelated words entirely different from everything else in here now"),
+        (4, boiler + " " + boiler),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.scrub_repeated_spans(df, span=10).collect()}
+    # first occurrence (doc 1, pos 3) survives; later occurrences cut
+    assert out[1]["n_removed"] == 0 and boiler in out[1]["text"]
+    assert out[2]["n_removed"] == 10 and out[2]["text"] == "gamma delta"
+    assert out[3]["n_removed"] == 0
+    # doc 4 is both occurrences + bridging windows → fully scrubbed
+    assert out[4]["n_removed"] == 20 and out[4]["text"] == ""
+    # under-window doc untouched
+    assert out[5]["n_removed"] == 0 and out[5]["text"] == "short doc"

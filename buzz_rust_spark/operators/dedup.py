@@ -788,20 +788,34 @@ def scrub_repeated_spans(
     one combinable aggregate, not a 10M-row sort.  Cut positions shuffle
     back keyed by document id (ints only), and the rebuild is a
     higher-order filter over the token array — per-document work is
-    O(tokens × cuts-in-doc), JVM-side, no Python."""
-    with_toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    O(tokens × cuts-in-doc), JVM-side, no Python.
+
+    Both shared relations are persisted for the operator's lifetime
+    (released by the scoped-cache registry): the tokenized corpus feeds the
+    span index AND the rebuild, and the span index feeds the ownership
+    aggregate AND the cut join — without the persists the corpus would be
+    re-scanned and re-tokenized three times (the redundant-scan pattern the
+    paragraph-dedup rewrite eliminated; the tokenize pass IS the cost at
+    100 TB)."""
+    with_toks = persist_tracked(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+        )
     )
-    positions = with_toks.where(F.size("_toks") >= span).select(
-        "_id",
-        F.explode(F.sequence(F.lit(1), F.size("_toks") - span + 1)).alias("_pos"),
-        "_toks",
-    ).select(
-        "_id",
-        "_pos",
-        hash_column(
-            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_pos"), span)), hash_fn
-        ).alias("_h"),
+    positions = persist_tracked(
+        with_toks.where(F.size("_toks") >= span)
+        .select(
+            "_id",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - span + 1)).alias("_pos"),
+            "_toks",
+        )
+        .select(
+            "_id",
+            "_pos",
+            hash_column(
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_pos"), span)), hash_fn
+            ).alias("_h"),
+        )
     )
     owners = positions.groupBy("_h").agg(
         F.count(F.lit(1)).alias("_cnt"),

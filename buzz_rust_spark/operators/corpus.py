@@ -6,11 +6,17 @@ individual operators — the order is the one production pipelines use, each
 stage chosen so the whole run is a handful of well-shaped distributed passes:
 
 1. **Scrub** (``redact_pii``) — narrow regexp map, no shuffle.
+1b. *(optional)* **C4 line cleaning** (``c4_clean_lines``) — rewrite each
+   document to its surviving lines before anything scores it.
 2. **Quality gate** (``quality_score``) — narrow projection + filter.
+2b. *(optional)* **Gopher rule gate** (``gopher_quality``) — the published
+   MassiveText heuristics as a semi-join on ``passes``.
 3. **Exact dedup** (``dedup_exact``) — one hash-agg shuffle on md5(text).
 4. **Near-dup removal** (``minhash_lsh_pairs`` → ``duplicate_clusters``) —
    banded LSH candidates, verified Jaccard, connected components; survivors
    are each cluster's minimum id.
+4b. *(optional)* **Span scrub** (``scrub_repeated_spans``) — cut residual
+   repeated boilerplate below the document-level threshold.
 5. **Decontamination** (``contamination_flags``) — broadcast of the eval
    set's n-gram hashes; drops documents overlapping the benchmark.
 6. **Split** (``hash_split``) — leakage-free train/val/test assignment,
@@ -28,9 +34,20 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import dedup_exact, duplicate_clusters, minhash_lsh_pairs
+from .dedup import (
+    dedup_exact,
+    duplicate_clusters,
+    minhash_lsh_pairs,
+    scrub_repeated_spans,
+)
 from .sampling import hash_split
-from .text import contamination_flags, quality_score, redact_pii
+from .text import (
+    c4_clean_lines,
+    contamination_flags,
+    gopher_quality,
+    quality_score,
+    redact_pii,
+)
 
 
 @dataclass
@@ -42,6 +59,13 @@ class CorpusPrepConfig:
     split_weights: dict[str, float] = field(
         default_factory=lambda: {"train": 98.0, "val": 1.0, "test": 1.0}
     )
+    # Optional published-heuristic stages (None = stage skipped):
+    # kwargs forwarded to c4_clean_lines — line-level cleaning BEFORE scoring
+    c4_rules: dict | None = None
+    # kwargs forwarded to gopher_quality — rule gate after the quality score
+    gopher_rules: dict | None = None
+    # window size for exact-substring scrub after near-dup removal
+    scrub_span: int | None = None
 
 
 def prepare_training_corpus(
@@ -61,10 +85,38 @@ def prepare_training_corpus(
 
     # 1-2: scrub + quality (narrow; fused into one codegen stage by Catalyst)
     scrubbed = redact_pii(df, text_col=text_col)
+
+    # 1b (optional): C4 line-level cleaning — rewrite text to surviving
+    # lines, drop documents failing the document rules.  Runs BEFORE scoring
+    # so quality sees the cleaned text (the C4 ordering).
+    if cfg.c4_rules is not None:
+        cleaned = c4_clean_lines(
+            scrubbed, text_col=text_col, id_col=id_col, **cfg.c4_rules
+        )
+        scrubbed = (
+            scrubbed.drop(text_col)
+            .join(
+                cleaned.where(F.col("keep_doc")).select(
+                    id_col, F.col("cleaned").alias(text_col)
+                ),
+                on=id_col,
+            )
+        )
+
     q = quality_score(scrubbed, text_col=text_col, id_col=id_col).select(
         id_col, "quality"
     )
     kept = scrubbed.join(q, on=id_col).where(F.col("quality") >= cfg.min_quality)
+
+    # 2b (optional): Gopher rule gate — a second narrow projection; the
+    # semi-join keeps only documents passing every configured rule.
+    if cfg.gopher_rules is not None:
+        flags = gopher_quality(
+            kept, text_col=text_col, id_col=id_col, **cfg.gopher_rules
+        )
+        kept = kept.join(
+            flags.where(F.col("passes")).select(id_col), on=id_col, how="left_semi"
+        )
 
     # 3: exact dedup
     kept = dedup_exact(kept, text_col=text_col, id_col=id_col)
@@ -79,6 +131,21 @@ def prepare_training_corpus(
         F.col("doc_id").alias(id_col)
     )
     kept = kept.join(losers, on=id_col, how="left_anti")
+
+    # 4b (optional): exact-substring scrub — cut residual repeated spans
+    # (boilerplate below the document-level near-dup threshold) and rewrite
+    # the text; documents scrubbed to nothing are dropped.
+    if cfg.scrub_span is not None:
+        rewritten = scrub_repeated_spans(
+            kept, text_col=text_col, id_col=id_col, span=cfg.scrub_span
+        )
+        kept = (
+            kept.drop(text_col)
+            .join(
+                rewritten.where(F.length(text_col) > 0).select(id_col, text_col),
+                on=id_col,
+            )
+        )
 
     # 5: decontamination (broadcast eval-set n-grams)
     if benchmark is not None:

@@ -142,3 +142,54 @@ def test_ngram_jaccard_matches_bruteforce(spark_session_holder, docs):
             if jac >= 0.3:
                 want[(items[i][0], items[j][0])] = round(jac, 6)
     assert got == want
+
+
+@st.composite
+def span_corpus(draw):
+    """Tiny vocab + short docs around the span boundary so repeats are
+    common and the under-window edge is hit."""
+    n_docs = draw(st.integers(2, 8))
+    docs = []
+    for i in range(n_docs):
+        n_toks = draw(st.integers(0, 12))
+        toks = [draw(st.sampled_from(WORDS[:3])) for _ in range(n_toks)]
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+def _brute_scrub(docs: list[tuple[int, str]], span: int) -> dict[int, str]:
+    """Reference implementation: global first occurrence per repeated span
+    survives; all other occurrences' ranges are cut (union)."""
+    toks = {i: _norm(t).split(" ") if _norm(t) else [] for i, t in docs}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - span + 1):
+            occ.setdefault(tuple(ts[p : p + span]), []).append((i, p))
+    cuts: dict[int, set[int]] = {i: set() for i in toks}
+    for positions in occ.values():
+        if len(positions) < 2:
+            continue
+        for d, p in positions[1:]:  # positions are in (doc, pos) order
+            cuts[d].update(range(p, p + span))
+    return {
+        i: " ".join(t for j, t in enumerate(ts) if j not in cuts[i])
+        for i, ts in toks.items()
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(span_corpus())
+def test_scrub_repeated_spans_matches_bruteforce(spark_session_holder, docs):
+    spark = spark_session_holder
+    span = 3
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in D.scrub_repeated_spans(df, span=span).collect()
+    }
+    assert got == _brute_scrub(docs, span)

@@ -1158,3 +1158,48 @@ def test_scrub_repeated_spans(spark):
     assert out[4]["n_removed"] == 20 and out[4]["text"] == ""
     # under-window doc untouched
     assert out[5]["n_removed"] == 0 and out[5]["text"] == "short doc"
+
+
+def test_prepare_training_corpus_with_heuristic_stages(spark):
+    """The optional C4 / Gopher / span-scrub stages compose into the
+    pipeline: line cleaning rewrites text before scoring, the rule gate
+    drops failing docs, and the scrub cuts repeated boilerplate."""
+    from buzz_rust_spark.operators.corpus import (
+        CorpusPrepConfig,
+        prepare_training_corpus,
+    )
+
+    boiler = "all rights reserved please do not redistribute this file thanks"
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs away with "
+        "great energy to be of have style and many more words in this line."
+    )
+    rows = [
+        # keeps: enough words, stopwords, good lines; boiler span appears
+        # here FIRST so it survives the scrub in this doc
+        (1, good + "\n" + boiler + " " + good),
+        # boiler appears again -> scrubbed out of this doc (the line ends in
+        # punctuation so C4 keeps it and the SCRUB is what cuts the boiler)
+        (2, good.replace("quick", "slow") + "\n" + boiler + " extra trailing words."),
+        # all lines fail the line rules (too short) -> dropped by C4 doc rule
+        (3, "short.\nlines.\nonly."),
+        # fails gopher stopword rule (no stopwords at all, enough words)
+        (4, " ".join(["zebra quartz vortex plasma jigsaw xylophone"] * 10) + "."),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_training_corpus(
+        docs,
+        config=CorpusPrepConfig(
+            min_quality=0.0,
+            neardup_threshold=0.95,
+            split_weights={"train": 1.0},
+            c4_rules={"min_words_per_line": 3, "min_kept_lines": 1},
+            gopher_rules={"min_words": 10, "min_stopwords": 2},
+            scrub_span=10,
+        ),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}  # 3 dies in C4, 4 dies in Gopher
+    assert boiler in got[1]["text"]  # first occurrence survives the scrub
+    assert boiler not in got[2]["text"]  # later occurrence cut
+    assert "extra trailing words" in got[2]["text"]  # rest of the doc intact

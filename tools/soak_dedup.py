@@ -91,6 +91,8 @@ def main() -> None:
         "d02_ngram_jaccard": lambda df: D.ngram_jaccard_pairs(df, threshold=0.8),
         "d03_minhash_lsh": lambda df: D.minhash_lsh_pairs(df, threshold=0.8),
         "d07_paragraph_dedup": lambda df: D.paragraph_dedup(df, min_chars=10),
+        "d09_repeated_spans": lambda df: D.repeated_spans(df, span=10),
+        "d10_span_scrub": lambda df: D.scrub_repeated_spans(df, span=10),
     }
     results: dict[str, dict[str, float]] = {}
     for path, label in ((base, "5k"), (big, "50k")):

@@ -807,6 +807,32 @@ def c01_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z14_bloom_dedup",
+    tags=("dedup", "pipeline"),
+    oracle=None,  # approximate by design (bounded-state Bloom filter admits
+    # false positives); exact-equivalence-when-fp-free + no-false-negative +
+    # fp-bound properties pinned in tests/test_operators.py
+)
+def z14_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a BOUNDED Bloom-filter state instead of the
+    exact seen-hash table: even docs build the filter (sparse (word_idx,
+    bits) relation, bit_or-mergeable), odd docs are the new batch; survivors
+    are batch docs the filter has never seen, min-id per digest."""
+    from ..operators import bloom as B
+
+    docs = load(spark, sf_dir, "documents")
+    seen_hashes = D.exact_duplicates(docs.where(F.col("doc_id") % 2 == 0)).select(
+        "text_hash"
+    )
+    state = B.bloom_build(seen_hashes, "text_hash")
+    return (
+        B.dedup_incremental_bloom(docs.where(F.col("doc_id") % 2 == 1), state)
+        .select("doc_id", "text_hash")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "z13_bpe_tokenize",
     tags=("text", "pipeline"),
     oracle=None,  # BPE merge training is iterative, not SQL-expressible —

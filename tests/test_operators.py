@@ -1203,3 +1203,60 @@ def test_prepare_training_corpus_with_heuristic_stages(spark):
     assert boiler in got[1]["text"]  # first occurrence survives the scrub
     assert boiler not in got[2]["text"]  # later occurrence cut
     assert "extra trailing words" in got[2]["text"]  # rest of the doc intact
+
+
+# --- bloom-filter dedup state ----------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from buzz_rust_spark.operators import bloom as B
+
+    keys = spark.range(2000).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    # deliberately small filter (2^14 bits) so the fp rate is visible
+    bits, k = 1 << 14, 7
+    state = B.bloom_build(keys, "k", num_bits=bits, num_hashes=k)
+    assert state.count() <= bits // 64
+    # every inserted key is found — Bloom filters NEVER false-negative
+    assert (
+        B.bloom_might_contain(keys, state, "k", bits, k)
+        .where(~F.col("might_contain")).count() == 0
+    )
+    # fp rate on unseen keys stays within 3x of theory (~0.26% here)
+    unseen = spark.range(4000).select(F.concat(F.lit("oth-"), F.col("id")).alias("k"))
+    fp = (
+        B.bloom_might_contain(unseen, state, "k", bits, k)
+        .where(F.col("might_contain")).count()
+    )
+    theory = (1 - 2.718281828 ** (-k * 2000 / bits)) ** k
+    assert fp / 4000 <= max(3 * theory, 0.02)
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from buzz_rust_spark.operators import bloom as B
+
+    a = spark.range(500).select(F.concat(F.lit("a-"), F.col("id")).alias("k"))
+    b = spark.range(500).select(F.concat(F.lit("b-"), F.col("id")).alias("k"))
+    merged = B.bloom_merge(B.bloom_build(a, "k"), B.bloom_build(b, "k"))
+    direct = B.bloom_build(a.unionByName(b), "k")
+    assert (
+        merged.exceptAll(direct).count() == 0
+        and direct.exceptAll(merged).count() == 0
+    )
+
+
+def test_dedup_incremental_bloom_matches_exact_when_fp_free(spark, docs):
+    """With a roomy filter (fp ~ 0) the bloom path returns exactly the
+    exact-state path's survivors."""
+    from buzz_rust_spark.operators import bloom as B
+
+    seen_docs = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    seen_hashes = D.exact_duplicates(seen_docs).select("text_hash")
+    exact = sorted(
+        r["doc_id"] for r in D.dedup_incremental(batch, seen_hashes).collect()
+    )
+    state = B.bloom_build(seen_hashes, "text_hash")
+    got = sorted(
+        r["doc_id"] for r in B.dedup_incremental_bloom(batch, state).collect()
+    )
+    assert got == exact

@@ -220,3 +220,59 @@ def test_delta_sink_exactly_once(spark, sf_dir, tmp_path):
     # A NEW batch id for the same appId commits normally.
     v2 = write_delta(events.limit(1), table, txn_app_id="probe", txn_version=1)
     assert v2 == pre_version + 1
+
+
+def test_quality_filters_stream_equals_batch(spark, sf_dir, tmp_path):
+    """gopher_quality and c4_clean_lines are pure narrow projections, so
+    they run unchanged on a stream and the incremental result equals the
+    batch result — quality filtering drops into an ingestion stream with
+    no operator changes."""
+    from buzz_rust_spark.operators.text import c4_clean_lines, gopher_quality
+
+    docs = load(spark, sf_dir, "documents")
+    batch_g = {
+        r["doc_id"]: (r["n_words"], r["mean_word_len"], r["passes"])
+        for r in gopher_quality(docs, min_stopwords=1).collect()
+    }
+    batch_c = {
+        r["doc_id"]: (r["n_kept"], r["keep_doc"])
+        for r in c4_clean_lines(
+            docs, min_words_per_line=20, require_terminal_punct=False,
+            min_kept_lines=1,
+        ).collect()
+    }
+
+    src = tmp_path / "doc_stream_src"
+    docs.repartition(3).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    gq = (
+        gopher_quality(stream, min_stopwords=1)
+        .writeStream.format("memory").queryName("gq_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    gq.awaitTermination(timeout=120)
+    cq = (
+        c4_clean_lines(
+            stream, min_words_per_line=20, require_terminal_punct=False,
+            min_kept_lines=1,
+        )
+        .writeStream.format("memory").queryName("c4_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    cq.awaitTermination(timeout=120)
+
+    got_g = {
+        r["doc_id"]: (r["n_words"], r["mean_word_len"], r["passes"])
+        for r in spark.sql("SELECT * FROM gq_stream").collect()
+    }
+    got_c = {
+        r["doc_id"]: (r["n_kept"], r["keep_doc"])
+        for r in spark.sql("SELECT * FROM c4_stream").collect()
+    }
+    shutil.rmtree(src, ignore_errors=True)
+    assert got_g == batch_g
+    assert got_c == batch_c

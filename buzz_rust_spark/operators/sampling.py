@@ -210,3 +210,55 @@ def shuffle_epoch(
     return keyed.repartition(num_shards, F.col("_shard")).sortWithinPartitions(
         "_shard", "_order", id_col
     )
+
+
+def top_fraction_by_group(
+    df: DataFrame,
+    fraction: float,
+    score_col: str = "quality",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    exact: bool = False,
+    relative_error: float = 1e-3,
+) -> DataFrame:
+    """Keep the top ``fraction`` of rows by ``score_col`` within each group —
+    percentile-based quality selection (keep the best X% per source/domain).
+
+    Two physical strategies, same semantics up to threshold precision:
+
+    - ``exact=False`` (the 100 TB default): per-group score threshold via
+      ``percentile_approx`` — ONE map-side-combinable aggregate producing one
+      row per group, broadcast-joined back, filter ``score >= threshold``.
+      The corpus is never sorted; cost is two narrow passes + a tiny join.
+    - ``exact=True``: rank with a ``row_number`` window per group (ties
+      broken by ``id_col`` for determinism) and keep
+      ``rank <= ceil(fraction * group_size)``.  Exact but pays a per-group
+      sort — the right tool when groups are modest or exactness is audited.
+
+    The approx path may keep slightly more/fewer rows when many scores tie
+    at the threshold (all ties >= threshold are kept)."""
+    if not 0.0 < fraction <= 1.0:
+        raise BuzzBadRequestError(f"fraction must be in (0, 1], got {fraction}")
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        wn = Window.partitionBy(group_col)
+        ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wn)
+        )
+        return ranked.where(
+            F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction))
+        ).drop("_rn", "_n")
+    thresholds = df.groupBy(group_col).agg(
+        F.percentile_approx(
+            score_col, F.lit(1.0 - fraction), F.lit(int(1.0 / relative_error))
+        ).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=group_col)
+        .where(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

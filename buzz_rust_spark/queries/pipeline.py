@@ -807,6 +807,56 @@ def c01_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z15_cms_heavy_hitters",
+    tags=("text", "sketch", "pipeline"),
+    oracle=None,  # count-min estimates are one-sided approximations; the
+    # never-undercounts / epsilon-bound properties are pinned in
+    # tests/test_packing_pq_mixing.py
+)
+def z15_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies: build a bounded 5×16384-counter
+    sketch over every token of the corpus (one combinable shuffle), then
+    estimate counts for the distinct tokens and return the top 30 by
+    estimate — the bounded-memory twin of the exact t05 heavy-hitter path."""
+    from ..functions.text import tokens as _tokens
+    from ..operators import cms as C
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    sketch = C.cms_build(toks, "token")
+    return (
+        C.cms_estimate(toks.distinct(), sketch, "token")
+        .orderBy(F.col("est_count").desc(), "token")
+        .limit(30)
+    )
+
+
+@register(
+    "z16_quality_top_fraction",
+    tags=("sampling", "pipeline"),
+    oracle=None,  # the scale path is percentile_approx-thresholded (approx
+    # by design); exact/approx agreement pinned in tests
+)
+def z16_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality selection: keep the top 25% of documents by
+    word-distinctness (a continuous quality signal — the bounded composite
+    ``quality`` score ties heavily at 1.0, which would drag every tied doc
+    over the approx threshold) within each source via broadcast
+    percentile_approx thresholds — the corpus is never sorted."""
+    from ..operators.sampling import top_fraction_by_group
+
+    docs = load(spark, sf_dir, "documents")
+    scored = T.word_repetition(docs).select("doc_id", "distinct_ratio").join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    return (
+        top_fraction_by_group(scored, 0.25, score_col="distinct_ratio")
+        .select("doc_id", "source", "distinct_ratio")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "z14_bloom_dedup",
     tags=("dedup", "pipeline"),
     oracle=None,  # approximate by design (bounded-state Bloom filter admits

@@ -232,3 +232,91 @@ def test_pq_validates(spark):
         train_pq_codebooks(emb, dim=8, m=3)
     with pytest.raises(BuzzBadRequestError, match="one byte"):
         train_pq_codebooks(emb, dim=8, m=2, k=512)
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark):
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.operators import cms as C
+
+    # zipf-ish corpus: key-0 appears 1000x, key-i appears ~1000/i times
+    rows = []
+    for i in range(1, 101):
+        rows.extend([(f"key-{i}",)] * (1000 // i))
+    df = spark.createDataFrame(rows, ["k"])
+    true_counts = {f"key-{i}": 1000 // i for i in range(1, 101)}
+    sketch = C.cms_build(df, "k", depth=5, width=1 << 12)
+    est = {
+        r["k"]: r["est_count"]
+        for r in C.cms_estimate(
+            df.select("k").distinct(), sketch, "k", depth=5, width=1 << 12
+        ).collect()
+    }
+    total = sum(true_counts.values())
+    eps_bound = 2.718281828 / (1 << 12) * total
+    for k, true in true_counts.items():
+        assert est[k] >= true  # one-sided: never undercounts
+        assert est[k] <= true + max(3 * eps_bound, 3)
+    # the heavy hitter is exact or near-exact at this width
+    assert est["key-1"] <= true_counts["key-1"] + 3
+
+
+def test_cms_merge_and_weighted_build(spark):
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.operators import cms as C
+
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 5, ["k"])
+    b = spark.createDataFrame([("x", 7), ("z", 4)], ["k", "n"])
+    sk = C.cms_merge(
+        C.cms_build(a, "k", depth=4, width=256),
+        C.cms_build(b, "k", weight_col="n", depth=4, width=256),
+    )
+    probe = spark.createDataFrame([("x",), ("y",), ("z",)], ["k"])
+    est = {
+        r["k"]: r["est_count"]
+        for r in C.cms_estimate(probe, sk, "k", depth=4, width=256).collect()
+    }
+    assert est["x"] >= 17 and est["y"] >= 5 and est["z"] >= 4
+
+
+# --- percentile-based quality selection ------------------------------------
+
+
+def test_top_fraction_by_group_exact_and_approx_agree(spark):
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.operators.sampling import top_fraction_by_group
+
+    rows = [
+        (i, "s1" if i < 100 else "s2", float((i * 37) % 100))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+    exact = top_fraction_by_group(df, 0.2, exact=True)
+    approx = top_fraction_by_group(df, 0.2, exact=False)
+    ne, na = exact.count(), approx.count()
+    # 20% of each 100-row group = 20 + 20
+    assert ne == 40
+    assert abs(na - 40) <= 4  # ties at the approx threshold may widen it
+    # every exact pick is at or above the approx threshold set
+    exact_ids = {r["doc_id"] for r in exact.collect()}
+    approx_ids = {r["doc_id"] for r in approx.collect()}
+    assert exact_ids <= approx_ids or approx_ids <= exact_ids
+    # per-group floor respected
+    per_group = exact.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in per_group} == {"s1": 20, "s2": 20}
+
+
+def test_top_fraction_rejects_bad_fraction(spark):
+    import pytest as _pytest
+
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.operators.sampling import top_fraction_by_group
+
+    df = spark.createDataFrame([(1, "s", 0.5)], ["doc_id", "source", "quality"])
+    with _pytest.raises(BuzzBadRequestError):
+        top_fraction_by_group(df, 0.0)

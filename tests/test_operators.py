@@ -1260,3 +1260,25 @@ def test_dedup_incremental_bloom_matches_exact_when_fp_free(spark, docs):
         r["doc_id"] for r in B.dedup_incremental_bloom(batch, state).collect()
     )
     assert got == exact
+
+
+def test_span_scrub_shares_persisted_relations(spark):
+    """The scrub's tokenized corpus and span index must be computed once
+    (persisted) and shared across branches — the rebuild and both ownership
+    branches read InMemoryTableScans, never a re-derived explode."""
+    from buzz_rust_spark.functions.cache import release_operator_caches
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k"), (2, "a b c d e f g h i j k z")],
+        ["doc_id", "text"],
+    )
+    out = D.scrub_repeated_spans(df, span=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # the position explode exists only inside the cached span-index plan
+    # (printed once per scan of that cache); without the persists the two
+    # ownership branches would each re-derive a Generate with ZERO
+    # InMemoryRelations in the plan, failing this bound
+    assert 0 < plan.count("Generate") <= plan.count("InMemoryRelation"), plan
+    out.count()
+    release_operator_caches()

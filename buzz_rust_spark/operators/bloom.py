@@ -88,16 +88,19 @@ def bloom_might_contain(
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
     out_col: str = "might_contain",
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """``df`` plus a boolean ``out_col``: True iff every probe bit for the
     key is set in ``state`` (no false negatives; false positives at the
     filter's fpp).
 
-    Shape: explode the k probes, broadcast-join the sparse state on
-    word_idx (the state is ≤ num_bits/64 rows — a few MB even for a
-    billions-of-items filter, always broadcastable), then a ``bool_and``
-    group-back keyed by the ORIGINAL row.  The group-back is the only
-    shuffle, keyed by the df's own key column."""
+    Shape: explode the k probes, join the sparse state on word_idx, then a
+    ``bool_and`` group-back keyed by the ORIGINAL row.  The state is
+    ≤ ``num_bits/64`` rows (~10 bits per inserted item at 1% fpp): up to
+    hundreds of millions of items that is broadcast-size and the group-back
+    is the only shuffle.  For multi-billion-item filters (state in the GBs)
+    pass ``broadcast_state=False`` to shuffle-join on word_idx instead —
+    still one bounded-key join, never a sort."""
     probes = df.select(
         F.col(key_col).alias("_k"),
         F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("_p"),
@@ -106,8 +109,9 @@ def bloom_might_contain(
         F.expr("CAST(_p DIV 64 AS INT)").alias("word_idx"),
         F.expr("SHIFTLEFT(1L, CAST(_p % 64 AS INT))").alias("_m"),
     )
+    state_side = F.broadcast(state) if broadcast_state else state
     hits = (
-        probes.join(F.broadcast(state), on="word_idx", how="left")
+        probes.join(state_side, on="word_idx", how="left")
         .select(
             "_k",
             (F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("_m"))

@@ -787,7 +787,13 @@ def c01_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenated in id order become a multi-line page, so the line rules are
     genuinely exercised on this newline-free corpus).  Corpus-tuned
     parameters: >= 40 words per line, terminal punctuation off (the corpus
-    has none); the ban lists are the C4 defaults."""
+    has none); the ban lists are the C4 defaults.
+
+    NOTE: the collect_list page assembly exists only to synthesize
+    multi-line inputs for the oracle on THIS corpus — it is not the
+    production path.  ``c4_clean_lines`` itself is a narrow per-document
+    projection (real corpora already have newlines) and runs at any scale
+    with no aggregation at all."""
     docs = load(spark, sf_dir, "documents")
     pages = docs.groupBy("source").agg(
         F.array_join(

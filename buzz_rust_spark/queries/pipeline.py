@@ -813,6 +813,32 @@ def c01_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z17_hll_distinct_state",
+    tags=("sketch", "pipeline"),
+    oracle=None,  # HLL estimates are approximate; accuracy + merge bounds
+    # pinned in tests/test_packing_pq_mixing.py
+)
+def z17_hll_distinct_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-token state: per-source HLL sketches built from
+    two half-corpus batches, merged with hll_union_agg (the incremental
+    path — history is never re-scanned), then estimated per source."""
+    from ..functions.text import tokens as _tokens
+    from ..operators import sketches as H
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("token"),
+        F.col("doc_id"),
+    )
+    a = H.hll_build(toks.where(F.col("doc_id") % 2 == 0), "token", ["source"])
+    b = H.hll_build(toks.where(F.col("doc_id") % 2 == 1), "token", ["source"])
+    return (
+        H.hll_estimate(H.hll_merge(a, b, group_cols=["source"]), ["source"])
+        .orderBy("source")
+    )
+
+
+@register(
     "z15_cms_heavy_hitters",
     tags=("text", "sketch", "pipeline"),
     oracle=None,  # count-min estimates are one-sided approximations; the

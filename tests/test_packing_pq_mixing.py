@@ -320,3 +320,42 @@ def test_top_fraction_rejects_bad_fraction(spark):
     df = spark.createDataFrame([(1, "s", 0.5)], ["doc_id", "source", "quality"])
     with _pytest.raises(BuzzBadRequestError):
         top_fraction_by_group(df, 0.0)
+
+
+# --- mergeable HLL distinct-count state ------------------------------------
+
+
+def test_hll_state_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.operators import sketches as H
+
+    df = spark.range(20000).select(
+        (F.col("id") % 2 == 0).cast("string").alias("grp"),
+        F.concat(F.lit("k-"), (F.col("id") % 7919)).alias("k"),  # 7919 distinct
+    )
+    est = {
+        r["grp"]: r["n_distinct"]
+        for r in H.hll_estimate(
+            H.hll_build(df, "k", group_cols=["grp"]), group_cols=["grp"]
+        ).collect()
+    }
+    exact = {
+        r["grp"]: r["n"]
+        for r in df.groupBy("grp").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.05
+    # merging two half-batch sketches estimates the union within the same
+    # error bound (union changes the sketch representation, so estimates
+    # are close to — not bit-equal to — the single-pass build)
+    a = H.hll_build(df.where(F.col("id") < 10000), "k", group_cols=["grp"])
+    b = H.hll_build(df.where(F.col("id") >= 10000), "k", group_cols=["grp"])
+    merged_est = {
+        r["grp"]: r["n_distinct"]
+        for r in H.hll_estimate(
+            H.hll_merge(a, b, group_cols=["grp"]), group_cols=["grp"]
+        ).collect()
+    }
+    for g in exact:
+        assert abs(merged_est[g] - exact[g]) / exact[g] < 0.05

@@ -276,3 +276,72 @@ def test_quality_filters_stream_equals_batch(spark, sf_dir, tmp_path):
     shutil.rmtree(src, ignore_errors=True)
     assert got_g == batch_g
     assert got_c == batch_c
+
+
+def test_bloom_dedup_sink_cross_batch(spark, tmp_path):
+    """Streamed documents dedup against the Bloom state across micro-batches:
+    a text seen in an earlier batch is dropped from later batches, survivors
+    land exactly-once in the Delta table, and the state log folds
+    idempotently (re-appending a delta changes nothing)."""
+    from buzz_rust_spark.sources import DeltaCatalog
+    from buzz_rust_spark.streaming.bloom_ingest import (
+        bloom_dedup_sink,
+        read_bloom_state,
+    )
+
+    src = tmp_path / "src"
+    table = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    # three files -> three micro-batches (maxFilesPerTrigger=1); dup texts
+    # across files and within file 2
+    rows_by_file = [
+        [(1, "the quick brown fox"), (2, "unique text alpha")],
+        [(3, "the quick brown fox"), (4, "unique text beta"), (5, "unique text beta")],
+        [(6, "unique text beta"), (7, "unique text gamma")],
+    ]
+    for i, rows in enumerate(rows_by_file):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(src / f"f{i}"),
+        )
+    # stage files under one dir for the stream source
+    import shutil as _sh
+
+    merged = tmp_path / "stream_in"
+    merged.mkdir()
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 1000
+    for i in range(3):
+        for p in (src / f"f{i}").glob("*.parquet"):
+            dst = merged / f"{i}.parquet"
+            _sh.copy(p, dst)
+            # distinct mtimes pin micro-batch order to file order (the file
+            # source orders by timestamp; same-second copies tie)
+            _os.utime(dst, (base + i * 10, base + i * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(merged))
+    )
+    q = bloom_dedup_sink(stream, table, state, ckpt, app_id="t-bloom")
+    q.awaitTermination(timeout=180)
+
+    got = sorted(
+        r["doc_id"] for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    )
+    # batches arrive in file order 0,1,2: doc 3 dups doc 1's text, doc 5
+    # dups doc 4 within-batch, doc 6 dups doc 4 cross-batch
+    assert got == [1, 2, 4, 7]
+    # CRDT state: re-appending the whole current log is a no-op after folding
+    folded_before = {
+        (r["word_idx"], r["bits"])
+        for r in read_bloom_state(spark, state).collect()
+    }
+    spark.read.parquet(state).write.mode("append").parquet(state)
+    folded_after = {
+        (r["word_idx"], r["bits"])
+        for r in read_bloom_state(spark, state).collect()
+    }
+    assert folded_before == folded_after

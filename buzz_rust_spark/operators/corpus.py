@@ -88,19 +88,17 @@ def prepare_training_corpus(
 
     # 1b (optional): C4 line-level cleaning — rewrite text to surviving
     # lines, drop documents failing the document rules.  Runs BEFORE scoring
-    # so quality sees the cleaned text (the C4 ordering).
+    # so quality sees the cleaned text (the C4 ordering).  passthrough keeps
+    # this a narrow projection — no corpus self-join.
     if cfg.c4_rules is not None:
-        cleaned = c4_clean_lines(
-            scrubbed, text_col=text_col, id_col=id_col, **cfg.c4_rules
-        )
         scrubbed = (
-            scrubbed.drop(text_col)
-            .join(
-                cleaned.where(F.col("keep_doc")).select(
-                    id_col, F.col("cleaned").alias(text_col)
-                ),
-                on=id_col,
+            c4_clean_lines(
+                scrubbed, text_col=text_col, id_col=id_col,
+                passthrough=True, **cfg.c4_rules,
             )
+            .where(F.col("keep_doc"))
+            .drop(text_col, "n_lines", "n_kept", "keep_doc")
+            .withColumnRenamed("cleaned", text_col)
         )
 
     q = quality_score(scrubbed, text_col=text_col, id_col=id_col).select(
@@ -134,17 +132,18 @@ def prepare_training_corpus(
 
     # 4b (optional): exact-substring scrub — cut residual repeated spans
     # (boilerplate below the document-level near-dup threshold) and rewrite
-    # the text; documents scrubbed to nothing are dropped.
+    # the text; documents scrubbed to nothing are dropped.  passthrough
+    # carries all columns and leaves UNCUT documents' text untouched
+    # (byte-for-byte), so enabling this stage does not re-normalize the
+    # whole corpus.
     if cfg.scrub_span is not None:
-        rewritten = scrub_repeated_spans(
-            kept, text_col=text_col, id_col=id_col, span=cfg.scrub_span
-        )
         kept = (
-            kept.drop(text_col)
-            .join(
-                rewritten.where(F.length(text_col) > 0).select(id_col, text_col),
-                on=id_col,
+            scrub_repeated_spans(
+                kept, text_col=text_col, id_col=id_col,
+                span=cfg.scrub_span, passthrough=True,
             )
+            .where(F.length(text_col) > 0)
+            .drop("n_tokens", "n_removed")
         )
 
     # 5: decontamination (broadcast eval-set n-grams)

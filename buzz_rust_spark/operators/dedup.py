@@ -772,6 +772,7 @@ def scrub_repeated_spans(
     id_col: str = "doc_id",
     span: int = 10,
     hash_fn: str = "fast",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Remove every non-first occurrence of each repeated ``span``-token
     window and rebuild the documents — the removal half of exact-substring
@@ -780,6 +781,11 @@ def scrub_repeated_spans(
     token range is cut, and overlapping cuts union naturally.
 
     Returns (id, n_tokens, n_removed, text) with the scrubbed text.
+    ``passthrough=True`` instead returns ALL input columns plus
+    (n_tokens, n_removed), and replaces ``text_col`` ONLY for documents
+    that actually had a cut — untouched documents keep their original
+    text byte-for-byte (the token-join rebuild lowercases and collapses
+    whitespace, which a pipeline must not inflict on unaffected rows).
 
     Scale shape: the span index is the same one-narrow-explode as
     ``repeated_spans``; ownership (count + first occurrence) is ONE
@@ -797,11 +803,21 @@ def scrub_repeated_spans(
     re-scanned and re-tokenized three times (the redundant-scan pattern the
     paragraph-dedup rewrite eliminated; the tokenize pass IS the cost at
     100 TB)."""
-    with_toks = persist_tracked(
-        ensure_parallelism(df).select(
-            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    base = ensure_parallelism(df)
+    if passthrough:
+        with_toks = persist_tracked(
+            base.select(
+                base["*"],
+                F.col(id_col).alias("_id"),
+                tokens(F.col(text_col)).alias("_toks"),
+            )
         )
-    )
+    else:
+        with_toks = persist_tracked(
+            base.select(
+                F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+            )
+        )
     positions = persist_tracked(
         with_toks.where(F.size("_toks") >= span)
         .select(
@@ -831,20 +847,30 @@ def scrub_repeated_spans(
         .agg(F.sort_array(F.collect_set("_pos")).alias("_cuts"))
     )
     no_cuts = F.array().cast("array<int>")
-    rebuilt = with_toks.join(cuts, on="_id", how="left").select(
-        "_id",
-        "_toks",
+    rebuilt = with_toks.join(cuts, on="_id", how="left").withColumn(
+        "_kept",
         F.filter(
             F.col("_toks"),
             lambda tok, i: ~F.exists(
                 F.coalesce(F.col("_cuts"), no_cuts),
                 lambda s: (i + 1 >= s) & (i + 1 < s + span),
             ),
-        ).alias("_kept"),
+        ),
     )
+    n_removed = F.size("_toks") - F.size("_kept")
+    if passthrough:
+        others = [c for c in df.columns if c != text_col]
+        return rebuilt.select(
+            *[F.col(c) for c in others],
+            F.size("_toks").alias("n_tokens"),
+            n_removed.alias("n_removed"),
+            F.when(n_removed > 0, F.concat_ws(" ", F.col("_kept")))
+            .otherwise(F.col(text_col))
+            .alias(text_col),
+        )
     return rebuilt.select(
         F.col("_id").alias(id_col),
         F.size("_toks").alias("n_tokens"),
-        (F.size("_toks") - F.size("_kept")).alias("n_removed"),
+        n_removed.alias("n_removed"),
         F.concat_ws(" ", F.col("_kept")).alias(text_col),
     )

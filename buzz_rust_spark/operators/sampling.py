@@ -249,8 +249,11 @@ def top_fraction_by_group(
         ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
             "_n", F.count(F.lit(1)).over(wn)
         )
+        # round before ceil: n * fraction computed in binary floating point
+        # overshoots decimal-exact products (100 * 0.07 = 7.000000000000001,
+        # ceil -> 8) — a 9-dp round restores the intended keep count
         return ranked.where(
-            F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction))
+            F.col("_rn") <= F.ceil(F.round(F.col("_n") * F.lit(fraction), 9))
         ).drop("_rn", "_n")
     thresholds = df.groupBy(group_col).agg(
         F.percentile_approx(

@@ -32,7 +32,10 @@ def hll_build(
     ONE map-side-combinable shuffle; the shuffled payload is the sketch
     (≤ 2^lg_k registers), never the keys."""
     groups = group_cols or []
-    agg = F.expr(f"hll_sketch_agg({key_col}, {int(lg_k)})").alias("sketch")
+    # backtick-quote: key_col is a column NAME, not an expression — unquoted
+    # interpolation breaks on spaces/reserved words and silently evaluates
+    # names like "a+b" as arithmetic
+    agg = F.expr(f"hll_sketch_agg(`{key_col}`, {int(lg_k)})").alias("sketch")
     return df.groupBy(*groups).agg(agg) if groups else df.agg(agg)
 
 

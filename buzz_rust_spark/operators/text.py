@@ -355,7 +355,10 @@ def gopher_quality(
     )
     bullet_ratio = F.when(n_lines > 0, bullet / n_lines).otherwise(F.lit(0.0))
     ellipsis_ratio = F.when(n_lines > 0, ellipsis_end / n_lines).otherwise(F.lit(0.0))
-    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    # \p{L} (any Unicode letter), not [a-z]: the rule is "contains an
+    # alphabetic character" and must not auto-fail accented or non-Latin
+    # scripts (tokens are already lowercased, so ASCII behavior is identical)
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}")))
     alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
     n_stop = F.size(
         F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in sw]))
@@ -393,6 +396,7 @@ def c4_clean_lines(
     line_ban: list[str] | None = None,
     doc_ban: list[str] | None = None,
     min_kept_lines: int = 3,
+    passthrough: bool = False,
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020, §2.2 heuristics).
 
@@ -408,9 +412,14 @@ def c4_clean_lines(
 
     Everything runs in one narrow projection via higher-order functions over
     the line array — the rebuilt text never round-trips through a shuffle, so
-    at corpus scale this is a pure map stage fused with the scan."""
-    lb = ["javascript"] if line_ban is None else line_ban
-    db = ["lorem ipsum", "{"] if doc_ban is None else doc_ban
+    at corpus scale this is a pure map stage fused with the scan.
+
+    ``passthrough=True`` keeps every input column alongside the computed
+    ones, so pipeline callers can replace the text in-place with a narrow
+    projection instead of re-joining the corpus on id.  Ban terms are
+    matched case-insensitively (both sides lowercased)."""
+    lb = [b.lower() for b in (["javascript"] if line_ban is None else line_ban)]
+    db = [b.lower() for b in (["lorem ipsum", "{"] if doc_ban is None else doc_ban)]
     t = F.col(text_col)
     lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
 
@@ -429,8 +438,9 @@ def c4_clean_lines(
     doc_banned = F.lit(False)
     for b in db:
         doc_banned = doc_banned | F.contains(F.lower(t), F.lit(b))
+    lead = [df["*"]] if passthrough else [F.col(id_col)]
     return df.select(
-        F.col(id_col),
+        *lead,
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),
         (~doc_banned & (F.size(kept) >= min_kept_lines)).alias("keep_doc"),

@@ -715,7 +715,7 @@ WITH g AS (
          (length(text) - length(replace(text, '...', ''))) / 3
            + length(text) - length(replace(text, '…', '')) AS n_ell,
          list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines,
-         len(list_filter({_TOKS}, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+         len(list_filter({_TOKS}, w -> regexp_matches(w, '\\p{{L}}'))) AS alpha_words,
          len(list_intersect(list_distinct({_TOKS}),
              ['the','be','to','of','and','that','have','with'])) AS n_stop
   FROM documents

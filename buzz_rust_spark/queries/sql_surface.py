@@ -1458,6 +1458,18 @@ SELECT label, value FROM (
     SELECT c_mktsegment, ROUND(AVG(c_acctbal), 4) AS avg_bal
     FROM customer GROUP BY c_mktsegment
   ) t54
+  UNION ALL
+  SELECT 'distinct_min_' || c_mktsegment AS label, CAST(min_bal AS DOUBLE) AS value
+  FROM (
+    SELECT c_mktsegment, ROUND(MIN(c_acctbal), 2) AS min_bal
+    FROM customer GROUP BY c_mktsegment
+  ) t55
+  UNION ALL
+  SELECT 'distinct_max_' || c_mktsegment AS label, CAST(max_bal AS DOUBLE) AS value
+  FROM (
+    SELECT c_mktsegment, ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+  ) t56
 ) ORDER BY label
 """,
 )
@@ -1611,6 +1623,16 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             q07_distinct_agg(spark, sf_dir),
             F.concat(F.lit("distinct_avg_"), F.col("c_mktsegment")),
             "avg_bal",
+        ),
+        lv(
+            q07_distinct_agg(spark, sf_dir),
+            F.concat(F.lit("distinct_min_"), F.col("c_mktsegment")),
+            "min_bal",
+        ),
+        lv(
+            q07_distinct_agg(spark, sf_dir),
+            F.concat(F.lit("distinct_max_"), F.col("c_mktsegment")),
+            "max_bal",
         ),
     ]
     out = parts[0]

@@ -45,12 +45,20 @@ _STATE_SCHEMA = StructType(
 def read_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Fold the append-only sketch-delta log into the current filter
     (empty filter when the log doesn't exist yet)."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     try:
         deltas = spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
-    except Exception:
-        return spark.createDataFrame([], _STATE_SCHEMA)
+        deltas.schema  # force path resolution now, inside the try
+    except AnalysisException as ex:
+        # ONLY a genuinely absent log means "empty filter".  Any other
+        # failure (permissions, throttling, corrupt footer) must propagate:
+        # treating it as empty would silently drop ALL dedup history for
+        # the batch and let every known duplicate through.
+        if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+            return spark.createDataFrame([], _STATE_SCHEMA)
+        raise
     return deltas.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
 
 

@@ -1118,7 +1118,7 @@ def test_repeated_spans_counts(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = D.repeated_spans(df, span=10, min_count=2).collect()
     # the boilerplate 10-gram occurs: docs 1,2 once each, doc 4 at positions
-    # 1 and 12 (and nothing else repeats)
+    # 1 and 11 (and nothing else repeats)
     hot = [r for r in out if r["n_docs"] == 3]
     assert len(hot) == 1
     assert hot[0]["n_occurrences"] == 4 and hot[0]["first_doc"] == 1
@@ -1282,3 +1282,51 @@ def test_span_scrub_shares_persisted_relations(spark):
     assert 0 < plan.count("Generate") <= plan.count("InMemoryRelation"), plan
     out.count()
     release_operator_caches()
+
+
+def test_c4_ban_terms_match_case_insensitively(spark):
+    """Review fix: caller-supplied ban terms with uppercase letters must
+    still match (both sides lowercased)."""
+    df = spark.createDataFrame(
+        [(1, "Enable JavaScript to view this excellent page today.\n"
+             "A perfectly good line stays right here for sure.")],
+        ["doc_id", "text"],
+    )
+    out = T.c4_clean_lines(df, line_ban=["JavaScript"], min_kept_lines=1).collect()[0]
+    assert out["n_kept"] == 1 and "JavaScript" not in out["cleaned"]
+
+
+def test_gopher_alpha_ratio_counts_unicode_letters(spark):
+    """Review fix: rule 6 counts ANY Unicode letter, so accented and
+    non-Latin scripts are not auto-failed."""
+    df = spark.createDataFrame(
+        [(1, "café résumé naïve"), (2, "的 是 在 了"), (3, "123 456")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["alpha_word_ratio"] for r in T.gopher_quality(df).collect()}
+    assert out[1] == 1.0 and out[2] == 1.0 and out[3] == 0.0
+
+
+def test_scrub_passthrough_preserves_untouched_text(spark):
+    """Review fix: passthrough mode keeps extra columns and leaves uncut
+    documents' text byte-for-byte (no lowercasing/whitespace collapse)."""
+    boiler = "all rights reserved please do not redistribute this file thanks"
+    rows = [
+        (1, "Alpha  BETA " + boiler, "src1"),
+        (2, boiler + " Gamma\tDelta", "src2"),
+        (3, "Original   Mixed-Case\ttext UNTOUCHED here with formatting", "src3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in D.scrub_repeated_spans(df, span=10, passthrough=True).collect()
+    }
+    assert set(out[1].asDict()) == {"doc_id", "text", "source", "n_tokens", "n_removed"}
+    # doc 3 has no cuts: text preserved exactly, including case/tabs
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text"] == rows[2][1]
+    # doc 1 keeps the first occurrence (its text is rebuilt only if cut);
+    # doc 2's boiler is cut and its remainder is token-joined
+    assert out[1]["n_removed"] == 0 and out[1]["text"] == rows[0][1]
+    assert out[2]["n_removed"] == 10 and out[2]["text"] == "gamma delta"
+    assert out[2]["source"] == "src2"

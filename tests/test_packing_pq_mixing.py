@@ -359,3 +359,13 @@ def test_hll_state_accuracy_and_merge(spark):
     }
     for g in exact:
         assert abs(merged_est[g] - exact[g]) / exact[g] < 0.05
+
+
+def test_top_fraction_exact_is_float_safe(spark):
+    """Review fix: fraction 0.07 on 100 rows must keep exactly 7 (binary
+    float 100*0.07=7.000000000000001 must not ceil to 8)."""
+    from buzz_rust_spark.operators.sampling import top_fraction_by_group
+
+    rows = [(i, "s", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+    assert top_fraction_by_group(df, 0.07, exact=True).count() == 7

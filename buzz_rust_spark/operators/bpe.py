@@ -147,7 +147,9 @@ def bpe_encode(
     def encode(tok_arrays):
         def enc(words):
             out = []
-            for w in words:
+            # NULL text -> tokens() yields a null array -> words is None
+            # here; emit no pieces rather than failing the task
+            for w in words if words is not None else []:
                 pieces = cache.get(w)
                 if pieces is None:
                     pieces = encode_word(w, ranks)

@@ -466,12 +466,23 @@ def hash_token(tok: str) -> int:
     return h
 
 
+# Tokens longer than this hash through the scalar loop instead of the padded
+# matrix: the matrix is n_tokens × max_len bytes, so ONE pathological
+# unbroken token (a 500 KB base64 blob in a web crawl) must not inflate the
+# whole batch's buffer to n_tokens × 500 KB.
+_VECTOR_HASH_MAX_LEN = 256
+
+
 def hash_tokens(tokens: list[str]):
     """64-bit FNV-1a of every token, vectorized ACROSS tokens: all byte
     strings pack into one padded (n_tokens, max_len) uint8 matrix and the
     FNV fold loops over BYTE POSITIONS (bounded by the longest token), not
     tokens — each step is one masked numpy xor-multiply over every token at
-    once.  Bit-identical to :func:`hash_token` (uint64 wraps = mod 2^64)."""
+    once.  Bit-identical to :func:`hash_token` (uint64 wraps = mod 2^64).
+
+    Rare oversized tokens (> ``_VECTOR_HASH_MAX_LEN`` bytes) fall back to
+    the scalar loop individually, bounding the padded buffer at
+    n_tokens × 256 B regardless of the longest token in the batch."""
     import numpy as np
 
     encoded = [t.encode("utf-8") for t in tokens]
@@ -480,11 +491,20 @@ def hash_tokens(tokens: list[str]):
     h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
     if n == 0 or lens.max() == 0:
         return h
-    buf = np.zeros((n, int(lens.max())), dtype=np.uint8)
+    big = lens > _VECTOR_HASH_MAX_LEN
+    if big.any():
+        for i in np.nonzero(big)[0]:
+            h[i] = np.uint64(hash_token(tokens[int(i)]))
+        lens = np.where(big, 0, lens)
+        if lens.max() == 0:
+            return h
+    width = int(lens.max())
+    buf = np.zeros((n, width), dtype=np.uint8)
     for i, b in enumerate(encoded):  # per-token memcpy only, no arithmetic
-        buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        if len(b) <= width:
+            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
     prime = np.uint64(0x100000001B3)
-    for j in range(buf.shape[1]):
+    for j in range(width):
         active = lens > j
         h[active] = (h[active] ^ buf[active, j].astype(np.uint64)) * prime
     return h

@@ -121,6 +121,11 @@ def cosine_topk_bruteforce(
             nn[nn == 0] = 1.0
             sims = (m / nn[:, None]) @ qm.T  # (batch, n_queries)
             sims[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
+            # NaN scores (corpus vectors with NaN elements) must never reach
+            # the k-th-boundary min below: one NaN kth would empty the whole
+            # batch's candidate set ('>= NaN' is all-False).  -inf keeps the
+            # row unselectable while real neighbors still surface.
+            np.nan_to_num(sims, copy=False, nan=-np.inf)
             take = min(kk, len(ids))
             # partial exact top-k per query, TIE-AWARE at the k-th boundary:
             # argpartition finds the k-th score, then every row tied with it
@@ -305,6 +310,7 @@ def train_ivf_centroids(
     sample_size: int = 4096,
     iterations: int = 8,
     vec_col: str = "embedding",
+    order_col: str | None = None,
 ):
     """K-means centroids from a bounded driver-side sample (numpy Lloyd).
 
@@ -314,20 +320,42 @@ def train_ivf_centroids(
     ``df.sample`` + limit: O(scan), no global sort, no vector-to-string cast
     (the previous ``orderBy(xxhash64(cast))`` sorted the whole corpus to pick
     4096 rows).  Deterministic for a fixed seed and input layout; centroid
-    quality does not depend on which rows are drawn."""
+    quality does not depend on which rows are drawn.
+
+    ``order_col`` switches to a PARTITION-INVARIANT sample: the
+    ``sample_size`` rows with the smallest ``xxhash64(order_col)``, in that
+    hash order (Spark plans sort+limit as per-partition TakeOrdered + merge —
+    no global sort), so the same corpus yields the same centroids under any
+    repartitioning.  Callers whose semantics promise layout-independence
+    (``semantic_dedup``) use this path."""
     import numpy as np
 
-    narrow = corpus.select(as_double_array(F.col(vec_col)).alias("v"))
-    n = narrow.count()
-    if n == 0:
-        raise ValueError("cannot train IVF centroids on an empty corpus")
-    if n <= sample_size:
-        rows = narrow.collect()
+    if order_col is not None:
+        rows = [
+            r
+            for r in corpus.select(
+                F.xxhash64(F.col(order_col)).alias("_o"),
+                as_double_array(F.col(vec_col)).alias("v"),
+            )
+            .orderBy("_o", "v")
+            .limit(sample_size)
+            .collect()
+        ]
+        n = len(rows)
+        if n == 0:
+            raise ValueError("cannot train IVF centroids on an empty corpus")
     else:
-        # 2× oversample so the post-sample limit almost surely fills up;
-        # Bernoulli sampling is a narrow per-partition pass.
-        fraction = min(1.0, 2.0 * sample_size / n)
-        rows = narrow.sample(fraction=fraction, seed=42).limit(sample_size).collect()
+        narrow = corpus.select(as_double_array(F.col(vec_col)).alias("v"))
+        n = narrow.count()
+        if n == 0:
+            raise ValueError("cannot train IVF centroids on an empty corpus")
+        if n <= sample_size:
+            rows = narrow.collect()
+        else:
+            # 2× oversample so the post-sample limit almost surely fills up;
+            # Bernoulli sampling is a narrow per-partition pass.
+            fraction = min(1.0, 2.0 * sample_size / n)
+            rows = narrow.sample(fraction=fraction, seed=42).limit(sample_size).collect()
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     k = min(n_centroids, len(x))
     centroids = x[:k].copy()
@@ -565,20 +593,24 @@ def semantic_dedup(
         StructType,
     )
 
-    # Null ids/vectors and wrong-dimension vectors are dropped up front —
-    # training, dim inference, assignment, and the prune kernel all see the
-    # same clean relation (a null row would crash the driver-side sample
-    # np.array; a ragged one would fail np.stack as a task error).
+    # Null ids/vectors, wrong-dimension vectors, and vectors containing a
+    # null/NaN ELEMENT are dropped up front — training, dim inference,
+    # assignment, and the prune kernel all see the same clean relation.  The
+    # element check matters for correctness, not just robustness: one NaN
+    # vector kept early in a cluster would make every later row's max-cosine
+    # NaN and silently mark the whole cluster as duplicates.
     clean = vectors.select(
         F.col(id_col).cast("long").alias("_id"),
         as_double_array(F.col(vec_col)).alias("_v"),
-    ).where(F.col("_v").isNotNull() & F.col("_id").isNotNull())
+    ).where(
+        F.col("_v").isNotNull()
+        & F.col("_id").isNotNull()
+        & ~F.exists(F.col("_v"), lambda x: x.isNull() | F.isnan(x))
+    )
     if dim is None:
         first = clean.select(F.size(F.col("_v")).alias("d")).first()
         dim = 1 if first is None else int(first["d"])
     clean = clean.where(F.size(F.col("_v")) == dim)
-    centroids = train_ivf_centroids(clean, dim, n_clusters, vec_col="_v")
-    assign1 = _nearest_centroids_udf(centroids, 1)
 
     out_schema = StructType(
         [
@@ -588,6 +620,17 @@ def semantic_dedup(
             StructField("max_cosine_kept", DoubleType()),
         ]
     )
+    # Empty (or fully-filtered) input: return an empty result instead of
+    # aborting in centroid training — a dedup operator must tolerate an
+    # empty batch.
+    if not clean.take(1):
+        return vectors.sparkSession.createDataFrame([], out_schema)
+    # order_col makes the driver-side k-means sample partition-invariant,
+    # which the survivor-set determinism documented above depends on.
+    centroids = train_ivf_centroids(
+        clean, dim, n_clusters, vec_col="_v", order_col="_id"
+    )
+    assign1 = _nearest_centroids_udf(centroids, 1)
     thr = float(threshold)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:

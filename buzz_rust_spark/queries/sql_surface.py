@@ -1493,6 +1493,23 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             label_col.alias("label"), F.col(value_col).cast("double").alias("value")
         )
 
+    def multi_lv(df: DataFrame, pairs) -> DataFrame:
+        """Several labeled branches off ONE execution of ``df`` — an
+        explode of (label, value) structs, so a component contributing
+        multiple measures (q02's count/min/max, q07's aggregate family,
+        q36's high/low counts) runs its joins and aggregations once
+        instead of once per branch."""
+        arr = F.array(
+            *[
+                F.struct(
+                    label.alias("label"),
+                    F.col(c).cast("double").alias("value"),
+                )
+                for label, c in pairs
+            ]
+        )
+        return df.select(F.explode(arr).alias("_s")).select("_s.label", "_s.value")
+
     parts = [
         lv(
             q27_volume_shipping(spark, sf_dir),
@@ -1579,30 +1596,20 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("sortlimit_"), F.col("o_orderkey").cast("string")),
             "o_totalprice",
         ),
-        lv(
+        multi_lv(
             q36_priority_counts(spark, sf_dir),
-            F.concat(F.lit("priority_high_"), F.col("linestatus")),
-            "high_line_count",
+            [
+                (F.concat(F.lit("priority_high_"), F.col("linestatus")), "high_line_count"),
+                (F.concat(F.lit("priority_low_"), F.col("linestatus")), "low_line_count"),
+            ],
         ),
-        lv(
-            q36_priority_counts(spark, sf_dir),
-            F.concat(F.lit("priority_low_"), F.col("linestatus")),
-            "low_line_count",
-        ),
-        lv(
+        multi_lv(
             q02_filter_in_like_between(spark, sf_dir),
-            F.concat(F.lit("filterin_n_"), F.col("p_brand")),
-            "n_parts",
-        ),
-        lv(
-            q02_filter_in_like_between(spark, sf_dir),
-            F.concat(F.lit("filterin_min_"), F.col("p_brand")),
-            "min_size",
-        ),
-        lv(
-            q02_filter_in_like_between(spark, sf_dir),
-            F.concat(F.lit("filterin_max_"), F.col("p_brand")),
-            "max_size",
+            [
+                (F.concat(F.lit("filterin_n_"), F.col("p_brand")), "n_parts"),
+                (F.concat(F.lit("filterin_min_"), F.col("p_brand")), "min_size"),
+                (F.concat(F.lit("filterin_max_"), F.col("p_brand")), "max_size"),
+            ],
         ),
         lv(
             q08_having(spark, sf_dir),
@@ -1614,25 +1621,14 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("exists_"), F.col("o_orderpriority")),
             "order_count",
         ),
-        lv(
+        multi_lv(
             q07_distinct_agg(spark, sf_dir),
-            F.concat(F.lit("distinct_n_"), F.col("c_mktsegment")),
-            "n_nations",
-        ),
-        lv(
-            q07_distinct_agg(spark, sf_dir),
-            F.concat(F.lit("distinct_avg_"), F.col("c_mktsegment")),
-            "avg_bal",
-        ),
-        lv(
-            q07_distinct_agg(spark, sf_dir),
-            F.concat(F.lit("distinct_min_"), F.col("c_mktsegment")),
-            "min_bal",
-        ),
-        lv(
-            q07_distinct_agg(spark, sf_dir),
-            F.concat(F.lit("distinct_max_"), F.col("c_mktsegment")),
-            "max_bal",
+            [
+                (F.concat(F.lit("distinct_n_"), F.col("c_mktsegment")), "n_nations"),
+                (F.concat(F.lit("distinct_avg_"), F.col("c_mktsegment")), "avg_bal"),
+                (F.concat(F.lit("distinct_min_"), F.col("c_mktsegment")), "min_bal"),
+                (F.concat(F.lit("distinct_max_"), F.col("c_mktsegment")), "max_bal"),
+            ],
         ),
     ]
     out = parts[0]

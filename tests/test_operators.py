@@ -1330,3 +1330,55 @@ def test_scrub_passthrough_preserves_untouched_text(spark):
     assert out[1]["n_removed"] == 0 and out[1]["text"] == rows[0][1]
     assert out[2]["n_removed"] == 10 and out[2]["text"] == "gamma delta"
     assert out[2]["source"] == "src2"
+
+
+def test_ann_bruteforce_tolerates_nan_vectors(spark):
+    """Review fix: a NaN-element corpus vector must not empty the batch's
+    candidate set (NaN k-th boundary) — valid neighbors still surface."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [float("nan"), 1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") == 0), k=5).collect()
+    got = {r["neighbor_id"] for r in out}
+    assert 1 in got and 3 in got and 2 not in got
+
+
+def test_semantic_dedup_nan_and_empty(spark):
+    """Review fix: NaN-element embeddings are dropped (not silently marking
+    their whole cluster as duplicates) and an empty input returns an empty
+    result instead of raising."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [float("nan"), 0.0]),  # dropped
+        (2, [0.99, 0.14]),  # near-dup of 0 -> pruned
+        (3, [0.0, 1.0]),  # distinct -> kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["kept"] for r in S.semantic_dedup(df, n_clusters=1, threshold=0.95).collect()}
+    assert 1 not in out  # NaN row dropped entirely
+    assert out[0] and out[3] and not out[2]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert S.semantic_dedup(empty, n_clusters=2).count() == 0
+
+
+def test_hash_tokens_long_token_fallback(spark):
+    """Review fix: one huge unbroken token must not inflate the padded
+    matrix; the scalar fallback stays bit-identical."""
+    toks = ["short", "x" * 100_000, "another", ""]
+    got = list(D.hash_tokens(toks))
+    assert got == [D.hash_token(t) for t in toks]
+
+
+def test_bpe_encode_tolerates_null_text(spark):
+    from buzz_rust_spark.operators.bpe import bpe_encode, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, None)], ["doc_id", "text"]
+    )
+    merges = train_bpe(df.where(F.col("text").isNotNull()), num_merges=4)
+    out = {r["doc_id"]: r["pieces"] for r in bpe_encode(df, merges).collect()}
+    assert out[2] == [] and len(out[1]) > 0

@@ -55,9 +55,36 @@ def _read_actions(store: LogStore, rel: str) -> list[dict]:
     ]
 
 
-def _replay_actions(actions, state: dict[str, dict], meta: dict) -> None:
+# Highest Delta protocol this implementation actually understands: reader 1
+# (plain add/remove/metaData replay — no column mapping, no deletion
+# vectors), writer 2 (appendOnly/invariants not enforced but representable).
+_MAX_READER_VERSION = 1
+_MAX_WRITER_VERSION = 2
+
+
+def _check_protocol(action: dict, table_uri: str) -> None:
+    """Delta spec requirement: a client MUST refuse tables whose protocol
+    exceeds what it implements.  Silently replaying e.g. a deletion-vector
+    table (reader 3) would resurrect logically-deleted rows."""
+    proto = action.get("protocol") or {}
+    reader = int(proto.get("minReaderVersion", 1))
+    if reader > _MAX_READER_VERSION:
+        from ..errors import BuzzNotImplementedError
+
+        raise BuzzNotImplementedError(
+            f"Delta table {table_uri!r} requires minReaderVersion={reader}; "
+            f"this reader implements protocol {_MAX_READER_VERSION} "
+            f"(no column mapping / deletion vectors)"
+        )
+
+
+def _replay_actions(
+    actions, state: dict[str, dict], meta: dict, table_uri: str = ""
+) -> None:
     for action in actions:
-        if "metaData" in action:
+        if "protocol" in action:
+            _check_protocol(action, table_uri)
+        elif "metaData" in action:
             meta.update(action["metaData"])
         elif "add" in action:
             add = action["add"]
@@ -123,7 +150,7 @@ class DeltaCatalog:
 
             for row in table.to_pylist():
                 action = {k: _demap(v) for k, v in row.items() if v is not None}
-                _replay_actions([action], live, meta)
+                _replay_actions([action], live, meta, self.table_uri)
             start_version = cp_version + 1
 
         max_seen = start_version - 1  # checkpoint (if used) covers ≤ this
@@ -133,7 +160,7 @@ class DeltaCatalog:
             if self.version is not None and version > self.version:
                 continue
             max_seen = max(max_seen, version)
-            _replay_actions(_read_actions(store, rel), live, meta)
+            _replay_actions(_read_actions(store, rel), live, meta, self.table_uri)
 
         if self.version is not None and max_seen < self.version:
             raise BuzzExecutionError(
@@ -231,11 +258,16 @@ def read_delta_changes(
     meta: dict = {}
     per_version: dict[int, list[dict]] = {}
     for version, rel in commits:
+        # bound the replay at to_version: a long-lived table must not cost
+        # O(full history) log reads per poll, and the schema applied must
+        # not come from commits after the requested window
+        if version > to_version:
+            break
         actions = _read_actions(store, rel)
         for action in actions:
             if "metaData" in action:
                 meta.update(action["metaData"])
-        if version <= from_version or version > to_version:
+        if version <= from_version:
             continue
         if any(
             a["remove"].get("dataChange", True)
@@ -287,8 +319,16 @@ def read_delta_changes(
         )
         out = part if out is None else out.unionByName(part)
     if out is None:
-        # empty change set: correct schema, zero rows
-        empty = StructType(full.fields[:])
+        # empty change set: SAME shape as a non-empty one (data columns,
+        # then partition columns as strings — how StaticCatalog attaches
+        # them — then the version tag), so downstream unionByName /
+        # fixed-schema sinks behave identically either way
+        from pyspark.sql.types import StringType, StructField
+
+        empty = StructType(
+            data_schema.fields[:]
+            + [StructField(c, StringType()) for c in partition_cols]
+        )
         df = spark.createDataFrame([], empty)
         return df.withColumn("_commit_version", F.lit(None).cast("long"))
     return out

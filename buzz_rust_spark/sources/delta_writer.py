@@ -34,6 +34,22 @@ from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+
+def _local_table_dir(table_uri: str) -> str:
+    """Local filesystem directory for a table URI the WRITE path supports.
+
+    The write side is local-filesystem only (os-level staging,
+    O_EXCL commit claims); the READ side (LogStore) is scheme-agnostic.
+    Anything else must fail up front — ``removeprefix`` alone would
+    silently create a literal './s3:/bucket/...' directory next to real
+    S3 data written by Spark."""
+    if "://" in table_uri and not table_uri.startswith("file://"):
+        raise BuzzBadRequestError(
+            f"delta WRITE path supports local file URIs only, got"
+            f" {table_uri!r} (reads are scheme-agnostic via LogStore)"
+        )
+    return table_uri.removeprefix("file://")
+
 def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
     """Replay the JSON log: (last_version, live add-actions by path, metaData).
     Returns (-1, {}, {}) for a fresh table.  Checkpoint parquet is *not*
@@ -49,7 +65,21 @@ def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "metaData" in action:
+                if "protocol" in action:
+                    # Spec: a writer MUST refuse tables whose writer protocol
+                    # exceeds what it implements — committing plain actions
+                    # to e.g. a deletion-vector table would corrupt it.
+                    proto = action["protocol"] or {}
+                    writer_v = int(proto.get("minWriterVersion", 2))
+                    if writer_v > PROTOCOL["minWriterVersion"]:
+                        from ..errors import BuzzNotImplementedError
+
+                        raise BuzzNotImplementedError(
+                            f"Delta table at {log_dir!r} requires"
+                            f" minWriterVersion={writer_v}; this writer"
+                            f" implements {PROTOCOL['minWriterVersion']}"
+                        )
+                elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
                     live[action["add"]["path"]] = action["add"]
@@ -210,7 +240,7 @@ def write_delta(
         if c not in df.columns:
             raise BuzzBadRequestError(f"partition column {c!r} not in DataFrame")
 
-    table_dir = table_uri.removeprefix("file://")
+    table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     last_version, live, meta = _log_state(log_dir)
@@ -409,7 +439,7 @@ def optimize_delta(
     overhead and poor scan locality).  The rewrite itself is a distributed
     ``spark.read.parquet(files).coalesce(n).write`` per partition; the driver
     only handles the O(files) listing, exactly like Delta's own OPTIMIZE."""
-    table_dir = table_uri.removeprefix("file://")
+    table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
@@ -579,7 +609,7 @@ def merge_delta(
     if not on:
         raise BuzzBadRequestError("merge requires at least one key column")
 
-    table_dir = table_uri.removeprefix("file://")
+    table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
@@ -657,8 +687,17 @@ def merge_delta(
             keep = touched_df.join(src_keys, on=on, how="left_anti")
             rewritten = keep
             if when_matched == "update":
-                matched_src = source.join(tgt_keys, on=on, how="left_semi")
-                rewritten = keep.unionByName(matched_src.select(*names))
+                # Per MATCHED TARGET ROW: one inner join replaces each
+                # matched row's values with the source row's — duplicate-key
+                # target rows (legal via appends) each yield one updated row
+                # (Delta MERGE parity; an anti+re-add-source would collapse
+                # them to a single row, silently losing rows).
+                updated = (
+                    touched_df.select(*on)
+                    .join(source, on=on, how="inner")
+                    .select(*names)
+                )
+                rewritten = keep.unionByName(updated)
             # when_matched == "delete" → keep only the unmatched rows
         inserts = None
         if when_not_matched == "insert":
@@ -715,7 +754,7 @@ def delete_delta(
     snapshot, not the disk; see :func:`vacuum_delta`)."""
     from pyspark.sql import functions as F
 
-    table_dir = table_uri.removeprefix("file://")
+    table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
@@ -785,7 +824,7 @@ def vacuum_delta(
     Time travel to versions whose files were vacuumed stops working; that is
     the documented Delta trade (retention bounds the travel horizon).  The
     walk touches only file metadata — O(files) driver work, no data reads."""
-    table_dir = table_uri.removeprefix("file://")
+    table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     last_version, live, _ = _log_state(log_dir)
     if last_version < 0:

@@ -28,6 +28,12 @@ from pyspark.sql.types import DataType, NullType, StructType, TimestampNTZType, 
 from ..errors import BuzzSchemaError
 
 
+def _pyarrow_path(path: str) -> str:
+    """Map Hadoop-only ``s3a://`` URIs to pyarrow's ``s3://`` so footer reads
+    work on S3 catalogs (same normalization LogStore applies)."""
+    return "s3://" + path[len("s3a://"):] if path.startswith("s3a://") else path
+
+
 def arrow_to_spark_field(field) -> tuple[str, DataType, bool]:
     """Map one Arrow field to (name, spark_type, nullable) with the narrowing
     rules documented in SURVEY.md §1.3 (UInt64→Long, ns-timestamp→µs)."""
@@ -56,7 +62,7 @@ def verify_file_schema(declared: StructType, path: str) -> None:
     Nullability is checked one-way: a footer field marked required may feed a
     nullable declared column, but not the reverse (a nullable footer column
     under a non-null declaration can produce nulls the schema forbids)."""
-    footer = pq.read_schema(path)
+    footer = pq.read_schema(_pyarrow_path(path))
     footer_fields = {f.name: f for f in footer}
     for declared_field in declared.fields:
         if isinstance(declared_field.dataType, NullType):

@@ -169,10 +169,41 @@ class StaticCatalog:
             for f in files
         ]
         manifest = manifest_df(spark, resolved, self.partition_cols).select(
-            norm(F.col("key")).alias("__path"), *self.partition_cols
+            norm(F.col("key")).alias("__path"),
+            F.lit(True).alias("__matched"),
+            *self.partition_cols,
         )
-        return (
-            scan.withColumn("__path", norm(F.input_file_name()))
+        # input_file_name() is a percent-encoded URI (spaces → %20); the
+        # manifest holds raw keys, so decode the scan side before matching
+        # (try_: a literal '%' that is not an escape falls back to raw).
+        scan_path = F.coalesce(
+            F.expr("try_url_decode(__rawpath)"), F.col("__rawpath")
+        )
+        joined = (
+            scan.withColumn("__rawpath", norm(F.input_file_name()))
+            .withColumn("__path", scan_path)
+            .drop("__rawpath")
             .join(broadcast(manifest), on="__path", how="left")
-            .drop("__path")
         )
+        # A join miss must fail LOUDLY when the partition value is read, not
+        # silently yield NULLs a filter then drops to zero rows.  Wrapping
+        # the partition columns keeps the check inside the plan: if a query
+        # never touches them, Catalyst prunes check and join both — which is
+        # exactly when a miss is harmless.
+        out = joined
+        for c in self.partition_cols:
+            out = out.withColumn(
+                c,
+                F.when(F.col("__matched").isNotNull(), F.col(c)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "catalog join-attach matched no manifest key"
+                                " for scanned file "
+                            ),
+                            F.col("__path"),
+                        )
+                    ).cast(StringType())
+                ),
+            )
+        return out.drop("__path", "__matched")

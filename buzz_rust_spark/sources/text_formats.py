@@ -24,6 +24,7 @@ one of any pipeline.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,7 +56,8 @@ def _permissive_scan(
     schema: StructType,
     fmt: str,
     options: dict,
-    header_line: str | None = None,
+    header_fields: list[str] | None = None,
+    delimiter: str = ",",
 ) -> DataFrame:
     """Lazy permissive scan: read lines as text, parse with from_csv/from_json.
 
@@ -68,10 +70,25 @@ def _permissive_scan(
     by the clean and quarantined sides.
     """
     raw = spark.read.text(path)
-    if header_line is not None:
-        # header=True CSVs: drop lines that are exactly the header (per-file
-        # headers all match by construction of the declared schema)
-        raw = raw.where(F.col("value") != F.lit(header_line))
+    if header_fields is not None:
+        # header=True CSVs: drop header lines by NORMALIZED field match —
+        # split on the delimiter, strip a trailing \r (CRLF files), trim,
+        # and unquote each field, then compare the field LIST to the schema
+        # names.  A byte-exact compare against one reconstructed string
+        # missed quoted ("a","b"), CRLF, and padded headers, letting them
+        # parse as data rows.  Residual caveat (inherent to content-based
+        # detection on a splittable text scan, where "first line per file"
+        # is not observable): an all-string-schema DATA row whose fields
+        # exactly equal the column names is also dropped.
+        split_line = F.split(
+            F.regexp_replace(F.col("value"), "\r$", ""), re.escape(delimiter)
+        )
+        norm_fields = F.transform(
+            split_line,
+            lambda x: F.regexp_replace(F.trim(x), '^"(.*)"$', "$1"),
+        )
+        names = F.array(*[F.lit(n) for n in header_fields])
+        raw = raw.where(~(norm_fields == names))
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
     opts.update(options)
     parse = F.from_csv if fmt == "csv" else F.from_json
@@ -103,13 +120,12 @@ class CsvCatalog:
         if self.permissive:
             opts = {"sep": self.delimiter}
             opts.update(self.options)
-            header_line = (
-                self.delimiter.join(f.name for f in self.schema.fields)
-                if self.header
-                else None
+            header_fields = (
+                [f.name for f in self.schema.fields] if self.header else None
             )
             df = _permissive_scan(
-                spark, self.path, self.schema, "csv", opts, header_line
+                spark, self.path, self.schema, "csv", opts,
+                header_fields, self.delimiter,
             )
         else:
             opts = {"header": str(self.header).lower(), "sep": self.delimiter}

@@ -50,6 +50,10 @@ def write_parquet(
 def scan_manifest(path: str, partition_cols: list[str] | None = None) -> list[CatalogFile]:
     """Build CatalogFile entries (key, length, string partition values) from a
     written parquet directory — the catalog side of the write→read loop."""
+    from urllib.parse import unquote
+
+    from ..errors import BuzzPlanError
+
     partition_cols = partition_cols or []
     files: list[CatalogFile] = []
     pattern = os.path.join(path, *["*=*"] * len(partition_cols), "*.parquet")
@@ -59,7 +63,17 @@ def scan_manifest(path: str, partition_cols: list[str] | None = None) -> list[Ca
         for segment in rel.split(os.sep)[:-1]:
             if "=" in segment:
                 k, v = segment.split("=", 1)
-                parts[k] = v
+                # Spark URL-encodes special chars in partition directory
+                # names (date=2009%2F06); the manifest must carry the REAL
+                # value or filters on it silently match nothing
+                parts[k] = unquote(v)
+        missing = [c for c in partition_cols if c not in parts]
+        if missing:
+            raise BuzzPlanError(
+                f"file {rel!r} lacks hive-style directories for declared "
+                f"partition columns {missing} — not a layout scan_manifest "
+                f"can catalog"
+            )
         files.append(
             CatalogFile(
                 key=f,

@@ -40,9 +40,11 @@ def collect_file_stats(paths: list[str], cols: list[str]) -> FileStats:
     unprunable — always safe)."""
     import pyarrow.parquet as pq
 
+    from .schema_check import _pyarrow_path
+
     out: FileStats = {}
     for path in paths:
-        md = pq.read_metadata(path)
+        md = pq.read_metadata(_pyarrow_path(path))
         names = md.schema.names
         per_col: dict[str, tuple[Any, Any]] = {}
         for col in cols:
@@ -65,19 +67,29 @@ def collect_file_stats(paths: list[str], cols: list[str]) -> FileStats:
 
 def _may_match(interval: tuple[Any, Any], op: str, value: Any) -> bool:
     lo, hi = interval
-    if op == "=":
-        return lo <= value <= hi
-    if op == "<":
-        return lo < value
-    if op == "<=":
-        return lo <= value
-    if op == ">":
-        return hi > value
-    if op == ">=":
-        return hi >= value
-    # between: value = (a, b) inclusive
-    a, b = value
-    return hi >= a and lo <= b
+    # Conservative on ANY comparison trouble: a half-open interval (external
+    # Delta logs record null min/max for all-null columns) or a cross-type
+    # comparison (int predicate on string stats, bytes stats) keeps the file
+    # rather than aborting the query — same guard delta_writer's
+    # _key_overlap_candidates applies.
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        # between: value = (a, b) inclusive
+        a, b = value
+        return hi >= a and lo <= b
+    except TypeError:
+        return True
 
 
 def prune_files_by_stats(

@@ -641,3 +641,67 @@ def test_delta_changes_missing_table_typed_error(spark, tmp_path):
 
     with _pytest.raises(BuzzExecutionError, match="not a Delta table"):
         read_delta_changes(spark, str(tmp_path / "nope"), from_version=0)
+
+
+# ---- review fixes: protocol gates, merge multiplicity, changes shape ----
+
+
+def test_protocol_gate_refuses_advanced_tables(spark, tmp_path):
+    """Spec: refuse tables whose protocol exceeds what we implement —
+    replaying a deletion-vector table would resurrect deleted rows."""
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "tbl")
+    write_delta(spark.range(3).withColumnRenamed("id", "v"), table)
+    # forge a protocol-upgrade commit like a modern writer would
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}) + "\n")
+    with pytest.raises(BuzzNotImplementedError, match="minReaderVersion=3"):
+        DeltaCatalog("t", table)
+    with pytest.raises(BuzzNotImplementedError, match="minWriterVersion=7"):
+        write_delta(spark.range(1).withColumnRenamed("id", "v"), table)
+
+
+def test_write_delta_rejects_remote_uri(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources import write_delta
+
+    with pytest.raises(BuzzBadRequestError, match="local file URIs only"):
+        write_delta(spark.range(1), "s3://bucket/tbl")
+
+
+def test_merge_updates_every_duplicate_key_row(spark, tmp_path):
+    """Delta MERGE parity: duplicate-key target rows (legal via appends)
+    each become one updated row — not collapsed to a single source row."""
+    from buzz_rust_spark.sources import merge_delta, write_delta
+
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["k", "v"])
+    write_delta(df, table)
+    src = spark.createDataFrame([(1, "NEW")], ["k", "v"])
+    merge_delta(spark, table, src, on=["k"], when_matched="update",
+                when_not_matched=None)
+    rows = sorted(
+        (r["k"], r["v"]) for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    )
+    assert rows == [(1, "NEW"), (1, "NEW"), (2, "c")]
+
+
+def test_read_delta_changes_empty_window_shape_matches(spark, tmp_path):
+    """An empty change window returns the same column shape as a non-empty
+    one (data cols + string partition cols + _commit_version)."""
+    from buzz_rust_spark.sources import write_delta
+    from buzz_rust_spark.sources.delta_catalog import read_delta_changes
+
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "x")], ["v", "day"])
+    write_delta(df, table, partition_by=["day"])
+    write_delta(spark.createDataFrame([(2, "y")], ["v", "day"]), table,
+                partition_by=["day"])
+    nonempty = read_delta_changes(spark, table, from_version=0)
+    empty = read_delta_changes(spark, table, from_version=1)
+    assert empty.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in empty.schema.fields] == \
+           [(f.name, f.dataType.simpleString()) for f in nonempty.schema.fields]

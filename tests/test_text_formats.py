@@ -133,3 +133,21 @@ def test_engine_accepts_text_catalog(spark, csv_dir):
         )
     ).collect()
     assert out[0]["n"] == 3 and out[0]["total"] == 60
+
+
+def test_csv_permissive_drops_quoted_and_crlf_headers(spark, tmp_path):
+    """Review fix: quoted ("a","b") and CRLF headers are recognized as
+    headers (normalized field match) instead of parsing as data rows."""
+    from buzz_rust_spark.sources.text_formats import CsvCatalog
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "a.csv").write_text('"id","name"\r\n1,alpha\r\n2,beta\r\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    cat = CsvCatalog(name="t", path=str(d), schema=schema, permissive=True)
+    rows = cat.to_dataframe(spark).where("_corrupt_record is null").collect()
+    got = sorted((r["id"], r["name"]) for r in rows)
+    assert got == [(1, "alpha"), (2, "beta")]

@@ -216,3 +216,68 @@ def test_zonemap_prunes_zordered_catalog(spark, tmp_path):
     assert 0 < len(few.files) < len(cat.files)
     rows = few.to_dataframe(spark).where("l_suppkey = 41").count()
     assert rows == li.where("l_suppkey = 41").count()
+
+
+def test_scan_manifest_decodes_partition_values_and_rejects_bad_layout(spark, tmp_path):
+    """Review fix: Spark URL-encodes special chars in partition dirs
+    (date=2009%2F06); the manifest must carry the decoded value or filters
+    silently match nothing.  A non-hive layout raises a typed error."""
+    import pytest
+
+    from buzz_rust_spark.errors import BuzzPlanError
+    from buzz_rust_spark.sources.writer import scan_manifest, write_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "2009/06"), (2, "2009/07")], ["v", "date"])
+    write_parquet(df, path, partition_by=["date"])
+    files = scan_manifest(path, ["date"])
+    vals = sorted(dict(f.partitions)["date"] for f in files)
+    assert vals == ["2009/06", "2009/07"]  # decoded, not 2009%2F06
+    # a hive dir named for a DIFFERENT column than declared is a typed error
+    wrong = str(tmp_path / "wrong")
+    spark.createDataFrame([(1, "x")], ["v", "other"]).write.partitionBy(
+        "other"
+    ).parquet(wrong)
+    with pytest.raises(BuzzPlanError, match="hive-style"):
+        scan_manifest(wrong, ["date"])
+
+
+def test_join_attach_matches_url_encoded_paths(spark, tmp_path):
+    """Review fix: input_file_name() percent-encodes special path chars; the
+    join-attach strategy must still match manifest keys (and a real miss now
+    raises instead of yielding silent NULL partition values)."""
+    import shutil
+
+    from buzz_rust_spark.sources import CatalogFile, StaticCatalog
+
+    d = tmp_path / "dir with space"
+    d.mkdir()
+    spark.createDataFrame([(1,), (2,)], ["v"]).coalesce(1).write.parquet(str(d / "p"))
+    part = next((d / "p").glob("*.parquet"))
+    target = d / "data file.parquet"
+    shutil.copy(part, target)
+    cat = StaticCatalog(
+        name="t",
+        schema=spark.createDataFrame([(1,)], ["v"]).schema,
+        files=[CatalogFile(key=str(target), length=target.stat().st_size,
+                           partitions=(("pcol", "A"),))],
+        partition_cols=["pcol"],
+        attach_strategy="join",
+    )
+    rows = cat.to_dataframe(spark).collect()
+    assert sorted(r["v"] for r in rows) == [1, 2]
+    assert all(r["pcol"] == "A" for r in rows)
+
+
+def test_zonemap_tolerates_null_and_cross_type_stats():
+    """Review fix: half-open intervals (external logs with null min/max) and
+    cross-type comparisons keep the file instead of raising."""
+    from buzz_rust_spark.sources.manifest import CatalogFile
+    from buzz_rust_spark.sources.zonemap import prune_files_by_stats
+
+    files = [CatalogFile(key="a", length=1), CatalogFile(key="b", length=1)]
+    stats = {"a": {"x": (None, 10)}, "b": {"x": ("str", "str")}}
+    # int predicate: file a has a null bound, file b has string stats —
+    # both must survive conservatively
+    kept = prune_files_by_stats(files, stats, [("x", "=", 5)])
+    assert [f.key for f in kept] == ["a", "b"]

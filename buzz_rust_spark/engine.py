@@ -105,6 +105,13 @@ class BuzzEngine:
     # -- execution ----------------------------------------------------------
 
     def run(self, query: BuzzQuery) -> DataFrame:
+        """Plan the query and return the (lazy) result DataFrame.
+
+        Session-state contract: catalog and step names referenced by the
+        query are CLAIMED as temp views for the duration of planning and
+        dropped afterward — a pre-existing user temp view with a colliding
+        name is overwritten and then removed.  Run engine queries on a
+        session (or name catalogs) so these namespaces don't collide."""
         if self.strict:
             query.validate_strict()
         elif not query.steps:
@@ -187,6 +194,14 @@ class BuzzEngine:
         # Same validation (and error parity) as the single-zone path.
         self._validate_step(0, s0, refs0, sources, set())
         self._validate_step(1, s1, refs1, sources, {s0.name.lower()})
+        # Zoned semantics requirement: the reduce step may read ONLY the map
+        # step's output (the reference's hcomb reads hbee results, never
+        # sources).  A reduce referencing a catalog table would resolve it
+        # per-zone to that zone's FILE SUBSET — cross-zone matches silently
+        # lost — or not resolve at all.  Fall back to single-zone execution,
+        # which registers every source and is always semantically correct.
+        if any(r != s0.name.lower() for r in refs1):
+            return None
 
         files = src.pruned_files(self.spark, s0.partition_filter)
         used = min(query.capacity.zones, len(files))

@@ -56,7 +56,10 @@ def asof_join(
     rpayload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
     )
-    tagged_right = right.select(
+    # A null-timestamp right row can never legitimately be "at or before"
+    # anything; left in, it sorts NULLS FIRST under the backward ordering and
+    # becomes a universal earliest match.  Drop such rows up front.
+    tagged_right = right.where(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in by],
         F.col(right_ts).alias("__event_ts"),
         F.lit(1).alias("__is_right"),
@@ -72,12 +75,25 @@ def asof_join(
     )
     unioned = tagged_right.unionByName(tagged_left)
 
+    # __rval as the FINAL sort key makes ties among equal right timestamps
+    # deterministic (struct comparison; the last-sorted payload wins) — the
+    # determinism the docstring promises, previously left to shuffle order.
     if direction == "backward":
         # right rows sort before left rows at equal timestamps → a right row
         # AT the left timestamp is eligible.
-        order = [F.col("__event_ts").asc(), F.col("__is_right").desc()]
+        order = [
+            F.col("__event_ts").asc(),
+            F.col("__is_right").desc(),
+            F.col("__rval").asc(),
+        ]
     else:
-        order = [F.col("__event_ts").desc(), F.col("__is_right").desc()]
+        # __rval ascending in BOTH directions: within an equal-ts tie group
+        # the largest payload sorts last, and last() therefore picks it.
+        order = [
+            F.col("__event_ts").desc(),
+            F.col("__is_right").desc(),
+            F.col("__rval").asc(),
+        ]
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
         .orderBy(*order)
@@ -86,6 +102,13 @@ def asof_join(
     carried = unioned.withColumn(
         "__match", F.last("__rval", ignorenulls=True).over(w)
     ).where(F.col("__is_right") == 0)
+    # A null-timestamp LEFT row has no defined as-of position (under the
+    # forward/DESC ordering it would sort last and soak up a carried match):
+    # its match is null by definition.
+    carried = carried.withColumn(
+        "__match",
+        F.when(F.col("__event_ts").isNotNull(), F.col("__match")),
+    )
 
     if tolerance_seconds is not None:
         # Type-aware epoch extraction: ts columns read from TIMESTAMP(NANOS)

@@ -321,12 +321,14 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     The frame extraction itself is the stubbed decode; the row fan-out and
     timestamp arithmetic are real Spark (sequence + explode, no Python)."""
     return (
-        df.where(F.col("kind") == "video")
+        # duration 0 (or null) means NO frames — without the filter the
+        # greatest(...)-clamp turns it into one phantom frame at ts=0
+        df.where((F.col("kind") == "video") & (F.col("duration_ms") > 0))
         .select(
             "media_id",
             F.explode(
                 F.sequence(
-                    F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+                    F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)
                 )
             ).alias("frame_ts_ms"),
         )

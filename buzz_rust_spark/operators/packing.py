@@ -61,6 +61,15 @@ def pack_sequences(
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
         group = int(pdf["_grp"].iloc[0])
+        # Null (NaN after Arrow) or negative token counts must fail with the
+        # offending document named — int(NaN) is an opaque task error and a
+        # negative count silently inflates its bin past the token budget.
+        bad = pdf[pdf[tokens_col].isna() | (pdf[tokens_col] < 0)]
+        if len(bad):
+            raise ValueError(
+                f"document {bad.iloc[0][id_col]!r} has null/negative token "
+                f"count {bad.iloc[0][tokens_col]!r}; clean counts upstream"
+            )
         oversize = pdf[pdf[tokens_col] > cap]
         if len(oversize) and not truncate:
             worst = oversize.iloc[0]
@@ -77,23 +86,32 @@ def pack_sequences(
         counts: list[int] = []  # documents placed per bin
         assign: list[int] = []
         slots: list[int] = []
+        # Scan only ACTIVE bins (opening order preserved → identical
+        # first-fit choices) and retire a bin once its remainder drops below
+        # the group's smallest document — it can never fit anything again.
+        # Each bin retires at most once; without retirement the naive scan
+        # over every bin ever opened is O(n²) Python-loop work per group
+        # (full bins near zero remainder get re-scanned forever).
+        min_doc = int(min(int(pdf[tokens_col].min()), cap)) if len(pdf) else 0
+        active: list[int] = []
         for t in pdf[tokens_col]:
             t = int(min(t, cap))
             placed = None
-            # first bin with room; a linear scan suffices — FFD fills bins
-            # past 50% by construction so the open-bin list stays short
-            for b, rem in enumerate(bins):
-                if rem >= t:
+            for b in active:
+                if bins[b] >= t:
                     placed = b
                     break
             if placed is None:
                 bins.append(cap)
                 counts.append(0)
                 placed = len(bins) - 1
+                active.append(placed)
             assign.append(placed)
             slots.append(counts[placed])
             counts[placed] += 1
             bins[placed] -= t
+            if bins[placed] < min_doc:
+                active.remove(placed)
         out = pdf[[id_col, tokens_col]].copy()
         out["seq_id"] = [f"{group}-{b}" for b in assign]
         out["seq_slot"] = slots

@@ -103,7 +103,14 @@ def interval_overlap_join(
 ) -> DataFrame:
     """Pairs of intervals that overlap: ``l_start < r_end AND r_start < l_end``
     (half-open semantics), bucketed the same way — both sides explode into the
-    buckets they span, candidates deduplicate after the exact predicate."""
+    buckets they span, and each overlapping pair is emitted from exactly ONE
+    canonical bucket (the one containing the later of the two starts, which
+    both spans necessarily include), so the fan-out never duplicates a pair.
+
+    The canonical-bucket condition replaces a ``distinct()``: dedup-by-value
+    would also collapse LEGITIMATE duplicate input rows (two identical
+    interval rows are two real matches in theta-join semantics) and breaks on
+    unhashable column types."""
     by = by or []
     overlap_cols = (set(left.columns) & set(right.columns)) - set(by)
     if overlap_cols:
@@ -131,9 +138,13 @@ def interval_overlap_join(
     pred = (F.col(left_start) < F.col(right_end)) & (
         F.col(right_start) < F.col(left_end)
     )
+    l_secs = epoch_seconds(F.col(left_start), left.schema[left_start].dataType)
+    r_secs = epoch_seconds(F.col(right_start), right.schema[right_start].dataType)
+    canonical = F.col("__b") == F.floor(
+        F.greatest(l_secs, r_secs) / F.lit(bucket_width)
+    ).cast("long")
     return (
         l.join(r, on=["__b", *by], how="inner")
-        .where(pred)
+        .where(pred & canonical)
         .drop("__b")
-        .distinct()
     )

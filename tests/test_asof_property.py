@@ -134,3 +134,34 @@ def test_range_join_property(spark, case):
         if s <= x < e
     }
     assert got == want
+
+
+def test_asof_ignores_null_timestamps(spark):
+    """Review fix: a null-ts right row must not act as a universal match
+    (NULLS FIRST under the backward ordering), and a null-ts left row gets a
+    null match by definition."""
+    from buzz_rust_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5.0), (2, None)], ["lid", "lts"])
+    right = spark.createDataFrame([(None, 42), (4.0, 7)], ["rts", "val"])
+    out = {r["lid"]: r for r in asof_join(
+        left, right, left_ts="lts", right_ts="rts"
+    ).collect()}
+    assert out[1]["right_val"] == 7  # matches the real row, not the null-ts one
+    assert out[2]["right_val"] is None  # null left ts -> no match
+
+
+def test_asof_equal_ts_tiebreak_deterministic(spark):
+    """Review fix: among equal right timestamps the largest payload struct
+    wins, independent of partitioning."""
+    from buzz_rust_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10.0)], ["lid", "lts"])
+    right = spark.createDataFrame(
+        [(5.0, "a"), (5.0, "z"), (5.0, "m")], ["rts", "val"]
+    )
+    for parts in (1, 7):
+        out = asof_join(
+            left, right.repartition(parts), left_ts="lts", right_ts="rts"
+        ).collect()
+        assert out[0]["right_val"] == "z"

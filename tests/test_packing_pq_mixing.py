@@ -369,3 +369,14 @@ def test_top_fraction_exact_is_float_safe(spark):
     rows = [(i, "s", float(i)) for i in range(100)]
     df = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
     assert top_fraction_by_group(df, 0.07, exact=True).count() == 7
+
+
+def test_packing_rejects_null_and_negative_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, 50), (2, None)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="null/negative"):
+        pack_sequences(docs, capacity=100).collect()
+    neg = spark.createDataFrame([(1, 50), (2, -5)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="null/negative"):
+        pack_sequences(neg, capacity=100).collect()

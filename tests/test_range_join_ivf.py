@@ -368,3 +368,19 @@ def test_ann_lsh_multiprobe_recall_boost(spark, sf_dir):
     r_probed = len(exact & probed) / len(exact)
     assert r_probed >= r_plain
     assert r_probed >= 0.9
+
+
+def test_overlap_join_preserves_duplicate_rows(spark):
+    """Review fix: identical duplicate interval rows are two real matches
+    (theta-join semantics); the canonical-bucket condition replaces the
+    distinct() that collapsed them."""
+    from buzz_rust_spark.operators.range_join import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0.0, 10.0)], ["lid", "ls", "le"])
+    right = spark.createDataFrame(
+        [(0.0, 10.0, "x"), (0.0, 10.0, "x")], ["rs", "re", "tag"]
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=3.0
+    ).collect()
+    assert len(out) == 2  # both duplicate right rows match

@@ -49,10 +49,13 @@ def salted_aggregate(
     # partial aggregate would double-count or drop rows (the classic Spark
     # repartition-nondeterminism hazard).  Content hashing is retry-stable;
     # the trade is that fully identical rows share a salt (they spread only
-    # if some column varies — true for any real fact table).
+    # if some column varies — true for any real fact table).  Hash ONLY the
+    # columns the aggregation touches: xxhash64 rejects map-typed columns,
+    # and an unrelated map column must not break the aggregate.
+    hash_cols = list(dict.fromkeys([*keys, *[c for c, _ in aggs.values()]]))
     salted = df.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(salt_buckets)),
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[
@@ -60,11 +63,16 @@ def salted_aggregate(
             for out, (col, fn) in aggs.items()
         ]
     )
+    # count must come back 0 (not NULL) for an empty global aggregation —
+    # sum over zero partial rows is NULL, but groupBy().agg(count) is 0.
+    def final(out, fn):
+        expr = _FINAL[fn](f"__p_{out}")
+        if fn == "count":
+            expr = F.coalesce(expr, F.lit(0).cast("long"))
+        return expr.alias(out)
+
     return partial.groupBy(*keys).agg(
-        *[
-            _FINAL[fn](f"__p_{out}").alias(out)
-            for out, (col, fn) in aggs.items()
-        ]
+        *[final(out, fn) for out, (col, fn) in aggs.items()]
     )
 
 
@@ -89,8 +97,10 @@ def skew_join(
     ``hot_keys`` can be given explicitly (e.g. known-degenerate IDs); when
     None they are detected with ``freqItems`` — a one-pass sketch whose
     false positives only cost a slightly larger broadcast, never
-    correctness.  Supports inner and left joins (the split is
-    partition-exhaustive for the left side)."""
+    correctness.  NOTE: detection runs EAGERLY at call time (one full scan
+    of ``big`` before any action on the result) — pass ``hot_keys``
+    explicitly to keep the call lazily composable.  Supports inner and left
+    joins (the split is partition-exhaustive for the left side)."""
     if how not in ("inner", "left", "left_outer"):
         raise BuzzBadRequestError(f"skew_join supports inner/left, got {how!r}")
     if hot_keys is None:

@@ -72,4 +72,8 @@ def int8_quantization_mae(a: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return F.when(m == 0.0, F.lit(0.0)).otherwise(err / F.size(a))
+    # size==0 guard: max_abs(empty) is NULL (not 0.0), so without it the
+    # otherwise-branch divides by zero — a job-killing error under ANSI mode
+    return F.when((m == 0.0) | (F.size(a) == 0), F.lit(0.0)).otherwise(
+        err / F.size(a)
+    )

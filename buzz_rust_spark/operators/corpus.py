@@ -41,11 +41,12 @@ from .dedup import (
     scrub_repeated_spans,
 )
 from .sampling import hash_split
+from ..functions.cache import persist_tracked
 from .text import (
     c4_clean_lines,
     contamination_flags,
     gopher_quality,
-    quality_score,
+    quality_expr,
     redact_pii,
 )
 
@@ -101,10 +102,12 @@ def prepare_training_corpus(
             .withColumnRenamed("cleaned", text_col)
         )
 
-    q = quality_score(scrubbed, text_col=text_col, id_col=id_col).select(
-        id_col, "quality"
-    )
-    kept = scrubbed.join(q, on=id_col).where(F.col("quality") >= cfg.min_quality)
+    # quality attaches as ONE inline expression (identical values to
+    # quality_score) — no stats relation, no corpus self-join on id, and the
+    # scrub/C4 subtree evaluates once, not twice.
+    kept = scrubbed.withColumn(
+        "quality", quality_expr(F.col(text_col))
+    ).where(F.col("quality") >= cfg.min_quality)
 
     # 2b (optional): Gopher rule gate — a second narrow projection; the
     # semi-join keeps only documents passing every configured rule.
@@ -118,6 +121,13 @@ def prepare_training_corpus(
 
     # 3: exact dedup
     kept = dedup_exact(kept, text_col=text_col, id_col=id_col)
+
+    # The stage 1-3 result feeds FOUR downstream evaluations (near-dup
+    # pair generation, the cluster loser anti-join, both decontamination
+    # branches) and duplicate_clusters runs eager driver-loop actions —
+    # persist (scoped-cache-tracked) so the scrub/quality/dedup subtree
+    # computes once, not ~4x.
+    kept = persist_tracked(kept)
 
     # 4: near-dup clusters → drop non-minimum members
     pairs = minhash_lsh_pairs(

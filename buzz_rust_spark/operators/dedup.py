@@ -575,11 +575,10 @@ def duplicate_clusters(
     rounds; near-dup graphs are shallow so this converges in a few).  Each
     round persists its labels and checks convergence with a count — a driver
     loop, but over whole-DataFrame ops, so every round is fully distributed."""
-    edges = (
+    edges = persist_tracked(
         pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
         .union(pairs.select(F.col(id2_col).alias("src"), F.col(id1_col).alias("dst")))
         .distinct()
-        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -587,6 +586,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    prev_ckpt_rdd = None
     for _ in range(max_iterations):
         # candidate label for each node: min over its own and neighbors' labels
         neighbor_labels = (
@@ -609,7 +609,24 @@ def duplicate_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
+        labels.unpersist()  # releases the initial persist (round 1)
+        # DataFrame.unpersist does NOT free a localCheckpoint's storage —
+        # each round would leak one checkpointed labels copy.  The storage
+        # belongs to the INTERNAL RDD inside the checkpoint's LogicalRDD
+        # plan (df.rdd wraps a derived deserializer RDD; unpersisting that
+        # is a no-op), so release it at the source.  The previous round's
+        # checkpoint is safe to drop once this round's is eagerly
+        # materialized; only the FINAL one (which the returned plan reads)
+        # stays — a single bounded residue per call.
+        if prev_ckpt_rdd is not None:
+            try:
+                prev_ckpt_rdd.unpersist(False)
+            except Exception:
+                pass  # internal API moved — a small leak, not an error
+        try:
+            prev_ckpt_rdd = new_labels._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            prev_ckpt_rdd = None
         labels = new_labels
         if changed == 0:
             break

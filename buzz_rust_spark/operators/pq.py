@@ -52,30 +52,20 @@ def train_pq_codebooks(
         raise BuzzBadRequestError(f"dim {dim} must be divisible by m {m}")
     if not 1 <= k <= 256:
         raise BuzzBadRequestError("k must be in [1, 256] (codes are one byte)")
-    narrow = corpus.select(as_double_array(F.col(vec_col)).alias("v"))
-    n = narrow.count()
-    if n == 0:
+    from .similarity import bounded_vector_sample, lloyd_kmeans
+
+    rows = bounded_vector_sample(corpus, vec_col, sample_size)
+    if not rows:
         raise BuzzBadRequestError("cannot train PQ codebooks on an empty corpus")
-    if n <= sample_size:
-        rows = narrow.collect()
-    else:
-        fraction = min(1.0, 2.0 * sample_size / n)
-        rows = narrow.sample(fraction=fraction, seed=42).limit(sample_size).collect()
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     dsub = dim // m
     k_eff = min(k, len(x))
     books = np.empty((m, k_eff, dsub), dtype=np.float64)
     for s in range(m):
-        xs = x[:, s * dsub : (s + 1) * dsub]
-        centroids = xs[:k_eff].copy()
-        for _ in range(iterations):
-            d = ((xs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for j in range(k_eff):
-                members = xs[assign == j]
-                if len(members):
-                    centroids[j] = members.mean(axis=0)
-        books[s] = centroids
+        # per-subspace slice through the SHARED Lloyd kernel (one
+        # implementation for IVF and PQ; the two copies previously drifted
+        # independently)
+        books[s] = lloyd_kmeans(x[:, s * dsub : (s + 1) * dsub], k_eff, iterations)
     return books
 
 
@@ -161,6 +151,17 @@ def pq_topk(
     )
 
     query_id_col = query_id_col or id_col
+    # ids ride through numpy int64 arrays and a cast('long') — non-integral
+    # id columns would crash the driver (ValueError) or the tasks
+    # (CAST_INVALID_INPUT under ANSI); fail with a typed, named error.
+    from pyspark.sql.types import IntegralType
+
+    for df_, col_ in ((queries, query_id_col), (codes, id_col)):
+        if not isinstance(df_.schema[col_].dataType, IntegralType):
+            raise BuzzBadRequestError(
+                f"pq_topk requires an integral id column; {col_!r} is "
+                f"{df_.schema[col_].dataType.simpleString()}"
+            )
     books = np.ascontiguousarray(codebooks)  # (m, kk, dsub)
     m, _, dsub = books.shape
 
@@ -204,10 +205,20 @@ def pq_topk(
                 scores = tables[qi][arange_m[:, None], cmat.T].sum(axis=0)
                 mask = ids != qids[qi]
                 sid, ssc = ids[mask], scores[mask]
+                np.nan_to_num(ssc, copy=False, nan=-np.inf)
                 if len(sid) > kk:
-                    # local top-k only: argpartition then exact ordering
-                    top = np.argpartition(-ssc, kk - 1)[:kk]
-                    sid, ssc = sid[top], ssc[top]
+                    # local top-k, TIE-AWARE at the k-th boundary: every row
+                    # tied with the k-th score enters the (score desc,
+                    # id asc) ordering before the cut, so which tied
+                    # neighbor survives never depends on batch layout
+                    # (bare argpartition made the k boundary
+                    # partitioning-dependent)
+                    part = np.argpartition(-ssc, kk - 1)[:kk]
+                    kth = ssc[part].min()
+                    cand = np.nonzero(ssc >= kth)[0]
+                    order = np.lexsort((sid[cand], -ssc[cand]))
+                    sel = cand[order][:kk]
+                    sid, ssc = sid[sel], ssc[sel]
                 parts.append(
                     pd.DataFrame(
                         {"query_id": qids[qi], "neighbor_id": sid, "score": ssc}

@@ -345,19 +345,33 @@ def train_ivf_centroids(
         if n == 0:
             raise ValueError("cannot train IVF centroids on an empty corpus")
     else:
-        narrow = corpus.select(as_double_array(F.col(vec_col)).alias("v"))
-        n = narrow.count()
-        if n == 0:
+        rows = bounded_vector_sample(corpus, vec_col, sample_size)
+        if not rows:
             raise ValueError("cannot train IVF centroids on an empty corpus")
-        if n <= sample_size:
-            rows = narrow.collect()
-        else:
-            # 2× oversample so the post-sample limit almost surely fills up;
-            # Bernoulli sampling is a narrow per-partition pass.
-            fraction = min(1.0, 2.0 * sample_size / n)
-            rows = narrow.sample(fraction=fraction, seed=42).limit(sample_size).collect()
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     k = min(n_centroids, len(x))
+    return lloyd_kmeans(x, k, iterations)
+
+
+def bounded_vector_sample(
+    corpus: DataFrame, vec_col: str, sample_size: int
+) -> list:
+    """Driver-side sample of at most ``sample_size`` vectors: seeded
+    Bernoulli 2× oversample + limit — O(scan), no global sort.  Shared by
+    IVF and PQ training (one recipe, one place to fix)."""
+    narrow = corpus.select(as_double_array(F.col(vec_col)).alias("v"))
+    n = narrow.count()
+    if n == 0:
+        return []
+    if n <= sample_size:
+        return narrow.collect()
+    fraction = min(1.0, 2.0 * sample_size / n)
+    return narrow.sample(fraction=fraction, seed=42).limit(sample_size).collect()
+
+
+def lloyd_kmeans(x, k: int, iterations: int):
+    """Plain numpy Lloyd iteration, init from the first ``k`` rows —
+    the shared training kernel for IVF centroids and PQ codebooks."""
     centroids = x[:k].copy()
     for _ in range(iterations):
         d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)

@@ -71,6 +71,42 @@ def with_text_stats(
     )
 
 
+def _quality_components(n_tokens, mean_token_len, punct_ratio, digit_ratio):
+    """The quality recipe over its four signal expressions — ONE source of
+    the formula shared by the stats-table path (quality_score) and the
+    inline-expression path (quality_expr)."""
+    length_component = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    token_len_ok = F.when(
+        (mean_token_len >= 2.0) & (mean_token_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    noise_penalty = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2.0, F.lit(0.5))
+        - F.least(digit_ratio, F.lit(0.5))
+    )
+    return F.round(
+        length_component * 0.4 + token_len_ok * 0.3 + noise_penalty * 0.3, 6
+    )
+
+
+def quality_expr(t: Column) -> Column:
+    """The quality score as ONE inline expression over the text column — for
+    pipelines that want to ATTACH the score to existing rows as a narrow
+    projection (no stats relation, no id re-join).  Identical values to
+    ``quality_score``."""
+    n_chars = F.length(t)
+    n_toks = token_count(t)
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_len = F.when(n_toks > 0, non_space / n_toks).otherwise(F.lit(0.0))
+    punct = F.when(
+        n_chars > 0, F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) / n_chars
+    ).otherwise(F.lit(0.0))
+    digit = F.when(
+        n_chars > 0, F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars
+    ).otherwise(F.lit(0.0))
+    return _quality_components(n_toks, mean_len, punct, digit)
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -79,20 +115,13 @@ def quality_score(
     pipelines that need it swap their own); what matters is that it runs as
     one codegen'd projection."""
     stats = with_text_stats(df, text_col, id_col)
-    length_component = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
-    token_len_ok = F.when(
-        (F.col("mean_token_len") >= 2.0) & (F.col("mean_token_len") <= 12.0),
-        F.lit(1.0),
-    ).otherwise(F.lit(0.5))
-    noise_penalty = (
-        F.lit(1.0)
-        - F.least(F.col("punct_ratio") * 2.0, F.lit(0.5))
-        - F.least(F.col("digit_ratio"), F.lit(0.5))
-    )
     return stats.withColumn(
         "quality",
-        F.round(
-            (length_component * 0.4 + token_len_ok * 0.3 + noise_penalty * 0.3), 6
+        _quality_components(
+            F.col("n_tokens"),
+            F.col("mean_token_len"),
+            F.col("punct_ratio"),
+            F.col("digit_ratio"),
         ),
     )
 

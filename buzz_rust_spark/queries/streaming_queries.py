@@ -38,6 +38,10 @@ def e01_event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH marked AS (
   SELECT user_id, ts,
+         -- strict > matches session_window's boundary semantics: a gap
+         -- EXACTLY equal to the gap duration MERGES (verified empirically —
+         -- Spark closes a session only when the next event is strictly
+         -- beyond lastEvent + gap)
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    > INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

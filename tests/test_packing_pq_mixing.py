@@ -380,3 +380,41 @@ def test_packing_rejects_null_and_negative_counts(spark):
     neg = spark.createDataFrame([(1, 50), (2, -5)], "doc_id long, n_tokens long")
     with pytest.raises(Exception, match="null/negative"):
         pack_sequences(neg, capacity=100).collect()
+
+
+def test_salted_aggregate_tolerates_map_columns_and_empty_count(spark):
+    """Review fixes: an unrelated map column must not break the salt hash,
+    and a global count over empty input returns 0 (not NULL) — exactly what
+    the plain groupBy would do."""
+    from buzz_rust_spark.functions.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(1, 10, {"k": "v"})], "key int, v int, meta map<string,string>"
+    )
+    out = salted_aggregate(df, ["key"], {"n": ("v", "count"), "s": ("v", "sum")})
+    row = out.collect()[0]
+    assert row["n"] == 1 and row["s"] == 10
+    empty = spark.createDataFrame([], "key int, v int")
+    g = salted_aggregate(empty, [], {"n": ("v", "count")}).collect()[0]
+    assert g["n"] == 0
+
+
+def test_int8_mae_empty_array_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.functions.vector import int8_quantization_mae
+
+    df = spark.createDataFrame([([],), ([1.0, -2.0],)], ["v"])
+    out = df.select(int8_quantization_mae(F.col("v")).alias("mae")).collect()
+    assert out[0]["mae"] == 0.0 and out[1]["mae"] >= 0.0
+
+
+def test_pq_topk_rejects_string_ids(spark):
+    import numpy as np
+
+    from buzz_rust_spark.operators.pq import pq_topk
+
+    codes = spark.createDataFrame([("a", bytearray(b"\x00"))], ["vec_id", "pq_code"])
+    books = np.zeros((1, 1, 2))
+    with pytest.raises(BuzzBadRequestError, match="integral id"):
+        pq_topk(codes, codes, books, k=1)

@@ -53,7 +53,13 @@ def main(argv: list[str] | None = None) -> int:
         df = engine.run(query)
         if args.explain:
             df.explain("formatted")
-        df.show(args.limit, truncate=False)
+        # route the action through engine.execute: runtime task failures
+        # surface as the typed BuzzExecutionError with the root cause, not
+        # a raw multi-hundred-line Py4J stack (FAIL-action parity)
+        rows = engine.execute(df.limit(args.limit))
+        df.sparkSession.createDataFrame(rows, df.schema).show(
+            args.limit, truncate=False
+        )
     except BuzzError as exc:
         print(f"error: {type(exc).__name__}: {exc}", file=sys.stderr)
         return 1

@@ -98,7 +98,16 @@ class BuzzQuery:
             raise BuzzBadRequestError("query must contain a non-empty 'steps' list")
         steps = [BuzzStep.from_dict(s) for s in d["steps"]]
         catalogs = [BuzzCatalog.from_dict(c) for c in d.get("catalogs", [])]
-        capacity = HCombCapacity(zones=int(d.get("capacity", {}).get("zones", 1)))
+        try:
+            capacity = HCombCapacity(
+                zones=int(d.get("capacity", {}).get("zones", 1))
+            )
+        except (AttributeError, TypeError, ValueError) as exc:
+            # malformed capacity is a USER error, not an internal one — the
+            # CLI/engine error contract expects the typed bad-request
+            raise BuzzBadRequestError(
+                f"invalid 'capacity' in query: {d.get('capacity')!r} ({exc})"
+            ) from exc
         return cls(steps=steps, catalogs=catalogs, capacity=capacity)
 
     @classmethod

@@ -58,10 +58,21 @@ def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
         msg = str(exc)
         if "ParseException" in msg or "PARSE_SYNTAX_ERROR" in msg:
             raise BuzzPlanError(f"invalid SQL: {msg}") from exc
-        names = {m.group(1).lower() for m in _FROM_RE.finditer(sql)}
-    # Strip CTE-local names.
+        # Regex fallback: scrub string literals (a FROM inside '...' is not
+        # a table ref) and EXTRACT(unit FROM expr) calls before scanning.
+        scrubbed = re.sub(r"'(?:[^'']|'')*'", "''", sql)
+        scrubbed = re.sub(
+            r"\bextract\s*\([^()]*\)", "extract()", scrubbed, flags=re.IGNORECASE
+        )
+        names = {m.group(1).lower() for m in _FROM_RE.finditer(scrubbed)}
+    # Strip CTE-local names.  No \b before the comma branch: a word boundary
+    # there can never match (the comma always follows ')' or whitespace), so
+    # every CTE after the first leaked into the referenced set and valid
+    # multi-CTE queries failed validation.
     cte_names = {
         m.group(1).lower()
-        for m in re.finditer(r"\b(?:with|,)\s*([a-zA-Z_]\w*)\s+as\s*\(", sql, re.IGNORECASE)
+        for m in re.finditer(
+            r"(?:\bwith|,)\s*([a-zA-Z_]\w*)\s+as\s*\(", sql, re.IGNORECASE
+        )
     }
     return {n for n in names if n not in cte_names}

@@ -59,9 +59,11 @@ def register(
             fn=scoped,
             oracle=oracle,
             headline=headline,
-            description=description or (fn.__doc__ or "").strip().splitlines()[0]
-            if fn.__doc__
-            else "",
+            # explicit description wins even when fn has no docstring (the
+            # old ternary's precedence discarded it), and a whitespace-only
+            # docstring must not IndexError at registration
+            description=description
+            or next(iter((fn.__doc__ or "").strip().splitlines()), ""),
             tags=tags,
         )
         return fn

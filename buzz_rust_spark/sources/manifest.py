@@ -14,6 +14,7 @@ which is exactly what any Spark file index collects.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,11 +86,20 @@ def prune_manifest(
     # The reference runs `SELECT * FROM catalog WHERE <filter>`; filters may
     # qualify columns with the *catalog* table name (examples/query.json uses
     # "nyc_taxi.pickup_date<='2009/06'"), so expose the manifest under that name.
-    view = f"__buzz_manifest_{table_name}"
-    df.createOrReplaceTempView(view)
+    # View name: sanitized (identifier-illegal chars in a user-supplied
+    # catalog name must not raise a raw AnalysisException); SQL alias:
+    # backtick-quoted so filters can qualify columns by the ORIGINAL name.
+    safe = re.sub(r"\W", "_", table_name)
+    view = f"__buzz_manifest_{safe}"
+    alias = table_name.replace("`", "``")
     try:
+        df.createOrReplaceTempView(view)
+        # Only `key` is consumed below — selecting it alone keeps the
+        # driver-side collect at one path per surviving file (the module's
+        # stated contract), not the full manifest width.
         survivors = spark.sql(
-            f"SELECT * FROM {view} AS {table_name} WHERE {partition_filter}"
+            f"SELECT `{alias}`.key FROM {view} AS `{alias}`"
+            f" WHERE {partition_filter}"
         ).collect()
     except AnalysisException as exc:
         raise BuzzPlanError(
@@ -97,6 +107,9 @@ def prune_manifest(
             f"{table_name!r}: {exc}"
         ) from exc
     finally:
-        spark.catalog.dropTempView(view)
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:
+            pass
     surviving_keys = {r["key"] for r in survivors}
     return [f for f in files if f.key in surviving_keys]

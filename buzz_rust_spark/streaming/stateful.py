@@ -37,7 +37,19 @@ def stateful_running_counts(df: DataFrame, key_col: str = "user_id") -> DataFram
     Works on a streaming DataFrame grouped by ``key_col``; each trigger emits
     the updated running totals for keys present in the batch.  The same
     callable also runs on a batch DataFrame (state seen once), which the test
-    uses as the degenerate-case check."""
+    uses as the degenerate-case check.
+
+    The output ``key`` field takes ``key_col``'s actual type — a hard-coded
+    long key would fail Arrow conversion for string (or any non-bigint)
+    keys despite the generic signature."""
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField("key", key_type, False),
+            StructField("total_events", LongType(), False),
+            StructField("total_batches", LongType(), False),
+        ]
+    )
 
     def update(key, pdfs, state: GroupState):
         count = 0
@@ -58,7 +70,7 @@ def stateful_running_counts(df: DataFrame, key_col: str = "user_id") -> DataFram
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=RUNNING_COUNT_OUTPUT,
+        outputStructType=out_schema,
         stateStructType=RUNNING_COUNT_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

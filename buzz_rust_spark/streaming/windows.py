@@ -57,14 +57,16 @@ def windowed_event_counts(
 
 
 def stream_events_from_parquet(
-    spark, sf_dir: str, schema, max_files_per_trigger: int = 1
+    spark, path: str, schema, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source streaming read of the events table (one file per
-    micro-batch) — the test harness for streaming parity."""
+    """File-source streaming read of a parquet directory (one file per
+    micro-batch) — the test harness for streaming parity.  ``path`` is the
+    TABLE directory (e.g. ``f"{sf_dir}/events.parquet"``), not the
+    scale-factor root — the root holds every table and would mix schemas."""
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}")
+        .parquet(path)
     )
 
 
@@ -73,12 +75,17 @@ def sessionize(
     gap: str = "30 minutes",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Session windows per user (gap-based), batch or streaming.
 
     Uses Spark's native ``session_window`` — state-store backed in streaming,
     plain aggregation in batch.  Output: user, session_start, session_end,
-    n_events."""
+    n_events.  STREAMING callers must pass ``watermark`` (how much event-time
+    lateness to absorb before a session can close): Spark rejects streaming
+    session-window aggregation without one."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
     return (
         events.groupBy(
             F.session_window(F.col(ts_col), gap).alias("_w"), F.col(user_col)

@@ -452,3 +452,16 @@ def test_reference_example_queries_parse_verbatim():
     with open(_os.path.join(examples, "steps.json")) as fh:
         steps = [BuzzStep.from_dict(s) for s in _json.load(fh)]
     assert steps and steps[0].step_type.value == "HBee"
+
+
+def test_malformed_capacity_is_bad_request():
+    import pytest as _pytest
+
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.models import BuzzQuery
+
+    step = {"name": "s0", "step_type": "HBee", "sql": "SELECT 1"}
+    with _pytest.raises(BuzzBadRequestError, match="capacity"):
+        BuzzQuery.from_dict({"steps": [step], "capacity": "big"})
+    with _pytest.raises(BuzzBadRequestError, match="capacity"):
+        BuzzQuery.from_dict({"steps": [step], "capacity": {"zones": "two"}})

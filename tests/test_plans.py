@@ -147,3 +147,21 @@ def test_packing_mixing_pq_plan_shapes(spark, sf_dir):
     # the only exchange is the final rank shuffle over shortlist rows
     assert n_exchanges(plan) <= 2, plan[:2000]
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_multi_cte_and_literal_from_not_reported(spark):
+    """Review fixes: every CTE name (not just the first) is stripped, and the
+    regex fallback is only a fallback — the parser path must handle
+    FROM-in-literal and EXTRACT correctly."""
+    from buzz_rust_spark.plans.analysis import referenced_tables
+
+    refs = referenced_tables(
+        spark,
+        "WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM a JOIN b JOIN ev",
+    )
+    assert refs == {"ev"}
+    refs2 = referenced_tables(
+        spark,
+        "SELECT extract(year FROM ts) FROM events WHERE note = 'from backup'",
+    )
+    assert refs2 == {"events"}

@@ -465,3 +465,33 @@ def test_malformed_capacity_is_bad_request():
         BuzzQuery.from_dict({"steps": [step], "capacity": "big"})
     with _pytest.raises(BuzzBadRequestError, match="capacity"):
         BuzzQuery.from_dict({"steps": [step], "capacity": {"zones": "two"}})
+
+
+def test_zoned_falls_back_when_reduce_reads_catalog_tables(spark, tmp_path):
+    """Review fix: a reduce step referencing a catalog table under zones>1
+    must fall back to single-zone execution (per-zone resolution would see
+    only that zone's file subset) — and produce the single-zone result."""
+    from buzz_rust_spark import BuzzEngine, BuzzQuery
+    from buzz_rust_spark.queries.registry import load
+    from buzz_rust_spark.sources.writer import catalog_from_written, write_parquet
+
+    events = load(spark, "/root/testdata/sf0.001", "events").limit(200)
+    path = str(tmp_path / "ev")
+    # several files so zones>1 is actually viable
+    write_parquet(events.repartition(4), path)
+    cat = catalog_from_written("ev", path, events.schema)
+    eng = BuzzEngine(spark)
+    eng.register_source(cat)
+    q = {
+        "steps": [
+            {"name": "s0", "step_type": "HBee",
+             "sql": "SELECT user_id, COUNT(*) AS n FROM ev GROUP BY user_id"},
+            # reduce ALSO reads 'ev' — correct only in single-zone execution
+            {"name": "s1", "step_type": "HComb",
+             "sql": "SELECT COUNT(*) AS users, (SELECT COUNT(*) FROM ev) AS raw "
+                    "FROM s0"},
+        ],
+        "capacity": {"zones": 3},
+    }
+    rows = eng.run(BuzzQuery.from_dict(q)).collect()
+    assert len(rows) == 1 and rows[0]["raw"] == 200

@@ -78,3 +78,19 @@ def hash_column(col: Column, hash_fn: str) -> Column:
     if hash_fn == "fast":
         return fast_hash(col)
     raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'portable' or 'fast')")
+
+
+def hash_column2(col: Column, hash_fn: str) -> Column:
+    """A second 64-bit hash INDEPENDENT of :func:`hash_column`, for callers
+    that need a 128-bit composite key (e.g. span scrubbing, where a 64-bit
+    collision would destroy text).  'portable' takes md5 bits 60-120 (the
+    same digest's next hex window — independent bits, and DuckDB can
+    reproduce it the same way); 'fast' seeds xxhash64 by prepending a
+    literal discriminator column."""
+    if hash_fn == "portable":
+        return F.conv(F.substring(F.md5(col.cast("binary")), 16, 15), 16, 10).cast(
+            "long"
+        )
+    if hash_fn == "fast":
+        return F.xxhash64(F.lit("\x01"), col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'portable' or 'fast')")

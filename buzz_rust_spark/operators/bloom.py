@@ -120,7 +120,17 @@ def bloom_might_contain(
         .groupBy("_k")
         .agg(F.bool_and("_hit").alias(out_col))
     )
-    return df.join(hits.withColumnRenamed("_k", key_col), on=key_col, how="left")
+    # NULL keys are a real equivalence class: xxhash64 skips null inputs, so
+    # every NULL key shares one constant probe signature (build inserts it,
+    # membership finds it).  The join back must therefore be NULL-SAFE —
+    # plain equality would leave out_col NULL for null keys, and a caller
+    # filtering on it would silently drop every null-key row.  EqualNullSafe
+    # is still an equi-join key to Spark, so the join strategy is unchanged.
+    hits = hits.select(F.col("_k").alias("_bloom_k"), F.col(out_col))
+    return (
+        df.join(hits, on=F.col(key_col).eqNullSafe(F.col("_bloom_k")), how="left")
+        .drop("_bloom_k")
+    )
 
 
 def dedup_incremental_bloom(
@@ -138,7 +148,13 @@ def dedup_incremental_bloom(
     Guarantee direction: every true duplicate IS dropped (no false
     negatives); an fpp-fraction of genuinely new documents is also dropped —
     the bounded-state trade.  Callers append ``bloom_build`` of the
-    survivors' ``text_hash`` (via ``bloom_merge``) to advance the state."""
+    survivors' ``text_hash`` (via ``bloom_merge``) to advance the state.
+
+    Null-text documents form ONE equivalence class (matching
+    ``dedup_exact``'s group-by-null semantics): their digest is NULL, which
+    hashes to a constant probe signature, so the first null doc ever seen
+    survives and every later one — within the batch or across batches once
+    the state advances — is dropped as a duplicate."""
     from ..functions.text import normalize_text
 
     hashed = new_df.withColumn(
@@ -148,5 +164,17 @@ def dedup_incremental_bloom(
         hashed, bloom_state, "text_hash", num_bits, num_hashes, out_col="_seen"
     )
     fresh = flagged.where(~F.col("_seen")).drop("_seen")
-    keepers = fresh.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
-    return fresh.join(keepers, on=["text_hash", id_col], how="leftsemi")
+    # Null-safe min-id survivor join: groupBy already treats NULL digests as
+    # one group, but a plain equi-join on text_hash would never match the
+    # NULL group's keeper row — silently dropping every null-text document.
+    keepers = fresh.groupBy("text_hash").agg(F.min(id_col).alias(id_col)).select(
+        F.col("text_hash").alias("_kh"), F.col(id_col).alias("_kid")
+    )
+    return (
+        fresh.join(
+            keepers,
+            on=F.col("text_hash").eqNullSafe(F.col("_kh"))
+            & (F.col(id_col) == F.col("_kid")),
+            how="leftsemi",
+        )
+    )

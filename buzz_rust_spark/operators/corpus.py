@@ -45,7 +45,7 @@ from ..functions.cache import persist_tracked
 from .text import (
     c4_clean_lines,
     contamination_flags,
-    gopher_quality,
+    gopher_passes_expr,
     quality_expr,
     redact_pii,
 )
@@ -109,15 +109,13 @@ def prepare_training_corpus(
         "quality", quality_expr(F.col(text_col))
     ).where(F.col("quality") >= cfg.min_quality)
 
-    # 2b (optional): Gopher rule gate — a second narrow projection; the
-    # semi-join keeps only documents passing every configured rule.
+    # 2b (optional): Gopher rule gate — fused as ONE inline boolean filter
+    # (identical values to gopher_quality's `passes`), not a metrics
+    # relation + semi-join: the join formulation evaluated the scrub/C4/
+    # quality subtree once per side — the redundant-scan pattern this module
+    # eliminates everywhere else.
     if cfg.gopher_rules is not None:
-        flags = gopher_quality(
-            kept, text_col=text_col, id_col=id_col, **cfg.gopher_rules
-        )
-        kept = kept.join(
-            flags.where(F.col("passes")).select(id_col), on=id_col, how="left_semi"
-        )
+        kept = kept.where(gopher_passes_expr(F.col(text_col), **cfg.gopher_rules))
 
     # 3: exact dedup
     kept = dedup_exact(kept, text_col=text_col, id_col=id_col)

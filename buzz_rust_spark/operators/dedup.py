@@ -17,12 +17,25 @@ are designed Spark-first for 100 TB corpora:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.cache import persist_tracked
 from ..functions.parallelism import ensure_parallelism
-from ..functions.text import hash_column, normalize_text, tokens, word_shingles
+from ..functions.text import (
+    hash_column,
+    hash_column2,
+    normalize_text,
+    tokens,
+    word_shingles,
+)
+
+_LOG = logging.getLogger(__name__)
+# one warning per process, not per iteration — the leak is per-call-bounded
+# and a hot loop must not spam the driver log
+_WARNED_CKPT_UNPERSIST = False
 
 # Fixed (a, b) parameters for the MinHash permutation family
 # h_i(x) = (a_i * x + b_i) mod p — deterministic, seedless, portable.
@@ -524,8 +537,15 @@ def simhash_pairs(
     keyed by 16-bit chunk."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sigs = simhash_signatures(df, text_col, id_col).select(
-        F.col(id_col).alias("_id"), "simhash"
+    # Persist the signature relation: the chunk posexplode below is a
+    # generator whose input would otherwise re-evaluate the pandas-UDF
+    # kernel per emitted row, and WITHOUT a persist the (former) two-sided
+    # self-join ran the Python kernel once per join side — the exact defect
+    # class fixed in minhash_lsh_pairs (see the persist at its `sigs`).
+    sigs = persist_tracked(
+        simhash_signatures(df, text_col, id_col).select(
+            F.col(id_col).alias("_id"), "simhash"
+        )
     )
     mask = (1 << width) - 1
     banded = sigs.select(
@@ -542,15 +562,34 @@ def simhash_pairs(
             )
         ).alias("_chunk", "_val"),
     )
+    # Same posting-list shape as ngram_jaccard_pairs / minhash_lsh_pairs:
+    # ONE shuffle groups band rows into (chunk, value) buckets; pairs are
+    # generated inside each bucket (sorted (id, simhash) structs → id_1 <
+    # id_2 for free, and each pair carries both signatures so no re-join is
+    # needed for the Hamming check).
+    bucketed = (
+        banded.groupBy("_chunk", "_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("simhash")))
+            ).alias("_ids")
+        )
+        .where(F.size("_ids") > 1)
+    )
     pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["_chunk", "_val"])
-        .where(F.col("a._id") < F.col("b._id"))
+        bucketed.select(F.posexplode("_ids").alias("_i", "_e1"), F.col("_ids"))
         .select(
-            F.col("a._id").alias("id_1"),
-            F.col("b._id").alias("id_2"),
-            F.col("a.simhash").alias("_s1"),
-            F.col("b.simhash").alias("_s2"),
+            F.col("_e1._id").alias("id_1"),
+            F.col("_e1.simhash").alias("_s1"),
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("_e2"),
+        )
+        .select(
+            "id_1",
+            F.col("_e2._id").alias("id_2"),
+            "_s1",
+            F.col("_e2.simhash").alias("_s2"),
         )
         .distinct()
     )
@@ -573,8 +612,14 @@ def duplicate_clusters(
     Algorithm: iterative min-label propagation (the standard Spark CC shape —
     alternating join + min-aggregate until a fixpoint, O(graph diameter)
     rounds; near-dup graphs are shallow so this converges in a few).  Each
-    round persists its labels and checks convergence with a count — a driver
-    loop, but over whole-DataFrame ops, so every round is fully distributed."""
+    round is ONE job: the new labels carry the previous round's label
+    alongside, an ``Observation`` (CollectMetrics — computed inside the same
+    action, zero extra passes) counts the changed rows while the eager
+    ``localCheckpoint`` materializes them — a driver loop, but over
+    whole-DataFrame ops, so every round is fully distributed."""
+    global _WARNED_CKPT_UNPERSIST
+    from pyspark.sql import Observation
+
     edges = persist_tracked(
         pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
         .union(pairs.select(F.col(id2_col).alias("src"), F.col(id1_col).alias("dst")))
@@ -589,26 +634,39 @@ def duplicate_clusters(
     prev_ckpt_rdd = None
     for _ in range(max_iterations):
         # candidate label for each node: min over its own and neighbors' labels
+        lab = labels.select("node", "label")
         neighbor_labels = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lab, edges.dst == lab["node"])
             .select(F.col("src").alias("node"), "label")
         )
+        obs = Observation()
         new_labels = (
             labels.select("node", "label")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            # carry the previous label so convergence is decided by the SAME
+            # action that materializes the checkpoint (the join reads the
+            # previous round's cached checkpoint, not a recompute)
+            .join(
+                labels.select(F.col("node"), F.col("label").alias("_prev")),
+                on="node",
+                how="left",
+            )
+            .observe(
+                obs,
+                F.count(
+                    F.when(~F.col("label").eqNullSafe(F.col("_prev")), 1)
+                ).alias("changed"),
+            )
             # localCheckpoint (not just persist) TRUNCATES lineage: without it
             # the plan grows by one join per round (~50 nodes/iteration) and
             # planning cost/driver memory blow up long before the data does.
+            # eager=True is the round's single job; it also fires the
+            # observation above.
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = obs.get["changed"]
         labels.unpersist()  # releases the initial persist (round 1)
         # DataFrame.unpersist does NOT free a localCheckpoint's storage —
         # each round would leak one checkpointed labels copy.  The storage
@@ -622,12 +680,29 @@ def duplicate_clusters(
             try:
                 prev_ckpt_rdd.unpersist(False)
             except Exception:
-                pass  # internal API moved — a small leak, not an error
+                # Internal API moved (Spark upgrade / plan-shape change) —
+                # a bounded per-call leak, not an error, but it must be
+                # OBSERVABLE or the regression is silent (pinned by
+                # test_duplicate_clusters_releases_checkpoints).
+                if not _WARNED_CKPT_UNPERSIST:
+                    _WARNED_CKPT_UNPERSIST = True
+                    _LOG.warning(
+                        "duplicate_clusters: could not unpersist round"
+                        " checkpoint (Spark internal API changed?) — storage"
+                        " will accumulate one labels copy per iteration"
+                    )
         try:
             prev_ckpt_rdd = new_labels._jdf.queryExecution().analyzed().rdd()
         except Exception:
             prev_ckpt_rdd = None
-        labels = new_labels
+            if not _WARNED_CKPT_UNPERSIST:
+                _WARNED_CKPT_UNPERSIST = True
+                _LOG.warning(
+                    "duplicate_clusters: could not reach the checkpoint RDD"
+                    " (Spark internal API changed?) — storage will accumulate"
+                    " one labels copy per iteration"
+                )
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
@@ -730,18 +805,32 @@ def dedup_incremental(
     exactly like the batch's own dedup aggregate.
 
     Returns the surviving rows of ``new_df`` plus their ``text_hash`` so the
-    caller can append them to the seen-hash state."""
+    caller can append them to the seen-hash state.
+
+    Null-text documents form ONE equivalence class (matching
+    ``dedup_exact``'s group-by-null semantics): the joins below are
+    null-safe, so the first null doc survives, later ones — in-batch or in a
+    state that already carries a NULL digest row — are dropped.
+    EqualNullSafe is still an equi-join key to Spark; strategies unchanged."""
     hashed = new_df.withColumn(
         "text_hash",
         F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8")),
     )
+    seen = seen_hashes.select(F.col("text_hash").alias("_sh"))
     fresh = hashed.join(
-        seen_hashes.select("text_hash"), on="text_hash", how="left_anti"
+        seen, on=F.col("text_hash").eqNullSafe(F.col("_sh")), how="left_anti"
     )
     # within-batch: keep the minimum-id row per digest (exact_duplicates
     # semantics), resolved with one map-side-combinable aggregate.
-    keepers = fresh.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
-    return fresh.join(keepers, on=["text_hash", id_col], how="leftsemi")
+    keepers = fresh.groupBy("text_hash").agg(F.min(id_col).alias(id_col)).select(
+        F.col("text_hash").alias("_kh"), F.col(id_col).alias("_kid")
+    )
+    return fresh.join(
+        keepers,
+        on=F.col("text_hash").eqNullSafe(F.col("_kh"))
+        & (F.col(id_col) == F.col("_kid")),
+        how="leftsemi",
+    )
 
 
 def repeated_spans(
@@ -774,7 +863,15 @@ def repeated_spans(
 
     At 100 TB: no all-pairs anywhere — hot spans (license boilerplate)
     concentrate into single reducers only as pre-aggregated per-doc counts,
-    so the worst key carries at most one row per containing document."""
+    so the worst key carries at most one row per containing document.
+
+    Span identity is the exposed 64-bit ``span_hash`` (the schema is pinned),
+    so two distinct spans can alias at the birthday rate — n²/2^65 colliding
+    pairs ≈ a few million across 10^13 spans (~1 in 4M spans), each merging
+    two span populations into one inflated count.  Acceptable for the
+    REPORTING this operator does; the REMOVAL path
+    (``scrub_repeated_spans``) uses a 128-bit composite key where a
+    collision would destroy text."""
     with_toks = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
     )
@@ -839,7 +936,14 @@ def scrub_repeated_spans(
     aggregate AND the cut join — without the persists the corpus would be
     re-scanned and re-tokenized three times (the redundant-scan pattern the
     paragraph-dedup rewrite eliminated; the tokenize pass IS the cost at
-    100 TB)."""
+    100 TB).
+
+    Span identity is a 128-BIT composite key (two independent hashes of the
+    span text): a removal decision on a hash collision scrubs genuinely
+    unique text, and at 10^13 spans a single 64-bit key makes millions of
+    collisions statistically certain.  With 128 bits the expected colliding
+    pairs are n²/2^129 ≈ 1e-13 — effectively exact; the cost is 8 extra
+    bytes per span row in the one shuffle that carries them."""
     base = ensure_parallelism(df)
     if passthrough:
         with_toks = persist_tracked(
@@ -855,6 +959,10 @@ def scrub_repeated_spans(
                 F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
             )
         )
+    # 128-bit span key: the primary hash plus hash_column2's independent
+    # second hash (any engine can reproduce both).  Collisions on the
+    # composite require BOTH 64-bit hashes to collide simultaneously.
+    span_text = F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_pos"), span))
     positions = persist_tracked(
         with_toks.where(F.size("_toks") >= span)
         .select(
@@ -865,17 +973,16 @@ def scrub_repeated_spans(
         .select(
             "_id",
             "_pos",
-            hash_column(
-                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_pos"), span)), hash_fn
-            ).alias("_h"),
+            hash_column(span_text, hash_fn).alias("_h"),
+            hash_column2(span_text, hash_fn).alias("_h2"),
         )
     )
-    owners = positions.groupBy("_h").agg(
+    owners = positions.groupBy("_h", "_h2").agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first"),
     ).where(F.col("_cnt") >= 2)
     cuts = (
-        positions.join(owners, on="_h")
+        positions.join(owners, on=["_h", "_h2"])
         .where(
             (F.col("_id") != F.col("_first._id"))
             | (F.col("_pos") != F.col("_first._pos"))

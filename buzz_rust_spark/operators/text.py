@@ -348,8 +348,69 @@ def gopher_quality(
     Scale: narrow map-only stage; at 100 TB this pipelines with the parquet
     scan and the filter on ``passes`` pushes straight into the same stage.
     """
-    sw = GOPHER_STOPWORDS if stopwords is None else stopwords
     t = F.col(text_col)
+    m = _gopher_metric_exprs(t, stopwords)
+    out = df.select(
+        F.col(id_col),
+        m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["symbol_word_ratio"].alias("symbol_word_ratio"),
+        m["bullet_line_ratio"].alias("bullet_line_ratio"),
+        m["ellipsis_line_ratio"].alias("ellipsis_line_ratio"),
+        m["alpha_word_ratio"].alias("alpha_word_ratio"),
+        m["n_stopwords"].alias("n_stopwords"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_ratio") <= max_bullet_line_ratio)
+        & (F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("passes", passes)
+
+
+def gopher_passes_expr(
+    t,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+):
+    """The combined Gopher keep flag as ONE inline boolean expression over a
+    text column — bit-identical to ``gopher_quality(...).passes`` (same
+    metric expressions, same 6-dp rounding), for pipelines that want the
+    gate fused into an existing projection instead of a metrics relation +
+    semi-join (which would evaluate the upstream subtree twice)."""
+    m = _gopher_metric_exprs(t, stopwords)
+    return (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len)
+        & (m["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (m["bullet_line_ratio"] <= max_bullet_line_ratio)
+        & (m["ellipsis_line_ratio"] <= max_ellipsis_line_ratio)
+        & (m["alpha_word_ratio"] >= min_alpha_word_ratio)
+        & (m["n_stopwords"] >= min_stopwords)
+    )
+
+
+def _gopher_metric_exprs(t, stopwords: list[str] | None = None) -> dict:
+    """The seven Gopher rule metrics as named expressions over text column
+    ``t`` (rounded exactly as ``gopher_quality`` reports them), shared by the
+    metrics relation and the inline gate so the two can never diverge."""
+    sw = GOPHER_STOPWORDS if stopwords is None else stopwords
     toks = tokens(t)
     n_words = F.size(toks)
     # Mean word length = non-whitespace chars / word count (one regex pass).
@@ -392,28 +453,15 @@ def gopher_quality(
     n_stop = F.size(
         F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in sw]))
     )
-    out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
-        F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
-        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
-        n_stop.cast("int").alias("n_stopwords"),
-    )
-    passes = (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
-        & (F.col("bullet_line_ratio") <= max_bullet_line_ratio)
-        & (F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio)
-        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
-        & (F.col("n_stopwords") >= min_stopwords)
-    )
-    return out.withColumn("passes", passes)
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_word_len, 6),
+        "symbol_word_ratio": F.round(symbol_ratio, 6),
+        "bullet_line_ratio": F.round(bullet_ratio, 6),
+        "ellipsis_line_ratio": F.round(ellipsis_ratio, 6),
+        "alpha_word_ratio": F.round(alpha_ratio, 6),
+        "n_stopwords": n_stop.cast("int"),
+    }
 
 
 def c4_clean_lines(

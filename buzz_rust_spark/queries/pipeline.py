@@ -864,10 +864,55 @@ def z15_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f01_top_fraction",
+    tags=("sampling", "pipeline"),
+    oracle=f"""
+WITH per_word AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+  GROUP BY doc_id, word
+), w AS (
+  SELECT doc_id, ROUND(COUNT(*) / SUM(cnt), 6) AS distinct_ratio
+  FROM per_word GROUP BY doc_id
+), ranked AS (
+  SELECT w.doc_id, d.source, w.distinct_ratio,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY w.distinct_ratio DESC, w.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.source) AS n
+  FROM w JOIN documents d ON d.doc_id = w.doc_id
+)
+SELECT doc_id, source, distinct_ratio
+FROM ranked
+WHERE rn <= CEIL(ROUND(n * 0.25, 9))
+ORDER BY doc_id
+""",
+)
+def f01_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-fraction quality selection (``top_fraction_by_group``'s
+    ``exact=True`` path): keep the top 25% of documents by word-distinctness
+    within each source via a per-group ``row_number`` rank with deterministic
+    id tie-breaks — the driver-checkable twin of z16's percentile-approx
+    scale path (which never sorts the corpus; exact/approx agreement is
+    additionally pinned in tests)."""
+    from ..operators.sampling import top_fraction_by_group
+
+    docs = load(spark, sf_dir, "documents")
+    scored = T.word_repetition(docs).select("doc_id", "distinct_ratio").join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    return (
+        top_fraction_by_group(scored, 0.25, score_col="distinct_ratio", exact=True)
+        .select("doc_id", "source", "distinct_ratio")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "z16_quality_top_fraction",
     tags=("sampling", "pipeline"),
     oracle=None,  # the scale path is percentile_approx-thresholded (approx
-    # by design); exact/approx agreement pinned in tests
+    # by design); exact/approx agreement pinned in tests; the exact variant
+    # is driver-checked as f01_top_fraction
 )
 def z16_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile quality selection: keep the top 25% of documents by

@@ -1470,6 +1470,18 @@ SELECT label, value FROM (
     SELECT c_mktsegment, ROUND(MAX(c_acctbal), 2) AS max_bal
     FROM customer GROUP BY c_mktsegment
   ) t56
+  UNION ALL
+  SELECT 'q4exists_' || o_orderpriority AS label, CAST(order_count AS DOUBLE) AS value
+  FROM (
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+  ) t57
 ) ORDER BY label
 """,
 )
@@ -1480,7 +1492,8 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, Q9 product profit, Q10 returned items, Q16 supplier-part
     counts, Q20 nested-IN excess shippers, Q21 EXISTS/NOT-EXISTS waiting
     orders, plus — folded in round 4 to free driver-window slots for
-    d07/d08 — the former q06 sort/limit and q36 Q12 priority-count shapes)
+    d07/d08 — the former q06 sort/limit and q36 Q12 priority-count shapes,
+    and — folded in round 5 for f01 — the former q04 Q4 EXISTS histogram)
     in one labeled (label, value) union so every shape stays
     driver-checked within the 50-row correctness window.  Each component
     keeps its own standalone function (q27_volume_shipping ..
@@ -1619,6 +1632,11 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         lv(
             q24_exists_subquery(spark, sf_dir),
             F.concat(F.lit("exists_"), F.col("o_orderpriority")),
+            "order_count",
+        ),
+        lv(
+            q04_priority_exists(spark, sf_dir),
+            F.concat(F.lit("q4exists_"), F.col("o_orderpriority")),
             "order_count",
         ),
         multi_lv(
@@ -1774,25 +1792,15 @@ def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q04_priority_exists",
-    tags=("subquery", "exists", "agg"),
-    oracle="""
-SELECT o.o_orderpriority, COUNT(*) AS order_count
-FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
-GROUP BY o.o_orderpriority
-ORDER BY o.o_orderpriority
-""",
-)
 def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: priority histogram of orders having at least one
     late-shipping lineitem — correlated EXISTS planned as a left-semi join
     (lineitem is pre-filtered by the pushed date hull before the semi join,
-    so the big side never carries non-candidate rows into the shuffle)."""
+    so the big side never carries non-candidate rows into the shuffle).
+
+    Folded into the q27 labeled suite (round 5) to free a driver-window slot
+    for f01_top_fraction (the shape duplicated q27's q44 EXISTS family); it
+    stays oracle-checked via its ``q4exists_*`` labels there."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(

@@ -13,6 +13,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+from pyspark.sql.utils import AnalysisException
+
+from ..errors import BuzzPlanError
 
 
 @dataclass
@@ -32,5 +35,14 @@ class ParquetDirCatalog:
             # Catalyst turns this into directory-level partition pruning when
             # the filter hits hive-partition columns (PartitionFilters in the
             # scan node) — the built-in equivalent of catalog/mod.rs:43-99.
-            df = df.where(partition_filter)
+            try:
+                df = df.where(partition_filter)
+            except AnalysisException as exc:
+                # typed-error parity with the Static/Delta catalogs: a filter
+                # naming a column the table doesn't have must surface as a
+                # plan error, not a raw Spark analysis exception
+                raise BuzzPlanError(
+                    f"invalid partition_filter for catalog {self.name!r}: "
+                    f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+                ) from exc
         return df

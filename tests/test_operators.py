@@ -794,6 +794,160 @@ def test_operator_caches_released_between_queries(spark, sf_dir):
     assert after <= baseline, f"leaked persisted RDDs: {after - baseline}"
 
 
+def test_operator_cache_scopes_are_independent(spark):
+    """Two interleaved operator builds in explicit scopes release ONLY their
+    own persists (r4 VERDICT #6: the old module-global list let concurrent
+    callers release each other's caches)."""
+    from buzz_rust_spark.functions.cache import (
+        operator_cache_scope,
+        release_operator_caches,
+    )
+
+    release_operator_caches()
+    baseline = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta eta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    with operator_cache_scope() as outer:
+        a = D.minhash_lsh_pairs(docs, threshold=0.5)
+        n_outer = len(outer)
+        assert n_outer > 0  # minhash registered its persists to THIS scope
+        with operator_cache_scope() as inner:
+            b = D.ngram_jaccard_pairs(docs, threshold=0.5)
+            assert len(inner) > 0 and len(outer) == n_outer  # no cross-talk
+            b.count()
+        # inner scope released; outer persists must still be CACHED and usable
+        a.count()
+        live = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        assert len(live - baseline) >= n_outer
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= baseline, f"scoped persists leaked: {after - baseline}"
+    # and the session registry was never involved
+    assert release_operator_caches() == 0
+
+
+def test_duplicate_clusters_one_action_per_iteration(spark, monkeypatch):
+    """Each propagation round must be ONE action: the convergence count is an
+    Observation folded into the eager checkpoint's materialization, never a
+    separate count()/collect()/isEmpty() driver action (r4 VERDICT #7).
+    Job-ID counting is useless here (AQE splits one action into a job per
+    shuffle stage), so pin the property itself: every counting action is
+    poisoned for the duration of the call."""
+    from pyspark.sql import DataFrame
+
+    from buzz_rust_spark.functions.cache import release_operator_caches
+
+    def _poisoned(name):
+        def fail(self, *a, **k):
+            raise AssertionError(
+                f"duplicate_clusters ran DataFrame.{name}() as a separate "
+                "action — convergence must ride the checkpoint's Observation"
+            )
+        return fail
+
+    for name in ("count", "collect", "isEmpty", "first", "take", "head"):
+        monkeypatch.setattr(DataFrame, name, _poisoned(name))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["id_1", "id_2"]
+    )  # path graph: min-label needs 3 propagation rounds + 1 confirming round
+    out = D.duplicate_clusters(pairs)
+    monkeypatch.undo()
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1}
+    release_operator_caches()
+
+
+def test_duplicate_clusters_releases_checkpoints(spark):
+    """Per-round localCheckpoint storage must actually be unpersisted on the
+    running Spark version (the release goes through private internals — this
+    pins that it still works; r4 ADVICE #5): after the call only the FINAL
+    checkpoint may remain cached."""
+    from buzz_rust_spark.functions.cache import release_operator_caches
+
+    release_operator_caches()
+    baseline = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    # star + path mix: converges in several rounds, so multiple checkpoints
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_1", "id_2"]
+    )
+    out = D.duplicate_clusters(pairs)
+    out.count()
+    release_operator_caches()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - baseline
+    # ≤1: the final checkpoint the returned plan still reads; every earlier
+    # round's checkpoint must have been freed
+    assert len(leaked) <= 1, f"leaked {len(leaked)} checkpoint RDDs: {leaked}"
+
+
+def test_dedup_incremental_null_text_semantics(spark):
+    """Null-text documents are ONE equivalence class (dedup_exact's
+    group-by-null semantics): first survives, later ones drop — in-batch and
+    against a state that carries the NULL digest (r4 ADVICE #3: the old
+    equi-joins silently dropped every null-text row)."""
+    new = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, None), (4, "hello world")],
+        ["doc_id", "text"],
+    )
+    empty_seen = spark.createDataFrame([], "text_hash string")
+    surv = sorted(
+        r.doc_id for r in D.dedup_incremental(new, empty_seen).collect()
+    )
+    assert surv == [1, 2], surv  # min-id null doc survives, doc 3 drops
+    null_seen = spark.createDataFrame([(None,)], "text_hash string")
+    surv2 = sorted(
+        r.doc_id for r in D.dedup_incremental(new, null_seen).collect()
+    )
+    assert surv2 == [1], surv2  # state already saw a null doc → both drop
+
+
+def test_dedup_incremental_bloom_null_text_semantics(spark):
+    """Same null-class semantics on the Bloom path: null digests hash to a
+    constant probe signature, so the state CAN represent them; the null-safe
+    join-back must surface it (r4 ADVICE #3)."""
+    from buzz_rust_spark.operators.bloom import bloom_build, dedup_incremental_bloom
+
+    new = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, None)], ["doc_id", "text"]
+    )
+    empty_state = spark.createDataFrame([], "word_idx int, bits long")
+    surv = sorted(
+        r.doc_id for r in dedup_incremental_bloom(new, empty_state).collect()
+    )
+    assert surv == [1, 2], surv
+    # advance the state with the survivors' digests (including the NULL one)
+    survivors = dedup_incremental_bloom(new, empty_state)
+    state = bloom_build(survivors.select("text_hash"), "text_hash")
+    surv2 = sorted(
+        r.doc_id for r in dedup_incremental_bloom(new, state).collect()
+    )
+    assert surv2 == [], surv2  # every doc (incl. nulls) now a known duplicate
+
+
+def test_gopher_passes_expr_matches_gopher_quality(spark, sf_dir):
+    """The inline Gopher gate (used by prepare_training_corpus to avoid the
+    metrics-relation semi-join) must keep the EXACT same set as
+    gopher_quality's `passes` flag (r4 ADVICE #4)."""
+    from buzz_rust_spark.operators.text import gopher_passes_expr, gopher_quality
+    from buzz_rust_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    rules = dict(min_stopwords=0, min_mean_word_len=2.0)  # corpus-tuned
+    via_flag = {
+        r.doc_id
+        for r in gopher_quality(docs, **rules).where(F.col("passes")).collect()
+    }
+    via_expr = {
+        r.doc_id
+        for r in docs.where(gopher_passes_expr(F.col("text"), **rules))
+        .select("doc_id")
+        .collect()
+    }
+    assert via_expr == via_flag
+    assert via_flag  # non-degenerate: the tuned rules keep at least one doc
+
+
 def test_paragraph_dedup_single_explode_scan(spark):
     """The exploded paragraph relation must be computed once (persisted) and
     shared by all four branches — not re-derived per branch (VERDICT r3 #2)."""

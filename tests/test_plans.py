@@ -149,6 +149,28 @@ def test_packing_mixing_pq_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
 
 
+def test_simhash_pairs_single_python_kernel(spark, sf_dir):
+    """z01's plan must contain exactly ONE ArrowEvalPython subtree (the
+    SimHash pandas-UDF kernel) with its output persisted, and generate pairs
+    from posting-list buckets — not a two-sided self-join that re-runs the
+    Python kernel once per side (r4 VERDICT #3)."""
+    import re
+
+    from buzz_rust_spark.functions.cache import release_operator_caches
+    from buzz_rust_spark.operators.dedup import simhash_pairs
+    from buzz_rust_spark.queries.registry import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = formatted_plan(simhash_pairs(docs))
+    kernels = re.findall(r"\(\d+\) ArrowEvalPython", plan)
+    assert len(kernels) == 1, f"expected 1 Python kernel, got {len(kernels)}:\n{plan[:2000]}"
+    # the kernel's output is cached — every reader goes through the persist
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    # posting-list shape: no join between two Python-fed sides
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    release_operator_caches()
+
+
 def test_multi_cte_and_literal_from_not_reported(spark):
     """Review fixes: every CTE name (not just the first) is stripped, and the
     regex fallback is only a fallback — the parser path must handle

@@ -3,6 +3,10 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}.
 
+``--sf 1`` runs the same suite at a 10x sf0.1 dataset, generated once (seeded,
+distribution-preserving — see tools/gen_sf.py) under .data/sf1; this is the
+scale gate BENCH.md's sf1 table records each round.
+
 Each query is executed once warm (after a session-wide warmup query) and timed
 to completion of a count-style action that forces full evaluation without
 driver-side materialization of the result set.
@@ -10,6 +14,7 @@ driver-side materialization of the result set.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -22,8 +27,31 @@ from buzz_rust_spark.session import get_spark
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf",
+        default=None,
+        help="scale factor: 0.1 (default, driver parquet) or 1 "
+        "(10x local dataset, generated on first use)",
+    )
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=None,
+        help="best-of-N per query (default: env SPARK_GRAFT_BENCH_RUNS or 4)",
+    )
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if args.sf == "1":
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from gen_sf import ensure_dataset
+
+        sf_dir = ensure_dataset()
+        sf = "1"
+    else:
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="buzz-rust-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -47,7 +75,7 @@ def main() -> None:
     # best-of-4: host jitter at this scale lands +0.3-1 s on a random query
     # per run (observed spread on d02/d03 across fresh sessions); four
     # samples tighten the min while keeping the whole bench under ~2.5 min.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    n_runs = args.runs or int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in queries.items():

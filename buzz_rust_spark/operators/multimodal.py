@@ -1,15 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side design is real and tested — schema contracts, Arrow-batched
-``mapInPandas`` signatures, partition-size control.  Two uncompressed media
-formats are decoded FOR REAL with pure-python/numpy parsers (no media libs
-needed): uncompressed 24/32-bit **BMP** (pixel stats + nearest-neighbor
-resize) and 8/16-bit PCM **WAV** (sample stats).  Every other format falls
-back to a deterministic stub "decode" deriving features from the payload
-bytes, so the full pipeline stays exercisable end-to-end; ``strict=True``
-raises at that stub boundary instead (compressed formats genuinely need
-PIL/torchaudio/ffmpeg).  Swap the fallback for a real decoder in production;
-nothing else changes.
+``mapInPandas`` signatures, partition-size control.  Three media formats are
+decoded FOR REAL with pure-python/numpy parsers (no media libs needed):
+uncompressed 24/32-bit **BMP** and 8-bit **PNG** (stdlib zlib inflate +
+scanline unfilter; pixel stats + nearest-neighbor resize) and 8/16-bit PCM
+**WAV** (sample stats).  Every other format falls back to a deterministic
+stub "decode" deriving features from the payload bytes, so the full
+pipeline stays exercisable end-to-end; ``strict=True`` raises at that stub
+boundary instead (JPEG/MP3/video genuinely need PIL/torchaudio/ffmpeg).
+Swap the fallback for a real decoder in production; nothing else changes.
 
 Scale notes:
 - media rows are wide (MBs): ``repartition`` by byte budget before the decode
@@ -63,10 +63,10 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic media table for pipeline tests.  Image rows carry REAL
-    uncompressed BMP payloads and audio rows REAL PCM WAV payloads (both a
-    deterministic function of media_id), so the decode/resize stages
-    exercise the pure-python codecs end-to-end; video rows carry opaque
-    bytes (stub path)."""
+    payloads — even ids uncompressed BMP, odd ids 8-bit PNG — and audio rows
+    REAL PCM WAV (all a deterministic function of media_id), so the
+    decode/resize stages exercise both pure-python image codecs end-to-end;
+    video rows carry opaque bytes (stub path)."""
     import numpy as np
 
     def payload(i: int, w: int, h: int, duration_ms: int) -> bytes:
@@ -80,7 +80,7 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            return encode_bmp(px)
+            return encode_bmp(px) if i % 2 == 0 else encode_png(px)
         if kind == "audio":
             rate = 8000
             t = np.arange(rate * duration_ms // 1000, dtype=np.float64)
@@ -88,12 +88,17 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
             return encode_wav(0.5 * np.sin(2 * np.pi * freq * t / rate), rate)
         return bytes(((i * 31 + j * 7) % 251) for j in range(128 + (i % 32)))
 
+    def mime(i: int) -> str:
+        if kind == "image":
+            return "image/bmp" if i % 2 == 0 else "image/png"
+        return {"audio": "audio/wav"}.get(kind, f"{kind}/fake")
+
     rows = [
         (
             i,
             kind,
             payload(i, 64 + i % 16, 48 + i % 12, 1000 + i),
-            {"image": "image/bmp", "audio": "audio/wav"}.get(kind, f"{kind}/fake"),
+            mime(i),
             64 + i % 16,
             48 + i % 12,
             1000 + i,
@@ -159,6 +164,137 @@ def decode_bmp(payload: bytes | None):
     ).reshape(h, stride)
     px = rows[:, : w * nchan].reshape(h, w, nchan)[:, :, :3][:, :, ::-1]  # BGR→RGB
     return px[::-1] if bottom_up else px
+
+
+def encode_png(pixels) -> bytes:
+    """(H, W[, C]) uint8 array (C in 1/2/3/4) → 8-bit PNG bytes (filter 0,
+    stdlib zlib — no media libraries)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]  # gray, gray+alpha, RGB, RGBA
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes | None):
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) →
+    (H, W, 3) uint8 RGB array, else None.
+
+    Pure python + stdlib ``zlib``: chunk walk → concatenated-IDAT inflate →
+    per-scanline unfilter (None/Sub/Up/Average/Paeth per the PNG spec §9).
+    None/Sub/Up rows unfilter vectorized (Sub is a per-channel cumulative
+    sum); Average/Paeth carry a true left-to-right data dependence and fall
+    back to a per-byte loop — fine for metadata-scale thumbnails, and the
+    whole decode runs inside the Arrow-batched ``mapInPandas`` stage either
+    way.  Palette (color type 3), 16-bit, and interlaced images return None
+    (→ stub/strict boundary), as do malformed payloads."""
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if (
+        channels is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w <= 0
+        or h <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, dtype=np.uint8)[: h * (stride + 1)].reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            rec = line.copy()
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(rec[c::bpp], dtype=np.int64) & 0xFF
+        elif f == 2:  # Up
+            rec = (line + up) & 0xFF
+        elif f == 3:  # Average
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + ((left + up[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            prev = out[y - 1] if y else None
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(up[x])
+                c = int(prev[x - bpp]) if (prev is not None and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray + alpha: replicate the gray plane
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
 
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
@@ -238,12 +374,19 @@ def _stats_feature(base: list[float], values, dim: int) -> list[float]:
     return [round(float(x), 6) for x in feat]
 
 
+def decode_image(payload: bytes | None):
+    """Any supported still-image container → (H, W, 3) uint8 RGB, else None
+    (currently: uncompressed 24/32-bit BMP; 8-bit PNG)."""
+    img = decode_bmp(payload)
+    return img if img is not None else decode_png(payload)
+
+
 def decode_real(payload: bytes | None, dim: int) -> list[float] | None:
     """Real feature extraction for the supported formats, else None.
 
-    BMP: [width, height, gray mean/std/min/max, gray histogram...];
+    BMP/PNG: [width, height, gray mean/std/min/max, gray histogram...];
     WAV: [sample_rate/1e4, duration_s, amp mean/std/min/max, histogram...]."""
-    img = decode_bmp(payload)
+    img = decode_image(payload)
     if img is not None:
         gray = img.astype("float64").mean(axis=2) / 255.0
         return _stats_feature(
@@ -296,9 +439,10 @@ def decode_features(
                 return feat
             if strict and p is not None:
                 raise NotImplementedError(
-                    "payload is not an uncompressed BMP/WAV; decoding other "
-                    "formats requires PIL/torchaudio/ffmpeg, not present in "
-                    "this environment (use strict=False for the byte stub)"
+                    "payload is not an uncompressed BMP, 8-bit PNG, or PCM "
+                    "WAV; decoding other formats (JPEG/MP3/...) requires "
+                    "PIL/torchaudio/ffmpeg, not present in this environment "
+                    "(use strict=False for the byte stub)"
                 )
             return _decode_stub(p, dim)
 
@@ -369,17 +513,20 @@ def resize_images(
         def one(p):
             if p is None:
                 return None
-            img = decode_bmp(p)
+            is_png = len(p) >= 8 and p[:8] == b"\x89PNG\r\n\x1a\n"
+            img = decode_image(p)
             if img is not None:
                 h, w = img.shape[:2]
                 rows = (np.arange(target_height) * h) // target_height
                 cols = (np.arange(target_width) * w) // target_width
-                return encode_bmp(img[rows][:, cols])
+                resized = img[rows][:, cols]
+                # stay in the input container: PNG in → PNG out, BMP → BMP
+                return encode_png(resized) if is_png else encode_bmp(resized)
             if strict:
                 raise NotImplementedError(
-                    "payload is not an uncompressed BMP; resizing other "
-                    "formats requires PIL, not present in this environment "
-                    "(use strict=False for the byte stub)"
+                    "payload is not an uncompressed BMP or 8-bit PNG; "
+                    "resizing other formats requires PIL, not present in "
+                    "this environment (use strict=False for the byte stub)"
                 )
             if len(p) >= target_len:
                 return bytes(p[:target_len])

@@ -27,7 +27,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from ..errors import BuzzExecutionError
 from .logstore import LogStore
@@ -55,27 +55,74 @@ def _read_actions(store: LogStore, rel: str) -> list[dict]:
     ]
 
 
-# Highest Delta protocol this implementation actually understands: reader 1
-# (plain add/remove/metaData replay — no column mapping, no deletion
-# vectors), writer 2 (appendOnly/invariants not enforced but representable).
-_MAX_READER_VERSION = 1
+# Highest Delta protocol this implementation actually understands: reader 2
+# (add/remove/metaData replay + column mapping by NAME — the schema layer
+# every modern writer emits on a column rename; delta_catalog.rs:133-140
+# never met it only because delta-rs 0.2 predates the feature), writer 2
+# (appendOnly/invariants not enforced but representable).  Reader 3 is
+# feature-gated: accepted only when every listed readerFeature is one we
+# implement — deletion vectors in particular stay refused (silently replaying
+# them would resurrect logically-deleted rows).
+_MAX_READER_VERSION = 2
 _MAX_WRITER_VERSION = 2
+_SUPPORTED_READER_FEATURES = {"columnMapping"}
 
 
 def _check_protocol(action: dict, table_uri: str) -> None:
     """Delta spec requirement: a client MUST refuse tables whose protocol
     exceeds what it implements.  Silently replaying e.g. a deletion-vector
-    table (reader 3) would resurrect logically-deleted rows."""
+    table would resurrect logically-deleted rows."""
     proto = action.get("protocol") or {}
     reader = int(proto.get("minReaderVersion", 1))
-    if reader > _MAX_READER_VERSION:
+    if reader <= _MAX_READER_VERSION:
+        return
+    from ..errors import BuzzNotImplementedError
+
+    if reader == 3:
+        feats = proto.get("readerFeatures")
+        unsupported = (
+            set(feats) - _SUPPORTED_READER_FEATURES if feats is not None else None
+        )
+        if unsupported == set():
+            return  # every required feature implemented (e.g. columnMapping)
+        raise BuzzNotImplementedError(
+            f"Delta table {table_uri!r} requires minReaderVersion=3 with "
+            f"reader features {sorted(feats) if feats else '<missing>'}; this "
+            f"reader implements only {sorted(_SUPPORTED_READER_FEATURES)} "
+            f"(no deletion vectors)"
+        )
+    raise BuzzNotImplementedError(
+        f"Delta table {table_uri!r} requires minReaderVersion={reader}; "
+        f"this reader implements protocol {_MAX_READER_VERSION} "
+        f"(column mapping by name; no deletion vectors)"
+    )
+
+
+def _column_mapping(meta: dict, table_uri: str) -> dict[str, str] | None:
+    """Logical→physical field-name map when the table uses column mapping.
+
+    ``delta.columnMapping.mode=name`` stores each column's PHYSICAL parquet
+    name (a stable ``col-<uuid>``) in the schema field metadata; the logical
+    schema is renamed freely on top.  Readers must scan by physical name and
+    present logical names.  Mode ``id`` (parquet field-id resolution) is
+    refused — a misread there silently returns wrong columns."""
+    config = meta.get("configuration") or {}
+    mode = config.get("delta.columnMapping.mode", "none")
+    if mode in ("none", ""):
+        return None
+    if mode != "name":
         from ..errors import BuzzNotImplementedError
 
         raise BuzzNotImplementedError(
-            f"Delta table {table_uri!r} requires minReaderVersion={reader}; "
-            f"this reader implements protocol {_MAX_READER_VERSION} "
-            f"(no column mapping / deletion vectors)"
+            f"Delta table {table_uri!r} uses columnMapping.mode={mode!r}; "
+            "only 'name' (and 'none') are implemented"
         )
+    fields = json.loads(meta["schemaString"])["fields"]
+    out = {}
+    for f in fields:
+        md = f.get("metadata") or {}
+        out[f["name"]] = md.get("delta.columnMapping.physicalName", f["name"])
+    return out
 
 
 def _replay_actions(
@@ -174,26 +221,55 @@ class DeltaCatalog:
 
         full = StructType.fromJson(json.loads(meta["schemaString"]))
         self.partition_cols: list[str] = list(meta.get("partitionColumns", []))
-        # Delta stores partition values in the log, not the data files — the
-        # data schema (what the parquet files contain) excludes partition cols.
+        # Column mapping (reader protocol 2, mode=name): the parquet files
+        # carry stable PHYSICAL names (col-<uuid>); the log's schemaString
+        # carries the logical names plus the physical name per field.  The
+        # scan schema and the partitionValues/stats keys are physical; the
+        # public schema, partition columns, and returned DataFrame stay
+        # logical — one rename projection on top of the ordinary snapshot.
+        self._phys = _column_mapping(meta, self.table_uri)
+        phys = self._phys or {}
+        data_fields = [f for f in full.fields if f.name not in self.partition_cols]
+        self._logical_data_cols = [f.name for f in data_fields]
         self.schema = StructType(
-            [f for f in full.fields if f.name not in self.partition_cols]
+            [
+                StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+                for f in data_fields
+            ]
         )
+
+        def _pv(add: dict, c: str) -> str:
+            return str(add.get("partitionValues", {}).get(phys.get(c, c)))
+
         self.files = [
             CatalogFile(
                 key=store.spark_path(add["path"]),
                 length=int(add.get("size", 0)),
-                partitions=tuple(
-                    (c, str(add.get("partitionValues", {}).get(c)))
-                    for c in self.partition_cols
-                ),
+                # tuple keys are LOGICAL names (how callers filter); values
+                # looked up by the physical key the log actually uses
+                partitions=tuple((c, _pv(add, c)) for c in self.partition_cols),
             )
             for add in live.values()
         ]
         # per-file stats JSON from the add actions (data skipping without
-        # footer reads — consumed by sources.zonemap.stats_from_delta_log)
+        # footer reads — consumed by sources.zonemap.stats_from_delta_log);
+        # for column-mapped tables the stats keys are physical → translate
+        # back to logical so consumers see one namespace
+        inv = {p: l for l, p in phys.items()}
+
+        def _stats(raw: str) -> str:
+            if not inv:
+                return raw
+            st = json.loads(raw)
+            for section in ("minValues", "maxValues", "nullCount"):
+                if isinstance(st.get(section), dict):
+                    st[section] = {
+                        inv.get(k, k): v for k, v in st[section].items()
+                    }
+            return json.dumps(st)
+
         self._add_stats = {
-            store.spark_path(add["path"]): add["stats"]
+            store.spark_path(add["path"]): _stats(add["stats"])
             for add in live.values()
             if add.get("stats")
         }
@@ -212,7 +288,20 @@ class DeltaCatalog:
     def to_dataframe(
         self, spark: SparkSession, partition_filter: str | None = None
     ) -> DataFrame:
-        return self._static().to_dataframe(spark, partition_filter)
+        df = self._static().to_dataframe(spark, partition_filter)
+        if self._phys:
+            from pyspark.sql import functions as F
+
+            # physical → logical rename; partition columns (attached by the
+            # static scan under their logical names) pass through
+            df = df.select(
+                *[
+                    F.col(self._phys.get(n, n)).alias(n)
+                    for n in self._logical_data_cols
+                ],
+                *[F.col(c) for c in self.partition_cols],
+            )
+        return df
 
 
 def read_delta_changes(
@@ -265,7 +354,11 @@ def read_delta_changes(
             break
         actions = _read_actions(store, rel)
         for action in actions:
-            if "metaData" in action:
+            if "protocol" in action:
+                # same refusal rules as the snapshot path: replaying e.g.
+                # deletion-vector commits would miscount changed rows
+                _check_protocol(action, table_uri)
+            elif "metaData" in action:
                 meta.update(action["metaData"])
         if version <= from_version:
             continue
@@ -292,8 +385,16 @@ def read_delta_changes(
         )
     full = StructType.fromJson(json.loads(meta["schemaString"]))
     partition_cols = list(meta.get("partitionColumns", []))
+    # column mapping (mode=name): scan by physical names, present logical —
+    # same translation as DeltaCatalog._load_snapshot
+    phys = _column_mapping(meta, table_uri) or {}
+    data_fields = [f for f in full.fields if f.name not in partition_cols]
+    logical_data_cols = [f.name for f in data_fields]
     data_schema = StructType(
-        [f for f in full.fields if f.name not in partition_cols]
+        [
+            StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
     )
 
     out: DataFrame | None = None
@@ -307,14 +408,30 @@ def read_delta_changes(
                     key=store.spark_path(add["path"]),
                     length=int(add.get("size", 0)),
                     partitions=tuple(
-                        (c, str(add.get("partitionValues", {}).get(c)))
+                        (
+                            c,
+                            str(
+                                add.get("partitionValues", {}).get(
+                                    phys.get(c, c)
+                                )
+                            ),
+                        )
                         for c in partition_cols
                     ),
                 )
                 for add in adds
             ],
         )
-        part = cat.to_dataframe(spark).withColumn(
+        part = cat.to_dataframe(spark)
+        if phys:
+            part = part.select(
+                *[
+                    F.col(phys.get(n, n)).alias(n)
+                    for n in logical_data_cols
+                ],
+                *[F.col(c) for c in partition_cols],
+            )
+        part = part.withColumn(
             "_commit_version", F.lit(version).cast("long")
         )
         out = part if out is None else out.unionByName(part)
@@ -323,10 +440,12 @@ def read_delta_changes(
         # then partition columns as strings — how StaticCatalog attaches
         # them — then the version tag), so downstream unionByName /
         # fixed-schema sinks behave identically either way
-        from pyspark.sql.types import StringType, StructField
+        from pyspark.sql.types import StringType
 
         empty = StructType(
-            data_schema.fields[:]
+            # LOGICAL data fields (the non-empty path renames physical →
+            # logical before returning, so the empty shape must match)
+            list(data_fields)
             + [StructField(c, StringType()) for c in partition_cols]
         )
         df = spark.createDataFrame([], empty)

@@ -664,6 +664,179 @@ def test_protocol_gate_refuses_advanced_tables(spark, tmp_path):
         write_delta(spark.range(1).withColumnRenamed("id", "v"), table)
 
 
+def _make_column_mapped_table(spark, root: str, partitioned: bool = False) -> str:
+    """A reader-v2 column-mapped (mode=name) table like delta-spark emits
+    after a column rename: parquet files carry physical col-<uuid> names;
+    the log schema carries logical names + physicalName metadata."""
+    table = os.path.join(root, "delta-colmap")
+    os.makedirs(table, exist_ok=True)
+    phys_name, phys_staff, phys_year = "col-aaa111", "col-bbb222", "col-ccc333"
+    data_schema = StructType(
+        [
+            StructField(phys_name, StringType()),
+            StructField(phys_staff, LongType()),
+        ]
+    )
+    rows_by_file = {
+        "f1.parquet": [("eng", 10), ("ops", 5)],
+        "f2.parquet": [("sci", 12)],
+    }
+    for fname, rows in rows_by_file.items():
+        spark.createDataFrame(rows, schema=data_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(table, fname) + ".tmpdir")
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(table, fname) + ".tmpdir/part-*.parquet")[0]
+        shutil.move(part, os.path.join(table, fname))
+        shutil.rmtree(os.path.join(table, fname) + ".tmpdir")
+
+    def field(name, typ, phys, fid):
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    fields = [
+        field("team_name", "string", phys_name, 1),
+        field("staff", "long", phys_staff, 2),
+    ]
+    if partitioned:
+        fields.append(field("year", "string", phys_year, 3))
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm1",
+                "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                "partitionColumns": ["year"] if partitioned else [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "format": {"provider": "parquet"},
+            }
+        },
+    ]
+    for i, fname in enumerate(rows_by_file):
+        add = {
+            "path": fname,
+            "size": 1,
+            "dataChange": True,
+            "partitionValues": {phys_year: f"202{i}"} if partitioned else {},
+            "stats": json.dumps(
+                {
+                    "numRecords": len(rows_by_file[fname]),
+                    "minValues": {phys_staff: 5},
+                    "maxValues": {phys_staff: 12},
+                }
+            ),
+        }
+        actions.append({"add": add})
+    _write_commit(os.path.join(table, "_delta_log"), 0, actions)
+    return table
+
+
+def test_column_mapped_table_reads_logical_names(spark, tmp_path):
+    """Reader protocol v2 / columnMapping.mode=name (r4 VERDICT #2): the
+    snapshot scans by physical parquet names and presents the LOGICAL
+    (renamed) schema, values intact; stats keys are translated back."""
+    table = _make_column_mapped_table(spark, str(tmp_path))
+    cat = DeltaCatalog("cm", table)
+    df = cat.to_dataframe(spark)
+    assert df.columns == ["team_name", "staff"]
+    rows = {r.team_name: r.staff for r in df.collect()}
+    assert rows == {"eng": 10, "ops": 5, "sci": 12}
+    # stats translated to the logical namespace
+    st = json.loads(next(iter(cat._add_stats.values())))
+    assert "staff" in st["minValues"] and "col-bbb222" not in st["minValues"]
+
+
+def test_column_mapped_partitioned_table(spark, tmp_path):
+    """Partition values are keyed by PHYSICAL name in the log of a mapped
+    table; they must attach (and prune) under the logical name."""
+    table = _make_column_mapped_table(spark, str(tmp_path), partitioned=True)
+    cat = DeltaCatalog("cm", table)
+    df = cat.to_dataframe(spark)
+    assert df.columns == ["team_name", "staff", "year"]
+    assert {(r.team_name, r.year) for r in df.collect()} == {
+        ("eng", "2020"),
+        ("ops", "2020"),
+        ("sci", "2021"),
+    }
+    pruned = cat.to_dataframe(spark, "year = '2021'")
+    assert [(r.team_name, r.staff) for r in pruned.collect()] == [("sci", 12)]
+    assert len(cat.pruned_files(spark, "year = '2021'")) == 1
+
+
+def test_column_mapped_changes(spark, tmp_path):
+    from buzz_rust_spark.sources import read_delta_changes
+
+    table = _make_column_mapped_table(spark, str(tmp_path))
+    ch = read_delta_changes(spark, table, from_version=-1)
+    assert ch.columns == ["team_name", "staff", "_commit_version"]
+    assert ch.count() == 3
+
+
+def test_reader_v3_feature_gate(spark, tmp_path):
+    """Reader 3 is accepted iff every readerFeature is implemented:
+    columnMapping alone passes; deletionVectors is refused."""
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+
+    table = _make_column_mapped_table(spark, str(tmp_path))
+    log = os.path.join(table, "_delta_log")
+    _write_commit(
+        log,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            }
+        ],
+    )
+    assert DeltaCatalog("cm", table).to_dataframe(spark).count() == 3
+    _write_commit(
+        log,
+        2,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping", "deletionVectors"],
+                }
+            }
+        ],
+    )
+    with pytest.raises(BuzzNotImplementedError, match="deletionVectors"):
+        DeltaCatalog("cm", table)
+
+
+def test_column_mapping_mode_id_refused(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+
+    table = _make_column_mapped_table(spark, str(tmp_path))
+    log = os.path.join(table, "_delta_log")
+    meta = json.loads(
+        open(os.path.join(log, f"{0:020d}.json")).readlines()[1]
+    )["metaData"]
+    meta["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_commit(log, 1, [{"metaData": meta}])
+    with pytest.raises(BuzzNotImplementedError, match="mode='id'"):
+        DeltaCatalog("cm", table)
+
+
 def test_write_delta_rejects_remote_uri(spark, tmp_path):
     from buzz_rust_spark.errors import BuzzBadRequestError
     from buzz_rust_spark.sources import write_delta

@@ -156,8 +156,10 @@ def test_fingerprint_normalization_invariance(spark):
 
 
 def test_multimodal_decode_real_bmp_features(spark):
-    """Image rows carry real BMP payloads: features are actual pixel stats
-    (feature[0]/[1] = decoded width/height), not byte-stub hashes."""
+    """Image rows carry real payloads (even ids BMP, odd ids PNG): features
+    are actual pixel stats (feature[0]/[1] = decoded width/height), not
+    byte-stub hashes — and BOTH containers decode to the same stats for the
+    same pixels."""
     media = M.synthetic_media(spark, n=10)
     feats = M.decode_features(media, dim=8).collect()
     assert len(feats) == 10
@@ -165,10 +167,11 @@ def test_multimodal_decode_real_bmp_features(spark):
     assert all(len(r["feature"]) == 8 for r in feats)
     for i in range(10):
         w, h = 64 + i % 16, 48 + i % 12
-        stride = (w * 3 + 3) & ~3
         assert by_id[i]["feature"][0] == pytest.approx(float(w))
         assert by_id[i]["feature"][1] == pytest.approx(float(h))
-        assert by_id[i]["n_bytes"] == 54 + stride * h
+        if i % 2 == 0:  # BMP: fixed-layout container → exact size pinned
+            stride = (w * 3 + 3) & ~3
+            assert by_id[i]["n_bytes"] == 54 + stride * h
         # grayscale stats live in [0, 1]
         assert all(0.0 <= x <= 1.0 for x in by_id[i]["feature"][2:6])
 
@@ -206,6 +209,138 @@ def test_bmp_wav_codec_roundtrip():
     # non-media bytes are rejected, not misparsed
     assert M.decode_bmp(b"not a bitmap at all") is None
     assert M.decode_wav(b"RIFFxxxxNOPE") is None
+
+
+def test_png_codec_roundtrip_and_unfilter():
+    """encode_png → decode_png is pixel-identical for every channel count,
+    and the unfilter path is cross-checked against an INDEPENDENT test-side
+    implementation of the PNG spec's five filters (r4 VERDICT #5)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # round-trip all four color types (gray, gray+alpha, RGB, RGBA)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(9, 7, ch), dtype=np.uint8)
+        dec = M.decode_png(M.encode_png(px))
+        assert dec.shape == (9, 7, 3)
+        if ch == 1 or ch == 2:
+            assert np.array_equal(dec, np.repeat(px[:, :, :1], 3, axis=2))
+        else:
+            assert np.array_equal(dec, px[:, :, :3])
+
+    # hand-FILTER an RGB image with every filter type (reference scalar
+    # implementation of spec §9, independent of the decoder) and check the
+    # decoder unfilters it back to the original pixels
+    h, w, bpp = 6, 5, 3
+    px = rng.randint(0, 256, size=(h, w, bpp), dtype=np.uint8)
+    flat = px.reshape(h, w * bpp).astype(int)
+    filtered = b""
+    for y, f in enumerate([0, 1, 2, 3, 4, 4]):
+        line = flat[y]
+        up = flat[y - 1] if y else np.zeros(w * bpp, int)
+        out = []
+        for x in range(w * bpp):
+            a = flat[y][x - bpp] if x >= bpp else 0
+            b = up[x]
+            c = flat[y - 1][x - bpp] if (y and x >= bpp) else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - a
+            elif f == 2:
+                v = line[x] - b
+            elif f == 3:
+                v = line[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] - pred
+            out.append(v & 0xFF)
+        filtered += bytes([f]) + bytes(out)
+
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + zlib.crc32(t + d).to_bytes(4, "big")
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(filtered))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(M.decode_png(payload), px)
+
+    # unsupported/malformed variants are refused, not misparsed
+    assert M.decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    bad_depth = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(filtered))
+        + chunk(b"IEND", b"")
+    )
+    assert M.decode_png(bad_depth) is None
+    assert M.decode_png(None) is None
+
+
+def test_multimodal_decode_real_png_features(spark):
+    """z00's decode stage computes REAL pixel features for PNG payloads
+    (pinned width/height/means), and the strict boundary still rejects
+    JPEG-like bytes (r4 VERDICT #5)."""
+    import numpy as np
+
+    from buzz_rust_spark.operators.multimodal import MEDIA_SCHEMA
+
+    yy, xx = np.mgrid[0:20, 0:30]
+    px = np.stack([xx % 256, yy % 256, (xx + yy) % 256], axis=2).astype(np.uint8)
+    png = M.encode_png(px)
+    jpeg_ish = b"\xff\xd8\xff\xe0" + bytes(range(64))  # JPEG SOI marker
+    rows = [
+        (0, "image", bytearray(png), "image/png", 30, 20, None),
+        (1, "image", bytearray(jpeg_ish), "image/jpeg", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in M.decode_features(media, dim=8).collect()}
+    expected_gray = px.astype("float64").mean(axis=2) / 255.0
+    assert feats[0]["feature"][0] == pytest.approx(30.0)  # width
+    assert feats[0]["feature"][1] == pytest.approx(20.0)  # height
+    assert feats[0]["feature"][2] == pytest.approx(expected_gray.mean(), abs=1e-5)
+    assert feats[0]["feature"][3] == pytest.approx(expected_gray.std(), abs=1e-5)
+    # JPEG row fell through to the stub in non-strict mode
+    assert feats[1]["n_bytes"] == len(jpeg_ish)
+    with pytest.raises(Exception, match="NotImplementedError|PNG"):
+        M.decode_features(
+            spark.createDataFrame(rows[1:], schema=MEDIA_SCHEMA), strict=True
+        ).collect()
+    # but PNG decodes for real even under strict
+    strict_ok = M.decode_features(
+        spark.createDataFrame(rows[:1], schema=MEDIA_SCHEMA), strict=True
+    ).collect()
+    assert strict_ok[0]["feature"][0] == pytest.approx(30.0)
+
+
+def test_resize_images_real_png(spark):
+    """PNG payloads resize for real and stay PNG (container preserved)."""
+    import numpy as np
+
+    from buzz_rust_spark.operators.multimodal import MEDIA_SCHEMA
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    px = np.stack([xx % 256, yy % 256, (xx * yy) % 256], axis=2).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(M.encode_png(px)), "image/png", 24, 16, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    out = M.resize_images(media, target_width=8, target_height=4).collect()
+    assert len(out) == 1 and out[0]["width"] == 8 and out[0]["height"] == 4
+    resized = M.decode_png(bytes(out[0]["payload"]))
+    assert resized is not None and resized.shape == (4, 8, 3)
+    # nearest-neighbor: every output pixel equals SOME input pixel exactly
+    rows_idx = (np.arange(4) * 16) // 4
+    cols_idx = (np.arange(8) * 24) // 8
+    assert np.array_equal(resized, px[rows_idx][:, cols_idx])
 
 
 def test_frame_sample_plan(spark):
@@ -319,12 +454,14 @@ def test_resize_images_real_bmp(spark):
     out = M.resize_images(media, target_width=32, target_height=32).collect()
     assert len(out) == 16
     originals = {
-        r["media_id"]: M.decode_bmp(r["payload"])
+        r["media_id"]: M.decode_image(bytes(r["payload"]))
         for r in media.select("media_id", "payload").collect()
     }
     for r in out:
         assert r["width"] == 32 and r["height"] == 32
-        resized = M.decode_bmp(bytes(r["payload"]))
+        # container preserved: even ids BMP in/out, odd ids PNG in/out
+        decode = M.decode_bmp if r["media_id"] % 2 == 0 else M.decode_png
+        resized = decode(bytes(r["payload"]))
         assert resized is not None and resized.shape == (32, 32, 3)
         src = originals[r["media_id"]]
         rows = (np.arange(32) * src.shape[0]) // 32

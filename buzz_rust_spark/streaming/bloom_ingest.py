@@ -8,8 +8,9 @@ Composes the two stateful pieces this repo already has into the standard
   idempotent and commutative, so the state is a CRDT: a replayed micro-batch
   appending its delta twice changes nothing, concurrent writers commute, and
   the reader just ``bloom_merge``-folds whatever rows exist.  No atomic
-  rename, no lock, no compaction needed for correctness (compact whenever by
-  rewriting the folded state — also idempotent).
+  rename, no lock, no compaction needed for CORRECTNESS; for read cost,
+  :func:`compact_bloom_state` log-structurally folds the deltas whenever
+  (safe mid-stream by the same idempotence argument).
 - **Output** = the exactly-once Delta sink protocol: each batch's surviving
   documents commit together with a SetTransaction recording the batch id, so
   the at-least-once ``foreachBatch`` delivery yields exactly-once table rows.
@@ -60,6 +61,80 @@ def read_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
             return spark.createDataFrame([], _STATE_SCHEMA)
         raise
     return deltas.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def compact_bloom_state(
+    spark: SparkSession, state_dir: str, min_deltas: int = 2
+) -> int:
+    """Fold the append-only sketch-delta log into one delta; returns how many
+    delta files were replaced (0 = nothing to do).
+
+    The log grows one parquet delta per micro-batch forever; reads fold the
+    whole log, so an unbounded log makes every batch's state read O(history).
+    Compaction is SAFE AT ANY TIME by the module's CRDT argument, and is
+    itself log-structured so it never races concurrent appends:
+
+    1. snapshot the current delta file list;
+    2. fold EXACTLY those files (``bit_or``) and append the folded result to
+       the log as a new delta (any batch appended meanwhile is untouched and
+       simply folds in later);
+    3. delete exactly the snapshotted input files.
+
+    A crash between 2 and 3 leaves the folded delta AND its inputs — the
+    double-counted bits ``bit_or`` to the same state (idempotence), and
+    re-running compaction converges.  ``min_deltas`` is the retention knob:
+    skip compaction until the log has more than this many delta files, so a
+    hot loop isn't rewriting a two-file log every call."""
+    import glob
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    local = state_dir
+    for prefix in ("file://", "file:"):
+        if local.startswith(prefix):
+            local = local[len(prefix):]
+            break
+    if not os.path.isdir(local):
+        return 0
+    # Spark readers skip files starting with '_' or '.'; everything else in
+    # the directory is a delta (appends write part-*; prior compactions write
+    # compacted-*)
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(local, "*"))
+        if os.path.isfile(f)
+        and not os.path.basename(f).startswith(("_", "."))
+    )
+    if len(files) <= min_deltas:
+        return 0
+    folded = (
+        spark.read.schema(_STATE_SCHEMA)
+        .parquet(*files)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    tmp = os.path.join(local, f"_compact-{uuid.uuid4().hex}.tmp")
+    folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+    moved = 0
+    for part in glob.glob(os.path.join(tmp, "part-*")):
+        os.replace(
+            part,
+            os.path.join(local, f"compacted-{uuid.uuid4().hex}.parquet"),
+        )
+        moved += 1
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    if moved == 0:  # empty fold (log held only empty deltas) — keep inputs
+        return 0
+    for f in files:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass  # a concurrent compactor got it first — same folded bits
+    return len(files)
 
 
 def bloom_dedup_sink(

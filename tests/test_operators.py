@@ -1275,6 +1275,75 @@ def test_bpe_training_deterministic(spark, sf_dir):
     assert row["n_pieces"] == len(row["pieces"]) > 0
 
 
+def test_bpe_real_text_roundtrip_checksum(spark):
+    """Real public-domain prose (not word-salad): training is deterministic,
+    encoding is lossless, and the EXACT distributed token sequence is pinned
+    by checksum (r4 VERDICT #8)."""
+    import hashlib
+    import re
+
+    from buzz_rust_spark.operators import bpe as B
+
+    fixture = (
+        "Call me Ishmael. Some years ago - never mind how long precisely - "
+        "having little or no money in my purse, and nothing particular to "
+        "interest me on shore, I thought I would sail about a little and see "
+        "the watery part of the world. It is a way I have of driving off the "
+        "spleen and regulating the circulation."
+    )
+    df = spark.createDataFrame([(1, fixture)], ["doc_id", "text"])
+    merges = B.train_bpe(df, num_merges=32, min_pair_freq=2)
+    assert len(merges) == 27  # training exhausts pairs >= min_pair_freq
+    row = B.bpe_encode(df, merges).collect()[0]
+    assert row["n_pieces"] == 169
+    assert (
+        hashlib.md5("\x00".join(row["pieces"]).encode()).hexdigest()
+        == "3c46a7ad4e315c374c6cfcb7d67d394e"
+    )
+    # lossless: concatenated pieces reproduce the tokenized text exactly
+    joined = "".join(row["pieces"]).replace(B.END, " ").strip()
+    assert joined == " ".join(re.split(r"\s+", fixture.lower().strip()))
+
+
+def test_bpe_distributed_equals_local_non_ascii(spark):
+    """Distributed encode == local encode_word on 1000 random strings over a
+    mixed alphabet including accented Latin, Cyrillic, CJK, emoji, and
+    Unicode whitespace (r4 VERDICT #8 — the ASCII-only property extended).
+    The local reference consumes the SAME JVM-tokenized words, isolating the
+    UDF's merge application from tokenizer differences (pinned separately by
+    test_bpe_encode_uses_jvm_tokenization)."""
+    import random
+
+    from buzz_rust_spark.functions.text import tokens as spark_tokens
+    from buzz_rust_spark.operators import bpe as B
+
+    rng = random.Random(20260814)
+    alphabet = (
+        "abcdefghij àéîöü ßœç абвгд 你好世界 日本語 🙂🚀 0123456789"
+    )
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(1000)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], ["doc_id", "text"]
+    )
+    merges = B.train_bpe(df, num_merges=24)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", spark_tokens(F.col("text")).alias("t")
+        ).collect()
+    }
+    got = {r["doc_id"]: r["pieces"] for r in B.bpe_encode(df, merges).collect()}
+    for i in range(1000):
+        want = [p for w in (toks[i] or []) for p in B.encode_word(w, ranks)]
+        assert got[i] == want, f"doc {i}: {strings[i]!r}"
+        # every piece sequence reconstructs its words exactly (lossless)
+        assert "".join(got[i]) == "".join(w + B.END for w in (toks[i] or []))
+
+
 def test_bpe_encode_uses_jvm_tokenization(spark):
     """Training and encoding must tokenize identically on Unicode whitespace
     Java's \\s does not match (code-review r4: a Python .split() in the UDF

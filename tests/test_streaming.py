@@ -345,3 +345,82 @@ def test_bloom_dedup_sink_cross_batch(spark, tmp_path):
         for r in read_bloom_state(spark, state).collect()
     }
     assert folded_before == folded_after
+
+
+def test_bloom_state_compaction_mid_stream(spark, tmp_path):
+    """compact_bloom_state mid-stream: the delta-file count drops, the folded
+    filter is bit-identical, and dedup behavior across a restart is exactly
+    what the uncompacted log would produce (r4 VERDICT #9)."""
+    import glob
+    import os
+    import time
+
+    from buzz_rust_spark.sources import DeltaCatalog
+    from buzz_rust_spark.streaming.bloom_ingest import (
+        bloom_dedup_sink,
+        compact_bloom_state,
+        read_bloom_state,
+    )
+
+    table = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    merged = tmp_path / "stream_in"
+    merged.mkdir()
+    base = time.time() - 1000
+
+    def add_file(i, rows):
+        tmp = str(tmp_path / f"f{i}")
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = str(merged / f"{i}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    add_file(0, [(1, "the quick brown fox"), (2, "unique text alpha")])
+    add_file(1, [(3, "the quick brown fox"), (4, "unique text beta"),
+                 (5, "unique text beta")])
+
+    def run_sink():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(merged))
+        )
+        bloom_dedup_sink(stream, table, state, ckpt, app_id="t-bloom-c").awaitTermination(
+            timeout=180
+        )
+
+    run_sink()  # two micro-batches -> two state deltas
+
+    def delta_files():
+        return [
+            f
+            for f in glob.glob(os.path.join(state, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        ]
+
+    before = {
+        (r["word_idx"], r["bits"]) for r in read_bloom_state(spark, state).collect()
+    }
+    n_before = len(delta_files())
+    assert n_before >= 2
+    # retention knob: min_deltas at/above the log size is a no-op
+    assert compact_bloom_state(spark, state, min_deltas=n_before) == 0
+    assert compact_bloom_state(spark, state, min_deltas=1) == n_before
+    assert len(delta_files()) == 1
+    after = {
+        (r["word_idx"], r["bits"]) for r in read_bloom_state(spark, state).collect()
+    }
+    assert after == before  # bit-identical fold
+    # idempotent: re-running converges (nothing above the retention floor)
+    assert compact_bloom_state(spark, state, min_deltas=1) == 0
+
+    # dedup continues against the compacted state exactly as before: doc 6
+    # dups doc 4 cross-batch (pre-compaction knowledge), doc 7 is new
+    add_file(2, [(6, "unique text beta"), (7, "unique text gamma")])
+    run_sink()
+    got = sorted(
+        r["doc_id"] for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    )
+    assert got == [1, 2, 4, 7]

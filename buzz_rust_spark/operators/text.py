@@ -523,3 +523,209 @@ def c4_clean_lines(
         (~doc_banned & (F.size(kept) >= min_kept_lines)).alias("keep_doc"),
         F.array_join(kept, "\n").alias("cleaned"),
     )
+
+
+# --- Gopher repetition rules (Rae et al. 2021, MassiveText Table A1) --------
+
+# Published thresholds: fraction of characters in the single most frequent
+# word n-gram (n=2..4), and fraction of characters in ALL duplicated word
+# n-grams (n=5..10).
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _nonblank_segments(t: Column, sep: str) -> Column:
+    """Trimmed non-blank segments of ``t`` split on ``sep`` (a regex)."""
+    return F.filter(
+        F.transform(F.split(t, sep), lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
+def _dup_segment_stats(segments: Column) -> tuple[Column, Column]:
+    """(duplicate count, duplicate chars) over a segment array: every
+    occurrence AFTER the first of an identical segment counts (the common
+    Gopher-implementation definition, e.g. Dolma/RedPajama), and its chars
+    are the segment's length.  Computed by sorting the array and comparing
+    adjacent entries — pure codegen, O(S log S) per document, no shuffle."""
+    sorted_seg = F.sort_array(segments)
+    # element_at is 1-based; the lambda index is 0-based, so element_at(.., i)
+    # IS the previous element for the entry at 0-based position i
+    dups = F.filter(
+        sorted_seg, lambda x, i: (i > 0) & (x == F.element_at(sorted_seg, i))
+    )
+    dup_chars = F.aggregate(
+        dups, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.size(dups), dup_chars
+
+
+def _word_ngrams_all(toks, n: int):
+    """ALL word n-grams in order (duplicates kept — unlike word_shingles,
+    which is distinct by design); empty for documents with < n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_fraction: float = 0.30,
+    max_dup_para_fraction: float = 0.30,
+    max_dup_line_char_fraction: float = 0.20,
+    max_dup_para_char_fraction: float = 0.20,
+    top_ngram_thresholds: dict[int, float] | None = None,
+    dup_ngram_thresholds: dict[int, float] | None = None,
+) -> DataFrame:
+    """Per-document Gopher REPETITION metrics and the combined keep flag —
+    the second half of the published MassiveText filter (the seven
+    document-shape rules are :func:`gopher_quality`):
+
+    1. duplicate line / paragraph fraction  <= 0.30
+    2. duplicate line / paragraph CHARACTER fraction <= 0.20
+    3. top word-n-gram character fraction (n=2,3,4) <= {0.20, 0.18, 0.16}
+    4. duplicate word-n-gram character fraction (n=5..10)
+       <= {0.15 .. 0.10}
+
+    Definitional choices (implementations differ; these are applied
+    consistently on BOTH the metric and its oracle): a "duplicate"
+    line/paragraph/n-gram occurrence is every occurrence AFTER THE FIRST of
+    a byte-identical trimmed segment / gram; the top-n-gram character
+    fraction is occurrences x n-gram length over the space-joined token
+    character count, and the top gram must occur >= 2 times to score (one
+    occurrence is not repetition — without this, short clean documents
+    trivially fail; the paper's web documents are long enough that the
+    distinction vanishes); duplicate-n-gram chars sum occurrence lengths
+    without deduplicating overlapping character positions (the cheap
+    published approximation, an upper bound on the exact coverage variant)
+    and every fraction is clamped to 1.0.
+
+    N-gram identity is xxhash64 of the gram (64-bit): two distinct grams
+    colliding WITHIN one document would merge their counts — negligible for
+    a quality heuristic and the price of an integers-only shuffle.
+
+    Scale shape: the line/paragraph metrics are a narrow in-array projection
+    (segment arrays are small); the n-gram metrics are ONE inline explode of
+    (n, gram-hash, gram-length) entries — 9 entries per token position —
+    into a (doc, n, hash) count aggregate and a per-doc conditional rollup,
+    both map-side-combinable hash aggregates keyed by the doc id.  Only
+    12-byte int tuples shuffle, never gram strings.  (A shuffle-free
+    in-array sort+fold variant was measured 20x slower: Catalyst evaluates
+    higher-order ``aggregate`` lambdas interpreted, per element — the
+    explode keeps everything in whole-stage codegen.)"""
+    from ..functions.parallelism import ensure_parallelism
+
+    top_thr = (
+        GOPHER_TOP_NGRAM_THRESHOLDS if top_ngram_thresholds is None
+        else top_ngram_thresholds
+    )
+    dup_thr = (
+        GOPHER_DUP_NGRAM_THRESHOLDS if dup_ngram_thresholds is None
+        else dup_ngram_thresholds
+    )
+    all_ns = sorted(set(top_thr) | set(dup_thr))
+    t = F.col(text_col)
+    toks = tokens(t)
+    total_chars = F.length(F.concat_ws(" ", toks))
+
+    lines = _nonblank_segments(t, r"\n")
+    paras = _nonblank_segments(t, r"\n{2,}")
+    n_lines, n_paras = F.size(lines), F.size(paras)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    para_chars = F.aggregate(
+        paras, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_line_n, dup_line_c = _dup_segment_stats(lines)
+    dup_para_n, dup_para_c = _dup_segment_stats(paras)
+
+    def frac(num, den) -> Column:
+        return F.round(
+            F.least(
+                F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)),
+                F.lit(1.0),
+            ),
+            6,
+        )
+
+    seg = df.select(
+        F.col(id_col),
+        total_chars.alias("_total"),
+        frac(dup_line_n, n_lines).alias("dup_line_frac"),
+        frac(dup_para_n, n_paras).alias("dup_para_frac"),
+        frac(dup_line_c, line_chars).alias("dup_line_char_frac"),
+        frac(dup_para_c, para_chars).alias("dup_para_char_frac"),
+    )
+
+    # inline generator input (see _exploded_shingle_index): one explode
+    # emits (n, hash, len) for every gram of every configured n.  The lambda
+    # MUST stay unary (a second defaulted parameter would make pyspark treat
+    # it as an (element, index) binary lambda), so n binds via a factory.
+    def gram_entries(n: int) -> Column:
+        return F.transform(
+            _word_ngrams_all(toks, n),
+            lambda g: F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(g).alias("h"),
+                F.length(g).alias("l"),
+            ),
+        )
+
+    gram_structs = F.flatten(F.array(*[gram_entries(n) for n in all_ns]))
+    per_gram = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), F.explode(gram_structs).alias("g"))
+        .select("_id", "g.n", "g.h", "g.l")
+        .groupBy("_id", "n", "h", "l")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    k, l, nn = F.col("k"), F.col("l"), F.col("n")
+    per_doc = per_gram.groupBy("_id").agg(
+        *[
+            F.max(F.when((nn == n) & (k >= 2), k * l)).alias(f"_top_{n}")
+            for n in sorted(top_thr)
+        ],
+        *[
+            F.sum(F.when((nn == n) & (k > 1), (k - 1) * l)).alias(f"_dup_{n}")
+            for n in sorted(dup_thr)
+        ],
+    )
+
+    joined = seg.join(per_doc, seg[id_col] == per_doc["_id"], "left")
+    total = F.col("_total")
+    out = joined.select(
+        seg[id_col],
+        "dup_line_frac",
+        "dup_para_frac",
+        "dup_line_char_frac",
+        "dup_para_char_frac",
+        *[
+            frac(F.coalesce(F.col(f"_top_{n}"), F.lit(0)), total).alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in sorted(top_thr)
+        ],
+        *[
+            frac(F.coalesce(F.col(f"_dup_{n}"), F.lit(0)), total).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in sorted(dup_thr)
+        ],
+    )
+    passes = (
+        (F.col("dup_line_frac") <= max_dup_line_fraction)
+        & (F.col("dup_para_frac") <= max_dup_para_fraction)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_fraction)
+        & (F.col("dup_para_char_frac") <= max_dup_para_char_fraction)
+    )
+    for n, thr in sorted(top_thr.items()):
+        passes = passes & (F.col(f"top_{n}gram_char_frac") <= thr)
+    for n, thr in sorted(dup_thr.items()):
+        passes = passes & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    return out.withColumn("passes", passes)

@@ -757,6 +757,182 @@ def g01_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_G02_HEADER = "shared boilerplate header line"
+
+
+@register(
+    "g02_gopher_repetition",
+    tags=("text", "pipeline"),
+    oracle=f"""
+WITH pages AS (
+  SELECT source,
+         '{_G02_HEADER}' || chr(10) || chr(10)
+           || string_agg(text, chr(10) ORDER BY doc_id)
+           || chr(10) || chr(10) || '{_G02_HEADER}' AS text
+  FROM documents GROUP BY source
+), ptoks AS (
+  SELECT source, {_TOKS} AS t, text FROM pages
+), lines AS (
+  SELECT source, trim(l) AS l
+  FROM (SELECT source, unnest(string_split(text, chr(10))) AS l FROM pages)
+  WHERE trim(l) != ''
+), paras AS (
+  SELECT source, trim(p) AS p
+  FROM (SELECT source, unnest(regexp_split_to_array(text, '\\n{{2,}}')) AS p
+        FROM pages)
+  WHERE trim(p) != ''
+), line_tot AS (
+  SELECT source, COUNT(*) AS n, SUM(length(l)) AS c FROM lines GROUP BY source
+), line_dup AS (
+  SELECT source, SUM(k - 1) AS dn, SUM((k - 1) * length(l)) AS dc
+  FROM (SELECT source, l, COUNT(*) AS k FROM lines GROUP BY source, l)
+  WHERE k > 1 GROUP BY source
+), para_tot AS (
+  SELECT source, COUNT(*) AS n, SUM(length(p)) AS c FROM paras GROUP BY source
+), para_dup AS (
+  SELECT source, SUM(k - 1) AS dn, SUM((k - 1) * length(p)) AS dc
+  FROM (SELECT source, p, COUNT(*) AS k FROM paras GROUP BY source, p)
+  WHERE k > 1 GROUP BY source
+), ns AS (
+  SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n
+), pos AS (
+  SELECT p.source, p.t, ns.n,
+         unnest(generate_series(1, len(p.t) - ns.n + 1)) AS i
+  FROM ptoks p, ns WHERE len(p.t) >= ns.n
+), gcnt AS (
+  SELECT source, n, g, COUNT(*) AS k, length(g) AS lg
+  FROM (SELECT source, n, array_to_string(t[i:i+n-1], ' ') AS g FROM pos)
+  GROUP BY source, n, g
+), gstats AS (
+  SELECT source, n,
+         MAX(CASE WHEN k >= 2 THEN k * lg ELSE 0 END) AS top_chars,
+         SUM(CASE WHEN k > 1 THEN (k - 1) * lg ELSE 0 END) AS dup_chars
+  FROM gcnt GROUP BY source, n
+), tot AS (
+  SELECT source, length(array_to_string(t, ' ')) AS total FROM ptoks
+), gwide AS (
+  SELECT t.source,
+         {', '.join(
+             "ROUND(LEAST(COALESCE(MAX(CASE WHEN g.n = %d THEN g.top_chars END), 0)"
+             " / t.total, 1.0), 6) AS top_%dgram_char_frac" % (n, n)
+             for n in (2, 3, 4)
+         )},
+         {', '.join(
+             "ROUND(LEAST(COALESCE(MAX(CASE WHEN g.n = %d THEN g.dup_chars END), 0)"
+             " / t.total, 1.0), 6) AS dup_%dgram_char_frac" % (n, n)
+             for n in (5, 6, 7, 8, 9, 10)
+         )}
+  FROM tot t LEFT JOIN gstats g ON g.source = t.source
+  GROUP BY t.source, t.total
+)
+SELECT lt.source,
+       ROUND(LEAST(COALESCE(ld.dn, 0) * 1.0 / lt.n, 1.0), 6) AS dup_line_frac,
+       ROUND(LEAST(COALESCE(pd.dn, 0) * 1.0 / pt.n, 1.0), 6) AS dup_para_frac,
+       ROUND(LEAST(COALESCE(ld.dc, 0) * 1.0 / lt.c, 1.0), 6) AS dup_line_char_frac,
+       ROUND(LEAST(COALESCE(pd.dc, 0) * 1.0 / pt.c, 1.0), 6) AS dup_para_char_frac,
+       g.top_2gram_char_frac, g.top_3gram_char_frac, g.top_4gram_char_frac,
+       g.dup_5gram_char_frac, g.dup_6gram_char_frac, g.dup_7gram_char_frac,
+       g.dup_8gram_char_frac, g.dup_9gram_char_frac, g.dup_10gram_char_frac,
+       (ROUND(LEAST(COALESCE(ld.dn, 0) * 1.0 / lt.n, 1.0), 6) <= 0.30
+        AND ROUND(LEAST(COALESCE(pd.dn, 0) * 1.0 / pt.n, 1.0), 6) <= 0.30
+        AND ROUND(LEAST(COALESCE(ld.dc, 0) * 1.0 / lt.c, 1.0), 6) <= 0.20
+        AND ROUND(LEAST(COALESCE(pd.dc, 0) * 1.0 / pt.c, 1.0), 6) <= 0.20
+        AND g.top_2gram_char_frac <= 0.20 AND g.top_3gram_char_frac <= 0.18
+        AND g.top_4gram_char_frac <= 0.16 AND g.dup_5gram_char_frac <= 0.15
+        AND g.dup_6gram_char_frac <= 0.14 AND g.dup_7gram_char_frac <= 0.13
+        AND g.dup_8gram_char_frac <= 0.12 AND g.dup_9gram_char_frac <= 0.11
+        AND g.dup_10gram_char_frac <= 0.10) AS passes
+FROM line_tot lt
+JOIN para_tot pt ON pt.source = lt.source
+JOIN gwide g ON g.source = lt.source
+LEFT JOIN line_dup ld ON ld.source = lt.source
+LEFT JOIN para_dup pd ON pd.source = lt.source
+ORDER BY lt.source
+""",
+)
+def g02_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION metrics + keep flag (the published MassiveText
+    repetition rules — dup line/paragraph fractions, top-n-gram and
+    duplicate-n-gram character fractions) over per-source pages.
+
+    Page synthesis exists only to exercise the line/paragraph rules on this
+    newline-free corpus (same trick as c01): documents of one source join
+    with blank-line separators, book-ended by a repeated boilerplate header
+    so the duplicate-line AND duplicate-paragraph paths genuinely fire.
+    ``gopher_repetition`` itself is a narrow shuffle-free per-document
+    projection at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("text")))),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    pages = docs.groupBy("source").agg(
+        F.concat(
+            F.lit(_G02_HEADER + "\n\n"), body, F.lit("\n\n" + _G02_HEADER)
+        ).alias("text")
+    )
+    return T.gopher_repetition(pages, id_col="source").orderBy("source")
+
+
+@register(
+    "c02_lm_perplexity",
+    tags=("text", "pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(c1) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c2
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 2)
+  ) GROUP BY w1, w2
+), trans AS (
+  SELECT doc_id, CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS prev, t[i] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 1)
+), scored AS (
+  SELECT s.doc_id,
+         CASE WHEN s.prev IS NULL
+              THEN ln((COALESCE(uw.c1, 0) + 0.5) / (tot.n + 0.5 * tot.v))
+              ELSE ln((COALESCE(b.c2, 0) + 0.5)
+                      / (COALESCE(up.c1, 0) + 0.5 * tot.v)) END AS logp
+  FROM trans s
+  CROSS JOIN tot
+  LEFT JOIN uni uw ON uw.w = s.w
+  LEFT JOIN uni up ON up.w = s.prev
+  LEFT JOIN bi b ON b.w1 = s.prev AND b.w2 = s.w
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_scored, ROUND(AVG(logp), 6) AS avg_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_scored, 0) AS n_scored, a.avg_logprob,
+       ROUND(EXP(-a.avg_logprob), 6) AS perplexity
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def c02_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: an add-alpha bigram LM trained on the
+    corpus scores every document by mean log-probability / perplexity (the
+    published recipe trains KenLM on a reference corpus; the distributed
+    mechanics — two count shuffles to train, transition-join + per-doc mean
+    to score — are identical for any order)."""
+    from ..operators.lm import lm_score, train_bigram_lm
+
+    docs = load(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs, alpha=0.5)
+    return lm_score(lm, docs).orderBy("doc_id")
+
+
 @register(
     "c01_c4_line_filter",
     tags=("text", "pipeline"),

@@ -10,8 +10,11 @@ stage chosen so the whole run is a handful of well-shaped distributed passes:
    document to its surviving lines before anything scores it.
 2. **Quality gate** (``quality_score``) — narrow projection + filter.
 2b. *(optional)* **Gopher rule gate** (``gopher_quality``) — the published
-   MassiveText heuristics as a semi-join on ``passes``.
+   MassiveText shape heuristics, fused as one inline boolean filter.
 3. **Exact dedup** (``dedup_exact``) — one hash-agg shuffle on md5(text).
+3b. *(optional)* **Gopher repetition gate** (``gopher_repetition``) — the
+   published repetition heuristics as a semi-join on ``passes`` against the
+   persisted stage-1-3 result.
 4. **Near-dup removal** (``minhash_lsh_pairs`` → ``duplicate_clusters``) —
    banded LSH candidates, verified Jaccard, connected components; survivors
    are each cluster's minimum id.
@@ -46,6 +49,7 @@ from .text import (
     c4_clean_lines,
     contamination_flags,
     gopher_passes_expr,
+    gopher_repetition,
     quality_expr,
     redact_pii,
 )
@@ -65,6 +69,9 @@ class CorpusPrepConfig:
     c4_rules: dict | None = None
     # kwargs forwarded to gopher_quality — rule gate after the quality score
     gopher_rules: dict | None = None
+    # kwargs forwarded to gopher_repetition — the MassiveText repetition
+    # gate (dup lines/paragraphs, top/dup n-gram char fractions)
+    repetition_rules: dict | None = None
     # window size for exact-substring scrub after near-dup removal
     scrub_span: int | None = None
 
@@ -126,6 +133,20 @@ def prepare_training_corpus(
     # persist (scoped-cache-tracked) so the scrub/quality/dedup subtree
     # computes once, not ~4x.
     kept = persist_tracked(kept)
+
+    # 3b (optional): Gopher repetition gate.  Unlike the shape rules this is
+    # a RELATION-producing metric (its n-gram stats are per-doc hash
+    # aggregates, not an inline expression), so it must run on the PERSISTED
+    # stage-1-3 result and semi-join back on the id — placed here, its three
+    # reads of `kept` all hit the cache instead of re-deriving the
+    # scrub/C4/quality/dedup subtree.
+    if cfg.repetition_rules is not None:
+        rep = gopher_repetition(
+            kept, text_col=text_col, id_col=id_col, **cfg.repetition_rules
+        )
+        kept = kept.join(
+            rep.where(F.col("passes")).select(id_col), on=id_col, how="left_semi"
+        )
 
     # 4: near-dup clusters → drop non-minimum members
     pairs = minhash_lsh_pairs(

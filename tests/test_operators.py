@@ -1719,6 +1719,42 @@ def test_prepare_training_corpus_with_heuristic_stages(spark):
     assert "extra trailing words" in got[2]["text"]  # rest of the doc intact
 
 
+def test_prepare_training_corpus_repetition_gate(spark):
+    """The optional Gopher REPETITION gate composes into the pipeline: a
+    document dominated by one repeated bigram is dropped, normal prose
+    survives, and the gate sits after the persisted stage-1-3 result."""
+    from buzz_rust_spark.operators.corpus import (
+        CorpusPrepConfig,
+        prepare_training_corpus,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over that lazy dog and then walks "
+            "slowly back home to rest for the night in peace"),
+        (2, "buy now " * 30 + "while stocks last today"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_training_corpus(
+        docs,
+        config=CorpusPrepConfig(
+            min_quality=0.0,
+            neardup_threshold=0.95,
+            split_weights={"train": 1.0},
+            repetition_rules={},  # published thresholds
+        ),
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
+    # gate off -> both survive (the rule is what dropped doc 2)
+    out2 = prepare_training_corpus(
+        docs,
+        config=CorpusPrepConfig(
+            min_quality=0.0, neardup_threshold=0.95,
+            split_weights={"train": 1.0},
+        ),
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2]
+
+
 # --- bloom-filter dedup state ----------------------------------------------
 
 

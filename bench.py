@@ -31,8 +31,10 @@ def main() -> None:
     ap.add_argument(
         "--sf",
         default=None,
+        choices=["0.1", "1"],
         help="scale factor: 0.1 (default, driver parquet) or 1 "
-        "(10x local dataset, generated on first use)",
+        "(10x local dataset, generated on first use); other values are an "
+        "error rather than silently running the env-default dataset",
     )
     ap.add_argument(
         "--runs",

@@ -39,8 +39,12 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-# Session registry: weak keys so a stopped-and-dropped SparkSession doesn't
-# pin its DataFrames (and their JVM handles) forever.
+# Session registry: weak keys so a RELEASED session's (now empty) entry
+# disappears with the session.  A session with UNRELEASED persists is
+# intentionally pinned — its tracked DataFrames hold a strong reference back
+# to the session (they must stay reachable to be unpersisted at all), so the
+# weak key cannot fire until the caller releases; releasing is the contract
+# (scope exit, release_operator_caches, or the registry's next-query hook).
 _SESSIONS: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )

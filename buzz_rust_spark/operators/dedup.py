@@ -528,13 +528,22 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    chunk_df_cap: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
 
     Uses the pigeonhole band trick: split 64 bits into ``max_hamming + 1``
     chunks; any pair within the radius must agree exactly on ≥1 chunk, so
     candidates come from equi-joins on chunk values — sub-quadratic, shuffle
-    keyed by 16-bit chunk."""
+    keyed by 16-bit chunk.
+
+    ``chunk_df_cap`` bounds every (chunk, value) bucket, same trade as
+    ``ngram_jaccard_pairs``'s df-cap: a degenerate corpus (millions of
+    short/empty docs all hashing to signature 0) would otherwise collect one
+    quadratic hot bucket into a single aggregation row.  Pairs inside a
+    capped bucket are found only if they also share a COLDER chunk; truly
+    identical signatures in an over-cap population are the pathological case
+    the cap exists for (route those through exact dedup first)."""
     chunks = max_hamming + 1
     width = 64 // chunks
     # Persist the signature relation: the chunk posexplode below is a
@@ -576,6 +585,8 @@ def simhash_pairs(
         )
         .where(F.size("_ids") > 1)
     )
+    if chunk_df_cap is not None:
+        bucketed = bucketed.where(F.size("_ids") <= chunk_df_cap)
     pairs = (
         bucketed.select(F.posexplode("_ids").alias("_i", "_e1"), F.col("_ids"))
         .select(

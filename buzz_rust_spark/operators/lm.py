@@ -60,9 +60,15 @@ def train_bigram_lm(
 
     Two shuffles total (unigram + bigram hash aggregates); N and V fall out
     of one small driver aggregate over the unigram relation."""
+    from ..functions.cache import persist_tracked
+
     toks = tokens(F.col(text_col))
     base = ensure_parallelism(df)
-    uni = (
+    # Persist both count relations: totals reads uni once at train time, and
+    # lm_score reads uni TWICE (word + context sides) and bigrams once —
+    # without the persists each read re-tokenizes the whole reference corpus
+    # (the redundant-scan pattern this repo eliminates everywhere else).
+    uni = persist_tracked(
         base.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
@@ -76,7 +82,7 @@ def train_bigram_lm(
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bi = (
+    bi = persist_tracked(
         base.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")

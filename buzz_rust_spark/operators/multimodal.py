@@ -244,14 +244,23 @@ def decode_png(payload: bytes | None):
         or interlace != 0
         or w <= 0
         or h <= 0
+        # dimension sanity bound: untrusted corpora can declare absurd IHDR
+        # dims; 2^26 pixels (64 MP ≈ 256 MB decoded RGBA) is far beyond any
+        # metadata-scale image this stage handles
+        or w * h > (1 << 26)
     ):
         return None
+    stride = w * channels
+    need = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # cap the inflate at exactly the pixel-buffer size derived from the
+        # IHDR: a zlib bomb in a small IDAT must not allocate unbounded
+        # executor memory before the length check can reject it
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         return None
     raw = np.frombuffer(raw, dtype=np.uint8)[: h * (stride + 1)].reshape(
         h, stride + 1

@@ -316,20 +316,51 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 BULLET_PREFIXES = ["•", "‣", "▪", "-", "*"]
 
 
+# The published MassiveText thresholds, single-sourced: the metrics relation
+# (gopher_quality) and the inline gate (gopher_passes_expr) both resolve
+# their rules here, so the two can never drift (review r5).
+GOPHER_QUALITY_DEFAULTS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_ratio": 0.9,
+    "max_ellipsis_line_ratio": 0.3,
+    "min_alpha_word_ratio": 0.8,
+    "min_stopwords": 2,
+}
+
+
+def _resolve_gopher_rules(rules: dict) -> dict:
+    unknown = set(rules) - set(GOPHER_QUALITY_DEFAULTS)
+    if unknown:
+        raise TypeError(f"unknown Gopher rule(s): {sorted(unknown)}")
+    return {**GOPHER_QUALITY_DEFAULTS, **rules}
+
+
+def _gopher_rule_conjunction(m: dict, thr: dict) -> Column:
+    """The nine published rule comparisons over a metric-expression (or
+    metric-column) dict — THE single definition both gates share."""
+    return (
+        (m["n_words"] >= thr["min_words"])
+        & (m["n_words"] <= thr["max_words"])
+        & (m["mean_word_len"] >= thr["min_mean_word_len"])
+        & (m["mean_word_len"] <= thr["max_mean_word_len"])
+        & (m["symbol_word_ratio"] <= thr["max_symbol_word_ratio"])
+        & (m["bullet_line_ratio"] <= thr["max_bullet_line_ratio"])
+        & (m["ellipsis_line_ratio"] <= thr["max_ellipsis_line_ratio"])
+        & (m["alpha_word_ratio"] >= thr["min_alpha_word_ratio"])
+        & (m["n_stopwords"] >= thr["min_stopwords"])
+    )
+
+
 def gopher_quality(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_word_ratio: float = 0.1,
-    max_bullet_line_ratio: float = 0.9,
-    max_ellipsis_line_ratio: float = 0.3,
-    min_alpha_word_ratio: float = 0.8,
-    min_stopwords: int = 2,
     stopwords: list[str] | None = None,
+    **rules,
 ) -> DataFrame:
     """Per-document Gopher quality-rule metrics and the combined keep flag.
 
@@ -348,6 +379,7 @@ def gopher_quality(
     Scale: narrow map-only stage; at 100 TB this pipelines with the parquet
     scan and the filter on ``passes`` pushes straight into the same stage.
     """
+    thr = _resolve_gopher_rules(rules)
     t = F.col(text_col)
     m = _gopher_metric_exprs(t, stopwords)
     out = df.select(
@@ -360,49 +392,20 @@ def gopher_quality(
         m["alpha_word_ratio"].alias("alpha_word_ratio"),
         m["n_stopwords"].alias("n_stopwords"),
     )
-    passes = (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
-        & (F.col("bullet_line_ratio") <= max_bullet_line_ratio)
-        & (F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio)
-        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
-        & (F.col("n_stopwords") >= min_stopwords)
-    )
-    return out.withColumn("passes", passes)
+    cols = {k: F.col(k) for k in (
+        "n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_ratio",
+        "ellipsis_line_ratio", "alpha_word_ratio", "n_stopwords")}
+    return out.withColumn("passes", _gopher_rule_conjunction(cols, thr))
 
 
-def gopher_passes_expr(
-    t,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_word_ratio: float = 0.1,
-    max_bullet_line_ratio: float = 0.9,
-    max_ellipsis_line_ratio: float = 0.3,
-    min_alpha_word_ratio: float = 0.8,
-    min_stopwords: int = 2,
-    stopwords: list[str] | None = None,
-):
+def gopher_passes_expr(t, stopwords: list[str] | None = None, **rules):
     """The combined Gopher keep flag as ONE inline boolean expression over a
     text column — bit-identical to ``gopher_quality(...).passes`` (same
     metric expressions, same 6-dp rounding), for pipelines that want the
     gate fused into an existing projection instead of a metrics relation +
     semi-join (which would evaluate the upstream subtree twice)."""
-    m = _gopher_metric_exprs(t, stopwords)
-    return (
-        (m["n_words"] >= min_words)
-        & (m["n_words"] <= max_words)
-        & (m["mean_word_len"] >= min_mean_word_len)
-        & (m["mean_word_len"] <= max_mean_word_len)
-        & (m["symbol_word_ratio"] <= max_symbol_word_ratio)
-        & (m["bullet_line_ratio"] <= max_bullet_line_ratio)
-        & (m["ellipsis_line_ratio"] <= max_ellipsis_line_ratio)
-        & (m["alpha_word_ratio"] >= min_alpha_word_ratio)
-        & (m["n_stopwords"] >= min_stopwords)
+    return _gopher_rule_conjunction(
+        _gopher_metric_exprs(t, stopwords), _resolve_gopher_rules(rules)
     )
 
 

@@ -48,8 +48,10 @@ def register(
             # Queries run strictly sequentially in the correctness driver and
             # bench; releasing the PREVIOUS query's operator caches here
             # bounds a long-lived session's cache footprint to one query's
-            # working set (see functions/cache.py).
-            release_operator_caches()
+            # working set (see functions/cache.py).  Scoped to THIS session:
+            # a library caller's persists on another SparkSession must not
+            # be released by registry activity (review r5).
+            release_operator_caches(spark)
             return fn(spark, sf_dir)
 
         scoped.__name__ = fn.__name__

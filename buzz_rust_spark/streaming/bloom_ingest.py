@@ -64,29 +64,41 @@ def read_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def compact_bloom_state(
-    spark: SparkSession, state_dir: str, min_deltas: int = 2
+    spark: SparkSession, state_dir: str, min_deltas: int = 2,
+    min_age_sec: float = 300.0,
 ) -> int:
     """Fold the append-only sketch-delta log into one delta; returns how many
-    delta files were replaced (0 = nothing to do).
+    input delta files were removed (0 = nothing folded or all inputs still
+    inside the deletion grace period).
 
     The log grows one parquet delta per micro-batch forever; reads fold the
     whole log, so an unbounded log makes every batch's state read O(history).
-    Compaction is SAFE AT ANY TIME by the module's CRDT argument, and is
-    itself log-structured so it never races concurrent appends:
+    Compaction is log-structured so it never loses APPENDER or READER state:
 
     1. snapshot the current delta file list;
     2. fold EXACTLY those files (``bit_or``) and append the folded result to
        the log as a new delta (any batch appended meanwhile is untouched and
-       simply folds in later);
-    3. delete exactly the snapshotted input files.
+       simply folds in later; a reader listing after this step sees a
+       superset of the bits — idempotent under ``bit_or``);
+    3. delete only snapshotted input files OLDER than ``min_age_sec``.
 
-    A crash between 2 and 3 leaves the folded delta AND its inputs — the
-    double-counted bits ``bit_or`` to the same state (idempotence), and
-    re-running compaction converges.  ``min_deltas`` is the retention knob:
-    skip compaction until the log has more than this many delta files, so a
-    hot loop isn't rewriting a two-file log every call."""
+    The age grace closes the reader race: a concurrent ``read_bloom_state``
+    that listed the directory BEFORE step 2 must finish its read within the
+    grace window or it could hit deleted files / observe a bit-losing
+    partial listing.  Micro-batch state reads take seconds; the 5-minute
+    default is orders of magnitude of headroom, and the stream's own
+    ``foreachBatch`` loop is sequential, so compacting from the same driver
+    between batches (as the test does) is always safe even with
+    ``min_age_sec=0``.  Young inputs folded-but-not-deleted are removed by a
+    later call once aged — the log converges to one delta plus the
+    most-recent grace window.  A crash between 2 and 3 leaves the folded
+    delta AND its inputs; the double-counted bits ``bit_or`` to the same
+    state, and re-running compaction converges.  ``min_deltas`` is the
+    retention knob: skip compaction until the log has more than this many
+    delta files, so a hot loop isn't rewriting a two-file log every call."""
     import glob
     import os
+    import time
     import uuid
 
     from pyspark.sql import functions as F
@@ -129,12 +141,16 @@ def compact_bloom_state(
     shutil.rmtree(tmp, ignore_errors=True)
     if moved == 0:  # empty fold (log held only empty deltas) — keep inputs
         return 0
+    cutoff = time.time() - min_age_sec
+    removed = 0
     for f in files:
         try:
-            os.remove(f)
+            if os.path.getmtime(f) <= cutoff:
+                os.remove(f)
+                removed += 1
         except FileNotFoundError:
             pass  # a concurrent compactor got it first — same folded bits
-    return len(files)
+    return removed
 
 
 def bloom_dedup_sink(

@@ -283,6 +283,15 @@ def test_png_codec_roundtrip_and_unfilter():
     )
     assert M.decode_png(bad_depth) is None
     assert M.decode_png(None) is None
+    # zlib-bomb guard: absurd declared dims are rejected BEFORE any inflate
+    # could allocate (review r5) — a 1-gigapixel IHDR over a tiny IDAT
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 40000, 40000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+        + chunk(b"IEND", b"")
+    )
+    assert M.decode_png(bomb) is None
 
 
 def test_multimodal_decode_real_png_features(spark):

@@ -189,9 +189,13 @@ def gen_embeddings(con, out_dir: str, mult: int, seed: int = 20260815) -> None:
     out_vecs = [vecs]
     out_labels = [labels]
     norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    dim_scale = np.sqrt(dim)
     for i in range(1, mult):
+        # per-component sigma 0.02*norm/sqrt(dim) so the expected NOISE
+        # VECTOR length is ~2% of the embedding norm (plain 0.02*norm per
+        # component would be 0.02*sqrt(dim) ≈ 16% directionally — review r5)
         noise = rng.normal(0.0, 0.02, size=vecs.shape).astype(np.float32)
-        v = vecs + noise * norms  # 2% relative perturbation
+        v = vecs + noise * norms / dim_scale  # ~2% relative perturbation
         # renormalize to the ORIGINAL norms so the norm distribution (which
         # cosine/IVF ops depend on) is preserved exactly
         v = v / np.linalg.norm(v, axis=1, keepdims=True) * norms

@@ -22,6 +22,11 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
     "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
 }
+# Languages written WITHOUT whitespace word boundaries: marker matching must
+# be substring containment — whitespace tokens of Chinese text are whole
+# phrases and never equal a single-character marker, so token-intersection
+# scoring silently scores zh 0 on all real Chinese input (review r5).
+LANG_CHAR_MODE: frozenset[str] = frozenset({"zh"})
 
 
 def token_count(col: Column) -> Column:
@@ -133,14 +138,28 @@ def language_id(
 
     One pass: tokens → per-language overlap count → greatest score wins (ties
     broken by language code order, deterministic).  Unknown when no marker
-    matches."""
+    matches.  ``LANG_CHAR_MODE`` languages (no whitespace word boundaries)
+    count distinct marker CHARACTERS contained in the text instead of token
+    intersections."""
     toks = tokens(F.col(text_col))
-    score_cols = [
-        F.size(
+    lowered = F.lower(F.col(text_col))
+
+    def score(lang: str, words: list[str]) -> Column:
+        if lang in LANG_CHAR_MODE:
+            return F.size(
+                F.filter(
+                    F.array(*[F.lit(w) for w in words]),
+                    lambda m: F.contains(lowered, m),
+                )
+            )
+        return F.size(
             F.array_intersect(
                 F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
             )
-        ).alias(f"score_{lang}")
+        )
+
+    score_cols = [
+        score(lang, words).alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
     ]
     scored = df.select(F.col(id_col), F.col(text_col), *score_cols)
@@ -164,7 +183,12 @@ def word_repetition(
     Shape: explode to (doc, word) then two keyed aggregations.  Both shuffles
     are keyed by doc_id (the second reuses the first's partitioning), and the
     (doc, word) aggregate partial-combines map-side, so the exploded relation
-    never materializes through a shuffle at corpus scale."""
+    never materializes through a shuffle at corpus scale.
+
+    Zero-token documents (empty/whitespace-only text) emit NO output row —
+    the explode produces nothing for them.  Callers that must keep every
+    input document (e.g. to gate on these ratios) should left-join this
+    result back on the id; ``lm_score`` shows the pattern."""
     exploded = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
     per_word = exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
     return per_word.groupBy(id_col).agg(
@@ -182,15 +206,11 @@ def top_ngrams(
     n-gram text, deterministic).
 
     The n-gram expansion is a JVM-side array transform (no Python, no
-    intermediate distinct), and the count partial-aggregates map-side; the
-    final top-k is a TakeOrdered over the aggregated relation."""
-    toks = tokens(F.col(text_col))
-    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    intermediate distinct — THE shared _word_ngrams_all expression, so the
+    three gram-expansion call sites cannot drift), and the count
+    partial-aggregates map-side; the final top-k is a TakeOrdered over the
+    aggregated relation."""
+    grams = _word_ngrams_all(tokens(F.col(text_col)), n)
     return (
         df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")

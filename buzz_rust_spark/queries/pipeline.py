@@ -352,12 +352,23 @@ def t02_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_oracle() -> str:
-    from ..operators.text import LANG_MARKERS
+    from ..operators.text import LANG_CHAR_MODE, LANG_MARKERS
+
+    def score_expr(lang: str, words: list[str]) -> str:
+        if lang in LANG_CHAR_MODE:
+            # substring containment for no-whitespace scripts (matches the
+            # Spark side's LANG_CHAR_MODE path)
+            return (
+                f"len(list_filter({[w for w in words]!r}, "
+                f"m -> contains(lower(text), m))) AS score_{lang}"
+            )
+        return (
+            f"len(list_intersect(list_distinct({_TOKS}), "
+            f"{[w for w in words]!r})) AS score_{lang}"
+        )
 
     score_exprs = ",\n       ".join(
-        f"len(list_intersect(list_distinct({_TOKS}), "
-        f"{[w for w in words]!r})) AS score_{lang}"
-        for lang, words in LANG_MARKERS.items()
+        score_expr(lang, words) for lang, words in LANG_MARKERS.items()
     )
     langs = list(LANG_MARKERS)
     best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"

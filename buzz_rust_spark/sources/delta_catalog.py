@@ -172,12 +172,20 @@ class DeltaCatalog:
 
         cp_version: int | None = None
         if store.exists(f"{_LOG}/_last_checkpoint"):
-            cp_version = json.loads(store.read_text(f"{_LOG}/_last_checkpoint"))[
-                "version"
-            ]
+            last_cp = json.loads(store.read_text(f"{_LOG}/_last_checkpoint"))
+            cp_version = last_cp["version"]
+            # Multi-part checkpoints (the 'parts' field) split actions across
+            # N files; reading only a single-file name would silently drop
+            # actions, so fall back to a full JSON replay — the contiguity
+            # check below converts cleaned-up early commits into a typed
+            # error instead of a wrong snapshot.
+            if int(last_cp.get("parts") or 1) > 1:
+                cp_version = None
             # time travel below the checkpoint needs a full JSON replay;
             # only use the checkpoint when it doesn't overshoot the target.
-            if self.version is not None and cp_version > self.version:
+            if self.version is not None and cp_version is not None and (
+                cp_version > self.version
+            ):
                 cp_version = None
         if cp_version is not None:
             table = store.read_parquet(
@@ -201,18 +209,35 @@ class DeltaCatalog:
             start_version = cp_version + 1
 
         max_seen = start_version - 1  # checkpoint (if used) covers ≤ this
+        replayed: list[int] = []
         for version, rel in _commit_versions(store):
             if version < start_version:
                 continue
             if self.version is not None and version > self.version:
                 continue
             max_seen = max(max_seen, version)
+            replayed.append(version)
             _replay_actions(_read_actions(store, rel), live, meta, self.table_uri)
 
         if self.version is not None and max_seen < self.version:
             raise BuzzExecutionError(
                 f"Delta table {self.table_uri!r} has no version {self.version}"
                 f" (latest commit seen: {max_seen})"
+            )
+        # Contiguity: the replay must cover EVERY version in
+        # [start_version, max_seen] — commits removed by log cleanup
+        # (delta.logRetentionDuration) would otherwise drop their adds from
+        # the snapshot SILENTLY (e.g. time travel below a checkpoint whose
+        # early JSON commits are gone, or a multi-part-checkpoint fallback).
+        expected = set(range(start_version, max_seen + 1))
+        gaps = sorted(expected - set(replayed))
+        if gaps:
+            raise BuzzExecutionError(
+                f"Delta log at {self.table_uri!r} is missing commit(s) "
+                f"{gaps[:5]}{'...' if len(gaps) > 5 else ''} in the replay "
+                f"range [{start_version}, {max_seen}] — history was cleaned "
+                "up past the requested snapshot (re-checkpoint or read a "
+                "newer version)"
             )
         if not meta:
             raise BuzzExecutionError(
@@ -238,8 +263,12 @@ class DeltaCatalog:
             ]
         )
 
-        def _pv(add: dict, c: str) -> str:
-            return str(add.get("partitionValues", {}).get(phys.get(c, c)))
+        def _pv(add: dict, c: str) -> str | None:
+            # Delta serializes a null partition value as JSON null — keep it
+            # None (→ SQL NULL) rather than stringifying to 'None', which
+            # would break `col IS NULL` pruning and wrongly match = 'None'
+            v = add.get("partitionValues", {}).get(phys.get(c, c))
+            return None if v is None else str(v)
 
         self.files = [
             CatalogFile(
@@ -343,6 +372,30 @@ def read_delta_changes(
             f"Delta table {table_uri!r} has no version {to_version}"
             f" (latest: {latest})"
         )
+    if from_version > latest:
+        # a stale/bogus cursor (e.g. the table was deleted and recreated)
+        # must fail loudly, not return an empty change set every poll forever
+        raise BuzzExecutionError(
+            f"from_version {from_version} is beyond Delta table "
+            f"{table_uri!r}'s latest commit {latest}"
+        )
+    # Contiguity over the requested window: commits removed by log cleanup
+    # would silently drop their rows from the incremental feed — permanent
+    # data loss for the consumer.  (Commits AT/BELOW from_version may be
+    # cleaned freely; only (from_version, to_version] must be complete.)
+    window_lo = max(from_version + 1, commits[0][0])
+    have = {v for v, _ in commits if window_lo <= v <= to_version}
+    gaps = sorted(set(range(window_lo, to_version + 1)) - have)
+    if from_version + 1 < commits[0][0] or gaps:
+        missing = (
+            list(range(from_version + 1, commits[0][0])) + gaps
+        )
+        raise BuzzExecutionError(
+            f"Delta log at {table_uri!r} is missing commit(s) "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} in the change "
+            f"window ({from_version}, {to_version}] — history was cleaned up "
+            "past the consumer's cursor; re-bootstrap from a full snapshot"
+        )
 
     meta: dict = {}
     per_version: dict[int, list[dict]] = {}
@@ -407,10 +460,12 @@ def read_delta_changes(
                 CatalogFile(
                     key=store.spark_path(add["path"]),
                     length=int(add.get("size", 0)),
+                    # null partition values stay None → SQL NULL (same as
+                    # the snapshot path's _pv)
                     partitions=tuple(
                         (
                             c,
-                            str(
+                            (lambda v: None if v is None else str(v))(
                                 add.get("partitionValues", {}).get(
                                     phys.get(c, c)
                                 )

@@ -27,11 +27,16 @@ from ..errors import BuzzPlanError
 @dataclass(frozen=True)
 class CatalogFile:
     """One file entry (reference: static_catalog.rs:13-20 ``CatalogFile`` and
-    models/mod.rs:13-16 ``SizedFile``)."""
+    models/mod.rs:13-16 ``SizedFile``).
+
+    A partition VALUE may be ``None`` (Delta serializes a null partition
+    value as JSON null) — distinct from the column being ABSENT from the
+    tuple, which is a malformed catalog (``has_partition`` tells them
+    apart)."""
 
     key: str
     length: int
-    partitions: tuple[tuple[str, str], ...] = field(default_factory=tuple)
+    partitions: tuple[tuple[str, str | None], ...] = field(default_factory=tuple)
 
     def partition_value(self, col: str) -> str | None:
         for k, v in self.partitions:
@@ -39,15 +44,21 @@ class CatalogFile:
                 return v
         return None
 
+    def has_partition(self, col: str) -> bool:
+        return any(k == col for k, _ in self.partitions)
+
 
 def manifest_schema(partition_cols: list[str]) -> StructType:
     """reference: catalog/mod.rs:128-137 (``key``, ``length``, partition cols
-    as non-null Utf8; UInt64 length narrowed to LongType — file sizes << 2^63)."""
+    as Utf8; UInt64 length narrowed to LongType — file sizes << 2^63).
+    Partition fields are nullable: a Delta null partition value must surface
+    as SQL NULL (so ``col IS NULL`` filters prune correctly), never as the
+    string 'None'."""
     fields = [
         StructField("key", StringType(), nullable=False),
         StructField("length", LongType(), nullable=False),
     ]
-    fields += [StructField(c, StringType(), nullable=False) for c in partition_cols]
+    fields += [StructField(c, StringType(), nullable=True) for c in partition_cols]
     return StructType(fields)
 
 

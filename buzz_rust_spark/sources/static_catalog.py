@@ -121,15 +121,17 @@ class StaticCatalog:
                 *[self.resolve_key(f.key) for f in files]
             )
 
-        # Group files by partition tuple.
-        groups: dict[tuple[str, ...], list[str]] = {}
+        # Group files by partition tuple.  A None VALUE is a legitimate null
+        # partition (Delta); only an ABSENT column is a malformed catalog.
+        groups: dict[tuple[str | None, ...], list[str]] = {}
         for f in files:
-            values = tuple(f.partition_value(c) for c in self.partition_cols)
-            if any(v is None for v in values):
+            missing = [c for c in self.partition_cols if not f.has_partition(c)]
+            if missing:
                 raise BuzzPlanError(
                     f"file {f.key!r} lacks values for partition columns "
-                    f"{self.partition_cols}"
+                    f"{missing}"
                 )
+            values = tuple(f.partition_value(c) for c in self.partition_cols)
             groups.setdefault(values, []).append(self.resolve_key(f.key))
 
         strategy = self.attach_strategy
@@ -137,9 +139,14 @@ class StaticCatalog:
             strategy = "union" if len(groups) <= self.union_max_groups else "join"
 
         if strategy == "union":
-            # One scan per distinct tuple with literal partition columns.
+            # One scan per distinct tuple with literal partition columns
+            # (nulls sort first in the deterministic group order).
+            def _group_key(item):
+                values, _ = item
+                return tuple((v is not None, v or "") for v in values)
+
             scans = []
-            for values, paths in sorted(groups.items()):
+            for values, paths in sorted(groups.items(), key=_group_key):
                 df = spark.read.schema(self.schema).parquet(*paths)
                 for col, value in zip(self.partition_cols, values):
                     df = df.withColumn(col, F.lit(value).cast(StringType()))

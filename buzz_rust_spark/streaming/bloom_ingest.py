@@ -82,45 +82,92 @@ def compact_bloom_state(
        superset of the bits — idempotent under ``bit_or``);
     3. delete only snapshotted input files OLDER than ``min_age_sec``.
 
-    The age grace closes the reader race: a concurrent ``read_bloom_state``
-    that listed the directory BEFORE step 2 must finish its read within the
-    grace window or it could hit deleted files / observe a bit-losing
-    partial listing.  Micro-batch state reads take seconds; the 5-minute
-    default is orders of magnitude of headroom, and the stream's own
-    ``foreachBatch`` loop is sequential, so compacting from the same driver
-    between batches (as the test does) is always safe even with
-    ``min_age_sec=0``.  Young inputs folded-but-not-deleted are removed by a
-    later call once aged — the log converges to one delta plus the
-    most-recent grace window.  A crash between 2 and 3 leaves the folded
-    delta AND its inputs; the double-counted bits ``bit_or`` to the same
-    state, and re-running compaction converges.  ``min_deltas`` is the
-    retention knob: skip compaction until the log has more than this many
+    The deletion grace is keyed to the FOLD time, not file age: inputs are
+    recorded in a ``_pending-<uuid>.json`` sidecar stamped when their folded
+    replacement lands, and deleted only once that stamp is ``min_age_sec``
+    old — so a concurrent ``read_bloom_state`` that listed the directory
+    any time before the fold has the full grace window to finish its read.
+    Micro-batch state reads take seconds; the 5-minute default is orders of
+    magnitude of headroom, and the stream's own ``foreachBatch`` loop is
+    sequential, so compacting from the same driver between batches (as the
+    test does) is always safe even with ``min_age_sec=0``.  Pending inputs
+    are removed by a later call once aged — the log converges to one delta
+    plus the most-recent grace window.  A crash at any step leaves the
+    folded delta AND its inputs; the double-counted bits ``bit_or`` to the
+    same state, and re-running compaction converges.  ``min_deltas`` is the
+    retention knob: skip folding until the log has more than this many
     delta files, so a hot loop isn't rewriting a two-file log every call."""
     import glob
+    import json as _json
     import os
     import time
     import uuid
 
     from pyspark.sql import functions as F
 
+    from ..errors import BuzzBadRequestError
+
     local = state_dir
     for prefix in ("file://", "file:"):
         if local.startswith(prefix):
             local = local[len(prefix):]
             break
+    if "://" in local:
+        # silently returning 0 would be indistinguishable from
+        # nothing-to-compact while the log grows forever
+        raise BuzzBadRequestError(
+            f"compact_bloom_state supports local state dirs only, got "
+            f"{state_dir!r} (run it where the state filesystem is mounted)"
+        )
     if not os.path.isdir(local):
         return 0
+
+    def _delete_aged_pending() -> int:
+        removed = 0
+        cutoff = time.time() - min_age_sec
+        for sidecar in glob.glob(os.path.join(local, "_pending-*.json")):
+            try:
+                rec = _json.loads(open(sidecar).read())
+            except (OSError, ValueError):
+                continue  # concurrent compactor mid-write/delete
+            if rec.get("folded_at", float("inf")) > cutoff:
+                continue
+            for f in rec.get("inputs", []):
+                try:
+                    os.remove(os.path.join(local, f))
+                    removed += 1
+                except FileNotFoundError:
+                    pass  # a concurrent compactor got it first — same bits
+            try:
+                os.remove(sidecar)
+            except FileNotFoundError:
+                pass
+        return removed
+
+    removed = _delete_aged_pending()
+
     # Spark readers skip files starting with '_' or '.'; everything else in
     # the directory is a delta (appends write part-*; prior compactions write
-    # compacted-*)
+    # compacted-*).  Files already recorded in a pending sidecar are folded
+    # but awaiting deletion — exclude them from a re-fold (their bits are in
+    # the compacted delta already; re-folding is harmless but pointless).
+    pending_inputs: set[str] = set()
+    for sidecar in glob.glob(os.path.join(local, "_pending-*.json")):
+        try:
+            pending_inputs.update(
+                _json.loads(open(sidecar).read()).get("inputs", [])
+            )
+        except (OSError, ValueError):
+            pass
     files = sorted(
         f
         for f in glob.glob(os.path.join(local, "*"))
         if os.path.isfile(f)
         and not os.path.basename(f).startswith(("_", "."))
+        and os.path.basename(f) not in pending_inputs
     )
     if len(files) <= min_deltas:
-        return 0
+        return removed
     folded = (
         spark.read.schema(_STATE_SCHEMA)
         .parquet(*files)
@@ -140,16 +187,20 @@ def compact_bloom_state(
 
     shutil.rmtree(tmp, ignore_errors=True)
     if moved == 0:  # empty fold (log held only empty deltas) — keep inputs
-        return 0
-    cutoff = time.time() - min_age_sec
-    removed = 0
-    for f in files:
-        try:
-            if os.path.getmtime(f) <= cutoff:
-                os.remove(f)
-                removed += 1
-        except FileNotFoundError:
-            pass  # a concurrent compactor got it first — same folded bits
+        return removed
+    # record the fold; the inputs become deletable min_age_sec from NOW
+    sidecar = os.path.join(local, f"_pending-{uuid.uuid4().hex}.json")
+    with open(sidecar + ".tmp", "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "folded_at": time.time(),
+                    "inputs": [os.path.basename(f) for f in files],
+                }
+            )
+        )
+    os.replace(sidecar + ".tmp", sidecar)
+    removed += _delete_aged_pending()
     return removed
 
 

@@ -837,6 +837,89 @@ def test_column_mapping_mode_id_refused(spark, tmp_path):
         DeltaCatalog("cm", table)
 
 
+def test_null_partition_value_is_sql_null(spark, tmp_path):
+    """Delta serializes a null partition value as JSON null; it must attach
+    as SQL NULL (r5 review: str(None) produced the literal string 'None',
+    breaking IS NULL pruning and wrongly matching = 'None')."""
+    table = os.path.join(str(tmp_path), "delta-nullpart")
+    os.makedirs(table, exist_ok=True)
+    _write_part(spark, os.path.join(table, "a.parquet"), [("eng", 10)])
+    _write_part(spark, os.path.join(table, "b.parquet"), [("ops", 5)])
+    _write_commit(
+        os.path.join(table, "_delta_log"),
+        0,
+        [
+            {
+                "metaData": {
+                    "id": "np1",
+                    "schemaString": _schema_string(partitioned=True),
+                    "partitionColumns": ["year"],
+                    "format": {"provider": "parquet"},
+                }
+            },
+            {"add": {"path": "a.parquet", "size": 1,
+                     "partitionValues": {"year": "2020"}, "dataChange": True}},
+            {"add": {"path": "b.parquet", "size": 1,
+                     "partitionValues": {"year": None}, "dataChange": True}},
+        ],
+    )
+    cat = DeltaCatalog("np", table)
+    df = cat.to_dataframe(spark)
+    vals = {r.dept_name: r.year for r in df.collect()}
+    assert vals == {"eng": "2020", "ops": None}
+    assert [r.dept_name for r in cat.to_dataframe(spark, "year IS NULL").collect()] == ["ops"]
+    assert cat.to_dataframe(spark, "year = 'None'").count() == 0
+    assert len(cat.pruned_files(spark, "year IS NOT NULL")) == 1
+
+
+def test_snapshot_refuses_cleaned_log_gaps(spark, tmp_path):
+    """Commits removed by log cleanup inside the replay range must raise,
+    not silently drop their adds from the snapshot (r5 review)."""
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "tbl-gap")
+    write_delta(spark.range(2).withColumnRenamed("id", "v"), table)
+    write_delta(spark.range(2).withColumnRenamed("id", "v"), table, mode="append")
+    write_delta(spark.range(2).withColumnRenamed("id", "v"), table, mode="append")
+    assert DeltaCatalog("t", table).to_dataframe(spark).count() == 6
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(BuzzExecutionError, match="missing commit"):
+        DeltaCatalog("t", table)
+
+
+def test_changes_refuses_cleaned_window_and_stale_cursor(spark, tmp_path):
+    from buzz_rust_spark.sources import read_delta_changes, write_delta
+
+    table = str(tmp_path / "tbl-chg")
+    write_delta(spark.range(2).withColumnRenamed("id", "v"), table)
+    write_delta(spark.range(2).withColumnRenamed("id", "v"), table, mode="append")
+    write_delta(spark.range(2).withColumnRenamed("id", "v"), table, mode="append")
+    assert read_delta_changes(spark, table, from_version=0).count() == 4
+    # stale cursor beyond the table's history fails loudly
+    with pytest.raises(BuzzExecutionError, match="beyond"):
+        read_delta_changes(spark, table, from_version=50)
+    # a cleaned commit inside the requested window fails loudly
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(BuzzExecutionError, match="missing commit"):
+        read_delta_changes(spark, table, from_version=0)
+
+
+def test_multipart_checkpoint_falls_back_to_json_replay(spark, tmp_path):
+    """A _last_checkpoint with parts > 1 must not read a single-file
+    checkpoint name (silent action loss / raw FileNotFound); it falls back
+    to full JSON replay, and the contiguity guard covers cleaned history."""
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "tbl-parts")
+    write_delta(spark.range(3).withColumnRenamed("id", "v"), table)
+    write_delta(spark.range(2).withColumnRenamed("id", "v"), table, mode="append")
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 1, "parts": 2}))
+    # full JSON history still present → replay works
+    assert DeltaCatalog("t", table).to_dataframe(spark).count() == 5
+
+
 def test_write_delta_rejects_remote_uri(spark, tmp_path):
     from buzz_rust_spark.errors import BuzzBadRequestError
     from buzz_rust_spark.sources import write_delta

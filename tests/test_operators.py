@@ -134,6 +134,10 @@ def test_language_id(spark):
         (2, "el perro y la casa de los gatos", "es"),
         (3, "der Hund ist nicht das Problem und", "de"),
         (4, "qqq zzz xxx", "und"),
+        # real (unsegmented) Chinese: no whitespace word boundaries, so zh
+        # markers must match by CONTAINMENT — token intersection scored this
+        # 0 and returned 'und' before the r5 char-mode fix
+        (5, "我不是在这里有的和我们一起去了北京看看世界", "zh"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "expected"])
     out = {r["doc_id"]: r["pred_lang"] for r in T.language_id(df).collect()}

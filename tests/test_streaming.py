@@ -407,16 +407,19 @@ def test_bloom_state_compaction_mid_stream(spark, tmp_path):
     assert n_before >= 2
     # retention knob: min_deltas at/above the log size is a no-op
     assert compact_bloom_state(spark, state, min_deltas=n_before) == 0
-    # default grace period: inputs are folded but too YOUNG to delete —
-    # state unchanged, log grew by the folded delta, nothing removed
+    # default grace period: inputs are folded and recorded in a pending
+    # sidecar but the fold is too RECENT to delete them — state unchanged,
+    # log grew by the folded delta, nothing removed
     assert compact_bloom_state(spark, state, min_deltas=1) == 0
     assert len(delta_files()) == n_before + 1
     assert {
         (r["word_idx"], r["bits"]) for r in read_bloom_state(spark, state).collect()
     } == before
-    # same driver between batches → min_age_sec=0 deletes the inputs
-    n_now = len(delta_files())
-    assert compact_bloom_state(spark, state, min_deltas=1, min_age_sec=0) == n_now
+    # same driver between batches → min_age_sec=0 deletes the pending inputs
+    assert (
+        compact_bloom_state(spark, state, min_deltas=1, min_age_sec=0)
+        == n_before
+    )
     assert len(delta_files()) == 1
     after = {
         (r["word_idx"], r["bits"]) for r in read_bloom_state(spark, state).collect()

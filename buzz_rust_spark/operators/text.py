@@ -640,7 +640,12 @@ def gopher_repetition(
     12-byte int tuples shuffle, never gram strings.  (A shuffle-free
     in-array sort+fold variant was measured 20x slower: Catalyst evaluates
     higher-order ``aggregate`` lambdas interpreted, per element — the
-    explode keeps everything in whole-stage codegen.)"""
+    explode keeps everything in whole-stage codegen.)  Per-document
+    transient memory is O(9T) gram structs while the generator input
+    materializes — ~60 MB at the 100k-word ceiling Gopher's own max_words
+    rule imposes, so apply :func:`gopher_quality` (or any length gate)
+    FIRST on corpora that may contain pathological multi-million-token
+    rows."""
     from ..functions.parallelism import ensure_parallelism
 
     top_thr = (

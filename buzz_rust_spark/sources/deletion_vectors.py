@@ -1,0 +1,292 @@
+"""Delta Lake deletion vectors (reader protocol 3): pure-python decode/encode.
+
+A deletion vector (DV) marks rows of one parquet data file as logically
+deleted without rewriting the file: the ``add`` action carries a descriptor
+``{storageType, pathOrInlineDv, offset, sizeInBytes, cardinality}`` and the
+bitmap of deleted row indexes lives in a sidecar ``.bin`` file (or inline in
+the log).  Every modern writer emits them for DELETE/UPDATE/MERGE, so a
+reader stopping at protocol 2 refuses 2024-era tables — the gap the round-4
+review called out.  The reference never met DVs only because delta-rs 0.2
+predates the feature (reference: code/src/datasource/catalog/delta_catalog.rs:33-48).
+
+Formats implemented here are the published Delta spec (PROTOCOL.md
+"Deletion Vectors" + the open-source RoaringBitmapArray serialization):
+
+- **Z85 encoding** (ZeroMQ base85, 4 bytes -> 5 chars) for the UUID in
+  ``storageType='u'`` paths and the whole bitmap in ``storageType='i'``.
+- **DV file framing**: 1 version byte (=1), then per DV entry at ``offset``:
+  ``<dataSize: 4-byte BE><data: dataSize bytes><CRC-32 of data: 4-byte BE>``.
+- **Bitmap data**: magic number ``1681511377`` (4-byte LE), then the
+  "portable" RoaringBitmapArray: number of 32-bit bitmaps (8-byte LE),
+  then each 32-bit roaring bitmap in the standard interoperable format
+  (RoaringFormatSpec: array / bitset / run containers); bitmap ``i`` holds
+  the low 32 bits of row indexes in ``[i*2^32, (i+1)*2^32)``.
+
+Scale: DV decode is driver-side metadata work, like the log replay itself —
+bitmaps are compressed and bounded by the writer's rewrite policy (engines
+compact files whose DVs grow past a few percent of rows).  The row filter is
+distributed: see ``DeltaCatalog.to_dataframe``, which anti-joins the scan's
+``_metadata.row_index`` against the decoded positions.
+
+The encoder exists so tests can synthesize spec-conformant tables (delta-spark
+is not a dependency) and for a future DV-writing DELETE path; decode is the
+load-bearing half.
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid
+import zlib
+
+from ..errors import BuzzExecutionError
+
+# --- Z85 (ZeroMQ spec 32/Z85, public) --------------------------------------
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def z85_encode(data: bytes) -> str:
+    """4-bytes-to-5-chars base85; input is zero-padded to a multiple of 4
+    (the decoder recovers the true length from the descriptor's
+    ``sizeInBytes``, matching Delta's Base85Codec)."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    out = []
+    for i in range(0, len(data), 4):
+        (n,) = struct.unpack(">I", data[i : i + 4])
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_CHARS[n % 85])
+            n //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(s: str, length: int | None = None) -> bytes:
+    if len(s) % 5:
+        raise BuzzExecutionError(f"z85 string length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        n = 0
+        for c in s[i : i + 5]:
+            if c not in _Z85_INDEX:
+                raise BuzzExecutionError(f"invalid z85 character {c!r}")
+            n = n * 85 + _Z85_INDEX[c]
+        if n > 0xFFFFFFFF:
+            raise BuzzExecutionError("z85 group overflows 32 bits")
+        out += struct.pack(">I", n)
+    return bytes(out[:length]) if length is not None else bytes(out)
+
+
+# --- RoaringBitmapArray (portable) ------------------------------------------
+
+MAGIC = 1681511377  # RoaringBitmapArray magic (delta-io/delta, LE int32)
+
+_COOKIE_NO_RUN = 12346  # RoaringFormatSpec SERIAL_COOKIE_NO_RUNCONTAINER
+_COOKIE_RUN = 12347  # SERIAL_COOKIE (stream may contain run containers)
+_NO_OFFSET_THRESHOLD = 4
+
+
+def _decode_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard-portable 32-bit roaring bitmap at ``buf[pos:]`` ->
+    (sorted values, next position)."""
+    start = pos
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    run_flags = b""
+    if (cookie & 0xFFFF) == _COOKIE_RUN:
+        n_containers = (cookie >> 16) + 1
+        pos += 4
+        n_flag_bytes = (n_containers + 7) // 8
+        run_flags = buf[pos : pos + n_flag_bytes]
+        pos += n_flag_bytes
+    elif cookie == _COOKIE_NO_RUN:
+        (n_containers,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+    else:
+        raise BuzzExecutionError(f"bad roaring cookie {cookie & 0xFFFF}")
+
+    headers = []
+    for i in range(n_containers):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        headers.append((key, card_m1 + 1))
+
+    has_offsets = cookie == _COOKIE_NO_RUN or n_containers >= _NO_OFFSET_THRESHOLD
+    if has_offsets:
+        pos += 4 * n_containers  # containers are contiguous; trust the stream
+
+    values: list[int] = []
+    for i, (key, card) in enumerate(headers):
+        base = key << 16
+        is_run = bool(run_flags and (run_flags[i // 8] >> (i % 8)) & 1)
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                lo, ln_m1 = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(range(base + lo, base + lo + ln_m1 + 1))
+        elif card > 4096:  # bitset container: 1024 x 64-bit words
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.append(base + (wi << 6) + b.bit_length() - 1)
+                    w ^= b
+        else:  # array container
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(base + v for v in vals)
+    if pos > len(buf):
+        raise BuzzExecutionError(
+            f"truncated roaring bitmap (needed {pos - start} bytes)"
+        )
+    return values, pos
+
+
+def decode_bitmap_array(data: bytes) -> list[int]:
+    """Magic + portable RoaringBitmapArray -> sorted 64-bit row indexes."""
+    if len(data) < 12:
+        raise BuzzExecutionError(f"deletion vector too short ({len(data)} bytes)")
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != MAGIC:
+        raise BuzzExecutionError(
+            f"bad deletion-vector magic {magic} (expected {MAGIC})"
+        )
+    (n_bitmaps,) = struct.unpack_from("<Q", data, 4)
+    pos = 12
+    out: list[int] = []
+    for high in range(n_bitmaps):
+        vals, pos = _decode_roaring32(data, pos)
+        out.extend((high << 32) | v for v in vals)
+    return out
+
+
+def encode_bitmap_array(positions) -> bytes:
+    """Sorted/unsorted 64-bit row indexes -> magic + portable bytes.
+
+    Emits the no-run-container stream (cookie 12346) with array containers
+    up to cardinality 4096 and bitset containers above — always valid per
+    RoaringFormatSpec, merely not run-compressed."""
+    positions = sorted(set(int(p) for p in positions))
+    if positions and positions[0] < 0:
+        raise BuzzExecutionError("negative row index in deletion vector")
+    by_high: dict[int, dict[int, list[int]]] = {}
+    for p in positions:
+        by_high.setdefault(p >> 32, {}).setdefault((p & 0xFFFFFFFF) >> 16, []).append(
+            p & 0xFFFF
+        )
+    n_bitmaps = (max(by_high) + 1) if by_high else 0
+    out = bytearray(struct.pack("<iQ", MAGIC, n_bitmaps))
+    for high in range(n_bitmaps):
+        containers = sorted(by_high.get(high, {}).items())
+        out += struct.pack("<II", _COOKIE_NO_RUN, len(containers))
+        for key, vals in containers:
+            out += struct.pack("<HH", key, len(vals) - 1)
+        # offset header: absolute byte offsets of each container from the
+        # start of THIS bitmap's stream
+        off = 8 + 4 * len(containers) + 4 * len(containers)
+        offsets = []
+        for _, vals in containers:
+            offsets.append(off)
+            off += 2 * len(vals) if len(vals) <= 4096 else 8192
+        out += struct.pack(f"<{len(offsets)}I", *offsets)
+        for _, vals in containers:
+            if len(vals) <= 4096:
+                out += struct.pack(f"<{len(vals)}H", *vals)
+            else:
+                words = [0] * 1024
+                for v in vals:
+                    words[v >> 6] |= 1 << (v & 63)
+                out += struct.pack("<1024Q", *words)
+    return bytes(out)
+
+
+# --- descriptor resolution ---------------------------------------------------
+
+
+def dv_relative_path(dv: dict) -> str:
+    """``storageType='u'`` descriptor -> path relative to the table root:
+    ``[<prefix>/]deletion_vector_<uuid>.bin`` where the LAST 20 chars of
+    ``pathOrInlineDv`` are the z85 UUID and anything before is an optional
+    random prefix directory (PROTOCOL.md Deletion Vector Descriptor)."""
+    enc = dv["pathOrInlineDv"]
+    if len(enc) < 20:
+        raise BuzzExecutionError(f"malformed DV path {enc!r} (needs 20-char uuid)")
+    u = uuid.UUID(bytes=z85_decode(enc[-20:], 16))
+    prefix = enc[:-20]
+    name = f"deletion_vector_{u}.bin"
+    return f"{prefix}/{name}" if prefix else name
+
+
+def read_dv_positions(store, dv: dict) -> list[int]:
+    """Descriptor -> sorted deleted row indexes, verifying size, CRC-32 and
+    cardinality (a silent misread here resurrects or re-deletes rows).
+
+    ``store`` is the table's :class:`~buzz_rust_spark.sources.logstore.LogStore`
+    (relative 'u' paths resolve against the table root; absolute 'p' paths
+    must share its filesystem)."""
+    st = dv.get("storageType")
+    size = int(dv["sizeInBytes"])
+    if st == "i":
+        data = z85_decode(dv["pathOrInlineDv"], size)
+    elif st in ("u", "p"):
+        if st == "u":
+            raw = store.read_bytes(dv_relative_path(dv))
+        else:
+            raw = store.read_bytes_uri(dv["pathOrInlineDv"])
+        if not raw or raw[0] != 1:
+            raise BuzzExecutionError(
+                f"unsupported deletion-vector file version {raw[0] if raw else '<empty>'}"
+            )
+        offset = int(dv.get("offset") or 1)
+        if offset + 4 + size + 4 > len(raw):
+            raise BuzzExecutionError(
+                f"deletion vector at offset {offset} overruns file "
+                f"({len(raw)} bytes)"
+            )
+        (data_size,) = struct.unpack_from(">I", raw, offset)
+        if data_size != size:
+            raise BuzzExecutionError(
+                f"deletion-vector size mismatch: descriptor says {size}, "
+                f"file says {data_size}"
+            )
+        data = raw[offset + 4 : offset + 4 + size]
+        (crc,) = struct.unpack_from(">I", raw, offset + 4 + size)
+        if crc != zlib.crc32(data):
+            raise BuzzExecutionError("deletion-vector checksum mismatch")
+    else:
+        raise BuzzExecutionError(f"unknown DV storageType {st!r}")
+    positions = decode_bitmap_array(data)
+    card = int(dv.get("cardinality", len(positions)))
+    if card != len(positions):
+        raise BuzzExecutionError(
+            f"deletion-vector cardinality mismatch: descriptor says {card}, "
+            f"bitmap holds {len(positions)}"
+        )
+    return positions
+
+
+def write_dv_file(path: str, positions) -> dict:
+    """Write a single-DV ``.bin`` sidecar at ``path`` (local filesystem) and
+    return the descriptor fields for the ``add`` action (storageType='p').
+    Test/writer helper; see module docstring for the framing."""
+    data = encode_bitmap_array(positions)
+    with open(path, "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(struct.pack(">I", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data)))
+    return {
+        "storageType": "p",
+        "pathOrInlineDv": path,
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(sorted(set(int(p) for p in positions))),
+    }

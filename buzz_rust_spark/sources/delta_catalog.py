@@ -61,11 +61,13 @@ def _read_actions(store: LogStore, rel: str) -> list[dict]:
 # never met it only because delta-rs 0.2 predates the feature), writer 2
 # (appendOnly/invariants not enforced but representable).  Reader 3 is
 # feature-gated: accepted only when every listed readerFeature is one we
-# implement — deletion vectors in particular stay refused (silently replaying
-# them would resurrect logically-deleted rows).
+# implement — column mapping and, since round 5, deletion vectors (decoded
+# per the published spec in sources/deletion_vectors.py and applied as a
+# distributed row filter in to_dataframe; skipping them would resurrect
+# logically-deleted rows, so an unimplemented feature stays a refusal).
 _MAX_READER_VERSION = 2
 _MAX_WRITER_VERSION = 2
-_SUPPORTED_READER_FEATURES = {"columnMapping"}
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 
 
 def _check_protocol(action: dict, table_uri: str) -> None:
@@ -88,13 +90,12 @@ def _check_protocol(action: dict, table_uri: str) -> None:
         raise BuzzNotImplementedError(
             f"Delta table {table_uri!r} requires minReaderVersion=3 with "
             f"reader features {sorted(feats) if feats else '<missing>'}; this "
-            f"reader implements only {sorted(_SUPPORTED_READER_FEATURES)} "
-            f"(no deletion vectors)"
+            f"reader implements only {sorted(_SUPPORTED_READER_FEATURES)}"
         )
     raise BuzzNotImplementedError(
         f"Delta table {table_uri!r} requires minReaderVersion={reader}; "
-        f"this reader implements protocol {_MAX_READER_VERSION} "
-        f"(column mapping by name; no deletion vectors)"
+        f"this reader implements protocol {_MAX_READER_VERSION} plus reader-3 "
+        f"features {sorted(_SUPPORTED_READER_FEATURES)}"
     )
 
 
@@ -128,16 +129,25 @@ def _column_mapping(meta: dict, table_uri: str) -> dict[str, str] | None:
 def _replay_actions(
     actions, state: dict[str, dict], meta: dict, table_uri: str = ""
 ) -> None:
+    """Apply one atomic batch (a commit file, or one checkpoint row).
+
+    Removes apply before adds WITHIN the batch: a deletion-vector update
+    commit re-adds the same data file path with a new DV while removing the
+    old (path, dvId) entry, and the spec keys log entries by that pair — a
+    path-keyed replay processing [add, remove] in file order would otherwise
+    drop the file entirely.  Across batches, order is version order."""
+    adds = []
     for action in actions:
         if "protocol" in action:
             _check_protocol(action, table_uri)
         elif "metaData" in action:
             meta.update(action["metaData"])
         elif "add" in action:
-            add = action["add"]
-            state[add["path"]] = add
+            adds.append(action["add"])
         elif "remove" in action:
             state.pop(action["remove"]["path"], None)
+    for add in adds:
+        state[add["path"]] = add
 
 
 class DeltaCatalog:
@@ -280,6 +290,16 @@ class DeltaCatalog:
             )
             for add in live.values()
         ]
+        # Deletion vectors (reader protocol 3): descriptor per data file whose
+        # rows are partially deleted.  Decoded lazily at scan time (a snapshot
+        # of a DV table can be built/pruned without touching the sidecars);
+        # checkpoint structs may carry an all-null deletionVector — treat a
+        # missing storageType as absent.
+        self._dv_by_key = {
+            store.spark_path(add["path"]): dv
+            for add in live.values()
+            if (dv := add.get("deletionVector")) and dv.get("storageType")
+        }
         # per-file stats JSON from the add actions (data skipping without
         # footer reads — consumed by sources.zonemap.stats_from_delta_log);
         # for column-mapped tables the stats keys are physical → translate
@@ -314,10 +334,103 @@ class DeltaCatalog:
     def pruned_files(self, spark, partition_filter):
         return self._static().pruned_files(spark, partition_filter)
 
+    # above this many decoded deleted positions the anti-join side is left
+    # un-hinted (shuffle join) instead of broadcast — DVs this large mean the
+    # writer's rewrite-compaction policy is off, and an 8 GB broadcast OOM is
+    # a worse failure than one shuffle of the filter relation
+    DV_BROADCAST_MAX = 2_000_000
+
+    def _dv_scan(self, spark: SparkSession, files: list[CatalogFile]) -> DataFrame:
+        """Scan data files that carry a deletion vector, with deleted rows
+        filtered out.
+
+        Shape: one parquet scan per distinct partition tuple selecting the
+        data columns plus ``_metadata.row_index`` (the file-ordinal Delta DVs
+        index by), then ONE anti-join of (file path, row index) against the
+        decoded deleted positions — broadcast below DV_BROADCAST_MAX, so the
+        common case adds zero shuffles to the plan.  DV decode itself is
+        driver-side metadata work, like the log replay (bitmaps are
+        compressed; cardinality is bounded by writer compaction policy)."""
+        import re
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import broadcast
+        from pyspark.sql.types import StringType
+
+        from .deletion_vectors import read_dv_positions
+
+        def norm(key: str) -> str:
+            return re.sub(r"^[a-z0-9]+:(//)?", "", key)
+
+        deleted = [
+            (norm(f.key), int(p))
+            for f in files
+            for p in read_dv_positions(self._store, self._dv_by_key[f.key])
+        ]
+
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            values = tuple(f.partition_value(c) for c in self.partition_cols)
+            groups.setdefault(values, []).append(f.key)
+
+        def _group_key(item):
+            values, _ = item
+            return tuple((v is not None, v or "") for v in values)
+
+        scans = []
+        for values, paths in sorted(groups.items(), key=_group_key):
+            df = spark.read.schema(self.schema).parquet(*paths).select(
+                "*",
+                F.col("_metadata.file_path").alias("__rawpath"),
+                F.col("_metadata.row_index").alias("__ridx"),
+            )
+            for col, value in zip(self.partition_cols, values):
+                df = df.withColumn(col, F.lit(value).cast(StringType()))
+            scans.append(df)
+        scan = reduce(DataFrame.unionByName, scans)
+        # _metadata.file_path is a percent-encoded URI like input_file_name();
+        # normalize exactly as the StaticCatalog manifest join does
+        scan = scan.withColumn(
+            "__path",
+            F.coalesce(
+                F.expr("try_url_decode(regexp_replace(__rawpath, '^[a-z0-9]+:(//)?', ''))"),
+                F.regexp_replace(F.col("__rawpath"), r"^[a-z0-9]+:(//)?", ""),
+            ),
+        ).drop("__rawpath")
+        del_df = spark.createDataFrame(deleted, "__path string, __ridx long")
+        if len(deleted) <= self.DV_BROADCAST_MAX:
+            del_df = broadcast(del_df)
+        return scan.join(del_df, on=["__path", "__ridx"], how="left_anti").drop(
+            "__path", "__ridx"
+        )
+
     def to_dataframe(
         self, spark: SparkSession, partition_filter: str | None = None
     ) -> DataFrame:
-        df = self._static().to_dataframe(spark, partition_filter)
+        dv_keys = getattr(self, "_dv_by_key", {})
+        if not dv_keys:
+            df = self._static().to_dataframe(spark, partition_filter)
+        else:
+            from functools import reduce
+
+            files = self.pruned_files(spark, partition_filter)
+            plain = [f for f in files if f.key not in dv_keys]
+            dv_files = [f for f in files if f.key in dv_keys]
+            parts = []
+            if plain or not dv_files:
+                # pre-pruned plain subset (or the empty-result shape)
+                parts.append(
+                    StaticCatalog(
+                        name=self.name,
+                        schema=self.schema,
+                        files=plain,
+                        partition_cols=self.partition_cols,
+                    ).to_dataframe(spark)
+                )
+            if dv_files:
+                parts.append(self._dv_scan(spark, dv_files))
+            df = reduce(DataFrame.unionByName, parts)
         if self._phys:
             from pyspark.sql import functions as F
 
@@ -423,6 +536,19 @@ def read_delta_changes(
             raise BuzzExecutionError(
                 f"commit {version} removes data (overwrite); incremental"
                 " changes are only defined over append-only history"
+            )
+        if any(
+            (a["add"].get("deletionVector") or {}).get("storageType")
+            for a in actions
+            if "add" in a
+        ):
+            # an add carrying a DV is a row-level DELETE in disguise — its
+            # "added" file is a re-add of existing data minus some rows, so
+            # surfacing it as appended rows would double-count the survivors
+            raise BuzzExecutionError(
+                f"commit {version} deletes rows via deletion vectors;"
+                " incremental changes are only defined over append-only"
+                " history"
             )
         adds = [
             a["add"]

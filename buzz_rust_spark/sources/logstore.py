@@ -105,6 +105,28 @@ class LogStore:
         with self._fs.open_input_stream(self.join(rel)) as fh:
             return fh.read().decode("utf-8")
 
+    def read_bytes(self, rel: str) -> bytes:
+        """Raw bytes of a table-relative file (deletion-vector sidecars)."""
+        with self._fs.open_input_stream(self.join(rel)) as fh:
+            return fh.read()
+
+    def read_bytes_uri(self, uri: str) -> bytes:
+        """Raw bytes of an ABSOLUTE path/URI (storageType='p' deletion
+        vectors).  Same-filesystem paths read through this store's fs; other
+        schemes resolve independently via pyarrow."""
+        from pyarrow import fs as pafs
+
+        if "://" in uri:
+            scheme = uri.split("://", 1)[0]
+            if scheme in _SCHEME_RESOLVERS:
+                fs, path = pafs.LocalFileSystem(), _SCHEME_RESOLVERS[scheme](uri)
+            else:
+                fs, path = pafs.FileSystem.from_uri(uri)
+        else:
+            fs, path = self._fs, uri
+        with fs.open_input_stream(path) as fh:
+            return fh.read()
+
     def list_names(self, rel_dir: str) -> list[str]:
         """Basenames of files directly under ``rel_dir`` (sorted)."""
         from pyarrow import fs as pafs

@@ -786,7 +786,8 @@ def test_column_mapped_changes(spark, tmp_path):
 
 def test_reader_v3_feature_gate(spark, tmp_path):
     """Reader 3 is accepted iff every readerFeature is implemented:
-    columnMapping alone passes; deletionVectors is refused."""
+    columnMapping + deletionVectors pass; an unimplemented feature
+    (v2Checkpoint) is refused."""
     from buzz_rust_spark.errors import BuzzNotImplementedError
 
     table = _make_column_mapped_table(spark, str(tmp_path))
@@ -799,7 +800,7 @@ def test_reader_v3_feature_gate(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["columnMapping"],
+                    "readerFeatures": ["columnMapping", "deletionVectors"],
                     "writerFeatures": ["columnMapping"],
                 }
             }
@@ -814,12 +815,12 @@ def test_reader_v3_feature_gate(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["columnMapping", "deletionVectors"],
+                    "readerFeatures": ["columnMapping", "v2Checkpoint"],
                 }
             }
         ],
     )
-    with pytest.raises(BuzzNotImplementedError, match="deletionVectors"):
+    with pytest.raises(BuzzNotImplementedError, match="v2Checkpoint"):
         DeltaCatalog("cm", table)
 
 

@@ -1,0 +1,275 @@
+"""Delta deletion vectors (reader protocol 3): codec + snapshot semantics.
+
+The tables are synthesized per the published spec (delta-spark is not a
+dependency): parquet data files + hand-written ``_delta_log`` commits whose
+``add`` actions carry DV descriptors, with the ``.bin`` sidecars framed
+exactly as PROTOCOL.md describes (version byte, BE size, bitmap, CRC-32).
+The reference never met DVs (delta-rs 0.2, delta_catalog.rs:33-48) — this is
+parity with the CURRENT Delta ecosystem, not the reference snapshot."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+import zlib
+
+import pytest
+
+from buzz_rust_spark import DeltaCatalog
+from buzz_rust_spark.errors import BuzzExecutionError
+from buzz_rust_spark.sources.deletion_vectors import (
+    decode_bitmap_array,
+    dv_relative_path,
+    encode_bitmap_array,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+
+from test_delta import _schema_string, _write_commit, _write_part
+
+
+# --- codec ------------------------------------------------------------------
+
+
+def test_z85_spec_vector():
+    # the ZeroMQ Z85 reference test case (spec 32)
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"
+    assert z85_decode("HelloWorld") == raw
+
+
+def test_bitmap_array_roundtrip_all_container_kinds():
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [],
+        [0],
+        [0, 1, 2, 4095, 4096, 65535, 65536, 70000],
+        rng.sample(range(200_000), 9000),  # bitset containers (card > 4096)
+        [5, (1 << 32) + 3, (3 << 32) + 11],  # multiple 32-bit bitmaps
+    ]
+    for case in cases:
+        assert decode_bitmap_array(encode_bitmap_array(case)) == sorted(set(case))
+
+
+def test_decode_run_containers():
+    """The encoder never emits run containers, but real writers do —
+    hand-build a SERIAL_COOKIE stream with one run container."""
+    # bitmap with containers: key=0 run container of [10..14] + [100..100]
+    body = struct.pack("<I", 12347 | (0 << 16))  # cookie, 1 container
+    body += b"\x01"  # run flag bitset: container 0 is a run container
+    body += struct.pack("<HH", 0, 5)  # key 0, cardinality-1 = 5
+    # < NO_OFFSET_THRESHOLD containers with run cookie -> no offset header
+    body += struct.pack("<H", 2)  # 2 runs
+    body += struct.pack("<HH", 10, 4)  # 10..14
+    body += struct.pack("<H", 100) + struct.pack("<H", 0)  # 100..100
+    data = struct.pack("<iQ", 1681511377, 1) + body
+    assert decode_bitmap_array(data) == [10, 11, 12, 13, 14, 100]
+
+
+# --- table fixtures ----------------------------------------------------------
+
+
+def _meta_action(partitioned: bool = False) -> dict:
+    return {
+        "metaData": {
+            "id": "dv-table",
+            "schemaString": _schema_string(partitioned=partitioned),
+            "partitionColumns": ["year"] if partitioned else [],
+            "format": {"provider": "parquet"},
+        }
+    }
+
+
+_PROTO_DV = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def _add(path: str, dv: dict | None = None, pv: dict | None = None) -> dict:
+    a = {"path": path, "size": 1, "partitionValues": pv or {}, "dataChange": True}
+    if dv is not None:
+        a["deletionVector"] = dv
+    return {"add": a}
+
+
+def make_dv_table(spark, root: str, storage: str = "p") -> str:
+    """rows eng..ops x4 in one file; delete row indexes 1 and 3."""
+    table = os.path.join(root, f"delta-dv-{storage}")
+    os.makedirs(table, exist_ok=True)
+    rows = [("keep0", 0), ("drop1", 1), ("keep2", 2), ("drop3", 3)]
+    _write_part(spark, os.path.join(table, "f0.parquet"), rows)
+    positions = [1, 3]
+    if storage == "p":
+        dv = write_dv_file(os.path.join(table, "dv0.bin"), positions)
+    elif storage == "u":
+        u = uuid.uuid4()
+        dv_name = f"deletion_vector_{u}.bin"
+        dv = dict(
+            write_dv_file(os.path.join(table, dv_name), positions),
+            storageType="u",
+            pathOrInlineDv=z85_encode(u.bytes),
+        )
+    else:  # inline
+        data = encode_bitmap_array(positions)
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(data),
+            "offset": None,
+            "sizeInBytes": len(data),
+            "cardinality": len(positions),
+        }
+    log = os.path.join(table, "_delta_log")
+    _write_commit(log, 0, [_meta_action(), _add("f0.parquet")])
+    _write_commit(
+        log, 1, [_PROTO_DV, _add("f0.parquet", dv), {"remove": {"path": "f0.parquet", "dataChange": True}}]
+    )
+    return table
+
+
+@pytest.mark.parametrize("storage", ["p", "u", "i"])
+def test_dv_filters_deleted_rows(spark, tmp_path, storage):
+    table = make_dv_table(spark, str(tmp_path), storage)
+    df = DeltaCatalog("t", table).to_dataframe(spark)
+    assert sorted(r.dept_name for r in df.collect()) == ["keep0", "keep2"]
+    # schema identical to a DV-less read (helper columns dropped)
+    assert df.columns == ["dept_name", "dept_staff"]
+
+
+def test_dv_update_commit_add_before_remove(spark, tmp_path):
+    """A DV delete commit may order [add(path, dv), remove(path)] — the
+    replay must apply removes before adds within the commit (the spec keys
+    entries by (path, dvId)), or the file vanishes entirely."""
+    table = make_dv_table(spark, str(tmp_path), "p")
+    # make_dv_table writes add-then-remove already; assert rows survived
+    df = DeltaCatalog("t", table).to_dataframe(spark)
+    assert df.count() == 2
+
+
+def test_dv_time_travel_sees_pre_delete_snapshot(spark, tmp_path):
+    table = make_dv_table(spark, str(tmp_path), "p")
+    assert DeltaCatalog("t", table, version=0).to_dataframe(spark).count() == 4
+    assert DeltaCatalog("t", table, version=1).to_dataframe(spark).count() == 2
+
+
+def test_dv_uuid_path_resolution():
+    u = uuid.UUID("00112233-4455-6677-8899-aabbccddeeff")
+    enc = z85_encode(u.bytes)
+    assert dv_relative_path({"pathOrInlineDv": enc}) == f"deletion_vector_{u}.bin"
+    assert (
+        dv_relative_path({"pathOrInlineDv": "ab" + enc})
+        == f"ab/deletion_vector_{u}.bin"
+    )
+
+
+def test_dv_partitioned_with_pruning(spark, tmp_path):
+    table = os.path.join(str(tmp_path), "dv-part")
+    os.makedirs(table, exist_ok=True)
+    _write_part(spark, os.path.join(table, "f2020.parquet"), [("a", 1), ("b", 2)])
+    _write_part(spark, os.path.join(table, "f2021.parquet"), [("c", 3), ("d", 4)])
+    dv = write_dv_file(os.path.join(table, "dv2020.bin"), [0])  # drops ("a",1)
+    log = os.path.join(table, "_delta_log")
+    _write_commit(
+        log,
+        0,
+        [
+            _meta_action(partitioned=True),
+            _PROTO_DV,
+            _add("f2020.parquet", dv, {"year": "2020"}),
+            _add("f2021.parquet", None, {"year": "2021"}),
+        ],
+    )
+    cat = DeltaCatalog("t", table)
+    full = cat.to_dataframe(spark)
+    assert sorted((r.dept_name, r.year) for r in full.collect()) == [
+        ("b", "2020"),
+        ("c", "2021"),
+        ("d", "2021"),
+    ]
+    pruned = cat.to_dataframe(spark, partition_filter="year = '2020'")
+    assert [r.dept_name for r in pruned.collect()] == ["b"]
+    pruned_other = cat.to_dataframe(spark, partition_filter="year = '2021'")
+    assert sorted(r.dept_name for r in pruned_other.collect()) == ["c", "d"]
+
+
+def test_dv_crc_corruption_is_typed_error(spark, tmp_path):
+    table = make_dv_table(spark, str(tmp_path), "p")
+    with open(os.path.join(table, "dv0.bin"), "r+b") as fh:
+        fh.seek(7)  # inside the bitmap data
+        b = fh.read(1)
+        fh.seek(7)
+        fh.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(BuzzExecutionError, match="checksum"):
+        DeltaCatalog("t", table).to_dataframe(spark).collect()
+
+
+def test_dv_cardinality_mismatch_is_typed_error(spark, tmp_path):
+    table = os.path.join(str(tmp_path), "dv-card")
+    os.makedirs(table, exist_ok=True)
+    _write_part(spark, os.path.join(table, "f0.parquet"), [("a", 1), ("b", 2)])
+    dv = write_dv_file(os.path.join(table, "dv0.bin"), [0])
+    dv["cardinality"] = 7
+    log = os.path.join(table, "_delta_log")
+    _write_commit(log, 0, [_meta_action(), _PROTO_DV, _add("f0.parquet", dv)])
+    with pytest.raises(BuzzExecutionError, match="cardinality"):
+        DeltaCatalog("t", table).to_dataframe(spark).collect()
+
+
+def test_dv_size_tamper_is_typed_error(spark, tmp_path):
+    table = make_dv_table(spark, str(tmp_path), "p")
+    # descriptor sizeInBytes inflated vs the file's BE size field
+    log_path = os.path.join(table, "_delta_log", "00000000000000000001.json")
+    lines = [json.loads(l) for l in open(log_path) if l.strip()]
+    for a in lines:
+        if "add" in a:
+            a["add"]["deletionVector"]["sizeInBytes"] += 4
+    with open(log_path, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(BuzzExecutionError, match="size mismatch|overruns"):
+        DeltaCatalog("t", table).to_dataframe(spark).collect()
+
+
+def test_dv_changes_window_refused(spark, tmp_path):
+    """An add carrying a DV inside the change window is a row-level delete —
+    the append-only incremental feed must refuse it loudly."""
+    from buzz_rust_spark.sources.delta_catalog import read_delta_changes
+
+    table = os.path.join(str(tmp_path), "dv-changes")
+    os.makedirs(table, exist_ok=True)
+    _write_part(spark, os.path.join(table, "f0.parquet"), [("a", 1), ("b", 2)])
+    dv = write_dv_file(os.path.join(table, "dv0.bin"), [0])
+    log = os.path.join(table, "_delta_log")
+    _write_commit(log, 0, [_meta_action(), _PROTO_DV, _add("f0.parquet")])
+    _write_commit(log, 1, [_add("f0.parquet", dv)])
+    # window before the DV commit is fine
+    assert read_delta_changes(spark, table, from_version=-1, to_version=0).count() == 2
+    with pytest.raises(BuzzExecutionError, match="deletion vectors"):
+        read_delta_changes(spark, table, from_version=0).count()
+
+
+def test_dv_large_bitmap_positions(spark, tmp_path):
+    """A DV whose bitmap needs a bitset container (cardinality > 4096)
+    decodes and filters correctly end-to-end."""
+    table = os.path.join(str(tmp_path), "dv-big")
+    os.makedirs(table, exist_ok=True)
+    n = 12000
+    rows = [(f"r{i}", i) for i in range(n)]
+    _write_part(spark, os.path.join(table, "f0.parquet"), rows)
+    deleted = list(range(0, n, 2))  # 6000 > 4096 in one 16-bit container
+    dv = write_dv_file(os.path.join(table, "dv0.bin"), deleted)
+    log = os.path.join(table, "_delta_log")
+    _write_commit(log, 0, [_meta_action(), _PROTO_DV, _add("f0.parquet", dv)])
+    got = DeltaCatalog("t", table).to_dataframe(spark)
+    survivors = set(range(n)) - set(deleted)
+    assert got.count() == len(survivors)
+    assert {r.dept_staff for r in got.collect()} == survivors

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cache import persist_tracked
 from ..functions.text import hash_column, normalize_text, tokens
 
 # Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
@@ -218,6 +219,88 @@ def top_ngrams(
         .orderBy(F.col("cnt").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set —
+    the standard lexical ranking for corpus search / quality-targeted
+    selection (idf is the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` form,
+    always positive).
+
+    Output: one row per input document, ``(id, bm25)`` — zero for documents
+    containing none of the terms.
+
+    Scale shape: tokens are filtered to the query terms BEFORE the explode
+    (``array_intersect`` is not enough — counts matter — but a ``filter``
+    higher-order fn keeps only matching tokens), so the exploded relation is
+    O(query-term occurrences), not O(corpus tokens); the per-term document
+    frequencies aggregate from that same small relation and broadcast back.
+    Corpus-wide N/avgdl is a one-row broadcast.  Everything is JVM
+    expressions — no Python in the plan."""
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        id_col,
+        F.size("_t").alias("_dl"),
+        F.filter(
+            "_t", make_contains(query_terms)
+        ).alias("_qt"),
+    )
+    # three consumers (stats, tf, and through tf the join) — persist once
+    toks = persist_tracked(toks)
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        toks.select(id_col, "_dl", F.explode("_qt").alias("_term"))
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_f"), F.first("_dl").alias("_dl"))
+    )
+    dfreq = tf.groupBy("_term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), on="_term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            F.log(
+                F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            )
+            * F.col("_f")
+            * (k1 + 1.0)
+            / (
+                F.col("_f")
+                + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("_score"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.round(F.coalesce("_score", F.lit(0.0)), 6).alias("bm25"),
+        )
+    )
+
+
+def make_contains(terms: list[str]):
+    """Factory returning a unary lambda testing membership in ``terms`` —
+    a factory, not an inline closure, because pyspark treats a lambda with a
+    second defaulted parameter as an (element, index) binary lambda."""
+    arr = F.array(*[F.lit(t) for t in terms])
+    return lambda x: F.array_contains(arr, x)
 
 
 def fingerprint(

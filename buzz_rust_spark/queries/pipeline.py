@@ -944,6 +944,127 @@ def c02_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(lm, docs).orderBy("doc_id")
 
 
+# PII regex patterns single-sourced from the operator module so the oracle
+# can never drift from what redact_pii actually applies (both Java regex and
+# RE2 interpret these identically: no lookaround, no backreferences).
+_PII_EMAIL, _PII_IP, _PII_PHONE = (p for _, p, _ in T._PII_PATTERNS)
+
+_M01_SYNTH_SQL = """
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com home 192.168.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || ' call +1 (555) 867-'
+              || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+"""
+
+
+@register(
+    "m01_pii_redact",
+    tags=("text", "pipeline"),
+    oracle=f"""
+WITH synth AS ({_M01_SYNTH_SQL}
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email_redacted,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS text
+  FROM synth
+), s2 AS (
+  SELECT doc_id, n_email_redacted,
+         len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip_redacted,
+         regexp_replace(text, '{_PII_IP}', '<IP>', 'g') AS text
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email_redacted, n_ip_redacted,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone_redacted,
+         regexp_replace(text, '{_PII_PHONE}', '<PHONE>', 'g') AS text
+  FROM s2
+)
+SELECT doc_id, text, n_email_redacted, n_ip_redacted, n_phone_redacted
+FROM s3 ORDER BY doc_id
+""",
+)
+def m01_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4s / phone numbers → typed placeholder tokens)
+    — the standard redaction pass before corpus text leaves a training-data
+    pipeline, value-hash-checked against a DuckDB regex oracle on the FULL
+    redacted text, not just the counts.
+
+    PII synthesis exists only because this corpus is digit-free word salad
+    (same trick as c01/g02's page synthesis): each document gets a
+    deterministic email + IP + phone appended from its doc_id, built by the
+    identical expression on both sides.  ``redact_pii`` itself is a pure
+    regexp_replace chain — one narrow codegen map, no shuffle, any scale."""
+    docs = load(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com home 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" call +1 (555) 867-"),
+            F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = T.redact_pii(synth)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_email_redacted").cast("long").alias("n_email_redacted"),
+        F.col("n_ip_redacted").cast("long").alias("n_ip_redacted"),
+        F.col("n_phone_redacted").cast("long").alias("n_phone_redacted"),
+    ).orderBy("doc_id")
+
+
+_T04_TERMS = ["spark", "filter", "window"]
+
+
+@register(
+    "t04_bm25",
+    tags=("text", "pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(len(t)) AS avgdl FROM toks
+), tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS f,
+         MIN(dl) AS dl
+  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS w FROM toks)
+  WHERE w IN ('spark', 'filter', 'window')
+  GROUP BY doc_id, w
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.f * (1.2 + 1.0)
+             / (tf.f + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         ) AS s
+  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, ROUND(COALESCE(s.s, 0.0), 6) AS bm25
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def t04_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term set
+    (Lucene idf form, k1=1.2 b=0.75) — lexical ranking for corpus search /
+    targeted selection.  The plan filters tokens to the query terms BEFORE
+    exploding, so the shuffled relation is O(term occurrences), never
+    O(corpus tokens); document frequencies and corpus stats broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    return T.bm25_scores(docs, _T04_TERMS).orderBy("doc_id")
+
+
 @register(
     "c01_c4_line_filter",
     tags=("text", "pipeline"),

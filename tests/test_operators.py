@@ -1945,3 +1945,43 @@ def test_bpe_encode_tolerates_null_text(spark):
     merges = train_bpe(df.where(F.col("text").isNotNull()), num_merges=4)
     out = {r["doc_id"]: r["pieces"] for r in bpe_encode(df, merges).collect()}
     assert out[2] == [] and len(out[1]) > 0
+
+
+def test_bm25_known_values(spark):
+    """BM25 against hand-computed scores on a 3-doc corpus."""
+    import math
+
+    from buzz_rust_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "dog dog dog dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["apple", "cherry"]).collect()}
+    n, avgdl, k1, b = 3.0, 3.0, 1.2, 0.75
+
+    def score(f, dl, dfreq):
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[0] == round(score(2, 3, 1), 6)  # 'apple' x2 in doc 0
+    assert out[1] == round(score(1, 2, 1), 6)  # 'cherry' x1 in doc 1
+    assert out[2] == 0.0  # no query terms -> zero, row still present
+    assert len(out) == 3
+
+
+def test_bm25_term_frequency_saturates(spark):
+    """Repeating a term grows the score sublinearly (the k1 saturation that
+    distinguishes BM25 from raw tf-idf)."""
+    from buzz_rust_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(0, "hit miss miss miss"), (1, "hit hit hit miss"), (2, "miss miss")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["hit"]).collect()}
+    assert 0.0 < out[0] < out[1] < 3 * out[0]

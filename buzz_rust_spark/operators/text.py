@@ -255,10 +255,15 @@ def bm25_scores(
     )
     # three consumers (stats, tf, and through tf the join) — persist once
     toks = persist_tracked(toks)
+    # corpus-wide N and avgdl: a bounded ONE-ROW collect off the persisted
+    # relation, folded into the scoring expression as literals — a 1-row
+    # crossJoin would plan as BroadcastNestedLoopJoin and trip the audit
+    # for no benefit
     stats = toks.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.avg("_dl").alias("_avgdl"),
-    )
+    ).first()
+    n, avgdl = float(stats["_n"]), float(stats["_avgdl"] or 0.0)
     tf = (
         toks.select(id_col, "_dl", F.explode("_qt").alias("_term"))
         .groupBy(id_col, "_term")
@@ -269,17 +274,16 @@ def bm25_scores(
     )
     scored = (
         tf.join(F.broadcast(dfreq), on="_term")
-        .crossJoin(F.broadcast(stats))
         .withColumn(
             "_s",
             F.log(
-                F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                F.lit(1.0) + (F.lit(n) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
             )
             * F.col("_f")
             * (k1 + 1.0)
             / (
                 F.col("_f")
-                + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+                + k1 * (1.0 - b + b * F.col("_dl") / F.lit(max(avgdl, 1e-9)))
             ),
         )
         .groupBy(id_col)

@@ -273,20 +273,63 @@ def read_dv_positions(store, dv: dict) -> list[int]:
     return positions
 
 
-def write_dv_file(path: str, positions) -> dict:
-    """Write a single-DV ``.bin`` sidecar at ``path`` (local filesystem) and
-    return the descriptor fields for the ``add`` action (storageType='p').
-    Test/writer helper; see module docstring for the framing."""
-    data = encode_bitmap_array(positions)
+def write_dv_sidecar(path: str, positions_per_key: dict) -> dict:
+    """Write one ``.bin`` sidecar holding one DV entry per key (the spec
+    allows a single sidecar to serve every file touched by one commit) and
+    return per-key descriptor fields ``{offset, sizeInBytes, cardinality}``
+    — the caller fills ``storageType``/``pathOrInlineDv``."""
+    descs: dict = {}
     with open(path, "wb") as fh:
         fh.write(b"\x01")
-        fh.write(struct.pack(">I", len(data)))
-        fh.write(data)
-        fh.write(struct.pack(">I", zlib.crc32(data)))
-    return {
-        "storageType": "p",
-        "pathOrInlineDv": path,
-        "offset": 1,
-        "sizeInBytes": len(data),
-        "cardinality": len(sorted(set(int(p) for p in positions))),
-    }
+        offset = 1
+        for key, positions in positions_per_key.items():
+            data = encode_bitmap_array(positions)
+            fh.write(struct.pack(">I", len(data)))
+            fh.write(data)
+            fh.write(struct.pack(">I", zlib.crc32(data)))
+            descs[key] = {
+                "offset": offset,
+                "sizeInBytes": len(data),
+                "cardinality": len(set(int(p) for p in positions)),
+            }
+            offset += 4 + len(data) + 4
+    return descs
+
+
+def write_dv_file(path: str, positions) -> dict:
+    """Single-DV convenience wrapper over :func:`write_dv_sidecar` returning
+    a complete ``storageType='p'`` descriptor."""
+    desc = write_dv_sidecar(path, {"_": positions})["_"]
+    return {"storageType": "p", "pathOrInlineDv": path, **desc}
+
+
+def filter_deleted_rows(scan, deleted, spark, broadcast_max: int = 2_000_000):
+    """Drop rows of a ``_metadata``-carrying scan whose (file path, row
+    index) appears in ``deleted`` — the distributed half of DV application.
+
+    ``scan`` must select the data columns plus ``__rawpath``
+    (``_metadata.file_path``) and ``__ridx`` (``_metadata.row_index``);
+    ``deleted`` is ``[(scheme-stripped path, row index), ...]``.  One
+    anti-join, broadcast below ``broadcast_max`` positions (above it the
+    writer's DV-compaction policy is off and an 8 GB broadcast OOM would be
+    a worse failure than one shuffle of the filter relation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    # _metadata.file_path is a percent-encoded URI like input_file_name();
+    # normalize exactly as the StaticCatalog manifest join does
+    scan = scan.withColumn(
+        "__path",
+        F.coalesce(
+            F.expr(
+                "try_url_decode(regexp_replace(__rawpath, '^[a-z0-9]+:(//)?', ''))"
+            ),
+            F.regexp_replace(F.col("__rawpath"), r"^[a-z0-9]+:(//)?", ""),
+        ),
+    ).drop("__rawpath")
+    del_df = spark.createDataFrame(deleted, "__path string, __ridx long")
+    if len(deleted) <= broadcast_max:
+        del_df = broadcast(del_df)
+    return scan.join(del_df, on=["__path", "__ridx"], how="left_anti").drop(
+        "__path", "__ridx"
+    )

@@ -355,10 +355,9 @@ class DeltaCatalog:
         from functools import reduce
 
         from pyspark.sql import functions as F
-        from pyspark.sql.functions import broadcast
         from pyspark.sql.types import StringType
 
-        from .deletion_vectors import read_dv_positions
+        from .deletion_vectors import filter_deleted_rows, read_dv_positions
 
         def norm(key: str) -> str:
             return re.sub(r"^[a-z0-9]+:(//)?", "", key)
@@ -389,21 +388,7 @@ class DeltaCatalog:
                 df = df.withColumn(col, F.lit(value).cast(StringType()))
             scans.append(df)
         scan = reduce(DataFrame.unionByName, scans)
-        # _metadata.file_path is a percent-encoded URI like input_file_name();
-        # normalize exactly as the StaticCatalog manifest join does
-        scan = scan.withColumn(
-            "__path",
-            F.coalesce(
-                F.expr("try_url_decode(regexp_replace(__rawpath, '^[a-z0-9]+:(//)?', ''))"),
-                F.regexp_replace(F.col("__rawpath"), r"^[a-z0-9]+:(//)?", ""),
-            ),
-        ).drop("__rawpath")
-        del_df = spark.createDataFrame(deleted, "__path string, __ridx long")
-        if len(deleted) <= self.DV_BROADCAST_MAX:
-            del_df = broadcast(del_df)
-        return scan.join(del_df, on=["__path", "__ridx"], how="left_anti").drop(
-            "__path", "__ridx"
-        )
+        return filter_deleted_rows(scan, deleted, spark, self.DV_BROADCAST_MAX)
 
     def to_dataframe(
         self, spark: SparkSession, partition_filter: str | None = None

@@ -33,6 +33,19 @@ from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# Writer protocol 7 is feature-gated (like reader 3 on the catalog side):
+# accepted iff every listed writerFeature is one this writer implements.
+# delete_delta(mode="dv") upgrades a table to DV_PROTOCOL, so the writer must
+# keep understanding its own upgrade — and refuse e.g. an appendOnly or
+# invariants table it would silently violate.
+SUPPORTED_WRITER_FEATURES = {"deletionVectors"}
+DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
 
 
 def _local_table_dir(table_uri: str) -> str:
@@ -68,16 +81,35 @@ def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
                 if "protocol" in action:
                     # Spec: a writer MUST refuse tables whose writer protocol
                     # exceeds what it implements — committing plain actions
-                    # to e.g. a deletion-vector table would corrupt it.
+                    # to e.g. an invariants table would corrupt it.  Writer 7
+                    # passes iff every listed writerFeature is implemented
+                    # (deletionVectors — our own delete mode="dv" upgrade).
                     proto = action["protocol"] or {}
                     writer_v = int(proto.get("minWriterVersion", 2))
-                    if writer_v > PROTOCOL["minWriterVersion"]:
+                    # a v7 protocol MUST list its writerFeatures; a missing
+                    # list is malformed and stays refused (feats=None)
+                    feats = (
+                        set(proto["writerFeatures"])
+                        if writer_v == 7
+                        and proto.get("writerFeatures") is not None
+                        else None
+                    )
+                    if writer_v > PROTOCOL["minWriterVersion"] and not (
+                        feats is not None and feats <= SUPPORTED_WRITER_FEATURES
+                    ):
                         from ..errors import BuzzNotImplementedError
 
                         raise BuzzNotImplementedError(
                             f"Delta table at {log_dir!r} requires"
-                            f" minWriterVersion={writer_v}; this writer"
-                            f" implements {PROTOCOL['minWriterVersion']}"
+                            f" minWriterVersion={writer_v}"
+                            + (
+                                f" with writer features {sorted(feats)}"
+                                if feats
+                                else ""
+                            )
+                            + f"; this writer implements"
+                            f" {PROTOCOL['minWriterVersion']} plus writer-7"
+                            f" features {sorted(SUPPORTED_WRITER_FEATURES)}"
                         )
                 elif "metaData" in action:
                     meta = action["metaData"]
@@ -86,6 +118,20 @@ def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
     return last, live, meta
+
+
+def _current_protocol(log_dir: str) -> dict:
+    """Latest committed protocol action (defaults to this writer's base
+    PROTOCOL for legacy tables that never wrote one)."""
+    proto = dict(PROTOCOL)
+    for commit in sorted(glob(os.path.join(log_dir, "*.json"))):
+        with open(commit) as fh:
+            for line in fh:
+                if line.strip():
+                    action = json.loads(line)
+                    if "protocol" in action:
+                        proto = action["protocol"]
+    return proto
 
 
 def _file_stats_json(path: str) -> str:
@@ -343,7 +389,14 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
             pa.field(
                 "protocol",
                 pa.struct(
-                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        # null (not empty) below v3/v7 — the readers that
+                        # require the lists also require the versions
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
                 ),
             ),
             pa.field(
@@ -373,6 +426,21 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # deletion-vector descriptor: a checkpoint that
+                        # dropped this field would resurrect deleted rows
+                        # the moment the JSON commits are truncated
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -400,7 +468,9 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
     fmt["options"] = map_items(fmt.get("options"))
     meta_row["format"] = fmt
     none_row = {"protocol": None, "metaData": None, "add": None, "txn": None}
-    rows = [{**none_row, "protocol": PROTOCOL}]
+    # the table's ACTUAL protocol (a DV-upgraded table checkpointed as
+    # reader1/writer2 would let feature-unaware readers replay it wrongly)
+    rows = [{**none_row, "protocol": _current_protocol(log_dir)}]
     rows.append({**none_row, "metaData": meta_row})
     rows.extend(
         {
@@ -452,10 +522,18 @@ def optimize_delta(
     for add in live.values():
         key = tuple(sorted((add.get("partitionValues") or {}).items()))
         groups.setdefault(key, []).append(add)
+    dv_by_rel = _dv_positions_by_rel(table_dir, live)
+    # a group also compacts when any of its files carries a deletion vector:
+    # the rewrite materializes the logical content and drops the DV (Delta's
+    # REORG ... APPLY (PURGE)), reclaiming the bitmap lookups at scan time
     to_compact = {
         key: adds
         for key, adds in groups.items()
-        if len(adds) >= 2 and any(a["size"] < target_file_bytes // 2 for a in adds)
+        if (
+            len(adds) >= 2
+            and any(a["size"] < target_file_bytes // 2 for a in adds)
+        )
+        or any(a["path"] in dv_by_rel for a in adds)
     }
     if not to_compact:
         return None
@@ -473,9 +551,29 @@ def optimize_delta(
         out_dir = os.path.join(staging, part_dir) if part_dir else staging
         # Data files never contain partition columns (written via
         # partitionBy), so a plain read+coalesce round-trips them exactly.
-        spark.read.parquet(*paths).coalesce(n_out).write.mode("overwrite").parquet(
-            out_dir
-        )
+        # DV-carrying files contribute their LOGICAL content (deleted rows
+        # filtered out) — the compacted file purges the vector.
+        df = spark.read.parquet(*paths)
+        deleted = [
+            (os.path.abspath(os.path.join(table_dir, a["path"])), int(p))
+            for a in adds
+            for p in dv_by_rel.get(a["path"], ())
+        ]
+        if deleted:
+            from pyspark.sql import functions as F
+
+            from .deletion_vectors import filter_deleted_rows
+
+            df = filter_deleted_rows(
+                df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__rawpath"),
+                    F.col("_metadata.row_index").alias("__ridx"),
+                ),
+                deleted,
+                spark,
+            )
+        df.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
         for fpath in sorted(glob(os.path.join(out_dir, "*.parquet"))):
             rel = os.path.join(part_dir, os.path.basename(fpath)) if part_dir else (
                 os.path.basename(fpath)
@@ -519,13 +617,41 @@ def _declared_schema(meta: dict):
     return StructType.fromJson(json.loads(meta["schemaString"]))
 
 
-def _read_table_files(spark, table_dir: str, rels: list[str], meta: dict):
+def _dv_positions_by_rel(table_dir: str, live: dict) -> dict[str, list[int]]:
+    """Decoded deleted row indexes for every live add that carries a
+    deletion vector (empty dict when none do)."""
+    from .deletion_vectors import read_dv_positions
+    from .logstore import LogStore
+
+    dv_rels = {
+        rel: add["deletionVector"]
+        for rel, add in live.items()
+        if (add.get("deletionVector") or {}).get("storageType")
+    }
+    if not dv_rels:
+        return {}
+    store = LogStore(table_dir)
+    return {
+        rel: read_dv_positions(store, dv) for rel, dv in dv_rels.items()
+    }
+
+
+def _read_table_files(
+    spark, table_dir: str, rels: list[str], meta: dict, live: dict | None = None
+):
     """Read live data files back to the DECLARED table schema.  Partitioned
     tables: data files lack the partition columns (written via partitionBy),
     so read with basePath to re-attach them from the directory structure,
     then cast — directory inference types numeric-looking strings as ints,
-    the metaData schemaString is authoritative."""
+    the metaData schemaString is authoritative.
+
+    With ``live`` provided, deletion vectors on the requested files are
+    APPLIED (anti-join on ``_metadata.row_index``) — every rewrite path
+    (merge, copy-on-write delete, optimize) must see the logical content,
+    or its rewritten files would resurrect DV-deleted rows."""
     from pyspark.sql import functions as F
+
+    from .deletion_vectors import filter_deleted_rows
 
     schema = _declared_schema(meta)
     paths = [os.path.join(table_dir, r) for r in rels]
@@ -533,6 +659,22 @@ def _read_table_files(spark, table_dir: str, rels: list[str], meta: dict):
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", table_dir)
     df = reader.parquet(*paths)
+    by_rel = _dv_positions_by_rel(table_dir, live or {})
+    deleted = [
+        (os.path.abspath(os.path.join(table_dir, rel)), int(p))
+        for rel in rels
+        for p in by_rel.get(rel, ())
+    ]
+    if deleted:
+        df = filter_deleted_rows(
+            df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__rawpath"),
+                F.col("_metadata.row_index").alias("__ridx"),
+            ),
+            deleted,
+            spark,
+        )
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
@@ -654,7 +796,7 @@ def merge_delta(
         touched: list[str] = []
         tgt_keys = None
         if candidates:
-            cand_df = _read_table_files(spark, table_dir, candidates, meta)
+            cand_df = _read_table_files(spark, table_dir, candidates, meta, live)
             # Key-column scan + file attribution; the join's source side is a
             # batch → broadcast by Spark's own sizing.
             hits = (
@@ -683,7 +825,7 @@ def merge_delta(
             touched = []
         rewritten = None
         if touched:
-            touched_df = _read_table_files(spark, table_dir, touched, meta)
+            touched_df = _read_table_files(spark, table_dir, touched, meta, live)
             keep = touched_df.join(src_keys, on=on, how="left_anti")
             rewritten = keep
             if when_matched == "update":
@@ -738,22 +880,75 @@ def merge_delta(
         source.unpersist()
 
 
+def _scan_with_meta(spark, table_dir: str, rels: list[str], meta: dict):
+    """Declared-schema read of table files PLUS ``__file`` (scheme-stripped,
+    url-decoded absolute path) and ``__ridx`` (``_metadata.row_index``) —
+    the columns both delete modes attribute matches with.  ``_metadata`` is
+    only resolvable on the scan relation, so this exists as a distinct
+    entry point rather than a flag on :func:`_read_table_files`."""
+    from pyspark.sql import functions as F
+
+    schema = _declared_schema(meta)
+    reader = spark.read
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", table_dir)
+    df = reader.parquet(*[os.path.join(table_dir, r) for r in rels])
+    file_col = F.coalesce(
+        F.expr(
+            "try_url_decode(regexp_replace(_metadata.file_path,"
+            " '^[a-z0-9]+:(//)?', ''))"
+        ),
+        F.regexp_replace(F.col("_metadata.file_path"), r"^[a-z0-9]+:(//)?", ""),
+    )
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+        file_col.alias("__file"),
+        F.col("_metadata.row_index").alias("__ridx"),
+    )
+
+
+def _rel_num_records(table_dir: str, rel: str, add: dict) -> int:
+    """Physical row count of a data file: add-action stats when recorded,
+    else the parquet footer."""
+    try:
+        st = json.loads(add.get("stats") or "{}")
+        if "numRecords" in st:
+            return int(st["numRecords"])
+    except (TypeError, ValueError):
+        pass
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(table_dir, rel)).num_rows
+
+
 def delete_delta(
     spark,
     table_uri: str,
     predicate: str,
     checkpoint_interval: int = 10,
+    mode: str = "cow",
+    max_dv_rows: int = 5_000_000,
 ) -> int | None:
-    """DELETE FROM ``table`` WHERE ``predicate`` with copy-on-write rewrites.
-    Returns the committed version, or ``None`` when no row matched.
+    """DELETE FROM ``table`` WHERE ``predicate``.  Returns the committed
+    version, or ``None`` when no row matched.
 
-    Scale shape: a predicate-column scan (parquet pushdown + column pruning)
-    attributes matching rows to files; only files with ≥1 match are rewritten
-    WITHOUT their matching rows — a delete of a cold partition touches no hot
-    file.  Prior versions stay time-travelable (removed files leave the
-    snapshot, not the disk; see :func:`vacuum_delta`)."""
+    ``mode="cow"`` (default): copy-on-write — only files with ≥1 match are
+    rewritten WITHOUT their matching rows; a delete of a cold partition
+    touches no hot file.  ``mode="dv"``: deletion vectors — no data file is
+    rewritten at all; matched row indexes are unioned into each touched
+    file's bitmap, one Z85-named sidecar per commit, and the table's
+    protocol is upgraded to reader 3 / writer 7 with the deletionVectors
+    feature on first use (what delta-spark's DELETE does when DVs are
+    enabled).  DV deletes are O(matched rows) driver-side bitmap work —
+    bounded by ``max_dv_rows`` (beyond that a rewrite is the better trade;
+    a typed error says so) — and the write amplification of cow drops to
+    zero.  Prior versions stay time-travelable in both modes (see
+    :func:`vacuum_delta`)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
 
+    if mode not in ("cow", "dv"):
+        raise BuzzBadRequestError(f"delete mode must be cow|dv, got {mode!r}")
     table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     last_version, live, meta = _log_state(log_dir)
@@ -763,38 +958,118 @@ def delete_delta(
         return None
     partition_by = list(meta.get("partitionColumns", []))
 
-    all_df = _read_table_files(spark, table_dir, sorted(live), meta)
+    by_abs = {os.path.abspath(os.path.join(table_dir, rel)): rel for rel in live}
+    dv_by_rel = _dv_positions_by_rel(table_dir, live)
+    scan = _scan_with_meta(spark, table_dir, sorted(live), meta)
+    if dv_by_rel:
+        # rows already DV-deleted must not count as fresh matches (a
+        # predicate matching only them is a logical no-op)
+        already = [
+            (os.path.abspath(os.path.join(table_dir, rel)), int(p))
+            for rel, ps in dv_by_rel.items()
+            for p in ps
+        ]
+        scan = scan.join(
+            broadcast(
+                spark.createDataFrame(already, "__file string, __ridx long")
+            ),
+            on=["__file", "__ridx"],
+            how="left_anti",
+        )
     try:
         cond = F.expr(predicate)
-        hits = (
-            all_df.where(cond)
-            .select(F.input_file_name().alias("_f"))
-            .distinct()
-            .collect()
-        )
+        if mode == "dv":
+            matched = (
+                scan.where(cond).select("__file", "__ridx").limit(max_dv_rows + 1)
+            ).collect()
+        else:
+            matched = scan.where(cond).select("__file").distinct().collect()
     except Exception as exc:  # noqa: BLE001 — analyzer errors become typed
         raise BuzzBadRequestError(
             f"invalid delete predicate {predicate!r}: {exc}"
         ) from exc
-    if not hits:
+    if not matched:
         return None
-    by_abs = {os.path.abspath(os.path.join(table_dir, rel)): rel for rel in live}
-    touched = sorted(
-        by_abs[os.path.abspath(r["_f"].removeprefix("file://"))] for r in hits
-    )
 
     version = last_version + 1
     now_ms = int(time.time() * 1000)
+
+    if mode == "dv":
+        if len(matched) > max_dv_rows:
+            raise BuzzBadRequestError(
+                f"DV delete matches more than {max_dv_rows} rows; use"
+                " mode='cow' (rewrite) for bulk deletes, or raise"
+                " max_dv_rows"
+            )
+        from .deletion_vectors import write_dv_sidecar, z85_encode
+
+        new_positions: dict[str, list[int]] = {}
+        for r in matched:
+            new_positions.setdefault(by_abs[r["__file"]], []).append(int(r["__ridx"]))
+        merged = {
+            rel: sorted(set(dv_by_rel.get(rel, [])) | set(ps))
+            for rel, ps in new_positions.items()
+        }
+        # files whose every physical row is now deleted leave the snapshot
+        # entirely — a remove with no re-add, exactly like cow
+        fully_gone = {
+            rel
+            for rel, ps in merged.items()
+            if len(ps) >= _rel_num_records(table_dir, rel, live[rel])
+        }
+        with_dv = {rel: ps for rel, ps in merged.items() if rel not in fully_gone}
+        actions: list[dict] = []
+        proto = _current_protocol(log_dir)
+        if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in (
+            proto.get("writerFeatures") or []
+        ):
+            actions.append({"protocol": DV_PROTOCOL})
+        if with_dv:
+            dv_uuid = uuid.uuid4()
+            sidecar = f"deletion_vector_{dv_uuid}.bin"
+            descs = write_dv_sidecar(os.path.join(table_dir, sidecar), with_dv)
+        for rel in sorted(merged):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            if rel in with_dv:
+                actions.append(
+                    {
+                        "add": {
+                            **live[rel],
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "deletionVector": {
+                                "storageType": "u",
+                                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                                **descs[rel],
+                            },
+                        }
+                    }
+                )
+        _claim_commit(log_dir, version, actions)
+        if (version + 1) % checkpoint_interval == 0:
+            _write_checkpoint(log_dir, version)
+        return version
+
+    touched = sorted({by_abs[r["__file"]] for r in matched})
     # Survivor = NOT (predicate IS TRUE): a NULL predicate result does not
     # delete the row (SQL DELETE semantics) — a bare ~cond would silently
-    # drop NULL-evaluating rows from the rewrite.
-    survivors = _read_table_files(spark, table_dir, touched, meta).where(
+    # drop NULL-evaluating rows from the rewrite.  Existing DVs on touched
+    # files are applied by the read, so the rewrite also purges them.
+    survivors = _read_table_files(spark, table_dir, touched, meta, live).where(
         ~F.coalesce(cond, F.lit(False))
     )
     adds = _stage_and_promote(
         survivors, table_dir, version, partition_by, now_ms, tag="delete"
     )
-    actions: list[dict] = [
+    actions = [
         {
             "remove": {
                 "path": rel,
@@ -830,13 +1105,30 @@ def vacuum_delta(
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
     cutoff = time.time() - retention_hours * 3600.0
+    # deletion-vector sidecars referenced by the CURRENT snapshot are as
+    # load-bearing as the data files themselves (removing one resurrects
+    # deleted rows); anything else ages out like an unreferenced parquet
+    from .deletion_vectors import dv_relative_path
+
+    live_sidecars: set[str] = set()
+    for add in live.values():
+        dv = add.get("deletionVector") or {}
+        if dv.get("storageType") == "u":
+            live_sidecars.add(dv_relative_path(dv))
+        elif dv.get("storageType") == "p":
+            ap = os.path.abspath(dv["pathOrInlineDv"])
+            if ap.startswith(os.path.abspath(table_dir) + os.sep):
+                live_sidecars.add(
+                    os.path.relpath(ap, table_dir).replace(os.sep, "/")
+                )
     doomed: list[str] = []
-    for fpath in glob(os.path.join(table_dir, "**", "*.parquet"), recursive=True):
-        rel = os.path.relpath(fpath, table_dir).replace(os.sep, "/")
-        if rel.startswith("_delta_log/") or rel in live:
-            continue
-        if os.path.getmtime(fpath) <= cutoff:
-            doomed.append(rel)
+    for pattern in ("*.parquet", "deletion_vector_*.bin"):
+        for fpath in glob(os.path.join(table_dir, "**", pattern), recursive=True):
+            rel = os.path.relpath(fpath, table_dir).replace(os.sep, "/")
+            if rel.startswith("_delta_log/") or rel in live or rel in live_sidecars:
+                continue
+            if os.path.getmtime(fpath) <= cutoff:
+                doomed.append(rel)
     if not dry_run:
         for rel in doomed:
             os.remove(os.path.join(table_dir, rel))

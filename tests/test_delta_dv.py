@@ -273,3 +273,179 @@ def test_dv_large_bitmap_positions(spark, tmp_path):
     survivors = set(range(n)) - set(deleted)
     assert got.count() == len(survivors)
     assert {r.dept_staff for r in got.collect()} == survivors
+
+
+# --- writer-side DV deletes --------------------------------------------------
+
+
+def _fresh_table(spark, root, name, n=8, partitioned=False):
+    from buzz_rust_spark.sources import write_delta
+
+    table = os.path.join(root, name)
+    # coalesce: multi-row files, so DV deletes are partial (a fresh
+    # spark.range on local[32] would write one single-row file per row)
+    df = spark.range(n).coalesce(2).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS par"
+    )
+    write_delta(df, table, partition_by=["par"] if partitioned else None)
+    return table
+
+
+def test_delete_dv_end_to_end(spark, tmp_path):
+    """mode='dv' deletes rows without rewriting any data file, upgrades the
+    protocol, and our own writer keeps working on the upgraded table."""
+    import glob as g
+
+    from buzz_rust_spark.sources import write_delta
+    from buzz_rust_spark.sources.delta_writer import delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8)
+    before = sorted(g.glob(os.path.join(table, "*.parquet")))
+    v = delete_delta(spark, table, "k IN (1, 5)", mode="dv")
+    assert v == 1
+    # no data file rewritten or added
+    assert sorted(g.glob(os.path.join(table, "*.parquet"))) == before
+    assert g.glob(os.path.join(table, "deletion_vector_*.bin"))
+    got = sorted(r.k for r in DeltaCatalog("t", table).to_dataframe(spark).collect())
+    assert got == [0, 2, 3, 4, 6, 7]
+    # time travel to the pre-delete snapshot still sees all rows
+    assert DeltaCatalog("t", table, version=0).to_dataframe(spark).count() == 8
+    # writer still accepts the table after its own protocol upgrade
+    write_delta(
+        spark.range(100, 102).selectExpr("id AS k", "'x' AS par"), table, mode="append"
+    )
+    assert DeltaCatalog("t", table).to_dataframe(spark).count() == 8
+
+
+def test_delete_dv_second_delete_merges_positions(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_writer import delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8)
+    assert delete_delta(spark, table, "k = 1", mode="dv") == 1
+    assert delete_delta(spark, table, "k = 3", mode="dv") == 2
+    got = sorted(r.k for r in DeltaCatalog("t", table).to_dataframe(spark).collect())
+    assert got == [0, 2, 4, 5, 6, 7]
+
+
+def test_delete_dv_already_deleted_is_noop(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_writer import delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8)
+    assert delete_delta(spark, table, "k = 2", mode="dv") == 1
+    assert delete_delta(spark, table, "k = 2", mode="dv") is None
+    assert delete_delta(spark, table, "k = 99", mode="dv") is None
+
+
+def test_delete_dv_full_file_leaves_snapshot(spark, tmp_path):
+    """Deleting every row of a file removes it outright — no add with an
+    all-rows DV lingers."""
+    from buzz_rust_spark.sources.delta_writer import _log_state, delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=6)
+    assert delete_delta(spark, table, "k >= 0", mode="dv") == 1
+    _, live, _ = _log_state(os.path.join(table, "_delta_log"))
+    assert live == {}
+    assert DeltaCatalog("t", table).to_dataframe(spark).count() == 0
+
+
+def test_cow_delete_on_dv_table_purges(spark, tmp_path):
+    """A copy-on-write delete on a DV-carrying table applies the existing
+    vectors before rewriting — no resurrection."""
+    from buzz_rust_spark.sources.delta_writer import _log_state, delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8)
+    assert delete_delta(spark, table, "k = 1", mode="dv") == 1
+    assert delete_delta(spark, table, "k = 2", mode="cow") == 2
+    got = sorted(r.k for r in DeltaCatalog("t", table).to_dataframe(spark).collect())
+    assert got == [0, 3, 4, 5, 6, 7]
+    _, live, _ = _log_state(os.path.join(table, "_delta_log"))
+    assert not any(
+        (a.get("deletionVector") or {}).get("storageType") for a in live.values()
+    )
+
+
+def test_optimize_purges_dv_and_vacuum_reclaims(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_writer import (
+        _log_state,
+        delete_delta,
+        optimize_delta,
+        vacuum_delta,
+    )
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8)
+    assert delete_delta(spark, table, "k IN (0, 7)", mode="dv") == 1
+    assert optimize_delta(spark, table) == 2
+    _, live, _ = _log_state(os.path.join(table, "_delta_log"))
+    assert live and not any(
+        (a.get("deletionVector") or {}).get("storageType") for a in live.values()
+    )
+    got = sorted(r.k for r in DeltaCatalog("t", table).to_dataframe(spark).collect())
+    assert got == [1, 2, 3, 4, 5, 6]
+    removed = vacuum_delta(table, retention_hours=0.0)
+    # the now-unreferenced sidecar ages out with the replaced parquet files
+    assert any(r.startswith("deletion_vector_") for r in removed)
+    assert sorted(r.k for r in DeltaCatalog("t", table).to_dataframe(spark).collect()) == got
+
+
+def test_vacuum_keeps_live_sidecar(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_writer import delete_delta, vacuum_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8)
+    assert delete_delta(spark, table, "k = 3", mode="dv") == 1
+    removed = vacuum_delta(table, retention_hours=0.0)
+    assert not any(r.startswith("deletion_vector_") for r in removed)
+    got = sorted(r.k for r in DeltaCatalog("t", table).to_dataframe(spark).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7]
+
+
+def test_checkpoint_preserves_dv(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_writer import _write_checkpoint, delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8)
+    assert delete_delta(spark, table, "k IN (2, 6)", mode="dv") == 1
+    _write_checkpoint(os.path.join(table, "_delta_log"), 1)
+    # DeltaCatalog replays FROM the checkpoint (no JSON commits after it) —
+    # the DV must survive the parquet round-trip
+    got = sorted(r.k for r in DeltaCatalog("t", table).to_dataframe(spark).collect())
+    assert got == [0, 1, 3, 4, 5, 7]
+
+
+def test_delete_dv_partitioned_predicate(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_writer import delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8, partitioned=True)
+    assert delete_delta(spark, table, "par = '1' AND k < 4", mode="dv") == 1
+    got = sorted(r.k for r in DeltaCatalog("t", table).to_dataframe(spark).collect())
+    assert got == [0, 2, 4, 5, 6, 7]
+
+
+def test_delete_dv_bulk_guard(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.delta_writer import delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8)
+    with pytest.raises(BuzzBadRequestError, match="cow"):
+        delete_delta(spark, table, "k >= 0", mode="dv", max_dv_rows=3)
+
+
+def test_writer_gate_refuses_unknown_writer_features(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+    from buzz_rust_spark.sources import write_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=4)
+    _write_commit(
+        os.path.join(table, "_delta_log"),
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors", "invariants"],
+                }
+            }
+        ],
+    )
+    with pytest.raises(BuzzNotImplementedError, match="invariants"):
+        write_delta(spark.range(1).selectExpr("id AS k", "'x' AS par"), table, mode="append")

@@ -1,15 +1,17 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side design is real and tested — schema contracts, Arrow-batched
-``mapInPandas`` signatures, partition-size control.  Three media formats are
+``mapInPandas`` signatures, partition-size control.  Four media formats are
 decoded FOR REAL with pure-python/numpy parsers (no media libs needed):
-uncompressed 24/32-bit **BMP** and 8-bit **PNG** (stdlib zlib inflate +
-scanline unfilter; pixel stats + nearest-neighbor resize) and 8/16-bit PCM
-**WAV** (sample stats).  Every other format falls back to a deterministic
-stub "decode" deriving features from the payload bytes, so the full
-pipeline stays exercisable end-to-end; ``strict=True`` raises at that stub
-boundary instead (JPEG/MP3/video genuinely need PIL/torchaudio/ffmpeg).
-Swap the fallback for a real decoder in production; nothing else changes.
+uncompressed 24/32-bit **BMP**, 8-bit **PNG** (stdlib zlib inflate +
+scanline unfilter), baseline **JPEG** (huffman + matrix IDCT per ITU T.81,
+incl. 4:2:0/4:2:2 subsampling and restart markers), and 8/16-bit PCM
+**WAV** (sample stats).  Every other format (progressive JPEG, MP3, video)
+falls back to a deterministic stub "decode" deriving features from the
+payload bytes, so the full pipeline stays exercisable end-to-end;
+``strict=True`` raises at that stub boundary instead (those genuinely need
+PIL/torchaudio/ffmpeg).  Swap the fallback for a real decoder in
+production; nothing else changes.
 
 Scale notes:
 - media rows are wide (MBs): ``repartition`` by byte budget before the decode
@@ -63,10 +65,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic media table for pipeline tests.  Image rows carry REAL
-    payloads — even ids uncompressed BMP, odd ids 8-bit PNG — and audio rows
-    REAL PCM WAV (all a deterministic function of media_id), so the
-    decode/resize stages exercise both pure-python image codecs end-to-end;
-    video rows carry opaque bytes (stub path)."""
+    payloads — media_id mod 3 selects uncompressed BMP / 8-bit PNG /
+    baseline JPEG — and audio rows REAL PCM WAV (all a deterministic
+    function of media_id), so the decode/resize stages exercise all three
+    pure-python image codecs end-to-end; video rows carry opaque bytes
+    (stub path)."""
     import numpy as np
 
     def payload(i: int, w: int, h: int, duration_ms: int) -> bytes:
@@ -80,7 +83,9 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            return encode_bmp(px) if i % 2 == 0 else encode_png(px)
+            return [encode_bmp, encode_png, lambda a: encode_jpeg(a, quant=1)][
+                i % 3
+            ](px)
         if kind == "audio":
             rate = 8000
             t = np.arange(rate * duration_ms // 1000, dtype=np.float64)
@@ -90,7 +95,7 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
 
     def mime(i: int) -> str:
         if kind == "image":
-            return "image/bmp" if i % 2 == 0 else "image/png"
+            return ["image/bmp", "image/png", "image/jpeg"][i % 3]
         return {"audio": "audio/wav"}.get(kind, f"{kind}/fake")
 
     rows = [
@@ -306,6 +311,459 @@ def decode_png(payload: bytes | None):
     return np.ascontiguousarray(px[:, :, :3])
 
 
+# --- JPEG (baseline sequential DCT, ITU T.81) --------------------------------
+#
+# Pure python/numpy per the published spec: no media libraries.  The decoder
+# handles what real-world baseline files contain — arbitrary DQT/DHT tables
+# from the stream, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, grayscale,
+# restart markers, byte stuffing.  Progressive (SOF2), arithmetic coding,
+# and 12-bit precision return None (stub/strict boundary, like interlaced
+# PNG).  The encoder emits spec-conformant baseline JFIF with its tables in
+# the stream (any valid Huffman/quant table is legal; it uses simple
+# fixed-length canonical tables rather than reproducing Annex K).
+
+import numpy as _np
+
+# zigzag scan: position k in the stream -> flattened (row*8+col) index.
+# Generated, not transcribed: diagonal s runs row-ascending when s is odd,
+# row-descending when even ((0,0),(0,1),(1,0),(2,0),(1,1),(0,2),...).
+_ZIGZAG: list[int] = []
+for _s in range(15):
+    _pts = [(_y, _s - _y) for _y in range(max(0, _s - 7), min(_s, 7) + 1)]
+    if _s % 2 == 0:
+        _pts.reverse()
+    _ZIGZAG += [_y * 8 + _x for (_y, _x) in _pts]
+
+# orthonormal 8x8 DCT-II basis: F = A @ f @ A.T, f = A.T @ F @ A
+_DCT_A = _np.array(
+    [
+        [
+            (1.0 / _np.sqrt(2.0) if u == 0 else 1.0)
+            * 0.5
+            * _np.cos((2 * x + 1) * u * _np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _huff_decode_table(counts: list[int], symbols: list[int]) -> dict:
+    """(BITS, HUFFVAL) → {(length, code): symbol} via the spec's canonical
+    code assignment (T.81 Annex C) — shared by encoder and decoder."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise EOFError("invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes | None):
+    """Baseline sequential JPEG → (H, W, 3) uint8 RGB array, else None.
+
+    Marker walk → DQT/DHT/SOF0(/SOF1)/DRI/SOS parse → huffman-decoded MCUs
+    (interleaved; restart-segmented) → dequant + matrix IDCT per 8x8 block →
+    chroma upsample → YCbCr→RGB (BT.601 as T.81/JFIF specify).  Dimension
+    cap 4 MP: entropy decode is a per-bit python loop, right for the
+    metadata-scale thumbnails this stage handles (the surrounding
+    ``mapInPandas`` batching is the production shape regardless)."""
+    import numpy as np
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+        frame = None
+        restart_interval = 0
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                return None  # EOI before any scan
+            ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            seg = payload[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    n = 64 * (2 if pq else 1)
+                    raw = seg[i : i + n]
+                    i += n
+                    vals = (
+                        np.frombuffer(raw, ">u2").astype(np.int32)
+                        if pq
+                        else np.frombuffer(raw, np.uint8).astype(np.int32)
+                    )
+                    tbl = np.zeros(64, np.int32)
+                    tbl[_ZIGZAG] = vals  # stored in zigzag order
+                    qt[tq] = tbl.reshape(8, 8)
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = list(seg[i + 1 : i + 17])
+                    n = sum(counts)
+                    symbols = list(seg[i + 17 : i + 17 + n])
+                    huff[(tc, th)] = _huff_decode_table(counts, symbols)
+                    i += 17 + n
+            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext sequential
+                prec = seg[0]
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                ncomp = seg[5]
+                if prec != 8 or w <= 0 or h <= 0 or w * h > (1 << 22):
+                    return None
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                frame = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / lossless
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan.append((cs, tda >> 4, tda & 15))
+                data_start = pos + 2 + ln
+                return _decode_scan(
+                    payload, data_start, frame, scan, qt, huff, restart_interval
+                )
+            pos += 2 + ln
+        return None
+    except (EOFError, IndexError, KeyError, ValueError):
+        return None
+
+
+def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
+    import numpy as np
+
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        return None  # multi-scan (non-interleaved color) is out of scope
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    # unstuff entropy bytes; split at restart markers
+    segments, cur = [], bytearray()
+    i = start
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    planes = {
+        cid: np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), np.float64)
+        for cid, hi, vi, _ in comps
+    }
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    n_mcus = mcus_x * mcus_y
+    per_seg = restart_interval or n_mcus
+    mcu = 0
+    for seg in segments:
+        rd = _BitReader(seg)
+        pred = {cid: 0 for cid in pred}  # DC predictors reset at restarts
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for cid, td, ta in scan:
+                hi, vi, tq = by_id[cid]
+                dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+                q = qt[tq]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef = np.zeros(64, np.int32)
+                        s = rd.huff(dc_tbl)
+                        diff = _extend(rd.receive(s), s) if s else 0
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[_ZIGZAG[k]] = _extend(rd.receive(s), s)
+                            k += 1
+                        block = (coef.reshape(8, 8) * q).astype(np.float64)
+                        px = _DCT_A.T @ block @ _DCT_A + 128.0
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu += 1
+        if mcu >= n_mcus:
+            break
+    if mcu < n_mcus:
+        return None  # truncated stream
+
+    # upsample each component to full MCU-grid resolution, crop, convert
+    full = {}
+    for cid, hi, vi, _ in comps:
+        p = planes[cid]
+        if hi < hmax or vi < vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full[cid] = p[:h, :w]
+    if len(comps) == 1:
+        g = np.clip(full[comps[0][0]], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    yid, cbid, crid = (c[0] for c in comps)
+    Y, Cb, Cr = full[yid], full[cbid] - 128.0, full[crid] - 128.0
+    rgb = np.stack(
+        [
+            Y + 1.402 * Cr,
+            Y - 0.344136 * Cb - 0.714136 * Cr,
+            Y + 1.772 * Cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-fill (stuffed like any data) then emit RSTn raw."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+# encoder tables: simple CANONICAL fixed-length codes (any valid table is
+# legal baseline JPEG — the tables travel in DHT; Annex K's are merely the
+# suggested ones).  DC: all 12 categories at 4 bits; AC: all 162 (run,size)
+# symbols at 9 bits.  Both satisfy Kraft with room to spare.
+_ENC_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_SYMBOLS = list(range(12))
+_ENC_AC_COUNTS = [0] * 8 + [162] + [0] * 7
+_ENC_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_DC = {
+    sym: (ln, code)
+    for (ln, code), sym in _huff_decode_table(
+        _ENC_DC_COUNTS, _ENC_DC_SYMBOLS
+    ).items()
+}
+_ENC_AC = {
+    sym: (ln, code)
+    for (ln, code), sym in _huff_decode_table(
+        _ENC_AC_COUNTS, _ENC_AC_SYMBOLS
+    ).items()
+}
+
+
+def encode_jpeg(
+    pixels, subsampling: str = "444", quant: int = 2, restart_interval: int = 0
+) -> bytes:
+    """(H, W[, 3]) uint8 array → baseline JFIF bytes.
+
+    ``subsampling``: '444' (full-res chroma) or '420' (2x2 mean-pooled).
+    ``quant``: uniform quantization step for every coefficient (1 ≈
+    near-lossless apart from DCT rounding; larger = lossier/smaller) — a
+    flat table is spec-legal and keeps the fixture math analyzable.
+    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None].repeat(3, axis=2)
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444|420, got {subsampling!r}")
+    h, w = px.shape[:2]
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    sub = 2 if subsampling == "420" else 1
+    mcu = 8 * sub
+
+    def pad(plane, m):
+        ph = -(-plane.shape[0] // m) * m
+        pw = -(-plane.shape[1] // m) * m
+        return np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+
+    Yp = pad(Y, mcu)
+    if sub == 2:
+        Cbp = pad(Cb, mcu).reshape(-1, 2, Yp.shape[1] // 2, 2).mean(axis=(1, 3))
+        Crp = pad(Cr, mcu).reshape(-1, 2, Yp.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        Cbp, Crp = pad(Cb, 8), pad(Cr, 8)
+    q = np.full((8, 8), int(quant), np.int32)
+
+    wr = _BitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(plane, y0, x0, ci):
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coef = np.round((_DCT_A @ block @ _DCT_A.T) / q).astype(np.int64)
+        zz = coef.reshape(64)[_ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+
+        def mag(v):
+            s = int(abs(v)).bit_length()
+            return s, (v if v >= 0 else v + (1 << s) - 1)
+
+        s, bits = mag(diff)
+        ln, code = _ENC_DC[s]
+        wr.write(code, ln)
+        if s:
+            wr.write(bits & ((1 << s) - 1), s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, code = _ENC_AC[0xF0]
+                wr.write(code, ln)
+                run -= 16
+            s, bits = mag(v)
+            ln, code = _ENC_AC[(run << 4) | s]
+            wr.write(code, ln)
+            wr.write(bits & ((1 << s) - 1), s)
+            run = 0
+        if run:
+            ln, code = _ENC_AC[0x00]
+            wr.write(code, ln)
+
+    mcus_y, mcus_x = Yp.shape[0] // mcu, Yp.shape[1] // mcu
+    n_done, n_rst = 0, 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                wr.restart(n_rst)
+                n_rst += 1
+                pred[:] = [0, 0, 0]
+            for by in range(sub):
+                for bx in range(sub):
+                    put_block(Yp, (my * sub + by) * 8, (mx * sub + bx) * 8, 0)
+            put_block(Cbp, my * 8, mx * 8, 1)
+            put_block(Crp, my * 8, mx * 8, 2)
+            n_done += 1
+    data = wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_q = bytes(int(quant) for _ in range(64))
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + zz_q)  # DQT id 0 (luma)
+    out += seg(0xDB, b"\x01" + zz_q)  # DQT id 1 (chroma)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
+    dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS)
+    dht += bytes([0x01]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
+    dht += bytes([0x11]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS)
+    out += seg(0xC4, dht)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return out + data + b"\xff\xd9"
+
+
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     """float array in [-1, 1] → mono 16-bit PCM WAV bytes."""
     import numpy as np
@@ -385,15 +843,18 @@ def _stats_feature(base: list[float], values, dim: int) -> list[float]:
 
 def decode_image(payload: bytes | None):
     """Any supported still-image container → (H, W, 3) uint8 RGB, else None
-    (currently: uncompressed 24/32-bit BMP; 8-bit PNG)."""
-    img = decode_bmp(payload)
-    return img if img is not None else decode_png(payload)
+    (currently: uncompressed 24/32-bit BMP; 8-bit PNG; baseline JPEG)."""
+    for codec in (decode_bmp, decode_png, decode_jpeg):
+        img = codec(payload)
+        if img is not None:
+            return img
+    return None
 
 
 def decode_real(payload: bytes | None, dim: int) -> list[float] | None:
     """Real feature extraction for the supported formats, else None.
 
-    BMP/PNG: [width, height, gray mean/std/min/max, gray histogram...];
+    BMP/PNG/JPEG: [width, height, gray mean/std/min/max, gray histogram...];
     WAV: [sample_rate/1e4, duration_s, amp mean/std/min/max, histogram...]."""
     img = decode_image(payload)
     if img is not None:
@@ -449,7 +910,7 @@ def decode_features(
             if strict and p is not None:
                 raise NotImplementedError(
                     "payload is not an uncompressed BMP, 8-bit PNG, or PCM "
-                    "WAV; decoding other formats (JPEG/MP3/...) requires "
+                    "WAV; decoding other formats (MP3/video/...) requires "
                     "PIL/torchaudio/ffmpeg, not present in this environment "
                     "(use strict=False for the byte stub)"
                 )
@@ -506,12 +967,12 @@ def resize_images(
 ) -> DataFrame:
     """Image resize stage: (media_id, new dims, resized payload).
 
-    Uncompressed BMP payloads resize FOR REAL (numpy nearest-neighbor over
-    the decoded pixel array, re-encoded as BMP).  Other formats use a
-    deterministic byte down/up-sampling stub; ``strict=True`` raises at that
-    boundary (compressed formats require PIL).  The Spark plumbing — binary
-    in/out schema, iterator ``mapInPandas`` batching, metadata rewrite — is
-    the production shape either way."""
+    BMP / PNG / baseline-JPEG payloads resize FOR REAL (numpy
+    nearest-neighbor over the decoded pixel array, re-encoded in the input
+    container).  Other formats use a deterministic byte down/up-sampling
+    stub; ``strict=True`` raises at that boundary.  The Spark plumbing —
+    binary in/out schema, iterator ``mapInPandas`` batching, metadata
+    rewrite — is the production shape either way."""
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -523,17 +984,22 @@ def resize_images(
             if p is None:
                 return None
             is_png = len(p) >= 8 and p[:8] == b"\x89PNG\r\n\x1a\n"
+            is_jpeg = len(p) >= 2 and p[:2] == b"\xff\xd8"
             img = decode_image(p)
             if img is not None:
                 h, w = img.shape[:2]
                 rows = (np.arange(target_height) * h) // target_height
                 cols = (np.arange(target_width) * w) // target_width
                 resized = img[rows][:, cols]
-                # stay in the input container: PNG in → PNG out, BMP → BMP
-                return encode_png(resized) if is_png else encode_bmp(resized)
+                # stay in the input container: PNG→PNG, JPEG→JPEG, BMP→BMP
+                if is_png:
+                    return encode_png(resized)
+                if is_jpeg:
+                    return encode_jpeg(resized, quant=2)
+                return encode_bmp(resized)
             if strict:
                 raise NotImplementedError(
-                    "payload is not an uncompressed BMP or 8-bit PNG; "
+                    "payload is not a BMP, 8-bit PNG, or baseline JPEG; "
                     "resizing other formats requires PIL, not present in "
                     "this environment (use strict=False for the byte stub)"
                 )

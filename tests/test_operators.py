@@ -160,10 +160,10 @@ def test_fingerprint_normalization_invariance(spark):
 
 
 def test_multimodal_decode_real_bmp_features(spark):
-    """Image rows carry real payloads (even ids BMP, odd ids PNG): features
-    are actual pixel stats (feature[0]/[1] = decoded width/height), not
-    byte-stub hashes — and BOTH containers decode to the same stats for the
-    same pixels."""
+    """Image rows carry real payloads (media_id mod 3: BMP / PNG / baseline
+    JPEG): features are actual pixel stats (feature[0]/[1] = decoded
+    width/height), not byte-stub hashes — and ALL containers decode to the
+    same stats for the same pixels."""
     media = M.synthetic_media(spark, n=10)
     feats = M.decode_features(media, dim=8).collect()
     assert len(feats) == 10
@@ -173,7 +173,7 @@ def test_multimodal_decode_real_bmp_features(spark):
         w, h = 64 + i % 16, 48 + i % 12
         assert by_id[i]["feature"][0] == pytest.approx(float(w))
         assert by_id[i]["feature"][1] == pytest.approx(float(h))
-        if i % 2 == 0:  # BMP: fixed-layout container → exact size pinned
+        if i % 3 == 0:  # BMP: fixed-layout container → exact size pinned
             stride = (w * 3 + 3) & ~3
             assert by_id[i]["n_bytes"] == 54 + stride * h
         # grayscale stats live in [0, 1]
@@ -472,14 +472,18 @@ def test_resize_images_real_bmp(spark):
     }
     for r in out:
         assert r["width"] == 32 and r["height"] == 32
-        # container preserved: even ids BMP in/out, odd ids PNG in/out
-        decode = M.decode_bmp if r["media_id"] % 2 == 0 else M.decode_png
+        # container preserved: BMP in → BMP out, PNG → PNG, JPEG → JPEG
+        decode = [M.decode_bmp, M.decode_png, M.decode_jpeg][r["media_id"] % 3]
         resized = decode(bytes(r["payload"]))
         assert resized is not None and resized.shape == (32, 32, 3)
         src = originals[r["media_id"]]
         rows = (np.arange(32) * src.shape[0]) // 32
         cols = (np.arange(32) * src.shape[1]) // 32
-        assert np.array_equal(resized, src[rows][:, cols])
+        expect = src[rows][:, cols]
+        if r["media_id"] % 3 == 2:  # JPEG re-encode is lossy (quant + DCT)
+            assert np.abs(resized.astype(int) - expect.astype(int)).max() <= 24
+        else:
+            assert np.array_equal(resized, expect)
     # strict mode still marks the boundary for non-BMP payloads; real BMPs
     # pass.  (kind='video' rows are filtered out by resize_images itself, so
     # craft an image-kind row with opaque bytes.)
@@ -489,7 +493,7 @@ def test_resize_images_real_bmp(spark):
         [(1, "image", bytes(range(64)), "image/jpeg", 8, 8, 0)],
         schema=M.MEDIA_SCHEMA,
     )
-    with _pytest.raises(Exception, match="NotImplementedError|not an uncompressed BMP"):
+    with _pytest.raises(Exception, match="NotImplementedError|not a BMP"):
         M.resize_images(fake, strict=True).collect()
     assert len(M.resize_images(media, strict=True).collect()) == 16
 
@@ -1985,3 +1989,90 @@ def test_bm25_term_frequency_saturates(spark):
     )
     out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["hit"]).collect()}
     assert 0.0 < out[0] < out[1] < 3 * out[0]
+
+
+def test_jpeg_roundtrip_near_lossless():
+    """quant=1 444: recovery within DCT rounding (±2) on random pixels; solid
+    colors (DC-only blocks) recover exactly."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40, 3), np.uint8)
+    out = M.decode_jpeg(M.encode_jpeg(img, quant=1))
+    assert out is not None and out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    solid = np.zeros((16, 16, 3), np.uint8)
+    solid[:] = (200, 50, 90)
+    assert np.array_equal(M.decode_jpeg(M.encode_jpeg(solid, quant=1)), solid)
+
+
+def test_jpeg_subsampling_and_odd_dims():
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    y, x = np.mgrid[0:33, 0:47]
+    img = np.stack(
+        [x * 255 // 47, y * 255 // 33, (x + y) * 255 // 80], axis=2
+    ).astype(np.uint8)
+    out = M.decode_jpeg(M.encode_jpeg(img, subsampling="420", quant=2))
+    assert out.shape == img.shape
+    # smooth gradient: 2x2 chroma pooling stays within a few levels
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+    rng = np.random.default_rng(3)
+    odd = rng.integers(0, 256, (13, 17, 3), np.uint8)
+    out = M.decode_jpeg(M.encode_jpeg(odd, quant=1))
+    assert out.shape == (13, 17, 3)
+    assert np.abs(out.astype(int) - odd.astype(int)).max() <= 2
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: DC predictors reset per restart segment and the byte-aligned
+    stream still decodes bit-exactly vs the no-restart encode."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 40, 3), np.uint8)
+    base = M.decode_jpeg(M.encode_jpeg(img, quant=1))
+    for ri in (1, 3):
+        enc = M.encode_jpeg(img, quant=1, restart_interval=ri)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        assert np.array_equal(M.decode_jpeg(enc), base)
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    from buzz_rust_spark.operators import multimodal as M
+
+    assert M.decode_jpeg(None) is None
+    assert M.decode_jpeg(b"not a jpeg") is None
+    assert M.decode_jpeg(b"\xff\xd8\xff\xd9") is None
+    import numpy as np
+
+    enc = M.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    assert M.decode_jpeg(enc[: len(enc) // 2]) is None  # truncated scan
+    # flip SOF0 -> SOF2 (progressive): spec says refuse, not misdecode
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert M.decode_jpeg(prog) is None
+
+
+def test_jpeg_dequantizes_stream_tables():
+    """The decoder must use the DQT tables FROM THE STREAM: the same
+    coefficients under a coarser table decode to different (coarser)
+    pixels."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([x * 16, y * 16, (x + y) * 8], axis=2).astype(np.uint8)
+    fine = M.decode_jpeg(M.encode_jpeg(img, quant=1))
+    coarse = M.decode_jpeg(M.encode_jpeg(img, quant=16))
+    d_fine = np.abs(fine.astype(int) - img.astype(int)).mean()
+    d_coarse = np.abs(coarse.astype(int) - img.astype(int)).mean()
+    assert d_fine < d_coarse  # quantization error actually applied

@@ -421,6 +421,9 @@ def decode_jpeg(payload: bytes | None):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
+            if marker == 0xFF:  # T.81 B.1.1.2: 0xFF fill bytes before markers
+                pos += 1
+                continue
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 pos += 2
                 continue
@@ -511,6 +514,9 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
             if nxt == 0x00:
                 cur.append(0xFF)
                 i += 2
+                continue
+            if nxt == 0xFF:  # fill byte preceding a marker
+                i += 1
                 continue
             if 0xD0 <= nxt <= 0xD7:
                 segments.append(bytes(cur))

@@ -94,8 +94,8 @@ _NO_OFFSET_THRESHOLD = 4
 
 def _decode_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
     """One standard-portable 32-bit roaring bitmap at ``buf[pos:]`` ->
-    (sorted values, next position)."""
-    start = pos
+    (sorted values, next position).  Truncation raises struct.error from
+    unpack_from; the caller wraps it in the typed error."""
     (cookie,) = struct.unpack_from("<I", buf, pos)
     run_flags = b""
     if (cookie & 0xFFFF) == _COOKIE_RUN:
@@ -143,15 +143,15 @@ def _decode_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
             vals = struct.unpack_from(f"<{card}H", buf, pos)
             pos += 2 * card
             values.extend(base + v for v in vals)
-    if pos > len(buf):
-        raise BuzzExecutionError(
-            f"truncated roaring bitmap (needed {pos - start} bytes)"
-        )
     return values, pos
 
 
 def decode_bitmap_array(data: bytes) -> list[int]:
-    """Magic + portable RoaringBitmapArray -> sorted 64-bit row indexes."""
+    """Magic + portable RoaringBitmapArray -> sorted 64-bit row indexes.
+
+    Every malformation — truncation mid-container included (struct raises
+    before the post-hoc length check could) — surfaces as the module's typed
+    BuzzExecutionError, never a raw struct.error."""
     if len(data) < 12:
         raise BuzzExecutionError(f"deletion vector too short ({len(data)} bytes)")
     (magic,) = struct.unpack_from("<i", data, 0)
@@ -162,9 +162,14 @@ def decode_bitmap_array(data: bytes) -> list[int]:
     (n_bitmaps,) = struct.unpack_from("<Q", data, 4)
     pos = 12
     out: list[int] = []
-    for high in range(n_bitmaps):
-        vals, pos = _decode_roaring32(data, pos)
-        out.extend((high << 32) | v for v in vals)
+    try:
+        for high in range(n_bitmaps):
+            vals, pos = _decode_roaring32(data, pos)
+            out.extend((high << 32) | v for v in vals)
+    except struct.error as exc:
+        raise BuzzExecutionError(
+            f"truncated/corrupt deletion-vector bitmap: {exc}"
+        ) from exc
     return out
 
 
@@ -303,33 +308,50 @@ def write_dv_file(path: str, positions) -> dict:
     return {"storageType": "p", "pathOrInlineDv": path, **desc}
 
 
-def filter_deleted_rows(scan, deleted, spark, broadcast_max: int = 2_000_000):
+def filter_deleted_rows(
+    scan, deleted, spark, broadcast_max: int = 2_000_000, drop_path: bool = True
+):
     """Drop rows of a ``_metadata``-carrying scan whose (file path, row
     index) appears in ``deleted`` — the distributed half of DV application.
 
     ``scan`` must select the data columns plus ``__rawpath``
     (``_metadata.file_path``) and ``__ridx`` (``_metadata.row_index``);
-    ``deleted`` is ``[(scheme-stripped path, row index), ...]``.  One
-    anti-join, broadcast below ``broadcast_max`` positions (above it the
-    writer's DV-compaction policy is off and an 8 GB broadcast OOM would be
-    a worse failure than one shuffle of the filter relation)."""
+    ``deleted`` is ``[(scheme-stripped path, row index), ...]``.
+
+    Join shape: file paths map to compact integer ids driver-side, so the
+    position relation is 16 bytes/row no matter how deep the paths are
+    (repeating a ~100-byte path per deleted row would make a near-cap
+    filter relation hundreds of MB); the path→id map itself is O(files)
+    and always broadcast.  The anti-join broadcasts below ``broadcast_max``
+    positions — above it the writer's DV-compaction policy is off and an
+    8 GB broadcast OOM would be a worse failure than one shuffle of the
+    filter relation.  Rows from files WITHOUT a DV get a null id, which an
+    anti-join never matches.  ``drop_path=False`` keeps the normalized
+    ``__path`` column for callers that join more per-file metadata on."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
 
-    # _metadata.file_path is a percent-encoded URI like input_file_name();
-    # normalize exactly as the StaticCatalog manifest join does
-    scan = scan.withColumn(
-        "__path",
-        F.coalesce(
-            F.expr(
-                "try_url_decode(regexp_replace(__rawpath, '^[a-z0-9]+:(//)?', ''))"
-            ),
-            F.regexp_replace(F.col("__rawpath"), r"^[a-z0-9]+:(//)?", ""),
-        ),
-    ).drop("__rawpath")
-    del_df = spark.createDataFrame(deleted, "__path string, __ridx long")
+    from .uris import normalized_path_col
+
+    fids = {p: i for i, p in enumerate(sorted({p for p, _ in deleted}))}
+    files_df = broadcast(
+        spark.createDataFrame(
+            sorted(fids.items()), "__path string, __fid long"
+        )
+    )
+    del_df = spark.createDataFrame(
+        [(fids[p], int(r)) for p, r in deleted], "__fid long, __ridx long"
+    )
     if len(deleted) <= broadcast_max:
         del_df = broadcast(del_df)
-    return scan.join(del_df, on=["__path", "__ridx"], how="left_anti").drop(
-        "__path", "__ridx"
+    # _metadata.file_path is a percent-encoded URI like input_file_name();
+    # both DV sides share the catalog-join normalizer (sources.uris)
+    scan = (
+        scan.withColumn("__path", normalized_path_col(F.col("__rawpath")))
+        .drop("__rawpath")
+        .join(files_df, on="__path", how="left")
     )
+    out = scan.join(del_df, on=["__fid", "__ridx"], how="left_anti").drop(
+        "__fid", "__ridx"
+    )
+    return out.drop("__path") if drop_path else out

@@ -339,31 +339,38 @@ class DeltaCatalog:
     # writer's rewrite-compaction policy is off, and an 8 GB broadcast OOM is
     # a worse failure than one shuffle of the filter relation
     DV_BROADCAST_MAX = 2_000_000
+    # above this many distinct partition tuples the DV scan switches from
+    # per-tuple unions to one scan + broadcast manifest join (same bound as
+    # StaticCatalog.union_max_groups, same reason: bounded plan size)
+    DV_UNION_MAX_GROUPS = 32
 
     def _dv_scan(self, spark: SparkSession, files: list[CatalogFile]) -> DataFrame:
         """Scan data files that carry a deletion vector, with deleted rows
         filtered out.
 
-        Shape: one parquet scan per distinct partition tuple selecting the
-        data columns plus ``_metadata.row_index`` (the file-ordinal Delta DVs
-        index by), then ONE anti-join of (file path, row index) against the
-        decoded deleted positions — broadcast below DV_BROADCAST_MAX, so the
-        common case adds zero shuffles to the plan.  DV decode itself is
-        driver-side metadata work, like the log replay (bitmaps are
-        compressed; cardinality is bounded by writer compaction policy)."""
-        import re
+        Shape: a parquet scan selecting the data columns plus
+        ``_metadata.row_index`` (the file-ordinal Delta DVs index by), then
+        ONE anti-join of (file, row index) against the decoded deleted
+        positions — broadcast below DV_BROADCAST_MAX, so the common case
+        adds zero shuffles to the plan.  Partition values attach like
+        StaticCatalog's two strategies: per-tuple scans with literal
+        columns up to DV_UNION_MAX_GROUPS distinct tuples, and one scan +
+        broadcast manifest join on the normalized file path above that (a
+        broad DV delete over a date-partitioned table must not build an
+        O(partitions) union plan).  DV decode itself is driver-side
+        metadata work, like the log replay (bitmaps are compressed;
+        cardinality is bounded by writer compaction policy)."""
         from functools import reduce
 
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StringType
+        from pyspark.sql.functions import broadcast
+        from pyspark.sql.types import StringType, StructField, StructType
 
         from .deletion_vectors import filter_deleted_rows, read_dv_positions
-
-        def norm(key: str) -> str:
-            return re.sub(r"^[a-z0-9]+:(//)?", "", key)
+        from .uris import normalized_key
 
         deleted = [
-            (norm(f.key), int(p))
+            (normalized_key(f.key), int(p))
             for f in files
             for p in read_dv_positions(self._store, self._dv_by_key[f.key])
         ]
@@ -372,6 +379,35 @@ class DeltaCatalog:
         for f in files:
             values = tuple(f.partition_value(c) for c in self.partition_cols)
             groups.setdefault(values, []).append(f.key)
+
+        if len(groups) > self.DV_UNION_MAX_GROUPS:
+            scan = spark.read.schema(self.schema).parquet(
+                *[f.key for f in files]
+            ).select(
+                "*",
+                F.col("_metadata.file_path").alias("__rawpath"),
+                F.col("_metadata.row_index").alias("__ridx"),
+            )
+            clean = filter_deleted_rows(
+                scan, deleted, spark, self.DV_BROADCAST_MAX, drop_path=False
+            )
+            manifest = spark.createDataFrame(
+                [
+                    (normalized_key(f.key),)
+                    + tuple(f.partition_value(c) for c in self.partition_cols)
+                    for f in files
+                ],
+                StructType(
+                    [StructField("__path", StringType(), False)]
+                    + [
+                        StructField(c, StringType(), True)
+                        for c in self.partition_cols
+                    ]
+                ),
+            )
+            # inner: every scanned row's file is in the manifest by
+            # construction (the scan reads exactly these files)
+            return clean.join(broadcast(manifest), on="__path").drop("__path")
 
         def _group_key(item):
             values, _ = item
@@ -513,6 +549,22 @@ def read_delta_changes(
                 meta.update(action["metaData"])
         if version <= from_version:
             continue
+        # DV check FIRST: a real DV delete commit carries remove actions
+        # too, and the generic overwrite error would mask the specific
+        # diagnosis.  An add carrying a DV is a row-level DELETE in
+        # disguise — its "added" file is a re-add of existing data minus
+        # some rows, so surfacing it as appended rows would double-count
+        # the survivors.
+        if any(
+            (a["add"].get("deletionVector") or {}).get("storageType")
+            for a in actions
+            if "add" in a
+        ):
+            raise BuzzExecutionError(
+                f"commit {version} deletes rows via deletion vectors;"
+                " incremental changes are only defined over append-only"
+                " history"
+            )
         if any(
             a["remove"].get("dataChange", True)
             for a in actions
@@ -521,19 +573,6 @@ def read_delta_changes(
             raise BuzzExecutionError(
                 f"commit {version} removes data (overwrite); incremental"
                 " changes are only defined over append-only history"
-            )
-        if any(
-            (a["add"].get("deletionVector") or {}).get("storageType")
-            for a in actions
-            if "add" in a
-        ):
-            # an add carrying a DV is a row-level DELETE in disguise — its
-            # "added" file is a re-add of existing data minus some rows, so
-            # surfacing it as appended rows would double-count the survivors
-            raise BuzzExecutionError(
-                f"commit {version} deletes rows via deletion vectors;"
-                " incremental changes are only defined over append-only"
-                " history"
             )
         adds = [
             a["add"]

@@ -67,18 +67,28 @@ def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
     """Replay the JSON log: (last_version, live add-actions by path, metaData).
     Returns (-1, {}, {}) for a fresh table.  Checkpoint parquet is *not*
     consulted here — the writer keeps all JSON commits, so a pure-JSON replay
-    is always complete (readers may still use checkpoints)."""
+    is always complete (readers may still use checkpoints).
+
+    Removes apply before adds WITHIN each commit, mirroring the reader's
+    ``_replay_actions``: a DV delete commit from another engine may list the
+    re-add before the remove (the spec keys entries by (path, dvId)), and a
+    path-keyed in-order replay would drop the file — vacuum would then
+    delete a LIVE data file.  Also records the last protocol action so
+    callers don't re-parse the log (see :func:`_current_protocol`)."""
     live: dict[str, dict] = {}
     meta: dict = {}
     last = -1
+    _LAST_PROTOCOL[log_dir] = dict(PROTOCOL)
     for commit in sorted(glob(os.path.join(log_dir, "*.json"))):
         last = int(os.path.basename(commit).split(".")[0])
+        adds: list[dict] = []
         with open(commit) as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
+                    _LAST_PROTOCOL[log_dir] = action["protocol"] or {}
                     # Spec: a writer MUST refuse tables whose writer protocol
                     # exceeds what it implements — committing plain actions
                     # to e.g. an invariants table would corrupt it.  Writer 7
@@ -114,24 +124,29 @@ def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
+                    adds.append(action["add"])
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+        for add in adds:
+            live[add["path"]] = add
     return last, live, meta
+
+
+# last protocol action seen per log_dir by the most recent _log_state replay
+# (every writer entry point calls _log_state first, so this is always fresh
+# when _current_protocol reads it — no second full-log parse per commit)
+_LAST_PROTOCOL: dict[str, dict] = {}
 
 
 def _current_protocol(log_dir: str) -> dict:
     """Latest committed protocol action (defaults to this writer's base
-    PROTOCOL for legacy tables that never wrote one)."""
-    proto = dict(PROTOCOL)
-    for commit in sorted(glob(os.path.join(log_dir, "*.json"))):
-        with open(commit) as fh:
-            for line in fh:
-                if line.strip():
-                    action = json.loads(line)
-                    if "protocol" in action:
-                        proto = action["protocol"]
-    return proto
+    PROTOCOL for legacy tables that never wrote one).  Served from the most
+    recent :func:`_log_state` replay of this log when available."""
+    proto = _LAST_PROTOCOL.get(log_dir)
+    if proto is not None:
+        return proto
+    _log_state(log_dir)
+    return _LAST_PROTOCOL[log_dir]
 
 
 def _file_stats_json(path: str) -> str:
@@ -888,21 +903,16 @@ def _scan_with_meta(spark, table_dir: str, rels: list[str], meta: dict):
     entry point rather than a flag on :func:`_read_table_files`."""
     from pyspark.sql import functions as F
 
+    from .uris import normalized_path_col
+
     schema = _declared_schema(meta)
     reader = spark.read
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", table_dir)
     df = reader.parquet(*[os.path.join(table_dir, r) for r in rels])
-    file_col = F.coalesce(
-        F.expr(
-            "try_url_decode(regexp_replace(_metadata.file_path,"
-            " '^[a-z0-9]+:(//)?', ''))"
-        ),
-        F.regexp_replace(F.col("_metadata.file_path"), r"^[a-z0-9]+:(//)?", ""),
-    )
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
-        file_col.alias("__file"),
+        normalized_path_col(F.col("_metadata.file_path")).alias("__file"),
         F.col("_metadata.row_index").alias("__ridx"),
     )
 

@@ -162,34 +162,27 @@ class StaticCatalog:
         from pyspark.sql.functions import broadcast
 
         from .manifest import manifest_df
-
-        def norm(col):
-            return F.regexp_replace(col, r"^[a-z0-9]+:(//)?", "")
+        from .uris import normalized_path_col, strip_scheme
 
         scan = spark.read.schema(self.schema).parquet(
             *[self.resolve_key(f.key) for f in files]
         )
         # Manifest keys resolve to full URIs before normalization so the join
         # key equals input_file_name() for bucketed (relative-key) catalogs.
+        # Both sides normalize via sources.uris — the scan side additionally
+        # url-decodes (input_file_name() is percent-encoded, raw keys are
+        # not), exactly like the deletion-vector joins.
         resolved = [
             CatalogFile(key=self.resolve_key(f.key), length=f.length, partitions=f.partitions)
             for f in files
         ]
         manifest = manifest_df(spark, resolved, self.partition_cols).select(
-            norm(F.col("key")).alias("__path"),
+            strip_scheme(F.col("key")).alias("__path"),
             F.lit(True).alias("__matched"),
             *self.partition_cols,
         )
-        # input_file_name() is a percent-encoded URI (spaces → %20); the
-        # manifest holds raw keys, so decode the scan side before matching
-        # (try_: a literal '%' that is not an escape falls back to raw).
-        scan_path = F.coalesce(
-            F.expr("try_url_decode(__rawpath)"), F.col("__rawpath")
-        )
         joined = (
-            scan.withColumn("__rawpath", norm(F.input_file_name()))
-            .withColumn("__path", scan_path)
-            .drop("__rawpath")
+            scan.withColumn("__path", normalized_path_col(F.input_file_name()))
             .join(broadcast(manifest), on="__path", how="left")
         )
         # A join miss must fail LOUDLY when the partition value is read, not

@@ -449,3 +449,61 @@ def test_writer_gate_refuses_unknown_writer_features(spark, tmp_path):
     )
     with pytest.raises(BuzzNotImplementedError, match="invariants"):
         write_delta(spark.range(1).selectExpr("id AS k", "'x' AS par"), table, mode="append")
+
+
+# --- review-fix regressions --------------------------------------------------
+
+
+def test_writer_log_state_add_before_remove(spark, tmp_path):
+    """The WRITER's replay must also apply removes before adds within a
+    commit — a stale path-keyed in-order replay would mark a live file dead
+    and vacuum would delete it (data loss)."""
+    from buzz_rust_spark.sources.delta_writer import _log_state, vacuum_delta
+
+    table = make_dv_table(spark, str(tmp_path), "p")  # commit 1: [add, remove]
+    _, live, _ = _log_state(os.path.join(table, "_delta_log"))
+    assert set(live) == {"f0.parquet"}
+    assert vacuum_delta(table, retention_hours=0.0) == []  # live file protected
+
+
+def test_truncated_bitmap_is_typed_error():
+    data = encode_bitmap_array([1, 5, 70000])
+    with pytest.raises(BuzzExecutionError, match="truncated|corrupt"):
+        decode_bitmap_array(data[:-3])
+    with pytest.raises(BuzzExecutionError, match="truncated|corrupt|magic|short"):
+        decode_bitmap_array(data[:13])
+
+
+def test_dv_changes_realistic_commit_gets_dv_error(spark, tmp_path):
+    """A real DV DELETE commit (remove + re-add with DV) must produce the
+    deletion-vector diagnosis, not the generic 'overwrite' one."""
+    from buzz_rust_spark.sources.delta_catalog import read_delta_changes
+
+    table = make_dv_table(spark, str(tmp_path), "p")
+    with pytest.raises(BuzzExecutionError, match="deletion vectors"):
+        read_delta_changes(spark, table, from_version=0).count()
+
+
+def test_dv_many_partition_groups_uses_manifest_join(spark, tmp_path):
+    """A DV table with more distinct partition tuples than the union cap
+    still returns correct rows (manifest-join fallback)."""
+    n_parts = 40
+    table = os.path.join(str(tmp_path), "dv-many")
+    os.makedirs(table, exist_ok=True)
+    actions = [_meta_action(partitioned=True), _PROTO_DV]
+    for i in range(n_parts):
+        rel = f"f{i}.parquet"
+        _write_part(
+            spark, os.path.join(table, rel), [(f"a{i}", i), (f"b{i}", 1000 + i)]
+        )
+        dv = write_dv_file(os.path.join(table, f"dv{i}.bin"), [0])  # drop a{i}
+        actions.append(_add(rel, dv, {"year": str(2000 + i)}))
+    _write_commit(os.path.join(table, "_delta_log"), 0, actions)
+    cat = DeltaCatalog("t", table)
+    assert cat.DV_UNION_MAX_GROUPS < n_parts
+    df = cat.to_dataframe(spark)
+    rows = sorted((r.dept_name, r.year) for r in df.collect())
+    assert rows == sorted((f"b{i}", str(2000 + i)) for i in range(n_parts))
+    # plan stays bounded: ONE parquet scan node, not one per partition
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2

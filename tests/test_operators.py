@@ -2076,3 +2076,15 @@ def test_jpeg_dequantizes_stream_tables():
     d_fine = np.abs(fine.astype(int) - img.astype(int)).mean()
     d_coarse = np.abs(coarse.astype(int) - img.astype(int)).mean()
     assert d_fine < d_coarse  # quantization error actually applied
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    enc = M.encode_jpeg(np.full((8, 8, 3), 77, np.uint8), quant=1)
+    filled = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    out = M.decode_jpeg(filled)
+    assert out is not None and int(out.min()) == int(out.max()) == 77

@@ -507,3 +507,76 @@ def test_dv_many_partition_groups_uses_manifest_join(spark, tmp_path):
     # plan stays bounded: ONE parquet scan node, not one per partition
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 2
+
+
+def test_column_mapped_table_with_dv(spark, tmp_path):
+    """Modern tables combine columnMapping AND deletionVectors: the DV
+    filter applies on the physical scan, the rename presents logical names,
+    and both compose through one snapshot read."""
+    from test_delta import _make_column_mapped_table
+
+    table = _make_column_mapped_table(spark, str(tmp_path))
+    # delete row 0 of f1.parquet ("eng") via a DV update commit
+    dv = write_dv_file(os.path.join(table, "dv1.bin"), [0])
+    _write_commit(
+        os.path.join(table, "_delta_log"),
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping", "deletionVectors"],
+                    "writerFeatures": ["columnMapping", "deletionVectors"],
+                }
+            },
+            {"remove": {"path": "f1.parquet", "dataChange": True}},
+            {
+                "add": {
+                    "path": "f1.parquet",
+                    "size": 1,
+                    "dataChange": True,
+                    "partitionValues": {},
+                    "deletionVector": dv,
+                }
+            },
+        ],
+    )
+    df = DeltaCatalog("cm", table).to_dataframe(spark)
+    assert df.columns == ["team_name", "staff"]
+    rows = {r.team_name: r.staff for r in df.collect()}
+    assert rows == {"ops": 5, "sci": 12}  # "eng" deleted, names logical
+    # time travel below the DV commit still sees all rows
+    assert DeltaCatalog("cm", table, version=0).to_dataframe(spark).count() == 3
+
+
+def test_dv_table_through_engine_query_json(spark, tmp_path):
+    """A deletion-vector table consumed through the reference's two-step
+    BuzzQuery JSON front-end: the aggregate sees only the live rows."""
+    from buzz_rust_spark import BuzzEngine, BuzzQuery
+    from buzz_rust_spark.sources.delta_writer import delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=8)
+    assert delete_delta(spark, table, "k IN (0, 1, 2)", mode="dv") == 1
+    engine = BuzzEngine(spark, strict=True)
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [
+                {
+                    "sql": "SELECT par, SUM(k) AS total FROM t GROUP BY par",
+                    "name": "map",
+                    "step_type": "HBee",
+                },
+                {
+                    "sql": "SELECT par, SUM(total) AS total FROM map GROUP BY par",
+                    "name": "reduce",
+                    "step_type": "HComb",
+                },
+            ],
+            "capacity": {"zones": 1},
+            "catalogs": [{"name": "t", "type": "DeltaLake", "uri": table}],
+        }
+    )
+    rows = {(r["par"], r["total"]) for r in engine.run(q).collect()}
+    # survivors: k in 3..7 → par '1': 3+5+7=15, par '0': 4+6=10
+    assert rows == {("1", 15), ("0", 10)}

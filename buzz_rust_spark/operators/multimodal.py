@@ -4,14 +4,15 @@ The Spark-side design is real and tested — schema contracts, Arrow-batched
 ``mapInPandas`` signatures, partition-size control.  Four media formats are
 decoded FOR REAL with pure-python/numpy parsers (no media libs needed):
 uncompressed 24/32-bit **BMP**, 8-bit **PNG** (stdlib zlib inflate +
-scanline unfilter), baseline **JPEG** (huffman + matrix IDCT per ITU T.81,
-incl. 4:2:0/4:2:2 subsampling and restart markers), and 8/16-bit PCM
-**WAV** (sample stats).  Every other format (progressive JPEG, MP3, video)
-falls back to a deterministic stub "decode" deriving features from the
-payload bytes, so the full pipeline stays exercisable end-to-end;
+scanline unfilter), **JPEG** — baseline AND progressive per ITU T.81
+(huffman + matrix IDCT, 4:2:0/4:2:2 subsampling, restart markers,
+spectral-selection and successive-approximation scans) — and 8/16-bit PCM
+**WAV** (sample stats).  Every other format (MP3, video, arithmetic-coded
+JPEG) falls back to a deterministic stub "decode" deriving features from
+the payload bytes, so the full pipeline stays exercisable end-to-end;
 ``strict=True`` raises at that stub boundary instead (those genuinely need
-PIL/torchaudio/ffmpeg).  Swap the fallback for a real decoder in
-production; nothing else changes.
+torchaudio/ffmpeg).  Swap the fallback for a real decoder in production;
+nothing else changes.
 
 Scale notes:
 - media rows are wide (MBs): ``repartition`` by byte budget before the decode
@@ -65,11 +66,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic media table for pipeline tests.  Image rows carry REAL
-    payloads — media_id mod 3 selects uncompressed BMP / 8-bit PNG /
-    baseline JPEG — and audio rows REAL PCM WAV (all a deterministic
-    function of media_id), so the decode/resize stages exercise all three
-    pure-python image codecs end-to-end; video rows carry opaque bytes
-    (stub path)."""
+    payloads — media_id mod 3 selects uncompressed BMP / 8-bit PNG / JPEG
+    (every other JPEG progressive) — and audio rows REAL PCM WAV (all a
+    deterministic function of media_id), so the decode/resize stages
+    exercise all three pure-python image codecs end-to-end; video rows
+    carry opaque bytes (stub path)."""
     import numpy as np
 
     def payload(i: int, w: int, h: int, duration_ms: int) -> bytes:
@@ -83,9 +84,9 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            return [encode_bmp, encode_png, lambda a: encode_jpeg(a, quant=1)][
-                i % 3
-            ](px)
+            if i % 3 == 2:
+                return encode_jpeg(px, quant=1, progressive=(i % 6 == 5))
+            return (encode_bmp if i % 3 == 0 else encode_png)(px)
         if kind == "audio":
             rate = 8000
             t = np.arange(rate * duration_ms // 1000, dtype=np.float64)
@@ -399,13 +400,18 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes | None):
-    """Baseline sequential JPEG → (H, W, 3) uint8 RGB array, else None.
+    """Baseline AND progressive JPEG → (H, W, 3) uint8 RGB array, else None.
 
-    Marker walk → DQT/DHT/SOF0(/SOF1)/DRI/SOS parse → huffman-decoded MCUs
-    (interleaved; restart-segmented) → dequant + matrix IDCT per 8x8 block →
-    chroma upsample → YCbCr→RGB (BT.601 as T.81/JFIF specify).  Dimension
-    cap 4 MP: entropy decode is a per-bit python loop, right for the
-    metadata-scale thumbnails this stage handles (the surrounding
+    Marker walk → DQT/DHT/SOF/DRI parse; every SOS scan accumulates huffman-
+    decoded coefficients into per-component block arrays (baseline full
+    scans, interleaved or not; progressive spectral-selection and
+    successive-approximation scans per T.81 G.2 — DC/AC first and refine
+    passes with EOB-run handling); at EOI the accumulated coefficients
+    dequantize through one vectorized IDCT, upsample, and convert
+    YCbCr→RGB (BT.601 as T.81/JFIF specify).  Arithmetic coding,
+    hierarchical/lossless frames, and 12-bit precision return None.
+    Dimension cap 4 MP: entropy decode is a per-bit python loop, right for
+    the metadata-scale thumbnails this stage handles (the surrounding
     ``mapInPandas`` batching is the production shape regardless)."""
     import numpy as np
 
@@ -416,8 +422,10 @@ def decode_jpeg(payload: bytes | None):
         huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
         frame = None
         restart_interval = 0
+        coefs = None  # cid -> (blocks_y, blocks_x, 64) int32
+        preds_grid = None
         pos = 2
-        while pos + 4 <= len(payload):
+        while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
@@ -427,8 +435,12 @@ def decode_jpeg(payload: bytes | None):
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 pos += 2
                 continue
-            if marker == 0xD9:
-                return None  # EOI before any scan
+            if marker == 0xD9:  # EOI: reconstruct what the scans built
+                return (
+                    _jpeg_reconstruct(frame, qt, coefs) if coefs is not None else None
+                )
+            if pos + 4 > len(payload):
+                return None
             ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
             seg = payload[pos + 4 : pos + 2 + ln]
             if marker == 0xDB:  # DQT
@@ -456,7 +468,7 @@ def decode_jpeg(payload: bytes | None):
                     symbols = list(seg[i + 17 : i + 17 + n])
                     huff[(tc, th)] = _huff_decode_table(counts, symbols)
                     i += 17 + n
-            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext sequential
+            elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
                 prec = seg[0]
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
@@ -467,10 +479,10 @@ def decode_jpeg(payload: bytes | None):
                 for c in range(ncomp):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 15, tq))
-                frame = (h, w, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                frame = (h, w, comps, marker == 0xC2)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / lossless
+                return None  # lossless / differential / arithmetic
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS
@@ -481,30 +493,56 @@ def decode_jpeg(payload: bytes | None):
                 for c in range(ns):
                     cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
                     scan.append((cs, tda >> 4, tda & 15))
-                data_start = pos + 2 + ln
-                return _decode_scan(
-                    payload, data_start, frame, scan, qt, huff, restart_interval
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 15
+                if frame[3]:
+                    # T.81 G.1: a progressive DC scan is exactly the 0..0
+                    # band; AC bands exclude DC and are single-component
+                    if se > 63 or ss > se or (ss == 0) != (se == 0):
+                        return None
+                    if ss > 0 and ns != 1:
+                        return None
+                elif (ss, se, ah, al) != (0, 63, 0, 0):
+                    return None  # malformed sequential scan header
+                if coefs is None:
+                    coefs, preds_grid = _jpeg_alloc(frame)
+                segments, pos = _jpeg_entropy_segments(payload, pos + 2 + ln)
+                _jpeg_apply_scan(
+                    segments, frame, scan, ss, se, ah, al, huff,
+                    restart_interval, coefs,
                 )
+                continue
             pos += 2 + ln
-        return None
+        return None  # ran off the end without EOI
     except (EOFError, IndexError, KeyError, ValueError):
         return None
 
 
-def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
-    import numpy as np
-
-    h, w, comps = frame
-    if len(scan) != len(comps):
-        return None  # multi-scan (non-interleaved color) is out of scope
-    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+def _jpeg_geometry(frame):
+    h, w, comps, _prog = frame
     hmax = max(hi for _, hi, _, _ in comps)
     vmax = max(vi for _, _, vi, _ in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
 
-    # unstuff entropy bytes; split at restart markers
+
+def _jpeg_alloc(frame):
+    import numpy as np
+
+    _, _, comps, _ = frame
+    hmax, vmax, mcus_x, mcus_y = _jpeg_geometry(frame)
+    coefs = {
+        cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), np.int32)
+        for cid, hi, vi, _ in comps
+    }
+    return coefs, None
+
+
+def _jpeg_entropy_segments(payload, start):
+    """Entropy-coded bytes from ``start``: unstuff 0xFF00, split at RSTn,
+    tolerate fill bytes; returns (segments, position of the next marker)."""
     segments, cur = [], bytearray()
     i = start
     while i < len(payload):
@@ -523,70 +561,201 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
                 cur = bytearray()
                 i += 2
                 continue
-            break  # EOI or next marker
+            break  # EOI or next marker header
         cur.append(b)
         i += 1
     segments.append(bytes(cur))
+    return segments, i
 
-    planes = {
-        cid: np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), np.float64)
-        for cid, hi, vi, _ in comps
-    }
-    pred = {cid: 0 for cid, _, _, _ in comps}
-    n_mcus = mcus_x * mcus_y
-    per_seg = restart_interval or n_mcus
-    mcu = 0
-    for seg in segments:
-        rd = _BitReader(seg)
-        pred = {cid: 0 for cid in pred}  # DC predictors reset at restarts
-        for _ in range(min(per_seg, n_mcus - mcu)):
-            my, mx = divmod(mcu, mcus_x)
+
+def _jpeg_apply_scan(
+    segments, frame, scan, ss, se, ah, al, huff, restart_interval, coefs
+):
+    """Apply one scan's coefficients.  Baseline scans carry the full band
+    (ss=0, se=63, ah=al=0); progressive scans carry a spectral band at one
+    bit of precision (T.81 G.2).  Interleaved scans traverse MCUs; a
+    single-component scan traverses that component's own block grid."""
+    h, w, comps, progressive = frame
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax, vmax, mcus_x, mcus_y = _jpeg_geometry(frame)
+    interleaved = len(scan) > 1
+
+    # traversal units: list of per-unit block lists [(cid, td, ta, by, bx)]
+    units = []
+    if interleaved:
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            unit = []
             for cid, td, ta in scan:
-                hi, vi, tq = by_id[cid]
-                dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
-                q = qt[tq]
+                hi, vi, _ = by_id[cid]
                 for by in range(vi):
                     for bx in range(hi):
-                        coef = np.zeros(64, np.int32)
-                        s = rd.huff(dc_tbl)
-                        diff = _extend(rd.receive(s), s) if s else 0
-                        pred[cid] += diff
-                        coef[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = rd.huff(ac_tbl)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                return None
-                            coef[_ZIGZAG[k]] = _extend(rd.receive(s), s)
-                            k += 1
-                        block = (coef.reshape(8, 8) * q).astype(np.float64)
-                        px = _DCT_A.T @ block @ _DCT_A + 128.0
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu += 1
-        if mcu >= n_mcus:
-            break
-    if mcu < n_mcus:
-        return None  # truncated stream
+                        unit.append((cid, td, ta, my * vi + by, mx * hi + bx))
+            units.append(unit)
+    else:
+        cid, td, ta = scan[0]
+        hi, vi, _ = by_id[cid]
+        cw = -(-(w * hi) // hmax)  # component resolution (T.81 A.1.1)
+        ch = -(-(h * vi) // vmax)
+        bx_n, by_n = -(-cw // 8), -(-ch // 8)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                units.append([(cid, td, ta, by, bx)])
 
-    # upsample each component to full MCU-grid resolution, crop, convert
+    per_seg = restart_interval or len(units)
+    unit_idx = 0
+    for seg in segments:
+        rd = _BitReader(seg)
+        preds = dict.fromkeys(by_id, 0)  # DC predictors reset at restarts
+        eobrun = 0
+        for _ in range(min(per_seg, len(units) - unit_idx)):
+            for cid, td, ta, by, bx in units[unit_idx]:
+                coef = coefs[cid][by, bx]
+                if not progressive:
+                    _block_baseline(rd, coef, huff[(0, td)], huff[(1, ta)], preds, cid)
+                elif ss == 0 and ah == 0:  # DC first
+                    s = rd.huff(huff[(0, td)])
+                    diff = _extend(rd.receive(s), s) if s else 0
+                    preds[cid] += diff
+                    coef[0] = preds[cid] << al
+                elif ss == 0:  # DC refine: one bit per block
+                    if rd.read_bit():
+                        coef[0] |= 1 << al
+                elif ah == 0:  # AC first
+                    eobrun = _block_ac_first(
+                        rd, coef, huff[(1, ta)], ss, se, al, eobrun
+                    )
+                else:  # AC refine
+                    eobrun = _block_ac_refine(
+                        rd, coef, huff[(1, ta)], ss, se, al, eobrun
+                    )
+            unit_idx += 1
+        if unit_idx >= len(units):
+            break
+    if unit_idx < len(units):
+        raise EOFError("truncated scan")
+
+
+def _block_baseline(rd, coef, dc_tbl, ac_tbl, preds, cid):
+    s = rd.huff(dc_tbl)
+    diff = _extend(rd.receive(s), s) if s else 0
+    preds[cid] += diff
+    coef[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = rd.huff(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        coef[_ZIGZAG[k]] = _extend(rd.receive(s), s)
+        k += 1
+
+
+def _block_ac_first(rd, coef, ac_tbl, ss, se, al, eobrun):
+    """T.81 G.2.2: first pass of an AC band — EOB runs + coefficients
+    scaled by the point transform."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.receive(r)
+                return eobrun
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        coef[_ZIGZAG[k]] = _extend(rd.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _block_ac_refine(rd, coef, ac_tbl, ss, se, al, eobrun):
+    """T.81 G.2.3 / libjpeg decode_mcu_AC_refine: correction bits for
+    already-nonzero coefficients, newly-significant ±1<<al insertions, and
+    EOB runs that still carry correction bits."""
+    p1, m1 = 1 << al, -1 << al
+
+    def refine_nonzero(z):
+        if rd.read_bit() and (coef[z] & p1) == 0:
+            coef[z] += p1 if coef[z] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.receive(r)
+                    break  # remaining coefficients handled below
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                # s is 1 by spec; sign bit chooses ±1<<al
+                newval = p1 if rd.read_bit() else m1
+            while k <= se:
+                z = _ZIGZAG[k]
+                if coef[z] != 0:
+                    refine_nonzero(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[_ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if coef[z] != 0:
+                refine_nonzero(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_reconstruct(frame, qt, coefs):
+    """Accumulated coefficients → RGB: vectorized dequant + IDCT over every
+    block at once, then upsample / crop / color-convert."""
+    import numpy as np
+
+    h, w, comps, _ = frame
+    hmax, vmax, _, _ = _jpeg_geometry(frame)
     full = {}
-    for cid, hi, vi, _ in comps:
-        p = planes[cid]
+    for cid, hi, vi, tq in comps:
+        c = coefs[cid]  # (by, bx, 64) in NATURAL order (filled via _ZIGZAG)
+        by_n, bx_n = c.shape[:2]
+        blocks = c.reshape(by_n, bx_n, 8, 8).astype(np.float64) * qt[tq][
+            None, None
+        ]
+        px = np.einsum("ui,yxuv,vj->yxij", _DCT_A, blocks, _DCT_A) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
         if hi < hmax or vi < vmax:
-            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        full[cid] = p[:h, :w]
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        full[cid] = plane[:h, :w]
     if len(comps) == 1:
-        g = np.clip(full[comps[0][0]], 0, 255).astype(np.uint8)
+        g = np.clip(np.round(full[comps[0][0]]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
+    if len(comps) != 3:
+        return None  # CMYK etc: out of scope
     yid, cbid, crid = (c[0] for c in comps)
     Y, Cb, Cr = full[yid], full[cbid] - 128.0, full[crid] - 128.0
     rgb = np.stack(
@@ -598,6 +767,8 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 
 
 class _BitWriter:
@@ -635,10 +806,14 @@ class _BitWriter:
 # symbols at 9 bits.  Both satisfy Kraft with room to spare.
 _ENC_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 _ENC_DC_SYMBOLS = list(range(12))
-_ENC_AC_COUNTS = [0] * 8 + [162] + [0] * 7
-_ENC_AC_SYMBOLS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+# 162 standard (run,size) symbols + EOB_n run-length symbols 0x10..0xE0
+# (progressive EOB runs) = 176, all at 9 bits (Kraft: 176/512)
+_ENC_AC_COUNTS = [0] * 8 + [176] + [0] * 7
+_ENC_AC_SYMBOLS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]
+)
 _ENC_DC = {
     sym: (ln, code)
     for (ln, code), sym in _huff_decode_table(
@@ -654,15 +829,23 @@ _ENC_AC = {
 
 
 def encode_jpeg(
-    pixels, subsampling: str = "444", quant: int = 2, restart_interval: int = 0
+    pixels,
+    subsampling: str = "444",
+    quant: int = 2,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(H, W[, 3]) uint8 array → baseline JFIF bytes.
+    """(H, W[, 3]) uint8 array → JFIF bytes (baseline or progressive).
 
     ``subsampling``: '444' (full-res chroma) or '420' (2x2 mean-pooled).
     ``quant``: uniform quantization step for every coefficient (1 ≈
     near-lossless apart from DCT rounding; larger = lossier/smaller) — a
     flat table is spec-legal and keeps the fixture math analyzable.
-    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none)."""
+    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none; baseline
+    only).  ``progressive=True`` emits a spectral-selection progressive
+    stream (SOF2: one interleaved DC scan, then one full AC band scan per
+    component with EOB-run coding) — same decoded pixels, different scan
+    structure."""
     import struct
 
     import numpy as np
@@ -673,6 +856,8 @@ def encode_jpeg(
         px = px[:, :, None].repeat(3, axis=2)
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be 444|420, got {subsampling!r}")
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is supported for baseline only")
     h, w = px.shape[:2]
     r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
     Y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -694,60 +879,35 @@ def encode_jpeg(
     else:
         Cbp, Crp = pad(Cb, 8), pad(Cr, 8)
     q = np.full((8, 8), int(quant), np.int32)
+    planes = [Yp, Cbp, Crp]
+    mcus_y, mcus_x = Yp.shape[0] // mcu, Yp.shape[1] // mcu
 
-    wr = _BitWriter()
-    pred = [0, 0, 0]
-
-    def put_block(plane, y0, x0, ci):
-        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+    def block_zz(ci, by, bx):
+        plane = planes[ci]
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
         coef = np.round((_DCT_A @ block @ _DCT_A.T) / q).astype(np.int64)
-        zz = coef.reshape(64)[_ZIGZAG]
-        diff = int(zz[0]) - pred[ci]
-        pred[ci] = int(zz[0])
+        return coef.reshape(64)[_ZIGZAG]
 
-        def mag(v):
-            s = int(abs(v)).bit_length()
-            return s, (v if v >= 0 else v + (1 << s) - 1)
+    def mag(v):
+        s = int(abs(v)).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
 
-        s, bits = mag(diff)
+    def emit_dc(wr, v):
+        s, bits = mag(v)
         ln, code = _ENC_DC[s]
         wr.write(code, ln)
         if s:
             wr.write(bits & ((1 << s) - 1), s)
-        run = 0
-        for k in range(1, 64):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                ln, code = _ENC_AC[0xF0]
-                wr.write(code, ln)
-                run -= 16
-            s, bits = mag(v)
-            ln, code = _ENC_AC[(run << 4) | s]
-            wr.write(code, ln)
-            wr.write(bits & ((1 << s) - 1), s)
-            run = 0
-        if run:
-            ln, code = _ENC_AC[0x00]
-            wr.write(code, ln)
 
-    mcus_y, mcus_x = Yp.shape[0] // mcu, Yp.shape[1] // mcu
-    n_done, n_rst = 0, 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_done and n_done % restart_interval == 0:
-                wr.restart(n_rst)
-                n_rst += 1
-                pred[:] = [0, 0, 0]
+    # interleaved MCU traversal (baseline scan + progressive DC scan)
+    def mcu_blocks():
+        for m in range(mcus_y * mcus_x):
+            my, mx = divmod(m, mcus_x)
             for by in range(sub):
                 for bx in range(sub):
-                    put_block(Yp, (my * sub + by) * 8, (mx * sub + bx) * 8, 0)
-            put_block(Cbp, my * 8, mx * 8, 1)
-            put_block(Crp, my * 8, mx * 8, 2)
-            n_done += 1
-    data = wr.flush()
+                    yield 0, my * sub + by, mx * sub + bx
+            yield 1, my, mx
+            yield 2, my, mx
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -758,7 +918,7 @@ def encode_jpeg(
     out += seg(0xDB, b"\x01" + zz_q)  # DQT id 1 (chroma)
     sof = struct.pack(">BHHB", 8, h, w, 3)
     sof += bytes([1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
@@ -766,8 +926,119 @@ def encode_jpeg(
     dht += bytes([0x01]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
     dht += bytes([0x11]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS)
     out += seg(0xC4, dht)
-    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return out + data + b"\xff\xd9"
+
+    if not progressive:
+        wr = _BitWriter()
+        pred = [0, 0, 0]
+        n_done, n_rst = 0, 0
+        for ci, by, bx in mcu_blocks():
+            if (
+                ci == 0
+                and by % sub == 0
+                and bx % sub == 0
+                and restart_interval
+                and n_done
+                and n_done % restart_interval == 0
+            ):
+                wr.restart(n_rst)
+                n_rst += 1
+                pred[:] = [0, 0, 0]
+            if ci == 0 and by % sub == 0 and bx % sub == 0:
+                n_done += 1
+            zz = block_zz(ci, by, bx)
+            emit_dc(wr, int(zz[0]) - pred[ci])
+            pred[ci] = int(zz[0])
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = _ENC_AC[0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                s, bits = mag(v)
+                ln, code = _ENC_AC[(run << 4) | s]
+                wr.write(code, ln)
+                wr.write(bits & ((1 << s) - 1), s)
+                run = 0
+            if run:
+                ln, code = _ENC_AC[0x00]
+                wr.write(code, ln)
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        return out + wr.flush() + b"\xff\xd9"
+
+    # progressive: cache quantized blocks (each visited by two scans)
+    zz_cache: dict[tuple[int, int, int], "np.ndarray"] = {}
+
+    def zz_of(ci, by, bx):
+        key = (ci, by, bx)
+        if key not in zz_cache:
+            zz_cache[key] = block_zz(ci, by, bx)
+        return zz_cache[key]
+
+    # scan 1: interleaved DC, Ss=0 Se=0 Ah=0 Al=0
+    wr = _BitWriter()
+    pred = [0, 0, 0]
+    for ci, by, bx in mcu_blocks():
+        zz = zz_of(ci, by, bx)
+        emit_dc(wr, int(zz[0]) - pred[ci])
+        pred[ci] = int(zz[0])
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    out += wr.flush()
+
+    # scans 2-4: one AC band (1..63) per component, EOB-run coded
+    for ci, comp_id in ((0, 1), (1, 2), (2, 3)):
+        wr = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                ln, code = _ENC_AC[nbits << 4]
+                wr.write(code, ln)
+                if nbits:
+                    wr.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        grid_y = mcus_y * (sub if ci == 0 else 1)
+        grid_x = mcus_x * (sub if ci == 0 else 1)
+        for by in range(grid_y):
+            for bx in range(grid_x):
+                zz = zz_of(ci, by, bx)
+                nz = [k for k in range(1, 64) if zz[k]]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                run = 0
+                for k in range(1, nz[-1] + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        ln, code = _ENC_AC[0xF0]
+                        wr.write(code, ln)
+                        run -= 16
+                    s, bits = mag(v)
+                    ln, code = _ENC_AC[(run << 4) | s]
+                    wr.write(code, ln)
+                    wr.write(bits & ((1 << s) - 1), s)
+                    run = 0
+                if nz[-1] < 63:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        td_ta = 0x00 if ci == 0 else 0x11
+        out += seg(0xDA, bytes([1, comp_id, td_ta, 1, 63, 0]))
+        out += wr.flush()
+    return out + b"\xff\xd9"
 
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:

@@ -2088,3 +2088,126 @@ def test_jpeg_fill_bytes_before_markers():
     filled = enc[:2] + b"\xff\xff\xff" + enc[2:]
     out = M.decode_jpeg(filled)
     assert out is not None and int(out.min()) == int(out.max()) == 77
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Spectral-selection progressive (SOF2: DC scan + per-component AC band
+    scans with EOB runs) decodes to the SAME pixels as the baseline encode
+    of the same image."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for shape, sub in [((24, 40, 3), "444"), ((33, 47, 3), "420")]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        base = M.decode_jpeg(M.encode_jpeg(img, subsampling=sub, quant=1))
+        prog = M.decode_jpeg(
+            M.encode_jpeg(img, subsampling=sub, quant=1, progressive=True)
+        )
+        assert prog is not None and np.array_equal(base, prog)
+    # sparse image: multi-block EOB runs down the AC scans
+    img = np.full((64, 64, 3), 128, np.uint8)
+    img[0, 0] = (255, 0, 0)
+    assert np.array_equal(
+        M.decode_jpeg(M.encode_jpeg(img, quant=1)),
+        M.decode_jpeg(M.encode_jpeg(img, quant=1, progressive=True)),
+    )
+
+
+def test_jpeg_progressive_successive_approximation():
+    """Hand-assembled 4-scan stream (DC first Al=1, DC refine, AC first
+    Al=1, AC refine with correction bits) for one 8x8 block — the T.81 G.2
+    refinement paths pinned against an independently computed IDCT."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def mag(v):
+        s = int(abs(v)).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+
+    # target quantized coefficients: DC=11, zigzag k=1 -> 5, k=3 -> -3
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))  # flat quant table
+    out += seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))  # SOF2 8x8 gray
+    dht = bytes([0x00]) + bytes(M._ENC_DC_COUNTS) + bytes(M._ENC_DC_SYMBOLS)
+    dht += bytes([0x10]) + bytes(M._ENC_AC_COUNTS) + bytes(M._ENC_AC_SYMBOLS)
+    out += seg(0xC4, dht)
+
+    # scan 1: DC first, Al=1 -> sends 11>>1 = 5 (category 3)
+    wr = M._BitWriter()
+    ln, code = M._ENC_DC[3]
+    wr.write(code, ln)
+    wr.write(5, 3)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + wr.flush()
+
+    # scan 2: DC refine, Ah=1 Al=0 -> one bit = 11 & 1 = 1
+    wr = M._BitWriter()
+    wr.write(1, 1)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + wr.flush()
+
+    # scan 3: AC first, Al=1 -> k=1: 5//2=2; k=3: -3 trunc-> -1; then EOB
+    wr = M._BitWriter()
+    ln, code = M._ENC_AC[(0 << 4) | 2]
+    wr.write(code, ln)
+    wr.write(mag(2)[1], 2)
+    ln, code = M._ENC_AC[(1 << 4) | 1]  # one zero (k=2), then value
+    wr.write(code, ln)
+    wr.write(mag(-1)[1], 1)
+    ln, code = M._ENC_AC[0x00]
+    wr.write(code, ln)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + wr.flush()
+
+    # scan 4: AC refine, Ah=1 Al=0 -> EOB then correction bits [1, 1]
+    # (k=1: 4->5, k=3: -2->-3); no newly-significant coefficients
+    wr = M._BitWriter()
+    ln, code = M._ENC_AC[0x00]
+    wr.write(code, ln)
+    wr.write(1, 1)
+    wr.write(1, 1)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + wr.flush()
+    out += b"\xff\xd9"
+
+    got = M.decode_jpeg(out)
+    assert got is not None
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 11
+    coef[0, 1] = 5  # zigzag k=1
+    coef[2, 0] = -3  # zigzag k=3
+    px = M._DCT_A.T @ coef @ M._DCT_A + 128.0
+    want = np.clip(np.round(px), 0, 255).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], want)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])  # gray replicated
+
+
+def test_jpeg_progressive_partial_refinement_decodes_coarse():
+    """Dropping the refinement scans (truncating to fewer scans + EOI) must
+    still decode — to the coarser approximation — like real viewers do."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    full = M.encode_jpeg(img, quant=1, progressive=True)
+    # cut after the SECOND SOS's entropy data: find the third 0xFFDA and
+    # truncate there, appending EOI
+    positions = []
+    i = 0
+    while True:
+        j = full.find(b"\xff\xda", i)
+        if j < 0:
+            break
+        positions.append(j)
+        i = j + 2
+    assert len(positions) == 4  # DC + 3 AC scans
+    cut = full[: positions[2]] + b"\xff\xd9"
+    coarse = M.decode_jpeg(cut)
+    assert coarse is not None and coarse.shape == img.shape
+    fullpx = M.decode_jpeg(full)
+    # luma present everywhere; chroma scans missing -> not equal to full
+    assert not np.array_equal(coarse, fullpx)

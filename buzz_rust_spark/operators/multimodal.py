@@ -423,7 +423,6 @@ def decode_jpeg(payload: bytes | None):
         frame = None
         restart_interval = 0
         coefs = None  # cid -> (blocks_y, blocks_x, 64) int32
-        preds_grid = None
         pos = 2
         while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
@@ -498,15 +497,19 @@ def decode_jpeg(payload: bytes | None):
                 ah, al = ahal >> 4, ahal & 15
                 if frame[3]:
                     # T.81 G.1: a progressive DC scan is exactly the 0..0
-                    # band; AC bands exclude DC and are single-component
+                    # band; AC bands exclude DC and are single-component;
+                    # point transforms are bounded (13) so `<< al` cannot
+                    # overflow the int32 coefficient store
                     if se > 63 or ss > se or (ss == 0) != (se == 0):
                         return None
                     if ss > 0 and ns != 1:
                         return None
+                    if ah > 13 or al > 13:
+                        return None
                 elif (ss, se, ah, al) != (0, 63, 0, 0):
                     return None  # malformed sequential scan header
                 if coefs is None:
-                    coefs, preds_grid = _jpeg_alloc(frame)
+                    coefs = _jpeg_alloc(frame)
                 segments, pos = _jpeg_entropy_segments(payload, pos + 2 + ln)
                 _jpeg_apply_scan(
                     segments, frame, scan, ss, se, ah, al, huff,
@@ -514,8 +517,11 @@ def decode_jpeg(payload: bytes | None):
                 )
                 continue
             pos += 2 + ln
-        return None  # ran off the end without EOI
-    except (EOFError, IndexError, KeyError, ValueError):
+        # stream ended without EOI: every applied scan completed cleanly
+        # (a truncated scan raises), so reconstruct what we have — files
+        # cut right before FFD9 are a common real-world corruption
+        return _jpeg_reconstruct(frame, qt, coefs) if coefs is not None else None
+    except (EOFError, IndexError, KeyError, ValueError, OverflowError):
         return None
 
 
@@ -533,11 +539,10 @@ def _jpeg_alloc(frame):
 
     _, _, comps, _ = frame
     hmax, vmax, mcus_x, mcus_y = _jpeg_geometry(frame)
-    coefs = {
+    return {
         cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), np.int32)
         for cid, hi, vi, _ in comps
     }
-    return coefs, None
 
 
 def _jpeg_entropy_segments(payload, start):
@@ -580,36 +585,40 @@ def _jpeg_apply_scan(
     hmax, vmax, mcus_x, mcus_y = _jpeg_geometry(frame)
     interleaved = len(scan) > 1
 
-    # traversal units: list of per-unit block lists [(cid, td, ta, by, bx)]
-    units = []
+    # traversal: closed-form unit -> blocks (no per-scan materialization of
+    # hundreds of thousands of index tuples on the decode hot path)
     if interleaved:
-        for m in range(mcus_x * mcus_y):
-            my, mx = divmod(m, mcus_x)
-            unit = []
-            for cid, td, ta in scan:
-                hi, vi, _ = by_id[cid]
-                for by in range(vi):
-                    for bx in range(hi):
-                        unit.append((cid, td, ta, my * vi + by, mx * hi + bx))
-            units.append(unit)
-    else:
-        cid, td, ta = scan[0]
-        hi, vi, _ = by_id[cid]
-        cw = -(-(w * hi) // hmax)  # component resolution (T.81 A.1.1)
-        ch = -(-(h * vi) // vmax)
-        bx_n, by_n = -(-cw // 8), -(-ch // 8)
-        for by in range(by_n):
-            for bx in range(bx_n):
-                units.append([(cid, td, ta, by, bx)])
+        template = []  # per-MCU block layout: (cid, td, ta, vi, hi, dy, dx)
+        for cid, td, ta in scan:
+            hi, vi, _ = by_id[cid]
+            for dy in range(vi):
+                for dx in range(hi):
+                    template.append((cid, td, ta, vi, hi, dy, dx))
+        n_units = mcus_x * mcus_y
 
-    per_seg = restart_interval or len(units)
+        def unit_blocks(m):
+            my, mx = divmod(m, mcus_x)
+            for cid, td, ta, vi, hi, dy, dx in template:
+                yield cid, td, ta, my * vi + dy, mx * hi + dx
+    else:
+        cid0, td0, ta0 = scan[0]
+        hi0, vi0, _ = by_id[cid0]
+        cw = -(-(w * hi0) // hmax)  # component resolution (T.81 A.1.1)
+        ch = -(-(h * vi0) // vmax)
+        bx_n, by_n = -(-cw // 8), -(-ch // 8)
+        n_units = by_n * bx_n
+
+        def unit_blocks(m):
+            yield cid0, td0, ta0, m // bx_n, m % bx_n
+
+    per_seg = restart_interval or n_units
     unit_idx = 0
     for seg in segments:
         rd = _BitReader(seg)
         preds = dict.fromkeys(by_id, 0)  # DC predictors reset at restarts
         eobrun = 0
-        for _ in range(min(per_seg, len(units) - unit_idx)):
-            for cid, td, ta, by, bx in units[unit_idx]:
+        for _ in range(min(per_seg, n_units - unit_idx)):
+            for cid, td, ta, by, bx in unit_blocks(unit_idx):
                 coef = coefs[cid][by, bx]
                 if not progressive:
                     _block_baseline(rd, coef, huff[(0, td)], huff[(1, ta)], preds, cid)
@@ -630,9 +639,9 @@ def _jpeg_apply_scan(
                         rd, coef, huff[(1, ta)], ss, se, al, eobrun
                     )
             unit_idx += 1
-        if unit_idx >= len(units):
+        if unit_idx >= n_units:
             break
-    if unit_idx < len(units):
+    if unit_idx < n_units:
         raise EOFError("truncated scan")
 
 
@@ -1003,8 +1012,12 @@ def encode_jpeg(
                     wr.write(eobrun - (1 << nbits), nbits)
                 eobrun = 0
 
-        grid_y = mcus_y * (sub if ci == 0 else 1)
-        grid_x = mcus_x * (sub if ci == 0 else 1)
+        # T.81 A.2.2: non-interleaved scans traverse the component's OWN
+        # block grid ceil(ch/8) x ceil(cw/8) — for 4:2:0 luma that is fewer
+        # rows/cols than the padded MCU grid when h or w mod 16 is in 1..8
+        ch = h if ci == 0 else -(-h // sub)
+        cw = w if ci == 0 else -(-w // sub)
+        grid_y, grid_x = -(-ch // 8), -(-cw // 8)
         for by in range(grid_y):
             for bx in range(grid_x):
                 zz = zz_of(ci, by, bx)

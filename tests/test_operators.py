@@ -2056,9 +2056,14 @@ def test_jpeg_rejects_garbage_and_progressive():
 
     enc = M.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
     assert M.decode_jpeg(enc[: len(enc) // 2]) is None  # truncated scan
-    # flip SOF0 -> SOF2 (progressive): spec says refuse, not misdecode
+    # flip SOF0 -> SOF2: the full-band 0..63 scan header is INVALID in a
+    # progressive frame (T.81 G.1), so the stream is refused as malformed —
+    # progressive frames themselves are supported
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert M.decode_jpeg(prog) is None
+    # missing EOI after a complete scan still decodes (common corruption)
+    import numpy as _np
+    assert M.decode_jpeg(enc[:-2]) is not None
 
 
 def test_jpeg_dequantizes_stream_tables():
@@ -2099,7 +2104,9 @@ def test_jpeg_progressive_equals_baseline():
     from buzz_rust_spark.operators import multimodal as M
 
     rng = np.random.default_rng(11)
-    for shape, sub in [((24, 40, 3), "444"), ((33, 47, 3), "420")]:
+    # (33, 40): h mod 16 in 1..8 — the 4:2:0 luma AC scan must traverse the
+    # COMPONENT block grid (5 rows), not the padded MCU grid (6)
+    for shape, sub in [((24, 40, 3), "444"), ((33, 47, 3), "420"), ((33, 40, 3), "420")]:
         img = rng.integers(0, 256, shape, np.uint8)
         base = M.decode_jpeg(M.encode_jpeg(img, subsampling=sub, quant=1))
         prog = M.decode_jpeg(

@@ -6,9 +6,12 @@ decoded FOR REAL with pure-python/numpy parsers (no media libs needed):
 uncompressed 24/32-bit **BMP**, 8-bit **PNG** (stdlib zlib inflate +
 scanline unfilter), **JPEG** — baseline AND progressive per ITU T.81
 (huffman + matrix IDCT, 4:2:0/4:2:2 subsampling, restart markers,
-spectral-selection and successive-approximation scans) — and 8/16-bit PCM
-**WAV** (sample stats).  Every other format (MP3, video, arithmetic-coded
-JPEG) falls back to a deterministic stub "decode" deriving features from
+spectral-selection and successive-approximation scans) — **GIF** (LZW,
+interlacing, transparency, animated frame sequences with disposal
+compositing — real frame extraction via ``extract_gif_frames``), and
+8/16-bit PCM **WAV** (sample stats).  Every other format (MP3, video,
+arithmetic-coded JPEG) falls back to a deterministic stub "decode"
+deriving features from
 the payload bytes, so the full pipeline stays exercisable end-to-end;
 ``strict=True`` raises at that stub boundary instead (those genuinely need
 torchaudio/ffmpeg).  Swap the fallback for a real decoder in production;
@@ -92,12 +95,22 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
             t = np.arange(rate * duration_ms // 1000, dtype=np.float64)
             freq = 100.0 + (i % 16) * 25.0
             return encode_wav(0.5 * np.sin(2 * np.pi * freq * t / rate), rate)
+        if kind == "animation":
+            # REAL animated GIF: 3 solid frames at 100ms whose colors are a
+            # deterministic function of media_id
+            frames = [
+                np.full((h, w, 3), ((i * 37 + f * 85) % 256, (i * 11) % 256, f * 100), np.uint8)
+                for f in range(3)
+            ]
+            return encode_gif(frames, delays_ms=[100, 100, 100])
         return bytes(((i * 31 + j * 7) % 251) for j in range(128 + (i % 32)))
 
     def mime(i: int) -> str:
         if kind == "image":
             return ["image/bmp", "image/png", "image/jpeg"][i % 3]
-        return {"audio": "audio/wav"}.get(kind, f"{kind}/fake")
+        return {"audio": "audio/wav", "animation": "image/gif"}.get(
+            kind, f"{kind}/fake"
+        )
 
     rows = [
         (
@@ -1114,6 +1127,350 @@ def decode_wav(payload: bytes | None):
     return samples, sample_rate, channels
 
 
+# --- GIF (87a/89a, LZW) ------------------------------------------------------
+#
+# Pure python per the published GIF spec: LZW-compressed indexed frames with
+# global/local palettes, interlacing, transparency, and the GIF89a graphic-
+# control extension (per-frame delay + disposal), so ANIMATED gifs decode to
+# real frame sequences — the first real frame-extraction path for the
+# pipeline's video-ish rows.
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+
+    width = 0
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table) and table[code]:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError("bad LZW code")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + [entry[0]])
+                # GIF caps the table at 4096; width grows just below a power
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indexes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur: tuple = ()
+    for idx in indexes:
+        cand = cur + (idx,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = next_code
+        # the decoder adds its mirror entry as it consumes this code, so
+        # width must grow one step ahead of the table size boundary
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        cur = (idx,)
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(frames, delays_ms=None, transparent_idx: int | None = None) -> bytes:
+    """List of (H, W, 3) uint8 frames (same dims) → GIF89a bytes with one
+    shared global palette (unique colors; > 256 falls back to a 6x7x6
+    uniform quantization).  ``delays_ms`` per frame makes it animated."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        # uniform 6x7x6 cube (252 colors) — documented lossy fallback
+        q = np.stack(
+            [flat[:, 0] * 6 // 256, flat[:, 1] * 7 // 256, flat[:, 2] * 6 // 256],
+            axis=1,
+        )
+        colors = np.stack(
+            [
+                (np.arange(252) // 42) * 51,
+                ((np.arange(252) // 6) % 7) * 42,
+                (np.arange(252) % 6) * 51,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        inverse = q[:, 0] * 42 + q[:, 1] * 6 + q[:, 2]
+    pal_bits = max(1, (max(len(colors) - 1, 1)).bit_length())
+    pal_size = 1 << pal_bits
+    palette = np.zeros((pal_size, 3), np.uint8)
+    palette[: len(colors)] = colors
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (pal_bits - 1), 0, 0])  # GCT flag+size, bg, aspect
+    out += palette.tobytes()
+    n_px = h * w
+    splits = np.split(inverse, len(frames)) if len(frames) > 1 else [inverse]
+    for fi, frame_idx in enumerate(splits):
+        if delays_ms is not None:
+            delay_cs = int(delays_ms[fi]) // 10
+            # disposal 1 (do not dispose): frames composite cumulatively,
+            # so transparent pixels show the PREVIOUS frame — the standard
+            # choice for delta-frame animations
+            flags = 0x04 if transparent_idx is None else 0x05
+            out += bytes([0x21, 0xF9, 4, flags])
+            out += delay_cs.to_bytes(2, "little")
+            out += bytes([transparent_idx or 0, 0])
+        out += bytes([0x2C]) + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0])  # no LCT, not interlaced
+        min_code = max(2, pal_bits)
+        out += bytes([min_code])
+        data = _lzw_encode([int(i) for i in frame_idx[:n_px]], min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes | None, max_frames: int = 64):
+    """GIF87a/89a → list of (timestamp_ms, (H, W, 3) uint8 RGB) frames with
+    compositing (disposal none/keep/background/previous, transparency,
+    interlacing, local palettes), else None."""
+    import numpy as np
+
+    if payload is None or len(payload) < 13 or payload[:4] != b"GIF8":
+        return None
+    try:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        flags, bg_idx = payload[10], payload[11]
+        if w <= 0 or h <= 0 or w * h > (1 << 22):
+            return None
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        canvas = np.zeros((h, w, 3), np.uint8)
+        if gct is not None and bg_idx < len(gct):
+            canvas[:] = gct[bg_idx]
+        bg = canvas.copy()
+        frames = []
+        t_ms = 0
+        delay_ms, transparent, disposal = 0, None, 0
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                label = payload[pos]
+                pos += 1
+                if label == 0xF9 and payload[pos] >= 4:
+                    sz = payload[pos]
+                    gce = payload[pos + 1 : pos + 1 + sz]
+                    disposal = (gce[0] >> 2) & 7
+                    delay_ms = int.from_bytes(gce[1:3], "little") * 10
+                    transparent = gce[3] if gce[0] & 1 else None
+                while payload[pos]:  # skip (sub-)blocks to the 0 terminator
+                    pos += payload[pos] + 1
+                pos += 1
+                continue
+            if block != 0x2C:  # unknown block type
+                return None
+            il = int.from_bytes(payload[pos : pos + 2], "little")
+            it = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+            iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+            ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+            iflags = payload[pos + 8]
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(
+                    n, 3
+                )
+                pos += 3 * n
+            if pal is None or il + iw > w or it + ih > h:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                sz = payload[pos]
+                data += payload[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code)
+            if len(idx) < iw * ih:
+                return None
+            idx = np.asarray(idx[: iw * ih], np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: reorder rows by pass
+                de = np.zeros_like(idx)
+                src = 0
+                for first, step in _GIF_INTERLACE_PASSES:
+                    rows = range(first, ih, step)
+                    de[list(rows)] = idx[src : src + len(rows)]
+                    src += len(rows)
+                idx = de
+            if (idx >= len(pal)).any():
+                return None
+            prev = canvas.copy()
+            region = canvas[it : it + ih, il : il + iw]
+            px = pal[idx]
+            if transparent is not None:
+                mask = (idx != transparent)[:, :, None]
+                region[:] = np.where(mask, px, region)
+            else:
+                region[:] = px
+            frames.append((t_ms, canvas.copy()))
+            t_ms += delay_ms
+            if disposal == 2:  # restore background in the frame rect
+                canvas[it : it + ih, il : il + iw] = bg[it : it + ih, il : il + iw]
+            elif disposal == 3:  # restore previous
+                canvas = prev
+            delay_ms, transparent, disposal = 0, None, 0
+            if len(frames) >= max_frames:
+                break
+        return frames or None
+    except (ValueError, IndexError):
+        return None
+
+
+def decode_gif(payload: bytes | None):
+    """GIF → first composited frame as (H, W, 3) uint8 RGB, else None."""
+    frames = decode_gif_frames(payload, max_frames=1)
+    return frames[0][1] if frames else None
+
+
+GIF_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("frame_png", BinaryType(), True),
+    ]
+)
+
+
+def extract_gif_frames(
+    df: DataFrame, every_ms: int = 0, max_frames: int = 64, batch_rows: int = 64
+) -> DataFrame:
+    """REAL frame extraction for animated-GIF rows: one output row per
+    decoded frame (composited RGB re-encoded as PNG), optionally thinned to
+    at most one frame per ``every_ms``.  Complements ``frame_sample_plan``
+    (the timestamp fan-out for formats whose decoder is stubbed) with the
+    actual decode for the one animation container this repo reads natively.
+
+    Scale: ``mapInPandas`` over repartitioned payload batches — each worker
+    decodes its own rows; no frame data ever collects to the driver."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                frames = decode_gif_frames(
+                    bytes(p) if p is not None else None, max_frames
+                )
+                if not frames:
+                    continue
+                last_kept = None
+                for fi, (ts, px) in enumerate(frames):
+                    if (
+                        every_ms
+                        and last_kept is not None
+                        and ts - last_kept < every_ms
+                    ):
+                        continue
+                    last_kept = ts
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": fi,
+                            "ts_ms": ts,
+                            "width": px.shape[1],
+                            "height": px.shape[0],
+                            "frame_png": encode_png(px),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "width", "height",
+                    "frame_png",
+                ],
+            )
+
+    return (
+        df.select("media_id", "payload")
+        .repartition(max(df.sparkSession.sparkContext.defaultParallelism, 1))
+        .mapInPandas(extract, schema=GIF_FRAMES_SCHEMA)
+    )
+
+
+
 def _stats_feature(base: list[float], values, dim: int) -> list[float]:
     """``base`` metadata + histogram of ``values`` padded/trimmed to ``dim``."""
     import numpy as np
@@ -1133,8 +1490,9 @@ def _stats_feature(base: list[float], values, dim: int) -> list[float]:
 
 def decode_image(payload: bytes | None):
     """Any supported still-image container → (H, W, 3) uint8 RGB, else None
-    (currently: uncompressed 24/32-bit BMP; 8-bit PNG; baseline JPEG)."""
-    for codec in (decode_bmp, decode_png, decode_jpeg):
+    (currently: uncompressed 24/32-bit BMP; 8-bit PNG; baseline +
+    progressive JPEG; GIF first frame)."""
+    for codec in (decode_bmp, decode_png, decode_jpeg, decode_gif):
         img = codec(payload)
         if img is not None:
             return img
@@ -1275,17 +1633,20 @@ def resize_images(
                 return None
             is_png = len(p) >= 8 and p[:8] == b"\x89PNG\r\n\x1a\n"
             is_jpeg = len(p) >= 2 and p[:2] == b"\xff\xd8"
+            is_gif = len(p) >= 4 and p[:4] == b"GIF8"
             img = decode_image(p)
             if img is not None:
                 h, w = img.shape[:2]
                 rows = (np.arange(target_height) * h) // target_height
                 cols = (np.arange(target_width) * w) // target_width
                 resized = img[rows][:, cols]
-                # stay in the input container: PNG→PNG, JPEG→JPEG, BMP→BMP
+                # stay in the input container: PNG→PNG, JPEG→JPEG, GIF→GIF
                 if is_png:
                     return encode_png(resized)
                 if is_jpeg:
                     return encode_jpeg(resized, quant=2)
+                if is_gif:
+                    return encode_gif([resized])
                 return encode_bmp(resized)
             if strict:
                 raise NotImplementedError(

@@ -2218,3 +2218,143 @@ def test_jpeg_progressive_partial_refinement_decodes_coarse():
     fullpx = M.decode_jpeg(full)
     # luma present everywhere; chroma scans missing -> not equal to full
     assert not np.array_equal(coarse, fullpx)
+
+
+def test_gif_roundtrip_and_animation():
+    """Single-frame GIFs round-trip exactly (few-color palettes); animated
+    GIFs decode to the encoder's frames at the encoded timestamps."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    img = np.zeros((20, 30, 3), np.uint8)
+    img[5:10, 4:9] = (255, 0, 0)
+    img[12:, 20:] = (0, 128, 255)
+    assert np.array_equal(M.decode_gif(M.encode_gif([img])), img)
+
+    f0 = np.zeros((8, 8, 3), np.uint8)
+    f1 = np.full((8, 8, 3), (0, 255, 0), np.uint8)
+    f2 = np.full((8, 8, 3), (0, 0, 255), np.uint8)
+    frames = M.decode_gif_frames(
+        M.encode_gif([f0, f1, f2], delays_ms=[100, 200, 300])
+    )
+    assert [t for t, _ in frames] == [0, 100, 300]
+    for got, want in zip(frames, (f0, f1, f2)):
+        assert np.array_equal(got[1], want)
+
+    assert M.decode_gif(None) is None
+    assert M.decode_gif(b"GIF89a") is None
+    assert M.decode_gif(b"not a gif") is None
+
+
+def test_gif_lzw_table_growth_and_reset():
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    for n, alpha in [(10, 4), (20000, 16), (60000, 128)]:
+        seq = [int(x) for x in rng.integers(0, alpha, n)]
+        mcs = max(2, (alpha - 1).bit_length())
+        assert M._lzw_decode(M._lzw_encode(seq, mcs), mcs) == seq
+
+
+def test_gif_interlaced_decodes_in_display_order():
+    """Flip the interlace flag on a stream whose rows were pre-permuted into
+    GIF's four-pass file order: the decoder must un-permute them."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    h, w = 16, 8
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = (np.arange(h) * 16)[:, None]  # distinct value per row
+    file_order = [r for first, step in M._GIF_INTERLACE_PASSES
+                  for r in range(first, h, step)]
+    permuted = img[file_order]
+    gif = bytearray(M.encode_gif([permuted]))
+    # image descriptor follows 13-byte header + GCT (palette size from flags)
+    gct_len = 3 * (2 << (gif[10] & 7))
+    desc = 13 + gct_len
+    assert gif[desc] == 0x2C
+    gif[desc + 9] |= 0x40  # set interlace flag
+    out = M.decode_gif(bytes(gif))
+    assert np.array_equal(out, img)
+
+
+def test_gif_transparency_composites_previous_frame():
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    red = np.full((8, 8, 3), (255, 0, 0), np.uint8)
+    f2 = np.full((8, 8, 3), (255, 255, 255), np.uint8)
+    f2[:2, :2] = (0, 255, 0)  # becomes the transparent color
+    # palette sorts lexicographically: green=0, red=1, white=2
+    gif = M.encode_gif([red, f2], delays_ms=[50, 50], transparent_idx=0)
+    frames = M.decode_gif_frames(gif)
+    want2 = np.full((8, 8, 3), (255, 255, 255), np.uint8)
+    want2[:2, :2] = (255, 0, 0)  # red shows through the transparent corner
+    assert np.array_equal(frames[1][1], want2)
+
+
+def test_extract_gif_frames_spark(spark):
+    """Real distributed frame extraction: one row per decoded frame, PNG
+    payloads decodable back to the encoder's frames; every_ms thins."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    media = M.synthetic_media(spark, n=6, kind="animation")
+    out = M.extract_gif_frames(media).collect()
+    assert len(out) == 18  # 3 frames x 6 animations
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in out}
+    for i in range(6):
+        w, h = 64 + i % 16, 48 + i % 12
+        for f in range(3):
+            r = by_key[(i, f)]
+            assert (r["width"], r["height"], r["ts_ms"]) == (w, h, f * 100)
+            px = M.decode_png(bytes(r["frame_png"]))
+            want = np.full(
+                (h, w, 3),
+                ((i * 37 + f * 85) % 256, (i * 11) % 256, f * 100),
+                np.uint8,
+            )
+            assert np.array_equal(px, want)
+    thinned = M.extract_gif_frames(media, every_ms=200).collect()
+    assert len(thinned) == 12  # keeps ts 0 and 200 of (0, 100, 200)
+
+
+def test_resize_gif_container_preserved(spark):
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8] = (200, 10, 10)
+    rows = [(1, "image", M.encode_gif([img]), "image/gif", 16, 16, 0)]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = M.resize_images(df, target_width=8, target_height=8).collect()
+    resized = M.decode_gif(bytes(out[0]["payload"]))
+    assert resized is not None and resized.shape == (8, 8, 3)
+    assert np.array_equal(resized[:4], np.full((4, 8, 3), (200, 10, 10), np.uint8))
+
+
+def test_gif_disposal_background_restore():
+    """Patch frame 1's disposal to 'restore background': frame 2's
+    transparent pixels then show the background color, not frame 1."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    red = np.full((8, 8, 3), (255, 0, 0), np.uint8)
+    f2 = np.full((8, 8, 3), (255, 255, 255), np.uint8)
+    f2[:2, :2] = (0, 255, 0)  # transparent color (palette 0, also bg_idx 0)
+    gif = bytearray(M.encode_gif([red, f2], delays_ms=[50, 50], transparent_idx=0))
+    gce1 = 13 + 3 * (2 << (gif[10] & 7))
+    assert gif[gce1 + 1] == 0xF9
+    gif[gce1 + 3] = (gif[gce1 + 3] & ~0x1C) | (2 << 2)  # disposal 2
+    frames = M.decode_gif_frames(bytes(gif))
+    want2 = np.full((8, 8, 3), (255, 255, 255), np.uint8)
+    want2[:2, :2] = (0, 255, 0)  # background (green) shows through
+    assert np.array_equal(frames[1][1], want2)

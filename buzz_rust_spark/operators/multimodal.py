@@ -1137,6 +1137,10 @@ def decode_wav(payload: bytes | None):
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    if not 1 <= min_code_size <= 11:
+        # GIF codes are at most 12 bits; a crafted byte here would otherwise
+        # allocate a 2^N-entry table (hang/OOM, not a typed refusal)
+        raise ValueError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     out: list[int] = []
@@ -1195,18 +1199,24 @@ def _lzw_encode(indexes, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    table = {(i,): i for i in range(clear)}
+    # dict keyed on (prefix CODE, next symbol) — constant-size keys, not
+    # ever-growing index tuples (O(chain) hashing per pixel on solid areas)
+    table: dict[tuple[int, int], int] = {}
     next_code = end + 1
     width = min_code_size + 1
     emit(clear, width)
-    cur: tuple = ()
+    cur = -1
     for idx in indexes:
-        cand = cur + (idx,)
-        if cand in table:
-            cur = cand
+        idx = int(idx)
+        if cur < 0:
+            cur = idx
             continue
-        emit(table[cur], width)
-        table[cand] = next_code
+        nxt = table.get((cur, idx))
+        if nxt is not None:
+            cur = nxt
+            continue
+        emit(cur, width)
+        table[(cur, idx)] = next_code
         # the decoder adds its mirror entry as it consumes this code, so
         # width must grow one step ahead of the table size boundary
         if next_code == (1 << width) and width < 12:
@@ -1214,12 +1224,12 @@ def _lzw_encode(indexes, min_code_size: int) -> bytes:
         next_code += 1
         if next_code > 4095:
             emit(clear, width)
-            table = {(i,): i for i in range(clear)}
+            table = {}
             next_code = end + 1
             width = min_code_size + 1
-        cur = (idx,)
-    if cur:
-        emit(table[cur], width)
+        cur = idx
+    if cur >= 0:
+        emit(cur, width)
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -1237,12 +1247,19 @@ def encode_gif(frames, delays_ms=None, transparent_idx: int | None = None) -> by
 
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError(
+            f"all GIF frames must share one size; got "
+            f"{sorted({f.shape[:2] for f in frames})}"
+        )
     flat = np.concatenate([f.reshape(-1, 3) for f in frames])
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:
         # uniform 6x7x6 cube (252 colors) — documented lossy fallback
+        # (int32 first: uint8 * 6 would wrap mod 256 before the division)
+        f32 = flat.astype(np.int32)
         q = np.stack(
-            [flat[:, 0] * 6 // 256, flat[:, 1] * 7 // 256, flat[:, 2] * 6 // 256],
+            [f32[:, 0] * 6 // 256, f32[:, 1] * 7 // 256, f32[:, 2] * 6 // 256],
             axis=1,
         )
         colors = np.stack(
@@ -1266,8 +1283,8 @@ def encode_gif(frames, delays_ms=None, transparent_idx: int | None = None) -> by
     n_px = h * w
     splits = np.split(inverse, len(frames)) if len(frames) > 1 else [inverse]
     for fi, frame_idx in enumerate(splits):
-        if delays_ms is not None:
-            delay_cs = int(delays_ms[fi]) // 10
+        if delays_ms is not None or transparent_idx is not None:
+            delay_cs = int(delays_ms[fi]) // 10 if delays_ms is not None else 0
             # disposal 1 (do not dispose): frames composite cumulatively,
             # so transparent pixels show the PREVIOUS frame — the standard
             # choice for delta-frame animations
@@ -1414,7 +1431,7 @@ GIF_FRAMES_SCHEMA = StructType(
 
 
 def extract_gif_frames(
-    df: DataFrame, every_ms: int = 0, max_frames: int = 64, batch_rows: int = 64
+    df: DataFrame, every_ms: int = 0, max_frames: int = 64
 ) -> DataFrame:
     """REAL frame extraction for animated-GIF rows: one output row per
     decoded frame (composited RGB re-encoded as PNG), optionally thinned to
@@ -1634,19 +1651,35 @@ def resize_images(
             is_png = len(p) >= 8 and p[:8] == b"\x89PNG\r\n\x1a\n"
             is_jpeg = len(p) >= 2 and p[:2] == b"\xff\xd8"
             is_gif = len(p) >= 4 and p[:4] == b"GIF8"
+            if is_gif:
+                # resize EVERY frame — an animated input must not silently
+                # collapse to its first frame
+                frames = decode_gif_frames(p)
+                if frames is not None:
+                    ts = [t for t, _ in frames]
+                    delays = (
+                        [b - a for a, b in zip(ts, ts[1:])] + [ts[-1] - ts[-2]]
+                        if len(ts) > 1
+                        else None
+                    )
+                    out = []
+                    for _, img in frames:
+                        h, w = img.shape[:2]
+                        rows = (np.arange(target_height) * h) // target_height
+                        cols = (np.arange(target_width) * w) // target_width
+                        out.append(img[rows][:, cols])
+                    return encode_gif(out, delays_ms=delays)
             img = decode_image(p)
             if img is not None:
                 h, w = img.shape[:2]
                 rows = (np.arange(target_height) * h) // target_height
                 cols = (np.arange(target_width) * w) // target_width
                 resized = img[rows][:, cols]
-                # stay in the input container: PNG→PNG, JPEG→JPEG, GIF→GIF
+                # stay in the input container: PNG→PNG, JPEG→JPEG, BMP→BMP
                 if is_png:
                     return encode_png(resized)
                 if is_jpeg:
                     return encode_jpeg(resized, quant=2)
-                if is_gif:
-                    return encode_gif([resized])
                 return encode_bmp(resized)
             if strict:
                 raise NotImplementedError(

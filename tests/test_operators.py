@@ -2358,3 +2358,52 @@ def test_gif_disposal_background_restore():
     want2 = np.full((8, 8, 3), (255, 255, 255), np.uint8)
     want2[:2, :2] = (0, 255, 0)  # background (green) shows through
     assert np.array_equal(frames[1][1], want2)
+
+
+def test_gif_hardening_review_fixes():
+    """Crafted LZW min-code bytes are refused fast (not a 2^200 table
+    hang); the >256-color quantization fallback produces real colors (the
+    uint8 overflow made it solid black); transparent_idx without delays
+    emits a GCE; mismatched frame dims raise a typed error; animated
+    resize keeps every frame."""
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    gif = bytearray(M.encode_gif([np.zeros((4, 4, 3), np.uint8)]))
+    desc = 13 + 3 * (2 << (gif[10] & 7))
+    gif[desc + 10] = 200
+    assert M.decode_gif(bytes(gif)) is None
+
+    rng = np.random.default_rng(1)
+    big = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    out = M.decode_gif(M.encode_gif([big]))
+    assert len(np.unique(out.reshape(-1, 3), axis=0)) > 50
+    assert np.abs(out.astype(int) - big.astype(int)).max() <= 52
+
+    assert b"\x21\xf9" in M.encode_gif(
+        [np.zeros((4, 4, 3), np.uint8)], transparent_idx=0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="share one size"):
+        M.encode_gif([np.zeros((2, 2, 3), np.uint8), np.zeros((1, 4, 3), np.uint8)])
+
+
+def test_resize_animated_gif_keeps_frames(spark):
+    import numpy as np
+
+    from buzz_rust_spark.operators import multimodal as M
+
+    f = [np.full((16, 16, 3), (c, 0, 0), np.uint8) for c in (10, 120, 240)]
+    gif = M.encode_gif(f, delays_ms=[100, 150, 200])
+    df = spark.createDataFrame(
+        [(1, "image", gif, "image/gif", 16, 16, 450)], schema=M.MEDIA_SCHEMA
+    )
+    out = M.resize_images(df, target_width=8, target_height=8).collect()
+    frames = M.decode_gif_frames(bytes(out[0]["payload"]))
+    assert len(frames) == 3
+    assert [t for t, _ in frames] == [0, 100, 250]
+    for (_, px), c in zip(frames, (10, 120, 240)):
+        assert px.shape == (8, 8, 3)
+        assert np.array_equal(px, np.full((8, 8, 3), (c, 0, 0), np.uint8))

@@ -1090,8 +1090,12 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes | None):
-    """8/16-bit PCM WAV → (samples float64 in [-1,1], sample_rate, channels),
-    else None."""
+    """WAV → (samples float64 in [-1,1], sample_rate, channels), else None.
+
+    Formats: integer PCM 8/16-bit (format 1), IEEE float 32/64-bit
+    (format 3), and the G.711 telephony codecs µ-law (7) / A-law (6) —
+    the four encodings that actually occur in speech/audio corpora;
+    anything else (ADPCM, MP3-in-WAV) returns None."""
     import numpy as np
 
     if payload is None or len(payload) < 44 or payload[:4] != b"RIFF":
@@ -1114,16 +1118,38 @@ def decode_wav(payload: bytes | None):
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+    if channels < 1:
         return None
-    if bits == 16:
-        # tolerate truncated payloads (data chunk shorter than its declared
-        # size, odd byte count): decode the complete samples instead of
-        # letting frombuffer raise and fail the whole Spark stage
+    # tolerate truncated payloads (data chunk shorter than its declared
+    # size, odd byte count): decode the complete samples instead of
+    # letting frombuffer raise and fail the whole Spark stage
+    if audio_format == 1 and bits == 16:
         data = data[: len(data) // 2 * 2]
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
-    else:
+    elif audio_format == 1 and bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    elif audio_format == 3 and bits in (32, 64):  # IEEE float
+        width = bits // 8
+        data = data[: len(data) // width * width]
+        samples = np.frombuffer(data, dtype=f"<f{width}").astype(np.float64)
+    elif audio_format == 7 and bits == 8:  # G.711 µ-law
+        u = ~np.frombuffer(data, dtype=np.uint8)
+        sign = np.where(u & 0x80, -1.0, 1.0)
+        exp = (u >> 4) & 7
+        mant = (u & 0x0F).astype(np.int64)
+        mag = ((mant << 3) + 0x84 << exp) - 0x84
+        samples = sign * mag / 32124.0  # full-scale µ-law magnitude
+    elif audio_format == 6 and bits == 8:  # G.711 A-law (sun g711.c
+        # alaw2linear; NB: the A-law sign bit SET means positive)
+        a = np.frombuffer(data, dtype=np.uint8).astype(np.int64) ^ 0x55
+        t = (a & 0x0F) << 4
+        exp = (a >> 4) & 7
+        mag = np.where(
+            exp == 0, t + 8, np.where(exp == 1, t + 0x108, (t + 0x108) << (exp - 1))
+        )
+        samples = np.where(a & 0x80, mag, -mag) / 32768.0
+    else:
+        return None
     return samples, sample_rate, channels
 
 

@@ -2407,3 +2407,60 @@ def test_resize_animated_gif_keeps_frames(spark):
     for (_, px), c in zip(frames, (10, 120, 240)):
         assert px.shape == (8, 8, 3)
         assert np.array_equal(px, np.full((8, 8, 3), (c, 0, 0), np.uint8))
+
+
+def test_wav_extended_formats():
+    """decode_wav beyond integer PCM: IEEE float (format 3), G.711 µ-law
+    (7) and A-law (6) — the encodings speech corpora actually use."""
+    import struct
+
+    import numpy as np
+
+    from buzz_rust_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_code, bits, data, rate=8000, ch=1):
+        fmt = struct.pack(
+            "<HHIIHH", fmt_code, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits
+        )
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    x = np.array([0.0, 0.5, -0.25, 1.0], np.float32)
+    s, rate, ch = decode_wav(wav(3, 32, x.tobytes()))
+    assert np.allclose(s, x) and (rate, ch) == (8000, 1)
+    x64 = np.array([0.125, -0.875], np.float64)
+    s, _, _ = decode_wav(wav(3, 64, x64.tobytes()))
+    assert np.allclose(s, x64)
+
+    # µ-law: canonical G.711 encoder (bias 0x84) round-trips within the
+    # codec's quantization error
+    def mulaw_encode(v):
+        bias, clip = 0x84, 32635
+        sign = 0x80 if v < 0 else 0
+        v = min(abs(v), clip) + bias
+        exp = v.bit_length() - 8
+        mant = (v >> (exp + 3)) & 0x0F
+        return ~(sign | (exp << 4) | mant) & 0xFF
+
+    vals = [0, 100, 1000, 8000, 30000, -100, -1000, -30000]
+    s, _, _ = decode_wav(wav(7, 8, bytes(mulaw_encode(v) for v in vals)))
+    for got, want in zip(s, vals):
+        w = want / 32124.0
+        assert abs(got - w) <= max(0.004, abs(w) * 0.06)
+
+    # A-law (sun g711 alaw2linear): sign bit SET = positive; magnitudes
+    # span [8, 32256]; nearest-code roundtrip within segment error
+    s, _, _ = decode_wav(wav(6, 8, bytes(range(256))))
+    vals = s * 32768.0
+    for b in range(128):
+        assert vals[b] == -vals[b ^ 0x80]
+    assert np.abs(vals).min() == 8 and np.abs(vals).max() == 32256
+    for want in [20, 300, 2500, 18000, -300, -18000]:
+        got = vals[int(np.argmin(np.abs(vals - want)))]
+        assert abs(got - want) <= max(8, abs(want) * 0.04)
+
+    # unsupported compression still refused
+    assert decode_wav(wav(2, 4, b"\x00\x00")) is None

@@ -323,6 +323,50 @@ def fingerprint(
     )
 
 
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Raw HTML → visible text, entirely in JVM ``regexp_replace`` chains
+    (codegen; no Python, no parser dependency): drop ``<script>``/
+    ``<style>``/comments, break lines at block-level closers, strip the
+    remaining tags, unescape the common entities, and collapse whitespace
+    runs (newlines preserved as line structure for the C4/Gopher line
+    rules downstream).
+
+    Deliberately heuristic, like the published C4/CCNet pipelines' first
+    pass — at 100 TB the extraction must be a narrow map stage, and the
+    quality/repetition gates downstream are what actually police the
+    output."""
+    t = F.regexp_replace(col, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # block-level boundaries become newlines so line-based heuristics see
+    # the page's visual structure, not one endless line
+    t = F.regexp_replace(
+        t,
+        r"(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article"
+        r"|header|footer|pre)\s*>|<br\s*/?>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"&#(\d+);", " ")  # numeric entities → space
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    # Spark trim() strips spaces only — newlines need the regex form
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
 # --- PII scrubbing -----------------------------------------------------------
 
 # Order matters: emails before phones (an email's digits must not be

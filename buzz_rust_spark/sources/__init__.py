@@ -21,6 +21,7 @@ from .delta_writer import (
 )
 from .parquet_dir import ParquetDirCatalog
 from .text_formats import CsvCatalog, JsonLinesCatalog, quarantine_split
+from .warc import read_warc
 
 __all__ = [
     "LogStore",
@@ -41,4 +42,5 @@ __all__ = [
     "delete_delta",
     "optimize_delta",
     "vacuum_delta",
+    "read_warc",
 ]

@@ -1,0 +1,279 @@
+"""WARC web-archive source: Common-Crawl-style shards → one row per record.
+
+Web-scale training corpora arrive as WARC 1.0/1.1 shards (the ISO 28500
+format Common Crawl publishes): a sequence of records (warcinfo, request,
+response, ...), each a header block + Content-Length payload, usually with
+EVERY record individually gzip-compressed and concatenated (the "gzip
+member per record" convention that makes shards seekable).  The reference
+engine is parquet-only (SURVEY.md §2.A); this source is part of the
+rebuild's training-data surface, next to the documents/embeddings
+operators.
+
+Spark-first shape:
+- ``spark.read.format("binaryFile")`` distributes WHOLE SHARDS — the
+  parallelism unit is the file, exactly how Common Crawl sizes its ~1 GB
+  shards for distributed processing.  A 100 TB crawl is ~100k shards →
+  100k tasks; no shuffle anywhere, the parse is a pure fan-out map.
+- Record parsing runs in Arrow-batched ``mapInPandas`` on the executors;
+  one input row (shard) yields many output rows (records).  Per-task
+  memory is bounded by the shard size plus one record's payload
+  (``max_payload_bytes`` caps rogue records).
+- HTTP response payloads are unwrapped (status + headers parsed off,
+  chunked transfer-encoding de-chunked, gzip/deflate content-encoding
+  decompressed) so downstream text operators see the document bytes.
+
+Everything is stdlib (zlib) + the published WARC/HTTP formats — no warcio
+dependency.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("warc_file", StringType(), False),
+        StructField("record_offset", LongType(), False),
+        StructField("warc_type", StringType(), True),
+        StructField("record_id", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("http_content_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("truncated", StringType(), True),
+    ]
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_members(data: bytes, max_bytes: int) -> Iterator[bytes]:
+    """Decompress a stream of concatenated gzip members (the WARC
+    record-per-member convention); a single-member file yields one blob.
+    Each member's inflation is capped at ``max_bytes`` (zlib-bomb guard)."""
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(data[pos:], max_bytes)
+        if not d.eof:
+            raise ValueError("gzip member exceeds max_payload_bytes or is truncated")
+        yield out
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+
+
+def _parse_warc_records(blob: bytes, base_offset: int):
+    """One decompressed region → [(offset, headers dict, payload bytes)].
+    Header names are lower-cased; the WARC version line is validated."""
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and blob[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = blob.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError("truncated WARC header block")
+        head = blob[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line {lines[0]!r}")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        body_start = head_end + 4
+        if body_start + length > n:
+            raise ValueError("record payload overruns file")
+        out.append((base_offset + pos, headers, blob[body_start : body_start + length]))
+        pos = body_start + length
+    return out
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(body):
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            break
+        try:
+            size = int(body[pos:nl].split(b";")[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out += body[nl + 2 : nl + 2 + size]
+        pos = nl + 2 + size + 2  # skip chunk + trailing CRLF
+    return bytes(out)
+
+
+def _parse_http_response(body: bytes, max_bytes: int):
+    """Raw HTTP/1.x response → (status, content_type, document bytes).
+    De-chunks and decompresses gzip/deflate content-encoding; undecodable
+    payloads fall back to the raw body (never raise — one rotten record
+    must not kill a shard)."""
+    head_end = body.find(b"\r\n\r\n")
+    if head_end < 0 or not body[:5].startswith(b"HTTP/"):
+        return None, None, body
+    head = body[:head_end].decode("latin-1", "replace")
+    lines = head.split("\r\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    payload = body[head_end + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip", "deflate"):
+        try:
+            d = zlib.decompressobj(wbits=47 if enc != "deflate" else 15)
+            inflated = d.decompress(payload, max_bytes)
+            if d.eof or enc == "deflate":
+                payload = inflated
+        except zlib.error:
+            pass  # keep the raw bytes; truncated is recorded upstream
+    return status, headers.get("content-type"), payload
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: str | list[str],
+    record_types: tuple[str, ...] = ("response",),
+    max_payload_bytes: int = 64 * 1024 * 1024,
+    batch_files: int | None = None,
+) -> DataFrame:
+    """Distributed WARC read: ``paths`` (file/dir/glob, like any Spark
+    source) → one row per record of the requested ``record_types``
+    (lower-case; ``()`` keeps every type).  See module docstring for the
+    scale shape."""
+    types = tuple(t.lower() for t in record_types)
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for path, content in zip(batch["path"], batch["content"]):
+                data = bytes(content)
+                try:
+                    if data[:2] == _GZIP_MAGIC:
+                        regions = []
+                        off = 0
+                        for blob in _gunzip_members(data, max_payload_bytes):
+                            regions.append((off, blob))
+                            off += len(blob)
+                    else:
+                        regions = [(0, data)]
+                    records = []
+                    for off, blob in regions:
+                        records.extend(_parse_warc_records(blob, off))
+                except ValueError as exc:
+                    # a malformed shard yields one diagnostic row, not a
+                    # stage failure — the rest of the fleet keeps going
+                    rows.append(
+                        dict.fromkeys(cols)
+                        | {
+                            "warc_file": path,
+                            "record_offset": -1,
+                            "truncated": f"unparseable: {exc}",
+                        }
+                    )
+                    continue
+                for off, headers, body in records:
+                    wtype = headers.get("warc-type", "").lower()
+                    if types and wtype not in types:
+                        continue
+                    status = http_ct = None
+                    payload = body
+                    if headers.get("content-type", "").startswith(
+                        "application/http"
+                    ):
+                        status, http_ct, payload = _parse_http_response(
+                            body, max_payload_bytes
+                        )
+                    payload = payload[:max_payload_bytes]
+                    rows.append(
+                        {
+                            "warc_file": path,
+                            "record_offset": off,
+                            "warc_type": wtype,
+                            "record_id": headers.get("warc-record-id"),
+                            "target_uri": headers.get("warc-target-uri"),
+                            "warc_date": headers.get("warc-date"),
+                            "content_type": headers.get("content-type"),
+                            "http_status": status,
+                            "http_content_type": http_ct,
+                            "payload": payload,
+                            "n_bytes": len(payload),
+                            "truncated": headers.get("warc-truncated"),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = spark.read.format("binaryFile").load(paths).select("path", "content")
+    if batch_files:
+        files = files.repartition(batch_files)
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def warc_to_documents(warc_df: DataFrame, min_chars: int = 1) -> DataFrame:
+    """WARC response rows → training-document rows: keep HTTP 200 HTML/text
+    responses, decode the payload as UTF-8 (invalid bytes replaced), strip
+    markup via :func:`~buzz_rust_spark.operators.text.html_to_text`, and
+    emit ``(doc_id, text, source, n_chars)`` in the shape of the corpus
+    tables the dedup/quality operators consume.
+
+    ``doc_id`` is the 64-bit hash of (shard, offset) — stable across reruns
+    of the same crawl, no window function, no shuffle; ``source`` is the
+    shard file.  The whole stage is a narrow JVM projection over the WARC
+    scan."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import html_to_text
+
+    ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
+    is_html = ct.startswith("text/html") | ct.startswith("application/xhtml")
+    raw = F.decode(F.col("payload"), "UTF-8")
+    text = F.when(is_html, html_to_text(raw)).otherwise(F.trim(raw))
+    return (
+        warc_df.where(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & (is_html | ct.startswith("text/plain"))
+        )
+        .select(
+            F.xxhash64("warc_file", "record_offset").alias("doc_id"),
+            text.alias("text"),
+            F.col("warc_file").alias("source"),
+            F.col("target_uri"),
+        )
+        .where(F.length("text") >= min_chars)
+        .withColumn("n_chars", F.length("text"))
+    )

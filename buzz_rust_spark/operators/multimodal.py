@@ -1131,7 +1131,14 @@ def decode_wav(payload: bytes | None):
     elif audio_format == 3 and bits in (32, 64):  # IEEE float
         width = bits // 8
         data = data[: len(data) // width * width]
-        samples = np.frombuffer(data, dtype=f"<f{width}").astype(np.float64)
+        # NaN/Inf are VALID float encodings (unlike PCM) and hot-mastered
+        # files exceed 1.0 — enforce the documented [-1, 1] contract so
+        # downstream stats never go NaN
+        samples = np.clip(
+            np.nan_to_num(np.frombuffer(data, dtype=f"<f{width}").astype(np.float64)),
+            -1.0,
+            1.0,
+        )
     elif audio_format == 7 and bits == 8:  # G.711 µ-law
         u = ~np.frombuffer(data, dtype=np.uint8)
         sign = np.where(u & 0x80, -1.0, 1.0)

@@ -323,13 +323,19 @@ def fingerprint(
     )
 
 
+# order matters: '&amp;' must unescape LAST (and after the numeric pass),
+# or correctly-escaped text like '&amp;lt;' double-unescapes to '<'
 _HTML_ENTITIES: list[tuple[str, str]] = [
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&#x27;", "'"),
+    ("&#8216;", "'"),
+    ("&#8217;", "'"),
+    ("&#8220;", '"'),
+    ("&#8221;", '"'),
     ("&apos;", "'"),
 ]
 
@@ -359,7 +365,9 @@ def html_to_text(col: Column) -> Column:
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
     for ent, rep in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
-    t = F.regexp_replace(t, r"&#(\d+);", " ")  # numeric entities → space
+    # remaining numeric refs (decimal AND hex) → space, then bare &amp;
+    t = F.regexp_replace(t, r"(?i)&#x?[0-9a-f]+;", " ")
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
     t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")

@@ -61,17 +61,34 @@ WARC_SCHEMA = StructType(
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
-def _gunzip_members(data: bytes, max_bytes: int) -> Iterator[bytes]:
+def _gunzip_members(data: bytes, max_bytes: int) -> Iterator[tuple[int, object]]:
     """Decompress a stream of concatenated gzip members (the WARC
     record-per-member convention); a single-member file yields one blob.
-    Each member's inflation is capped at ``max_bytes`` (zlib-bomb guard)."""
+    Yields ``(compressed_offset, bytes)`` per good member and
+    ``(compressed_offset, ValueError)`` for a bad one — one rotten member
+    must not cost the other ~50k records of a shard — resyncing on the
+    next gzip magic.  Inflation per member is capped (zlib-bomb guard);
+    the whole input is wrapped in ONE memoryview so per-member slices are
+    zero-copy (a bytes slice per record would memcpy the shard tail ~50k
+    times)."""
+    mv = memoryview(data)
     pos = 0
-    while pos < len(data) and data[pos : pos + 2] == _GZIP_MAGIC:
-        d = zlib.decompressobj(wbits=31)
-        out = d.decompress(data[pos:], max_bytes)
-        if not d.eof:
-            raise ValueError("gzip member exceeds max_payload_bytes or is truncated")
-        yield out
+    while pos < len(data) and bytes(mv[pos : pos + 2]) == _GZIP_MAGIC:
+        try:
+            d = zlib.decompressobj(wbits=31)
+            out = d.decompress(mv[pos:], max_bytes)
+            if not d.eof:
+                raise ValueError(
+                    "gzip member exceeds max_payload_bytes or is truncated"
+                )
+        except (zlib.error, ValueError) as exc:
+            yield pos, ValueError(str(exc))
+            nxt = data.find(_GZIP_MAGIC + b"\x08", pos + 2)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        yield pos, out
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break
@@ -101,7 +118,14 @@ def _parse_warc_records(blob: bytes, base_offset: int):
         for line in lines[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError as exc:
+            raise ValueError(f"bad Content-Length: {exc}") from exc
+        if length < 0:
+            # a negative length would walk pos BACKWARDS — with the right
+            # value, an infinite re-parse loop over the same record
+            raise ValueError(f"negative Content-Length {length}")
         body_start = head_end + 4
         if body_start + length > n:
             raise ValueError("record payload overruns file")
@@ -125,17 +149,20 @@ def _dechunk(body: bytes) -> bytes:
             break
         out += body[nl + 2 : nl + 2 + size]
         pos = nl + 2 + size + 2  # skip chunk + trailing CRLF
-    return bytes(out)
+    # servers sometimes advertise chunked but send a plain body — an empty
+    # de-chunk must fall back to the raw payload, not lose the document
+    return bytes(out) if out else body
 
 
 def _parse_http_response(body: bytes, max_bytes: int):
-    """Raw HTTP/1.x response → (status, content_type, document bytes).
-    De-chunks and decompresses gzip/deflate content-encoding; undecodable
-    payloads fall back to the raw body (never raise — one rotten record
-    must not kill a shard)."""
+    """Raw HTTP/1.x response → (status, content_type, document bytes,
+    note).  De-chunks and decompresses gzip/deflate content-encoding;
+    undecodable payloads fall back to the raw body with a non-null note
+    (never raise — one rotten record must not kill a shard, but the
+    compressed bytes must not masquerade as clean text either)."""
     head_end = body.find(b"\r\n\r\n")
     if head_end < 0 or not body[:5].startswith(b"HTTP/"):
-        return None, None, body
+        return None, None, body, None
     head = body[:head_end].decode("latin-1", "replace")
     lines = head.split("\r\n")
     try:
@@ -147,6 +174,7 @@ def _parse_http_response(body: bytes, max_bytes: int):
         k, _, v = line.partition(":")
         headers[k.strip().lower()] = v.strip()
     payload = body[head_end + 4 :]
+    note = None
     if "chunked" in headers.get("transfer-encoding", "").lower():
         payload = _dechunk(payload)
     enc = headers.get("content-encoding", "").lower()
@@ -154,11 +182,13 @@ def _parse_http_response(body: bytes, max_bytes: int):
         try:
             d = zlib.decompressobj(wbits=47 if enc != "deflate" else 15)
             inflated = d.decompress(payload, max_bytes)
-            if d.eof or enc == "deflate":
+            if d.eof:
                 payload = inflated
+            else:
+                note = "content-encoding-undecodable"
         except zlib.error:
-            pass  # keep the raw bytes; truncated is recorded upstream
-    return status, headers.get("content-type"), payload
+            note = "content-encoding-undecodable"
+    return status, headers.get("content-type"), payload, note
 
 
 def read_warc(
@@ -182,43 +212,55 @@ def read_warc(
             rows = []
             for path, content in zip(batch["path"], batch["content"]):
                 data = bytes(content)
-                try:
-                    if data[:2] == _GZIP_MAGIC:
-                        regions = []
-                        off = 0
-                        for blob in _gunzip_members(data, max_payload_bytes):
-                            regions.append((off, blob))
-                            off += len(blob)
-                    else:
-                        regions = [(0, data)]
-                    records = []
-                    for off, blob in regions:
-                        records.extend(_parse_warc_records(blob, off))
-                except ValueError as exc:
-                    # a malformed shard yields one diagnostic row, not a
-                    # stage failure — the rest of the fleet keeps going
+
+                def diag(off, exc):
+                    # a malformed region yields one diagnostic row, not a
+                    # stage failure OR the loss of its shard-mates
                     rows.append(
                         dict.fromkeys(cols)
                         | {
                             "warc_file": path,
-                            "record_offset": -1,
+                            "record_offset": -1 if off is None else off,
                             "truncated": f"unparseable: {exc}",
                         }
                     )
-                    continue
+
+                records = []
+                if data[:2] == _GZIP_MAGIC:
+                    off = 0
+                    for cpos, blob in _gunzip_members(data, max_payload_bytes):
+                        if isinstance(blob, Exception):
+                            diag(cpos, blob)
+                            continue
+                        # per-member containment: one rotten member's
+                        # records are lost, the other ~50k survive
+                        try:
+                            records.extend(_parse_warc_records(blob, off))
+                        except ValueError as exc:
+                            diag(off, exc)
+                        off += len(blob)
+                else:
+                    try:
+                        records.extend(_parse_warc_records(data, 0))
+                    except ValueError as exc:
+                        diag(None, exc)
                 for off, headers, body in records:
                     wtype = headers.get("warc-type", "").lower()
                     if types and wtype not in types:
                         continue
-                    status = http_ct = None
+                    status = http_ct = note = None
                     payload = body
                     if headers.get("content-type", "").startswith(
                         "application/http"
                     ):
-                        status, http_ct, payload = _parse_http_response(
+                        status, http_ct, payload, note = _parse_http_response(
                             body, max_payload_bytes
                         )
-                    payload = payload[:max_payload_bytes]
+                    if len(payload) > max_payload_bytes:
+                        payload = payload[:max_payload_bytes]
+                        # same convention as the WARC-Truncated header —
+                        # a capped row must be distinguishable downstream
+                        note = note or "length"
                     rows.append(
                         {
                             "warc_file": path,
@@ -232,7 +274,7 @@ def read_warc(
                             "http_content_type": http_ct,
                             "payload": payload,
                             "n_bytes": len(payload),
-                            "truncated": headers.get("warc-truncated"),
+                            "truncated": headers.get("warc-truncated") or note,
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -267,6 +309,8 @@ def warc_to_documents(warc_df: DataFrame, min_chars: int = 1) -> DataFrame:
             (F.col("warc_type") == "response")
             & (F.col("http_status") == 200)
             & (is_html | ct.startswith("text/plain"))
+            # capped or undecodable payloads must not become mojibake docs
+            & F.col("truncated").isNull()
         )
         .select(
             F.xxhash64("warc_file", "record_offset").alias("doc_id"),

@@ -2464,3 +2464,24 @@ def test_wav_extended_formats():
 
     # unsupported compression still refused
     assert decode_wav(wav(2, 4, b"\x00\x00")) is None
+
+
+def test_wav_float_nan_inf_sanitized():
+    """NaN/Inf are valid float encodings (unlike PCM) — the [-1,1] samples
+    contract must hold so downstream stats never go NaN."""
+    import struct
+
+    import numpy as np
+
+    from buzz_rust_spark.operators.multimodal import decode_wav
+
+    raw = np.array([0.5, np.nan, np.inf, -np.inf, 2.5, -3.0], np.float32).tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    s, _, _ = decode_wav(wav)
+    assert np.isfinite(s).all() and s.min() >= -1.0 and s.max() <= 1.0
+    assert s[0] == 0.5 and s[1] == 0.0 and s[2] == 1.0 and s[3] == -1.0

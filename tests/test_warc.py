@@ -187,3 +187,88 @@ def test_warc_to_documents_pipeline(spark, tmp_path):
     again = {r.target_uri: r.doc_id for r in
              warc_to_documents(read_warc(spark, str(path))).collect()}
     assert all(again[u] == rows[u].doc_id for u in rows)
+
+
+def test_warc_negative_content_length_no_hang(spark, tmp_path):
+    """A negative Content-Length must become a diagnostic, not an infinite
+    re-parse loop over the same record."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -44\r\n\r\n"
+    )
+    path = tmp_path / "neg.warc"
+    path.write_bytes(bad)
+    rows = read_warc(spark, str(path), record_types=()).collect()
+    assert len(rows) == 1 and "negative" in rows[0].truncated
+
+
+def test_warc_rotten_member_contained(spark, tmp_path):
+    """One corrupt gzip member loses only its own record: the parser
+    resyncs on the next gzip magic and the shard-mates survive."""
+    import gzip as _gzip
+
+    recs = _shard()
+    members = [_gzip.compress(r) for r in recs]
+    members[2] = members[2][:10] + b"\x00" * 8 + members[2][18:]  # corrupt
+    path = tmp_path / "rot.warc.gz"
+    path.write_bytes(b"".join(members))
+    rows = read_warc(spark, str(path), record_types=()).collect()
+    good = [r for r in rows if r.record_offset >= 0 or r.truncated is None]
+    diags = [r for r in rows if r.truncated and "unparseable" in r.truncated]
+    assert len(diags) >= 1
+    # the records from the other five members all survive
+    assert len([r for r in rows if r.warc_type]) >= 5
+
+
+def test_warc_capped_payload_flagged(spark, tmp_path):
+    path = tmp_path / "s.warc"
+    path.write_bytes(_record("response", _http(b"x" * 1000), uri="http://a/big"))
+    r = read_warc(spark, str(path), max_payload_bytes=64).collect()[0]
+    assert r.n_bytes == 64 and r.truncated == "length"
+    # and warc_to_documents refuses to turn the half-document into a row
+    from buzz_rust_spark.sources.warc import warc_to_documents
+
+    assert warc_to_documents(read_warc(spark, str(path), max_payload_bytes=64)).count() == 0
+
+
+def test_warc_fake_chunked_falls_back_to_raw(spark, tmp_path):
+    """Servers sometimes advertise chunked but send a plain body — the
+    document must survive, not collapse to empty."""
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nnot actually chunked"
+    )
+    path = tmp_path / "s.warc"
+    path.write_bytes(_record("response", body, uri="http://a/fake"))
+    r = read_warc(spark, str(path)).collect()[0]
+    assert bytes(r.payload) == b"not actually chunked"
+
+
+def test_warc_undecodable_content_encoding_flagged(spark, tmp_path):
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\nnot gzip bytes at all"
+    )
+    path = tmp_path / "s.warc"
+    path.write_bytes(_record("response", body, uri="http://a/badgz"))
+    r = read_warc(spark, str(path)).collect()[0]
+    assert r.truncated == "content-encoding-undecodable"
+    from buzz_rust_spark.sources.warc import warc_to_documents
+
+    assert warc_to_documents(read_warc(spark, str(path))).count() == 0
+
+
+def test_html_entities_no_double_unescape(spark):
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame(
+        [("<p>&amp;lt; stays, don&#8217;t &#x27;quote&#x27; &#169; x &amp; y</p>",)],
+        "h string",
+    )
+    out = df.select(html_to_text(F.col("h")).alias("t")).collect()[0].t
+    assert "&lt; stays" in out  # &amp;lt; must NOT collapse to '<'
+    assert "don't" in out  # common curly apostrophe decimal ref
+    assert "'quote'" in out  # hex refs handled
+    assert "&#169;" not in out and "&#x" not in out
+    assert "x & y" in out  # bare &amp; still unescapes (last)

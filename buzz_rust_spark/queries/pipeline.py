@@ -1121,6 +1121,78 @@ def c01_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z18_warc_pipeline",
+    tags=("source", "pipeline"),
+    oracle=None,  # input is a synthesized WARC shard, not the parquet
+    # tables — format semantics pinned in tests/test_warc.py
+)
+def z18_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-crawl intake end-to-end: a deterministic Common-Crawl-style WARC
+    shard (record-per-gzip-member, HTML pages built from the documents
+    table's first rows) → read_warc → warc_to_documents → quality signals —
+    the web-page-to-training-doc on-ramp exercised as one pipeline."""
+    import gzip
+    import os
+    import tempfile
+
+    from ..operators.text import quality_expr
+    from ..sources.warc import read_warc, warc_to_documents
+
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(24).collect()
+    shard = b""
+    for row in docs:
+        body = (
+            f"<html><head><script>var x=1;</script></head><body><h1>doc "
+            f"{row.doc_id}</h1><p>{row.text[:400]}</p></body></html>"
+        ).encode()
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        rec = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{row.doc_id}>\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: http://corpus.example/{row.doc_id}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+        shard += gzip.compress(rec)
+    tmp = os.path.join(tempfile.mkdtemp(prefix="warc_z18_"), "shard-0.warc.gz")
+    with open(tmp, "wb") as fh:
+        fh.write(shard)
+    out = warc_to_documents(read_warc(spark, tmp))
+    return out.select(
+        "target_uri",
+        "n_chars",
+        F.round(quality_expr(F.col("text")), 6).alias("quality"),
+    ).orderBy("target_uri")
+
+
+@register(
+    "z19_gif_frames",
+    tags=("multimodal", "pipeline"),
+    oracle=None,  # synthetic media, not the parquet tables; codec semantics
+    # pinned in tests/test_operators.py
+)
+def z19_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real animated-GIF frame extraction: synthetic animation rows →
+    extract_gif_frames (LZW decode + disposal compositing per frame, PNG
+    payloads) → per-media frame counts and byte totals."""
+    media = M.synthetic_media(spark, n=12, kind="animation")
+    frames = M.extract_gif_frames(media)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("ts_ms").alias("last_ts_ms"),
+            F.sum(F.length("frame_png")).alias("png_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
     "z17_hll_distinct_state",
     tags=("sketch", "pipeline"),
     oracle=None,  # HLL estimates are approximate; accuracy + merge bounds

@@ -272,3 +272,83 @@ def test_html_entities_no_double_unescape(spark):
     assert "'quote'" in out  # hex refs handled
     assert "&#169;" not in out and "&#x" not in out
     assert "x & y" in out  # bare &amp; still unescapes (last)
+
+
+# --- URL curation (operators/urlfilter.py) ----------------------------------
+
+
+def test_url_normalize_rules(spark):
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.operators.urlfilter import url_normalize
+
+    cases = [
+        (
+            "HTTPS://WWW.Example.COM:443/Path/Page?a=1&utm_source=x&b=2#frag",
+            "https://www.example.com/Path/Page?a=1&b=2",
+        ),
+        ("http://a.com:80/", "http://a.com"),
+        ("http://a.com/?utm_campaign=z", "http://a.com"),
+        ("http://a.com/p?fbclid=abc&x=1", "http://a.com/p?x=1"),
+        ("http://a.com/CaseSensitive/Path", "http://a.com/CaseSensitive/Path"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "u string")
+    got = [r.n for r in df.select(url_normalize(F.col("u")).alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_filter_urls_and_dedup(spark):
+    from buzz_rust_spark.operators.urlfilter import dedup_by_url, filter_urls
+
+    rows = [
+        (0, "https://good.example/page"),
+        (1, "http://spam.bad/page"),
+        (2, "https://sub.spam.bad/x"),  # suffix match blocks subdomains
+        (3, "ftp://good.example/f"),  # off-scheme
+        (4, "https://notspam.badx.com/y"),  # NOT a suffix match
+        (5, "https://casino.win/big-casino"),  # pattern block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, target_uri string")
+    kept = sorted(
+        r.doc_id
+        for r in filter_urls(
+            df, block_domains=["spam.bad"], block_patterns=[r"casino"]
+        ).collect()
+    )
+    assert kept == [0, 4]
+
+    dup = spark.createDataFrame(
+        [
+            (5, "https://A.com:443/x?utm_source=1", "later"),
+            (2, "https://a.com/x", "first"),
+            (9, "https://a.com/y", "other"),
+        ],
+        "doc_id long, target_uri string, text string",
+    )
+    out = {r.target_uri: (r.doc_id, r.text) for r in dedup_by_url(dup).collect()}
+    # canonical-equal URLs collapse to the smallest id; columns survive
+    assert len(out) == 2 and out["https://a.com/x"] == (2, "first")
+
+
+def test_url_filter_plan_is_narrow(spark):
+    """normalize + filter stay shuffle-free; dedup_by_url is exactly one
+    hash-aggregate shuffle (no window, no sort)."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.operators.urlfilter import (
+        dedup_by_url,
+        filter_urls,
+        url_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "t")], "doc_id long, target_uri string, text string"
+    )
+    plan = (
+        filter_urls(df.withColumn("curl", url_normalize(F.col("target_uri"))))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    plan = dedup_by_url(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Window" not in plan

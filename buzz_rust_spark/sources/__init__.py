@@ -21,7 +21,7 @@ from .delta_writer import (
 )
 from .parquet_dir import ParquetDirCatalog
 from .text_formats import CsvCatalog, JsonLinesCatalog, quarantine_split
-from .warc import read_warc
+from .warc import read_warc, read_webdataset, warc_to_documents, webdataset_samples
 
 __all__ = [
     "LogStore",
@@ -43,4 +43,7 @@ __all__ = [
     "optimize_delta",
     "vacuum_delta",
     "read_warc",
+    "warc_to_documents",
+    "read_webdataset",
+    "webdataset_samples",
 ]

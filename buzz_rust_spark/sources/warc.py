@@ -321,3 +321,110 @@ def warc_to_documents(warc_df: DataFrame, min_chars: int = 1) -> DataFrame:
         .where(F.length("text") >= min_chars)
         .withColumn("n_chars", F.length("text"))
     )
+
+
+WEBDATASET_SCHEMA = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("key", StringType(), False),
+        StructField("ext", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def read_webdataset(
+    spark: SparkSession,
+    paths: str | list[str],
+    max_member_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """WebDataset intake: ``.tar`` shards whose members are named
+    ``<key>.<ext>`` (``000123.jpg`` + ``000123.txt`` + ``000123.json`` —
+    the de-facto standard layout for multimodal training data) → one row
+    per member.  Gzip-compressed shards (``.tar.gz``) decompress inline.
+
+    Same scale shape as :func:`read_warc`: the shard is the parallelism
+    unit (binaryFile + ``mapInPandas``), no shuffle; group the result by
+    ``key`` (or pivot on ``ext``) to reassemble samples — that ONE
+    aggregation is the only shuffle a sample-assembly pipeline needs, and
+    it is keyed by sample, never by shard."""
+    import io
+    import tarfile
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = [f.name for f in WEBDATASET_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for path, content in zip(batch["path"], batch["content"]):
+                data = bytes(content)
+                if data[:2] == _GZIP_MAGIC:
+                    try:
+                        d = zlib.decompressobj(wbits=31)
+                        data = d.decompress(data, max_member_bytes * 4)
+                        if not d.eof:
+                            raise ValueError("shard exceeds inflation cap")
+                    except (zlib.error, ValueError) as exc:
+                        rows.append(
+                            dict.fromkeys(cols)
+                            | {
+                                "shard": path,
+                                "key": "",
+                                "ext": f"__unparseable__: {exc}",
+                            }
+                        )
+                        continue
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(data)) as tar:
+                        for m in tar:
+                            if not m.isfile() or m.size > max_member_bytes:
+                                continue
+                            name = m.name.lstrip("./")
+                            key, dot, ext = name.rpartition(".")
+                            if not dot:
+                                key, ext = name, ""
+                            fh = tar.extractfile(m)
+                            payload = fh.read() if fh else None
+                            rows.append(
+                                {
+                                    "shard": path,
+                                    "key": key,
+                                    "ext": ext.lower(),
+                                    "payload": payload,
+                                    "n_bytes": len(payload or b""),
+                                }
+                            )
+                except tarfile.TarError as exc:
+                    rows.append(
+                        dict.fromkeys(cols)
+                        | {"shard": path, "key": "", "ext": f"__unparseable__: {exc}"}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = spark.read.format("binaryFile").load(paths).select("path", "content")
+    return files.mapInPandas(parse, schema=WEBDATASET_SCHEMA)
+
+
+def webdataset_samples(wds_df: DataFrame, exts: tuple[str, ...]) -> DataFrame:
+    """Member rows → one row per SAMPLE with a binary column per requested
+    extension (``exts=("jpg", "txt")`` → columns ``jpg``, ``txt``) — the
+    pivot every training loader performs.  One hash-aggregate shuffle keyed
+    by (shard, key); samples missing any requested part are dropped (the
+    standard strict-sample behavior)."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.max(F.when(F.col("ext") == e, F.col("payload"))).alias(e) for e in exts
+    ]
+    out = (
+        wds_df.where(F.col("ext").isin(*exts))
+        .groupBy("shard", "key")
+        .agg(*aggs)
+    )
+    cond = None
+    for e in exts:
+        c = F.col(e).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return out.where(cond)

@@ -352,3 +352,94 @@ def test_url_filter_plan_is_narrow(spark):
     assert "Exchange" not in plan and "Python" not in plan
     plan = dedup_by_url(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "Window" not in plan
+
+
+# --- WebDataset tar shards ---------------------------------------------------
+
+
+def _make_wds_shard(tmp_path, name="shard-0.tar", gz=False, n=4):
+    import io
+    import json as _json
+    import tarfile
+
+    import numpy as np
+
+    from buzz_rust_spark.operators.multimodal import encode_png
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+
+        def add(fname, data):
+            info = tarfile.TarInfo(fname)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+
+        for i in range(n):
+            key = f"{i:06d}"
+            px = np.full((4, 4, 3), i * 40, np.uint8)
+            add(f"{key}.png", encode_png(px))
+            add(f"{key}.txt", f"caption {i}".encode())
+            add(f"{key}.json", _json.dumps({"id": i}).encode())
+        add("999999.txt", b"orphan caption with no image")
+    data = buf.getvalue()
+    if gz:
+        import gzip as _gzip
+
+        data = _gzip.compress(data)
+        name += ".gz"
+    p = tmp_path / name
+    p.write_bytes(data)
+    return str(p)
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_read_webdataset_members(spark, tmp_path, gz):
+    from buzz_rust_spark.sources.warc import read_webdataset
+
+    path = _make_wds_shard(tmp_path, gz=gz)
+    rows = read_webdataset(spark, path).collect()
+    by = {(r.key, r.ext): r for r in rows}
+    assert len(rows) == 13  # 4 samples x 3 parts + orphan
+    assert bytes(by[("000001", "txt")].payload) == b"caption 1"
+    assert by[("000002", "png")].n_bytes > 0
+
+
+def test_webdataset_samples_pivot(spark, tmp_path):
+    import numpy as np
+
+    from buzz_rust_spark.operators.multimodal import decode_png
+    from buzz_rust_spark.sources.warc import read_webdataset, webdataset_samples
+
+    path = _make_wds_shard(tmp_path)
+    samples = webdataset_samples(read_webdataset(spark, path), ("png", "txt"))
+    rows = {r.key: r for r in samples.collect()}
+    assert set(rows) == {f"{i:06d}" for i in range(4)}  # orphan dropped
+    for i in range(4):
+        r = rows[f"{i:06d}"]
+        assert bytes(r.txt) == f"caption {i}".encode()
+        px = decode_png(bytes(r.png))
+        assert np.array_equal(px, np.full((4, 4, 3), i * 40, np.uint8))
+
+
+def test_webdataset_multimodal_pipeline(spark, tmp_path):
+    """Samples flow straight into the media operators: decode the PNG part
+    with the real codec via decode_features plumbing shapes."""
+    from buzz_rust_spark.operators.multimodal import decode_image
+    from buzz_rust_spark.sources.warc import read_webdataset, webdataset_samples
+
+    path = _make_wds_shard(tmp_path)
+    samples = webdataset_samples(read_webdataset(spark, path), ("png",))
+    decoded = samples.rdd.map(lambda r: decode_image(bytes(r.png)).shape).collect()
+    assert decoded == [(4, 4, 3)] * 4
+
+
+def test_webdataset_bad_shard_diagnostic(spark, tmp_path):
+    from buzz_rust_spark.sources.warc import read_webdataset
+
+    good = _make_wds_shard(tmp_path)
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(b"definitely not a tar file" * 40)
+    rows = read_webdataset(spark, [good, str(bad)]).collect()
+    diags = [r for r in rows if r.ext.startswith("__unparseable__")]
+    assert len(diags) == 1
+    assert len(rows) - len(diags) == 13  # good shard intact

@@ -28,27 +28,39 @@ TRACKING_PARAMS = (
 
 
 def url_normalize(col: Column) -> Column:
-    """Canonical URL: lowercase scheme+host, default ports stripped,
-    fragment dropped, tracking query params removed (empty ``?`` too),
+    """Canonical URL: lowercase scheme+host, scheme-MATCHED default ports
+    stripped (``:80`` only for http, ``:443`` only for https — the cross
+    pairings address different endpoints), fragment dropped, tracking
+    params removed from the QUERY STRING ONLY (a literal ``&fbclid=`` in
+    the path is path content, and query values may contain ``/``),
     trailing slash on a bare path normalized away."""
     u = F.trim(col)
     # lowercase ONLY the scheme://host[:port] prefix, never the path
     prefix = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     u = F.concat(F.lower(prefix), F.substr(u, F.length(prefix) + 1))
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    u = F.regexp_replace(u, r"^(https?://[^/:?#]+):(?:80|443)(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(?=[/?#]|$)", r"$1")
+    # split at the FIRST '?': tracking strips apply to the query part only
+    path = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.substr(u, F.length(path) + 1)  # includes the leading '?'
     for p in TRACKING_PARAMS:
-        u = F.regexp_replace(u, rf"([?&]){p}=[^&#]*", r"$1")
-    u = F.regexp_replace(u, r"[?&]+$", "")  # dangling separators
-    u = F.regexp_replace(u, r"\?&+", "?")
-    u = F.regexp_replace(u, r"&{2,}", "&")
+        query = F.regexp_replace(query, rf"([?&]){p}=[^&#]*", r"$1")
+    query = F.regexp_replace(query, r"\?&+", "?")
+    query = F.regexp_replace(query, r"&{2,}", "&")
+    query = F.regexp_replace(query, r"[?&]+$", "")  # dangling separators
+    u = F.concat(path, query)
     u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", r"$1")
     return u
 
 
 def url_host(col: Column) -> Column:
-    """Lower-cased host of a URL (empty string when unparseable)."""
-    return F.lower(F.coalesce(F.parse_url(col, F.lit("HOST")), F.lit("")))
+    """Lower-cased host of a URL (empty string when unparseable).
+
+    ``try_parse_url``: under ANSI mode (the Spark 4 default) plain
+    ``parse_url`` RAISES on exactly the malformed URLs this module exists
+    to drop."""
+    return F.lower(F.coalesce(F.try_parse_url(col, F.lit("HOST")), F.lit("")))
 
 
 def filter_urls(
@@ -66,9 +78,9 @@ def filter_urls(
     u = F.col(url_col)
     host = url_host(u)
     keep = host != ""
-    keep &= F.lower(F.coalesce(F.parse_url(u, F.lit("PROTOCOL")), F.lit(""))).isin(
-        *allow_schemes
-    )
+    keep &= F.lower(
+        F.coalesce(F.try_parse_url(u, F.lit("PROTOCOL")), F.lit(""))
+    ).isin(*allow_schemes)
     for d in block_domains or []:
         d = d.lower()
         keep &= ~((host == d) | host.endswith("." + d))
@@ -85,13 +97,22 @@ def dedup_by_url(
     canonical URL (deterministic), via ONE min(struct) aggregate keyed by
     the normalized URL: no window function, no secondary shuffle, and the
     combine is map-side partial like dedup_exact."""
+    with_url = F.col(url_col).isNotNull()
+    # null-URL rows pass through UNTOUCHED: null is one group-by key, so
+    # deduping them would silently collapse every URL-less document to one
     canon = url_normalize(F.col(url_col)).alias("_curl")
-    others = [c for c in df.columns]
-    packed = df.select(canon, F.struct(F.col(id_col), *[
-        F.col(c) for c in others if c != id_col
-    ]).alias("_row"))
-    return (
+    packed = df.where(with_url).select(
+        canon,
+        # id_col leads the struct so min() means "smallest id wins"
+        F.struct(
+            F.col(id_col), *[F.col(c) for c in df.columns if c != id_col]
+        ).alias("_row"),
+    )
+    deduped = (
         packed.groupBy("_curl")
         .agg(F.min("_row").alias("_row"))
         .select("_row.*")
+        .select(*df.columns)  # restore the INPUT column order (unions are
+        # positional — a reorder would corrupt them silently)
     )
+    return deduped.unionByName(df.where(~with_url))

@@ -330,6 +330,9 @@ WEBDATASET_SCHEMA = StructType(
         StructField("ext", StringType(), False),
         StructField("payload", BinaryType(), True),
         StructField("n_bytes", LongType(), True),
+        # non-null when something is wrong with this row: "oversize-skipped"
+        # (payload withheld, n_bytes = true size) or "unparseable: ..."
+        StructField("note", StringType(), True),
     ]
 )
 
@@ -338,17 +341,24 @@ def read_webdataset(
     spark: SparkSession,
     paths: str | list[str],
     max_member_bytes: int = 256 * 1024 * 1024,
+    max_shard_bytes: int = 8 * 1024 * 1024 * 1024,
 ) -> DataFrame:
     """WebDataset intake: ``.tar`` shards whose members are named
-    ``<key>.<ext>`` (``000123.jpg`` + ``000123.txt`` + ``000123.json`` —
-    the de-facto standard layout for multimodal training data) → one row
-    per member.  Gzip-compressed shards (``.tar.gz``) decompress inline.
+    ``<key>.<ext>`` — key up to the FIRST dot, extension everything after
+    (the WebDataset convention: ``000123.jpg`` + ``000123.seg.png`` share
+    key ``000123``) → one row per member.  Gzip-compressed shards
+    (``.tar.gz``, including concatenated-member streams from pigz/bgzip)
+    decompress inline up to ``max_shard_bytes``.
+
+    Oversized members and unparseable shards yield rows with a non-null
+    ``note`` (payload withheld) instead of vanishing — a dropped sample
+    must be countable downstream.
 
     Same scale shape as :func:`read_warc`: the shard is the parallelism
     unit (binaryFile + ``mapInPandas``), no shuffle; group the result by
-    ``key`` (or pivot on ``ext``) to reassemble samples — that ONE
-    aggregation is the only shuffle a sample-assembly pipeline needs, and
-    it is keyed by sample, never by shard."""
+    ``key`` (or :func:`webdataset_samples`) to reassemble samples — that
+    ONE aggregation is the only shuffle a sample-assembly pipeline needs,
+    and it is keyed by sample, never by shard."""
     import io
     import tarfile
 
@@ -356,35 +366,52 @@ def read_webdataset(
         import pandas as pd
 
         cols = [f.name for f in WEBDATASET_SCHEMA.fields]
+
+        def diag(rows, path, msg):
+            rows.append(
+                dict.fromkeys(cols)
+                | {"shard": path, "key": "", "ext": "", "note": msg}
+            )
+
         for batch in batches:
             rows = []
             for path, content in zip(batch["path"], batch["content"]):
                 data = bytes(content)
                 if data[:2] == _GZIP_MAGIC:
-                    try:
-                        d = zlib.decompressobj(wbits=31)
-                        data = d.decompress(data, max_member_bytes * 4)
-                        if not d.eof:
-                            raise ValueError("shard exceeds inflation cap")
-                    except (zlib.error, ValueError) as exc:
-                        rows.append(
-                            dict.fromkeys(cols)
-                            | {
-                                "shard": path,
-                                "key": "",
-                                "ext": f"__unparseable__: {exc}",
-                            }
-                        )
+                    # concatenated gzip members are one logical stream
+                    parts, total, bad = [], 0, None
+                    for _, blob in _gunzip_members(data, max_shard_bytes):
+                        if isinstance(blob, Exception):
+                            bad = str(blob)
+                            break
+                        parts.append(blob)
+                        total += len(blob)
+                        if total > max_shard_bytes:
+                            bad = f"shard inflates past {max_shard_bytes}"
+                            break
+                    if bad is not None:
+                        diag(rows, path, f"unparseable: {bad}")
                         continue
+                    data = b"".join(parts)
                 try:
                     with tarfile.open(fileobj=io.BytesIO(data)) as tar:
                         for m in tar:
-                            if not m.isfile() or m.size > max_member_bytes:
+                            if not m.isfile():
                                 continue
                             name = m.name.lstrip("./")
-                            key, dot, ext = name.rpartition(".")
-                            if not dot:
-                                key, ext = name, ""
+                            key, dot, ext = name.partition(".")
+                            if m.size > max_member_bytes:
+                                rows.append(
+                                    {
+                                        "shard": path,
+                                        "key": key,
+                                        "ext": ext.lower(),
+                                        "payload": None,
+                                        "n_bytes": m.size,
+                                        "note": "oversize-skipped",
+                                    }
+                                )
+                                continue
                             fh = tar.extractfile(m)
                             payload = fh.read() if fh else None
                             rows.append(
@@ -394,13 +421,11 @@ def read_webdataset(
                                     "ext": ext.lower(),
                                     "payload": payload,
                                     "n_bytes": len(payload or b""),
+                                    "note": None,
                                 }
                             )
                 except tarfile.TarError as exc:
-                    rows.append(
-                        dict.fromkeys(cols)
-                        | {"shard": path, "key": "", "ext": f"__unparseable__: {exc}"}
-                    )
+                    diag(rows, path, f"unparseable: {exc}")
             yield pd.DataFrame(rows, columns=cols)
 
     files = spark.read.format("binaryFile").load(paths).select("path", "content")
@@ -419,12 +444,14 @@ def webdataset_samples(wds_df: DataFrame, exts: tuple[str, ...]) -> DataFrame:
         F.max(F.when(F.col("ext") == e, F.col("payload"))).alias(e) for e in exts
     ]
     out = (
-        wds_df.where(F.col("ext").isin(*exts))
+        wds_df.where(F.col("ext").isin(*exts) & F.col("note").isNull())
         .groupBy("shard", "key")
         .agg(*aggs)
     )
     cond = None
     for e in exts:
-        c = F.col(e).isNotNull()
+        # backtick-quote: WebDataset extensions may contain dots
+        # ("seg.png"), which bare F.col would parse as struct access
+        c = F.col(f"`{e}`").isNotNull()
         cond = c if cond is None else (cond & c)
     return out.where(cond)

@@ -440,6 +440,63 @@ def test_webdataset_bad_shard_diagnostic(spark, tmp_path):
     bad = tmp_path / "bad.tar"
     bad.write_bytes(b"definitely not a tar file" * 40)
     rows = read_webdataset(spark, [good, str(bad)]).collect()
-    diags = [r for r in rows if r.ext.startswith("__unparseable__")]
+    diags = [r for r in rows if r.note and "unparseable" in r.note]
     assert len(diags) == 1
     assert len(rows) - len(diags) == 13  # good shard intact
+
+
+def test_webdataset_first_dot_keys_and_concat_gzip(spark, tmp_path):
+    """WebDataset splits key/ext at the FIRST dot ('x.seg.png' groups with
+    'x.jpg'); concatenated gzip members (pigz/bgzip output) decompress as
+    one logical stream."""
+    import gzip as _gzip
+    import io
+    import tarfile
+
+    from buzz_rust_spark.sources.warc import read_webdataset, webdataset_samples
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        def add(fname, data):
+            info = tarfile.TarInfo(fname)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+        add("000001.txt", b"t1")
+        add("000001.seg.png", b"fake-mask")
+        add("000002.txt", b"t2")
+        add("000002.seg.png", b"fake-mask-2")
+    data = buf.getvalue()
+    # two concatenated gzip members
+    half = len(data) // 2
+    path = tmp_path / "cat.tar.gz"
+    path.write_bytes(_gzip.compress(data[:half]) + _gzip.compress(data[half:]))
+    rows = read_webdataset(spark, str(path)).collect()
+    assert {(r.key, r.ext) for r in rows} == {
+        ("000001", "txt"), ("000001", "seg.png"),
+        ("000002", "txt"), ("000002", "seg.png"),
+    }
+    samples = webdataset_samples(read_webdataset(spark, str(path)), ("txt", "seg.png"))
+    assert samples.count() == 2
+
+
+def test_webdataset_oversize_member_flagged(spark, tmp_path):
+    import io
+    import tarfile
+
+    from buzz_rust_spark.sources.warc import read_webdataset
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        info = tarfile.TarInfo("000001.bin")
+        big = b"x" * 1000
+        info.size = len(big)
+        tar.addfile(info, io.BytesIO(big))
+        info = tarfile.TarInfo("000001.txt")
+        info.size = 2
+        tar.addfile(info, io.BytesIO(b"ok"))
+    path = tmp_path / "s.tar"
+    path.write_bytes(buf.getvalue())
+    rows = {r.ext: r for r in read_webdataset(spark, str(path), max_member_bytes=100).collect()}
+    assert rows["bin"].note == "oversize-skipped"
+    assert rows["bin"].payload is None and rows["bin"].n_bytes == 1000
+    assert rows["txt"].note is None and bytes(rows["txt"].payload) == b"ok"

@@ -1193,6 +1193,50 @@ def z19_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z20_webdataset_samples",
+    tags=("source", "multimodal", "pipeline"),
+    oracle=None,  # input is a synthesized tar shard; format semantics
+    # pinned in tests/test_warc.py
+)
+def z20_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal intake end-to-end: a deterministic WebDataset tar shard
+    (PNG + caption + JSON per sample, payloads derived from the documents
+    table) → read_webdataset → sample pivot → real PNG decode stats."""
+    import io
+    import os
+    import tarfile
+    import tempfile
+
+    from ..sources.warc import read_webdataset, webdataset_samples
+
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(16).collect()
+    buf = io.BytesIO()
+    import numpy as np
+
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+
+        def add(fname, data):
+            info = tarfile.TarInfo(fname)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+
+        for row in docs:
+            key = f"{row.doc_id:06d}"
+            px = np.full((6, 8, 3), (row.doc_id * 37) % 256, np.uint8)
+            add(f"{key}.png", M.encode_png(px))
+            add(f"{key}.txt", row.text[:120].encode())
+    tmp = os.path.join(tempfile.mkdtemp(prefix="wds_z20_"), "shard-0.tar")
+    with open(tmp, "wb") as fh:
+        fh.write(buf.getvalue())
+    samples = webdataset_samples(read_webdataset(spark, tmp), ("png", "txt"))
+    return samples.select(
+        "key",
+        F.length("txt").alias("caption_bytes"),
+        F.length("png").alias("png_bytes"),
+    ).orderBy("key")
+
+
+@register(
     "z17_hll_distinct_state",
     tags=("sketch", "pipeline"),
     oracle=None,  # HLL estimates are approximate; accuracy + merge bounds

@@ -1066,6 +1066,73 @@ def t04_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m02_decontamination",
+    tags=("text", "pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), corpus AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct([array_to_string(t[i:i+7], ' ')
+                                 for i in range(1, len(t) - 6)])
+         END AS sh
+  FROM toks
+), bench_txt AS (
+  SELECT t[1:CAST(8 + doc_id % 7 AS INTEGER)] AS bt
+  FROM toks WHERE doc_id % 97 = 0
+), bench AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest(CASE WHEN len(bt) <= 8 THEN [array_to_string(bt, ' ')]
+                       ELSE list_distinct([array_to_string(bt[i:i+7], ' ')
+                                           for i in range(1, len(bt) - 6)])
+                  END) AS s
+    FROM bench_txt)
+), hits AS (
+  SELECT e.doc_id, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(sh) AS s FROM corpus) e
+  JOIN bench b ON e.s = b.s
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) >= 1 AS contaminated
+FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id
+""",
+)
+def m02_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination flags — per-document count of distinct word
+    8-grams shared with a held-out eval set (the GPT-3/Llama n-gram-overlap
+    recipe, :func:`~buzz_rust_spark.operators.text.contamination_flags`).
+
+    The eval set is synthesized deterministically from the corpus itself
+    (every 97th document contributes its first ``8 + doc_id % 7`` tokens)
+    because the testdata ships no benchmark table — the identical expression
+    builds it on both sides, same trick as m01's PII synthesis.  The overlap
+    counts vary 0..7, so the count column (not just the flag) is exercised.
+
+    Scale shape: eval sets are tiny by definition → their distinct n-gram
+    hashes broadcast; the corpus is exploded once, semi-joined without a
+    corpus-side shuffle by n-gram, and re-aggregated by doc id only for the
+    hit rows."""
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.array_join(
+            F.slice(
+                tokens(F.col("text")),
+                F.lit(1),
+                (F.lit(8) + F.col("doc_id") % 7).cast("int"),
+            ),
+            " ",
+        ).alias("text")
+    )
+    return T.contamination_flags(docs, bench, n=8).orderBy("doc_id")
+
+
+@register(
     "c01_c4_line_filter",
     tags=("text", "pipeline"),
     oracle="""

@@ -506,28 +506,12 @@ def q18_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q19_math_functions",
-    tags=("scalar",),
-    oracle="""
-SELECT p_partkey,
-       ROUND(SIN(p_retailprice / 100.0), 6) AS sin_v,
-       ROUND(COS(p_retailprice / 100.0), 6) AS cos_v,
-       ROUND(ATAN2(CAST(p_size AS DOUBLE), 10.0), 6) AS atan2_v,
-       ROUND(EXP(p_size / 50.0), 6) AS exp_v,
-       ROUND(LN(p_retailprice + 1.0), 6) AS ln_v,
-       ROUND(LOG10(p_retailprice + 1.0), 6) AS log10_v,
-       ROUND(LOG2(p_retailprice + 1.0), 6) AS log2_v,
-       ROUND(POW(p_size, 1.5), 6) AS pow_v,
-       CAST(SIGN(p_size - 25) AS BIGINT) AS sign_v,
-       CAST(TRUNC(p_retailprice) AS BIGINT) AS trunc_v,
-       CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_v,
-       CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_v
-FROM part WHERE p_partkey <= 200
-""",
-)
 def q19_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extended math surface (abs/trig/exp/log/power/sign/trunc family)."""
+    """Extended math surface (abs/trig/exp/log/power/sign/trunc family).
+
+    Folded into the q27 labeled suite (round 5) to free a driver-window
+    slot for m02_decontamination; every one of the twelve math outputs
+    stays oracle-checked via its ``math_*`` labels there."""
     p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
     return p.select(
         "p_partkey",
@@ -1498,6 +1482,25 @@ SELECT label, value FROM (
            ROUND(SUM(o_totalprice), 4) AS month_revenue
     FROM orders WHERE YEAR(o_orderdate) = 1997 GROUP BY 1
   ) t60
+  UNION ALL
+  SELECT 'math_' || m.name || '_' || CAST(p_partkey AS VARCHAR) AS label,
+         m.value AS value
+  FROM (SELECT * FROM part WHERE p_partkey <= 200) p, LATERAL (
+    SELECT unnest(['sin', 'cos', 'atan2', 'exp', 'ln', 'log10', 'log2',
+                   'pow', 'sign', 'trunc', 'ceil', 'floor']) AS name,
+           unnest([ROUND(SIN(p_retailprice / 100.0), 6),
+                   ROUND(COS(p_retailprice / 100.0), 6),
+                   ROUND(ATAN2(CAST(p_size AS DOUBLE), 10.0), 6),
+                   ROUND(EXP(p_size / 50.0), 6),
+                   ROUND(LN(p_retailprice + 1.0), 6),
+                   ROUND(LOG10(p_retailprice + 1.0), 6),
+                   ROUND(LOG2(p_retailprice + 1.0), 6),
+                   ROUND(POW(p_size, 1.5), 6),
+                   CAST(SIGN(p_size - 25) AS DOUBLE),
+                   CAST(TRUNC(p_retailprice) AS DOUBLE),
+                   CAST(CEIL(p_retailprice) AS DOUBLE),
+                   CAST(FLOOR(p_retailprice) AS DOUBLE)]) AS value
+  ) m
 ) ORDER BY label
 """,
 )
@@ -1696,6 +1699,20 @@ def q27_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 (F.concat(F.lit("month_n_"), F.col("m")), "n_orders"),
                 (F.concat(F.lit("month_rev_"), F.col("m")), "month_revenue"),
+            ],
+        ),
+        # former q19 math singleton (folded round 5 for m02): all twelve
+        # math-function outputs as labeled branches keyed by part key
+        multi_lv(
+            q19_math_functions(spark, sf_dir).withColumn(
+                "k", F.col("p_partkey").cast("string")
+            ),
+            [
+                (F.concat(F.lit(f"math_{name}_"), F.col("k")), f"{name}_v")
+                for name in (
+                    "sin", "cos", "atan2", "exp", "ln", "log10",
+                    "log2", "pow", "sign", "trunc", "ceil", "floor",
+                )
             ],
         ),
     ]

@@ -1304,6 +1304,55 @@ def z20_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z21_quality_classifier",
+    tags=("text", "pipeline", "ml"),
+    oracle=None,  # iterative gradient training is not SQL-expressible;
+    # gradient-vs-numpy, partition invariance, and JVM-only scoring are
+    # pinned in tests/test_classifier.py
+)
+def z21_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality classifier end-to-end on the documents table:
+    labels are synthesized by planting a marker token into every third
+    document (the corpus is unlabeled word salad), a hashed-bigram logistic
+    model trains distributed (broadcast weights, one tiny gradient shuffle
+    per iteration), and the corpus is scored PURE-JVM via the broadcast
+    weight relation.  Output: per-source counts of docs the trained model
+    keeps at the 0.5 threshold — deterministic because training is
+    full-batch."""
+    from ..operators.classifier import classifier_scores, train_text_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" qualitymark qualitymark qualitymark")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    model = train_text_classifier(
+        planted, dim=1 << 14, iters=30, lr=5.0, id_col="doc_id"
+    )
+    scored = classifier_scores(planted, model, id_col="doc_id")
+    return (
+        planted.select("doc_id", "source", "label")
+        .join(scored, on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") > 0.5).cast("long")).alias("n_kept"),
+            F.sum(
+                ((F.col("score") > 0.5).cast("int") == F.col("label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "z17_hll_distinct_state",
     tags=("sketch", "pipeline"),
     oracle=None,  # HLL estimates are approximate; accuracy + merge bounds

@@ -38,6 +38,10 @@ PANDAS_UDF_OK = {
     "d05_embedding_neardup",  # blocked-BLAS applyInPandas kernel
     "s01_ann_bruteforce",  # partial-top-k BLAS mapInPandas kernel
     "q26_registered_udf",  # the point of the query is the registered pandas UDF
+    "z18_warc_pipeline",  # WARC record split + HTTP unwrap is the mapInPandas kernel
+    "z19_gif_frames",  # GIF LZW frame decode is the mapInPandas codec kernel
+    "z20_webdataset_samples",  # tar member split + PNG decode are mapInPandas kernels
+    "z21_quality_classifier",  # training gradient kernel; SERVING is pure JVM
 }
 PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # q37 compares each group against a one-row global-total threshold: a BNLJ

@@ -70,10 +70,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic media table for pipeline tests.  Image rows carry REAL
     payloads — media_id mod 3 selects uncompressed BMP / 8-bit PNG / JPEG
-    (every other JPEG progressive) — and audio rows REAL PCM WAV (all a
-    deterministic function of media_id), so the decode/resize stages
-    exercise all three pure-python image codecs end-to-end; video rows
-    carry opaque bytes (stub path)."""
+    (every other JPEG progressive) — audio rows REAL PCM WAV, animation rows
+    REAL animated GIF, and video rows REAL AVI/MJPEG (all a deterministic
+    function of media_id), so the decode/resize/frame stages exercise every
+    pure-python codec end-to-end; any other ``kind`` (e.g. ``"opaque"``)
+    carries opaque bytes — the honest stub/strict boundary."""
     import numpy as np
 
     def payload(i: int, w: int, h: int, duration_ms: int) -> bytes:
@@ -103,14 +104,29 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
                 for f in range(3)
             ]
             return encode_gif(frames, delays_ms=[100, 100, 100])
+        if kind == "video":
+            # REAL AVI/MJPEG: 4 solid frames at 10 fps, colors a
+            # deterministic function of media_id (solid colors survive the
+            # flat-quant JPEG exactly)
+            frames = [
+                np.full(
+                    (h, w, 3),
+                    ((i * 53 + f * 61) % 256, (i * 17 + f * 29) % 256, (f * 83) % 256),
+                    np.uint8,
+                )
+                for f in range(4)
+            ]
+            return encode_avi(frames, fps=10)
         return bytes(((i * 31 + j * 7) % 251) for j in range(128 + (i % 32)))
 
     def mime(i: int) -> str:
         if kind == "image":
             return ["image/bmp", "image/png", "image/jpeg"][i % 3]
-        return {"audio": "audio/wav", "animation": "image/gif"}.get(
-            kind, f"{kind}/fake"
-        )
+        return {
+            "audio": "audio/wav",
+            "animation": "image/gif",
+            "video": "video/x-msvideo",
+        }.get(kind, f"{kind}/fake")
 
     rows = [
         (
@@ -1521,6 +1537,255 @@ def extract_gif_frames(
 
 
 
+# --- AVI/MJPEG video container ---------------------------------------------
+
+
+def encode_avi(frames, fps: int = 25, quant: int = 1) -> bytes:
+    """Minimal AVI/MJPEG writer: RIFF('AVI ') → hdrl (avih + one 'vids'
+    stream, handler MJPG) → movi (one baseline-JPEG '00dc' chunk per frame)
+    → idx1 index.  The compressed-frames-in-an-uncompressed-container layout
+    MJPEG cameras and ``ffmpeg -c:v mjpeg`` emit; each frame is this module's
+    own :func:`encode_jpeg`."""
+    import numpy as np
+
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_avi requires at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share dimensions")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    jpegs = [encode_jpeg(f, quant=quant) for f in frames]
+
+    def u32(v: int) -> bytes:
+        return int(v).to_bytes(4, "little")
+
+    def u16(v: int) -> bytes:
+        return int(v).to_bytes(2, "little")
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + u32(len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    max_bytes = max(len(j) for j in jpegs)
+    avih = b"".join(
+        [
+            u32(1_000_000 // fps),  # dwMicroSecPerFrame
+            u32(max_bytes * fps),  # dwMaxBytesPerSec
+            u32(0),  # dwPaddingGranularity
+            u32(0x10),  # dwFlags: AVIF_HASINDEX
+            u32(len(jpegs)),  # dwTotalFrames
+            u32(0),  # dwInitialFrames
+            u32(1),  # dwStreams
+            u32(max_bytes),  # dwSuggestedBufferSize
+            u32(w),
+            u32(h),
+            u32(0), u32(0), u32(0), u32(0),  # dwReserved
+        ]
+    )
+    strh = b"".join(
+        [
+            b"vids", b"MJPG",
+            u32(0),  # dwFlags
+            u16(0), u16(0),  # wPriority, wLanguage
+            u32(0),  # dwInitialFrames
+            u32(1),  # dwScale
+            u32(fps),  # dwRate (fps = rate/scale)
+            u32(0),  # dwStart
+            u32(len(jpegs)),  # dwLength (frames)
+            u32(max_bytes),  # dwSuggestedBufferSize
+            u32(0),  # dwQuality
+            u32(0),  # dwSampleSize
+            u16(0), u16(0), u16(w), u16(h),  # rcFrame
+        ]
+    )
+    strf = b"".join(
+        [
+            u32(40), u32(w), u32(h), u16(1), u16(24), b"MJPG",
+            u32(w * h * 3), u32(0), u32(0), u32(0), u32(0),
+        ]
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+
+    movi_body = b""
+    index = b""
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        index += b"00dc" + u32(0x10) + u32(4 + len(movi_body)) + u32(len(j))
+        movi_body += chunk(b"00dc", j)
+    movi = lst(b"movi", movi_body)
+    idx1 = chunk(b"idx1", index)
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + u32(len(riff_body)) + riff_body
+
+
+def decode_avi_frames(payload: bytes | None, max_frames: int = 64):
+    """AVI → list of (timestamp_ms, (H, W, 3) uint8 RGB) frames, else None.
+
+    Reads the MJPEG profile this repo can decode natively: '00dc' chunks
+    holding baseline/progressive JPEG (via :func:`decode_jpeg`) and '00db'
+    chunks holding raw bottom-up 24-bit DIB rows; frames inside 'rec ' LISTs
+    are found too.  Timestamps come from the video stream's scale/rate, with
+    the avih micro-seconds-per-frame as fallback."""
+    import numpy as np
+
+    if (
+        payload is None
+        or len(payload) < 24
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    try:
+        us_per_frame = 40_000
+        scale_rate = None
+        dims = None
+        chunks: list[bytes] = []
+
+        def walk(data: bytes, pos: int, end: int, in_movi: bool) -> None:
+            nonlocal us_per_frame, scale_rate, dims
+            while pos + 8 <= end and len(chunks) < max_frames:
+                fourcc = data[pos : pos + 4]
+                size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+                body_start = pos + 8
+                body_end = min(body_start + size, end)
+                if fourcc == b"LIST" and size >= 4:
+                    ltype = data[body_start : body_start + 4]
+                    walk(
+                        data,
+                        body_start + 4,
+                        body_end,
+                        in_movi or ltype in (b"movi", b"rec "),
+                    )
+                elif fourcc == b"avih" and size >= 4:
+                    us_per_frame = int.from_bytes(
+                        data[body_start : body_start + 4], "little"
+                    )
+                elif fourcc == b"strh" and size >= 32:
+                    if (
+                        data[body_start : body_start + 4] == b"vids"
+                        and scale_rate is None
+                    ):
+                        scale = int.from_bytes(
+                            data[body_start + 20 : body_start + 24], "little"
+                        )
+                        rate = int.from_bytes(
+                            data[body_start + 24 : body_start + 28], "little"
+                        )
+                        if scale and rate:
+                            scale_rate = (scale, rate)
+                elif fourcc == b"strf" and size >= 16 and dims is None:
+                    bw = int.from_bytes(
+                        data[body_start + 4 : body_start + 8], "little", signed=True
+                    )
+                    bh = int.from_bytes(
+                        data[body_start + 8 : body_start + 12], "little", signed=True
+                    )
+                    dims = (bw, bh)
+                elif (
+                    in_movi
+                    and len(fourcc) == 4
+                    and fourcc[:2].isdigit()
+                    and fourcc[2:] in (b"dc", b"db")
+                    and fourcc[:2] == b"00"  # first (video) stream only
+                ):
+                    chunks.append(bytes(data[body_start:body_end]))
+                pos = body_end + (size & 1)
+
+        walk(payload, 12, min(8 + int.from_bytes(payload[4:8], "little"), len(payload)), False)
+        if not chunks:
+            return None
+        if scale_rate:
+            frame_ms = 1000.0 * scale_rate[0] / scale_rate[1]
+        else:
+            frame_ms = us_per_frame / 1000.0
+        frames = []
+        for i, raw in enumerate(chunks):
+            img = None
+            if raw[:2] == b"\xff\xd8":
+                img = decode_jpeg(raw)
+            elif dims and dims[0] > 0:
+                bw, bh = dims[0], abs(dims[1])
+                stride = (bw * 3 + 3) & ~3
+                if len(raw) >= stride * bh:
+                    rows = np.frombuffer(
+                        raw[: stride * bh], np.uint8
+                    ).reshape(bh, stride)[:, : bw * 3].reshape(bh, bw, 3)
+                    # bottom-up BGR → top-down RGB (negative height = top-down)
+                    img = rows[::-1][:, :, ::-1] if dims[1] > 0 else rows[:, :, ::-1]
+            if img is None:
+                return None
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=2)
+            frames.append((int(round(i * frame_ms)), img))
+        return frames or None
+    except (ValueError, IndexError):
+        return None
+
+
+def extract_video_frames(
+    df: DataFrame, every_ms: int = 0, max_frames: int = 64
+) -> DataFrame:
+    """REAL frame extraction for AVI/MJPEG video rows: one output row per
+    decoded frame (RGB re-encoded as PNG), optionally thinned to at most one
+    frame per ``every_ms`` — the video analog of :func:`extract_gif_frames`,
+    sharing its output schema.
+
+    Scale: ``mapInPandas`` over repartitioned payload batches — each worker
+    decodes its own rows; no frame data ever collects to the driver."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                frames = decode_avi_frames(
+                    bytes(p) if p is not None else None, max_frames
+                )
+                if not frames:
+                    continue
+                last_kept = None
+                for fi, (ts, px) in enumerate(frames):
+                    if (
+                        every_ms
+                        and last_kept is not None
+                        and ts - last_kept < every_ms
+                    ):
+                        continue
+                    last_kept = ts
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": fi,
+                            "ts_ms": ts,
+                            "width": px.shape[1],
+                            "height": px.shape[0],
+                            "frame_png": encode_png(px),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "width", "height",
+                    "frame_png",
+                ],
+            )
+
+    return (
+        df.select("media_id", "payload")
+        .repartition(max(df.sparkSession.sparkContext.defaultParallelism, 1))
+        .mapInPandas(extract, schema=GIF_FRAMES_SCHEMA)
+    )
+
+
 def _stats_feature(base: list[float], values, dim: int) -> list[float]:
     """``base`` metadata + histogram of ``values`` padded/trimmed to ``dim``."""
     import numpy as np
@@ -1538,11 +1803,17 @@ def _stats_feature(base: list[float], values, dim: int) -> list[float]:
     return [round(float(x), 6) for x in feat]
 
 
+def decode_avi(payload: bytes | None):
+    """AVI → first decoded frame as (H, W, 3) uint8 RGB, else None."""
+    frames = decode_avi_frames(payload, max_frames=1)
+    return frames[0][1] if frames else None
+
+
 def decode_image(payload: bytes | None):
-    """Any supported still-image container → (H, W, 3) uint8 RGB, else None
-    (currently: uncompressed 24/32-bit BMP; 8-bit PNG; baseline +
-    progressive JPEG; GIF first frame)."""
-    for codec in (decode_bmp, decode_png, decode_jpeg, decode_gif):
+    """Any supported image-bearing container → (H, W, 3) uint8 RGB, else
+    None (currently: uncompressed 24/32-bit BMP; 8-bit PNG; baseline +
+    progressive JPEG; GIF first frame; AVI/MJPEG first frame)."""
+    for codec in (decode_bmp, decode_png, decode_jpeg, decode_gif, decode_avi):
         img = codec(payload)
         if img is not None:
             return img
@@ -1592,11 +1863,11 @@ def decode_features(
 ) -> DataFrame:
     """media table → (media_id, n_bytes, feature[dim]) via mapInPandas.
 
-    Uncompressed BMP and PCM WAV payloads decode FOR REAL (pixel / sample
-    statistics, :func:`decode_real`).  Other formats use the deterministic
-    byte stub; ``strict=True`` raises NotImplementedError at that boundary
-    instead (compressed formats require PIL/torchaudio/ffmpeg, not present
-    in this environment)."""
+    BMP/PNG/JPEG/GIF images, AVI/MJPEG video (first frame), and PCM WAV
+    audio decode FOR REAL (pixel / sample statistics, :func:`decode_real`).
+    Other formats use the deterministic byte stub; ``strict=True`` raises
+    NotImplementedError at that boundary instead (MP3 / non-MJPEG video
+    require torchaudio/ffmpeg, not present in this environment)."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1607,10 +1878,11 @@ def decode_features(
                 return feat
             if strict and p is not None:
                 raise NotImplementedError(
-                    "payload is not an uncompressed BMP, 8-bit PNG, or PCM "
-                    "WAV; decoding other formats (MP3/video/...) requires "
-                    "PIL/torchaudio/ffmpeg, not present in this environment "
-                    "(use strict=False for the byte stub)"
+                    "payload is not a BMP/PNG/JPEG/GIF image, AVI/MJPEG "
+                    "video, or PCM WAV; decoding other formats (MP3, "
+                    "non-MJPEG video, ...) requires PIL/torchaudio/ffmpeg, "
+                    "not present in this environment (use strict=False for "
+                    "the byte stub)"
                 )
             return _decode_stub(p, dim)
 
@@ -1665,9 +1937,10 @@ def resize_images(
 ) -> DataFrame:
     """Image resize stage: (media_id, new dims, resized payload).
 
-    BMP / PNG / baseline-JPEG payloads resize FOR REAL (numpy
-    nearest-neighbor over the decoded pixel array, re-encoded in the input
-    container).  Other formats use a deterministic byte down/up-sampling
+    BMP / PNG / JPEG payloads resize FOR REAL (numpy nearest-neighbor
+    over the decoded pixel array, re-encoded in the input container); GIF
+    animations and AVI/MJPEG videos resize EVERY frame and stay in their
+    container.  Other formats use a deterministic byte down/up-sampling
     stub; ``strict=True`` raises at that boundary.  The Spark plumbing —
     binary in/out schema, iterator ``mapInPandas`` batching, metadata
     rewrite — is the production shape either way."""
@@ -1684,6 +1957,24 @@ def resize_images(
             is_png = len(p) >= 8 and p[:8] == b"\x89PNG\r\n\x1a\n"
             is_jpeg = len(p) >= 2 and p[:2] == b"\xff\xd8"
             is_gif = len(p) >= 4 and p[:4] == b"GIF8"
+            is_avi = len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"AVI "
+            if is_avi:
+                # resize EVERY frame and stay in the AVI container
+                frames = decode_avi_frames(p)
+                if frames is not None:
+                    ts = [t for t, _ in frames]
+                    fps = (
+                        max(int(round(1000.0 * (len(ts) - 1) / (ts[-1] - ts[0]))), 1)
+                        if len(ts) > 1 and ts[-1] > ts[0]
+                        else 25
+                    )
+                    out = []
+                    for _, img in frames:
+                        h, w = img.shape[:2]
+                        rows = (np.arange(target_height) * h) // target_height
+                        cols = (np.arange(target_width) * w) // target_width
+                        out.append(img[rows][:, cols])
+                    return encode_avi(out, fps=fps)
             if is_gif:
                 # resize EVERY frame — an animated input must not silently
                 # collapse to its first frame
@@ -1734,6 +2025,6 @@ def resize_images(
                 }
             )
 
-    return df.where(F.col("kind") == "image").select(
-        "media_id", "payload"
-    ).mapInPandas(resize, schema=RESIZED_SCHEMA)
+    return df.where(
+        F.col("kind").isin("image", "animation", "video")
+    ).select("media_id", "payload").mapInPandas(resize, schema=RESIZED_SCHEMA)

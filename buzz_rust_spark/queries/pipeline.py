@@ -1260,6 +1260,29 @@ def z19_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z22_video_frames",
+    tags=("multimodal", "pipeline"),
+    oracle=None,  # synthetic media, not the parquet tables; codec semantics
+    # pinned in tests/test_video.py
+)
+def z22_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video frame extraction: synthetic AVI/MJPEG rows →
+    extract_video_frames (RIFF walk + per-frame JPEG decode, PNG payloads,
+    250 ms thinning) → per-media frame counts and byte totals."""
+    media = M.synthetic_media(spark, n=12, kind="video")
+    frames = M.extract_video_frames(media, every_ms=200)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("ts_ms").alias("last_ts_ms"),
+            F.sum(F.length("frame_png")).alias("png_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
     "z20_webdataset_samples",
     tags=("source", "multimodal", "pipeline"),
     oracle=None,  # input is a synthesized tar shard; format semantics

@@ -192,8 +192,9 @@ def test_multimodal_decode_real_wav_features(spark):
 
 
 def test_multimodal_strict_raises_on_non_bmp_wav(spark):
-    # video rows carry opaque bytes → strict marks the real-decoder boundary
-    media = M.synthetic_media(spark, n=2, kind="video")
+    # 'opaque' rows carry opaque bytes → strict marks the real-decoder
+    # boundary (video rows now decode for real via the AVI/MJPEG codec)
+    media = M.synthetic_media(spark, n=2, kind="opaque")
     with pytest.raises(Exception, match="NotImplementedError|BMP/WAV"):
         M.decode_features(media, strict=True).collect()
     # but BMP/WAV decode for real even under strict
@@ -484,9 +485,8 @@ def test_resize_images_real_bmp(spark):
             assert np.abs(resized.astype(int) - expect.astype(int)).max() <= 24
         else:
             assert np.array_equal(resized, expect)
-    # strict mode still marks the boundary for non-BMP payloads; real BMPs
-    # pass.  (kind='video' rows are filtered out by resize_images itself, so
-    # craft an image-kind row with opaque bytes.)
+    # strict mode still marks the boundary for undecodable payloads; real
+    # BMPs pass.  (craft an image-kind row with opaque bytes.)
     import pytest as _pytest
 
     fake = spark.createDataFrame(

@@ -75,16 +75,14 @@ def _gram_array(text_col, bigrams: bool):
     return F.concat(toks, bi)
 
 
-def _exploded_features(
+def _exploded_grams(
     df: DataFrame, text_col: str, id_col: str, dim: int, bigrams: bool
 ) -> DataFrame:
-    """(_id, idx, val) sparse hashed features, one row per (doc, bucket).
+    """(_id, _total, idx): one row per GRAM OCCURRENCE, hashed to a bucket.
 
-    ``val`` is the bucket's gram count over the document's TOTAL gram count
-    (fastText's mean-of-n-gram normalization), so documents of different
-    lengths are comparable.  The gram total is computed below the Generate so
-    it evaluates once per document (same placement rule as the shingle
-    index)."""
+    The gram total rides on every row (computed below the Generate so it
+    evaluates once per document — same placement rule as the shingle
+    index); no shuffle happens here."""
     with_n = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),
@@ -95,12 +93,23 @@ def _exploded_features(
         "_total",
         F.explode(_gram_array(F.col("_text"), bigrams)).alias("_g"),
     )
+    return exploded.select(
+        "_id",
+        "_total",
+        F.pmod(F.xxhash64("_g"), F.lit(dim)).cast("int").alias("idx"),
+    )
+
+
+def _exploded_features(
+    df: DataFrame, text_col: str, id_col: str, dim: int, bigrams: bool
+) -> DataFrame:
+    """(_id, idx, val) sparse hashed features, one row per (doc, bucket).
+
+    ``val`` is the bucket's gram count over the document's TOTAL gram count
+    (fastText's mean-of-n-gram normalization), so documents of different
+    lengths are comparable."""
     return (
-        exploded.select(
-            "_id",
-            "_total",
-            F.pmod(F.xxhash64("_g"), F.lit(dim)).cast("int").alias("idx"),
-        )
+        _exploded_grams(df, text_col, id_col, dim, bigrams)
         .groupBy("_id", "idx")
         .agg(
             (F.count(F.lit(1)) / F.first("_total")).alias("val"),
@@ -163,9 +172,18 @@ def train_text_classifier(
     feats = persist_tracked(
         _doc_feature_arrays(df, text_col, id_col, label_col, dim, bigrams)
     )
-    n_docs = feats.count()
+    counts = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("y").isNull(), 1)).alias("n_null"),
+    ).first()
+    n_docs = counts["n"]
     if n_docs == 0:
         raise BuzzBadRequestError("no labeled documents to train on")
+    if counts["n_null"]:
+        # a single NaN label would silently poison the shared gradient
+        raise BuzzBadRequestError(
+            f"{counts['n_null']} documents have a null {label_col!r} label"
+        )
 
     spark = df.sparkSession
     w = np.zeros(dim, dtype=np.float64)
@@ -176,79 +194,85 @@ def train_text_classifier(
 
     grad_schema = "idx INT, g DOUBLE"
 
-    for _ in range(iters):
-        bw = spark.sparkContext.broadcast(w)
-        b_now = b
+    # training is EAGER (the count and every gradient job run inside this
+    # function), so the featurized cache is garbage the moment we return --
+    # release it deterministically instead of waiting for the registry scope
+    try:
+        for _ in range(iters):
+            bw = spark.sparkContext.broadcast(w)
+            b_now = b
 
-        def grad_partials(
-            batches: Iterator["object"], _bw=bw, _b=b_now, _dim=dim
-        ) -> Iterator["object"]:
-            import numpy as _np
-            import pandas as _pd
+            def grad_partials(
+                batches: Iterator["object"], _bw=bw, _b=b_now, _dim=dim
+            ) -> Iterator["object"]:
+                import numpy as _np
+                import pandas as _pd
 
-            wv = _bw.value
-            dense = _np.zeros(_dim, dtype=_np.float64)
+                wv = _bw.value
+                dense = _np.zeros(_dim, dtype=_np.float64)
+                g_bias = 0.0
+                loss = 0.0
+                for batch in batches:
+                    for idxs, vals, y in zip(batch["idxs"], batch["vals"], batch["y"]):
+                        ii = _np.asarray(idxs, dtype=_np.int64)
+                        vv = _np.asarray(vals, dtype=_np.float64)
+                        m = float(wv[ii] @ vv) + _b if ii.size else _b
+                        # overflow-safe sigmoid on both tails
+                        if m >= 0:
+                            p = 1.0 / (1.0 + _np.exp(-m))
+                        else:
+                            em = _np.exp(m)
+                            p = em / (1.0 + em)
+                        e = p - y
+                        if ii.size:
+                            _np.add.at(dense, ii, e * vv)
+                        g_bias += e
+                        # stable log-loss (for the training curve only)
+                        loss += _np.log1p(_np.exp(-m)) + (1.0 - y) * m if m >= 0 else (
+                            _np.log1p(_np.exp(m)) - y * m
+                        )
+                nz = _np.flatnonzero(dense)
+                out = _pd.DataFrame(
+                    {"idx": nz.astype("int32"), "g": dense[nz]}
+                )
+                # idx -1 carries the bias gradient, -2 the loss partial
+                extra = _pd.DataFrame({"idx": [-1, -2], "g": [g_bias, loss]})
+                yield _pd.concat([out, extra], ignore_index=True)
+
+            agg = (
+                feats.mapInPandas(grad_partials, schema=grad_schema)
+                .groupBy("idx")
+                .agg(F.sum("g").alias("g"))
+            )
+            pdf = agg.toPandas()
+            bw.unpersist()
+
+            grad = np.zeros(dim, dtype=np.float64)
             g_bias = 0.0
             loss = 0.0
-            for batch in batches:
-                for idxs, vals, y in zip(batch["idxs"], batch["vals"], batch["y"]):
-                    ii = _np.asarray(idxs, dtype=_np.int64)
-                    vv = _np.asarray(vals, dtype=_np.float64)
-                    m = float(wv[ii] @ vv) + _b if ii.size else _b
-                    # overflow-safe sigmoid on both tails
-                    if m >= 0:
-                        p = 1.0 / (1.0 + _np.exp(-m))
-                    else:
-                        em = _np.exp(m)
-                        p = em / (1.0 + em)
-                    e = p - y
-                    if ii.size:
-                        _np.add.at(dense, ii, e * vv)
-                    g_bias += e
-                    # stable log-loss (for the training curve only)
-                    loss += _np.log1p(_np.exp(-m)) + (1.0 - y) * m if m >= 0 else (
-                        _np.log1p(_np.exp(m)) - y * m
-                    )
-            nz = _np.flatnonzero(dense)
-            out = _pd.DataFrame(
-                {"idx": nz.astype("int32"), "g": dense[nz]}
-            )
-            # idx -1 carries the bias gradient, -2 the loss partial
-            extra = _pd.DataFrame({"idx": [-1, -2], "g": [g_bias, loss]})
-            yield _pd.concat([out, extra], ignore_index=True)
+            for idx, g in zip(pdf["idx"].to_numpy(), pdf["g"].to_numpy()):
+                if idx == -1:
+                    g_bias = g
+                elif idx == -2:
+                    loss = g
+                else:
+                    grad[idx] = g
+            grad /= n_docs
+            g_bias /= n_docs
+            grad += l2 * w
 
-        agg = (
-            feats.mapInPandas(grad_partials, schema=grad_schema)
-            .groupBy("idx")
-            .agg(F.sum("g").alias("g"))
+            g_acc += grad * grad
+            gb_acc += g_bias * g_bias
+            w -= lr * grad / np.sqrt(g_acc)
+            b -= lr * g_bias / np.sqrt(gb_acc)
+            losses.append(float(loss / n_docs))
+
+        return TextClassifierModel(
+            dim=dim, bias=float(b), weights=w, bigrams=bigrams,
+            iters_run=iters, losses=losses,
         )
-        pdf = agg.toPandas()
-        bw.unpersist()
-
-        grad = np.zeros(dim, dtype=np.float64)
-        g_bias = 0.0
-        loss = 0.0
-        for idx, g in zip(pdf["idx"].to_numpy(), pdf["g"].to_numpy()):
-            if idx == -1:
-                g_bias = g
-            elif idx == -2:
-                loss = g
-            else:
-                grad[idx] = g
-        grad /= n_docs
-        g_bias /= n_docs
-        grad += l2 * w
-
-        g_acc += grad * grad
-        gb_acc += g_bias * g_bias
-        w -= lr * grad / np.sqrt(g_acc)
-        b -= lr * g_bias / np.sqrt(gb_acc)
-        losses.append(float(loss / n_docs))
-
-    return TextClassifierModel(
-        dim=dim, bias=float(b), weights=w, bigrams=bigrams,
-        iters_run=iters, losses=losses,
-    )
+    finally:
+        feats.unpersist()
 
 
 def classifier_scores(
@@ -261,21 +285,23 @@ def classifier_scores(
     """(id, score) — sigmoid linear score per document, PURE JVM.
 
     The model's nonzero weights become a small relation that broadcast-joins
-    the exploded corpus features; the per-document sum is one aggregation
-    keyed by doc id.  Documents with no feature hits (or no grams) score
-    ``sigmoid(bias)`` via the left join's coalesce.  No Python runs over the
-    corpus, so this is the shape to ship: whole-stage codegen end-to-end."""
+    the RAW exploded grams (score = Σ w[hash(gram)] / total is linear, so no
+    per-(doc, bucket) pre-aggregation is needed) and the per-document sum is
+    the ONLY corpus shuffle, keyed by doc id.  Documents with no feature hits
+    (or no grams) score ``sigmoid(bias)`` via the left join's coalesce.  No
+    Python runs over the corpus, so this is the shape to ship: whole-stage
+    codegen end-to-end, one shuffle."""
     spark = df.sparkSession
     rows = model.weight_rows()
     wdf = spark.createDataFrame(rows or [(0, 0.0)], "idx INT, w DOUBLE")
     if not rows:
         wdf = wdf.where(F.lit(False))
 
-    ex = _exploded_features(df, text_col, id_col, model.dim, model.bigrams)
+    grams = _exploded_grams(df, text_col, id_col, model.dim, model.bigrams)
     sums = (
-        ex.join(F.broadcast(wdf), on="idx", how="inner")
+        grams.join(F.broadcast(wdf), on="idx", how="inner")
         .groupBy("_id")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("_dot"))
+        .agg((F.sum("w") / F.first("_total")).alias("_dot"))
     )
     margin = F.coalesce(F.col("_dot"), F.lit(0.0)) + F.lit(model.bias)
     return (

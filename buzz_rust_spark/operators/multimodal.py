@@ -1479,14 +1479,13 @@ GIF_FRAMES_SCHEMA = StructType(
 )
 
 
-def extract_gif_frames(
-    df: DataFrame, every_ms: int = 0, max_frames: int = 64
+def _extract_frames(
+    df: DataFrame, decoder, every_ms: int, max_frames: int
 ) -> DataFrame:
-    """REAL frame extraction for animated-GIF rows: one output row per
-    decoded frame (composited RGB re-encoded as PNG), optionally thinned to
-    at most one frame per ``every_ms``.  Complements ``frame_sample_plan``
-    (the timestamp fan-out for formats whose decoder is stubbed) with the
-    actual decode for the one animation container this repo reads natively.
+    """Shared distributed frame-extraction plumbing for the animation/video
+    containers: ``decoder(payload, max_frames)`` → (ts_ms, RGB) list per row,
+    each kept frame re-encoded as PNG, optionally thinned to at most one
+    frame per ``every_ms``.
 
     Scale: ``mapInPandas`` over repartitioned payload batches — each worker
     decodes its own rows; no frame data ever collects to the driver."""
@@ -1497,7 +1496,7 @@ def extract_gif_frames(
         for batch in batches:
             rows = []
             for mid, p in zip(batch["media_id"], batch["payload"]):
-                frames = decode_gif_frames(
+                frames = decoder(
                     bytes(p) if p is not None else None, max_frames
                 )
                 if not frames:
@@ -1534,6 +1533,17 @@ def extract_gif_frames(
         .repartition(max(df.sparkSession.sparkContext.defaultParallelism, 1))
         .mapInPandas(extract, schema=GIF_FRAMES_SCHEMA)
     )
+
+
+def extract_gif_frames(
+    df: DataFrame, every_ms: int = 0, max_frames: int = 64
+) -> DataFrame:
+    """REAL frame extraction for animated-GIF rows: one output row per
+    decoded frame (composited RGB re-encoded as PNG), optionally thinned to
+    at most one frame per ``every_ms``.  Complements ``frame_sample_plan``
+    (the timestamp fan-out for formats whose decoder is stubbed) with the
+    actual decode for the animation container this repo reads natively."""
+    return _extract_frames(df, decode_gif_frames, every_ms, max_frames)
 
 
 
@@ -1626,16 +1636,14 @@ def encode_avi(frames, fps: int = 25, quant: int = 1) -> bytes:
     return b"RIFF" + u32(len(riff_body)) + riff_body
 
 
-def decode_avi_frames(payload: bytes | None, max_frames: int = 64):
-    """AVI → list of (timestamp_ms, (H, W, 3) uint8 RGB) frames, else None.
+def _avi_scan(payload: bytes | None, max_frames: int):
+    """Walk an AVI's RIFF tree → (video chunks, frame_ms, dims), else None.
 
-    Reads the MJPEG profile this repo can decode natively: '00dc' chunks
-    holding baseline/progressive JPEG (via :func:`decode_jpeg`) and '00db'
-    chunks holding raw bottom-up 24-bit DIB rows; frames inside 'rec ' LISTs
-    are found too.  Timestamps come from the video stream's scale/rate, with
-    the avih micro-seconds-per-frame as fallback."""
-    import numpy as np
-
+    Finds the FIRST 'vids' stream by its strl position (not hard-coded to
+    stream 00 — an AVI listing audio first carries video as stream 01), binds
+    the strf dimensions to THAT stream's strl, and collects its 'NNdc'/'NNdb'
+    chunks from movi (incl. nested 'rec ' lists).  frame_ms comes from the
+    vids strh scale/rate, with avih micro-seconds-per-frame as fallback."""
     if (
         payload is None
         or len(payload) < 24
@@ -1648,9 +1656,13 @@ def decode_avi_frames(payload: bytes | None, max_frames: int = 64):
         scale_rate = None
         dims = None
         chunks: list[bytes] = []
+        stream_no = 0  # running strh counter (stream numbering = strl order)
+        vids_prefix: bytes | None = None
+        last_strh_was_vids = False
 
         def walk(data: bytes, pos: int, end: int, in_movi: bool) -> None:
             nonlocal us_per_frame, scale_rate, dims
+            nonlocal stream_no, vids_prefix, last_strh_was_vids
             while pos + 8 <= end and len(chunks) < max_frames:
                 fourcc = data[pos : pos + 4]
                 size = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -1669,10 +1681,11 @@ def decode_avi_frames(payload: bytes | None, max_frames: int = 64):
                         data[body_start : body_start + 4], "little"
                     )
                 elif fourcc == b"strh" and size >= 32:
-                    if (
+                    last_strh_was_vids = (
                         data[body_start : body_start + 4] == b"vids"
-                        and scale_rate is None
-                    ):
+                    )
+                    if last_strh_was_vids and vids_prefix is None:
+                        vids_prefix = b"%02d" % stream_no
                         scale = int.from_bytes(
                             data[body_start + 20 : body_start + 24], "little"
                         )
@@ -1681,7 +1694,13 @@ def decode_avi_frames(payload: bytes | None, max_frames: int = 64):
                         )
                         if scale and rate:
                             scale_rate = (scale, rate)
-                elif fourcc == b"strf" and size >= 16 and dims is None:
+                    stream_no += 1
+                elif (
+                    fourcc == b"strf"
+                    and size >= 16
+                    and dims is None
+                    and last_strh_was_vids  # bind dims to the vids strl only
+                ):
                     bw = int.from_bytes(
                         data[body_start + 4 : body_start + 8], "little", signed=True
                     )
@@ -1692,20 +1711,51 @@ def decode_avi_frames(payload: bytes | None, max_frames: int = 64):
                 elif (
                     in_movi
                     and len(fourcc) == 4
-                    and fourcc[:2].isdigit()
+                    and fourcc[:2] == (vids_prefix or b"00")
                     and fourcc[2:] in (b"dc", b"db")
-                    and fourcc[:2] == b"00"  # first (video) stream only
                 ):
                     chunks.append(bytes(data[body_start:body_end]))
                 pos = body_end + (size & 1)
 
-        walk(payload, 12, min(8 + int.from_bytes(payload[4:8], "little"), len(payload)), False)
+        walk(
+            payload,
+            12,
+            min(8 + int.from_bytes(payload[4:8], "little"), len(payload)),
+            False,
+        )
         if not chunks:
             return None
         if scale_rate:
             frame_ms = 1000.0 * scale_rate[0] / scale_rate[1]
         else:
             frame_ms = us_per_frame / 1000.0
+        return chunks, frame_ms, dims
+    except (ValueError, IndexError):
+        return None
+
+
+def _avi_frame_ms(payload: bytes | None) -> float | None:
+    """The container's authoritative per-frame duration (ms), else None."""
+    scan = _avi_scan(payload, max_frames=1)
+    return scan[1] if scan else None
+
+
+def decode_avi_frames(payload: bytes | None, max_frames: int = 64):
+    """AVI → list of (timestamp_ms, (H, W, 3) uint8 RGB) frames, else None.
+
+    Reads the MJPEG profile this repo can decode natively: 'NNdc' chunks
+    holding baseline/progressive JPEG (via :func:`decode_jpeg`) and 'NNdb'
+    chunks holding raw bottom-up 24-bit DIB rows, for the first 'vids'
+    stream; frames inside 'rec ' LISTs are found too.  Timestamps come from
+    the video stream's scale/rate, with the avih micro-seconds-per-frame as
+    fallback."""
+    import numpy as np
+
+    scan = _avi_scan(payload, max_frames)
+    if scan is None:
+        return None
+    chunks, frame_ms, dims = scan
+    try:
         frames = []
         for i, raw in enumerate(chunks):
             img = None
@@ -1736,54 +1786,8 @@ def extract_video_frames(
     """REAL frame extraction for AVI/MJPEG video rows: one output row per
     decoded frame (RGB re-encoded as PNG), optionally thinned to at most one
     frame per ``every_ms`` — the video analog of :func:`extract_gif_frames`,
-    sharing its output schema.
-
-    Scale: ``mapInPandas`` over repartitioned payload batches — each worker
-    decodes its own rows; no frame data ever collects to the driver."""
-
-    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for mid, p in zip(batch["media_id"], batch["payload"]):
-                frames = decode_avi_frames(
-                    bytes(p) if p is not None else None, max_frames
-                )
-                if not frames:
-                    continue
-                last_kept = None
-                for fi, (ts, px) in enumerate(frames):
-                    if (
-                        every_ms
-                        and last_kept is not None
-                        and ts - last_kept < every_ms
-                    ):
-                        continue
-                    last_kept = ts
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "frame_idx": fi,
-                            "ts_ms": ts,
-                            "width": px.shape[1],
-                            "height": px.shape[0],
-                            "frame_png": encode_png(px),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "frame_idx", "ts_ms", "width", "height",
-                    "frame_png",
-                ],
-            )
-
-    return (
-        df.select("media_id", "payload")
-        .repartition(max(df.sparkSession.sparkContext.defaultParallelism, 1))
-        .mapInPandas(extract, schema=GIF_FRAMES_SCHEMA)
-    )
+    sharing its output schema and distributed plumbing."""
+    return _extract_frames(df, decode_avi_frames, every_ms, max_frames)
 
 
 def _stats_feature(base: list[float], values, dim: int) -> list[float]:
@@ -1919,6 +1923,11 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+# resize decodes at most this many frames per animated/video payload — a
+# per-task memory bound (1024 × a 4 MP RGB frame ≈ 12 GB worst case is
+# already the w*h decode cap's job; this bounds frame COUNT)
+_RESIZE_MAX_FRAMES = 1024
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -1959,15 +1968,12 @@ def resize_images(
             is_gif = len(p) >= 4 and p[:4] == b"GIF8"
             is_avi = len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"AVI "
             if is_avi:
-                # resize EVERY frame and stay in the AVI container
-                frames = decode_avi_frames(p)
+                # resize EVERY frame (up to the documented 1024-frame bound)
+                # and stay in the AVI container at the container's own rate
+                frames = decode_avi_frames(p, max_frames=_RESIZE_MAX_FRAMES)
                 if frames is not None:
-                    ts = [t for t, _ in frames]
-                    fps = (
-                        max(int(round(1000.0 * (len(ts) - 1) / (ts[-1] - ts[0]))), 1)
-                        if len(ts) > 1 and ts[-1] > ts[0]
-                        else 25
-                    )
+                    frame_ms = _avi_frame_ms(p) or 40.0
+                    fps = max(int(round(1000.0 / frame_ms)), 1)
                     out = []
                     for _, img in frames:
                         h, w = img.shape[:2]
@@ -1978,7 +1984,7 @@ def resize_images(
             if is_gif:
                 # resize EVERY frame — an animated input must not silently
                 # collapse to its first frame
-                frames = decode_gif_frames(p)
+                frames = decode_gif_frames(p, max_frames=_RESIZE_MAX_FRAMES)
                 if frames is not None:
                     ts = [t for t, _ in frames]
                     delays = (
@@ -2007,9 +2013,10 @@ def resize_images(
                 return encode_bmp(resized)
             if strict:
                 raise NotImplementedError(
-                    "payload is not a BMP, 8-bit PNG, or baseline JPEG; "
-                    "resizing other formats requires PIL, not present in "
-                    "this environment (use strict=False for the byte stub)"
+                    "payload is not a BMP/PNG/JPEG image, GIF animation, or "
+                    "AVI/MJPEG video; resizing other formats requires "
+                    "PIL/ffmpeg, not present in this environment (use "
+                    "strict=False for the byte stub)"
                 )
             if len(p) >= target_len:
                 return bytes(p[:target_len])

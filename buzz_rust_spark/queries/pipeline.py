@@ -1268,7 +1268,7 @@ def z19_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z22_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real video frame extraction: synthetic AVI/MJPEG rows →
     extract_video_frames (RIFF walk + per-frame JPEG decode, PNG payloads,
-    250 ms thinning) → per-media frame counts and byte totals."""
+    200 ms thinning) → per-media frame counts and byte totals."""
     media = M.synthetic_media(spark, n=12, kind="video")
     frames = M.extract_video_frames(media, every_ms=200)
     return (

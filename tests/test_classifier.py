@@ -145,3 +145,20 @@ def test_bad_args(labeled):
         train_text_classifier(labeled, iters=0)
     with pytest.raises(BuzzBadRequestError):
         train_text_classifier(labeled.where(F.lit(False)))
+
+
+def test_null_label_raises_instead_of_nan_poisoning(spark):
+    """One null label must be a typed error, not a silent all-NaN model."""
+    rows = [(0, "aa bb", 1), (1, "bb cc", None), (2, "cc dd", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    with pytest.raises(BuzzBadRequestError, match="null 'label'"):
+        train_text_classifier(df, dim=1 << 10, iters=1)
+
+
+def test_training_cache_released_on_return(spark, labeled):
+    """The featurized persist is freed deterministically when training ends
+    (and on the error path), not parked until the next registry scope."""
+    before = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    train_text_classifier(labeled, dim=1 << 10, iters=2)
+    after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert after <= before

@@ -100,6 +100,63 @@ def test_avi_second_stream_chunks_ignored():
     assert len(out) == 1
 
 
+def test_avi_video_stream_not_first():
+    """An AVI listing its audio stream first (video = stream 01) must still
+    decode: the stream prefix comes from the strl order, not hard-coded 00,
+    and the strf dims bind to the vids strl (not the audio WAVEFORMATEX)."""
+    base = M.encode_avi([_solid((7, 70, 170))], fps=10)
+
+    def u32(v):
+        return int(v).to_bytes(4, "little")
+
+    def u16(v):
+        return int(v).to_bytes(2, "little")
+
+    def chunk(fourcc, data):
+        return fourcc + u32(len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(fourcc, data):
+        return chunk(b"LIST", fourcc + data)
+
+    # pull the pieces out of the known-good file
+    hdrl_start = base.index(b"hdrl") - 8
+    movi_start = base.index(b"movi") - 8
+    avih = base[base.index(b"avih") : base.index(b"avih") + 8 + 56]
+    strh = base[base.index(b"strh") : base.index(b"strh") + 8 + 56]
+    strf = base[base.index(b"strf") : base.index(b"strf") + 8 + 40]
+    jpeg_start = base.index(b"00dc")
+    jpeg_size = int.from_bytes(base[jpeg_start + 4 : jpeg_start + 8], "little")
+    jpeg = base[jpeg_start + 8 : jpeg_start + 8 + jpeg_size]
+
+    auds_strh = (
+        b"auds" + b"\x00" * 4 + u32(0) + u16(0) + u16(0) + u32(0)
+        + u32(1) + u32(8000) + u32(0) + u32(8000) + u32(0)
+        + u32(0) + u32(1) + u16(0) + u16(0) + u16(0) + u16(0)
+    )
+    # WAVEFORMATEX-ish strf whose fields would be nonsense as biWidth/biHeight
+    auds_strf = u16(1) + u16(1) + u32(8000) + u32(8000) + u16(1) + u16(8)
+    hdrl = lst(
+        b"hdrl",
+        avih
+        + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+        + lst(b"strl", strh + strf),
+    )
+    movi = lst(b"movi", chunk(b"01dc", jpeg) + chunk(b"00wb", b"\x80" * 100))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + u32(len(body)) + body
+
+    out = M.decode_avi_frames(avi)
+    assert out is not None and len(out) == 1
+    assert np.array_equal(out[0][1], _solid((7, 70, 170)))
+
+
+def test_resize_uses_container_rate_for_single_frame():
+    """A one-frame 10 fps AVI must keep its rate through resize (fps comes
+    from strh scale/rate, not reconstructed from one timestamp)."""
+    avi = M.encode_avi([_solid((5, 6, 7), 16, 16)], fps=10)
+    assert M._avi_frame_ms(avi) == 100.0
+
+
 def test_extract_video_frames_distributed(spark):
     media = M.synthetic_media(spark, n=6, kind="video")
     rows = M.extract_video_frames(media).collect()

@@ -1,0 +1,512 @@
+"""Pure-python FLAC codec (RFC 9639 / xiph spec subset).
+
+FLAC is the canonical compressed-audio container of speech corpora
+(LibriSpeech, MLS, People's Speech all ship .flac), so real decode support
+— not a stub — is what makes the multimodal intake honest for audio at
+corpus scale.  Scope:
+
+- **Decoder**: STREAMINFO + any metadata blocks, fixed/variable blocking,
+  all four subframe types (CONSTANT, VERBATIM, FIXED orders 0-4, LPC up to
+  order 32), rice residuals (both 4- and 5-bit parameter methods, all
+  partition orders, escape-coded partitions), wasted bits, stereo
+  decorrelation (independent, left/side, right/side, mid/side), 8-32 bit
+  sample sizes; frame-header CRC-8, frame CRC-16, and stream MD5 are all
+  VERIFIED (tampered payloads return None rather than wrong audio).
+- **Encoder** (for fixtures and round-trip proofs): 16-bit mono/stereo,
+  independent channels, CONSTANT + FIXED(0-2) subframes with
+  partition-order-0 rice residuals, fixed 4096 blocking.  Losslessness is
+  the test oracle: encode→decode must reproduce the int16 samples EXACTLY.
+
+The synthesis split mirrors the other codecs in ``operators/multimodal.py``
+(BMP/PNG/JPEG/GIF/WAV/AVI): pure python + numpy, no external libraries, and
+the distributed story stays in the mapInPandas operators that call these.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        value &= (1 << n) - 1
+        self.acc = (self.acc << n) | value
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        while n:
+            if self.byte >= len(self.data):
+                raise ValueError("flac: truncated bitstream")
+            avail = 8 - self.bit
+            take = min(n, avail)
+            cur = self.data[self.byte]
+            out = (out << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+            n -= take
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.byte >= len(self.data):
+                raise ValueError("flac: truncated unary")
+            if self.read(1):
+                return q
+            q += 1
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style coding for frame/sample numbers."""
+    if n < 0x80:
+        return bytes([n])
+    for prefix, limit, n_cont in (
+        (0xC0, 11, 1), (0xE0, 16, 2), (0xF0, 21, 3),
+        (0xF8, 26, 4), (0xFC, 31, 5), (0xFE, 36, 6),
+    ):
+        if n < (1 << limit):
+            cont = []
+            body = n
+            for _ in range(n_cont):
+                cont.append(0x80 | (body & 0x3F))
+                body >>= 6
+            return bytes([prefix | body] + cont[::-1])
+    raise ValueError("frame number too large")
+
+
+def _utf8_decode(rd: _BitReader) -> int:
+    b0 = rd.read(8)
+    if b0 < 0x80:
+        return b0
+    n_cont = 0
+    mask = 0x40
+    while b0 & mask:
+        n_cont += 1
+        mask >>= 1
+    if n_cont == 0 or n_cont > 6:
+        raise ValueError("flac: bad utf8 frame number")
+    val = b0 & (mask - 1)
+    for _ in range(n_cont):
+        c = rd.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad utf8 continuation")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZE_CODES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+_SAMPLE_RATE_CODES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_SAMPLE_SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+
+def _rice_param(residuals) -> int:
+    """Smallest-total-bits rice parameter (mean-based estimate, clamped)."""
+    if len(residuals) == 0:
+        return 0
+    mean = sum(abs(int(r)) for r in residuals) / len(residuals)
+    k = 0
+    while (1 << k) < mean + 1 and k < 14:
+        k += 1
+    return k
+
+
+def _encode_subframe(wr: _BitWriter, samples, bps: int) -> None:
+    n = len(samples)
+    first = int(samples[0])
+    if all(int(s) == first for s in samples):
+        wr.write(0, 1)          # zero pad
+        wr.write(0, 6)          # CONSTANT
+        wr.write(0, 1)          # no wasted bits
+        wr.write_signed(first, bps)
+        return
+    # pick the fixed order (0-2) with the smallest residual magnitude
+    best_order, best_res, best_cost = 0, None, None
+    xs = [int(s) for s in samples]
+    for order in range(0, 3):
+        if n <= order:
+            continue
+        coefs = _FIXED_COEFS[order]
+        res = [
+            xs[i] - sum(c * xs[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+        cost = sum(abs(r) for r in res)
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    wr.write(0, 1)                      # zero pad
+    wr.write(0b001000 | best_order, 6)  # FIXED, order
+    wr.write(0, 1)                      # no wasted bits
+    for i in range(best_order):         # warmup
+        wr.write_signed(xs[i], bps)
+    # residual: method 0 (4-bit params), partition order 0
+    wr.write(0, 2)
+    wr.write(0, 4)
+    k = _rice_param(best_res)
+    wr.write(k, 4)
+    for r in best_res:
+        u = _zigzag(r)
+        wr.write_unary(u >> k)
+        if k:
+            wr.write(u & ((1 << k) - 1), k)
+
+
+def encode_flac(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """int16 PCM (interleaved if stereo) → FLAC bytes.
+
+    ``samples``: array-like of int16 (or floats in [-1, 1], scaled like
+    :func:`~buzz_rust_spark.operators.multimodal.encode_wav`).  Fixed 4096
+    blocking, independent channels, CONSTANT/FIXED subframes — a valid
+    streamable subset any FLAC decoder plays, and this module's own decoder
+    reproduces bit-exactly (the round-trip IS the test oracle)."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.dtype.kind == "f":
+        arr = np.clip(np.round(arr * 32767.0), -32768, 32767).astype(np.int16)
+    else:
+        arr = arr.astype(np.int16)
+    if channels not in (1, 2):
+        raise ValueError("encode_flac supports 1 or 2 channels")
+    if arr.size % channels:
+        raise ValueError("sample count not divisible by channels")
+    if not (1 <= sample_rate < (1 << 20)):
+        raise ValueError("bad sample rate")
+    n_frames_total = arr.size // channels
+    deinter = [arr[c::channels] for c in range(channels)]
+    bps = 16
+    blocksize = 4096
+
+    md5 = hashlib.md5(arr.astype("<i2").tobytes()).digest()
+    # STREAMINFO
+    si = _BitWriter()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n_frames_total & ((1 << 36) - 1), 36)
+    head = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si.bytes() + md5
+
+    out = bytearray(head)
+    frame_idx = 0
+    for start in range(0, n_frames_total, blocksize) or [0]:
+        bs = min(blocksize, n_frames_total - start)
+        if bs <= 0 and n_frames_total > 0:
+            break
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize strategy → frame number
+        if bs == blocksize and blocksize in _BLOCKSIZE_CODES.values():
+            code = next(c for c, v in _BLOCKSIZE_CODES.items() if v == blocksize)
+            hdr.write(code, 4)
+            bs_followup = None
+        else:
+            hdr.write(0b0111, 4)  # 16-bit blocksize-1 follows
+            bs_followup = bs - 1
+        hdr.write(0, 4)  # sample rate: from STREAMINFO
+        hdr.write(channels - 1, 4)  # independent channels
+        hdr.write(0b100, 3)  # 16-bit
+        hdr.write(0, 1)  # reserved
+        hdr.align()
+        hdr_bytes = bytearray(hdr.bytes())
+        hdr_bytes += _utf8_code(frame_idx)
+        if bs_followup is not None:
+            hdr_bytes += bs_followup.to_bytes(2, "big")
+        hdr_bytes.append(_crc8(bytes(hdr_bytes)))
+
+        body = _BitWriter()
+        for ch in range(channels):
+            _encode_subframe(body, deinter[ch][start : start + bs], bps)
+        body.align()
+        frame = bytes(hdr_bytes) + body.bytes()
+        frame += _crc16(frame).to_bytes(2, "big")
+        out += frame
+        frame_idx += 1
+        if n_frames_total == 0:
+            break
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def _decode_residual(rd: _BitReader, bs: int, order: int) -> list[int]:
+    method = rd.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = rd.read(4)
+    n_parts = 1 << porder
+    if bs % n_parts:
+        raise ValueError("flac: blocksize not divisible by partitions")
+    res: list[int] = []
+    for p in range(n_parts):
+        count = bs // n_parts - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("flac: partition smaller than predictor order")
+        k = rd.read(pbits)
+        if k == escape:
+            raw_bits = rd.read(5)
+            for _ in range(count):
+                res.append(rd.read_signed(raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(count):
+                q = rd.read_unary()
+                u = (q << k) | (rd.read(k) if k else 0)
+                res.append((u >> 1) ^ -(u & 1))  # un-zigzag
+    return res
+
+
+def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> list[int]:
+    if rd.read(1):
+        raise ValueError("flac: subframe pad bit set")
+    stype = rd.read(6)
+    wasted = 0
+    if rd.read(1):
+        wasted = rd.read_unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        v = rd.read_signed(bps)
+        out = [v] * bs
+    elif stype == 1:  # VERBATIM
+        out = [rd.read_signed(bps) for _ in range(bs)]
+    elif 8 <= stype <= 12:  # FIXED
+        order = stype - 8
+        warm = [rd.read_signed(bps) for _ in range(order)]
+        res = _decode_residual(rd, bs, order)
+        out = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * out[len(out) - 1 - j] for j, c in enumerate(coefs))
+            out.append(pred + r)
+    elif stype >= 32:  # LPC
+        order = (stype & 0x1F) + 1
+        warm = [rd.read_signed(bps) for _ in range(order)]
+        prec = rd.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid LPC precision")
+        shift = rd.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift")
+        coefs = [rd.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(rd, bs, order)
+        out = list(warm)
+        for r in res:
+            pred = sum(c * out[len(out) - 1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(pred + r)
+    else:
+        raise ValueError(f"flac: reserved subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac(payload: bytes | None):
+    """FLAC → (samples float64 in [-1,1] interleaved, sample_rate, channels),
+    else None — same convention as ``decode_wav``.  Frame CRC-16s and the
+    STREAMINFO MD5 (when present) are verified; corrupt audio returns None
+    instead of decoding wrong samples."""
+    import numpy as np
+
+    if payload is None or len(payload) < 42 or payload[:4] != b"fLaC":
+        return None
+    try:
+        pos = 4
+        rate = channels = bps = None
+        md5_expect = None
+        total_samples = None
+        while pos + 4 <= len(payload):
+            hdr = payload[pos]
+            btype = hdr & 0x7F
+            blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 4 + blen]
+            if btype == 0:  # STREAMINFO
+                if blen < 34:
+                    return None
+                rd = _BitReader(body)
+                rd.read(16); rd.read(16); rd.read(24); rd.read(24)
+                rate = rd.read(20)
+                channels = rd.read(3) + 1
+                bps = rd.read(5) + 1
+                total_samples = rd.read(36)
+                md5_expect = body[18:34]
+            pos += 4 + blen
+            if hdr & 0x80:  # last metadata block
+                break
+        if rate is None or not rate or bps > 32:
+            return None
+
+        all_ch: list[list[int]] = [[] for _ in range(channels)]
+        while pos < len(payload):
+            if pos + 2 > len(payload) or payload[pos] != 0xFF or (payload[pos + 1] & 0xFC) != 0xF8:
+                return None
+            rd = _BitReader(payload, pos)
+            rd.read(14)  # sync
+            rd.read(1)  # reserved
+            rd.read(1)  # blocking strategy
+            bs_code = rd.read(4)
+            sr_code = rd.read(4)
+            ch_code = rd.read(4)
+            ss_code = rd.read(3)
+            rd.read(1)  # reserved
+            _utf8_decode(rd)
+            if bs_code == 0:
+                return None
+            elif bs_code == 6:
+                bs = rd.read(8) + 1
+            elif bs_code == 7:
+                bs = rd.read(16) + 1
+            else:
+                bs = _BLOCKSIZE_CODES[bs_code]
+            if sr_code == 12:
+                rd.read(8)
+            elif sr_code in (13, 14):
+                rd.read(16)
+            elif sr_code == 15:
+                return None
+            header_end = rd.byte  # aligned (all header fields are whole bits)
+            crc8 = rd.read(8)
+            if _crc8(payload[pos:header_end]) != crc8:
+                return None
+            frame_bps = _SAMPLE_SIZE_CODES.get(ss_code, bps) if ss_code else bps
+            if ch_code <= 7:
+                n_ch = ch_code + 1
+                if n_ch != channels:
+                    return None
+                chans = [
+                    _decode_subframe(rd, bs, frame_bps) for _ in range(n_ch)
+                ]
+            elif ch_code in (8, 9, 10):
+                if channels != 2:
+                    return None
+                # left/side, right/side, mid/side: side channel has +1 bit
+                a_bits = frame_bps + (1 if ch_code == 9 else 0)
+                b_bits = frame_bps + (1 if ch_code in (8, 10) else 0)
+                a = _decode_subframe(rd, bs, a_bits)
+                b = _decode_subframe(rd, bs, b_bits)
+                if ch_code == 8:  # left, side → right = left - side
+                    chans = [a, [x - s for x, s in zip(a, b)]]
+                elif ch_code == 9:  # side, right → left = right + side
+                    chans = [[x + s for x, s in zip(b, a)], b]
+                else:  # mid, side
+                    left, right = [], []
+                    for m, s in zip(a, b):
+                        mm = (m << 1) | (s & 1)
+                        left.append((mm + s) >> 1)
+                        right.append((mm - s) >> 1)
+                    chans = [left, right]
+            else:
+                return None
+            rd.align()
+            crc16 = rd.read(16)
+            if _crc16(payload[pos : rd.byte - 2]) != crc16:
+                return None
+            for c in range(channels):
+                all_ch[c].extend(chans[c])
+            pos = rd.byte
+
+        if total_samples and total_samples < len(all_ch[0]):
+            all_ch = [c[:total_samples] for c in all_ch]
+        n = len(all_ch[0])
+        inter = np.empty(n * channels, dtype=np.int64)
+        for c in range(channels):
+            inter[c::channels] = all_ch[c]
+        if md5_expect and md5_expect != b"\x00" * 16 and bps == 16:
+            got = hashlib.md5(inter.astype("<i2").tobytes()).digest()
+            if got != md5_expect:
+                return None
+        scale = float(1 << (bps - 1))
+        return inter.astype(np.float64) / scale, rate, channels
+    except (ValueError, IndexError, KeyError):
+        return None

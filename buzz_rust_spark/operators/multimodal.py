@@ -95,7 +95,12 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
             rate = 8000
             t = np.arange(rate * duration_ms // 1000, dtype=np.float64)
             freq = 100.0 + (i % 16) * 25.0
-            return encode_wav(0.5 * np.sin(2 * np.pi * freq * t / rate), rate)
+            sig = 0.5 * np.sin(2 * np.pi * freq * t / rate)
+            if i % 2 == 1:
+                from .flac import encode_flac
+
+                return encode_flac(sig, rate)
+            return encode_wav(sig, rate)
         if kind == "animation":
             # REAL animated GIF: 3 solid frames at 100ms whose colors are a
             # deterministic function of media_id
@@ -122,8 +127,9 @@ def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     def mime(i: int) -> str:
         if kind == "image":
             return ["image/bmp", "image/png", "image/jpeg"][i % 3]
+        if kind == "audio":
+            return ["audio/wav", "audio/flac"][i % 2]
         return {
-            "audio": "audio/wav",
             "animation": "image/gif",
             "video": "video/x-msvideo",
         }.get(kind, f"{kind}/fake")
@@ -1824,18 +1830,29 @@ def decode_image(payload: bytes | None):
     return None
 
 
+def decode_audio(payload: bytes | None):
+    """Any supported audio container → (samples float64 in [-1,1],
+    sample_rate, channels), else None (PCM/float/G.711 WAV; FLAC)."""
+    out = decode_wav(payload)
+    if out is not None:
+        return out
+    from .flac import decode_flac
+
+    return decode_flac(payload)
+
+
 def decode_real(payload: bytes | None, dim: int) -> list[float] | None:
     """Real feature extraction for the supported formats, else None.
 
     BMP/PNG/JPEG: [width, height, gray mean/std/min/max, gray histogram...];
-    WAV: [sample_rate/1e4, duration_s, amp mean/std/min/max, histogram...]."""
+    WAV/FLAC: [sample_rate/1e4, duration_s, amp mean/std/min/max, histogram...]."""
     img = decode_image(payload)
     if img is not None:
         gray = img.astype("float64").mean(axis=2) / 255.0
         return _stats_feature(
             [float(img.shape[1]), float(img.shape[0])], gray, dim
         )
-    wav = decode_wav(payload)
+    wav = decode_audio(payload)
     if wav is not None:
         samples, rate, channels = wav
         duration = len(samples) / max(channels, 1) / max(rate, 1)
@@ -1883,7 +1900,7 @@ def decode_features(
             if strict and p is not None:
                 raise NotImplementedError(
                     "payload is not a BMP/PNG/JPEG/GIF image, AVI/MJPEG "
-                    "video, or PCM WAV; decoding other formats (MP3, "
+                    "video, or WAV/FLAC audio; decoding other formats (MP3, "
                     "non-MJPEG video, ...) requires PIL/torchaudio/ffmpeg, "
                     "not present in this environment (use strict=False for "
                     "the byte stub)"

@@ -1260,6 +1260,38 @@ def z19_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z23_audio_features",
+    tags=("multimodal", "pipeline"),
+    oracle=None,  # synthetic media, not the parquet tables; codec semantics
+    # pinned in tests/test_flac.py and tests/test_operators.py
+)
+def z23_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end-to-end over BOTH supported containers: the
+    synthetic audio table rotates PCM WAV and FLAC rows carrying the same
+    sine family; decode_features computes true sample statistics per row and
+    the query aggregates per container — identical stats across containers
+    is the losslessness story made visible to the driver."""
+    media = M.synthetic_media(spark, n=16, kind="audio")
+    feats = M.decode_features(media, strict=True)
+    return (
+        media.select("media_id", "mime")
+        .join(feats, on="media_id")
+        .select(
+            "mime",
+            F.element_at("feature", 1).alias("rate_f"),
+            F.element_at("feature", 6).alias("amp_max"),
+        )
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("rate_f"), 4).alias("avg_rate_f"),
+            F.round(F.avg("amp_max"), 2).alias("avg_amp_max"),
+        )
+        .orderBy("mime")
+    )
+
+
+@register(
     "z22_video_frames",
     tags=("multimodal", "pipeline"),
     oracle=None,  # synthetic media, not the parquet tables; codec semantics

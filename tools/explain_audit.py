@@ -43,6 +43,7 @@ PANDAS_UDF_OK = {
     "z20_webdataset_samples",  # tar member split + PNG decode are mapInPandas kernels
     "z21_quality_classifier",  # training gradient kernel; SERVING is pure JVM
     "z22_video_frames",  # AVI/MJPEG frame decode is the mapInPandas codec kernel
+    "z23_audio_features",  # WAV/FLAC decode is the mapInPandas codec kernel
 }
 PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # q37 compares each group against a one-row global-total threshold: a BNLJ

@@ -251,7 +251,9 @@ def encode_flac(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
     if arr.dtype.kind == "f":
         arr = np.clip(np.round(arr * 32767.0), -32768, 32767).astype(np.int16)
     else:
-        arr = arr.astype(np.int16)
+        # clip (like the float path) rather than wrap modulo 2^16 — int32
+        # input from an upstream gain stage must not sign-flip silently
+        arr = np.clip(arr, -32768, 32767).astype(np.int16)
     if channels not in (1, 2):
         raise ValueError("encode_flac supports 1 or 2 channels")
     if arr.size % channels:
@@ -276,12 +278,13 @@ def encode_flac(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
     si.write(n_frames_total & ((1 << 36) - 1), 36)
     head = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si.bytes() + md5
 
+    if n_frames_total == 0:
+        # frameless stream: STREAMINFO only (decodes to zero samples)
+        return bytes(head)
     out = bytearray(head)
     frame_idx = 0
-    for start in range(0, n_frames_total, blocksize) or [0]:
+    for start in range(0, n_frames_total, blocksize):
         bs = min(blocksize, n_frames_total - start)
-        if bs <= 0 and n_frames_total > 0:
-            break
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)  # reserved
@@ -312,8 +315,6 @@ def encode_flac(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
         frame += _crc16(frame).to_bytes(2, "big")
         out += frame
         frame_idx += 1
-        if n_frames_total == 0:
-            break
     return bytes(out)
 
 
@@ -369,7 +370,10 @@ def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> list[int]:
         coefs = _FIXED_COEFS[order]
         for r in res:
             pred = sum(c * out[len(out) - 1 - j] for j, c in enumerate(coefs))
-            out.append(pred + r)
+            v = pred + r
+            if v > (1 << 34) or v < -(1 << 34):
+                raise ValueError("flac: sample magnitude out of range")
+            out.append(v)
     elif stype >= 32:  # LPC
         order = (stype & 0x1F) + 1
         warm = [rd.read_signed(bps) for _ in range(order)]
@@ -384,7 +388,10 @@ def _decode_subframe(rd: _BitReader, bs: int, bps: int) -> list[int]:
         out = list(warm)
         for r in res:
             pred = sum(c * out[len(out) - 1 - j] for j, c in enumerate(coefs)) >> shift
-            out.append(pred + r)
+            v = pred + r
+            if v > (1 << 34) or v < -(1 << 34):
+                raise ValueError("flac: sample magnitude out of range")
+            out.append(v)
     else:
         raise ValueError(f"flac: reserved subframe type {stype}")
     if wasted:
@@ -455,6 +462,8 @@ def decode_flac(payload: bytes | None):
                 rd.read(16)
             elif sr_code == 15:
                 return None
+            elif sr_code and _SAMPLE_RATE_CODES[sr_code] != rate:
+                return None  # frame header contradicts STREAMINFO
             header_end = rd.byte  # aligned (all header fields are whole bits)
             crc8 = rd.read(8)
             if _crc8(payload[pos:header_end]) != crc8:
@@ -508,5 +517,5 @@ def decode_flac(payload: bytes | None):
                 return None
         scale = float(1 << (bps - 1))
         return inter.astype(np.float64) / scale, rate, channels
-    except (ValueError, IndexError, KeyError):
+    except (ValueError, IndexError, KeyError, OverflowError):
         return None

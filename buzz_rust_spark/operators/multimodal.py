@@ -70,7 +70,7 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def synthetic_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic media table for pipeline tests.  Image rows carry REAL
     payloads — media_id mod 3 selects uncompressed BMP / 8-bit PNG / JPEG
-    (every other JPEG progressive) — audio rows REAL PCM WAV, animation rows
+    (every other JPEG progressive) — audio rows REAL PCM WAV / FLAC (rotating), animation rows
     REAL animated GIF, and video rows REAL AVI/MJPEG (all a deterministic
     function of media_id), so the decode/resize/frame stages exercise every
     pure-python codec end-to-end; any other ``kind`` (e.g. ``"opaque"``)
@@ -1884,7 +1884,7 @@ def decode_features(
 ) -> DataFrame:
     """media table → (media_id, n_bytes, feature[dim]) via mapInPandas.
 
-    BMP/PNG/JPEG/GIF images, AVI/MJPEG video (first frame), and PCM WAV
+    BMP/PNG/JPEG/GIF images, AVI/MJPEG video (first frame), and WAV/FLAC
     audio decode FOR REAL (pixel / sample statistics, :func:`decode_real`).
     Other formats use the deterministic byte stub; ``strict=True`` raises
     NotImplementedError at that boundary instead (MP3 / non-MJPEG video

@@ -184,6 +184,80 @@ def test_hand_built_lpc_and_midside_subframes():
     np.testing.assert_array_equal(got[1::2], right)
 
 
+def test_empty_input_encodes_frameless_stream():
+    f = encode_flac(np.array([], dtype=np.int16), 8000, 1)
+    out = decode_flac(f)
+    assert out is not None
+    samples, rate, ch = out
+    assert samples.size == 0 and rate == 8000 and ch == 1
+
+
+def test_integer_input_clips_instead_of_wrapping():
+    """int32 input beyond int16 range must clip (like the float path), not
+    wrap modulo 2^16 into sign-flipped garbage."""
+    s2, _, _ = decode_flac(encode_flac(np.array([40000, -40000, 100]), 8000, 1))
+    np.testing.assert_array_equal(
+        np.round(s2 * 32768).astype(int), [32767, -32768, 100]
+    )
+
+
+def test_malicious_lpc_overflow_returns_none_not_crash():
+    """A CRC-valid stream whose LPC coefficients blow samples past any bound
+    must return None (the decode contract), never raise into the Spark
+    task."""
+    wr = _BitWriter()
+    wr.write(0b11111111111110, 14)
+    wr.write(0, 1); wr.write(0, 1)
+    wr.write(0b0110, 4)      # 8-bit blocksize-1
+    wr.write(0, 4); wr.write(0, 4)  # rate from SI, mono
+    wr.write(0b100, 3); wr.write(0, 1)
+    wr.align()
+    hdr = bytearray(wr.bytes())
+    hdr += _utf8_code(0)
+    hdr += bytes([255])      # blocksize 256
+    hdr.append(_crc8(bytes(hdr)))
+    body = _BitWriter()
+    body.write(0, 1)
+    body.write(0b100000, 6)  # LPC order 1
+    body.write(0, 1)
+    body.write_signed(20000, 16)   # warmup
+    body.write(15 - 1, 4)    # precision 15
+    body.write_signed(0, 5)  # shift 0 → x[i] = 16383 * x[i-1]
+    body.write_signed(16383, 15)
+    body.write(0, 2)         # rice method 0
+    body.write(0, 4)         # partition order 0
+    body.write(15, 4)        # ESCAPE
+    body.write(0, 5)         # 0 raw bits → all residuals zero
+    body.align()
+    frame = bytes(hdr) + body.bytes()
+    frame += _crc16(frame).to_bytes(2, "big")
+    si = _BitWriter()
+    si.write(256, 16); si.write(256, 16); si.write(0, 24); si.write(0, 24)
+    si.write(16000, 20); si.write(0, 3); si.write(15, 5); si.write(256, 36)
+    stream = (
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si.bytes()
+        + b"\x00" * 16 + frame
+    )
+    assert decode_flac(stream) is None  # must not raise
+
+
+def test_frame_rate_code_contradicting_streaminfo_rejected():
+    sig = np.arange(100, dtype=np.int16)
+    flac = bytearray(encode_flac(sig, 16000, 1))
+    # frame header starts right after fLaC + 4 + 34 metadata; its 3rd byte
+    # holds blocksize/samplerate codes — force sr code 9 (44.1k) ≠ 16k
+    fh = 4 + 4 + 34
+    assert flac[fh] == 0xFF
+    old = flac[fh + 2]
+    flac[fh + 2] = (old & 0xF0) | 0x09
+    # fix the header CRC-8 so ONLY the contradiction is tested
+    from buzz_rust_spark.operators.flac import _crc8 as crc8
+    # header = sync..utf8(0)..(crc8) → bytes fh..fh+4 + frame number byte
+    hdr = bytes(flac[fh : fh + 5])
+    flac[fh + 5] = crc8(hdr)
+    assert decode_flac(bytes(flac)) is None
+
+
 def test_bitio_roundtrip_and_utf8():
     wr = _BitWriter()
     wr.write(0b101, 3); wr.write_signed(-5, 7); wr.write_unary(11); wr.align()

@@ -1260,6 +1260,37 @@ def z19_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z24_media_probe",
+    tags=("multimodal", "pipeline"),
+    oracle=None,  # synthetic media, not the parquet tables; header parsing
+    # pinned in tests/test_probe.py
+)
+def z24_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media triage — the routing stage a 100 TB multimodal
+    intake runs BEFORE any decode: mixed image/audio/video/opaque rows →
+    probe_media (container, dims, rate, duration from headers alone) →
+    per-container counts and byte totals."""
+    from ..operators.probe import probe_media
+
+    imgs = M.synthetic_media(spark, n=9, kind="image")
+    auds = M.synthetic_media(spark, n=6, kind="audio")
+    vids = M.synthetic_media(spark, n=3, kind="video")
+    media = imgs.unionByName(
+        auds.withColumn("media_id", auds.media_id + 100)
+    ).unionByName(vids.withColumn("media_id", vids.media_id + 200))
+    return (
+        probe_media(media)
+        .groupBy("container")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("duration_ms").alias("max_duration_ms"),
+        )
+        .orderBy("container")
+    )
+
+
+@register(
     "z23_audio_features",
     tags=("multimodal", "pipeline"),
     oracle=None,  # synthetic media, not the parquet tables; codec semantics

@@ -44,6 +44,7 @@ PANDAS_UDF_OK = {
     "z21_quality_classifier",  # training gradient kernel; SERVING is pure JVM
     "z22_video_frames",  # AVI/MJPEG frame decode is the mapInPandas codec kernel
     "z23_audio_features",  # WAV/FLAC decode is the mapInPandas codec kernel
+    "z24_media_probe",  # header-only probing is the mapInPandas kernel
 }
 PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # q37 compares each group against a one-row global-total threshold: a BNLJ

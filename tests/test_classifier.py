@@ -162,3 +162,54 @@ def test_training_cache_released_on_return(spark, labeled):
     train_text_classifier(labeled, dim=1 << 10, iters=2)
     after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     assert after <= before
+
+
+def test_classifier_save_load_roundtrip(spark, labeled, model, tmp_path):
+    """Persisted artifact scores bit-identically to the in-memory model."""
+    from buzz_rust_spark.operators.artifacts import load_classifier, save_classifier
+
+    path = str(tmp_path / "clf")
+    save_classifier(spark, model, path)
+    loaded = load_classifier(spark, path)
+    assert loaded.dim == model.dim and loaded.bigrams == model.bigrams
+    assert loaded.bias == model.bias
+    np.testing.assert_array_equal(loaded.weights, model.weights)
+    a = classifier_scores(labeled, model).toPandas().set_index("doc_id")["score"]
+    b = classifier_scores(labeled, loaded).toPandas().set_index("doc_id")["score"]
+    assert (a.sort_index() == b.sort_index()).all()
+
+
+def test_artifact_arrays_roundtrip_1d_2d_3d(spark, tmp_path):
+    from buzz_rust_spark.operators.artifacts import load_arrays, save_arrays
+
+    rng = np.random.RandomState(11)
+    arrays = {
+        "one": rng.randn(7),
+        "two": rng.randn(5, 3),
+        "three": rng.randn(2, 4, 6),  # PQ codebook shape (m, k, dsub)
+    }
+    path = str(tmp_path / "arrs")
+    save_arrays(spark, path, arrays)
+    back = load_arrays(spark, path)
+    assert set(back) == set(arrays)
+    for k in arrays:
+        np.testing.assert_array_equal(back[k], arrays[k])
+
+
+def test_pq_codebooks_roundtrip_through_artifacts(spark, tmp_path):
+    """IVF/PQ parameters persist and reload with identical search results."""
+    from buzz_rust_spark.operators.artifacts import load_arrays, save_arrays
+    from buzz_rust_spark.operators.pq import pq_encode, pq_topk, train_pq_codebooks
+
+    rng = np.random.RandomState(4)
+    rows = [(i, rng.randn(16).tolist()) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(corpus, dim=16, m=4, k=16)
+    path = str(tmp_path / "pq")
+    save_arrays(spark, path, {"codebooks": books})
+    books2 = load_arrays(spark, path)["codebooks"]
+    np.testing.assert_array_equal(books, books2)
+    enc = pq_encode(corpus, books2)
+    queries = spark.createDataFrame(rows[:3], "vec_id long, embedding array<double>")
+    out = pq_topk(enc, queries, books2, k=5).collect()
+    assert len(out) == 15

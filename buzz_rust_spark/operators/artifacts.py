@@ -11,8 +11,8 @@ argument as the open-spec ``_delta_log`` in ``sources/delta_writer.py``).
 Layout: one parquet directory per artifact with rows
 ``(name, idx0, idx1, vec: array<double>)`` — 1D arrays store as a single
 row's ``vec``, 2D as one row per leading index, 3D (PQ codebooks) as one row
-per (idx0, idx1) — plus a ``_kind`` name row carrying scalar metadata in its
-vector.  Save/load round-trips are exact (float64 end-to-end).
+per (idx0, idx1) — plus a ``_shape:<name>`` row whose vector carries the
+array's dimensions.  Save/load round-trips are exact (float64 end-to-end).
 """
 
 from __future__ import annotations
@@ -44,7 +44,9 @@ def save_arrays(spark: SparkSession, path: str, arrays: dict) -> None:
                 for j in range(a.shape[1])
             ]
         else:
-            raise BuzzBadRequestError(f"array {name!r} has ndim {a.ndim} > 3")
+            raise BuzzBadRequestError(
+                f"array {name!r} has unsupported ndim {a.ndim} (must be 1-3)"
+            )
         rows.append((f"_shape:{name}", 0, 0, [float(d) for d in a.shape]))
     spark.createDataFrame(rows, _SCHEMA).repartition(1).write.mode(
         "overwrite"

@@ -30,7 +30,6 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -71,7 +70,10 @@ def _probe_mp3(p: bytes) -> dict | None:
     """First valid MPEG audio frame header → metadata, else None.
 
     Scans up to 4 KiB for the sync pattern (files often lead with an ID3v2
-    tag, which is skipped by its declared size)."""
+    tag, which is skipped by its declared size).  A match only counts when a
+    SECOND frame header with the same version/layer sits exactly one frame
+    length later (or the payload ends inside the first frame) — a lone
+    4-byte sync coincidence in arbitrary binary must not classify as mp3."""
     pos = 0
     if p[:3] == b"ID3" and len(p) >= 10:
         # syncsafe 28-bit tag size
@@ -93,8 +95,21 @@ def _probe_mp3(p: bytes) -> dict | None:
             rate = _MP3_RATES[version][sr_idx]
             mode = (p[pos + 3] >> 6) & 3  # 3 = mono
             channels = 1 if mode == 3 else 2
+            padding = (p[pos + 2] >> 1) & 1
+            if layer == 1:
+                frame_len = (12 * bitrate * 1000 // rate + padding) * 4
+            else:
+                per_frame = 144 if (version == 3 or layer == 2) else 72
+                frame_len = per_frame * bitrate * 1000 // rate + padding
+            nxt = pos + frame_len
+            if nxt + 2 <= len(p):
+                same_vl = (p[nxt + 1] >> 1) & 0xF == (p[pos + 1] >> 1) & 0xF
+                if not (p[nxt] == 0xFF and (p[nxt + 1] & 0xE0) == 0xE0 and same_vl):
+                    pos += 1
+                    continue
+            # else: payload ends inside the first frame — accept
             # CBR duration estimate: audio bytes (tag excluded) at this rate
-            duration_ms = int((len(p) - pos) * 8 / bitrate) if bitrate else None
+            duration_ms = int((len(p) - pos) * 8 / bitrate)
             return {
                 "container": f"mp3(v{ {3: 1, 2: 2, 0: 2.5}[version] }L{layer})",
                 "sample_rate": rate,
@@ -113,12 +128,16 @@ def _probe_jpeg(p: bytes) -> dict | None:
     while pos + 4 <= len(p):
         if p[pos] != 0xFF:
             return None
+        # T.81 allows fill bytes: any number of 0xFF before the marker code
+        while pos + 1 < len(p) and p[pos + 1] == 0xFF:
+            pos += 1
         marker = p[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         seg_len = int.from_bytes(p[pos + 2 : pos + 4], "big")
-        if marker in (0xC0, 0xC1, 0xC2) and pos + 9 <= len(p):
+        is_sof = 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+        if is_sof and pos + 9 <= len(p):
             h = int.from_bytes(p[pos + 5 : pos + 7], "big")
             w = int.from_bytes(p[pos + 7 : pos + 9], "big")
             return {"container": "jpeg", "width": w, "height": h}
@@ -134,11 +153,18 @@ def _probe_one(p: bytes | None) -> dict:
         return out
     try:
         if p[:2] == b"BM" and len(p) >= 26:
-            out.update(
-                container="bmp",
-                width=int.from_bytes(p[18:22], "little", signed=True),
-                height=abs(int.from_bytes(p[22:26], "little", signed=True)),
-            )
+            dib = int.from_bytes(p[14:18], "little")
+            out["container"] = "bmp"
+            if dib >= 40:  # BITMAPINFOHEADER and successors: 32-bit dims
+                out.update(
+                    width=int.from_bytes(p[18:22], "little", signed=True),
+                    height=abs(int.from_bytes(p[22:26], "little", signed=True)),
+                )
+            elif dib == 12:  # OS/2 BITMAPCOREHEADER: 16-bit dims
+                out.update(
+                    width=int.from_bytes(p[18:20], "little"),
+                    height=int.from_bytes(p[20:22], "little"),
+                )
         elif p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
             out.update(
                 container="png",
@@ -163,11 +189,14 @@ def _probe_one(p: bytes | None) -> dict:
                 elif cid == b"data":
                     data_len = size
                 pos += 8 + size + (size & 1)
+            # the magic is unambiguous even when the fmt chunk is missing
+            # or short — params stay null, same contract as the AVI branch
+            out["container"] = "wav"
             if fmt is not None and len(fmt) >= 16:
                 channels = int.from_bytes(fmt[2:4], "little")
                 rate = int.from_bytes(fmt[4:8], "little")
                 byte_rate = int.from_bytes(fmt[8:12], "little")
-                out.update(container="wav", sample_rate=rate, channels=channels)
+                out.update(sample_rate=rate, channels=channels)
                 if data_len and byte_rate:
                     out["duration_ms"] = int(data_len * 1000 / byte_rate)
         elif p[:4] == b"RIFF" and p[8:12] == b"AVI " and len(p) >= 88:

@@ -9,13 +9,38 @@ from buzz_rust_spark.operators.flac import encode_flac
 from buzz_rust_spark.operators.probe import _probe_one, probe_media
 
 
+def _mp3_frame_len(hdr: bytes) -> int:
+    """Frame length per the same ISO arithmetic the probe uses."""
+    version = (hdr[1] >> 3) & 3
+    layer = 4 - ((hdr[1] >> 1) & 3)
+    br_idx = (hdr[2] >> 4) & 0xF
+    sr_idx = (hdr[2] >> 2) & 3
+    from buzz_rust_spark.operators.probe import (
+        _MP3_BITRATES_V1,
+        _MP3_BITRATES_V2,
+        _MP3_RATES,
+    )
+
+    table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+    bitrate, rate = table[layer][br_idx], _MP3_RATES[version][sr_idx]
+    if layer == 1:
+        return (12 * bitrate * 1000 // rate) * 4
+    return (144 if (version == 3 or layer == 2) else 72) * bitrate * 1000 // rate
+
+
 def _mp3(n_bytes=10_000, with_id3=True, hdr=b"\xff\xfb\x90\x00"):
+    """A CBR stream: consecutive frames (header + zero body) — the probe
+    demands a second frame header one frame length after the first."""
     id3 = (
         b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 10]) + b"\x00" * 10
         if with_id3
         else b""
     )
-    return id3 + hdr + b"\x00" * n_bytes
+    fl = _mp3_frame_len(hdr)
+    frame = hdr + b"\x00" * (fl - 4)
+    n_frames = max((n_bytes + 4 + fl - 1) // fl, 2)
+    body = (frame * n_frames)[: n_bytes + 4]
+    return id3 + body
 
 
 def test_probe_every_supported_container():
@@ -63,9 +88,8 @@ def test_probe_mp3_variants():
     assert info["sample_rate"] == 22050
     assert info["channels"] == 1
     assert info["bitrate_kbps"] == 64
-    # Layer I MPEG-1: FF FF would be bad bitrate idx 15 → next sync; use
-    # idx 4 (128 kbps L1): FF FF is invalid, craft FF FE? L1 code=3 → bits
-    # 0b111_1_=0xFE? version 3, layer 3, noprot → 0xFF; keep it simple:
+    # MPEG-1 Layer I: 0xFE = sync tail + version 3 + layer code 3 + noprot;
+    # bitrate idx 4 → 128 kbps in the L1 table
     info = _probe_one(_mp3(with_id3=False, hdr=b"\xff\xfe\x40\x00"))
     assert info["container"] == "mp3(v1L1)"
     assert info["bitrate_kbps"] == 128
@@ -73,8 +97,15 @@ def test_probe_mp3_variants():
 
 def test_probe_rejects_free_and_bad_bitrates():
     # bitrate index 0 (free) and 15 (bad) must not match as a frame
-    assert _probe_one(_mp3(with_id3=False, hdr=b"\xff\xfb\x00\x00"))["container"] == "unknown"
-    assert _probe_one(_mp3(with_id3=False, hdr=b"\xff\xfb\xf0\x00"))["container"] == "unknown"
+    for hdr in (b"\xff\xfb\x00\x00", b"\xff\xfb\xf0\x00"):
+        assert _probe_one(hdr + b"\x00" * 5000)["container"] == "unknown"
+
+
+def test_probe_rejects_lone_sync_coincidence():
+    """Arbitrary binary containing one 4-byte sync pattern must NOT classify
+    as mp3 — a second frame header one frame length later is required."""
+    blob = b"\x37" * 700 + b"\xff\xfb\x90\x00" + b"\x37" * 5000
+    assert _probe_one(blob)["container"] == "unknown"
 
 
 def test_probe_unknown_and_null():

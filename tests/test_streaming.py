@@ -436,3 +436,88 @@ def test_bloom_state_compaction_mid_stream(spark, tmp_path):
         r["doc_id"] for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
     )
     assert got == [1, 2, 4, 7]
+
+
+def test_corpus_prep_sink_end_to_end(spark, tmp_path):
+    """Streaming corpus prep composes cleaning + quality + classifier gate +
+    cross-batch dedup + exactly-once Delta: PII is redacted in committed
+    text, low-quality and classifier-rejected docs never land, cross-batch
+    dup texts are dropped, and a full replay (fresh checkpoint, same app_id)
+    commits nothing new."""
+    from buzz_rust_spark.operators.classifier import train_text_classifier
+    from buzz_rust_spark.operators.corpus import CorpusPrepConfig
+    from buzz_rust_spark.sources import DeltaCatalog
+    from buzz_rust_spark.streaming.corpus_ingest import corpus_prep_sink
+
+    good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    spamy = "buy buy buy casino casino pills pills click click now now now win win win"
+
+    # frozen classifier: plain prose vs spam-vocab
+    rows = []
+    for i in range(60):
+        rows.append((i, good + f" variant {i}", 1))
+        rows.append((100 + i, spamy + f" variant {i}", 0))
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_text_classifier(labeled, dim=1 << 12, iters=25, lr=2.0)
+
+    # three micro-batches: batch0 good docs (one with PII), batch1 a
+    # cross-batch dup + a spam doc + a fresh good doc, batch2 a low-quality doc
+    b0 = [
+        (1, good + " reach me at jane.doe@example.com please"),
+        (2, good + " second distinct document body flows calmly onward"),
+    ]
+    b1 = [
+        (3, good + " second distinct document body flows calmly onward"),  # dup of 2
+        (4, spamy + " extra spam terms"),  # classifier gate
+        (5, good + " a third body of reasonable prose for the corpus"),
+    ]
+    b2 = [
+        (6, "x x x x x x x x x x x x x x x x"),  # repetitive → low quality
+        (7, good + " final fresh document in the last batch arrives"),
+    ]
+    import os as _os
+    import time as _time
+
+    src = tmp_path / "cin"
+    src.mkdir()
+    base = _time.time() - 1000
+    for i, rows_i in enumerate([b0, b1, b2]):
+        tmp_dir = tmp_path / f"cb{i}"
+        spark.createDataFrame(rows_i, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(tmp_dir)
+        )
+        import shutil as _sh
+
+        for p in tmp_dir.glob("*.parquet"):
+            dst = src / f"{i}.parquet"
+            _sh.copy(p, dst)
+            _os.utime(dst, (base + i * 10, base + i * 10))
+
+    table = str(tmp_path / "ctbl")
+    state = str(tmp_path / "cstate")
+    ckpt = str(tmp_path / "cckpt")
+
+    def run(checkpoint):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = corpus_prep_sink(
+            stream, table, state, checkpoint, app_id="t-corpus",
+            model=model, classifier_threshold=0.5,
+        )
+        q.awaitTermination(120)
+
+    run(ckpt)
+    out = DeltaCatalog("c", table).to_dataframe(spark).toPandas().set_index("doc_id")
+    # survivors: 1 (PII redacted), 2, 5, 7; dropped: 3 (dup), 4 (spam), 6 (quality)
+    assert sorted(out.index) == [1, 2, 5, 7]
+    assert "<EMAIL>" in out.loc[1, "text"] and "@" not in out.loc[1, "text"]
+    assert (out["quality"] >= 0.5).all()
+
+    # replay with a FRESH checkpoint: SetTransaction versions already
+    # committed + Bloom state make the rerun a no-op
+    run(str(tmp_path / "cckpt2"))
+    out2 = DeltaCatalog("c", table).to_dataframe(spark).toPandas()
+    assert sorted(out2["doc_id"]) == [1, 2, 5, 7]

@@ -275,12 +275,25 @@ def train_text_classifier(
         feats.unpersist()
 
 
+def classifier_weights_df(spark: SparkSession, model: TextClassifierModel) -> DataFrame:
+    """The model's nonzero (idx, w) serving relation as a DataFrame — build
+    it ONCE per session/stream and pass to :func:`classifier_scores` when
+    scoring repeatedly (a long-running ingest loop would otherwise re-ship
+    the weight list through the driver every micro-batch)."""
+    rows = model.weight_rows()
+    wdf = spark.createDataFrame(rows or [(0, 0.0)], "idx INT, w DOUBLE")
+    if not rows:
+        wdf = wdf.where(F.lit(False))
+    return wdf
+
+
 def classifier_scores(
     df: DataFrame,
     model: TextClassifierModel,
     text_col: str = "text",
     id_col: str = "doc_id",
     score_col: str = "score",
+    weights_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score) — sigmoid linear score per document, PURE JVM.
 
@@ -291,11 +304,11 @@ def classifier_scores(
     (or no grams) score ``sigmoid(bias)`` via the left join's coalesce.  No
     Python runs over the corpus, so this is the shape to ship: whole-stage
     codegen end-to-end, one shuffle."""
-    spark = df.sparkSession
-    rows = model.weight_rows()
-    wdf = spark.createDataFrame(rows or [(0, 0.0)], "idx INT, w DOUBLE")
-    if not rows:
-        wdf = wdf.where(F.lit(False))
+    wdf = (
+        weights_df
+        if weights_df is not None
+        else classifier_weights_df(df.sparkSession, model)
+    )
 
     grams = _exploded_grams(df, text_col, id_col, model.dim, model.bigrams)
     sums = (

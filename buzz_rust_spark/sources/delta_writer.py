@@ -276,8 +276,9 @@ def write_delta(
     checkpoint_interval: int = 10,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
-) -> int:
-    """Write ``df`` as a Delta commit; returns the committed version.
+) -> int | None:
+    """Write ``df`` as a Delta commit; returns the committed version (or
+    ``None`` when a SetTransaction replay skips the write).
 
     ``mode='append'`` adds files to the snapshot; ``mode='overwrite'``
     additionally emits ``remove`` for every previously-live file.  Appends
@@ -289,9 +290,12 @@ def write_delta(
 
     ``txn_app_id``/``txn_version`` give Delta SetTransaction idempotence:
     when the pair has already been committed (a replayed micro-batch after a
-    stream restart), the write is SKIPPED and the current table version is
-    returned — this is how exactly-once streaming sinks are built on an
-    at-least-once engine (see :func:`buzz_rust_spark.streaming.delta_sink`)."""
+    stream restart), the write is SKIPPED and ``None`` is returned — callers
+    MUST treat None as "this data did not land in this call" and skip any
+    side effects that assume it did (e.g. a dedup-state append: marking
+    skipped documents as seen would lose them forever).  This is how
+    exactly-once streaming sinks are built on an at-least-once engine
+    (see :func:`buzz_rust_spark.streaming.delta_sink`)."""
     if mode not in ("append", "overwrite"):
         raise BuzzBadRequestError(f"mode must be append|overwrite, got {mode!r}")
     if (txn_app_id is None) != (txn_version is None):
@@ -311,7 +315,7 @@ def write_delta(
         # Idempotence check BEFORE staging: a replayed batch costs a log scan,
         # not a data write.
         if txn_version <= _txn_state(log_dir).get(txn_app_id, -1):
-            return last_version
+            return None
 
     if meta:
         existing_parts = list(meta.get("partitionColumns", []))

@@ -204,6 +204,98 @@ def compact_bloom_state(
     return removed
 
 
+def dedup_commit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_uri: str,
+    state_dir: str,
+    app_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> None:
+    """ONE copy of the exactly-once dedup-commit protocol, shared by every
+    ingest sink (:func:`bloom_dedup_sink`, the streaming corpus prep):
+
+    1. drop rows the Bloom state has seen (plus within-batch exact dups);
+    2. commit survivors under SetTransaction ``(app_id, batch_id)``;
+    3. ONLY IF step 2 actually committed, append the survivors' sketch
+       delta to the state log.
+
+    The step-3 guard is load-bearing.  A SKIPPED write (``write_delta``
+    returns None) means one of two very different things:
+
+    - a same-checkpoint replay after a crash between steps 2 and 3 — the
+      batch's rows ARE in the table, and the state delta is the missing
+      half that must be (re-)appended or future duplicates of those texts
+      would pass the gate;
+    - a fresh-checkpoint restart under the same app_id whose restarted
+      batch ids collide with committed versions while carrying NEW data —
+      those rows are NOT in the table, and appending their hashes would
+      mark them seen without ever landing them: silent, permanent loss.
+
+    The two cases are distinguished by the only ground truth there is — the
+    table itself: after a skipped write, the state delta is appended ONLY
+    for rows whose text digest is actually present in the table (a
+    column-pruned scan + batch-sized semi-join, paid only on the rare
+    skipped-write path).  Crashed replays heal exactly as before; colliding
+    new data stays unmarked and commits under its later, non-colliding
+    batch id."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import normalize_text
+    from ..sources import DeltaCatalog
+
+    spark = batch_df.sparkSession
+    state = read_bloom_state(spark, state_dir)
+    # persist the incoming relation: it feeds both sides of the membership
+    # probe/join-back AND the keepers aggregate inside the dedup, and for
+    # the corpus sink it carries the whole scrub/C4/quality/classifier
+    # subtree — without this the expensive prep re-evaluates several times
+    batch_df = batch_df.persist()
+    fresh = dedup_incremental_bloom(
+        batch_df, state, text_col=text_col, id_col=id_col,
+        num_bits=num_bits, num_hashes=num_hashes,
+    ).persist()
+    try:
+        if not fresh.take(1):
+            return
+        committed = write_delta(
+            fresh.drop("text_hash"),
+            table_uri,
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+        advance = fresh
+        if committed is None:
+            # skipped write: advance the state only for rows the table
+            # actually contains (see the protocol note above)
+            table_hashes = (
+                DeltaCatalog("_dedup_probe", table_uri)
+                .to_dataframe(spark)
+                .select(
+                    F.md5(
+                        F.encode(normalize_text(F.col(text_col)), "UTF-8")
+                    ).alias("text_hash")
+                )
+            )
+            advance = fresh.join(
+                table_hashes,
+                on=fresh["text_hash"].eqNullSafe(table_hashes["text_hash"]),
+                how="left_semi",
+            )
+            if not advance.take(1):
+                return
+        bloom_build(
+            advance.select("text_hash"), "text_hash",
+            num_bits=num_bits, num_hashes=num_hashes,
+        ).write.mode("append").parquet(state_dir)
+    finally:
+        fresh.unpersist()
+        batch_df.unpersist()
+
+
 def bloom_dedup_sink(
     stream_df: DataFrame,
     table_uri: str,
@@ -219,33 +311,14 @@ def bloom_dedup_sink(
     """Start the dedup-ingest loop: per micro-batch, drop documents the
     Bloom state has seen (plus within-batch exact dups), commit survivors to
     the Delta table exactly-once, append the survivors' sketch delta to the
-    state log."""
+    state log (see :func:`dedup_commit_batch` for the protocol)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        state = read_bloom_state(spark, state_dir)
-        fresh = dedup_incremental_bloom(
-            batch_df, state, text_col=text_col, id_col=id_col,
+        dedup_commit_batch(
+            batch_df, batch_id, table_uri, state_dir, app_id,
+            text_col=text_col, id_col=id_col,
             num_bits=num_bits, num_hashes=num_hashes,
-        ).persist()
-        try:
-            if not fresh.take(1):
-                return
-            write_delta(
-                fresh.drop("text_hash"),
-                table_uri,
-                txn_app_id=app_id,
-                txn_version=batch_id,
-            )
-            # State delta AFTER the data commit: if we crash between the
-            # two, the replayed batch re-commits nothing (SetTransaction)
-            # and re-appends the delta, which bit_or folds to a no-op.
-            bloom_build(
-                fresh.select("text_hash"), "text_hash",
-                num_bits=num_bits, num_hashes=num_hashes,
-            ).write.mode("append").parquet(state_dir)
-        finally:
-            fresh.unpersist()
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)

@@ -17,11 +17,13 @@ survivors commit to the output table exactly once.
    pure-JVM; rows under ``classifier_threshold`` drop.  The model is a
    parameter, not trained here: training inside an ingest loop would make
    acceptance drift with arrival order.
-3. **Cross-batch Bloom dedup + exactly-once Delta commit** — identical
-   mechanics (and crash-ordering argument) to
-   :func:`~buzz_rust_spark.streaming.bloom_ingest.bloom_dedup_sink`: data
-   commits under a SetTransaction before the state delta appends, so a
-   crash between the two replays to a no-op.
+3. **Cross-batch Bloom dedup + exactly-once Delta commit** — the SAME
+   shared protocol as
+   :func:`~buzz_rust_spark.streaming.bloom_ingest.bloom_dedup_sink`
+   (one implementation:
+   :func:`~buzz_rust_spark.streaming.bloom_ingest.dedup_commit_batch`),
+   including the skipped-write guard that keeps colliding batch ids from
+   poisoning the dedup state with never-committed documents.
 
 Scale: stages 1-2 are shuffle-free maps; the only per-batch shuffles are the
 dedup hash aggregate and the broadcast-join membership probe against the
@@ -34,17 +36,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.classifier import TextClassifierModel, classifier_scores
+from ..errors import BuzzBadRequestError
+from ..operators.classifier import (
+    TextClassifierModel,
+    classifier_scores,
+    classifier_weights_df,
+)
 from ..operators.corpus import CorpusPrepConfig
-from ..operators.bloom import dedup_incremental_bloom
 from ..operators.text import (
     c4_clean_lines,
     gopher_passes_expr,
+    gopher_repetition,
     quality_expr,
     redact_pii,
 )
-from ..sources.delta_writer import write_delta
-from .bloom_ingest import DEFAULT_NUM_BITS, DEFAULT_NUM_HASHES, bloom_build, read_bloom_state
+from .bloom_ingest import DEFAULT_NUM_BITS, DEFAULT_NUM_HASHES, dedup_commit_batch
 
 
 def _clean_batch(
@@ -54,11 +60,14 @@ def _clean_batch(
     id_col: str,
     model: TextClassifierModel | None,
     classifier_threshold: float,
+    weights_df: DataFrame | None = None,
 ) -> DataFrame:
     """The stateless per-batch prep: scrub → C4 → quality → Gopher →
-    classifier gate.  Mirrors prepare_training_corpus stages 1-2b (same
-    expressions, same ordering) without the batch-only dedup stages."""
-    out = redact_pii(batch_df, text_col=text_col)
+    repetition → classifier gate.  Mirrors prepare_training_corpus's
+    per-document stages (same expressions, same ordering) without the
+    cross-document batch-only stages (near-dup clusters, span scrub,
+    split assignment)."""
+    out = redact_pii(batch_df, text_col=text_col, counts=False)
     if cfg.c4_rules is not None:
         out = (
             c4_clean_lines(
@@ -74,8 +83,18 @@ def _clean_batch(
     )
     if cfg.gopher_rules is not None:
         out = out.where(gopher_passes_expr(F.col(text_col), **cfg.gopher_rules))
+    if cfg.repetition_rules is not None:
+        # per-DOCUMENT metrics → identical semantics per micro-batch
+        rep = gopher_repetition(
+            out, text_col=text_col, id_col=id_col, **cfg.repetition_rules
+        )
+        out = out.join(
+            rep.where(F.col("passes")).select(id_col), on=id_col, how="left_semi"
+        )
     if model is not None:
-        scores = classifier_scores(out, model, text_col=text_col, id_col=id_col)
+        scores = classifier_scores(
+            out, model, text_col=text_col, id_col=id_col, weights_df=weights_df
+        )
         out = (
             out.join(scores, on=id_col)
             .where(F.col("score") >= classifier_threshold)
@@ -107,35 +126,31 @@ def corpus_prep_sink(
     double-commit (SetTransaction) or corrupt the dedup state (bit_or folds
     idempotently)."""
     cfg = config or CorpusPrepConfig()
+    if cfg.scrub_span is not None:
+        # exact-substring scrubbing is a CROSS-document rewrite; running it
+        # per micro-batch would silently weaken its semantics to
+        # within-batch — refuse instead (run scrub_repeated_spans as a
+        # batch post-pass over the committed table)
+        raise BuzzBadRequestError(
+            "scrub_span is a cross-document batch stage; run it as a "
+            "post-pass, not inside the streaming sink"
+        )
+    # build the frozen model's serving relation ONCE for the whole stream
+    wdf = (
+        classifier_weights_df(stream_df.sparkSession, model)
+        if model is not None
+        else None
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         cleaned = _clean_batch(
-            batch_df, cfg, text_col, id_col, model, classifier_threshold
+            batch_df, cfg, text_col, id_col, model, classifier_threshold, wdf
         )
-        state = read_bloom_state(spark, state_dir)
-        fresh = dedup_incremental_bloom(
-            cleaned, state, text_col=text_col, id_col=id_col,
+        dedup_commit_batch(
+            cleaned, batch_id, table_uri, state_dir, app_id,
+            text_col=text_col, id_col=id_col,
             num_bits=num_bits, num_hashes=num_hashes,
-        ).persist()
-        try:
-            if not fresh.take(1):
-                return
-            write_delta(
-                fresh.drop("text_hash"),
-                table_uri,
-                txn_app_id=app_id,
-                txn_version=batch_id,
-            )
-            # state delta AFTER the data commit (same crash argument as
-            # bloom_dedup_sink: replay re-commits nothing, re-appending the
-            # delta bit_or-folds to a no-op)
-            bloom_build(
-                fresh.select("text_hash"), "text_hash",
-                num_bits=num_bits, num_hashes=num_hashes,
-            ).write.mode("append").parquet(state_dir)
-        finally:
-            fresh.unpersist()
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)

@@ -213,7 +213,8 @@ def test_delta_sink_exactly_once(spark, sf_dir, tmp_path):
     replay_version = write_delta(
         events.limit(1), table, txn_app_id="probe", txn_version=0
     )
-    assert replay_version == pre_version
+    assert replay_version is None  # skip is SIGNALED, not silent — a
+    # caller appending dedup state after a skipped write would lose data
     assert DeltaCatalog("events", table).to_dataframe(spark).count() == (
         events.count() + 1
     )
@@ -521,3 +522,50 @@ def test_corpus_prep_sink_end_to_end(spark, tmp_path):
     run(str(tmp_path / "cckpt2"))
     out2 = DeltaCatalog("c", table).to_dataframe(spark).toPandas()
     assert sorted(out2["doc_id"]) == [1, 2, 5, 7]
+
+
+def test_dedup_commit_protocol_skipped_write_paths(spark, tmp_path):
+    """The exactly-once protocol's two skipped-write cases, driven directly:
+    (a) crash between data commit and state append → the replay re-appends
+    state ONLY for rows the table really has (heal); (b) a colliding batch
+    id carrying NEW data must NOT mark those docs seen (no poison), and they
+    commit under a later batch id."""
+    import shutil
+
+    from buzz_rust_spark.sources import DeltaCatalog
+    from buzz_rust_spark.streaming.bloom_ingest import (
+        dedup_commit_batch,
+        read_bloom_state,
+    )
+
+    table = str(tmp_path / "ptbl")
+    state = str(tmp_path / "pstate")
+    df0 = spark.createDataFrame(
+        [(1, "first document body"), (2, "second document body")],
+        ["doc_id", "text"],
+    )
+    dedup_commit_batch(df0, 0, table, state, app_id="proto")
+    assert DeltaCatalog("p", table).to_dataframe(spark).count() == 2
+
+    # (a) simulate the crash: state append lost, batch replays with the
+    # same (app_id, batch_id) — write skips, heal re-appends from the table
+    shutil.rmtree(state)
+    dedup_commit_batch(df0, 0, table, state, app_id="proto")
+    assert DeltaCatalog("p", table).to_dataframe(spark).count() == 2  # no dup
+    healed = read_bloom_state(spark, state)
+    assert healed.count() > 0  # state restored
+    # ...and the healed state actually gates a future duplicate
+    df_dup = spark.createDataFrame([(3, "first document body")], ["doc_id", "text"])
+    dedup_commit_batch(df_dup, 1, table, state, app_id="proto")
+    assert DeltaCatalog("p", table).to_dataframe(spark).count() == 2
+
+    # (b) NEW data under a COLLIDING batch id: write skips, state must not
+    # learn the unseen text
+    df_new = spark.createDataFrame([(4, "a brand new document")], ["doc_id", "text"])
+    dedup_commit_batch(df_new, 0, table, state, app_id="proto")
+    got = {r["doc_id"] for r in DeltaCatalog("p", table).to_dataframe(spark).collect()}
+    assert got == {1, 2}  # nothing landed...
+    # ...and the doc is NOT poisoned: a later non-colliding batch commits it
+    dedup_commit_batch(df_new, 2, table, state, app_id="proto")
+    got = {r["doc_id"] for r in DeltaCatalog("p", table).to_dataframe(spark).collect()}
+    assert got == {1, 2, 4}

@@ -569,3 +569,37 @@ def test_dedup_commit_protocol_skipped_write_paths(spark, tmp_path):
     dedup_commit_batch(df_new, 2, table, state, app_id="proto")
     got = {r["doc_id"] for r in DeltaCatalog("p", table).to_dataframe(spark).collect()}
     assert got == {1, 2, 4}
+
+
+def test_corpus_sink_config_surface(spark, tmp_path):
+    """Config parity with the batch pipeline: repetition rules apply per
+    micro-batch (per-document semantics), and the cross-document scrub_span
+    stage is an explicit refusal, not a silent skip."""
+    import pytest as _pytest
+
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.operators.corpus import CorpusPrepConfig
+    from buzz_rust_spark.streaming.corpus_ingest import _clean_batch, corpus_prep_sink
+
+    # scrub_span must refuse up front (before any stream starts)
+    empty_src = tmp_path / "empty_src"
+    empty_src.mkdir()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(empty_src))
+    )
+    with _pytest.raises(BuzzBadRequestError, match="scrub_span"):
+        corpus_prep_sink(
+            stream, str(tmp_path / "t"), str(tmp_path / "s"), str(tmp_path / "c"),
+            app_id="x", config=CorpusPrepConfig(scrub_span=50),
+        )
+
+    # repetition gate drops the dup-line document in a plain batch call
+    clean = "the quick brown fox jumps over the lazy dog and wanders far away"
+    repetitive = "\n".join(["same line repeated here"] * 12)
+    df = spark.createDataFrame(
+        [(1, clean), (2, repetitive)], ["doc_id", "text"]
+    )
+    cfg = CorpusPrepConfig(min_quality=0.0, repetition_rules={})
+    out = _clean_batch(df, cfg, "text", "doc_id", None, 0.5)
+    assert [r["doc_id"] for r in out.collect()] == [1]

@@ -291,3 +291,45 @@ def test_audio_features_flac_equals_wav(spark):
 def test_flac_strict_decode_features(spark):
     media = M.synthetic_media(spark, n=4, kind="audio")
     assert len(M.decode_features(media, strict=True).collect()) == 4
+
+
+# --- property tests (hypothesis): losslessness over arbitrary input ---------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=2000),
+    st.sampled_from([8000, 16000, 22050, 44100]),
+)
+def test_property_flac_roundtrip_lossless_mono(samples, rate):
+    sig = np.asarray(samples, dtype=np.int16)
+    out = decode_flac(encode_flac(sig, rate, 1))
+    assert out is not None
+    back = np.round(np.asarray(out[0]) * 32768.0).astype(np.int64)
+    np.testing.assert_array_equal(back, sig.astype(np.int64))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=2, max_size=1000)
+    .filter(lambda x: len(x) % 2 == 0)
+)
+def test_property_flac_roundtrip_lossless_stereo(samples):
+    sig = np.asarray(samples, dtype=np.int16)
+    out = decode_flac(encode_flac(sig, 16000, 2))
+    assert out is not None
+    back = np.round(np.asarray(out[0]) * 32768.0).astype(np.int64)
+    np.testing.assert_array_equal(back, sig.astype(np.int64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_property_flac_decoder_never_raises_on_fuzz(blob):
+    # arbitrary bytes (incl. ones starting with the magic) → None or a
+    # valid tuple, never an exception into the caller
+    for payload in (b"fLaC" + blob, blob):
+        out = decode_flac(payload)
+        assert out is None or len(out) == 3

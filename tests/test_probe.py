@@ -140,3 +140,26 @@ def test_probe_media_distributed(spark):
     assert rows[200]["duration_ms"] == 400  # 4 frames at 10 fps
     assert rows[300]["container"] == "unknown"
     assert rows[300]["n_bytes"] > 0
+
+
+# --- property test (hypothesis): the router must never fail the stage -------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_property_probe_never_raises_on_fuzz(blob):
+    for payload in (
+        blob,
+        b"BM" + blob,
+        b"RIFF" + blob,
+        b"\x89PNG\r\n\x1a\n" + blob,
+        b"\xff\xd8" + blob,
+        b"fLaC" + blob,
+        b"ID3" + blob,
+        b"GIF8" + blob,
+    ):
+        info = _probe_one(payload)
+        assert isinstance(info, dict) and "container" in info

@@ -1260,6 +1260,57 @@ def z19_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z25_avro_source",
+    tags=("source", "pipeline"),
+    oracle=None,  # input is a synthesized avro shard set; codec semantics
+    # pinned in tests/test_avro.py
+)
+def z25_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro intake end-to-end: the first documents rows re-encoded as three
+    Avro OCF shards (null + deflate codecs, the pure-python writer), read
+    back distributed (shard = task, embedded-schema decode), and aggregated
+    per source — byte-identical texts prove the codec round-trip at the
+    driver level."""
+    import os
+    import tempfile
+
+    from ..sources.avro import encode_avro_records, read_avro
+
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(60).collect()
+    schema = {
+        "type": "record", "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "source", "type": "string"},
+            {"name": "text", "type": ["null", "string"]},
+        ],
+    }
+    out_dir = tempfile.mkdtemp(prefix="avro_z25_")
+    for shard in range(3):
+        recs = [
+            {"doc_id": r.doc_id, "source": r.source, "text": r.text}
+            for i, r in enumerate(docs)
+            if i % 3 == shard
+        ]
+        with open(os.path.join(out_dir, f"part-{shard}.avro"), "wb") as fh:
+            fh.write(
+                encode_avro_records(
+                    schema, recs, codec="deflate" if shard % 2 else "null"
+                )
+            )
+    df = read_avro(spark, out_dir)
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("text_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "z24_media_probe",
     tags=("multimodal", "pipeline"),
     oracle=None,  # synthetic media, not the parquet tables; header parsing

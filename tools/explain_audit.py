@@ -45,6 +45,7 @@ PANDAS_UDF_OK = {
     "z22_video_frames",  # AVI/MJPEG frame decode is the mapInPandas codec kernel
     "z23_audio_features",  # WAV/FLAC decode is the mapInPandas codec kernel
     "z24_media_probe",  # header-only probing is the mapInPandas kernel
+    "z25_avro_source",  # OCF block decode is the mapInPandas kernel
 }
 PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # q37 compares each group against a one-row global-total threshold: a BNLJ

@@ -29,7 +29,6 @@ scope — each file decodes under its own writer schema.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
@@ -37,7 +36,6 @@ import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -66,7 +64,7 @@ class _Reader:
         self.pos = pos
 
     def read(self, n: int) -> bytes:
-        if self.pos + n > len(self.data):
+        if n < 0 or self.pos + n > len(self.data):
             raise ValueError("avro: truncated input")
         out = self.data[self.pos : self.pos + n]
         self.pos += n
@@ -93,8 +91,48 @@ class _Reader:
         return self.read(n)
 
 
-def _decode_value(rd: _Reader, schema) -> object:
+_PRIMITIVES = ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+
+
+def _collect_names(schema, names: dict) -> None:
+    """Register named types (record/enum/fixed) so later bare-string
+    references — routine in real Avro, incl. Iceberg manifests — resolve.
+    Namespacing is flattened to the bare name (documented scope)."""
+    if isinstance(schema, list):
+        for b in schema:
+            _collect_names(b, names)
+        return
+    if not isinstance(schema, dict):
+        return
+    t = schema.get("type")
+    if t in ("record", "enum", "fixed") and "name" in schema:
+        names[schema["name"]] = schema
+    if t == "record":
+        for f in schema.get("fields", []):
+            _collect_names(f["type"], names)
+    elif t == "array":
+        _collect_names(schema.get("items"), names)
+    elif t == "map":
+        _collect_names(schema.get("values"), names)
+    elif isinstance(t, (dict, list)):
+        _collect_names(t, names)
+
+
+def _resolve(schema, names: dict | None):
+    """Bare-string named-type reference → its definition (if registered)."""
+    if (
+        isinstance(schema, str)
+        and schema not in _PRIMITIVES
+        and names
+        and schema in names
+    ):
+        return names[schema]
+    return schema
+
+
+def _decode_value(rd: _Reader, schema, names: dict | None = None) -> object:
     """Decode one value under the (parsed-JSON) writer schema."""
+    schema = _resolve(schema, names)
     if isinstance(schema, str):
         t = schema
         if t == "null":
@@ -116,11 +154,12 @@ def _decode_value(rd: _Reader, schema) -> object:
         idx = rd.long()
         if not 0 <= idx < len(schema):
             raise ValueError("avro: union index out of range")
-        return _decode_value(rd, schema[idx])
+        return _decode_value(rd, schema[idx], names)
     t = schema["type"]
     if t == "record":
         return {
-            f["name"]: _decode_value(rd, f["type"]) for f in schema["fields"]
+            f["name"]: _decode_value(rd, f["type"], names)
+            for f in schema["fields"]
         }
     if t == "enum":
         idx = rd.long()
@@ -140,7 +179,7 @@ def _decode_value(rd: _Reader, schema) -> object:
                 rd.long()
                 count = -count
             for _ in range(count):
-                out.append(_decode_value(rd, schema["items"]))
+                out.append(_decode_value(rd, schema["items"], names))
         return out
     if t == "map":
         out = {}
@@ -153,20 +192,19 @@ def _decode_value(rd: _Reader, schema) -> object:
                 count = -count
             for _ in range(count):
                 k = rd.bytes_().decode("utf-8")
-                out[k] = _decode_value(rd, schema["values"])
+                out[k] = _decode_value(rd, schema["values"], names)
         return out
-    # named-type reference or wrapped primitive {"type": "string"}
+    # wrapped form {"type": <schema>} (e.g. {"type": "string"})
     if isinstance(t, (str, list, dict)) and not schema.get("fields"):
-        return _decode_value(rd, t)
+        return _decode_value(rd, t, names)
     raise ValueError(f"avro: unsupported schema {schema!r}")
 
 
-def decode_avro_file(payload: bytes):
-    """OCF bytes → (writer schema (parsed JSON), list of decoded records).
+def _read_header(payload: bytes):
+    """Magic + file metadata + sync → (schema, codec, sync, body offset).
 
-    Verifies the magic and every block's sync marker; supports the ``null``
-    and ``deflate`` codecs.  Raises ``ValueError`` on corruption (callers
-    at the Spark layer turn that into diagnostic rows)."""
+    Cheap: touches only the header region — schema derivation over a big
+    corpus must not decode (or even inflate) anyone's record blocks."""
     rd = _Reader(payload)
     if rd.read(4) != _MAGIC:
         raise ValueError("avro: bad magic")
@@ -182,15 +220,34 @@ def decode_avro_file(payload: bytes):
             k = rd.bytes_().decode("utf-8")
             meta[k] = rd.bytes_()
     sync = rd.read(16)
+    if "avro.schema" not in meta:
+        raise ValueError("avro: header missing avro.schema")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
+    return schema, codec, sync, rd.pos
+
+
+def decode_avro_file(payload: bytes):
+    """OCF bytes → (writer schema (parsed JSON), list of decoded records).
+
+    Verifies the magic and every block's sync marker; supports the ``null``
+    and ``deflate`` codecs.  Raises ``ValueError`` on corruption (callers
+    at the Spark layer turn that into diagnostic rows)."""
+    schema, codec, sync, pos = _read_header(payload)
+    rd = _Reader(payload, pos)
+    names: dict = {}
+    _collect_names(schema, names)
 
     records: list = []
     while rd.pos < len(rd.data):
         n_records = rd.long()
         n_bytes = rd.long()
+        if n_records < 0 or n_bytes < 0:
+            # a negative byte count would make _Reader.read move BACKWARD
+            # and loop forever — corruption must raise, never hang a task
+            raise ValueError("avro: negative block count")
         block = rd.read(n_bytes)
         if rd.read(16) != sync:
             raise ValueError("avro: block sync mismatch")
@@ -198,7 +255,7 @@ def decode_avro_file(payload: bytes):
             block = zlib.decompress(block, -15)
         brd = _Reader(block)
         for _ in range(n_records):
-            records.append(_decode_value(brd, schema))
+            records.append(_decode_value(brd, schema, names))
         if brd.pos != len(block):
             raise ValueError("avro: trailing bytes in block")
     return schema, records
@@ -227,7 +284,44 @@ class _Writer:
         self.buf += b
 
 
-def _encode_value(wr: _Writer, schema, value) -> None:
+def _union_matches(branch, value, names: dict | None) -> bool:
+    """Does ``value`` belong to this union branch?  (Type-directed — the
+    positional first-non-null rule silently coerces, e.g. '5' → int 5.)"""
+    branch = _resolve(branch, names)
+    if branch == "null":
+        return value is None
+    if value is None:
+        return False
+    if isinstance(branch, str):
+        if branch == "boolean":
+            return isinstance(value, bool)
+        if branch in ("int", "long"):
+            return isinstance(value, int) and not isinstance(value, bool)
+        if branch in ("float", "double"):
+            return isinstance(value, (int, float)) and not isinstance(value, bool)
+        if branch == "string":
+            return isinstance(value, str)
+        if branch == "bytes":
+            return isinstance(value, (bytes, bytearray))
+        return False
+    t = branch.get("type")
+    if t == "record":
+        return isinstance(value, dict)
+    if t == "enum":
+        return isinstance(value, str) and value in branch.get("symbols", [])
+    if t == "fixed":
+        return isinstance(value, (bytes, bytearray)) and len(value) == int(
+            branch["size"]
+        )
+    if t == "array":
+        return isinstance(value, (list, tuple))
+    if t == "map":
+        return isinstance(value, dict)
+    return False
+
+
+def _encode_value(wr: _Writer, schema, value, names: dict | None = None) -> None:
+    schema = _resolve(schema, names)
     if isinstance(schema, str):
         t = schema
         if t == "null":
@@ -248,20 +342,19 @@ def _encode_value(wr: _Writer, schema, value) -> None:
             raise ValueError(f"avro: unknown primitive {t!r}")
         return
     if isinstance(schema, list):
-        # union: pick the first branch that matches the python value
+        # union: pick the branch whose TYPE matches the python value
         for idx, branch in enumerate(schema):
-            if value is None and branch == "null":
+            if _union_matches(branch, value, names):
                 wr.long(idx)
+                _encode_value(wr, branch, value, names)
                 return
-            if value is not None and branch != "null":
-                wr.long(idx)
-                _encode_value(wr, branch, value)
-                return
-        raise ValueError("avro: no union branch for value")
+        raise ValueError(
+            f"avro: no union branch in {schema!r} for {type(value).__name__}"
+        )
     t = schema["type"]
     if t == "record":
         for f in schema["fields"]:
-            _encode_value(wr, f["type"], value[f["name"]])
+            _encode_value(wr, f["type"], value[f["name"]], names)
     elif t == "enum":
         wr.long(schema["symbols"].index(value))
     elif t == "fixed":
@@ -272,17 +365,17 @@ def _encode_value(wr: _Writer, schema, value) -> None:
         if value:
             wr.long(len(value))
             for v in value:
-                _encode_value(wr, schema["items"], v)
+                _encode_value(wr, schema["items"], v, names)
         wr.long(0)
     elif t == "map":
         if value:
             wr.long(len(value))
             for k, v in value.items():
                 wr.bytes_(str(k).encode("utf-8"))
-                _encode_value(wr, schema["values"], v)
+                _encode_value(wr, schema["values"], v, names)
         wr.long(0)
     else:
-        _encode_value(wr, t, value)
+        _encode_value(wr, t, value, names)
 
 
 def encode_avro_records(
@@ -310,11 +403,13 @@ def encode_avro_records(
     head.bytes_(codec.encode())
     head.long(0)
     head.buf += sync
+    names: dict = {}
+    _collect_names(schema, names)
     for start in range(0, len(records), records_per_block):
         chunk = records[start : start + records_per_block]
         body = _Writer()
         for rec in chunk:
-            _encode_value(body, schema, rec)
+            _encode_value(body, schema, rec, names)
         payload = bytes(body.buf)
         if codec == "deflate":
             payload = zlib.compress(payload, 6)[2:-4]  # raw deflate
@@ -328,9 +423,10 @@ def encode_avro_records(
 # --- avro schema → Spark schema ---------------------------------------------
 
 
-def _spark_type(schema):
+def _spark_type(schema, names: dict | None = None):
+    schema = _resolve(schema, names)
     if isinstance(schema, str):
-        return {
+        prim = {
             "boolean": BooleanType(),
             "int": IntegerType(),
             "long": LongType(),
@@ -339,19 +435,24 @@ def _spark_type(schema):
             "bytes": BinaryType(),
             "string": StringType(),
             "null": StringType(),  # all-null column
-        }[schema]
+        }.get(schema)
+        if prim is None:
+            raise BuzzSchemaError(
+                f"unresolved avro type reference {schema!r}"
+            )
+        return prim
     if isinstance(schema, list):
         branches = [b for b in schema if b != "null"]
         if len(branches) != 1:
             raise BuzzSchemaError(
                 f"unsupported non-nullable avro union {schema!r}"
             )
-        return _spark_type(branches[0])
+        return _spark_type(branches[0], names)
     t = schema["type"]
     if t == "record":
         return StructType(
             [
-                StructField(f["name"], _spark_type(f["type"]), True)
+                StructField(f["name"], _spark_type(f["type"], names), True)
                 for f in schema["fields"]
             ]
         )
@@ -360,15 +461,17 @@ def _spark_type(schema):
     if t == "fixed":
         return BinaryType()
     if t == "array":
-        return ArrayType(_spark_type(schema["items"]), True)
+        return ArrayType(_spark_type(schema["items"], names), True)
     if t == "map":
-        return MapType(StringType(), _spark_type(schema["values"]), True)
-    return _spark_type(t)
+        return MapType(StringType(), _spark_type(schema["values"], names), True)
+    return _spark_type(t, names)
 
 
 def avro_spark_schema(schema) -> StructType:
     """Top-level writer schema (must be a record) → Spark StructType."""
-    st = _spark_type(schema)
+    names: dict = {}
+    _collect_names(schema, names)
+    st = _spark_type(schema, names)
     if not isinstance(st, StructType):
         raise BuzzSchemaError("top-level avro schema must be a record")
     return st
@@ -396,10 +499,32 @@ def read_avro(
     binf = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro")
     bin_df = binf.load(paths).select("path", "content")
 
-    first = bin_df.orderBy("path").select("path", "content").limit(1).collect()
-    if not first:
+    # Schema derivation: fetch ONLY the winning path's bytes (a path-only
+    # TakeOrdered — binaryFile prunes the content column — then one
+    # single-file load), and parse just the header: no record decode, no
+    # inflate, no second full-corpus read.  With diagnostics on, corrupt
+    # leading files are skipped until a parsable header is found — a bad
+    # lexicographic-first shard must not kill a 100k-file intake.
+    all_paths = [
+        r["path"] for r in binf.load(paths).select("path").orderBy("path").collect()
+    ]
+    if not all_paths:
         raise BuzzBadRequestError(f"no .avro files under {path!r}")
-    ref_schema, _ = decode_avro_file(bytes(first[0]["content"]))
+    ref_schema = None
+    for candidate in all_paths:
+        content = bytes(
+            spark.read.format("binaryFile").load(candidate).head()["content"]
+        )
+        try:
+            ref_schema, _, _, _ = _read_header(content)
+            break
+        except (ValueError, KeyError) as e:
+            if not diagnostics:
+                raise BuzzExecutionError(f"avro file {candidate}: {e}") from e
+    if ref_schema is None:
+        raise BuzzBadRequestError(
+            f"no parsable .avro header under {path!r} ({len(all_paths)} files)"
+        )
     spark_schema = avro_spark_schema(ref_schema)
     out_schema = (
         StructType(spark_schema.fields + [StructField("_error", StringType(), True)])
@@ -407,6 +532,7 @@ def read_avro(
         else spark_schema
     )
     field_names = [f.name for f in spark_schema.fields]
+    ref_schema_str = spark_schema.simpleString()
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -416,7 +542,14 @@ def read_avro(
             rows = []
             for p, content in zip(batch["path"], batch["content"]):
                 try:
-                    _, records = decode_avro_file(bytes(content))
+                    schema, records = decode_avro_file(bytes(content))
+                    # a file whose embedded schema disagrees must be a typed
+                    # error (or a diagnostic row), never silently-null columns
+                    got = avro_spark_schema(schema).simpleString()
+                    if got != ref_schema_str:
+                        raise ValueError(
+                            f"avro: schema mismatch vs reference: {got}"
+                        )
                     for rec in records:
                         if not isinstance(rec, dict):
                             raise ValueError("avro: top-level not a record")
@@ -424,7 +557,7 @@ def read_avro(
                         if diagnostics:
                             row["_error"] = None
                         rows.append(row)
-                except (ValueError, KeyError, zlib.error) as e:
+                except (ValueError, KeyError, zlib.error, BuzzSchemaError) as e:
                     if not diagnostics:
                         raise BuzzExecutionError(f"avro file {p}: {e}") from e
                     row = {k: None for k in field_names}

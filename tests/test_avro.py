@@ -146,5 +146,88 @@ def test_read_avro_diagnostics_vs_strict(spark, tmp_path):
 def test_read_avro_empty_dir(spark, tmp_path):
     d = tmp_path / "none"
     d.mkdir()
-    with pytest.raises((BuzzBadRequestError, Exception)):
+    with pytest.raises(BuzzBadRequestError, match="no .avro files"):
         read_avro(spark, str(d))
+
+
+def test_negative_block_count_raises_not_hangs():
+    """A negative block byte-count (2-byte corruption) must raise — the
+    unguarded read would rewind and loop forever."""
+    from buzz_rust_spark.sources.avro import _Writer
+
+    # append a malicious block (n_records=0, n_bytes=-18) to a frameless file
+    hdr_only = encode_avro_records(SCHEMA, [])
+    w = _Writer()
+    w.long(0)      # n_records
+    w.long(-18)    # n_bytes NEGATIVE
+    evil = hdr_only + bytes(w.buf) + hdr_only[-16:]
+    with pytest.raises(ValueError):
+        decode_avro_file(evil)
+
+
+def test_named_type_reference_roundtrip():
+    """A fixed type defined once and referenced by bare name later — the
+    shape Iceberg manifests use — encodes and decodes."""
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "a", "type": {"type": "fixed", "name": "md5", "size": 4}},
+            {"name": "b", "type": "md5"},  # named reference
+        ],
+    }
+    recs = [{"a": b"\x01\x02\x03\x04", "b": b"\x05\x06\x07\x08"}]
+    _, back = decode_avro_file(encode_avro_records(schema, recs))
+    assert back == recs
+    st = avro_spark_schema(schema)
+    assert [f.dataType.simpleString() for f in st.fields] == ["binary", "binary"]
+
+
+def test_union_branch_picked_by_value_type():
+    """['int','string'] union: a string value must encode as the STRING
+    branch, not be coerced through int()."""
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "v", "type": ["int", "string"]}],
+    }
+    recs = [{"v": 5}, {"v": "5"}, {"v": "xyz"}]
+    _, back = decode_avro_file(encode_avro_records(schema, recs))
+    assert back == recs
+    assert isinstance(back[0]["v"], int) and isinstance(back[1]["v"], str)
+    with pytest.raises(ValueError, match="no union branch"):
+        encode_avro_records(schema, [{"v": 1.5}])
+
+
+def test_corrupt_first_file_diagnostics_survives(spark, tmp_path):
+    """diagnostics=True must survive a corrupt LEXICOGRAPHICALLY-FIRST shard
+    (schema derivation skips to the next parsable header)."""
+    d = tmp_path / "avro_first_bad"
+    d.mkdir()
+    (d / "aaa.avro").write_bytes(b"NotAvro" * 10)
+    (d / "bbb.avro").write_bytes(encode_avro_records(SCHEMA, _recs(7)))
+    rows = read_avro(spark, str(d), diagnostics=True).collect()
+    errs = [r for r in rows if r["_error"] is not None]
+    assert len(rows) == 8 and len(errs) == 1 and "aaa.avro" in errs[0]["_error"]
+    # strict mode: typed error instead
+    with pytest.raises(Exception, match="BuzzExecutionError|avro"):
+        read_avro(spark, str(d)).count()
+
+
+def test_schema_mismatch_is_error_not_null_columns(spark, tmp_path):
+    """A shard whose embedded schema disagrees must surface as an error row
+    (diagnostics) or typed failure (strict) — never silently-null columns."""
+    other = {
+        "type": "record", "name": "doc",
+        "fields": [{"name": "something_else", "type": "long"}],
+    }
+    d = tmp_path / "avro_mix"
+    d.mkdir()
+    (d / "a.avro").write_bytes(encode_avro_records(SCHEMA, _recs(5)))
+    (d / "b.avro").write_bytes(
+        encode_avro_records(other, [{"something_else": 1}])
+    )
+    rows = read_avro(spark, str(d), diagnostics=True).collect()
+    errs = [r for r in rows if r["_error"] is not None]
+    assert len(errs) == 1 and "schema mismatch" in errs[0]["_error"]
+    assert len(rows) == 6
+    with pytest.raises(Exception, match="BuzzExecutionError|mismatch"):
+        read_avro(spark, str(d)).count()

@@ -100,6 +100,10 @@ class BuzzEngine:
             return cat
         if spec.type is BuzzCatalogType.DELTA_LAKE:
             return DeltaCatalog(name=spec.name, table_uri=spec.uri)
+        if spec.type is BuzzCatalogType.ICEBERG:
+            from .sources.iceberg import IcebergCatalog
+
+            return IcebergCatalog(name=spec.name, table_uri=spec.uri)
         return ParquetDirCatalog(name=spec.name, path=spec.uri)
 
     # -- execution ----------------------------------------------------------

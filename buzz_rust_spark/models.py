@@ -31,6 +31,7 @@ class BuzzCatalogType(str, Enum):
     STATIC = "Static"
     DELTA_LAKE = "DeltaLake"
     PARQUET_DIR = "ParquetDir"  # rebuild extension: a directory of parquet files
+    ICEBERG = "Iceberg"  # rebuild extension: read-only Apache Iceberg v1/v2 tables
 
 
 @dataclass

@@ -12,6 +12,7 @@ from .logstore import LogStore, register_scheme, unregister_scheme
 from .manifest import CatalogFile, manifest_df, prune_manifest
 from .static_catalog import StaticCatalog
 from .delta_catalog import DeltaCatalog, read_delta_changes
+from .iceberg import IcebergCatalog
 from .delta_writer import (
     delete_delta,
     merge_delta,
@@ -35,6 +36,7 @@ __all__ = [
     "prune_manifest",
     "StaticCatalog",
     "DeltaCatalog",
+    "IcebergCatalog",
     "read_delta_changes",
     "ParquetDirCatalog",
     "write_delta",

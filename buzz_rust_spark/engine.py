@@ -32,7 +32,7 @@ from pyspark.sql.utils import AnalysisException
 from .errors import BuzzBadRequestError, BuzzError, BuzzPlanError
 from .models import BuzzCatalog, BuzzCatalogType, BuzzQuery, BuzzStep, BuzzStepType
 from .plans import referenced_tables
-from .sources import DeltaCatalog, ParquetDirCatalog, StaticCatalog
+from .sources import DeltaCatalog, IcebergCatalog, ParquetDirCatalog, StaticCatalog
 
 
 def _execution_root_cause(exc: Exception) -> str:
@@ -101,8 +101,6 @@ class BuzzEngine:
         if spec.type is BuzzCatalogType.DELTA_LAKE:
             return DeltaCatalog(name=spec.name, table_uri=spec.uri)
         if spec.type is BuzzCatalogType.ICEBERG:
-            from .sources.iceberg import IcebergCatalog
-
             return IcebergCatalog(name=spec.name, table_uri=spec.uri)
         return ParquetDirCatalog(name=spec.name, path=spec.uri)
 

@@ -22,8 +22,9 @@ The metadata chain is walked with in-repo codecs only:
   partition values recorded per data file become ``CatalogFile`` partition
   tuples, pruned by the same ``partition_filter`` strings the static/Delta
   catalogs take.  Non-identity transforms (bucket/truncate/days/...) are
-  simply not prunable here — their files always survive pruning (correct,
-  just less selective).  Unlike Delta/Hive layouts, Iceberg data files
+  not prunable here — a ``partition_filter`` against such a table is a
+  typed BuzzPlanError (filterless reads work).  Unlike Delta/Hive layouts,
+  Iceberg data files
   CONTAIN their partition columns, so the scan attaches nothing: pruning
   uses a partition-aware helper catalog, scanning a partition-free one.
 
@@ -36,6 +37,7 @@ format-version 3+ likewise.
 from __future__ import annotations
 
 import json
+import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,13 +58,62 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
+from ..errors import (
+    BuzzBadRequestError,
+    BuzzExecutionError,
+    BuzzPlanError,
+    BuzzSchemaError,
+)
 from .avro import decode_avro_file
-from .logstore import LogStore
+from .logstore import _SCHEME_RESOLVERS, LogStore
 from .manifest import CatalogFile
 from .static_catalog import StaticCatalog
 
 _META = "metadata"
+
+
+def _spark_uri(uri: str) -> str:
+    """A manifest-recorded ABSOLUTE file path as Spark should read it:
+    s3:// → s3a:// (stock Spark/Hadoop binds fs.s3a only — same
+    normalization LogStore applies to table roots), registered test-seam
+    schemes → their resolved local paths, file:// stripped."""
+    if "://" not in uri:
+        return uri
+    scheme, rest = uri.split("://", 1)
+    if scheme == "s3":
+        return f"s3a://{rest}"
+    if scheme == "file":
+        return rest
+    if scheme in _SCHEME_RESOLVERS:
+        return _SCHEME_RESOLVERS[scheme](uri)
+    return uri
+
+
+def _partition_str(value, iceberg_type) -> str | None:
+    """A manifest partition value (Avro PHYSICAL representation) as the
+    SQL-comparable string the ``partition_filter`` surface uses: dates
+    (days-since-epoch int) → ISO date, timestamps (micros) → ISO datetime,
+    booleans → true/false — str() of the raw physical int would never match
+    a user's ``event_date = '2021-01-01'`` filter."""
+    if value is None:
+        return None
+    if iceberg_type == "date" and isinstance(value, int):
+        import datetime
+
+        return (
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=value)
+        ).isoformat()
+    if iceberg_type in ("timestamp", "timestamptz") and isinstance(value, int):
+        import datetime
+
+        return datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        ).replace(tzinfo=None).__add__(
+            datetime.timedelta(microseconds=value)
+        ).isoformat(sep=" ")
+    if iceberg_type == "boolean" or isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
 
 
 def _iceberg_type(t) -> object:
@@ -142,14 +193,22 @@ class IcebergCatalog:
             cand = f"{_META}/v{v}.metadata.json"
             if store.exists(cand):
                 return cand
-        names = sorted(
+        names = [
             n for n in store.list_names(_META) if n.endswith(".metadata.json")
-        )
+        ]
         if not names:
             raise BuzzExecutionError(
                 f"no *.metadata.json under {self.table_uri!r}/{_META}"
             )
-        return f"{_META}/{names[-1]}"
+
+        # Hadoop layout is v<N>.metadata.json: order by the NUMERIC version
+        # (lexicographic would rank v9 over v10+ — silent stale reads);
+        # other layouts (00000-<uuid>) zero-pad and sort correctly as text
+        def order(n: str):
+            m = re.match(r"v(\d+)\.metadata\.json$", n)
+            return (1, int(m.group(1)), n) if m else (0, 0, n)
+
+        return f"{_META}/{max(names, key=order)}"
 
     def _load(self) -> None:
         store = self._store
@@ -185,11 +244,13 @@ class IcebergCatalog:
         else:
             spec_fields = meta.get("partition-spec", [])
         # partition tuple layout in manifests follows the spec field ORDER
+        field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
         self._spec_fields = [
             {
                 "name": f["name"],
                 "identity": f.get("transform") == "identity",
                 "source_name": field_names.get(f.get("source-id")),
+                "source_type": field_types.get(f.get("source-id")),
             }
             for f in spec_fields
         ]
@@ -200,26 +261,36 @@ class IcebergCatalog:
         ]
 
         snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        self._snapshots = meta.get("snapshots", [])
         sid = (
             self.snapshot_id
             if self.snapshot_id is not None
             else meta.get("current-snapshot-id")
         )
+        if self.snapshot_id is not None and self.snapshot_id not in snaps:
+            # an EXPLICIT time-travel request for a missing snapshot is an
+            # error even on an empty table — silence would mask typos
+            raise BuzzBadRequestError(
+                f"snapshot {sid} not in table metadata (have {sorted(snaps)})"
+            )
         if sid is None or sid == -1 or not snaps:
             self._files: list[CatalogFile] = []
             return
-        if sid not in snaps:
-            raise BuzzBadRequestError(
-                f"snapshot {sid} not in table metadata "
-                f"(have {sorted(snaps)})"
-            )
         self._files = self._resolve_snapshot(snaps[sid])
 
     def _resolve_snapshot(self, snap: dict) -> list[CatalogFile]:
         store = self._store
-        mlist_schema, manifests = decode_avro_file(
-            store.read_bytes_uri(snap["manifest-list"])
-        )
+        if "manifest-list" in snap:
+            _, manifests = decode_avro_file(
+                store.read_bytes_uri(snap["manifest-list"])
+            )
+        elif "manifests" in snap:
+            # legacy v1 form: manifest paths inline, no manifest-list file
+            manifests = [{"manifest_path": p, "content": 0} for p in snap["manifests"]]
+        else:
+            raise BuzzExecutionError(
+                "iceberg snapshot has neither manifest-list nor manifests"
+            )
         files: list[CatalogFile] = []
         for m in manifests:
             if int(m.get("content") or 0) != 0:
@@ -250,16 +321,14 @@ class IcebergCatalog:
                 partitions = tuple(
                     (
                         f["source_name"],
-                        None
-                        if part.get(f["name"]) is None
-                        else str(part.get(f["name"])),
+                        _partition_str(part.get(f["name"]), f["source_type"]),
                     )
                     for f in self._spec_fields
                     if f["identity"] and f["source_name"]
                 )
                 files.append(
                     CatalogFile(
-                        key=df_rec["file_path"],
+                        key=_spark_uri(df_rec["file_path"]),
                         length=int(df_rec.get("file_size_in_bytes") or 0),
                         partitions=partitions,
                     )
@@ -279,8 +348,16 @@ class IcebergCatalog:
     def pruned_files(
         self, spark: SparkSession, partition_filter: str | None
     ) -> list[CatalogFile]:
-        if not partition_filter or not self.partition_cols:
+        if not partition_filter:
             return list(self._files)
+        if not self.partition_cols:
+            # same posture as the static/Delta catalogs: a filter that can't
+            # prune (non-identity transforms) is a typed error, not a silent
+            # return of every row the filter should have excluded
+            raise BuzzPlanError(
+                "partition_filter given but the table has no identity-"
+                "transform partition columns to prune on"
+            )
         return self._pruning_catalog().pruned_files(spark, partition_filter)
 
     def to_dataframe(
@@ -305,13 +382,14 @@ class IcebergCatalog:
         return scan.to_dataframe(spark)
 
     def history(self) -> list[dict]:
-        """Snapshot list (id, timestamp, operation) for time travel."""
-        meta = json.loads(self._store.read_text(self._metadata_path()))
+        """Snapshot list (id, timestamp, operation) — from the metadata
+        already loaded at construction (no re-read: a concurrent commit must
+        not make history() disagree with the snapshot this catalog scans)."""
         return [
             {
                 "snapshot_id": s["snapshot-id"],
                 "timestamp_ms": s.get("timestamp-ms"),
                 "operation": (s.get("summary") or {}).get("operation"),
             }
-            for s in meta.get("snapshots", [])
+            for s in self._snapshots
         ]

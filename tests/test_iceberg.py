@@ -212,8 +212,12 @@ def test_nonidentity_transform_not_prunable_but_readable(spark, tmp_path):
     assert cat.partition_cols == []
     # filterless read still returns everything
     assert cat.to_dataframe(spark).count() == 6
-    # pruning is a no-op (all files survive), never an error
-    assert len(cat.pruned_files(spark, "year = '2021'")) == 4
+    # a filter that CANNOT prune is a typed error — silently returning rows
+    # the filter should exclude would corrupt engine results
+    from buzz_rust_spark.errors import BuzzPlanError
+
+    with pytest.raises(BuzzPlanError, match="identity"):
+        cat.pruned_files(spark, "year = '2021'")
 
 
 def test_v1_metadata_layout(spark, tmp_path):
@@ -338,3 +342,129 @@ def test_engine_query_over_iceberg(spark, tmp_path):
     )
     rows = {(r["year"], r["n"]) for r in engine.run(q).collect()}
     assert rows == {(2021, 3)}
+
+
+def test_metadata_version_ordering_numeric(spark, tmp_path):
+    """v10.metadata.json must beat v9 (numeric, not lexicographic) when the
+    version hint is absent."""
+    root = build_table(tmp_path)
+    meta = os.path.join(root, "metadata")
+    md = open(os.path.join(meta, "v3.metadata.json")).read()
+    os.remove(os.path.join(meta, "version-hint.text"))
+    # v9 = stale (current snapshot 1), v10 = fresh (current snapshot 2)
+    stale = json.loads(md)
+    stale["current-snapshot-id"] = 1
+    open(os.path.join(meta, "v9.metadata.json"), "w").write(json.dumps(stale))
+    open(os.path.join(meta, "v10.metadata.json"), "w").write(md)
+    os.remove(os.path.join(meta, "v3.metadata.json"))
+    cat = IcebergCatalog("t", root)
+    assert sorted(r["id"] for r in cat.to_dataframe(spark).collect()) == [
+        1, 2, 3, 4, 5, 6,
+    ]
+
+
+def test_date_partition_values_prune_as_iso_strings(spark, tmp_path):
+    """A date-partitioned table stores days-since-epoch ints in manifests;
+    the filter surface must see ISO dates."""
+    root = tmp_path / "dt_tbl"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    p1 = str(root / "data" / "d1.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()),
+                  "event_date": pa.array([18628], pa.date32())}), p1
+    )
+    p2 = str(root / "data" / "d2.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int64()),
+                  "event_date": pa.array([18629], pa.date32())}), p2
+    )
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": [{"name": "event_date", "type": ["null", "int"]}],
+                    }},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            }},
+        ],
+    }
+
+    def entry(p, day):
+        return {"status": 1, "data_file": {
+            "content": 0, "file_path": p, "file_format": "PARQUET",
+            "partition": {"event_date": day}, "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(p)}}
+
+    mpath = str(root / "metadata" / "m-0.avro")
+    open(mpath, "wb").write(
+        encode_avro_records(entry_schema, [entry(p1, 18628), entry(p2, 18629)])
+    )
+    ml = str(root / "metadata" / "snap-1.avro")
+    open(ml, "wb").write(encode_avro_records(MANIFEST_FILE_SCHEMA, [{
+        "manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}]))
+    md = {
+        "format-version": 2, "location": str(root),
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "event_date", "required": False, "type": "date"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "event_date", "transform": "identity",
+             "source-id": 2, "field-id": 1000}]}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "manifest-list": ml}],
+        "current-snapshot-id": 1,
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(md))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    cat = IcebergCatalog("t", str(root))
+    pruned = cat.pruned_files(spark, "event_date = '2021-01-01'")
+    assert len(pruned) == 1 and pruned[0].partitions == (
+        ("event_date", "2021-01-01"),
+    )
+    rows = cat.to_dataframe(spark, "event_date = '2021-01-01'").collect()
+    assert [r["id"] for r in rows] == [1]
+
+
+def test_v1_legacy_inline_manifests_field(spark, tmp_path):
+    """v1 snapshots may carry 'manifests' (paths inline) with no
+    manifest-list file."""
+    root = build_table(tmp_path, version=1)
+    meta = os.path.join(root, "metadata")
+    md_path = os.path.join(meta, "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+    ml = md["snapshots"][0].pop("manifest-list")
+    # recover the manifest paths from the manifest-list avro
+    from buzz_rust_spark.sources.avro import decode_avro_file
+
+    _, manifests = decode_avro_file(open(ml, "rb").read())
+    md["snapshots"][0]["manifests"] = [m["manifest_path"] for m in manifests]
+    open(md_path, "w").write(json.dumps(md))
+    cat = IcebergCatalog("t", root)
+    assert cat.to_dataframe(spark).count() == 6
+
+
+def test_explicit_snapshot_on_empty_table_errors(spark, tmp_path):
+    root = build_table(tmp_path)
+    md_path = os.path.join(root, "metadata", "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+    md["snapshots"] = []
+    md["current-snapshot-id"] = -1
+    open(md_path, "w").write(json.dumps(md))
+    with pytest.raises(BuzzBadRequestError, match="snapshot 1"):
+        IcebergCatalog("t", root, snapshot_id=1)

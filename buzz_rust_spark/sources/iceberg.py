@@ -93,8 +93,9 @@ def _partition_str(value, iceberg_type) -> str | None:
     """A manifest partition value (Avro PHYSICAL representation) as the
     SQL-comparable string the ``partition_filter`` surface uses: dates
     (days-since-epoch int) → ISO date, timestamps (micros) → ISO datetime,
-    booleans → true/false — str() of the raw physical int would never match
-    a user's ``event_date = '2021-01-01'`` filter."""
+    booleans → true/false, decimals (unscaled big-endian bytes) → scaled
+    decimal string, uuid/fixed/binary → canonical uuid / hex — str() of the
+    raw physical value would never match a user's filter."""
     if value is None:
         return None
     if iceberg_type == "date" and isinstance(value, int):
@@ -106,13 +107,24 @@ def _partition_str(value, iceberg_type) -> str | None:
     if iceberg_type in ("timestamp", "timestamptz") and isinstance(value, int):
         import datetime
 
-        return datetime.datetime(
-            1970, 1, 1, tzinfo=datetime.timezone.utc
-        ).replace(tzinfo=None).__add__(
-            datetime.timedelta(microseconds=value)
+        return (
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(microseconds=value)
         ).isoformat(sep=" ")
     if iceberg_type == "boolean" or isinstance(value, bool):
         return "true" if value else "false"
+    if isinstance(value, (bytes, bytearray)):
+        if isinstance(iceberg_type, str) and iceberg_type.startswith("decimal("):
+            import decimal
+
+            scale = int(iceberg_type[len("decimal(") : -1].split(",")[1])
+            unscaled = int.from_bytes(bytes(value), "big", signed=True)
+            return str(decimal.Decimal(unscaled).scaleb(-scale))
+        if iceberg_type == "uuid" and len(value) == 16:
+            import uuid
+
+            return str(uuid.UUID(bytes=bytes(value)))
+        return bytes(value).hex()
     return str(value)
 
 
@@ -201,12 +213,19 @@ class IcebergCatalog:
                 f"no *.metadata.json under {self.table_uri!r}/{_META}"
             )
 
-        # Hadoop layout is v<N>.metadata.json: order by the NUMERIC version
-        # (lexicographic would rank v9 over v10+ — silent stale reads);
-        # other layouts (00000-<uuid>) zero-pad and sort correctly as text
+        # Newest by the metadata's own last-updated-ms (robust across the
+        # Hadoop v<N> layout, UUID-named catalog layouts, and mixtures of
+        # both after a migration); numeric v<N> then name break ties —
+        # lexicographic alone would rank v9 over v10+ (silent stale reads).
         def order(n: str):
+            try:
+                ts = json.loads(store.read_text(f"{_META}/{n}")).get(
+                    "last-updated-ms", -1
+                ) or -1
+            except (ValueError, OSError):
+                ts = -1
             m = re.match(r"v(\d+)\.metadata\.json$", n)
-            return (1, int(m.group(1)), n) if m else (0, 0, n)
+            return (ts, int(m.group(1)) if m else -1, n)
 
         return f"{_META}/{max(names, key=order)}"
 
@@ -276,13 +295,30 @@ class IcebergCatalog:
         if sid is None or sid == -1 or not snaps:
             self._files: list[CatalogFile] = []
             return
+        if sid not in snaps:
+            # corrupt/partially-committed metadata: current-snapshot-id
+            # names a snapshot absent from the list
+            raise BuzzExecutionError(
+                f"current-snapshot-id {sid} missing from table metadata "
+                f"(have {sorted(snaps)})"
+            )
         self._files = self._resolve_snapshot(snaps[sid])
 
+    def _read_meta_bytes(self, uri: str) -> bytes:
+        """Manifest-list/manifest bytes by recorded (absolute) URI.
+
+        Hadoop-written tables record s3a:// URIs, which pyarrow's
+        FileSystem.from_uri does not recognize — normalize to s3:// first
+        (the same fs; region auto-resolves as in LogStore's s3 path).
+        Registered test-seam schemes resolve inside read_bytes_uri."""
+        if uri.startswith("s3a://"):
+            uri = "s3://" + uri[len("s3a://"):]
+        return self._store.read_bytes_uri(uri)
+
     def _resolve_snapshot(self, snap: dict) -> list[CatalogFile]:
-        store = self._store
         if "manifest-list" in snap:
             _, manifests = decode_avro_file(
-                store.read_bytes_uri(snap["manifest-list"])
+                self._read_meta_bytes(snap["manifest-list"])
             )
         elif "manifests" in snap:
             # legacy v1 form: manifest paths inline, no manifest-list file
@@ -300,7 +336,7 @@ class IcebergCatalog:
                     "supports append-only v2 tables)"
                 )
             _, entries = decode_avro_file(
-                store.read_bytes_uri(m["manifest_path"])
+                self._read_meta_bytes(m["manifest_path"])
             )
             for e in entries:
                 if int(e.get("status") or 0) == 2:  # DELETED entry

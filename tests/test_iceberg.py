@@ -468,3 +468,51 @@ def test_explicit_snapshot_on_empty_table_errors(spark, tmp_path):
     open(md_path, "w").write(json.dumps(md))
     with pytest.raises(BuzzBadRequestError, match="snapshot 1"):
         IcebergCatalog("t", root, snapshot_id=1)
+
+
+def test_dangling_current_snapshot_typed_error(spark, tmp_path):
+    """current-snapshot-id naming a snapshot absent from the list must be a
+    typed error, not a KeyError."""
+    root = build_table(tmp_path)
+    md_path = os.path.join(root, "metadata", "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+    md["current-snapshot-id"] = 42
+    open(md_path, "w").write(json.dumps(md))
+    with pytest.raises(BuzzExecutionError, match="current-snapshot-id 42"):
+        IcebergCatalog("t", root)
+
+
+def test_binary_represented_partition_values():
+    """decimal / uuid / fixed identity partition values stringify to their
+    SQL-comparable forms, not bytes reprs."""
+    from buzz_rust_spark.sources.iceberg import _partition_str
+
+    # decimal(9,2): unscaled 1234 → '12.34'
+    assert _partition_str((1234).to_bytes(3, "big", signed=True), "decimal(9,2)") == "12.34"
+    assert _partition_str((-1234).to_bytes(3, "big", signed=True), "decimal(9,2)") == "-12.34"
+    import uuid as _uuid
+
+    u = _uuid.uuid5(_uuid.NAMESPACE_DNS, "x")
+    assert _partition_str(u.bytes, "uuid") == str(u)
+    assert _partition_str(b"\x01\xff", "fixed[2]") == "01ff"
+    assert _partition_str(18628, "date") == "2021-01-01"
+    assert _partition_str(86_400_000_000, "timestamp") == "1970-01-02 00:00:00"
+    assert _partition_str(True, "boolean") == "true"
+
+
+def test_mixed_layout_picks_latest_by_last_updated(spark, tmp_path):
+    """A v2.metadata.json older than a UUID-named metadata file must lose to
+    it (ordering by last-updated-ms, not layout style)."""
+    root = build_table(tmp_path)
+    meta = os.path.join(root, "metadata")
+    md = json.loads(open(os.path.join(meta, "v3.metadata.json")).read())
+    os.remove(os.path.join(meta, "version-hint.text"))
+    os.remove(os.path.join(meta, "v3.metadata.json"))
+    stale = dict(md, **{"current-snapshot-id": 1, "last-updated-ms": 1000})
+    fresh = dict(md, **{"last-updated-ms": 2000})
+    open(os.path.join(meta, "v2.metadata.json"), "w").write(json.dumps(stale))
+    open(os.path.join(meta, "00005-abc.metadata.json"), "w").write(
+        json.dumps(fresh)
+    )
+    cat = IcebergCatalog("t", root)
+    assert cat.to_dataframe(spark).count() == 6  # the 2-snapshot (fresh) view

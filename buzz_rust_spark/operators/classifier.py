@@ -174,15 +174,19 @@ def train_text_classifier(
     )
     counts = feats.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col("y").isNull(), 1)).alias("n_null"),
+        F.count(
+            F.when(F.col("y").isNull() | F.isnan("y"), 1)
+        ).alias("n_bad"),
     ).first()
     n_docs = counts["n"]
     if n_docs == 0:
         raise BuzzBadRequestError("no labeled documents to train on")
-    if counts["n_null"]:
-        # a single NaN label would silently poison the shared gradient
+    if counts["n_bad"]:
+        # a single NaN (or null) label would silently poison the shared
+        # gradient: e = p - NaN propagates into the bias and every touched
+        # feature weight with no error raised
         raise BuzzBadRequestError(
-            f"{counts['n_null']} documents have a null {label_col!r} label"
+            f"{counts['n_bad']} documents have a null/NaN {label_col!r} label"
         )
 
     spark = df.sparkSession

@@ -342,12 +342,29 @@ def _encode_value(wr: _Writer, schema, value, names: dict | None = None) -> None
             raise ValueError(f"avro: unknown primitive {t!r}")
         return
     if isinstance(schema, list):
-        # union: pick the branch whose TYPE matches the python value
-        for idx, branch in enumerate(schema):
-            if _union_matches(branch, value, names):
-                wr.long(idx)
-                _encode_value(wr, branch, value, names)
-                return
+        # union: exact-type branches win over promoting ones across the
+        # WHOLE union — under ['double','int'] an int must take the int
+        # branch, not silently round-trip as float via schema-order
+        # first-match (the promoting int→float/double match stays as the
+        # fallback for unions with no integer branch)
+        def _exact(branch) -> bool:
+            b = _resolve(branch, names)
+            if not isinstance(b, str):
+                return False
+            if isinstance(value, bool):
+                return b == "boolean"
+            if isinstance(value, int):
+                return b in ("int", "long")
+            if isinstance(value, float):
+                return b in ("float", "double")
+            return False
+
+        for pred in (_exact, lambda br: _union_matches(br, value, names)):
+            for idx, branch in enumerate(schema):
+                if pred(branch):
+                    wr.long(idx)
+                    _encode_value(wr, branch, value, names)
+                    return
         raise ValueError(
             f"avro: no union branch in {schema!r} for {type(value).__name__}"
         )

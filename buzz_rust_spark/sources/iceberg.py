@@ -213,10 +213,20 @@ class IcebergCatalog:
                 f"no *.metadata.json under {self.table_uri!r}/{_META}"
             )
 
-        # Newest by the metadata's own last-updated-ms (robust across the
-        # Hadoop v<N> layout, UUID-named catalog layouts, and mixtures of
-        # both after a migration); numeric v<N> then name break ties —
-        # lexicographic alone would rank v9 over v10+ (silent stale reads).
+        # A pure Hadoop v<N> layout orders by the name's number alone — zero
+        # content reads (content-based ordering on a long-history object
+        # store table is O(history) remote GETs per catalog load).  Only a
+        # listing that MIXES naming layouts (UUID catalog names, or both
+        # after a migration) needs the metadata's own last-updated-ms;
+        # numeric v<N> then name break ties — lexicographic alone would rank
+        # v9 over v10+ (silent stale reads).
+        def vnum(n: str) -> int | None:
+            m = re.match(r"v(\d+)\.metadata\.json$", n)
+            return int(m.group(1)) if m else None
+
+        if all(vnum(n) is not None for n in names):
+            return f"{_META}/{max(names, key=vnum)}"
+
         def order(n: str):
             try:
                 ts = json.loads(store.read_text(f"{_META}/{n}")).get(
@@ -224,8 +234,8 @@ class IcebergCatalog:
                 ) or -1
             except (ValueError, OSError):
                 ts = -1
-            m = re.match(r"v(\d+)\.metadata\.json$", n)
-            return (ts, int(m.group(1)) if m else -1, n)
+            v = vnum(n)
+            return (ts, v if v is not None else -1, n)
 
         return f"{_META}/{max(names, key=order)}"
 

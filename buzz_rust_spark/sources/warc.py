@@ -227,7 +227,12 @@ def read_warc(
 
                 records = []
                 if data[:2] == _GZIP_MAGIC:
-                    off = 0
+                    # record_offset for gzip shards is the COMPRESSED member
+                    # offset (plus intra-member position for nonstandard
+                    # multi-record members, which is 0 in the conventional
+                    # 1-record-per-member layout) — the same coordinate WARC
+                    # range-access tooling seeks by, and the same coordinate
+                    # the bad-member diagnostics below already use.
                     for cpos, blob in _gunzip_members(data, max_payload_bytes):
                         if isinstance(blob, Exception):
                             diag(cpos, blob)
@@ -235,10 +240,9 @@ def read_warc(
                         # per-member containment: one rotten member's
                         # records are lost, the other ~50k survive
                         try:
-                            records.extend(_parse_warc_records(blob, off))
+                            records.extend(_parse_warc_records(blob, cpos))
                         except ValueError as exc:
-                            diag(off, exc)
-                        off += len(blob)
+                            diag(cpos, exc)
                 else:
                     try:
                         records.extend(_parse_warc_records(data, 0))

@@ -146,6 +146,20 @@ def compact_bloom_state(
 
     removed = _delete_aged_pending()
 
+    # A compactor that crashed between its parquet write and rmtree leaves
+    # a _compact-<uuid>.tmp directory behind; readers skip it ('_' prefix)
+    # but nothing else would ever delete it.  Sweep stale ones by mtime —
+    # min_age_sec guards a LIVE compactor's tmp dir from a concurrent sweep.
+    import shutil as _shutil
+
+    cutoff = time.time() - min_age_sec
+    for stale in glob.glob(os.path.join(local, "_compact-*.tmp")):
+        try:
+            if os.path.isdir(stale) and os.path.getmtime(stale) <= cutoff:
+                _shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # concurrent sweep got it first
+
     # Spark readers skip files starting with '_' or '.'; everything else in
     # the directory is a delta (appends write part-*; prior compactions write
     # compacted-*).  Files already recorded in a pending sidecar are folded

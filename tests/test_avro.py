@@ -197,6 +197,28 @@ def test_union_branch_picked_by_value_type():
         encode_avro_records(schema, [{"v": 1.5}])
 
 
+def test_union_exact_type_branch_beats_promoting_match():
+    """Under ['double','int'] an int must take the INT branch — schema-order
+    first-match would promote it to double and round-trip 5 as 5.0,
+    silently changing the value's type.  The int→double promotion stays
+    available for unions with no integer branch."""
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "v", "type": ["double", "int"]}],
+    }
+    recs = [{"v": 5}, {"v": 1.5}]
+    _, back = decode_avro_file(encode_avro_records(schema, recs))
+    assert back == recs
+    assert isinstance(back[0]["v"], int) and isinstance(back[1]["v"], float)
+
+    promo = {
+        "type": "record", "name": "p",
+        "fields": [{"name": "v", "type": ["null", "double"]}],
+    }
+    _, back = decode_avro_file(encode_avro_records(promo, [{"v": 5}]))
+    assert back == [{"v": 5.0}]
+
+
 def test_corrupt_first_file_diagnostics_survives(spark, tmp_path):
     """diagnostics=True must survive a corrupt LEXICOGRAPHICALLY-FIRST shard
     (schema derivation skips to the next parsable header)."""

@@ -151,7 +151,16 @@ def test_null_label_raises_instead_of_nan_poisoning(spark):
     """One null label must be a typed error, not a silent all-NaN model."""
     rows = [(0, "aa bb", 1), (1, "bb cc", None), (2, "cc dd", 0)]
     df = spark.createDataFrame(rows, "doc_id long, text string, label int")
-    with pytest.raises(BuzzBadRequestError, match="null 'label'"):
+    with pytest.raises(BuzzBadRequestError, match="null/NaN 'label'"):
+        train_text_classifier(df, dim=1 << 10, iters=1)
+
+
+def test_nan_label_raises_like_null(spark):
+    """A NaN double label passes isNull() but poisons e = p - y just the
+    same — it must hit the identical typed guard."""
+    rows = [(0, "aa bb", 1.0), (1, "bb cc", float("nan")), (2, "cc dd", 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    with pytest.raises(BuzzBadRequestError, match="null/NaN 'label'"):
         train_text_classifier(df, dim=1 << 10, iters=1)
 
 

@@ -439,6 +439,30 @@ def test_bloom_state_compaction_mid_stream(spark, tmp_path):
     assert got == [1, 2, 4, 7]
 
 
+def test_compaction_sweeps_stale_tmp_dirs(spark, tmp_path):
+    """A compactor crash between the parquet write and rmtree leaves a
+    _compact-<uuid>.tmp directory that nothing else deletes; the next
+    compaction sweeps aged ones but leaves a LIVE (recent) compactor's."""
+    import os
+    import time
+
+    from buzz_rust_spark.streaming.bloom_ingest import compact_bloom_state
+
+    state = tmp_path / "state"
+    state.mkdir()
+    stale = state / "_compact-deadbeef.tmp"
+    stale.mkdir()
+    (stale / "part-0.parquet").write_bytes(b"leftover")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    live = state / "_compact-cafebabe.tmp"
+    live.mkdir()
+
+    assert compact_bloom_state(spark, str(state)) == 0
+    assert not stale.exists()  # aged crash debris removed
+    assert live.exists()  # a concurrent compactor's fresh tmp survives
+
+
 def test_corpus_prep_sink_end_to_end(spark, tmp_path):
     """Streaming corpus prep composes cleaning + quality + classifier gate +
     cross-batch dedup + exactly-once Delta: PII is redacted in committed

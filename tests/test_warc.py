@@ -120,6 +120,28 @@ def test_read_warc_all_types_and_offsets(spark, tmp_path):
     assert all(blob[o : o + 5] == b"WARC/" for o in offsets)
 
 
+def test_read_warc_gzip_member_offsets_are_compressed(spark, tmp_path):
+    """For gzip shards record_offset is the COMPRESSED member offset — the
+    coordinate WARC range-access tooling seeks by (one record per member,
+    the Common Crawl convention) — so good records and bad-member
+    diagnostics share one coordinate system."""
+    import gzip as _gzip
+
+    recs = _shard()
+    members = [_gzip.compress(r) for r in recs]
+    path = tmp_path / "s.warc.gz"
+    path.write_bytes(b"".join(members))
+
+    rows = read_warc(spark, str(path), record_types=()).collect()
+    want = []
+    pos = 0
+    for m in members:
+        want.append(pos)
+        pos += len(m)
+    got = sorted(r.record_offset for r in rows)
+    assert got == want
+
+
 def test_read_warc_malformed_shard_diagnostic(spark, tmp_path):
     good = tmp_path / "good.warc"
     good.write_bytes(b"".join(_shard()))

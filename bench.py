@@ -7,9 +7,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 distribution-preserving — see tools/gen_sf.py) under .data/sf1; this is the
 scale gate BENCH.md's sf1 table records each round.
 
-Each query is executed once warm (after a session-wide warmup query) and timed
-to completion of a count-style action that forces full evaluation without
-driver-side materialization of the result set.
+Queries run warm (after a session-wide warmup pass) in k INTERLEAVED passes
+with rotated order; the recorded per-query number is the MEDIAN of the k
+samples and the per-query [min, max] spread ships in the JSON — one loaded
+host window can move at most one sample per query, not the recorded total.
+Timing is to completion of a noop-sink action that forces full evaluation
+without driver-side materialization of the result set.
 """
 
 from __future__ import annotations
@@ -40,7 +43,8 @@ def main() -> None:
         "--runs",
         type=int,
         default=None,
-        help="best-of-N per query (default: env SPARK_GRAFT_BENCH_RUNS or 4)",
+        help="interleaved passes; per-query stat is the MEDIAN of N samples "
+        "(default: env SPARK_GRAFT_BENCH_RUNS or 5)",
     )
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,37 +78,54 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the measured run surfaces real errors
 
-    # best-of-4: host jitter at this scale lands +0.3-1 s on a random query
-    # per run (observed spread on d02/d03 across fresh sessions); four
-    # samples tighten the min while keeping the whole bench under ~2.5 min.
-    n_runs = args.runs or int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
-    timings: dict[str, float] = {}
+    # Per-query MEDIAN over k INTERLEAVED passes (pass-major order, rotated
+    # each pass), not best-of-run: a loaded host window now lands on at most
+    # one sample of each query instead of every sample of whichever queries
+    # ran inside it, so one busy minute cannot move the recorded total by
+    # ±35% (rounds 4 and 5 both needed a jitter adjudication; best-of-n hid
+    # the spread, median-of-interleaved bounds it).  The per-query
+    # [min, max] spread is reported alongside so a contended run is visible
+    # in the artifact itself.
+    import statistics
+
+    n_runs = args.runs or int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    names = list(queries)
+    samples: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
-    for name, q in queries.items():
-        best = float("inf")
-        try:
-            for _ in range(n_runs):
+    for i in range(n_runs):
+        # rotate the start point so pass position is decorrelated from query
+        # identity (a slow first pass or a GC pause hits different queries
+        # in different passes)
+        order = names[i % len(names):] + names[: i % len(names)]
+        for name in order:
+            if name in errors:
+                continue
+            try:
                 # Drop relations the previous run persisted (the dedup/ANN
                 # operators cache intermediates): leftover cached blocks both
-                # distort the next run and build executor memory pressure whose
-                # GC pauses land on an arbitrary later query.
+                # distort the next run and build executor memory pressure
+                # whose GC pauses land on an arbitrary later query.
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                df = q.fn(spark, sf_dir)
+                df = queries[name].fn(spark, sf_dir)
                 # noop sink forces full evaluation of every column without
-                # driver-side materialization (count() alone would let Catalyst
-                # prune).
+                # driver-side materialization (count() alone would let
+                # Catalyst prune).
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-        except Exception as exc:  # noqa: BLE001 — one bad query must not
-            # zero out the whole benchmark (round 2 lost its numbers to a
-            # single AnalysisException); record it and keep measuring.
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        # best-of-n: each query is timed warm and uncontended; the min is the
-        # steady-state number (single runs showed +5-8 s noise landing on a
-        # random query per run from host jitter).
-        timings[name] = round(best, 3)
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — one bad query must not
+                # zero out the whole benchmark (round 2 lost its numbers to
+                # a single AnalysisException); record it and keep measuring.
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+
+    timings = {
+        n: round(statistics.median(s), 3) for n, s in samples.items() if s
+    }
+    spread = {
+        n: [round(min(s), 3), round(max(s), 3)]
+        for n, s in samples.items()
+        if s
+    }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -112,6 +133,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "runs": n_runs,
+        "stat": "median",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

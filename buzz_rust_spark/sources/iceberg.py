@@ -15,30 +15,71 @@ The metadata chain is walked with in-repo codecs only:
   typed refusal), current schema (Iceberg JSON types → Spark types),
   default partition spec, snapshot list (``snapshot_id=`` gives time
   travel).
-- The snapshot's **manifest list** and each **manifest** are Avro OCF —
-  decoded by ``sources/avro.py`` (named types and all), one more consumer
-  of the same pure-python codec.
-- **Partition pruning** happens at the manifest level: identity-transform
-  partition values recorded per data file become ``CatalogFile`` partition
-  tuples, pruned by the same ``partition_filter`` strings the static/Delta
-  catalogs take.  Non-identity transforms (bucket/truncate/days/...) are
-  not prunable here — a ``partition_filter`` against such a table is a
-  typed BuzzPlanError (filterless reads work).  Unlike Delta/Hive layouts,
-  Iceberg data files
-  CONTAIN their partition columns, so the scan attaches nothing: pruning
-  uses a partition-aware helper catalog, scanning a partition-free one.
+- The snapshot's **manifest list** is decoded at catalog construction (one
+  small Avro file); the **manifests** themselves are decoded lazily at
+  scan-planning time — sequentially on the driver for small tables, via a
+  distributed ``binaryFile`` + ``mapInPandas`` job above
+  ``DRIVER_PLAN_MAX_MANIFESTS`` manifests (a 100 TB table has thousands of
+  manifests with millions of entries; decoding them one-by-one on the
+  driver would stall planning).  Both paths use ``sources/avro.py``.
+- **Manifest skipping**: when the ``partition_filter`` parses as a
+  conjunction of simple comparisons, the manifest-list ``partitions``
+  field summaries (per-field lower/upper bounds) prove some manifests
+  disjoint from the filter — those are never opened.  Anything the
+  conservative parser cannot prove keeps the manifest (sound fallback).
+- **Partition pruning** happens at the manifest-entry level: partition
+  values recorded per data file become ``CatalogFile`` partition tuples,
+  pruned by the same ``partition_filter`` strings the static/Delta
+  catalogs take.  Identity transforms prune on the SOURCE column name;
+  the range-invertible transforms ``year``/``month``/``day``/``hour``/
+  ``truncate[W]`` prune on the PARTITION FIELD name (e.g. ``ts_day``)
+  with human-comparable string values (ISO date for ``day``, ``YYYY-MM``
+  for ``month``, ``YYYY`` for ``year``, ``YYYY-MM-DD HH`` for ``hour``,
+  the truncated value for ``truncate``) — fixed-width forms whose
+  lexicographic order equals chronological order, matching the engine's
+  string-partition filter semantics.  Only ``bucket[N]``/``void`` stay
+  unprunable; a filter against a table with NO prunable partition field
+  is a typed BuzzPlanError (filterless reads work).  Unlike Delta/Hive
+  layouts, Iceberg data files CONTAIN their (identity) partition columns,
+  so the scan attaches nothing: pruning uses a partition-aware helper
+  catalog, scanning a partition-free one.
+- **Schema evolution**: Iceberg resolves columns by FIELD ID, not name.
+  When the schema history shows a rename (any historical schema maps a
+  current field id to a different name), the scan schema carries
+  ``parquet.field.id`` metadata and the read runs with
+  ``spark.sql.parquet.fieldId.read.enabled`` so data files written before
+  the rename (whose parquet columns still bear the old name) resolve
+  correctly instead of silently null-filling.  Un-evolved tables keep the
+  plain name-based read (provably equivalent there), so id-less parquet
+  files written by non-Iceberg writers stay readable.  Detection needs
+  the schema history: a v1 table whose writer rewrote ``schema`` in place
+  (spec-violating) is undetectable — documented limit.
+- **v2 row-level deletes**: POSITION delete files (delete-manifest
+  entries with ``content=1``) are applied as one distributed anti-join of
+  ``(_metadata.file_path, _metadata.row_index)`` against the delete
+  parquet's ``(file_path, pos)`` rows — the same machinery as the Delta
+  deletion-vector scan (``delta_catalog.py::_dv_scan``), with the delete
+  relation read distributed (delete files can be large) and broadcast
+  when the manifests say the total delete bytes are small.  Sequence
+  numbers are NOT consulted: Iceberg data-file paths are unique per file
+  (never rewritten in place), so a position delete either targets a file
+  in this snapshot (applies) or a file compacted away (drops out of the
+  path-mapping join) — path identity subsumes the sequence-number check
+  for position deletes.  EQUALITY delete files (``content=2``) remain a
+  typed refusal.
 
-Honest refusals (same posture as the Delta reader's protocol gates): v2
-DELETE files — positional or equality (``content != 0`` anywhere in the
-chain) — raise a typed error instead of silently resurrecting deleted rows;
-format-version 3+ likewise.
+Honest refusals (same posture as the Delta reader's protocol gates):
+equality-delete files, non-parquet data/delete files, and format-version
+3+ raise typed errors instead of silently wrong rows.  Manifest-level
+refusals surface at scan-planning time (first ``to_dataframe`` /
+``pruned_files`` call), where real engines plan — not at catalog
+construction.
 """
 
 from __future__ import annotations
 
 import json
 import re
-from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -128,6 +169,184 @@ def _partition_str(value, iceberg_type) -> str | None:
     return str(value)
 
 
+def _transform_kind(transform: str | None) -> str | None:
+    """Normalize a partition-spec transform to its prunable kind, or None
+    for transforms pruning cannot invert (bucket hashes, void).  Accepts
+    the spec's singular names and the plural variants some writers emit."""
+    if transform == "identity":
+        return "identity"
+    if transform in ("year", "years"):
+        return "year"
+    if transform in ("month", "months"):
+        return "month"
+    if transform in ("day", "days", "date"):
+        return "day"
+    if transform in ("hour", "hours", "date_hour"):
+        return "hour"
+    if isinstance(transform, str) and re.fullmatch(
+        r"truncate\[\d+\]", transform
+    ):
+        return "truncate"
+    return None
+
+
+def _transform_str(kind: str, value, source_type) -> str | None:
+    """A non-identity transform's partition value (int ordinal, or the
+    truncated source value) as a fixed-width human-comparable string whose
+    lexicographic order equals chronological order — the form filters
+    compare against."""
+    if value is None:
+        return None
+    import datetime
+
+    if kind == "day":
+        return (
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=int(value))
+        ).isoformat()
+    if kind == "year":
+        return f"{1970 + int(value):04d}"
+    if kind == "month":
+        m = int(value)
+        return f"{1970 + m // 12:04d}-{m % 12 + 1:02d}"
+    if kind == "hour":
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            hours=int(value)
+        )
+        return dt.strftime("%Y-%m-%d %H")
+    # truncate[W]: the recorded value IS the truncated source value
+    return _partition_str(value, source_type)
+
+
+def _decode_bound(raw, iceberg_type):
+    """Iceberg single-value binary serialization → python value, or None
+    when the type is outside the skipping subset (sound: an undecodable
+    bound just means the manifest is opened)."""
+    if raw is None:
+        return None
+    raw = bytes(raw)
+    if iceberg_type in ("int", "date") and len(raw) == 4:
+        return int.from_bytes(raw, "little", signed=True)
+    if iceberg_type in ("long", "timestamp", "timestamptz") and len(raw) == 8:
+        return int.from_bytes(raw, "little", signed=True)
+    if iceberg_type == "string":
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if iceberg_type == "boolean" and len(raw) == 1:
+        return raw != b"\x00"
+    return None
+
+
+# conservative partition_filter parser for manifest skipping: a conjunction
+# of `col op 'literal'` / `col IN ('a', 'b')` terms (optionally
+# table-qualified / backtick-quoted).  ANY unparseable piece disables
+# skipping for the whole filter — the full Spark-SQL evaluation at the
+# file level stays authoritative either way.
+_CMP_RE = re.compile(
+    r"\s*(?:[`\w]+\s*\.\s*)?`?(\w+)`?\s*(<=|>=|==|=|<|>)\s*"
+    r"(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*",
+)
+_IN_RE = re.compile(
+    r"\s*(?:[`\w]+\s*\.\s*)?`?(\w+)`?\s+in\s*\(([^()]*)\)\s*",
+    re.IGNORECASE,
+)
+_IN_ITEM_RE = re.compile(r"\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*$")
+
+
+def _split_conjunction(filter_sql: str) -> list[str] | None:
+    """Split on top-level ANDs outside single quotes; None when the filter
+    contains OR/NOT/parens outside an IN list (too clever to skip on)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    depth = 0
+    i = 0
+    up = filter_sql.upper()
+    while i < len(filter_sql):
+        ch = filter_sql[i]
+        if ch == "'":
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return None
+            elif (
+                depth == 0
+                and up.startswith("AND", i)
+                and (i == 0 or not up[i - 1].isalnum())
+                and (
+                    i + 3 >= len(up) or not (up[i + 3].isalnum() or up[i + 3] == "_")
+                )
+            ):
+                parts.append("".join(buf))
+                buf = []
+                i += 3
+                continue
+            elif depth == 0 and (
+                (up.startswith("OR", i) and not (i and up[i - 1].isalnum())
+                 and (i + 2 >= len(up) or not (up[i + 2].isalnum() or up[i + 2] == "_")))
+            ):
+                return None
+        buf.append(ch)
+        i += 1
+    if in_quote or depth != 0:
+        return None
+    parts.append("".join(buf))
+    return parts
+
+
+def _parse_conjuncts(filter_sql: str):
+    """``[(col, op, [values]), ...]`` or None when the filter is outside
+    the simple-conjunction subset."""
+    parts = _split_conjunction(filter_sql)
+    if parts is None:
+        return None
+    out = []
+    for part in parts:
+        m = _CMP_RE.fullmatch(part)
+        if m:
+            col, op, vq, vn = m.groups()
+            out.append((col, "=" if op == "==" else op, [vq if vq is not None else vn]))
+            continue
+        m = _IN_RE.fullmatch(part)
+        if m:
+            col, items = m.groups()
+            vals = []
+            for item in items.split(","):
+                im = _IN_ITEM_RE.fullmatch(item)
+                if not im:
+                    return None
+                vq, vn = im.groups()
+                vals.append(vq if vq is not None else vn)
+            out.append((col, "in", vals))
+            continue
+        return None
+    return out
+
+
+def _disjoint(op: str, vals: list[str], lo: str, hi: str) -> bool:
+    """Is `col op vals` provably false for every value in [lo, hi]?
+    String-domain comparisons — identical ordering to the engine's
+    string-typed partition filter evaluation."""
+    if op == "=":
+        return vals[0] < lo or vals[0] > hi
+    if op == "in":
+        return all(v < lo or v > hi for v in vals)
+    if op == "<":
+        return lo >= vals[0]
+    if op == "<=":
+        return lo > vals[0]
+    if op == ">":
+        return hi <= vals[0]
+    if op == ">=":
+        return hi < vals[0]
+    return False
+
+
 def _iceberg_type(t) -> object:
     """Iceberg JSON type → Spark type (the types parquet tables actually
     use; ``uuid`` surfaces as string, ``timestamptz`` as timestamp)."""
@@ -155,14 +374,7 @@ def _iceberg_type(t) -> object:
         return prim
     kind = t.get("type")
     if kind == "struct":
-        return StructType(
-            [
-                StructField(
-                    f["name"], _iceberg_type(f["type"]), not f.get("required", False)
-                )
-                for f in t["fields"]
-            ]
-        )
+        return StructType([_struct_field(f, with_ids=False) for f in t["fields"]])
     if kind == "list":
         return ArrayType(
             _iceberg_type(t["element"]), not t.get("element-required", False)
@@ -176,9 +388,33 @@ def _iceberg_type(t) -> object:
     raise BuzzSchemaError(f"unsupported iceberg type {t!r}")
 
 
+def _struct_field(f: dict, with_ids: bool) -> StructField:
+    """Iceberg schema field → Spark StructField; ``with_ids`` attaches the
+    ``parquet.field.id`` metadata Spark's fieldId read resolves by (struct
+    fields only — Spark has no metadata slot for list/map element ids)."""
+    dtype = _iceberg_type_with_ids(f["type"]) if with_ids else _iceberg_type(f["type"])
+    meta = {"parquet.field.id": int(f["id"])} if with_ids and "id" in f else None
+    return StructField(f["name"], dtype, not f.get("required", False), meta)
+
+
+def _iceberg_type_with_ids(t) -> object:
+    if isinstance(t, dict) and t.get("type") == "struct":
+        return StructType([_struct_field(f, with_ids=True) for f in t["fields"]])
+    return _iceberg_type(t)
+
+
 class IcebergCatalog:
     """Read-only Iceberg v1/v2 table: snapshot resolution + manifest-level
-    partition pruning + StaticCatalog-delegated scanning."""
+    partition pruning + StaticCatalog-delegated scanning, with v2
+    position-delete application and field-id schema-evolution reads."""
+
+    # above this many manifests, decode them with a distributed
+    # binaryFile+mapInPandas job instead of a sequential driver loop
+    DRIVER_PLAN_MAX_MANIFESTS = 8
+    # broadcast the delete relation when the manifests' recorded
+    # file_size_in_bytes total stays under this (same posture as the Delta
+    # DV broadcast cap: a small delete set must add zero shuffles)
+    DELETE_BROADCAST_MAX_BYTES = 32 << 20
 
     def __init__(
         self,
@@ -191,6 +427,9 @@ class IcebergCatalog:
         self._store = LogStore(table_uri, region=region)
         self.table_uri = self._store.table_uri
         self.snapshot_id = snapshot_id
+        # plan cache: partition_filter (or "") → (data CatalogFiles,
+        # delete-file dicts, recorded→normalized path pairs)
+        self._plans: dict[str, tuple] = {}
         self._load()
 
     # --- metadata chain ------------------------------------------------------
@@ -257,36 +496,71 @@ class IcebergCatalog:
             schema_json = candidates[0] if candidates else meta["schemas"][0]
         else:
             schema_json = meta["schema"]
-        self.schema = _iceberg_type(
-            {"type": "struct", "fields": schema_json["fields"]}
+        self.schema = StructType(
+            [_struct_field(f, with_ids=False) for f in schema_json["fields"]]
         )
         field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
 
-        # default partition spec: identity transforms become prunable columns
+        # Schema evolution: any historical schema mapping a CURRENT field id
+        # to a different name means data files exist (or may exist) whose
+        # parquet columns bear the old name — a name-based scan would
+        # silently null-fill them.  Those tables read by field id.  (Added /
+        # dropped columns don't set this: name resolution is correct for
+        # them.  A v1 writer that rewrote `schema` in place left no history
+        # to detect — documented limit.)
+        self._evolved = False
+        for s in meta.get("schemas", []):
+            for f in s.get("fields", []):
+                if f["id"] in field_names and f["name"] != field_names[f["id"]]:
+                    self._evolved = True
+        self._scan_schema = (
+            StructType(
+                [_struct_field(f, with_ids=True) for f in schema_json["fields"]]
+            )
+            if self._evolved
+            else self.schema
+        )
+
+        # default partition spec: identity + range-invertible transforms
+        # become prunable columns
         specs = meta.get("partition-specs")
         if specs is not None:
             did = meta.get("default-spec-id", 0)
+            self._default_spec_id = did
             spec_fields = next(
                 (s["fields"] for s in specs if s.get("spec-id") == did),
                 specs[0]["fields"] if specs else [],
             )
         else:
+            self._default_spec_id = None
             spec_fields = meta.get("partition-spec", [])
         # partition tuple layout in manifests follows the spec field ORDER
         field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
-        self._spec_fields = [
-            {
-                "name": f["name"],
-                "identity": f.get("transform") == "identity",
-                "source_name": field_names.get(f.get("source-id")),
-                "source_type": field_types.get(f.get("source-id")),
-            }
-            for f in spec_fields
-        ]
+        self._spec_fields = []
+        for f in spec_fields:
+            kind = _transform_kind(f.get("transform"))
+            source_name = field_names.get(f.get("source-id"))
+            # identity prunes on the SOURCE column name (the column exists
+            # in the data); other invertible transforms prune on the
+            # PARTITION FIELD name (ts_day etc. — no data column to clash
+            # with)
+            if kind == "identity" and source_name:
+                prune_name = source_name
+            elif kind and kind != "identity":
+                prune_name = f["name"]
+            else:
+                prune_name = None
+            self._spec_fields.append(
+                {
+                    "name": f["name"],
+                    "kind": kind,
+                    "prune_name": prune_name,
+                    "source_name": source_name,
+                    "source_type": field_types.get(f.get("source-id")),
+                }
+            )
         self.partition_cols = [
-            f["source_name"]
-            for f in self._spec_fields
-            if f["identity"] and f["source_name"]
+            f["prune_name"] for f in self._spec_fields if f["prune_name"]
         ]
 
         snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -303,7 +577,7 @@ class IcebergCatalog:
                 f"snapshot {sid} not in table metadata (have {sorted(snaps)})"
             )
         if sid is None or sid == -1 or not snaps:
-            self._files: list[CatalogFile] = []
+            self._manifests: list[dict] | None = None
             return
         if sid not in snaps:
             # corrupt/partially-committed metadata: current-snapshot-id
@@ -312,7 +586,20 @@ class IcebergCatalog:
                 f"current-snapshot-id {sid} missing from table metadata "
                 f"(have {sorted(snaps)})"
             )
-        self._files = self._resolve_snapshot(snaps[sid])
+        snap = snaps[sid]
+        if "manifest-list" in snap:
+            _, self._manifests = decode_avro_file(
+                self._read_meta_bytes(snap["manifest-list"])
+            )
+        elif "manifests" in snap:
+            # legacy v1 form: manifest paths inline, no manifest-list file
+            self._manifests = [
+                {"manifest_path": p, "content": 0} for p in snap["manifests"]
+            ]
+        else:
+            raise BuzzExecutionError(
+                "iceberg snapshot has neither manifest-list nor manifests"
+            )
 
     def _read_meta_bytes(self, uri: str) -> bytes:
         """Manifest-list/manifest bytes by recorded (absolute) URI.
@@ -325,39 +612,175 @@ class IcebergCatalog:
             uri = "s3://" + uri[len("s3a://"):]
         return self._store.read_bytes_uri(uri)
 
-    def _resolve_snapshot(self, snap: dict) -> list[CatalogFile]:
-        if "manifest-list" in snap:
-            _, manifests = decode_avro_file(
-                self._read_meta_bytes(snap["manifest-list"])
+    # --- snapshot planning ---------------------------------------------------
+
+    def _manifest_disjoint(self, m: dict, conjuncts) -> bool:
+        """Can the manifest-list ``partitions`` field summaries prove this
+        manifest holds NO file matching the filter?  Conservative: any
+        missing/undecodable piece keeps the manifest."""
+        if (
+            self._default_spec_id is not None
+            and m.get("partition_spec_id") not in (None, self._default_spec_id)
+        ):
+            return False  # summaries align with a spec we didn't parse
+        sums = m.get("partitions")
+        if not sums:
+            return False
+        by_name = {
+            f["prune_name"]: (i, f)
+            for i, f in enumerate(self._spec_fields)
+            if f["prune_name"]
+        }
+        for col, op, vals in conjuncts:
+            hit = by_name.get(col)
+            if hit is None:
+                continue  # not a partition field here; file-level prune decides
+            idx, f = hit
+            if idx >= len(sums) or not isinstance(sums[idx], dict):
+                continue
+            lo_raw = _decode_bound(
+                sums[idx].get("lower_bound"), "int" if f["kind"] != "identity" else f["source_type"]
             )
-        elif "manifests" in snap:
-            # legacy v1 form: manifest paths inline, no manifest-list file
-            manifests = [{"manifest_path": p, "content": 0} for p in snap["manifests"]]
-        else:
-            raise BuzzExecutionError(
-                "iceberg snapshot has neither manifest-list nor manifests"
+            hi_raw = _decode_bound(
+                sums[idx].get("upper_bound"), "int" if f["kind"] != "identity" else f["source_type"]
             )
-        files: list[CatalogFile] = []
+            if lo_raw is None or hi_raw is None:
+                continue
+            if f["kind"] == "identity":
+                lo = _partition_str(lo_raw, f["source_type"])
+                hi = _partition_str(hi_raw, f["source_type"])
+            else:
+                lo = _transform_str(f["kind"], lo_raw, f["source_type"])
+                hi = _transform_str(f["kind"], hi_raw, f["source_type"])
+            if lo is None or hi is None:
+                continue
+            if _disjoint(op, vals, lo, hi):
+                return True
+        return False
+
+    def _decode_entries(
+        self, spark: SparkSession | None, manifests: list[dict]
+    ) -> list[tuple[int, dict]]:
+        """All (manifest_content, entry) pairs of the given manifests —
+        sequential on the driver for small tables, one distributed
+        binaryFile+mapInPandas job above DRIVER_PLAN_MAX_MANIFESTS."""
+        if (
+            spark is not None
+            and len(manifests) > self.DRIVER_PLAN_MAX_MANIFESTS
+        ):
+            return self._decode_entries_distributed(spark, manifests)
+        out: list[tuple[int, dict]] = []
         for m in manifests:
-            if int(m.get("content") or 0) != 0:
-                raise BuzzExecutionError(
-                    "iceberg v2 delete manifests present; reading them as "
-                    "data would resurrect deleted rows — refused (reader "
-                    "supports append-only v2 tables)"
-                )
             _, entries = decode_avro_file(
                 self._read_meta_bytes(m["manifest_path"])
             )
-            for e in entries:
-                if int(e.get("status") or 0) == 2:  # DELETED entry
-                    continue
-                df_rec = e["data_file"]
-                if int(df_rec.get("content") or 0) != 0:
+            content = int(m.get("content") or 0)
+            out.extend((content, e) for e in entries)
+        return out
+
+    def _decode_entries_distributed(
+        self, spark: SparkSession, manifests: list[dict]
+    ) -> list[tuple[int, dict]]:
+        from urllib.parse import unquote
+
+        from .uris import normalized_key
+
+        content_by_norm = {
+            normalized_key(_spark_uri(m["manifest_path"])): int(
+                m.get("content") or 0
+            )
+            for m in manifests
+        }
+        paths = [_spark_uri(m["manifest_path"]) for m in manifests]
+        bf = (
+            spark.read.format("binaryFile")
+            .load(paths)
+            .select("path", "content")
+        )
+
+        def _decode(batches):
+            import base64 as _b64
+            import json as _json
+
+            import pandas as _pd
+
+            def _default(o):
+                if isinstance(o, (bytes, bytearray)):
+                    return {"__b64__": _b64.b64encode(bytes(o)).decode()}
+                raise TypeError(type(o).__name__)
+
+            for b in batches:
+                mp, ej = [], []
+                for path, blob in zip(b["path"], b["content"]):
+                    _, ents = decode_avro_file(bytes(blob))
+                    for e in ents:
+                        mp.append(path)
+                        ej.append(_json.dumps(e, default=_default))
+                yield _pd.DataFrame({"mpath": mp, "entry": ej})
+
+        rows = bf.mapInPandas(_decode, "mpath string, entry string").collect()
+
+        import base64
+
+        def _hook(d):
+            if set(d) == {"__b64__"}:
+                return base64.b64decode(d["__b64__"])
+            return d
+
+        out = []
+        # deterministic plan order regardless of task completion order
+        for r in sorted(rows, key=lambda r: (r["mpath"], r["entry"])):
+            key = normalized_key(r["mpath"])
+            content = content_by_norm.get(key)
+            if content is None:
+                content = content_by_norm.get(unquote(key), 0)
+            out.append(
+                (content, json.loads(r["entry"], object_hook=_hook))
+            )
+        return out
+
+    def _plan(
+        self, spark: SparkSession | None, partition_filter: str | None
+    ) -> tuple[list[CatalogFile], list[dict], list[tuple[str, str]]]:
+        """(data files, position-delete files, recorded→normalized path
+        pairs) for this snapshot under ``partition_filter``-driven manifest
+        skipping.  Cached per filter string."""
+        from .uris import normalized_key
+
+        cache_key = partition_filter or ""
+        if cache_key in self._plans:
+            return self._plans[cache_key]
+        if self._manifests is None:
+            plan = ([], [], [])
+            self._plans[cache_key] = plan
+            return plan
+
+        conjuncts = (
+            _parse_conjuncts(partition_filter) if partition_filter else None
+        )
+        chosen = [
+            m
+            for m in self._manifests
+            if not (conjuncts and self._manifest_disjoint(m, conjuncts))
+        ]
+
+        files: list[CatalogFile] = []
+        deletes: list[dict] = []
+        pairs: list[tuple[str, str]] = []
+        for mcontent, e in self._decode_entries(spark, chosen):
+            if int(e.get("status") or 0) == 2:  # DELETED entry
+                continue
+            df_rec = e["data_file"]
+            fcontent = int(df_rec.get("content") or 0)
+            fmt = str(df_rec.get("file_format", "")).upper()
+            if mcontent == 0:
+                # data manifest: entries must be plain data files
+                if fcontent != 0:
                     raise BuzzExecutionError(
-                        "iceberg v2 delete files present — refused (see "
-                        "delete-manifest refusal)"
+                        "iceberg delete file recorded in a DATA manifest — "
+                        "malformed metadata, refusing (reading it as data "
+                        "would resurrect deleted rows)"
                     )
-                fmt = str(df_rec.get("file_format", "")).upper()
                 if fmt and fmt != "PARQUET":
                     raise BuzzExecutionError(
                         f"iceberg data file format {fmt!r} not supported "
@@ -366,45 +789,78 @@ class IcebergCatalog:
                 part = df_rec.get("partition") or {}
                 partitions = tuple(
                     (
-                        f["source_name"],
-                        _partition_str(part.get(f["name"]), f["source_type"]),
+                        f["prune_name"],
+                        _partition_str(part.get(f["name"]), f["source_type"])
+                        if f["kind"] == "identity"
+                        else _transform_str(
+                            f["kind"], part.get(f["name"]), f["source_type"]
+                        ),
                     )
                     for f in self._spec_fields
-                    if f["identity"] and f["source_name"]
+                    if f["prune_name"]
                 )
+                key = _spark_uri(df_rec["file_path"])
                 files.append(
                     CatalogFile(
-                        key=_spark_uri(df_rec["file_path"]),
+                        key=key,
                         length=int(df_rec.get("file_size_in_bytes") or 0),
                         partitions=partitions,
                     )
                 )
-        return files
+                pairs.append((df_rec["file_path"], normalized_key(key)))
+            else:
+                # delete manifest: 1 = position deletes (applied),
+                # 2 = equality deletes (typed refusal)
+                if fcontent == 2:
+                    raise BuzzExecutionError(
+                        "iceberg v2 EQUALITY delete files present — refused "
+                        "(this reader applies position deletes only; "
+                        "evaluating equality predicates wrongly would "
+                        "resurrect or drop rows silently)"
+                    )
+                if fcontent != 1:
+                    raise BuzzExecutionError(
+                        "iceberg data file recorded in a DELETE manifest — "
+                        "malformed metadata, refusing"
+                    )
+                if fmt and fmt != "PARQUET":
+                    raise BuzzExecutionError(
+                        f"iceberg position-delete file format {fmt!r} not "
+                        "supported (parquet only)"
+                    )
+                deletes.append(
+                    {
+                        "uri": _spark_uri(df_rec["file_path"]),
+                        "size": int(df_rec.get("file_size_in_bytes") or 0),
+                    }
+                )
+        plan = (files, deletes, pairs)
+        self._plans[cache_key] = plan
+        return plan
 
     # --- scan ---------------------------------------------------------------
-
-    def _pruning_catalog(self) -> StaticCatalog:
-        return StaticCatalog(
-            name=self.name,
-            schema=self.schema,
-            files=self._files,
-            partition_cols=self.partition_cols,
-        )
 
     def pruned_files(
         self, spark: SparkSession, partition_filter: str | None
     ) -> list[CatalogFile]:
-        if not partition_filter:
-            return list(self._files)
-        if not self.partition_cols:
+        if partition_filter and not self.partition_cols:
             # same posture as the static/Delta catalogs: a filter that can't
-            # prune (non-identity transforms) is a typed error, not a silent
-            # return of every row the filter should have excluded
+            # prune (bucket/void transforms only) is a typed error, not a
+            # silent return of every row the filter should have excluded
             raise BuzzPlanError(
-                "partition_filter given but the table has no identity-"
-                "transform partition columns to prune on"
+                "partition_filter given but the table has no prunable "
+                "partition fields (identity or year/month/day/hour/truncate "
+                "transforms)"
             )
-        return self._pruning_catalog().pruned_files(spark, partition_filter)
+        files, _, _ = self._plan(spark, partition_filter)
+        if not partition_filter:
+            return list(files)
+        return StaticCatalog(
+            name=self.name,
+            schema=self.schema,
+            files=files,
+            partition_cols=self.partition_cols,
+        ).pruned_files(spark, partition_filter)
 
     def to_dataframe(
         self, spark: SparkSession, partition_filter: str | None = None
@@ -414,18 +870,84 @@ class IcebergCatalog:
         The scan catalog declares NO partition columns: Iceberg data files
         carry their (identity) partition values in-file, so attaching them
         would duplicate columns — pruning runs on a partition-aware helper,
-        reading on the pruned plain file list."""
+        reading on the pruned plain file list.  Position deletes (if any)
+        apply as one anti-join on (file path, row index)."""
         files = self.pruned_files(spark, partition_filter)
-        scan = StaticCatalog(
-            name=self.name,
-            schema=self.schema,
-            files=[
-                CatalogFile(key=f.key, length=f.length, partitions=())
-                for f in files
-            ],
-            partition_cols=[],
+        _, deletes, pairs = self._plan(spark, partition_filter)
+        if self._evolved:
+            # resolve parquet columns by field id (schema metadata carries
+            # parquet.field.id): files written before a column rename keep
+            # reading correctly.  No-op for scans whose schema has no ids.
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if not deletes or not files:
+            scan = StaticCatalog(
+                name=self.name,
+                schema=self._scan_schema,
+                files=[
+                    CatalogFile(key=f.key, length=f.length, partitions=())
+                    for f in files
+                ],
+                partition_cols=[],
+            )
+            return scan.to_dataframe(spark)
+        return self._position_delete_scan(spark, files, deletes, pairs)
+
+    def _position_delete_scan(
+        self,
+        spark: SparkSession,
+        files: list[CatalogFile],
+        deletes: list[dict],
+        pairs: list[tuple[str, str]],
+    ) -> DataFrame:
+        """Data scan minus position-deleted rows.
+
+        Shape (template: ``delta_catalog.py::_dv_scan``): ONE parquet scan
+        of the data files selecting ``_metadata.file_path`` +
+        ``_metadata.row_index``, one DISTRIBUTED parquet scan of the delete
+        files (``file_path``, ``pos``), a broadcast map join translating
+        the delete rows' recorded data-file URIs to the scan's normalized
+        path coordinates (deletes targeting files compacted out of this
+        snapshot drop here — that is why sequence numbers need not be
+        consulted), then ONE anti-join.  The delete relation is broadcast
+        when the manifests' recorded sizes total under
+        DELETE_BROADCAST_MAX_BYTES, so the common small-delete case adds
+        zero shuffles."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import broadcast
+
+        from .uris import normalized_path_col
+
+        scan = (
+            spark.read.schema(self._scan_schema)
+            .parquet(*[f.key for f in files])
+            .select(
+                "*",
+                normalized_path_col(F.col("_metadata.file_path")).alias(
+                    "__path"
+                ),
+                F.col("_metadata.row_index").alias("__ridx"),
+            )
         )
-        return scan.to_dataframe(spark)
+        mapping = spark.createDataFrame(
+            sorted(set(pairs)), "file_path string, __path string"
+        )
+        del_schema = StructType(
+            [
+                StructField("file_path", StringType(), False),
+                StructField("pos", LongType(), False),
+            ]
+        )
+        del_df = (
+            spark.read.schema(del_schema)
+            .parquet(*[d["uri"] for d in deletes])
+            .join(broadcast(mapping), on="file_path")
+            .select("__path", F.col("pos").alias("__ridx"))
+        )
+        if sum(d["size"] for d in deletes) <= self.DELETE_BROADCAST_MAX_BYTES:
+            del_df = broadcast(del_df)
+        return scan.join(
+            del_df, on=["__path", "__ridx"], how="left_anti"
+        ).drop("__path", "__ridx")
 
     def history(self) -> list[dict]:
         """Snapshot list (id, timestamp, operation) — from the metadata

@@ -232,16 +232,19 @@ def test_delete_files_and_future_versions_refused(spark, tmp_path):
     md_path = os.path.join(meta, "v3.metadata.json")
     md = json.loads(open(md_path).read())
 
-    # v3 format refused
+    # v3 format refused at CONSTRUCTION (metadata-level gate)
     md3 = dict(md, **{"format-version": 3})
     open(md_path, "w").write(json.dumps(md3))
     with pytest.raises(BuzzExecutionError, match="format-version 3"):
         IcebergCatalog("t", root)
 
-    # delete MANIFEST (content=1 in the manifest list) refused
+    # EQUALITY delete file (content=2 in a delete manifest) refused at scan
+    # planning (position deletes, content=1, are supported — see the MOR
+    # tests)
     open(md_path, "w").write(json.dumps(md))
-    dummy = _manifest(meta, "mdel", [])
-    ml = _manifest_list(meta, "del", [dummy], content=1)
+    data_path = os.path.join(root, "data", "a.parquet")
+    meq = _manifest(meta, "meq", [_entry(data_path, 10, 2020, content=2)])
+    ml = _manifest_list(meta, "del", [meq], content=1)
     md_del = dict(md)
     md_del["snapshots"] = md["snapshots"] + [
         {"snapshot-id": 3, "timestamp-ms": 3000, "manifest-list": ml,
@@ -249,20 +252,16 @@ def test_delete_files_and_future_versions_refused(spark, tmp_path):
     ]
     md_del["current-snapshot-id"] = 3
     open(md_path, "w").write(json.dumps(md_del))
-    with pytest.raises(BuzzExecutionError, match="delete manifests"):
-        IcebergCatalog("t", root)
+    with pytest.raises(BuzzExecutionError, match="EQUALITY"):
+        IcebergCatalog("t", root).to_dataframe(spark)
 
-    # delete DATA FILE (data_file.content=2) refused
-    data_path = os.path.join(root, "data", "a.parquet")
-    mdel = _manifest(
-        meta, "mdf",
-        [_entry(data_path, 10, 2020, content=2)],
-    )
-    ml2 = _manifest_list(meta, "del2", [mdel], content=0)
+    # a delete-coded file inside a DATA manifest is malformed metadata
+    mdf = _manifest(meta, "mdf", [_entry(data_path, 10, 2020, content=2)])
+    ml2 = _manifest_list(meta, "del2", [mdf], content=0)
     md_del["snapshots"][-1]["manifest-list"] = ml2
     open(md_path, "w").write(json.dumps(md_del))
-    with pytest.raises(BuzzExecutionError, match="delete files"):
-        IcebergCatalog("t", root)
+    with pytest.raises(BuzzExecutionError, match="DATA manifest"):
+        IcebergCatalog("t", root).to_dataframe(spark)
 
     # non-parquet data file refused
     morc = _manifest(meta, "morc", [_entry(data_path, 10, 2020, fmt="ORC")])
@@ -270,7 +269,7 @@ def test_delete_files_and_future_versions_refused(spark, tmp_path):
     md_del["snapshots"][-1]["manifest-list"] = ml3
     open(md_path, "w").write(json.dumps(md_del))
     with pytest.raises(BuzzExecutionError, match="ORC"):
-        IcebergCatalog("t", root)
+        IcebergCatalog("t", root).to_dataframe(spark)
 
 
 def test_deleted_entries_skipped(spark, tmp_path):
@@ -498,6 +497,436 @@ def test_binary_represented_partition_values():
     assert _partition_str(18628, "date") == "2021-01-01"
     assert _partition_str(86_400_000_000, "timestamp") == "1970-01-02 00:00:00"
     assert _partition_str(True, "boolean") == "true"
+
+
+DELETE_SCHEMA = pa.schema(
+    [pa.field("file_path", pa.string()), pa.field("pos", pa.int64())]
+)
+
+
+def _delete_parquet(path, pairs):
+    """Spec-shaped position-delete parquet: (file_path, pos) rows."""
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([p for p, _ in pairs], pa.string()),
+                "pos": pa.array([i for _, i in pairs], pa.int64()),
+            },
+            schema=DELETE_SCHEMA,
+        ),
+        path,
+    )
+    return os.path.getsize(path)
+
+
+def _manifest_list_mixed(meta_dir, tag, path_content_pairs, snap_id=1):
+    """Manifest list mixing data (content=0) and delete (content=1)
+    manifests."""
+    path = os.path.join(meta_dir, f"snap-{tag}.avro")
+    recs = [
+        {
+            "manifest_path": p,
+            "manifest_length": os.path.getsize(p),
+            "partition_spec_id": 0,
+            "content": c,
+            "added_snapshot_id": snap_id,
+        }
+        for p, c in path_content_pairs
+    ]
+    with open(path, "wb") as fh:
+        fh.write(encode_avro_records(MANIFEST_FILE_SCHEMA, recs))
+    return path
+
+
+def _mor_table(tmp_path, delete_pairs):
+    """build_table + a position-delete snapshot removing ``delete_pairs``
+    ((data-file tag, row ordinal) with 'gone' = a file not in the
+    snapshot)."""
+    root = build_table(tmp_path)
+    meta = os.path.join(root, "metadata")
+    data = os.path.join(root, "data")
+    md_path = os.path.join(meta, "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+
+    dp = os.path.join(data, "del-1.parquet")
+    resolved = [
+        (os.path.join(data, f"{tag}.parquet"), pos)
+        for tag, pos in delete_pairs
+    ]
+    size = _delete_parquet(dp, resolved)
+    mdel = _manifest(meta, "mpos", [_entry(dp, size, None, content=1)])
+    m1 = os.path.join(meta, "m1-m0.avro")
+    m2 = os.path.join(meta, "m2-m0.avro")
+    ml = _manifest_list_mixed(
+        meta, "mor", [(m1, 0), (m2, 0), (mdel, 1)], snap_id=3
+    )
+    md["snapshots"].append(
+        {"snapshot-id": 3, "timestamp-ms": 3000, "manifest-list": ml,
+         "summary": {"operation": "delete"}}
+    )
+    md["current-snapshot-id"] = 3
+    open(md_path, "w").write(json.dumps(md))
+    return root
+
+
+def test_position_deletes_applied(spark, tmp_path):
+    """v2 merge-on-read: position-delete rows vanish from the scan; a stale
+    delete targeting a file no longer in the snapshot is ignored (path
+    mapping drops it — the reason sequence numbers need not be
+    consulted)."""
+    root = _mor_table(
+        tmp_path, [("a", 0), ("c", 1), ("gone", 0)]
+    )  # a@0 = id 1, c@1 = id 5
+    df = IcebergCatalog("t", root).to_dataframe(spark)
+    assert sorted(r["id"] for r in df.collect()) == [2, 3, 4, 6]
+    # full schema survives the anti-join (no __path/__ridx leftovers)
+    assert {f.name for f in df.schema.fields} == {"id", "name", "year"}
+
+
+def test_position_deletes_with_partition_filter(spark, tmp_path):
+    """Manifest pruning composes with delete application: the pruned scan
+    still drops its deleted rows, and deletes for pruned-out files are
+    inert."""
+    root = _mor_table(tmp_path, [("a", 0), ("c", 1)])
+    df = IcebergCatalog("t", root).to_dataframe(spark, "year = '2021'")
+    assert sorted(r["id"] for r in df.collect()) == [4, 6]
+    df20 = IcebergCatalog("t", root).to_dataframe(spark, "year = '2020'")
+    assert sorted(r["id"] for r in df20.collect()) == [2, 3]
+
+
+def build_renamed_table(tmp_path):
+    """Schema evolution fixture: file f1 written under the ORIGINAL column
+    name (parquet column 'name_old', field id 2), then the column is
+    renamed to 'name' (metadata-only) and f2 written under the new name.
+    Both files carry parquet field ids, as the Iceberg spec requires."""
+    root = tmp_path / "ev_tbl"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+
+    def write(path, name_col, ids, names):
+        schema = pa.schema(
+            [
+                pa.field("id", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field(name_col, pa.string(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                {"id": pa.array(ids, pa.int64()),
+                 name_col: pa.array(names, pa.string())},
+                schema=schema,
+            ),
+            path,
+        )
+        return os.path.getsize(path)
+
+    f1 = str(root / "data" / "f1.parquet")
+    s1 = write(f1, "name_old", [1, 2], ["alpha", "beta"])
+    f2 = str(root / "data" / "f2.parquet")
+    s2 = write(f2, "name", [3], ["gamma"])
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            }},
+        ],
+    }
+
+    def entry(p, sz, n):
+        return {"status": 1, "data_file": {
+            "content": 0, "file_path": p, "file_format": "PARQUET",
+            "partition": {}, "record_count": n, "file_size_in_bytes": sz}}
+
+    mpath = str(root / "metadata" / "m-0.avro")
+    open(mpath, "wb").write(
+        encode_avro_records(entry_schema, [entry(f1, s1, 2), entry(f2, s2, 1)])
+    )
+    ml = _manifest_list(str(root / "metadata"), "ev", [mpath])
+    md = {
+        "format-version": 2, "location": str(root),
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "name_old", "required": False,
+                 "type": "string"},
+            ]},
+            {"type": "struct", "schema-id": 1, "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "name", "required": False,
+                 "type": "string"},
+            ]},
+        ],
+        "current-schema-id": 1,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "manifest-list": ml}],
+        "current-snapshot-id": 1,
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(md))
+    (root / "metadata" / "version-hint.text").write_text("1")
+    return str(root)
+
+
+def test_schema_evolution_rename_reads_by_field_id(spark, tmp_path):
+    """After a column rename, pre-rename data files carry the OLD parquet
+    column name; a name-based scan silently null-fills them.  The reader
+    must detect the rename in the schema history and resolve by field id."""
+    cat = IcebergCatalog("t", build_renamed_table(tmp_path))
+    assert cat._evolved is True
+    df = cat.to_dataframe(spark)
+    assert {f.name for f in df.schema.fields} == {"id", "name"}
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {1: "alpha", 2: "beta", 3: "gamma"}
+
+
+def test_unevolved_table_keeps_name_resolution(tmp_path):
+    """Single-schema tables stay on name-based reads (id-less parquet files
+    from migrated tables remain readable there)."""
+    cat = IcebergCatalog("t", build_table(tmp_path))
+    assert cat._evolved is False
+    assert cat._scan_schema == cat.schema
+
+
+def build_transform_table(tmp_path, transform, part_avro_type, part_values,
+                          source_field, files_rows):
+    """A table partitioned by a non-identity transform: one data file per
+    partition value; the partition record field is named 'pf'."""
+    root = tmp_path / "tr_tbl"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+
+    paths = []
+    for i, (pv, rows) in enumerate(zip(part_values, files_rows)):
+        p = str(root / "data" / f"t{i}.parquet")
+        cols = {"id": pa.array([r[0] for r in rows], pa.int64())}
+        if source_field["type"] == "timestamp":
+            cols["ts"] = pa.array([r[1] for r in rows], pa.timestamp("us"))
+        else:
+            cols["name"] = pa.array([r[1] for r in rows], pa.string())
+        pq.write_table(pa.table(cols), p)
+        paths.append((p, os.path.getsize(p), pv, len(rows)))
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": [
+                            {"name": "pf", "type": ["null", part_avro_type]}
+                        ]}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            }},
+        ],
+    }
+    entries = [
+        {"status": 1, "data_file": {
+            "content": 0, "file_path": p, "file_format": "PARQUET",
+            "partition": {"pf": pv}, "record_count": n,
+            "file_size_in_bytes": sz}}
+        for p, sz, pv, n in paths
+    ]
+    mpath = str(root / "metadata" / "m-0.avro")
+    open(mpath, "wb").write(encode_avro_records(entry_schema, entries))
+    ml = _manifest_list(str(root / "metadata"), "tr", [mpath])
+    md = {
+        "format-version": 2, "location": str(root),
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": source_field["name"], "required": False,
+             "type": source_field["type"]},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "pf", "transform": transform, "source-id": 2,
+             "field-id": 1000}]}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "manifest-list": ml}],
+        "current-snapshot-id": 1,
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(md))
+    (root / "metadata" / "version-hint.text").write_text("1")
+    return str(root)
+
+
+import datetime as _dt  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "transform,part_avro_type,part_values,flt,keep_ids",
+    [
+        ("day", "int", [18628, 18659], "pf = '2021-01-01'", [1]),
+        ("days", "int", [18628, 18659], "pf >= '2021-02-01'", [2]),
+        ("month", "int", [612, 614], "pf = '2021-03'", [2]),
+        ("year", "int", [50, 51], "pf > '2020'", [2]),
+        ("hour", "int", [447072, 447100], "pf = '2021-01-01 00'", [1]),
+        ("truncate[3]", "string", ["alp", "gam"], "pf = 'gam'", [2]),
+    ],
+)
+def test_transform_pruning(spark, tmp_path, transform, part_avro_type,
+                           part_values, flt, keep_ids):
+    """year/month/day/hour/truncate partition transforms prune on the
+    partition FIELD name with human-comparable values — no bound decode of
+    data, pure manifest metadata."""
+    if part_avro_type == "int":
+        source = {"name": "ts", "type": "timestamp"}
+        rows = [[(1, _dt.datetime(2021, 1, 1))], [(2, _dt.datetime(2021, 3, 15))]]
+    else:
+        source = {"name": "name", "type": "string"}
+        rows = [[(1, "alpha")], [(2, "gamma")]]
+    root = build_transform_table(
+        tmp_path, transform, part_avro_type, part_values, source, rows
+    )
+    cat = IcebergCatalog("t", root)
+    assert cat.partition_cols == ["pf"]
+    pruned = cat.pruned_files(spark, flt)
+    assert len(pruned) == len(keep_ids)
+    df = cat.to_dataframe(spark, flt)
+    assert sorted(r["id"] for r in df.collect()) == keep_ids
+    # the derived partition field is NOT attached as a data column
+    assert "pf" not in {f.name for f in df.schema.fields}
+    # filterless read unaffected
+    assert IcebergCatalog("t", root).to_dataframe(spark).count() == 2
+
+
+def test_bucket_transform_still_refused(spark, tmp_path):
+    cat = IcebergCatalog("t", build_table(tmp_path, transform="bucket[4]"))
+    assert cat.partition_cols == []
+    from buzz_rust_spark.errors import BuzzPlanError
+
+    with pytest.raises(BuzzPlanError, match="prunable"):
+        cat.pruned_files(spark, "year = '2021'")
+
+
+FIELD_SUMMARY_SCHEMA = {
+    "type": "record", "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean"},
+        {"name": "lower_bound", "type": ["null", "bytes"]},
+        {"name": "upper_bound", "type": ["null", "bytes"]},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA_V2 = {
+    "type": "record", "name": "manifest_file",
+    "fields": MANIFEST_FILE_SCHEMA["fields"] + [
+        {"name": "partitions",
+         "type": ["null", {"type": "array", "items": FIELD_SUMMARY_SCHEMA}]},
+    ],
+}
+
+
+def test_manifest_skipping_never_opens_disjoint(spark, tmp_path):
+    """With partitions summaries in the manifest list, a filter-disjoint
+    manifest is never opened: its path can point at a file that does not
+    exist and the filtered plan still succeeds."""
+    root = build_table(tmp_path)
+    meta = os.path.join(root, "metadata")
+    md_path = os.path.join(meta, "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+    m1 = os.path.join(meta, "m1-m0.avro")  # 2020 files (exists)
+    m2 = os.path.join(meta, "m2-m0.avro")  # 2021 files
+    ghost = os.path.join(meta, "ghost-m0.avro")  # never written!
+
+    def le(v):
+        return (v).to_bytes(4, "little", signed=True)
+
+    recs = [
+        {"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 9,
+         "partitions": [{"contains_null": False,
+                         "lower_bound": le(2020), "upper_bound": le(2020)}]},
+        {"manifest_path": m2, "manifest_length": os.path.getsize(m2),
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 9,
+         "partitions": [{"contains_null": False,
+                         "lower_bound": le(2021), "upper_bound": le(2021)}]},
+        {"manifest_path": ghost, "manifest_length": 10,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 9,
+         "partitions": [{"contains_null": False,
+                         "lower_bound": le(1999), "upper_bound": le(1999)}]},
+    ]
+    ml = os.path.join(meta, "snap-sum.avro")
+    open(ml, "wb").write(encode_avro_records(MANIFEST_FILE_SCHEMA_V2, recs))
+    md["snapshots"].append(
+        {"snapshot-id": 9, "timestamp-ms": 9000, "manifest-list": ml}
+    )
+    md["current-snapshot-id"] = 9
+    open(md_path, "w").write(json.dumps(md))
+
+    cat = IcebergCatalog("t", root)
+    # ghost manifest (bounds 1999) is provably disjoint from year>='2020' —
+    # plan succeeds without ever opening it
+    df = cat.to_dataframe(spark, "year >= '2020' AND year <= '2020'")
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+    # a filter that CANNOT exclude it must try to open it and fail loudly
+    with pytest.raises(Exception):
+        IcebergCatalog("t", root).to_dataframe(spark)
+
+
+def test_distributed_planning_many_manifests(spark, tmp_path):
+    """Above DRIVER_PLAN_MAX_MANIFESTS the manifests decode in one
+    distributed job: after construction, driver-side manifest reads are
+    forbidden and planning still works."""
+    root = tmp_path / "many_tbl"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    meta = str(root / "metadata")
+
+    n = IcebergCatalog.DRIVER_PLAN_MAX_MANIFESTS + 2
+    manifest_paths = []
+    for i in range(n):
+        p = str(root / "data" / f"f{i}.parquet")
+        sz = _write_data_file(p, [(i, f"row{i}", 2020)])
+        manifest_paths.append(
+            _manifest(meta, f"mm{i}", [_entry(p, sz, 2020, n=1)])
+        )
+    ml = _manifest_list(meta, "many", manifest_paths)
+    md = {
+        "format-version": 2, "location": str(root),
+        "schemas": [ICEBERG_SCHEMA], "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "year", "transform": "identity", "source-id": 3,
+             "field-id": 1000}]}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "manifest-list": ml}],
+        "current-snapshot-id": 1,
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(md))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    cat = IcebergCatalog("t", str(root))
+
+    def _no_driver_reads(uri):
+        raise AssertionError(f"driver-side manifest read of {uri!r}")
+
+    cat._read_meta_bytes = _no_driver_reads
+    df = cat.to_dataframe(spark)
+    assert sorted(r["id"] for r in df.collect()) == list(range(n))
 
 
 def test_mixed_layout_picks_latest_by_last_updated(spark, tmp_path):

@@ -15,12 +15,18 @@ WARC/WebDataset/media codecs, the format support here is self-contained:
   option rather than a stage failure.
 - ``decode_avro_file(payload)`` — the core codec: container magic, file
   metadata (``avro.schema``, ``avro.codec``), sync-marker-verified blocks
-  (``null`` and ``deflate`` codecs), and the full binary encoding: zigzag
-  varints, length-prefixed bytes/strings, IEEE float/double, enums, fixed,
-  arrays/maps with negative-count size blocks, unions, nested records.
+  (``null``, ``deflate``, and ``snappy`` codecs — snappy via a pure-python
+  block-format decoder with the Avro CRC32 frame check), and the full
+  binary encoding: zigzag varints, length-prefixed bytes/strings, IEEE
+  float/double, enums, fixed, arrays/maps with negative-count size blocks,
+  unions, nested records.
 - ``encode_avro_records(schema_json, records)`` — the writer used for
-  fixtures and round-trip proofs (null/deflate codecs), making the tests
-  self-verifying the same way the FLAC codec's lossless round-trip is.
+  fixtures and round-trip proofs (null/deflate/snappy codecs), making the
+  tests self-verifying the same way the FLAC codec's lossless round-trip
+  is.
+- Files larger than ``split_bytes`` split into sync-marker-aligned byte
+  ranges, one task per range (Hadoop's input-split contract), so a single
+  huge dump file still parallelizes.
 
 Scope note: logical types (decimal/timestamp annotations) surface as their
 underlying primitive; schema resolution (reader != writer schema) is out of
@@ -53,6 +59,106 @@ from pyspark.sql.types import (
 from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
 
 _MAGIC = b"Obj\x01"
+
+
+# --- snappy block format (pure python) ---------------------------------------
+#
+# Snappy is the de-facto default Avro codec in the wild; the raw block
+# format (format_description.txt in google/snappy) is a varint uncompressed
+# length followed by literal/copy elements.  Avro frames each compressed
+# block with a 4-byte BIG-endian CRC32 of the UNCOMPRESSED bytes.
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    """Raw snappy block → bytes; ValueError on any malformation (a corrupt
+    shard must produce a diagnostic row, never a hung or crashed task)."""
+    n = 0
+    shift = 0
+    pos = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("snappy: truncated length varint")
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: length varint too long")
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = (tag >> 2) + 1
+            if ln > 60:
+                extra = ln - 60
+                if pos + extra > len(data):
+                    raise ValueError("snappy: truncated literal length")
+                ln = int.from_bytes(data[pos : pos + extra], "little") + 1
+                pos += extra
+            if pos + ln > len(data):
+                raise ValueError("snappy: truncated literal")
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 7) + 4
+            if pos + 1 > len(data):
+                raise ValueError("snappy: truncated copy")
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte little-endian offset
+            ln = (tag >> 2) + 1
+            if pos + 2 > len(data):
+                raise ValueError("snappy: truncated copy")
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte little-endian offset
+            ln = (tag >> 2) + 1
+            if pos + 4 > len(data):
+                raise ValueError("snappy: truncated copy")
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        # byte-at-a-time on purpose: offsets < length overlap (RLE)
+        for _ in range(ln):
+            out.append(out[-off])
+    if len(out) != n:
+        raise ValueError(f"snappy: declared {n} bytes, produced {len(out)}")
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Valid (all-literal) snappy stream — no match-finding, so output is
+    uncompressed-size + framing; used by the fixture writer and round-trip
+    proofs, and decodable by any conformant snappy reader."""
+    out = bytearray()
+    v = len(data)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 65536]
+        ln = len(chunk)
+        if ln <= 60:
+            out.append((ln - 1) << 2)
+        else:
+            out.append(61 << 2)  # literal, 2-byte length form
+            out += (ln - 1).to_bytes(2, "little")
+        out += chunk
+        i += ln
+    return bytes(out)
+
+
+_CODECS = ("null", "deflate", "snappy")
 
 
 # --- binary decoding ---------------------------------------------------------
@@ -224,9 +330,24 @@ def _read_header(payload: bytes):
         raise ValueError("avro: header missing avro.schema")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise ValueError(f"avro: unsupported codec {codec!r}")
     return schema, codec, sync, rd.pos
+
+
+def _inflate_block(block: bytes, codec: str) -> bytes:
+    """Compressed block bytes → record bytes for any supported codec."""
+    if codec == "deflate":
+        return zlib.decompress(block, -15)
+    if codec == "snappy":
+        if len(block) < 4:
+            raise ValueError("avro: snappy block shorter than its CRC")
+        data = _snappy_decompress(block[:-4])
+        want = int.from_bytes(block[-4:], "big")
+        if zlib.crc32(data) & 0xFFFFFFFF != want:
+            raise ValueError("avro: snappy block CRC mismatch")
+        return data
+    return block
 
 
 def decode_avro_file(payload: bytes):
@@ -251,8 +372,7 @@ def decode_avro_file(payload: bytes):
         block = rd.read(n_bytes)
         if rd.read(16) != sync:
             raise ValueError("avro: block sync mismatch")
-        if codec == "deflate":
-            block = zlib.decompress(block, -15)
+        block = _inflate_block(block, codec)
         brd = _Reader(block)
         for _ in range(n_records):
             records.append(_decode_value(brd, schema, names))
@@ -401,11 +521,12 @@ def encode_avro_records(
     codec: str = "null",
     records_per_block: int = 1000,
 ) -> bytes:
-    """Records → OCF bytes under ``schema_json`` (``null``/``deflate``)."""
+    """Records → OCF bytes under ``schema_json`` (``null``/``deflate``/
+    ``snappy``)."""
     schema = (
         json.loads(schema_json) if isinstance(schema_json, str) else schema_json
     )
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise BuzzBadRequestError(f"unsupported avro codec {codec!r}")
     # deterministic sync marker from the schema (fixtures must be stable)
     import hashlib
@@ -430,6 +551,10 @@ def encode_avro_records(
         payload = bytes(body.buf)
         if codec == "deflate":
             payload = zlib.compress(payload, 6)[2:-4]  # raw deflate
+        elif codec == "snappy":
+            payload = _snappy_compress(payload) + (
+                zlib.crc32(payload) & 0xFFFFFFFF
+            ).to_bytes(4, "big")
         head.long(len(chunk))
         head.long(len(payload))
         head.buf += payload
@@ -494,6 +619,126 @@ def avro_spark_schema(schema) -> StructType:
     return st
 
 
+# --- sync-marker range reads (block splitting) -------------------------------
+
+
+def _header_from_file(fh, file_size: int):
+    """Parse the OCF header by reading a growing prefix — never the whole
+    file (the header is bounded by the embedded schema's size)."""
+    prefix = 1 << 16
+    while True:
+        fh.seek(0)
+        head = fh.read(min(prefix, file_size))
+        try:
+            return _read_header(head)
+        except ValueError:
+            if prefix >= file_size or prefix >= (64 << 20):
+                raise
+            prefix *= 2
+
+
+def _records_in_range(path: str, start: int, end: int):
+    """Decode the records of every block STARTING in ``[start, end)`` of a
+    local OCF file — the Hadoop input-split contract: each split owns the
+    blocks that begin inside it, following its last block past ``end`` if
+    needed, so consecutive splits partition the file's records exactly.
+
+    Block starts are found by scanning for the file's 16-byte sync marker.
+    A marker-shaped byte run INSIDE block data is a possible (2^-128-ish)
+    false positive; candidates that fail to decode to a sync-terminated
+    block are discarded and the scan resumes at the next candidate, so a
+    false positive costs retries, never wrong records.  Yields
+    ``(schema, records)`` per decoded block."""
+    size = os.path.getsize(path)
+    end = min(end, size)
+    with open(path, "rb") as fh:
+        schema, codec, sync, body = _header_from_file(fh, size)
+        names: dict = {}
+        _collect_names(schema, names)
+
+        candidates: list[int] = []
+        if start <= body < end:
+            candidates.append(body)
+        # a block starting at b>body is preceded by a sync at b-16
+        lo = max(body, start - 16)
+        if lo < end:
+            fh.seek(lo)
+            window = fh.read((end - lo) + 16)
+            at = window.find(sync)
+            while at != -1:
+                b = lo + at + 16
+                if start <= b < end and b != body:
+                    candidates.append(b)
+                at = window.find(sync, at + 1)
+        candidates.sort()
+
+        def read_block(b: int):
+            """(records, next_block_start) or None if b is not a real
+            block boundary."""
+            fh.seek(b)
+            head = fh.read(20)  # two varints, ≤10 bytes each
+            rd = _Reader(head)
+            try:
+                n_records = rd.long()
+                n_bytes = rd.long()
+            except ValueError:
+                return None
+            if n_records < 0 or n_bytes < 0 or b + rd.pos + n_bytes + 16 > size:
+                return None
+            fh.seek(b + rd.pos)
+            block = fh.read(n_bytes)
+            if fh.read(16) != sync:
+                return None
+            try:
+                block = _inflate_block(block, codec)
+                brd = _Reader(block)
+                records = [
+                    _decode_value(brd, schema, names) for _ in range(n_records)
+                ]
+                if brd.pos != len(block):
+                    return None
+            except (ValueError, zlib.error):
+                return None
+            return records, b + rd.pos + n_bytes + 16
+
+        i = 0
+        pos = None
+        while i < len(candidates) or (pos is not None and pos < end):
+            b = pos if pos is not None and pos < end else None
+            if b is None:
+                b = candidates[i]
+                i += 1
+                if pos is not None and b < pos:
+                    continue  # a sync hit inside an already-decoded block
+            got = read_block(b)
+            if got is None:
+                if pos is not None and b == pos:
+                    raise ValueError(
+                        f"avro: corrupt block chain at offset {b} of {path}"
+                    )
+                continue  # false-positive sync; try the next candidate
+            records, pos = got
+            yield schema, records
+        if pos is None and start <= body < end and size > body:
+            # the range contained the body start yet nothing decoded
+            raise ValueError(f"avro: no decodable block at offset {body}")
+
+
+def _local_path(p: str) -> str | None:
+    """binaryFile path URI → local filesystem path, or None when the file
+    is on a store the range reader cannot open directly (those files stay
+    whole-file tasks; on a real cluster the range read would go through the
+    object store's ranged GET instead)."""
+    if p.startswith("file:"):
+        rest = p[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    if ":" not in p.split("/", 1)[0]:
+        return p
+    return None
+
+
 # --- distributed read --------------------------------------------------------
 
 
@@ -501,6 +746,7 @@ def read_avro(
     spark: SparkSession,
     path: str | list[str],
     diagnostics: bool = False,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Distributed OCF read: ``path`` (file, directory, or glob — anything
     ``binaryFile`` accepts) → DataFrame in the schema embedded in the FIRST
@@ -508,25 +754,32 @@ def read_avro(
 
     Scale shape: file = task (binaryFile + mapInPandas), no shuffle; each
     worker decodes only its own file using that file's embedded schema.
-    Files whose record shape disagrees with the reference schema, or that
+    Files LARGER than ``split_bytes`` (default 128 MiB) additionally split
+    into sync-marker-aligned byte ranges, one task per range, so one huge
+    .avro dump is not one task — the Hadoop input-split contract (each
+    range owns the blocks starting inside it).  Range reads need direct
+    file access; non-local stores fall back to whole-file tasks.  Files
+    whose record shape disagrees with the reference schema, or that
     are corrupt, fail their task with a typed error — unless
     ``diagnostics=True``, which instead emits their rows as nulls alongside
     a ``_error`` column (corrupt shards must not kill a 100k-file intake)."""
     paths = path if isinstance(path, list) else [path]
     binf = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro")
-    bin_df = binf.load(paths).select("path", "content")
+    split_bytes = (128 << 20) if split_bytes is None else int(split_bytes)
 
-    # Schema derivation: fetch ONLY the winning path's bytes (a path-only
-    # TakeOrdered — binaryFile prunes the content column — then one
-    # single-file load), and parse just the header: no record decode, no
-    # inflate, no second full-corpus read.  With diagnostics on, corrupt
-    # leading files are skipped until a parsable header is found — a bad
-    # lexicographic-first shard must not kill a 100k-file intake.
-    all_paths = [
-        r["path"] for r in binf.load(paths).select("path").orderBy("path").collect()
-    ]
+    # One path+length listing drives schema derivation AND split planning
+    # (binaryFile prunes the content column for both).
+    listing = (
+        binf.load(paths).select("path", "length").orderBy("path").collect()
+    )
+    all_paths = [r["path"] for r in listing]
     if not all_paths:
         raise BuzzBadRequestError(f"no .avro files under {path!r}")
+    # Schema derivation: fetch ONLY the winning path's bytes (then parse
+    # just the header: no record decode, no inflate, no second full-corpus
+    # read).  With diagnostics on, corrupt leading files are skipped until
+    # a parsable header is found — a bad lexicographic-first shard must not
+    # kill a 100k-file intake.
     ref_schema = None
     for candidate in all_paths:
         content = bytes(
@@ -582,4 +835,86 @@ def read_avro(
                     rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
-    return bin_df.mapInPandas(decode, schema=out_schema)
+    # split planning: big local files become byte ranges (one task each),
+    # everything else stays a whole-file binaryFile task
+    ranges: list[tuple[str, int, int, str]] = []
+    whole: list[str] = []
+    for r in listing:
+        lp = _local_path(r["path"])
+        if split_bytes and r["length"] > split_bytes and lp is not None:
+            k = 0
+            while k * split_bytes < r["length"]:
+                ranges.append(
+                    (
+                        lp,
+                        k * split_bytes,
+                        min((k + 1) * split_bytes, r["length"]),
+                        r["path"],
+                    )
+                )
+                k += 1
+        else:
+            whole.append(r["path"])
+
+    def decode_ranges(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = [f.name for f in out_schema.fields]
+        for batch in batches:
+            rows = []
+            for lp, s, e, p in zip(
+                batch["lpath"], batch["start"], batch["end"], batch["path"]
+            ):
+                try:
+                    checked = False
+                    for schema, records in _records_in_range(
+                        str(lp), int(s), int(e)
+                    ):
+                        if not checked:
+                            got = avro_spark_schema(schema).simpleString()
+                            if got != ref_schema_str:
+                                raise ValueError(
+                                    "avro: schema mismatch vs reference: "
+                                    f"{got}"
+                                )
+                            checked = True
+                        for rec in records:
+                            if not isinstance(rec, dict):
+                                raise ValueError("avro: top-level not a record")
+                            row = {k: rec.get(k) for k in field_names}
+                            if diagnostics:
+                                row["_error"] = None
+                            rows.append(row)
+                except (
+                    ValueError,
+                    KeyError,
+                    OSError,
+                    zlib.error,
+                    BuzzSchemaError,
+                ) as e:
+                    if not diagnostics:
+                        raise BuzzExecutionError(
+                            f"avro file {p} range [{s},{e}): {e}"
+                        ) from e
+                    row = {k: None for k in field_names}
+                    row["_error"] = f"{os.path.basename(str(p))}[{s}:{e}]: {e}"
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    parts: list[DataFrame] = []
+    if whole:
+        bin_df = (
+            spark.read.format("binaryFile").load(whole).select("path", "content")
+        )
+        parts.append(bin_df.mapInPandas(decode, schema=out_schema))
+    if ranges:
+        range_df = spark.createDataFrame(
+            ranges, "lpath string, start long, end long, path string"
+        ).repartition(len(ranges))
+        parts.append(range_df.mapInPandas(decode_ranges, schema=out_schema))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out

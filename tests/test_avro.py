@@ -49,7 +49,7 @@ def _recs(n, start=0):
     ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_codec_roundtrip_all_types(codec):
     recs = _recs(500)
     payload = encode_avro_records(SCHEMA, recs, codec=codec, records_per_block=64)
@@ -110,7 +110,7 @@ def test_read_avro_distributed(spark, tmp_path):
     embedded schema, all rows present, complex columns intact."""
     d = tmp_path / "avro_in"
     d.mkdir()
-    for i, codec in enumerate(["null", "deflate", "null"]):
+    for i, codec in enumerate(["null", "deflate", "snappy"]):
         (d / f"part-{i}.avro").write_bytes(
             encode_avro_records(SCHEMA, _recs(40, start=i * 100), codec=codec)
         )
@@ -253,3 +253,86 @@ def test_schema_mismatch_is_error_not_null_columns(spark, tmp_path):
     assert len(rows) == 6
     with pytest.raises(Exception, match="BuzzExecutionError|mismatch"):
         read_avro(spark, str(d)).count()
+
+
+def test_snappy_block_format_copies_and_malformations():
+    """The pure-python snappy decoder handles real compressor output
+    (copy elements, overlapping RLE copies) and types every malformation."""
+    from buzz_rust_spark.sources.avro import _snappy_compress, _snappy_decompress
+
+    # copy with 1-byte offset: "abcd" then copy(len=4, off=4)
+    assert (
+        _snappy_decompress(bytes([8, 3 << 2]) + b"abcd" + bytes([0x01, 0x04]))
+        == b"abcdabcd"
+    )
+    # overlapping copy = RLE: "a" then copy(len=4, off=1)
+    assert (
+        _snappy_decompress(bytes([5, 0]) + b"a" + bytes([0x01, 0x01]))
+        == b"aaaaa"
+    )
+    # 2-byte-offset copy form
+    assert (
+        _snappy_decompress(
+            bytes([8, 3 << 2]) + b"abcd" + bytes([(3 << 2) | 2, 4, 0])
+        )
+        == b"abcdabcd"
+    )
+    # all-literal self round-trip incl. the multi-byte literal-length form
+    import os as _os
+
+    for payload in (b"", b"x", _os.urandom(70000)):
+        assert _snappy_decompress(_snappy_compress(payload)) == payload
+    # malformations: declared-length mismatch, bad offset, truncation
+    with pytest.raises(ValueError, match="declared"):
+        _snappy_decompress(bytes([9, 3 << 2]) + b"abcd" + bytes([0x01, 0x04]))
+    with pytest.raises(ValueError, match="offset"):
+        _snappy_decompress(bytes([4, 0]) + b"a" + bytes([0x01, 0x09]))
+    with pytest.raises(ValueError, match="truncated"):
+        _snappy_decompress(bytes([10, 60 << 2]))
+
+
+def test_snappy_crc_frame_checked():
+    """Avro frames snappy blocks with a big-endian CRC32 of the
+    uncompressed bytes — a flipped data byte must be a typed error."""
+    payload = bytearray(
+        encode_avro_records(SCHEMA, _recs(50), codec="snappy")
+    )
+    payload[-25] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_avro_file(bytes(payload))
+
+
+def test_split_read_matches_whole_and_parallelizes(spark, tmp_path):
+    """A many-block file read with a small split_bytes yields exactly the
+    whole-file rows across >1 task (sync-marker input splits)."""
+    recs = _recs(600)
+    blob = encode_avro_records(SCHEMA, recs, records_per_block=16)
+    p = tmp_path / "big.avro"
+    p.write_bytes(blob)
+
+    whole = read_avro(spark, str(p))
+    split_sz = max(1, len(blob) // 7)
+    split = read_avro(spark, str(p), split_bytes=split_sz)
+    assert split.rdd.getNumPartitions() > 1
+    assert sorted(r["doc_id"] for r in split.collect()) == sorted(
+        r["doc_id"] for r in whole.collect()
+    )
+    assert split.count() == 600
+    # spot-check a full row survives the range path
+    row = {r["doc_id"]: r for r in split.collect()}[3]
+    assert list(row["tags"]) == ["t0", "t1", "t2"]
+
+
+def test_split_read_mixed_with_small_files(spark, tmp_path):
+    """Split planning composes with whole-file shards: big files range-split,
+    small ones stay one task, rows union exactly."""
+    d = tmp_path / "mix"
+    d.mkdir()
+    big = encode_avro_records(SCHEMA, _recs(300), records_per_block=8)
+    (d / "big.avro").write_bytes(big)
+    (d / "small.avro").write_bytes(
+        encode_avro_records(SCHEMA, _recs(20, start=1000), codec="snappy")
+    )
+    df = read_avro(spark, str(d), split_bytes=len(big) // 4)
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == sorted(list(range(300)) + list(range(1000, 1020)))

@@ -89,15 +89,12 @@ class BuzzEngine:
                 raise BuzzBadRequestError(
                     f"Catalog not found: {spec.uri}"  # parity: fuse_service.rs:46-50
                 )
-            cat = StaticCatalog(
-                name=spec.name,
-                schema=cat.schema,
-                files=cat.files,
-                partition_cols=cat.partition_cols,
-                verify_schemas=cat.verify_schemas,
-                verify_max_files=cat.verify_max_files,
-            )
-            return cat
+            # re-key under the QUERY's catalog name, keeping every other
+            # field (bucket/region/scheme/format/strategy) — field-by-field
+            # copying silently dropped bucketed-catalog settings
+            from dataclasses import replace
+
+            return replace(cat, name=spec.name)
         if spec.type is BuzzCatalogType.DELTA_LAKE:
             return DeltaCatalog(name=spec.name, table_uri=spec.uri)
         if spec.type is BuzzCatalogType.ICEBERG:

@@ -1392,6 +1392,95 @@ def z26_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z27_orc_source",
+    tags=("source", "pipeline"),
+    oracle=None,  # input is a synthesized ORC shard set; format routing
+    # pinned in tests/test_s3_catalog.py / test_iceberg.py
+)
+def z27_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC intake end-to-end: the first documents rows written as ORC
+    shards (pyarrow writer), registered as a Static catalog with
+    ``fmt='orc'``, read through the engine's BuzzQuery JSON surface with a
+    partition filter, and aggregated — Spark's native ORC reader behind the
+    same catalog contract as parquet."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from ..sources.manifest import CatalogFile
+    from ..sources.static_catalog import StaticCatalog
+
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(60).collect()
+    out_dir = tempfile.mkdtemp(prefix="orc_z27_")
+    files = []
+    for shard in range(3):
+        rows = [r for i, r in enumerate(docs) if i % 3 == shard]
+        p = os.path.join(out_dir, f"part-{shard}.orc")
+        pa_orc.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+                    "source": pa.array([r.source for r in rows], pa.string()),
+                    "text": pa.array([r.text for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        files.append(
+            CatalogFile(
+                key=p,
+                length=os.path.getsize(p),
+                partitions=(("shard", str(shard)),),
+            )
+        )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    engine = BuzzEngine(spark)
+    engine.register_static(
+        StaticCatalog(
+            name="docs_orc",
+            schema=StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("source", StringType()),
+                    StructField("text", StringType()),
+                ]
+            ),
+            files=files,
+            partition_cols=["shard"],
+            fmt="orc",
+            verify_schemas=True,
+        )
+    )
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [
+                {
+                    "sql": "SELECT source, COUNT(*) AS n_docs, "
+                    "SUM(LENGTH(text)) AS text_chars "
+                    "FROM docs_orc GROUP BY source",
+                    "name": "m",
+                    "step_type": "HBee",
+                    "partition_filter": "shard IN ('0', '1')",
+                },
+                {
+                    "sql": "SELECT source, SUM(n_docs) AS n_docs, "
+                    "SUM(text_chars) AS text_chars FROM m GROUP BY source",
+                    "name": "r",
+                    "step_type": "HComb",
+                },
+            ],
+            "catalogs": [
+                {"name": "docs_orc", "type": "Static", "uri": "docs_orc"}
+            ],
+        }
+    )
+    return engine.run(q).orderBy("source")
+
+
+@register(
     "z25_avro_source",
     tags=("source", "pipeline"),
     oracle=None,  # input is a synthesized avro shard set; codec semantics
@@ -1399,10 +1488,10 @@ def z26_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def z25_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro intake end-to-end: the first documents rows re-encoded as three
-    Avro OCF shards (null + deflate codecs, the pure-python writer), read
-    back distributed (shard = task, embedded-schema decode), and aggregated
-    per source — byte-identical texts prove the codec round-trip at the
-    driver level."""
+    Avro OCF shards (null + deflate + snappy codecs, the pure-python
+    writer), read back distributed (shard = task, embedded-schema decode),
+    and aggregated per source — byte-identical texts prove the codec
+    round-trip at the driver level."""
     import os
     import tempfile
 
@@ -1427,7 +1516,7 @@ def z25_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(out_dir, f"part-{shard}.avro"), "wb") as fh:
             fh.write(
                 encode_avro_records(
-                    schema, recs, codec="deflate" if shard % 2 else "null"
+                    schema, recs, codec=("null", "deflate", "snappy")[shard]
                 )
             )
     df = read_avro(spark, out_dir)

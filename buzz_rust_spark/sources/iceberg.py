@@ -69,8 +69,11 @@ The metadata chain is walked with in-repo codecs only:
   typed refusal.
 
 Honest refusals (same posture as the Delta reader's protocol gates):
-equality-delete files, non-parquet data/delete files, and format-version
-3+ raise typed errors instead of silently wrong rows.  Manifest-level
+equality-delete files, data/delete files in formats other than
+parquet/ORC, position deletes over ORC files (no ``_metadata.row_index``
+there), renamed-column evolution over ORC files (field-id reads are
+parquet-only), and format-version 3+ raise typed errors instead of
+silently wrong rows.  Manifest-level
 refusals surface at scan-planning time (first ``to_dataframe`` /
 ``pruned_files`` call), where real engines plan — not at catalog
 construction.
@@ -741,17 +744,18 @@ class IcebergCatalog:
 
     def _plan(
         self, spark: SparkSession | None, partition_filter: str | None
-    ) -> tuple[list[CatalogFile], list[dict], list[tuple[str, str]]]:
+    ) -> tuple[list[CatalogFile], list[dict], list[tuple[str, str]], set]:
         """(data files, position-delete files, recorded→normalized path
-        pairs) for this snapshot under ``partition_filter``-driven manifest
-        skipping.  Cached per filter string."""
+        pairs, ORC file keys) for this snapshot under
+        ``partition_filter``-driven manifest skipping.  Cached per filter
+        string."""
         from .uris import normalized_key
 
         cache_key = partition_filter or ""
         if cache_key in self._plans:
             return self._plans[cache_key]
         if self._manifests is None:
-            plan = ([], [], [])
+            plan = ([], [], [], set())
             self._plans[cache_key] = plan
             return plan
 
@@ -767,6 +771,7 @@ class IcebergCatalog:
         files: list[CatalogFile] = []
         deletes: list[dict] = []
         pairs: list[tuple[str, str]] = []
+        orc_keys: set = set()
         for mcontent, e in self._decode_entries(spark, chosen):
             if int(e.get("status") or 0) == 2:  # DELETED entry
                 continue
@@ -781,10 +786,10 @@ class IcebergCatalog:
                         "malformed metadata, refusing (reading it as data "
                         "would resurrect deleted rows)"
                     )
-                if fmt and fmt != "PARQUET":
+                if fmt and fmt not in ("PARQUET", "ORC"):
                     raise BuzzExecutionError(
                         f"iceberg data file format {fmt!r} not supported "
-                        "(parquet only)"
+                        "(parquet and orc only)"
                     )
                 part = df_rec.get("partition") or {}
                 partitions = tuple(
@@ -800,6 +805,8 @@ class IcebergCatalog:
                     if f["prune_name"]
                 )
                 key = _spark_uri(df_rec["file_path"])
+                if fmt == "ORC":
+                    orc_keys.add(key)
                 files.append(
                     CatalogFile(
                         key=key,
@@ -834,7 +841,7 @@ class IcebergCatalog:
                         "size": int(df_rec.get("file_size_in_bytes") or 0),
                     }
                 )
-        plan = (files, deletes, pairs)
+        plan = (files, deletes, pairs, orc_keys)
         self._plans[cache_key] = plan
         return plan
 
@@ -852,7 +859,7 @@ class IcebergCatalog:
                 "partition fields (identity or year/month/day/hour/truncate "
                 "transforms)"
             )
-        files, _, _ = self._plan(spark, partition_filter)
+        files, _, _, _ = self._plan(spark, partition_filter)
         if not partition_filter:
             return list(files)
         return StaticCatalog(
@@ -873,24 +880,48 @@ class IcebergCatalog:
         reading on the pruned plain file list.  Position deletes (if any)
         apply as one anti-join on (file path, row index)."""
         files = self.pruned_files(spark, partition_filter)
-        _, deletes, pairs = self._plan(spark, partition_filter)
+        _, deletes, pairs, orc_keys = self._plan(spark, partition_filter)
+        orc = [f for f in files if f.key in orc_keys]
+        parq = [f for f in files if f.key not in orc_keys]
+        if orc and deletes:
+            raise BuzzExecutionError(
+                "iceberg position deletes over ORC data files are not "
+                "supported: the delete anti-join needs _metadata.row_index, "
+                "which Spark exposes for parquet scans only — refusing "
+                "instead of resurrecting deleted rows"
+            )
+        if orc and self._evolved:
+            raise BuzzExecutionError(
+                "iceberg schema-evolved (renamed-column) tables with ORC "
+                "data files are not supported: field-id resolution is "
+                "implemented for parquet only — refusing instead of "
+                "null-filling pre-rename files"
+            )
         if self._evolved:
             # resolve parquet columns by field id (schema metadata carries
             # parquet.field.id): files written before a column rename keep
             # reading correctly.  No-op for scans whose schema has no ids.
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        if not deletes or not files:
-            scan = StaticCatalog(
+        if deletes and parq:
+            return self._position_delete_scan(spark, parq, deletes, pairs)
+
+        def _scan(subset: list[CatalogFile], fmt: str) -> DataFrame:
+            return StaticCatalog(
                 name=self.name,
                 schema=self._scan_schema,
                 files=[
                     CatalogFile(key=f.key, length=f.length, partitions=())
-                    for f in files
+                    for f in subset
                 ],
                 partition_cols=[],
-            )
-            return scan.to_dataframe(spark)
-        return self._position_delete_scan(spark, files, deletes, pairs)
+                fmt=fmt,
+            ).to_dataframe(spark)
+
+        if orc and parq:
+            return _scan(parq, "parquet").unionByName(_scan(orc, "orc"))
+        if orc:
+            return _scan(orc, "orc")
+        return _scan(parq, "parquet")
 
     def _position_delete_scan(
         self,

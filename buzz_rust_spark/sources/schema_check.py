@@ -55,14 +55,34 @@ def _normalize(dt: DataType) -> DataType:
     return dt
 
 
-def verify_file_schema(declared: StructType, path: str) -> None:
-    """Raise :class:`BuzzSchemaError` if the parquet footer at ``path`` does not
-    match ``declared`` by name/type (reference: parquet.rs:84-100).
+def _footer_schema(path: str, fmt: str):
+    """File-format footer/metadata schema via pyarrow — metadata-only reads
+    for both formats (ORC holds its type description in the file footer,
+    like parquet)."""
+    if fmt == "orc":
+        from pyarrow import fs as pa_fs
+        from pyarrow import orc as pa_orc
+
+        p = _pyarrow_path(path)
+        if "://" in p:
+            filesystem, inner = pa_fs.FileSystem.from_uri(p)
+            with filesystem.open_input_file(inner) as fh:
+                return pa_orc.ORCFile(fh).schema
+        return pa_orc.ORCFile(p).schema
+    return pq.read_schema(_pyarrow_path(path))
+
+
+def verify_file_schema(
+    declared: StructType, path: str, fmt: str = "parquet"
+) -> None:
+    """Raise :class:`BuzzSchemaError` if the file footer at ``path`` does not
+    match ``declared`` by name/type (reference: parquet.rs:84-100; the same
+    strict check applies to ORC footers).
 
     Nullability is checked one-way: a footer field marked required may feed a
     nullable declared column, but not the reverse (a nullable footer column
     under a non-null declaration can produce nulls the schema forbids)."""
-    footer = pq.read_schema(_pyarrow_path(path))
+    footer = _footer_schema(path, fmt)
     footer_fields = {f.name: f for f in footer}
     for declared_field in declared.fields:
         if isinstance(declared_field.dataType, NullType):
@@ -97,6 +117,7 @@ def verify_files(
     paths: list[str],
     max_files: int | None = None,
     spark=None,
+    fmt: str = "parquet",
 ) -> None:
     """Verify up to ``max_files`` footers (ALL when None — the first
     ``max_files`` paths otherwise, i.e. a sample).  With a ``spark`` session
@@ -104,13 +125,15 @@ def verify_files(
     distributed (one executor task batch per partition of the path list)."""
     to_check = paths if max_files is None else paths[:max_files]
     if spark is not None and len(to_check) > DISTRIBUTE_THRESHOLD:
-        _verify_files_distributed(spark, declared, to_check)
+        _verify_files_distributed(spark, declared, to_check, fmt)
         return
     for p in to_check:
-        verify_file_schema(declared, p)
+        verify_file_schema(declared, p, fmt)
 
 
-def _verify_files_distributed(spark, declared: StructType, paths: list[str]) -> None:
+def _verify_files_distributed(
+    spark, declared: StructType, paths: list[str], fmt: str = "parquet"
+) -> None:
     """Footer check as a Spark job: ship the declared schema as JSON, read
     each footer executor-side with pyarrow, emit one row per failing file.
     Only error strings come back to the driver (capped), so the job moves
@@ -129,14 +152,14 @@ def _verify_files_distributed(spark, declared: StructType, paths: list[str]) -> 
             errs = []
             for p in pdf["path"]:
                 try:
-                    verify_file_schema(decl, p)
+                    verify_file_schema(decl, p, fmt)
                 except BuzzSchemaError as exc:
                     errs.append(str(exc))
                 except Exception as exc:  # unreadable footer fails the check
                     # (reference parity: a worker that can't read the footer
                     # fails its stage, parquet.rs:84-100) — surfaced as a
                     # check error instead of an opaque task failure
-                    errs.append(f"cannot read parquet footer at {p!r}: {exc}")
+                    errs.append(f"cannot read {fmt} footer at {p!r}: {exc}")
             yield pd.DataFrame({"error": errs})
 
     n_parts = min(

@@ -61,10 +61,29 @@ class StaticCatalog:
     scheme: str = "s3a"
     verify_schemas: bool = False
     verify_max_files: int | None = 16
+    # data file format: Spark reads both natively with a declared schema —
+    # the scan sites below route through _scan so every strategy (plain /
+    # union / join) supports both
+    fmt: str = "parquet"  # "parquet" | "orc"
     # partition-attach strategy: "auto" switches from per-tuple unions to a
     # single scan + broadcast manifest join above this many distinct tuples
     attach_strategy: str = "auto"  # "auto" | "union" | "join"
     union_max_groups: int = 32
+
+    def _scan(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        """One declared-schema scan of ``paths`` in the catalog's format."""
+        if self.fmt not in ("parquet", "orc"):
+            raise BuzzPlanError(
+                f"unsupported catalog file format {self.fmt!r} "
+                "(parquet and orc are implemented)"
+            )
+        reader = spark.read.schema(self.schema)
+        if self.fmt == "parquet":
+            return reader.parquet(*paths)
+        # DataFrameReader.orc is NOT varargs like .parquet — its second
+        # positional is mergeSchema, so orc(p1, p2) silently drops/garbles
+        # paths; it takes one path-or-list argument
+        return reader.orc(paths)
 
     def resolve_key(self, key: str) -> str:
         """Object key → readable URI (identity for bucket-less catalogs)."""
@@ -114,12 +133,11 @@ class StaticCatalog:
                 [self.resolve_key(f.key) for f in files],
                 self.verify_max_files,
                 spark=spark,
+                fmt=self.fmt,
             )
 
         if not self.partition_cols:
-            return spark.read.schema(self.schema).parquet(
-                *[self.resolve_key(f.key) for f in files]
-            )
+            return self._scan(spark, [self.resolve_key(f.key) for f in files])
 
         # Group files by partition tuple.  A None VALUE is a legitimate null
         # partition (Delta); only an ABSENT column is a malformed catalog.
@@ -147,7 +165,7 @@ class StaticCatalog:
 
             scans = []
             for values, paths in sorted(groups.items(), key=_group_key):
-                df = spark.read.schema(self.schema).parquet(*paths)
+                df = self._scan(spark, paths)
                 for col, value in zip(self.partition_cols, values):
                     df = df.withColumn(col, F.lit(value).cast(StringType()))
                 scans.append(df)
@@ -164,9 +182,7 @@ class StaticCatalog:
         from .manifest import manifest_df
         from .uris import normalized_path_col, strip_scheme
 
-        scan = spark.read.schema(self.schema).parquet(
-            *[self.resolve_key(f.key) for f in files]
-        )
+        scan = self._scan(spark, [self.resolve_key(f.key) for f in files])
         # Manifest keys resolve to full URIs before normalization so the join
         # key equals input_file_name() for bucketed (relative-key) catalogs.
         # Both sides normalize via sources.uris — the scan side additionally

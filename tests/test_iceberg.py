@@ -263,12 +263,12 @@ def test_delete_files_and_future_versions_refused(spark, tmp_path):
     with pytest.raises(BuzzExecutionError, match="DATA manifest"):
         IcebergCatalog("t", root).to_dataframe(spark)
 
-    # non-parquet data file refused
-    morc = _manifest(meta, "morc", [_entry(data_path, 10, 2020, fmt="ORC")])
-    ml3 = _manifest_list(meta, "orc", [morc])
+    # data file in a format outside parquet/orc refused
+    mavro = _manifest(meta, "mavro", [_entry(data_path, 10, 2020, fmt="AVRO")])
+    ml3 = _manifest_list(meta, "avrofmt", [mavro])
     md_del["snapshots"][-1]["manifest-list"] = ml3
     open(md_path, "w").write(json.dumps(md_del))
-    with pytest.raises(BuzzExecutionError, match="ORC"):
+    with pytest.raises(BuzzExecutionError, match="AVRO"):
         IcebergCatalog("t", root).to_dataframe(spark)
 
 
@@ -945,3 +945,90 @@ def test_mixed_layout_picks_latest_by_last_updated(spark, tmp_path):
     )
     cat = IcebergCatalog("t", root)
     assert cat.to_dataframe(spark).count() == 6  # the 2-snapshot (fresh) view
+
+
+def _write_orc_data_file(path, rows):
+    from pyarrow import orc as pa_orc
+
+    table = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "name": pa.array([r[1] for r in rows], pa.string()),
+            "year": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pa_orc.write_table(table, path)
+    return os.path.getsize(path)
+
+
+def _swap_file_to_orc(root, tag, rows):
+    """Replace data file <tag>.parquet with an ORC twin and rewrite its
+    manifest entry as file_format=ORC."""
+    data = os.path.join(root, "data")
+    orc_path = os.path.join(data, f"{tag}.orc")
+    size = _write_orc_data_file(orc_path, rows)
+    return orc_path, size
+
+
+def test_iceberg_orc_data_files(spark, tmp_path):
+    """A snapshot mixing parquet and ORC data files reads both; pruning
+    still works (format is per-file, partition tuples are format-blind)."""
+    root = build_table(tmp_path)
+    meta = os.path.join(root, "metadata")
+    md_path = os.path.join(meta, "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+
+    a = os.path.join(root, "data", "a.parquet")  # 2020, ids 1-2 (parquet)
+    orc_c, orc_sz = _swap_file_to_orc(
+        root, "c", [(4, "delta", 2021), (5, "epsilon", 2021)]
+    )
+    m = _manifest(
+        meta, "mixed",
+        [
+            _entry(a, os.path.getsize(a), 2020, n=2),
+            _entry(orc_c, orc_sz, 2021, fmt="ORC", n=2),
+        ],
+    )
+    ml = _manifest_list(meta, "mixed", [m], snap_id=5)
+    md["snapshots"].append(
+        {"snapshot-id": 5, "timestamp-ms": 5000, "manifest-list": ml}
+    )
+    md["current-snapshot-id"] = 5
+    open(md_path, "w").write(json.dumps(md))
+
+    cat = IcebergCatalog("t", root)
+    df = cat.to_dataframe(spark)
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {1: "alpha", 2: "beta", 4: "delta", 5: "epsilon"}
+    # pruning unaffected by format
+    assert sorted(
+        r["id"] for r in cat.to_dataframe(spark, "year = '2021'").collect()
+    ) == [4, 5]
+    assert sorted(
+        r["id"] for r in cat.to_dataframe(spark, "year = '2020'").collect()
+    ) == [1, 2]
+
+
+def test_iceberg_orc_with_position_deletes_refused(spark, tmp_path):
+    """Position deletes need _metadata.row_index (parquet-only) — an ORC
+    data file in a deleted snapshot is a typed refusal, not resurrection."""
+    root = _mor_table(tmp_path, [("a", 0)])
+    meta = os.path.join(root, "metadata")
+    md_path = os.path.join(meta, "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+    orc_e, orc_sz = _swap_file_to_orc(root, "e", [(9, "eta", 2021)])
+    morc = _manifest(meta, "addorc", [_entry(orc_e, orc_sz, 2021, fmt="ORC")])
+    # extend the MOR snapshot's manifest list with the ORC data manifest
+    m1 = os.path.join(meta, "m1-m0.avro")
+    m2 = os.path.join(meta, "m2-m0.avro")
+    mdel = os.path.join(meta, "mpos-m0.avro")
+    ml = _manifest_list_mixed(
+        meta, "morc", [(m1, 0), (m2, 0), (morc, 0), (mdel, 1)], snap_id=4
+    )
+    md["snapshots"].append(
+        {"snapshot-id": 4, "timestamp-ms": 4000, "manifest-list": ml}
+    )
+    md["current-snapshot-id"] = 4
+    open(md_path, "w").write(json.dumps(md))
+    with pytest.raises(BuzzExecutionError, match="ORC"):
+        IcebergCatalog("t", root).to_dataframe(spark)

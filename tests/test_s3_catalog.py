@@ -197,3 +197,141 @@ def test_logstore_s3_uri_normalizes_to_s3a_for_spark():
         store = LogStore("s3://bkt/tbl", region="eu-west-1")
     assert store.spark_path("part-0.parquet") == "s3a://bkt/tbl/part-0.parquet"
     fake.assert_called_once_with(region="eu-west-1")
+
+
+def _write_orc(path, ids, names):
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    pa_orc.write_table(
+        pa.table(
+            {"id": pa.array(ids, pa.int64()),
+             "name": pa.array(names, pa.string())}
+        ),
+        path,
+    )
+
+
+def test_static_catalog_orc_format(spark, tmp_path):
+    """fmt='orc' scans ORC files through every strategy surface: plain,
+    partition-union attach, and the declared schema still prunes/projects."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from buzz_rust_spark.sources.manifest import CatalogFile
+    from buzz_rust_spark.sources.static_catalog import StaticCatalog
+
+    p1 = str(tmp_path / "a.orc")
+    p2 = str(tmp_path / "b.orc")
+    _write_orc(p1, [1, 2], ["x", "y"])
+    _write_orc(p2, [3], ["z"])
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    plain = StaticCatalog(
+        name="t", schema=schema,
+        files=[CatalogFile(key=p1, length=1), CatalogFile(key=p2, length=1)],
+        fmt="orc",
+    )
+    assert sorted(
+        (r["id"], r["name"]) for r in plain.to_dataframe(spark).collect()
+    ) == [(1, "x"), (2, "y"), (3, "z")]
+
+    parts = StaticCatalog(
+        name="t", schema=schema,
+        files=[
+            CatalogFile(key=p1, length=1, partitions=(("ds", "d1"),)),
+            CatalogFile(key=p2, length=1, partitions=(("ds", "d2"),)),
+        ],
+        partition_cols=["ds"],
+        fmt="orc",
+    )
+    rows = {r["id"]: r["ds"] for r in parts.to_dataframe(spark).collect()}
+    assert rows == {1: "d1", 2: "d1", 3: "d2"}
+    pruned = parts.to_dataframe(spark, partition_filter="ds = 'd2'")
+    assert [r["id"] for r in pruned.collect()] == [3]
+
+
+def test_static_catalog_orc_schema_verification(spark, tmp_path):
+    """verify_schemas reads ORC footers: a type mismatch is a typed
+    BuzzSchemaError, not silent nulls."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from buzz_rust_spark.errors import BuzzSchemaError
+    from buzz_rust_spark.sources.manifest import CatalogFile
+    from buzz_rust_spark.sources.static_catalog import StaticCatalog
+
+    p1 = str(tmp_path / "v.orc")
+    _write_orc(p1, [1], ["x"])
+    good = StaticCatalog(
+        name="t",
+        schema=StructType(
+            [StructField("id", LongType()), StructField("name", StringType())]
+        ),
+        files=[CatalogFile(key=p1, length=1)],
+        fmt="orc",
+        verify_schemas=True,
+    )
+    assert good.to_dataframe(spark).count() == 1
+    bad = StaticCatalog(
+        name="t",
+        schema=StructType(
+            [StructField("id", StringType()), StructField("name", StringType())]
+        ),
+        files=[CatalogFile(key=p1, length=1)],
+        fmt="orc",
+        verify_schemas=True,
+    )
+    with pytest.raises(BuzzSchemaError, match="id"):
+        bad.to_dataframe(spark).count()
+
+
+def test_static_catalog_unknown_format_typed_error(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from buzz_rust_spark.errors import BuzzPlanError
+    from buzz_rust_spark.sources.manifest import CatalogFile
+    from buzz_rust_spark.sources.static_catalog import StaticCatalog
+
+    cat = StaticCatalog(
+        name="t",
+        schema=StructType([StructField("id", LongType())]),
+        files=[CatalogFile(key=str(tmp_path / "x.bin"), length=1)],
+        fmt="csv",
+    )
+    with pytest.raises(BuzzPlanError, match="format"):
+        cat.to_dataframe(spark)
+
+
+def test_engine_static_clone_keeps_catalog_settings(spark, tmp_path):
+    """Resolving a registered Static catalog by query JSON must keep ALL its
+    settings (fmt/bucket/scheme were silently dropped by the field-by-field
+    clone)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from buzz_rust_spark import BuzzEngine, BuzzQuery
+    from buzz_rust_spark.sources.manifest import CatalogFile
+    from buzz_rust_spark.sources.static_catalog import StaticCatalog
+
+    p1 = str(tmp_path / "e.orc")
+    _write_orc(p1, [1, 2, 3], ["x", "y", "z"])
+    engine = BuzzEngine(spark)
+    engine.register_static(
+        StaticCatalog(
+            name="orct",
+            schema=StructType(
+                [StructField("id", LongType()), StructField("name", StringType())]
+            ),
+            files=[CatalogFile(key=p1, length=1)],
+            fmt="orc",
+        )
+    )
+    q = BuzzQuery.from_dict(
+        {
+            "steps": [
+                {"sql": "SELECT COUNT(*) AS n FROM orct", "name": "s",
+                 "step_type": "HBee"},
+            ],
+            "catalogs": [{"name": "orct", "type": "Static", "uri": "orct"}],
+        }
+    )
+    assert engine.run(q).collect()[0]["n"] == 3

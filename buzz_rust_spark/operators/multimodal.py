@@ -1887,8 +1887,14 @@ def decode_features(
     BMP/PNG/JPEG/GIF images, AVI/MJPEG video (first frame), and WAV/FLAC
     audio decode FOR REAL (pixel / sample statistics, :func:`decode_real`).
     Other formats use the deterministic byte stub; ``strict=True`` raises
-    NotImplementedError at that boundary instead (MP3 / non-MJPEG video
-    require torchaudio/ffmpeg, not present in this environment)."""
+    NotImplementedError at that boundary instead.  MP3 stays refused on
+    purpose: unlike JPEG (tables in-file) or FLAC (parametric Rice codes),
+    a Layer III decoder needs ISO/IEC 11172-3's normative FIXED tables (34
+    Huffman code tables, the 512-coefficient synthesis window) which this
+    container has no way to source or verify — an unverifiable
+    transcription would risk silently wrong samples, so the honest
+    boundary is the typed refusal plus full header triage
+    (``operators/probe.py``, incl. VBR-exact durations)."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -14,10 +14,17 @@ first and decodes only what survives the routing filters.
 - **AVI** — dimensions, frame count and duration from avih alone (no movi
   walk, no frame decode).
 - **MP3 (MPEG-1/2 audio layer I-III)** — the one format whose PCM decode
-  this repo honestly refuses: the frame header still yields version, layer,
-  bitrate, sample rate, channel mode, and a CBR duration estimate, so MP3
-  rows can be routed/filtered/accounted at scale even though decoding them
-  needs torchaudio/ffmpeg.
+  this repo honestly refuses: a conformant Layer III decoder requires the
+  normative fixed tables of ISO/IEC 11172-3 (34 Huffman code tables, the
+  512-coefficient synthesis window) which cannot be re-derived or verified
+  in this container — an unverifiable from-memory transcription would risk
+  silently wrong samples, the worst defect class, so the boundary stays a
+  typed refusal.  The header layer IS fully implemented: version, layer,
+  bitrate, sample rate, channel mode, and duration — EXACT for VBR files
+  via the Xing/Info/VBRI frame-count headers (flagged ``,vbr`` in the
+  container string), CBR-extrapolated otherwise — so MP3 rows route,
+  filter, and account at scale even though decoding them needs
+  torchaudio/ffmpeg.
 
 Everything runs in one ``mapInPandas`` pass over (media_id, payload); per
 row only a few hundred header bytes are touched.  Unknown containers probe
@@ -108,10 +115,53 @@ def _probe_mp3(p: bytes) -> dict | None:
                     pos += 1
                     continue
             # else: payload ends inside the first frame — accept
-            # CBR duration estimate: audio bytes (tag excluded) at this rate
-            duration_ms = int((len(p) - pos) * 8 / bitrate)
+
+            # VBR headers (Xing/Info in the first frame's side-info gap,
+            # or Fraunhofer's VBRI 32 bytes in) carry the EXACT frame
+            # count — the CBR extrapolation below is wildly wrong for VBR
+            # files, which are the common case for LAME-era encodes.
+            spf = (
+                384
+                if layer == 1
+                else (1152 if (layer == 2 or version == 3) else 576)
+            )
+            vbr_frames = vbr_bytes = None
+            is_vbr = False
+            if layer == 3:
+                side = (17 if mode == 3 else 32) if version == 3 else (
+                    9 if mode == 3 else 17
+                )
+                tag = pos + 4 + side
+                magic = p[tag : tag + 4]
+                if magic in (b"Xing", b"Info") and tag + 8 <= len(p):
+                    flags = int.from_bytes(p[tag + 4 : tag + 8], "big")
+                    q = tag + 8
+                    if flags & 1 and q + 4 <= len(p):
+                        vbr_frames = int.from_bytes(p[q : q + 4], "big")
+                        q += 4
+                    if flags & 2 and q + 4 <= len(p):
+                        vbr_bytes = int.from_bytes(p[q : q + 4], "big")
+                    is_vbr = magic == b"Xing"
+                else:
+                    v = pos + 4 + 32
+                    if p[v : v + 4] == b"VBRI" and v + 18 <= len(p):
+                        vbr_bytes = int.from_bytes(p[v + 10 : v + 14], "big")
+                        vbr_frames = int.from_bytes(p[v + 14 : v + 18], "big")
+                        is_vbr = True
+            if vbr_frames:
+                duration_ms = int(vbr_frames * spf * 1000 / rate)
+                if vbr_bytes and duration_ms > 0:
+                    # average bitrate over the whole stream, not frame 1's
+                    bitrate = int(round(vbr_bytes * 8 / duration_ms))
+            else:
+                # CBR estimate: audio bytes (tag excluded) at this rate
+                duration_ms = int((len(p) - pos) * 8 / bitrate)
+            tag_suffix = ",vbr" if is_vbr else ""
             return {
-                "container": f"mp3(v{ {3: 1, 2: 2, 0: 2.5}[version] }L{layer})",
+                "container": (
+                    f"mp3(v{ {3: 1, 2: 2, 0: 2.5}[version] }L{layer}"
+                    f"{tag_suffix})"
+                ),
                 "sample_rate": rate,
                 "channels": channels,
                 "duration_ms": duration_ms,

@@ -163,3 +163,46 @@ def test_property_probe_never_raises_on_fuzz(blob):
     ):
         info = _probe_one(payload)
         assert isinstance(info, dict) and "container" in info
+
+def _mp3_with_xing(magic=b"Xing", frames=100, nbytes=50_000,
+                   hdr=b"\xff\xfb\x90\x00"):
+    """First frame carrying a Xing/Info VBR header (frames+bytes flags) in
+    the side-info gap, followed by two plain frames."""
+    fl = _mp3_frame_len(hdr)
+    first = bytearray(hdr + b"\x00" * (fl - 4))
+    tag = 4 + 32  # MPEG-1 stereo side-info length
+    first[tag:tag + 4] = magic
+    first[tag + 4:tag + 8] = (3).to_bytes(4, "big")  # frames | bytes
+    first[tag + 8:tag + 12] = frames.to_bytes(4, "big")
+    first[tag + 12:tag + 16] = nbytes.to_bytes(4, "big")
+    frame = hdr + b"\x00" * (fl - 4)
+    return bytes(first) + frame * 2
+
+
+def test_probe_mp3_xing_vbr_exact_duration():
+    """A Xing header's exact frame count replaces the CBR extrapolation:
+    duration = frames * 1152 / rate, bitrate = stream average."""
+    info = _probe_one(_mp3_with_xing())
+    assert info["container"] == "mp3(v1L3,vbr)"
+    want_ms = int(100 * 1152 * 1000 / 44100)  # 2612
+    assert info["duration_ms"] == want_ms
+    assert info["bitrate_kbps"] == round(50_000 * 8 / want_ms)
+
+    # "Info" magic = LAME's CBR marker: exact duration, no vbr flag
+    info = _probe_one(_mp3_with_xing(magic=b"Info"))
+    assert info["container"] == "mp3(v1L3)"
+    assert info["duration_ms"] == want_ms
+
+
+def test_probe_mp3_vbri_header():
+    hdr = b"\xff\xfb\x90\x00"
+    fl = _mp3_frame_len(hdr)
+    first = bytearray(hdr + b"\x00" * (fl - 4))
+    v = 4 + 32  # VBRI sits 32 bytes after the frame header
+    first[v:v + 4] = b"VBRI"
+    first[v + 10:v + 14] = (40_000).to_bytes(4, "big")   # bytes
+    first[v + 14:v + 18] = (200).to_bytes(4, "big")      # frames
+    frame = hdr + b"\x00" * (fl - 4)
+    info = _probe_one(bytes(first) + frame * 2)
+    assert info["container"] == "mp3(v1L3,vbr)"
+    assert info["duration_ms"] == int(200 * 1152 * 1000 / 44100)

@@ -61,18 +61,26 @@ The metadata chain is walked with in-repo codecs only:
   deletion-vector scan (``delta_catalog.py::_dv_scan``), with the delete
   relation read distributed (delete files can be large) and broadcast
   when the manifests say the total delete bytes are small.  Sequence
-  numbers are NOT consulted: Iceberg data-file paths are unique per file
-  (never rewritten in place), so a position delete either targets a file
-  in this snapshot (applies) or a file compacted away (drops out of the
-  path-mapping join) — path identity subsumes the sequence-number check
-  for position deletes.  EQUALITY delete files (``content=2``) remain a
-  typed refusal.
+  numbers are NOT consulted for position deletes: Iceberg data-file paths
+  are unique per file (never rewritten in place), so a position delete
+  either targets a file in this snapshot (applies) or a file compacted
+  away (drops out of the path-mapping join) — path identity subsumes the
+  sequence-number check there.  EQUALITY delete files (``content=2``,
+  the Flink-upsert shape) apply as NULL-SAFE anti-joins on the
+  ``equality_ids`` key columns, scoped by the spec's strict
+  sequence-number rule: a delete hits only data files whose data
+  sequence number is strictly smaller, so a re-insert of the same key in
+  a later commit survives.  Per-file sequence numbers ride a broadcast
+  path→seq map; v1 metadata (no sequence numbers) degrades to seq 0
+  everywhere, keeping every delete applicable.
 
 Honest refusals (same posture as the Delta reader's protocol gates):
-equality-delete files, data/delete files in formats other than
-parquet/ORC, position deletes over ORC files (no ``_metadata.row_index``
-there), renamed-column evolution over ORC files (field-id reads are
-parquet-only), and format-version 3+ raise typed errors instead of
+delete files without ``equality_ids``, data/delete files in formats
+other than parquet/ORC (delete files: parquet only), position deletes
+over ORC files (no ``_metadata.row_index`` there), renamed-column
+evolution over ORC files or combined with equality deletes (field-id
+resolution is parquet-data-only, and pre-rename delete files carry old
+column names), and format-version 3+ raise typed errors instead of
 silently wrong rows.  Manifest-level
 refusals surface at scan-planning time (first ``to_dataframe`` /
 ``pruned_files`` call), where real engines plan — not at catalog
@@ -503,6 +511,8 @@ class IcebergCatalog:
             [_struct_field(f, with_ids=False) for f in schema_json["fields"]]
         )
         field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+        # id → current name: equality deletes key on field ids
+        self._field_names = field_names
 
         # Schema evolution: any historical schema mapping a CURRENT field id
         # to a different name means data files exist (or may exist) whose
@@ -663,34 +673,37 @@ class IcebergCatalog:
 
     def _decode_entries(
         self, spark: SparkSession | None, manifests: list[dict]
-    ) -> list[tuple[int, dict]]:
-        """All (manifest_content, entry) pairs of the given manifests —
-        sequential on the driver for small tables, one distributed
-        binaryFile+mapInPandas job above DRIVER_PLAN_MAX_MANIFESTS."""
+    ) -> list[tuple[int, int, dict]]:
+        """All (manifest_content, manifest_sequence_number, entry) triples
+        of the given manifests — sequential on the driver for small tables,
+        one distributed binaryFile+mapInPandas job above
+        DRIVER_PLAN_MAX_MANIFESTS."""
         if (
             spark is not None
             and len(manifests) > self.DRIVER_PLAN_MAX_MANIFESTS
         ):
             return self._decode_entries_distributed(spark, manifests)
-        out: list[tuple[int, dict]] = []
+        out: list[tuple[int, int, dict]] = []
         for m in manifests:
             _, entries = decode_avro_file(
                 self._read_meta_bytes(m["manifest_path"])
             )
             content = int(m.get("content") or 0)
-            out.extend((content, e) for e in entries)
+            mseq = int(m.get("sequence_number") or 0)
+            out.extend((content, mseq, e) for e in entries)
         return out
 
     def _decode_entries_distributed(
         self, spark: SparkSession, manifests: list[dict]
-    ) -> list[tuple[int, dict]]:
+    ) -> list[tuple[int, int, dict]]:
         from urllib.parse import unquote
 
         from .uris import normalized_key
 
         content_by_norm = {
-            normalized_key(_spark_uri(m["manifest_path"])): int(
-                m.get("content") or 0
+            normalized_key(_spark_uri(m["manifest_path"])): (
+                int(m.get("content") or 0),
+                int(m.get("sequence_number") or 0),
             )
             for m in manifests
         }
@@ -734,28 +747,34 @@ class IcebergCatalog:
         # deterministic plan order regardless of task completion order
         for r in sorted(rows, key=lambda r: (r["mpath"], r["entry"])):
             key = normalized_key(r["mpath"])
-            content = content_by_norm.get(key)
-            if content is None:
-                content = content_by_norm.get(unquote(key), 0)
+            meta = content_by_norm.get(key)
+            if meta is None:
+                meta = content_by_norm.get(unquote(key), (0, 0))
+            content, mseq = meta
             out.append(
-                (content, json.loads(r["entry"], object_hook=_hook))
+                (content, mseq, json.loads(r["entry"], object_hook=_hook))
             )
         return out
 
     def _plan(
         self, spark: SparkSession | None, partition_filter: str | None
-    ) -> tuple[list[CatalogFile], list[dict], list[tuple[str, str]], set]:
-        """(data files, position-delete files, recorded→normalized path
-        pairs, ORC file keys) for this snapshot under
-        ``partition_filter``-driven manifest skipping.  Cached per filter
-        string."""
+    ) -> dict:
+        """Snapshot plan under ``partition_filter``-driven manifest
+        skipping, cached per filter string: ``files`` (data CatalogFiles),
+        ``deletes`` (position/equality delete-file dicts), ``pairs``
+        (recorded→normalized path), ``orc_keys``, and ``seq_by_norm``
+        (normalized path → data sequence number, for equality-delete
+        scoping)."""
         from .uris import normalized_key
 
         cache_key = partition_filter or ""
         if cache_key in self._plans:
             return self._plans[cache_key]
         if self._manifests is None:
-            plan = ([], [], [], set())
+            plan = {
+                "files": [], "deletes": [], "pairs": [],
+                "orc_keys": set(), "seq_by_norm": {},
+            }
             self._plans[cache_key] = plan
             return plan
 
@@ -772,12 +791,19 @@ class IcebergCatalog:
         deletes: list[dict] = []
         pairs: list[tuple[str, str]] = []
         orc_keys: set = set()
-        for mcontent, e in self._decode_entries(spark, chosen):
+        seq_by_norm: dict[str, int] = {}
+        for mcontent, mseq, e in self._decode_entries(spark, chosen):
             if int(e.get("status") or 0) == 2:  # DELETED entry
                 continue
             df_rec = e["data_file"]
             fcontent = int(df_rec.get("content") or 0)
             fmt = str(df_rec.get("file_format", "")).upper()
+            # v2 sequence inheritance: an entry without its own data
+            # sequence number takes the manifest's (ADDED entries at write
+            # time); v1 metadata has neither → 0 everywhere, which keeps
+            # every equality delete applicable (seq 0 < any delete's)
+            eseq = e.get("sequence_number")
+            seq = int(eseq) if eseq is not None else mseq
             if mcontent == 0:
                 # data manifest: entries must be plain data files
                 if fcontent != 0:
@@ -814,34 +840,45 @@ class IcebergCatalog:
                         partitions=partitions,
                     )
                 )
-                pairs.append((df_rec["file_path"], normalized_key(key)))
+                norm = normalized_key(key)
+                pairs.append((df_rec["file_path"], norm))
+                seq_by_norm[norm] = seq
             else:
-                # delete manifest: 1 = position deletes (applied),
-                # 2 = equality deletes (typed refusal)
-                if fcontent == 2:
-                    raise BuzzExecutionError(
-                        "iceberg v2 EQUALITY delete files present — refused "
-                        "(this reader applies position deletes only; "
-                        "evaluating equality predicates wrongly would "
-                        "resurrect or drop rows silently)"
-                    )
-                if fcontent != 1:
+                # delete manifest: 1 = position deletes, 2 = equality
+                # deletes — both applied (equality scoped by sequence
+                # number: it hits only data files committed strictly
+                # before it)
+                if fcontent not in (1, 2):
                     raise BuzzExecutionError(
                         "iceberg data file recorded in a DELETE manifest — "
                         "malformed metadata, refusing"
                     )
                 if fmt and fmt != "PARQUET":
                     raise BuzzExecutionError(
-                        f"iceberg position-delete file format {fmt!r} not "
+                        f"iceberg delete file format {fmt!r} not "
                         "supported (parquet only)"
+                    )
+                eq_ids = df_rec.get("equality_ids")
+                if fcontent == 2 and not eq_ids:
+                    raise BuzzExecutionError(
+                        "iceberg equality delete file lacks equality_ids — "
+                        "without the key column list the predicate cannot "
+                        "be applied; refusing instead of resurrecting "
+                        "deleted rows"
                     )
                 deletes.append(
                     {
                         "uri": _spark_uri(df_rec["file_path"]),
                         "size": int(df_rec.get("file_size_in_bytes") or 0),
+                        "kind": "pos" if fcontent == 1 else "eq",
+                        "seq": seq,
+                        "eq_ids": tuple(int(i) for i in eq_ids or ()),
                     }
                 )
-        plan = (files, deletes, pairs, orc_keys)
+        plan = {
+            "files": files, "deletes": deletes, "pairs": pairs,
+            "orc_keys": orc_keys, "seq_by_norm": seq_by_norm,
+        }
         self._plans[cache_key] = plan
         return plan
 
@@ -859,7 +896,7 @@ class IcebergCatalog:
                 "partition fields (identity or year/month/day/hour/truncate "
                 "transforms)"
             )
-        files, _, _, _ = self._plan(spark, partition_filter)
+        files = self._plan(spark, partition_filter)["files"]
         if not partition_filter:
             return list(files)
         return StaticCatalog(
@@ -877,13 +914,19 @@ class IcebergCatalog:
         The scan catalog declares NO partition columns: Iceberg data files
         carry their (identity) partition values in-file, so attaching them
         would duplicate columns — pruning runs on a partition-aware helper,
-        reading on the pruned plain file list.  Position deletes (if any)
-        apply as one anti-join on (file path, row index)."""
+        reading on the pruned plain file list.  Position deletes apply as
+        one anti-join on (file path, row index); equality deletes as
+        null-safe anti-joins on their key columns, scoped to data files
+        with a strictly smaller sequence number."""
         files = self.pruned_files(spark, partition_filter)
-        _, deletes, pairs, orc_keys = self._plan(spark, partition_filter)
+        plan = self._plan(spark, partition_filter)
+        deletes = plan["deletes"]
+        orc_keys = plan["orc_keys"]
         orc = [f for f in files if f.key in orc_keys]
         parq = [f for f in files if f.key not in orc_keys]
-        if orc and deletes:
+        pos = [d for d in deletes if d["kind"] == "pos"]
+        eq = [d for d in deletes if d["kind"] == "eq"]
+        if orc and pos:
             raise BuzzExecutionError(
                 "iceberg position deletes over ORC data files are not "
                 "supported: the delete anti-join needs _metadata.row_index, "
@@ -897,13 +940,21 @@ class IcebergCatalog:
                 "implemented for parquet only — refusing instead of "
                 "null-filling pre-rename files"
             )
+        if eq and self._evolved:
+            raise BuzzExecutionError(
+                "iceberg equality deletes on a schema-evolved "
+                "(renamed-column) table are not supported: delete files "
+                "written before the rename carry the old column names and "
+                "would be misread — refusing instead of resurrecting "
+                "deleted rows"
+            )
         if self._evolved:
             # resolve parquet columns by field id (schema metadata carries
             # parquet.field.id): files written before a column rename keep
             # reading correctly.  No-op for scans whose schema has no ids.
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        if deletes and parq:
-            return self._position_delete_scan(spark, parq, deletes, pairs)
+        if deletes and files:
+            return self._mor_scan(spark, parq, orc, pos, eq, plan)
 
         def _scan(subset: list[CatalogFile], fmt: str) -> DataFrame:
             return StaticCatalog(
@@ -923,62 +974,137 @@ class IcebergCatalog:
             return _scan(orc, "orc")
         return _scan(parq, "parquet")
 
-    def _position_delete_scan(
+    def _mor_scan(
         self,
         spark: SparkSession,
-        files: list[CatalogFile],
-        deletes: list[dict],
-        pairs: list[tuple[str, str]],
+        parq: list[CatalogFile],
+        orc: list[CatalogFile],
+        pos: list[dict],
+        eq: list[dict],
+        plan: dict,
     ) -> DataFrame:
-        """Data scan minus position-deleted rows.
+        """Merge-on-read scan: data files minus position- and
+        equality-deleted rows.
 
-        Shape (template: ``delta_catalog.py::_dv_scan``): ONE parquet scan
-        of the data files selecting ``_metadata.file_path`` +
-        ``_metadata.row_index``, one DISTRIBUTED parquet scan of the delete
-        files (``file_path``, ``pos``), a broadcast map join translating
-        the delete rows' recorded data-file URIs to the scan's normalized
-        path coordinates (deletes targeting files compacted out of this
-        snapshot drop here — that is why sequence numbers need not be
-        consulted), then ONE anti-join.  The delete relation is broadcast
-        when the manifests' recorded sizes total under
-        DELETE_BROADCAST_MAX_BYTES, so the common small-delete case adds
-        zero shuffles."""
+        Shape (template: ``delta_catalog.py::_dv_scan``): ONE scan per data
+        format selecting ``_metadata.file_path`` (+ ``row_index`` when
+        position deletes exist), then
+
+        - position deletes: one DISTRIBUTED parquet scan of the delete
+          files (``file_path``, ``pos``), a broadcast map join translating
+          recorded data-file URIs to the scan's normalized path coordinates
+          (deletes targeting files compacted out of this snapshot drop
+          here — that is why sequence numbers need not be consulted for
+          position deletes), then ONE anti-join on (path, row index);
+        - equality deletes: per (key-column set, sequence number) group,
+          one NULL-SAFE anti-join on the key columns with the spec's
+          strict sequence scope (``data_seq < delete_seq`` — a row written
+          in or after the delete's commit is NOT deleted by it), the
+          per-file data sequence number attached via a broadcast path→seq
+          map.  Iceberg treats null as a matchable value in equality
+          deletes, hence eqNullSafe.
+
+        Each delete relation is broadcast when the manifests' recorded
+        sizes total under DELETE_BROADCAST_MAX_BYTES, so the common
+        small-delete case adds zero shuffles."""
+        from functools import reduce
+
         from pyspark.sql import functions as F
         from pyspark.sql.functions import broadcast
 
         from .uris import normalized_path_col
 
-        scan = (
-            spark.read.schema(self._scan_schema)
-            .parquet(*[f.key for f in files])
-            .select(
+        def scan_part(subset: list[CatalogFile], fmt: str) -> DataFrame:
+            reader = spark.read.schema(self._scan_schema)
+            keys = [f.key for f in subset]
+            df = reader.parquet(*keys) if fmt == "parquet" else reader.orc(keys)
+            cols = [
                 "*",
                 normalized_path_col(F.col("_metadata.file_path")).alias(
                     "__path"
                 ),
-                F.col("_metadata.row_index").alias("__ridx"),
-            )
-        )
-        mapping = spark.createDataFrame(
-            sorted(set(pairs)), "file_path string, __path string"
-        )
-        del_schema = StructType(
-            [
-                StructField("file_path", StringType(), False),
-                StructField("pos", LongType(), False),
             ]
-        )
-        del_df = (
-            spark.read.schema(del_schema)
-            .parquet(*[d["uri"] for d in deletes])
-            .join(broadcast(mapping), on="file_path")
-            .select("__path", F.col("pos").alias("__ridx"))
-        )
-        if sum(d["size"] for d in deletes) <= self.DELETE_BROADCAST_MAX_BYTES:
-            del_df = broadcast(del_df)
-        return scan.join(
-            del_df, on=["__path", "__ridx"], how="left_anti"
-        ).drop("__path", "__ridx")
+            if pos:  # orc+pos is refused before we get here
+                cols.append(F.col("_metadata.row_index").alias("__ridx"))
+            return df.select(*cols)
+
+        parts = []
+        if parq:
+            parts.append(scan_part(parq, "parquet"))
+        if orc:
+            parts.append(scan_part(orc, "orc"))
+        scan = reduce(DataFrame.unionByName, parts)
+        data_cols = [f.name for f in self._scan_schema.fields]
+
+        if pos:
+            mapping = spark.createDataFrame(
+                sorted(set(plan["pairs"])), "file_path string, __path string"
+            )
+            del_schema = StructType(
+                [
+                    StructField("file_path", StringType(), False),
+                    StructField("pos", LongType(), False),
+                ]
+            )
+            del_df = (
+                spark.read.schema(del_schema)
+                .parquet(*[d["uri"] for d in pos])
+                .join(broadcast(mapping), on="file_path")
+                .select("__path", F.col("pos").alias("__ridx"))
+            )
+            if sum(d["size"] for d in pos) <= self.DELETE_BROADCAST_MAX_BYTES:
+                del_df = broadcast(del_df)
+            scan = scan.join(
+                del_df, on=["__path", "__ridx"], how="left_anti"
+            ).drop("__ridx")
+
+        if eq:
+            seq_map = spark.createDataFrame(
+                sorted(plan["seq_by_norm"].items()),
+                "__path string, __seq long",
+            )
+            scan = scan.join(broadcast(seq_map), on="__path", how="left")
+            by_name = {f.name: f for f in self._scan_schema.fields}
+            groups: dict[tuple, list[dict]] = {}
+            for d in eq:
+                groups.setdefault((d["eq_ids"], d["seq"]), []).append(d)
+            for (ids, dseq), dels in sorted(groups.items()):
+                names = []
+                for fid in ids:
+                    name = self._field_names.get(fid)
+                    if name is None or name not in by_name:
+                        raise BuzzExecutionError(
+                            f"iceberg equality delete keys on field id "
+                            f"{fid}, which is not in the current schema — "
+                            "refusing (cannot evaluate the delete "
+                            "predicate)"
+                        )
+                    names.append(name)
+                key_schema = StructType([by_name[n] for n in names])
+                del_rel = (
+                    spark.read.schema(key_schema)
+                    .parquet(*[d["uri"] for d in dels])
+                    .dropDuplicates()
+                    .alias("__d")
+                )
+                if (
+                    sum(d["size"] for d in dels)
+                    <= self.DELETE_BROADCAST_MAX_BYTES
+                ):
+                    del_rel = broadcast(del_rel)
+                s = scan.alias("__s")
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__s.{n}").eqNullSafe(F.col(f"__d.{n}"))
+                        for n in names
+                    ]
+                    + [F.col("__s.__seq") < F.lit(int(dseq))],
+                )
+                scan = s.join(del_rel, on=cond, how="left_anti")
+            scan = scan.drop("__seq")
+
+        return scan.drop("__path").select(*data_cols)
 
     def history(self) -> list[dict]:
         """Snapshot list (id, timestamp, operation) — from the metadata

@@ -238,9 +238,9 @@ def test_delete_files_and_future_versions_refused(spark, tmp_path):
     with pytest.raises(BuzzExecutionError, match="format-version 3"):
         IcebergCatalog("t", root)
 
-    # EQUALITY delete file (content=2 in a delete manifest) refused at scan
-    # planning (position deletes, content=1, are supported — see the MOR
-    # tests)
+    # an equality delete file WITHOUT equality_ids cannot be applied —
+    # typed refusal at scan planning (keyed equality deletes are supported,
+    # see the MOR tests)
     open(md_path, "w").write(json.dumps(md))
     data_path = os.path.join(root, "data", "a.parquet")
     meq = _manifest(meta, "meq", [_entry(data_path, 10, 2020, content=2)])
@@ -252,7 +252,7 @@ def test_delete_files_and_future_versions_refused(spark, tmp_path):
     ]
     md_del["current-snapshot-id"] = 3
     open(md_path, "w").write(json.dumps(md_del))
-    with pytest.raises(BuzzExecutionError, match="EQUALITY"):
+    with pytest.raises(BuzzExecutionError, match="equality_ids"):
         IcebergCatalog("t", root).to_dataframe(spark)
 
     # a delete-coded file inside a DATA manifest is malformed metadata
@@ -1032,3 +1032,185 @@ def test_iceberg_orc_with_position_deletes_refused(spark, tmp_path):
     open(md_path, "w").write(json.dumps(md))
     with pytest.raises(BuzzExecutionError, match="ORC"):
         IcebergCatalog("t", root).to_dataframe(spark)
+
+
+EQ_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "partition", "type": {
+                    "type": "record", "name": "r102",
+                    "fields": [{"name": "year", "type": ["null", "int"]}],
+                }},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
+            ],
+        }},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA_SEQ = {
+    "type": "record", "name": "manifest_file",
+    "fields": MANIFEST_FILE_SCHEMA["fields"] + [
+        {"name": "sequence_number", "type": "long"},
+    ],
+}
+
+
+def _eq_manifest(meta_dir, tag, del_path, eq_ids, year=None):
+    entry = {
+        "status": 1,
+        "sequence_number": None,
+        "data_file": {
+            "content": 2, "file_path": del_path, "file_format": "PARQUET",
+            "partition": {"year": year},
+            "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": eq_ids,
+        },
+    }
+    path = os.path.join(meta_dir, f"{tag}-m0.avro")
+    open(path, "wb").write(encode_avro_records(EQ_ENTRY_SCHEMA, [entry]))
+    return path
+
+
+def _manifest_list_seq(meta_dir, tag, entries, snap_id=1):
+    """entries: [(manifest_path, content, sequence_number)]."""
+    path = os.path.join(meta_dir, f"snap-{tag}.avro")
+    recs = [
+        {"manifest_path": p, "manifest_length": os.path.getsize(p),
+         "partition_spec_id": 0, "content": c, "added_snapshot_id": snap_id,
+         "sequence_number": sq}
+        for p, c, sq in entries
+    ]
+    open(path, "wb").write(encode_avro_records(MANIFEST_FILE_SCHEMA_SEQ, recs))
+    return path
+
+
+def _name_delete_parquet(path, names):
+    """Equality-delete parquet keyed on the 'name' column (field id 2)."""
+    pq.write_table(
+        pa.table({"name": pa.array(names, pa.string())}), path
+    )
+    return path
+
+
+def test_equality_deletes_applied(spark, tmp_path):
+    """Keyed equality deletes (the Flink-upsert shape) drop matching rows
+    from data committed BEFORE the delete; null keys match null values
+    (eqNullSafe)."""
+    root = build_table(tmp_path)
+    meta = os.path.join(root, "metadata")
+    data = os.path.join(root, "data")
+    md_path = os.path.join(meta, "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+
+    # extra data file with a NULL name (to prove null-key matching)
+    e = os.path.join(data, "e.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([8], pa.int64()),
+                  "name": pa.array([None], pa.string()),
+                  "year": pa.array([2020], pa.int32())}), e
+    )
+    me = _manifest(meta, "me", [_entry(e, os.path.getsize(e), 2020, n=1)])
+
+    dp = _name_delete_parquet(os.path.join(data, "eq-del-1.parquet"),
+                              ["beta", "zeta", None])
+    mdel = _eq_manifest(meta, "meqd", dp, [2])
+    m1 = os.path.join(meta, "m1-m0.avro")
+    m2 = os.path.join(meta, "m2-m0.avro")
+    ml = _manifest_list_seq(
+        meta, "eq",
+        [(m1, 0, 1), (m2, 0, 1), (me, 0, 1), (mdel, 1, 2)],
+        snap_id=7,
+    )
+    md["snapshots"].append(
+        {"snapshot-id": 7, "timestamp-ms": 7000, "manifest-list": ml,
+         "summary": {"operation": "overwrite"}}
+    )
+    md["current-snapshot-id"] = 7
+    open(md_path, "w").write(json.dumps(md))
+
+    df = IcebergCatalog("t", root).to_dataframe(spark)
+    # beta (id 2), zeta (id 6), and the null-name row (id 8) are gone
+    assert sorted(r["id"] for r in df.collect()) == [1, 3, 4, 5]
+    assert {f.name for f in df.schema.fields} == {"id", "name", "year"}
+
+
+def test_equality_delete_sequence_scoping(spark, tmp_path):
+    """The spec's strict rule: an equality delete at sequence N hits only
+    data with sequence < N — a re-insert of the same key in a LATER commit
+    survives the delete."""
+    root = build_table(tmp_path)
+    meta = os.path.join(root, "metadata")
+    data = os.path.join(root, "data")
+    md_path = os.path.join(meta, "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+
+    # re-insert 'beta' as id 7 in a commit AFTER the delete (seq 3 > 2)
+    f = os.path.join(data, "f.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([7], pa.int64()),
+                  "name": pa.array(["beta"], pa.string()),
+                  "year": pa.array([2022], pa.int32())}), f
+    )
+    mf = _manifest(meta, "mf", [_entry(f, os.path.getsize(f), 2022, n=1)])
+    dp = _name_delete_parquet(os.path.join(data, "eq-del-2.parquet"), ["beta"])
+    mdel = _eq_manifest(meta, "meqs", dp, [2])
+    m1 = os.path.join(meta, "m1-m0.avro")
+    m2 = os.path.join(meta, "m2-m0.avro")
+    ml = _manifest_list_seq(
+        meta, "eqseq",
+        [(m1, 0, 1), (m2, 0, 1), (mdel, 1, 2), (mf, 0, 3)],
+        snap_id=8,
+    )
+    md["snapshots"].append(
+        {"snapshot-id": 8, "timestamp-ms": 8000, "manifest-list": ml}
+    )
+    md["current-snapshot-id"] = 8
+    open(md_path, "w").write(json.dumps(md))
+
+    rows = {r["id"]: r["name"]
+            for r in IcebergCatalog("t", root).to_dataframe(spark).collect()}
+    # old beta (id 2, seq 1) deleted; re-inserted beta (id 7, seq 3) alive
+    assert sorted(rows) == [1, 3, 4, 5, 6, 7]
+    assert rows[7] == "beta"
+
+
+def test_position_and_equality_deletes_compose(spark, tmp_path):
+    """Both delete kinds in one snapshot: each removes its rows
+    independently."""
+    root = _mor_table(tmp_path, [("a", 0), ("c", 1)])  # pos-deletes id 1, 5
+    meta = os.path.join(root, "metadata")
+    data = os.path.join(root, "data")
+    md_path = os.path.join(meta, "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+
+    dp = _name_delete_parquet(os.path.join(data, "eq-del-3.parquet"), ["zeta"])
+    mdel = _eq_manifest(meta, "meqc", dp, [2])
+    m1 = os.path.join(meta, "m1-m0.avro")
+    m2 = os.path.join(meta, "m2-m0.avro")
+    mpos = os.path.join(meta, "mpos-m0.avro")
+    ml = _manifest_list_seq(
+        meta, "both",
+        [(m1, 0, 1), (m2, 0, 1), (mpos, 1, 2), (mdel, 1, 2)],
+        snap_id=9,
+    )
+    md["snapshots"].append(
+        {"snapshot-id": 9, "timestamp-ms": 9000, "manifest-list": ml}
+    )
+    md["current-snapshot-id"] = 9
+    open(md_path, "w").write(json.dumps(md))
+
+    df = IcebergCatalog("t", root).to_dataframe(spark)
+    # pos removed ids 1, 5; equality removed zeta (id 6)
+    assert sorted(r["id"] for r in df.collect()) == [2, 3, 4]

@@ -99,31 +99,63 @@ def _check_protocol(action: dict, table_uri: str) -> None:
     )
 
 
-def _column_mapping(meta: dict, table_uri: str) -> dict[str, str] | None:
-    """Logical→physical field-name map when the table uses column mapping.
+def _mapping_info(meta: dict, table_uri: str) -> tuple[str, dict[str, str]]:
+    """(columnMapping mode, logical→physical field-name map).
 
-    ``delta.columnMapping.mode=name`` stores each column's PHYSICAL parquet
-    name (a stable ``col-<uuid>``) in the schema field metadata; the logical
-    schema is renamed freely on top.  Readers must scan by physical name and
-    present logical names.  Mode ``id`` (parquet field-id resolution) is
-    refused — a misread there silently returns wrong columns."""
+    ``delta.columnMapping.mode=name``: the parquet files carry stable
+    PHYSICAL names (``col-<uuid>``) from the schema field metadata; readers
+    scan by physical name and present logical names.  ``mode=id``: readers
+    resolve parquet columns by FIELD ID (``delta.columnMapping.id``) via
+    Spark's fieldId read — physical names become irrelevant for the scan,
+    but the log's partitionValues/stats keys are STILL physical under both
+    modes, so the name map is returned for those lookups regardless.
+    Unknown modes are a typed refusal (a misread would silently return
+    wrong columns)."""
     config = meta.get("configuration") or {}
-    mode = config.get("delta.columnMapping.mode", "none")
-    if mode in ("none", ""):
-        return None
-    if mode != "name":
+    mode = config.get("delta.columnMapping.mode", "none") or "none"
+    if mode not in ("none", "name", "id"):
         from ..errors import BuzzNotImplementedError
 
         raise BuzzNotImplementedError(
             f"Delta table {table_uri!r} uses columnMapping.mode={mode!r}; "
-            "only 'name' (and 'none') are implemented"
+            "'name', 'id', and 'none' are implemented"
         )
+    if mode == "none":
+        return mode, {}
     fields = json.loads(meta["schemaString"])["fields"]
     out = {}
     for f in fields:
         md = f.get("metadata") or {}
         out[f["name"]] = md.get("delta.columnMapping.physicalName", f["name"])
-    return out
+    return mode, out
+
+
+def _field_id_schema(meta: dict, fields, table_uri: str):
+    """Logical-named scan schema carrying ``parquet.field.id`` metadata
+    (``delta.columnMapping.id``) for columnMapping mode=id reads."""
+    from ..errors import BuzzNotImplementedError
+
+    raw = {
+        f["name"]: (f.get("metadata") or {}).get("delta.columnMapping.id")
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+    missing = [f.name for f in fields if raw.get(f.name) is None]
+    if missing:
+        raise BuzzNotImplementedError(
+            f"Delta table {table_uri!r} declares columnMapping.mode=id but "
+            f"fields {missing} lack delta.columnMapping.id — cannot resolve"
+        )
+    return StructType(
+        [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {"parquet.field.id": int(raw[f.name])},
+            )
+            for f in fields
+        ]
+    )
 
 
 def _replay_actions(
@@ -256,22 +288,28 @@ class DeltaCatalog:
 
         full = StructType.fromJson(json.loads(meta["schemaString"]))
         self.partition_cols: list[str] = list(meta.get("partitionColumns", []))
-        # Column mapping (reader protocol 2, mode=name): the parquet files
-        # carry stable PHYSICAL names (col-<uuid>); the log's schemaString
-        # carries the logical names plus the physical name per field.  The
-        # scan schema and the partitionValues/stats keys are physical; the
-        # public schema, partition columns, and returned DataFrame stay
-        # logical — one rename projection on top of the ordinary snapshot.
-        self._phys = _column_mapping(meta, self.table_uri)
-        phys = self._phys or {}
+        # Column mapping (reader protocol 2): mode=name scans by the stable
+        # PHYSICAL names (col-<uuid>) and renames back to logical; mode=id
+        # scans by logical names with parquet field-id resolution (Spark's
+        # fieldId read over delta.columnMapping.id) — no rename needed.
+        # Under BOTH modes the log's partitionValues/stats keys are
+        # physical, so the name map feeds those lookups either way.
+        mode, phys = _mapping_info(meta, self.table_uri)
+        self._phys = phys if mode == "name" else None
+        self._cm_id = mode == "id"
         data_fields = [f for f in full.fields if f.name not in self.partition_cols]
         self._logical_data_cols = [f.name for f in data_fields]
-        self.schema = StructType(
-            [
-                StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
-                for f in data_fields
-            ]
-        )
+        if mode == "name":
+            self.schema = StructType(
+                [
+                    StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in data_fields
+                ]
+            )
+        elif mode == "id":
+            self.schema = _field_id_schema(meta, data_fields, self.table_uri)
+        else:
+            self.schema = StructType(data_fields)
 
         def _pv(add: dict, c: str) -> str | None:
             # Delta serializes a null partition value as JSON null — keep it
@@ -429,6 +467,11 @@ class DeltaCatalog:
     def to_dataframe(
         self, spark: SparkSession, partition_filter: str | None = None
     ) -> DataFrame:
+        if self._cm_id:
+            # columnMapping mode=id: the scan schema carries
+            # parquet.field.id metadata; resolution by id needs the conf on
+            # (no-op for scans whose schema has no ids)
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         dv_keys = getattr(self, "_dv_by_key", {})
         if not dv_keys:
             df = self._static().to_dataframe(spark, partition_filter)
@@ -588,17 +631,23 @@ def read_delta_changes(
         )
     full = StructType.fromJson(json.loads(meta["schemaString"]))
     partition_cols = list(meta.get("partitionColumns", []))
-    # column mapping (mode=name): scan by physical names, present logical —
-    # same translation as DeltaCatalog._load_snapshot
-    phys = _column_mapping(meta, table_uri) or {}
+    # column mapping: mode=name scans physical names and renames back;
+    # mode=id scans logical names with parquet field-id resolution — same
+    # translation as DeltaCatalog._load_snapshot
+    cm_mode, phys_all = _mapping_info(meta, table_uri)
+    phys = phys_all if cm_mode == "name" else {}
     data_fields = [f for f in full.fields if f.name not in partition_cols]
     logical_data_cols = [f.name for f in data_fields]
-    data_schema = StructType(
-        [
-            StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
-            for f in data_fields
-        ]
-    )
+    if cm_mode == "id":
+        data_schema = _field_id_schema(meta, data_fields, table_uri)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    else:
+        data_schema = StructType(
+            [
+                StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
 
     out: DataFrame | None = None
     for version, adds in sorted(per_version.items()):
@@ -611,13 +660,14 @@ def read_delta_changes(
                     key=store.spark_path(add["path"]),
                     length=int(add.get("size", 0)),
                     # null partition values stay None → SQL NULL (same as
-                    # the snapshot path's _pv)
+                    # the snapshot path's _pv); partitionValues keys are
+                    # PHYSICAL under both mapping modes, hence phys_all
                     partitions=tuple(
                         (
                             c,
                             (lambda v: None if v is None else str(v))(
                                 add.get("partitionValues", {}).get(
-                                    phys.get(c, c)
+                                    phys_all.get(c, c)
                                 )
                             ),
                         )

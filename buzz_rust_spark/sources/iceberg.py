@@ -778,6 +778,28 @@ class IcebergCatalog:
             self._plans[cache_key] = plan
             return plan
 
+        if partition_filter and self._default_spec_id is not None:
+            # Partition tuples are decoded under the DEFAULT spec's field
+            # layout.  A manifest written under another spec records a
+            # different partition shape — its files would surface as
+            # null-valued tuples and a filter would silently EXCLUDE them.
+            # Filterless reads are unaffected (tuples unused by the scan).
+            other = sorted(
+                {
+                    m.get("partition_spec_id")
+                    for m in self._manifests
+                    if m.get("partition_spec_id")
+                    not in (None, self._default_spec_id)
+                }
+            )
+            if other:
+                raise BuzzPlanError(
+                    f"partition_filter over a table whose snapshot carries "
+                    f"manifests under non-default partition specs {other} — "
+                    "evolved-spec pruning is not implemented; read without "
+                    "partition_filter (correct, unpruned) instead"
+                )
+
         conjuncts = (
             _parse_conjuncts(partition_filter) if partition_filter else None
         )

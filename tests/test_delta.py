@@ -824,7 +824,107 @@ def test_reader_v3_feature_gate(spark, tmp_path):
         DeltaCatalog("cm", table)
 
 
-def test_column_mapping_mode_id_refused(spark, tmp_path):
+def _make_id_mapped_table(root: str, partitioned: bool = False) -> str:
+    """A columnMapping mode=id table: parquet files carry arbitrary
+    physical names WITH parquet field ids; the log schema maps logical
+    names to delta.columnMapping.id — resolution must go by id, not name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = os.path.join(root, "delta-idmap")
+    os.makedirs(table, exist_ok=True)
+    rows_by_file = {
+        "f1.parquet": [("eng", 10), ("ops", 5)],
+        "f2.parquet": [("sci", 12)],
+    }
+    for i, (fname, rows) in enumerate(rows_by_file.items()):
+        # each file uses DIFFERENT physical names — only the ids agree
+        pn, ps = f"c{i}_name", f"c{i}_staff"
+        schema = pa.schema(
+            [
+                pa.field(pn, pa.string(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field(ps, pa.int64(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                {pn: pa.array([r[0] for r in rows], pa.string()),
+                 ps: pa.array([r[1] for r in rows], pa.int64())},
+                schema=schema,
+            ),
+            os.path.join(table, fname),
+        )
+
+    def field(name, typ, phys, fid):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    fields = [
+        field("team_name", "string", "c0_name", 1),
+        field("staff", "long", "c0_staff", 2),
+    ]
+    if partitioned:
+        fields.append(field("year", "string", "col-yyy", 3))
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "im1",
+                "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                "partitionColumns": ["year"] if partitioned else [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "format": {"provider": "parquet"},
+            }
+        },
+    ]
+    for i, fname in enumerate(rows_by_file):
+        actions.append(
+            {"add": {
+                "path": fname, "size": 1, "dataChange": True,
+                "partitionValues": {"col-yyy": f"202{i}"} if partitioned else {},
+            }}
+        )
+    _write_commit(os.path.join(table, "_delta_log"), 0, actions)
+    return table
+
+
+def test_column_mapping_mode_id_reads_by_field_id(spark, tmp_path):
+    """mode=id tables resolve parquet columns by field id — files whose
+    physical names DIFFER file-to-file (only ids agree) must still read
+    correctly under logical names."""
+    table = _make_id_mapped_table(str(tmp_path))
+    cat = DeltaCatalog("im", table)
+    df = cat.to_dataframe(spark)
+    assert df.columns == ["team_name", "staff"]
+    assert {(r.team_name, r.staff) for r in df.collect()} == {
+        ("eng", 10), ("ops", 5), ("sci", 12),
+    }
+
+
+def test_column_mapping_mode_id_partitioned(spark, tmp_path):
+    """mode=id + partitions: partitionValues keys stay PHYSICAL in the log
+    and must still attach/prune under the logical name."""
+    table = _make_id_mapped_table(str(tmp_path), partitioned=True)
+    cat = DeltaCatalog("im", table)
+    df = cat.to_dataframe(spark)
+    assert {(r.team_name, r.year) for r in df.collect()} == {
+        ("eng", "2020"), ("ops", "2020"), ("sci", "2021"),
+    }
+    pruned = cat.to_dataframe(spark, "year = '2021'")
+    assert [(r.team_name, r.staff) for r in pruned.collect()] == [("sci", 12)]
+
+
+def test_column_mapping_unknown_mode_refused(spark, tmp_path):
     from buzz_rust_spark.errors import BuzzNotImplementedError
 
     table = _make_column_mapped_table(spark, str(tmp_path))
@@ -832,9 +932,9 @@ def test_column_mapping_mode_id_refused(spark, tmp_path):
     meta = json.loads(
         open(os.path.join(log, f"{0:020d}.json")).readlines()[1]
     )["metaData"]
-    meta["configuration"]["delta.columnMapping.mode"] = "id"
+    meta["configuration"]["delta.columnMapping.mode"] = "weird"
     _write_commit(log, 1, [{"metaData": meta}])
-    with pytest.raises(BuzzNotImplementedError, match="mode='id'"):
+    with pytest.raises(BuzzNotImplementedError, match="mode='weird'"):
         DeltaCatalog("cm", table)
 
 

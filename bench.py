@@ -134,6 +134,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        # Sum of per-query minima: the statistic rounds 1-5 recorded
+        # (best-of-run), kept alongside the median so round-over-round
+        # comparisons against historical numbers stay apples-to-apples.
+        "total_min": round(
+            sum(min(s) for s in samples.values() if s), 3
+        ),
         "runs": n_runs,
         "stat": "median",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1263,121 +1263,29 @@ def z19_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z26_iceberg_source",
     tags=("source", "pipeline"),
     oracle=None,  # input is a synthesized Iceberg table; format semantics
-    # pinned in tests/test_iceberg.py
+    # pinned in tests/test_iceberg.py + tests/test_iceberg_writer.py
 )
 def z26_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iceberg intake end-to-end: the first documents rows written as a
-    spec-shaped Iceberg v2 table (parquet data files + Avro manifests +
-    metadata JSON, identity-partitioned by source), read back through
-    IcebergCatalog with manifest-level partition pruning, and aggregated —
-    the same open-table-format story as the Delta catalog, driver-visible."""
-    import json as _json
-    import os
+    """Iceberg round-trip end-to-end: the first documents rows committed as
+    an Iceberg v2 table by the repo's own writer (executor-written parquet
+    data files with field ids, Avro manifest + manifest list, v2 metadata
+    JSON, identity-partitioned by source), then read back through
+    IcebergCatalog with manifest-level partition pruning and aggregated —
+    the same open-table-format story as the Delta catalog, both directions
+    driver-visible."""
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ..sources.avro import encode_avro_records
     from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import write_iceberg
 
-    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(40).collect()
-    root = tempfile.mkdtemp(prefix="iceberg_z26_")
-    os.makedirs(os.path.join(root, "data"))
-    os.makedirs(os.path.join(root, "metadata"))
-
-    by_source: dict = {}
-    for r in docs:
-        by_source.setdefault(r.source, []).append(r)
-    entry_schema = {
-        "type": "record", "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "data_file", "type": {
-                "type": "record", "name": "r2",
-                "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "partition", "type": {
-                        "type": "record", "name": "r102",
-                        "fields": [{"name": "source", "type": ["null", "string"]}],
-                    }},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                ],
-            }},
-        ],
-    }
-    entries = []
-    for src, rows in sorted(by_source.items()):
-        p = os.path.join(root, "data", f"{src}.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
-                    "source": pa.array([r.source for r in rows], pa.string()),
-                    "text": pa.array([r.text for r in rows], pa.string()),
-                }
-            ),
-            p,
-        )
-        entries.append(
-            {
-                "status": 1,
-                "data_file": {
-                    "content": 0, "file_path": p, "file_format": "PARQUET",
-                    "partition": {"source": src},
-                    "record_count": len(rows),
-                    "file_size_in_bytes": os.path.getsize(p),
-                },
-            }
-        )
-    mpath = os.path.join(root, "metadata", "m-0.avro")
-    with open(mpath, "wb") as fh:
-        fh.write(encode_avro_records(entry_schema, entries))
-    mlist_schema = {
-        "type": "record", "name": "manifest_file",
-        "fields": [
-            {"name": "manifest_path", "type": "string"},
-            {"name": "manifest_length", "type": "long"},
-            {"name": "partition_spec_id", "type": "int"},
-            {"name": "content", "type": "int"},
-            {"name": "added_snapshot_id", "type": "long"},
-        ],
-    }
-    ml = os.path.join(root, "metadata", "snap-1.avro")
-    with open(ml, "wb") as fh:
-        fh.write(
-            encode_avro_records(
-                mlist_schema,
-                [{"manifest_path": mpath,
-                  "manifest_length": os.path.getsize(mpath),
-                  "partition_spec_id": 0, "content": 0,
-                  "added_snapshot_id": 1}],
-            )
-        )
-    md = {
-        "format-version": 2, "location": root,
-        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
-            {"id": 1, "name": "doc_id", "required": False, "type": "long"},
-            {"id": 2, "name": "source", "required": False, "type": "string"},
-            {"id": 3, "name": "text", "required": False, "type": "string"},
-        ]}],
-        "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": [
-            {"name": "source", "transform": "identity",
-             "source-id": 2, "field-id": 1000}]}],
-        "default-spec-id": 0,
-        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
-                       "manifest-list": ml,
-                       "summary": {"operation": "append"}}],
-        "current-snapshot-id": 1,
-    }
-    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
-        fh.write(_json.dumps(md))
-    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
-        fh.write("1")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(40)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z26_") + "/tbl"
+    write_iceberg(docs, root, partition_by=["source"])
 
     cat = IcebergCatalog("docs_iceberg", root)
     return (

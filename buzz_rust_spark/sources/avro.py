@@ -520,25 +520,37 @@ def encode_avro_records(
     records: list,
     codec: str = "null",
     records_per_block: int = 1000,
+    metadata: dict[str, str] | None = None,
 ) -> bytes:
     """Records → OCF bytes under ``schema_json`` (``null``/``deflate``/
-    ``snappy``)."""
+    ``snappy``).  ``metadata`` adds extra file-header key/value pairs —
+    Iceberg manifests require ``schema``/``partition-spec``/etc. keys that
+    Java readers consult before decoding a single record."""
     schema = (
         json.loads(schema_json) if isinstance(schema_json, str) else schema_json
     )
     if codec not in _CODECS:
         raise BuzzBadRequestError(f"unsupported avro codec {codec!r}")
+    extra = dict(metadata or {})
+    if "avro.schema" in extra or "avro.codec" in extra:
+        raise BuzzBadRequestError(
+            "avro.* header keys are reserved (set schema/codec via the "
+            "dedicated parameters)"
+        )
     # deterministic sync marker from the schema (fixtures must be stable)
     import hashlib
 
     sync = hashlib.md5(json.dumps(schema, sort_keys=True).encode()).digest()
     head = _Writer()
     head.buf += _MAGIC
-    head.long(2)
+    head.long(2 + len(extra))
     head.bytes_(b"avro.schema")
     head.bytes_(json.dumps(schema).encode("utf-8"))
     head.bytes_(b"avro.codec")
     head.bytes_(codec.encode())
+    for k, v in sorted(extra.items()):
+        head.bytes_(str(k).encode("utf-8"))
+        head.bytes_(str(v).encode("utf-8"))
     head.long(0)
     head.buf += sync
     names: dict = {}

@@ -1,0 +1,870 @@
+"""Apache Iceberg v2 table writer (create / append / overwrite).
+
+The write-side counterpart of :class:`~buzz_rust_spark.sources.iceberg.
+IcebergCatalog`, built the same way the Delta writer mirrors the Delta
+catalog: the engine's own codecs produce the table's metadata (Avro
+manifests via ``sources/avro.py``, JSON table metadata), and Spark's
+executors produce the data — the driver never touches a data row.
+
+Reference parity note: the reference engine is read-only over parquet
+(SURVEY.md §2.A A1); table-format WRITES are rebuild extension surface,
+ranked next to the Delta writer because a lakehouse user round-trips both
+formats.
+
+Scale design:
+
+- **Data files are written by executors**, one ``mapInArrow`` pass: the
+  input is repartitioned on the partition columns so each task holds few
+  distinct partition values, then each task streams its Arrow batches
+  into per-partition-value ``pyarrow.parquet.ParquetWriter``\\ s (bounded
+  memory: one open row-group buffer per live partition value in the
+  task).  A 100 TB append is exactly one Spark job; the driver sees only
+  the per-file manifest rows (path, row count, byte size, partition
+  tuple) — kilobytes.
+- **Commit is O(metadata)**: one manifest Avro for the new files, one
+  manifest list (previous manifests carried forward on append), one new
+  ``v<N>.metadata.json``, atomically promoted via ``os.replace`` then
+  ``version-hint.text``.  Snapshot history, sequence numbers, and
+  manifest-list partition summaries (lower/upper bounds per partition
+  field, little-endian single-value serialization per spec Appendix D)
+  are written so the catalog's manifest SKIPPING works against our own
+  tables.
+- Data-file parquet footers carry ``PARQUET:field_id`` for top-level
+  columns, so a later column rename (a metadata-only operation) keeps
+  old files readable by id — the evolution path the reader implements.
+
+Boundaries (typed errors, never silent): local-filesystem table URIs
+only (single-writer; no optimistic retry loop against a real object
+store), identity partition transforms only, format v2 only, and nested
+struct/list/map FIELD ids are not emitted into parquet footers
+(top-level ids only — renames of nested fields are out of scope).
+Appends verify the incoming schema against the table schema by name and
+type and re-order columns to match.
+
+Iceberg spec: https://iceberg.apache.org/spec/ (v2); manifest /
+manifest-list field ids follow the spec's Avro schemas.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+
+from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
+from .avro import decode_avro_file, encode_avro_records
+from .iceberg import _iceberg_type
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_TS = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+_EPOCH_TS_NAIVE = datetime.datetime(1970, 1, 1)
+
+# identity-partitionable source types and their Avro physical schema in the
+# manifest's partition record (spec: date/timestamp are int/long ordinals)
+_PART_AVRO = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "int",
+    "timestamp": "long",
+    "timestamptz": "long",
+}
+
+
+def _local_table_dir(table_uri: str) -> str:
+    """Local filesystem directory for a table URI the WRITE path supports
+    (same posture as the Delta writer: reads are scheme-agnostic, writes
+    need os-level atomic renames)."""
+    if "://" in table_uri and not table_uri.startswith("file://"):
+        raise BuzzBadRequestError(
+            f"iceberg WRITE path supports local file URIs only, got"
+            f" {table_uri!r} (reads are scheme-agnostic via LogStore)"
+        )
+    return table_uri.removeprefix("file://")
+
+
+# --- Spark schema → Iceberg schema (field ids assigned by a counter) ---------
+
+
+def _to_iceberg_type(dt, next_id) -> object:
+    """Spark DataType → Iceberg JSON type; ``next_id`` is a mutable [int]
+    counter for nested element/key/value ids."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id[0]
+            next_id[0] += 1
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": None,  # filled below so ids are depth-last
+                }
+            )
+        for f, spec in zip(dt.fields, fields):
+            spec["type"] = _to_iceberg_type(f.dataType, next_id)
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _to_iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _to_iceberg_type(dt.keyType, next_id),
+            "value-id": vid,
+            "value": _to_iceberg_type(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    prim = {
+        T.BooleanType: "boolean",
+        T.IntegerType: "int",
+        T.LongType: "long",
+        T.FloatType: "float",
+        T.DoubleType: "double",
+        T.DateType: "date",
+        T.TimestampType: "timestamptz",
+        T.TimestampNTZType: "timestamp",
+        T.StringType: "string",
+        T.BinaryType: "binary",
+    }.get(type(dt))
+    if prim is None:
+        raise BuzzSchemaError(
+            f"spark type {dt.simpleString()} has no iceberg mapping "
+            "(byte/short upcast to int before writing)"
+        )
+    return prim
+
+
+def _build_schema(spark_schema) -> dict:
+    """Iceberg schema JSON (schema-id 0) for a Spark StructType; returns a
+    dict also carrying ``last-column-id``."""
+    next_id = [1]
+    struct = _to_iceberg_type(spark_schema, next_id)
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": struct["fields"],
+        "_last_column_id": next_id[0] - 1,
+    }
+
+
+# --- single-value serialization (spec Appendix D, bounds) ---------------------
+
+
+def _bound_bytes(value, iceberg_type) -> bytes | None:
+    if value is None:
+        return None
+    if iceberg_type == "int" or iceberg_type == "date":
+        return int(value).to_bytes(4, "little", signed=True)
+    if iceberg_type in ("long", "timestamp", "timestamptz"):
+        return int(value).to_bytes(8, "little", signed=True)
+    if iceberg_type == "string":
+        return str(value).encode("utf-8")
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    return None  # no summary for this type — skipping stays sound
+
+
+def _to_physical(value, iceberg_type):
+    """Partition value → the Avro physical representation manifests store
+    (date → days since epoch, timestamp → micros)."""
+    if value is None:
+        return None
+    if iceberg_type == "date":
+        if isinstance(value, datetime.date):
+            return (value - _EPOCH_DATE).days
+        return int(value)
+    if iceberg_type in ("timestamp", "timestamptz"):
+        if isinstance(value, datetime.datetime):
+            epoch = _EPOCH_TS if value.tzinfo is not None else _EPOCH_TS_NAIVE
+            return round((value - epoch).total_seconds() * 1_000_000)
+        return int(value)
+    if iceberg_type == "boolean":
+        return bool(value)
+    if iceberg_type in ("int", "long"):
+        return int(value)
+    return str(value)
+
+
+# --- manifest / manifest-list Avro schemas (spec field ids) -------------------
+
+
+def _entry_schema(part_fields: list[dict]) -> dict:
+    """v2 ``manifest_entry`` Avro schema with the table's partition record."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {
+                                        "name": f["name"],
+                                        "type": ["null", _PART_AVRO[f["source_type"]]],
+                                        "field-id": f["field_id"],
+                                    }
+                                    for f in part_fields
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "field-id": 507,
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+        },
+    ],
+}
+
+
+# --- existing-table metadata --------------------------------------------------
+
+
+def _load_meta(root: str) -> tuple[int, dict] | None:
+    """(version N, metadata dict) of the newest ``v<N>.metadata.json``, or
+    None when the table does not exist yet.  Write-side: local FS, v<N>
+    layout (the layout this writer produces)."""
+    meta_dir = os.path.join(root, "metadata")
+    if not os.path.isdir(meta_dir):
+        return None
+    import re
+
+    best = None
+    for n in os.listdir(meta_dir):
+        m = re.fullmatch(r"v(\d+)\.metadata\.json", n)
+        if m:
+            v = int(m.group(1))
+            if best is None or v > best[0]:
+                best = (v, n)
+    if best is None:
+        names = [
+            n for n in os.listdir(meta_dir) if n.endswith(".metadata.json")
+        ]
+        if names:
+            raise BuzzExecutionError(
+                "iceberg write path requires the v<N>.metadata.json layout "
+                f"(found {sorted(names)[:3]}…) — tables created by external "
+                "catalogs are read-only here"
+            )
+        return None
+    with open(os.path.join(meta_dir, best[1])) as fh:
+        return best[0], json.load(fh)
+
+
+def _schema_fields_match(table_schema: dict, df_schema) -> list[str] | None:
+    """Column order aligning ``df_schema`` to the table schema, or None on
+    mismatch (missing/extra/other-typed columns)."""
+    by_name = {f.name: f for f in df_schema.fields}
+    if set(by_name) != {f["name"] for f in table_schema["fields"]}:
+        return None
+    from pyspark.sql import types as T
+
+    order = []
+    for f in table_schema["fields"]:
+        have = by_name[f["name"]]
+        # timestamp vs timestamptz both surface as TimestampType on the
+        # READ side; the write side keeps them apart (NTZ ↔ "timestamp")
+        if f["type"] == "timestamp":
+            ok = isinstance(have.dataType, T.TimestampNTZType)
+        elif f["type"] == "timestamptz":
+            ok = isinstance(have.dataType, T.TimestampType)
+        else:
+            ok = _iceberg_type(f["type"]) == have.dataType
+        if not ok:
+            return None
+        order.append(f["name"])
+    return order
+
+
+# --- the distributed data-file writer -----------------------------------------
+
+
+def _write_data_files(
+    df: DataFrame,
+    data_dir: str,
+    part_cols: list[str],
+    field_ids: list[int],
+    part_types: dict[str, str],
+    target_file_rows: int,
+) -> list[dict]:
+    """One ``mapInArrow`` job writing parquet data files; returns the small
+    per-file manifest rows.  Partition columns STAY in the data files (the
+    reader scans them in-file; Iceberg convention).  Each task keeps one
+    open ParquetWriter per distinct partition value it sees — the upstream
+    repartition on the partition columns keeps that count small — and rolls
+    to a new file every ``target_file_rows`` rows so one hot partition
+    can't produce a monster file."""
+    from pyspark.sql import functions as F
+
+    cols = list(df.columns)
+    inp = df.repartition(*part_cols) if part_cols else df
+
+    def task(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_schema = pa.schema(
+            [
+                pa.field("file_path", pa.string()),
+                pa.field("record_count", pa.int64()),
+                pa.field("file_size_in_bytes", pa.int64()),
+                pa.field("partition_json", pa.string()),
+            ]
+        )
+        writers: dict = {}  # part tuple -> [writer, path, rows]
+        done: list = []
+
+        def file_schema(batch_schema):
+            return pa.schema(
+                [
+                    f.with_metadata(
+                        {b"PARQUET:field_id": str(fid).encode()}
+                    )
+                    for f, fid in zip(batch_schema, field_ids)
+                ]
+            )
+
+        def close(key):
+            w, path, rows, part = writers.pop(key)
+            w.close()
+            done.append((path, rows, part))
+
+        def sink(key, part_values, tbl):
+            while tbl.num_rows:
+                ent = writers.get(key)
+                if ent is None:
+                    path = os.path.join(
+                        data_dir, f"{uuid.uuid4().hex}.parquet"
+                    )
+                    ent = writers[key] = [
+                        pq.ParquetWriter(path, file_schema(tbl.schema)),
+                        path,
+                        0,
+                        part_values,
+                    ]
+                take = min(target_file_rows - ent[2], tbl.num_rows)
+                chunk = tbl.slice(0, take)
+                ent[0].write_table(
+                    pa.Table.from_arrays(chunk.columns, schema=ent[0].schema)
+                )
+                ent[2] += take
+                tbl = tbl.slice(take)
+                if ent[2] >= target_file_rows:
+                    close(key)
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if tbl.num_rows == 0:
+                continue
+            if not part_cols:
+                sink((), {}, tbl)
+                continue
+            import pyarrow.compute as pc
+
+            key_lists = [tbl.column(c).to_pylist() for c in part_cols]
+            keys = list(zip(*key_lists))
+            uniq = sorted(set(keys), key=repr)
+            if len(uniq) == 1:
+                key = uniq[0]
+                sink(key, dict(zip(part_cols, key)), tbl)
+            else:
+                for key in uniq:
+                    mask = pa.array([k == key for k in keys], pa.bool_())
+                    sub = tbl.filter(mask)
+                    sink(key, dict(zip(part_cols, key)), sub)
+        for key in list(writers):
+            close(key)
+
+        fp, rc, fs, pj = [], [], [], []
+        for path, rows, part in done:
+            fp.append(path)
+            rc.append(rows)
+            fs.append(os.path.getsize(path))
+            pj.append(
+                json.dumps(
+                    {
+                        c: _to_physical(v, part_types[c])
+                        for c, v in part.items()
+                    },
+                    sort_keys=True,
+                )
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(fp, pa.string()),
+                pa.array(rc, pa.int64()),
+                pa.array(fs, pa.int64()),
+                pa.array(pj, pa.string()),
+            ],
+            schema=out_schema,
+        )
+
+    rows = inp.select(*cols).mapInArrow(
+        task,
+        "file_path string, record_count long, "
+        "file_size_in_bytes long, partition_json string",
+    ).collect()
+    return [
+        {
+            "file_path": r.file_path,
+            "record_count": r.record_count,
+            "file_size_in_bytes": r.file_size_in_bytes,
+            "partition": json.loads(r.partition_json),
+        }
+        for r in rows
+    ]
+
+
+# --- atomic local commit --------------------------------------------------------
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(text)
+    os.replace(tmp, path)
+
+
+# --- public API -----------------------------------------------------------------
+
+
+def write_iceberg(
+    df: DataFrame,
+    table_uri: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+    target_file_rows: int = 1_000_000,
+) -> dict | None:
+    """Write ``df`` into an Iceberg v2 table at ``table_uri``.
+
+    Creates the table when it does not exist (either mode); ``append``
+    adds a snapshot keeping prior data, ``overwrite`` adds a snapshot
+    that replaces the table contents (prior snapshots stay time-travel
+    readable — Iceberg never deletes history on overwrite).  Identity
+    partitioning only; the partition columns remain in the data files.
+
+    Returns a summary dict (snapshot id, files/rows written, metadata
+    version), or None for an empty ``df`` on an existing table (nothing
+    to commit — same skip semantics as ``write_delta``'s no-op paths).
+    """
+    if mode not in ("append", "overwrite"):
+        raise BuzzBadRequestError(
+            f"unsupported iceberg write mode {mode!r} (append/overwrite)"
+        )
+    root = _local_table_dir(table_uri)
+    partition_by = list(partition_by or [])
+    for c in partition_by:
+        if c not in df.columns:
+            raise BuzzBadRequestError(
+                f"partition column {c!r} not in dataframe columns"
+            )
+
+    existing = _load_meta(root)
+    now_ms = int(time.time() * 1000)
+
+    if existing is None:
+        schema_json = _build_schema(df.schema)
+        last_column_id = schema_json.pop("_last_column_id")
+        by_name = {f["name"]: f for f in schema_json["fields"]}
+        spec_fields = []
+        for i, c in enumerate(partition_by):
+            src = by_name[c]
+            if not isinstance(src["type"], str) or src["type"] not in _PART_AVRO:
+                raise BuzzBadRequestError(
+                    f"partition column {c!r} has type {src['type']!r}; "
+                    "identity partitioning supports "
+                    f"{sorted(_PART_AVRO)} only"
+                )
+            spec_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": src["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": root,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": last_column_id,
+            "schemas": [schema_json],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(spec_fields),
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": dict(properties or {}),
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "current-snapshot-id": -1,
+        }
+        version = 0
+        prev_manifests: list[dict] = []
+    else:
+        version, meta = existing
+        if int(meta.get("format-version", 1)) != 2:
+            raise BuzzExecutionError(
+                "iceberg write path supports format-version 2 tables only"
+            )
+        sid = meta.get("current-schema-id", 0)
+        schema_json = next(
+            s for s in meta["schemas"] if s.get("schema-id") == sid
+        )
+        order = _schema_fields_match(schema_json, df.schema)
+        if order is None:
+            raise BuzzSchemaError(
+                "dataframe schema does not match the iceberg table schema "
+                f"(table: {[ (f['name'], f['type']) for f in schema_json['fields'] ]})"
+            )
+        df = df.select(*order)
+        did = meta.get("default-spec-id", 0)
+        spec_fields = next(
+            s["fields"]
+            for s in meta["partition-specs"]
+            if s.get("spec-id") == did
+        )
+        if any(f.get("transform") != "identity" for f in spec_fields):
+            raise BuzzExecutionError(
+                "iceberg write path supports identity partition specs only"
+            )
+        field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+        spec_part_cols = [
+            field_names[f["source-id"]] for f in spec_fields
+        ]
+        if partition_by and partition_by != spec_part_cols:
+            raise BuzzBadRequestError(
+                f"partition_by {partition_by} does not match the table's "
+                f"partition spec {spec_part_cols}"
+            )
+        partition_by = spec_part_cols
+        # previous manifests carried forward on append
+        prev_manifests = []
+        if mode == "append":
+            cur = meta.get("current-snapshot-id")
+            snap = next(
+                (
+                    s
+                    for s in meta.get("snapshots", [])
+                    if s["snapshot-id"] == cur
+                ),
+                None,
+            )
+            if snap is not None and "manifest-list" in snap:
+                _, prev_manifests = decode_avro_file(
+                    open(snap["manifest-list"], "rb").read()
+                )
+
+    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    # the writer-internal partition field view (shared with _entry_schema)
+    spec_meta = meta["partition-specs"][0] if existing is None else None
+    spec_fields_list = (
+        spec_meta["fields"] if spec_meta is not None else spec_fields
+    )
+    part_fields = [
+        {
+            "name": f["name"],
+            "field_id": f["field-id"],
+            "source_type": field_types[f["source-id"]],
+        }
+        for f in spec_fields_list
+    ]
+    part_types = {f["name"]: f["source_type"] for f in part_fields}
+    field_ids = [by_name[c]["id"] for c in df.columns]
+
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    new_files = _write_data_files(
+        df, data_dir, partition_by, field_ids, part_types, target_file_rows
+    )
+    if not new_files and existing is not None and mode == "append":
+        return None  # nothing to commit
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = uuid.uuid4().int >> 65  # positive, fits a long
+
+    # --- the new manifest ---
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "sequence_number": None,  # inherited from the manifest list
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": f["file_path"],
+                "file_format": "PARQUET",
+                "partition": {
+                    pf["name"]: f["partition"].get(pf["name"])
+                    for pf in part_fields
+                },
+                "record_count": int(f["record_count"]),
+                "file_size_in_bytes": int(f["file_size_in_bytes"]),
+            },
+        }
+        for f in sorted(new_files, key=lambda f: f["file_path"])
+    ]
+    manifest_path = os.path.join(
+        meta_dir, f"{uuid.uuid4().hex}-m0.avro"
+    )
+    spec_json = json.dumps(
+        [
+            {
+                "name": f["name"],
+                "transform": "identity",
+                "source-id": by_name[f["name"]]["id"],
+                "field-id": f["field_id"],
+            }
+            for f in part_fields
+        ]
+    )
+    with open(manifest_path, "wb") as fh:
+        fh.write(
+            encode_avro_records(
+                _entry_schema(part_fields),
+                entries,
+                metadata={
+                    "schema": json.dumps(
+                        {k: v for k, v in schema_json.items()}
+                    ),
+                    "schema-id": str(schema_json.get("schema-id", 0)),
+                    "partition-spec": spec_json,
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+        )
+
+    # --- manifest-list partition summaries for the new manifest ---
+    summaries = []
+    for pf in part_fields:
+        vals = [
+            f["partition"].get(pf["name"])
+            for f in new_files
+        ]
+        non_null = [v for v in vals if v is not None]
+        lo = min(non_null) if non_null else None
+        hi = max(non_null) if non_null else None
+        summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": _bound_bytes(lo, pf["source_type"]),
+                "upper_bound": _bound_bytes(hi, pf["source_type"]),
+            }
+        )
+    added_rows = sum(int(f["record_count"]) for f in new_files)
+    new_manifest_rec = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(new_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": summaries if part_fields else None,
+    }
+    carried = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": int(m.get("manifest_length") or 0),
+            "partition_spec_id": int(m.get("partition_spec_id") or 0),
+            "content": int(m.get("content") or 0),
+            "sequence_number": int(m.get("sequence_number") or 0),
+            "min_sequence_number": int(m.get("min_sequence_number") or 0),
+            "added_snapshot_id": int(m.get("added_snapshot_id") or 0),
+            "added_files_count": int(m.get("added_files_count") or 0),
+            "existing_files_count": int(m.get("existing_files_count") or 0),
+            "deleted_files_count": int(m.get("deleted_files_count") or 0),
+            "added_rows_count": int(m.get("added_rows_count") or 0),
+            "existing_rows_count": int(m.get("existing_rows_count") or 0),
+            "deleted_rows_count": int(m.get("deleted_rows_count") or 0),
+            "partitions": m.get("partitions"),
+        }
+        for m in prev_manifests
+    ]
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    with open(mlist_path, "wb") as fh:
+        fh.write(
+            encode_avro_records(
+                _MANIFEST_FILE_SCHEMA,
+                [new_manifest_rec] + carried,
+                metadata={
+                    "snapshot-id": str(snap_id),
+                    "sequence-number": str(seq),
+                    "format-version": "2",
+                },
+            )
+        )
+
+    # --- new metadata version ---
+    parent = meta.get("current-snapshot-id")
+    parent = None if parent in (None, -1) else parent
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "schema-id": schema_json.get("schema-id", 0),
+        "summary": {
+            "operation": "append" if mode == "append" else "overwrite",
+            "added-data-files": str(len(new_files)),
+            "added-records": str(added_rows),
+        },
+    }
+    if parent is not None:
+        snapshot["parent-snapshot-id"] = parent
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    meta["current-snapshot-id"] = snap_id
+    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    if existing is not None:
+        meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
+            {
+                "timestamp-ms": now_ms,
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{version}.metadata.json"
+                ),
+            }
+        ]
+
+    new_version = version + 1
+    _atomic_write(
+        os.path.join(meta_dir, f"v{new_version}.metadata.json"),
+        json.dumps(meta),
+    )
+    _atomic_write(
+        os.path.join(meta_dir, "version-hint.text"), str(new_version)
+    )
+    return {
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "metadata_version": new_version,
+        "added_files": len(new_files),
+        "added_records": added_rows,
+        "operation": snapshot["summary"]["operation"],
+    }

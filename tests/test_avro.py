@@ -336,3 +336,40 @@ def test_split_read_mixed_with_small_files(spark, tmp_path):
     df = read_avro(spark, str(d), split_bytes=len(big) // 4)
     got = sorted(r["doc_id"] for r in df.collect())
     assert got == sorted(list(range(300)) + list(range(1000, 1020)))
+
+
+def test_header_metadata_roundtrip():
+    """Extra file-header metadata (Iceberg manifests carry schema /
+    partition-spec keys there) encodes without disturbing record decode,
+    and reserved avro.* keys are refused."""
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.avro import _read_header
+
+    recs = _recs(10)
+    payload = encode_avro_records(
+        SCHEMA, recs, metadata={"format-version": "2", "content": "data"}
+    )
+    schema, back = decode_avro_file(payload)
+    assert back == recs
+    meta_schema, _, _, _ = _read_header(payload)
+    assert meta_schema["name"] == "doc"
+    # the raw header carries the extra keys
+    rd_meta = {}
+    from buzz_rust_spark.sources.avro import _MAGIC, _Reader
+
+    rd = _Reader(payload)
+    assert rd.read(4) == _MAGIC
+    while True:
+        count = rd.long()
+        if count == 0:
+            break
+        for _ in range(abs(count)):
+            if count < 0:
+                rd.long()
+            k = rd.bytes_().decode()
+            rd_meta[k] = rd.bytes_()
+    assert rd_meta["format-version"] == b"2"
+    assert rd_meta["content"] == b"data"
+
+    with pytest.raises(BuzzBadRequestError, match="reserved"):
+        encode_avro_records(SCHEMA, recs, metadata={"avro.codec": "null"})

@@ -1,0 +1,260 @@
+"""Iceberg v2 writer (sources/iceberg_writer.py): every commit the writer
+produces is read back through the repo's own IcebergCatalog — the reader is
+pinned against hand-built spec-shaped fixtures in test_iceberg.py, so a
+round-trip through it checks the writer against the spec, not against
+itself."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+
+import pytest
+
+from buzz_rust_spark.errors import (
+    BuzzBadRequestError,
+    BuzzExecutionError,
+    BuzzSchemaError,
+)
+from buzz_rust_spark.sources.iceberg import IcebergCatalog
+from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+
+def _rows(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+def test_create_partitioned_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _rows(
+        spark,
+        [(1, "alpha", "2020"), (2, "beta", "2020"), (3, "gamma", "2021")],
+        "id long, name string, year string",
+    )
+    s = write_iceberg(df, root, partition_by=["year"])
+    assert s["added_records"] == 3 and s["metadata_version"] == 1
+    cat = IcebergCatalog("t", root)
+    assert cat.partition_cols == ["year"]
+    assert sorted(
+        (r.id, r.name, r.year) for r in cat.to_dataframe(spark).collect()
+    ) == [(1, "alpha", "2020"), (2, "beta", "2020"), (3, "gamma", "2021")]
+    # manifest-level pruning against the writer's own partition tuples
+    pruned = cat.to_dataframe(spark, "year = '2021'")
+    assert [(r.id, r.year) for r in pruned.collect()] == [(3, "2021")]
+    assert len(cat.pruned_files(spark, "year = '2021'")) == 1
+
+
+def test_append_time_travel_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    schema = "id long, v string"
+    s1 = write_iceberg(_rows(spark, [(1, "a")], schema), root)
+    s2 = write_iceberg(_rows(spark, [(2, "b")], schema), root, mode="append")
+    cat = IcebergCatalog("t", root)
+    assert sorted(r.id for r in cat.to_dataframe(spark).collect()) == [1, 2]
+    old = IcebergCatalog("t", root, snapshot_id=s1["snapshot_id"])
+    assert [r.id for r in old.to_dataframe(spark).collect()] == [1]
+    ops = [h["operation"] for h in cat.history()]
+    assert ops == ["append", "append"]
+    assert s2["sequence_number"] == s1["sequence_number"] + 1
+
+
+def test_overwrite_replaces_but_keeps_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    schema = "id long"
+    s1 = write_iceberg(_rows(spark, [(1,), (2,)], schema), root)
+    s2 = write_iceberg(_rows(spark, [(9,)], schema), root, mode="overwrite")
+    cat = IcebergCatalog("t", root)
+    assert [r.id for r in cat.to_dataframe(spark).collect()] == [9]
+    assert cat.history()[-1]["operation"] == "overwrite"
+    old = IcebergCatalog("t", root, snapshot_id=s1["snapshot_id"])
+    assert sorted(r.id for r in old.to_dataframe(spark).collect()) == [1, 2]
+    assert s2["sequence_number"] == 2
+
+
+def test_schema_mismatch_and_mode_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a")], "id long, v string"), root)
+    with pytest.raises(BuzzSchemaError, match="does not match"):
+        write_iceberg(_rows(spark, [(1,)], "id long"), root)
+    with pytest.raises(BuzzSchemaError, match="does not match"):
+        write_iceberg(
+            _rows(spark, [(1, 2)], "id long, v long"), root
+        )  # same names, other type
+    with pytest.raises(BuzzBadRequestError, match="mode"):
+        write_iceberg(_rows(spark, [(1, "a")], "id long, v string"),
+                      root, mode="merge")
+    with pytest.raises(BuzzBadRequestError, match="not in dataframe"):
+        write_iceberg(_rows(spark, [(1,)], "id long"),
+                      str(tmp_path / "t2"), partition_by=["nope"])
+    with pytest.raises(BuzzBadRequestError, match="local file URIs"):
+        write_iceberg(_rows(spark, [(1,)], "id long"), "s3://bucket/t")
+
+
+def test_append_reorders_columns_by_name(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a")], "id long, v string"), root)
+    write_iceberg(_rows(spark, [("b", 2)], "v string, id long"), root)
+    cat = IcebergCatalog("t", root)
+    assert sorted((r.id, r.v) for r in cat.to_dataframe(spark).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_empty_append_is_noop(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1,)], "id long"), root)
+    empty = spark.createDataFrame([], "id long")
+    assert write_iceberg(empty, root) is None
+    assert len(IcebergCatalog("t", root).history()) == 1
+
+
+def test_date_partition_prunes_as_iso(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _rows(
+        spark,
+        [
+            (1, datetime.date(2024, 1, 1)),
+            (2, datetime.date(2024, 1, 1)),
+            (3, datetime.date(2024, 6, 30)),
+        ],
+        "id long, day date",
+    )
+    write_iceberg(df, root, partition_by=["day"])
+    cat = IcebergCatalog("t", root)
+    # the manifest stores days-since-epoch ints; the filter surface is ISO
+    pruned = cat.to_dataframe(spark, "day = '2024-06-30'")
+    assert [r.id for r in pruned.collect()] == [3]
+    assert len(cat.pruned_files(spark, "day = '2024-01-01'")) == 1
+
+
+def test_manifest_skipping_on_written_summaries(spark, tmp_path):
+    """Two appends with disjoint partition ranges: a filter matching only
+    the second manifest must never OPEN the first (the writer's
+    manifest-list partition summaries drive the reader's skipping)."""
+    root = str(tmp_path / "t")
+    schema = "id long, year string"
+    write_iceberg(
+        _rows(spark, [(1, "2019"), (2, "2020")], schema),
+        root, partition_by=["year"],
+    )
+    write_iceberg(_rows(spark, [(3, "2030"), (4, "2031")], schema), root)
+    cat = IcebergCatalog("t", root)
+    opened: list[str] = []
+    orig = cat._read_meta_bytes
+
+    def spy(uri):
+        if uri.endswith(".avro") and "-m0" in uri:
+            opened.append(uri)
+        return orig(uri)
+
+    cat._read_meta_bytes = spy
+    files = cat.pruned_files(spark, "year = '2030'")
+    assert len(files) == 1
+    assert len(opened) == 1, "disjoint manifest was opened"
+
+
+def test_target_file_rows_rolls_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "cast(id % 2 as string) as p")
+    write_iceberg(df, root, partition_by=["p"], target_file_rows=10)
+    cat = IcebergCatalog("t", root)
+    files = cat.pruned_files(spark, None)
+    assert len(files) > 2  # rolled well past one file per partition value
+    got = sorted(r.id for r in cat.to_dataframe(spark).collect())
+    assert got == list(range(100))
+
+
+def test_footer_field_ids_and_rename_evolution(spark, tmp_path):
+    """Data files carry PARQUET:field_id, so a metadata-only column rename
+    (applied here exactly as an Iceberg catalog would: new schema-id, same
+    field ids) keeps pre-rename files readable through the field-id path."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        _rows(spark, [(1, "a")], "id long, team string"), root
+    )
+    f = glob.glob(os.path.join(root, "data", "*.parquet"))[0]
+    ids = {
+        fld.name: fld.metadata[b"PARQUET:field_id"]
+        for fld in pq.read_schema(f)
+    }
+    assert ids == {"id": b"1", "team": b"2"}
+
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(meta_path))
+    old_schema = meta["schemas"][0]
+    renamed = {
+        "type": "struct",
+        "schema-id": 1,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "team_name", "required": False, "type": "string"},
+        ],
+    }
+    meta["schemas"] = [old_schema, renamed]
+    meta["current-schema-id"] = 1
+    with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("2")
+
+    cat = IcebergCatalog("t", root)
+    assert cat._evolved
+    rows = cat.to_dataframe(spark).collect()
+    assert [(r.id, r.team_name) for r in rows] == [(1, "a")]
+
+
+def test_unpartitioned_multi_task_write(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(0, 1000, 1, 8).selectExpr("id", "id * 2 as dbl")
+    write_iceberg(df, root)
+    cat = IcebergCatalog("t", root)
+    got = cat.to_dataframe(spark)
+    assert got.count() == 1000
+    assert got.selectExpr("sum(dbl) as s").collect()[0].s == 999 * 1000
+
+
+def test_nonidentity_spec_append_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "2020")], "id long, y string"),
+                  root, partition_by=["y"])
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(meta_path))
+    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(BuzzExecutionError, match="identity partition"):
+        write_iceberg(_rows(spark, [(2, "2021")], "id long, y string"), root)
+
+
+def test_partition_by_conflict_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "2020")], "id long, y string"),
+                  root, partition_by=["y"])
+    with pytest.raises(BuzzBadRequestError, match="partition spec"):
+        write_iceberg(_rows(spark, [(2, "2021")], "id long, y string"),
+                      root, partition_by=["id"])
+
+
+def test_float_partition_refused(spark, tmp_path):
+    with pytest.raises(BuzzBadRequestError, match="identity partitioning"):
+        write_iceberg(
+            _rows(spark, [(1.5, "a")], "x double, v string"),
+            str(tmp_path / "t"), partition_by=["x"],
+        )
+
+
+def test_null_partition_value_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _rows(spark, [(1, "2020"), (2, None)], "id long, y string")
+    write_iceberg(df, root, partition_by=["y"])
+    cat = IcebergCatalog("t", root)
+    assert sorted(
+        (r.id, r.y) for r in cat.to_dataframe(spark).collect()
+    ) == [(1, "2020"), (2, None)]
+    # the non-null partition still prunes
+    assert len(cat.pruned_files(spark, "y = '2020'")) == 1

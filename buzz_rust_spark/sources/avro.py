@@ -532,7 +532,7 @@ def encode_avro_records(
     if codec not in _CODECS:
         raise BuzzBadRequestError(f"unsupported avro codec {codec!r}")
     extra = dict(metadata or {})
-    if "avro.schema" in extra or "avro.codec" in extra:
+    if any(str(k).startswith("avro.") for k in extra):
         raise BuzzBadRequestError(
             "avro.* header keys are reserved (set schema/codec via the "
             "dedicated parameters)"

@@ -80,12 +80,18 @@ def _local_table_dir(table_uri: str) -> str:
     """Local filesystem directory for a table URI the WRITE path supports
     (same posture as the Delta writer: reads are scheme-agnostic, writes
     need os-level atomic renames)."""
-    if "://" in table_uri and not table_uri.startswith("file://"):
+    if table_uri.startswith("file:"):
+        rest = table_uri[len("file:"):]
+        # file:///p and file:/p both mean local /p (no authority support)
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    if "://" in table_uri:
         raise BuzzBadRequestError(
             f"iceberg WRITE path supports local file URIs only, got"
             f" {table_uri!r} (reads are scheme-agnostic via LogStore)"
         )
-    return table_uri.removeprefix("file://")
+    return table_uri
 
 
 # --- Spark schema → Iceberg schema (field ids assigned by a counter) ---------
@@ -196,7 +202,12 @@ def _to_physical(value, iceberg_type):
     if iceberg_type in ("timestamp", "timestamptz"):
         if isinstance(value, datetime.datetime):
             epoch = _EPOCH_TS if value.tzinfo is not None else _EPOCH_TS_NAIVE
-            return round((value - epoch).total_seconds() * 1_000_000)
+            d = value - epoch
+            # integer micros — float total_seconds() loses the microsecond
+            # past ~2^32 seconds from the epoch
+            return (
+                d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
+            )
         return int(value)
     if iceberg_type == "boolean":
         return bool(value)
@@ -460,8 +471,6 @@ def _write_data_files(
             if not part_cols:
                 sink((), {}, tbl)
                 continue
-            import pyarrow.compute as pc
-
             key_lists = [tbl.column(c).to_pylist() for c in part_cols]
             keys = list(zip(*key_lists))
             uniq = sorted(set(keys), key=repr)
@@ -469,9 +478,14 @@ def _write_data_files(
                 key = uniq[0]
                 sink(key, dict(zip(part_cols, key)), tbl)
             else:
+                # one python pass groups row indices per key (the repartition
+                # upstream keeps distinct keys per task small, but a
+                # per-key full scan would still be O(keys × rows))
+                by_key: dict = {k: [] for k in uniq}
+                for i, k in enumerate(keys):
+                    by_key[k].append(i)
                 for key in uniq:
-                    mask = pa.array([k == key for k in keys], pa.bool_())
-                    sub = tbl.filter(mask)
+                    sub = tbl.take(pa.array(by_key[key], pa.int64()))
                     sink(key, dict(zip(part_cols, key)), sub)
         for key in list(writers):
             close(key)
@@ -606,6 +620,7 @@ def write_iceberg(
             "current-snapshot-id": -1,
         }
         version = 0
+        spec_id = 0
         prev_manifests: list[dict] = []
     else:
         version, meta = existing
@@ -624,11 +639,11 @@ def write_iceberg(
                 f"(table: {[ (f['name'], f['type']) for f in schema_json['fields'] ]})"
             )
         df = df.select(*order)
-        did = meta.get("default-spec-id", 0)
+        spec_id = meta.get("default-spec-id", 0)
         spec_fields = next(
             s["fields"]
             for s in meta["partition-specs"]
-            if s.get("spec-id") == did
+            if s.get("spec-id") == spec_id
         )
         if any(f.get("transform") != "identity" for f in spec_fields):
             raise BuzzExecutionError(
@@ -657,26 +672,36 @@ def write_iceberg(
                 None,
             )
             if snap is not None and "manifest-list" in snap:
-                _, prev_manifests = decode_avro_file(
-                    open(snap["manifest-list"], "rb").read()
-                )
+                with open(snap["manifest-list"], "rb") as fh:
+                    _, prev_manifests = decode_avro_file(fh.read())
 
     field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
     by_name = {f["name"]: f for f in schema_json["fields"]}
-    # the writer-internal partition field view (shared with _entry_schema)
-    spec_meta = meta["partition-specs"][0] if existing is None else None
-    spec_fields_list = (
-        spec_meta["fields"] if spec_meta is not None else spec_fields
-    )
-    part_fields = [
-        {
-            "name": f["name"],
-            "field_id": f["field-id"],
-            "source_type": field_types[f["source-id"]],
-        }
-        for f in spec_fields_list
-    ]
-    part_types = {f["name"]: f["source_type"] for f in part_fields}
+    # The writer-internal partition field view.  A spec field keeps its own
+    # NAME forever while the source COLUMN can be renamed (metadata-only
+    # schema evolution), so the two are carried separately: manifests key
+    # the partition record by the SPEC field name, the data-side grouping
+    # and the per-file partition dicts key by the CURRENT source column.
+    part_fields = []
+    for f in spec_fields:
+        st = field_types[f["source-id"]]
+        if not isinstance(st, str) or st not in _PART_AVRO:
+            raise BuzzBadRequestError(
+                f"partition field {f['name']!r} has source type {st!r}; "
+                f"identity partitioning supports {sorted(_PART_AVRO)} only"
+            )
+        part_fields.append(
+            {
+                "name": f["name"],
+                "field_id": f["field-id"],
+                "source_id": f["source-id"],
+                "source_name": field_names[f["source-id"]],
+                "source_type": st,
+            }
+        )
+    part_cols = [pf["source_name"] for pf in part_fields]
+    part_types = {pf["source_name"]: pf["source_type"] for pf in part_fields}
     field_ids = [by_name[c]["id"] for c in df.columns]
 
     data_dir = os.path.join(root, "data")
@@ -685,7 +710,7 @@ def write_iceberg(
     os.makedirs(meta_dir, exist_ok=True)
 
     new_files = _write_data_files(
-        df, data_dir, partition_by, field_ids, part_types, target_file_rows
+        df, data_dir, part_cols, field_ids, part_types, target_file_rows
     )
     if not new_files and existing is not None and mode == "append":
         return None  # nothing to commit
@@ -705,7 +730,7 @@ def write_iceberg(
                 "file_path": f["file_path"],
                 "file_format": "PARQUET",
                 "partition": {
-                    pf["name"]: f["partition"].get(pf["name"])
+                    pf["name"]: f["partition"].get(pf["source_name"])
                     for pf in part_fields
                 },
                 "record_count": int(f["record_count"]),
@@ -722,7 +747,7 @@ def write_iceberg(
             {
                 "name": f["name"],
                 "transform": "identity",
-                "source-id": by_name[f["name"]]["id"],
+                "source-id": f["source_id"],
                 "field-id": f["field_id"],
             }
             for f in part_fields
@@ -739,7 +764,7 @@ def write_iceberg(
                     ),
                     "schema-id": str(schema_json.get("schema-id", 0)),
                     "partition-spec": spec_json,
-                    "partition-spec-id": "0",
+                    "partition-spec-id": str(spec_id),
                     "format-version": "2",
                     "content": "data",
                 },
@@ -750,7 +775,7 @@ def write_iceberg(
     summaries = []
     for pf in part_fields:
         vals = [
-            f["partition"].get(pf["name"])
+            f["partition"].get(pf["source_name"])
             for f in new_files
         ]
         non_null = [v for v in vals if v is not None]
@@ -768,7 +793,7 @@ def write_iceberg(
     new_manifest_rec = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -838,7 +863,9 @@ def write_iceberg(
     meta["last-updated-ms"] = now_ms
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
     meta["current-snapshot-id"] = snap_id
-    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    meta["refs"] = refs
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]

@@ -258,3 +258,79 @@ def test_null_partition_value_roundtrip(spark, tmp_path):
     ) == [(1, "2020"), (2, None)]
     # the non-null partition still prunes
     assert len(cat.pruned_files(spark, "y = '2020'")) == 1
+
+
+def _apply_rename(root: str, vcur: int, old: str, new: str):
+    """A metadata-only column rename exactly as an Iceberg catalog commits
+    it: a NEW schema (new schema-id, same field ids) appended to schemas."""
+    meta_path = os.path.join(root, "metadata", f"v{vcur}.metadata.json")
+    meta = json.load(open(meta_path))
+    sid = meta["current-schema-id"]
+    cur = next(s for s in meta["schemas"] if s["schema-id"] == sid)
+    renamed = {
+        "type": "struct",
+        "schema-id": sid + 1,
+        "fields": [
+            {**f, "name": new if f["name"] == old else f["name"]}
+            for f in cur["fields"]
+        ],
+    }
+    meta["schemas"] = meta["schemas"] + [renamed]
+    meta["current-schema-id"] = sid + 1
+    nxt = vcur + 1
+    with open(os.path.join(root, "metadata", f"v{nxt}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write(str(nxt))
+
+
+def test_append_after_partition_column_rename(spark, tmp_path):
+    """Renaming the PARTITION SOURCE column (metadata-only) must not break
+    appends: the spec field keeps its old name, the data groups by the new
+    column name, and both generations read back under one filter."""
+    root = str(tmp_path / "t")
+    write_iceberg(
+        _rows(spark, [(1, "2020")], "id long, year string"),
+        root, partition_by=["year"],
+    )
+    _apply_rename(root, 1, "year", "yr")
+    s = write_iceberg(_rows(spark, [(2, "2020"), (3, "2021")],
+                            "id long, yr string"), root)
+    assert s is not None
+    cat = IcebergCatalog("t", root)
+    assert cat._evolved and cat.partition_cols == ["yr"]
+    assert sorted(
+        (r.id, r.yr) for r in cat.to_dataframe(spark).collect()
+    ) == [(1, "2020"), (2, "2020"), (3, "2021")]
+    pruned = cat.to_dataframe(spark, "yr = '2020'")
+    assert sorted(r.id for r in pruned.collect()) == [1, 2]
+
+
+def test_nonzero_default_spec_id_recorded(spark, tmp_path):
+    """Manifests written under a non-zero default-spec-id must record THAT
+    spec id — hardcoding 0 would make the reader treat the writer's own
+    manifests as evolved-spec and refuse filtered reads."""
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a")], "id long, k string"),
+                  root, partition_by=["k"])
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    meta = json.load(open(meta_path))
+    meta["partition-specs"][0]["spec-id"] = 1
+    meta["default-spec-id"] = 1
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    # overwrite drops the (now mislabeled) original manifest; every manifest
+    # in the new snapshot is writer-produced under spec 1
+    write_iceberg(_rows(spark, [(2, "b"), (3, "c")], "id long, k string"),
+                  root, mode="overwrite")
+    cat = IcebergCatalog("t", root)
+    pruned = cat.to_dataframe(spark, "k = 'b'")  # must not raise
+    assert [r.id for r in pruned.collect()] == [2]
+
+
+def test_single_slash_file_uri(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1,)], "id long"), f"file:{root}")
+    assert os.path.isdir(os.path.join(root, "metadata"))
+    cat = IcebergCatalog("t", root)
+    assert [r.id for r in cat.to_dataframe(spark).collect()] == [1]

@@ -806,7 +806,45 @@ def write_iceberg(
         "deleted_rows_count": 0,
         "partitions": summaries if part_fields else None,
     }
-    carried = [
+    mlist_path = _write_manifest_list(
+        meta_dir,
+        snap_id,
+        seq,
+        [new_manifest_rec] + _carry_manifests(prev_manifests),
+    )
+
+    # --- new metadata version ---
+    new_version = _finish_commit(
+        root,
+        version,
+        meta,
+        snap_id,
+        seq,
+        now_ms,
+        mlist_path,
+        schema_json.get("schema-id", 0),
+        "append" if mode == "append" else "overwrite",
+        {
+            "added-data-files": str(len(new_files)),
+            "added-records": str(added_rows),
+        },
+        log_prior_metadata=existing is not None,
+    )
+    return {
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "metadata_version": new_version,
+        "added_files": len(new_files),
+        "added_records": added_rows,
+        "operation": "append" if mode == "append" else "overwrite",
+    }
+
+
+def _carry_manifests(prev_manifests: list[dict]) -> list[dict]:
+    """Prior manifest-list entries re-encoded under this writer's field set
+    (lossless for self-written tables; unknown optional fields from other
+    writers are dropped — documented interop caveat)."""
+    return [
         {
             "manifest_path": m["manifest_path"],
             "manifest_length": int(m.get("manifest_length") or 0),
@@ -825,14 +863,17 @@ def write_iceberg(
         }
         for m in prev_manifests
     ]
-    mlist_path = os.path.join(
-        meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
-    )
-    with open(mlist_path, "wb") as fh:
+
+
+def _write_manifest_list(
+    meta_dir: str, snap_id: int, seq: int, recs: list[dict]
+) -> str:
+    path = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+    with open(path, "wb") as fh:
         fh.write(
             encode_avro_records(
                 _MANIFEST_FILE_SCHEMA,
-                [new_manifest_rec] + carried,
+                recs,
                 metadata={
                     "snapshot-id": str(snap_id),
                     "sequence-number": str(seq),
@@ -840,8 +881,25 @@ def write_iceberg(
                 },
             )
         )
+    return path
 
-    # --- new metadata version ---
+
+def _finish_commit(
+    root: str,
+    version: int,
+    meta: dict,
+    snap_id: int,
+    seq: int,
+    now_ms: int,
+    mlist_path: str,
+    schema_id: int,
+    operation: str,
+    summary_counts: dict[str, str],
+    log_prior_metadata: bool,
+) -> int:
+    """Append the snapshot to the table metadata and atomically promote
+    ``v<N+1>.metadata.json`` + ``version-hint.text``.  Returns N+1."""
+    meta_dir = os.path.join(root, "metadata")
     parent = meta.get("current-snapshot-id")
     parent = None if parent in (None, -1) else parent
     snapshot = {
@@ -849,12 +907,8 @@ def write_iceberg(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
-        "schema-id": schema_json.get("schema-id", 0),
-        "summary": {
-            "operation": "append" if mode == "append" else "overwrite",
-            "added-data-files": str(len(new_files)),
-            "added-records": str(added_rows),
-        },
+        "schema-id": schema_id,
+        "summary": {"operation": operation, **summary_counts},
     }
     if parent is not None:
         snapshot["parent-snapshot-id"] = parent
@@ -869,7 +923,7 @@ def write_iceberg(
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
-    if existing is not None:
+    if log_prior_metadata:
         meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
             {
                 "timestamp-ms": now_ms,
@@ -878,20 +932,272 @@ def write_iceberg(
                 ),
             }
         ]
-
     new_version = version + 1
     _atomic_write(
         os.path.join(meta_dir, f"v{new_version}.metadata.json"),
         json.dumps(meta),
     )
-    _atomic_write(
-        os.path.join(meta_dir, "version-hint.text"), str(new_version)
+    _atomic_write(os.path.join(meta_dir, "version-hint.text"), str(new_version))
+    return new_version
+
+
+# Iceberg reserves these field ids for position-delete file columns
+_POS_DELETE_PATH_ID = 2147483546
+_POS_DELETE_POS_ID = 2147483545
+
+
+def delete_iceberg(
+    spark,
+    table_uri: str,
+    predicate: str,
+    max_delete_rows: int = 5_000_000,
+) -> dict | None:
+    """DELETE FROM the Iceberg table WHERE ``predicate`` — merge-on-read:
+    no data file is rewritten; matched (file, position) pairs land in ONE
+    position-delete parquet file committed under a delete manifest, which
+    :class:`IcebergCatalog` (and any v2 reader) applies as an anti-join.
+
+    Returns a commit summary, or None when no LIVE row matches (rows
+    already position-deleted never re-match — a predicate covering only
+    them is a logical no-op, same semantics as ``delete_delta``).  The
+    matched set is bounded by ``max_delete_rows`` (driver-side sort +
+    write; past that a rewrite is the better trade — typed error says so).
+
+    Boundaries: tables with existing EQUALITY deletes are refused (their
+    sequence-number scoping against a fresh predicate scan is not
+    implemented), as are ORC data files (no ``_metadata.row_index``).  The
+    delete manifest records a null partition tuple (position deletes apply
+    by file PATH — partition-scoped delete manifests are an optimization
+    this writer does not yet emit)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .iceberg import IcebergCatalog
+    from .uris import normalized_path_col
+
+    root = _local_table_dir(table_uri)
+    if _load_meta(root) is None:
+        raise BuzzBadRequestError(f"not an iceberg table: {table_uri!r}")
+    version, meta = _load_meta(root)
+    if int(meta.get("format-version", 1)) != 2:
+        raise BuzzExecutionError(
+            "iceberg write path supports format-version 2 tables only"
+        )
+    cat = IcebergCatalog("delete", root)
+    plan = cat._plan(spark, None)
+    files = plan["files"]
+    if not files:
+        return None
+    if plan["orc_keys"]:
+        raise BuzzExecutionError(
+            "iceberg position deletes over ORC data files are not "
+            "supported (no _metadata.row_index for ORC scans)"
+        )
+    if any(d["kind"] == "eq" for d in plan["deletes"]):
+        raise BuzzExecutionError(
+            "delete_iceberg over a table with existing EQUALITY deletes is "
+            "not supported (sequence scoping a fresh predicate against "
+            "them is not implemented) — rewrite the table first"
+        )
+
+    if cat._evolved:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    scan = (
+        spark.read.schema(cat._scan_schema)
+        .parquet(*[f.key for f in files])
+        .select(
+            "*",
+            normalized_path_col(F.col("_metadata.file_path")).alias("__path"),
+            F.col("_metadata.row_index").alias("__ridx"),
+        )
+    )
+    prior = [d for d in plan["deletes"] if d["kind"] == "pos"]
+    if prior:
+        mapping = spark.createDataFrame(
+            sorted(set(plan["pairs"])), "file_path string, __path string"
+        )
+        del_schema = StructType(
+            [
+                StructField("file_path", StringType(), False),
+                StructField("pos", LongType(), False),
+            ]
+        )
+        del_df = (
+            spark.read.schema(del_schema)
+            .parquet(*[d["uri"] for d in prior])
+            .join(broadcast(mapping), on="file_path")
+            .select("__path", F.col("pos").alias("__ridx"))
+        )
+        scan = scan.join(del_df, on=["__path", "__ridx"], how="left_anti")
+
+    matched = (
+        scan.where(predicate)
+        .select("__path", "__ridx")
+        .limit(max_delete_rows + 1)
+        .collect()
+    )
+    if not matched:
+        return None
+    if len(matched) > max_delete_rows:
+        raise BuzzExecutionError(
+            f"predicate matches more than max_delete_rows="
+            f"{max_delete_rows}; rewrite the table (overwrite) instead of "
+            "accumulating a delete file this large"
+        )
+
+    # normalized scan path → the manifest-RECORDED file path (delete files
+    # must reference paths exactly as the manifests spell them)
+    recorded = {norm: rec for rec, norm in plan["pairs"]}
+    pairs = sorted(
+        (recorded[r["__path"]], int(r["__ridx"])) for r in matched
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    del_path = os.path.join(data_dir, f"delete-{uuid.uuid4().hex}.parquet")
+    del_pa_schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_PATH_ID).encode()},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_POS_ID).encode()},
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([p for p, _ in pairs], pa.string()),
+                "pos": pa.array([i for _, i in pairs], pa.int64()),
+            },
+            schema=del_pa_schema,
+        ),
+        del_path,
+    )
+
+    # --- delete manifest + commit ---
+    now_ms = int(time.time() * 1000)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = uuid.uuid4().int >> 65
+    sid = meta.get("current-schema-id", 0)
+    schema_json = next(
+        s for s in meta["schemas"] if s.get("schema-id") == sid
+    )
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        s["fields"]
+        for s in meta["partition-specs"]
+        if s.get("spec-id") == spec_id
+    )
+    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    part_fields = [
+        {
+            "name": f["name"],
+            "field_id": f["field-id"],
+            "source_id": f["source-id"],
+            "source_type": field_types.get(f["source-id"], "string"),
+        }
+        for f in spec_fields
+        if isinstance(field_types.get(f["source-id"]), str)
+        and field_types.get(f["source-id"]) in _PART_AVRO
+    ]
+    entry = {
+        "status": 1,
+        "snapshot_id": snap_id,
+        "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 1,  # POSITION_DELETES
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {pf["name"]: None for pf in part_fields},
+            "record_count": len(pairs),
+            "file_size_in_bytes": os.path.getsize(del_path),
+        },
+    }
+    meta_dir = os.path.join(root, "metadata")
+    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    with open(manifest_path, "wb") as fh:
+        fh.write(
+            encode_avro_records(
+                _entry_schema(part_fields),
+                [entry],
+                metadata={
+                    "schema": json.dumps(schema_json),
+                    "schema-id": str(sid),
+                    "partition-spec": json.dumps(
+                        [
+                            {
+                                "name": f["name"],
+                                "transform": "identity",
+                                "source-id": f["source_id"],
+                                "field-id": f["field_id"],
+                            }
+                            for f in part_fields
+                        ]
+                    ),
+                    "partition-spec-id": str(spec_id),
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+        )
+    delete_rec = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": spec_id,
+        "content": 1,  # DELETES manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": len(pairs),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    cur = meta.get("current-snapshot-id")
+    snap = next(
+        s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur
+    )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, prev_manifests = decode_avro_file(fh.read())
+    mlist_path = _write_manifest_list(
+        meta_dir, snap_id, seq, [delete_rec] + _carry_manifests(prev_manifests)
+    )
+    new_version = _finish_commit(
+        root,
+        version,
+        meta,
+        snap_id,
+        seq,
+        now_ms,
+        mlist_path,
+        sid,
+        "delete",
+        {
+            "added-delete-files": "1",
+            "added-position-deletes": str(len(pairs)),
+        },
+        log_prior_metadata=True,
     )
     return {
         "snapshot_id": snap_id,
         "sequence_number": seq,
         "metadata_version": new_version,
-        "added_files": len(new_files),
-        "added_records": added_rows,
-        "operation": snapshot["summary"]["operation"],
+        "deleted_rows": len(pairs),
+        "operation": "delete",
     }

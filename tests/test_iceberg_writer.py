@@ -334,3 +334,83 @@ def test_single_slash_file_uri(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "metadata"))
     cat = IcebergCatalog("t", root)
     assert [r.id for r in cat.to_dataframe(spark).collect()] == [1]
+
+
+# --- delete_iceberg (position deletes, merge-on-read) -------------------------
+
+
+def test_delete_roundtrip_mor(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    root = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id", "cast(id % 2 as string) as par")
+    write_iceberg(df, root, partition_by=["par"])
+    s = delete_iceberg(spark, root, "id >= 6")
+    assert s["deleted_rows"] == 4 and s["operation"] == "delete"
+    cat = IcebergCatalog("t", root)
+    assert sorted(r.id for r in cat.to_dataframe(spark).collect()) == list(range(6))
+    # pruned read still applies the delete
+    odd = cat.to_dataframe(spark, "par = '1'")
+    assert sorted(r.id for r in odd.collect()) == [1, 3, 5]
+    assert cat.history()[-1]["operation"] == "delete"
+
+
+def test_delete_twice_no_rematch_and_noop(spark, tmp_path):
+    """Rows already position-deleted must not re-match; a predicate
+    covering only them is a logical no-op returning None."""
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.range(8).selectExpr("id"), root)
+    assert delete_iceberg(spark, root, "id < 3")["deleted_rows"] == 3
+    assert delete_iceberg(spark, root, "id < 3") is None
+    s = delete_iceberg(spark, root, "id < 5")  # only 3, 4 still live
+    assert s["deleted_rows"] == 2
+    cat = IcebergCatalog("t", root)
+    assert sorted(r.id for r in cat.to_dataframe(spark).collect()) == [5, 6, 7]
+
+
+def test_delete_then_append_then_read(spark, tmp_path):
+    """A delete snapshot carries forward on append: the delete keeps
+    applying to the old files, the appended rows are untouched."""
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.range(4).selectExpr("id"), root)
+    delete_iceberg(spark, root, "id = 0")
+    write_iceberg(spark.range(100, 102).selectExpr("id"), root)
+    cat = IcebergCatalog("t", root)
+    assert sorted(r.id for r in cat.to_dataframe(spark).collect()) == [
+        1, 2, 3, 100, 101,
+    ]
+
+
+def test_delete_guards(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    with pytest.raises(BuzzBadRequestError, match="not an iceberg table"):
+        delete_iceberg(spark, str(tmp_path / "missing"), "id = 1")
+    root = str(tmp_path / "t")
+    write_iceberg(spark.range(5).selectExpr("id"), root)
+    with pytest.raises(BuzzExecutionError, match="max_delete_rows"):
+        delete_iceberg(spark, root, "id >= 0", max_delete_rows=2)
+    # no match → None, no commit
+    assert delete_iceberg(spark, root, "id = 999") is None
+    assert len(IcebergCatalog("t", root).history()) == 1
+
+
+def test_delete_file_has_reserved_field_ids(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.range(5).selectExpr("id"), root)
+    delete_iceberg(spark, root, "id = 2")
+    dels = [
+        p for p in glob.glob(os.path.join(root, "data", "delete-*.parquet"))
+    ]
+    assert len(dels) == 1
+    sch = pq.read_schema(dels[0])
+    ids = {f.name: f.metadata[b"PARQUET:field_id"] for f in sch}
+    assert ids == {"file_path": b"2147483546", "pos": b"2147483545"}

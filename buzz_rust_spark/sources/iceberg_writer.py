@@ -550,6 +550,7 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     properties: dict[str, str] | None = None,
     target_file_rows: int = 1_000_000,
+    _operation: str | None = None,
 ) -> dict | None:
     """Write ``df`` into an Iceberg v2 table at ``table_uri``.
 
@@ -814,6 +815,9 @@ def write_iceberg(
     )
 
     # --- new metadata version ---
+    operation = _operation or (
+        "append" if mode == "append" else "overwrite"
+    )
     new_version = _finish_commit(
         root,
         version,
@@ -823,7 +827,7 @@ def write_iceberg(
         now_ms,
         mlist_path,
         schema_json.get("schema-id", 0),
-        "append" if mode == "append" else "overwrite",
+        operation,
         {
             "added-data-files": str(len(new_files)),
             "added-records": str(added_rows),
@@ -836,7 +840,7 @@ def write_iceberg(
         "metadata_version": new_version,
         "added_files": len(new_files),
         "added_records": added_rows,
-        "operation": "append" if mode == "append" else "overwrite",
+        "operation": operation,
     }
 
 
@@ -1201,3 +1205,34 @@ def delete_iceberg(
         "deleted_rows": len(pairs),
         "operation": "delete",
     }
+
+
+def rewrite_iceberg(
+    spark,
+    table_uri: str,
+    target_file_rows: int = 1_000_000,
+) -> dict | None:
+    """Compaction (Iceberg's rewrite-data-files maintenance action): the
+    current snapshot — position deletes applied — is materialized into
+    fresh data files and committed as a ``replace`` snapshot whose
+    manifest list carries ONLY the new manifest.  Accumulated delete
+    files stop being carried forward (the merge-on-read cost they impose
+    on every scan drops to zero), small files coalesce toward
+    ``target_file_rows``, and prior snapshots stay time-travel readable
+    with their deletes intact.  Returns None for a non-existent table
+    path (nothing to compact); one Spark job end-to-end, same as the
+    append path."""
+    from .iceberg import IcebergCatalog
+
+    root = _local_table_dir(table_uri)
+    if _load_meta(root) is None:
+        return None
+    cat = IcebergCatalog("rewrite", root)
+    df = cat.to_dataframe(spark)
+    return write_iceberg(
+        df,
+        table_uri,
+        mode="overwrite",
+        target_file_rows=target_file_rows,
+        _operation="replace",
+    )

@@ -414,3 +414,33 @@ def test_delete_file_has_reserved_field_ids(spark, tmp_path):
     sch = pq.read_schema(dels[0])
     ids = {f.name: f.metadata[b"PARQUET:field_id"] for f in sch}
     assert ids == {"file_path": b"2147483546", "pos": b"2147483545"}
+
+
+def test_rewrite_compacts_and_drops_delete_files(spark, tmp_path):
+    """rewrite_iceberg materializes the MOR state into fresh files: the
+    new snapshot plans ZERO delete files, reads identically, and the
+    pre-rewrite snapshot still applies its deletes on time travel."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        rewrite_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(20).selectExpr("id", "cast(id % 2 as string) as par")
+    write_iceberg(df, root, partition_by=["par"], target_file_rows=3)
+    del_snap = delete_iceberg(spark, root, "id >= 10")
+    s = rewrite_iceberg(spark, root)
+    assert s["operation"] == "replace" and s["added_records"] == 10
+
+    cat = IcebergCatalog("t", root)
+    plan = cat._plan(spark, None)
+    assert plan["deletes"] == []  # delete files no longer carried
+    assert sorted(r.id for r in cat.to_dataframe(spark).collect()) == list(range(10))
+    # pruning still works on the rewritten files
+    assert sorted(
+        r.id for r in cat.to_dataframe(spark, "par = '0'").collect()
+    ) == [0, 2, 4, 6, 8]
+    # the delete snapshot still reads MOR-correct on time travel
+    old = IcebergCatalog("t", root, snapshot_id=del_snap["snapshot_id"])
+    assert sorted(r.id for r in old.to_dataframe(spark).collect()) == list(range(10))
+    assert rewrite_iceberg(spark, str(tmp_path / "nope")) is None

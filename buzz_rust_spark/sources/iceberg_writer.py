@@ -265,6 +265,14 @@ def _entry_schema(part_fields: list[dict]) -> dict:
                             "type": "long",
                             "field-id": 104,
                         },
+                        {
+                            # key field ids of an EQUALITY delete file
+                            # (content=2); null for data / position-delete
+                            # entries
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "field-id": 135,
+                        },
                     ],
                 },
             },
@@ -386,6 +394,34 @@ def _schema_fields_match(table_schema: dict, df_schema) -> list[str] | None:
             return None
         order.append(f["name"])
     return order
+
+
+def _partition_context(schema_json: dict, spec_fields: list[dict]) -> list[dict]:
+    """The writer-internal partition field view.  A spec field keeps its
+    own NAME forever while the source COLUMN can be renamed (metadata-only
+    schema evolution), so the two are carried separately: manifests key the
+    partition record by the SPEC field name, the data-side grouping and
+    the per-file partition dicts key by the CURRENT source column."""
+    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+    part_fields = []
+    for f in spec_fields:
+        st = field_types[f["source-id"]]
+        if not isinstance(st, str) or st not in _PART_AVRO:
+            raise BuzzBadRequestError(
+                f"partition field {f['name']!r} has source type {st!r}; "
+                f"identity partitioning supports {sorted(_PART_AVRO)} only"
+            )
+        part_fields.append(
+            {
+                "name": f["name"],
+                "field_id": f["field-id"],
+                "source_id": f["source-id"],
+                "source_name": field_names[f["source-id"]],
+                "source_type": st,
+            }
+        )
+    return part_fields
 
 
 # --- the distributed data-file writer -----------------------------------------
@@ -676,31 +712,8 @@ def write_iceberg(
                 with open(snap["manifest-list"], "rb") as fh:
                     _, prev_manifests = decode_avro_file(fh.read())
 
-    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
-    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
     by_name = {f["name"]: f for f in schema_json["fields"]}
-    # The writer-internal partition field view.  A spec field keeps its own
-    # NAME forever while the source COLUMN can be renamed (metadata-only
-    # schema evolution), so the two are carried separately: manifests key
-    # the partition record by the SPEC field name, the data-side grouping
-    # and the per-file partition dicts key by the CURRENT source column.
-    part_fields = []
-    for f in spec_fields:
-        st = field_types[f["source-id"]]
-        if not isinstance(st, str) or st not in _PART_AVRO:
-            raise BuzzBadRequestError(
-                f"partition field {f['name']!r} has source type {st!r}; "
-                f"identity partitioning supports {sorted(_PART_AVRO)} only"
-            )
-        part_fields.append(
-            {
-                "name": f["name"],
-                "field_id": f["field-id"],
-                "source_id": f["source-id"],
-                "source_name": field_names[f["source-id"]],
-                "source_type": st,
-            }
-        )
+    part_fields = _partition_context(schema_json, spec_fields)
     part_cols = [pf["source_name"] for pf in part_fields]
     part_types = {pf["source_name"]: pf["source_type"] for pf in part_fields}
     field_ids = [by_name[c]["id"] for c in df.columns]
@@ -736,6 +749,7 @@ def write_iceberg(
                 },
                 "record_count": int(f["record_count"]),
                 "file_size_in_bytes": int(f["file_size_in_bytes"]),
+                "equality_ids": None,
             },
         }
         for f in sorted(new_files, key=lambda f: f["file_path"])
@@ -1104,18 +1118,7 @@ def delete_iceberg(
         for s in meta["partition-specs"]
         if s.get("spec-id") == spec_id
     )
-    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
-    part_fields = [
-        {
-            "name": f["name"],
-            "field_id": f["field-id"],
-            "source_id": f["source-id"],
-            "source_type": field_types.get(f["source-id"], "string"),
-        }
-        for f in spec_fields
-        if isinstance(field_types.get(f["source-id"]), str)
-        and field_types.get(f["source-id"]) in _PART_AVRO
-    ]
+    part_fields = _partition_context(schema_json, spec_fields)
     entry = {
         "status": 1,
         "snapshot_id": snap_id,
@@ -1128,6 +1131,7 @@ def delete_iceberg(
             "partition": {pf["name"]: None for pf in part_fields},
             "record_count": len(pairs),
             "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": None,
         },
     }
     meta_dir = os.path.join(root, "metadata")
@@ -1236,3 +1240,257 @@ def rewrite_iceberg(
         target_file_rows=target_file_rows,
         _operation="replace",
     )
+
+
+def merge_iceberg(
+    spark,
+    table_uri: str,
+    source: DataFrame,
+    key_cols: list[str],
+    target_file_rows: int = 1_000_000,
+) -> dict | None:
+    """UPSERT ``source`` into the Iceberg table by ``key_cols`` — the
+    Flink-CDC merge-on-read shape: ONE commit carries an EQUALITY-delete
+    manifest (the source's distinct keys, content=2 with ``equality_ids``)
+    plus a data manifest with the new rows.  Old rows whose keys appear in
+    the source stop matching (the reader scopes equality deletes to data
+    files with a strictly SMALLER sequence number, so the new rows — same
+    sequence as the delete — survive their own delete); rows with unseen
+    keys are plain inserts.
+
+    Cost is O(source): NO table scan, no driver-side row work — both the
+    data files and the delete-key files are written by executors through
+    the same fanout writer, and the commit is metadata-only.  That is the
+    whole point of the equality-delete design at 100 TB: an upsert of a
+    million CDC rows into a petabyte table touches only the million rows.
+
+    Semantics notes: a NULL key column matches NULL (the reader anti-joins
+    with eqNullSafe, Iceberg's equality-delete rule); duplicate keys
+    WITHIN the source are a typed error (distributed last-wins is
+    order-undefined); schema-evolved (renamed-column) tables are refused —
+    the reader refuses equality deletes there (pre-rename delete files
+    would be misread).  Returns None for an empty source."""
+    from pyspark.sql import functions as F
+
+    root = _local_table_dir(table_uri)
+    existing = _load_meta(root)
+    if existing is None:
+        raise BuzzBadRequestError(
+            f"not an iceberg table: {table_uri!r} (merge needs an existing "
+            "table; use write_iceberg to create one)"
+        )
+    version, meta = existing
+    if int(meta.get("format-version", 1)) != 2:
+        raise BuzzExecutionError(
+            "iceberg write path supports format-version 2 tables only"
+        )
+    sid = meta.get("current-schema-id", 0)
+    schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
+    order = _schema_fields_match(schema_json, source.schema)
+    if order is None:
+        raise BuzzSchemaError(
+            "source schema does not match the iceberg table schema "
+            f"(table: {[(f['name'], f['type']) for f in schema_json['fields']]})"
+        )
+    source = source.select(*order)
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    missing = [k for k in key_cols if k not in by_name]
+    if not key_cols or missing:
+        raise BuzzBadRequestError(
+            f"merge key columns {missing or key_cols} not in the table schema"
+        )
+
+    from .iceberg import IcebergCatalog
+
+    cat = IcebergCatalog("merge", root)
+    if cat._evolved:
+        raise BuzzExecutionError(
+            "merge into a schema-evolved (renamed-column) table is not "
+            "supported: the reader refuses equality deletes there (delete "
+            "files written before a rename would be misread)"
+        )
+
+    dup = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where("n > 1")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise BuzzBadRequestError(
+            "source has duplicate merge keys — distributed last-wins is "
+            "order-undefined; de-duplicate upstream"
+        )
+
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        s["fields"]
+        for s in meta["partition-specs"]
+        if s.get("spec-id") == spec_id
+    )
+    if any(f.get("transform") != "identity" for f in spec_fields):
+        raise BuzzExecutionError(
+            "iceberg write path supports identity partition specs only"
+        )
+    part_fields = _partition_context(schema_json, spec_fields)
+    part_cols = [pf["source_name"] for pf in part_fields]
+    part_types = {pf["source_name"]: pf["source_type"] for pf in part_fields}
+    field_ids = [by_name[c]["id"] for c in source.columns]
+    key_ids = [int(by_name[k]["id"]) for k in key_cols]
+
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(data_dir, exist_ok=True)
+
+    new_files = _write_data_files(
+        source, data_dir, part_cols, field_ids, part_types, target_file_rows
+    )
+    if not new_files:
+        return None
+    # the delete-key files: the source's distinct keys, executor-written
+    # (content=2 files may hold ONLY the equality_ids columns per spec)
+    key_files = _write_data_files(
+        source.select(*key_cols).distinct(),
+        data_dir,
+        [],
+        key_ids,
+        {},
+        target_file_rows,
+    )
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = uuid.uuid4().int >> 65
+    now_ms = int(time.time() * 1000)
+
+    def entry(f: dict, content: int, eq_ids) -> dict:
+        return {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": f["file_path"],
+                "file_format": "PARQUET",
+                "partition": {
+                    pf["name"]: f["partition"].get(pf["source_name"])
+                    for pf in part_fields
+                },
+                "record_count": int(f["record_count"]),
+                "file_size_in_bytes": int(f["file_size_in_bytes"]),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    spec_json = json.dumps(
+        [
+            {
+                "name": f["name"],
+                "transform": "identity",
+                "source-id": f["source_id"],
+                "field-id": f["field_id"],
+            }
+            for f in part_fields
+        ]
+    )
+
+    def manifest(entries: list[dict], content_label: str) -> str:
+        path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        with open(path, "wb") as fh:
+            fh.write(
+                encode_avro_records(
+                    _entry_schema(part_fields),
+                    entries,
+                    metadata={
+                        "schema": json.dumps(schema_json),
+                        "schema-id": str(sid),
+                        "partition-spec": spec_json,
+                        "partition-spec-id": str(spec_id),
+                        "format-version": "2",
+                        "content": content_label,
+                    },
+                )
+            )
+        return path
+
+    data_manifest = manifest(
+        [
+            entry(f, 0, None)
+            for f in sorted(new_files, key=lambda f: f["file_path"])
+        ],
+        "data",
+    )
+    delete_manifest = manifest(
+        [
+            entry(f, 2, key_ids)
+            for f in sorted(key_files, key=lambda f: f["file_path"])
+        ],
+        "deletes",
+    )
+
+    added_rows = sum(int(f["record_count"]) for f in new_files)
+    key_rows = sum(int(f["record_count"]) for f in key_files)
+
+    def mrec(path: str, content: int, n_files: int, n_rows: int) -> dict:
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": spec_id,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": n_files,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+
+    cur = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
+        None,
+    )
+    prev_manifests: list[dict] = []
+    if snap is not None and "manifest-list" in snap:
+        with open(snap["manifest-list"], "rb") as fh:
+            _, prev_manifests = decode_avro_file(fh.read())
+    mlist_path = _write_manifest_list(
+        meta_dir,
+        snap_id,
+        seq,
+        [
+            mrec(data_manifest, 0, len(new_files), added_rows),
+            mrec(delete_manifest, 1, len(key_files), key_rows),
+        ]
+        + _carry_manifests(prev_manifests),
+    )
+    new_version = _finish_commit(
+        root,
+        version,
+        meta,
+        snap_id,
+        seq,
+        now_ms,
+        mlist_path,
+        sid,
+        "overwrite",
+        {
+            "added-data-files": str(len(new_files)),
+            "added-records": str(added_rows),
+            "added-delete-files": str(len(key_files)),
+            "added-equality-deletes": str(key_rows),
+        },
+        log_prior_metadata=True,
+    )
+    return {
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "metadata_version": new_version,
+        "upserted_records": added_rows,
+        "operation": "overwrite",
+    }

@@ -444,3 +444,128 @@ def test_rewrite_compacts_and_drops_delete_files(spark, tmp_path):
     old = IcebergCatalog("t", root, snapshot_id=del_snap["snapshot_id"])
     assert sorted(r.id for r in old.to_dataframe(spark).collect()) == list(range(10))
     assert rewrite_iceberg(spark, str(tmp_path / "nope")) is None
+
+
+# --- merge_iceberg (equality-delete upsert) -----------------------------------
+
+
+def test_merge_upsert_roundtrip(spark, tmp_path):
+    """Merge = one commit: equality deletes for the source keys + new data.
+    Updated keys show the new values, unseen keys insert, untouched rows
+    survive — all through the reader's sequence-scoped eq-delete path."""
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        _rows(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+              "id long, name string, v long"),
+        root,
+    )
+    src = _rows(spark, [(2, "B", 200), (4, "d", 40)],
+                "id long, name string, v long")
+    s = merge_iceberg(spark, root, src, ["id"])
+    assert s["upserted_records"] == 2 and s["operation"] == "overwrite"
+    cat = IcebergCatalog("t", root)
+    assert sorted(
+        (r.id, r.name, r.v) for r in cat.to_dataframe(spark).collect()
+    ) == [(1, "a", 10), (2, "B", 200), (3, "c", 30), (4, "d", 40)]
+
+
+def test_merge_same_commit_rows_survive_their_own_delete(spark, tmp_path):
+    """The delete and the data share one sequence number; the reader's
+    strict `data_seq < delete_seq` scope must keep the new rows."""
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, 1)], "id long, v long"), root)
+    for v in (2, 3, 4):  # repeated upserts of the SAME key
+        merge_iceberg(spark, root,
+                      _rows(spark, [(1, v)], "id long, v long"), ["id"])
+    cat = IcebergCatalog("t", root)
+    assert [(r.id, r.v) for r in cat.to_dataframe(spark).collect()] == [(1, 4)]
+
+
+def test_merge_partitioned_and_time_travel(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    root = str(tmp_path / "t")
+    s0 = write_iceberg(
+        _rows(spark, [(1, "x", "p0"), (2, "y", "p1")],
+              "id long, name string, par string"),
+        root, partition_by=["par"],
+    )
+    merge_iceberg(
+        spark, root,
+        _rows(spark, [(1, "X", "p0"), (3, "z", "p1")],
+              "id long, name string, par string"),
+        ["id"],
+    )
+    cat = IcebergCatalog("t", root)
+    assert sorted(
+        (r.id, r.name) for r in cat.to_dataframe(spark).collect()
+    ) == [(1, "X"), (2, "y"), (3, "z")]
+    # pruned read still merges correctly
+    p0 = cat.to_dataframe(spark, "par = 'p0'")
+    assert [(r.id, r.name) for r in p0.collect()] == [(1, "X")]
+    # pre-merge snapshot unaffected
+    old = IcebergCatalog("t", root, snapshot_id=s0["snapshot_id"])
+    assert sorted(r.name for r in old.to_dataframe(spark).collect()) == ["x", "y"]
+
+
+def test_merge_null_key_matches_null(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(None, "old"), (1, "one")],
+                        "k long, v string"), root)
+    merge_iceberg(spark, root,
+                  _rows(spark, [(None, "new")], "k long, v string"), ["k"])
+    cat = IcebergCatalog("t", root)
+    got = {(r.k, r.v) for r in cat.to_dataframe(spark).collect()}
+    assert got == {(None, "new"), (1, "one")}
+
+
+def test_merge_guards(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    root = str(tmp_path / "t")
+    with pytest.raises(BuzzBadRequestError, match="not an iceberg table"):
+        merge_iceberg(spark, root,
+                      _rows(spark, [(1, "a")], "id long, v string"), ["id"])
+    write_iceberg(_rows(spark, [(1, "a")], "id long, v string"), root)
+    with pytest.raises(BuzzBadRequestError, match="duplicate merge keys"):
+        merge_iceberg(
+            spark, root,
+            _rows(spark, [(1, "x"), (1, "y")], "id long, v string"), ["id"],
+        )
+    with pytest.raises(BuzzBadRequestError, match="key columns"):
+        merge_iceberg(spark, root,
+                      _rows(spark, [(1, "a")], "id long, v string"), ["nope"])
+    with pytest.raises(BuzzSchemaError, match="does not match"):
+        merge_iceberg(spark, root, _rows(spark, [(1,)], "id long"), ["id"])
+    # empty source → None, no commit
+    assert merge_iceberg(
+        spark, root, spark.createDataFrame([], "id long, v string"), ["id"]
+    ) is None
+    # evolved table → typed refusal
+    _apply_rename(root, 1, "v", "val")
+    with pytest.raises(BuzzExecutionError, match="schema-evolved"):
+        merge_iceberg(spark, root,
+                      _rows(spark, [(2, "b")], "id long, val string"), ["id"])
+
+
+def test_merge_then_rewrite_compacts_eq_deletes(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import (
+        merge_iceberg,
+        rewrite_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a"), (2, "b")], "id long, v string"), root)
+    merge_iceberg(spark, root, _rows(spark, [(2, "B")], "id long, v string"), ["id"])
+    rewrite_iceberg(spark, root)
+    cat = IcebergCatalog("t", root)
+    assert cat._plan(spark, None)["deletes"] == []
+    assert sorted(
+        (r.id, r.v) for r in cat.to_dataframe(spark).collect()
+    ) == [(1, "a"), (2, "B")]

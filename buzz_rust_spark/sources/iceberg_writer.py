@@ -586,6 +586,8 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     properties: dict[str, str] | None = None,
     target_file_rows: int = 1_000_000,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
     _operation: str | None = None,
 ) -> dict | None:
     """Write ``df`` into an Iceberg v2 table at ``table_uri``.
@@ -599,10 +601,21 @@ def write_iceberg(
     Returns a summary dict (snapshot id, files/rows written, metadata
     version), or None for an empty ``df`` on an existing table (nothing
     to commit — same skip semantics as ``write_delta``'s no-op paths).
+
+    ``txn_app_id``/``txn_version`` give streaming sinks exactly-once
+    replay protection: the pair is recorded in the snapshot SUMMARY
+    (atomic with the commit, Iceberg's analogue of Delta's
+    SetTransaction), and a write whose version is ≤ an already-committed
+    version for the same app id SKIPS (returns None) — at-least-once
+    ``foreachBatch`` delivery becomes exactly-once table content.
     """
     if mode not in ("append", "overwrite"):
         raise BuzzBadRequestError(
             f"unsupported iceberg write mode {mode!r} (append/overwrite)"
+        )
+    if (txn_app_id is None) != (txn_version is None):
+        raise BuzzBadRequestError(
+            "txn_app_id and txn_version must be given together"
         )
     root = _local_table_dir(table_uri)
     partition_by = list(partition_by or [])
@@ -614,6 +627,14 @@ def write_iceberg(
 
     existing = _load_meta(root)
     now_ms = int(time.time() * 1000)
+
+    if existing is not None and txn_app_id is not None:
+        for s in existing[1].get("snapshots", []):
+            summ = s.get("summary") or {}
+            if summ.get("txn-app-id") == txn_app_id and int(
+                summ.get("txn-version", -1)
+            ) >= int(txn_version):
+                return None  # replayed micro-batch: already committed
 
     if existing is None:
         schema_json = _build_schema(df.schema)
@@ -832,6 +853,13 @@ def write_iceberg(
     operation = _operation or (
         "append" if mode == "append" else "overwrite"
     )
+    counts = {
+        "added-data-files": str(len(new_files)),
+        "added-records": str(added_rows),
+    }
+    if txn_app_id is not None:
+        counts["txn-app-id"] = txn_app_id
+        counts["txn-version"] = str(int(txn_version))
     new_version = _finish_commit(
         root,
         version,
@@ -842,10 +870,7 @@ def write_iceberg(
         mlist_path,
         schema_json.get("schema-id", 0),
         operation,
-        {
-            "added-data-files": str(len(new_files)),
-            "added-records": str(added_rows),
-        },
+        counts,
         log_prior_metadata=existing is not None,
     )
     return {

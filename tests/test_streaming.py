@@ -627,3 +627,54 @@ def test_corpus_sink_config_surface(spark, tmp_path):
     cfg = CorpusPrepConfig(min_quality=0.0, repetition_rules={})
     out = _clean_batch(df, cfg, "text", "doc_id", None, 0.5)
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_iceberg_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming ingestion into Iceberg: drained stream content equals the
+    batch source, each micro-batch is one snapshot, and a replayed
+    (appId, batchId) pair is a skip — the snapshot-summary transaction
+    protocol, Iceberg's analogue of Delta's SetTransaction."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+    from buzz_rust_spark.streaming.iceberg_sink import iceberg_sink
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "ice_sink_src"
+    events.repartition(3).write.parquet(str(src))
+
+    table = str(tmp_path / "ice_table")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = iceberg_sink(
+        stream, table, checkpoint_dir=str(tmp_path / "ice_ckpt"),
+        app_id="ingest-events",
+    )
+    q.awaitTermination(timeout=120)
+
+    cat = IcebergCatalog("events", table)
+    got = cat.to_dataframe(spark)
+    assert got.count() == events.count()
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in events.select("event_id").collect()
+    }
+    # one snapshot per non-empty micro-batch, all appends
+    assert all(h["operation"] == "append" for h in cat.history())
+    assert len(cat.history()) >= 3
+
+    # Replay: same appId + an already-committed batch id must SKIP (None)
+    one = events.limit(1)
+    s1 = write_iceberg(one, table, txn_app_id="probe", txn_version=0)
+    assert s1 is not None
+    assert write_iceberg(one, table, txn_app_id="probe", txn_version=0) is None
+    # ...and an OLDER batch id too (replays are monotone)
+    s2 = write_iceberg(one, table, txn_app_id="probe", txn_version=5)
+    assert s2 is not None
+    assert write_iceberg(one, table, txn_app_id="probe", txn_version=3) is None
+    # a new higher batch id commits; another app id is independent
+    assert write_iceberg(one, table, txn_app_id="probe", txn_version=6) is not None
+    assert write_iceberg(one, table, txn_app_id="other", txn_version=0) is not None

@@ -780,16 +780,21 @@ class IcebergCatalog:
 
         if partition_filter and self._default_spec_id is not None:
             # Partition tuples are decoded under the DEFAULT spec's field
-            # layout.  A manifest written under another spec records a
+            # layout.  A DATA manifest written under another spec records a
             # different partition shape — its files would surface as
             # null-valued tuples and a filter would silently EXCLUDE them.
-            # Filterless reads are unaffected (tuples unused by the scan).
+            # Filterless reads are unaffected (tuples unused by the scan),
+            # and DELETE manifests too (delete application is by path /
+            # key columns; their partition tuples are never consulted) —
+            # global equality deletes are legitimately written under an
+            # unpartitioned non-default spec (iceberg_writer.merge_iceberg).
             other = sorted(
                 {
                     m.get("partition_spec_id")
                     for m in self._manifests
                     if m.get("partition_spec_id")
                     not in (None, self._default_spec_id)
+                    and int(m.get("content") or 0) == 0
                 }
             )
             if other:

@@ -754,94 +754,25 @@ def write_iceberg(
     snap_id = uuid.uuid4().int >> 65  # positive, fits a long
 
     # --- the new manifest ---
-    entries = [
-        {
-            "status": 1,  # ADDED
-            "snapshot_id": snap_id,
-            "sequence_number": None,  # inherited from the manifest list
-            "file_sequence_number": None,
-            "data_file": {
-                "content": 0,
-                "file_path": f["file_path"],
-                "file_format": "PARQUET",
-                "partition": {
-                    pf["name"]: f["partition"].get(pf["source_name"])
-                    for pf in part_fields
-                },
-                "record_count": int(f["record_count"]),
-                "file_size_in_bytes": int(f["file_size_in_bytes"]),
-                "equality_ids": None,
-            },
-        }
-        for f in sorted(new_files, key=lambda f: f["file_path"])
-    ]
-    manifest_path = os.path.join(
-        meta_dir, f"{uuid.uuid4().hex}-m0.avro"
+    manifest_path = _write_manifest(
+        meta_dir,
+        _manifest_entries(new_files, 0, None, part_fields, snap_id),
+        part_fields,
+        schema_json,
+        spec_id,
+        "data",
     )
-    spec_json = json.dumps(
-        [
-            {
-                "name": f["name"],
-                "transform": "identity",
-                "source-id": f["source_id"],
-                "field-id": f["field_id"],
-            }
-            for f in part_fields
-        ]
-    )
-    with open(manifest_path, "wb") as fh:
-        fh.write(
-            encode_avro_records(
-                _entry_schema(part_fields),
-                entries,
-                metadata={
-                    "schema": json.dumps(
-                        {k: v for k, v in schema_json.items()}
-                    ),
-                    "schema-id": str(schema_json.get("schema-id", 0)),
-                    "partition-spec": spec_json,
-                    "partition-spec-id": str(spec_id),
-                    "format-version": "2",
-                    "content": "data",
-                },
-            )
-        )
-
-    # --- manifest-list partition summaries for the new manifest ---
-    summaries = []
-    for pf in part_fields:
-        vals = [
-            f["partition"].get(pf["source_name"])
-            for f in new_files
-        ]
-        non_null = [v for v in vals if v is not None]
-        lo = min(non_null) if non_null else None
-        hi = max(non_null) if non_null else None
-        summaries.append(
-            {
-                "contains_null": any(v is None for v in vals),
-                "contains_nan": False,
-                "lower_bound": _bound_bytes(lo, pf["source_type"]),
-                "upper_bound": _bound_bytes(hi, pf["source_type"]),
-            }
-        )
     added_rows = sum(int(f["record_count"]) for f in new_files)
-    new_manifest_rec = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": spec_id,
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(new_files),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": added_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": summaries if part_fields else None,
-    }
+    new_manifest_rec = _manifest_rec(
+        manifest_path,
+        spec_id,
+        0,
+        seq,
+        snap_id,
+        len(new_files),
+        added_rows,
+        _part_summaries(new_files, part_fields),
+    )
     mlist_path = _write_manifest_list(
         meta_dir,
         snap_id,
@@ -881,6 +812,161 @@ def write_iceberg(
         "added_records": added_rows,
         "operation": operation,
     }
+
+
+def _manifest_entries(
+    files: list[dict], content: int, eq_ids, part_fields: list[dict], snap_id: int
+) -> list[dict]:
+    """ADDED manifest entries for writer-produced files; ``content`` 0 =
+    data, 1 = position deletes, 2 = equality deletes (with ``eq_ids``).
+    Sequence numbers stay null — inherited from the manifest list."""
+    return [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": f["file_path"],
+                "file_format": "PARQUET",
+                "partition": {
+                    pf["name"]: f.get("partition", {}).get(pf["source_name"])
+                    for pf in part_fields
+                },
+                "record_count": int(f["record_count"]),
+                "file_size_in_bytes": int(f["file_size_in_bytes"]),
+                "equality_ids": list(eq_ids) if eq_ids else None,
+            },
+        }
+        for f in sorted(files, key=lambda f: f["file_path"])
+    ]
+
+
+def _write_manifest(
+    meta_dir: str,
+    entries: list[dict],
+    part_fields: list[dict],
+    schema_json: dict,
+    spec_id: int,
+    content_label: str,
+) -> str:
+    """Encode one manifest Avro with the spec-required header metadata."""
+    path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    spec_json = json.dumps(
+        [
+            {
+                "name": f["name"],
+                "transform": "identity",
+                "source-id": f["source_id"],
+                "field-id": f["field_id"],
+            }
+            for f in part_fields
+        ]
+    )
+    with open(path, "wb") as fh:
+        fh.write(
+            encode_avro_records(
+                _entry_schema(part_fields),
+                entries,
+                metadata={
+                    "schema": json.dumps(schema_json),
+                    "schema-id": str(schema_json.get("schema-id", 0)),
+                    "partition-spec": spec_json,
+                    "partition-spec-id": str(spec_id),
+                    "format-version": "2",
+                    "content": content_label,
+                },
+            )
+        )
+    return path
+
+
+def _part_summaries(files: list[dict], part_fields: list[dict]) -> list | None:
+    """Manifest-list field summaries (contains_null + lower/upper bounds)
+    over the added files' partition values — what the reader's manifest
+    SKIPPING proves disjointness against."""
+    if not part_fields:
+        return None
+    summaries = []
+    for pf in part_fields:
+        vals = [f.get("partition", {}).get(pf["source_name"]) for f in files]
+        non_null = [v for v in vals if v is not None]
+        lo = min(non_null) if non_null else None
+        hi = max(non_null) if non_null else None
+        summaries.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": _bound_bytes(lo, pf["source_type"]),
+                "upper_bound": _bound_bytes(hi, pf["source_type"]),
+            }
+        )
+    return summaries
+
+
+def _manifest_rec(
+    path: str,
+    spec_id: int,
+    content: int,
+    seq: int,
+    snap_id: int,
+    n_files: int,
+    n_rows: int,
+    partitions: list | None,
+) -> dict:
+    return {
+        "manifest_path": path,
+        "manifest_length": os.path.getsize(path),
+        "partition_spec_id": spec_id,
+        "content": content,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": n_files,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": partitions,
+    }
+
+
+def _prev_manifests(meta: dict) -> list[dict]:
+    """The current snapshot's manifest-list entries (empty for a table
+    without a current snapshot)."""
+    cur = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
+        None,
+    )
+    if snap is None or "manifest-list" not in snap:
+        return []
+    with open(snap["manifest-list"], "rb") as fh:
+        _, prev = decode_avro_file(fh.read())
+    return prev
+
+
+def _unpartitioned_spec_id(meta: dict) -> int:
+    """The spec id of an UNPARTITIONED spec, adding one to
+    ``meta['partition-specs']`` (in place) when the table has none — the
+    spec's required home for GLOBAL delete files: an equality delete
+    written under a partitioned spec applies only to its own partition,
+    so a partitioned-spec delete manifest with null tuples would be read
+    by external engines as 'delete in the null partition only'."""
+    for s in meta.get("partition-specs", []):
+        if not s.get("fields"):
+            return int(s["spec-id"])
+    new_id = (
+        max(int(s["spec-id"]) for s in meta["partition-specs"]) + 1
+        if meta.get("partition-specs")
+        else 0
+    )
+    meta["partition-specs"] = list(meta.get("partition-specs", [])) + [
+        {"spec-id": new_id, "fields": []}
+    ]
+    return new_id
 
 
 def _carry_manifests(prev_manifests: list[dict]) -> list[dict]:
@@ -1009,9 +1095,10 @@ def delete_iceberg(
     Boundaries: tables with existing EQUALITY deletes are refused (their
     sequence-number scoping against a fresh predicate scan is not
     implemented), as are ORC data files (no ``_metadata.row_index``).  The
-    delete manifest records a null partition tuple (position deletes apply
-    by file PATH — partition-scoped delete manifests are an optimization
-    this writer does not yet emit)."""
+    delete manifest is committed under the table's UNPARTITIONED spec —
+    the spec's GLOBAL-delete form (position deletes apply by file path);
+    partition-scoped delete manifests are an optimization this writer
+    does not yet emit."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -1020,9 +1107,10 @@ def delete_iceberg(
     from .uris import normalized_path_col
 
     root = _local_table_dir(table_uri)
-    if _load_meta(root) is None:
+    existing = _load_meta(root)
+    if existing is None:
         raise BuzzBadRequestError(f"not an iceberg table: {table_uri!r}")
-    version, meta = _load_meta(root)
+    version, meta = existing
     if int(meta.get("format-version", 1)) != 2:
         raise BuzzExecutionError(
             "iceberg write path supports format-version 2 tables only"
@@ -1129,7 +1217,9 @@ def delete_iceberg(
         del_path,
     )
 
-    # --- delete manifest + commit ---
+    # --- delete manifest + commit (under the table's UNPARTITIONED spec:
+    # position deletes here are path-scoped/global, and a null tuple under
+    # a partitioned spec would read as "the null partition" externally) ---
     now_ms = int(time.time() * 1000)
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snap_id = uuid.uuid4().int >> 65
@@ -1137,79 +1227,27 @@ def delete_iceberg(
     schema_json = next(
         s for s in meta["schemas"] if s.get("schema-id") == sid
     )
-    spec_id = meta.get("default-spec-id", 0)
-    spec_fields = next(
-        s["fields"]
-        for s in meta["partition-specs"]
-        if s.get("spec-id") == spec_id
-    )
-    part_fields = _partition_context(schema_json, spec_fields)
-    entry = {
-        "status": 1,
-        "snapshot_id": snap_id,
-        "sequence_number": None,
-        "file_sequence_number": None,
-        "data_file": {
-            "content": 1,  # POSITION_DELETES
-            "file_path": del_path,
-            "file_format": "PARQUET",
-            "partition": {pf["name"]: None for pf in part_fields},
-            "record_count": len(pairs),
-            "file_size_in_bytes": os.path.getsize(del_path),
-            "equality_ids": None,
-        },
+    meta = dict(meta)
+    unpart_id = _unpartitioned_spec_id(meta)
+    del_file = {
+        "file_path": del_path,
+        "record_count": len(pairs),
+        "file_size_in_bytes": os.path.getsize(del_path),
     }
     meta_dir = os.path.join(root, "metadata")
-    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-    with open(manifest_path, "wb") as fh:
-        fh.write(
-            encode_avro_records(
-                _entry_schema(part_fields),
-                [entry],
-                metadata={
-                    "schema": json.dumps(schema_json),
-                    "schema-id": str(sid),
-                    "partition-spec": json.dumps(
-                        [
-                            {
-                                "name": f["name"],
-                                "transform": "identity",
-                                "source-id": f["source_id"],
-                                "field-id": f["field_id"],
-                            }
-                            for f in part_fields
-                        ]
-                    ),
-                    "partition-spec-id": str(spec_id),
-                    "format-version": "2",
-                    "content": "deletes",
-                },
-            )
-        )
-    delete_rec = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": spec_id,
-        "content": 1,  # DELETES manifest
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_files_count": 1,
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": len(pairs),
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": None,
-    }
-    cur = meta.get("current-snapshot-id")
-    snap = next(
-        s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur
+    manifest_path = _write_manifest(
+        meta_dir,
+        _manifest_entries([del_file], 1, None, [], snap_id),
+        [],
+        schema_json,
+        unpart_id,
+        "deletes",
     )
-    with open(snap["manifest-list"], "rb") as fh:
-        _, prev_manifests = decode_avro_file(fh.read())
+    delete_rec = _manifest_rec(
+        manifest_path, unpart_id, 1, seq, snap_id, 1, len(pairs), None
+    )
     mlist_path = _write_manifest_list(
-        meta_dir, snap_id, seq, [delete_rec] + _carry_manifests(prev_manifests)
+        meta_dir, snap_id, seq, [delete_rec] + _carry_manifests(_prev_manifests(meta))
     )
     new_version = _finish_commit(
         root,
@@ -1251,12 +1289,14 @@ def rewrite_iceberg(
     with their deletes intact.  Returns None for a non-existent table
     path (nothing to compact); one Spark job end-to-end, same as the
     append path."""
+    from ..errors import BuzzExecutionError as _ExecErr
     from .iceberg import IcebergCatalog
 
     root = _local_table_dir(table_uri)
-    if _load_meta(root) is None:
-        return None
-    cat = IcebergCatalog("rewrite", root)
+    try:
+        cat = IcebergCatalog("rewrite", root)
+    except _ExecErr:
+        return None  # not a table (no metadata dir / no metadata.json)
     df = cat.to_dataframe(spark)
     return write_iceberg(
         df,
@@ -1294,7 +1334,10 @@ def merge_iceberg(
     WITHIN the source are a typed error (distributed last-wins is
     order-undefined); schema-evolved (renamed-column) tables are refused —
     the reader refuses equality deletes there (pre-rename delete files
-    would be misread).  Returns None for an empty source."""
+    would be misread).  Returns None for an empty source.  The delete
+    manifest is committed under the table's UNPARTITIONED spec (added to
+    ``partition-specs`` on first use) — the spec's GLOBAL-delete form, so
+    external readers apply it across all partitions."""
     from pyspark.sql import functions as F
 
     root = _local_table_dir(table_uri)
@@ -1335,19 +1378,6 @@ def merge_iceberg(
             "files written before a rename would be misread)"
         )
 
-    dup = (
-        source.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where("n > 1")
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise BuzzBadRequestError(
-            "source has duplicate merge keys — distributed last-wins is "
-            "order-undefined; de-duplicate upstream"
-        )
-
     spec_id = meta.get("default-spec-id", 0)
     spec_fields = next(
         s["fields"]
@@ -1368,131 +1398,88 @@ def merge_iceberg(
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(data_dir, exist_ok=True)
 
-    new_files = _write_data_files(
-        source, data_dir, part_cols, field_ids, part_types, target_file_rows
-    )
-    if not new_files:
-        return None
-    # the delete-key files: the source's distinct keys, executor-written
-    # (content=2 files may hold ONLY the equality_ids columns per spec)
-    key_files = _write_data_files(
-        source.select(*key_cols).distinct(),
-        data_dir,
-        [],
-        key_ids,
-        {},
-        target_file_rows,
-    )
+    # the source is evaluated three times (dup check, data files, key
+    # files); persist so a non-deterministic or mutable-input source
+    # cannot produce delete keys that disagree with the written rows
+    source = source.persist()
+    try:
+        dup = (
+            source.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where("n > 1")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise BuzzBadRequestError(
+                "source has duplicate merge keys — distributed last-wins "
+                "is order-undefined; de-duplicate upstream"
+            )
+        new_files = _write_data_files(
+            source, data_dir, part_cols, field_ids, part_types,
+            target_file_rows,
+        )
+        if not new_files:
+            return None
+        # the delete-key files: the source's distinct keys,
+        # executor-written (content=2 files may hold ONLY the
+        # equality_ids columns per spec)
+        key_files = _write_data_files(
+            source.select(*key_cols).distinct(),
+            data_dir,
+            [],
+            key_ids,
+            {},
+            target_file_rows,
+        )
+    finally:
+        source.unpersist()
 
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snap_id = uuid.uuid4().int >> 65
     now_ms = int(time.time() * 1000)
 
-    def entry(f: dict, content: int, eq_ids) -> dict:
-        return {
-            "status": 1,
-            "snapshot_id": snap_id,
-            "sequence_number": None,
-            "file_sequence_number": None,
-            "data_file": {
-                "content": content,
-                "file_path": f["file_path"],
-                "file_format": "PARQUET",
-                "partition": {
-                    pf["name"]: f["partition"].get(pf["source_name"])
-                    for pf in part_fields
-                },
-                "record_count": int(f["record_count"]),
-                "file_size_in_bytes": int(f["file_size_in_bytes"]),
-                "equality_ids": eq_ids,
-            },
-        }
-
-    spec_json = json.dumps(
-        [
-            {
-                "name": f["name"],
-                "transform": "identity",
-                "source-id": f["source_id"],
-                "field-id": f["field_id"],
-            }
-            for f in part_fields
-        ]
-    )
-
-    def manifest(entries: list[dict], content_label: str) -> str:
-        path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-        with open(path, "wb") as fh:
-            fh.write(
-                encode_avro_records(
-                    _entry_schema(part_fields),
-                    entries,
-                    metadata={
-                        "schema": json.dumps(schema_json),
-                        "schema-id": str(sid),
-                        "partition-spec": spec_json,
-                        "partition-spec-id": str(spec_id),
-                        "format-version": "2",
-                        "content": content_label,
-                    },
-                )
-            )
-        return path
-
-    data_manifest = manifest(
-        [
-            entry(f, 0, None)
-            for f in sorted(new_files, key=lambda f: f["file_path"])
-        ],
+    # The delete manifest goes under the table's UNPARTITIONED spec: the
+    # spec's GLOBAL-delete form.  Under a partitioned spec, an equality
+    # delete applies only to its own partition, so a null tuple would be
+    # read by external engines as "delete in the null partition only" —
+    # resurrecting every updated row elsewhere.
+    meta = dict(meta)
+    unpart_id = _unpartitioned_spec_id(meta)
+    data_manifest = _write_manifest(
+        meta_dir,
+        _manifest_entries(new_files, 0, None, part_fields, snap_id),
+        part_fields,
+        schema_json,
+        spec_id,
         "data",
     )
-    delete_manifest = manifest(
-        [
-            entry(f, 2, key_ids)
-            for f in sorted(key_files, key=lambda f: f["file_path"])
-        ],
+    delete_manifest = _write_manifest(
+        meta_dir,
+        _manifest_entries(key_files, 2, key_ids, [], snap_id),
+        [],
+        schema_json,
+        unpart_id,
         "deletes",
     )
-
     added_rows = sum(int(f["record_count"]) for f in new_files)
     key_rows = sum(int(f["record_count"]) for f in key_files)
-
-    def mrec(path: str, content: int, n_files: int, n_rows: int) -> dict:
-        return {
-            "manifest_path": path,
-            "manifest_length": os.path.getsize(path),
-            "partition_spec_id": spec_id,
-            "content": content,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_files_count": n_files,
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": n_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": None,
-        }
-
-    cur = meta.get("current-snapshot-id")
-    snap = next(
-        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
-        None,
-    )
-    prev_manifests: list[dict] = []
-    if snap is not None and "manifest-list" in snap:
-        with open(snap["manifest-list"], "rb") as fh:
-            _, prev_manifests = decode_avro_file(fh.read())
     mlist_path = _write_manifest_list(
         meta_dir,
         snap_id,
         seq,
         [
-            mrec(data_manifest, 0, len(new_files), added_rows),
-            mrec(delete_manifest, 1, len(key_files), key_rows),
+            _manifest_rec(
+                data_manifest, spec_id, 0, seq, snap_id,
+                len(new_files), added_rows,
+                _part_summaries(new_files, part_fields),
+            ),
+            _manifest_rec(
+                delete_manifest, unpart_id, 1, seq, snap_id,
+                len(key_files), key_rows, None,
+            ),
         ]
-        + _carry_manifests(prev_manifests),
+        + _carry_manifests(_prev_manifests(meta)),
     )
     new_version = _finish_commit(
         root,

@@ -569,3 +569,46 @@ def test_merge_then_rewrite_compacts_eq_deletes(spark, tmp_path):
     assert sorted(
         (r.id, r.v) for r in cat.to_dataframe(spark).collect()
     ) == [(1, "a"), (2, "B")]
+
+
+def test_merge_deletes_use_unpartitioned_spec(spark, tmp_path):
+    """The equality-delete manifest of a merge into a PARTITIONED table
+    must be committed under an UNPARTITIONED spec — the spec's global
+    form.  Under the partitioned spec, external readers scope the delete
+    to the null partition only, resurrecting every updated row."""
+    from buzz_rust_spark.sources.avro import decode_avro_file
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        _rows(spark, [(1, "x", "p0"), (2, "y", "p1")],
+              "id long, v string, par string"),
+        root, partition_by=["par"],
+    )
+    merge_iceberg(
+        spark, root,
+        _rows(spark, [(1, "X", "p0")], "id long, v string, par string"),
+        ["id"],
+    )
+    meta = json.load(open(os.path.join(root, "metadata", "v2.metadata.json")))
+    unpart = [s for s in meta["partition-specs"] if not s["fields"]]
+    assert len(unpart) == 1 and meta["default-spec-id"] != unpart[0]["spec-id"]
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, mlist = decode_avro_file(open(cur["manifest-list"], "rb").read())
+    by_content = {m["content"]: m for m in mlist if m["added_snapshot_id"]
+                  == meta["current-snapshot-id"]}
+    assert by_content[1]["partition_spec_id"] == unpart[0]["spec-id"]
+    assert by_content[0]["partition_spec_id"] == meta["default-spec-id"]
+    # data manifest carries partition summaries (manifest skipping works)
+    assert by_content[0]["partitions"] is not None
+    # the delete manifest's entries decode with an EMPTY partition record
+    _, entries = decode_avro_file(
+        open(by_content[1]["manifest_path"], "rb").read()
+    )
+    assert entries[0]["data_file"]["partition"] == {}
+    assert entries[0]["data_file"]["equality_ids"] == [1]
+    # and a filtered read through our own reader still merges correctly
+    cat = IcebergCatalog("t", root)
+    assert [(r.id, r.v) for r in
+            cat.to_dataframe(spark, "par = 'p0'").collect()] == [(1, "X")]

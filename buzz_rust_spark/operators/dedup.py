@@ -199,6 +199,16 @@ def ngram_jaccard_pairs(
             F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
         ).alias("_e2"),
     )
+    if threshold > 0:
+        # Length filter (AllPairs/PPJoin): common ≤ min(n1,n2) and
+        # |union| ≥ max(n1,n2), so J ≤ min/max — a pair whose sizes differ
+        # by more than the threshold ratio can NEVER reach it and is
+        # dropped BEFORE the pair-count shuffle (pure codegen predicate;
+        # sound for hot-corrected pairs too, the bound is size-only).
+        pairs = pairs.where(
+            (F.col("_n1") >= F.lit(threshold) * F.col("_e2._n"))
+            & (F.col("_e2._n") >= F.lit(threshold) * F.col("_n1"))
+        )
     # _n1/_n2 are functionally dependent on the ids; grouping on all four
     # keeps the aggregate a plain count with no first()/join fix-up.
     common = (

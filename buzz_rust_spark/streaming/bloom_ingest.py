@@ -228,6 +228,7 @@ def dedup_commit_batch(
     id_col: str = "doc_id",
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    table_format: str = "delta",
 ) -> None:
     """ONE copy of the exactly-once dedup-commit protocol, shared by every
     ingest sink (:func:`bloom_dedup_sink`, the streaming corpus prep):
@@ -255,12 +256,20 @@ def dedup_commit_batch(
     column-pruned scan + batch-sized semi-join, paid only on the rare
     skipped-write path).  Crashed replays heal exactly as before; colliding
     new data stays unmarked and commits under its later, non-colliding
-    batch id."""
+    batch id.
+
+    ``table_format`` picks the output table: ``"delta"`` commits under a
+    SetTransaction, ``"iceberg"`` under a snapshot-summary transaction —
+    both writers share the None-on-skip contract the protocol is built on,
+    so the guard logic is format-agnostic."""
     from pyspark.sql import functions as F
 
     from ..functions.text import normalize_text
-    from ..sources import DeltaCatalog
 
+    if table_format not in ("delta", "iceberg"):
+        raise ValueError(
+            f"table_format must be delta|iceberg, got {table_format!r}"
+        )
     spark = batch_df.sparkSession
     state = read_bloom_state(spark, state_dir)
     # persist the incoming relation: it feeds both sides of the membership
@@ -275,18 +284,36 @@ def dedup_commit_batch(
     try:
         if not fresh.take(1):
             return
-        committed = write_delta(
-            fresh.drop("text_hash"),
-            table_uri,
-            txn_app_id=app_id,
-            txn_version=batch_id,
-        )
+        if table_format == "delta":
+            committed = write_delta(
+                fresh.drop("text_hash"),
+                table_uri,
+                txn_app_id=app_id,
+                txn_version=batch_id,
+            )
+        else:
+            from ..sources.iceberg_writer import write_iceberg
+
+            committed = write_iceberg(
+                fresh.drop("text_hash"),
+                table_uri,
+                txn_app_id=app_id,
+                txn_version=batch_id,
+            )
         advance = fresh
         if committed is None:
             # skipped write: advance the state only for rows the table
             # actually contains (see the protocol note above)
+            if table_format == "delta":
+                from ..sources import DeltaCatalog
+
+                probe = DeltaCatalog("_dedup_probe", table_uri)
+            else:
+                from ..sources.iceberg import IcebergCatalog
+
+                probe = IcebergCatalog("_dedup_probe", table_uri)
             table_hashes = (
-                DeltaCatalog("_dedup_probe", table_uri)
+                probe
                 .to_dataframe(spark)
                 .select(
                     F.md5(
@@ -321,17 +348,20 @@ def bloom_dedup_sink(
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
     available_now: bool = True,
+    table_format: str = "delta",
 ) -> StreamingQuery:
     """Start the dedup-ingest loop: per micro-batch, drop documents the
     Bloom state has seen (plus within-batch exact dups), commit survivors to
-    the Delta table exactly-once, append the survivors' sketch delta to the
-    state log (see :func:`dedup_commit_batch` for the protocol)."""
+    the output table (``table_format``: delta or iceberg) exactly-once,
+    append the survivors' sketch delta to the state log (see
+    :func:`dedup_commit_batch` for the protocol)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         dedup_commit_batch(
             batch_df, batch_id, table_uri, state_dir, app_id,
             text_col=text_col, id_col=id_col,
             num_bits=num_bits, num_hashes=num_hashes,
+            table_format=table_format,
         )
 
     writer = (

@@ -117,13 +117,15 @@ def corpus_prep_sink(
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
     available_now: bool = True,
+    table_format: str = "delta",
 ) -> StreamingQuery:
     """Start the streaming corpus-prep loop; returns the StreamingQuery.
 
     Output rows carry the cleaned ``text_col`` plus the ``quality`` score;
     documents dropped by any gate or seen by the cross-batch dedup state
     never reach the table.  Replaying a crashed/restarted stream cannot
-    double-commit (SetTransaction) or corrupt the dedup state (bit_or folds
+    double-commit (SetTransaction / Iceberg snapshot-summary txn, per
+    ``table_format``) or corrupt the dedup state (bit_or folds
     idempotently)."""
     cfg = config or CorpusPrepConfig()
     if cfg.scrub_span is not None:
@@ -150,6 +152,7 @@ def corpus_prep_sink(
             cleaned, batch_id, table_uri, state_dir, app_id,
             text_col=text_col, id_col=id_col,
             num_bits=num_bits, num_hashes=num_hashes,
+            table_format=table_format,
         )
 
     writer = (

@@ -678,3 +678,71 @@ def test_iceberg_sink_exactly_once(spark, sf_dir, tmp_path):
     # a new higher batch id commits; another app id is independent
     assert write_iceberg(one, table, txn_app_id="probe", txn_version=6) is not None
     assert write_iceberg(one, table, txn_app_id="other", txn_version=0) is not None
+
+
+def test_bloom_dedup_sink_iceberg_target(spark, tmp_path):
+    """The shared dedup-commit protocol with table_format='iceberg':
+    cross-batch dups drop, survivors land exactly-once in an Iceberg
+    table (one snapshot per committing batch), and a direct replay of a
+    committed (app, batch) pair skips without touching the state."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.streaming.bloom_ingest import (
+        bloom_dedup_sink,
+        dedup_commit_batch,
+        read_bloom_state,
+    )
+
+    table = str(tmp_path / "ice_tbl")
+    state = str(tmp_path / "ice_state")
+    merged = tmp_path / "ice_in"
+    merged.mkdir()
+    import os as _os
+    import time as _time
+
+    rows_by_file = [
+        [(1, "the quick brown fox"), (2, "unique text alpha")],
+        [(3, "the quick brown fox"), (4, "unique text beta")],
+    ]
+    base = _time.time() - 1000
+    for i, rows in enumerate(rows_by_file):
+        tmp_dir = tmp_path / f"ice_f{i}"
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            str(tmp_dir)
+        )
+        for p in tmp_dir.glob("*.parquet"):
+            dst = merged / f"{i}.parquet"
+            p.rename(dst)
+            _os.utime(dst, (base + i * 10, base + i * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(merged))
+    )
+    q = bloom_dedup_sink(
+        stream, table, state, str(tmp_path / "ice_ckpt"),
+        app_id="t-ice", table_format="iceberg",
+    )
+    q.awaitTermination(timeout=180)
+
+    cat = IcebergCatalog("t", table)
+    got = sorted(r.doc_id for r in cat.to_dataframe(spark).collect())
+    assert got == [1, 2, 4]  # doc 3 dups doc 1's text cross-batch
+    assert len(cat.history()) == 2  # one snapshot per committing batch
+
+    # replayed (app, batch) pair: skipped write; state heals only for rows
+    # the table actually holds (all of batch 0 here) — content unchanged
+    state_before = {
+        (r["word_idx"], r["bits"])
+        for r in read_bloom_state(spark, state).collect()
+    }
+    dedup_commit_batch(
+        spark.createDataFrame(rows_by_file[0], ["doc_id", "text"]),
+        0, table, state, "t-ice", table_format="iceberg",
+    )
+    cat2 = IcebergCatalog("t", table)
+    assert sorted(r.doc_id for r in cat2.to_dataframe(spark).collect()) == [1, 2, 4]
+    state_after = {
+        (r["word_idx"], r["bits"])
+        for r in read_bloom_state(spark, state).collect()
+    }
+    assert state_before == state_after  # replay folds idempotently

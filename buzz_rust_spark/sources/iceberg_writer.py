@@ -1506,3 +1506,137 @@ def merge_iceberg(
         "upserted_records": added_rows,
         "operation": "overwrite",
     }
+
+
+def expire_iceberg_snapshots(
+    table_uri: str,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+) -> dict | None:
+    """Expire old snapshots from the table metadata (Iceberg's
+    expire-snapshots maintenance action) — the prerequisite for
+    :func:`vacuum_iceberg` to reclaim their files.
+
+    Retained: the current snapshot, the newest ``keep_last`` snapshots,
+    and (when ``older_than_ms`` is given) every snapshot at or after that
+    timestamp.  Expired snapshots leave ``snapshots``/``snapshot-log``;
+    refs pointing at them are dropped (``main`` always survives — it
+    points at the current snapshot).  Metadata-only: no file is deleted
+    here.  Returns a summary, or None when nothing expires."""
+    root = _local_table_dir(table_uri)
+    existing = _load_meta(root)
+    if existing is None:
+        raise BuzzBadRequestError(f"not an iceberg table: {table_uri!r}")
+    version, meta = existing
+    snaps = list(meta.get("snapshots", []))
+    if not snaps:
+        return None
+    cur = meta.get("current-snapshot-id")
+    by_time = sorted(snaps, key=lambda s: (s.get("timestamp-ms") or 0))
+    keep_ids = {s["snapshot-id"] for s in by_time[-max(1, keep_last):]}
+    keep_ids.add(cur)
+    if older_than_ms is not None:
+        keep_ids |= {
+            s["snapshot-id"]
+            for s in snaps
+            if (s.get("timestamp-ms") or 0) >= older_than_ms
+        }
+    expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return None
+    meta = dict(meta)
+    meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e.get("snapshot-id") in keep_ids
+    ]
+    meta["refs"] = {
+        name: ref
+        for name, ref in (meta.get("refs") or {}).items()
+        if ref.get("snapshot-id") in keep_ids
+    }
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    new_version = version + 1
+    meta_dir = os.path.join(root, "metadata")
+    _atomic_write(
+        os.path.join(meta_dir, f"v{new_version}.metadata.json"),
+        json.dumps(meta),
+    )
+    _atomic_write(os.path.join(meta_dir, "version-hint.text"), str(new_version))
+    return {
+        "expired_snapshots": expired,
+        "retained_snapshots": sorted(keep_ids & {s["snapshot-id"] for s in snaps}),
+        "metadata_version": new_version,
+    }
+
+
+def vacuum_iceberg(
+    table_uri: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Garbage-collect data/delete files and manifests no longer referenced
+    by ANY retained snapshot and older than ``retention_hours`` (Iceberg's
+    remove-orphan-files action; expire snapshots first or everything stays
+    referenced).  Returns the paths removed — or would-remove under
+    ``dry_run``.
+
+    The retention grace protects files of an in-flight commit (written
+    before their snapshot lands) and concurrent readers of freshly
+    expired snapshots — same posture as ``vacuum_delta``.  O(metadata)
+    driver work: every retained snapshot's manifest list + manifests are
+    decoded; data files are never read."""
+    root = _local_table_dir(table_uri)
+    existing = _load_meta(root)
+    if existing is None:
+        raise BuzzBadRequestError(f"not an iceberg table: {table_uri!r}")
+    _, meta = existing
+    meta_dir = os.path.join(root, "metadata")
+    data_dir = os.path.join(root, "data")
+
+    def _local(p: str) -> str:
+        return os.path.abspath(_local_table_dir(p))
+
+    referenced: set[str] = set()
+    for snap in meta.get("snapshots", []):
+        ml = snap.get("manifest-list")
+        if not ml:
+            continue
+        referenced.add(_local(ml))
+        with open(_local(ml), "rb") as fh:
+            _, manifests = decode_avro_file(fh.read())
+        for m in manifests:
+            mp = _local(m["manifest_path"])
+            referenced.add(mp)
+            with open(mp, "rb") as fh:
+                _, entries = decode_avro_file(fh.read())
+            for e in entries:
+                referenced.add(_local(e["data_file"]["file_path"]))
+
+    cutoff = time.time() - retention_hours * 3600.0
+    doomed: list[str] = []
+    candidates = []
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            if name.endswith(".parquet") or name.endswith(".orc"):
+                candidates.append(os.path.join(data_dir, name))
+    for name in os.listdir(meta_dir):
+        if name.endswith(".avro"):
+            candidates.append(os.path.join(meta_dir, name))
+    for path in sorted(candidates):
+        ap = os.path.abspath(path)
+        if ap in referenced:
+            continue
+        try:
+            if os.path.getmtime(ap) > cutoff:
+                continue
+        except FileNotFoundError:
+            continue
+        doomed.append(ap)
+        if not dry_run:
+            try:
+                os.remove(ap)
+            except FileNotFoundError:
+                pass
+    return doomed

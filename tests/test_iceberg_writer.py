@@ -612,3 +612,74 @@ def test_merge_deletes_use_unpartitioned_spec(spark, tmp_path):
     cat = IcebergCatalog("t", root)
     assert [(r.id, r.v) for r in
             cat.to_dataframe(spark, "par = 'p0'").collect()] == [(1, "X")]
+
+
+# --- expire_iceberg_snapshots + vacuum_iceberg ---------------------------------
+
+
+def test_expire_and_vacuum_reclaim_overwritten_files(spark, tmp_path):
+    """overwrite → old files referenced only by the old snapshot; expiring
+    it and vacuuming (retention 0) deletes exactly those files + their
+    manifests; the current snapshot keeps reading."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        expire_iceberg_snapshots,
+        vacuum_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    s1 = write_iceberg(_rows(spark, [(1,), (2,)], "id long"), root)
+    write_iceberg(_rows(spark, [(9,)], "id long"), root, mode="overwrite")
+    n_data_before = len(glob.glob(os.path.join(root, "data", "*.parquet")))
+
+    # nothing is orphaned yet: both snapshots retained
+    assert vacuum_iceberg(root, retention_hours=0, dry_run=True) == []
+
+    s = expire_iceberg_snapshots(root, keep_last=1)
+    assert s["expired_snapshots"] == [s1["snapshot_id"]]
+    doomed = vacuum_iceberg(root, retention_hours=0, dry_run=True)
+    assert doomed  # old data file + old manifest + old manifest list
+    removed = vacuum_iceberg(root, retention_hours=0)
+    assert sorted(removed) == sorted(doomed)
+    assert len(glob.glob(os.path.join(root, "data", "*.parquet"))) < n_data_before
+
+    cat = IcebergCatalog("t", root)
+    assert [r.id for r in cat.to_dataframe(spark).collect()] == [9]
+    assert len(cat.history()) == 1
+    # time travel to the expired snapshot is now a typed error
+    with pytest.raises(BuzzBadRequestError, match="not in table metadata"):
+        IcebergCatalog("t", root, snapshot_id=s1["snapshot_id"])
+    # expiring again: nothing to do
+    assert expire_iceberg_snapshots(root, keep_last=1) is None
+
+
+def test_vacuum_retention_protects_fresh_files(spark, tmp_path):
+    """A fresh unreferenced file inside the retention window survives —
+    the in-flight-commit protection."""
+    from buzz_rust_spark.sources.iceberg_writer import vacuum_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1,)], "id long"), root)
+    orphan = os.path.join(root, "data", "inflight.parquet")
+    open(orphan, "wb").write(b"x")
+    assert vacuum_iceberg(root, retention_hours=1) == []
+    assert os.path.exists(orphan)
+    assert vacuum_iceberg(root, retention_hours=0) == [orphan]
+    assert not os.path.exists(orphan)
+
+
+def test_expire_keeps_deletes_of_retained_snapshots(spark, tmp_path):
+    """Expire + vacuum after a MOR delete: the delete file is referenced by
+    the retained snapshot and must survive; the read stays MOR-correct."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        expire_iceberg_snapshots,
+        vacuum_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.range(6).selectExpr("id"), root)
+    delete_iceberg(spark, root, "id >= 4")
+    expire_iceberg_snapshots(root, keep_last=1)
+    vacuum_iceberg(root, retention_hours=0)
+    cat = IcebergCatalog("t", root)
+    assert sorted(r.id for r in cat.to_dataframe(spark).collect()) == [0, 1, 2, 3]

@@ -2286,3 +2286,61 @@ def s04_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "z28_iceberg_cdc",
+    tags=("source", "pipeline"),
+    oracle=None,  # exercises the Iceberg write/merge/delete/compact cycle;
+    # semantics pinned in tests/test_iceberg_writer.py
+)
+def z28_iceberg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CDC lifecycle end-to-end, driver-visible: documents land via
+    write_iceberg, a CDC-style MERGE upserts (equality deletes + new rows,
+    one commit, no table scan), a row-level DELETE commits position
+    deletes, rewrite_iceberg compacts the merge-on-read debt away — and
+    the final read must equal the same operations done relationally."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z28_") + "/tbl"
+    write_iceberg(docs, root, partition_by=["source"])
+    # row-level DELETE first (position deletes), then the CDC upsert
+    # (equality deletes + new rows); a predicate delete over existing
+    # equality deletes is the writer's documented refusal order
+    delete_iceberg(spark, root, "length(text) < 100")
+    upd = docs.where("doc_id % 7 = 0").withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text"))
+    )
+    ins = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    merge_iceberg(spark, root, upd.unionByName(ins), ["doc_id"])
+    rewrite_iceberg(spark, root)
+
+    cat = IcebergCatalog("docs_cdc", root)
+    return (
+        cat.to_dataframe(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("text").startswith("v2 "), 1).otherwise(0)).alias(
+                "n_updated"
+            ),
+            F.sum(F.when(F.col("doc_id") >= 10_000_000, 1).otherwise(0)).alias(
+                "n_inserted"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -566,6 +566,20 @@ def _write_data_files(
     ]
 
 
+def _load_v2_meta(root: str, table_uri: str) -> tuple[int, dict]:
+    """(version, metadata) of an EXISTING v2 table, or a typed error —
+    the shared prelude of every operation that cannot create the table."""
+    existing = _load_meta(root)
+    if existing is None:
+        raise BuzzBadRequestError(f"not an iceberg table: {table_uri!r}")
+    version, meta = existing
+    if int(meta.get("format-version", 1)) != 2:
+        raise BuzzExecutionError(
+            "iceberg write path supports format-version 2 tables only"
+        )
+    return version, meta
+
+
 # --- atomic local commit --------------------------------------------------------
 
 
@@ -640,23 +654,16 @@ def write_iceberg(
         schema_json = _build_schema(df.schema)
         last_column_id = schema_json.pop("_last_column_id")
         by_name = {f["name"]: f for f in schema_json["fields"]}
-        spec_fields = []
-        for i, c in enumerate(partition_by):
-            src = by_name[c]
-            if not isinstance(src["type"], str) or src["type"] not in _PART_AVRO:
-                raise BuzzBadRequestError(
-                    f"partition column {c!r} has type {src['type']!r}; "
-                    "identity partitioning supports "
-                    f"{sorted(_PART_AVRO)} only"
-                )
-            spec_fields.append(
-                {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": src["id"],
-                    "field-id": 1000 + i,
-                }
-            )
+        # type validation happens in _partition_context on the common path
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": by_name[c]["id"],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by)
+        ]
         meta = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -718,20 +725,7 @@ def write_iceberg(
             )
         partition_by = spec_part_cols
         # previous manifests carried forward on append
-        prev_manifests = []
-        if mode == "append":
-            cur = meta.get("current-snapshot-id")
-            snap = next(
-                (
-                    s
-                    for s in meta.get("snapshots", [])
-                    if s["snapshot-id"] == cur
-                ),
-                None,
-            )
-            if snap is not None and "manifest-list" in snap:
-                with open(snap["manifest-list"], "rb") as fh:
-                    _, prev_manifests = decode_avro_file(fh.read())
+        prev_manifests = _prev_manifests(meta) if mode == "append" else []
 
     by_name = {f["name"]: f for f in schema_json["fields"]}
     part_fields = _partition_context(schema_json, spec_fields)
@@ -1107,14 +1101,7 @@ def delete_iceberg(
     from .uris import normalized_path_col
 
     root = _local_table_dir(table_uri)
-    existing = _load_meta(root)
-    if existing is None:
-        raise BuzzBadRequestError(f"not an iceberg table: {table_uri!r}")
-    version, meta = existing
-    if int(meta.get("format-version", 1)) != 2:
-        raise BuzzExecutionError(
-            "iceberg write path supports format-version 2 tables only"
-        )
+    version, meta = _load_v2_meta(root, table_uri)
     cat = IcebergCatalog("delete", root)
     plan = cat._plan(spark, None)
     files = plan["files"]
@@ -1289,13 +1276,12 @@ def rewrite_iceberg(
     with their deletes intact.  Returns None for a non-existent table
     path (nothing to compact); one Spark job end-to-end, same as the
     append path."""
-    from ..errors import BuzzExecutionError as _ExecErr
     from .iceberg import IcebergCatalog
 
     root = _local_table_dir(table_uri)
     try:
         cat = IcebergCatalog("rewrite", root)
-    except _ExecErr:
+    except BuzzExecutionError:
         return None  # not a table (no metadata dir / no metadata.json)
     df = cat.to_dataframe(spark)
     return write_iceberg(
@@ -1341,17 +1327,7 @@ def merge_iceberg(
     from pyspark.sql import functions as F
 
     root = _local_table_dir(table_uri)
-    existing = _load_meta(root)
-    if existing is None:
-        raise BuzzBadRequestError(
-            f"not an iceberg table: {table_uri!r} (merge needs an existing "
-            "table; use write_iceberg to create one)"
-        )
-    version, meta = existing
-    if int(meta.get("format-version", 1)) != 2:
-        raise BuzzExecutionError(
-            "iceberg write path supports format-version 2 tables only"
-        )
+    version, meta = _load_v2_meta(root, table_uri)
     sid = meta.get("current-schema-id", 0)
     schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
     order = _schema_fields_match(schema_json, source.schema)
@@ -1524,10 +1500,7 @@ def expire_iceberg_snapshots(
     points at the current snapshot).  Metadata-only: no file is deleted
     here.  Returns a summary, or None when nothing expires."""
     root = _local_table_dir(table_uri)
-    existing = _load_meta(root)
-    if existing is None:
-        raise BuzzBadRequestError(f"not an iceberg table: {table_uri!r}")
-    version, meta = existing
+    version, meta = _load_v2_meta(root, table_uri)
     snaps = list(meta.get("snapshots", []))
     if not snaps:
         return None
@@ -1588,10 +1561,7 @@ def vacuum_iceberg(
     driver work: every retained snapshot's manifest list + manifests are
     decoded; data files are never read."""
     root = _local_table_dir(table_uri)
-    existing = _load_meta(root)
-    if existing is None:
-        raise BuzzBadRequestError(f"not an iceberg table: {table_uri!r}")
-    _, meta = existing
+    _, meta = _load_v2_meta(root, table_uri)
     meta_dir = os.path.join(root, "metadata")
     data_dir = os.path.join(root, "data")
 

@@ -187,6 +187,13 @@ def _bound_bytes(value, iceberg_type) -> bytes | None:
         return str(value).encode("utf-8")
     if iceberg_type == "boolean":
         return b"\x01" if value else b"\x00"
+    if iceberg_type in ("float", "double"):
+        import math
+        import struct
+
+        if math.isnan(value):
+            return None  # NaN poisons a bound; omitting it stays sound
+        return struct.pack("<f" if iceberg_type == "float" else "<d", value)
     return None  # no summary for this type — skipping stays sound
 
 
@@ -213,10 +220,36 @@ def _to_physical(value, iceberg_type):
         return bool(value)
     if iceberg_type in ("int", "long"):
         return int(value)
+    if iceberg_type in ("float", "double"):
+        return float(value)
     return str(value)
 
 
 # --- manifest / manifest-list Avro schemas (spec field ids) -------------------
+
+
+def _int_keyed_map(name: str, fid: int, kid: int, vid: int, vtype: str) -> dict:
+    """Iceberg's int-keyed maps in manifest Avro are arrays of key/value
+    records (``logicalType: map``) — plain Avro maps only key by string."""
+    return {
+        "name": name,
+        "field-id": fid,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": vtype, "field-id": vid},
+                    ],
+                },
+            },
+        ],
+    }
 
 
 def _entry_schema(part_fields: list[dict]) -> dict:
@@ -273,6 +306,14 @@ def _entry_schema(part_fields: list[dict]) -> dict:
                             "type": ["null", {"type": "array", "items": "int"}],
                             "field-id": 135,
                         },
+                        # per-column stats (spec field ids): external
+                        # engines plan scans off these
+                        _int_keyed_map("value_counts", 109, 119, 120, "long"),
+                        _int_keyed_map(
+                            "null_value_counts", 110, 121, 122, "long"
+                        ),
+                        _int_keyed_map("lower_bounds", 125, 126, 127, "bytes"),
+                        _int_keyed_map("upper_bounds", 128, 129, 130, "bytes"),
                     ],
                 },
             },
@@ -396,6 +437,26 @@ def _schema_fields_match(table_schema: dict, df_schema) -> list[str] | None:
     return order
 
 
+# column types whose per-file min/max/null stats go into manifests
+_STATS_TYPES = set(_PART_AVRO) | {"float", "double"}
+
+
+def _stats_context(by_name: dict, columns: list[str]):
+    """(col_types aligned to ``columns`` for the data-file writer,
+    [(column, field id, iceberg type)] for the manifest maps) — None type
+    = no stats for that column (nested/binary/decimal)."""
+    col_types: list[str | None] = []
+    stat_fields: list[tuple[str, int, str]] = []
+    for c in columns:
+        t = by_name[c]["type"]
+        if isinstance(t, str) and t in _STATS_TYPES:
+            col_types.append(t)
+            stat_fields.append((c, int(by_name[c]["id"]), t))
+        else:
+            col_types.append(None)
+    return col_types, stat_fields
+
+
 def _partition_context(schema_json: dict, spec_fields: list[dict]) -> list[dict]:
     """The writer-internal partition field view.  A spec field keeps its
     own NAME forever while the source COLUMN can be renamed (metadata-only
@@ -434,6 +495,7 @@ def _write_data_files(
     field_ids: list[int],
     part_types: dict[str, str],
     target_file_rows: int,
+    col_types: list[str | None] | None = None,
 ) -> list[dict]:
     """One ``mapInArrow`` job writing parquet data files; returns the small
     per-file manifest rows.  Partition columns STAY in the data files (the
@@ -441,14 +503,28 @@ def _write_data_files(
     open ParquetWriter per distinct partition value it sees — the upstream
     repartition on the partition columns keeps that count small — and rolls
     to a new file every ``target_file_rows`` rows so one hot partition
-    can't produce a monster file."""
+    can't produce a monster file.
+
+    ``col_types`` (iceberg type string per df column, None = no stats for
+    that column) turns on per-file column stats: null counts and
+    min/max accumulate per open writer (vectorized ``pc.min_max`` per
+    Arrow chunk), shipped back as ``stats`` = {col: [min, max, nulls]}
+    with date/timestamp already in physical form — the driver serializes
+    them into the manifest's bound maps."""
     from pyspark.sql import functions as F
 
     cols = list(df.columns)
+    stat_cols = {
+        i: (c, t)
+        for i, (c, t) in enumerate(zip(cols, col_types or []))
+        if t is not None
+    }
+    stat_cols_by_name = {c: t for c, t in stat_cols.values()}
     inp = df.repartition(*part_cols) if part_cols else df
 
     def task(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         out_schema = pa.schema(
@@ -457,9 +533,10 @@ def _write_data_files(
                 pa.field("record_count", pa.int64()),
                 pa.field("file_size_in_bytes", pa.int64()),
                 pa.field("partition_json", pa.string()),
+                pa.field("stats_json", pa.string()),
             ]
         )
-        writers: dict = {}  # part tuple -> [writer, path, rows]
+        writers: dict = {}  # part tuple -> [writer, path, rows, part, stats]
         done: list = []
 
         def file_schema(batch_schema):
@@ -473,9 +550,23 @@ def _write_data_files(
             )
 
         def close(key):
-            w, path, rows, part = writers.pop(key)
+            w, path, rows, part, stats = writers.pop(key)
             w.close()
-            done.append((path, rows, part))
+            done.append((path, rows, part, stats))
+
+        def fold_stats(stats, chunk):
+            for i, (c, t) in stat_cols.items():
+                col = chunk.column(i)
+                cur = stats.setdefault(c, [None, None, 0])
+                cur[2] += col.null_count
+                if col.null_count == len(col):
+                    continue
+                mm = pc.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if cur[0] is None or (lo is not None and lo < cur[0]):
+                    cur[0] = lo
+                if cur[1] is None or (hi is not None and hi > cur[1]):
+                    cur[1] = hi
 
         def sink(key, part_values, tbl):
             while tbl.num_rows:
@@ -489,6 +580,7 @@ def _write_data_files(
                         path,
                         0,
                         part_values,
+                        {},
                     ]
                 take = min(target_file_rows - ent[2], tbl.num_rows)
                 chunk = tbl.slice(0, take)
@@ -496,6 +588,7 @@ def _write_data_files(
                     pa.Table.from_arrays(chunk.columns, schema=ent[0].schema)
                 )
                 ent[2] += take
+                fold_stats(ent[4], chunk)
                 tbl = tbl.slice(take)
                 if ent[2] >= target_file_rows:
                     close(key)
@@ -526,8 +619,8 @@ def _write_data_files(
         for key in list(writers):
             close(key)
 
-        fp, rc, fs, pj = [], [], [], []
-        for path, rows, part in done:
+        fp, rc, fs, pj, sj = [], [], [], [], []
+        for path, rows, part, stats in done:
             fp.append(path)
             rc.append(rows)
             fs.append(os.path.getsize(path))
@@ -540,12 +633,26 @@ def _write_data_files(
                     sort_keys=True,
                 )
             )
+            sj.append(
+                json.dumps(
+                    {
+                        c: [
+                            _to_physical(v[0], stat_cols_by_name[c]),
+                            _to_physical(v[1], stat_cols_by_name[c]),
+                            v[2],
+                        ]
+                        for c, v in stats.items()
+                    },
+                    sort_keys=True,
+                )
+            )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(fp, pa.string()),
                 pa.array(rc, pa.int64()),
                 pa.array(fs, pa.int64()),
                 pa.array(pj, pa.string()),
+                pa.array(sj, pa.string()),
             ],
             schema=out_schema,
         )
@@ -553,7 +660,7 @@ def _write_data_files(
     rows = inp.select(*cols).mapInArrow(
         task,
         "file_path string, record_count long, "
-        "file_size_in_bytes long, partition_json string",
+        "file_size_in_bytes long, partition_json string, stats_json string",
     ).collect()
     return [
         {
@@ -561,6 +668,7 @@ def _write_data_files(
             "record_count": r.record_count,
             "file_size_in_bytes": r.file_size_in_bytes,
             "partition": json.loads(r.partition_json),
+            "stats": json.loads(r.stats_json),
         }
         for r in rows
     ]
@@ -732,6 +840,7 @@ def write_iceberg(
     part_cols = [pf["source_name"] for pf in part_fields]
     part_types = {pf["source_name"]: pf["source_type"] for pf in part_fields}
     field_ids = [by_name[c]["id"] for c in df.columns]
+    col_types, stat_fields = _stats_context(by_name, df.columns)
 
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
@@ -739,7 +848,8 @@ def write_iceberg(
     os.makedirs(meta_dir, exist_ok=True)
 
     new_files = _write_data_files(
-        df, data_dir, part_cols, field_ids, part_types, target_file_rows
+        df, data_dir, part_cols, field_ids, part_types, target_file_rows,
+        col_types=col_types,
     )
     if not new_files and existing is not None and mode == "append":
         return None  # nothing to commit
@@ -750,7 +860,9 @@ def write_iceberg(
     # --- the new manifest ---
     manifest_path = _write_manifest(
         meta_dir,
-        _manifest_entries(new_files, 0, None, part_fields, snap_id),
+        _manifest_entries(
+            new_files, 0, None, part_fields, snap_id, stat_fields
+        ),
         part_fields,
         schema_json,
         spec_id,
@@ -808,12 +920,56 @@ def write_iceberg(
     }
 
 
+# string bounds longer than this stay out of the manifest (omitting a
+# bound is always sound; a document-sized text column must not bloat
+# every manifest entry)
+MAX_BOUND_BYTES = 100
+
+
+def _stats_maps(f: dict, stat_fields) -> dict:
+    """The four per-column stat maps of one entry (spec's int-keyed maps
+    as key/value record lists), or all-null when stats weren't gathered."""
+    out = {
+        "value_counts": None,
+        "null_value_counts": None,
+        "lower_bounds": None,
+        "upper_bounds": None,
+    }
+    stats = f.get("stats")
+    if not stat_fields or not stats:
+        return out
+    vc, nvc, lb, ub = [], [], [], []
+    for name, fid, ice_type in stat_fields:
+        if name not in stats:
+            continue
+        lo, hi, nulls = stats[name]
+        # value_counts = values INCLUDING nulls (spec) = the row count
+        vc.append({"key": fid, "value": int(f["record_count"])})
+        nvc.append({"key": fid, "value": int(nulls)})
+        for target, v in ((lb, lo), (ub, hi)):
+            b = _bound_bytes(v, ice_type)
+            if b is not None and len(b) <= MAX_BOUND_BYTES:
+                target.append({"key": fid, "value": b})
+    out["value_counts"] = vc or None
+    out["null_value_counts"] = nvc or None
+    out["lower_bounds"] = lb or None
+    out["upper_bounds"] = ub or None
+    return out
+
+
 def _manifest_entries(
-    files: list[dict], content: int, eq_ids, part_fields: list[dict], snap_id: int
+    files: list[dict],
+    content: int,
+    eq_ids,
+    part_fields: list[dict],
+    snap_id: int,
+    stat_fields=None,
 ) -> list[dict]:
     """ADDED manifest entries for writer-produced files; ``content`` 0 =
     data, 1 = position deletes, 2 = equality deletes (with ``eq_ids``).
-    Sequence numbers stay null — inherited from the manifest list."""
+    Sequence numbers stay null — inherited from the manifest list.
+    ``stat_fields`` = [(column, field id, iceberg type), ...] turns the
+    gathered per-file stats into the spec's bound/count maps."""
     return [
         {
             "status": 1,  # ADDED
@@ -831,6 +987,7 @@ def _manifest_entries(
                 "record_count": int(f["record_count"]),
                 "file_size_in_bytes": int(f["file_size_in_bytes"]),
                 "equality_ids": list(eq_ids) if eq_ids else None,
+                **_stats_maps(f, stat_fields),
             },
         }
         for f in sorted(files, key=lambda f: f["file_path"])
@@ -1369,6 +1526,8 @@ def merge_iceberg(
     part_types = {pf["source_name"]: pf["source_type"] for pf in part_fields}
     field_ids = [by_name[c]["id"] for c in source.columns]
     key_ids = [int(by_name[k]["id"]) for k in key_cols]
+    col_types, stat_fields = _stats_context(by_name, source.columns)
+    key_col_types, key_stat_fields = _stats_context(by_name, key_cols)
 
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
@@ -1393,7 +1552,7 @@ def merge_iceberg(
             )
         new_files = _write_data_files(
             source, data_dir, part_cols, field_ids, part_types,
-            target_file_rows,
+            target_file_rows, col_types=col_types,
         )
         if not new_files:
             return None
@@ -1407,6 +1566,7 @@ def merge_iceberg(
             key_ids,
             {},
             target_file_rows,
+            col_types=key_col_types,
         )
     finally:
         source.unpersist()
@@ -1424,7 +1584,9 @@ def merge_iceberg(
     unpart_id = _unpartitioned_spec_id(meta)
     data_manifest = _write_manifest(
         meta_dir,
-        _manifest_entries(new_files, 0, None, part_fields, snap_id),
+        _manifest_entries(
+            new_files, 0, None, part_fields, snap_id, stat_fields
+        ),
         part_fields,
         schema_json,
         spec_id,
@@ -1432,7 +1594,9 @@ def merge_iceberg(
     )
     delete_manifest = _write_manifest(
         meta_dir,
-        _manifest_entries(key_files, 2, key_ids, [], snap_id),
+        _manifest_entries(
+            key_files, 2, key_ids, [], snap_id, key_stat_fields
+        ),
         [],
         schema_json,
         unpart_id,

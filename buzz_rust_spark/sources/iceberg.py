@@ -311,8 +311,12 @@ def _split_conjunction(filter_sql: str) -> list[str] | None:
 
 
 def _parse_conjuncts(filter_sql: str):
-    """``[(col, op, [values]), ...]`` or None when the filter is outside
-    the simple-conjunction subset."""
+    """``[(col, op, [(value, quoted)]), ...]`` or None when the filter is
+    outside the simple-conjunction subset.  ``quoted`` distinguishes string
+    literals from bare numerics — the two take DIFFERENT comparison domains
+    at the file level (Spark coerces ``string_col > 9`` to a double
+    comparison, ``string_col > '9'`` to a string one), so manifest skipping
+    must mirror that split or it silently drops matching manifests."""
     parts = _split_conjunction(filter_sql)
     if parts is None:
         return None
@@ -321,7 +325,8 @@ def _parse_conjuncts(filter_sql: str):
         m = _CMP_RE.fullmatch(part)
         if m:
             col, op, vq, vn = m.groups()
-            out.append((col, "=" if op == "==" else op, [vq if vq is not None else vn]))
+            lit = (vq, True) if vq is not None else (vn, False)
+            out.append((col, "=" if op == "==" else op, [lit]))
             continue
         m = _IN_RE.fullmatch(part)
         if m:
@@ -332,17 +337,19 @@ def _parse_conjuncts(filter_sql: str):
                 if not im:
                     return None
                 vq, vn = im.groups()
-                vals.append(vq if vq is not None else vn)
+                vals.append((vq, True) if vq is not None else (vn, False))
             out.append((col, "in", vals))
             continue
         return None
     return out
 
 
-def _disjoint(op: str, vals: list[str], lo: str, hi: str) -> bool:
+def _disjoint(op: str, vals: list, lo, hi) -> bool:
     """Is `col op vals` provably false for every value in [lo, hi]?
-    String-domain comparisons — identical ordering to the engine's
-    string-typed partition filter evaluation."""
+    Domain-agnostic: callers pass all-string (lexicographic, matching
+    Spark's string-vs-string filter evaluation) or all-float (matching
+    Spark's promote-strings-to-double coercion for bare-numeric literals);
+    values and bounds must already live in the SAME domain."""
     if op == "=":
         return vals[0] < lo or vals[0] > hi
     if op == "in":
@@ -356,6 +363,29 @@ def _disjoint(op: str, vals: list[str], lo: str, hi: str) -> bool:
     if op == ">=":
         return hi < vals[0]
     return False
+
+
+def _numeric_bounds(f: dict, lo_raw, hi_raw) -> tuple[float, float] | None:
+    """(lo, hi) as floats for a partition field whose rendered-string values
+    Spark would coerce to exactly these doubles under a bare-numeric filter
+    literal, or None when no such numeric domain exists (skipping disabled
+    for the term; the file-level Spark-SQL prune stays authoritative).
+
+    Qualifying domains: identity over int/long (bounds are true value-order
+    min/max; int→double is monotone), the year transform (rendered
+    ``f"{1970+v:04d}"`` parses back to 1970+v), and truncate over int/long
+    (rendered str(v) parses back to v).  Everything else — string identity
+    (bounds are STRING-order min/max), date/timestamp identity and
+    month/day/hour transforms (rendered forms don't parse as doubles, so
+    the file filter nulls every row anyway) — returns None."""
+    kind, st = f["kind"], f["source_type"]
+    if kind == "identity" and st in ("int", "long"):
+        return float(lo_raw), float(hi_raw)
+    if kind == "year":
+        return float(1970 + int(lo_raw)), float(1970 + int(hi_raw))
+    if kind == "truncate" and st in ("int", "long"):
+        return float(lo_raw), float(hi_raw)
+    return None
 
 
 def _iceberg_type(t) -> object:
@@ -659,16 +689,33 @@ class IcebergCatalog:
             )
             if lo_raw is None or hi_raw is None:
                 continue
-            if f["kind"] == "identity":
-                lo = _partition_str(lo_raw, f["source_type"])
-                hi = _partition_str(hi_raw, f["source_type"])
-            else:
-                lo = _transform_str(f["kind"], lo_raw, f["source_type"])
-                hi = _transform_str(f["kind"], hi_raw, f["source_type"])
-            if lo is None or hi is None:
-                continue
-            if _disjoint(op, vals, lo, hi):
-                return True
+            quoted = {q for _, q in vals}
+            if quoted == {True}:
+                # string literals: the file-level filter compares strings
+                # lexicographically — use the same rendered-string domain
+                if f["kind"] == "identity":
+                    lo = _partition_str(lo_raw, f["source_type"])
+                    hi = _partition_str(hi_raw, f["source_type"])
+                else:
+                    lo = _transform_str(f["kind"], lo_raw, f["source_type"])
+                    hi = _transform_str(f["kind"], hi_raw, f["source_type"])
+                if lo is None or hi is None:
+                    continue
+                if _disjoint(op, [v for v, _ in vals], lo, hi):
+                    return True
+            elif quoted == {False}:
+                # bare-numeric literals: Spark promotes the string partition
+                # column AND the literal to double, so only bound domains
+                # that are genuinely numeric (and whose rendered string
+                # parses back to the same double) may skip.  String-typed
+                # identity bounds are min/max in STRING order — NOT numeric
+                # bounds — so they never qualify (['10','9'] contains '20').
+                num = _numeric_bounds(f, lo_raw, hi_raw)
+                if num is None:
+                    continue
+                if _disjoint(op, [float(v) for v, _ in vals], *num):
+                    return True
+            # mixed quoted/bare IN list: coercion subtleties — never skip
         return False
 
     def _decode_entries(

@@ -1214,3 +1214,145 @@ def test_position_and_equality_deletes_compose(spark, tmp_path):
     df = IcebergCatalog("t", root).to_dataframe(spark)
     # pos removed ids 1, 5; equality removed zeta (id 6)
     assert sorted(r["id"] for r in df.collect()) == [2, 3, 4]
+
+
+# --- manifest skipping: numeric-literal coercion consistency ---------------
+# Spark coerces `string_col > 9` (bare numeric) to a DOUBLE comparison but
+# `string_col > '9'` to a string one; manifest skipping must mirror that
+# split or numeric filters silently skip matching manifests ('20' <= '9'
+# lexicographically while 20 > 9 numerically).
+
+def _fake_cat(spec_fields):
+    cat = object.__new__(IcebergCatalog)
+    cat._default_spec_id = 0
+    cat._spec_fields = spec_fields
+    return cat
+
+
+def _summary_manifest(lo: int, hi: int, width: int = 4):
+    def le(v):
+        return v.to_bytes(width, "little", signed=True)
+
+    return {
+        "partition_spec_id": 0, "content": 0,
+        "partitions": [{"contains_null": False,
+                        "lower_bound": le(lo), "upper_bound": le(hi)}],
+    }
+
+
+INT_IDENT = [{"name": "p", "kind": "identity", "prune_name": "p",
+              "source_name": "p", "source_type": "int"}]
+STR_IDENT = [{"name": "p", "kind": "identity", "prune_name": "p",
+              "source_name": "p", "source_type": "string"}]
+
+
+@pytest.mark.parametrize("flt,disjoint", [
+    ("p > 9", False),      # ADVICE repro: '20' <= '9' lexicographic trap
+    ("p >= 10", False),
+    ("p = 15", False),
+    ("p IN (9, 15)", False),
+    ("p > 25", True),      # provably above hi=20
+    ("p < 10", True),
+    ("p <= 9", True),
+    ("p = 5", True),
+    ("p IN (5, 25)", True),
+    ("p > '9'", True),     # QUOTED literal keeps the string domain:
+                           # '10'..'20' all <= '9' lexicographically
+])
+def test_manifest_skipping_numeric_literals_int_identity(flt, disjoint):
+    from buzz_rust_spark.sources.iceberg import _parse_conjuncts
+
+    cat = _fake_cat(INT_IDENT)
+    m = _summary_manifest(10, 20)
+    assert cat._manifest_disjoint(m, _parse_conjuncts(flt)) is disjoint
+
+
+def test_manifest_skipping_numeric_literal_string_partition_never_skips():
+    """String-typed identity bounds are min/max in STRING order — a manifest
+    holding {'10','20','9'} has bounds ['10','9'], which as numbers do NOT
+    bracket 20.  Bare-numeric filters must never skip on string columns."""
+    from buzz_rust_spark.sources.iceberg import _parse_conjuncts
+
+    cat = _fake_cat(STR_IDENT)
+    m = {
+        "partition_spec_id": 0, "content": 0,
+        "partitions": [{"contains_null": False,
+                        "lower_bound": b"10", "upper_bound": b"9"}],
+    }
+    # numerically hi looks like 9 <= 15, but '20' is inside the manifest
+    assert cat._manifest_disjoint(m, _parse_conjuncts("p > 15")) is False
+    # quoted literals stay on the (sound) string domain
+    assert cat._manifest_disjoint(m, _parse_conjuncts("p > 'zz'")) is True
+
+
+def test_manifest_skipping_mixed_in_list_never_skips():
+    from buzz_rust_spark.sources.iceberg import _parse_conjuncts
+
+    cat = _fake_cat(INT_IDENT)
+    m = _summary_manifest(10, 20)
+    assert cat._manifest_disjoint(m, _parse_conjuncts("p IN ('5', 25)")) is False
+
+
+@pytest.mark.parametrize("kind,lo,hi,flt,disjoint", [
+    # year transform: ordinal 50 → rendered "2020" → parses back numerically
+    ("year", 50, 51, "pf > 2021", True),
+    ("year", 50, 51, "pf >= 2020", False),
+    # month transform renders "2020-05" → double(null) at file level; the
+    # term must simply never skip
+    ("month", 600, 612, "pf > 9", False),
+])
+def test_manifest_skipping_numeric_literals_transforms(kind, lo, hi, flt, disjoint):
+    from buzz_rust_spark.sources.iceberg import _parse_conjuncts
+
+    cat = _fake_cat([{"name": "pf", "kind": kind, "prune_name": "pf",
+                      "source_name": "ts", "source_type": "timestamp"}])
+    m = _summary_manifest(lo, hi)
+    assert cat._manifest_disjoint(m, _parse_conjuncts(flt)) is disjoint
+
+
+def test_manifest_skipping_bare_numeric_end_to_end(spark, tmp_path):
+    """Ghost-manifest variant of test_manifest_skipping_never_opens_disjoint
+    with BARE numeric literals: a filter the numeric domain proves disjoint
+    never opens the ghost; one it cannot exclude fails loudly; and the
+    ADVICE repro (`> 9` over lexicographically-tricky bounds) keeps rows."""
+    root = build_table(tmp_path)
+    meta = os.path.join(root, "metadata")
+    md_path = os.path.join(meta, "v3.metadata.json")
+    md = json.loads(open(md_path).read())
+    m1 = os.path.join(meta, "m1-m0.avro")  # 2020 files (exists)
+    m2 = os.path.join(meta, "m2-m0.avro")  # 2021 files
+    ghost = os.path.join(meta, "ghost-m0.avro")
+
+    def le(v):
+        return v.to_bytes(4, "little", signed=True)
+
+    recs = [
+        {"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 9,
+         "partitions": [{"contains_null": False,
+                         "lower_bound": le(2020), "upper_bound": le(2020)}]},
+        {"manifest_path": m2, "manifest_length": os.path.getsize(m2),
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 9,
+         "partitions": [{"contains_null": False,
+                         "lower_bound": le(2021), "upper_bound": le(2021)}]},
+        {"manifest_path": ghost, "manifest_length": 10,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 9,
+         "partitions": [{"contains_null": False,
+                         "lower_bound": le(1999), "upper_bound": le(1999)}]},
+    ]
+    ml = os.path.join(meta, "snap-num.avro")
+    open(ml, "wb").write(encode_avro_records(MANIFEST_FILE_SCHEMA_V2, recs))
+    md["snapshots"].append(
+        {"snapshot-id": 9, "timestamp-ms": 9000, "manifest-list": ml}
+    )
+    md["current-snapshot-id"] = 9
+    open(md_path, "w").write(json.dumps(md))
+
+    # bare-numeric range provably disjoint from the ghost (1999) — skipped
+    df = IcebergCatalog("t", root).to_dataframe(spark, "year >= 2020 AND year <= 2020")
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+    # `year > 1998` brackets 1999 → ghost must be opened → loud failure,
+    # NOT a silent skip (the pre-fix lexicographic bug skipped here when
+    # bounds/literal string-compare inverted)
+    with pytest.raises(Exception):
+        IcebergCatalog("t", root).to_dataframe(spark, "year > 1998").collect()

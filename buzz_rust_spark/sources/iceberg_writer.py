@@ -496,6 +496,7 @@ def _write_data_files(
     part_types: dict[str, str],
     target_file_rows: int,
     col_types: list[str | None] | None = None,
+    no_null_cols: list[str] | None = None,
 ) -> list[dict]:
     """One ``mapInArrow`` job writing parquet data files; returns the small
     per-file manifest rows.  Partition columns STAY in the data files (the
@@ -510,7 +511,15 @@ def _write_data_files(
     min/max accumulate per open writer (vectorized ``pc.min_max`` per
     Arrow chunk), shipped back as ``stats`` = {col: [min, max, nulls]}
     with date/timestamp already in physical form — the driver serializes
-    them into the manifest's bound maps."""
+    them into the manifest's bound maps.
+
+    ``no_null_cols`` are columns the TABLE schema declares required while
+    the incoming DataFrame schema is merely nullable (Spark marks nearly
+    every read nullable, so a plan-time rejection would refuse almost all
+    legitimate appends): each Arrow batch is null-checked executor-side —
+    O(1) per batch via the Arrow null count, no extra pass — so a NULL can
+    never reach a data file whose footer declares the field required
+    (external engines trust that invariant)."""
     from pyspark.sql import functions as F
 
     cols = list(df.columns)
@@ -597,6 +606,13 @@ def _write_data_files(
             tbl = pa.Table.from_batches([batch])
             if tbl.num_rows == 0:
                 continue
+            for c in no_null_cols or ():
+                if tbl.column(c).null_count:
+                    raise ValueError(
+                        f"required iceberg field {c!r} received NULL values; "
+                        "writing them would produce spec-violating data files "
+                        "— fill or filter the nulls upstream"
+                    )
             if not part_cols:
                 sink((), {}, tbl)
                 continue
@@ -751,6 +767,13 @@ def write_iceberg(
     now_ms = int(time.time() * 1000)
 
     if existing is not None and txn_app_id is not None:
+        # snapshot summaries are the primary record; expired snapshots'
+        # markers live on as `buzz.txn.<app>` table properties (written by
+        # expire_iceberg_snapshots) so a checkpoint replay after expiry
+        # still can't double-commit
+        props = existing[1].get("properties") or {}
+        if int(props.get(f"buzz.txn.{txn_app_id}", -1)) >= int(txn_version):
+            return None  # replayed micro-batch: already committed
         for s in existing[1].get("snapshots", []):
             summ = s.get("summary") or {}
             if summ.get("txn-app-id") == txn_app_id and int(
@@ -841,6 +864,13 @@ def write_iceberg(
     part_types = {pf["source_name"]: pf["source_type"] for pf in part_fields}
     field_ids = [by_name[c]["id"] for c in df.columns]
     col_types, stat_fields = _stats_context(by_name, df.columns)
+    # table-required fields fed from a merely-nullable Spark column get an
+    # executor-side null check (empty on create: required there = df
+    # non-nullable, which Spark already enforces)
+    required_nullable = [
+        c for c in df.columns
+        if by_name[c].get("required") and df.schema[c].nullable
+    ]
 
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
@@ -849,7 +879,7 @@ def write_iceberg(
 
     new_files = _write_data_files(
         df, data_dir, part_cols, field_ids, part_types, target_file_rows,
-        col_types=col_types,
+        col_types=col_types, no_null_cols=required_nullable,
     )
     if not new_files and existing is not None and mode == "append":
         return None  # nothing to commit
@@ -1528,6 +1558,10 @@ def merge_iceberg(
     key_ids = [int(by_name[k]["id"]) for k in key_cols]
     col_types, stat_fields = _stats_context(by_name, source.columns)
     key_col_types, key_stat_fields = _stats_context(by_name, key_cols)
+    required_nullable = [
+        c for c in source.columns
+        if by_name[c].get("required") and source.schema[c].nullable
+    ]
 
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
@@ -1538,10 +1572,12 @@ def merge_iceberg(
     # cannot produce delete keys that disagree with the written rows
     source = source.persist()
     try:
+        # collision-proof alias: a table column literally named "n" would
+        # make a bare `where("n > 1")` ambiguous and fail a legitimate merge
         dup = (
             source.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where("n > 1")
+            .agg(F.count(F.lit(1)).alias("__dup_n"))
+            .where(F.col("__dup_n") > 1)
             .limit(1)
             .count()
         )
@@ -1553,6 +1589,7 @@ def merge_iceberg(
         new_files = _write_data_files(
             source, data_dir, part_cols, field_ids, part_types,
             target_file_rows, col_types=col_types,
+            no_null_cols=required_nullable,
         )
         if not new_files:
             return None
@@ -1682,6 +1719,23 @@ def expire_iceberg_snapshots(
     if not expired:
         return None
     meta = dict(meta)
+    # snapshot summaries are the only record of txn-app-id/txn-version (the
+    # streaming sink's exactly-once markers); dropping them with the
+    # snapshot would let a replayed micro-batch (restart from an old
+    # checkpoint) re-append.  Persist the max committed version per app id
+    # as a table property — write_iceberg's replay check consults it.
+    props = dict(meta.get("properties") or {})
+    for s in snaps:
+        if s["snapshot-id"] in keep_ids:
+            continue
+        summ = s.get("summary") or {}
+        app = summ.get("txn-app-id")
+        if app is None or "txn-version" not in summ:
+            continue
+        key = f"buzz.txn.{app}"
+        props[key] = str(max(int(props.get(key, -1)), int(summ["txn-version"])))
+    if props:
+        meta["properties"] = props
     meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep_ids]
     meta["snapshot-log"] = [
         e

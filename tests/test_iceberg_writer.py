@@ -772,3 +772,104 @@ def test_stats_across_appends_and_reads(spark, tmp_path):
                 lo = struct.unpack("<q", lbs[1])[0]
                 assert 0 <= lo < 100 or lo == 5
     assert seen_bounds >= 3  # two partition files + merge data + key file
+
+
+# --- required-field nullability enforcement (spec compliance) ------------------
+
+
+def test_required_field_rejects_null_append(spark, tmp_path):
+    """A table created from a non-nullable column declares the field
+    required; a later append from a (typical) nullable DataFrame holding a
+    NULL must fail executor-side rather than write a spec-violating data
+    file that external engines would misread."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.range(3), root)  # spark.range: id non-nullable
+    md = _json.loads(
+        open(f"{root}/metadata/v1.metadata.json").read()
+    )
+    assert md["schemas"][0]["fields"][0]["required"] is True
+
+    # nullable but null-free append: legitimate, must succeed
+    write_iceberg(_rows(spark, [(7,)], "id long"), root, mode="append")
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [0, 1, 2, 7]
+
+    with pytest.raises(Exception, match="required iceberg field 'id'"):
+        write_iceberg(
+            _rows(spark, [(9,), (None,)], "id long"), root, mode="append"
+        )
+    # the failed append committed nothing
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [0, 1, 2, 7]
+
+
+def test_required_field_rejects_null_merge(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.range(2).selectExpr("id", "id + 10 AS v"), root
+    )
+    with pytest.raises(Exception, match="required iceberg field 'v'"):
+        merge_iceberg(
+            spark, root, _rows(spark, [(1, None)], "id long, v long"), ["id"]
+        )
+    assert sorted(
+        (r.id, r.v)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [(0, 10), (1, 11)]
+
+
+def test_merge_table_with_column_named_n(spark, tmp_path):
+    """The duplicate-key probe's internal count alias must not collide with
+    a user column literally named ``n``."""
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, 5)], "id long, n long"), root)
+    merge_iceberg(spark, root, _rows(spark, [(1, 6), (2, 7)],
+                                     "id long, n long"), ["id"])
+    assert sorted(
+        (r.id, r.n)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [(1, 6), (2, 7)]
+
+
+def test_expiry_preserves_exactly_once_txn_markers(spark, tmp_path):
+    """Snapshot expiry must not forget txn-app-id/txn-version: a streaming
+    replay (restart from an old checkpoint) after the marker snapshot is
+    expired would otherwise re-append and break the exactly-once contract."""
+    from buzz_rust_spark.sources.iceberg_writer import expire_iceberg_snapshots
+
+    root = str(tmp_path / "t")
+    df1 = _rows(spark, [(1,)], "id long")
+    write_iceberg(df1, root, txn_app_id="app", txn_version=0)
+    write_iceberg(_rows(spark, [(2,)], "id long"), root, mode="append")
+    # expire the txn-marked snapshot, keep only the newest (unmarked) one
+    s = expire_iceberg_snapshots(root, keep_last=1)
+    assert s and len(s["expired_snapshots"]) == 1
+    # replay of the already-committed micro-batch: must be a no-op
+    assert write_iceberg(
+        df1, root, mode="append", txn_app_id="app", txn_version=0
+    ) is None
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 2]
+    # a genuinely NEW batch still commits
+    assert write_iceberg(
+        _rows(spark, [(3,)], "id long"), root, mode="append",
+        txn_app_id="app", txn_version=1,
+    ) is not None
+    # a second expiry folds version 1 in on top of the stored version 0
+    write_iceberg(_rows(spark, [(4,)], "id long"), root, mode="append")
+    expire_iceberg_snapshots(root, keep_last=1)
+    assert write_iceberg(
+        df1, root, mode="append", txn_app_id="app", txn_version=1
+    ) is None
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 2, 3, 4]

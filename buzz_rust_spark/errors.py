@@ -39,3 +39,14 @@ class BuzzSchemaError(BuzzPlanError):
     """Declared catalog schema does not match the parquet footer schema
     (reference: code/src/execution_plan/parquet.rs:84-100 fails the stage on
     any name/type/nullability mismatch)."""
+
+
+class BuzzCommitConflictError(BuzzExecutionError):
+    """A concurrent writer claimed the commit filename first (Delta
+    ``_delta_log/<N>.json`` put-if-absent, Iceberg ``v<N>.metadata.json``
+    version promote).  RETRYABLE: the table advanced under the caller, who
+    should re-read its state and re-attempt the commit at the new version —
+    nothing was corrupted and nothing from the failed attempt is visible to
+    readers."""
+
+    retryable = True

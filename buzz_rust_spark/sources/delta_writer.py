@@ -13,8 +13,10 @@ Scale notes: the data write is a plain distributed ``df.write.parquet`` (one
 task per partition, no driver materialization); only the file *listing* —
 O(files), kilobytes per commit — passes through the driver, which is exactly
 how Delta's own commit protocol works.  Commits are optimistic: the versioned
-JSON filename is claimed atomically with O_EXCL, so a concurrent writer loses
-the race and errors instead of corrupting the log.
+JSON filename is claimed through the commit store's conditional put
+(``sources/write_store.py`` — PROTOCOL.md's "write a given log entry once"
+LogStore contract), so a concurrent writer loses the race with a typed
+retryable ``BuzzCommitConflictError`` instead of corrupting the log.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame
 
 from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
+from .write_store import default_store
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -212,20 +215,20 @@ def _txn_state(log_dir: str) -> dict[str, int]:
     return seen
 
 
-def _claim_commit(log_dir: str, version: int, actions: list[dict]) -> None:
+def _claim_commit(
+    log_dir: str, version: int, actions: list[dict], store=None
+) -> None:
     """Write the versioned commit JSON, claiming the filename exclusively
-    (optimistic concurrency — a racing writer gets FileExistsError, not a
-    torn log)."""
+    through the commit store's conditional put (Delta PROTOCOL.md:
+    "Writers MUST only write a given log entry once" — the put-if-absent
+    LogStore contract).  A racing writer gets a typed retryable
+    :class:`~..errors.BuzzCommitConflictError`, never a torn log."""
+    if store is None:
+        store = default_store()
     commit_path = os.path.join(log_dir, f"{version:020d}.json")
-    try:
-        fd = os.open(commit_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    except FileExistsError as exc:
-        raise BuzzExecutionError(
-            f"concurrent Delta commit detected at version {version}"
-        ) from exc
-    with os.fdopen(fd, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
+    store.put_if_absent(
+        commit_path, "".join(json.dumps(a) + "\n" for a in actions).encode()
+    )
 
 
 def _stage_and_promote(
@@ -276,6 +279,7 @@ def write_delta(
     checkpoint_interval: int = 10,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    store=None,
 ) -> int | None:
     """Write ``df`` as a Delta commit; returns the committed version (or
     ``None`` when a SetTransaction replay skips the write).
@@ -379,7 +383,7 @@ def write_delta(
             }
         )
 
-    _claim_commit(log_dir, version, actions)
+    _claim_commit(log_dir, version, actions, store)
 
     if (version + 1) % checkpoint_interval == 0:
         _write_checkpoint(log_dir, version)
@@ -513,6 +517,7 @@ def optimize_delta(
     table_uri: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     checkpoint_interval: int = 10,
+    store=None,
 ) -> int | None:
     """Bin-pack compaction (Delta OPTIMIZE): rewrite each partition's
     undersized files into ~``target_file_bytes`` files and commit the swap as
@@ -624,7 +629,7 @@ def optimize_delta(
         for path in sorted(removed)
     ]
     actions.extend({"add": a} for a in new_adds)
-    _claim_commit(log_dir, version, actions)
+    _claim_commit(log_dir, version, actions, store)
     if (version + 1) % checkpoint_interval == 0:
         _write_checkpoint(log_dir, version)
     return version
@@ -735,6 +740,7 @@ def merge_delta(
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
     checkpoint_interval: int = 10,
+    store=None,
 ) -> int | None:
     """MERGE INTO (upsert) with copy-on-write file rewrites — the missing
     mutation in an append/overwrite-only log, and the primitive behind
@@ -891,7 +897,7 @@ def merge_delta(
             for rel in touched
         ]
         actions.extend({"add": a} for a in adds)
-        _claim_commit(log_dir, version, actions)
+        _claim_commit(log_dir, version, actions, store)
         if (version + 1) % checkpoint_interval == 0:
             _write_checkpoint(log_dir, version)
         return version
@@ -942,6 +948,7 @@ def delete_delta(
     checkpoint_interval: int = 10,
     mode: str = "cow",
     max_dv_rows: int = 5_000_000,
+    store=None,
 ) -> int | None:
     """DELETE FROM ``table`` WHERE ``predicate``.  Returns the committed
     version, or ``None`` when no row matched.
@@ -1067,7 +1074,7 @@ def delete_delta(
                         }
                     }
                 )
-        _claim_commit(log_dir, version, actions)
+        _claim_commit(log_dir, version, actions, store)
         if (version + 1) % checkpoint_interval == 0:
             _write_checkpoint(log_dir, version)
         return version
@@ -1094,7 +1101,7 @@ def delete_delta(
         for rel in touched
     ]
     actions.extend({"add": a} for a in adds)
-    _claim_commit(log_dir, version, actions)
+    _claim_commit(log_dir, version, actions, store)
     if (version + 1) % checkpoint_interval == 0:
         _write_checkpoint(log_dir, version)
     return version

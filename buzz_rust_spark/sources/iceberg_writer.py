@@ -23,19 +23,24 @@ Scale design:
   tuple) — kilobytes.
 - **Commit is O(metadata)**: one manifest Avro for the new files, one
   manifest list (previous manifests carried forward on append), one new
-  ``v<N>.metadata.json``, atomically promoted via ``os.replace`` then
-  ``version-hint.text``.  Snapshot history, sequence numbers, and
-  manifest-list partition summaries (lower/upper bounds per partition
-  field, little-endian single-value serialization per spec Appendix D)
-  are written so the catalog's manifest SKIPPING works against our own
-  tables.
+  ``v<N>.metadata.json`` promoted through the commit store's CONDITIONAL
+  PUT (``sources/write_store.py``): the version-filename claim is the
+  compare-and-swap, so two racing writers produce one winner and one
+  typed retryable ``BuzzCommitConflictError`` — never a clobbered table.
+  ``version-hint.text`` is advisory and refreshed after the claim.
+  Snapshot history, sequence numbers, and manifest-list partition
+  summaries (lower/upper bounds per partition field, little-endian
+  single-value serialization per spec Appendix D) are written so the
+  catalog's manifest SKIPPING works against our own tables.
 - Data-file parquet footers carry ``PARQUET:field_id`` for top-level
   columns, so a later column rename (a metadata-only operation) keeps
   old files readable by id — the evolution path the reader implements.
 
 Boundaries (typed errors, never silent): local-filesystem table URIs
-only (single-writer; no optimistic retry loop against a real object
-store), identity partition transforms only, format v2 only, and nested
+only (data files and manifests are written with plain ``os`` IO; the
+COMMIT already routes through the conditional-put store, so an S3
+backend slots in as a store implementing ``If-None-Match`` puts),
+identity partition transforms only, format v2 only, and nested
 struct/list/map FIELD ids are not emitted into parquet footers
 (top-level ids only — renames of nested fields are out of scope).
 Appends verify the incoming schema against the table schema by name and
@@ -56,6 +61,7 @@ import uuid
 from pyspark.sql import DataFrame
 
 from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
+from .write_store import default_store
 from .avro import decode_avro_file, encode_avro_records
 from .iceberg import _iceberg_type
 
@@ -704,16 +710,6 @@ def _load_v2_meta(root: str, table_uri: str) -> tuple[int, dict]:
     return version, meta
 
 
-# --- atomic local commit --------------------------------------------------------
-
-
-def _atomic_write(path: str, text: str) -> None:
-    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as fh:
-        fh.write(text)
-    os.replace(tmp, path)
-
-
 # --- public API -----------------------------------------------------------------
 
 
@@ -727,6 +723,7 @@ def write_iceberg(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     _operation: str | None = None,
+    store=None,
 ) -> dict | None:
     """Write ``df`` into an Iceberg v2 table at ``table_uri``.
 
@@ -939,6 +936,7 @@ def write_iceberg(
         operation,
         counts,
         log_prior_metadata=existing is not None,
+        store=store,
     )
     return {
         "snapshot_id": snap_id,
@@ -1206,9 +1204,16 @@ def _finish_commit(
     operation: str,
     summary_counts: dict[str, str],
     log_prior_metadata: bool,
+    store=None,
 ) -> int:
     """Append the snapshot to the table metadata and atomically promote
-    ``v<N+1>.metadata.json`` + ``version-hint.text``.  Returns N+1."""
+    ``v<N+1>.metadata.json`` + ``version-hint.text``.  Returns N+1.
+
+    The version promote is a conditional put (compare-and-swap on the
+    version filename) through the commit store: a concurrent writer that
+    also read version N loses the N+1 claim with a typed retryable
+    :class:`~..errors.BuzzCommitConflictError` instead of silently
+    overwriting the winner's metadata."""
     meta_dir = os.path.join(root, "metadata")
     parent = meta.get("current-snapshot-id")
     parent = None if parent in (None, -1) else parent
@@ -1242,12 +1247,23 @@ def _finish_commit(
                 ),
             }
         ]
-    new_version = version + 1
-    _atomic_write(
+    return _promote_metadata(meta_dir, version + 1, meta, store)
+
+
+def _promote_metadata(meta_dir: str, new_version: int, meta: dict, store=None) -> int:
+    """Claim ``v<new_version>.metadata.json`` via conditional put, then
+    refresh the advisory ``version-hint.text``.  Raises
+    :class:`~..errors.BuzzCommitConflictError` when a concurrent writer
+    already promoted this version (retryable — re-read and re-commit)."""
+    if store is None:
+        store = default_store()
+    store.put_if_absent(
         os.path.join(meta_dir, f"v{new_version}.metadata.json"),
-        json.dumps(meta),
+        json.dumps(meta).encode(),
     )
-    _atomic_write(os.path.join(meta_dir, "version-hint.text"), str(new_version))
+    store.put_atomic(
+        os.path.join(meta_dir, "version-hint.text"), str(new_version).encode()
+    )
     return new_version
 
 
@@ -1261,6 +1277,7 @@ def delete_iceberg(
     table_uri: str,
     predicate: str,
     max_delete_rows: int = 5_000_000,
+    store=None,
 ) -> dict | None:
     """DELETE FROM the Iceberg table WHERE ``predicate`` — merge-on-read:
     no data file is rewritten; matched (file, position) pairs land in ONE
@@ -1438,6 +1455,7 @@ def delete_iceberg(
             "added-position-deletes": str(len(pairs)),
         },
         log_prior_metadata=True,
+        store=store,
     )
     return {
         "snapshot_id": snap_id,
@@ -1452,6 +1470,7 @@ def rewrite_iceberg(
     spark,
     table_uri: str,
     target_file_rows: int = 1_000_000,
+    store=None,
 ) -> dict | None:
     """Compaction (Iceberg's rewrite-data-files maintenance action): the
     current snapshot — position deletes applied — is materialized into
@@ -1477,6 +1496,7 @@ def rewrite_iceberg(
         mode="overwrite",
         target_file_rows=target_file_rows,
         _operation="replace",
+        store=store,
     )
 
 
@@ -1486,6 +1506,7 @@ def merge_iceberg(
     source: DataFrame,
     key_cols: list[str],
     target_file_rows: int = 1_000_000,
+    store=None,
 ) -> dict | None:
     """UPSERT ``source`` into the Iceberg table by ``key_cols`` — the
     Flink-CDC merge-on-read shape: ONE commit carries an EQUALITY-delete
@@ -1675,6 +1696,7 @@ def merge_iceberg(
             "added-equality-deletes": str(key_rows),
         },
         log_prior_metadata=True,
+        store=store,
     )
     return {
         "snapshot_id": snap_id,
@@ -1689,6 +1711,7 @@ def expire_iceberg_snapshots(
     table_uri: str,
     keep_last: int = 1,
     older_than_ms: int | None = None,
+    store=None,
 ) -> dict | None:
     """Expire old snapshots from the table metadata (Iceberg's
     expire-snapshots maintenance action) — the prerequisite for
@@ -1748,13 +1771,8 @@ def expire_iceberg_snapshots(
         if ref.get("snapshot-id") in keep_ids
     }
     meta["last-updated-ms"] = int(time.time() * 1000)
-    new_version = version + 1
     meta_dir = os.path.join(root, "metadata")
-    _atomic_write(
-        os.path.join(meta_dir, f"v{new_version}.metadata.json"),
-        json.dumps(meta),
-    )
-    _atomic_write(os.path.join(meta_dir, "version-hint.text"), str(new_version))
+    new_version = _promote_metadata(meta_dir, version + 1, meta, store)
     return {
         "expired_snapshots": expired,
         "retained_snapshots": sorted(keep_ids & {s["snapshot-id"] for s in snaps}),

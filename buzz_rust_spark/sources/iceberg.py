@@ -1070,13 +1070,19 @@ class IcebergCatalog:
           (deletes targeting files compacted out of this snapshot drop
           here — that is why sequence numbers need not be consulted for
           position deletes), then ONE anti-join on (path, row index);
-        - equality deletes: per (key-column set, sequence number) group,
-          one NULL-SAFE anti-join on the key columns with the spec's
-          strict sequence scope (``data_seq < delete_seq`` — a row written
-          in or after the delete's commit is NOT deleted by it), the
-          per-file data sequence number attached via a broadcast path→seq
-          map.  Iceberg treats null as a matchable value in equality
-          deletes, hence eqNullSafe.
+        - equality deletes: ONE null-safe anti-join per KEY-COLUMN SET —
+          not per commit.  All of a key-set's delete files are read in a
+          single scan, each row tagged with its file's sequence number via
+          a broadcast path→seq map, then aggregated to max(seq) per key
+          tuple; the anti-join condition is the null-safe key match AND
+          the spec's strict sequence scope ``data_seq < max_delete_seq``
+          (a row is dead iff ANY strictly-later delete matches its key, ≡
+          iff the LATEST matching delete is strictly later — so the max
+          preserves exact semantics, including re-insert survival).  A
+          Flink-CDC table with thousands of upsert commits thus plans ONE
+          join, not a thousand chained anti-joins.  Iceberg treats null
+          as a matchable value in equality deletes, hence eqNullSafe (and
+          groupBy, which groups nulls, is the matching aggregate).
 
         Each delete relation is broadcast when the manifests' recorded
         sizes total under DELETE_BROADCAST_MAX_BYTES, so the common
@@ -1086,7 +1092,7 @@ class IcebergCatalog:
         from pyspark.sql import functions as F
         from pyspark.sql.functions import broadcast
 
-        from .uris import normalized_path_col
+        from .uris import normalized_key, normalized_path_col
 
         def scan_part(subset: list[CatalogFile], fmt: str) -> DataFrame:
             reader = spark.read.schema(self._scan_schema)
@@ -1141,8 +1147,8 @@ class IcebergCatalog:
             by_name = {f.name: f for f in self._scan_schema.fields}
             groups: dict[tuple, list[dict]] = {}
             for d in eq:
-                groups.setdefault((d["eq_ids"], d["seq"]), []).append(d)
-            for (ids, dseq), dels in sorted(groups.items()):
+                groups.setdefault(d["eq_ids"], []).append(d)
+            for ids, dels in sorted(groups.items()):
                 names = []
                 for fid in ids:
                     name = self._field_names.get(fid)
@@ -1155,10 +1161,25 @@ class IcebergCatalog:
                         )
                     names.append(name)
                 key_schema = StructType([by_name[n] for n in names])
+                # one scan of ALL the key-set's delete files; a carried-
+                # forward entry may list a file twice — dedup by uri (the
+                # seq is identical: EXISTING entries keep their original)
+                seq_by_uri = {
+                    normalized_key(d["uri"]): int(d["seq"]) for d in dels
+                }
+                dseq_map = spark.createDataFrame(
+                    sorted(seq_by_uri.items()), "__dpath string, __dseq long"
+                )
                 del_rel = (
                     spark.read.schema(key_schema)
-                    .parquet(*[d["uri"] for d in dels])
-                    .dropDuplicates()
+                    .parquet(*sorted({d["uri"] for d in dels}))
+                    .withColumn(
+                        "__dpath",
+                        normalized_path_col(F.col("_metadata.file_path")),
+                    )
+                    .join(broadcast(dseq_map), on="__dpath")
+                    .groupBy(*names)
+                    .agg(F.max("__dseq").alias("__dseq"))
                     .alias("__d")
                 )
                 if (
@@ -1173,7 +1194,7 @@ class IcebergCatalog:
                         F.col(f"__s.{n}").eqNullSafe(F.col(f"__d.{n}"))
                         for n in names
                     ]
-                    + [F.col("__s.__seq") < F.lit(int(dseq))],
+                    + [F.col("__s.__seq") < F.col("__d.__dseq")],
                 )
                 scan = s.join(del_rel, on=cond, how="left_anti")
             scan = scan.drop("__seq")

@@ -1356,3 +1356,39 @@ def test_manifest_skipping_bare_numeric_end_to_end(spark, tmp_path):
     # bounds/literal string-compare inverted)
     with pytest.raises(Exception):
         IcebergCatalog("t", root).to_dataframe(spark, "year > 1998").collect()
+
+
+def test_equality_delete_single_join_per_keyset(spark, tmp_path):
+    """≥20 equality-delete commits (Flink-CDC cadence) must plan exactly
+    ONE anti-join for the key-set — not one per commit — with MOR results
+    identical to the per-commit semantics, including re-insert survival."""
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg, write_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(i, 0) for i in range(5)], "id long, v long"),
+        root,
+    )
+    # 21 upsert commits: keys cycle 0..4, values strictly increase
+    for c in range(1, 22):
+        merge_iceberg(
+            spark, root,
+            spark.createDataFrame([(c % 5, c)], "id long, v long"), ["id"],
+        )
+    # re-insert survival: key 99 upserted then upserted again — the newest
+    # row postdates every delete matching its key and must survive
+    merge_iceberg(spark, root,
+                  spark.createDataFrame([(99, 1)], "id long, v long"), ["id"])
+    merge_iceberg(spark, root,
+                  spark.createDataFrame([(99, 2)], "id long, v long"), ["id"])
+
+    df = IcebergCatalog("t", root).to_dataframe(spark)
+    expect = {i: 0 for i in range(5)}
+    for c in range(1, 22):
+        expect[c % 5] = c
+    expect[99] = 2
+    assert {(r.id, r.v) for r in df.collect()} == set(expect.items())
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    anti_joins = plan.count("Join LeftAnti")
+    assert anti_joins == 1, f"expected 1 anti-join for 23 delete commits, got {anti_joins}:\n{plan[:4000]}"

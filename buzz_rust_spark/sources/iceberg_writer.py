@@ -503,6 +503,8 @@ def _write_data_files(
     target_file_rows: int,
     col_types: list[str | None] | None = None,
     no_null_cols: list[str] | None = None,
+    required: bool = False,
+    name_prefix: str = "",
 ) -> list[dict]:
     """One ``mapInArrow`` job writing parquet data files; returns the small
     per-file manifest rows.  Partition columns STAY in the data files (the
@@ -518,6 +520,9 @@ def _write_data_files(
     Arrow chunk), shipped back as ``stats`` = {col: [min, max, nulls]}
     with date/timestamp already in physical form — the driver serializes
     them into the manifest's bound maps.
+
+    ``required=True`` marks every written parquet field non-nullable (the
+    position-delete file columns, which the spec declares required).
 
     ``no_null_cols`` are columns the TABLE schema declares required while
     the incoming DataFrame schema is merely nullable (Spark marks nearly
@@ -557,7 +562,7 @@ def _write_data_files(
         def file_schema(batch_schema):
             return pa.schema(
                 [
-                    f.with_metadata(
+                    f.with_nullable(not required and f.nullable).with_metadata(
                         {b"PARQUET:field_id": str(fid).encode()}
                     )
                     for f, fid in zip(batch_schema, field_ids)
@@ -588,7 +593,7 @@ def _write_data_files(
                 ent = writers.get(key)
                 if ent is None:
                     path = os.path.join(
-                        data_dir, f"{uuid.uuid4().hex}.parquet"
+                        data_dir, f"{name_prefix}{uuid.uuid4().hex}.parquet"
                     )
                     ent = writers[key] = [
                         pq.ParquetWriter(path, file_schema(tbl.schema)),
@@ -1286,9 +1291,17 @@ def delete_iceberg(
 
     Returns a commit summary, or None when no LIVE row matches (rows
     already position-deleted never re-match — a predicate covering only
-    them is a logical no-op, same semantics as ``delete_delta``).  The
-    matched set is bounded by ``max_delete_rows`` (driver-side sort +
-    write; past that a rewrite is the better trade — typed error says so).
+    them is a logical no-op, same semantics as ``delete_delta``).
+
+    The delete files are EXECUTOR-written through the same fanout writer
+    as data files: matched coordinates are hash-repartitioned by target
+    file path, sorted within each partition by (file_path, pos) — the
+    spec's required ordering, per file — and streamed to parquet by the
+    tasks; the driver sees only the per-file manifest rows.  Driver
+    memory is O(files), not O(matched rows).  ``max_delete_rows`` is a
+    POLICY knob, not a memory guard: past it, compaction (rewrite) is
+    the better trade than accumulating giant MOR delete files, and the
+    typed error says so.
 
     Boundaries: tables with existing EQUALITY deletes are refused (their
     sequence-number scoping against a fresh predicate scan is not
@@ -1353,60 +1366,50 @@ def delete_iceberg(
         )
         scan = scan.join(del_df, on=["__path", "__ridx"], how="left_anti")
 
+    # normalized scan path → the manifest-RECORDED file path (delete files
+    # must reference paths exactly as the manifests spell them); broadcast
+    # map join, then repartition by target file so each task's sorted run
+    # covers whole files, and sortWithinPartitions for the spec's required
+    # (file_path, pos) ordering — per written file, which is the spec's
+    # unit ("rows must be sorted by file_path then pos")
+    rec_map = spark.createDataFrame(
+        sorted(set(plan["pairs"])), "file_path string, __path string"
+    )
     matched = (
         scan.where(predicate)
         .select("__path", "__ridx")
-        .limit(max_delete_rows + 1)
-        .collect()
+        .join(broadcast(rec_map), on="__path")
+        .select("file_path", F.col("__ridx").cast("long").alias("pos"))
+        .repartition("file_path")
+        .sortWithinPartitions("file_path", "pos")
     )
-    if not matched:
-        return None
-    if len(matched) > max_delete_rows:
-        raise BuzzExecutionError(
-            f"predicate matches more than max_delete_rows="
-            f"{max_delete_rows}; rewrite the table (overwrite) instead of "
-            "accumulating a delete file this large"
-        )
-
-    # normalized scan path → the manifest-RECORDED file path (delete files
-    # must reference paths exactly as the manifests spell them)
-    recorded = {norm: rec for rec, norm in plan["pairs"]}
-    pairs = sorted(
-        (recorded[r["__path"]], int(r["__ridx"])) for r in matched
-    )
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     data_dir = os.path.join(root, "data")
     os.makedirs(data_dir, exist_ok=True)
-    del_path = os.path.join(data_dir, f"delete-{uuid.uuid4().hex}.parquet")
-    del_pa_schema = pa.schema(
-        [
-            pa.field(
-                "file_path",
-                pa.string(),
-                nullable=False,
-                metadata={b"PARQUET:field_id": str(_POS_DELETE_PATH_ID).encode()},
-            ),
-            pa.field(
-                "pos",
-                pa.int64(),
-                nullable=False,
-                metadata={b"PARQUET:field_id": str(_POS_DELETE_POS_ID).encode()},
-            ),
-        ]
+    del_files = _write_data_files(
+        matched,
+        data_dir,
+        [],
+        [_POS_DELETE_PATH_ID, _POS_DELETE_POS_ID],
+        {},
+        target_file_rows=max(1, min(max_delete_rows, 5_000_000)),
+        required=True,
+        name_prefix="delete-",
     )
-    pq.write_table(
-        pa.table(
-            {
-                "file_path": pa.array([p for p, _ in pairs], pa.string()),
-                "pos": pa.array([i for _, i in pairs], pa.int64()),
-            },
-            schema=del_pa_schema,
-        ),
-        del_path,
-    )
+    if not del_files:
+        return None
+    n_deleted = sum(f["record_count"] for f in del_files)
+    if n_deleted > max_delete_rows:
+        for f in del_files:
+            try:
+                os.unlink(f["file_path"])
+            except OSError:
+                pass
+        raise BuzzExecutionError(
+            f"predicate matches {n_deleted} rows, more than max_delete_rows="
+            f"{max_delete_rows}; rewrite the table (overwrite) instead of "
+            "accumulating merge-on-read delete files this large"
+        )
 
     # --- delete manifest + commit (under the table's UNPARTITIONED spec:
     # position deletes here are path-scoped/global, and a null tuple under
@@ -1420,22 +1423,18 @@ def delete_iceberg(
     )
     meta = dict(meta)
     unpart_id = _unpartitioned_spec_id(meta)
-    del_file = {
-        "file_path": del_path,
-        "record_count": len(pairs),
-        "file_size_in_bytes": os.path.getsize(del_path),
-    }
     meta_dir = os.path.join(root, "metadata")
     manifest_path = _write_manifest(
         meta_dir,
-        _manifest_entries([del_file], 1, None, [], snap_id),
+        _manifest_entries(del_files, 1, None, [], snap_id),
         [],
         schema_json,
         unpart_id,
         "deletes",
     )
     delete_rec = _manifest_rec(
-        manifest_path, unpart_id, 1, seq, snap_id, 1, len(pairs), None
+        manifest_path, unpart_id, 1, seq, snap_id, len(del_files), n_deleted,
+        None,
     )
     mlist_path = _write_manifest_list(
         meta_dir, snap_id, seq, [delete_rec] + _carry_manifests(_prev_manifests(meta))
@@ -1451,8 +1450,8 @@ def delete_iceberg(
         sid,
         "delete",
         {
-            "added-delete-files": "1",
-            "added-position-deletes": str(len(pairs)),
+            "added-delete-files": str(len(del_files)),
+            "added-position-deletes": str(n_deleted),
         },
         log_prior_metadata=True,
         store=store,
@@ -1461,7 +1460,7 @@ def delete_iceberg(
         "snapshot_id": snap_id,
         "sequence_number": seq,
         "metadata_version": new_version,
-        "deleted_rows": len(pairs),
+        "deleted_rows": n_deleted,
         "operation": "delete",
     }
 

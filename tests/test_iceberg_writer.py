@@ -873,3 +873,52 @@ def test_expiry_preserves_exactly_once_txn_markers(spark, tmp_path):
     assert sorted(
         r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
     ) == [1, 2, 3, 4]
+
+
+def test_delete_executor_written_multi_file_sorted(spark, tmp_path):
+    """Position-delete files are executor-written: a delete spanning many
+    data files may produce several delete files (one per task), each
+    internally sorted by (file_path, pos) per the spec, all committed
+    under one manifest — and the driver never materializes the matches."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    root = str(tmp_path / "t")
+    df = spark.range(200).selectExpr("id", "id % 10 AS bucket")
+    write_iceberg(df, root, target_file_rows=20)  # 10 data files
+    s = delete_iceberg(spark, root, "id % 2 = 0")
+    assert s["deleted_rows"] == 100
+    dels = _glob.glob(os.path.join(root, "data", "delete-*.parquet"))
+    assert len(dels) >= 1
+    total = 0
+    for p in dels:
+        t = pq.read_table(p)
+        rows = list(zip(t.column("file_path").to_pylist(),
+                        t.column("pos").to_pylist()))
+        assert rows == sorted(rows), f"{p} not sorted by (file_path, pos)"
+        # spec: both columns required
+        assert not t.schema.field("file_path").nullable
+        assert not t.schema.field("pos").nullable
+        total += len(rows)
+    assert total == 100
+    got = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [i for i in range(200) if i % 2 == 1]
+
+
+def test_delete_max_rows_policy_error_leaves_no_orphans(spark, tmp_path):
+    import glob as _glob
+
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.range(50).selectExpr("id"), root)
+    with pytest.raises(Exception, match="max_delete_rows"):
+        delete_iceberg(spark, root, "id >= 0", max_delete_rows=10)
+    # nothing committed, no delete-file litter
+    assert _glob.glob(os.path.join(root, "data", "delete-*.parquet")) == []
+    assert IcebergCatalog("t", root).to_dataframe(spark).count() == 50

@@ -2344,3 +2344,65 @@ def z28_iceberg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "z29_iceberg_changes",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 80
+),
+b2 AS (SELECT * FROM docs WHERE doc_id % 4 = 1),
+up AS (SELECT doc_id, source, 'v2 ' || text AS text
+       FROM docs WHERE doc_id % 4 = 1 AND doc_id % 3 = 0),
+ins AS (SELECT doc_id + 10000000 AS doc_id, source, text
+        FROM docs WHERE doc_id % 4 = 2),
+net AS (
+  SELECT * FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM up)
+  UNION ALL SELECT * FROM up
+  UNION ALL SELECT * FROM ins
+)
+SELECT doc_id, source, CAST(length(text) AS BIGINT) AS text_len,
+       (text LIKE 'v2 %') AS is_v2
+FROM net ORDER BY doc_id
+""",
+)
+def z29_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg incremental (changes) read, oracle-checked: a base write, an
+    append, and a CDC merge build the table; ``read_iceberg_changes``
+    over (base, merge] must return exactly the NET NEW rows — the append's
+    rows minus those the merge overwrote, plus the merge's upserts and
+    inserts — which the oracle recomputes relationally."""
+    import tempfile
+
+    from ..sources.iceberg import read_iceberg_changes
+    from ..sources.iceberg_writer import merge_iceberg, write_iceberg
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(80)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z29_") + "/tbl"
+    s1 = write_iceberg(docs.where("doc_id % 4 = 0"), root)["snapshot_id"]
+    write_iceberg(docs.where("doc_id % 4 = 1"), root, mode="append")
+    upd = docs.where("doc_id % 4 = 1 AND doc_id % 3 = 0").withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text"))
+    )
+    ins = docs.where("doc_id % 4 = 2").withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    merge_iceberg(spark, root, upd.unionByName(ins), ["doc_id"])
+
+    return (
+        read_iceberg_changes(spark, root, s1)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+            F.col("text").startswith("v2 ").alias("is_v2"),
+        )
+        .orderBy("doc_id")
+    )

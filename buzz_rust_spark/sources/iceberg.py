@@ -1056,9 +1056,13 @@ class IcebergCatalog:
         pos: list[dict],
         eq: list[dict],
         plan: dict,
+        tag: list[tuple[str, int]] | None = None,
     ) -> DataFrame:
         """Merge-on-read scan: data files minus position- and
-        equality-deleted rows.
+        equality-deleted rows.  ``tag`` (normalized path → snapshot id)
+        appends a ``_snapshot_id`` column via a broadcast map join — the
+        changes feed marks each surviving row with the commit that added
+        it, same shape as the Delta feed's ``_commit_version``.
 
         Shape (template: ``delta_catalog.py::_dv_scan``): ONE scan per data
         format selecting ``_metadata.file_path`` (+ ``row_index`` when
@@ -1199,6 +1203,12 @@ class IcebergCatalog:
                 scan = s.join(del_rel, on=cond, how="left_anti")
             scan = scan.drop("__seq")
 
+        if tag is not None:
+            tag_df = spark.createDataFrame(
+                sorted(tag), "__path string, _snapshot_id long"
+            )
+            scan = scan.join(broadcast(tag_df), on="__path", how="left")
+            return scan.select(*data_cols, "_snapshot_id")
         return scan.drop("__path").select(*data_cols)
 
     def history(self) -> list[dict]:
@@ -1213,3 +1223,210 @@ class IcebergCatalog:
             }
             for s in self._snapshots
         ]
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    table_uri: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    region: str | None = None,
+) -> DataFrame:
+    """Rows that are NET NEW in snapshots ``(from_snapshot_id,
+    to_snapshot_id]`` — incremental consumption of an Iceberg v2 table,
+    mirroring :func:`~.delta_catalog.read_delta_changes`: a downstream job
+    remembers the last snapshot it processed and reads only the newer
+    commits' files, never rescanning the table.  Each row carries
+    ``_snapshot_id`` (the commit that added it).
+
+    Semantics (classified from the snapshot ``summary.operation``):
+
+    - ``append``: its added data files' rows are changes.
+    - ``delete`` / CDC ``overwrite`` (equality-delete upserts, the
+      :func:`~.iceberg_writer.merge_iceberg` shape): their delete files
+      apply MERGE-ON-READ *within the range* — a row appended at snapshot
+      r and deleted/overwritten at a later in-range snapshot s never
+      surfaces (sequence scope ``r < s``), so the feed is exactly the net
+      new rows.  Deletions of PRE-range rows are not expressible in an
+      appends feed and are not surfaced.
+    - ``replace`` (compaction): content-identical by definition — skipped;
+      rows added earlier in the range are read from their ORIGINAL files
+      (still on disk inside the vacuum retention window) even if a later
+      in-range compaction rewrote them.
+    - A truncating ``overwrite`` (no equality-delete evidence in the
+      summary) is a typed refusal, same as the Delta feed: surfacing its
+      added files would double-count rewritten pre-range rows.
+
+    Scale: O(range) manifest-list reads driver-side, manifest decode
+    through the catalog's distributed path above the driver cap, one
+    distributed scan of exactly the range's files.  Gaps in the range's
+    sequence numbers (snapshots expired past the consumer's cursor) are a
+    typed error — silently skipping them would be permanent data loss for
+    the consumer; re-bootstrap from a full snapshot read instead."""
+    cat = IcebergCatalog("_changes", table_uri, region=region)
+    if cat.format_version < 2:
+        raise BuzzExecutionError(
+            "iceberg changes feed requires format-version 2 (v1 snapshots "
+            "carry no sequence numbers to scope the range)"
+        )
+    snaps = {s["snapshot-id"]: s for s in cat._snapshots}
+    if from_snapshot_id not in snaps:
+        raise BuzzExecutionError(
+            f"from_snapshot {from_snapshot_id} not in table history "
+            "(expired past the consumer's cursor, or the table was "
+            "recreated) — re-bootstrap from a full snapshot read"
+        )
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else max(snaps.values(), key=lambda s: int(s.get("sequence-number", 0)))[
+            "snapshot-id"
+        ]
+    )
+    if to_id not in snaps:
+        raise BuzzExecutionError(
+            f"to_snapshot {to_id} not in table history (have "
+            f"{sorted(snaps)})"
+        )
+    from_seq = int(snaps[from_snapshot_id].get("sequence-number", 0))
+    to_seq = int(snaps[to_id].get("sequence-number", 0))
+    if to_seq < from_seq:
+        raise BuzzBadRequestError(
+            f"to_snapshot (seq {to_seq}) precedes from_snapshot "
+            f"(seq {from_seq})"
+        )
+
+    empty_schema = StructType(
+        list(cat._scan_schema.fields)
+        + [StructField("_snapshot_id", LongType(), True)]
+    )
+    if to_seq == from_seq:
+        return spark.createDataFrame([], empty_schema)
+
+    in_range = sorted(
+        (
+            s for s in cat._snapshots
+            if from_seq < int(s.get("sequence-number", 0)) <= to_seq
+        ),
+        key=lambda s: int(s.get("sequence-number", 0)),
+    )
+    have_seqs = {int(s.get("sequence-number", 0)) for s in in_range}
+    gaps = sorted(set(range(from_seq + 1, to_seq + 1)) - have_seqs)
+    if gaps:
+        raise BuzzExecutionError(
+            f"iceberg history at {table_uri!r} is missing sequence "
+            f"number(s) {gaps[:5]}{'...' if len(gaps) > 5 else ''} in the "
+            f"change window ({from_seq}, {to_seq}] — snapshots were expired "
+            "past the consumer's cursor; re-bootstrap from a full snapshot"
+        )
+
+    from .uris import normalized_key
+
+    files: list[CatalogFile] = []
+    deletes: list[dict] = []
+    pairs: list[tuple[str, str]] = []
+    seq_by_norm: dict[str, int] = {}
+    tag: list[tuple[str, int]] = []
+    orc_keys: set = set()
+    for s in in_range:
+        sid = s["snapshot-id"]
+        op = (s.get("summary") or {}).get("operation")
+        if op == "replace":
+            continue
+        if op == "overwrite" and "added-equality-deletes" not in (
+            s.get("summary") or {}
+        ):
+            raise BuzzExecutionError(
+                f"snapshot {sid} is a truncating overwrite; incremental "
+                "changes are only defined over append/upsert/delete "
+                "history (its added files would double-count rewritten "
+                "rows) — re-bootstrap from a full snapshot read"
+            )
+        if op not in ("append", "delete", "overwrite"):
+            raise BuzzExecutionError(
+                f"snapshot {sid} has unsupported operation {op!r} for the "
+                "changes feed"
+            )
+        _, manifests = decode_avro_file(
+            cat._read_meta_bytes(s["manifest-list"])
+        )
+        added = [
+            m for m in manifests
+            if int(m.get("added_snapshot_id") or -1) == int(sid)
+        ]
+        for mcontent, mseq, e in cat._decode_entries(spark, added):
+            if int(e.get("status") or 0) != 1:
+                continue  # EXISTING/DELETED entries are not new at s
+            esnap = e.get("snapshot_id")
+            if esnap is not None and int(esnap) != int(sid):
+                continue
+            df_rec = e["data_file"]
+            fcontent = int(df_rec.get("content") or 0)
+            fmt = str(df_rec.get("file_format", "")).upper()
+            eseq = e.get("sequence_number")
+            seq = int(eseq) if eseq is not None else mseq
+            key = _spark_uri(df_rec["file_path"])
+            if fcontent == 0:
+                if fmt and fmt not in ("PARQUET", "ORC"):
+                    raise BuzzExecutionError(
+                        f"iceberg data file format {fmt!r} not supported"
+                    )
+                if fmt == "ORC":
+                    orc_keys.add(key)
+                norm = normalized_key(key)
+                files.append(
+                    CatalogFile(
+                        key=key,
+                        length=int(df_rec.get("file_size_in_bytes") or 0),
+                        partitions=(),
+                    )
+                )
+                pairs.append((df_rec["file_path"], norm))
+                seq_by_norm[norm] = seq
+                tag.append((norm, int(sid)))
+            elif fcontent in (1, 2):
+                if fmt and fmt != "PARQUET":
+                    raise BuzzExecutionError(
+                        f"iceberg delete file format {fmt!r} not supported "
+                        "(parquet only)"
+                    )
+                eq_ids = df_rec.get("equality_ids")
+                if fcontent == 2 and not eq_ids:
+                    raise BuzzExecutionError(
+                        "iceberg equality delete file lacks equality_ids"
+                    )
+                deletes.append(
+                    {
+                        "uri": key,
+                        "size": int(df_rec.get("file_size_in_bytes") or 0),
+                        "kind": "pos" if fcontent == 1 else "eq",
+                        "seq": seq,
+                        "eq_ids": tuple(int(i) for i in eq_ids or ()),
+                    }
+                )
+
+    if not files:
+        return spark.createDataFrame([], empty_schema)
+
+    orc = [f for f in files if f.key in orc_keys]
+    parq = [f for f in files if f.key not in orc_keys]
+    pos = [d for d in deletes if d["kind"] == "pos"]
+    eq = [d for d in deletes if d["kind"] == "eq"]
+    if orc and pos:
+        raise BuzzExecutionError(
+            "iceberg position deletes over ORC data files are not "
+            "supported (no _metadata.row_index for ORC scans)"
+        )
+    if (orc or eq) and cat._evolved:
+        raise BuzzExecutionError(
+            "iceberg changes over a schema-evolved (renamed-column) table "
+            "with ORC files or equality deletes are not supported — same "
+            "refusals as the snapshot read path"
+        )
+    if cat._evolved:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    return cat._mor_scan(
+        spark, parq, orc, pos, eq,
+        {"pairs": pairs, "seq_by_norm": seq_by_norm},
+        tag=tag,
+    )

@@ -1392,3 +1392,108 @@ def test_equality_delete_single_join_per_keyset(spark, tmp_path):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     anti_joins = plan.count("Join LeftAnti")
     assert anti_joins == 1, f"expected 1 anti-join for 23 delete commits, got {anti_joins}:\n{plan[:4000]}"
+
+
+# --- incremental (changes) read ---------------------------------------------
+
+
+def test_iceberg_changes_lifecycle(spark, tmp_path):
+    """write→append→merge→rewrite: changes over each window return exactly
+    the net new rows, tagged with the snapshot that added them; compaction
+    contributes nothing; windows crossing a truncating overwrite refuse."""
+    from buzz_rust_spark.sources.iceberg import read_iceberg_changes
+    from buzz_rust_spark.sources.iceberg_writer import (
+        merge_iceberg,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    s1 = write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )["snapshot_id"]
+    s2 = write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, v string"), root,
+        mode="append",
+    )["snapshot_id"]
+    s3 = merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(3, "C"), (4, "d")], "id long, v string"),
+        ["id"],
+    )["snapshot_id"]
+    s4 = rewrite_iceberg(spark, root)["snapshot_id"]
+
+    # (s1, s2]: just the append
+    got = read_iceberg_changes(spark, root, s1, s2)
+    assert {(r.id, r.v, r._snapshot_id) for r in got.collect()} == {(3, "c", s2)}
+
+    # (s1, s3]: s2's row 3 was overwritten by the merge IN the window —
+    # net new rows are the merge's upserts only... plus nothing from s2
+    got = read_iceberg_changes(spark, root, s1, s3)
+    assert {(r.id, r.v, r._snapshot_id) for r in got.collect()} == {
+        (3, "C", s3), (4, "d", s3),
+    }
+
+    # (s1, s4]: the rewrite adds no logical rows
+    got = read_iceberg_changes(spark, root, s1, s4)
+    assert {(r.id, r.v, r._snapshot_id) for r in got.collect()} == {
+        (3, "C", s3), (4, "d", s3),
+    }
+
+    # (s3, s4]: only compaction — empty, with the right schema
+    got = read_iceberg_changes(spark, root, s3, s4)
+    assert got.count() == 0
+    assert got.columns == ["id", "v", "_snapshot_id"]
+
+    # to defaults to current
+    assert read_iceberg_changes(spark, root, s1).count() == 2
+
+    # same-snapshot window is empty
+    assert read_iceberg_changes(spark, root, s2, s2).count() == 0
+
+
+def test_iceberg_changes_delete_and_refusals(spark, tmp_path):
+    from buzz_rust_spark.errors import (
+        BuzzBadRequestError,
+        BuzzExecutionError,
+    )
+    from buzz_rust_spark.sources.iceberg import read_iceberg_changes
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        expire_iceberg_snapshots,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    s1 = write_iceberg(spark.range(4).selectExpr("id"), root)["snapshot_id"]
+    s2 = write_iceberg(
+        spark.createDataFrame([(10,), (11,)], "id long"), root, mode="append"
+    )["snapshot_id"]
+    # position-delete one in-range row (10) and one pre-range row (0)
+    s3 = delete_iceberg(spark, root, "id IN (0, 10)")["snapshot_id"]
+
+    got = read_iceberg_changes(spark, root, s1, s3)
+    # net new rows: 11 survives; 10 was added then deleted IN range;
+    # the deletion of pre-range row 0 is not expressible in an appends feed
+    assert {(r.id, r._snapshot_id) for r in got.collect()} == {(11, s2)}
+
+    # inverted window
+    with pytest.raises(BuzzBadRequestError, match="precedes"):
+        read_iceberg_changes(spark, root, s3, s1)
+    # unknown cursor
+    with pytest.raises(BuzzExecutionError, match="re-bootstrap"):
+        read_iceberg_changes(spark, root, 424242, s3)
+
+    # truncating overwrite in the window → typed refusal
+    s4 = write_iceberg(
+        spark.createDataFrame([(99,)], "id long"), root, mode="overwrite"
+    )["snapshot_id"]
+    with pytest.raises(BuzzExecutionError, match="truncating overwrite"):
+        read_iceberg_changes(spark, root, s1, s4).collect()
+
+    # expired history inside the window → typed gap error
+    write_iceberg(spark.createDataFrame([(5,)], "id long"), root,
+                  mode="append")
+    expire_iceberg_snapshots(root, keep_last=1)
+    with pytest.raises(BuzzExecutionError, match="re-bootstrap|not in table"):
+        read_iceberg_changes(spark, root, s1)

@@ -92,38 +92,6 @@ def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
                 action = json.loads(line)
                 if "protocol" in action:
                     _LAST_PROTOCOL[log_dir] = action["protocol"] or {}
-                    # Spec: a writer MUST refuse tables whose writer protocol
-                    # exceeds what it implements — committing plain actions
-                    # to e.g. an invariants table would corrupt it.  Writer 7
-                    # passes iff every listed writerFeature is implemented
-                    # (deletionVectors — our own delete mode="dv" upgrade).
-                    proto = action["protocol"] or {}
-                    writer_v = int(proto.get("minWriterVersion", 2))
-                    # a v7 protocol MUST list its writerFeatures; a missing
-                    # list is malformed and stays refused (feats=None)
-                    feats = (
-                        set(proto["writerFeatures"])
-                        if writer_v == 7
-                        and proto.get("writerFeatures") is not None
-                        else None
-                    )
-                    if writer_v > PROTOCOL["minWriterVersion"] and not (
-                        feats is not None and feats <= SUPPORTED_WRITER_FEATURES
-                    ):
-                        from ..errors import BuzzNotImplementedError
-
-                        raise BuzzNotImplementedError(
-                            f"Delta table at {log_dir!r} requires"
-                            f" minWriterVersion={writer_v}"
-                            + (
-                                f" with writer features {sorted(feats)}"
-                                if feats
-                                else ""
-                            )
-                            + f"; this writer implements"
-                            f" {PROTOCOL['minWriterVersion']} plus writer-7"
-                            f" features {sorted(SUPPORTED_WRITER_FEATURES)}"
-                        )
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
@@ -132,7 +100,61 @@ def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
                     live.pop(action["remove"]["path"], None)
         for add in adds:
             live[add["path"]] = add
+    # the gate runs AFTER the replay: legacy writer version 5 is only
+    # acceptable in light of the final metaData (column mapping yes,
+    # invariants/generated/CDF/identity no), which a mid-log check can't see
+    _check_writer_protocol(_LAST_PROTOCOL[log_dir], meta, log_dir)
     return last, live, meta
+
+
+def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
+    """Spec: a writer MUST refuse tables whose writer protocol exceeds what
+    it implements — committing plain actions to e.g. an invariants table
+    would corrupt it.
+
+    Accepted: legacy ≤2; legacy 5 when the metaData shows COLUMN MAPPING
+    is the only v5-era capability in use (mode name/id set by
+    :func:`evolve_delta`, no field invariants/generated expressions, no
+    change data feed, no identity columns — those would be silently
+    violated); writer 7 iff every listed writerFeature is implemented."""
+    writer_v = int(proto.get("minWriterVersion", 2))
+    if writer_v <= PROTOCOL["minWriterVersion"]:
+        return
+    # a v7 protocol MUST list its writerFeatures; a missing list is
+    # malformed and stays refused (feats=None)
+    feats = (
+        set(proto["writerFeatures"])
+        if writer_v == 7 and proto.get("writerFeatures") is not None
+        else None
+    )
+    if feats is not None and feats <= SUPPORTED_WRITER_FEATURES:
+        return
+    if writer_v == 5 and meta:
+        config = meta.get("configuration") or {}
+        mode = config.get("delta.columnMapping.mode", "none") or "none"
+        fields = json.loads(meta.get("schemaString", '{"fields": []}'))[
+            "fields"
+        ]
+        hazards = [
+            k
+            for f in fields
+            for k in (f.get("metadata") or {})
+            if k == "delta.invariants"
+            or k.startswith(("delta.generationExpression", "delta.identity."))
+        ]
+        if config.get("delta.enableChangeDataFeed", "").lower() == "true":
+            hazards.append("delta.enableChangeDataFeed")
+        if mode in ("name", "id") and not hazards:
+            return
+    from ..errors import BuzzNotImplementedError
+
+    raise BuzzNotImplementedError(
+        f"Delta table at {log_dir!r} requires minWriterVersion={writer_v}"
+        + (f" with writer features {sorted(feats)}" if feats else "")
+        + f"; this writer implements {PROTOCOL['minWriterVersion']},"
+        " writer-5 column mapping, and writer-7 features"
+        f" {sorted(SUPPORTED_WRITER_FEATURES)}"
+    )
 
 
 # last protocol action seen per log_dir by the most recent _log_state replay
@@ -150,6 +172,45 @@ def _current_protocol(log_dir: str) -> dict:
         return proto
     _log_state(log_dir)
     return _LAST_PROTOCOL[log_dir]
+
+
+def _writer_mapping(meta: dict) -> tuple[str, dict[str, str], dict[str, int]]:
+    """(columnMapping mode, logical→physical names, logical→mapping ids)
+    from the table metaData — the write-side twin of the catalog's
+    ``_mapping_info`` (duplicated to keep writer↔reader import-acyclic)."""
+    config = (meta or {}).get("configuration") or {}
+    mode = config.get("delta.columnMapping.mode", "none") or "none"
+    if mode == "none":
+        return "none", {}, {}
+    phys: dict[str, str] = {}
+    ids: dict[str, int] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        phys[f["name"]] = md.get("delta.columnMapping.physicalName", f["name"])
+        if md.get("delta.columnMapping.id") is not None:
+            ids[f["name"]] = int(md["delta.columnMapping.id"])
+    return mode, phys, ids
+
+
+def _require_unmapped(meta: dict, table_uri: str, op: str) -> None:
+    """File-rewriting operations (merge/delete/optimize) read data files by
+    logical column names; on a column-mapped table they would null-fill or
+    misread physical-named files — typed refusal until they are
+    mapping-aware.  Append/overwrite writes and all reads ARE."""
+    mode = (
+        ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        or "none"
+    )
+    if mode != "none":
+        from ..errors import BuzzNotImplementedError
+
+        raise BuzzNotImplementedError(
+            f"{op} on a column-mapped Delta table (mode={mode!r}) at "
+            f"{table_uri!r} is not supported — append/overwrite writes and "
+            "reads are mapping-aware; rewrite paths are not yet"
+        )
 
 
 def _file_stats_json(path: str) -> str:
@@ -339,11 +400,38 @@ def write_delta(
                 f" {sorted(theirs)}"
             )
 
+    # Column-mapped tables write PHYSICAL column names into data files and
+    # partition directories (the log's partitionValues/stats keys are
+    # physical under both modes — the reader maps them back); id mode
+    # additionally stamps parquet.field.id footers so field-id readers
+    # resolve without names.
+    cm_mode, phys, cm_ids = _writer_mapping(meta) if meta else ("none", {}, {})
+    stage_df, stage_parts = df, partition_by
+    if cm_mode in ("name", "id"):
+        from pyspark.sql import functions as F
+
+        cols = []
+        for f in df.schema.fields:
+            md = dict(f.metadata or {})
+            if cm_mode == "id":
+                if f.name not in cm_ids:
+                    raise BuzzSchemaError(
+                        f"columnMapping.mode=id table lacks a mapping id "
+                        f"for column {f.name!r} — cannot write resolvable "
+                        "files"
+                    )
+                md["parquet.field.id"] = cm_ids[f.name]
+            cols.append(
+                F.col(f.name).alias(phys.get(f.name, f.name), metadata=md)
+            )
+        stage_df = df.select(*cols)
+        stage_parts = [phys.get(c, c) for c in partition_by]
+
     # Stage the data write (distributed; nothing passes through the driver)
     # and promote the files (names are unique part-...-uuid, so moves cannot
     # collide with live files).
     now_ms = int(time.time() * 1000)
-    adds = _stage_and_promote(df, table_dir, version, partition_by, now_ms)
+    adds = _stage_and_promote(stage_df, table_dir, version, stage_parts, now_ms)
     if not adds:
         raise BuzzExecutionError("write produced no parquet files")
 
@@ -538,6 +626,7 @@ def optimize_delta(
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    _require_unmapped(meta, table_uri, "optimize_delta")
 
     # Group live files by partition tuple; a group compacts when it has ≥2
     # files and at least one is under half the target (rewriting a single
@@ -781,6 +870,7 @@ def merge_delta(
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    _require_unmapped(meta, table_uri, "merge_delta")
     schema = _declared_schema(meta)
     names = [f.name for f in schema.fields]
     for k in on:
@@ -975,6 +1065,7 @@ def delete_delta(
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    _require_unmapped(meta, table_uri, "delete_delta")
     if not live:
         return None
     partition_by = list(meta.get("partitionColumns", []))
@@ -1154,3 +1245,129 @@ def vacuum_delta(
         for rel in doomed:
             os.remove(os.path.join(table_dir, rel))
     return sorted(doomed)
+
+
+# --- schema evolution (metadata-only commits) -----------------------------------
+
+# Spark schemaString type names evolve_delta accepts for added columns
+_DELTA_ADDABLE = {
+    "boolean", "byte", "short", "integer", "long", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "string", "binary",
+}
+
+
+def evolve_delta(
+    table_uri: str,
+    add_columns: dict[str, str] | None = None,
+    rename_columns: dict[str, str] | None = None,
+    store=None,
+) -> int:
+    """Metadata-only Delta schema evolution: ADD COLUMN (nullable; existing
+    files read it as NULL) and RENAME COLUMN.
+
+    A rename needs stable physical identities, so the first rename on an
+    unmapped table UPGRADES it to ``delta.columnMapping.mode=name`` in the
+    same commit (protocol 2/5; every existing column gets
+    ``physicalName`` = its current name and a mapping id, so all existing
+    data files keep resolving without a rewrite — Delta's own
+    ALTER TABLE RENAME does exactly this).  ``mode=name`` rather than
+    ``mode=id`` because existing files carry NO parquet field ids: an
+    id-resolved read would fall back to name matching and misread
+    renamed columns, while physical-name reads stay exact.  Tables
+    already in mode name/id evolve in place (added columns get a fresh
+    ``col-<uuid>`` physical name and the next mapping id).
+
+    After the upgrade, appends keep working (:func:`write_delta` writes
+    physical names + field ids); merge/delete/optimize become typed
+    refusals until they are mapping-aware.  Returns the committed
+    version."""
+    add_columns = dict(add_columns or {})
+    rename_columns = dict(rename_columns or {})
+    if not add_columns and not rename_columns:
+        raise BuzzBadRequestError(
+            "evolve_delta: nothing to do (no add_columns/rename_columns)"
+        )
+    table_dir = _local_table_dir(table_uri)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    last_version, _, meta = _log_state(log_dir)
+    if last_version < 0 or not meta:
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    version = last_version + 1
+
+    schema = json.loads(meta["schemaString"])
+    fields = [dict(f) for f in schema["fields"]]
+    names = {f["name"] for f in fields}
+    config = dict(meta.get("configuration") or {})
+    mode = config.get("delta.columnMapping.mode", "none") or "none"
+
+    for old, new in rename_columns.items():
+        if old not in names:
+            raise BuzzBadRequestError(
+                f"rename: column {old!r} not in the table schema"
+            )
+        target_names = (names - {old} - set(rename_columns)) | {
+            n for n in rename_columns.values() if n != new
+        }
+        if new in target_names or new in add_columns:
+            raise BuzzBadRequestError(
+                f"rename: target name {new!r} collides with another column"
+            )
+    for name, t in add_columns.items():
+        if name in names and name not in rename_columns:
+            raise BuzzBadRequestError(f"add: column {name!r} already exists")
+        if t not in _DELTA_ADDABLE and not isinstance(t, dict):
+            raise BuzzBadRequestError(
+                f"add: spark type {t!r} not supported "
+                f"(one of {sorted(_DELTA_ADDABLE)})"
+            )
+        if mode == "none" and not rename_columns and any(
+            (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+            == name
+            for f in fields
+        ):
+            raise BuzzBadRequestError(
+                f"add: name {name!r} collides with a physical column name"
+            )
+
+    actions: list[dict] = []
+    if rename_columns and mode == "none":
+        # upgrade: physicalName = current name, so existing data files and
+        # the log's partitionValues keys keep resolving with zero rewrites
+        for i, f in enumerate(fields, start=1):
+            md = dict(f.get("metadata") or {})
+            md.setdefault("delta.columnMapping.id", i)
+            md.setdefault("delta.columnMapping.physicalName", f["name"])
+            f["metadata"] = md
+        config["delta.columnMapping.mode"] = "name"
+        config["delta.columnMapping.maxColumnId"] = str(len(fields))
+        mode = "name"
+        actions.append(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        )
+
+    for f in fields:
+        if f["name"] in rename_columns:
+            f["name"] = rename_columns[f["name"]]
+    for name, t in add_columns.items():
+        md: dict = {}
+        if mode != "none":
+            next_id = int(config.get("delta.columnMapping.maxColumnId", 0)) + 1
+            md = {
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex}",
+            }
+            config["delta.columnMapping.maxColumnId"] = str(next_id)
+        fields.append(
+            {"name": name, "type": t, "nullable": True, "metadata": md}
+        )
+
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps({**schema, "fields": fields})
+    if config:
+        new_meta["configuration"] = config
+    new_meta["partitionColumns"] = [
+        rename_columns.get(c, c) for c in meta.get("partitionColumns", [])
+    ]
+    actions.append({"metaData": new_meta})
+    _claim_commit(log_dir, version, actions, store)
+    return version

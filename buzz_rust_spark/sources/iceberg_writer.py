@@ -55,6 +55,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 import time
 import uuid
 
@@ -1845,3 +1846,120 @@ def vacuum_iceberg(
             except FileNotFoundError:
                 pass
     return doomed
+
+
+# --- schema evolution (metadata-only commits) -----------------------------------
+
+# iceberg primitive type names evolve_iceberg accepts for added columns
+_ADDABLE_TYPES = {
+    "boolean", "int", "long", "float", "double", "date",
+    "timestamp", "timestamptz", "string", "binary",
+}
+
+
+def evolve_iceberg(
+    table_uri: str,
+    add_columns: dict[str, str] | None = None,
+    rename_columns: dict[str, str] | None = None,
+    store=None,
+) -> dict:
+    """Metadata-only schema evolution: ADD COLUMN (a fresh field id past
+    ``last-column-id``; existing data files simply lack the id and read as
+    NULL) and RENAME COLUMN (id-preserving — old files keep resolving by
+    ``parquet.field.id``, which is why the reader's evolution path works).
+
+    Per the Iceberg spec, added columns must be optional (a required
+    column without a default would make every existing row invalid), and
+    a decimal can be added with an explicit ``decimal(p,s)`` string.  The
+    commit appends a NEW schema object (next schema-id) and flips
+    ``current-schema-id`` — no snapshot is created, so time travel to
+    prior snapshots keeps their schema-id.  Renaming a partition SOURCE
+    column is legal: spec fields bind by source-id and keep their own
+    names (the writer's partition context re-resolves the current name).
+
+    Returns {"schema_id", "metadata_version", "last_column_id"}."""
+    add_columns = dict(add_columns or {})
+    rename_columns = dict(rename_columns or {})
+    if not add_columns and not rename_columns:
+        raise BuzzBadRequestError(
+            "evolve_iceberg: nothing to do (no add_columns/rename_columns)"
+        )
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    sid = meta.get("current-schema-id", 0)
+    schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
+    fields = [dict(f) for f in schema_json["fields"]]
+    names = {f["name"] for f in fields}
+
+    # names ever used by ANY schema version, keyed to their field id: a
+    # data file may carry any historical name, and Spark's fieldId read
+    # falls back to NAME matching for ids absent from a file — so reusing
+    # a vacated name under a NEW id would make old files misread (verified
+    # against Spark 4: requesting {w:id2, v:id3} over a file with column
+    # v:id2 matches v by name and type-errors).  Typed refusal instead.
+    historical: dict[str, set[int]] = {}
+    for s in meta["schemas"]:
+        for f in s.get("fields", []):
+            historical.setdefault(f["name"], set()).add(int(f["id"]))
+    cur_ids = {f["name"]: int(f["id"]) for f in fields}
+
+    for old, new in rename_columns.items():
+        if old not in names:
+            raise BuzzBadRequestError(
+                f"rename: column {old!r} not in the table schema"
+            )
+        target_names = (names - {old} - set(rename_columns)) | {
+            n for n in rename_columns.values() if n != new
+        }
+        if new in target_names or new in add_columns:
+            raise BuzzBadRequestError(
+                f"rename: target name {new!r} collides with another column"
+            )
+        if new in historical and historical[new] != {cur_ids[old]}:
+            raise BuzzBadRequestError(
+                f"rename: target name {new!r} was used by a historical "
+                "schema under a different field id — data files carrying "
+                "it would misresolve under Spark's field-id read; pick a "
+                "fresh name"
+            )
+    for name, t in add_columns.items():
+        if name in names and name not in rename_columns:
+            raise BuzzBadRequestError(
+                f"add: column {name!r} already exists"
+            )
+        if name in historical:
+            raise BuzzBadRequestError(
+                f"add: column name {name!r} was used by a historical "
+                "schema — reusing it under a new field id would make old "
+                "data files misresolve under Spark's field-id read; pick "
+                "a fresh name"
+            )
+        if not (t in _ADDABLE_TYPES or re.fullmatch(r"decimal\(\d+,\s*\d+\)", t)):
+            raise BuzzBadRequestError(
+                f"add: iceberg type {t!r} not supported "
+                f"(one of {sorted(_ADDABLE_TYPES)} or decimal(p,s))"
+            )
+
+    for f in fields:
+        if f["name"] in rename_columns:
+            f["name"] = rename_columns[f["name"]]
+    last_id = int(meta.get("last-column-id", max(f["id"] for f in fields)))
+    for name, t in add_columns.items():
+        last_id += 1
+        # spec: added columns are optional — existing files have no value
+        fields.append({"id": last_id, "name": name, "required": False, "type": t})
+
+    new_sid = 1 + max(s.get("schema-id", 0) for s in meta["schemas"])
+    new_schema = {"type": "struct", "schema-id": new_sid, "fields": fields}
+    meta = dict(meta)
+    meta["schemas"] = list(meta["schemas"]) + [new_schema]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = last_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(root, "metadata")
+    new_version = _promote_metadata(meta_dir, version + 1, meta, store)
+    return {
+        "schema_id": new_sid,
+        "metadata_version": new_version,
+        "last_column_id": last_id,
+    }

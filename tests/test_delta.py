@@ -1062,3 +1062,109 @@ def test_read_delta_changes_empty_window_shape_matches(spark, tmp_path):
     assert empty.count() == 0
     assert [(f.name, f.dataType.simpleString()) for f in empty.schema.fields] == \
            [(f.name, f.dataType.simpleString()) for f in nonempty.schema.fields]
+
+
+# --- writer-side schema evolution -----------------------------------------------
+
+
+def test_delta_evolve_add_column(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import evolve_delta, write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    evolve_delta(root, add_columns={"score": "double"})
+    write_delta(
+        spark.createDataFrame([(2, "b", 0.5)],
+                              "id long, v string, score double"),
+        root,
+    )
+    got = {
+        (r.id, r.v, r.score)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", 0.5)}
+
+
+def test_delta_evolve_rename_upgrades_to_name_mapping(spark, tmp_path):
+    import json as _json
+    import os as _os
+    from glob import glob as _glob
+
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import evolve_delta, write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a", "p0"), (2, "b", "p1")],
+                              "id long, v string, par string"),
+        root, partition_by=["par"],
+    )
+    evolve_delta(root, rename_columns={"v": "name", "par": "part"})
+    cat = DeltaCatalog("t", root)
+    # pre-rename files resolve through physicalName; partition col renamed
+    assert cat.partition_cols == ["part"]
+    got = {(r.id, r.name, r.part)
+           for r in cat.to_dataframe(spark).collect()}
+    assert got == {(1, "a", "p0"), (2, "b", "p1")}
+    # appends write PHYSICAL names into files and partition dirs
+    write_delta(
+        spark.createDataFrame([(3, "c", "p1")],
+                              "id long, name string, part string"),
+        root, partition_by=["part"],
+    )
+    cat2 = DeltaCatalog("t", root)
+    got = {(r.id, r.name, r.part)
+           for r in cat2.to_dataframe(spark).collect()}
+    assert got == {(1, "a", "p0"), (2, "b", "p1"), (3, "c", "p1")}
+    # partition pruning by the NEW logical name
+    assert sorted(
+        r.id for r in cat2.to_dataframe(spark, "part = 'p1'").collect()
+    ) == [2, 3]
+    # the new add's partitionValues are keyed by the PHYSICAL name
+    last = sorted(_glob(_os.path.join(root, "_delta_log", "*.json")))[-1]
+    adds = [
+        _json.loads(ln)["add"] for ln in open(last) if '"add"' in ln
+    ]
+    assert adds and all("par" in a["partitionValues"] for a in adds)
+
+
+def test_delta_evolve_rename_then_rewrite_ops_refused(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        evolve_delta,
+        merge_delta,
+        optimize_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    evolve_delta(root, rename_columns={"v": "w"})
+    with pytest.raises(BuzzNotImplementedError, match="column-mapped"):
+        delete_delta(spark, root, "id = 1")
+    with pytest.raises(BuzzNotImplementedError, match="column-mapped"):
+        merge_delta(spark, root,
+                    spark.createDataFrame([(1, "x")], "id long, w string"),
+                    ["id"])
+    with pytest.raises(BuzzNotImplementedError, match="column-mapped"):
+        optimize_delta(spark, root)
+
+
+def test_delta_evolve_validation(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.delta_writer import evolve_delta, write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    with pytest.raises(BuzzBadRequestError, match="nothing to do"):
+        evolve_delta(root)
+    with pytest.raises(BuzzBadRequestError, match="already exists"):
+        evolve_delta(root, add_columns={"v": "string"})
+    with pytest.raises(BuzzBadRequestError, match="collides"):
+        evolve_delta(root, rename_columns={"v": "id"})
+    with pytest.raises(BuzzBadRequestError, match="not in the table"):
+        evolve_delta(root, rename_columns={"zzz": "q"})
+    with pytest.raises(BuzzBadRequestError, match="not supported"):
+        evolve_delta(root, add_columns={"x": "map<string,int>"})

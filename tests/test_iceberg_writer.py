@@ -922,3 +922,97 @@ def test_delete_max_rows_policy_error_leaves_no_orphans(spark, tmp_path):
     # nothing committed, no delete-file litter
     assert _glob.glob(os.path.join(root, "data", "delete-*.parquet")) == []
     assert IcebergCatalog("t", root).to_dataframe(spark).count() == 50
+
+
+# --- writer-side schema evolution -----------------------------------------------
+
+
+def test_evolve_add_column_reads_old_files_as_null(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import evolve_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a")], "id long, v string"), root)
+    s = evolve_iceberg(root, add_columns={"score": "double"})
+    assert s["schema_id"] == 1 and s["last_column_id"] == 3
+    # the evolved table appends WITH the new column...
+    write_iceberg(
+        _rows(spark, [(2, "b", 0.5)], "id long, v string, score double"),
+        root, mode="append",
+    )
+    got = {
+        (r.id, r.v, r.score)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    }
+    # ...and file A (written pre-evolution) reads the new column as NULL
+    assert got == {(1, "a", None), (2, "b", 0.5)}
+    # the OLD schema shape now mismatches
+    from buzz_rust_spark.errors import BuzzSchemaError
+
+    with pytest.raises(BuzzSchemaError):
+        write_iceberg(_rows(spark, [(3, "c")], "id long, v string"),
+                      root, mode="append")
+
+
+def test_evolve_rename_is_id_preserving(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import evolve_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a")], "id long, v string"), root)
+    evolve_iceberg(root, rename_columns={"v": "name"})
+    # pre-rename file resolves by field id under the new name
+    got = {(r.id, r.name)
+           for r in IcebergCatalog("t", root).to_dataframe(spark).collect()}
+    assert got == {(1, "a")}
+    # appends use the new name
+    write_iceberg(_rows(spark, [(2, "b")], "id long, name string"),
+                  root, mode="append")
+    got = {(r.id, r.name)
+           for r in IcebergCatalog("t", root).to_dataframe(spark).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_evolve_rename_partition_source_column(spark, tmp_path):
+    """Spec fields bind by source-id: renaming the partition source column
+    via the API keeps pruning and appends working under the new name."""
+    from buzz_rust_spark.sources.iceberg_writer import evolve_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "2020"), (2, "2021")],
+                        "id long, y string"), root, partition_by=["y"])
+    evolve_iceberg(root, rename_columns={"y": "yr"})
+    write_iceberg(_rows(spark, [(3, "2021")], "id long, yr string"),
+                  root, mode="append")
+    cat = IcebergCatalog("t", root)
+    assert cat.partition_cols == ["yr"]
+    assert sorted(
+        r.id for r in cat.to_dataframe(spark, "yr = '2021'").collect()
+    ) == [2, 3]
+
+
+def test_evolve_validation_errors(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.iceberg_writer import evolve_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a")], "id long, v string"), root)
+    with pytest.raises(BuzzBadRequestError, match="nothing to do"):
+        evolve_iceberg(root)
+    with pytest.raises(BuzzBadRequestError, match="already exists"):
+        evolve_iceberg(root, add_columns={"v": "string"})
+    with pytest.raises(BuzzBadRequestError, match="not supported"):
+        evolve_iceberg(root, add_columns={"x": "map<string,int>"})
+    with pytest.raises(BuzzBadRequestError, match="not in the table"):
+        evolve_iceberg(root, rename_columns={"zzz": "q"})
+    with pytest.raises(BuzzBadRequestError, match="collides"):
+        evolve_iceberg(root, rename_columns={"v": "id"})
+    # reusing a VACATED name under a NEW field id is refused: Spark's
+    # field-id read falls back to NAME matching for ids missing from a
+    # file, so old files would misresolve (verified against Spark 4)
+    evolve_iceberg(root, rename_columns={"v": "w"})
+    with pytest.raises(BuzzBadRequestError, match="historical"):
+        evolve_iceberg(root, add_columns={"v": "long"})
+    # reverting to the original name (SAME field id) is legal
+    evolve_iceberg(root, rename_columns={"w": "v"})
+    got = IcebergCatalog("t", root).to_dataframe(spark)
+    assert set(got.columns) == {"id", "v"}
+    assert [(r.id, r.v) for r in got.collect()] == [(1, "a")]

@@ -182,8 +182,10 @@ def _partition_str(value, iceberg_type) -> str | None:
 
 def _transform_kind(transform: str | None) -> str | None:
     """Normalize a partition-spec transform to its prunable kind, or None
-    for transforms pruning cannot invert (bucket hashes, void).  Accepts
-    the spec's singular names and the plural variants some writers emit."""
+    for transforms pruning cannot invert (void).  Accepts the spec's
+    singular names and the plural variants some writers emit.  ``bucket``
+    is prunable only for = / IN filters on the source column (the hash is
+    not order-preserving) — see ``_rewrite_bucket_filter``."""
     if transform == "identity":
         return "identity"
     if transform in ("year", "years"):
@@ -198,6 +200,8 @@ def _transform_kind(transform: str | None) -> str | None:
         r"truncate\[\d+\]", transform
     ):
         return "truncate"
+    if isinstance(transform, str) and re.fullmatch(r"bucket\[\d+\]", transform):
+        return "bucket"
     return None
 
 
@@ -224,8 +228,84 @@ def _transform_str(kind: str, value, source_type) -> str | None:
             hours=int(value)
         )
         return dt.strftime("%Y-%m-%d %H")
+    if kind == "bucket":
+        # the recorded value is the bucket ORDINAL; filters against it are
+        # always the rewritten bare-int form (numeric comparison domain)
+        return str(int(value))
     # truncate[W]: the recorded value IS the truncated source value
     return _partition_str(value, source_type)
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (Austin Appleby's public-domain algorithm) —
+    the hash the Iceberg spec (Appendix B) mandates for bucket transforms.
+    Returns the SIGNED 32-bit value, matching the spec's test vectors."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n - n % 4 :]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _bucket_ordinal(literal: str, quoted: bool, source_type, n: int) -> int:
+    """bucket[n] ordinal of a filter literal, per the spec: murmur3-32 of
+    the value's single-value hash serialization, ``(hash & MAX_INT) % n``.
+    int/long/date/timestamp all hash AS LONGS (little-endian 8 bytes) so
+    buckets survive type promotion; strings hash their UTF-8 bytes.
+    Raises BuzzPlanError for source types outside the supported set."""
+    import datetime
+
+    if source_type in ("int", "long"):
+        v = int(literal)
+        data = v.to_bytes(8, "little", signed=True)
+    elif source_type == "date":
+        d = datetime.date.fromisoformat(literal)
+        days = (d - datetime.date(1970, 1, 1)).days
+        data = days.to_bytes(8, "little", signed=True)
+    elif source_type in ("timestamp", "timestamptz"):
+        dt = datetime.datetime.fromisoformat(literal)
+        micros = int(
+            (dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+        data = micros.to_bytes(8, "little", signed=True)
+    elif source_type == "string":
+        if not quoted:
+            raise BuzzPlanError(
+                f"bucket pruning on a string column needs a quoted "
+                f"literal, got bare {literal!r}"
+            )
+        data = literal.encode("utf-8")
+    else:
+        raise BuzzPlanError(
+            f"bucket pruning is not supported for source type "
+            f"{source_type!r} (int/long/date/timestamp/string only)"
+        )
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
 
 
 def _decode_bound(raw, iceberg_type):
@@ -384,6 +464,10 @@ def _numeric_bounds(f: dict, lo_raw, hi_raw) -> tuple[float, float] | None:
     if kind == "year":
         return float(1970 + int(lo_raw)), float(1970 + int(hi_raw))
     if kind == "truncate" and st in ("int", "long"):
+        return float(lo_raw), float(hi_raw)
+    if kind == "bucket":
+        # bounds are bucket ordinals (ints); filters on the internal
+        # __bucket_* field are always rewritten bare-int equality/IN
         return float(lo_raw), float(hi_raw)
     return None
 
@@ -584,11 +668,15 @@ class IcebergCatalog:
             kind = _transform_kind(f.get("transform"))
             source_name = field_names.get(f.get("source-id"))
             # identity prunes on the SOURCE column name (the column exists
-            # in the data); other invertible transforms prune on the
+            # in the data); range-invertible transforms prune on the
             # PARTITION FIELD name (ts_day etc. — no data column to clash
-            # with)
+            # with); bucket prunes through an INTERNAL `__bucket_<src>`
+            # field — user filters name the SOURCE column and
+            # _rewrite_bucket_filter maps = / IN literals to ordinals
             if kind == "identity" and source_name:
                 prune_name = source_name
+            elif kind == "bucket" and source_name:
+                prune_name = f"__bucket_{source_name}"
             elif kind and kind != "identity":
                 prune_name = f["name"]
             else:
@@ -600,6 +688,13 @@ class IcebergCatalog:
                     "prune_name": prune_name,
                     "source_name": source_name,
                     "source_type": field_types.get(f.get("source-id")),
+                    "bucket_n": (
+                        int(re.fullmatch(
+                            r"bucket\[(\d+)\]", f["transform"]
+                        ).group(1))
+                        if kind == "bucket"
+                        else None
+                    ),
                 }
             )
         self.partition_cols = [
@@ -958,9 +1053,89 @@ class IcebergCatalog:
 
     # --- scan ---------------------------------------------------------------
 
+    def _rewrite_bucket_filter(self, partition_filter: str | None):
+        """Map = / IN terms on bucket-partitioned SOURCE columns to ordinal
+        membership tests on the internal ``__bucket_<src>`` field (spec
+        Appendix B murmur3 bucketing), leaving other terms intact.  A
+        bucket hash is not order-preserving, so range operators on a
+        bucket column — and filters too complex to decompose — are typed
+        errors rather than silently-wrong prunes.  Idempotent: rewritten
+        terms name ``__bucket_*``, which is never a source column.
+
+        NOTE partition_filter semantics (all transforms): it selects FILES
+        by partition value; for non-identity transforms the surviving
+        files' rows are a superset of ``col = v`` — compose with a row
+        filter downstream."""
+        if not partition_filter:
+            return partition_filter
+        buckets = {
+            f["source_name"]: f
+            for f in self._spec_fields
+            if f["kind"] == "bucket" and f["source_name"]
+        }
+        if not buckets or not any(
+            re.search(rf"\b{re.escape(c)}\b", partition_filter)
+            for c in buckets
+        ):
+            return partition_filter
+        parts = _split_conjunction(partition_filter)
+        if parts is None:
+            raise BuzzPlanError(
+                f"partition_filter {partition_filter!r} names a "
+                "bucket-partitioned column inside OR/NOT/parens — bucket "
+                "pruning supports only a simple AND of = / IN terms"
+            )
+        out = []
+        for part in parts:
+            m = _CMP_RE.fullmatch(part)
+            im = _IN_RE.fullmatch(part) if m is None else None
+            col = m.group(1) if m else (im.group(1) if im else None)
+            if col not in buckets:
+                if col is None and any(
+                    re.search(rf"\b{re.escape(c)}\b", part) for c in buckets
+                ):
+                    raise BuzzPlanError(
+                        f"unparseable term {part.strip()!r} names a "
+                        "bucket-partitioned column — bucket pruning "
+                        "supports only = / IN terms"
+                    )
+                out.append(part.strip())
+                continue
+            f = buckets[col]
+            if m:
+                op, vq, vn = m.group(2), m.group(3), m.group(4)
+                if op not in ("=", "=="):
+                    raise BuzzPlanError(
+                        f"bucket-partitioned column {col!r} supports only "
+                        f"= / IN partition filters (the bucket hash is not "
+                        f"order-preserving), got {op!r}"
+                    )
+                lits = [(vq, True)] if vq is not None else [(vn, False)]
+            else:
+                lits = []
+                for item in im.group(2).split(","):
+                    iv = _IN_ITEM_RE.fullmatch(item)
+                    if iv is None:
+                        raise BuzzPlanError(
+                            f"unparseable IN list item in {part.strip()!r}"
+                        )
+                    vq, vn = iv.groups()
+                    lits.append((vq, True) if vq is not None else (vn, False))
+            ords = sorted(
+                {
+                    _bucket_ordinal(v, q, f["source_type"], f["bucket_n"])
+                    for v, q in lits
+                }
+            )
+            out.append(
+                f"`__bucket_{col}` IN ({', '.join(map(str, ords))})"
+            )
+        return " AND ".join(out)
+
     def pruned_files(
         self, spark: SparkSession, partition_filter: str | None
     ) -> list[CatalogFile]:
+        partition_filter = self._rewrite_bucket_filter(partition_filter)
         if partition_filter and not self.partition_cols:
             # same posture as the static/Delta catalogs: a filter that can't
             # prune (bucket/void transforms only) is a typed error, not a
@@ -992,6 +1167,7 @@ class IcebergCatalog:
         one anti-join on (file path, row index); equality deletes as
         null-safe anti-joins on their key columns, scoped to data files
         with a strictly smaller sequence number."""
+        partition_filter = self._rewrite_bucket_filter(partition_filter)
         files = self.pruned_files(spark, partition_filter)
         plan = self._plan(spark, partition_filter)
         deletes = plan["deletes"]

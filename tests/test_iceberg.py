@@ -208,7 +208,7 @@ def test_partition_pruning(spark, tmp_path):
 
 
 def test_nonidentity_transform_not_prunable_but_readable(spark, tmp_path):
-    cat = IcebergCatalog("t", build_table(tmp_path, transform="bucket[4]"))
+    cat = IcebergCatalog("t", build_table(tmp_path, transform="void"))
     assert cat.partition_cols == []
     # filterless read still returns everything
     assert cat.to_dataframe(spark).count() == 6
@@ -218,6 +218,11 @@ def test_nonidentity_transform_not_prunable_but_readable(spark, tmp_path):
 
     with pytest.raises(BuzzPlanError, match="identity"):
         cat.pruned_files(spark, "year = '2021'")
+    # bucket tables are now prunable (= / IN via murmur3 ordinals) and a
+    # FILTERLESS read stays unaffected
+    bcat = IcebergCatalog("t", build_table(tmp_path / "b", transform="bucket[4]"))
+    assert bcat.partition_cols == ["__bucket_year"]
+    assert bcat.to_dataframe(spark).count() == 6
 
 
 def test_v1_metadata_layout(spark, tmp_path):
@@ -711,13 +716,16 @@ def build_transform_table(tmp_path, transform, part_avro_type, part_values,
     (root / "metadata").mkdir()
 
     paths = []
+    src_pa = {
+        "timestamp": pa.timestamp("us"),
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "date": pa.date32(),
+    }.get(source_field["type"], pa.string())
     for i, (pv, rows) in enumerate(zip(part_values, files_rows)):
         p = str(root / "data" / f"t{i}.parquet")
         cols = {"id": pa.array([r[0] for r in rows], pa.int64())}
-        if source_field["type"] == "timestamp":
-            cols["ts"] = pa.array([r[1] for r in rows], pa.timestamp("us"))
-        else:
-            cols["name"] = pa.array([r[1] for r in rows], pa.string())
+        cols[source_field["name"]] = pa.array([r[1] for r in rows], src_pa)
         pq.write_table(pa.table(cols), p)
         paths.append((p, os.path.getsize(p), pv, len(rows)))
 
@@ -813,13 +821,86 @@ def test_transform_pruning(spark, tmp_path, transform, part_avro_type,
     assert IcebergCatalog("t", root).to_dataframe(spark).count() == 2
 
 
-def test_bucket_transform_still_refused(spark, tmp_path):
-    cat = IcebergCatalog("t", build_table(tmp_path, transform="bucket[4]"))
-    assert cat.partition_cols == []
-    from buzz_rust_spark.errors import BuzzPlanError
+def test_murmur3_spec_vectors():
+    """Iceberg spec Appendix B bucket-hash test vectors (int/long hash as
+    longs; date as days; timestamp as micros; string as UTF-8)."""
+    from buzz_rust_spark.sources.iceberg import _bucket_ordinal, _murmur3_32
 
-    with pytest.raises(BuzzPlanError, match="prunable"):
-        cat.pruned_files(spark, "year = '2021'")
+    def h(v):  # hash of an 8-byte little-endian long
+        return _murmur3_32(v.to_bytes(8, "little", signed=True))
+
+    assert h(34) == 2017239379                       # int & long 34
+    assert h(17486) == -653330422                    # date 2017-11-16
+    assert h(1510871468000000) == -2047944441        # ts 2017-11-16T22:31:08
+    assert _murmur3_32(b"iceberg") == 1210000089     # string
+    assert _bucket_ordinal("34", False, "long", 16) == (2017239379 & 0x7FFFFFFF) % 16
+    assert _bucket_ordinal("iceberg", True, "string", 16) == (1210000089 & 0x7FFFFFFF) % 16
+    assert _bucket_ordinal("2017-11-16", True, "date", 16) == (-653330422 & 0x7FFFFFFF) % 16
+
+
+@pytest.mark.parametrize("source_type,v_keep,v_other,flt", [
+    ("long",      34,                77,          "k = 34"),
+    ("int",       34,                77,          "k IN (34)"),
+    ("string",    "iceberg",         "other",     "k = 'iceberg'"),
+    ("date",      _dt.date(2017, 11, 16), _dt.date(2019, 1, 5), "k = '2017-11-16'"),
+    ("timestamp", _dt.datetime(2017, 11, 16, 22, 31, 8),
+                  _dt.datetime(2020, 2, 2, 2, 2, 2), "k = '2017-11-16T22:31:08'"),
+])
+def test_bucket_transform_pruning(spark, tmp_path, source_type, v_keep,
+                                  v_other, flt):
+    """Equality/IN filters on a bucket[N]-partitioned SOURCE column prune to
+    exactly the matching buckets — the non-matching bucket's file is never
+    even opened (it is a ghost)."""
+    from buzz_rust_spark.sources.iceberg import _bucket_ordinal
+
+    def lit(v):
+        if source_type in ("int", "long"):
+            return str(v)
+        return v.isoformat() if not isinstance(v, str) else v
+
+    n = 8
+    ord_keep = _bucket_ordinal(lit(v_keep), source_type == "string",
+                               source_type, n)
+    ord_other = (ord_keep + 3) % n  # any different bucket: file is a ghost
+    root = build_transform_table(
+        tmp_path, f"bucket[{n}]", "int", [ord_keep, ord_other],
+        {"name": "k", "type": source_type},
+        [[(1, v_keep)], [(2, v_other)]],
+    )
+    # make the non-matching file a ghost: pruning must never open it
+    os.unlink(os.path.join(root, "data", "t1.parquet"))
+    cat = IcebergCatalog("t", root)
+    assert cat.partition_cols == ["__bucket_k"]
+    assert len(cat.pruned_files(spark, flt)) == 1
+    df = cat.to_dataframe(spark, flt)
+    assert [r["id"] for r in df.collect()] == [1]
+
+
+def test_bucket_range_filters_stay_refused(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzPlanError
+    from buzz_rust_spark.sources.iceberg import _bucket_ordinal
+
+    root = build_transform_table(
+        tmp_path, "bucket[8]", "int",
+        [_bucket_ordinal("34", False, "long", 8)],
+        {"name": "k", "type": "long"}, [[(1, 34)]],
+    )
+    cat = IcebergCatalog("t", root)
+    with pytest.raises(BuzzPlanError, match="order-preserving"):
+        cat.pruned_files(spark, "k > 10")
+    with pytest.raises(BuzzPlanError, match="simple AND|= / IN"):
+        cat.pruned_files(spark, "k = 34 OR k = 35")
+    # a conjunction mixing a bucket term with a non-partition term keeps
+    # the usual typed error for the latter, never a silent wrong prune
+    with pytest.raises(BuzzPlanError):
+        cat.pruned_files(spark, "k = 34 AND zzz = 1")
+    # bare-numeric literal on a string bucket column: typed, not a misprune
+    root2 = build_transform_table(
+        tmp_path / "s", "bucket[8]", "int", [0],
+        {"name": "k", "type": "string"}, [[(1, "x")]],
+    )
+    with pytest.raises(BuzzPlanError, match="quoted"):
+        IcebergCatalog("t", root2).pruned_files(spark, "k = 42")
 
 
 FIELD_SUMMARY_SCHEMA = {

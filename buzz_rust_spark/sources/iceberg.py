@@ -627,6 +627,7 @@ class IcebergCatalog:
         field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
         # id → current name: equality deletes key on field ids
         self._field_names = field_names
+        self._properties = meta.get("properties") or {}
 
         # Schema evolution: any historical schema mapping a CURRENT field id
         # to a different name means data files exist (or may exist) whose
@@ -1206,6 +1207,13 @@ class IcebergCatalog:
         if deletes and files:
             return self._mor_scan(spark, parq, orc, pos, eq, plan)
 
+        if self._evolved and parq:
+            nm = self._name_mapping()
+            if nm:
+                # id-less data files (external writers) resolve through the
+                # table's name mapping; ORC is already refused when evolved
+                return self._evolved_mapped_scan(spark, parq, nm)
+
         def _scan(subset: list[CatalogFile], fmt: str) -> DataFrame:
             return StaticCatalog(
                 name=self.name,
@@ -1386,6 +1394,141 @@ class IcebergCatalog:
             scan = scan.join(broadcast(tag_df), on="__path", how="left")
             return scan.select(*data_cols, "_snapshot_id")
         return scan.drop("__path").select(*data_cols)
+
+    # --- name mapping (id-less external files on evolved tables) -------------
+
+    # file counts above this classify footers in one distributed job
+    FOOTER_CLASSIFY_MAX_DRIVER = 64
+
+    def _name_mapping(self) -> dict[int, list[str]] | None:
+        """``schema.name-mapping.default`` table property →
+        {field id: [historical names]}, top-level fields only (same depth
+        the rest of the field-id machinery covers).  None when absent or
+        unparseable (conservative: absent mapping keeps the loud
+        Spark NO_HINT failure on id-less files, never a silent misread)."""
+        raw = self._properties.get("schema.name-mapping.default")
+        if not raw:
+            return None
+        try:
+            entries = json.loads(raw)
+            out = {}
+            for e in entries:
+                fid = e.get("field-id")
+                names = e.get("names")
+                if fid is None or not isinstance(names, list):
+                    continue
+                out[int(fid)] = [str(n) for n in names]
+            return out or None
+        except (ValueError, TypeError, AttributeError):
+            return None
+
+    def _classify_field_ids(
+        self, spark: SparkSession | None, paths: list[str]
+    ) -> list[tuple[str, bool, list[str]]]:
+        """[(path, footer has parquet field ids, footer column names)] —
+        driver pyarrow loop for small file sets, one mapInPandas job above
+        FOOTER_CLASSIFY_MAX_DRIVER (footers are KiB; the job returns one
+        row per file, so driver traffic stays O(files) metadata)."""
+        from .schema_check import _pyarrow_path
+
+        def probe(path: str) -> tuple[bool, list[str]]:
+            import pyarrow.parquet as pq
+
+            sch = pq.read_schema(_pyarrow_path(path))
+            has = any(
+                f.metadata and b"PARQUET:field_id" in f.metadata for f in sch
+            )
+            return has, list(sch.names)
+
+        if spark is None or len(paths) <= self.FOOTER_CLASSIFY_MAX_DRIVER:
+            return [(p, *probe(p)) for p in paths]
+
+        def task(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                has, names = [], []
+                for p in pdf["path"]:
+                    h, n = probe(p)
+                    has.append(h)
+                    names.append(json.dumps(n))
+                yield pd.DataFrame(
+                    {"path": pdf["path"], "has": has, "names": names}
+                )
+
+        n_parts = min(
+            len(paths),
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        )
+        rows = (
+            spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(n_parts)
+            .mapInPandas(task, "path string, has boolean, names string")
+            .collect()
+        )
+        by_path = {r.path: (r.has, json.loads(r.names)) for r in rows}
+        return [(p, *by_path[p]) for p in paths]
+
+    def _evolved_mapped_scan(
+        self, spark: SparkSession, parq: list[CatalogFile], nm: dict
+    ) -> DataFrame:
+        """Scan an evolved table whose snapshot may mix id-bearing files
+        (field-id resolution, as usual) with ID-LESS files from external
+        writers: the name mapping assigns each current field id the names
+        its column may carry in such files.  Id-less files group by their
+        footer column layout; each group reads by FILE names and projects
+        to current names, with unmapped/absent fields as NULL (the spec's
+        rule for ids not found through the mapping)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        by_key = {f.key: f for f in parq}
+        classified = self._classify_field_ids(spark, [f.key for f in parq])
+        with_ids = [by_key[p] for p, has, _ in classified if has]
+        idless = [(p, tuple(names)) for p, has, names in classified if not has]
+
+        parts: list[DataFrame] = []
+        if with_ids:
+            parts.append(
+                StaticCatalog(
+                    name=self.name,
+                    schema=self._scan_schema,
+                    files=[
+                        CatalogFile(key=f.key, length=f.length, partitions=())
+                        for f in with_ids
+                    ],
+                    partition_cols=[],
+                ).to_dataframe(spark)
+            )
+        current = {f.name: f for f in self.schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for p, names in idless:
+            groups.setdefault(names, []).append(p)
+        for names, paths in sorted(groups.items()):
+            name_set = set(names)
+            read_fields, projection = [], []
+            for fid, cur_name in sorted(self._field_names.items()):
+                cf = current.get(cur_name)
+                if cf is None:
+                    continue
+                file_name = next(
+                    (n for n in nm.get(fid, []) if n in name_set), None
+                )
+                if file_name is None:
+                    projection.append(
+                        F.lit(None).cast(cf.dataType).alias(cur_name)
+                    )
+                else:
+                    read_fields.append(
+                        StructField(file_name, cf.dataType, True)
+                    )
+                    projection.append(F.col(file_name).alias(cur_name))
+            df = spark.read.schema(StructType(read_fields)).parquet(*paths)
+            parts.append(
+                df.select(*projection).select(*[f.name for f in self.schema.fields])
+            )
+        return reduce(DataFrame.unionByName, parts)
 
     def history(self) -> list[dict]:
         """Snapshot list (id, timestamp, operation) — from the metadata

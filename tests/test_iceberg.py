@@ -1578,3 +1578,94 @@ def test_iceberg_changes_delete_and_refusals(spark, tmp_path):
     expire_iceberg_snapshots(root, keep_last=1)
     with pytest.raises(BuzzExecutionError, match="re-bootstrap|not in table"):
         read_iceberg_changes(spark, root, s1)
+
+
+# --- name mapping (id-less external data files) ------------------------------
+
+
+def _add_idless_file(root: str, name_col: str, ids, names,
+                     properties: dict | None = None) -> None:
+    """Append an ID-LESS data file (external-writer shape) to the renamed
+    fixture's manifest, optionally setting table properties."""
+    p = os.path.join(root, "data", "f_noids.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array(ids, pa.int64()),
+                  name_col: pa.array(names, pa.string())}),
+        p,
+    )
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            }},
+        ],
+    }
+    m2 = os.path.join(root, "metadata", "m-noids.avro")
+    open(m2, "wb").write(encode_avro_records(entry_schema, [
+        {"status": 1, "data_file": {
+            "content": 0, "file_path": p, "file_format": "PARQUET",
+            "partition": {}, "record_count": len(ids),
+            "file_size_in_bytes": os.path.getsize(p)}}
+    ]))
+    md_path = os.path.join(root, "metadata", "v1.metadata.json")
+    md = json.loads(open(md_path).read())
+    ml = _manifest_list(os.path.join(root, "metadata"), "nm",
+                        [os.path.join(root, "metadata", "m-0.avro"), m2])
+    md["snapshots"] = [{"snapshot-id": 2, "timestamp-ms": 2,
+                        "manifest-list": ml}]
+    md["current-snapshot-id"] = 2
+    if properties is not None:
+        md["properties"] = properties
+    open(md_path, "w").write(json.dumps(md))
+
+
+def test_name_mapping_reads_idless_files(spark, tmp_path):
+    """An evolved table with schema.name-mapping.default reads id-less
+    external files by mapped name: f_noids carries the OLD column name and
+    no parquet field ids, yet resolves under the CURRENT name."""
+    root = build_renamed_table(tmp_path)
+    _add_idless_file(root, "name_old", [7], ["delta"], properties={
+        "schema.name-mapping.default": json.dumps([
+            {"field-id": 1, "names": ["id"]},
+            {"field-id": 2, "names": ["name_old", "name"]},
+        ])
+    })
+    cat = IcebergCatalog("t", root)
+    assert cat._evolved is True
+    rows = {r["id"]: r["name"] for r in cat.to_dataframe(spark).collect()}
+    assert rows == {1: "alpha", 2: "beta", 3: "gamma", 7: "delta"}
+
+
+def test_name_mapping_unmapped_field_reads_null(spark, tmp_path):
+    """A field id absent from the mapping (or whose names miss the file)
+    reads NULL from id-less files — the spec's rule — while id-bearing
+    files keep their values."""
+    root = build_renamed_table(tmp_path)
+    _add_idless_file(root, "name_old", [7], ["delta"], properties={
+        "schema.name-mapping.default": json.dumps([
+            {"field-id": 1, "names": ["id"]},  # field 2 unmapped
+        ])
+    })
+    rows = {r["id"]: r["name"]
+            for r in IcebergCatalog("t", root).to_dataframe(spark).collect()}
+    assert rows == {1: "alpha", 2: "beta", 3: "gamma", 7: None}
+
+
+def test_idless_file_without_mapping_fails_loudly(spark, tmp_path):
+    """Without the property, the current refusal stands: the field-id scan
+    fails LOUDLY on the id-less file instead of silently misreading it."""
+    root = build_renamed_table(tmp_path)
+    _add_idless_file(root, "name_old", [7], ["delta"], properties=None)
+    with pytest.raises(Exception):
+        IcebergCatalog("t", root).to_dataframe(spark).collect()

@@ -1253,14 +1253,40 @@ def _finish_commit(
                 ),
             }
         ]
+        keep = _metadata_versions_max(meta)
+        if keep is not None:
+            meta["metadata-log"] = meta["metadata-log"][-keep:]
     return _promote_metadata(meta_dir, version + 1, meta, store)
+
+
+def _metadata_versions_max(meta: dict) -> int | None:
+    """Previous-metadata retention bound, or None when cleanup is off —
+    Iceberg's ``write.metadata.delete-after-commit.enabled`` +
+    ``write.metadata.previous-versions-max`` (default 100) properties."""
+    props = meta.get("properties") or {}
+    if str(
+        props.get("write.metadata.delete-after-commit.enabled", "")
+    ).lower() != "true":
+        return None
+    try:
+        return max(1, int(props.get("write.metadata.previous-versions-max", 100)))
+    except (TypeError, ValueError):
+        return 100
 
 
 def _promote_metadata(meta_dir: str, new_version: int, meta: dict, store=None) -> int:
     """Claim ``v<new_version>.metadata.json`` via conditional put, then
     refresh the advisory ``version-hint.text``.  Raises
     :class:`~..errors.BuzzCommitConflictError` when a concurrent writer
-    already promoted this version (retryable — re-read and re-commit)."""
+    already promoted this version (retryable — re-read and re-commit).
+
+    When ``write.metadata.delete-after-commit.enabled`` is set, superseded
+    ``v<N>.metadata.json`` beyond the last
+    ``write.metadata.previous-versions-max`` are deleted AFTER the claim —
+    long-lived tables (a streaming sink commits one metadata version per
+    micro-batch) otherwise accumulate metadata JSONs forever.  The new
+    version and ``version-hint.text`` always survive; the reader needs
+    only the current metadata (snapshot history lives inside it)."""
     if store is None:
         store = default_store()
     store.put_if_absent(
@@ -1270,6 +1296,16 @@ def _promote_metadata(meta_dir: str, new_version: int, meta: dict, store=None) -
     store.put_atomic(
         os.path.join(meta_dir, "version-hint.text"), str(new_version).encode()
     )
+    keep = _metadata_versions_max(meta)
+    if keep is not None:
+        cutoff = new_version - keep
+        for n in os.listdir(meta_dir):
+            m = re.fullmatch(r"v(\d+)\.metadata\.json", n)
+            if m and int(m.group(1)) < cutoff:
+                try:
+                    os.unlink(os.path.join(meta_dir, n))
+                except OSError:
+                    pass
     return new_version
 
 

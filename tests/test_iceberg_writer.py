@@ -1016,3 +1016,49 @@ def test_evolve_validation_errors(spark, tmp_path):
     got = IcebergCatalog("t", root).to_dataframe(spark)
     assert set(got.columns) == {"id", "v"}
     assert [(r.id, r.v) for r in got.collect()] == [(1, "a")]
+
+
+def test_metadata_retention_keeps_last_k(spark, tmp_path):
+    """write.metadata.delete-after-commit.enabled + previous-versions-max:
+    superseded v<N>.metadata.json beyond the last K are deleted on commit;
+    the current version + version-hint always survive and the table keeps
+    reading (snapshot history lives in the current metadata)."""
+    import glob as _glob
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        _rows(spark, [(0,)], "id long"), root,
+        properties={
+            "write.metadata.delete-after-commit.enabled": "true",
+            "write.metadata.previous-versions-max": "2",
+        },
+    )
+    for i in range(1, 6):
+        write_iceberg(_rows(spark, [(i,)], "id long"), root, mode="append")
+    metas = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )
+    # 6 commits → v6 current + previous v5, v4 retained (K=2)
+    assert metas == ["v4.metadata.json", "v5.metadata.json", "v6.metadata.json"]
+    assert open(os.path.join(root, "metadata", "version-hint.text")).read() == "6"
+    cat = IcebergCatalog("t", root)
+    assert sorted(r.id for r in cat.to_dataframe(spark).collect()) == list(range(6))
+    # metadata-log is trimmed to the same bound
+    import json as _json
+
+    md = _json.loads(open(os.path.join(root, "metadata", "v6.metadata.json")).read())
+    assert len(md["metadata-log"]) <= 2
+    # all six snapshots stay time-travel readable from the current metadata
+    assert len(cat.history()) == 6
+
+
+def test_metadata_retention_off_by_default(spark, tmp_path):
+    import glob as _glob
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(0,)], "id long"), root)
+    for i in range(1, 4):
+        write_iceberg(_rows(spark, [(i,)], "id long"), root, mode="append")
+    metas = _glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    assert len(metas) == 4  # nothing reclaimed without the property

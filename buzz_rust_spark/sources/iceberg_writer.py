@@ -292,7 +292,13 @@ def _entry_schema(part_fields: list[dict]) -> dict:
                                 "fields": [
                                     {
                                         "name": f["name"],
-                                        "type": ["null", _PART_AVRO[f["source_type"]]],
+                                        "type": [
+                                            "null",
+                                            _PART_AVRO[
+                                                f.get("store_type")
+                                                or f["source_type"]
+                                            ],
+                                        ],
                                         "field-id": f["field_id"],
                                     }
                                     for f in part_fields
@@ -464,32 +470,207 @@ def _stats_context(by_name: dict, columns: list[str]):
     return col_types, stat_fields
 
 
+# partition transform syntax accepted in ``partition_by`` (Iceberg's
+# SQL-ish forms: bare column = identity, days(ts), bucket(16, id), ...)
+_PART_BY_RE = re.compile(
+    r"(?:(year|years|month|months|day|days|hour|hours)\s*\(\s*(\w+)\s*\)"
+    r"|(truncate|bucket)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(\w+))\s*",
+)
+
+# valid source iceberg types per transform kind (spec §Partition Transforms)
+_KIND_SOURCES = {
+    "identity": set(_PART_AVRO),
+    "year": {"date", "timestamp", "timestamptz"},
+    "month": {"date", "timestamp", "timestamptz"},
+    "day": {"date", "timestamp", "timestamptz"},
+    "hour": {"timestamp", "timestamptz"},
+    "truncate": {"int", "long", "string"},
+    "bucket": {"int", "long", "string", "date", "timestamp", "timestamptz"},
+}
+
+
+def _parse_partition_entry(entry: str) -> tuple[str, int | None, str]:
+    """One ``partition_by`` entry → (kind, param, source column)."""
+    m = _PART_BY_RE.fullmatch(entry.strip())
+    if not m:
+        raise BuzzBadRequestError(
+            f"unparseable partition_by entry {entry!r} (forms: col, "
+            "year(col), month(col), day(col), hour(col), "
+            "truncate(W, col), bucket(N, col))"
+        )
+    tkind, tsrc, pkind, pparam, psrc, ident = m.groups()
+    if ident is not None:
+        return "identity", None, ident
+    if tkind is not None:
+        return tkind.rstrip("s") if tkind != "days" else "day", None, tsrc
+    return pkind, int(pparam), psrc
+
+
+def _canonical_entry(kind: str, param: int | None, source: str) -> str:
+    if kind == "identity":
+        return source
+    if param is None:
+        return f"{kind}({source})"
+    return f"{kind}({param}, {source})"
+
+
+def _spec_transform_string(kind: str, param: int | None) -> str:
+    """(kind, param) → the metadata transform string."""
+    if kind in ("truncate", "bucket"):
+        return f"{kind}[{param}]"
+    return kind
+
+
+def _spec_field_name(kind: str, param, src: str, taken: set[str]) -> str:
+    """Iceberg's conventional partition-field name for a transform
+    (``ts_day``, ``id_bucket``, ...), suffixed if it collides with a data
+    column or another spec field."""
+    if kind == "identity":
+        return src
+    base = f"{src}_trunc" if kind == "truncate" else f"{src}_{kind}"
+    name = base
+    i = 2
+    while name in taken:
+        name = f"{base}_{i}"
+        i += 1
+    taken.add(name)
+    return name
+
+
+def _spec_transform_parts(transform: str) -> tuple[str, int | None]:
+    """Metadata transform string → (kind, param)."""
+    m = re.fullmatch(r"(truncate|bucket)\[(\d+)\]", transform or "")
+    if m:
+        return m.group(1), int(m.group(2))
+    kind = {
+        "years": "year", "months": "month", "days": "day", "date": "day",
+        "hours": "hour", "date_hour": "hour",
+    }.get(transform, transform)
+    return kind, None
+
+
 def _partition_context(schema_json: dict, spec_fields: list[dict]) -> list[dict]:
     """The writer-internal partition field view.  A spec field keeps its
     own NAME forever while the source COLUMN can be renamed (metadata-only
-    schema evolution), so the two are carried separately: manifests key the
-    partition record by the SPEC field name, the data-side grouping and
-    the per-file partition dicts key by the CURRENT source column."""
+    schema evolution), so the two are carried separately: manifests key
+    the partition record by the SPEC field name; the data-side grouping
+    and the per-file partition dicts key by ``group_col`` — the CURRENT
+    source column for identity fields, a derived ``__p_<name>`` ordinal
+    column (computed just before the fanout write, dropped from the data
+    files) for transform fields.  ``store_type`` is the iceberg type of
+    the stored partition VALUE (ordinals are ints; truncate keeps the
+    source type)."""
     field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
     field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
     part_fields = []
     for f in spec_fields:
         st = field_types[f["source-id"]]
-        if not isinstance(st, str) or st not in _PART_AVRO:
+        kind, param = _spec_transform_parts(f.get("transform") or "identity")
+        if kind not in _KIND_SOURCES:
             raise BuzzBadRequestError(
-                f"partition field {f['name']!r} has source type {st!r}; "
-                f"identity partitioning supports {sorted(_PART_AVRO)} only"
+                f"partition transform {f.get('transform')!r} is not "
+                "writable (identity, year/month/day/hour, truncate[W], "
+                "bucket[N])"
             )
+        if not isinstance(st, str) or st not in _KIND_SOURCES[kind]:
+            raise BuzzBadRequestError(
+                f"partition field {f['name']!r}: transform {kind!r} does "
+                f"not accept source type {st!r} "
+                f"(valid: {sorted(_KIND_SOURCES[kind])})"
+            )
+        source_name = field_names[f["source-id"]]
         part_fields.append(
             {
                 "name": f["name"],
                 "field_id": f["field-id"],
                 "source_id": f["source-id"],
-                "source_name": field_names[f["source-id"]],
+                "source_name": source_name,
                 "source_type": st,
+                "kind": kind,
+                "param": param,
+                "store_type": st if kind in ("identity", "truncate") else "int",
+                "group_col": (
+                    source_name if kind == "identity" else f"__p_{f['name']}"
+                ),
             }
         )
     return part_fields
+
+
+def _transform_column(pf: dict):
+    """The Spark Column computing a transform partition field's stored
+    value from its source column — JVM expressions for the time/truncate
+    transforms (ordinals per spec: years/months/days/hours since epoch;
+    the session runs UTC so NTZ↔LTZ casts are wall-clock exact), an
+    Arrow-batched pandas UDF for bucket (the spec's murmur3 of the
+    single-value serialization has no JVM builtin — Spark's hash() uses a
+    different seed and serialization)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(pf["source_name"])
+    kind, param, st = pf["kind"], pf["param"], pf["source_type"]
+    if kind == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if kind == "month":
+        return (
+            (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+        ).cast("int")
+    if kind == "day":
+        return F.datediff(
+            c.cast("date"), F.lit(datetime.date(1970, 1, 1))
+        ).cast("int")
+    if kind == "hour":
+        return F.floor(
+            F.unix_micros(c.cast("timestamp")) / F.lit(3_600_000_000)
+        ).cast("int")
+    if kind == "truncate":
+        if st == "string":
+            return F.when(c.isNull(), None).otherwise(
+                F.substring(c, 1, param)
+            )
+        return (c - F.pmod(c, F.lit(param))).cast("long" if st == "long" else "int")
+    if kind == "bucket":
+        return _bucket_udf(st, param)(c)
+    raise BuzzBadRequestError(f"unwritable transform kind {kind!r}")
+
+
+def _bucket_udf(source_type: str, n: int):
+    """Arrow-batched bucket[n] ordinal UDF, sharing the reader's
+    spec-pinned murmur3 (iceberg.py Appendix B vectors)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .iceberg import _murmur3_32
+
+    def one(v):
+        if v is None or v != v:  # None or NaN/NaT sentinel
+            return None
+        if source_type in ("int", "long"):
+            data = int(v).to_bytes(8, "little", signed=True)
+        elif source_type == "date":
+            # arrives as datetime.date or pd.Timestamp depending on the
+            # Arrow conversion; normalize to date first
+            d = v.date() if isinstance(v, datetime.datetime) else v
+            data = (d - datetime.date(1970, 1, 1)).days.to_bytes(
+                8, "little", signed=True
+            )
+        elif source_type in ("timestamp", "timestamptz"):
+            # pd.Timestamp carries ns since epoch in .value
+            micros = (
+                v.value // 1000
+                if hasattr(v, "value")
+                else int(v.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+            )
+            data = int(micros).to_bytes(8, "little", signed=True)
+        else:
+            data = str(v).encode("utf-8")
+        return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+    @pandas_udf("int")
+    def _b(s):
+        return s.map(one)
+
+    return _b
 
 
 # --- the distributed data-file writer -----------------------------------------
@@ -506,6 +687,7 @@ def _write_data_files(
     no_null_cols: list[str] | None = None,
     required: bool = False,
     name_prefix: str = "",
+    drop_cols: list[str] | None = None,
 ) -> list[dict]:
     """One ``mapInArrow`` job writing parquet data files; returns the small
     per-file manifest rows.  Partition columns STAY in the data files (the
@@ -531,13 +713,19 @@ def _write_data_files(
     legitimate appends): each Arrow batch is null-checked executor-side —
     O(1) per batch via the Arrow null count, no extra pass — so a NULL can
     never reach a data file whose footer declares the field required
-    (external engines trust that invariant)."""
+    (external engines trust that invariant).
+
+    ``drop_cols`` are grouping-only columns (derived transform ordinals):
+    tasks group/roll by them but they are EXCLUDED from the written files
+    — ``field_ids``/``col_types`` align with the remaining columns."""
     from pyspark.sql import functions as F
 
     cols = list(df.columns)
+    drop_set = set(drop_cols or ())
+    file_cols = [c for c in cols if c not in drop_set]
     stat_cols = {
         i: (c, t)
-        for i, (c, t) in enumerate(zip(cols, col_types or []))
+        for i, (c, t) in enumerate(zip(file_cols, col_types or []))
         if t is not None
     }
     stat_cols_by_name = {c: t for c, t in stat_cols.values()}
@@ -590,6 +778,8 @@ def _write_data_files(
                     cur[1] = hi
 
         def sink(key, part_values, tbl):
+            if drop_set:
+                tbl = tbl.select(file_cols)
             while tbl.num_rows:
                 ent = writers.get(key)
                 if ent is None:
@@ -760,10 +950,11 @@ def write_iceberg(
         )
     root = _local_table_dir(table_uri)
     partition_by = list(partition_by or [])
-    for c in partition_by:
-        if c not in df.columns:
+    part_specs = [_parse_partition_entry(e) for e in partition_by]
+    for kind, param, src in part_specs:
+        if src not in df.columns:
             raise BuzzBadRequestError(
-                f"partition column {c!r} not in dataframe columns"
+                f"partition column {src!r} not in dataframe columns"
             )
 
     existing = _load_meta(root)
@@ -791,12 +982,12 @@ def write_iceberg(
         # type validation happens in _partition_context on the common path
         spec_fields = [
             {
-                "name": c,
-                "transform": "identity",
-                "source-id": by_name[c]["id"],
+                "name": _spec_field_name(kind, param, src, set(by_name)),
+                "transform": _spec_transform_string(kind, param),
+                "source-id": by_name[src]["id"],
                 "field-id": 1000 + i,
             }
-            for i, c in enumerate(partition_by)
+            for i, (kind, param, src) in enumerate(part_specs)
         ]
         meta = {
             "format-version": 2,
@@ -844,27 +1035,27 @@ def write_iceberg(
             for s in meta["partition-specs"]
             if s.get("spec-id") == spec_id
         )
-        if any(f.get("transform") != "identity" for f in spec_fields):
-            raise BuzzExecutionError(
-                "iceberg write path supports identity partition specs only"
-            )
         field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
-        spec_part_cols = [
-            field_names[f["source-id"]] for f in spec_fields
-        ]
-        if partition_by and partition_by != spec_part_cols:
-            raise BuzzBadRequestError(
-                f"partition_by {partition_by} does not match the table's "
-                f"partition spec {spec_part_cols}"
+        spec_desc = [
+            _canonical_entry(
+                *_spec_transform_parts(f.get("transform") or "identity"),
+                field_names[f["source-id"]],
             )
-        partition_by = spec_part_cols
+            for f in spec_fields
+        ]
+        user_desc = [_canonical_entry(k, p, c) for k, p, c in part_specs]
+        if partition_by and user_desc != spec_desc:
+            raise BuzzBadRequestError(
+                f"partition_by {user_desc} does not match the table's "
+                f"partition spec {spec_desc}"
+            )
         # previous manifests carried forward on append
         prev_manifests = _prev_manifests(meta) if mode == "append" else []
 
     by_name = {f["name"]: f for f in schema_json["fields"]}
     part_fields = _partition_context(schema_json, spec_fields)
-    part_cols = [pf["source_name"] for pf in part_fields]
-    part_types = {pf["source_name"]: pf["source_type"] for pf in part_fields}
+    part_cols = [pf["group_col"] for pf in part_fields]
+    part_types = {pf["group_col"]: pf["store_type"] for pf in part_fields}
     field_ids = [by_name[c]["id"] for c in df.columns]
     col_types, stat_fields = _stats_context(by_name, df.columns)
     # table-required fields fed from a merely-nullable Spark column get an
@@ -874,6 +1065,9 @@ def write_iceberg(
         c for c in df.columns
         if by_name[c].get("required") and df.schema[c].nullable
     ]
+    derived = [pf for pf in part_fields if pf["kind"] != "identity"]
+    for pf in derived:
+        df = df.withColumn(pf["group_col"], _transform_column(pf))
 
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
@@ -883,6 +1077,7 @@ def write_iceberg(
     new_files = _write_data_files(
         df, data_dir, part_cols, field_ids, part_types, target_file_rows,
         col_types=col_types, no_null_cols=required_nullable,
+        drop_cols=[pf["group_col"] for pf in derived],
     )
     if not new_files and existing is not None and mode == "append":
         return None  # nothing to commit
@@ -1015,7 +1210,9 @@ def _manifest_entries(
                 "file_path": f["file_path"],
                 "file_format": "PARQUET",
                 "partition": {
-                    pf["name"]: f.get("partition", {}).get(pf["source_name"])
+                    pf["name"]: f.get("partition", {}).get(
+                        pf.get("group_col") or pf["source_name"]
+                    )
                     for pf in part_fields
                 },
                 "record_count": int(f["record_count"]),
@@ -1075,7 +1272,9 @@ def _part_summaries(files: list[dict], part_fields: list[dict]) -> list | None:
         return None
     summaries = []
     for pf in part_fields:
-        vals = [f.get("partition", {}).get(pf["source_name"]) for f in files]
+        key = pf.get("group_col") or pf["source_name"]
+        st = pf.get("store_type") or pf["source_type"]
+        vals = [f.get("partition", {}).get(key) for f in files]
         non_null = [v for v in vals if v is not None]
         lo = min(non_null) if non_null else None
         hi = max(non_null) if non_null else None
@@ -1083,8 +1282,8 @@ def _part_summaries(files: list[dict], part_fields: list[dict]) -> list | None:
             {
                 "contains_null": any(v is None for v in vals),
                 "contains_nan": False,
-                "lower_bound": _bound_bytes(lo, pf["source_type"]),
-                "upper_bound": _bound_bytes(hi, pf["source_type"]),
+                "lower_bound": _bound_bytes(lo, st),
+                "upper_bound": _bound_bytes(hi, st),
             }
         )
     return summaries
@@ -1526,6 +1725,18 @@ def rewrite_iceberg(
     except BuzzExecutionError:
         return None  # not a table (no metadata dir / no metadata.json)
     df = cat.to_dataframe(spark)
+    # the reader surfaces iceberg `timestamp` (NTZ) as Spark's LTZ type;
+    # the write side keeps NTZ↔timestamp apart — cast back (session runs
+    # UTC, so the cast is wall-clock exact) or the self-rewrite would fail
+    # its own schema check
+    _, meta = _load_v2_meta(root, table_uri)
+    sid = meta.get("current-schema-id", 0)
+    schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
+    from pyspark.sql import functions as F
+
+    for f in schema_json["fields"]:
+        if f["type"] == "timestamp":
+            df = df.withColumn(f["name"], F.col(f["name"]).cast("timestamp_ntz"))
     return write_iceberg(
         df,
         table_uri,
@@ -1604,13 +1815,9 @@ def merge_iceberg(
         for s in meta["partition-specs"]
         if s.get("spec-id") == spec_id
     )
-    if any(f.get("transform") != "identity" for f in spec_fields):
-        raise BuzzExecutionError(
-            "iceberg write path supports identity partition specs only"
-        )
     part_fields = _partition_context(schema_json, spec_fields)
-    part_cols = [pf["source_name"] for pf in part_fields]
-    part_types = {pf["source_name"]: pf["source_type"] for pf in part_fields}
+    part_cols = [pf["group_col"] for pf in part_fields]
+    part_types = {pf["group_col"]: pf["store_type"] for pf in part_fields}
     field_ids = [by_name[c]["id"] for c in source.columns]
     key_ids = [int(by_name[k]["id"]) for k in key_cols]
     col_types, stat_fields = _stats_context(by_name, source.columns)
@@ -1623,6 +1830,13 @@ def merge_iceberg(
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(data_dir, exist_ok=True)
+
+    # derived transform ordinals (day/bucket/... partitioned tables): the
+    # fanout writer groups by them, the files never contain them
+    derived = [pf for pf in part_fields if pf["kind"] != "identity"]
+    data_cols = list(source.columns)
+    for pf in derived:
+        source = source.withColumn(pf["group_col"], _transform_column(pf))
 
     # the source is evaluated three times (dup check, data files, key
     # files); persist so a non-deterministic or mutable-input source
@@ -1647,6 +1861,7 @@ def merge_iceberg(
             source, data_dir, part_cols, field_ids, part_types,
             target_file_rows, col_types=col_types,
             no_null_cols=required_nullable,
+            drop_cols=[pf["group_col"] for pf in derived],
         )
         if not new_files:
             return None

@@ -218,16 +218,18 @@ def test_unpartitioned_multi_task_write(spark, tmp_path):
     assert got.selectExpr("sum(dbl) as s").collect()[0].s == 999 * 1000
 
 
-def test_nonidentity_spec_append_refused(spark, tmp_path):
+def test_unwritable_spec_append_refused(spark, tmp_path):
+    """Transform kinds the writer cannot produce (void) refuse appends;
+    bucket/time transforms are writable since round 7."""
     root = str(tmp_path / "t")
     write_iceberg(_rows(spark, [(1, "2020")], "id long, y string"),
                   root, partition_by=["y"])
     meta_path = os.path.join(root, "metadata", "v1.metadata.json")
     meta = json.load(open(meta_path))
-    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    meta["partition-specs"][0]["fields"][0]["transform"] = "void"
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
-    with pytest.raises(BuzzExecutionError, match="identity partition"):
+    with pytest.raises(BuzzBadRequestError, match="not\\s+writable"):
         write_iceberg(_rows(spark, [(2, "2021")], "id long, y string"), root)
 
 
@@ -241,7 +243,7 @@ def test_partition_by_conflict_refused(spark, tmp_path):
 
 
 def test_float_partition_refused(spark, tmp_path):
-    with pytest.raises(BuzzBadRequestError, match="identity partitioning"):
+    with pytest.raises(BuzzBadRequestError, match="does not accept source type"):
         write_iceberg(
             _rows(spark, [(1.5, "a")], "x double, v string"),
             str(tmp_path / "t"), partition_by=["x"],
@@ -1062,3 +1064,185 @@ def test_metadata_retention_off_by_default(spark, tmp_path):
         write_iceberg(_rows(spark, [(i,)], "id long"), root, mode="append")
     metas = _glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
     assert len(metas) == 4  # nothing reclaimed without the property
+
+
+# --- non-identity partition transform WRITES -----------------------------------
+
+
+def test_write_day_transform_prunes(spark, tmp_path):
+    """partition_by=["days(ts)"]: the writer computes day ordinals JVM-side,
+    keeps them OUT of the data files, and writes manifests whose partition
+    values + summaries drive the reader's transform pruning."""
+    root = str(tmp_path / "t")
+    df = _rows(
+        spark,
+        [(1, datetime.datetime(2021, 1, 1, 5)),
+         (2, datetime.datetime(2021, 1, 1, 9)),
+         (3, datetime.datetime(2021, 3, 15, 0))],
+        "id long, ts timestamp_ntz",
+    )
+    s = write_iceberg(df, root, partition_by=["days(ts)"])
+    assert s["added_records"] == 3
+    cat = IcebergCatalog("t", root)
+    assert cat.partition_cols == ["ts_day"]
+    # the derived ordinal is NOT a data column
+    full = cat.to_dataframe(spark)
+    assert set(full.columns) == {"id", "ts"}
+    assert full.count() == 3
+    pruned = cat.to_dataframe(spark, "ts_day = '2021-01-01'")
+    assert sorted(r.id for r in pruned.collect()) == [1, 2]
+    assert len(cat.pruned_files(spark, "ts_day = '2021-01-01'")) == 1
+    # appends accept the same (or omitted) canonical spec; mismatch refuses
+    write_iceberg(
+        _rows(spark, [(4, datetime.datetime(2021, 3, 15, 7))],
+              "id long, ts timestamp_ntz"),
+        root, mode="append", partition_by=["day(ts)"],
+    )
+    with pytest.raises(BuzzBadRequestError, match="does not match"):
+        write_iceberg(
+            _rows(spark, [(5, datetime.datetime(2021, 3, 15, 8))],
+                  "id long, ts timestamp_ntz"),
+            root, mode="append", partition_by=["hours(ts)"],
+        )
+    cat2 = IcebergCatalog("t", root)
+    assert sorted(
+        r.id for r in cat2.to_dataframe(spark, "ts_day = '2021-03-15'").collect()
+    ) == [3, 4]
+
+
+@pytest.mark.parametrize("entry,flt,keep", [
+    ("year(ts)", "ts_year = '2021'", [1, 2]),
+    ("months(ts)", "ts_month = '2022-02'", [3]),
+    ("hour(ts)", "ts_hour = '2021-06-01 04'", [2]),
+])
+def test_write_time_transforms_prune(spark, tmp_path, entry, flt, keep):
+    root = str(tmp_path / "t")
+    df = _rows(
+        spark,
+        [(1, datetime.datetime(2021, 6, 1, 3)),
+         (2, datetime.datetime(2021, 6, 1, 4)),
+         (3, datetime.datetime(2022, 2, 9, 1))],
+        "id long, ts timestamp_ntz",
+    )
+    write_iceberg(df, root, partition_by=[entry])
+    cat = IcebergCatalog("t", root)
+    assert sorted(
+        r.id for r in cat.to_dataframe(spark, flt).collect()
+    ) == keep
+    assert cat.to_dataframe(spark).count() == 3
+
+
+def test_write_truncate_transform(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(
+        _rows(spark, [(1, "alpha"), (2, "alpine"), (3, "gamma")],
+              "id long, w string"),
+        root, partition_by=["truncate(3, w)"],
+    )
+    cat = IcebergCatalog("t", root)
+    assert sorted(
+        r.id for r in cat.to_dataframe(spark, "w_trunc = 'alp'").collect()
+    ) == [1, 2]
+    # int truncate: floored to the width
+    root2 = str(tmp_path / "t2")
+    write_iceberg(
+        _rows(spark, [(1, -7), (2, 13), (3, 27)], "id long, v int"),
+        root2, partition_by=["truncate(10, v)"],
+    )
+    cat2 = IcebergCatalog("t", root2)
+    # -7 floors to -10 (spec: truncate uses floored mod)
+    assert sorted(
+        r.id for r in cat2.to_dataframe(spark, "v_trunc = '-10'").collect()
+    ) == [1]
+    assert sorted(
+        r.id for r in cat2.to_dataframe(spark, "v_trunc = '10'").collect()
+    ) == [2]
+
+
+def test_write_bucket_transform_round_trip(spark, tmp_path):
+    """bucket(8, id): writer ordinals use the spec murmur3 (shared with the
+    reader), so the reader's bucket pruning finds exactly the right files
+    — including the spec vector long 34."""
+    from buzz_rust_spark.sources.iceberg import _bucket_ordinal
+
+    root = str(tmp_path / "t")
+    df = _rows(spark, [(34, "a"), (35, "b"), (99, "c")], "id long, v string")
+    write_iceberg(df, root, partition_by=["bucket(8, id)"])
+    cat = IcebergCatalog("t", root)
+    assert cat.partition_cols == ["__bucket_id"]
+    got = cat.to_dataframe(spark, "id = 34")
+    assert {(r.id, r.v) for r in got.collect()} >= {(34, "a")}
+    # pruning reads only the matching bucket's file(s)
+    want_ord = _bucket_ordinal("34", False, "long", 8)
+    import json as _json
+
+    md = _json.loads(open(
+        os.path.join(root, "metadata", "v1.metadata.json")).read())
+    assert md["partition-specs"][0]["fields"][0]["transform"] == "bucket[8]"
+    kept = cat.pruned_files(spark, "id = 34")
+    assert 1 <= len(kept) < 3
+    # string bucket round-trips too; partition_filter selects FILES, so
+    # same-bucket neighbors may ride along — assert pruning kept exactly
+    # the files of b's bucket and the match is present
+    root2 = str(tmp_path / "t2")
+    write_iceberg(df, root2, partition_by=["bucket(4, v)"])
+    cat2 = IcebergCatalog("t", root2)
+    got = {r.id for r in cat2.to_dataframe(spark, "v = 'b'").collect()}
+    assert 35 in got
+    ord_b = _bucket_ordinal("b", True, "string", 4)
+    same_bucket = {
+        i for i, x in ((34, "a"), (35, "b"), (99, "c"))
+        if _bucket_ordinal(x, True, "string", 4) == ord_b
+    }
+    assert got == same_bucket
+
+
+def test_write_transform_merge_and_rewrite(spark, tmp_path):
+    """merge/rewrite work on transform-partitioned tables end-to-end (the
+    CDC shape over a day-partitioned table — the realistic 100 TB layout)."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        merge_iceberg,
+        rewrite_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    df = _rows(
+        spark,
+        [(1, datetime.datetime(2021, 1, 1), 10),
+         (2, datetime.datetime(2021, 1, 2), 20)],
+        "id long, ts timestamp_ntz, v long",
+    )
+    write_iceberg(df, root, partition_by=["days(ts)"])
+    merge_iceberg(
+        spark, root,
+        _rows(spark, [(2, datetime.datetime(2021, 1, 2), 200),
+                      (3, datetime.datetime(2021, 1, 3), 30)],
+              "id long, ts timestamp_ntz, v long"),
+        ["id"],
+    )
+    assert {
+        (r.id, r.v)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    } == {(1, 10), (2, 200), (3, 30)}
+    rewrite_iceberg(spark, root)
+    cat = IcebergCatalog("t", root)
+    assert {
+        (r.id, r.v) for r in cat.to_dataframe(spark).collect()
+    } == {(1, 10), (2, 200), (3, 30)}
+    assert sorted(
+        r.id for r in cat.to_dataframe(spark, "ts_day = '2021-01-02'").collect()
+    ) == [2]
+
+
+def test_write_transform_null_source_values(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _rows(
+        spark,
+        [(1, datetime.datetime(2021, 1, 1)), (2, None)],
+        "id long, ts timestamp_ntz",
+    )
+    write_iceberg(df, root, partition_by=["days(ts)"])
+    cat = IcebergCatalog("t", root)
+    assert cat.to_dataframe(spark).count() == 2
+    assert [r.id for r in
+            cat.to_dataframe(spark, "ts_day = '2021-01-01'").collect()] == [1]

@@ -2406,3 +2406,50 @@ def z29_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "z30_iceberg_day_partitioned",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH ev AS (
+  SELECT event_id, ts, event_type, value
+  FROM events ORDER BY event_id LIMIT 2000
+)
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM ev
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def z30_iceberg_day_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform-partitioned Iceberg write, oracle-checked: events land in
+    a day(ts)-partitioned table (derived ordinals in metadata only), the
+    read prunes on the ts_day partition field — exactly the three-day
+    window's files — and the aggregate must equal the relational recompute
+    over the raw parquet."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import write_iceberg
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(2000)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z30_") + "/tbl"
+    write_iceberg(ev, root, partition_by=["days(ts)"])
+    cat = IcebergCatalog("events_daily", root)
+    df = cat.to_dataframe(
+        spark, "ts_day >= '2024-01-03' AND ts_day <= '2024-01-05'"
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

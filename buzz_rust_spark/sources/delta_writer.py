@@ -193,23 +193,26 @@ def _writer_mapping(meta: dict) -> tuple[str, dict[str, str], dict[str, int]]:
 
 
 def _require_unmapped(meta: dict, table_uri: str, op: str) -> None:
-    """File-rewriting operations (merge/delete/optimize) read data files by
-    logical column names; on a column-mapped table they would null-fill or
-    misread physical-named files — typed refusal until they are
-    mapping-aware.  Append/overwrite writes and all reads ARE."""
+    """File-rewriting operations under columnMapping mode=id are refused:
+    rewriting requires re-emitting parquet field ids for files this engine
+    may not have written (external id-mode tables) — a rewrite that loses
+    them would break every field-id reader.  mode=name rewrites ARE
+    supported (reads resolve physical names, rewrites re-emit them), and
+    optimize is mapping-agnostic entirely (raw byte round-trip)."""
     mode = (
         ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
         or "none"
     )
-    if mode != "none":
+    if mode == "id":
         from ..errors import BuzzNotImplementedError
 
         raise BuzzNotImplementedError(
-            f"{op} on a column-mapped Delta table (mode={mode!r}) at "
-            f"{table_uri!r} is not supported — append/overwrite writes and "
-            "reads are mapping-aware; rewrite paths are not yet"
+            f"{op} on a columnMapping.mode=id Delta table at "
+            f"{table_uri!r} is not supported — reads, appends, and "
+            "mode=name rewrites are; id-mode rewrites would need to "
+            "re-emit external files' field ids"
         )
 
 
@@ -626,7 +629,6 @@ def optimize_delta(
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
-    _require_unmapped(meta, table_uri, "optimize_delta")
 
     # Group live files by partition tuple; a group compacts when it has ≥2
     # files and at least one is under half the target (rewriting a single
@@ -767,6 +769,7 @@ def _read_table_files(
     from .deletion_vectors import filter_deleted_rows
 
     schema = _declared_schema(meta)
+    _, phys, _ = _writer_mapping(meta)  # files + partition dirs are physical
     paths = [os.path.join(table_dir, r) for r in rels]
     reader = spark.read
     if meta.get("partitionColumns"):
@@ -789,8 +792,25 @@ def _read_table_files(
             spark,
         )
     return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        *[
+            F.col(phys.get(f.name, f.name)).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
     )
+
+
+def _to_physical_frame(df: DataFrame, meta: dict, partition_by: list[str]):
+    """(df with PHYSICAL column names, physical partition cols) for staging
+    writes into a column-mapped table — identity on unmapped tables."""
+    cm_mode, phys, _ = _writer_mapping(meta)
+    if cm_mode == "none":
+        return df, partition_by
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+    )
+    return out, [phys.get(c, c) for c in partition_by]
 
 
 def _key_overlap_candidates(live: dict[str, dict], ranges: dict) -> list[str]:
@@ -904,7 +924,11 @@ def merge_delta(
             *[F.min(k).alias(f"_lo_{k}") for k in on],
             *[F.max(k).alias(f"_hi_{k}") for k in on],
         ).first()
-        ranges = {k: (row[f"_lo_{k}"], row[f"_hi_{k}"]) for k in on}
+        # add-action stats are keyed by PHYSICAL names on mapped tables
+        _, _phys, _ = _writer_mapping(meta)
+        ranges = {
+            _phys.get(k, k): (row[f"_lo_{k}"], row[f"_hi_{k}"]) for k in on
+        }
         candidates = _key_overlap_candidates(live, ranges)
 
         src_keys = source.select(*on)
@@ -970,8 +994,9 @@ def merge_delta(
         if out is None or (not touched and when_not_matched is None):
             return None  # nothing matched and nothing to insert
 
+        out_phys, parts_phys = _to_physical_frame(out, meta, partition_by)
         adds = _stage_and_promote(
-            out, table_dir, version, partition_by, now_ms, tag="merge"
+            out_phys, table_dir, version, parts_phys, now_ms, tag="merge"
         )
         if not touched and not adds:
             return None  # insert-only merge with an empty insert set
@@ -1006,12 +1031,16 @@ def _scan_with_meta(spark, table_dir: str, rels: list[str], meta: dict):
     from .uris import normalized_path_col
 
     schema = _declared_schema(meta)
+    _, phys, _ = _writer_mapping(meta)
     reader = spark.read
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", table_dir)
     df = reader.parquet(*[os.path.join(table_dir, r) for r in rels])
     return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+        *[
+            F.col(phys.get(f.name, f.name)).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
         normalized_path_col(F.col("_metadata.file_path")).alias("__file"),
         F.col("_metadata.row_index").alias("__ridx"),
     )
@@ -1178,8 +1207,9 @@ def delete_delta(
     survivors = _read_table_files(spark, table_dir, touched, meta, live).where(
         ~F.coalesce(cond, F.lit(False))
     )
+    surv_phys, parts_phys = _to_physical_frame(survivors, meta, partition_by)
     adds = _stage_and_promote(
-        survivors, table_dir, version, partition_by, now_ms, tag="delete"
+        surv_phys, table_dir, version, parts_phys, now_ms, tag="delete"
     )
     actions = [
         {

@@ -1129,8 +1129,11 @@ def test_delta_evolve_rename_upgrades_to_name_mapping(spark, tmp_path):
     assert adds and all("par" in a["partitionValues"] for a in adds)
 
 
-def test_delta_evolve_rename_then_rewrite_ops_refused(spark, tmp_path):
-    from buzz_rust_spark.errors import BuzzNotImplementedError
+def test_delta_evolve_rename_then_rewrite_ops(spark, tmp_path):
+    """mode=name rewrites are fully supported after a rename: delete (cow
+    and dv), merge, and optimize all operate on LOGICAL columns while the
+    files keep their physical names; id-mode rewrites stay typed refusals."""
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
     from buzz_rust_spark.sources.delta_writer import (
         delete_delta,
         evolve_delta,
@@ -1140,16 +1143,83 @@ def test_delta_evolve_rename_then_rewrite_ops_refused(spark, tmp_path):
     )
 
     root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"r{i}", f"p{i % 2}") for i in range(8)],
+            "id long, v string, par string",
+        ),
+        root, partition_by=["par"],
+    )
+    evolve_delta(root, rename_columns={"v": "name", "par": "part"})
+
+    # copy-on-write DELETE by the NEW logical names
+    assert delete_delta(spark, root, "id = 0 AND part = 'p0'") is not None
+    got = {(r.id, r.name) for r in
+           DeltaCatalog("t", root).to_dataframe(spark).collect()}
+    assert got == {(i, f"r{i}") for i in range(1, 8)}
+
+    # MERGE upsert by logical key
+    merge_delta(
+        spark, root,
+        spark.createDataFrame([(1, "R1", "p1"), (9, "r9", "p1")],
+                              "id long, name string, part string"),
+        ["id"],
+    )
+    got = {(r.id, r.name) for r in
+           DeltaCatalog("t", root).to_dataframe(spark).collect()}
+    assert got == {(i, f"r{i}") for i in range(2, 8)} | {(1, "R1"), (9, "r9")}
+
+    # DV delete + optimize purge
+    assert delete_delta(spark, root, "id = 9", mode="dv") is not None
+    got = {r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()}
+    assert got == set(range(1, 8))
+    assert optimize_delta(spark, root, target_file_bytes=1 << 30) is not None
+    cat = DeltaCatalog("t", root)
+    got = {(r.id, r.name, r.part) for r in cat.to_dataframe(spark).collect()}
+    assert got == {(1, "R1", "p1")} | {
+        (i, f"r{i}", f"p{i % 2}") for i in range(2, 8)
+    }
+    # logical-name partition pruning still works after all rewrites
+    assert {r.id for r in cat.to_dataframe(spark, "part = 'p0'").collect()} \
+        == {2, 4, 6}
+
+
+def test_delta_id_mode_rewrites_refused(spark, tmp_path):
+    """Externally-shaped mode=id tables refuse rewrites (re-emitting field
+    ids for files this engine didn't write is not implemented)."""
+    import json as _json
+    import os as _os
+
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+    from buzz_rust_spark.sources.delta_writer import delete_delta, write_delta
+
+    root = str(tmp_path / "t")
     write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), root)
-    evolve_delta(root, rename_columns={"v": "w"})
-    with pytest.raises(BuzzNotImplementedError, match="column-mapped"):
+    # hand-flip the table to mode=id (external catalog shape)
+    log = sorted(
+        f for f in _os.listdir(_os.path.join(root, "_delta_log"))
+        if f.endswith(".json")
+    )[-1]
+    lp = _os.path.join(root, "_delta_log", log)
+    acts = [_json.loads(l) for l in open(lp) if l.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            for i, f in enumerate(sch["fields"], start=1):
+                f["metadata"] = {
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": f["name"],
+                }
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "2",
+            }
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 2, "minWriterVersion": 5}
+    open(lp, "w").write("".join(_json.dumps(a) + "\n" for a in acts))
+    with pytest.raises(BuzzNotImplementedError, match="mode=id"):
         delete_delta(spark, root, "id = 1")
-    with pytest.raises(BuzzNotImplementedError, match="column-mapped"):
-        merge_delta(spark, root,
-                    spark.createDataFrame([(1, "x")], "id long, w string"),
-                    ["id"])
-    with pytest.raises(BuzzNotImplementedError, match="column-mapped"):
-        optimize_delta(spark, root)
 
 
 def test_delta_evolve_validation(spark, tmp_path):

@@ -41,7 +41,7 @@ PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # delete_delta(mode="dv") upgrades a table to DV_PROTOCOL, so the writer must
 # keep understanding its own upgrade — and refuse e.g. an appendOnly or
 # invariants table it would silently violate.
-SUPPORTED_WRITER_FEATURES = {"deletionVectors"}
+SUPPORTED_WRITER_FEATURES = {"deletionVectors", "columnMapping"}
 DV_PROTOCOL = {
     "minReaderVersion": 3,
     "minWriterVersion": 7,
@@ -629,6 +629,10 @@ def optimize_delta(
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    # the rewrite is read+coalesce+write, which RE-ENCODES parquet: on an
+    # id-mode table it would drop the external files' field ids — refuse
+    # (mode=name needs no ids; physical names round-trip through the read)
+    _require_unmapped(meta, table_uri, "optimize_delta")
 
     # Group live files by partition tuple; a group compacts when it has ≥2
     # files and at least one is under half the target (rewriting a single
@@ -1164,7 +1168,27 @@ def delete_delta(
         if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in (
             proto.get("writerFeatures") or []
         ):
-            actions.append({"protocol": DV_PROTOCOL})
+            # carry existing capabilities into the feature lists: a mapped
+            # table (legacy writer-5 or writer-7 columnMapping) upgraded
+            # with a bare DV_PROTOCOL would LOSE column mapping and break
+            # every reader of its physical-named files
+            rfeats = {"deletionVectors"} | set(proto.get("readerFeatures") or [])
+            wfeats = {"deletionVectors"} | set(proto.get("writerFeatures") or [])
+            cm_mode = (
+                (meta.get("configuration") or {}).get(
+                    "delta.columnMapping.mode", "none"
+                )
+                or "none"
+            )
+            if cm_mode in ("name", "id"):
+                rfeats.add("columnMapping")
+                wfeats.add("columnMapping")
+            actions.append({"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(rfeats),
+                "writerFeatures": sorted(wfeats),
+            }})
         if with_dv:
             dv_uuid = uuid.uuid4()
             sidecar = f"deletion_vector_{dv_uuid}.bin"
@@ -1317,6 +1341,11 @@ def evolve_delta(
         raise BuzzBadRequestError(
             "evolve_delta: nothing to do (no add_columns/rename_columns)"
         )
+    if len(set(rename_columns.values())) != len(rename_columns):
+        raise BuzzBadRequestError(
+            "rename: two columns target the same new name — a committed "
+            "schema with duplicate names would corrupt the table"
+        )
     table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     last_version, _, meta = _log_state(log_dir)
@@ -1349,14 +1378,6 @@ def evolve_delta(
             raise BuzzBadRequestError(
                 f"add: spark type {t!r} not supported "
                 f"(one of {sorted(_DELTA_ADDABLE)})"
-            )
-        if mode == "none" and not rename_columns and any(
-            (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
-            == name
-            for f in fields
-        ):
-            raise BuzzBadRequestError(
-                f"add: name {name!r} collides with a physical column name"
             )
 
     actions: list[dict] = []

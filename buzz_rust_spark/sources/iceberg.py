@@ -288,9 +288,20 @@ def _bucket_ordinal(literal: str, quoted: bool, source_type, n: int) -> int:
         days = (d - datetime.date(1970, 1, 1)).days
         data = days.to_bytes(8, "little", signed=True)
     elif source_type in ("timestamp", "timestamptz"):
-        dt = datetime.datetime.fromisoformat(literal)
-        micros = int(
-            (dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        try:
+            dt = datetime.datetime.fromisoformat(literal)
+        except ValueError as exc:
+            raise BuzzPlanError(
+                f"unparseable timestamp literal {literal!r} for bucket "
+                "pruning"
+            ) from exc
+        if dt.tzinfo is not None:
+            # normalize offset literals to the stored UTC instant
+            dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        # integer division — float total_seconds() loses microseconds past
+        # ~2^53 µs and would hash into the WRONG bucket (silent misses)
+        micros = (dt - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+            microseconds=1
         )
         data = micros.to_bytes(8, "little", signed=True)
     elif source_type == "string":

@@ -504,6 +504,10 @@ def _parse_partition_entry(entry: str) -> tuple[str, int | None, str]:
         return "identity", None, ident
     if tkind is not None:
         return tkind.rstrip("s") if tkind != "days" else "day", None, tsrc
+    if int(pparam) < 1:
+        raise BuzzBadRequestError(
+            f"partition_by entry {entry!r}: {pkind} parameter must be >= 1"
+        )
     return pkind, int(pparam), psrc
 
 
@@ -631,40 +635,25 @@ def _transform_column(pf: dict):
             )
         return (c - F.pmod(c, F.lit(param))).cast("long" if st == "long" else "int")
     if kind == "bucket":
-        return _bucket_udf(st, param)(c)
+        return _bucket_udf(st, param)(c.cast("string"))
     raise BuzzBadRequestError(f"unwritable transform kind {kind!r}")
 
 
 def _bucket_udf(source_type: str, n: int):
-    """Arrow-batched bucket[n] ordinal UDF, sharing the reader's
-    spec-pinned murmur3 (iceberg.py Appendix B vectors)."""
+    """Arrow-batched bucket[n] ordinal UDF over the source CAST TO STRING
+    (see _transform_column): string transport keeps exact digits where a
+    pandas float64 series would corrupt nullable longs past 2^53 and
+    timestamp microseconds — and lets the UDF share the reader's
+    spec-pinned literal hashing (_bucket_ordinal, Appendix B vectors),
+    so writer ordinals and filter-time ordinals CANNOT diverge."""
     from pyspark.sql.functions import pandas_udf
 
-    from .iceberg import _murmur3_32
+    from .iceberg import _bucket_ordinal
 
     def one(v):
-        if v is None or v != v:  # None or NaN/NaT sentinel
+        if v is None or v != v:
             return None
-        if source_type in ("int", "long"):
-            data = int(v).to_bytes(8, "little", signed=True)
-        elif source_type == "date":
-            # arrives as datetime.date or pd.Timestamp depending on the
-            # Arrow conversion; normalize to date first
-            d = v.date() if isinstance(v, datetime.datetime) else v
-            data = (d - datetime.date(1970, 1, 1)).days.to_bytes(
-                8, "little", signed=True
-            )
-        elif source_type in ("timestamp", "timestamptz"):
-            # pd.Timestamp carries ns since epoch in .value
-            micros = (
-                v.value // 1000
-                if hasattr(v, "value")
-                else int(v.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
-            )
-            data = int(micros).to_bytes(8, "little", signed=True)
-        else:
-            data = str(v).encode("utf-8")
-        return (_murmur3_32(data) & 0x7FFFFFFF) % n
+        return _bucket_ordinal(str(v), source_type == "string", source_type, n)
 
     @pandas_udf("int")
     def _b(s):
@@ -980,9 +969,10 @@ def write_iceberg(
         last_column_id = schema_json.pop("_last_column_id")
         by_name = {f["name"]: f for f in schema_json["fields"]}
         # type validation happens in _partition_context on the common path
+        taken = set(by_name)
         spec_fields = [
             {
-                "name": _spec_field_name(kind, param, src, set(by_name)),
+                "name": _spec_field_name(kind, param, src, taken),
                 "transform": _spec_transform_string(kind, param),
                 "source-id": by_name[src]["id"],
                 "field-id": 1000 + i,
@@ -1834,7 +1824,6 @@ def merge_iceberg(
     # derived transform ordinals (day/bucket/... partitioned tables): the
     # fanout writer groups by them, the files never contain them
     derived = [pf for pf in part_fields if pf["kind"] != "identity"]
-    data_cols = list(source.columns)
     for pf in derived:
         source = source.withColumn(pf["group_col"], _transform_column(pf))
 
@@ -2134,6 +2123,11 @@ def evolve_iceberg(
     if not add_columns and not rename_columns:
         raise BuzzBadRequestError(
             "evolve_iceberg: nothing to do (no add_columns/rename_columns)"
+        )
+    if len(set(rename_columns.values())) != len(rename_columns):
+        raise BuzzBadRequestError(
+            "rename: two columns target the same new name — a committed "
+            "schema with duplicate names would corrupt the table"
         )
     root = _local_table_dir(table_uri)
     version, meta = _load_v2_meta(root, table_uri)

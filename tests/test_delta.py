@@ -1238,3 +1238,79 @@ def test_delta_evolve_validation(spark, tmp_path):
         evolve_delta(root, rename_columns={"zzz": "q"})
     with pytest.raises(BuzzBadRequestError, match="not supported"):
         evolve_delta(root, add_columns={"x": "map<string,int>"})
+
+
+def test_dv_upgrade_preserves_column_mapping_protocol(spark, tmp_path):
+    """A DV delete on a name-mapped table must upgrade to writer 7 WITH the
+    columnMapping feature carried along — a bare DV protocol would strip
+    the mapping capability and break physical-name readers."""
+    import json as _json
+    import os as _os
+    from glob import glob as _glob
+
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        evolve_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(i, f"r{i}") for i in range(4)],
+                                      "id long, v string"), root)
+    evolve_delta(root, rename_columns={"v": "name"})
+    assert delete_delta(spark, root, "id = 1", mode="dv") is not None
+    # the last committed protocol lists BOTH features
+    protos = []
+    for f in sorted(_glob(_os.path.join(root, "_delta_log", "*.json"))):
+        for ln in open(f):
+            if ln.strip() and "protocol" in _json.loads(ln):
+                protos.append(_json.loads(ln)["protocol"])
+    last = protos[-1]
+    assert last["minWriterVersion"] == 7
+    assert set(last["writerFeatures"]) >= {"deletionVectors", "columnMapping"}
+    assert set(last["readerFeatures"]) >= {"deletionVectors", "columnMapping"}
+    # table still reads and appends after the upgrade
+    got = {(r.id, r.name)
+           for r in DeltaCatalog("t", root).to_dataframe(spark).collect()}
+    assert got == {(0, "r0"), (2, "r2"), (3, "r3")}
+    write_delta(spark.createDataFrame([(9, "r9")], "id long, name string"),
+                root)
+    assert (9, "r9") in {
+        (r.id, r.name)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    }
+
+
+def test_writer7_column_mapping_feature_accepted(spark, tmp_path):
+    """Modern engines express column mapping as a writer-7 FEATURE; the
+    gate must admit it like the legacy writer-5 form."""
+    import json as _json
+    import os as _os
+
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import evolve_delta, write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    evolve_delta(root, rename_columns={"v": "w"})
+    # flip the upgrade commit's protocol to the writer-7 feature form
+    lp = sorted(
+        _os.path.join(root, "_delta_log", f)
+        for f in _os.listdir(_os.path.join(root, "_delta_log"))
+        if f.endswith(".json")
+    )[-1]
+    acts = [_json.loads(l) for l in open(lp) if l.strip()]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+    open(lp, "w").write("".join(_json.dumps(a) + "\n" for a in acts))
+    # writes and reads keep working
+    write_delta(spark.createDataFrame([(2, "b")], "id long, w string"), root)
+    got = {(r.id, r.w)
+           for r in DeltaCatalog("t", root).to_dataframe(spark).collect()}
+    assert got == {(1, "a"), (2, "b")}

@@ -1246,3 +1246,92 @@ def test_write_transform_null_source_values(spark, tmp_path):
     assert cat.to_dataframe(spark).count() == 2
     assert [r.id for r in
             cat.to_dataframe(spark, "ts_day = '2021-01-01'").collect()] == [1]
+
+
+# --- round-7 review regressions -------------------------------------------------
+
+
+def test_evolve_duplicate_rename_targets_refused(spark, tmp_path):
+    """Two renames to the same target would commit a duplicate-name schema
+    — typed refusal on both formats."""
+    from buzz_rust_spark.sources.delta_writer import evolve_delta, write_delta
+    from buzz_rust_spark.sources.iceberg_writer import evolve_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a", "b")], "id long, x string, y string"),
+                  root)
+    with pytest.raises(BuzzBadRequestError, match="same new name"):
+        evolve_iceberg(root, rename_columns={"x": "c", "y": "c"})
+    d = str(tmp_path / "d")
+    write_delta(_rows(spark, [(1, "a", "b")], "id long, x string, y string"), d)
+    with pytest.raises(BuzzBadRequestError, match="same new name"):
+        evolve_delta(d, rename_columns={"x": "c", "y": "c"})
+
+
+def test_bucket_timestamp_microsecond_exactness():
+    """Integer micros arithmetic: the float-seconds path lost microseconds
+    past ~2^53 µs (~2255 AD is fine but sub-µs drift begins ~2112); the
+    repro from review: 2170177477s + 412461µs."""
+    import datetime as dt
+
+    from buzz_rust_spark.sources.iceberg import _bucket_ordinal, _murmur3_32
+
+    t = dt.datetime(1970, 1, 1) + dt.timedelta(
+        seconds=2170177477, microseconds=412461
+    )
+    micros = 2170177477 * 1_000_000 + 412461
+    want = (_murmur3_32(micros.to_bytes(8, "little", signed=True))
+            & 0x7FFFFFFF) % 1024
+    assert _bucket_ordinal(t.isoformat(), True, "timestamp", 1024) == want
+    # tz-offset literals normalize to the stored UTC instant, not a crash
+    assert _bucket_ordinal(
+        "2017-11-16T22:31:08+00:00", True, "timestamptz", 16
+    ) == _bucket_ordinal("2017-11-16T22:31:08", True, "timestamptz", 16)
+    assert _bucket_ordinal(
+        "2017-11-16T23:31:08+01:00", True, "timestamptz", 16
+    ) == _bucket_ordinal("2017-11-16T22:31:08", True, "timestamptz", 16)
+
+
+def test_bucket_write_nullable_long_past_2_53(spark, tmp_path):
+    """A nullable long column forces a float64 pandas series; snowflake-
+    scale ids (>2^53) must still land in the spec bucket — the UDF reads
+    the value through a string cast, so no float corruption."""
+    from buzz_rust_spark.sources.iceberg import _bucket_ordinal
+
+    big = 9007199254740993  # 2^53 + 1
+    root = str(tmp_path / "t")
+    write_iceberg(
+        _rows(spark, [(big, "a"), (None, "n")], "id long, v string"),
+        root, partition_by=["bucket(8, id)"],
+    )
+    cat = IcebergCatalog("t", root)
+    got = {r.v for r in cat.to_dataframe(spark, f"id = {big}").collect()}
+    assert "a" in got
+    # the manifest ordinal equals the reader's filter-time ordinal
+    md = json.load(open(os.path.join(root, "metadata", "v1.metadata.json")))
+    assert md["partition-specs"][0]["fields"][0]["transform"] == "bucket[8]"
+    want = _bucket_ordinal(str(big), False, "long", 8)
+    kept = cat.pruned_files(spark, f"id = {big}")
+    assert len(kept) >= 1
+
+
+def test_duplicate_transform_base_names_get_distinct_fields(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(
+        _rows(spark, [(1, "alpha"), (2, "gamma")], "id long, w string"),
+        root, partition_by=["truncate(2, w)", "truncate(4, w)"],
+    )
+    md = json.load(open(os.path.join(root, "metadata", "v1.metadata.json")))
+    names = [f["name"] for f in md["partition-specs"][0]["fields"]]
+    assert len(set(names)) == 2, names
+    cat = IcebergCatalog("t", root)
+    assert cat.to_dataframe(spark).count() == 2
+    assert [r.id for r in
+            cat.to_dataframe(spark, "w_trunc = 'al'").collect()] == [1]
+
+
+def test_zero_transform_params_refused(spark, tmp_path):
+    for entry in ("bucket(0, id)", "truncate(0, id)"):
+        with pytest.raises(BuzzBadRequestError, match=">= 1"):
+            write_iceberg(_rows(spark, [(1,)], "id long"),
+                          str(tmp_path / "t"), partition_by=[entry])

@@ -2453,3 +2453,51 @@ def z30_iceberg_day_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "z31_iceberg_tail",
+    tags=("streaming", "pipeline"),
+    oracle=None,  # cursor-driven incremental lifecycle; semantics pinned in
+    # tests/test_streaming.py::test_iceberg_tail_incremental_corpus_prep
+)
+def z31_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Iceberg tail end-to-end, driver-visible: documents land
+    in an Iceberg source in two commits; two cursor-driven polls run the
+    corpus-prep gates + cross-poll Bloom dedup and commit exactly-once;
+    the result summarizes the output table per poll (net-new docs only —
+    the second poll's cross-poll duplicates never land)."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import write_iceberg
+    from ..streaming.iceberg_tail import corpus_prep_tail
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .select("doc_id", "text")
+    )
+    base = tempfile.mkdtemp(prefix="iceberg_z31_")
+    src, out, state = f"{base}/src", f"{base}/out", f"{base}/state"
+    write_iceberg(docs.where("doc_id % 3 != 2"), src)
+    r1 = corpus_prep_tail(spark, src, out, state, app_id="z31")
+    # second commit: a fresh third + exact re-sends of the first batch
+    write_iceberg(
+        docs.where("doc_id % 3 = 2").unionByName(
+            docs.where("doc_id % 3 = 0")
+        ),
+        src, mode="append",
+    )
+    corpus_prep_tail(spark, src, out, state, app_id="z31",
+                     cursor=r1["cursor"])
+    outdf = IcebergCatalog("z31_out", out).to_dataframe(spark)
+    return (
+        outdf.groupBy((F.col("doc_id") % 3).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("cohort")
+    )

@@ -746,3 +746,75 @@ def test_bloom_dedup_sink_iceberg_target(spark, tmp_path):
         for r in read_bloom_state(spark, state).collect()
     }
     assert state_before == state_after  # replay folds idempotently
+
+
+def test_iceberg_tail_incremental_corpus_prep(spark, tmp_path):
+    """Cursor-driven incremental tail of an Iceberg source: the bootstrap
+    poll processes the full snapshot, later polls only the net-new rows
+    (appends and CDC upserts), dups across polls drop via the shared Bloom
+    state, a cursor-less re-poll after a crash cannot double-commit, and
+    no-change polls are no-ops."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg, write_iceberg
+    from buzz_rust_spark.streaming.iceberg_tail import corpus_prep_tail
+
+    good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, good + " first body"), (2, good + " second body")],
+            "doc_id long, text string",
+        ),
+        src,
+    )
+    # bootstrap: full snapshot
+    r1 = corpus_prep_tail(spark, src, out, state, app_id="tail")
+    assert r1["polled"] is True
+    got = {r.doc_id for r in
+           IcebergCatalog("o", out).to_dataframe(spark).collect()}
+    assert got == {1, 2}
+
+    # append: one fresh doc + one cross-poll duplicate text
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, good + " second body"), (4, good + " third body")],
+            "doc_id long, text string",
+        ),
+        src, mode="append",
+    )
+    r2 = corpus_prep_tail(spark, src, out, state, app_id="tail",
+                          cursor=r1["cursor"])
+    assert r2["polled"] is True
+    got = {r.doc_id for r in
+           IcebergCatalog("o", out).to_dataframe(spark).collect()}
+    assert got == {1, 2, 4}  # 3 deduped against poll-1's state
+
+    # CDC upsert in the source: only the net-new version flows
+    merge_iceberg(
+        spark, src,
+        spark.createDataFrame([(4, good + " third body revised")],
+                              "doc_id long, text string"),
+        ["doc_id"],
+    )
+    r3 = corpus_prep_tail(spark, src, out, state, app_id="tail",
+                          cursor=r2["cursor"])
+    assert r3["polled"] is True
+    rows = {(r.doc_id, r.text.endswith("revised"))
+            for r in IcebergCatalog("o", out).to_dataframe(spark).collect()}
+    assert (4, True) in rows  # the revision landed (output is append-log)
+
+    # crash replay: re-poll with the PREVIOUS cursor — same window, same
+    # txn version → table unchanged (exactly-once)
+    n_before = IcebergCatalog("o", out).to_dataframe(spark).count()
+    r3b = corpus_prep_tail(spark, src, out, state, app_id="tail",
+                           cursor=r2["cursor"])
+    assert r3b["cursor"] == r3["cursor"]
+    assert IcebergCatalog("o", out).to_dataframe(spark).count() == n_before
+
+    # no new snapshots: no-op poll
+    r4 = corpus_prep_tail(spark, src, out, state, app_id="tail",
+                          cursor=r3["cursor"])
+    assert r4 == {"cursor": r3["cursor"], "polled": False}

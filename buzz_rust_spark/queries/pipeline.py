@@ -2501,3 +2501,71 @@ def z31_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@register(
+    "z32_iceberg_schema_evolution",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 40
+),
+old AS (
+  SELECT doc_id, source, CAST(NULL AS BIGINT) AS text_len
+  FROM docs WHERE doc_id % 2 = 0
+),
+new AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS text_len
+  FROM docs WHERE doc_id % 2 = 1
+)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(text_len) AS n_with_len,
+       CAST(COALESCE(SUM(text_len), 0) AS BIGINT) AS sum_len
+FROM (SELECT * FROM old UNION ALL SELECT * FROM new)
+GROUP BY source ORDER BY source
+""",
+)
+def z32_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side schema evolution, oracle-checked: half the docs land
+    under the original (doc_id, source) schema, a column is ADDED and
+    `source` RENAMED metadata-only, the other half appends WITH the new
+    column — and the read resolves pre-evolution files by field id with
+    NULL for the added column, matching the relational recompute."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import evolve_iceberg, write_iceberg
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(40)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z32_") + "/tbl"
+    write_iceberg(
+        docs.where("doc_id % 2 = 0").select(
+            "doc_id", F.col("source").alias("src")
+        ),
+        root,
+    )
+    evolve_iceberg(
+        root, add_columns={"text_len": "long"}, rename_columns={"src": "source"}
+    )
+    write_iceberg(
+        docs.where("doc_id % 2 = 1").select(
+            "doc_id", "source", F.length("text").cast("long").alias("text_len")
+        ),
+        root, mode="append",
+    )
+    cat = IcebergCatalog("docs_evolved", root)
+    return (
+        cat.to_dataframe(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("text_len").alias("n_with_len"),
+            F.coalesce(F.sum("text_len"), F.lit(0)).cast("long").alias("sum_len"),
+        )
+        .orderBy("source")
+    )

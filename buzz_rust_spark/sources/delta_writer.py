@@ -1314,6 +1314,7 @@ def evolve_delta(
     table_uri: str,
     add_columns: dict[str, str] | None = None,
     rename_columns: dict[str, str] | None = None,
+    drop_columns: list[str] | None = None,
     store=None,
 ) -> int:
     """Metadata-only Delta schema evolution: ADD COLUMN (nullable; existing
@@ -1337,9 +1338,10 @@ def evolve_delta(
     version."""
     add_columns = dict(add_columns or {})
     rename_columns = dict(rename_columns or {})
-    if not add_columns and not rename_columns:
+    drop_columns = list(drop_columns or [])
+    if not add_columns and not rename_columns and not drop_columns:
         raise BuzzBadRequestError(
-            "evolve_delta: nothing to do (no add_columns/rename_columns)"
+            "evolve_delta: nothing to do (no add/rename/drop columns)"
         )
     if len(set(rename_columns.values())) != len(rename_columns):
         raise BuzzBadRequestError(
@@ -1380,8 +1382,27 @@ def evolve_delta(
                 f"(one of {sorted(_DELTA_ADDABLE)})"
             )
 
+    for name in drop_columns:
+        if name not in names:
+            raise BuzzBadRequestError(
+                f"drop: column {name!r} not in the table schema"
+            )
+        if name in rename_columns or name in rename_columns.values() or (
+            name in add_columns
+        ):
+            raise BuzzBadRequestError(
+                f"drop: column {name!r} also named in add/rename — one "
+                "operation per column per commit"
+            )
+        if name in (meta.get("partitionColumns") or []):
+            raise BuzzBadRequestError(
+                f"drop: column {name!r} is a partition column"
+            )
+        if len(fields) - len(drop_columns) < 1:
+            raise BuzzBadRequestError("drop: cannot drop every column")
+
     actions: list[dict] = []
-    if rename_columns and mode == "none":
+    if (rename_columns or drop_columns) and mode == "none":
         # upgrade: physicalName = current name, so existing data files and
         # the log's partitionValues keys keep resolving with zero rewrites
         for i, f in enumerate(fields, start=1):
@@ -1396,6 +1417,7 @@ def evolve_delta(
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
         )
 
+    fields = [f for f in fields if f["name"] not in set(drop_columns)]
     for f in fields:
         if f["name"] in rename_columns:
             f["name"] = rename_columns[f["name"]]

@@ -2101,6 +2101,7 @@ def evolve_iceberg(
     table_uri: str,
     add_columns: dict[str, str] | None = None,
     rename_columns: dict[str, str] | None = None,
+    drop_columns: list[str] | None = None,
     store=None,
 ) -> dict:
     """Metadata-only schema evolution: ADD COLUMN (a fresh field id past
@@ -2120,9 +2121,10 @@ def evolve_iceberg(
     Returns {"schema_id", "metadata_version", "last_column_id"}."""
     add_columns = dict(add_columns or {})
     rename_columns = dict(rename_columns or {})
-    if not add_columns and not rename_columns:
+    drop_columns = list(drop_columns or [])
+    if not add_columns and not rename_columns and not drop_columns:
         raise BuzzBadRequestError(
-            "evolve_iceberg: nothing to do (no add_columns/rename_columns)"
+            "evolve_iceberg: nothing to do (no add/rename/drop columns)"
         )
     if len(set(rename_columns.values())) != len(rename_columns):
         raise BuzzBadRequestError(
@@ -2185,6 +2187,33 @@ def evolve_iceberg(
                 f"(one of {sorted(_ADDABLE_TYPES)} or decimal(p,s))"
             )
 
+    spec_source_ids = {
+        sf["source-id"]
+        for spec in meta.get("partition-specs", [])
+        for sf in spec.get("fields", [])
+    }
+    for name in drop_columns:
+        if name not in names:
+            raise BuzzBadRequestError(
+                f"drop: column {name!r} not in the table schema"
+            )
+        if name in rename_columns or name in rename_columns.values() or (
+            name in add_columns
+        ):
+            raise BuzzBadRequestError(
+                f"drop: column {name!r} also named in add/rename — one "
+                "operation per column per commit"
+            )
+        fid = next(f["id"] for f in fields if f["name"] == name)
+        if fid in spec_source_ids:
+            raise BuzzBadRequestError(
+                f"drop: column {name!r} is a partition source field — "
+                "Iceberg requires removing the partition field first"
+            )
+        if len(fields) - len(drop_columns) < 1:
+            raise BuzzBadRequestError("drop: cannot drop every column")
+    fields = [f for f in fields if f["name"] not in set(drop_columns)]
+
     for f in fields:
         if f["name"] in rename_columns:
             f["name"] = rename_columns[f["name"]]
@@ -2208,3 +2237,42 @@ def evolve_iceberg(
         "metadata_version": new_version,
         "last_column_id": last_id,
     }
+
+
+def set_iceberg_properties(
+    table_uri: str,
+    set_props: dict[str, str] | None = None,
+    unset: list[str] | None = None,
+    store=None,
+) -> dict:
+    """Metadata-only table-property commit (Iceberg's set/unset properties
+    update) — how retention (`write.metadata.delete-after-commit.enabled`),
+    `schema.name-mapping.default`, and friends get enabled on an EXISTING
+    table (previously only settable at create).  Keys under ``buzz.txn.``
+    are refused: they are the exactly-once replay markers expiry persists,
+    and overwriting one would let a replayed micro-batch double-commit."""
+    set_props = dict(set_props or {})
+    unset = list(unset or [])
+    if not set_props and not unset:
+        raise BuzzBadRequestError("set_iceberg_properties: nothing to do")
+    guarded = [
+        k for k in list(set_props) + unset if k.startswith("buzz.txn.")
+    ]
+    if guarded:
+        raise BuzzBadRequestError(
+            f"properties {guarded} are exactly-once transaction markers "
+            "managed by snapshot expiry — refusing to overwrite them"
+        )
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    props = dict(meta.get("properties") or {})
+    props.update({str(k): str(v) for k, v in set_props.items()})
+    for k in unset:
+        props.pop(k, None)
+    meta = dict(meta)
+    meta["properties"] = props
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    new_version = _promote_metadata(
+        os.path.join(root, "metadata"), version + 1, meta, store
+    )
+    return {"metadata_version": new_version, "properties": props}

@@ -1314,3 +1314,31 @@ def test_writer7_column_mapping_feature_accepted(spark, tmp_path):
     got = {(r.id, r.w)
            for r in DeltaCatalog("t", root).to_dataframe(spark).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_delta_evolve_drop_column(spark, tmp_path):
+    """DROP COLUMN upgrades to name mapping (Delta protocol requires it —
+    raw-parquet readers would resurrect the column) and reads/appends keep
+    working; partition columns refuse."""
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import evolve_delta, write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a", 0.5)], "id long, v string, s double"),
+        root,
+    )
+    evolve_delta(root, drop_columns=["s"])
+    cat = DeltaCatalog("t", root)
+    got = {(r.id, r.v) for r in cat.to_dataframe(spark).collect()}
+    assert got == {(1, "a")} and set(cat.to_dataframe(spark).columns) == {"id", "v"}
+    write_delta(spark.createDataFrame([(2, "b")], "id long, v string"), root)
+    got = {(r.id, r.v)
+           for r in DeltaCatalog("t", root).to_dataframe(spark).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    p = str(tmp_path / "p")
+    write_delta(spark.createDataFrame([(1, "x")], "id long, par string"), p,
+                partition_by=["par"])
+    with pytest.raises(BuzzBadRequestError, match="partition column"):
+        evolve_delta(p, drop_columns=["par"])

@@ -1335,3 +1335,77 @@ def test_zero_transform_params_refused(spark, tmp_path):
         with pytest.raises(BuzzBadRequestError, match=">= 1"):
             write_iceberg(_rows(spark, [(1,)], "id long"),
                           str(tmp_path / "t"), partition_by=[entry])
+
+
+def test_evolve_drop_column(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import evolve_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a", 0.5)], "id long, v string, s double"),
+                  root)
+    evolve_iceberg(root, drop_columns=["s"])
+    cat = IcebergCatalog("t", root)
+    assert set(cat.schema.fieldNames()) == {"id", "v"}
+    # old files (which still CONTAIN s) read fine without it
+    assert [(r.id, r.v) for r in cat.to_dataframe(spark).collect()] == [(1, "a")]
+    # appends use the narrowed schema
+    write_iceberg(_rows(spark, [(2, "b")], "id long, v string"), root,
+                  mode="append")
+    assert sorted(
+        (r.id, r.v) for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [(1, "a"), (2, "b")]
+    # refusals
+    from buzz_rust_spark.errors import BuzzBadRequestError
+
+    with pytest.raises(BuzzBadRequestError, match="not in the table"):
+        evolve_iceberg(root, drop_columns=["zzz"])
+    with pytest.raises(BuzzBadRequestError, match="one operation"):
+        evolve_iceberg(root, drop_columns=["v"], rename_columns={"v": "w"})
+    p = str(tmp_path / "p")
+    write_iceberg(_rows(spark, [(1, "x")], "id long, par string"), p,
+                  partition_by=["par"])
+    with pytest.raises(BuzzBadRequestError, match="partition source"):
+        evolve_iceberg(p, drop_columns=["par"])
+
+
+def test_set_iceberg_properties_enables_retention(spark, tmp_path):
+    """Properties become settable on EXISTING tables — the path to turning
+    on metadata retention or a name mapping after creation."""
+    import glob as _glob
+
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.iceberg_writer import set_iceberg_properties
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(0,)], "id long"), root)
+    s = set_iceberg_properties(root, {
+        "write.metadata.delete-after-commit.enabled": "true",
+        "write.metadata.previous-versions-max": "2",
+    })
+    assert s["metadata_version"] == 2
+    for i in range(1, 5):
+        write_iceberg(_rows(spark, [(i,)], "id long"), root, mode="append")
+    metas = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )
+    assert metas == ["v4.metadata.json", "v5.metadata.json", "v6.metadata.json"]
+    # unset turns cleanup back off: v7 (unset) and v8 (append) accumulate
+    # and v4 survives
+    set_iceberg_properties(
+        root, unset=["write.metadata.delete-after-commit.enabled"]
+    )
+    write_iceberg(_rows(spark, [(9,)], "id long"), root, mode="append")
+    metas = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )
+    assert metas == [f"v{i}.metadata.json" for i in (4, 5, 6, 7, 8)]
+    # txn markers are guarded
+    with pytest.raises(BuzzBadRequestError, match="transaction markers"):
+        set_iceberg_properties(root, {"buzz.txn.app": "5"})
+    with pytest.raises(BuzzBadRequestError, match="nothing to do"):
+        set_iceberg_properties(root)
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [0, 1, 2, 3, 4, 9]

@@ -12,14 +12,26 @@ from .logstore import LogStore, register_scheme, unregister_scheme
 from .manifest import CatalogFile, manifest_df, prune_manifest
 from .static_catalog import StaticCatalog
 from .delta_catalog import DeltaCatalog, read_delta_changes
-from .iceberg import IcebergCatalog
+from .iceberg import IcebergCatalog, read_iceberg_changes
+from .iceberg_writer import (
+    delete_iceberg,
+    evolve_iceberg,
+    expire_iceberg_snapshots,
+    merge_iceberg,
+    rewrite_iceberg,
+    set_iceberg_properties,
+    vacuum_iceberg,
+    write_iceberg,
+)
 from .delta_writer import (
     delete_delta,
+    evolve_delta,
     merge_delta,
     optimize_delta,
     vacuum_delta,
     write_delta,
 )
+from .write_store import LocalCommitStore, MemoryCommitStore
 from .parquet_dir import ParquetDirCatalog
 from .text_formats import CsvCatalog, JsonLinesCatalog, quarantine_split
 from .warc import read_warc, read_webdataset, warc_to_documents, webdataset_samples
@@ -38,6 +50,18 @@ __all__ = [
     "DeltaCatalog",
     "IcebergCatalog",
     "read_delta_changes",
+    "read_iceberg_changes",
+    "write_iceberg",
+    "merge_iceberg",
+    "delete_iceberg",
+    "rewrite_iceberg",
+    "evolve_iceberg",
+    "evolve_delta",
+    "expire_iceberg_snapshots",
+    "vacuum_iceberg",
+    "set_iceberg_properties",
+    "LocalCommitStore",
+    "MemoryCommitStore",
     "ParquetDirCatalog",
     "write_delta",
     "merge_delta",

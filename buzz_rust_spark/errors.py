@@ -47,6 +47,18 @@ class BuzzCommitConflictError(BuzzExecutionError):
     version promote).  RETRYABLE: the table advanced under the caller, who
     should re-read its state and re-attempt the commit at the new version —
     nothing was corrupted and nothing from the failed attempt is visible to
-    readers."""
+    readers.  The writers do this automatically (``max_commit_retries``):
+    staged data files are reused and only the metadata claim re-runs."""
 
     retryable = True
+
+
+class BuzzCommitAbortedError(BuzzExecutionError):
+    """A lost commit race could NOT be safely retried: the concurrent
+    winner invalidated this operation's basis — it rewrote or removed a
+    file the operation matched, changed the schema or partition spec, or
+    replaced the snapshot a compaction was built from.  NON-retryable at
+    the commit layer; the operation must be re-run from its scan against
+    the current table state."""
+
+    retryable = False

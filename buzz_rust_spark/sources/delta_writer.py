@@ -736,6 +736,26 @@ def _declared_schema(meta: dict):
     return StructType.fromJson(json.loads(meta["schemaString"]))
 
 
+def _physical_read_schema(meta: dict):
+    """The declared schema with PHYSICAL field names, for
+    ``spark.read.schema(...)`` on table data files.  Passing it explicitly
+    (instead of footer inference) makes columns added by
+    :func:`evolve_delta` resolve as NULL in pre-evolution files — inference
+    samples one footer and raises UNRESOLVED_COLUMN whenever a touched file
+    predates the evolution — and makes mixed old/new file sets independent
+    of which footer Spark happens to sample."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = _declared_schema(meta)
+    _, phys, _ = _writer_mapping(meta)
+    return StructType(
+        [
+            StructField(phys.get(f.name, f.name), f.dataType, True)
+            for f in schema.fields
+        ]
+    )
+
+
 def _dv_positions_by_rel(table_dir: str, live: dict) -> dict[str, list[int]]:
     """Decoded deleted row indexes for every live add that carries a
     deletion vector (empty dict when none do)."""
@@ -775,7 +795,7 @@ def _read_table_files(
     schema = _declared_schema(meta)
     _, phys, _ = _writer_mapping(meta)  # files + partition dirs are physical
     paths = [os.path.join(table_dir, r) for r in rels]
-    reader = spark.read
+    reader = spark.read.schema(_physical_read_schema(meta))
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", table_dir)
     df = reader.parquet(*paths)
@@ -1036,7 +1056,7 @@ def _scan_with_meta(spark, table_dir: str, rels: list[str], meta: dict):
 
     schema = _declared_schema(meta)
     _, phys, _ = _writer_mapping(meta)
-    reader = spark.read
+    reader = spark.read.schema(_physical_read_schema(meta))
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", table_dir)
     df = reader.parquet(*[os.path.join(table_dir, r) for r in rels])
@@ -1333,9 +1353,10 @@ def evolve_delta(
     ``col-<uuid>`` physical name and the next mapping id).
 
     After the upgrade, appends keep working (:func:`write_delta` writes
-    physical names + field ids); merge/delete/optimize become typed
-    refusals until they are mapping-aware.  Returns the committed
-    version."""
+    physical names + field ids) and merge/delete/optimize rewrites are
+    mapping-aware for ``mode=name`` (they read/write physical names);
+    only tables already in ``columnMapping.mode=id`` refuse rewrites
+    (:func:`_require_unmapped`).  Returns the committed version."""
     add_columns = dict(add_columns or {})
     rename_columns = dict(rename_columns or {})
     drop_columns = list(drop_columns or [])

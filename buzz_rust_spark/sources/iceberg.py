@@ -788,12 +788,18 @@ class IcebergCatalog:
             idx, f = hit
             if idx >= len(sums) or not isinstance(sums[idx], dict):
                 continue
-            lo_raw = _decode_bound(
-                sums[idx].get("lower_bound"), "int" if f["kind"] != "identity" else f["source_type"]
+            # identity AND truncate store SOURCE-typed bounds (the writer's
+            # store_type keeps the source type for both); year/month/day/
+            # hour/bucket store int ordinals.  Decoding a truncate-string
+            # bound as int would misread 4-byte strings as digit strings
+            # and skip live manifests.
+            bound_type = (
+                f["source_type"]
+                if f["kind"] in ("identity", "truncate")
+                else "int"
             )
-            hi_raw = _decode_bound(
-                sums[idx].get("upper_bound"), "int" if f["kind"] != "identity" else f["source_type"]
-            )
+            lo_raw = _decode_bound(sums[idx].get("lower_bound"), bound_type)
+            hi_raw = _decode_bound(sums[idx].get("upper_bound"), bound_type)
             if lo_raw is None or hi_raw is None:
                 continue
             quoted = {q for _, q in vals}

@@ -122,3 +122,36 @@ _DEFAULT_STORE = LocalCommitStore()
 
 def default_store() -> LocalCommitStore:
     return _DEFAULT_STORE
+
+
+def commit_with_retry(attempt, refresh, first_state, max_retries: int = 5):
+    """Bounded optimistic-concurrency loop around a METADATA-ONLY commit.
+
+    ``attempt(state)`` claims the versioned commit file — raising
+    :class:`~..errors.BuzzCommitConflictError` on a lost race — and
+    returns the operation summary.  On conflict, ``refresh()`` re-reads
+    the table state and re-validates the operation's basis against it:
+    it returns the fresh state for the next attempt, raises
+    :class:`~..errors.BuzzCommitAbortedError` when the concurrent winner
+    invalidated the basis (non-retryable — re-run the operation), or
+    returns ``None`` when the operation became a no-op (e.g. a peer
+    already committed the same idempotent txn marker) — the loop then
+    returns ``None`` without further attempts.
+
+    The point of the split: ``attempt`` must contain NO Spark job — data
+    and delete files are staged ONCE before the loop under fresh UUID
+    names and every attempt reuses them, so losing a race costs a
+    metadata re-read and a new claim (milliseconds), never a recompute.
+    ``max_retries`` bounds livelock under sustained contention; the final
+    conflict propagates typed and retryable to the caller."""
+    state = first_state
+    for attempts_left in range(max_retries, -1, -1):
+        try:
+            return attempt(state)
+        except BuzzCommitConflictError:
+            if attempts_left == 0:
+                raise
+        state = refresh()
+        if state is None:
+            return None
+    raise AssertionError("unreachable")  # pragma: no cover

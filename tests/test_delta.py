@@ -1086,6 +1086,53 @@ def test_delta_evolve_add_column(spark, tmp_path):
     assert got == {(1, "a", None), (2, "b", 0.5)}
 
 
+def test_delta_evolve_add_column_then_rewrite_ops(spark, tmp_path):
+    """merge/delete over a table with pre-evolution files must resolve the
+    added column as NULL (ADVICE repro: footer-inferred read schemas raised
+    UNRESOLVED_COLUMN whenever a touched file predated the evolution)."""
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        evolve_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    evolve_delta(root, add_columns={"score": "double"})
+    write_delta(
+        spark.createDataFrame(
+            [(3, "c", 0.5)], "id long, v string, score double"
+        ),
+        root,
+    )
+    # merge touches the pre-evolution file (key 2) AND inserts key 4
+    merge_delta(
+        spark, root,
+        spark.createDataFrame(
+            [(2, "B", 2.0), (4, "d", 4.0)],
+            "id long, v string, score double",
+        ),
+        on=["id"],
+    )
+    got = {
+        (r.id, r.v, r.score)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert got == {(1, "a", None), (2, "B", 2.0), (3, "c", 0.5), (4, "d", 4.0)}
+    # delete with a predicate on the ADDED column: pre-evolution rows have
+    # NULL score (no match), new rows match
+    assert delete_delta(spark, root, "score > 1.0") is not None
+    got = {
+        (r.id, r.score)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert got == {(1, None), (3, 0.5)}
+
+
 def test_delta_evolve_rename_upgrades_to_name_mapping(spark, tmp_path):
     import json as _json
     import os as _os

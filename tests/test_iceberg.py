@@ -1439,6 +1439,72 @@ def test_manifest_skipping_bare_numeric_end_to_end(spark, tmp_path):
         IcebergCatalog("t", root).to_dataframe(spark, "year > 1998").collect()
 
 
+def test_manifest_skipping_truncate_bounds_source_typed():
+    """Truncate fields store SOURCE-typed summary bounds (writer store_type
+    keeps the source type for identity AND truncate).  A 4-byte UTF-8
+    string bound must decode as a string — the pre-fix int decode rendered
+    it as a digit string and skipped the live manifest (silent data loss);
+    8-byte truncate-long bounds must decode as longs so skipping works."""
+    from buzz_rust_spark.sources.iceberg import _parse_conjuncts
+
+    cat = _fake_cat([{"name": "w_trunc", "kind": "truncate",
+                      "prune_name": "w_trunc", "source_name": "w",
+                      "source_type": "string"}])
+    m = {
+        "partition_spec_id": 0, "content": 0,
+        "partitions": [{"contains_null": False,
+                        "lower_bound": b"gamm", "upper_bound": b"gamm"}],
+    }
+    # ADVICE repro: bounds are exactly 4 bytes; the int misdecode rendered
+    # '1835888999'-style digit strings, proved disjointness, and dropped
+    # the 2 matching rows
+    assert cat._manifest_disjoint(m, _parse_conjuncts("w_trunc = 'gamm'")) is False
+    # and a genuinely-disjoint string filter still skips
+    assert cat._manifest_disjoint(m, _parse_conjuncts("w_trunc = 'zeta'")) is True
+
+    cat2 = _fake_cat([{"name": "v_trunc", "kind": "truncate",
+                       "prune_name": "v_trunc", "source_name": "v",
+                       "source_type": "long"}])
+    m2 = _summary_manifest(100, 200, width=8)  # 8-byte long bounds
+    # pre-fix the int decode failed on 8 bytes → skipping silently disabled
+    assert cat2._manifest_disjoint(m2, _parse_conjuncts("v_trunc = '300'")) is True
+    assert cat2._manifest_disjoint(m2, _parse_conjuncts("v_trunc = '100'")) is False
+    assert cat2._manifest_disjoint(m2, _parse_conjuncts("v_trunc > 250")) is True
+    assert cat2._manifest_disjoint(m2, _parse_conjuncts("v_trunc > 150")) is False
+
+
+def test_truncate_string_prune_end_to_end(spark, tmp_path):
+    """write_iceberg(truncate(4, w)) whose values truncate to exactly-4-byte
+    strings: the filtered read must return the matching rows (the ADVICE
+    silent-loss repro), and pruning must still drop disjoint files."""
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "gamma"), (2, "gammy"), (3, "delta")], "id long, w string"
+        ),
+        root, partition_by=["truncate(4, w)"],
+    )
+    cat = IcebergCatalog("t", root)
+    assert sorted(
+        r.id for r in cat.to_dataframe(spark, "w_trunc = 'gamm'").collect()
+    ) == [1, 2]
+    assert len(cat.pruned_files(spark, "w_trunc = 'gamm'")) < 2 or sorted(
+        r.id for r in cat.to_dataframe(spark, "w_trunc = 'delt'").collect()
+    ) == [3]
+    # truncate-over-long end-to-end (8-byte bounds)
+    root2 = str(tmp_path / "t2")
+    write_iceberg(
+        spark.createDataFrame([(1, 130), (2, 990)], "id long, v long"),
+        root2, partition_by=["truncate(100, v)"],
+    )
+    cat2 = IcebergCatalog("t", root2)
+    assert sorted(
+        r.id for r in cat2.to_dataframe(spark, "v_trunc = '900'").collect()
+    ) == [2]
+
+
 def test_equality_delete_single_join_per_keyset(spark, tmp_path):
     """≥20 equality-delete commits (Flink-CDC cadence) must plan exactly
     ONE anti-join for the key-set — not one per commit — with MOR results

@@ -308,6 +308,84 @@ def write_dv_file(path: str, positions) -> dict:
     return {"storageType": "p", "pathOrInlineDv": path, **desc}
 
 
+def build_dvs_distributed(
+    matched_df, table_dir: str, old_positions_by_file: dict
+) -> list[dict]:
+    """EXECUTOR-side deletion-vector construction for a DV delete: matched
+    ``(__file, __ridx)`` coordinates are hash-partitioned by file, each
+    task merges its files' new positions with the existing vector's
+    positions, serializes the roaring bitmaps, and writes ONE sidecar
+    ``.bin`` per task (PROTOCOL.md allows any number of DV files per
+    commit; each descriptor points at its own path token + offset).
+
+    The driver receives only per-file DESCRIPTOR rows — path token,
+    offset, size, cardinality, new-match count — O(touched files), never
+    O(matched rows): the shape that lets a delete matching hundreds of
+    millions of rows commit with bounded driver memory, mirroring the
+    Iceberg writer's executor-written position-delete files.
+
+    ``old_positions_by_file`` maps the scan's normalized absolute path to
+    the file's EXISTING deleted positions (already decoded driver-side for
+    the no-op anti-join); only files with at least one NEW match appear in
+    the output, so untouched files keep their current descriptors."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    out_schema = (
+        "rel_abs string, token string, offset long, size long, "
+        "cardinality long, new_rows long"
+    )
+
+    def build(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import numpy as np
+        import pandas as pd
+
+        pos_by_file: dict[str, list] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for f, grp in pdf.groupby("__file"):
+                pos_by_file.setdefault(f, []).append(
+                    grp["__ridx"].to_numpy(dtype="int64")
+                )
+        if not pos_by_file:
+            return
+        dv_uuid = _uuid.uuid4()
+        token = z85_encode(dv_uuid.bytes)
+        sidecar = f"deletion_vector_{dv_uuid}.bin"
+        entries: dict[str, list[int]] = {}
+        new_counts: dict[str, int] = {}
+        for f, arrs in pos_by_file.items():
+            new = np.unique(np.concatenate(arrs))
+            old = old_positions_by_file.get(f, ())
+            merged = sorted(set(old).union(new.tolist()))
+            entries[f] = merged
+            new_counts[f] = int(new.size)
+        descs = write_dv_sidecar(_os.path.join(table_dir, sidecar), entries)
+        yield pd.DataFrame(
+            [
+                {
+                    "rel_abs": f,
+                    "token": token,
+                    "offset": d["offset"],
+                    "size": d["sizeInBytes"],
+                    "cardinality": d["cardinality"],
+                    "new_rows": new_counts[f],
+                }
+                for f, d in descs.items()
+            ]
+        )
+
+    return [
+        r.asDict()
+        for r in matched_df.repartition("__file")
+        .mapInPandas(build, schema=out_schema)
+        .collect()
+    ]
+
+
 def filter_deleted_rows(
     scan, deleted, spark, broadcast_max: int = 2_000_000, drop_path: bool = True
 ):

@@ -31,8 +31,14 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame
 
-from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
-from .write_store import default_store
+from ..errors import (
+    BuzzBadRequestError,
+    BuzzCommitAbortedError,
+    BuzzError,
+    BuzzExecutionError,
+    BuzzSchemaError,
+)
+from .write_store import commit_with_retry, default_store
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -279,6 +285,43 @@ def _txn_state(log_dir: str) -> dict[str, int]:
     return seen
 
 
+def _require_same_delta_basis(meta_old: dict, meta_new: dict) -> None:
+    """Raise the typed NON-retryable abort when a concurrent commit changed
+    the table's metaData a staged write depends on — schema (column
+    resolution + physical-name mapping), partition columns (directory
+    layout of the staged files), or configuration (column mapping mode)."""
+    old, new = meta_old or {}, meta_new or {}
+    if (
+        old.get("schemaString") != new.get("schemaString")
+        or list(old.get("partitionColumns") or [])
+        != list(new.get("partitionColumns") or [])
+        or dict(old.get("configuration") or {})
+        != dict(new.get("configuration") or {})
+    ):
+        raise BuzzCommitAbortedError(
+            "concurrent metaData change (schema/partitioning/column "
+            "mapping) invalidated this write's staged files — re-run the "
+            "operation against the current table"
+        )
+
+
+def _require_files_unchanged(
+    touched: dict[str, dict], live_fresh: dict[str, dict], op: str
+) -> None:
+    """Raise the typed NON-retryable abort when any file a rewrite
+    operation matched is no longer live UNCHANGED — removed, rewritten,
+    or carrying a different deletion vector.  Committing the staged
+    rewrite anyway would silently drop the concurrent change (e.g. a DV
+    union computed from a stale bitmap loses the other writer's deletes)."""
+    for rel, add in touched.items():
+        if live_fresh.get(rel) != add:
+            raise BuzzCommitAbortedError(
+                f"{op}: matched file {rel!r} was removed or modified by a "
+                "concurrent commit — re-run the operation against the "
+                "current table"
+            )
+
+
 def _claim_commit(
     log_dir: str, version: int, actions: list[dict], store=None
 ) -> None:
@@ -293,6 +336,41 @@ def _claim_commit(
     store.put_if_absent(
         commit_path, "".join(json.dumps(a) + "\n" for a in actions).encode()
     )
+
+
+def _claim_rewrite_commit(
+    log_dir: str,
+    version: int,
+    actions: list[dict],
+    touched: dict[str, dict],
+    meta: dict,
+    checkpoint_interval: int,
+    max_commit_retries: int,
+    store,
+    op: str,
+) -> int:
+    """Claim a REWRITE commit (a fixed action list referencing staged
+    files) through the bounded retry loop: on a lost race, re-read the
+    log, require the metaData and every ``touched`` file entry unchanged
+    (typed :class:`~..errors.BuzzCommitAbortedError` otherwise — the
+    concurrent winner rewrote or deleted a file this operation matched),
+    and re-claim the same actions at the advanced version.  Concurrent
+    appends don't invalidate a rewrite: the operation covers its scan
+    snapshot, exactly as it would have if it had won the original race."""
+
+    def _attempt(version_a):
+        _claim_commit(log_dir, version_a, actions, store)
+        if (version_a + 1) % checkpoint_interval == 0:
+            _write_checkpoint(log_dir, version_a)
+        return version_a
+
+    def _refresh():
+        last_f, live_f, meta_f = _log_state(log_dir)
+        _require_same_delta_basis(meta, meta_f)
+        _require_files_unchanged(touched, live_f, op)
+        return last_f + 1
+
+    return commit_with_retry(_attempt, _refresh, version, max_commit_retries)
 
 
 def _stage_and_promote(
@@ -343,10 +421,19 @@ def write_delta(
     checkpoint_interval: int = 10,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    max_commit_retries: int = 5,
     store=None,
 ) -> int | None:
     """Write ``df`` as a Delta commit; returns the committed version (or
     ``None`` when a SetTransaction replay skips the write).
+
+    Losing a commit race does NOT re-run the Spark job: the data files
+    are already promoted under fresh UUID names, and up to
+    ``max_commit_retries`` claim attempts re-read the log, re-validate
+    the basis, and re-claim at the advanced version (appends commute;
+    overwrites recompute their ``remove`` set from the fresh live state).
+    A concurrent metaData change raises the non-retryable
+    :class:`~..errors.BuzzCommitAbortedError` instead.
 
     ``mode='append'`` adds files to the snapshot; ``mode='overwrite'``
     additionally emits ``remove`` for every previously-live file.  Appends
@@ -439,46 +526,97 @@ def write_delta(
         raise BuzzExecutionError("write produced no parquet files")
 
     # 3. Commit: claim the versioned filename exclusively (optimistic
-    #    concurrency — a racing writer gets FileExistsError, not a torn log).
-    actions: list[dict] = []
-    if version == 0 or not meta:
-        meta = {
-            "id": uuid.uuid4().hex,
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
-            "partitionColumns": partition_by,
-            "createdTime": now_ms,
-        }
-        actions.append({"protocol": PROTOCOL})
-        actions.append({"metaData": meta})
-    if mode == "overwrite":
-        actions.extend(
-            {
-                "remove": {
-                    "path": path,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
-            for path in sorted(live)
-        )
-    actions.extend({"add": a} for a in adds)
-    if txn_app_id is not None:
-        actions.append(
-            {
-                "txn": {
-                    "appId": txn_app_id,
-                    "version": txn_version,
-                    "lastUpdated": now_ms,
-                }
-            }
-        )
+    #    concurrency — a racing writer gets a typed conflict, not a torn
+    #    log).  The staged+promoted data files above are reused across
+    #    claim attempts: on a lost race the loop re-reads the log,
+    #    re-validates the basis (schema / partitioning / column mapping
+    #    unchanged — appends commute with other appends; overwrite removes
+    #    are recomputed from the fresh live set), and re-claims at the
+    #    advanced version — metadata-only, never a re-run of the Spark job.
+    creating = version == 0 or not meta
+    expected_schema = {f.name: f.dataType for f in df.schema.fields}
 
-    _claim_commit(log_dir, version, actions, store)
+    def _attempt(state):
+        version_a, live_a, meta_a = state
+        actions: list[dict] = []
+        if meta_a is None:  # still creating the table at this version
+            actions.append({"protocol": PROTOCOL})
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": partition_by,
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        if mode == "overwrite":
+            actions.extend(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+                for path in sorted(live_a)
+            )
+        actions.extend({"add": a} for a in adds)
+        if txn_app_id is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn_app_id,
+                        "version": txn_version,
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
+        _claim_commit(log_dir, version_a, actions, store)
+        if (version_a + 1) % checkpoint_interval == 0:
+            _write_checkpoint(log_dir, version_a)
+        return version_a
 
-    if (version + 1) % checkpoint_interval == 0:
-        _write_checkpoint(log_dir, version)
-    return version
+    def _refresh():
+        last_f, live_f, meta_f = _log_state(log_dir)
+        if txn_app_id is not None and txn_version <= _txn_state(
+            log_dir
+        ).get(txn_app_id, -1):
+            return None  # a peer committed our txn: idempotent no-op
+        if creating:
+            # the racing winner CREATED the table — our staged files carry
+            # logical names and our partition layout; commit on top only
+            # if the winner's metaData agrees with what we staged
+            theirs = (
+                {f.name: f.dataType for f in _declared_schema(meta_f).fields}
+                if meta_f
+                else None
+            )
+            cm = (meta_f or {}).get("configuration", {}).get(
+                "delta.columnMapping.mode", "none"
+            ) or "none"
+            if (
+                theirs != expected_schema
+                or list((meta_f or {}).get("partitionColumns") or [])
+                != partition_by
+                or cm != "none"
+            ):
+                raise BuzzCommitAbortedError(
+                    "the table was created concurrently with a different "
+                    "schema/partitioning — re-run the write against it"
+                )
+        else:
+            _require_same_delta_basis(meta, meta_f)
+        return (last_f + 1, live_f, meta_f)
+
+    return commit_with_retry(
+        _attempt,
+        _refresh,
+        (version, live, None if creating else meta),
+        max_commit_retries,
+    )
 
 
 def _write_checkpoint(log_dir: str, version: int) -> None:
@@ -608,6 +746,7 @@ def optimize_delta(
     table_uri: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     checkpoint_interval: int = 10,
+    max_commit_retries: int = 5,
     store=None,
 ) -> int | None:
     """Bin-pack compaction (Delta OPTIMIZE): rewrite each partition's
@@ -724,10 +863,12 @@ def optimize_delta(
         for path in sorted(removed)
     ]
     actions.extend({"add": a} for a in new_adds)
-    _claim_commit(log_dir, version, actions, store)
-    if (version + 1) % checkpoint_interval == 0:
-        _write_checkpoint(log_dir, version)
-    return version
+    return _claim_rewrite_commit(
+        log_dir, version, actions,
+        {rel: live[rel] for rel in removed},
+        meta, checkpoint_interval, max_commit_retries, store,
+        "optimize_delta",
+    )
 
 
 def _declared_schema(meta: dict):
@@ -873,6 +1014,7 @@ def merge_delta(
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
     checkpoint_interval: int = 10,
+    max_commit_retries: int = 5,
     store=None,
 ) -> int | None:
     """MERGE INTO (upsert) with copy-on-write file rewrites — the missing
@@ -1036,10 +1178,12 @@ def merge_delta(
             for rel in touched
         ]
         actions.extend({"add": a} for a in adds)
-        _claim_commit(log_dir, version, actions, store)
-        if (version + 1) % checkpoint_interval == 0:
-            _write_checkpoint(log_dir, version)
-        return version
+        return _claim_rewrite_commit(
+            log_dir, version, actions,
+            {rel: live[rel] for rel in touched},
+            meta, checkpoint_interval, max_commit_retries, store,
+            "merge_delta",
+        )
     finally:
         source.unpersist()
 
@@ -1091,6 +1235,7 @@ def delete_delta(
     checkpoint_interval: int = 10,
     mode: str = "cow",
     max_dv_rows: int = 5_000_000,
+    max_commit_retries: int = 5,
     store=None,
 ) -> int | None:
     """DELETE FROM ``table`` WHERE ``predicate``.  Returns the committed
@@ -1103,10 +1248,13 @@ def delete_delta(
     file's bitmap, one Z85-named sidecar per commit, and the table's
     protocol is upgraded to reader 3 / writer 7 with the deletionVectors
     feature on first use (what delta-spark's DELETE does when DVs are
-    enabled).  DV deletes are O(matched rows) driver-side bitmap work —
-    bounded by ``max_dv_rows`` (beyond that a rewrite is the better trade;
-    a typed error says so) — and the write amplification of cow drops to
-    zero.  Prior versions stay time-travelable in both modes (see
+    enabled).  DV bitmaps are built EXECUTOR-side: matched coordinates
+    repartition by file and each task serializes its files' merged
+    bitmaps into its own sidecar, so the driver sees only O(touched
+    files) descriptor rows.  ``max_dv_rows`` is a POLICY knob, not a
+    memory guard: past it, compaction (cow) beats accumulating DV lookups
+    on every scan, and the typed error says so.  The write amplification
+    of cow drops to zero.  Prior versions stay time-travelable in both modes (see
     :func:`vacuum_delta`)."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
@@ -1144,45 +1292,71 @@ def delete_delta(
     try:
         cond = F.expr(predicate)
         if mode == "dv":
-            matched = (
-                scan.where(cond).select("__file", "__ridx").limit(max_dv_rows + 1)
-            ).collect()
+            # EXECUTOR-side DV construction (see build_dvs_distributed):
+            # matched coordinates are repartitioned by file and each task
+            # serializes its files' merged bitmaps into its own sidecar —
+            # the driver receives O(touched files) descriptor rows, never
+            # the matched (file, pos) rows themselves
+            from .deletion_vectors import build_dvs_distributed
+
+            old_by_abs = {
+                os.path.abspath(os.path.join(table_dir, rel)): ps
+                for rel, ps in dv_by_rel.items()
+            }
+            dv_rows = build_dvs_distributed(
+                scan.where(cond).select(
+                    "__file", F.col("__ridx").cast("long").alias("__ridx")
+                ),
+                table_dir,
+                old_by_abs,
+            )
         else:
             matched = scan.where(cond).select("__file").distinct().collect()
+    except BuzzError:
+        raise
     except Exception as exc:  # noqa: BLE001 — analyzer errors become typed
         raise BuzzBadRequestError(
             f"invalid delete predicate {predicate!r}: {exc}"
         ) from exc
-    if not matched:
-        return None
 
     version = last_version + 1
     now_ms = int(time.time() * 1000)
 
     if mode == "dv":
-        if len(matched) > max_dv_rows:
+        if not dv_rows:
+            return None
+        n_new = sum(int(r["new_rows"]) for r in dv_rows)
+        if n_new > max_dv_rows:
+            # POLICY refusal, not a memory guard (driver memory is already
+            # O(files)): past this size compaction beats accumulating DV
+            # lookups on every scan.  Unlink the staged sidecars — nothing
+            # referenced them yet.
+            from .deletion_vectors import dv_relative_path
+
+            for name in {
+                dv_relative_path({"pathOrInlineDv": r["token"]})
+                for r in dv_rows
+            }:
+                try:
+                    os.unlink(os.path.join(table_dir, name))
+                except OSError:
+                    pass
             raise BuzzBadRequestError(
-                f"DV delete matches more than {max_dv_rows} rows; use"
-                " mode='cow' (rewrite) for bulk deletes, or raise"
+                f"DV delete matches {n_new} rows, more than {max_dv_rows};"
+                " use mode='cow' (rewrite) for bulk deletes, or raise"
                 " max_dv_rows"
             )
-        from .deletion_vectors import write_dv_sidecar, z85_encode
-
-        new_positions: dict[str, list[int]] = {}
-        for r in matched:
-            new_positions.setdefault(by_abs[r["__file"]], []).append(int(r["__ridx"]))
-        merged = {
-            rel: sorted(set(dv_by_rel.get(rel, [])) | set(ps))
-            for rel, ps in new_positions.items()
-        }
+        desc_by_rel = {by_abs[r["rel_abs"]]: r for r in dv_rows}
         # files whose every physical row is now deleted leave the snapshot
         # entirely — a remove with no re-add, exactly like cow
         fully_gone = {
             rel
-            for rel, ps in merged.items()
-            if len(ps) >= _rel_num_records(table_dir, rel, live[rel])
+            for rel, r in desc_by_rel.items()
+            if int(r["cardinality"]) >= _rel_num_records(table_dir, rel, live[rel])
         }
-        with_dv = {rel: ps for rel, ps in merged.items() if rel not in fully_gone}
+        with_dv = {
+            rel: r for rel, r in desc_by_rel.items() if rel not in fully_gone
+        }
         actions: list[dict] = []
         proto = _current_protocol(log_dir)
         if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in (
@@ -1209,11 +1383,7 @@ def delete_delta(
                 "readerFeatures": sorted(rfeats),
                 "writerFeatures": sorted(wfeats),
             }})
-        if with_dv:
-            dv_uuid = uuid.uuid4()
-            sidecar = f"deletion_vector_{dv_uuid}.bin"
-            descs = write_dv_sidecar(os.path.join(table_dir, sidecar), with_dv)
-        for rel in sorted(merged):
+        for rel in sorted(desc_by_rel):
             actions.append(
                 {
                     "remove": {
@@ -1224,6 +1394,7 @@ def delete_delta(
                 }
             )
             if rel in with_dv:
+                r = with_dv[rel]
                 actions.append(
                     {
                         "add": {
@@ -1232,17 +1403,25 @@ def delete_delta(
                             "dataChange": True,
                             "deletionVector": {
                                 "storageType": "u",
-                                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
-                                **descs[rel],
+                                "pathOrInlineDv": r["token"],
+                                "offset": int(r["offset"]),
+                                "sizeInBytes": int(r["size"]),
+                                "cardinality": int(r["cardinality"]),
                             },
                         }
                     }
                 )
-        _claim_commit(log_dir, version, actions, store)
-        if (version + 1) % checkpoint_interval == 0:
-            _write_checkpoint(log_dir, version)
-        return version
+        # retry validation includes the old DV descriptor: the new bitmap
+        # was unioned from it, so a concurrently-replaced DV must abort
+        return _claim_rewrite_commit(
+            log_dir, version, actions,
+            {rel: live[rel] for rel in desc_by_rel},
+            meta, checkpoint_interval, max_commit_retries, store,
+            "delete_delta(dv)",
+        )
 
+    if not matched:
+        return None
     touched = sorted({by_abs[r["__file"]] for r in matched})
     # Survivor = NOT (predicate IS TRUE): a NULL predicate result does not
     # delete the row (SQL DELETE semantics) — a bare ~cond would silently
@@ -1266,10 +1445,12 @@ def delete_delta(
         for rel in touched
     ]
     actions.extend({"add": a} for a in adds)
-    _claim_commit(log_dir, version, actions, store)
-    if (version + 1) % checkpoint_interval == 0:
-        _write_checkpoint(log_dir, version)
-    return version
+    return _claim_rewrite_commit(
+        log_dir, version, actions,
+        {rel: live[rel] for rel in touched},
+        meta, checkpoint_interval, max_commit_retries, store,
+        "delete_delta",
+    )
 
 
 def vacuum_delta(

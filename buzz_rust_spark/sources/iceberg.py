@@ -1258,6 +1258,7 @@ class IcebergCatalog:
         eq: list[dict],
         plan: dict,
         tag: list[tuple[str, int]] | None = None,
+        keep_coords: bool = False,
     ) -> DataFrame:
         """Merge-on-read scan: data files minus position- and
         equality-deleted rows.  ``tag`` (normalized path → snapshot id)
@@ -1309,7 +1310,7 @@ class IcebergCatalog:
                     "__path"
                 ),
             ]
-            if pos:  # orc+pos is refused before we get here
+            if pos or keep_coords:  # orc+pos is refused before we get here
                 cols.append(F.col("_metadata.row_index").alias("__ridx"))
             return df.select(*cols)
 
@@ -1341,7 +1342,9 @@ class IcebergCatalog:
                 del_df = broadcast(del_df)
             scan = scan.join(
                 del_df, on=["__path", "__ridx"], how="left_anti"
-            ).drop("__ridx")
+            )
+            if not keep_coords:
+                scan = scan.drop("__ridx")
 
         if eq:
             seq_map = spark.createDataFrame(
@@ -1410,6 +1413,10 @@ class IcebergCatalog:
             )
             scan = scan.join(broadcast(tag_df), on="__path", how="left")
             return scan.select(*data_cols, "_snapshot_id")
+        if keep_coords:
+            # per-row physical coordinates for the changelog's retraction
+            # joins (the caller dedups on them and drops them)
+            return scan.select(*data_cols, "__path", "__ridx")
         return scan.drop("__path").select(*data_cols)
 
     # --- name mapping (id-less external files on evolved tables) -------------
@@ -1561,45 +1568,23 @@ class IcebergCatalog:
         ]
 
 
-def read_iceberg_changes(
+def _changes_range(
+    cat: "IcebergCatalog",
     spark: SparkSession,
     table_uri: str,
     from_snapshot_id: int,
-    to_snapshot_id: int | None = None,
-    region: str | None = None,
-) -> DataFrame:
-    """Rows that are NET NEW in snapshots ``(from_snapshot_id,
-    to_snapshot_id]`` — incremental consumption of an Iceberg v2 table,
-    mirroring :func:`~.delta_catalog.read_delta_changes`: a downstream job
-    remembers the last snapshot it processed and reads only the newer
-    commits' files, never rescanning the table.  Each row carries
-    ``_snapshot_id`` (the commit that added it).
+    to_snapshot_id: int | None,
+) -> dict | None:
+    """Validate an incremental window (from-cursor present, contiguous
+    sequence numbers, supported operations) and walk the in-range
+    snapshots' ADDED manifests — the shared basis of
+    :func:`read_iceberg_changes` (appends feed) and
+    :func:`read_iceberg_changelog` (retraction feed).  Returns None for an
+    empty window, else the range's data files, delete files, recorded→
+    normalized path pairs, per-file sequence numbers, and snapshot tags.
 
-    Semantics (classified from the snapshot ``summary.operation``):
-
-    - ``append``: its added data files' rows are changes.
-    - ``delete`` / CDC ``overwrite`` (equality-delete upserts, the
-      :func:`~.iceberg_writer.merge_iceberg` shape): their delete files
-      apply MERGE-ON-READ *within the range* — a row appended at snapshot
-      r and deleted/overwritten at a later in-range snapshot s never
-      surfaces (sequence scope ``r < s``), so the feed is exactly the net
-      new rows.  Deletions of PRE-range rows are not expressible in an
-      appends feed and are not surfaced.
-    - ``replace`` (compaction): content-identical by definition — skipped;
-      rows added earlier in the range are read from their ORIGINAL files
-      (still on disk inside the vacuum retention window) even if a later
-      in-range compaction rewrote them.
-    - A truncating ``overwrite`` (no equality-delete evidence in the
-      summary) is a typed refusal, same as the Delta feed: surfacing its
-      added files would double-count rewritten pre-range rows.
-
-    Scale: O(range) manifest-list reads driver-side, manifest decode
-    through the catalog's distributed path above the driver cap, one
-    distributed scan of exactly the range's files.  Gaps in the range's
-    sequence numbers (snapshots expired past the consumer's cursor) are a
-    typed error — silently skipping them would be permanent data loss for
-    the consumer; re-bootstrap from a full snapshot read instead."""
-    cat = IcebergCatalog("_changes", table_uri, region=region)
+    O(range) manifest-list reads driver-side; manifest decode goes through
+    the catalog's distributed path above the driver cap."""
     if cat.format_version < 2:
         raise BuzzExecutionError(
             "iceberg changes feed requires format-version 2 (v1 snapshots "
@@ -1631,13 +1616,8 @@ def read_iceberg_changes(
             f"to_snapshot (seq {to_seq}) precedes from_snapshot "
             f"(seq {from_seq})"
         )
-
-    empty_schema = StructType(
-        list(cat._scan_schema.fields)
-        + [StructField("_snapshot_id", LongType(), True)]
-    )
     if to_seq == from_seq:
-        return spark.createDataFrame([], empty_schema)
+        return None
 
     in_range = sorted(
         (
@@ -1740,10 +1720,25 @@ def read_iceberg_changes(
                         "eq_ids": tuple(int(i) for i in eq_ids or ()),
                     }
                 )
+    return {
+        "files": files,
+        "deletes": deletes,
+        "pairs": pairs,
+        "seq_by_norm": seq_by_norm,
+        "tag": tag,
+        "orc_keys": orc_keys,
+    }
 
+
+def _range_insert_scan(
+    cat: "IcebergCatalog", spark: SparkSession, rng: dict, with_tag: bool
+) -> DataFrame | None:
+    """Distributed MOR scan of a window's net-new rows (range-added data
+    files minus in-range deletes, sequence-scoped) — None when the window
+    added no data files.  Shared by both feeds."""
+    files, deletes, orc_keys = rng["files"], rng["deletes"], rng["orc_keys"]
     if not files:
-        return spark.createDataFrame([], empty_schema)
-
+        return None
     orc = [f for f in files if f.key in orc_keys]
     parq = [f for f in files if f.key not in orc_keys]
     pos = [d for d in deletes if d["kind"] == "pos"]
@@ -1763,6 +1758,241 @@ def read_iceberg_changes(
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     return cat._mor_scan(
         spark, parq, orc, pos, eq,
-        {"pairs": pairs, "seq_by_norm": seq_by_norm},
-        tag=tag,
+        {"pairs": rng["pairs"], "seq_by_norm": rng["seq_by_norm"]},
+        tag=rng["tag"] if with_tag else None,
     )
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    table_uri: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    region: str | None = None,
+) -> DataFrame:
+    """Rows that are NET NEW in snapshots ``(from_snapshot_id,
+    to_snapshot_id]`` — incremental consumption of an Iceberg v2 table,
+    mirroring :func:`~.delta_catalog.read_delta_changes`: a downstream job
+    remembers the last snapshot it processed and reads only the newer
+    commits' files, never rescanning the table.  Each row carries
+    ``_snapshot_id`` (the commit that added it).
+
+    Semantics (classified from the snapshot ``summary.operation``):
+
+    - ``append``: its added data files' rows are changes.
+    - ``delete`` / CDC ``overwrite`` (equality-delete upserts, the
+      :func:`~.iceberg_writer.merge_iceberg` shape): their delete files
+      apply MERGE-ON-READ *within the range* — a row appended at snapshot
+      r and deleted/overwritten at a later in-range snapshot s never
+      surfaces (sequence scope ``r < s``), so the feed is exactly the net
+      new rows.  Deletions of PRE-range rows are not expressible in an
+      appends feed and are not surfaced — see
+      :func:`read_iceberg_changelog` for the retraction-carrying variant.
+    - ``replace`` (compaction): content-identical by definition — skipped;
+      rows added earlier in the range are read from their ORIGINAL files
+      (still on disk inside the vacuum retention window) even if a later
+      in-range compaction rewrote them.
+    - A truncating ``overwrite`` (no equality-delete evidence in the
+      summary) is a typed refusal, same as the Delta feed: surfacing its
+      added files would double-count rewritten pre-range rows.
+
+    Scale: O(range) manifest-list reads driver-side, manifest decode
+    through the catalog's distributed path above the driver cap, one
+    distributed scan of exactly the range's files.  Gaps in the range's
+    sequence numbers (snapshots expired past the consumer's cursor) are a
+    typed error — silently skipping them would be permanent data loss for
+    the consumer; re-bootstrap from a full snapshot read instead."""
+    cat = IcebergCatalog("_changes", table_uri, region=region)
+    rng = _changes_range(cat, spark, table_uri, from_snapshot_id, to_snapshot_id)
+    empty_schema = StructType(
+        list(cat._scan_schema.fields)
+        + [StructField("_snapshot_id", LongType(), True)]
+    )
+    if rng is None:
+        return spark.createDataFrame([], empty_schema)
+    out = _range_insert_scan(cat, spark, rng, with_tag=True)
+    if out is None:
+        return spark.createDataFrame([], empty_schema)
+    return out
+
+
+def read_iceberg_changelog(
+    spark: SparkSession,
+    table_uri: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    region: str | None = None,
+) -> DataFrame:
+    """CDC changelog of snapshots ``(from_snapshot_id, to_snapshot_id]``:
+    the data columns plus ``_change_type`` ∈ {``insert``, ``delete``} —
+    the retraction-carrying variant of :func:`read_iceberg_changes` (which
+    stays appends-only for compatibility), mirroring Iceberg's changelog
+    scan / Delta CDF.
+
+    Contract (MULTISET semantics): for a materialized copy ``M`` of the
+    from-snapshot, ``M ∪ inserts ∖ deletes`` is exactly the to-snapshot's
+    content — an incremental materialization applies the feed with
+    ``unionAll`` + ``exceptAll`` (order-free: in-range insert-then-delete
+    pairs cancel).  Rows deleted and re-inserted with identical content
+    surface as a delete+insert pair, not nothing (net-effect coalescing is
+    a consumer choice).
+
+    Construction, O(changed files) not O(table):
+
+    - **inserts** — the appends feed's net-new scan (range-added files,
+      in-range deletes applied with sequence scoping).
+    - **deletes** — FROM-state rows killed by in-range delete files:
+      equality deletes semi-join the from-snapshot MOR scan by key (every
+      from-live row's sequence number is strictly below every in-range
+      delete's, so the spec's sequence scope is unconditionally met);
+      position deletes semi-join it on (file, position) coordinates.
+      Both retraction sets union and dedup on physical coordinates, so a
+      row hit by several in-range deletes retracts exactly ONCE.  Only
+      files actually referenced are read: position deletes name their
+      files; equality retraction scans the from-state (the honest cost —
+      key membership is not decidable from metadata).
+
+    Boundaries (typed): position deletes referencing files neither live
+    at from nor added in range (a delete landing AFTER an in-range
+    compaction rewrote its targets) — the coordinates cannot be mapped to
+    either state, re-bootstrap; ORC files in the from-state (no
+    ``_metadata.row_index`` for the coordinate dedup); plus every refusal
+    of the appends feed (truncating overwrites, gaps, evolved+eq)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    cat = IcebergCatalog("_changelog", table_uri, region=region)
+    rng = _changes_range(cat, spark, table_uri, from_snapshot_id, to_snapshot_id)
+    data_cols = [f.name for f in cat._scan_schema.fields]
+    empty_schema = StructType(
+        list(cat._scan_schema.fields)
+        + [StructField("_change_type", StringType(), False)]
+    )
+    if rng is None:
+        return spark.createDataFrame([], empty_schema)
+
+    inserts = _range_insert_scan(cat, spark, rng, with_tag=False)
+    pos_in_range = [d for d in rng["deletes"] if d["kind"] == "pos"]
+    eq_in_range = [d for d in rng["deletes"] if d["kind"] == "eq"]
+
+    out = (
+        inserts.withColumn("_change_type", F.lit("insert"))
+        if inserts is not None
+        else spark.createDataFrame([], empty_schema)
+    )
+    if not (pos_in_range or eq_in_range):
+        return out
+
+    # --- retractions against the from-snapshot state ---
+    from_cat = IcebergCatalog(
+        "_changelog_from", table_uri, snapshot_id=from_snapshot_id,
+        region=region,
+    )
+    fplan = from_cat._plan(spark, None)
+    if not fplan["files"]:
+        return out  # nothing existed at from — nothing to retract
+    if fplan["orc_keys"]:
+        raise BuzzExecutionError(
+            "iceberg changelog over a from-state with ORC data files is "
+            "not supported (no _metadata.row_index for the retraction "
+            "coordinates)"
+        )
+    f_eq = [d for d in fplan["deletes"] if d["kind"] == "eq"]
+    if (f_eq or eq_in_range) and from_cat._evolved:
+        raise BuzzExecutionError(
+            "iceberg changelog over a schema-evolved (renamed-column) "
+            "table with equality deletes is not supported — same refusal "
+            "as the snapshot read path"
+        )
+    if from_cat._evolved:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    from_scan = from_cat._mor_scan(
+        spark,
+        fplan["files"],
+        [],
+        [d for d in fplan["deletes"] if d["kind"] == "pos"],
+        f_eq,
+        fplan,
+        keep_coords=True,
+    )
+
+    del_frames: list[DataFrame] = []
+    if pos_in_range:
+        del_schema = StructType(
+            [
+                StructField("file_path", StringType(), False),
+                StructField("pos", LongType(), False),
+            ]
+        )
+        posdel = spark.read.schema(del_schema).parquet(
+            *sorted({d["uri"] for d in pos_in_range})
+        )
+        known_pairs = sorted(set(fplan["pairs"]) | set(rng["pairs"]))
+        known_rec = {rec for rec, _ in known_pairs}
+        refs = {
+            r["file_path"]
+            for r in posdel.select("file_path").distinct().collect()
+        }  # O(referenced files), driver-side
+        unknown = sorted(refs - known_rec)
+        if unknown:
+            raise BuzzExecutionError(
+                f"in-range position deletes reference {len(unknown)} "
+                "file(s) neither live at from_snapshot nor added in the "
+                f"window (first: {unknown[0]!r}) — likely rewritten by an "
+                "in-range compaction; the coordinates cannot be mapped, "
+                "re-bootstrap from a full snapshot read"
+            )
+        mapping = spark.createDataFrame(
+            known_pairs, "file_path string, __path string"
+        )
+        pos_df = (
+            posdel.join(broadcast(mapping), on="file_path")
+            .select("__path", F.col("pos").alias("__ridx"))
+        )
+        del_frames.append(
+            from_scan.join(pos_df, on=["__path", "__ridx"], how="left_semi")
+        )
+    if eq_in_range:
+        by_name = {f.name: f for f in cat._scan_schema.fields}
+        groups: dict[tuple, list[dict]] = {}
+        for d in eq_in_range:
+            groups.setdefault(d["eq_ids"], []).append(d)
+        for ids, dels in sorted(groups.items()):
+            names = []
+            for fid in ids:
+                name = cat._field_names.get(fid)
+                if name is None or name not in by_name:
+                    raise BuzzExecutionError(
+                        f"iceberg equality delete keys on field id {fid}, "
+                        "which is not in the current schema — refusing "
+                        "(cannot evaluate the delete predicate)"
+                    )
+                names.append(name)
+            key_schema = StructType([by_name[n] for n in names])
+            keys = (
+                spark.read.schema(key_schema)
+                .parquet(*sorted({d["uri"] for d in dels}))
+                .distinct()
+                .alias("__d")
+            )
+            if sum(d["size"] for d in dels) <= cat.DELETE_BROADCAST_MAX_BYTES:
+                keys = broadcast(keys)
+            s = from_scan.alias("__s")
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__s.{n}").eqNullSafe(F.col(f"__d.{n}"))
+                    for n in names
+                ],
+            )
+            del_frames.append(s.join(keys, on=cond, how="left_semi"))
+
+    deletes_df = (
+        reduce(DataFrame.unionByName, del_frames)
+        .dropDuplicates(["__path", "__ridx"])
+        .select(*data_cols)
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    return out.unionByName(deletes_df)

@@ -61,8 +61,13 @@ import uuid
 
 from pyspark.sql import DataFrame
 
-from ..errors import BuzzBadRequestError, BuzzExecutionError, BuzzSchemaError
-from .write_store import default_store
+from ..errors import (
+    BuzzBadRequestError,
+    BuzzCommitAbortedError,
+    BuzzExecutionError,
+    BuzzSchemaError,
+)
+from .write_store import commit_with_retry, default_store
 from .avro import decode_avro_file, encode_avro_records
 from .iceberg import _iceberg_type
 
@@ -895,6 +900,67 @@ def _load_v2_meta(root: str, table_uri: str) -> tuple[int, dict]:
     return version, meta
 
 
+def _txn_already_committed(meta: dict, txn_app_id: str, txn_version) -> bool:
+    """Whether a txn marker ≥ ``txn_version`` for ``txn_app_id`` is already
+    committed — in a snapshot summary, or (post-expiry) in the persisted
+    ``buzz.txn.<app>`` table property."""
+    props = meta.get("properties") or {}
+    if int(props.get(f"buzz.txn.{txn_app_id}", -1)) >= int(txn_version):
+        return True
+    for s in meta.get("snapshots", []):
+        summ = s.get("summary") or {}
+        if summ.get("txn-app-id") == txn_app_id and int(
+            summ.get("txn-version", -1)
+        ) >= int(txn_version):
+            return True
+    return False
+
+
+def _schema_sig(schema_json: dict) -> list:
+    """Identity signature of a schema's fields — what staged data files
+    depend on (names drive column resolution, ids drive footer field ids,
+    required drives the null checks already enforced at stage time)."""
+    return [
+        (
+            f["name"],
+            f["type"] if isinstance(f["type"], str)
+            else json.dumps(f["type"], sort_keys=True),
+            int(f["id"]),
+            bool(f.get("required")),
+        )
+        for f in schema_json["fields"]
+    ]
+
+
+def _require_same_write_basis(
+    meta: dict, schema_json: dict, spec_id: int, spec_fields: list
+) -> None:
+    """Raise the typed NON-retryable abort when a concurrent commit changed
+    the schema or default partition spec a staged write was built against —
+    staged files carry field ids / partition tuples from the old basis and
+    cannot be committed under the new one."""
+    sid = meta.get("current-schema-id", 0)
+    cur_schema = next(
+        s for s in meta["schemas"] if s.get("schema-id") == sid
+    )
+    if _schema_sig(cur_schema) != _schema_sig(schema_json):
+        raise BuzzCommitAbortedError(
+            "concurrent schema evolution invalidated this write's staged "
+            "files — re-run the operation against the current table"
+        )
+    cur_spec_id = meta.get("default-spec-id", 0)
+    cur_fields = next(
+        s["fields"]
+        for s in meta["partition-specs"]
+        if s.get("spec-id") == cur_spec_id
+    )
+    if cur_spec_id != spec_id or cur_fields != spec_fields:
+        raise BuzzCommitAbortedError(
+            "the table's default partition spec changed concurrently — "
+            "re-run the operation against the current table"
+        )
+
+
 # --- public API -----------------------------------------------------------------
 
 
@@ -907,7 +973,9 @@ def write_iceberg(
     target_file_rows: int = 1_000_000,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    max_commit_retries: int = 5,
     _operation: str | None = None,
+    _expect_snapshot_id: int | None = None,
     store=None,
 ) -> dict | None:
     """Write ``df`` into an Iceberg v2 table at ``table_uri``.
@@ -928,6 +996,15 @@ def write_iceberg(
     SetTransaction), and a write whose version is ≤ an already-committed
     version for the same app id SKIPS (returns None) — at-least-once
     ``foreachBatch`` delivery becomes exactly-once table content.
+
+    Losing a commit race does NOT re-run the Spark job: data files are
+    staged once under fresh UUID names, and up to ``max_commit_retries``
+    claim attempts re-read the table, re-validate the basis (schema and
+    default spec unchanged — appends commute with other appends), and
+    re-claim at the advanced version with metadata-only work.  A basis
+    change raises the NON-retryable
+    :class:`~..errors.BuzzCommitAbortedError` instead (the staged files
+    become orphans for ``vacuum_iceberg``).
     """
     if mode not in ("append", "overwrite"):
         raise BuzzBadRequestError(
@@ -954,15 +1031,18 @@ def write_iceberg(
         # markers live on as `buzz.txn.<app>` table properties (written by
         # expire_iceberg_snapshots) so a checkpoint replay after expiry
         # still can't double-commit
-        props = existing[1].get("properties") or {}
-        if int(props.get(f"buzz.txn.{txn_app_id}", -1)) >= int(txn_version):
+        if _txn_already_committed(existing[1], txn_app_id, txn_version):
             return None  # replayed micro-batch: already committed
-        for s in existing[1].get("snapshots", []):
-            summ = s.get("summary") or {}
-            if summ.get("txn-app-id") == txn_app_id and int(
-                summ.get("txn-version", -1)
-            ) >= int(txn_version):
-                return None  # replayed micro-batch: already committed
+
+    if (
+        existing is not None
+        and _expect_snapshot_id is not None
+        and existing[1].get("current-snapshot-id") != _expect_snapshot_id
+    ):
+        raise BuzzCommitAbortedError(
+            "the snapshot this replace was built from was superseded — "
+            "re-run the rewrite against the current table"
+        )
 
     if existing is None:
         schema_json = _build_schema(df.schema)
@@ -1072,39 +1152,11 @@ def write_iceberg(
     if not new_files and existing is not None and mode == "append":
         return None  # nothing to commit
 
-    seq = int(meta.get("last-sequence-number", 0)) + 1
-    snap_id = uuid.uuid4().int >> 65  # positive, fits a long
-
-    # --- the new manifest ---
-    manifest_path = _write_manifest(
-        meta_dir,
-        _manifest_entries(
-            new_files, 0, None, part_fields, snap_id, stat_fields
-        ),
-        part_fields,
-        schema_json,
-        spec_id,
-        "data",
-    )
+    # --- commit loop: the data files above are staged ONCE (fresh UUID
+    # names, durable); every attempt below is metadata-only — on a lost
+    # claim the loop re-reads table state, re-validates the basis, and
+    # re-claims at the next version without re-running the Spark job ---
     added_rows = sum(int(f["record_count"]) for f in new_files)
-    new_manifest_rec = _manifest_rec(
-        manifest_path,
-        spec_id,
-        0,
-        seq,
-        snap_id,
-        len(new_files),
-        added_rows,
-        _part_summaries(new_files, part_fields),
-    )
-    mlist_path = _write_manifest_list(
-        meta_dir,
-        snap_id,
-        seq,
-        [new_manifest_rec] + _carry_manifests(prev_manifests),
-    )
-
-    # --- new metadata version ---
     operation = _operation or (
         "append" if mode == "append" else "overwrite"
     )
@@ -1115,28 +1167,84 @@ def write_iceberg(
     if txn_app_id is not None:
         counts["txn-app-id"] = txn_app_id
         counts["txn-version"] = str(int(txn_version))
-    new_version = _finish_commit(
-        root,
-        version,
-        meta,
-        snap_id,
-        seq,
-        now_ms,
-        mlist_path,
-        schema_json.get("schema-id", 0),
-        operation,
-        counts,
-        log_prior_metadata=existing is not None,
-        store=store,
+
+    def _attempt(state):
+        version_a, meta_a, prev_a, existed_a = state
+        seq = int(meta_a.get("last-sequence-number", 0)) + 1
+        snap_id = uuid.uuid4().int >> 65  # positive, fits a long
+        manifest_path = _write_manifest(
+            meta_dir,
+            _manifest_entries(
+                new_files, 0, None, part_fields, snap_id, stat_fields
+            ),
+            part_fields,
+            schema_json,
+            spec_id,
+            "data",
+        )
+        new_manifest_rec = _manifest_rec(
+            manifest_path,
+            spec_id,
+            0,
+            seq,
+            snap_id,
+            len(new_files),
+            added_rows,
+            _part_summaries(new_files, part_fields),
+        )
+        mlist_path = _write_manifest_list(
+            meta_dir,
+            snap_id,
+            seq,
+            [new_manifest_rec] + _carry_manifests(prev_a),
+        )
+        new_version = _finish_commit(
+            root,
+            version_a,
+            meta_a,
+            snap_id,
+            seq,
+            now_ms,
+            mlist_path,
+            schema_json.get("schema-id", 0),
+            operation,
+            counts,
+            log_prior_metadata=existed_a,
+            store=store,
+        )
+        return {
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "metadata_version": new_version,
+            "added_files": len(new_files),
+            "added_records": added_rows,
+            "operation": operation,
+        }
+
+    def _refresh():
+        version_f, meta_f = _load_v2_meta(root, table_uri)
+        _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
+        if (
+            _expect_snapshot_id is not None
+            and meta_f.get("current-snapshot-id") != _expect_snapshot_id
+        ):
+            raise BuzzCommitAbortedError(
+                "the snapshot this replace was built from was superseded "
+                "concurrently — re-run the rewrite against the current table"
+            )
+        if txn_app_id is not None and _txn_already_committed(
+            meta_f, txn_app_id, txn_version
+        ):
+            return None  # a peer committed our txn: idempotent no-op
+        prev_f = _prev_manifests(meta_f) if mode == "append" else []
+        return (version_f, meta_f, prev_f, True)
+
+    return commit_with_retry(
+        _attempt,
+        _refresh,
+        (version, meta, prev_manifests, existing is not None),
+        max_commit_retries,
     )
-    return {
-        "snapshot_id": snap_id,
-        "sequence_number": seq,
-        "metadata_version": new_version,
-        "added_files": len(new_files),
-        "added_records": added_rows,
-        "operation": operation,
-    }
 
 
 # string bounds longer than this stay out of the manifest (omitting a
@@ -1508,6 +1616,7 @@ def delete_iceberg(
     table_uri: str,
     predicate: str,
     max_delete_rows: int = 5_000_000,
+    max_commit_retries: int = 5,
     store=None,
 ) -> dict | None:
     """DELETE FROM the Iceberg table WHERE ``predicate`` — merge-on-read:
@@ -1639,62 +1748,108 @@ def delete_iceberg(
 
     # --- delete manifest + commit (under the table's UNPARTITIONED spec:
     # position deletes here are path-scoped/global, and a null tuple under
-    # a partitioned spec would read as "the null partition" externally) ---
+    # a partitioned spec would read as "the null partition" externally).
+    # The staged delete files are reused across claim attempts; a conflict
+    # re-validates that every file we matched is STILL LIVE (a concurrent
+    # compaction/overwrite of a matched file would orphan our by-position
+    # references and silently resurrect rows — typed abort instead) and
+    # that no equality deletes appeared (the refusal precondition above).
+    # Concurrent APPENDS retry fine: the delete covers its scan snapshot;
+    # concurrent position deletes are additive (readers apply the union).
     now_ms = int(time.time() * 1000)
-    seq = int(meta.get("last-sequence-number", 0)) + 1
-    snap_id = uuid.uuid4().int >> 65
-    sid = meta.get("current-schema-id", 0)
-    schema_json = next(
-        s for s in meta["schemas"] if s.get("schema-id") == sid
-    )
-    meta = dict(meta)
-    unpart_id = _unpartitioned_spec_id(meta)
     meta_dir = os.path.join(root, "metadata")
-    manifest_path = _write_manifest(
-        meta_dir,
-        _manifest_entries(del_files, 1, None, [], snap_id),
-        [],
-        schema_json,
-        unpart_id,
-        "deletes",
+
+    def _attempt(state):
+        version_a, meta_a = state
+        seq = int(meta_a.get("last-sequence-number", 0)) + 1
+        snap_id = uuid.uuid4().int >> 65
+        sid = meta_a.get("current-schema-id", 0)
+        schema_json = next(
+            s for s in meta_a["schemas"] if s.get("schema-id") == sid
+        )
+        meta_a = dict(meta_a)
+        unpart_id = _unpartitioned_spec_id(meta_a)
+        manifest_path = _write_manifest(
+            meta_dir,
+            _manifest_entries(del_files, 1, None, [], snap_id),
+            [],
+            schema_json,
+            unpart_id,
+            "deletes",
+        )
+        delete_rec = _manifest_rec(
+            manifest_path, unpart_id, 1, seq, snap_id, len(del_files),
+            n_deleted, None,
+        )
+        mlist_path = _write_manifest_list(
+            meta_dir, snap_id, seq,
+            [delete_rec] + _carry_manifests(_prev_manifests(meta_a)),
+        )
+        new_version = _finish_commit(
+            root,
+            version_a,
+            meta_a,
+            snap_id,
+            seq,
+            now_ms,
+            mlist_path,
+            sid,
+            "delete",
+            {
+                "added-delete-files": str(len(del_files)),
+                "added-position-deletes": str(n_deleted),
+            },
+            log_prior_metadata=True,
+            store=store,
+        )
+        return {
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "metadata_version": new_version,
+            "deleted_rows": n_deleted,
+            "operation": "delete",
+        }
+
+    def _refresh():
+        import pyarrow.parquet as pq
+
+        version_f, meta_f = _load_v2_meta(root, table_uri)
+        fresh_plan = IcebergCatalog("delete", root)._plan(spark, None)
+        if any(d["kind"] == "eq" for d in fresh_plan["deletes"]):
+            raise BuzzCommitAbortedError(
+                "a concurrent commit added equality deletes — this "
+                "position delete cannot be sequence-scoped against them; "
+                "re-run delete_iceberg"
+            )
+        # matched recorded paths (small: distinct per staged delete file)
+        matched_paths = set()
+        for f in del_files:
+            matched_paths.update(
+                pq.read_table(f["file_path"], columns=["file_path"])
+                .column("file_path")
+                .unique()
+                .to_pylist()
+            )
+        fresh_paths = {rec for rec, _ in fresh_plan["pairs"]}
+        gone = matched_paths - fresh_paths
+        if gone:
+            raise BuzzCommitAbortedError(
+                f"{len(gone)} matched data file(s) were rewritten or "
+                "removed concurrently — these position deletes no longer "
+                "apply; re-run delete_iceberg against the current table"
+            )
+        return (version_f, meta_f)
+
+    return commit_with_retry(
+        _attempt, _refresh, (version, meta), max_commit_retries
     )
-    delete_rec = _manifest_rec(
-        manifest_path, unpart_id, 1, seq, snap_id, len(del_files), n_deleted,
-        None,
-    )
-    mlist_path = _write_manifest_list(
-        meta_dir, snap_id, seq, [delete_rec] + _carry_manifests(_prev_manifests(meta))
-    )
-    new_version = _finish_commit(
-        root,
-        version,
-        meta,
-        snap_id,
-        seq,
-        now_ms,
-        mlist_path,
-        sid,
-        "delete",
-        {
-            "added-delete-files": str(len(del_files)),
-            "added-position-deletes": str(n_deleted),
-        },
-        log_prior_metadata=True,
-        store=store,
-    )
-    return {
-        "snapshot_id": snap_id,
-        "sequence_number": seq,
-        "metadata_version": new_version,
-        "deleted_rows": n_deleted,
-        "operation": "delete",
-    }
 
 
 def rewrite_iceberg(
     spark,
     table_uri: str,
     target_file_rows: int = 1_000_000,
+    max_commit_retries: int = 5,
     store=None,
 ) -> dict | None:
     """Compaction (Iceberg's rewrite-data-files maintenance action): the
@@ -1706,20 +1861,34 @@ def rewrite_iceberg(
     ``target_file_rows``, and prior snapshots stay time-travel readable
     with their deletes intact.  Returns None for a non-existent table
     path (nothing to compact); one Spark job end-to-end, same as the
-    append path."""
+    append path.
+
+    A compaction that loses its commit race is retried ONLY if the
+    snapshot it scanned is still current (pinned via
+    ``_expect_snapshot_id``): any concurrent data commit invalidates a
+    replace built from the old snapshot — retrying would silently drop
+    the concurrent change — so the loop raises the typed non-retryable
+    :class:`~..errors.BuzzCommitAbortedError` instead."""
     from .iceberg import IcebergCatalog
 
     root = _local_table_dir(table_uri)
-    try:
-        cat = IcebergCatalog("rewrite", root)
-    except BuzzExecutionError:
+    # resolve + pin the snapshot FIRST, then scan exactly it: the commit
+    # validates against this id, closing the scan→commit TOCTOU window
+    existing = _load_meta(root)
+    if existing is None:
         return None  # not a table (no metadata dir / no metadata.json)
+    _, meta = existing
+    basis_snapshot = meta.get("current-snapshot-id")  # -1/None on empty
+    cat = IcebergCatalog(
+        "rewrite",
+        root,
+        snapshot_id=None if basis_snapshot in (None, -1) else basis_snapshot,
+    )
     df = cat.to_dataframe(spark)
     # the reader surfaces iceberg `timestamp` (NTZ) as Spark's LTZ type;
     # the write side keeps NTZ↔timestamp apart — cast back (session runs
     # UTC, so the cast is wall-clock exact) or the self-rewrite would fail
     # its own schema check
-    _, meta = _load_v2_meta(root, table_uri)
     sid = meta.get("current-schema-id", 0)
     schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
     from pyspark.sql import functions as F
@@ -1732,7 +1901,9 @@ def rewrite_iceberg(
         table_uri,
         mode="overwrite",
         target_file_rows=target_file_rows,
+        max_commit_retries=max_commit_retries,
         _operation="replace",
+        _expect_snapshot_id=basis_snapshot,
         store=store,
     )
 
@@ -1743,6 +1914,7 @@ def merge_iceberg(
     source: DataFrame,
     key_cols: list[str],
     target_file_rows: int = 1_000_000,
+    max_commit_retries: int = 5,
     store=None,
 ) -> dict | None:
     """UPSERT ``source`` into the Iceberg table by ``key_cols`` — the
@@ -1869,82 +2041,101 @@ def merge_iceberg(
     finally:
         source.unpersist()
 
-    seq = int(meta.get("last-sequence-number", 0)) + 1
-    snap_id = uuid.uuid4().int >> 65
     now_ms = int(time.time() * 1000)
+    added_rows = sum(int(f["record_count"]) for f in new_files)
+    key_rows = sum(int(f["record_count"]) for f in key_files)
 
     # The delete manifest goes under the table's UNPARTITIONED spec: the
     # spec's GLOBAL-delete form.  Under a partitioned spec, an equality
     # delete applies only to its own partition, so a null tuple would be
     # read by external engines as "delete in the null partition only" —
     # resurrecting every updated row elsewhere.
-    meta = dict(meta)
-    unpart_id = _unpartitioned_spec_id(meta)
-    data_manifest = _write_manifest(
-        meta_dir,
-        _manifest_entries(
-            new_files, 0, None, part_fields, snap_id, stat_fields
-        ),
-        part_fields,
-        schema_json,
-        spec_id,
-        "data",
-    )
-    delete_manifest = _write_manifest(
-        meta_dir,
-        _manifest_entries(
-            key_files, 2, key_ids, [], snap_id, key_stat_fields
-        ),
-        [],
-        schema_json,
-        unpart_id,
-        "deletes",
-    )
-    added_rows = sum(int(f["record_count"]) for f in new_files)
-    key_rows = sum(int(f["record_count"]) for f in key_files)
-    mlist_path = _write_manifest_list(
-        meta_dir,
-        snap_id,
-        seq,
-        [
-            _manifest_rec(
-                data_manifest, spec_id, 0, seq, snap_id,
-                len(new_files), added_rows,
-                _part_summaries(new_files, part_fields),
+    #
+    # Commit loop: data + delete-key files are staged once above; a lost
+    # claim re-reads the table, re-validates schema/spec, and re-claims at
+    # a HIGHER sequence number.  Merges commute with concurrent appends
+    # and merges — equality deletes scope to data files with strictly
+    # smaller sequence numbers, so the retried commit's deletes cover
+    # everything committed before it: upsert last-writer-wins, the same
+    # result a serialized replay would produce.
+    def _attempt(state):
+        version_a, meta_a = state
+        seq = int(meta_a.get("last-sequence-number", 0)) + 1
+        snap_id = uuid.uuid4().int >> 65
+        meta_a = dict(meta_a)
+        unpart_id = _unpartitioned_spec_id(meta_a)
+        data_manifest = _write_manifest(
+            meta_dir,
+            _manifest_entries(
+                new_files, 0, None, part_fields, snap_id, stat_fields
             ),
-            _manifest_rec(
-                delete_manifest, unpart_id, 1, seq, snap_id,
-                len(key_files), key_rows, None,
+            part_fields,
+            schema_json,
+            spec_id,
+            "data",
+        )
+        delete_manifest = _write_manifest(
+            meta_dir,
+            _manifest_entries(
+                key_files, 2, key_ids, [], snap_id, key_stat_fields
             ),
-        ]
-        + _carry_manifests(_prev_manifests(meta)),
+            [],
+            schema_json,
+            unpart_id,
+            "deletes",
+        )
+        mlist_path = _write_manifest_list(
+            meta_dir,
+            snap_id,
+            seq,
+            [
+                _manifest_rec(
+                    data_manifest, spec_id, 0, seq, snap_id,
+                    len(new_files), added_rows,
+                    _part_summaries(new_files, part_fields),
+                ),
+                _manifest_rec(
+                    delete_manifest, unpart_id, 1, seq, snap_id,
+                    len(key_files), key_rows, None,
+                ),
+            ]
+            + _carry_manifests(_prev_manifests(meta_a)),
+        )
+        new_version = _finish_commit(
+            root,
+            version_a,
+            meta_a,
+            snap_id,
+            seq,
+            now_ms,
+            mlist_path,
+            sid,
+            "overwrite",
+            {
+                "added-data-files": str(len(new_files)),
+                "added-records": str(added_rows),
+                "added-delete-files": str(len(key_files)),
+                "added-equality-deletes": str(key_rows),
+            },
+            log_prior_metadata=True,
+            store=store,
+        )
+        return {
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "metadata_version": new_version,
+            "upserted_records": added_rows,
+            "operation": "overwrite",
+        }
+
+    def _refresh():
+        version_f, meta_f = _load_v2_meta(root, table_uri)
+        _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
+        return (version_f, meta_f)
+
+    return commit_with_retry(
+        _attempt, _refresh, (version, meta), max_commit_retries
     )
-    new_version = _finish_commit(
-        root,
-        version,
-        meta,
-        snap_id,
-        seq,
-        now_ms,
-        mlist_path,
-        sid,
-        "overwrite",
-        {
-            "added-data-files": str(len(new_files)),
-            "added-records": str(added_rows),
-            "added-delete-files": str(len(key_files)),
-            "added-equality-deletes": str(key_rows),
-        },
-        log_prior_metadata=True,
-        store=store,
-    )
-    return {
-        "snapshot_id": snap_id,
-        "sequence_number": seq,
-        "metadata_version": new_version,
-        "upserted_records": added_rows,
-        "operation": "overwrite",
-    }
 
 
 def expire_iceberg_snapshots(

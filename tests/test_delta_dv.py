@@ -580,3 +580,53 @@ def test_dv_table_through_engine_query_json(spark, tmp_path):
     rows = {(r["par"], r["total"]) for r in engine.run(q).collect()}
     # survivors: k in 3..7 → par '1': 3+5+7=15, par '0': 4+6=10
     assert rows == {("1", 15), ("0", 10)}
+
+
+def test_dv_executor_side_construction_multi_file(spark, tmp_path):
+    """The DV build is distributed: matched coordinates repartition by file
+    and tasks write their own sidecars — a delete spanning several files
+    commits per-file descriptors that read back exactly, the policy guard
+    counts NEW matches only, and a refused delete unlinks its staged
+    sidecars."""
+    from glob import glob
+
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.delta_writer import delete_delta, write_delta
+
+    root = str(tmp_path / "t")
+    # 4 files × 25 rows (repartition by a file-aligned key)
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "k long, g long"
+    ).repartition(4, "g")
+    write_delta(df, root)
+
+    # delete k % 5 == 0 → 20 rows across all 4 files
+    assert delete_delta(spark, root, "k % 5 = 0", mode="dv") == 1
+    got = sorted(
+        r.k for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == sorted(k for k in range(100) if k % 5)
+
+    # second DV delete MERGES with the existing vectors; new_rows counts
+    # only the fresh matches (8 rows: k%5!=0 and k%12==0 → 12,24,36,48,...)
+    assert delete_delta(spark, root, "k % 12 = 0", mode="dv") == 2
+    got = sorted(
+        r.k for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == sorted(k for k in range(100) if k % 5 and k % 12)
+
+    # policy refusal unlinks the staged sidecars (nothing references them)
+    before = set(glob(os.path.join(root, "deletion_vector_*.bin")))
+    with pytest.raises(BuzzBadRequestError, match="cow"):
+        delete_delta(spark, root, "k >= 0", mode="dv", max_dv_rows=3)
+    assert set(glob(os.path.join(root, "deletion_vector_*.bin"))) == before
+    # and the guard counts NEW matches, not merged cardinality: deleting 2
+    # more rows under max_dv_rows=3 succeeds even though the merged
+    # vectors hold far more
+    assert delete_delta(
+        spark, root, "k IN (1, 2)", mode="dv", max_dv_rows=3
+    ) == 3
+    got = sorted(
+        r.k for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == sorted(k for k in range(3, 100) if k % 5 and k % 12)

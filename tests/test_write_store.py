@@ -133,7 +133,8 @@ def test_delta_concurrent_commit_one_winner(spark, tmp_path):
 
     def writer(v):
         return lambda: write_delta(
-            spark.createDataFrame([(v,)], "id long"), root, store=store
+            spark.createDataFrame([(v,)], "id long"), root, store=store,
+            max_commit_retries=0,
         )
 
     out = _race(writer(1), writer(2))
@@ -168,7 +169,7 @@ def test_iceberg_concurrent_commit_one_winner(spark, tmp_path):
     def writer(v):
         return lambda: write_iceberg(
             spark.createDataFrame([(v,)], "id long"), root, mode="append",
-            store=store,
+            store=store, max_commit_retries=0,
         )
 
     out = _race(writer(1), writer(2))
@@ -203,7 +204,8 @@ def test_iceberg_concurrent_create_one_winner(spark, tmp_path):
 
     def writer(v):
         return lambda: write_iceberg(
-            spark.createDataFrame([(v,)], "id long"), root, store=store
+            spark.createDataFrame([(v,)], "id long"), root, store=store,
+            max_commit_retries=0,
         )
 
     out = _race(writer(1), writer(2))
@@ -218,3 +220,370 @@ def test_iceberg_concurrent_create_one_winner(spark, tmp_path):
         if f.endswith(".metadata.json")
     ]
     assert metas == ["v1.metadata.json"]
+
+
+# --- commit retry: staged files are reused, never re-written ----------------------
+#
+# Deterministic interleaving without threads: a store whose ``before_claim``
+# seam performs a CONFLICTING commit (through the default store) the first
+# time it fires — the operation under test then provably loses its first
+# claim and exercises the refresh→revalidate→re-claim path.
+
+
+def _conflicting_store(conflict_fn):
+    store = LocalCommitStore()
+    state = {"fired": False}
+
+    def before_claim(path):
+        if not state["fired"]:
+            state["fired"] = True
+            conflict_fn()
+
+    store.before_claim = before_claim
+    return store
+
+
+def _glob_parquet(root):
+    from glob import glob
+    import os
+
+    return sorted(
+        p
+        for p in glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        if "_delta_log" not in p and os.sep + "metadata" + os.sep not in p
+    )
+
+
+def test_iceberg_append_retry_reuses_staged_files(spark, tmp_path):
+    """A losing appender retries the claim with ZERO new data files: the
+    staged files are committed as-is at the advanced version."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(0,)], "id long"), root)
+
+    store = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame([(1,)], "id long"), root, mode="append"
+        )
+    )
+    before = set(_glob_parquet(root))
+    out = write_iceberg(
+        spark.createDataFrame([(2,)], "id long"), root, mode="append",
+        store=store,
+    )
+    assert out is not None and out["metadata_version"] >= 3
+    after = set(_glob_parquet(root))
+    # exactly the concurrent winner's file(s) + OUR ONE staged set — the
+    # retry wrote no new data file
+    assert len(after - before) == 2
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [0, 1, 2]
+
+
+def test_iceberg_create_race_retry(spark, tmp_path):
+    """Losing a same-schema CREATE race retries as an append onto the
+    winner's table; a different-schema winner aborts typed."""
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    root = str(tmp_path / "t")
+    store = _conflicting_store(
+        lambda: write_iceberg(spark.createDataFrame([(1,)], "id long"), root)
+    )
+    write_iceberg(
+        spark.createDataFrame([(2,)], "id long"), root, store=store
+    )
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [1, 2]
+
+    root2 = str(tmp_path / "t2")
+    store2 = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame([("x",)], "name string"), root2
+        )
+    )
+    with pytest.raises(BuzzCommitAbortedError):
+        write_iceberg(
+            spark.createDataFrame([(2,)], "id long"), root2, store=store2
+        )
+
+
+def test_iceberg_merge_retry_commutes(spark, tmp_path):
+    """A merge losing its claim to a concurrent append retries at a higher
+    sequence number — its equality deletes still cover the pre-existing
+    rows, and the concurrent append's keys are upserted too (last-wins)."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg, write_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"), root
+    )
+    store = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame([(3, 30)], "id long, v long"),
+            root, mode="append",
+        )
+    )
+    before = set(_glob_parquet(root))
+    out = merge_iceberg(
+        spark, root,
+        spark.createDataFrame(
+            [(2, 200), (4, 400)], "id long, v long"
+        ).coalesce(1),
+        key_cols=["id"], store=store,
+    )
+    assert out is not None
+    # winner's 1 data file + our staged data file + our staged key file
+    assert len(set(_glob_parquet(root)) - before) == 3
+    got = {
+        (r.id, r.v)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert got == {(1, 10), (2, 200), (3, 30), (4, 400)}
+
+
+def test_iceberg_delete_retry_vs_append_and_abort_vs_rewrite(spark, tmp_path):
+    """delete_iceberg retries through a concurrent APPEND (matched files
+    untouched), but a concurrent REWRITE of a matched file is the typed
+    non-retryable abort — committing by-position deletes against a dead
+    file would silently resurrect rows."""
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    store = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame([(3, "c")], "id long, v string"),
+            root, mode="append",
+        )
+    )
+    out = delete_iceberg(spark, root, "id = 1", store=store)
+    assert out is not None and out["deleted_rows"] == 1
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [2, 3]
+
+    store2 = _conflicting_store(lambda: rewrite_iceberg(spark, root))
+    with pytest.raises(BuzzCommitAbortedError):
+        delete_iceberg(spark, root, "id = 2", store=store2)
+    # the table is unharmed and the delete works when re-run
+    assert delete_iceberg(spark, root, "id = 2")["deleted_rows"] == 1
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [3]
+
+
+def test_iceberg_rewrite_aborts_on_concurrent_append(spark, tmp_path):
+    """A compaction losing its race to ANY data commit must abort — a
+    replace built from the old snapshot would drop the concurrent rows."""
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(1,)], "id long"), root)
+    write_iceberg(
+        spark.createDataFrame([(2,)], "id long"), root, mode="append"
+    )
+    store = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame([(9,)], "id long"), root, mode="append"
+        )
+    )
+    with pytest.raises(BuzzCommitAbortedError):
+        rewrite_iceberg(spark, root, store=store)
+    # nothing lost: all three rows live; a clean rewrite then compacts
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [1, 2, 9]
+    assert rewrite_iceberg(spark, root) is not None
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [1, 2, 9]
+
+
+def test_delta_append_retry_reuses_staged_files(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import write_delta
+
+    root = str(tmp_path / "t")
+    n0 = len(_glob_parquet(root))
+    write_delta(spark.createDataFrame([(0,)], "id long"), root)
+    per_write = len(_glob_parquet(root)) - n0  # files one append stages
+    store = _conflicting_store(
+        lambda: write_delta(spark.createDataFrame([(1,)], "id long"), root)
+    )
+    before = set(_glob_parquet(root))
+    v = write_delta(
+        spark.createDataFrame([(2,)], "id long"), root, store=store
+    )
+    assert v == 2  # v1 went to the concurrent winner
+    # winner's stage + OUR one stage — the retry wrote no new data file
+    assert len(set(_glob_parquet(root)) - before) == 2 * per_write
+    rows = sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [0, 1, 2]
+
+
+def test_delta_create_race_retry_and_abort(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import write_delta
+
+    root = str(tmp_path / "t")
+    store = _conflicting_store(
+        lambda: write_delta(spark.createDataFrame([(1,)], "id long"), root)
+    )
+    assert write_delta(
+        spark.createDataFrame([(2,)], "id long"), root, store=store
+    ) == 1
+    rows = sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [1, 2]
+
+    root2 = str(tmp_path / "t2")
+    store2 = _conflicting_store(
+        lambda: write_delta(
+            spark.createDataFrame([("x",)], "name string"), root2
+        )
+    )
+    with pytest.raises(BuzzCommitAbortedError):
+        write_delta(
+            spark.createDataFrame([(2,)], "id long"), root2, store=store2
+        )
+
+
+def test_delta_delete_retry_vs_append_and_abort_vs_optimize(spark, tmp_path):
+    """delete_delta (cow) retries through a concurrent append; a concurrent
+    OPTIMIZE that rewrote the matched file is the typed abort."""
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        optimize_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1,), (2,)], "id long"), root)
+    store = _conflicting_store(
+        lambda: write_delta(
+            spark.createDataFrame([(3,)], "id long"), root
+        )
+    )
+    assert delete_delta(spark, root, "id = 1", store=store) is not None
+    rows = sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [2, 3]
+
+    # two small files → optimize compacts them → the delete's matched file
+    # is gone from the live set → abort
+    store2 = _conflicting_store(
+        lambda: optimize_delta(spark, root, target_file_bytes=1 << 20)
+    )
+    with pytest.raises(BuzzCommitAbortedError):
+        delete_delta(spark, root, "id = 2", store=store2)
+    rows = sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [2, 3]
+    assert delete_delta(spark, root, "id = 2") is not None
+    rows = sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [3]
+
+
+def test_delta_dv_delete_abort_on_concurrent_dv_change(spark, tmp_path):
+    """Two DV deletes racing on the SAME file: the loser's bitmap was
+    unioned from the old vector, so committing it would drop the winner's
+    deletes — typed abort, then a re-run sees the fresh vector."""
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import delete_delta, write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1),
+        root,
+    )
+    store = _conflicting_store(
+        lambda: delete_delta(spark, root, "id = 0", mode="dv")
+    )
+    with pytest.raises(BuzzCommitAbortedError):
+        delete_delta(spark, root, "id = 1", mode="dv", store=store)
+    assert delete_delta(spark, root, "id = 1", mode="dv") is not None
+    rows = sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [2, 3, 4, 5]
+
+
+def test_delta_merge_retry_vs_append(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import merge_delta, write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    store = _conflicting_store(
+        lambda: write_delta(
+            spark.createDataFrame([(3, "c")], "id long, v string"), root
+        )
+    )
+    assert merge_delta(
+        spark, root,
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string"),
+        on=["id"], store=store,
+    ) is not None
+    got = {
+        (r.id, r.v)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_retry_exhaustion_propagates_conflict(spark, tmp_path):
+    """With max_commit_retries=0 a lost race surfaces the RETRYABLE
+    conflict unchanged (the legacy contract the racing tests above pin)."""
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(0,)], "id long"), root)
+    store = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame([(1,)], "id long"), root, mode="append"
+        )
+    )
+    with pytest.raises(BuzzCommitConflictError):
+        write_iceberg(
+            spark.createDataFrame([(2,)], "id long"), root, mode="append",
+            store=store, max_commit_retries=0,
+        )

@@ -11,8 +11,16 @@ Reference parity map:
 from .logstore import LogStore, register_scheme, unregister_scheme
 from .manifest import CatalogFile, manifest_df, prune_manifest
 from .static_catalog import StaticCatalog
-from .delta_catalog import DeltaCatalog, read_delta_changes
-from .iceberg import IcebergCatalog, read_iceberg_changes
+from .delta_catalog import (
+    DeltaCatalog,
+    read_delta_changelog,
+    read_delta_changes,
+)
+from .iceberg import (
+    IcebergCatalog,
+    read_iceberg_changelog,
+    read_iceberg_changes,
+)
 from .iceberg_writer import (
     delete_iceberg,
     evolve_iceberg,
@@ -49,7 +57,9 @@ __all__ = [
     "StaticCatalog",
     "DeltaCatalog",
     "IcebergCatalog",
+    "read_delta_changelog",
     "read_delta_changes",
+    "read_iceberg_changelog",
     "read_iceberg_changes",
     "write_iceberg",
     "merge_iceberg",

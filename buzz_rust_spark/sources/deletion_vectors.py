@@ -387,7 +387,12 @@ def build_dvs_distributed(
 
 
 def filter_deleted_rows(
-    scan, deleted, spark, broadcast_max: int = 2_000_000, drop_path: bool = True
+    scan,
+    deleted,
+    spark,
+    broadcast_max: int = 2_000_000,
+    drop_path: bool = True,
+    how: str = "left_anti",
 ):
     """Drop rows of a ``_metadata``-carrying scan whose (file path, row
     index) appears in ``deleted`` — the distributed half of DV application.
@@ -405,7 +410,9 @@ def filter_deleted_rows(
     8 GB broadcast OOM would be a worse failure than one shuffle of the
     filter relation.  Rows from files WITHOUT a DV get a null id, which an
     anti-join never matches.  ``drop_path=False`` keeps the normalized
-    ``__path`` column for callers that join more per-file metadata on."""
+    ``__path`` column for callers that join more per-file metadata on.
+    ``how="left_semi"`` flips the filter to KEEP exactly the listed rows —
+    the changelog's "rows at these positions" read."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
 
@@ -429,7 +436,7 @@ def filter_deleted_rows(
         .drop("__rawpath")
         .join(files_df, on="__path", how="left")
     )
-    out = scan.join(del_df, on=["__fid", "__ridx"], how="left_anti").drop(
+    out = scan.join(del_df, on=["__fid", "__ridx"], how=how).drop(
         "__fid", "__ridx"
     )
     return out.drop("__path") if drop_path else out

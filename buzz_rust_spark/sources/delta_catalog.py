@@ -706,3 +706,269 @@ def read_delta_changes(
         df = spark.createDataFrame([], empty)
         return df.withColumn("_commit_version", F.lit(None).cast("long"))
     return out
+
+
+def read_delta_changelog(
+    spark: SparkSession,
+    table_uri: str,
+    from_version: int,
+    to_version: int | None = None,
+    region: str | None = None,
+) -> DataFrame:
+    """CDC changelog of commits ``(from_version, to_version]``: the data
+    columns (plus partition columns as strings) and ``_change_type`` ∈
+    {``insert``, ``delete``} — the retraction-carrying variant of
+    :func:`read_delta_changes` (which stays appends-only for
+    compatibility), mirroring Delta CDF's semantics for commits without
+    explicit CDC files.
+
+    Contract (MULTISET semantics): for a materialized copy ``M`` of the
+    from-version snapshot, ``M ∪ inserts ∖ deletes`` is exactly the
+    to-version snapshot — order-free application via ``unionAll`` +
+    ``exceptAll``.
+
+    Construction is the NET per-file diff between the live states at
+    ``from_version`` and ``to_version`` (O(changed files), zero
+    amplification — a cow rewrite's surviving rows cancel out instead of
+    surfacing as delete+insert pairs):
+
+    - files live at ``to`` but not at ``from`` → their LOGICAL rows (own
+      DV applied) are inserts;
+    - files live at ``from`` but not at ``to`` → their logical rows AT
+      ``from`` (from-DV applied) are deletes — cow DELETE/MERGE removes,
+      truncating overwrites, all expressible;
+    - files live at both with a CHANGED deletion vector → rows at the
+      newly-deleted positions are deletes (and rows at un-deleted
+      positions inserts, were a writer ever to shrink a DV).
+    - a range containing ONLY layout commits (OPTIMIZE,
+      ``dataChange=False``) nets to equal content: the rewritten files
+      surface as cancelling delete+insert pairs (multiset-exact, though
+      not minimal) — per-commit dataChange classification cannot be
+      skipped in a net-state diff without losing later commits' file
+      references.
+
+    Deleted rows are read from the removed files, which stay on disk
+    inside the vacuum retention window — same availability contract as
+    Delta CDF itself.  The full JSON history through ``to_version`` must
+    be present (the net diff replays live states; checkpoint
+    reconstruction is not implemented for the changelog) — a cleaned log
+    is a typed error, re-bootstrap from a full snapshot."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from .deletion_vectors import filter_deleted_rows, read_dv_positions
+    from .uris import normalized_key
+
+    store = LogStore(table_uri, region=region)
+    if not store.isdir(_LOG):
+        raise BuzzExecutionError(f"not a Delta table: {table_uri!r}")
+    commits = _commit_versions(store)
+    if not commits:
+        raise BuzzExecutionError(f"not a Delta table: {table_uri!r}")
+    latest = commits[-1][0]
+    to_version = latest if to_version is None else to_version
+    if to_version > latest:
+        raise BuzzExecutionError(
+            f"Delta table {table_uri!r} has no version {to_version}"
+            f" (latest: {latest})"
+        )
+    if from_version > latest:
+        raise BuzzExecutionError(
+            f"from_version {from_version} is beyond Delta table "
+            f"{table_uri!r}'s latest commit {latest}"
+        )
+    have = {v for v, _ in commits if v <= to_version}
+    missing = sorted(set(range(0, to_version + 1)) - have)
+    if missing:
+        raise BuzzExecutionError(
+            f"Delta log at {table_uri!r} is missing commit(s) "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} below the "
+            f"change window's to_version {to_version} — the changelog "
+            "replays full live states and checkpoint reconstruction is "
+            "not implemented; re-bootstrap from a full snapshot"
+        )
+
+    meta: dict = {}
+    live: dict[str, dict] = {}
+    base: dict[str, dict] = {} if from_version < 0 else None
+    for version, rel in commits:
+        if version > to_version:
+            break
+        actions = _read_actions(store, rel)
+        adds = []
+        for action in actions:
+            if "protocol" in action:
+                _check_protocol(action, table_uri)
+            elif "metaData" in action:
+                meta.update(action["metaData"])
+            elif "add" in action:
+                adds.append(action["add"])
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+        # removes before adds within a commit, mirroring _replay_actions
+        for add in adds:
+            live[add["path"]] = add
+        if version == from_version:
+            base = dict(live)
+    if base is None:
+        raise BuzzExecutionError(
+            f"from_version {from_version} not found in the Delta log at "
+            f"{table_uri!r}"
+        )
+    if not meta:
+        raise BuzzExecutionError(
+            f"Delta log at {table_uri!r} contains no metaData action"
+        )
+
+    # --- net per-file diff ---
+    def _dv(entry: dict) -> dict:
+        return (
+            entry.get("deletionVector")
+            if (entry.get("deletionVector") or {}).get("storageType")
+            else None
+        ) or {}
+
+    ins_files = {p: a for p, a in live.items() if p not in base}
+    del_files = {p: a for p, a in base.items() if p not in live}
+    # files live at both ends with a changed DV: positions newly deleted →
+    # delete rows; positions un-deleted → insert rows (defensive: no known
+    # writer shrinks a DV, but the diff expresses it exactly)
+    dv_del: list[tuple[str, int]] = []  # (path, pos) to emit as deletes
+    dv_ins: list[tuple[str, int]] = []
+    for p in set(base) & set(live):
+        bdv, cdv = _dv(base[p]), _dv(live[p])
+        if bdv == cdv:
+            continue
+        bpos = set(read_dv_positions(store, bdv)) if bdv else set()
+        cpos = set(read_dv_positions(store, cdv)) if cdv else set()
+        dv_del.extend((p, pos) for pos in sorted(cpos - bpos))
+        dv_ins.extend((p, pos) for pos in sorted(bpos - cpos))
+
+    # --- schema machinery (same translation as read_delta_changes) ---
+    full = StructType.fromJson(json.loads(meta["schemaString"]))
+    partition_cols = list(meta.get("partitionColumns", []))
+    cm_mode, phys_all = _mapping_info(meta, table_uri)
+    phys = phys_all if cm_mode == "name" else {}
+    data_fields = [f for f in full.fields if f.name not in partition_cols]
+    logical_data_cols = [f.name for f in data_fields]
+    if cm_mode == "id":
+        data_schema = _field_id_schema(meta, data_fields, table_uri)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    else:
+        data_schema = StructType(
+            [
+                StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
+    from pyspark.sql.types import StringType
+
+    empty = StructType(
+        list(data_fields)
+        + [StructField(c, StringType(), True) for c in partition_cols]
+        + [StructField("_change_type", StringType(), False)]
+    )
+
+    def _entries_scan(
+        entries: dict[str, dict], coords: list[tuple[str, int]]
+    ) -> DataFrame | None:
+        """Logical rows of ``entries`` (each file's DV applied as an
+        anti-filter) unioned with the rows AT ``coords`` (a (path, pos)
+        semi-filter over those files) — one scan per group, partition
+        values re-attached from the log via a broadcast manifest join."""
+        files = dict(entries)
+        coord_paths = {p for p, _ in coords}
+        parts_out = []
+        if files:
+            anti = [
+                (normalized_key(store.spark_path(p)), int(pos))
+                for p, a in files.items()
+                if _dv(a)
+                for pos in read_dv_positions(store, _dv(a))
+            ]
+            scan = spark.read.schema(data_schema).parquet(
+                *[store.spark_path(p) for p in files]
+            ).select(
+                "*",
+                F.col("_metadata.file_path").alias("__rawpath"),
+                F.col("_metadata.row_index").alias("__ridx"),
+            )
+            if anti:
+                scan = filter_deleted_rows(
+                    scan, anti, spark, drop_path=False
+                )
+            else:
+                from .uris import normalized_path_col
+
+                scan = scan.withColumn(
+                    "__path", normalized_path_col(F.col("__rawpath"))
+                ).drop("__rawpath")
+            parts_out.append(scan.drop("__ridx"))
+        if coords:
+            cscan = spark.read.schema(data_schema).parquet(
+                *sorted({store.spark_path(p) for p in coord_paths})
+            ).select(
+                "*",
+                F.col("_metadata.file_path").alias("__rawpath"),
+                F.col("_metadata.row_index").alias("__ridx"),
+            )
+            sel = [
+                (normalized_key(store.spark_path(p)), int(pos))
+                for p, pos in coords
+            ]
+            cscan = filter_deleted_rows(
+                cscan, sel, spark, drop_path=False, how="left_semi"
+            )
+            parts_out.append(cscan.drop("__ridx"))
+        if not parts_out:
+            return None
+        from functools import reduce
+
+        out = reduce(DataFrame.unionByName, parts_out)
+        # partition values from the log (physical keys), as strings —
+        # exactly how StaticCatalog attaches them on the snapshot path
+        all_entries = dict(files)
+        all_entries.update(
+            {p: (base.get(p) or live.get(p)) for p in coord_paths}
+        )
+        manifest = spark.createDataFrame(
+            [
+                (normalized_key(store.spark_path(p)),)
+                + tuple(
+                    (lambda v: None if v is None else str(v))(
+                        (a.get("partitionValues") or {}).get(
+                            phys_all.get(c, c)
+                        )
+                    )
+                    for c in partition_cols
+                )
+                for p, a in all_entries.items()
+            ],
+            StructType(
+                [StructField("__path", StringType(), False)]
+                + [
+                    StructField(c, StringType(), True)
+                    for c in partition_cols
+                ]
+            ),
+        )
+        out = out.join(broadcast(manifest), on="__path", how="left")
+        return out.select(
+            *[
+                F.col(phys.get(n, n)).alias(n)
+                for n in logical_data_cols
+            ],
+            *[F.col(c) for c in partition_cols],
+        )
+
+    inserts = _entries_scan(ins_files, dv_ins)
+    deletes = _entries_scan(del_files, dv_del)
+    out = None
+    if inserts is not None:
+        out = inserts.withColumn("_change_type", F.lit("insert"))
+    if deletes is not None:
+        d = deletes.withColumn("_change_type", F.lit("delete"))
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        return spark.createDataFrame([], empty)
+    return out

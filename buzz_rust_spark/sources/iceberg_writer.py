@@ -1638,19 +1638,20 @@ def delete_iceberg(
     the better trade than accumulating giant MOR delete files, and the
     typed error says so.
 
-    Boundaries: tables with existing EQUALITY deletes are refused (their
-    sequence-number scoping against a fresh predicate scan is not
-    implemented), as are ORC data files (no ``_metadata.row_index``).  The
-    delete manifest is committed under the table's UNPARTITIONED spec —
-    the spec's GLOBAL-delete form (position deletes apply by file path);
+    Tables with existing EQUALITY deletes (CDC tables built by
+    ``merge_iceberg``) are supported: the predicate evaluates against the
+    MOR-resolved scan, so matched rows are live by construction and the
+    emitted position deletes compose with the equality deletes' sequence
+    scoping.  Boundaries: ORC data files (no ``_metadata.row_index``) and
+    evolved tables with equality deletes (reader refusal).  The delete
+    manifest is committed under the table's UNPARTITIONED spec — the
+    spec's GLOBAL-delete form (position deletes apply by file path);
     partition-scoped delete manifests are an optimization this writer
     does not yet emit."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from .iceberg import IcebergCatalog
-    from .uris import normalized_path_col
 
     root = _local_table_dir(table_uri)
     version, meta = _load_v2_meta(root, table_uri)
@@ -1664,42 +1665,25 @@ def delete_iceberg(
             "iceberg position deletes over ORC data files are not "
             "supported (no _metadata.row_index for ORC scans)"
         )
-    if any(d["kind"] == "eq" for d in plan["deletes"]):
+    eq_prior = [d for d in plan["deletes"] if d["kind"] == "eq"]
+    pos_prior = [d for d in plan["deletes"] if d["kind"] == "pos"]
+    if eq_prior and cat._evolved:
         raise BuzzExecutionError(
-            "delete_iceberg over a table with existing EQUALITY deletes is "
-            "not supported (sequence scoping a fresh predicate against "
-            "them is not implemented) — rewrite the table first"
+            "delete_iceberg over a schema-evolved (renamed-column) table "
+            "with equality deletes is not supported — same refusal as the "
+            "snapshot read path"
         )
-
     if cat._evolved:
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    scan = (
-        spark.read.schema(cat._scan_schema)
-        .parquet(*[f.key for f in files])
-        .select(
-            "*",
-            normalized_path_col(F.col("_metadata.file_path")).alias("__path"),
-            F.col("_metadata.row_index").alias("__ridx"),
-        )
+    # The predicate evaluates against the MOR-RESOLVED scan (position AND
+    # equality deletes applied with the reader's sequence scoping), so a
+    # CDC table (merge_iceberg history) takes predicate DELETEs directly:
+    # every matched row is LIVE by construction, and the emitted position
+    # deletes — committed at a sequence number above every existing one —
+    # compose soundly with the equality deletes already in the table.
+    scan = cat._mor_scan(
+        spark, files, [], pos_prior, eq_prior, plan, keep_coords=True
     )
-    prior = [d for d in plan["deletes"] if d["kind"] == "pos"]
-    if prior:
-        mapping = spark.createDataFrame(
-            sorted(set(plan["pairs"])), "file_path string, __path string"
-        )
-        del_schema = StructType(
-            [
-                StructField("file_path", StringType(), False),
-                StructField("pos", LongType(), False),
-            ]
-        )
-        del_df = (
-            spark.read.schema(del_schema)
-            .parquet(*[d["uri"] for d in prior])
-            .join(broadcast(mapping), on="file_path")
-            .select("__path", F.col("pos").alias("__ridx"))
-        )
-        scan = scan.join(del_df, on=["__path", "__ridx"], how="left_anti")
 
     # normalized scan path → the manifest-RECORDED file path (delete files
     # must reference paths exactly as the manifests spell them); broadcast

@@ -1389,3 +1389,123 @@ def test_delta_evolve_drop_column(spark, tmp_path):
                 partition_by=["par"])
     with pytest.raises(BuzzBadRequestError, match="partition column"):
         evolve_delta(p, drop_columns=["par"])
+
+
+# --- CDC changelog (retractions) ---------------------------------------------
+
+
+def _apply_changelog(from_df, cl):
+    ins = cl.where("_change_type = 'insert'").drop("_change_type")
+    dels = cl.where("_change_type = 'delete'").drop("_change_type")
+    return from_df.unionAll(ins).exceptAll(dels)
+
+
+def _frames_equal(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_delta_changelog_append_merge_delete_dv(spark, tmp_path):
+    """Oracle-style reconciliation across append → cow merge → cow delete
+    → DV delete → optimize: applying the changelog to the from-version
+    snapshot reaches exactly the to-version content, with NET output (the
+    cow rewrite's survivors cancel instead of surfacing)."""
+    from buzz_rust_spark.sources.delta_catalog import (
+        DeltaCatalog,
+        read_delta_changelog,
+    )
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        root,
+    )  # v0
+    write_delta(
+        spark.createDataFrame([(4, "d")], "id long, v string"), root
+    )  # v1
+    merge_delta(
+        spark, root,
+        spark.createDataFrame([(2, "B"), (5, "e")], "id long, v string"),
+        on=["id"],
+    )  # v2: cow rewrite retracts (2,'b')
+    delete_delta(spark, root, "id = 3")  # v3: cow delete of pre-range row
+    delete_delta(spark, root, "id = 1", mode="dv")  # v4: DV delete
+
+    cl = read_delta_changelog(spark, root, 0)
+    got = sorted((r.id, r.v, r._change_type) for r in cl.collect())
+    assert got == [
+        (1, "a", "delete"), (2, "B", "insert"), (2, "b", "delete"),
+        (3, "c", "delete"), (4, "d", "insert"), (5, "e", "insert"),
+    ]
+    from_df = DeltaCatalog("t", root, version=0).to_dataframe(spark)
+    to_df = DeltaCatalog("t", root).to_dataframe(spark)
+    assert _frames_equal(_apply_changelog(from_df, cl), to_df)
+
+    # with an optimize in range, reconciliation stays exact (rewritten
+    # files cancel as delete+insert pairs)
+    v = optimize_delta(spark, root, target_file_bytes=1 << 20)
+    if v is not None:
+        cl2 = read_delta_changelog(spark, root, 0)
+        assert _frames_equal(
+            _apply_changelog(from_df, cl2),
+            DeltaCatalog("t", root).to_dataframe(spark),
+        )
+
+
+def test_delta_changelog_overwrite_and_partitions(spark, tmp_path):
+    """Truncating overwrites (refused by the appends feed) are expressible
+    as retractions; partition columns re-attach from the log."""
+    from buzz_rust_spark.sources.delta_catalog import (
+        DeltaCatalog,
+        read_delta_changelog,
+    )
+    from buzz_rust_spark.sources.delta_writer import write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "p0"), (2, "p1")], "id long, par string"
+        ),
+        root, partition_by=["par"],
+    )  # v0
+    write_delta(
+        spark.createDataFrame([(9, "p1")], "id long, par string"),
+        root, mode="overwrite", partition_by=["par"],
+    )  # v1: truncating overwrite
+    cl = read_delta_changelog(spark, root, 0)
+    assert sorted((r.id, r.par, r._change_type) for r in cl.collect()) == [
+        (1, "p0", "delete"), (2, "p1", "delete"), (9, "p1", "insert"),
+    ]
+    from_df = DeltaCatalog("t", root, version=0).to_dataframe(spark)
+    to_df = DeltaCatalog("t", root).to_dataframe(spark)
+    assert _frames_equal(_apply_changelog(from_df, cl), to_df)
+
+
+def test_delta_changelog_window_validation(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzExecutionError
+    from buzz_rust_spark.sources.delta_catalog import read_delta_changelog
+    from buzz_rust_spark.sources.delta_writer import write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1,)], "id long"), root)
+    with pytest.raises(BuzzExecutionError, match="beyond"):
+        read_delta_changelog(spark, root, 5)
+    with pytest.raises(BuzzExecutionError, match="no version"):
+        read_delta_changelog(spark, root, 0, to_version=7)
+    # empty window: no rows, stable schema with _change_type
+    cl = read_delta_changelog(spark, root, 0, to_version=0)
+    assert cl.count() == 0 and cl.columns[-1] == "_change_type"
+    # cleaned history below the window is a typed refusal (the net diff
+    # replays full live states)
+    write_delta(spark.createDataFrame([(2,)], "id long"), root)  # v1
+    write_delta(spark.createDataFrame([(3,)], "id long"), root)  # v2
+    os.unlink(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(BuzzExecutionError, match="missing commit"):
+        read_delta_changelog(spark, root, 1)

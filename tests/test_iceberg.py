@@ -1735,3 +1735,122 @@ def test_idless_file_without_mapping_fails_loudly(spark, tmp_path):
     _add_idless_file(root, "name_old", [7], ["delta"], properties=None)
     with pytest.raises(Exception):
         IcebergCatalog("t", root).to_dataframe(spark).collect()
+
+
+# --- CDC changelog (retractions) ---------------------------------------------
+
+
+def _apply_changelog(from_df, cl):
+    ins = cl.where("_change_type = 'insert'").drop("_change_type")
+    dels = cl.where("_change_type = 'delete'").drop("_change_type")
+    return from_df.unionAll(ins).exceptAll(dels)
+
+
+def _frames_equal(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_iceberg_changelog_append_merge_delete(spark, tmp_path):
+    """Oracle-style reconciliation: applying the changelog (multiset
+    union/except) to a materialized from-snapshot copy reaches EXACTLY the
+    to-snapshot content, across append → delete → merge history, including
+    retractions of pre-range rows (the gap the appends feed documents)."""
+    from buzz_rust_spark.sources.iceberg import read_iceberg_changelog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        root,
+    )
+    cat = IcebergCatalog("t", root)
+    from_snap = cat.history()[-1]["snapshot_id"]
+    write_iceberg(
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        root, mode="append",
+    )
+    delete_iceberg(spark, root, "id = 3")  # pos-delete of a PRE-range row
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(2, "B"), (5, "e")], "id long, v string"),
+        key_cols=["id"],
+    )  # eq-delete retracts pre-range (2,'b'); upserts
+
+    cl = read_iceberg_changelog(spark, root, from_snap)
+    got = sorted(
+        (r.id, r.v, r._change_type) for r in cl.collect()
+    )
+    assert got == [
+        (2, "B", "insert"), (2, "b", "delete"), (3, "c", "delete"),
+        (4, "d", "insert"), (5, "e", "insert"),
+    ]
+    from_df = IcebergCatalog(
+        "t", root, snapshot_id=from_snap
+    ).to_dataframe(spark)
+    to_df = IcebergCatalog("t", root).to_dataframe(spark)
+    assert _frames_equal(_apply_changelog(from_df, cl), to_df)
+
+
+def test_iceberg_changelog_delete_only_and_empty_window(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg import read_iceberg_changelog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1,), (2,)], "id long"), root
+    )
+    from_snap = IcebergCatalog("t", root).history()[-1]["snapshot_id"]
+    # empty window: no rows, stable schema
+    cl0 = read_iceberg_changelog(spark, root, from_snap)
+    assert cl0.count() == 0 and cl0.columns == ["id", "_change_type"]
+    # delete-only window: pure retractions (the appends feed shows nothing)
+    delete_iceberg(spark, root, "id = 1")
+    cl = read_iceberg_changelog(spark, root, from_snap)
+    assert [(r.id, r._change_type) for r in cl.collect()] == [(1, "delete")]
+    from_df = IcebergCatalog(
+        "t", root, snapshot_id=from_snap
+    ).to_dataframe(spark)
+    to_df = IcebergCatalog("t", root).to_dataframe(spark)
+    assert _frames_equal(_apply_changelog(from_df, cl), to_df)
+
+
+def test_iceberg_changelog_dedups_multi_hit_rows(spark, tmp_path):
+    """A row matched by BOTH an in-range pos delete and an in-range eq
+    delete retracts exactly once (coordinate dedup) — a double retraction
+    would break the multiset contract."""
+    from buzz_rust_spark.sources.iceberg import read_iceberg_changelog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"), root
+    )
+    from_snap = IcebergCatalog("t", root).history()[-1]["snapshot_id"]
+    delete_iceberg(spark, root, "id = 1")  # pos delete hits (1, 10)
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(1, 100)], "id long, v long"),
+        key_cols=["id"],
+    )  # eq delete ALSO covers key 1 (the from-row)
+    cl = read_iceberg_changelog(spark, root, from_snap)
+    assert sorted((r.id, r.v, r._change_type) for r in cl.collect()) == [
+        (1, 10, "delete"), (1, 100, "insert"),
+    ]
+    from_df = IcebergCatalog(
+        "t", root, snapshot_id=from_snap
+    ).to_dataframe(spark)
+    to_df = IcebergCatalog("t", root).to_dataframe(spark)
+    assert _frames_equal(_apply_changelog(from_df, cl), to_df)

@@ -1409,3 +1409,55 @@ def test_set_iceberg_properties_enables_retention(spark, tmp_path):
     assert sorted(
         r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
     ) == [0, 1, 2, 3, 4, 9]
+
+
+def test_delete_over_equality_delete_table(spark, tmp_path):
+    """Predicate DELETE over a CDC table (merge_iceberg history with
+    equality deletes): the predicate evaluates against the MOR-resolved
+    scan, the read-back matches a relational recompute, and a re-insert
+    after the delete survives (sequence scoping stays sound)."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(i, 0) for i in range(5)], "id long, v long"),
+        root,
+    )
+    # N upsert commits — relational model: dict update per commit
+    state = {i: 0 for i in range(5)}
+    for c in range(1, 8):
+        k = c % 5
+        merge_iceberg(
+            spark, root,
+            spark.createDataFrame([(k, c * 10)], "id long, v long"),
+            key_cols=["id"],
+        )
+        state[k] = c * 10
+    out = delete_iceberg(spark, root, "v >= 30")
+    expect = {k: v for k, v in state.items() if v < 30}
+    assert out is not None and out["deleted_rows"] == 5 - len(expect)
+    got = sorted(
+        (r.id, r.v)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == sorted(expect.items())
+    # a deleted key re-inserted by a later merge survives
+    gone = next(k for k in state if k not in expect)
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(gone, 999)], "id long, v long"),
+        key_cols=["id"],
+    )
+    expect[gone] = 999
+    got = sorted(
+        (r.id, r.v)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == sorted(expect.items())
+    # and a second delete that only matches already-deleted rows is a no-op
+    assert delete_iceberg(spark, root, "v >= 30 AND v < 999") is None

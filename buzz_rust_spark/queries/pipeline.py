@@ -2569,3 +2569,301 @@ def z32_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "z33_iceberg_changelog",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 80
+),
+base AS (SELECT * FROM docs WHERE doc_id % 4 = 0),
+appended AS (SELECT * FROM docs WHERE doc_id % 4 = 1),
+upd AS (SELECT doc_id, source, 'v2 ' || text AS text
+        FROM base WHERE doc_id % 3 = 0),
+ins2 AS (SELECT doc_id + 10000000 AS doc_id, source, text
+         FROM docs WHERE doc_id % 4 = 2),
+-- retractions of PRE-range rows: the in-range position delete
+-- (doc_id % 8 = 0) and the merge's equality-delete keys (upd), deduped
+-- per physical row exactly like the changelog's coordinate dedup
+dels AS (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM base WHERE doc_id % 8 = 0
+    UNION ALL
+    SELECT b.* FROM base b JOIN upd u ON b.doc_id = u.doc_id
+  )
+),
+cl AS (
+  SELECT doc_id, source, text, 'delete' AS _change_type FROM dels
+  UNION ALL
+  SELECT doc_id, source, text, 'insert' FROM appended
+  UNION ALL
+  SELECT doc_id, source, text, 'insert' FROM upd
+  UNION ALL
+  SELECT doc_id, source, text, 'insert' FROM ins2
+)
+SELECT doc_id, source, CAST(length(text) AS BIGINT) AS text_len,
+       (text LIKE 'v2 %') AS is_v2, _change_type
+FROM cl ORDER BY doc_id, _change_type
+""",
+)
+def z33_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CDC changelog, oracle-checked: base write → append →
+    position DELETE → CDC merge; ``read_iceberg_changelog`` over (base,
+    merge] must emit exactly the net insert rows PLUS retraction (delete)
+    rows for the pre-range rows the in-range deletes killed — including
+    coordinate dedup for rows hit by both the position delete and the
+    merge's equality keys — which the oracle recomputes relationally."""
+    import tempfile
+
+    from ..sources.iceberg import read_iceberg_changelog
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(80)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z33_") + "/tbl"
+    s1 = write_iceberg(docs.where("doc_id % 4 = 0"), root)["snapshot_id"]
+    write_iceberg(docs.where("doc_id % 4 = 1"), root, mode="append")
+    delete_iceberg(spark, root, "doc_id % 8 = 0")
+    upd = docs.where("doc_id % 4 = 0 AND doc_id % 3 = 0").withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text"))
+    )
+    ins = docs.where("doc_id % 4 = 2").withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    merge_iceberg(spark, root, upd.unionByName(ins), ["doc_id"])
+
+    return (
+        read_iceberg_changelog(spark, root, s1)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+            F.col("text").startswith("v2 ").alias("is_v2"),
+            "_change_type",
+        )
+        .orderBy("doc_id", "_change_type")
+    )
+
+
+@register(
+    "z34_delta_changelog",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 80
+),
+base AS (SELECT * FROM docs WHERE doc_id % 4 = 0),
+appended AS (SELECT * FROM docs WHERE doc_id % 4 = 1),
+upd AS (SELECT doc_id, source, 'v2 ' || text AS text
+        FROM base WHERE doc_id % 3 = 0),
+from_state AS (SELECT * FROM base),
+to_state AS (
+  SELECT * FROM base
+  WHERE doc_id NOT IN (SELECT doc_id FROM upd) AND doc_id % 8 != 0
+  UNION ALL SELECT * FROM upd WHERE doc_id % 8 != 0
+  UNION ALL SELECT * FROM appended WHERE doc_id % 8 != 0
+),
+-- the NET effect per content group: +inserts -deletes; cow-rewrite
+-- survivor pairs cancel, so the changelog's net equals the state diff
+diff AS (
+  SELECT doc_id, (text LIKE 'v2 %') AS is_v2,
+         CAST(length(text) AS BIGINT) AS text_len, SUM(w) AS net
+  FROM (
+    SELECT *, CAST(1 AS BIGINT) AS w FROM to_state
+    UNION ALL
+    SELECT *, CAST(-1 AS BIGINT) FROM from_state
+  )
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, is_v2, text_len, net FROM diff WHERE net != 0
+ORDER BY doc_id, is_v2
+""",
+)
+def z34_delta_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CDC changelog, oracle-checked via the MULTISET contract: base
+    write → append → cow merge → cow delete; the changelog's net effect
+    per content group (+1 per insert, −1 per delete — cow rewrites'
+    surviving-row pairs cancel) must equal the relational from→to state
+    diff exactly."""
+    import tempfile
+
+    from ..sources.delta_catalog import read_delta_changelog
+    from ..sources.delta_writer import delete_delta, merge_delta, write_delta
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(80)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="delta_z34_") + "/tbl"
+    write_delta(docs.where("doc_id % 4 = 0"), root)  # v0 (from)
+    write_delta(docs.where("doc_id % 4 = 1"), root)  # v1 append
+    upd = docs.where("doc_id % 4 = 0 AND doc_id % 3 = 0").withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text"))
+    )
+    merge_delta(spark, root, upd, on=["doc_id"])  # v2 cow merge
+    delete_delta(spark, root, "doc_id % 8 = 0")  # v3 cow delete
+
+    cl = read_delta_changelog(spark, root, 0)
+    return (
+        cl.select(
+            "doc_id",
+            F.col("text").startswith("v2 ").alias("is_v2"),
+            F.length("text").cast("long").alias("text_len"),
+            F.when(F.col("_change_type") == "insert", F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("w"),
+        )
+        .groupBy("doc_id", "is_v2", "text_len")
+        .agg(F.sum("w").alias("net"))
+        .where(F.col("net") != 0)
+        .orderBy("doc_id", "is_v2")
+    )
+
+
+@register(
+    "z35_iceberg_delete_over_cdc",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 60
+),
+upd AS (SELECT doc_id, source, 'v2 ' || text AS text
+        FROM docs WHERE doc_id % 3 = 0),
+merged AS (
+  SELECT * FROM docs WHERE doc_id % 3 != 0
+  UNION ALL SELECT * FROM upd
+),
+final AS (SELECT * FROM merged WHERE NOT (length(text) < 150))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN text LIKE 'v2 %' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_v2
+FROM final GROUP BY source ORDER BY source
+""",
+)
+def z35_iceberg_delete_over_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE over a CDC (equality-delete) Iceberg table, oracle-
+    checked: a merge leaves equality deletes in the table, then
+    ``delete_iceberg`` evaluates its predicate against the MOR-resolved
+    scan and commits position deletes that compose with them — the final
+    read must equal the relational upsert-then-delete recompute."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z35_") + "/tbl"
+    write_iceberg(docs, root)
+    upd = docs.where("doc_id % 3 = 0").withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text"))
+    )
+    merge_iceberg(spark, root, upd, ["doc_id"])  # leaves equality deletes
+    delete_iceberg(spark, root, "length(text) < 150")
+
+    cat = IcebergCatalog("docs_cdc_del", root)
+    return (
+        cat.to_dataframe(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("text").startswith("v2 "), 1).otherwise(0)
+            ).cast("long").alias("n_v2"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "z36_iceberg_type_widening",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 60
+),
+narrow AS (
+  SELECT doc_id, source, CAST(length(text) AS INTEGER) AS text_len
+  FROM docs WHERE doc_id % 2 = 0
+),
+wide AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS BIGINT) + 4000000000 AS text_len
+  FROM docs WHERE doc_id % 2 = 1
+),
+unioned AS (
+  SELECT doc_id, source, CAST(text_len AS BIGINT) AS text_len FROM narrow
+  UNION ALL SELECT * FROM wide
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(text_len) AS BIGINT) AS sum_len,
+       MAX(text_len) AS max_len
+FROM unioned GROUP BY source ORDER BY source
+""",
+)
+def z36_iceberg_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution, oracle-checked: an int column is
+    promoted to long (metadata-only), a post-promotion append writes
+    values past int range, and the aggregate over old (narrow physical)
+    and new (wide) files must equal the relational recompute."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import evolve_iceberg, write_iceberg
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z36_") + "/tbl"
+    write_iceberg(
+        docs.where("doc_id % 2 = 0").select(
+            "doc_id", "source", F.length("text").cast("int").alias("text_len")
+        ),
+        root,
+    )
+    evolve_iceberg(root, promote_columns={"text_len": "long"})
+    write_iceberg(
+        docs.where("doc_id % 2 = 1").select(
+            "doc_id",
+            "source",
+            (F.length("text").cast("long") + F.lit(4_000_000_000)).alias(
+                "text_len"
+            ),
+        ),
+        root, mode="append",
+    )
+    cat = IcebergCatalog("docs_widened", root)
+    return (
+        cat.to_dataframe(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("text_len").alias("sum_len"),
+            F.max("text_len").alias("max_len"),
+        )
+        .orderBy("source")
+    )

@@ -67,7 +67,7 @@ def _read_actions(store: LogStore, rel: str) -> list[dict]:
 # logically-deleted rows, so an unimplemented feature stays a refusal).
 _MAX_READER_VERSION = 2
 _MAX_WRITER_VERSION = 2
-_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "typeWidening"}
 
 
 def _check_protocol(action: dict, table_uri: str) -> None:

@@ -47,7 +47,7 @@ PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # delete_delta(mode="dv") upgrades a table to DV_PROTOCOL, so the writer must
 # keep understanding its own upgrade — and refuse e.g. an appendOnly or
 # invariants table it would silently violate.
-SUPPORTED_WRITER_FEATURES = {"deletionVectors", "columnMapping"}
+SUPPORTED_WRITER_FEATURES = {"deletionVectors", "columnMapping", "typeWidening"}
 DV_PROTOCOL = {
     "minReaderVersion": 3,
     "minWriterVersion": 7,
@@ -1511,11 +1511,36 @@ _DELTA_ADDABLE = {
 }
 
 
+_DELTA_PROMOTABLE = {"integer": "long", "float": "double"}
+
+
+def _check_delta_promotion(cur, new, name: str) -> None:
+    """Typed refusal unless cur→new is a supported widening promotion
+    (the Iceberg-parity subset of Delta's typeWidening feature:
+    integer→long, float→double, decimal precision growth at fixed
+    scale)."""
+    if isinstance(cur, str) and _DELTA_PROMOTABLE.get(cur) == new:
+        return
+    import re as _re
+
+    mc = _re.fullmatch(r"decimal\((\d+),(\d+)\)", str(cur))
+    mn = _re.fullmatch(r"decimal\((\d+),(\d+)\)", str(new))
+    if mc and mn and mc.group(2) == mn.group(2) and int(mn.group(1)) > int(
+        mc.group(1)
+    ):
+        return
+    raise BuzzBadRequestError(
+        f"promote: {name!r} {cur!r} → {new!r} is not a supported widening "
+        "(integer→long, float→double, or decimal(p,s)→decimal(p+k,s))"
+    )
+
+
 def evolve_delta(
     table_uri: str,
     add_columns: dict[str, str] | None = None,
     rename_columns: dict[str, str] | None = None,
     drop_columns: list[str] | None = None,
+    promote_columns: dict[str, str] | None = None,
     store=None,
 ) -> int:
     """Metadata-only Delta schema evolution: ADD COLUMN (nullable; existing
@@ -1537,13 +1562,25 @@ def evolve_delta(
     physical names + field ids) and merge/delete/optimize rewrites are
     mapping-aware for ``mode=name`` (they read/write physical names);
     only tables already in ``columnMapping.mode=id`` refuse rewrites
-    (:func:`_require_unmapped`).  Returns the committed version."""
+    (:func:`_require_unmapped`).
+
+    ``promote_columns`` applies TYPE-WIDENING promotions (Delta's
+    typeWidening feature, the Iceberg-parity subset: integer→long,
+    float→double, decimal(p,s)→decimal(p+k,s)) — metadata-only: the
+    declared schema carries the widened type, readers pass it to the
+    parquet scan and old files' narrower values cast up (verified
+    empirically on this Spark).  The commit upgrades the protocol to
+    reader 3 / writer 7 with the ``typeWidening`` feature (carrying
+    existing features) and records the spec's ``delta.typeChanges``
+    field-metadata history.  Returns the committed version."""
     add_columns = dict(add_columns or {})
     rename_columns = dict(rename_columns or {})
     drop_columns = list(drop_columns or [])
-    if not add_columns and not rename_columns and not drop_columns:
+    promote_columns = dict(promote_columns or {})
+    if not (add_columns or rename_columns or drop_columns or promote_columns):
         raise BuzzBadRequestError(
-            "evolve_delta: nothing to do (no add/rename/drop columns)"
+            "evolve_delta: nothing to do (no add/rename/drop/promote "
+            "columns)"
         )
     if len(set(rename_columns.values())) != len(rename_columns):
         raise BuzzBadRequestError(
@@ -1603,8 +1640,47 @@ def evolve_delta(
         if len(fields) - len(drop_columns) < 1:
             raise BuzzBadRequestError("drop: cannot drop every column")
 
+    by_name = {f["name"]: f for f in fields}
+    for name, newtype in promote_columns.items():
+        if name not in by_name:
+            raise BuzzBadRequestError(
+                f"promote: column {name!r} not in the table schema"
+            )
+        if (
+            name in rename_columns
+            or name in rename_columns.values()
+            or name in add_columns
+            or name in drop_columns
+        ):
+            raise BuzzBadRequestError(
+                f"promote: column {name!r} also named in add/rename/drop — "
+                "one operation per column per commit"
+            )
+        if name in (meta.get("partitionColumns") or []):
+            raise BuzzBadRequestError(
+                f"promote: column {name!r} is a partition column — its "
+                "directory values were written with the narrow type"
+            )
+        _check_delta_promotion(by_name[name]["type"], newtype, name)
+
     actions: list[dict] = []
-    if (rename_columns or drop_columns) and mode == "none":
+    if promote_columns:
+        for name, newtype in promote_columns.items():
+            f = by_name[name]
+            md = dict(f.get("metadata") or {})
+            md["delta.typeChanges"] = list(md.get("delta.typeChanges") or []) + [
+                {
+                    "fromType": f["type"],
+                    "toType": newtype,
+                    "tableVersion": version,
+                }
+            ]
+            f["metadata"] = md
+            f["type"] = newtype
+        config["delta.enableTypeWidening"] = "true"
+
+    upgrading_mapping = (rename_columns or drop_columns) and mode == "none"
+    if upgrading_mapping:
         # upgrade: physicalName = current name, so existing data files and
         # the log's partitionValues keys keep resolving with zero rewrites
         for i, f in enumerate(fields, start=1):
@@ -1615,9 +1691,41 @@ def evolve_delta(
         config["delta.columnMapping.mode"] = "name"
         config["delta.columnMapping.maxColumnId"] = str(len(fields))
         mode = "name"
+
+    # protocol: emitted ONCE, merging every capability this commit needs
+    # with every capability the table already has.  typeWidening is
+    # reader-affecting (old readers would silently misread narrow physical
+    # values) so it forces reader 3 / writer 7; a lone mapping upgrade
+    # keeps Delta's legacy 2/5 form.
+    proto = _current_protocol(log_dir)
+    widening = bool(promote_columns) and "typeWidening" not in (
+        proto.get("readerFeatures") or []
+    )
+    if widening:
+        rfeats = {"typeWidening"} | set(proto.get("readerFeatures") or [])
+        wfeats = {"typeWidening"} | set(proto.get("writerFeatures") or [])
+        if mode in ("name", "id") or int(proto.get("minWriterVersion", 2)) == 5:
+            rfeats.add("columnMapping")
+            wfeats.add("columnMapping")
+        actions.append({"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats),
+            "writerFeatures": sorted(wfeats),
+        }})
+    elif upgrading_mapping and int(proto.get("minWriterVersion", 2)) <= 2:
         actions.append(
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
         )
+    elif upgrading_mapping and int(proto.get("minWriterVersion", 2)) == 7:
+        rfeats = {"columnMapping"} | set(proto.get("readerFeatures") or [])
+        wfeats = {"columnMapping"} | set(proto.get("writerFeatures") or [])
+        actions.append({"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats),
+            "writerFeatures": sorted(wfeats),
+        }})
 
     fields = [f for f in fields if f["name"] not in set(drop_columns)]
     for f in fields:

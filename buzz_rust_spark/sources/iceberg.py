@@ -933,7 +933,7 @@ class IcebergCatalog:
         if self._manifests is None:
             plan = {
                 "files": [], "deletes": [], "pairs": [],
-                "orc_keys": set(), "seq_by_norm": {},
+                "orc_keys": set(), "seq_by_norm": {}, "part_raw": {},
             }
             self._plans[cache_key] = plan
             return plan
@@ -979,6 +979,7 @@ class IcebergCatalog:
         pairs: list[tuple[str, str]] = []
         orc_keys: set = set()
         seq_by_norm: dict[str, int] = {}
+        part_raw: dict[str, dict] = {}
         for mcontent, mseq, e in self._decode_entries(spark, chosen):
             if int(e.get("status") or 0) == 2:  # DELETED entry
                 continue
@@ -1030,6 +1031,9 @@ class IcebergCatalog:
                 norm = normalized_key(key)
                 pairs.append((df_rec["file_path"], norm))
                 seq_by_norm[norm] = seq
+                # raw (avro-decoded) partition record, for writers that
+                # scope delete manifests to their matched files' partitions
+                part_raw[df_rec["file_path"]] = dict(part)
             else:
                 # delete manifest: 1 = position deletes, 2 = equality
                 # deletes — both applied (equality scoped by sequence
@@ -1065,6 +1069,7 @@ class IcebergCatalog:
         plan = {
             "files": files, "deletes": deletes, "pairs": pairs,
             "orc_keys": orc_keys, "seq_by_norm": seq_by_norm,
+            "part_raw": part_raw,
         }
         self._plans[cache_key] = plan
         return plan

@@ -644,13 +644,51 @@ def _transform_column(pf: dict):
     raise BuzzBadRequestError(f"unwritable transform kind {kind!r}")
 
 
+def _murmur3_32_8le(vals) -> "object":
+    """Vectorized murmur3-32 (seed 0) of each int64's 8-byte little-endian
+    serialization — the Iceberg spec's single-value hash for int/long/
+    date/timestamp bucket sources.  8 bytes = exactly two 4-byte blocks
+    and no tail, so the whole block schedule is expressible as uint32
+    numpy ops; pinned equal to the scalar ``_bucket_ordinal`` path (spec
+    Appendix B vectors + cross-check tests)."""
+    import numpy as np
+
+    v = vals.astype(np.int64).view(np.uint64)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(len(v), dtype=np.uint32)
+    for k in (
+        (v & np.uint64(0xFFFFFFFF)).astype(np.uint32),  # bytes 0-3 (LE)
+        (v >> np.uint64(32)).astype(np.uint32),         # bytes 4-7
+    ):
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # total length in bytes
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
 def _bucket_udf(source_type: str, n: int):
     """Arrow-batched bucket[n] ordinal UDF over the source CAST TO STRING
     (see _transform_column): string transport keeps exact digits where a
     pandas float64 series would corrupt nullable longs past 2^53 and
-    timestamp microseconds — and lets the UDF share the reader's
-    spec-pinned literal hashing (_bucket_ordinal, Appendix B vectors),
-    so writer ordinals and filter-time ordinals CANNOT diverge."""
+    timestamp microseconds — and shares the reader's spec-pinned literal
+    hashing (_bucket_ordinal, Appendix B vectors), so writer ordinals and
+    filter-time ordinals CANNOT diverge.
+
+    Numeric sources (int/long/date/timestamp) take the VECTORIZED path:
+    the strings parse to an int64 array (exact) and the murmur3 block
+    schedule runs as uint32 numpy ops (``_murmur3_32_8le``) — per-row
+    Python only remains for string sources (UTF-8 length varies) and as
+    the fallback when a batch won't parse vectorized (e.g. timestamps
+    outside pandas' ns range)."""
     from pyspark.sql.functions import pandas_udf
 
     from .iceberg import _bucket_ordinal
@@ -660,11 +698,50 @@ def _bucket_udf(source_type: str, n: int):
             return None
         return _bucket_ordinal(str(v), source_type == "string", source_type, n)
 
-    @pandas_udf("int")
-    def _b(s):
-        return s.map(one)
+    if source_type == "string":
 
-    return _b
+        @pandas_udf("int")
+        def _b(s):
+            return s.map(one)
+
+        return _b
+
+    @pandas_udf("int")
+    def _bn(s):
+        import numpy as np
+        import pandas as pd
+
+        mask = s.notna()
+        vals = s[mask]
+        out = pd.array([None] * len(s), dtype="Int32")
+        if len(vals):
+            try:
+                if source_type in ("int", "long"):
+                    iv = vals.astype("int64").to_numpy()
+                elif source_type == "date":
+                    iv = (
+                        pd.to_datetime(vals)
+                        .to_numpy()
+                        .astype("datetime64[D]")
+                        .astype("int64")
+                    )
+                else:  # timestamp / timestamptz (session runs UTC)
+                    iv = (
+                        pd.to_datetime(vals)
+                        .to_numpy()
+                        .astype("datetime64[us]")
+                        .astype("int64")
+                    )
+            except (ValueError, OverflowError, pd.errors.OutOfBoundsDatetime):
+                return s.map(one)  # exact scalar fallback
+            h = _murmur3_32_8le(iv)
+            ords = (
+                (h & np.uint32(0x7FFFFFFF)).astype("int64") % n
+            ).astype("int32")
+            out[np.asarray(mask)] = ords
+        return pd.Series(out)
+
+    return _bn
 
 
 # --- the distributed data-file writer -----------------------------------------
@@ -682,6 +759,7 @@ def _write_data_files(
     required: bool = False,
     name_prefix: str = "",
     drop_cols: list[str] | None = None,
+    sort_within: list[str] | None = None,
 ) -> list[dict]:
     """One ``mapInArrow`` job writing parquet data files; returns the small
     per-file manifest rows.  Partition columns STAY in the data files (the
@@ -711,7 +789,13 @@ def _write_data_files(
 
     ``drop_cols`` are grouping-only columns (derived transform ordinals):
     tasks group/roll by them but they are EXCLUDED from the written files
-    — ``field_ids``/``col_types`` align with the remaining columns."""
+    — ``field_ids``/``col_types`` align with the remaining columns.
+
+    ``sort_within`` sorts each task's rows AFTER the partition
+    repartition (the repartition would destroy a pre-existing order) —
+    per-group subsequences of a sorted task stay sorted, which is how
+    partition-scoped position-delete files keep the spec's required
+    (file_path, pos) ordering."""
     from pyspark.sql import functions as F
 
     cols = list(df.columns)
@@ -724,6 +808,8 @@ def _write_data_files(
     }
     stat_cols_by_name = {c: t for c, t in stat_cols.values()}
     inp = df.repartition(*part_cols) if part_cols else df
+    if sort_within:
+        inp = inp.sortWithinPartitions(*sort_within)
 
     def task(batches):
         import pyarrow as pa
@@ -1643,11 +1729,17 @@ def delete_iceberg(
     MOR-resolved scan, so matched rows are live by construction and the
     emitted position deletes compose with the equality deletes' sequence
     scoping.  Boundaries: ORC data files (no ``_metadata.row_index``) and
-    evolved tables with equality deletes (reader refusal).  The delete
-    manifest is committed under the table's UNPARTITIONED spec — the
-    spec's GLOBAL-delete form (position deletes apply by file path);
-    partition-scoped delete manifests are an optimization this writer
-    does not yet emit."""
+    evolved tables with equality deletes (reader refusal).
+
+    On a PARTITIONED table (all data manifests under the live spec) the
+    delete manifest is PARTITION-SCOPED: delete files are written one per
+    partition — each referencing only same-partition data files — and the
+    manifest commits under the live spec with real partition tuples and
+    summaries, so partition-filtered reads prune delete files exactly
+    like data files (a day-filtered scan of a CDC table never opens other
+    days' delete files).  Unpartitioned tables, evolved-spec snapshots,
+    and unwritable transforms fall back to the spec's GLOBAL form (the
+    UNPARTITIONED spec; position deletes apply by file path)."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
 
@@ -1685,6 +1777,36 @@ def delete_iceberg(
         spark, files, [], pos_prior, eq_prior, plan, keep_coords=True
     )
 
+    # Partition-SCOPED delete manifest: on a partitioned table whose data
+    # manifests all sit under the live spec, the delete files are written
+    # one-per-partition (each references only same-partition data files)
+    # and the manifest commits under the LIVE spec with real partition
+    # tuples + summaries — so the reader's manifest skipping prunes
+    # delete files exactly like data files, and spec-compliant external
+    # readers (which scope position deletes by partition) apply them
+    # correctly.  Fallback: the global unpartitioned-spec form.
+    sid = meta.get("current-schema-id", 0)
+    schema_json = next(
+        s for s in meta["schemas"] if s.get("schema-id") == sid
+    )
+    live_spec_id = meta.get("default-spec-id", 0)
+    live_spec_fields = next(
+        s["fields"]
+        for s in meta["partition-specs"]
+        if s.get("spec-id") == live_spec_id
+    )
+    part_fields: list[dict] = []
+    if live_spec_fields and all(
+        m.get("partition_spec_id") in (None, live_spec_id)
+        for m in (cat._manifests or [])
+        if int(m.get("content") or 0) == 0
+    ):
+        try:
+            part_fields = _partition_context(schema_json, live_spec_fields)
+        except BuzzBadRequestError:
+            part_fields = []  # unwritable transform: global form stays sound
+    scoped = bool(part_fields)
+
     # normalized scan path → the manifest-RECORDED file path (delete files
     # must reference paths exactly as the manifests spell them); broadcast
     # map join, then repartition by target file so each task's sorted run
@@ -1699,22 +1821,61 @@ def delete_iceberg(
         .select("__path", "__ridx")
         .join(broadcast(rec_map), on="__path")
         .select("file_path", F.col("__ridx").cast("long").alias("pos"))
-        .repartition("file_path")
-        .sortWithinPartitions("file_path", "pos")
     )
 
     data_dir = os.path.join(root, "data")
     os.makedirs(data_dir, exist_ok=True)
-    del_files = _write_data_files(
-        matched,
-        data_dir,
-        [],
-        [_POS_DELETE_PATH_ID, _POS_DELETE_POS_ID],
-        {},
-        target_file_rows=max(1, min(max_delete_rows, 5_000_000)),
-        required=True,
-        name_prefix="delete-",
-    )
+    if scoped:
+        # recorded path → canonical JSON of its raw partition tuple; the
+        # fanout writer groups by it (one delete file per partition) and
+        # the staged dicts map back to real partition records below
+        group_json = {
+            rec: json.dumps(
+                {
+                    pf["name"]: (plan["part_raw"].get(rec) or {}).get(
+                        pf["name"]
+                    )
+                    for pf in part_fields
+                },
+                sort_keys=True,
+            )
+            for rec, _ in plan["pairs"]
+        }
+        gmap = spark.createDataFrame(
+            sorted(group_json.items()), "file_path string, __pgroup string"
+        )
+        matched = matched.join(broadcast(gmap), on="file_path")
+        del_files = _write_data_files(
+            matched,
+            data_dir,
+            ["__pgroup"],
+            [_POS_DELETE_PATH_ID, _POS_DELETE_POS_ID],
+            {"__pgroup": "string"},
+            target_file_rows=max(1, min(max_delete_rows, 5_000_000)),
+            required=True,
+            name_prefix="delete-",
+            drop_cols=["__pgroup"],
+            sort_within=["file_path", "pos"],
+        )
+        for f in del_files:
+            rec = json.loads(f["partition"]["__pgroup"])
+            f["partition"] = {
+                pf["group_col"]: rec.get(pf["name"]) for pf in part_fields
+            }
+    else:
+        matched = matched.repartition("file_path").sortWithinPartitions(
+            "file_path", "pos"
+        )
+        del_files = _write_data_files(
+            matched,
+            data_dir,
+            [],
+            [_POS_DELETE_PATH_ID, _POS_DELETE_POS_ID],
+            {},
+            target_file_rows=max(1, min(max_delete_rows, 5_000_000)),
+            required=True,
+            name_prefix="delete-",
+        )
     if not del_files:
         return None
     n_deleted = sum(f["record_count"] for f in del_files)
@@ -1747,24 +1908,41 @@ def delete_iceberg(
         version_a, meta_a = state
         seq = int(meta_a.get("last-sequence-number", 0)) + 1
         snap_id = uuid.uuid4().int >> 65
-        sid = meta_a.get("current-schema-id", 0)
-        schema_json = next(
-            s for s in meta_a["schemas"] if s.get("schema-id") == sid
+        sid_a = meta_a.get("current-schema-id", 0)
+        schema_json_a = next(
+            s for s in meta_a["schemas"] if s.get("schema-id") == sid_a
         )
         meta_a = dict(meta_a)
-        unpart_id = _unpartitioned_spec_id(meta_a)
-        manifest_path = _write_manifest(
-            meta_dir,
-            _manifest_entries(del_files, 1, None, [], snap_id),
-            [],
-            schema_json,
-            unpart_id,
-            "deletes",
-        )
-        delete_rec = _manifest_rec(
-            manifest_path, unpart_id, 1, seq, snap_id, len(del_files),
-            n_deleted, None,
-        )
+        if scoped:
+            # live-spec manifest with real partition tuples + summaries:
+            # partition-filtered reads prune it like a data manifest
+            manifest_path = _write_manifest(
+                meta_dir,
+                _manifest_entries(del_files, 1, None, part_fields, snap_id),
+                part_fields,
+                schema_json_a,
+                live_spec_id,
+                "deletes",
+            )
+            delete_rec = _manifest_rec(
+                manifest_path, live_spec_id, 1, seq, snap_id,
+                len(del_files), n_deleted,
+                _part_summaries(del_files, part_fields),
+            )
+        else:
+            unpart_id = _unpartitioned_spec_id(meta_a)
+            manifest_path = _write_manifest(
+                meta_dir,
+                _manifest_entries(del_files, 1, None, [], snap_id),
+                [],
+                schema_json_a,
+                unpart_id,
+                "deletes",
+            )
+            delete_rec = _manifest_rec(
+                manifest_path, unpart_id, 1, seq, snap_id, len(del_files),
+                n_deleted, None,
+            )
         mlist_path = _write_manifest_list(
             meta_dir, snap_id, seq,
             [delete_rec] + _carry_manifests(_prev_manifests(meta_a)),
@@ -1777,7 +1955,7 @@ def delete_iceberg(
             seq,
             now_ms,
             mlist_path,
-            sid,
+            sid_a,
             "delete",
             {
                 "added-delete-files": str(len(del_files)),
@@ -1821,6 +1999,12 @@ def delete_iceberg(
                 f"{len(gone)} matched data file(s) were rewritten or "
                 "removed concurrently — these position deletes no longer "
                 "apply; re-run delete_iceberg against the current table"
+            )
+        if scoped:
+            # the staged delete files carry the live spec's partition
+            # tuples — a concurrent spec/schema change invalidates them
+            _require_same_write_basis(
+                meta_f, schema_json, live_spec_id, live_spec_fields
             )
         return (version_f, meta_f)
 
@@ -1921,10 +2105,16 @@ def merge_iceberg(
     WITHIN the source are a typed error (distributed last-wins is
     order-undefined); schema-evolved (renamed-column) tables are refused —
     the reader refuses equality deletes there (pre-rename delete files
-    would be misread).  Returns None for an empty source.  The delete
-    manifest is committed under the table's UNPARTITIONED spec (added to
-    ``partition-specs`` on first use) — the spec's GLOBAL-delete form, so
-    external readers apply it across all partitions."""
+    would be misread).  Returns None for an empty source.
+
+    The delete manifest commits under the table's UNPARTITIONED spec
+    (added to ``partition-specs`` on first use) — the spec's GLOBAL form,
+    applied across all partitions — EXCEPT when every partition source
+    column is a merge key (the common CDC layout): then the key files are
+    partition-scoped under the live spec with real tuples and summaries,
+    which is semantically identical (a matching old row necessarily sits
+    in the same partition) and lets partition-filtered reads prune
+    eq-delete files like data files."""
     from pyspark.sql import functions as F
 
     root = _local_table_dir(table_uri)
@@ -2012,16 +2202,44 @@ def merge_iceberg(
             return None
         # the delete-key files: the source's distinct keys,
         # executor-written (content=2 files may hold ONLY the
-        # equality_ids columns per spec)
-        key_files = _write_data_files(
-            source.select(*key_cols).distinct(),
-            data_dir,
-            [],
-            key_ids,
-            {},
-            target_file_rows,
-            col_types=key_col_types,
+        # equality_ids columns per spec).  When every partition SOURCE
+        # column is a merge KEY (the common CDC layout: partition derives
+        # from the key), the key files are PARTITION-SCOPED — written one
+        # per partition and committed under the live spec with real
+        # tuples/summaries — sound because a matching old row necessarily
+        # sits in the same partition (deterministic transforms of equal
+        # keys), and it lets partition-filtered reads prune eq-delete
+        # files like data files.  Otherwise: the global unpartitioned form.
+        scope_deletes = bool(part_fields) and all(
+            pf["source_name"] in key_cols for pf in part_fields
+        ) and all(
+            m.get("partition_spec_id") in (None, spec_id)
+            for m in (cat._manifests or [])
+            if int(m.get("content") or 0) == 0
         )
+        if scope_deletes:
+            key_files = _write_data_files(
+                source.select(
+                    *key_cols, *[pf["group_col"] for pf in derived]
+                ).distinct(),
+                data_dir,
+                part_cols,
+                key_ids,
+                part_types,
+                target_file_rows,
+                col_types=key_col_types,
+                drop_cols=[pf["group_col"] for pf in derived],
+            )
+        else:
+            key_files = _write_data_files(
+                source.select(*key_cols).distinct(),
+                data_dir,
+                [],
+                key_ids,
+                {},
+                target_file_rows,
+                col_types=key_col_types,
+            )
     finally:
         source.unpersist()
 
@@ -2047,7 +2265,6 @@ def merge_iceberg(
         seq = int(meta_a.get("last-sequence-number", 0)) + 1
         snap_id = uuid.uuid4().int >> 65
         meta_a = dict(meta_a)
-        unpart_id = _unpartitioned_spec_id(meta_a)
         data_manifest = _write_manifest(
             meta_dir,
             _manifest_entries(
@@ -2058,14 +2275,21 @@ def merge_iceberg(
             spec_id,
             "data",
         )
+        if scope_deletes:
+            del_spec_id = spec_id
+            del_part_fields = part_fields
+        else:
+            del_spec_id = _unpartitioned_spec_id(meta_a)
+            del_part_fields = []
         delete_manifest = _write_manifest(
             meta_dir,
             _manifest_entries(
-                key_files, 2, key_ids, [], snap_id, key_stat_fields
+                key_files, 2, key_ids, del_part_fields, snap_id,
+                key_stat_fields,
             ),
-            [],
+            del_part_fields,
             schema_json,
-            unpart_id,
+            del_spec_id,
             "deletes",
         )
         mlist_path = _write_manifest_list(
@@ -2079,8 +2303,9 @@ def merge_iceberg(
                     _part_summaries(new_files, part_fields),
                 ),
                 _manifest_rec(
-                    delete_manifest, unpart_id, 1, seq, snap_id,
-                    len(key_files), key_rows, None,
+                    delete_manifest, del_spec_id, 1, seq, snap_id,
+                    len(key_files), key_rows,
+                    _part_summaries(key_files, del_part_fields),
                 ),
             ]
             + _carry_manifests(_prev_manifests(meta_a)),
@@ -2272,17 +2497,51 @@ _ADDABLE_TYPES = {
 }
 
 
+# Iceberg spec v2 "Schema Evolution": the complete set of valid primitive
+# type promotions (all widening, value-preserving; decimal may only grow
+# PRECISION, never scale)
+_PROMOTABLE = {"int": "long", "float": "double"}
+
+
+def _check_promotion(cur: str, new: str, name: str) -> None:
+    """Typed refusal unless cur→new is a spec-legal widening promotion."""
+    if _PROMOTABLE.get(cur) == new:
+        return
+    mc = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", str(cur))
+    mn = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", str(new))
+    if mc and mn and int(mn.group(2)) == int(mc.group(2)) and int(
+        mn.group(1)
+    ) > int(mc.group(1)):
+        return
+    raise BuzzBadRequestError(
+        f"promote: {name!r} {cur!r} → {new!r} is not a legal Iceberg "
+        "promotion (int→long, float→double, or decimal(P,S)→decimal(P',S) "
+        "with P' > P and the same scale)"
+    )
+
+
 def evolve_iceberg(
     table_uri: str,
     add_columns: dict[str, str] | None = None,
     rename_columns: dict[str, str] | None = None,
     drop_columns: list[str] | None = None,
+    promote_columns: dict[str, str] | None = None,
     store=None,
 ) -> dict:
     """Metadata-only schema evolution: ADD COLUMN (a fresh field id past
     ``last-column-id``; existing data files simply lack the id and read as
     NULL) and RENAME COLUMN (id-preserving — old files keep resolving by
     ``parquet.field.id``, which is why the reader's evolution path works).
+
+    ``promote_columns`` applies the spec's TYPE-WIDENING promotions —
+    ``int→long``, ``float→double``, ``decimal(P,S)→decimal(P',S)`` with
+    ``P' > P`` — id-preserving and metadata-only: the reader's declared
+    schema carries the widened type and Spark's parquet reader (name and
+    field-id resolution alike, verified empirically on this Spark) casts
+    old files' narrower physical values up at scan time.  Promoting a
+    partition SOURCE column is refused (manifest partition tuples and
+    summary bounds were serialized with the narrow type; a conservative
+    boundary, not a spec limit).
 
     Per the Iceberg spec, added columns must be optional (a required
     column without a default would make every existing row invalid), and
@@ -2297,9 +2556,11 @@ def evolve_iceberg(
     add_columns = dict(add_columns or {})
     rename_columns = dict(rename_columns or {})
     drop_columns = list(drop_columns or [])
-    if not add_columns and not rename_columns and not drop_columns:
+    promote_columns = dict(promote_columns or {})
+    if not (add_columns or rename_columns or drop_columns or promote_columns):
         raise BuzzBadRequestError(
-            "evolve_iceberg: nothing to do (no add/rename/drop columns)"
+            "evolve_iceberg: nothing to do (no add/rename/drop/promote "
+            "columns)"
         )
     if len(set(rename_columns.values())) != len(rename_columns):
         raise BuzzBadRequestError(
@@ -2388,6 +2649,38 @@ def evolve_iceberg(
         if len(fields) - len(drop_columns) < 1:
             raise BuzzBadRequestError("drop: cannot drop every column")
     fields = [f for f in fields if f["name"] not in set(drop_columns)]
+
+    by_cur_name = {f["name"]: f for f in fields}
+    for name, newtype in promote_columns.items():
+        if name not in by_cur_name:
+            raise BuzzBadRequestError(
+                f"promote: column {name!r} not in the table schema"
+            )
+        if (
+            name in rename_columns
+            or name in rename_columns.values()
+            or name in add_columns
+            or name in drop_columns
+        ):
+            raise BuzzBadRequestError(
+                f"promote: column {name!r} also named in add/rename/drop — "
+                "one operation per column per commit"
+            )
+        f = by_cur_name[name]
+        cur = f["type"] if isinstance(f["type"], str) else None
+        if cur is None:
+            raise BuzzBadRequestError(
+                f"promote: column {name!r} is a nested type — only "
+                "primitive promotions are supported"
+            )
+        _check_promotion(cur, newtype, name)
+        if int(f["id"]) in spec_source_ids:
+            raise BuzzBadRequestError(
+                f"promote: column {name!r} is a partition source field — "
+                "manifest partition values were serialized with the "
+                "narrow type; rewrite the table instead"
+            )
+        f["type"] = newtype
 
     for f in fields:
         if f["name"] in rename_columns:

@@ -1509,3 +1509,67 @@ def test_delta_changelog_window_validation(spark, tmp_path):
     os.unlink(os.path.join(root, "_delta_log", f"{0:020d}.json"))
     with pytest.raises(BuzzExecutionError, match="missing commit"):
         read_delta_changelog(spark, root, 1)
+
+
+def test_delta_evolve_promote_type_widening(spark, tmp_path):
+    """integer→long / float→double / decimal growth widen metadata-only:
+    the protocol gains the typeWidening feature, delta.typeChanges records
+    the history, old+new files read back widened, and rewrites (merge/
+    delete) keep working on the widened table."""
+    import json as _json
+
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        evolve_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 10, 1.5)], "id long, n int, x float"),
+        root,
+    )
+    v = evolve_delta(root, promote_columns={"n": "long", "x": "double"})
+    # protocol: reader 3 / writer 7 with typeWidening
+    last = open(os.path.join(root, "_delta_log", f"{v:020d}.json")).read()
+    actions = [_json.loads(ln) for ln in last.splitlines() if ln.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "typeWidening" in proto["readerFeatures"]
+    md = next(a["metaData"] for a in actions if "metaData" in a)
+    fields = {f["name"]: f for f in _json.loads(md["schemaString"])["fields"]}
+    assert fields["n"]["type"] == "long"
+    changes = fields["n"]["metadata"]["delta.typeChanges"]
+    assert changes[0]["fromType"] == "integer" and changes[0]["toType"] == "long"
+
+    write_delta(
+        spark.createDataFrame(
+            [(2, 2**40, 2.5)], "id long, n long, x double"
+        ),
+        root,
+    )
+    got = sorted(
+        (r.id, r.n, float(r.x))
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, 10, 1.5), (2, 2**40, 2.5)]
+    # rewrites on the widened table: merge touches the pre-promotion file
+    merge_delta(
+        spark, root,
+        spark.createDataFrame([(1, 2**41, 9.0)], "id long, n long, x double"),
+        on=["id"],
+    )
+    assert delete_delta(spark, root, f"n > {2**40}") is not None
+    got = sorted(
+        (r.id, r.n)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(2, 2**40)]
+    # illegal promotions refuse typed
+    with pytest.raises(BuzzBadRequestError):
+        evolve_delta(root, promote_columns={"id": "double"})
+    with pytest.raises(BuzzBadRequestError):
+        evolve_delta(root, promote_columns={"n": "integer"})

@@ -1461,3 +1461,280 @@ def test_delete_over_equality_delete_table(spark, tmp_path):
     assert got == sorted(expect.items())
     # and a second delete that only matches already-deleted rows is a no-op
     assert delete_iceberg(spark, root, "v >= 30 AND v < 999") is None
+
+
+def test_evolve_promote_type_widening(spark, tmp_path):
+    """int→long / float→double / decimal precision growth are id-preserving
+    metadata-only promotions: old files' narrower physical values read back
+    widened next to new files' wide values; illegal promotions refuse."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        evolve_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, 10, 1.5)], "id long, n int, x float"),
+        root,
+    )
+    out = evolve_iceberg(
+        root, promote_columns={"n": "long", "x": "double"}
+    )
+    assert out["schema_id"] == 1
+    # append with the WIDE schema
+    write_iceberg(
+        spark.createDataFrame(
+            [(2, 2**40, 2.5)], "id long, n long, x double"
+        ),
+        root, mode="append",
+    )
+    cat = IcebergCatalog("t", root)
+    assert [
+        (f.name, f.dataType.simpleString()) for f in cat._scan_schema.fields
+    ] == [("id", "bigint"), ("n", "bigint"), ("x", "double")]
+    got = sorted((r.id, r.n, float(r.x)) for r in cat.to_dataframe(spark).collect())
+    assert got == [(1, 10, 1.5), (2, 2**40, 2.5)]
+    # decimal precision growth
+    root2 = str(tmp_path / "t2")
+    spark.sql("select 1 as id, cast(1.25 as decimal(5,2)) as d").createOrReplaceTempView("v")
+    write_iceberg(spark.table("v").selectExpr("cast(id as long) id", "d"), root2)
+    evolve_iceberg(root2, promote_columns={"d": "decimal(12,2)"})
+    got = [(r.id, str(r.d)) for r in IcebergCatalog("t", root2).to_dataframe(spark).collect()]
+    assert got == [(1, "1.25")]
+    # illegal promotions are typed refusals
+    from buzz_rust_spark.errors import BuzzBadRequestError
+
+    for bad in [
+        {"n": "int"},            # already long (narrowing/no-op)
+        {"id": "double"},        # long→double not in the spec table
+        {"d_missing": "long"},   # unknown column
+    ]:
+        with pytest.raises(BuzzBadRequestError):
+            evolve_iceberg(root, promote_columns=bad)
+    with pytest.raises(BuzzBadRequestError, match="scale"):
+        evolve_iceberg(root2, promote_columns={"d": "decimal(14,4)"})
+
+
+def test_evolve_promote_partition_source_refused(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.iceberg_writer import (
+        evolve_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, 5)], "id long, b int"),
+        root, partition_by=["b"],
+    )
+    with pytest.raises(BuzzBadRequestError, match="partition source"):
+        evolve_iceberg(root, promote_columns={"b": "long"})
+
+
+def test_partition_scoped_delete_manifests(spark, tmp_path):
+    """On a day-partitioned table, delete_iceberg writes one delete file
+    per partition and commits the manifest under the LIVE spec with real
+    tuples — a partition-filtered read of another day NEVER opens the
+    delete file (ghost-file proof), while the matching day applies it."""
+    import datetime
+    import glob as _glob
+
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2021, 1, 1 + i % 3), i) for i in range(6)],
+        "id long, ts timestamp_ntz, v long",
+    )
+    write_iceberg(df, root, partition_by=["days(ts)"])
+    out = delete_iceberg(spark, root, "id = 0")  # one row, day 2021-01-01
+    assert out["deleted_rows"] == 1
+    dels = _glob.glob(os.path.join(root, "data", "delete-*.parquet"))
+    assert len(dels) == 1
+    os.rename(dels[0], dels[0] + ".hidden")  # ghost: opening it fails
+    cat = IcebergCatalog("t", root)
+    # other-day read prunes the delete manifest — never opens the ghost
+    assert sorted(
+        r.id for r in cat.to_dataframe(spark, "ts_day = '2021-01-02'").collect()
+    ) == [1, 4]
+    # the matching day must try to open it and fail loudly, not silently
+    # resurrect the deleted row
+    with pytest.raises(Exception):
+        IcebergCatalog("t", root).to_dataframe(
+            spark, "ts_day = '2021-01-01'"
+        ).collect()
+    # restore: full read applies the delete
+    os.rename(dels[0] + ".hidden", dels[0])
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 2, 3, 4, 5]
+
+
+def test_partition_scoped_merge_eq_deletes(spark, tmp_path):
+    """merge_iceberg with partition sources ⊆ merge keys scopes the
+    eq-delete manifest to the touched partitions under the live spec —
+    untouched days' filtered reads never open the key files; merges whose
+    keys do NOT cover the partition source stay on the global form."""
+    import datetime
+    import glob as _glob
+    import json as _json
+
+    from buzz_rust_spark.sources.avro import decode_avro_file
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2021, 1, 1 + i % 3), i) for i in range(6)],
+        "id long, ts timestamp_ntz, v long",
+    )
+    write_iceberg(df, root, partition_by=["days(ts)"])
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame(
+            [(0, datetime.datetime(2021, 1, 1), 100)],
+            "id long, ts timestamp_ntz, v long",
+        ),
+        key_cols=["id", "ts"],
+    )
+    meta = _json.load(open(sorted(
+        _glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )[-1]))
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mls = decode_avro_file(open(snap["manifest-list"], "rb").read())
+    del_recs = [m for m in mls if int(m.get("content") or 0) == 1]
+    assert [m["partition_spec_id"] for m in del_recs] == [
+        meta["default-spec-id"]
+    ]
+    _, entries = decode_avro_file(
+        open(del_recs[0]["manifest_path"], "rb").read()
+    )
+    assert all(
+        e["data_file"]["partition"].get("ts_day") is not None
+        for e in entries
+    )
+    key_paths = [e["data_file"]["file_path"] for e in entries]
+    for p in key_paths:
+        os.rename(p, p + ".hidden")
+    # untouched day prunes the eq-delete manifest entirely
+    assert sorted(
+        r.id
+        for r in IcebergCatalog("t", root)
+        .to_dataframe(spark, "ts_day = '2021-01-02'")
+        .collect()
+    ) == [1, 4]
+    for p in key_paths:
+        os.rename(p + ".hidden", p)
+    assert sorted(
+        (r.id, r.v)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [(0, 100), (1, 1), (2, 2), (3, 3), (4, 4), (5, 5)]
+
+    # keys NOT covering the partition source → global (unpartitioned) form
+    root2 = str(tmp_path / "t2")
+    write_iceberg(df, root2, partition_by=["days(ts)"])
+    merge_iceberg(
+        spark, root2,
+        spark.createDataFrame(
+            [(0, datetime.datetime(2021, 1, 1), 100)],
+            "id long, ts timestamp_ntz, v long",
+        ),
+        key_cols=["id"],
+    )
+    meta2 = _json.load(open(sorted(
+        _glob.glob(os.path.join(root2, "metadata", "v*.metadata.json"))
+    )[-1]))
+    snap2 = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _, mls2 = decode_avro_file(open(snap2["manifest-list"], "rb").read())
+    del2 = [m for m in mls2 if int(m.get("content") or 0) == 1]
+    unpart = next(
+        s["spec-id"] for s in meta2["partition-specs"] if not s["fields"]
+    )
+    assert [m["partition_spec_id"] for m in del2] == [unpart]
+
+
+def test_vectorized_bucket_hash_matches_scalar():
+    """The numpy murmur3 path is bit-identical to the scalar spec-pinned
+    one across the full int64 domain sample + the spec Appendix B vector."""
+    import random
+
+    import numpy as np
+
+    from buzz_rust_spark.sources.iceberg import _murmur3_32
+    from buzz_rust_spark.sources.iceberg_writer import _murmur3_32_8le
+
+    rng = random.Random(7)
+    vals = [34, 0, -1, 1, 2**63 - 1, -(2**63)] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(500)
+    ]
+    got = _murmur3_32_8le(np.array(vals, dtype=np.int64))
+    for v, hv in zip(vals, got):
+        assert int(hv) == (
+            _murmur3_32(int(v).to_bytes(8, "little", signed=True))
+            & 0xFFFFFFFF
+        )
+    # spec Appendix B: bucket hash of long 34 is 2017239379
+    assert int(_murmur3_32_8le(np.array([34], dtype=np.int64))[0]) == 2017239379
+
+
+def test_vectorized_bucket_udf_date_timestamp(spark, tmp_path):
+    """bucket over date/timestamp/long sources routes through the numpy
+    path and still lands rows in the buckets the reader's pruning expects
+    (writer/filter ordinal agreement), nulls included."""
+    import datetime
+
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog, _bucket_ordinal
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    root = str(tmp_path / "t")
+    rows = [
+        (1, datetime.date(2021, 3, 15)),
+        (2, datetime.date(1969, 12, 31)),
+        (3, None),
+    ]
+    write_iceberg(
+        spark.createDataFrame(rows, "id long, d date"),
+        root, partition_by=["bucket(8, d)"],
+    )
+    cat = IcebergCatalog("t", root)
+    got = {r.id for r in cat.to_dataframe(spark, "d = '2021-03-15'").collect()}
+    assert 1 in got
+    want = _bucket_ordinal("2021-03-15", True, "date", 8)
+    same = {
+        i for i, d in rows
+        if d is not None
+        and _bucket_ordinal(d.isoformat(), True, "date", 8) == want
+    }
+    assert got == same
+    assert cat.to_dataframe(spark).count() == 3  # null row survives
+
+    root2 = str(tmp_path / "t2")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2021, 3, 15, 8, 30, 0, 123456)),
+             (2, datetime.datetime(1999, 1, 1))],
+            "id long, ts timestamp_ntz",
+        ),
+        root2, partition_by=["bucket(16, ts)"],
+    )
+    got = {
+        r.id
+        for r in IcebergCatalog("t", root2)
+        .to_dataframe(spark, "ts = '2021-03-15 08:30:00.123456'")
+        .collect()
+    }
+    assert 1 in got

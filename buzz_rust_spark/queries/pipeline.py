@@ -2867,3 +2867,63 @@ def z36_iceberg_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "z37_iceberg_partial_compaction",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH ev AS (
+  SELECT event_id, ts, event_type, value
+  FROM events ORDER BY event_id LIMIT 2000
+),
+after_delete AS (
+  SELECT * FROM ev
+  WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-03' AND event_id % 2 = 0)
+)
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM after_delete GROUP BY event_type ORDER BY event_type
+""",
+)
+def z37_iceberg_partial_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped compaction, oracle-checked: a day-partitioned
+    table takes a MOR delete on one day, then
+    ``rewrite_iceberg(partition_filter=<that day>)`` rewrites ONLY that
+    day's files (dropping its delete files) — and the table content must
+    be exactly what it was before the compaction (the relational
+    delete-applied recompute)."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(2000)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z37_") + "/tbl"
+    write_iceberg(ev, root, partition_by=["days(ts)"])
+    delete_iceberg(
+        spark, root,
+        "CAST(ts AS DATE) = DATE '2024-01-03' AND event_id % 2 = 0",
+    )
+    out = rewrite_iceberg(
+        spark, root, partition_filter="ts_day = '2024-01-03'"
+    )
+    assert out is not None and out["operation"] == "replace"
+    cat = IcebergCatalog("events_compacted", root)
+    return (
+        cat.to_dataframe(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -2017,6 +2017,7 @@ def rewrite_iceberg(
     spark,
     table_uri: str,
     target_file_rows: int = 1_000_000,
+    partition_filter: str | None = None,
     max_commit_retries: int = 5,
     store=None,
 ) -> dict | None:
@@ -2031,6 +2032,12 @@ def rewrite_iceberg(
     path (nothing to compact); one Spark job end-to-end, same as the
     append path.
 
+    ``partition_filter`` switches to PARTITION-SCOPED compaction (see
+    :func:`_rewrite_partial`): only the selected partitions' files are
+    rewritten and the rest of the snapshot is carried through manifest
+    surgery — the shape that matters at 100 TB, where compacting one
+    CDC-dirty day must not rewrite the table.
+
     A compaction that loses its commit race is retried ONLY if the
     snapshot it scanned is still current (pinned via
     ``_expect_snapshot_id``): any concurrent data commit invalidates a
@@ -2038,6 +2045,12 @@ def rewrite_iceberg(
     the concurrent change — so the loop raises the typed non-retryable
     :class:`~..errors.BuzzCommitAbortedError` instead."""
     from .iceberg import IcebergCatalog
+
+    if partition_filter is not None:
+        return _rewrite_partial(
+            spark, table_uri, partition_filter, target_file_rows,
+            max_commit_retries, store,
+        )
 
     root = _local_table_dir(table_uri)
     # resolve + pin the snapshot FIRST, then scan exactly it: the commit
@@ -2073,6 +2086,281 @@ def rewrite_iceberg(
         _operation="replace",
         _expect_snapshot_id=basis_snapshot,
         store=store,
+    )
+
+
+_CARRY_DF_KEYS = (
+    "content", "file_path", "file_format", "partition", "record_count",
+    "file_size_in_bytes", "equality_ids", "value_counts",
+    "null_value_counts", "lower_bounds", "upper_bounds",
+)
+
+
+def _rewrite_partial(
+    spark,
+    table_uri: str,
+    partition_filter: str,
+    target_file_rows: int,
+    max_commit_retries: int,
+    store,
+) -> dict | None:
+    """Partition-scoped compaction: the files ``partition_filter`` selects
+    are materialized MOR-resolved (all position + equality deletes
+    applied) into fresh files, and the commit replaces ONLY them —
+    untouched manifests carry forward verbatim; manifests that referenced
+    a compacted file are rewritten with that entry dropped (survivors
+    become EXISTING entries keeping their original snapshot/sequence
+    numbers, so equality-delete scoping and time ordering stay exact);
+    position-delete files whose every referenced path was compacted drop
+    from the snapshot entirely.  Equality-delete files always carry
+    forward — they may still scope to untouched older files, and they
+    cannot re-kill the rewritten rows (the new files commit at a HIGHER
+    sequence number than every existing delete).
+
+    The 100 TB shape: compacting one CDC-dirty day reads and writes that
+    day, not the table.  Cost is O(selected data + snapshot metadata).
+
+    Boundaries (typed): schema-evolved tables (carried entries would be
+    re-encoded under renamed columns), snapshots holding data manifests
+    under non-live partition specs, and ORC files in the selected set.
+    Any concurrent commit aborts the claim (same rule as the full
+    rewrite: a replace built from a superseded snapshot would drop the
+    concurrent change)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from .iceberg import IcebergCatalog, _spark_uri
+
+    root = _local_table_dir(table_uri)
+    existing = _load_meta(root)
+    if existing is None:
+        return None
+    version, meta = _load_v2_meta(root, table_uri)
+    basis_snapshot = meta.get("current-snapshot-id")
+    if basis_snapshot in (None, -1):
+        return None  # empty table: nothing to compact
+    cat = IcebergCatalog("rewrite", root, snapshot_id=basis_snapshot)
+    if cat._evolved:
+        raise BuzzExecutionError(
+            "partition-scoped rewrite of a schema-evolved (renamed-column) "
+            "table is not supported — carried manifest entries would "
+            "re-encode under the renamed schema; run a full rewrite"
+        )
+    sid = meta.get("current-schema-id", 0)
+    schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        s["fields"]
+        for s in meta["partition-specs"]
+        if s.get("spec-id") == spec_id
+    )
+    if not all(
+        m.get("partition_spec_id") in (None, spec_id)
+        for m in (cat._manifests or [])
+        if int(m.get("content") or 0) == 0
+    ):
+        raise BuzzExecutionError(
+            "partition-scoped rewrite over a snapshot with data manifests "
+            "under non-live partition specs is not supported — run a full "
+            "rewrite"
+        )
+    part_fields = _partition_context(schema_json, spec_fields)
+
+    sel = cat.pruned_files(spark, partition_filter)
+    if not sel:
+        return None
+    plan_all = cat._plan(spark, None)
+    sel_keys = {f.key for f in sel}
+    if sel_keys & plan_all["orc_keys"]:
+        raise BuzzExecutionError(
+            "partition-scoped rewrite over ORC data files is not "
+            "supported (merge-on-read needs _metadata.row_index)"
+        )
+    compacted_rec = {
+        rec for rec, _ in plan_all["pairs"] if _spark_uri(rec) in sel_keys
+    }
+
+    # --- MOR-resolved read of exactly the selected files ---
+    pos = [d for d in plan_all["deletes"] if d["kind"] == "pos"]
+    eq = [d for d in plan_all["deletes"] if d["kind"] == "eq"]
+    df = cat._mor_scan(spark, list(sel), [], pos, eq, plan_all)
+    for f in schema_json["fields"]:
+        if f["type"] == "timestamp":
+            df = df.withColumn(f["name"], F.col(f["name"]).cast("timestamp_ntz"))
+
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    part_cols = [pf["group_col"] for pf in part_fields]
+    part_types = {pf["group_col"]: pf["store_type"] for pf in part_fields}
+    field_ids = [by_name[c]["id"] for c in df.columns]
+    col_types, stat_fields = _stats_context(by_name, df.columns)
+    derived = [pf for pf in part_fields if pf["kind"] != "identity"]
+    for pf in derived:
+        df = df.withColumn(pf["group_col"], _transform_column(pf))
+
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(data_dir, exist_ok=True)
+    new_files = _write_data_files(
+        df, data_dir, part_cols, field_ids, part_types, target_file_rows,
+        col_types=col_types,
+        drop_cols=[pf["group_col"] for pf in derived],
+    )  # may be [] — every selected row was deleted; still a valid compaction
+
+    # --- manifest surgery: drop compacted entries, carry the rest ---
+    # A position-delete FILE leaves the snapshot iff every data file it
+    # references was compacted (pyarrow column-pruned read, O(delete
+    # files) driver-side).  Equality deletes always carry (see docstring).
+    def _pos_refs(uri: str) -> set:
+        local = uri.removeprefix("file:")
+        return set(
+            pq.read_table(local, columns=["file_path"])
+            .column("file_path")
+            .unique()
+            .to_pylist()
+        )
+
+    untouched: list[dict] = []
+    surgery_recs: list[dict] = []
+    dropped_data_files = 0
+    dropped_delete_files = 0
+    for m in _prev_manifests(meta):
+        mcontent = int(m.get("content") or 0)
+        mseq = int(m.get("sequence_number") or 0)
+        _, entries = decode_avro_file(cat._read_meta_bytes(m["manifest_path"]))
+        kept: list[dict] = []
+        changed = False
+        for e in entries:
+            if int(e.get("status") or 0) == 2:
+                changed = True  # tombstone: content-neutral, not re-carried
+                continue
+            df_rec = e["data_file"]
+            fp = df_rec["file_path"]
+            fcontent = int(df_rec.get("content") or 0)
+            if fcontent == 0 and fp in compacted_rec:
+                changed = True
+                dropped_data_files += 1
+                continue
+            if fcontent == 1 and _pos_refs(_spark_uri(fp)) <= compacted_rec:
+                changed = True
+                dropped_delete_files += 1
+                continue
+            eseq = e.get("sequence_number")
+            seq_eff = int(eseq) if eseq is not None else mseq
+            kept.append(
+                {
+                    "status": 0,  # EXISTING: explicit ids per spec
+                    "snapshot_id": int(
+                        e.get("snapshot_id") or m.get("added_snapshot_id") or 0
+                    ),
+                    "sequence_number": seq_eff,
+                    "file_sequence_number": int(
+                        e.get("file_sequence_number") or seq_eff
+                    ),
+                    "data_file": {
+                        k: df_rec.get(k) for k in _CARRY_DF_KEYS
+                    },
+                }
+            )
+        if not changed:
+            untouched.append(m)
+            continue
+        if not kept:
+            continue  # the whole manifest was compacted away
+        mf = part_fields if int(m.get("partition_spec_id") or 0) == spec_id else []
+        new_path = _write_manifest(
+            meta_dir, kept, mf, schema_json,
+            int(m.get("partition_spec_id") or 0),
+            "data" if mcontent == 0 else "deletes",
+        )
+        surgery_recs.append(
+            {
+                "manifest_path": new_path,
+                "manifest_length": os.path.getsize(new_path),
+                "partition_spec_id": int(m.get("partition_spec_id") or 0),
+                "content": mcontent,
+                "sequence_number": mseq,
+                "min_sequence_number": min(
+                    int(k["sequence_number"]) for k in kept
+                ),
+                "added_snapshot_id": int(m.get("added_snapshot_id") or 0),
+                "added_files_count": 0,
+                "existing_files_count": len(kept),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    int(k["data_file"].get("record_count") or 0) for k in kept
+                ),
+                "deleted_rows_count": 0,
+                # original summaries stay VALID (kept ⊆ original): bounds
+                # may be loose, never wrong
+                "partitions": m.get("partitions"),
+            }
+        )
+
+    added_rows = sum(int(f["record_count"]) for f in new_files)
+    now_ms = int(time.time() * 1000)
+
+    def _attempt(state):
+        version_a, meta_a = state
+        seq = int(meta_a.get("last-sequence-number", 0)) + 1
+        snap_id = uuid.uuid4().int >> 65
+        recs = []
+        if new_files:
+            manifest_path = _write_manifest(
+                meta_dir,
+                _manifest_entries(
+                    new_files, 0, None, part_fields, snap_id, stat_fields
+                ),
+                part_fields,
+                schema_json,
+                spec_id,
+                "data",
+            )
+            recs.append(
+                _manifest_rec(
+                    manifest_path, spec_id, 0, seq, snap_id,
+                    len(new_files), added_rows,
+                    _part_summaries(new_files, part_fields),
+                )
+            )
+        mlist_path = _write_manifest_list(
+            meta_dir, snap_id, seq,
+            recs + surgery_recs + _carry_manifests(untouched),
+        )
+        new_version = _finish_commit(
+            root, version_a, meta_a, snap_id, seq, now_ms, mlist_path, sid,
+            "replace",
+            {
+                "added-data-files": str(len(new_files)),
+                "added-records": str(added_rows),
+                "deleted-data-files": str(dropped_data_files),
+                "removed-delete-files": str(dropped_delete_files),
+            },
+            log_prior_metadata=True,
+            store=store,
+        )
+        return {
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "metadata_version": new_version,
+            "rewritten_files": dropped_data_files,
+            "added_files": len(new_files),
+            "removed_delete_files": dropped_delete_files,
+            "operation": "replace",
+        }
+
+    def _refresh():
+        version_f, meta_f = _load_v2_meta(root, table_uri)
+        if meta_f.get("current-snapshot-id") != basis_snapshot:
+            raise BuzzCommitAbortedError(
+                "the snapshot this partial rewrite was built from was "
+                "superseded concurrently — re-run against the current table"
+            )
+        return (version_f, meta_f)
+
+    return commit_with_retry(
+        _attempt, _refresh, (version, meta), max_commit_retries
     )
 
 

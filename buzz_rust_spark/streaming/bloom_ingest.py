@@ -46,9 +46,16 @@ _STATE_SCHEMA = StructType(
 def read_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Fold the append-only sketch-delta log into the current filter
     (empty filter when the log doesn't exist yet)."""
+    import os
+
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
+    # local-path fast probe: a bootstrap poll's not-yet-created state dir
+    # would otherwise log a harmless-but-noisy FileNotFoundException stack
+    # trace from a Spark listener before the typed catch below fires
+    if "://" not in state_dir and not os.path.exists(state_dir):
+        return spark.createDataFrame([], _STATE_SCHEMA)
     try:
         deltas = spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
         deltas.schema  # force path resolution now, inside the try

@@ -1738,3 +1738,130 @@ def test_vectorized_bucket_udf_date_timestamp(spark, tmp_path):
         .collect()
     }
     assert 1 in got
+
+
+def test_partial_rewrite_compacts_only_selected_partition(spark, tmp_path):
+    """rewrite_iceberg(partition_filter=...) rewrites ONLY the selected
+    day: untouched days keep their original file paths (no read, no
+    write), the day's position-delete file leaves the snapshot, carried
+    equality deletes still apply to untouched files, and time travel to
+    the basis stays exact."""
+    import datetime
+    import glob as _glob
+
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2021, 1, 1 + i % 3), i) for i in range(9)],
+        "id long, ts timestamp_ntz, v long",
+    )
+    write_iceberg(df, root, partition_by=["days(ts)"])
+    # CDC: upsert touches day-1 AND day-2 keys (eq deletes are global)
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame(
+            [(0, datetime.datetime(2021, 1, 1), 100),
+             (1, datetime.datetime(2021, 1, 2), 111)],
+            "id long, ts timestamp_ntz, v long",
+        ),
+        key_cols=["id", "ts"],
+    )
+    basis = IcebergCatalog("t", root).history()[-1]["snapshot_id"]
+    delete_iceberg(spark, root, "id = 3")  # day-1 position delete
+
+    cat0 = IcebergCatalog("t", root)
+    plan0 = cat0._plan(spark, None)
+    day1 = {f.key for f in cat0.pruned_files(spark, "ts_day = '2021-01-01'")}
+    untouched_before = {
+        f.key for f in plan0["files"] if f.key not in day1
+    }
+
+    out = rewrite_iceberg(spark, root, partition_filter="ts_day = '2021-01-01'")
+    assert out is not None and out["operation"] == "replace"
+    assert out["removed_delete_files"] == 1  # day-1 pos-delete dropped
+
+    cat = IcebergCatalog("t", root)
+    got = sorted((r.id, r.v) for r in cat.to_dataframe(spark).collect())
+    assert got == [
+        (0, 100), (1, 111), (2, 2), (4, 4), (5, 5), (6, 6), (7, 7), (8, 8),
+    ]
+    plan = cat._plan(spark, None)
+    live_keys = {f.key for f in plan["files"]}
+    # untouched files carried verbatim (same paths); day-1 files replaced
+    assert untouched_before <= live_keys
+    assert not (day1 & live_keys)
+    # the eq delete carried forward and STILL kills the untouched day-2
+    # pre-merge row (1, 1) — the merge's (1, 111) survives
+    # the scoped merge wrote one eq key file per touched day; both carry
+    assert {d["kind"] for d in plan["deletes"]} == {"eq"}
+    assert sorted(
+        (r.id, r.v)
+        for r in cat.to_dataframe(spark, "ts_day = '2021-01-02'").collect()
+    ) == [(1, 111), (4, 4), (7, 7)]
+    # time travel to the basis (pre-delete) stays MOR-exact
+    tt = sorted(
+        (r.id, r.v)
+        for r in IcebergCatalog("t", root, snapshot_id=basis)
+        .to_dataframe(spark)
+        .collect()
+    )
+    assert tt == [(0, 100), (1, 111)] + [(i, i) for i in range(2, 9)]
+    # compacting a day whose rows were ALL deleted drops its files with
+    # no replacement
+    delete_iceberg(spark, root, "id IN (2, 5, 8)")  # all of day 3
+    out2 = rewrite_iceberg(
+        spark, root, partition_filter="ts_day = '2021-01-03'"
+    )
+    assert out2 is not None and out2["added_files"] == 0
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [0, 1, 4, 6, 7]
+
+
+def test_partial_rewrite_aborts_on_concurrent_commit(spark, tmp_path):
+    import datetime
+
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        rewrite_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.write_store import LocalCommitStore
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2021, 1, 1)), (2, datetime.datetime(2021, 1, 2))],
+        "id long, ts timestamp_ntz",
+    )
+    write_iceberg(df, root, partition_by=["days(ts)"])
+    store = LocalCommitStore()
+    fired = {}
+
+    def seam(path):
+        if not fired:
+            fired["x"] = 1
+            write_iceberg(
+                spark.createDataFrame(
+                    [(9, datetime.datetime(2021, 1, 1))],
+                    "id long, ts timestamp_ntz",
+                ),
+                root, mode="append",
+            )
+
+    store.before_claim = seam
+    with pytest.raises(BuzzCommitAbortedError):
+        rewrite_iceberg(
+            spark, root, partition_filter="ts_day = '2021-01-01'", store=store
+        )
+    # nothing lost — all three rows live
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 2, 9]

@@ -2927,3 +2927,84 @@ def z37_iceberg_partial_compaction(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "z38_incremental_matview",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 80
+),
+base AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+appended AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+upd AS (SELECT doc_id, source, 'v2 ' || text AS text
+        FROM base WHERE doc_id % 3 = 0),
+final AS (
+  SELECT * FROM (
+    SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM appended
+  ) WHERE doc_id % 10 != 4
+)
+SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(CAST(length(text) AS DOUBLE)), 4) AS sum_len
+FROM final GROUP BY source ORDER BY source
+""",
+)
+def z38_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate, oracle-checked: a per-source
+    COUNT/SUM materialization bootstraps on the base write, then ONE
+    incremental refresh applies the changelog of an append + CDC merge +
+    predicate delete — and the materialized state must equal the
+    relational aggregate of the source's final state."""
+    import tempfile
+
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+    from ..sources.materialize import (
+        read_materialization,
+        refresh_materialization,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(80)
+        .select(
+            "doc_id",
+            F.col("source").alias("g"),
+            F.length("text").cast("double").alias("len"),
+            "text",
+        )
+    )
+    base = docs.where("doc_id % 2 = 0").select("doc_id", "g", "len")
+    d = tempfile.mkdtemp(prefix="matview_z38_")
+    src = d + "/src"
+    tgt = d + "/mv"
+    write_iceberg(base, src)
+    refresh_materialization(spark, src, tgt, ["g"], ["len"])
+    # source advances: append, CDC update (text grows by 3 chars), delete
+    write_iceberg(
+        docs.where("doc_id % 2 = 1").select("doc_id", "g", "len"),
+        src, mode="append",
+    )
+    upd = docs.where("doc_id % 2 = 0 AND doc_id % 3 = 0").select(
+        "doc_id", "g", (F.col("len") + F.lit(3.0)).alias("len")
+    )
+    merge_iceberg(spark, src, upd, ["doc_id"])
+    delete_iceberg(spark, src, "doc_id % 10 = 4")
+    refresh_materialization(spark, src, tgt, ["g"], ["len"])
+
+    return (
+        read_materialization(spark, tgt)
+        .select(
+            "g",
+            "n_rows",
+            F.round(F.col("sum_len"), 4).alias("sum_len"),
+        )
+        .orderBy("g")
+    )

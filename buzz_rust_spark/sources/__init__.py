@@ -21,6 +21,7 @@ from .iceberg import (
     read_iceberg_changelog,
     read_iceberg_changes,
 )
+from .materialize import read_materialization, refresh_materialization
 from .iceberg_writer import (
     delete_iceberg,
     evolve_iceberg,
@@ -61,6 +62,8 @@ __all__ = [
     "read_delta_changes",
     "read_iceberg_changelog",
     "read_iceberg_changes",
+    "read_materialization",
+    "refresh_materialization",
     "write_iceberg",
     "merge_iceberg",
     "delete_iceberg",

@@ -2371,6 +2371,7 @@ def merge_iceberg(
     key_cols: list[str],
     target_file_rows: int = 1_000_000,
     max_commit_retries: int = 5,
+    set_properties: dict[str, str] | None = None,
     store=None,
 ) -> dict | None:
     """UPSERT ``source`` into the Iceberg table by ``key_cols`` — the
@@ -2394,6 +2395,12 @@ def merge_iceberg(
     order-undefined); schema-evolved (renamed-column) tables are refused —
     the reader refuses equality deletes there (pre-rename delete files
     would be misread).  Returns None for an empty source.
+
+    ``set_properties`` merges table properties ATOMICALLY with the merge
+    commit (one metadata promote carries both) — how an incremental
+    materialization records its source cursor exactly-once: a crash
+    either lands the merge AND the cursor or neither.  ``buzz.txn.``
+    keys are refused (expiry-managed replay markers).
 
     The delete manifest commits under the table's UNPARTITIONED spec
     (added to ``partition-specs`` on first use) — the spec's GLOBAL form,
@@ -2423,6 +2430,13 @@ def merge_iceberg(
             f"merge key columns {missing or key_cols} not in the table schema"
         )
 
+    if set_properties and any(
+        k.startswith("buzz.txn.") for k in set_properties
+    ):
+        raise BuzzBadRequestError(
+            "properties under buzz.txn. are exactly-once transaction "
+            "markers managed by snapshot expiry — refusing to overwrite"
+        )
     from .iceberg import IcebergCatalog
 
     cat = IcebergCatalog("merge", root)
@@ -2553,6 +2567,10 @@ def merge_iceberg(
         seq = int(meta_a.get("last-sequence-number", 0)) + 1
         snap_id = uuid.uuid4().int >> 65
         meta_a = dict(meta_a)
+        if set_properties:
+            props = dict(meta_a.get("properties") or {})
+            props.update({str(k): str(v) for k, v in set_properties.items()})
+            meta_a["properties"] = props
         data_manifest = _write_manifest(
             meta_dir,
             _manifest_entries(

@@ -1,0 +1,189 @@
+"""Incremental materialized aggregates (sources/materialize.py): the
+changelog consumer — bootstrap, retractable refresh, exactly-once cursor,
+drift detection, and the delta-source path."""
+
+from __future__ import annotations
+
+import pytest
+
+from buzz_rust_spark.errors import (
+    BuzzBadRequestError,
+    BuzzExecutionError,
+)
+from buzz_rust_spark.sources.materialize import (
+    read_materialization,
+    refresh_materialization,
+)
+
+
+def _rows(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _state(spark, tgt):
+    return sorted(
+        (r.g, r.n_rows, r.sum_v)
+        for r in read_materialization(spark, tgt).collect()
+    )
+
+
+def test_matview_iceberg_lifecycle(spark, tmp_path):
+    """Bootstrap → append/merge/delete refreshes → group death (tombstone
+    filtered) → revival, each state equal to a full recompute."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    write_iceberg(
+        _rows(spark, [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+              "id long, g string, v double"),
+        src,
+    )
+    out = refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    assert out["bootstrapped"] is True
+    assert _state(spark, tgt) == [("a", 2, 30.0), ("b", 1, 30.0)]
+    # unchanged source: no commit
+    assert refresh_materialization(spark, src, tgt, ["g"], ["v"]) is None
+
+    write_iceberg(
+        _rows(spark, [(4, "b", 40.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+    merge_iceberg(
+        spark, src,
+        _rows(spark, [(1, "a", 100.0)], "id long, g string, v double"),
+        ["id"],
+    )
+    delete_iceberg(spark, src, "id = 3")
+    out = refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    assert out["groups_updated"] == 2
+    assert _state(spark, tgt) == [("a", 2, 120.0), ("b", 1, 40.0)]
+
+    # every refresh must equal the full recompute of the source
+    full = sorted(
+        (r.g, r.n, r.s)
+        for r in IcebergCatalog("s", src)
+        .to_dataframe(spark)
+        .groupBy("g")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*")
+            .cast("long").alias("n"),
+            __import__("pyspark.sql.functions", fromlist=["F"]).sum("v")
+            .alias("s"),
+        )
+        .collect()
+    )
+    assert _state(spark, tgt) == full
+
+    # group death: delete all of b → tombstone, filtered from reads
+    delete_iceberg(spark, src, "id = 4")
+    refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    assert _state(spark, tgt) == [("a", 2, 120.0)]
+    # revival from the tombstone
+    write_iceberg(
+        _rows(spark, [(7, "b", 7.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+    refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    assert _state(spark, tgt) == [("a", 2, 120.0), ("b", 1, 7.0)]
+
+
+def test_matview_delta_source(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    write_delta(
+        _rows(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0)],
+              "id long, g string, v double"),
+        src,
+    )
+    refresh_materialization(spark, src, tgt, ["g"], ["v"], source_format="delta")
+    assert _state(spark, tgt) == [("a", 1, 1.0), ("b", 2, 5.0)]
+    merge_delta(
+        spark, src,
+        _rows(spark, [(2, "b", 200.0), (9, "a", 9.0)],
+              "id long, g string, v double"),
+        on=["id"],
+    )
+    delete_delta(spark, src, "id = 3")
+    refresh_materialization(spark, src, tgt, ["g"], ["v"], source_format="delta")
+    assert _state(spark, tgt) == [("a", 2, 10.0), ("b", 1, 200.0)]
+
+
+def test_matview_spec_and_drift_guards(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import (
+        set_iceberg_properties,
+        write_iceberg,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    write_iceberg(
+        _rows(spark, [(1, "a", 1.0)], "id long, g string, v double"), src
+    )
+    refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    # a different spec against the same target is refused
+    with pytest.raises(BuzzBadRequestError, match="spec mismatch"):
+        refresh_materialization(spark, src, tgt, ["g"])
+    # group/sum overlap refused
+    with pytest.raises(BuzzBadRequestError, match="both"):
+        refresh_materialization(spark, src, str(tmp_path / "mv2"), ["g"], ["g"])
+    # a non-materialization iceberg table is refused as a target
+    with pytest.raises(BuzzExecutionError, match="cursor"):
+        refresh_materialization(spark, src, src, ["g"], ["v"])
+    # cursor drift: rewind the cursor so the changelog replays rows the
+    # state already counted in the OTHER direction — a delete of rows
+    # never counted must trip the negative-count guard, not go silent
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    first = IcebergCatalog("s", src).history()[-1]["snapshot_id"]
+    delete_iceberg(spark, src, "id = 1")
+    refresh_materialization(spark, src, tgt, ["g"], ["v"])  # state: a dead
+    set_iceberg_properties(tgt, {"buzz.matview.cursor": str(first)})
+    with pytest.raises(BuzzExecutionError, match="drift"):
+        refresh_materialization(spark, src, tgt, ["g"], ["v"])
+
+
+def test_matview_cursor_atomic_with_merge(spark, tmp_path):
+    """The cursor advances in the SAME commit as the state merge: after a
+    refresh, the target's current metadata carries both; a replayed
+    refresh (same source position) is a no-op."""
+    import glob
+    import json as _json
+    import os
+
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    write_iceberg(
+        _rows(spark, [(1, "a", 1.0)], "id long, g string, v double"), src
+    )
+    refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    write_iceberg(
+        _rows(spark, [(2, "a", 2.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+    out = refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    meta = _json.load(open(sorted(
+        glob.glob(os.path.join(tgt, "metadata", "v*.metadata.json"))
+    )[-1]))
+    assert meta["properties"]["buzz.matview.cursor"] == out["cursor"]
+    # the merge snapshot and the cursor landed in ONE metadata version:
+    # the previous version's properties still hold the OLD cursor
+    prev = _json.load(open(sorted(
+        glob.glob(os.path.join(tgt, "metadata", "v*.metadata.json"))
+    )[-2]))
+    assert prev["properties"]["buzz.matview.cursor"] != out["cursor"]
+    assert refresh_materialization(spark, src, tgt, ["g"], ["v"]) is None

@@ -638,6 +638,12 @@ class IcebergCatalog:
         field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
         # id → current name: equality deletes key on field ids
         self._field_names = field_names
+        # id → iceberg type string (primitives only): bound decoding
+        self._field_types = {
+            int(f["id"]): f["type"]
+            for f in schema_json["fields"]
+            if isinstance(f["type"], str)
+        }
         self._properties = meta.get("properties") or {}
 
         # Schema evolution: any historical schema mapping a CURRENT field id
@@ -1559,6 +1565,50 @@ class IcebergCatalog:
             )
         return reduce(DataFrame.unionByName, parts)
 
+    def file_key_bounds(
+        self, spark: SparkSession | None, field_ids: list[int]
+    ) -> dict[str, dict[int, tuple]]:
+        """Per data-file (recorded path) decoded (lower, upper) bounds of
+        the given field ids, read from the snapshot's manifest-entry
+        column stats — the zone map that lets retraction/predicate scans
+        skip files provably disjoint from a key set.  Conservative:
+        files or fields without decodable bounds are simply ABSENT (the
+        caller must keep such files).  O(metadata), shares the catalog's
+        distributed manifest decode above the driver cap."""
+        if self._manifests is None:
+            return {}
+        types = self._field_types
+        want = [fid for fid in field_ids if fid in types]
+        if not want:
+            return {}
+        out: dict[str, dict[int, tuple]] = {}
+        data_manifests = [
+            m for m in self._manifests if int(m.get("content") or 0) == 0
+        ]
+        for _, _, e in self._decode_entries(spark, data_manifests):
+            if int(e.get("status") or 0) == 2:
+                continue
+            df_rec = e["data_file"]
+            if int(df_rec.get("content") or 0) != 0:
+                continue
+            lows = {
+                int(kv["key"]): kv["value"]
+                for kv in (df_rec.get("lower_bounds") or [])
+            }
+            highs = {
+                int(kv["key"]): kv["value"]
+                for kv in (df_rec.get("upper_bounds") or [])
+            }
+            per: dict[int, tuple] = {}
+            for fid in want:
+                lo = _decode_bound(lows.get(fid), types[fid])
+                hi = _decode_bound(highs.get(fid), types[fid])
+                if lo is not None and hi is not None:
+                    per[fid] = (lo, hi)
+            if per:
+                out[df_rec["file_path"]] = per
+        return out
+
     def history(self) -> list[dict]:
         """Snapshot list (id, timestamp, operation) — from the metadata
         already loaded at construction (no re-read: a concurrent commit must
@@ -1913,17 +1963,17 @@ def read_iceberg_changelog(
         )
     if from_cat._evolved:
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    from_scan = from_cat._mor_scan(
-        spark,
-        fplan["files"],
-        [],
-        [d for d in fplan["deletes"] if d["kind"] == "pos"],
-        f_eq,
-        fplan,
-        keep_coords=True,
-    )
 
-    del_frames: list[DataFrame] = []
+    # Candidate pruning — the retraction scan must not read the whole
+    # from-state: position deletes name their target files exactly, and
+    # equality retraction is zone-mapped (per-file key-column bounds from
+    # the manifests vs the delete keys' min/max) — a file provably
+    # disjoint from every key range holds no retractable row.  Files or
+    # columns without decodable/comparable bounds stay candidates.
+    candidate_keys: set = set()
+    uri_of_rec = {rec: _spark_uri(rec) for rec, _ in fplan["pairs"]}
+
+    pos_df = None
     if pos_in_range:
         del_schema = StructType(
             [
@@ -1956,14 +2006,18 @@ def read_iceberg_changelog(
             posdel.join(broadcast(mapping), on="file_path")
             .select("__path", F.col("pos").alias("__ridx"))
         )
-        del_frames.append(
-            from_scan.join(pos_df, on=["__path", "__ridx"], how="left_semi")
-        )
+        candidate_keys |= {
+            uri_of_rec[rec] for rec in refs if rec in uri_of_rec
+        }
+
+    eq_groups: list[tuple[list[str], DataFrame]] = []
     if eq_in_range:
         by_name = {f.name: f for f in cat._scan_schema.fields}
         groups: dict[tuple, list[dict]] = {}
         for d in eq_in_range:
             groups.setdefault(d["eq_ids"], []).append(d)
+        all_eq_ids = sorted({fid for ids in groups for fid in ids})
+        bounds = from_cat.file_key_bounds(spark, all_eq_ids)
         for ids, dels in sorted(groups.items()):
             names = []
             for fid in ids:
@@ -1980,19 +2034,83 @@ def read_iceberg_changelog(
                 spark.read.schema(key_schema)
                 .parquet(*sorted({d["uri"] for d in dels}))
                 .distinct()
-                .alias("__d")
             )
             if sum(d["size"] for d in dels) <= cat.DELETE_BROADCAST_MAX_BYTES:
                 keys = broadcast(keys)
-            s = from_scan.alias("__s")
-            cond = reduce(
-                lambda a, b: a & b,
-                [
-                    F.col(f"__s.{n}").eqNullSafe(F.col(f"__d.{n}"))
-                    for n in names
-                ],
-            )
-            del_frames.append(s.join(keys, on=cond, how="left_semi"))
+            eq_groups.append((names, keys))
+            # zone map: key min/max per PRUNABLE column (int/long/string —
+            # types whose decoded bounds compare exactly with collected
+            # Spark values); a column outside that set never prunes
+            prunable = [
+                (i, fid)
+                for i, fid in enumerate(ids)
+                if cat._field_types.get(fid) in ("int", "long", "string")
+            ]
+            ranges = None
+            if prunable:
+                row = keys.agg(
+                    *[
+                        g
+                        for i, _ in prunable
+                        for g in (
+                            F.min(names[i]).alias(f"__lo{i}"),
+                            F.max(names[i]).alias(f"__hi{i}"),
+                        )
+                    ]
+                ).collect()[0]
+                ranges = {
+                    fid: (row[f"__lo{i}"], row[f"__hi{i}"])
+                    for i, fid in prunable
+                }
+            for rec, uri in uri_of_rec.items():
+                if uri in candidate_keys:
+                    continue
+                per = bounds.get(rec)
+                disjoint = False
+                if per and ranges:
+                    for fid, (kmin, kmax) in ranges.items():
+                        b = per.get(fid)
+                        if (
+                            b is not None
+                            and kmin is not None
+                            and kmax is not None
+                            and type(b[0]) is type(kmin)
+                            and (b[1] < kmin or b[0] > kmax)
+                        ):
+                            disjoint = True  # this group can't hit the file
+                            break
+                if not disjoint:
+                    candidate_keys.add(uri)
+
+    from_files = [f for f in fplan["files"] if f.key in candidate_keys]
+    if not from_files:
+        return out  # every from-file is provably untouched
+    from_scan = from_cat._mor_scan(
+        spark,
+        from_files,
+        [],
+        [d for d in fplan["deletes"] if d["kind"] == "pos"],
+        f_eq,
+        fplan,
+        keep_coords=True,
+    )
+
+    del_frames: list[DataFrame] = []
+    if pos_df is not None:
+        del_frames.append(
+            from_scan.join(pos_df, on=["__path", "__ridx"], how="left_semi")
+        )
+    for names, keys in eq_groups:
+        s = from_scan.alias("__s")
+        k = keys.alias("__d")
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__s.{n}").eqNullSafe(F.col(f"__d.{n}"))
+                for n in names
+            ],
+        )
+        del_frames.append(s.join(k, on=cond, how="left_semi"))
 
     deletes_df = (
         reduce(DataFrame.unionByName, del_frames)

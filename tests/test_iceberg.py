@@ -1854,3 +1854,55 @@ def test_iceberg_changelog_dedups_multi_hit_rows(spark, tmp_path):
     ).to_dataframe(spark)
     to_df = IcebergCatalog("t", root).to_dataframe(spark)
     assert _frames_equal(_apply_changelog(from_df, cl), to_df)
+
+
+def test_changelog_zone_map_prunes_from_state(spark, tmp_path):
+    """Equality retraction is zone-mapped: a from-file whose key-column
+    bounds are provably disjoint from every in-range delete key is NEVER
+    read (ghost-file proof) — the retraction scan is O(affected files),
+    not O(from-state)."""
+    from buzz_rust_spark.sources.iceberg import read_iceberg_changelog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    # two disjoint key-range files: ids 1-10 and 1000-1010
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, i * 1.0) for i in range(1, 11)], "id long, v double"
+        ).coalesce(1),
+        root,
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, i * 1.0) for i in range(1000, 1011)], "id long, v double"
+        ).coalesce(1),
+        root, mode="append",
+    )
+    from_snap = IcebergCatalog("t", root).history()[-1]["snapshot_id"]
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(5, 500.0)], "id long, v double"),
+        key_cols=["id"],
+    )
+    cat = IcebergCatalog("t", root)
+    plan = cat._plan(spark, None)
+    # ghost the high-range file: the zone map proves keys {5} can't be in
+    # [1000, 1010], so the changelog never opens it
+    high = next(
+        rec for rec, _ in plan["pairs"]
+        if "1000" in str(
+            __import__("pyarrow.parquet", fromlist=["p"]).read_table(
+                rec.removeprefix("file:"), columns=["id"]
+            ).column("id")[0]
+        )
+    )
+    os.rename(high, high + ".hidden")
+    try:
+        cl = read_iceberg_changelog(spark, root, from_snap)
+        got = sorted((r.id, r.v, r._change_type) for r in cl.collect())
+        assert got == [(5, 5.0, "delete"), (5, 500.0, "insert")]
+    finally:
+        os.rename(high + ".hidden", high)

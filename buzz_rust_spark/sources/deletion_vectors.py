@@ -326,9 +326,29 @@ def build_dvs_distributed(
 
     ``old_positions_by_file`` maps the scan's normalized absolute path to
     the file's EXISTING deleted positions (already decoded driver-side for
-    the no-op anti-join); only files with at least one NEW match appear in
-    the output, so untouched files keep their current descriptors."""
-    import pandas as pd  # noqa: F401 — mapInPandas contract
+    the no-op anti-join).  They are shipped as TAGGED DataFrame rows
+    unioned with the matched coordinates — partitioned by file like
+    everything else — so a task receives only ITS files' old positions
+    instead of the whole table's vectors in the task closure.  A file
+    whose rows are all old (no new match) emits nothing, so untouched
+    files keep their current descriptors."""
+    from pyspark.sql import functions as F
+
+    spark = matched_df.sparkSession
+    tagged = matched_df.select(
+        "__file", "__ridx", F.lit(1).alias("__new")
+    )
+    old_rows = [
+        (f, int(p))
+        for f, ps in old_positions_by_file.items()
+        for p in ps
+    ]
+    if old_rows:
+        tagged = tagged.unionByName(
+            spark.createDataFrame(
+                old_rows, "__file string, __ridx long"
+            ).select("__file", "__ridx", F.lit(0).alias("__new"))
+        )
 
     out_schema = (
         "rel_abs string, token string, offset long, size long, "
@@ -343,6 +363,7 @@ def build_dvs_distributed(
         import pandas as pd
 
         pos_by_file: dict[str, list] = {}
+        new_by_file: dict[str, int] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -350,19 +371,24 @@ def build_dvs_distributed(
                 pos_by_file.setdefault(f, []).append(
                     grp["__ridx"].to_numpy(dtype="int64")
                 )
-        if not pos_by_file:
+                new_by_file[f] = new_by_file.get(f, 0) + int(
+                    grp["__new"].sum()
+                )
+        entries: dict[str, list[int]] = {}
+        new_counts: dict[str, int] = {}
+        for f, arrs in pos_by_file.items():
+            if not new_by_file.get(f):
+                continue  # only pre-existing positions: descriptor unchanged
+            merged = np.unique(np.concatenate(arrs))
+            entries[f] = merged.tolist()
+            # matched rows were MOR-anti-joined against the old vector, so
+            # every __new row is a genuinely new distinct position
+            new_counts[f] = new_by_file[f]
+        if not entries:
             return
         dv_uuid = _uuid.uuid4()
         token = z85_encode(dv_uuid.bytes)
         sidecar = f"deletion_vector_{dv_uuid}.bin"
-        entries: dict[str, list[int]] = {}
-        new_counts: dict[str, int] = {}
-        for f, arrs in pos_by_file.items():
-            new = np.unique(np.concatenate(arrs))
-            old = old_positions_by_file.get(f, ())
-            merged = sorted(set(old).union(new.tolist()))
-            entries[f] = merged
-            new_counts[f] = int(new.size)
         descs = write_dv_sidecar(_os.path.join(table_dir, sidecar), entries)
         yield pd.DataFrame(
             [
@@ -380,7 +406,7 @@ def build_dvs_distributed(
 
     return [
         r.asDict()
-        for r in matched_df.repartition("__file")
+        for r in tagged.repartition("__file")
         .mapInPandas(build, schema=out_schema)
         .collect()
     ]

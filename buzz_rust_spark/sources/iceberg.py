@@ -566,6 +566,7 @@ class IcebergCatalog:
         # plan cache: partition_filter (or "") → (data CatalogFiles,
         # delete-file dicts, recorded→normalized path pairs)
         self._plans: dict[str, tuple] = {}
+        self._entries_cache: dict[str, list] = {}
         self._load()
 
     # --- metadata chain ------------------------------------------------------
@@ -843,20 +844,35 @@ class IcebergCatalog:
         """All (manifest_content, manifest_sequence_number, entry) triples
         of the given manifests — sequential on the driver for small tables,
         one distributed binaryFile+mapInPandas job above
-        DRIVER_PLAN_MAX_MANIFESTS."""
+        DRIVER_PLAN_MAX_MANIFESTS.  Driver-decoded manifests memoize per
+        PATH: ``_plan`` and ``file_key_bounds`` on the same pinned
+        snapshot must not pay the decode twice (manifest files are
+        immutable, so path-keyed caching is always sound)."""
+        todo = [
+            m for m in manifests
+            if m["manifest_path"] not in self._entries_cache
+        ]
         if (
             spark is not None
-            and len(manifests) > self.DRIVER_PLAN_MAX_MANIFESTS
+            and len(todo) > self.DRIVER_PLAN_MAX_MANIFESTS
         ):
+            # the distributed job is set-shaped; cache at set granularity
+            # (subset calls after it fall through to the driver loop below,
+            # which is only reached when the subset itself is small)
             return self._decode_entries_distributed(spark, manifests)
-        out: list[tuple[int, int, dict]] = []
-        for m in manifests:
+        for m in todo:
             _, entries = decode_avro_file(
                 self._read_meta_bytes(m["manifest_path"])
             )
+            self._entries_cache[m["manifest_path"]] = entries
+        out: list[tuple[int, int, dict]] = []
+        for m in manifests:
             content = int(m.get("content") or 0)
             mseq = int(m.get("sequence_number") or 0)
-            out.extend((content, mseq, e) for e in entries)
+            out.extend(
+                (content, mseq, e)
+                for e in self._entries_cache[m["manifest_path"]]
+            )
         return out
 
     def _decode_entries_distributed(
@@ -1368,17 +1384,7 @@ class IcebergCatalog:
             for d in eq:
                 groups.setdefault(d["eq_ids"], []).append(d)
             for ids, dels in sorted(groups.items()):
-                names = []
-                for fid in ids:
-                    name = self._field_names.get(fid)
-                    if name is None or name not in by_name:
-                        raise BuzzExecutionError(
-                            f"iceberg equality delete keys on field id "
-                            f"{fid}, which is not in the current schema — "
-                            "refusing (cannot evaluate the delete "
-                            "predicate)"
-                        )
-                    names.append(name)
+                names = self._eq_key_names(ids)
                 key_schema = StructType([by_name[n] for n in names])
                 # one scan of ALL the key-set's delete files; a carried-
                 # forward entry may list a file twice — dedup by uri (the
@@ -1564,6 +1570,24 @@ class IcebergCatalog:
                 df.select(*projection).select(*[f.name for f in self.schema.fields])
             )
         return reduce(DataFrame.unionByName, parts)
+
+    def _eq_key_names(self, ids: tuple) -> list[str]:
+        """Current column names of an equality delete's key field ids —
+        typed refusal when an id is absent from the current schema.
+        Shared by the snapshot MOR scan and the changelog retraction so
+        the resolution rules cannot drift apart."""
+        have = {f.name for f in self._scan_schema.fields}
+        names = []
+        for fid in ids:
+            name = self._field_names.get(fid)
+            if name is None or name not in have:
+                raise BuzzExecutionError(
+                    f"iceberg equality delete keys on field id {fid}, "
+                    "which is not in the current schema — refusing "
+                    "(cannot evaluate the delete predicate)"
+                )
+            names.append(name)
+        return names
 
     def file_key_bounds(
         self, spark: SparkSession | None, field_ids: list[int]
@@ -2019,16 +2043,7 @@ def read_iceberg_changelog(
         all_eq_ids = sorted({fid for ids in groups for fid in ids})
         bounds = from_cat.file_key_bounds(spark, all_eq_ids)
         for ids, dels in sorted(groups.items()):
-            names = []
-            for fid in ids:
-                name = cat._field_names.get(fid)
-                if name is None or name not in by_name:
-                    raise BuzzExecutionError(
-                        f"iceberg equality delete keys on field id {fid}, "
-                        "which is not in the current schema — refusing "
-                        "(cannot evaluate the delete predicate)"
-                    )
-                names.append(name)
+            names = cat._eq_key_names(ids)
             key_schema = StructType([by_name[n] for n in names])
             keys = (
                 spark.read.schema(key_schema)

@@ -1977,12 +1977,11 @@ def delete_iceberg(
 
         version_f, meta_f = _load_v2_meta(root, table_uri)
         fresh_plan = IcebergCatalog("delete", root)._plan(spark, None)
-        if any(d["kind"] == "eq" for d in fresh_plan["deletes"]):
-            raise BuzzCommitAbortedError(
-                "a concurrent commit added equality deletes — this "
-                "position delete cannot be sequence-scoped against them; "
-                "re-run delete_iceberg"
-            )
+        # Concurrent EQUALITY deletes (another merge landing first) do NOT
+        # invalidate the retry: they kill rows by key, our staged position
+        # deletes kill rows by coordinate, and readers apply the UNION —
+        # a row hit by both is removed once either way.  (The pre-existing
+        # eq deletes were already MOR-applied to the predicate scan.)
         # matched recorded paths (small: distinct per staged delete file)
         matched_paths = set()
         for f in del_files:

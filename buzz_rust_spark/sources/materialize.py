@@ -65,15 +65,26 @@ def _agg_delta(cl: DataFrame, group_cols: list[str], sum_cols: list[str]):
 
 
 def _read_source_changelog(
-    spark: SparkSession, source_uri: str, source_format: str, cursor: str
+    spark: SparkSession,
+    source_uri: str,
+    source_format: str,
+    cursor: str,
+    upto: str,
 ):
+    """The changelog window (cursor, upto] — BOTH ends pinned: an
+    unbounded read would apply commits landing after the position the
+    refresh records as its cursor, double-counting them next refresh."""
     if source_format == "iceberg":
         from .iceberg import read_iceberg_changelog
 
-        return read_iceberg_changelog(spark, source_uri, int(cursor))
+        return read_iceberg_changelog(
+            spark, source_uri, int(cursor), to_snapshot_id=int(upto)
+        )
     from .delta_catalog import read_delta_changelog
 
-    return read_delta_changelog(spark, source_uri, int(cursor))
+    return read_delta_changelog(
+        spark, source_uri, int(cursor), to_version=int(upto)
+    )
 
 
 def _source_position(spark: SparkSession, source_uri: str, source_format: str):
@@ -154,12 +165,18 @@ def refresh_materialization(
     existing = _load_meta(_local_table_dir(target_uri))
     if existing is None:
         # --- bootstrap: one full aggregate of the current source state ---
+        # pinned at `pos`: a concurrent commit between the position read
+        # and this scan must not leak into a state recorded AS OF `pos`
         if source_format == "iceberg":
-            src = IcebergCatalog("_matview_src", source_uri).to_dataframe(spark)
+            src = IcebergCatalog(
+                "_matview_src", source_uri, snapshot_id=int(pos)
+            ).to_dataframe(spark)
         else:
             from .delta_catalog import DeltaCatalog
 
-            src = DeltaCatalog("_matview_src", source_uri).to_dataframe(spark)
+            src = DeltaCatalog(
+                "_matview_src", source_uri, version=int(pos)
+            ).to_dataframe(spark)
         aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
             F.sum(F.col(c).cast("double")).alias(f"sum_{c}") for c in sum_cols
         ]
@@ -200,7 +217,9 @@ def refresh_materialization(
     if str(pos) == cursor:
         return None  # source unchanged since the cursor
 
-    cl = _read_source_changelog(spark, source_uri, source_format, cursor)
+    cl = _read_source_changelog(
+        spark, source_uri, source_format, cursor, str(pos)
+    )
     delta = _agg_delta(cl, group_cols, sum_cols).persist()
     try:
         if delta.limit(1).count() == 0:
@@ -234,22 +253,32 @@ def refresh_materialization(
                 for c in sum_cols
             ],
         )
-        neg = new_state.where(F.col("n_rows") < 0).limit(1).count()
-        if neg:
-            raise BuzzExecutionError(
-                "materialization drift: a group's row count went negative "
-                "— the changelog retracted rows the state never counted "
-                "(cursor mismatch or out-of-band source rewrite); "
-                "re-bootstrap with a fresh target_uri"
+        # one pass for both checks (a separate limit(1) + count would
+        # re-execute the state join twice); the merge's own evaluation
+        # reuses the persisted frame
+        new_state = new_state.persist()
+        try:
+            stats = new_state.agg(
+                F.min("n_rows").alias("__mn"),
+                F.count(F.lit(1)).alias("__n"),
+            ).collect()[0]
+            if stats["__mn"] is not None and int(stats["__mn"]) < 0:
+                raise BuzzExecutionError(
+                    "materialization drift: a group's row count went "
+                    "negative — the changelog retracted rows the state "
+                    "never counted (cursor mismatch or out-of-band source "
+                    "rewrite); re-bootstrap with a fresh target_uri"
+                )
+            n_groups = int(stats["__n"])
+            out = merge_iceberg(
+                spark,
+                target_uri,
+                new_state,
+                key_cols=list(group_cols),
+                set_properties={CURSOR_PROP: str(pos)},
             )
-        n_groups = new_state.count()
-        out = merge_iceberg(
-            spark,
-            target_uri,
-            new_state,
-            key_cols=list(group_cols),
-            set_properties={CURSOR_PROP: str(pos)},
-        )
+        finally:
+            new_state.unpersist()
         return {**(out or {}), "cursor": str(pos), "groups_updated": n_groups}
     finally:
         delta.unpersist()

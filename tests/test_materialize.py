@@ -187,3 +187,40 @@ def test_matview_cursor_atomic_with_merge(spark, tmp_path):
     )[-2]))
     assert prev["properties"]["buzz.matview.cursor"] != out["cursor"]
     assert refresh_materialization(spark, src, tgt, ["g"], ["v"]) is None
+
+
+def test_matview_pins_reads_at_recorded_cursor(spark, tmp_path, monkeypatch):
+    """Review regression: reads are pinned at the position the refresh
+    RECORDS — a source commit landing between the position read and the
+    scan must be applied exactly once (by the NEXT refresh), never twice.
+    Simulated by pinning _source_position one commit behind."""
+    import buzz_rust_spark.sources.materialize as mat
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    write_iceberg(
+        _rows(spark, [(1, "a", 1.0)], "id long, g string, v double"), src
+    )
+    snap1 = IcebergCatalog("s", src).history()[-1]["snapshot_id"]
+    write_iceberg(
+        _rows(spark, [(2, "a", 2.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+
+    real = mat._source_position
+    monkeypatch.setattr(
+        mat, "_source_position", lambda *a, **k: snap1
+    )
+    out = mat.refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    # bootstrap pinned at snap1: the later commit must NOT be in the state
+    assert out["cursor"] == str(snap1)
+    assert _state(spark, tgt) == [("a", 1, 1.0)]
+    monkeypatch.setattr(mat, "_source_position", real)
+    # the later commit applies exactly once on the next refresh
+    mat.refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    assert _state(spark, tgt) == [("a", 2, 3.0)]
+    # and it never applies again
+    assert mat.refresh_materialization(spark, src, tgt, ["g"], ["v"]) is None
+    assert _state(spark, tgt) == [("a", 2, 3.0)]

@@ -587,3 +587,39 @@ def test_retry_exhaustion_propagates_conflict(spark, tmp_path):
             spark.createDataFrame([(2,)], "id long"), root, mode="append",
             store=store, max_commit_retries=0,
         )
+
+
+def test_iceberg_delete_retry_on_cdc_table(spark, tmp_path):
+    """Review regression: a delete over a CDC table (pre-existing equality
+    deletes) losing its claim to a concurrent APPEND must RETRY and
+    commit — the old refresh aborted on ANY eq delete in the fresh plan,
+    including the pre-existing ones the delete already MOR-resolved."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"), root
+    )
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(1, 100)], "id long, v long"),
+        key_cols=["id"],
+    )  # leaves equality deletes in the table
+    store = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame([(3, 30)], "id long, v long"),
+            root, mode="append",
+        )
+    )
+    out = delete_iceberg(spark, root, "v = 20", store=store)
+    assert out is not None and out["deleted_rows"] == 1
+    got = sorted(
+        (r.id, r.v)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, 100), (3, 30)]

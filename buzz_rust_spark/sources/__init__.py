@@ -28,7 +28,9 @@ from .iceberg_writer import (
     expire_iceberg_snapshots,
     merge_iceberg,
     rewrite_iceberg,
+    rollback_iceberg,
     set_iceberg_properties,
+    tag_iceberg,
     vacuum_iceberg,
     write_iceberg,
 )
@@ -37,6 +39,7 @@ from .delta_writer import (
     evolve_delta,
     merge_delta,
     optimize_delta,
+    restore_delta,
     vacuum_delta,
     write_delta,
 )
@@ -68,6 +71,8 @@ __all__ = [
     "merge_iceberg",
     "delete_iceberg",
     "rewrite_iceberg",
+    "rollback_iceberg",
+    "tag_iceberg",
     "evolve_iceberg",
     "evolve_delta",
     "expire_iceberg_snapshots",
@@ -80,6 +85,7 @@ __all__ = [
     "merge_delta",
     "delete_delta",
     "optimize_delta",
+    "restore_delta",
     "vacuum_delta",
     "read_warc",
     "warc_to_documents",

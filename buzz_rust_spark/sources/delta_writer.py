@@ -1453,6 +1453,103 @@ def delete_delta(
     )
 
 
+def restore_delta(
+    spark,
+    table_uri: str,
+    version: int,
+    checkpoint_interval: int = 10,
+    max_commit_retries: int = 5,
+    store=None,
+) -> int | None:
+    """RESTORE TABLE ... TO VERSION AS OF ``version`` (Delta's restore):
+    one commit that removes every file live NOW but not at the target
+    version and re-ADDS (verbatim, deletion vectors included) every file
+    live then but not now — the snapshot content becomes exactly the
+    target version's while history stays linear (the restore is itself a
+    new commit; time travel to the interim versions keeps working until
+    vacuum reclaims their files).  Returns the committed version, or None
+    when the current state already equals the target.  Files of the
+    target version must still exist — inside the vacuum retention window,
+    the same availability contract as time travel itself."""
+    table_dir = _local_table_dir(table_uri)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    last_version, live, meta = _log_state(log_dir)
+    if last_version < 0:
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    if version > last_version or version < 0:
+        raise BuzzBadRequestError(
+            f"restore: no version {version} (latest: {last_version})"
+        )
+    # replay to the TARGET version only
+    target_live: dict[str, dict] = {}
+    for v, rel in sorted(
+        (int(os.path.basename(p).split(".")[0]), p)
+        for p in glob(os.path.join(log_dir, "*.json"))
+    ):
+        if v > version:
+            break
+        adds = []
+        with open(rel) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    adds.append(action["add"])
+                elif "remove" in action:
+                    target_live.pop(action["remove"]["path"], None)
+        for add in adds:
+            target_live[add["path"]] = add
+
+    def _key(entry: dict):
+        # identity = path + deletion-vector descriptor: a DV change is a
+        # content change even when the path is unchanged
+        return (entry["path"], json.dumps(
+            entry.get("deletionVector") or {}, sort_keys=True
+        ))
+
+    cur_keys = {_key(a): p for p, a in live.items()}
+    tgt_keys = {_key(a): p for p, a in target_live.items()}
+    to_remove = [live[p] for k, p in cur_keys.items() if k not in tgt_keys]
+    to_add = [target_live[p] for k, p in tgt_keys.items() if k not in cur_keys]
+    if not to_remove and not to_add:
+        return None  # already at the target content
+    missing = [
+        a["path"] for a in to_add
+        if not os.path.exists(os.path.join(table_dir, a["path"]))
+    ]
+    if missing:
+        raise BuzzExecutionError(
+            f"restore: {len(missing)} file(s) of version {version} were "
+            f"vacuumed (first: {missing[0]!r}) — the target version is no "
+            "longer restorable"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    actions.extend(
+        {
+            "remove": {
+                "path": a["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for a in sorted(to_remove, key=lambda a: a["path"])
+    )
+    actions.extend(
+        {"add": {**a, "modificationTime": now_ms, "dataChange": True}}
+        for a in sorted(to_add, key=lambda a: a["path"])
+    )
+    # a restore's basis is the CURRENT live set: any concurrent data
+    # commit invalidates the computed diff
+    return _claim_rewrite_commit(
+        log_dir, last_version + 1, actions,
+        dict(live),
+        meta, checkpoint_interval, max_commit_retries, store,
+        "restore_delta",
+    )
+
+
 def vacuum_delta(
     table_uri: str,
     retention_hours: float = 168.0,

@@ -557,11 +557,17 @@ class IcebergCatalog:
         name: str,
         table_uri: str,
         snapshot_id: int | None = None,
+        ref: str | None = None,
         region: str | None = None,
     ):
         self.name = name
         self._store = LogStore(table_uri, region=region)
         self.table_uri = self._store.table_uri
+        if ref is not None and snapshot_id is not None:
+            raise BuzzBadRequestError(
+                "give snapshot_id or ref, not both"
+            )
+        self.ref = ref  # resolved to a snapshot id inside _load
         self.snapshot_id = snapshot_id
         # plan cache: partition_filter (or "") → (data CatalogFiles,
         # delete-file dicts, recorded→normalized path pairs)
@@ -722,6 +728,16 @@ class IcebergCatalog:
 
         snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
         self._snapshots = meta.get("snapshots", [])
+        if self.ref is not None:
+            # named ref (tag/branch) → its pinned snapshot — the read side
+            # of tag_iceberg/branch_iceberg (spec: metadata `refs` map)
+            r = (meta.get("refs") or {}).get(self.ref)
+            if r is None:
+                raise BuzzBadRequestError(
+                    f"ref {self.ref!r} not in table refs "
+                    f"(have {sorted(meta.get('refs') or {})})"
+                )
+            self.snapshot_id = int(r["snapshot-id"])
         sid = (
             self.snapshot_id
             if self.snapshot_id is not None

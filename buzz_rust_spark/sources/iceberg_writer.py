@@ -3012,6 +3012,87 @@ def evolve_iceberg(
     }
 
 
+def rollback_iceberg(
+    table_uri: str, snapshot_id: int, store=None
+) -> dict:
+    """Set the table's CURRENT snapshot back to ``snapshot_id`` (Iceberg's
+    rollback / set-current-snapshot maintenance op) — metadata-only: no
+    file moves, every snapshot stays in the log (later ones become
+    non-current history that :func:`expire_iceberg_snapshots` can clean),
+    and ``main`` follows.  The target must be in the snapshot log; a typed
+    error otherwise."""
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise BuzzBadRequestError(
+            f"rollback: snapshot {snapshot_id} not in table history "
+            f"(have {sorted(snaps)})"
+        )
+    now_ms = int(time.time() * 1000)
+    meta = dict(meta)
+    meta["current-snapshot-id"] = snapshot_id
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    meta["last-updated-ms"] = now_ms
+    new_version = _promote_metadata(
+        os.path.join(root, "metadata"), version + 1, meta, store
+    )
+    return {"metadata_version": new_version, "current_snapshot": snapshot_id}
+
+
+def tag_iceberg(
+    table_uri: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+    store=None,
+) -> dict:
+    """Create/replace a named REF (spec ``refs`` map): ``ref_type='tag'``
+    pins a snapshot forever (audit points), ``'branch'`` names a movable
+    head.  Defaults to the current snapshot.  Readable via
+    ``IcebergCatalog(..., ref=name)``.  ``main`` is managed by commits and
+    :func:`rollback_iceberg` — refusing to overwrite it here keeps the
+    branch the writers advance consistent."""
+    if ref_type not in ("tag", "branch"):
+        raise BuzzBadRequestError(
+            f"ref_type must be tag|branch, got {ref_type!r}"
+        )
+    if name == "main":
+        raise BuzzBadRequestError(
+            "the 'main' ref is managed by commits/rollback — pick another "
+            "name"
+        )
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    sid = snapshot_id
+    if sid is None:
+        sid = meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise BuzzBadRequestError(
+                "tag: the table has no current snapshot and no snapshot_id "
+                "was given"
+            )
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if sid not in snaps:
+        raise BuzzBadRequestError(
+            f"tag: snapshot {sid} not in table history (have {sorted(snaps)})"
+        )
+    meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": int(sid), "type": ref_type}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    new_version = _promote_metadata(
+        os.path.join(root, "metadata"), version + 1, meta, store
+    )
+    return {"metadata_version": new_version, "ref": name, "snapshot_id": int(sid)}
+
+
 def set_iceberg_properties(
     table_uri: str,
     set_props: dict[str, str] | None = None,

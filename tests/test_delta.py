@@ -1573,3 +1573,81 @@ def test_delta_evolve_promote_type_widening(spark, tmp_path):
         evolve_delta(root, promote_columns={"id": "double"})
     with pytest.raises(BuzzBadRequestError):
         evolve_delta(root, promote_columns={"n": "integer"})
+
+
+def test_restore_delta_round_trip(spark, tmp_path):
+    """RESTORE TO VERSION: one commit flips the snapshot back (DV entries
+    re-added verbatim), interim versions stay time-travelable, a no-op
+    restore returns None, and a vacuumed target refuses typed."""
+    from buzz_rust_spark.errors import (
+        BuzzBadRequestError,
+        BuzzExecutionError,
+    )
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        merge_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )  # v0
+    merge_delta(
+        spark, root,
+        spark.createDataFrame([(1, "A"), (3, "c")], "id long, v string"),
+        on=["id"],
+    )  # v1
+    delete_delta(spark, root, "id = 2", mode="dv")  # v2
+    assert restore_delta(spark, root, 0) == 3
+    got = sorted(
+        (r.id, r.v) for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+    # interim DV version still travels; same-content restore is a no-op
+    assert sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("t", root, version=2).to_dataframe(spark).collect()
+    ) == [(1, "A"), (3, "c")]
+    assert restore_delta(spark, root, 0) is None
+    # restore FORWARD to the DV state works too (it's just a diff)
+    assert restore_delta(spark, root, 2) == 4
+    assert sorted(
+        (r.id, r.v) for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    ) == [(1, "A"), (3, "c")]
+    with pytest.raises(BuzzBadRequestError, match="no version"):
+        restore_delta(spark, root, 99)
+    # vacuumed target refuses: delete the v0-only file then restore to v0
+    import glob as _glob
+    import json as _json
+
+    v0_adds = [
+        _json.loads(ln)["add"]["path"]
+        for ln in open(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+        if '"add"' in ln
+    ]
+    cur = {
+        a["path"]
+        for a in []
+    }
+    gone = [
+        p for p in v0_adds
+        if os.path.exists(os.path.join(root, p))
+    ]
+    # remove a v0 file not in the current (v2-restored) snapshot
+    live_now = set()
+    for f in sorted(_glob.glob(os.path.join(root, "_delta_log", "*.json"))):
+        for ln in open(f):
+            if not ln.strip():
+                continue
+            a = _json.loads(ln)
+            if "add" in a:
+                live_now.add(a["add"]["path"])
+            elif "remove" in a:
+                live_now.discard(a["remove"]["path"])
+    victim = next(p for p in gone if p not in live_now)
+    os.unlink(os.path.join(root, victim))
+    with pytest.raises(BuzzExecutionError, match="vacuumed"):
+        restore_delta(spark, root, 0)

@@ -1865,3 +1865,51 @@ def test_partial_rewrite_aborts_on_concurrent_commit(spark, tmp_path):
     assert sorted(
         r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
     ) == [1, 2, 9]
+
+
+def test_rollback_and_tags(spark, tmp_path):
+    """rollback_iceberg sets current back (metadata-only; later snapshots
+    stay in history, appends fork from the restored state); tags pin
+    snapshots readable via IcebergCatalog(ref=...); main is protected."""
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        rollback_iceberg,
+        tag_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(1,)], "id long"), root)
+    s1 = IcebergCatalog("t", root).history()[-1]["snapshot_id"]
+    tag_iceberg(root, "v1-audit")
+    write_iceberg(spark.createDataFrame([(2,)], "id long"), root, mode="append")
+    delete_iceberg(spark, root, "id = 1")
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [2]
+    # tag read pins the old snapshot through the MOR history
+    assert sorted(
+        r.id
+        for r in IcebergCatalog("t", root, ref="v1-audit")
+        .to_dataframe(spark)
+        .collect()
+    ) == [1]
+    rollback_iceberg(root, s1)
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1]
+    write_iceberg(spark.createDataFrame([(9,)], "id long"), root, mode="append")
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 9]
+    # guards
+    with pytest.raises(BuzzBadRequestError, match="not in table history"):
+        rollback_iceberg(root, 123456)
+    with pytest.raises(BuzzBadRequestError, match="main"):
+        tag_iceberg(root, "main")
+    with pytest.raises(BuzzBadRequestError, match="not in table refs"):
+        IcebergCatalog("t", root, ref="nope")
+    with pytest.raises(BuzzBadRequestError, match="not both"):
+        IcebergCatalog("t", root, ref="v1-audit", snapshot_id=s1)

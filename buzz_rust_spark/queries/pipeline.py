@@ -3008,3 +3008,65 @@ def z38_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+@register(
+    "z39_time_travel_ops",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 60
+),
+base AS (SELECT doc_id, source FROM docs WHERE doc_id % 2 = 0)
+SELECT source, COUNT(*) AS n_docs
+FROM base GROUP BY source ORDER BY source
+""",
+)
+def z39_time_travel_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel WRITE ops, oracle-checked: after destructive commits on
+    both formats, rollback_iceberg and restore_delta return each table to
+    its base state — the union-verified aggregate must equal the base
+    relational recompute (each table contributes half the count)."""
+    import tempfile
+
+    from ..sources.delta_catalog import DeltaCatalog
+    from ..sources.delta_writer import delete_delta, restore_delta, write_delta
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .select("doc_id", "source")
+    )
+    base = docs.where("doc_id % 2 = 0")
+    d = tempfile.mkdtemp(prefix="ttops_z39_")
+    ri, rd = d + "/ice", d + "/dl"
+    write_iceberg(base, ri)
+    s1 = IcebergCatalog("t", ri).history()[-1]["snapshot_id"]
+    write_iceberg(
+        docs.where("doc_id % 2 = 1"), ri, mode="append"
+    )
+    delete_iceberg(spark, ri, "doc_id % 4 = 0")
+    rollback_iceberg(ri, s1)
+
+    write_delta(base, rd)  # v0
+    write_delta(docs.where("doc_id % 2 = 1"), rd)  # v1
+    delete_delta(spark, rd, "doc_id % 4 = 0")  # v2
+    restore_delta(spark, rd, 0)
+
+    ice = IcebergCatalog("t", ri).to_dataframe(spark)
+    dl = DeltaCatalog("t", rd).to_dataframe(spark)
+    # both must equal `base`; count each row at weight 1/2 so the result
+    # matches the single-table oracle exactly
+    both = ice.unionByName(dl)
+    return (
+        both.groupBy("source")
+        .agg((F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_docs"))
+        .orderBy("source")
+    )

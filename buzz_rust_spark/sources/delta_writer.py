@@ -72,11 +72,16 @@ def _local_table_dir(table_uri: str) -> str:
         )
     return table_uri.removeprefix("file://")
 
-def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
+def _log_state(
+    log_dir: str, upto: int | None = None
+) -> tuple[int, dict[str, dict], dict]:
     """Replay the JSON log: (last_version, live add-actions by path, metaData).
-    Returns (-1, {}, {}) for a fresh table.  Checkpoint parquet is *not*
-    consulted here — the writer keeps all JSON commits, so a pure-JSON replay
-    is always complete (readers may still use checkpoints).
+    Returns (-1, {}, {}) for a fresh table.  ``upto`` bounds the replay at
+    a version (inclusive) — the live set AS OF that version, which
+    :func:`restore_delta` diffs against the current one.  Checkpoint
+    parquet is *not* consulted here — the writer keeps all JSON commits,
+    so a pure-JSON replay is always complete (readers may still use
+    checkpoints).
 
     Removes apply before adds WITHIN each commit, mirroring the reader's
     ``_replay_actions``: a DV delete commit from another engine may list the
@@ -89,7 +94,10 @@ def _log_state(log_dir: str) -> tuple[int, dict[str, dict], dict]:
     last = -1
     _LAST_PROTOCOL[log_dir] = dict(PROTOCOL)
     for commit in sorted(glob(os.path.join(log_dir, "*.json"))):
-        last = int(os.path.basename(commit).split(".")[0])
+        v = int(os.path.basename(commit).split(".")[0])
+        if upto is not None and v > upto:
+            break
+        last = v
         adds: list[dict] = []
         with open(commit) as fh:
             for line in fh:
@@ -1480,26 +1488,7 @@ def restore_delta(
         raise BuzzBadRequestError(
             f"restore: no version {version} (latest: {last_version})"
         )
-    # replay to the TARGET version only
-    target_live: dict[str, dict] = {}
-    for v, rel in sorted(
-        (int(os.path.basename(p).split(".")[0]), p)
-        for p in glob(os.path.join(log_dir, "*.json"))
-    ):
-        if v > version:
-            break
-        adds = []
-        with open(rel) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    adds.append(action["add"])
-                elif "remove" in action:
-                    target_live.pop(action["remove"]["path"], None)
-        for add in adds:
-            target_live[add["path"]] = add
+    _, target_live, _ = _log_state(log_dir, upto=version)
 
     def _key(entry: dict):
         # identity = path + deletion-vector descriptor: a DV change is a
@@ -1514,9 +1503,24 @@ def restore_delta(
     to_add = [target_live[p] for k, p in tgt_keys.items() if k not in cur_keys]
     if not to_remove and not to_add:
         return None  # already at the target content
+    from .deletion_vectors import dv_relative_path
+
+    def _needed_paths(a: dict):
+        yield a["path"]
+        dv = a.get("deletionVector") or {}
+        st = dv.get("storageType")
+        if st == "u":  # relative sidecar — vacuum may have reclaimed it
+            yield dv_relative_path(dv)
+        elif st == "p":
+            yield dv["pathOrInlineDv"]
+
     missing = [
-        a["path"] for a in to_add
-        if not os.path.exists(os.path.join(table_dir, a["path"]))
+        p
+        for a in to_add
+        for p in _needed_paths(a)
+        if not os.path.exists(
+            p if os.path.isabs(p) else os.path.join(table_dir, p)
+        )
     ]
     if missing:
         raise BuzzExecutionError(
@@ -1540,13 +1544,29 @@ def restore_delta(
         {"add": {**a, "modificationTime": now_ms, "dataChange": True}}
         for a in sorted(to_add, key=lambda a: a["path"])
     )
-    # a restore's basis is the CURRENT live set: any concurrent data
-    # commit invalidates the computed diff
-    return _claim_rewrite_commit(
-        log_dir, last_version + 1, actions,
-        dict(live),
-        meta, checkpoint_interval, max_commit_retries, store,
-        "restore_delta",
+    # a restore's basis is the ENTIRE current live set — not just the
+    # files it touches: a concurrent APPEND surviving the restore would
+    # leave the table ≠ the target version's content, so the retry aborts
+    # on ANY live-set change (stricter than the shared rewrite loop)
+    def _attempt(version_a):
+        _claim_commit(log_dir, version_a, actions, store)
+        if (version_a + 1) % checkpoint_interval == 0:
+            _write_checkpoint(log_dir, version_a)
+        return version_a
+
+    def _refresh():
+        last_f, live_f, meta_f = _log_state(log_dir)
+        _require_same_delta_basis(meta, meta_f)
+        if live_f != live:
+            raise BuzzCommitAbortedError(
+                "restore_delta: the live set changed concurrently — the "
+                "computed diff no longer restores the target version; "
+                "re-run against the current table"
+            )
+        return last_f + 1
+
+    return commit_with_retry(
+        _attempt, _refresh, last_version + 1, max_commit_retries
     )
 
 

@@ -749,6 +749,11 @@ class IcebergCatalog:
             raise BuzzBadRequestError(
                 f"snapshot {sid} not in table metadata (have {sorted(snaps)})"
             )
+        # the RESOLVED snapshot this catalog reads (pinned, ref, or the
+        # table's current) — None on an empty table
+        self.resolved_snapshot_id = (
+            None if sid in (None, -1) or sid not in snaps else sid
+        )
         if sid is None or sid == -1 or not snaps:
             self._manifests: list[dict] | None = None
             return
@@ -1692,18 +1697,23 @@ def _changes_range(
             "(expired past the consumer's cursor, or the table was "
             "recreated) — re-bootstrap from a full snapshot read"
         )
-    to_id = (
-        to_snapshot_id
-        if to_snapshot_id is not None
-        else max(snaps.values(), key=lambda s: int(s.get("sequence-number", 0)))[
-            "snapshot-id"
-        ]
-    )
+    if to_snapshot_id is not None:
+        to_id = to_snapshot_id
+    else:
+        # default to the CURRENT snapshot, not the max sequence number:
+        # after rollback_iceberg the highest-sequence snapshot may be
+        # ABANDONED history that the table's state no longer contains
+        cur = cat.resolved_snapshot_id
+        if cur is None:
+            return None  # empty current state ⇒ empty window
+        to_id = cur
     if to_id not in snaps:
         raise BuzzExecutionError(
             f"to_snapshot {to_id} not in table history (have "
             f"{sorted(snaps)})"
         )
+    if to_id == from_snapshot_id:
+        return None
     from_seq = int(snaps[from_snapshot_id].get("sequence-number", 0))
     to_seq = int(snaps[to_id].get("sequence-number", 0))
     if to_seq < from_seq:
@@ -1711,25 +1721,38 @@ def _changes_range(
             f"to_snapshot (seq {to_seq}) precedes from_snapshot "
             f"(seq {from_seq})"
         )
-    if to_seq == from_seq:
-        return None
 
-    in_range = sorted(
-        (
-            s for s in cat._snapshots
-            if from_seq < int(s.get("sequence-number", 0)) <= to_seq
-        ),
-        key=lambda s: int(s.get("sequence-number", 0)),
-    )
-    have_seqs = {int(s.get("sequence-number", 0)) for s in in_range}
-    gaps = sorted(set(range(from_seq + 1, to_seq + 1)) - have_seqs)
-    if gaps:
-        raise BuzzExecutionError(
-            f"iceberg history at {table_uri!r} is missing sequence "
-            f"number(s) {gaps[:5]}{'...' if len(gaps) > 5 else ''} in the "
-            f"change window ({from_seq}, {to_seq}] — snapshots were expired "
-            "past the consumer's cursor; re-bootstrap from a full snapshot"
-        )
+    # The window is the ANCESTOR CHAIN (to ← parent ← ... ← from), NOT a
+    # sequence-number range: a rollback leaves abandoned snapshots in the
+    # log whose sequence numbers fall inside the window but whose changes
+    # the table's current state never contains — replaying them would
+    # fabricate rows.  A cursor not on the chain (it points into a
+    # rolled-back fork, or intermediate snapshots were expired) is the
+    # typed re-bootstrap error.
+    in_range = []
+    walk = to_id
+    seen = set()
+    while True:
+        if walk == from_snapshot_id:
+            break
+        if walk not in snaps or walk in seen:
+            raise BuzzExecutionError(
+                f"from_snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_id} — the cursor points into rolled-back or expired "
+                "history; re-bootstrap from a full snapshot read"
+            )
+        seen.add(walk)
+        s = snaps[walk]
+        in_range.append(s)
+        parent = s.get("parent-snapshot-id")
+        if parent is None:
+            raise BuzzExecutionError(
+                f"from_snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_id} — the cursor points into rolled-back or expired "
+                "history; re-bootstrap from a full snapshot read"
+            )
+        walk = parent
+    in_range.sort(key=lambda s: int(s.get("sequence-number", 0)))
 
     from .uris import normalized_key
 

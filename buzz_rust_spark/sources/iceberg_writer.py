@@ -1897,10 +1897,10 @@ def delete_iceberg(
     # The staged delete files are reused across claim attempts; a conflict
     # re-validates that every file we matched is STILL LIVE (a concurrent
     # compaction/overwrite of a matched file would orphan our by-position
-    # references and silently resurrect rows — typed abort instead) and
-    # that no equality deletes appeared (the refusal precondition above).
-    # Concurrent APPENDS retry fine: the delete covers its scan snapshot;
-    # concurrent position deletes are additive (readers apply the union).
+    # references and silently resurrect rows — typed abort instead).
+    # Concurrent APPENDS retry fine (the delete covers its scan snapshot),
+    # and so do concurrent position/equality deletes: both are additive
+    # kills readers apply as a union.
     now_ms = int(time.time() * 1000)
     meta_dir = os.path.join(root, "metadata")
 
@@ -2663,10 +2663,12 @@ def expire_iceberg_snapshots(
     :func:`vacuum_iceberg` to reclaim their files.
 
     Retained: the current snapshot, the newest ``keep_last`` snapshots,
-    and (when ``older_than_ms`` is given) every snapshot at or after that
-    timestamp.  Expired snapshots leave ``snapshots``/``snapshot-log``;
-    refs pointing at them are dropped (``main`` always survives — it
-    points at the current snapshot).  Metadata-only: no file is deleted
+    every snapshot a named REF pins (tags are audit points — expiring
+    them out from under :func:`tag_iceberg` would silently break
+    ``IcebergCatalog(ref=...)`` readers; the spec retains ref-reachable
+    snapshots), and (when ``older_than_ms`` is given) every snapshot at
+    or after that timestamp.  Expired snapshots leave
+    ``snapshots``/``snapshot-log``.  Metadata-only: no file is deleted
     here.  Returns a summary, or None when nothing expires."""
     root = _local_table_dir(table_uri)
     version, meta = _load_v2_meta(root, table_uri)
@@ -2677,6 +2679,14 @@ def expire_iceberg_snapshots(
     by_time = sorted(snaps, key=lambda s: (s.get("timestamp-ms") or 0))
     keep_ids = {s["snapshot-id"] for s in by_time[-max(1, keep_last):]}
     keep_ids.add(cur)
+    # named refs PIN their snapshots (tags are audit points; `main` is
+    # `cur` anyway) — the refs-drop below then only ever removes refs
+    # whose snapshot vanished through metadata written by OTHER engines
+    keep_ids |= {
+        int(ref["snapshot-id"])
+        for ref in (meta.get("refs") or {}).values()
+        if ref.get("snapshot-id") is not None
+    }
     if older_than_ms is not None:
         keep_ids |= {
             s["snapshot-id"]

@@ -89,12 +89,15 @@ def _read_source_changelog(
 
 def _source_position(spark: SparkSession, source_uri: str, source_format: str):
     """The source's current position (Iceberg snapshot id / Delta version),
-    or None for an empty table."""
+    or None for an empty table.  The Iceberg position is the CURRENT
+    snapshot, never the newest-by-order entry: after rollback_iceberg the
+    log still lists abandoned snapshots whose changes the table no longer
+    contains (the changelog's ancestor-chain walk then raises the typed
+    re-bootstrap error if a recorded cursor points into the fork)."""
     if source_format == "iceberg":
         from .iceberg import IcebergCatalog
 
-        hist = IcebergCatalog("_matview_src", source_uri).history()
-        return hist[-1]["snapshot_id"] if hist else None
+        return IcebergCatalog("_matview_src", source_uri).resolved_snapshot_id
     from .delta_catalog import _commit_versions
     from .logstore import LogStore
 

@@ -1628,10 +1628,6 @@ def test_restore_delta_round_trip(spark, tmp_path):
         for ln in open(os.path.join(root, "_delta_log", f"{0:020d}.json"))
         if '"add"' in ln
     ]
-    cur = {
-        a["path"]
-        for a in []
-    }
     gone = [
         p for p in v0_adds
         if os.path.exists(os.path.join(root, p))
@@ -1651,3 +1647,57 @@ def test_restore_delta_round_trip(spark, tmp_path):
     os.unlink(os.path.join(root, victim))
     with pytest.raises(BuzzExecutionError, match="vacuumed"):
         restore_delta(spark, root, 0)
+
+
+def test_restore_aborts_on_concurrent_append(spark, tmp_path):
+    """A concurrent APPEND invalidates a restore's computed diff — the
+    retry must abort typed, never commit a snapshot that is the target
+    version plus a stray file."""
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import restore_delta, write_delta
+    from buzz_rust_spark.sources.write_store import LocalCommitStore
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1,)], "id long"), root)  # v0
+    write_delta(spark.createDataFrame([(2,)], "id long"), root)  # v1
+    store = LocalCommitStore()
+    fired = {}
+
+    def seam(path):
+        if not fired:
+            fired["x"] = 1
+            write_delta(spark.createDataFrame([(9,)], "id long"), root)
+
+    store.before_claim = seam
+    with pytest.raises(BuzzCommitAbortedError):
+        restore_delta(spark, root, 0, store=store)
+    # nothing lost: the concurrent append survived, no partial restore
+    assert sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 2, 9]
+
+
+def test_restore_refuses_vacuumed_dv_sidecar(spark, tmp_path):
+    """Restoring to a version whose DV SIDECAR was vacuumed must refuse
+    typed — committing the descriptor would crash later reads raw."""
+    from glob import glob as _glob
+
+    from buzz_rust_spark.errors import BuzzExecutionError
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(i,) for i in range(4)], "id long").coalesce(1),
+        root,
+    )  # v0
+    delete_delta(spark, root, "id = 0", mode="dv")  # v1: DV sidecar S
+    restore_delta(spark, root, 0)  # v2: S now unreferenced
+    for s in _glob(os.path.join(root, "deletion_vector_*.bin")):
+        os.unlink(s)  # what vacuum_delta would reclaim
+    with pytest.raises(BuzzExecutionError, match="vacuumed"):
+        restore_delta(spark, root, 1)

@@ -1913,3 +1913,90 @@ def test_rollback_and_tags(spark, tmp_path):
         IcebergCatalog("t", root, ref="nope")
     with pytest.raises(BuzzBadRequestError, match="not both"):
         IcebergCatalog("t", root, ref="v1-audit", snapshot_id=s1)
+
+
+def test_rollback_fork_safety(spark, tmp_path):
+    """After a rollback, the changelog window walks the ANCESTOR CHAIN:
+    abandoned snapshots are never replayed, a cursor pointing into the
+    fork is the typed re-bootstrap error, and tag-pinned snapshots
+    survive expiry with their files intact."""
+    from buzz_rust_spark.errors import BuzzExecutionError
+    from buzz_rust_spark.sources.iceberg import (
+        IcebergCatalog,
+        read_iceberg_changelog,
+        read_iceberg_changes,
+    )
+    from buzz_rust_spark.sources.iceberg_writer import (
+        expire_iceberg_snapshots,
+        rollback_iceberg,
+        tag_iceberg,
+        vacuum_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(1,)], "id long"), root)
+    s1 = IcebergCatalog("t", root).resolved_snapshot_id
+    write_iceberg(spark.createDataFrame([(2,)], "id long"), root, mode="append")
+    s2 = IcebergCatalog("t", root).resolved_snapshot_id
+    rollback_iceberg(root, s1)
+    # window defaulting to CURRENT is empty — the abandoned s2 is not
+    # replayed as a change
+    assert read_iceberg_changelog(spark, root, s1).count() == 0
+    # a fork commit: (s1, current] contains ONLY the fork's rows
+    write_iceberg(spark.createDataFrame([(9,)], "id long"), root, mode="append")
+    got = sorted(
+        (r.id, r._change_type)
+        for r in read_iceberg_changelog(spark, root, s1).collect()
+    )
+    assert got == [(9, "insert")]
+    # a cursor pointing INTO the abandoned fork is the typed error
+    with pytest.raises(BuzzExecutionError, match="not an ancestor"):
+        read_iceberg_changes(spark, root, s2).count()
+    with pytest.raises(BuzzExecutionError, match="not an ancestor"):
+        read_iceberg_changelog(spark, root, s2).count()
+
+    # tag pinning vs expiry: the tagged snapshot and its files survive
+    tag_iceberg(root, "audit", snapshot_id=s1)
+    out = expire_iceberg_snapshots(root, keep_last=1)
+    if out is not None:
+        assert s1 in out["retained_snapshots"]
+    vacuum_iceberg(root, retention_hours=0.0)
+    assert sorted(
+        r.id
+        for r in IcebergCatalog("t", root, ref="audit")
+        .to_dataframe(spark)
+        .collect()
+    ) == [1]
+
+
+def test_matview_rebootstrap_after_source_rollback(spark, tmp_path):
+    """A materialization whose cursor was orphaned by a source rollback
+    gets the typed re-bootstrap error, never silently replayed forks."""
+    from buzz_rust_spark.errors import BuzzExecutionError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        rollback_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.materialize import refresh_materialization
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    write_iceberg(
+        spark.createDataFrame([(1, "a", 1.0)], "id long, g string, v double"),
+        src,
+    )
+    s1 = IcebergCatalog("t", src).resolved_snapshot_id
+    write_iceberg(
+        spark.createDataFrame([(2, "a", 2.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+    refresh_materialization(spark, src, tgt, ["g"], ["v"])  # cursor = s2
+    rollback_iceberg(src, s1)
+    write_iceberg(
+        spark.createDataFrame([(3, "b", 3.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+    with pytest.raises(BuzzExecutionError, match="not an ancestor"):
+        refresh_materialization(spark, src, tgt, ["g"], ["v"])

@@ -92,7 +92,7 @@ def _log_state(
     live: dict[str, dict] = {}
     meta: dict = {}
     last = -1
-    _LAST_PROTOCOL[log_dir] = dict(PROTOCOL)
+    proto = dict(PROTOCOL)
     for commit in sorted(glob(os.path.join(log_dir, "*.json"))):
         v = int(os.path.basename(commit).split(".")[0])
         if upto is not None and v > upto:
@@ -105,7 +105,7 @@ def _log_state(
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    _LAST_PROTOCOL[log_dir] = action["protocol"] or {}
+                    proto = action["protocol"] or {}
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
@@ -114,10 +114,16 @@ def _log_state(
                     live.pop(action["remove"]["path"], None)
         for add in adds:
             live[add["path"]] = add
+    if upto is not None:
+        # a BOUNDED (as-of) replay must not poison the module-level
+        # protocol cache with historical state, nor re-gate against the
+        # as-of protocol — the caller already gated on a full replay
+        return last, live, meta
+    _LAST_PROTOCOL[log_dir] = proto
     # the gate runs AFTER the replay: legacy writer version 5 is only
     # acceptable in light of the final metaData (column mapping yes,
     # invariants/generated/CDF/identity no), which a mid-log check can't see
-    _check_writer_protocol(_LAST_PROTOCOL[log_dir], meta, log_dir)
+    _check_writer_protocol(proto, meta, log_dir)
     return last, live, meta
 
 
@@ -356,6 +362,7 @@ def _claim_rewrite_commit(
     max_commit_retries: int,
     store,
     op: str,
+    require_exact_live: bool = False,
 ) -> int:
     """Claim a REWRITE commit (a fixed action list referencing staged
     files) through the bounded retry loop: on a lost race, re-read the
@@ -376,6 +383,15 @@ def _claim_rewrite_commit(
         last_f, live_f, meta_f = _log_state(log_dir)
         _require_same_delta_basis(meta, meta_f)
         _require_files_unchanged(touched, live_f, op)
+        if require_exact_live and set(live_f) != set(touched):
+            # restore: even files the op does not touch invalidate it —
+            # a concurrent append surviving would leave the table ≠ the
+            # target version's content
+            raise BuzzCommitAbortedError(
+                f"{op}: the live set changed concurrently — the computed "
+                "diff no longer restores the target version; re-run "
+                "against the current table"
+            )
         return last_f + 1
 
     return commit_with_retry(_attempt, _refresh, version, max_commit_retries)
@@ -1547,26 +1563,12 @@ def restore_delta(
     # a restore's basis is the ENTIRE current live set — not just the
     # files it touches: a concurrent APPEND surviving the restore would
     # leave the table ≠ the target version's content, so the retry aborts
-    # on ANY live-set change (stricter than the shared rewrite loop)
-    def _attempt(version_a):
-        _claim_commit(log_dir, version_a, actions, store)
-        if (version_a + 1) % checkpoint_interval == 0:
-            _write_checkpoint(log_dir, version_a)
-        return version_a
-
-    def _refresh():
-        last_f, live_f, meta_f = _log_state(log_dir)
-        _require_same_delta_basis(meta, meta_f)
-        if live_f != live:
-            raise BuzzCommitAbortedError(
-                "restore_delta: the live set changed concurrently — the "
-                "computed diff no longer restores the target version; "
-                "re-run against the current table"
-            )
-        return last_f + 1
-
-    return commit_with_retry(
-        _attempt, _refresh, last_version + 1, max_commit_retries
+    # on ANY live-set change (require_exact_live)
+    return _claim_rewrite_commit(
+        log_dir, last_version + 1, actions,
+        dict(live),
+        meta, checkpoint_interval, max_commit_retries, store,
+        "restore_delta", require_exact_live=True,
     )
 
 

@@ -1717,6 +1717,16 @@ def _changes_range(
     from_seq = int(snaps[from_snapshot_id].get("sequence-number", 0))
     to_seq = int(snaps[to_id].get("sequence-number", 0))
     if to_seq < from_seq:
+        if to_snapshot_id is None:
+            # the CURRENT snapshot sits below the cursor: a rollback
+            # orphaned the cursor (no fork commit yet) — same condition
+            # the ancestor walk would diagnose, and the same remedy
+            raise BuzzExecutionError(
+                f"from_snapshot {from_snapshot_id} is not an ancestor of "
+                f"the current snapshot {to_id} — the cursor points into "
+                "rolled-back history; re-bootstrap from a full snapshot "
+                "read"
+            )
         raise BuzzBadRequestError(
             f"to_snapshot (seq {to_seq}) precedes from_snapshot "
             f"(seq {from_seq})"

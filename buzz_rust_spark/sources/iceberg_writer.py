@@ -2680,12 +2680,15 @@ def expire_iceberg_snapshots(
     keep_ids = {s["snapshot-id"] for s in by_time[-max(1, keep_last):]}
     keep_ids.add(cur)
     # named refs PIN their snapshots (tags are audit points; `main` is
-    # `cur` anyway) — the refs-drop below then only ever removes refs
-    # whose snapshot vanished through metadata written by OTHER engines
+    # `cur` anyway).  Only refs whose snapshot is actually PRESENT pin:
+    # a dangling ref (its snapshot dropped by another engine's metadata)
+    # must stay droppable by the filter below, not be kept forever.
+    present = {s["snapshot-id"] for s in snaps}
     keep_ids |= {
         int(ref["snapshot-id"])
         for ref in (meta.get("refs") or {}).values()
         if ref.get("snapshot-id") is not None
+        and int(ref["snapshot-id"]) in present
     }
     if older_than_ms is not None:
         keep_ids |= {

@@ -1701,3 +1701,28 @@ def test_restore_refuses_vacuumed_dv_sidecar(spark, tmp_path):
         os.unlink(s)  # what vacuum_delta would reclaim
     with pytest.raises(BuzzExecutionError, match="vacuumed"):
         restore_delta(spark, root, 1)
+
+
+def test_bounded_replay_does_not_poison_protocol_cache(spark, tmp_path):
+    """Review regression: restore_delta's as-of replay must not overwrite
+    the module-level protocol cache with HISTORICAL protocol — a
+    checkpoint written from a stale cache would claim reader1/writer2 for
+    a deletion-vector table."""
+    from buzz_rust_spark.sources.delta_writer import (
+        _current_protocol,
+        delete_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    log_dir = os.path.join(root, "_delta_log")
+    write_delta(
+        spark.createDataFrame([(i,) for i in range(4)], "id long").coalesce(1),
+        root,
+    )  # v0 (protocol 1/2)
+    delete_delta(spark, root, "id = 0", mode="dv")  # v1: upgrade to 3/7
+    restore_delta(spark, root, 0)  # bounded replay to v0 inside
+    proto = _current_protocol(log_dir)
+    assert int(proto.get("minReaderVersion", 1)) == 3
+    assert "deletionVectors" in (proto.get("writerFeatures") or [])

@@ -2000,3 +2000,62 @@ def test_matview_rebootstrap_after_source_rollback(spark, tmp_path):
     )
     with pytest.raises(BuzzExecutionError, match="not an ancestor"):
         refresh_materialization(spark, src, tgt, ["g"], ["v"])
+
+
+def test_orphaned_cursor_without_fork_is_rebootstrap(spark, tmp_path):
+    """A cursor orphaned by a rollback gets the typed RE-BOOTSTRAP error
+    even when NO fork commit followed (the current sequence number sits
+    below the cursor's) — not the inverted-window BadRequest."""
+    from buzz_rust_spark.errors import BuzzExecutionError
+    from buzz_rust_spark.sources.iceberg import (
+        IcebergCatalog,
+        read_iceberg_changelog,
+    )
+    from buzz_rust_spark.sources.iceberg_writer import (
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(1,)], "id long"), root)
+    s1 = IcebergCatalog("t", root).resolved_snapshot_id
+    write_iceberg(spark.createDataFrame([(2,)], "id long"), root, mode="append")
+    s2 = IcebergCatalog("t", root).resolved_snapshot_id
+    rollback_iceberg(root, s1)
+    with pytest.raises(BuzzExecutionError, match="re-bootstrap"):
+        read_iceberg_changelog(spark, root, s2)
+
+
+def test_expire_drops_dangling_refs_keeps_pinned(spark, tmp_path):
+    """A ref whose snapshot another engine already dropped from the
+    metadata is cleaned by expiry; refs pinning PRESENT snapshots keep
+    them alive."""
+    import glob as _glob
+    import json as _json
+
+    from buzz_rust_spark.sources.iceberg_writer import (
+        expire_iceberg_snapshots,
+        tag_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(1,)], "id long"), root)
+    write_iceberg(spark.createDataFrame([(2,)], "id long"), root, mode="append")
+    tag_iceberg(root, "keepme")
+    # simulate another engine: a ref whose snapshot is gone from the list
+    md_path = sorted(
+        _glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )[-1]
+    md = _json.loads(open(md_path).read())
+    md["refs"]["dangling"] = {"snapshot-id": 123456789, "type": "tag"}
+    open(md_path, "w").write(_json.dumps(md))
+
+    out = expire_iceberg_snapshots(root, keep_last=1)
+    md2 = _json.loads(open(sorted(
+        _glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )[-1]).read())
+    assert "dangling" not in md2["refs"]
+    assert "keepme" in md2["refs"]
+    kept = {s["snapshot-id"] for s in md2["snapshots"]}
+    assert md2["refs"]["keepme"]["snapshot-id"] in kept

@@ -3070,3 +3070,148 @@ def z39_time_travel_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_docs"))
         .orderBy("source")
     )
+
+
+@register(
+    "z40_partition_spec_evolution",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH ev AS (
+  SELECT event_id, ts, event_type, value FROM events
+  ORDER BY event_id LIMIT 2000
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM ev
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-04'
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def z40_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition SPEC evolution, oracle-checked (the round-8 verdict's #1
+    ask): half the events are written DAY-partitioned, the spec is evolved
+    to HOUR partitioning (``evolve_iceberg_partition_spec`` — metadata
+    only, old files stay under spec 0), the other half appends under the
+    hour spec, and a day-range ``partition_filter`` over the mixed-spec
+    snapshot must prune files under BOTH specs (hour files answer the day
+    filter through the derived hour→day coarsening) and — composed with
+    the row filter — match the DuckDB recompute.  The function asserts
+    the prune is real (strictly fewer files than the snapshot holds) and
+    that no old-spec file was rewritten by the evolution."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import (
+        evolve_iceberg_partition_spec,
+        write_iceberg,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(2000)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z40_") + "/tbl"
+    write_iceberg(ev.where("event_id % 2 = 0"), root, partition_by=["days(ts)"])
+    day_files = {
+        f.key for f in IcebergCatalog("t", root)._plan(spark, None)["files"]
+    }
+    evolve_iceberg_partition_spec(root, ["hours(ts)"])
+    write_iceberg(ev.where("event_id % 2 = 1"), root, mode="append")
+
+    cat = IcebergCatalog("events_evolved", root)
+    plan_files = cat._plan(spark, None)["files"]
+    # old-spec data files were NOT rewritten by the evolution
+    assert day_files <= {f.key for f in plan_files}
+    flt = "ts_day >= '2024-01-02' AND ts_day <= '2024-01-04'"
+    kept = cat.pruned_files(spark, flt)
+    assert 0 < len(kept) < len(plan_files)  # the prune is real, both specs
+    return (
+        cat.to_dataframe(spark, flt)
+        .where(
+            "CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-04'"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "z41_branch_write_audit_publish",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 60
+),
+staged AS (
+  SELECT doc_id, source FROM docs
+  WHERE doc_id % 3 != 0            -- the branch DELETE
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id, source FROM docs WHERE doc_id % 5 = 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM staged GROUP BY source ORDER BY source
+""",
+)
+def z41_branch_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish, oracle-checked (round-8 verdict ask #3): an
+    append and a predicate delete are STAGED on a branch — the function
+    asserts main's read is byte-unchanged while the branch carries the
+    staged state — then ``fast_forward_iceberg`` publishes, and the
+    published main must match the DuckDB recompute of the staged
+    relational state."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        fast_forward_iceberg,
+        write_iceberg,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .select("doc_id", "source")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z41_") + "/tbl"
+    write_iceberg(docs, root)
+    base = sorted(
+        (r.doc_id, r.source)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    # stage: append shifted copies of every 5th doc + delete every 3rd
+    write_iceberg(
+        docs.where("doc_id % 5 = 0").select(
+            (F.col("doc_id") + F.lit(1000)).alias("doc_id"), "source"
+        ),
+        root, mode="append", branch="audit",
+    )
+    delete_iceberg(
+        spark, root, "doc_id % 3 = 0 AND doc_id < 1000", branch="audit"
+    )
+    # audit gate: main is UNCHANGED while the branch is staged
+    assert base == sorted(
+        (r.doc_id, r.source)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    fast_forward_iceberg(root, "audit")
+    return (
+        IcebergCatalog("published", root)
+        .to_dataframe(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )

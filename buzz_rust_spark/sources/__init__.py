@@ -25,6 +25,8 @@ from .materialize import read_materialization, refresh_materialization
 from .iceberg_writer import (
     delete_iceberg,
     evolve_iceberg,
+    evolve_iceberg_partition_spec,
+    fast_forward_iceberg,
     expire_iceberg_snapshots,
     merge_iceberg,
     rewrite_iceberg,
@@ -40,6 +42,7 @@ from .delta_writer import (
     merge_delta,
     optimize_delta,
     restore_delta,
+    set_delta_properties,
     vacuum_delta,
     write_delta,
 )
@@ -74,6 +77,8 @@ __all__ = [
     "rollback_iceberg",
     "tag_iceberg",
     "evolve_iceberg",
+    "evolve_iceberg_partition_spec",
+    "fast_forward_iceberg",
     "evolve_delta",
     "expire_iceberg_snapshots",
     "vacuum_iceberg",
@@ -86,6 +91,7 @@ __all__ = [
     "delete_delta",
     "optimize_delta",
     "restore_delta",
+    "set_delta_properties",
     "vacuum_delta",
     "read_warc",
     "warc_to_documents",

@@ -30,7 +30,16 @@ The metadata chain is walked with in-repo codecs only:
 - **Partition pruning** happens at the manifest-entry level: partition
   values recorded per data file become ``CatalogFile`` partition tuples,
   pruned by the same ``partition_filter`` strings the static/Delta
-  catalogs take.  Identity transforms prune on the SOURCE column name;
+  catalogs take.  A snapshot whose partition spec was EVOLVED
+  (``iceberg_writer.evolve_iceberg_partition_spec`` — e.g. day→hour
+  repartitioning) decodes each manifest's tuples/summaries under the
+  manifest's OWN spec; columns another spec defines are DERIVED where a
+  monotone map exists (an identity value provides any transform of it;
+  a finer time field provides the coarser ones, hour→day→month→year),
+  and files whose spec cannot answer a filter term are kept
+  conservatively (pruning returns a superset; compose a row filter —
+  exactly Iceberg's own pruning contract).
+  Identity transforms prune on the SOURCE column name;
   the range-invertible transforms ``year``/``month``/``day``/``hour``/
   ``truncate[W]`` prune on the PARTITION FIELD name (e.g. ``ts_day``)
   with human-comparable string values (ISO date for ``day``, ``YYYY-MM``
@@ -234,6 +243,82 @@ def _transform_str(kind: str, value, source_type) -> str | None:
         return str(int(value))
     # truncate[W]: the recorded value IS the truncated source value
     return _partition_str(value, source_type)
+
+
+def _transform_param(transform: str | None) -> int | None:
+    """The W/N parameter of a truncate[W]/bucket[N] transform string."""
+    m = re.fullmatch(r"(?:truncate|bucket)\[(\d+)\]", transform or "")
+    return int(m.group(1)) if m else None
+
+
+# time-transform granularity: lower = finer.  A value at a finer level
+# derives the coarser levels exactly (calendar floor), never the reverse.
+_TIME_LEVEL = {"hour": 0, "day": 1, "month": 2, "year": 3}
+
+
+def _coarsen_time(value: int, from_kind: str, to_kind: str) -> int:
+    """A finer time-transform ordinal → the coarser transform's ordinal
+    (calendar-exact; datetime arithmetic keeps pre-1970 ordinals right
+    where naive integer division would be off by one)."""
+    import datetime
+
+    if from_kind == "hour":
+        d = (
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(hours=int(value))
+        ).date()
+    elif from_kind == "day":
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(value))
+    else:  # month
+        m = int(value)
+        d = datetime.date(1970 + m // 12, m % 12 + 1, 1)
+    if to_kind == "day":
+        return (d - datetime.date(1970, 1, 1)).days
+    if to_kind == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    return d.year - 1970  # year
+
+
+def _apply_transform(value, kind: str, param: int | None, source_type):
+    """A SOURCE-typed physical partition value (identity storage: date =
+    days-since-epoch int, timestamp = micros long, others native) → the
+    given transform's stored physical value — the metadata-side mirror of
+    the writer's ``_transform_column``, used to DERIVE one spec's
+    partition value from another spec's identity value when a snapshot
+    mixes partition specs.  None when underivable (caller keeps the file
+    — conservative)."""
+    if value is None:
+        return None
+    if kind == "identity":
+        return value
+    if kind in ("year", "month", "day", "hour"):
+        if source_type == "date":
+            if kind == "hour":
+                return None  # hour of a date is undefined (writer refuses)
+            days = int(value)
+            return days if kind == "day" else _coarsen_time(days, "day", kind)
+        if source_type in ("timestamp", "timestamptz"):
+            hours = int(value) // 3_600_000_000  # floor: negatives exact
+            return (
+                hours if kind == "hour" else _coarsen_time(hours, "hour", kind)
+            )
+        return None
+    if kind == "truncate":
+        if source_type == "string":
+            return str(value)[: int(param)]
+        if source_type in ("int", "long"):
+            v = int(value)
+            return v - (v % int(param))
+        return None
+    if kind == "bucket":
+        if source_type in ("int", "long", "date", "timestamp", "timestamptz"):
+            data = int(value).to_bytes(8, "little", signed=True)
+        elif source_type == "string":
+            data = str(value).encode("utf-8")
+        else:
+            return None
+        return (_murmur3_32(data) & 0x7FFFFFFF) % int(param)
+    return None
 
 
 def _murmur3_32(data: bytes, seed: int = 0) -> int:
@@ -673,58 +758,135 @@ class IcebergCatalog:
             else self.schema
         )
 
-        # default partition spec: identity + range-invertible transforms
-        # become prunable columns
+        # Partition specs: identity + range-invertible transforms become
+        # prunable columns.  EVERY spec is parsed (a table whose partition
+        # layout was EVOLVED — day→hour repartitioning, the canonical
+        # lifecycle event — carries data manifests under several specs;
+        # each manifest's tuples/summaries decode under ITS OWN spec).
+        field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+
+        def _spec_context(spec_fields_json: list[dict]) -> list[dict]:
+            out = []
+            for f in spec_fields_json:
+                kind = _transform_kind(f.get("transform"))
+                source_name = field_names.get(f.get("source-id"))
+                # identity prunes on the SOURCE column name (the column
+                # exists in the data); range-invertible transforms prune on
+                # the PARTITION FIELD name (ts_day etc. — no data column to
+                # clash with); bucket prunes through an INTERNAL
+                # `__bucket_<src>` field — user filters name the SOURCE
+                # column and _rewrite_bucket_filter maps = / IN literals to
+                # ordinals
+                if kind == "identity" and source_name:
+                    prune_name = source_name
+                elif kind == "bucket" and source_name:
+                    prune_name = f"__bucket_{source_name}"
+                elif kind and kind != "identity":
+                    prune_name = f["name"]
+                else:
+                    prune_name = None
+                out.append(
+                    {
+                        "name": f["name"],
+                        "kind": kind,
+                        "prune_name": prune_name,
+                        "source_name": source_name,
+                        "source_id": f.get("source-id"),
+                        "source_type": field_types.get(f.get("source-id")),
+                        "transform": f.get("transform"),
+                        "param": _transform_param(f.get("transform")),
+                        "bucket_n": (
+                            _transform_param(f.get("transform"))
+                            if kind == "bucket"
+                            else None
+                        ),
+                    }
+                )
+            return out
+
         specs = meta.get("partition-specs")
         if specs is not None:
             did = meta.get("default-spec-id", 0)
             self._default_spec_id = did
-            spec_fields = next(
-                (s["fields"] for s in specs if s.get("spec-id") == did),
-                specs[0]["fields"] if specs else [],
-            )
+            self._specs = {
+                int(s["spec-id"]): _spec_context(s.get("fields") or [])
+                for s in specs
+                if s.get("spec-id") is not None
+            }
+            if did not in self._specs:
+                self._specs[did] = _spec_context(
+                    specs[0]["fields"] if specs else []
+                )
         else:
             self._default_spec_id = None
-            spec_fields = meta.get("partition-spec", [])
-        # partition tuple layout in manifests follows the spec field ORDER
-        field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
-        self._spec_fields = []
-        for f in spec_fields:
-            kind = _transform_kind(f.get("transform"))
-            source_name = field_names.get(f.get("source-id"))
-            # identity prunes on the SOURCE column name (the column exists
-            # in the data); range-invertible transforms prune on the
-            # PARTITION FIELD name (ts_day etc. — no data column to clash
-            # with); bucket prunes through an INTERNAL `__bucket_<src>`
-            # field — user filters name the SOURCE column and
-            # _rewrite_bucket_filter maps = / IN literals to ordinals
-            if kind == "identity" and source_name:
-                prune_name = source_name
-            elif kind == "bucket" and source_name:
-                prune_name = f"__bucket_{source_name}"
-            elif kind and kind != "identity":
-                prune_name = f["name"]
-            else:
-                prune_name = None
-            self._spec_fields.append(
-                {
-                    "name": f["name"],
-                    "kind": kind,
-                    "prune_name": prune_name,
-                    "source_name": source_name,
-                    "source_type": field_types.get(f.get("source-id")),
-                    "bucket_n": (
-                        int(re.fullmatch(
-                            r"bucket\[(\d+)\]", f["transform"]
-                        ).group(1))
-                        if kind == "bucket"
-                        else None
+            self._specs = {None: _spec_context(meta.get("partition-spec", []))}
+        self._spec_fields = self._specs[self._default_spec_id]
+
+        # Cross-spec prune-name consistency: a prune column means ONE
+        # (transform, source) everywhere it appears.  The spec mandates
+        # same-transform-same-source fields reuse their field id across
+        # specs, so honest writers always agree; a non-default spec whose
+        # same-named field means something else is marked unprunable there
+        # (conservative — its files are simply never skipped on that name).
+        prune_defs: dict[str, tuple] = {}
+        ordered_sids = [self._default_spec_id] + sorted(
+            (s for s in self._specs if s != self._default_spec_id),
+            key=lambda s: (s is None, s),
+        )
+        for sid_o in ordered_sids:
+            for f in self._specs[sid_o]:
+                if not f["prune_name"]:
+                    continue
+                d = (f.get("transform"), f.get("source_id"))
+                if prune_defs.setdefault(f["prune_name"], d) != d:
+                    f["prune_name"] = None
+        self.partition_cols = []
+        for sid_o in ordered_sids:
+            for f in self._specs[sid_o]:
+                if f["prune_name"] and f["prune_name"] not in self.partition_cols:
+                    self.partition_cols.append(f["prune_name"])
+
+        # Derivations: for each spec, which OTHER specs' prune columns its
+        # files can still provide a value for — an identity field derives
+        # ANY transform of the same source (apply the transform to the
+        # stored value); a finer time field derives the coarser ones
+        # (hour→day→month→year, calendar floor).  Underivable columns are
+        # simply absent from that spec's file tuples; pruning then falls
+        # back to per-spec conjunct evaluation (see pruned_files).
+        by_prune: dict[str, dict] = {}
+        for sid_o in ordered_sids:
+            for f in self._specs[sid_o]:
+                if f["prune_name"]:
+                    by_prune.setdefault(f["prune_name"], f)
+        self._derived: dict = {}
+        for sid_o in ordered_sids:
+            sfields = self._specs[sid_o]
+            have = {f["prune_name"] for f in sfields if f["prune_name"]}
+            der: dict[str, tuple] = {}
+            for col, target in by_prune.items():
+                if col in have:
+                    continue
+                prov = next(
+                    (
+                        f
+                        for f in sfields
+                        if f.get("source_id") == target.get("source_id")
+                        and f.get("source_id") is not None
                     ),
-                }
-            )
-        self.partition_cols = [
-            f["prune_name"] for f in self._spec_fields if f["prune_name"]
-        ]
+                    None,
+                )
+                if prov is None:
+                    continue
+                t_kind, t_param = target["kind"], target["param"]
+                if prov["kind"] == "identity":
+                    der[col] = (prov["name"], t_kind, t_param, "identity")
+                elif (
+                    prov["kind"] in _TIME_LEVEL
+                    and t_kind in _TIME_LEVEL
+                    and _TIME_LEVEL[t_kind] > _TIME_LEVEL[prov["kind"]]
+                ):
+                    der[col] = (prov["name"], t_kind, t_param, prov["kind"])
+            self._derived[sid_o] = der
 
         snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
         self._snapshots = meta.get("snapshots", [])
@@ -795,24 +957,50 @@ class IcebergCatalog:
     def _manifest_disjoint(self, m: dict, conjuncts) -> bool:
         """Can the manifest-list ``partitions`` field summaries prove this
         manifest holds NO file matching the filter?  Conservative: any
-        missing/undecodable piece keeps the manifest."""
-        if (
-            self._default_spec_id is not None
-            and m.get("partition_spec_id") not in (None, self._default_spec_id)
-        ):
+        missing/undecodable piece keeps the manifest.  Summaries decode
+        under the MANIFEST'S OWN spec (an evolved table mixes specs); a
+        filter column the spec lacks can still skip when the spec holds a
+        FINER field on the same source (time coarsening / an identity
+        value's transform — both monotone maps, so coarsened bounds stay
+        true bounds)."""
+        sid_m = m.get("partition_spec_id")
+        sfields = self._specs.get(
+            None if sid_m is None else int(sid_m),
+            self._spec_fields if sid_m is None else None,
+        )
+        if sfields is None:
             return False  # summaries align with a spec we didn't parse
         sums = m.get("partitions")
         if not sums:
             return False
         by_name = {
             f["prune_name"]: (i, f)
-            for i, f in enumerate(self._spec_fields)
+            for i, f in enumerate(sfields)
             if f["prune_name"]
         }
+        derived = self._derived.get(
+            None if sid_m is None else int(sid_m), {}
+        )
+        by_field_name = {f["name"]: (i, f) for i, f in enumerate(sfields)}
         for col, op, vals in conjuncts:
             hit = by_name.get(col)
+            coarsen = None  # (target kind, target param) for derived bounds
             if hit is None:
-                continue  # not a partition field here; file-level prune decides
+                d = derived.get(col)
+                if d is None:
+                    continue  # not derivable here; file-level prune decides
+                prov_name, t_kind, t_param, prov_kind = d
+                if t_kind not in _TIME_LEVEL:
+                    # only TIME targets have monotone derivations a range
+                    # summary survives (bucket is not order-preserving;
+                    # truncate-from-identity is monotone but the quoted/
+                    # numeric domain split below doesn't carry its types) —
+                    # keep the manifest, the file-level prune decides
+                    continue
+                hit = by_field_name.get(prov_name)
+                if hit is None:
+                    continue
+                coarsen = (t_kind, t_param, prov_kind)
             idx, f = hit
             if idx >= len(sums) or not isinstance(sums[idx], dict):
                 continue
@@ -829,6 +1017,33 @@ class IcebergCatalog:
             lo_raw = _decode_bound(sums[idx].get("lower_bound"), bound_type)
             hi_raw = _decode_bound(sums[idx].get("upper_bound"), bound_type)
             if lo_raw is None or hi_raw is None:
+                continue
+            if coarsen is not None:
+                # map the provider field's bounds into the TARGET transform's
+                # ordinal domain (monotone, so [lo, hi] maps to true bounds),
+                # then compare in the target's rendered-string form below
+                t_kind, t_param, prov_kind = coarsen
+                if prov_kind == "identity":
+                    lo_raw = _apply_transform(
+                        lo_raw, t_kind, t_param, f["source_type"]
+                    )
+                    hi_raw = _apply_transform(
+                        hi_raw, t_kind, t_param, f["source_type"]
+                    )
+                else:
+                    lo_raw = _coarsen_time(lo_raw, prov_kind, t_kind)
+                    hi_raw = _coarsen_time(hi_raw, prov_kind, t_kind)
+                if lo_raw is None or hi_raw is None:
+                    continue
+                quoted = {q for _, q in vals}
+                if quoted != {True}:
+                    continue  # numeric-domain derived compare: not supported
+                lo = _transform_str(t_kind, lo_raw, f["source_type"])
+                hi = _transform_str(t_kind, hi_raw, f["source_type"])
+                if lo is None or hi is None:
+                    continue
+                if _disjoint(op, [v for v, _ in vals], lo, hi):
+                    return True
                 continue
             quoted = {q for _, q in vals}
             if quoted == {True}:
@@ -861,14 +1076,15 @@ class IcebergCatalog:
 
     def _decode_entries(
         self, spark: SparkSession | None, manifests: list[dict]
-    ) -> list[tuple[int, int, dict]]:
-        """All (manifest_content, manifest_sequence_number, entry) triples
-        of the given manifests — sequential on the driver for small tables,
-        one distributed binaryFile+mapInPandas job above
-        DRIVER_PLAN_MAX_MANIFESTS.  Driver-decoded manifests memoize per
-        PATH: ``_plan`` and ``file_key_bounds`` on the same pinned
-        snapshot must not pay the decode twice (manifest files are
-        immutable, so path-keyed caching is always sound)."""
+    ) -> list[tuple[int, int, int | None, dict]]:
+        """All (manifest_content, manifest_sequence_number,
+        partition_spec_id, entry) tuples of the given manifests —
+        sequential on the driver for small tables, one distributed
+        binaryFile+mapInPandas job above DRIVER_PLAN_MAX_MANIFESTS.
+        Driver-decoded manifests memoize per PATH: ``_plan`` and
+        ``file_key_bounds`` on the same pinned snapshot must not pay the
+        decode twice (manifest files are immutable, so path-keyed caching
+        is always sound)."""
         todo = [
             m for m in manifests
             if m["manifest_path"] not in self._entries_cache
@@ -886,19 +1102,21 @@ class IcebergCatalog:
                 self._read_meta_bytes(m["manifest_path"])
             )
             self._entries_cache[m["manifest_path"]] = entries
-        out: list[tuple[int, int, dict]] = []
+        out: list[tuple[int, int, int | None, dict]] = []
         for m in manifests:
             content = int(m.get("content") or 0)
             mseq = int(m.get("sequence_number") or 0)
+            spec_id = m.get("partition_spec_id")
+            spec_id = None if spec_id is None else int(spec_id)
             out.extend(
-                (content, mseq, e)
+                (content, mseq, spec_id, e)
                 for e in self._entries_cache[m["manifest_path"]]
             )
         return out
 
     def _decode_entries_distributed(
         self, spark: SparkSession, manifests: list[dict]
-    ) -> list[tuple[int, int, dict]]:
+    ) -> list[tuple[int, int, int | None, dict]]:
         from urllib.parse import unquote
 
         from .uris import normalized_key
@@ -907,6 +1125,9 @@ class IcebergCatalog:
             normalized_key(_spark_uri(m["manifest_path"])): (
                 int(m.get("content") or 0),
                 int(m.get("sequence_number") or 0),
+                None
+                if m.get("partition_spec_id") is None
+                else int(m["partition_spec_id"]),
             )
             for m in manifests
         }
@@ -952,10 +1173,15 @@ class IcebergCatalog:
             key = normalized_key(r["mpath"])
             meta = content_by_norm.get(key)
             if meta is None:
-                meta = content_by_norm.get(unquote(key), (0, 0))
-            content, mseq = meta
+                meta = content_by_norm.get(unquote(key), (0, 0, None))
+            content, mseq, spec_id = meta
             out.append(
-                (content, mseq, json.loads(r["entry"], object_hook=_hook))
+                (
+                    content,
+                    mseq,
+                    spec_id,
+                    json.loads(r["entry"], object_hook=_hook),
+                )
             )
         return out
 
@@ -981,33 +1207,6 @@ class IcebergCatalog:
             self._plans[cache_key] = plan
             return plan
 
-        if partition_filter and self._default_spec_id is not None:
-            # Partition tuples are decoded under the DEFAULT spec's field
-            # layout.  A DATA manifest written under another spec records a
-            # different partition shape — its files would surface as
-            # null-valued tuples and a filter would silently EXCLUDE them.
-            # Filterless reads are unaffected (tuples unused by the scan),
-            # and DELETE manifests too (delete application is by path /
-            # key columns; their partition tuples are never consulted) —
-            # global equality deletes are legitimately written under an
-            # unpartitioned non-default spec (iceberg_writer.merge_iceberg).
-            other = sorted(
-                {
-                    m.get("partition_spec_id")
-                    for m in self._manifests
-                    if m.get("partition_spec_id")
-                    not in (None, self._default_spec_id)
-                    and int(m.get("content") or 0) == 0
-                }
-            )
-            if other:
-                raise BuzzPlanError(
-                    f"partition_filter over a table whose snapshot carries "
-                    f"manifests under non-default partition specs {other} — "
-                    "evolved-spec pruning is not implemented; read without "
-                    "partition_filter (correct, unpruned) instead"
-                )
-
         conjuncts = (
             _parse_conjuncts(partition_filter) if partition_filter else None
         )
@@ -1023,7 +1222,7 @@ class IcebergCatalog:
         orc_keys: set = set()
         seq_by_norm: dict[str, int] = {}
         part_raw: dict[str, dict] = {}
-        for mcontent, mseq, e in self._decode_entries(spark, chosen):
+        for mcontent, mseq, mspec, e in self._decode_entries(spark, chosen):
             if int(e.get("status") or 0) == 2:  # DELETED entry
                 continue
             df_rec = e["data_file"]
@@ -1049,7 +1248,17 @@ class IcebergCatalog:
                         "(parquet and orc only)"
                     )
                 part = df_rec.get("partition") or {}
-                partitions = tuple(
+                # tuples decode under the manifest's OWN spec; columns
+                # another spec defines are DERIVED where the monotone maps
+                # allow (identity→transform, finer→coarser time), else
+                # absent — pruned_files then evaluates per availability
+                # group, never silently null-excluding an evolved file
+                sfields = self._specs.get(
+                    mspec, self._spec_fields if mspec is None else None
+                )
+                if sfields is None:
+                    sfields = []  # unknown spec: no prunable values
+                parts_list = [
                     (
                         f["prune_name"],
                         _partition_str(part.get(f["name"]), f["source_type"])
@@ -1058,9 +1267,35 @@ class IcebergCatalog:
                             f["kind"], part.get(f["name"]), f["source_type"]
                         ),
                     )
-                    for f in self._spec_fields
+                    for f in sfields
                     if f["prune_name"]
-                )
+                ]
+                for col, (prov_name, t_kind, t_param, prov_kind) in sorted(
+                    (self._derived.get(mspec) or {}).items()
+                ):
+                    prov_f = next(
+                        f for f in sfields if f["name"] == prov_name
+                    )
+                    raw = part.get(prov_name)
+                    if prov_kind == "identity":
+                        dv = _apply_transform(
+                            raw, t_kind, t_param, prov_f["source_type"]
+                        )
+                    elif raw is None:
+                        dv = None
+                    else:
+                        dv = _coarsen_time(raw, prov_kind, t_kind)
+                    if raw is not None and dv is None:
+                        continue  # underivable value: leave the column absent
+                    rendered = (
+                        _partition_str(dv, prov_f["source_type"])
+                        if t_kind == "identity"
+                        else _transform_str(
+                            t_kind, dv, prov_f["source_type"]
+                        )
+                    )
+                    parts_list.append((col, rendered))
+                partitions = tuple(parts_list)
                 key = _spark_uri(df_rec["file_path"])
                 if fmt == "ORC":
                     orc_keys.add(key)
@@ -1214,12 +1449,68 @@ class IcebergCatalog:
         files = self._plan(spark, partition_filter)["files"]
         if not partition_filter:
             return list(files)
-        return StaticCatalog(
-            name=self.name,
-            schema=self.schema,
-            files=files,
-            partition_cols=self.partition_cols,
-        ).pruned_files(spark, partition_filter)
+
+        def _prune(subset, cols, flt):
+            return StaticCatalog(
+                name=self.name,
+                schema=self.schema,
+                files=subset,
+                partition_cols=cols,
+            ).pruned_files(spark, flt)
+
+        # Group files by which prune columns they actually carry (one group
+        # per spec + derivation reach).  A single full-coverage group is
+        # the plain path; an EVOLVED snapshot evaluates per group — each
+        # group gets the conjuncts it can answer, and a term naming a
+        # column a group cannot provide keeps that group's files
+        # (conservative superset, exactly Iceberg's partition-pruning
+        # contract: pruning may keep extra files, the row filter decides).
+        groups: dict[frozenset, list[CatalogFile]] = {}
+        for f in files:
+            groups.setdefault(
+                frozenset(k for k, _ in f.partitions), []
+            ).append(f)
+        full = frozenset(self.partition_cols)
+        if len(groups) <= 1 and (not groups or set(groups) == {full}):
+            return _prune(files, self.partition_cols, partition_filter)
+
+        referenced = {
+            c
+            for c in self.partition_cols
+            if re.search(rf"\b{re.escape(c)}\b", partition_filter)
+        }
+        parts = _split_conjunction(partition_filter)
+        kept_keys: set = set()
+        for avail in sorted(groups, key=sorted):
+            subset = groups[avail]
+            cols = [c for c in self.partition_cols if c in avail]
+            missing = referenced - avail
+            if not missing:
+                kept = _prune(subset, cols, partition_filter)
+            elif parts is None:
+                raise BuzzPlanError(
+                    f"partition_filter {partition_filter!r} names partition "
+                    f"fields {sorted(missing)} that files under some of this "
+                    "snapshot's partition specs cannot provide, and the "
+                    "filter is not a simple AND of terms — per-spec pruning "
+                    "cannot split it soundly; simplify the filter or read "
+                    "without partition_filter"
+                )
+            else:
+                usable = [
+                    p
+                    for p in parts
+                    if not any(
+                        re.search(rf"\b{re.escape(c)}\b", p) for c in missing
+                    )
+                ]
+                kept = (
+                    _prune(subset, cols, " AND ".join(usable))
+                    if usable
+                    else list(subset)  # no evaluable term: keep (superset)
+                )
+            kept_keys.update(f.key for f in kept)
+        return [f for f in files if f.key in kept_keys]
 
     def to_dataframe(
         self, spark: SparkSession, partition_filter: str | None = None
@@ -1630,7 +1921,7 @@ class IcebergCatalog:
         data_manifests = [
             m for m in self._manifests if int(m.get("content") or 0) == 0
         ]
-        for _, _, e in self._decode_entries(spark, data_manifests):
+        for _, _, _, e in self._decode_entries(spark, data_manifests):
             if int(e.get("status") or 0) == 2:
                 continue
             df_rec = e["data_file"]
@@ -1798,7 +2089,7 @@ def _changes_range(
             m for m in manifests
             if int(m.get("added_snapshot_id") or -1) == int(sid)
         ]
-        for mcontent, mseq, e in cat._decode_entries(spark, added):
+        for mcontent, mseq, _mspec, e in cat._decode_entries(spark, added):
             if int(e.get("status") or 0) != 1:
                 continue  # EXISTING/DELETED entries are not new at s
             esnap = e.get("snapshot_id")
@@ -2100,8 +2391,13 @@ def read_iceberg_changelog(
                 .distinct()
             )
             if sum(d["size"] for d in dels) <= cat.DELETE_BROADCAST_MAX_BYTES:
-                keys = broadcast(keys)
-            eq_groups.append((names, keys))
+                # hint only the JOIN use below; the zone-map agg reads the
+                # bare frame (a broadcast hint on an aggregate input is a
+                # no-op that logs a HintErrorLogger warning, masking real
+                # hint regressions)
+                eq_groups.append((names, broadcast(keys)))
+            else:
+                eq_groups.append((names, keys))
             # zone map: key min/max per PRUNABLE column (int/long/string —
             # types whose decoded bounds compare exactly with collected
             # Spark values); a column outside that set never prunes

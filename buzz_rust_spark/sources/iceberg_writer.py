@@ -40,9 +40,11 @@ Boundaries (typed errors, never silent): local-filesystem table URIs
 only (data files and manifests are written with plain ``os`` IO; the
 COMMIT already routes through the conditional-put store, so an S3
 backend slots in as a store implementing ``If-None-Match`` puts),
-identity partition transforms only, format v2 only, and nested
-struct/list/map FIELD ids are not emitted into parquet footers
-(top-level ids only — renames of nested fields are out of scope).
+format v2 only, and nested struct/list/map FIELD ids are not emitted
+into parquet footers (top-level ids only — renames of nested fields are
+out of scope).  Partition transforms: identity, year/month/day/hour,
+truncate[W], bucket[N]; the spec itself can be EVOLVED in place
+(:func:`evolve_iceberg_partition_spec`).
 Appends verify the incoming schema against the table schema by name and
 type and re-order columns to match.
 
@@ -986,6 +988,14 @@ def _load_v2_meta(root: str, table_uri: str) -> tuple[int, dict]:
     return version, meta
 
 
+def _norm_snapshot_id(sid) -> int:
+    """Normalize the two spellings of 'no current snapshot' (absent/None
+    and the writer's -1) to -1, so an EMPTY table is a pinnable basis for
+    replace operations: a first append racing an empty-table rewrite must
+    trip the superseded-snapshot abort, not slip past a None check."""
+    return -1 if sid is None else int(sid)
+
+
 def _txn_already_committed(meta: dict, txn_app_id: str, txn_version) -> bool:
     """Whether a txn marker ≥ ``txn_version`` for ``txn_app_id`` is already
     committed — in a snapshot summary, or (post-expiry) in the persisted
@@ -1016,6 +1026,28 @@ def _schema_sig(schema_json: dict) -> list:
         )
         for f in schema_json["fields"]
     ]
+
+
+def _require_expected_properties(
+    meta: dict, expect_properties: dict[str, str] | None
+) -> None:
+    """Raise the typed NON-retryable abort when a table property a commit's
+    computation depended on no longer holds its expected value — the CAS
+    that makes read-compute-commit cycles over properties (e.g. the
+    matview cursor) safe against concurrent committers: two refreshes that
+    both read cursor C cannot both apply their delta, because the second
+    one's commit (original claim or any retry) sees the advanced cursor
+    and aborts instead of double-counting the window."""
+    if not expect_properties:
+        return
+    props = meta.get("properties") or {}
+    for k, v in expect_properties.items():
+        if props.get(k) != v:
+            raise BuzzCommitAbortedError(
+                f"table property {k!r} changed concurrently (expected "
+                f"{v!r}, found {props.get(k)!r}) — this operation's basis "
+                "is stale; re-run against the current table"
+            )
 
 
 def _require_same_write_basis(
@@ -1060,6 +1092,7 @@ def write_iceberg(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     max_commit_retries: int = 5,
+    branch: str | None = None,
     _operation: str | None = None,
     _expect_snapshot_id: int | None = None,
     store=None,
@@ -1091,11 +1124,21 @@ def write_iceberg(
     change raises the NON-retryable
     :class:`~..errors.BuzzCommitAbortedError` instead (the staged files
     become orphans for ``vacuum_iceberg``).
+
+    ``branch`` commits to a named BRANCH ref instead of ``main`` (the
+    write-audit-publish staging write): the snapshot parents on the
+    branch head — a missing branch forks from the current table state at
+    first write — and only that ref advances; reads of the table stay
+    unchanged until :func:`fast_forward_iceberg` publishes the branch.
+    Read the staged state with ``IcebergCatalog(..., ref=branch)``.
+    Branch writes require an existing table; writing to a TAG refuses.
     """
     if mode not in ("append", "overwrite"):
         raise BuzzBadRequestError(
             f"unsupported iceberg write mode {mode!r} (append/overwrite)"
         )
+    if branch == "main":
+        branch = None
     if (txn_app_id is None) != (txn_version is None):
         raise BuzzBadRequestError(
             "txn_app_id and txn_version must be given together"
@@ -1123,11 +1166,18 @@ def write_iceberg(
     if (
         existing is not None
         and _expect_snapshot_id is not None
-        and existing[1].get("current-snapshot-id") != _expect_snapshot_id
+        and _norm_snapshot_id(existing[1].get("current-snapshot-id"))
+        != _norm_snapshot_id(_expect_snapshot_id)
     ):
         raise BuzzCommitAbortedError(
             "the snapshot this replace was built from was superseded — "
             "re-run the rewrite against the current table"
+        )
+
+    if existing is None and branch is not None:
+        raise BuzzBadRequestError(
+            "branch writes require an existing table (a branch forks from "
+            "table state; create the table on main first)"
         )
 
     if existing is None:
@@ -1205,8 +1255,13 @@ def write_iceberg(
                 f"partition_by {user_desc} does not match the table's "
                 f"partition spec {spec_desc}"
             )
-        # previous manifests carried forward on append
-        prev_manifests = _prev_manifests(meta) if mode == "append" else []
+        # previous manifests carried forward on append (from the BRANCH
+        # head when staging a write-audit-publish branch)
+        prev_manifests = (
+            _prev_manifests(meta, _branch_head(meta, branch))
+            if mode == "append"
+            else []
+        )
 
     by_name = {f["name"]: f for f in schema_json["fields"]}
     part_fields = _partition_context(schema_json, spec_fields)
@@ -1297,6 +1352,7 @@ def write_iceberg(
             counts,
             log_prior_metadata=existed_a,
             store=store,
+            branch=branch,
         )
         return {
             "snapshot_id": snap_id,
@@ -1312,17 +1368,39 @@ def write_iceberg(
         _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
         if (
             _expect_snapshot_id is not None
-            and meta_f.get("current-snapshot-id") != _expect_snapshot_id
+            and _norm_snapshot_id(meta_f.get("current-snapshot-id"))
+            != _norm_snapshot_id(_expect_snapshot_id)
         ):
             raise BuzzCommitAbortedError(
                 "the snapshot this replace was built from was superseded "
                 "concurrently — re-run the rewrite against the current table"
             )
+        if existing is None and properties:
+            # this writer lost a CREATE race and is retrying as an append
+            # onto the winner's table; the creation-time properties the
+            # caller asked for (e.g. a matview's cursor/spec markers) were
+            # never applied — committing rows without them would leave the
+            # table in a state the caller's contract does not allow
+            props_f = meta_f.get("properties") or {}
+            dropped = {
+                k: v for k, v in properties.items() if props_f.get(k) != v
+            }
+            if dropped:
+                raise BuzzCommitAbortedError(
+                    "the table was created concurrently and does not carry "
+                    f"the requested creation properties {sorted(dropped)} — "
+                    "re-run against the existing table (set properties "
+                    "explicitly if intended)"
+                )
         if txn_app_id is not None and _txn_already_committed(
             meta_f, txn_app_id, txn_version
         ):
             return None  # a peer committed our txn: idempotent no-op
-        prev_f = _prev_manifests(meta_f) if mode == "append" else []
+        prev_f = (
+            _prev_manifests(meta_f, _branch_head(meta_f, branch))
+            if mode == "append"
+            else []
+        )
         return (version_f, meta_f, prev_f, True)
 
     return commit_with_retry(
@@ -1501,10 +1579,35 @@ def _manifest_rec(
     }
 
 
-def _prev_manifests(meta: dict) -> list[dict]:
-    """The current snapshot's manifest-list entries (empty for a table
-    without a current snapshot)."""
-    cur = meta.get("current-snapshot-id")
+def _branch_head(meta: dict, branch: str | None) -> int | None:
+    """The snapshot id a write on ``branch`` parents on: the ref's pinned
+    snapshot, the table's CURRENT for main/None, or — for a branch that
+    does not exist yet — the current snapshot (the branch forks from the
+    table state at first write, the write-audit-publish bootstrap).
+    Writing to a TAG is a typed refusal (tags are immutable audit points).
+    None = empty basis."""
+    if branch in (None, "main"):
+        cur = meta.get("current-snapshot-id")
+        return None if cur in (None, -1) else int(cur)
+    r = (meta.get("refs") or {}).get(branch)
+    if r is None:
+        cur = meta.get("current-snapshot-id")
+        return None if cur in (None, -1) else int(cur)
+    if r.get("type") == "tag":
+        raise BuzzBadRequestError(
+            f"ref {branch!r} is a TAG — tags are immutable; write to a "
+            "branch instead"
+        )
+    return int(r["snapshot-id"])
+
+
+def _prev_manifests(meta: dict, snapshot_id: int | None = ...) -> list[dict]:
+    """A snapshot's manifest-list entries — the CURRENT snapshot by
+    default, or the given one (a branch head).  Empty when the basis is an
+    empty table."""
+    cur = (
+        meta.get("current-snapshot-id") if snapshot_id is ... else snapshot_id
+    )
     snap = next(
         (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
         None,
@@ -1594,9 +1697,16 @@ def _finish_commit(
     summary_counts: dict[str, str],
     log_prior_metadata: bool,
     store=None,
+    branch: str | None = None,
 ) -> int:
     """Append the snapshot to the table metadata and atomically promote
     ``v<N+1>.metadata.json`` + ``version-hint.text``.  Returns N+1.
+
+    ``branch`` (non-main) parents the snapshot on THAT ref's head and
+    advances only that ref — ``current-snapshot-id``, ``main``, and the
+    ``snapshot-log`` (the spec's record of changes to the CURRENT state)
+    stay untouched: the write-audit-publish staging write.  Sequence
+    numbers are table-global either way.
 
     The version promote is a conditional put (compare-and-swap on the
     version filename) through the commit store: a concurrent writer that
@@ -1604,8 +1714,7 @@ def _finish_commit(
     :class:`~..errors.BuzzCommitConflictError` instead of silently
     overwriting the winner's metadata."""
     meta_dir = os.path.join(root, "metadata")
-    parent = meta.get("current-snapshot-id")
-    parent = None if parent in (None, -1) else parent
+    parent = _branch_head(meta, branch)
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
@@ -1620,13 +1729,16 @@ def _finish_commit(
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
-    meta["current-snapshot-id"] = snap_id
     refs = dict(meta.get("refs") or {})
-    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    if branch in (None, "main"):
+        meta["current-snapshot-id"] = snap_id
+        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+        meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        ]
+    else:
+        refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
     meta["refs"] = refs
-    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-    ]
     if log_prior_metadata:
         meta["metadata-log"] = list(meta.get("metadata-log", [])) + [
             {
@@ -1703,6 +1815,7 @@ def delete_iceberg(
     predicate: str,
     max_delete_rows: int = 5_000_000,
     max_commit_retries: int = 5,
+    branch: str | None = None,
     store=None,
 ) -> dict | None:
     """DELETE FROM the Iceberg table WHERE ``predicate`` — merge-on-read:
@@ -1739,15 +1852,23 @@ def delete_iceberg(
     like data files (a day-filtered scan of a CDC table never opens other
     days' delete files).  Unpartitioned tables, evolved-spec snapshots,
     and unwritable transforms fall back to the spec's GLOBAL form (the
-    UNPARTITIONED spec; position deletes apply by file path)."""
+    UNPARTITIONED spec; position deletes apply by file path).
+
+    ``branch`` stages the delete on a named branch: the predicate
+    evaluates against the BRANCH state and only that ref advances —
+    ``main`` is untouched until :func:`fast_forward_iceberg`."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
 
     from .iceberg import IcebergCatalog
 
+    if branch == "main":
+        branch = None
     root = _local_table_dir(table_uri)
     version, meta = _load_v2_meta(root, table_uri)
-    cat = IcebergCatalog("delete", root)
+    # pinned at the BRANCH head for WAP staging deletes (the predicate
+    # evaluates against the branch's state; main is untouched)
+    cat = IcebergCatalog("delete", root, snapshot_id=_branch_head(meta, branch))
     plan = cat._plan(spark, None)
     files = plan["files"]
     if not files:
@@ -1945,7 +2066,10 @@ def delete_iceberg(
             )
         mlist_path = _write_manifest_list(
             meta_dir, snap_id, seq,
-            [delete_rec] + _carry_manifests(_prev_manifests(meta_a)),
+            [delete_rec]
+            + _carry_manifests(
+                _prev_manifests(meta_a, _branch_head(meta_a, branch))
+            ),
         )
         new_version = _finish_commit(
             root,
@@ -1963,6 +2087,7 @@ def delete_iceberg(
             },
             log_prior_metadata=True,
             store=store,
+            branch=branch,
         )
         return {
             "snapshot_id": snap_id,
@@ -1976,7 +2101,9 @@ def delete_iceberg(
         import pyarrow.parquet as pq
 
         version_f, meta_f = _load_v2_meta(root, table_uri)
-        fresh_plan = IcebergCatalog("delete", root)._plan(spark, None)
+        fresh_plan = IcebergCatalog(
+            "delete", root, snapshot_id=_branch_head(meta_f, branch)
+        )._plan(spark, None)
         # Concurrent EQUALITY deletes (another merge landing first) do NOT
         # invalidate the retry: they kill rows by key, our staged position
         # deletes kill rows by coordinate, and readers apply the UNION —
@@ -2058,11 +2185,15 @@ def rewrite_iceberg(
     if existing is None:
         return None  # not a table (no metadata dir / no metadata.json)
     _, meta = existing
-    basis_snapshot = meta.get("current-snapshot-id")  # -1/None on empty
+    # -1/None on empty — normalized to the PINNED -1 sentinel, so a first
+    # append racing this empty-table replace still trips the superseded-
+    # snapshot abort instead of being silently wiped (overwrite retries
+    # carry no prior manifests)
+    basis_snapshot = _norm_snapshot_id(meta.get("current-snapshot-id"))
     cat = IcebergCatalog(
         "rewrite",
         root,
-        snapshot_id=None if basis_snapshot in (None, -1) else basis_snapshot,
+        snapshot_id=None if basis_snapshot == -1 else basis_snapshot,
     )
     df = cat.to_dataframe(spark)
     # the reader surfaces iceberg `timestamp` (NTZ) as Spark's LTZ type;
@@ -2371,6 +2502,8 @@ def merge_iceberg(
     target_file_rows: int = 1_000_000,
     max_commit_retries: int = 5,
     set_properties: dict[str, str] | None = None,
+    expect_properties: dict[str, str] | None = None,
+    branch: str | None = None,
     store=None,
 ) -> dict | None:
     """UPSERT ``source`` into the Iceberg table by ``key_cols`` — the
@@ -2400,6 +2533,14 @@ def merge_iceberg(
     materialization records its source cursor exactly-once: a crash
     either lands the merge AND the cursor or neither.  ``buzz.txn.``
     keys are refused (expiry-managed replay markers).
+    ``expect_properties`` is the matching CAS: the commit (and every
+    retry) validates that each listed property still holds the given
+    value, raising the non-retryable
+    :class:`~..errors.BuzzCommitAbortedError` otherwise — two concurrent
+    refreshes that both read the same cursor cannot both apply their
+    delta.  ``branch`` stages the merge on a named branch (parented on
+    the branch head, keys matched against the BRANCH state; ``main``
+    untouched until :func:`fast_forward_iceberg`).
 
     The delete manifest commits under the table's UNPARTITIONED spec
     (added to ``partition-specs`` on first use) — the spec's GLOBAL form,
@@ -2411,8 +2552,11 @@ def merge_iceberg(
     eq-delete files like data files."""
     from pyspark.sql import functions as F
 
+    if branch == "main":
+        branch = None
     root = _local_table_dir(table_uri)
     version, meta = _load_v2_meta(root, table_uri)
+    _require_expected_properties(meta, expect_properties)
     sid = meta.get("current-schema-id", 0)
     schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
     order = _schema_fields_match(schema_json, source.schema)
@@ -2438,7 +2582,10 @@ def merge_iceberg(
         )
     from .iceberg import IcebergCatalog
 
-    cat = IcebergCatalog("merge", root)
+    # pinned at the BRANCH head for WAP staging merges (scope_deletes
+    # below must see the branch's manifests, not main's)
+    merge_head = _branch_head(meta, branch)
+    cat = IcebergCatalog("merge", root, snapshot_id=merge_head)
     if cat._evolved:
         raise BuzzExecutionError(
             "merge into a schema-evolved (renamed-column) table is not "
@@ -2613,7 +2760,9 @@ def merge_iceberg(
                     _part_summaries(key_files, del_part_fields),
                 ),
             ]
-            + _carry_manifests(_prev_manifests(meta_a)),
+            + _carry_manifests(
+                _prev_manifests(meta_a, _branch_head(meta_a, branch))
+            ),
         )
         new_version = _finish_commit(
             root,
@@ -2633,6 +2782,7 @@ def merge_iceberg(
             },
             log_prior_metadata=True,
             store=store,
+            branch=branch,
         )
         return {
             "snapshot_id": snap_id,
@@ -2645,6 +2795,7 @@ def merge_iceberg(
     def _refresh():
         version_f, meta_f = _load_v2_meta(root, table_uri)
         _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
+        _require_expected_properties(meta_f, expect_properties)
         return (version_f, meta_f)
 
     return commit_with_retry(
@@ -2696,6 +2847,31 @@ def expire_iceberg_snapshots(
             for s in snaps
             if (s.get("timestamp-ms") or 0) >= older_than_ms
         }
+    # BRANCH refs additionally keep their ANCESTOR CHAIN down to the
+    # current main snapshot: fast_forward_iceberg proves main is an
+    # ancestor by walking parent ids — expiring a staged branch's private
+    # interior commits would make a legitimate publish refuse.  The
+    # segment is kept ONLY when it actually reaches main (a stale branch
+    # pointing into published history keeps just its pinned head — its
+    # fast-forward would refuse regardless, and retaining its whole
+    # ancestry forever would defeat expiry).  Tags pin only their own
+    # snapshot (audit points need no lineage).
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    cur_id = None if cur in (None, -1) else cur
+    for name, ref in (meta.get("refs") or {}).items():
+        if name == "main" or ref.get("type") != "branch":
+            continue
+        path: list = []
+        seen: set = set()
+        walk = ref.get("snapshot-id")
+        while walk is not None and walk in by_id and walk != cur_id:
+            if walk in seen:
+                break  # corrupt parent cycle: don't retain on its account
+            seen.add(walk)
+            path.append(walk)
+            walk = by_id[walk].get("parent-snapshot-id")
+        if walk == cur_id:
+            keep_ids.update(path)
     expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in keep_ids]
     if not expired:
         return None
@@ -3025,6 +3201,146 @@ def evolve_iceberg(
     }
 
 
+def evolve_iceberg_partition_spec(
+    table_uri: str,
+    partition_spec: list[str],
+    store=None,
+) -> dict:
+    """Partition SPEC evolution (Iceberg's update-spec operation): commit a
+    NEW default partition spec — ``partition_spec`` is the FULL desired
+    spec in ``partition_by`` syntax (``col``, ``days(ts)``, ``hours(ts)``,
+    ``truncate(W, col)``, ``bucket(N, col)``; empty list = unpartitioned).
+
+    Metadata-only: no snapshot, no data movement — existing files stay
+    under the spec they were written with (their manifests keep their
+    ``partition_spec_id``), and subsequent writes fan out under the new
+    spec.  This is the canonical 100 TB lifecycle event (day→hour
+    repartitioning as a table grows); the reader decodes each manifest's
+    partition tuples under its OWN spec and prunes evolved snapshots per
+    spec (``IcebergCatalog.pruned_files``), so partition-filtered reads
+    keep working across the boundary.
+
+    Spec rules honored: a field with the same transform AND source column
+    as a field in ANY earlier spec reuses that field's id and name (the
+    spec's cross-spec identity requirement — readers rely on it to treat
+    them as the same partition dimension); new fields take fresh ids past
+    ``last-partition-id``.  If an existing spec already matches the
+    request exactly, the commit just flips ``default-spec-id`` to it.
+
+    Typed refusals: unknown/mistyped source columns (same validation as
+    CREATE), duplicate transform+source entries, and a new field whose
+    conventional name collides with a historical spec field of a
+    DIFFERENT definition (prune names must stay unambiguous across the
+    snapshot's specs).
+
+    Returns {"spec_id", "metadata_version", "fields"}."""
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    sid = meta.get("current-schema-id", 0)
+    schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+
+    entries = [_parse_partition_entry(e) for e in partition_spec]
+    seen_defs = set()
+    for kind, param, src in entries:
+        if src not in by_name:
+            raise BuzzBadRequestError(
+                f"partition column {src!r} not in the table schema"
+            )
+        st = by_name[src]["type"]
+        if not isinstance(st, str) or st not in _KIND_SOURCES.get(kind, ()):
+            raise BuzzBadRequestError(
+                f"partition transform {kind!r} does not accept source "
+                f"column {src!r} of type {st!r} "
+                f"(valid: {sorted(_KIND_SOURCES.get(kind, ()))})"
+            )
+        d = (_spec_transform_string(kind, param), by_name[src]["id"])
+        if d in seen_defs:
+            raise BuzzBadRequestError(
+                f"duplicate partition entry "
+                f"{_canonical_entry(kind, param, src)!r}"
+            )
+        seen_defs.add(d)
+
+    prior_specs = list(meta.get("partition-specs") or [])
+    # (transform string, source-id) → the historical field that defined it
+    prior_by_def: dict[tuple, dict] = {}
+    prior_names: dict[str, tuple] = {}
+    for s in prior_specs:
+        for f in s.get("fields") or []:
+            d = (f.get("transform"), f.get("source-id"))
+            prior_by_def.setdefault(d, f)
+            prior_names.setdefault(f["name"], d)
+
+    last_pid = int(meta.get("last-partition-id", 999))
+    taken = set(by_name) | set(prior_names)
+    new_fields: list[dict] = []
+    for kind, param, src in entries:
+        tstr = _spec_transform_string(kind, param)
+        d = (tstr, by_name[src]["id"])
+        reuse = prior_by_def.get(d)
+        if reuse is not None:
+            new_fields.append(
+                {
+                    "name": reuse["name"],
+                    "transform": tstr,
+                    "source-id": reuse["source-id"],
+                    "field-id": reuse["field-id"],
+                }
+            )
+            continue
+        name = _spec_field_name(kind, param, src, taken)
+        if prior_names.get(name, d) != d:
+            raise BuzzBadRequestError(
+                f"partition field name {name!r} was used by a historical "
+                "spec under a different transform/source — the reader's "
+                "prune columns must stay unambiguous; rename the column or "
+                "drop the conflicting entry"
+            )
+        taken.add(name)
+        last_pid += 1
+        new_fields.append(
+            {
+                "name": name,
+                "transform": tstr,
+                "source-id": by_name[src]["id"],
+                "field-id": last_pid,
+            }
+        )
+
+    # an existing spec with the exact same ordered field list: reuse it
+    for s in prior_specs:
+        if (s.get("fields") or []) == new_fields:
+            if int(s["spec-id"]) == int(meta.get("default-spec-id", 0)):
+                raise BuzzBadRequestError(
+                    "the requested partition spec is already the table's "
+                    "default — nothing to do"
+                )
+            target_id = int(s["spec-id"])
+            break
+    else:
+        target_id = (
+            max((int(s["spec-id"]) for s in prior_specs), default=-1) + 1
+        )
+        prior_specs.append({"spec-id": target_id, "fields": new_fields})
+
+    meta = dict(meta)
+    meta["partition-specs"] = prior_specs
+    meta["default-spec-id"] = target_id
+    meta["last-partition-id"] = max(
+        last_pid, int(meta.get("last-partition-id", 999))
+    )
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    new_version = _promote_metadata(
+        os.path.join(root, "metadata"), version + 1, meta, store
+    )
+    return {
+        "spec_id": target_id,
+        "metadata_version": new_version,
+        "fields": [dict(f) for f in new_fields],
+    }
+
+
 def rollback_iceberg(
     table_uri: str, snapshot_id: int, store=None
 ) -> dict:
@@ -3056,6 +3372,78 @@ def rollback_iceberg(
         os.path.join(root, "metadata"), version + 1, meta, store
     )
     return {"metadata_version": new_version, "current_snapshot": snapshot_id}
+
+
+def fast_forward_iceberg(
+    table_uri: str, to_ref: str, store=None
+) -> dict:
+    """Publish a staged branch: fast-forward ``main`` to ``to_ref``'s head
+    — the write-audit-publish PUBLISH step.  Metadata-only, and only a
+    true fast-forward: the current ``main`` snapshot must be an ANCESTOR
+    of the branch head (walking ``parent-snapshot-id``), else the typed
+    refusal — a diverged main would silently lose its own commits if we
+    force-moved it (use :func:`rollback_iceberg` deliberately for that).
+    An empty main (no current snapshot) is trivially an ancestor.
+
+    After the publish, ``current-snapshot-id``/``main`` point at the
+    branch head and the snapshot-log records the change; the branch ref
+    itself stays where it is (drop it with a future ref-removal op, or
+    keep staging onto it — its next write parents on the published
+    head)."""
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    r = (meta.get("refs") or {}).get(to_ref)
+    if r is None:
+        raise BuzzBadRequestError(
+            f"fast-forward: ref {to_ref!r} not in table refs "
+            f"(have {sorted(meta.get('refs') or {})})"
+        )
+    head = int(r["snapshot-id"])
+    cur = meta.get("current-snapshot-id")
+    cur = None if cur in (None, -1) else int(cur)
+    if cur == head:
+        raise BuzzBadRequestError(
+            f"fast-forward: main is already at {to_ref!r}'s head ({head})"
+        )
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if head not in snaps:
+        raise BuzzExecutionError(
+            f"fast-forward: ref {to_ref!r} points at snapshot {head}, "
+            "which is not in the table metadata — corrupt refs"
+        )
+    if cur is not None:
+        walk = head
+        seen = set()
+        while walk is not None and walk not in seen:
+            if walk == cur:
+                break
+            seen.add(walk)
+            walk = (snaps.get(walk) or {}).get("parent-snapshot-id")
+        else:
+            raise BuzzBadRequestError(
+                f"fast-forward: main ({cur}) is not an ancestor of "
+                f"{to_ref!r}'s head ({head}) — the branches diverged; "
+                "rebuild the branch from current main, or rollback main "
+                "deliberately"
+            )
+    now_ms = int(time.time() * 1000)
+    meta = dict(meta)
+    meta["current-snapshot-id"] = head
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": head, "type": "branch"}
+    meta["refs"] = refs
+    meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": head}
+    ]
+    meta["last-updated-ms"] = now_ms
+    new_version = _promote_metadata(
+        os.path.join(root, "metadata"), version + 1, meta, store
+    )
+    return {
+        "metadata_version": new_version,
+        "current_snapshot": head,
+        "from_ref": to_ref,
+    }
 
 
 def tag_iceberg(
@@ -3110,6 +3498,7 @@ def set_iceberg_properties(
     table_uri: str,
     set_props: dict[str, str] | None = None,
     unset: list[str] | None = None,
+    expect_props: dict[str, str] | None = None,
     store=None,
 ) -> dict:
     """Metadata-only table-property commit (Iceberg's set/unset properties
@@ -3117,7 +3506,13 @@ def set_iceberg_properties(
     `schema.name-mapping.default`, and friends get enabled on an EXISTING
     table (previously only settable at create).  Keys under ``buzz.txn.``
     are refused: they are the exactly-once replay markers expiry persists,
-    and overwriting one would let a replayed micro-batch double-commit."""
+    and overwriting one would let a replayed micro-batch double-commit.
+
+    ``expect_props`` validates a read-compute-commit basis: each listed
+    property must still hold the given value or the commit raises the
+    non-retryable abort.  Validation happens against the same metadata
+    version the conditional put claims against, so a commit landing in
+    between fails the version claim rather than slipping past the check."""
     set_props = dict(set_props or {})
     unset = list(unset or [])
     if not set_props and not unset:
@@ -3132,6 +3527,7 @@ def set_iceberg_properties(
         )
     root = _local_table_dir(table_uri)
     version, meta = _load_v2_meta(root, table_uri)
+    _require_expected_properties(meta, expect_props)
     props = dict(meta.get("properties") or {})
     props.update({str(k): str(v) for k, v in set_props.items()})
     for k in unset:

@@ -129,7 +129,10 @@ def refresh_materialization(
     under deletion).  Returns the commit summary plus the new cursor.
 
     Failure contract: a crash between nothing and everything — the cursor
-    commits atomically with the merge.  If the source's history was
+    commits atomically with the merge, and the commit CASes on the cursor
+    the window was computed from (``expect_properties``), so two
+    concurrent refreshes cannot double-apply a window: the loser raises
+    the typed non-retryable abort.  If the source's history was
     cleaned/expired past the cursor, the changelog read raises its typed
     re-bootstrap error; drop the target (or pass a fresh ``target_uri``)
     and bootstrap again."""
@@ -227,10 +230,18 @@ def refresh_materialization(
     try:
         if delta.limit(1).count() == 0:
             # commits existed but netted to zero rows (e.g. compactions):
-            # still advance the cursor so polls stay O(new history)
+            # still advance the cursor so polls stay O(new history).
+            # expect_props CASes on the cursor this window was computed
+            # FROM — a concurrent refresh that already advanced it must
+            # abort this one, or the cursor could leap past a window whose
+            # delta was never applied (see the merge path's CAS below)
             from .iceberg_writer import set_iceberg_properties
 
-            set_iceberg_properties(target_uri, {CURSOR_PROP: str(pos)})
+            set_iceberg_properties(
+                target_uri,
+                {CURSOR_PROP: str(pos)},
+                expect_props={CURSOR_PROP: cursor},
+            )
             return {"cursor": str(pos), "groups_updated": 0}
 
         # affected groups' current state — broadcast semi-join keeps the
@@ -273,12 +284,19 @@ def refresh_materialization(
                     "rewrite); re-bootstrap with a fresh target_uri"
                 )
             n_groups = int(stats["__n"])
+            # expect_properties CASes the commit on the cursor this delta
+            # was computed from: two concurrent refreshes that both read
+            # cursor C cannot both apply the (C, pos] window — the loser's
+            # commit (original claim or retry) sees the advanced cursor
+            # and raises the typed non-retryable abort instead of
+            # double-counting
             out = merge_iceberg(
                 spark,
                 target_uri,
                 new_state,
                 key_cols=list(group_cols),
                 set_properties={CURSOR_PROP: str(pos)},
+                expect_properties={CURSOR_PROP: cursor},
             )
         finally:
             new_state.unpersist()

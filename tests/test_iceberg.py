@@ -1307,6 +1307,8 @@ def _fake_cat(spec_fields):
     cat = object.__new__(IcebergCatalog)
     cat._default_spec_id = 0
     cat._spec_fields = spec_fields
+    cat._specs = {0: spec_fields}
+    cat._derived = {0: {}}
     return cat
 
 

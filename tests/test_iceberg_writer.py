@@ -2059,3 +2059,413 @@ def test_expire_drops_dangling_refs_keeps_pinned(spark, tmp_path):
     assert "keepme" in md2["refs"]
     kept = {s["snapshot-id"] for s in md2["snapshots"]}
     assert md2["refs"]["keepme"]["snapshot-id"] in kept
+
+
+# --- partition spec evolution (evolve_iceberg_partition_spec) ---------------------
+
+
+def _spec_evo_table(spark, tmp_path):
+    """Day-partitioned table with 3 days of rows, evolved to hour
+    partitioning, then appended 2 more days of hour-partitioned rows —
+    the canonical day→hour lifecycle snapshot mixing two specs."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        evolve_iceberg_partition_spec,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    old = [
+        (i, datetime.datetime(2020, 1, 1 + i % 3, (i * 7) % 24), float(i))
+        for i in range(12)
+    ]
+    write_iceberg(
+        spark.createDataFrame(old, "id long, ts timestamp_ntz, v double"),
+        root, partition_by=["days(ts)"],
+    )
+    out = evolve_iceberg_partition_spec(root, ["hours(ts)"])
+    assert out["spec_id"] == 1
+    new = [
+        (100 + i, datetime.datetime(2020, 1, 4 + i % 2, (i * 5) % 24),
+         float(i))
+        for i in range(10)
+    ]
+    write_iceberg(
+        spark.createDataFrame(new, "id long, ts timestamp_ntz, v double"),
+        root, mode="append",
+    )
+    return root, old, new
+
+
+def test_spec_evolution_day_to_hour_prunes_both_specs(spark, tmp_path):
+    """The round-8 verdict's typed refusal is lifted: a partition-filtered
+    read of an evolved-spec snapshot prunes files under BOTH specs — old
+    day files by their recorded tuple, new hour files by the DERIVED day
+    value (hour→day coarsening) — and matches a full-scan recompute."""
+    root, old, new = _spec_evo_table(spark, tmp_path)
+    cat = IcebergCatalog("t", root)
+    assert cat.partition_cols == ["ts_hour", "ts_day"]
+
+    # old-spec day: exactly that day's rows, new-spec files all pruned
+    got = sorted(
+        r.id
+        for r in cat.to_dataframe(spark, "ts_day = '2020-01-02'").collect()
+    )
+    want = sorted(
+        i for i, ts, _ in old if ts.date().isoformat() == "2020-01-02"
+    )
+    assert got == want and got
+    # new-spec day via the DERIVED ts_day: exactly that day's rows
+    got = sorted(
+        r.id
+        for r in cat.to_dataframe(spark, "ts_day = '2020-01-05'").collect()
+    )
+    want = sorted(
+        i for i, ts, _ in new if ts.date().isoformat() == "2020-01-05"
+    )
+    assert got == want and got
+    # a range crossing the evolution boundary
+    got = sorted(
+        r.id
+        for r in cat.to_dataframe(
+            spark, "ts_day >= '2020-01-03' AND ts_day <= '2020-01-04'"
+        ).collect()
+    )
+    want = sorted(
+        i
+        for i, ts, _ in old + new
+        if "2020-01-03" <= ts.date().isoformat() <= "2020-01-04"
+    )
+    assert got == want and got
+
+
+def test_spec_evolution_file_and_manifest_pruning_shapes(spark, tmp_path):
+    """Pruning is real, not a full-scan fallback: a day filter keeps only
+    that day's files under both specs, and manifest SKIPPING proves
+    new-spec manifests disjoint from an old-day filter via the coarsened
+    hour→day summary bounds (no manifest decode for them)."""
+    root, old, new = _spec_evo_table(spark, tmp_path)
+    cat = IcebergCatalog("t", root)
+    all_files = cat._plan(spark, None)["files"]
+    kept = cat.pruned_files(spark, "ts_day = '2020-01-02'")
+    assert 0 < len(kept) < len(all_files)
+    # every kept file is genuinely a 2020-01-02 file (old spec day tuple —
+    # new-spec files' derived day is 04/05, so none survive)
+    for f in kept:
+        assert f.partition_value("ts_day") == "2020-01-02"
+
+    # manifest skipping: a fresh catalog (cold entry cache) planning the
+    # old-day filter never decodes the NEW-spec manifests
+    cold = IcebergCatalog("t", root)
+    cold._plan(spark, "ts_day = '2020-01-02'")
+    hour_manifests = [
+        m["manifest_path"]
+        for m in cold._manifests
+        if int(m.get("partition_spec_id") or 0) == 1
+    ]
+    assert hour_manifests
+    assert not any(p in cold._entries_cache for p in hour_manifests)
+
+    # hour filter: old-spec files cannot answer it → kept conservatively,
+    # new-spec files prune exactly (superset contract, compose row filter)
+    some_hour = new[0][1].replace(minute=0)
+    lit = some_hour.strftime("%Y-%m-%d %H")
+    kept = cat.pruned_files(spark, f"ts_hour = '{lit}'")
+    old_files = [
+        f for f in all_files if not f.has_partition("ts_hour")
+    ]
+    assert {f.key for f in old_files} <= {f.key for f in kept}
+    want = sorted(
+        i for i, ts, _ in new if ts.strftime("%Y-%m-%d %H") == lit
+    )
+    got = sorted(
+        r.id
+        for r in cat.to_dataframe(spark, f"ts_hour = '{lit}'")
+        .where(f"date_format(ts, 'yyyy-MM-dd HH') = '{lit}'")
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_spec_evolution_field_reuse_and_guards(spark, tmp_path):
+    """Spec rules: same transform+source reuses the historical field id and
+    name; flipping back to an existing spec reuses its spec-id; the
+    already-default case, unknown columns, bad transforms, and duplicate
+    entries refuse typed."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        evolve_iceberg_partition_spec,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2020, 1, 1), "x")],
+            "id long, ts timestamp_ntz, name string",
+        ),
+        root, partition_by=["days(ts)"],
+    )
+    out = evolve_iceberg_partition_spec(root, ["days(ts)", "bucket(4, id)"])
+    assert out["spec_id"] == 1
+    # days(ts) reused its spec-0 field id/name; bucket got a fresh id
+    by_name = {f["name"]: f for f in out["fields"]}
+    assert by_name["ts_day"]["field-id"] == 1000
+    assert by_name["id_bucket"]["field-id"] == 1001
+    # back to the original spec: reuses spec-id 0, no new spec appended
+    out = evolve_iceberg_partition_spec(root, ["days(ts)"])
+    assert out["spec_id"] == 0
+    meta = json.load(open(sorted(
+        glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )[-1]))
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+    assert meta["default-spec-id"] == 0
+
+    with pytest.raises(BuzzBadRequestError, match="already the table's"):
+        evolve_iceberg_partition_spec(root, ["days(ts)"])
+    with pytest.raises(BuzzBadRequestError, match="not in the table schema"):
+        evolve_iceberg_partition_spec(root, ["days(nope)"])
+    with pytest.raises(BuzzBadRequestError, match="does not accept"):
+        evolve_iceberg_partition_spec(root, ["hours(id)"])
+    with pytest.raises(BuzzBadRequestError, match="duplicate"):
+        evolve_iceberg_partition_spec(root, ["id", "bucket(4, id)", "id"])
+
+
+def test_spec_evolution_to_unpartitioned_and_rewrite_consolidates(
+    spark, tmp_path
+):
+    """Evolving to [] (unpartitioned) keeps old files readable; a FULL
+    rewrite then consolidates everything under the live spec, after which
+    partition-scoped ops (partial rewrite) work again if re-evolved."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        evolve_iceberg_partition_spec,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    root, old, new = _spec_evo_table(spark, tmp_path)
+    evolve_iceberg_partition_spec(root, [])
+    write_iceberg(
+        spark.createDataFrame(
+            [(999, datetime.datetime(2021, 1, 1), 0.0)],
+            "id long, ts timestamp_ntz, v double",
+        ),
+        root, mode="append",
+    )
+    cat = IcebergCatalog("t", root)
+    assert cat.to_dataframe(spark).count() == len(old) + len(new) + 1
+    # full rewrite: one spec again, filters prune exactly
+    rewrite_iceberg(spark, root)
+    evolve_iceberg_partition_spec(root, ["days(ts)"])
+    write_iceberg(
+        spark.createDataFrame(
+            [(1000, datetime.datetime(2021, 1, 2), 0.0)],
+            "id long, ts timestamp_ntz, v double",
+        ),
+        root, mode="append",
+    )
+    cat2 = IcebergCatalog("t", root)
+    # the rewrite consolidated history under the UNPARTITIONED spec: those
+    # files carry no ts_day to prune on → kept conservatively (superset);
+    # the new day-spec file prunes exactly — compose the row filter
+    got = sorted(
+        r.id
+        for r in cat2.to_dataframe(spark, "ts_day = '2021-01-02'")
+        .where("to_date(ts) = '2021-01-02'")
+        .collect()
+    )
+    assert got == [1000]
+    # and the day-spec files themselves DID prune: a different-day filter
+    # keeps the unpartitioned files but not the 2021-01-02 day file
+    kept = cat2.pruned_files(spark, "ts_day = '2021-01-01'")
+    day_files = [f for f in kept if f.has_partition("ts_day")]
+    assert all(
+        f.partition_value("ts_day") == "2021-01-01" for f in day_files
+    )
+    assert not any(
+        f.partition_value("ts_day") == "2021-01-02"
+        for f in kept
+        if f.has_partition("ts_day")
+    )
+
+
+def test_spec_evolution_identity_derives_bucket_and_truncate(spark, tmp_path):
+    """An identity-partitioned history derives ANY transform of the same
+    source: after evolving identity(name)→truncate/bucket specs, filters
+    on the new fields still prune the old identity files exactly."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        evolve_iceberg_partition_spec,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(i, ["alpha", "beta", "gamma"][i % 3]) for i in range(9)]
+    write_iceberg(
+        spark.createDataFrame(rows, "id long, name string"),
+        root, partition_by=["name"],
+    )
+    evolve_iceberg_partition_spec(root, ["truncate(2, name)"])
+    write_iceberg(
+        spark.createDataFrame([(50, "alnico")], "id long, name string"),
+        root, mode="append",
+    )
+    cat = IcebergCatalog("t", root)
+    # truncate-field filter: old identity files derive name_trunc
+    got = sorted(
+        r.id
+        for r in cat.to_dataframe(spark, "name_trunc = 'al'").collect()
+    )
+    want = sorted(
+        [i for i, n in rows if n.startswith("al")] + [50]
+    )
+    assert got == want
+    # identity filter still prunes old files; new files keep (superset) —
+    # compose the row filter for exactness
+    got = sorted(
+        r.id
+        for r in cat.to_dataframe(spark, "name = 'beta'")
+        .where("name = 'beta'")
+        .collect()
+    )
+    assert got == sorted(i for i, n in rows if n == "beta")
+
+
+# --- branch writes + write-audit-publish ------------------------------------------
+
+
+def test_branch_write_audit_publish_lifecycle(spark, tmp_path):
+    """WAP: append + merge + delete staged on a branch leave main's reads
+    byte-identical; the branch read sees the staged state; fast-forward
+    publishes main to the branch head; a second staging round on the same
+    branch parents on the published head."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        fast_forward_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+
+    def rows(cat_kwargs=None):
+        return sorted(
+            (r.id, r.v)
+            for r in IcebergCatalog("t", root, **(cat_kwargs or {}))
+            .to_dataframe(spark)
+            .collect()
+        )
+
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        root, mode="append", branch="audit",
+    )
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(2, "B2")], "id long, v string").coalesce(1),
+        key_cols=["id"], branch="audit",
+    )
+    out = delete_iceberg(spark, root, "id = 1", branch="audit")
+    assert out is not None and out["deleted_rows"] == 1
+    assert rows() == [(1, "a"), (2, "b")]  # main untouched
+    assert rows({"ref": "audit"}) == [(2, "B2"), (3, "c")]
+    # the staged snapshots never entered the snapshot-log (main history)
+    import glob as g
+    import json as j
+
+    meta = j.load(open(sorted(
+        g.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )[-1]))
+    assert len(meta["snapshot-log"]) == 1  # only the create
+
+    ff = fast_forward_iceberg(root, "audit")
+    assert rows() == [(2, "B2"), (3, "c")]
+    assert ff["current_snapshot"] == meta["refs"]["audit"]["snapshot-id"]
+    # second round: the branch's next write parents on the published head
+    write_iceberg(
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        root, mode="append", branch="audit",
+    )
+    assert rows() == [(2, "B2"), (3, "c")]
+    assert rows({"ref": "audit"}) == [(2, "B2"), (3, "c"), (4, "d")]
+    fast_forward_iceberg(root, "audit")
+    assert rows() == [(2, "B2"), (3, "c"), (4, "d")]
+
+
+def test_branch_write_guards(spark, tmp_path):
+    """Typed refusals: branch write on a nonexistent table, writes to a
+    TAG, fast-forward of an unknown ref, fast-forward when main diverged,
+    and fast-forward when already published."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        fast_forward_iceberg,
+        tag_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(BuzzBadRequestError, match="existing table"):
+        write_iceberg(df, root, branch="b")
+    write_iceberg(df, root)
+    tag_iceberg(root, "v1", ref_type="tag")
+    with pytest.raises(BuzzBadRequestError, match="TAG"):
+        write_iceberg(
+            spark.createDataFrame([(2,)], "id long"), root,
+            mode="append", branch="v1",
+        )
+    with pytest.raises(BuzzBadRequestError, match="not in table refs"):
+        fast_forward_iceberg(root, "nope")
+    # stage a branch, then advance main → diverged → refuse
+    write_iceberg(
+        spark.createDataFrame([(2,)], "id long"), root,
+        mode="append", branch="b",
+    )
+    write_iceberg(
+        spark.createDataFrame([(3,)], "id long"), root, mode="append"
+    )
+    with pytest.raises(BuzzBadRequestError, match="not an ancestor"):
+        fast_forward_iceberg(root, "b")
+    # already-published: tag a branch at main's head and fast-forward
+    tag_iceberg(root, "same", ref_type="branch")
+    with pytest.raises(BuzzBadRequestError, match="already at"):
+        fast_forward_iceberg(root, "same")
+
+
+def test_expire_keeps_branch_chain_for_fast_forward(spark, tmp_path):
+    """Expiry retains a staged branch's private ancestor chain (not just
+    its pinned head): after an aggressive keep_last=1 expire, the branch
+    still reads and the publish still proves ancestry.  A STALE branch
+    (pointing into published history) pins only its head — its ancestry
+    does not block expiry."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        expire_iceberg_snapshots,
+        fast_forward_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    df = lambda i: spark.createDataFrame([(i,)], "id long")  # noqa: E731
+    write_iceberg(df(1), root)
+    write_iceberg(df(2), root, mode="append", branch="b")
+    write_iceberg(df(3), root, mode="append", branch="b")
+    out = expire_iceberg_snapshots(root, keep_last=1)
+    # nothing the publish needs was expired (create = main cur, both
+    # branch commits in the chain)
+    assert out is None or not (
+        set(out["expired_snapshots"])
+        & set(out.get("retained_snapshots", []))
+    )
+    assert sorted(
+        r.id
+        for r in IcebergCatalog("t", root, ref="b").to_dataframe(spark).collect()
+    ) == [1, 2, 3]
+    fast_forward_iceberg(root, "b")
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 2, 3]
+    # stale-branch case: b now points at history below main after new
+    # main commits; expire may drop main's interim history despite b
+    write_iceberg(df(4), root, mode="append")
+    write_iceberg(df(5), root, mode="append")
+    out = expire_iceberg_snapshots(root, keep_last=1)
+    assert out is not None  # something expired — the stale chain didn't pin all

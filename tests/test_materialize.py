@@ -224,3 +224,89 @@ def test_matview_pins_reads_at_recorded_cursor(spark, tmp_path, monkeypatch):
     # and it never applies again
     assert mat.refresh_materialization(spark, src, tgt, ["g"], ["v"]) is None
     assert _state(spark, tgt) == [("a", 2, 3.0)]
+
+
+def test_matview_concurrent_refresh_cannot_double_apply(spark, tmp_path):
+    """Advice regression: two refreshes that both read cursor C must not
+    both apply the (C, pos] window.  Reproduced deterministically: the
+    second refresh's changelog read fires a NESTED full refresh first
+    (advancing the cursor), so its merge commits against a moved cursor —
+    the expect_properties CAS must raise the typed abort instead of
+    double-counting."""
+    import buzz_rust_spark.sources.materialize as mat
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    write_iceberg(
+        _rows(spark, [(1, "a", 1.0)], "id long, g string, v double"), src
+    )
+    refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    write_iceberg(
+        _rows(spark, [(2, "a", 2.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+
+    real = mat._read_source_changelog
+    state = {"fired": False}
+
+    def interleaved(spark_, source_uri, source_format, cursor, upto):
+        if not state["fired"]:
+            state["fired"] = True
+            # the concurrent refresh wins the window while we hold cursor C
+            refresh_materialization(spark, src, tgt, ["g"], ["v"])
+        return real(spark_, source_uri, source_format, cursor, upto)
+
+    mat._read_source_changelog = interleaved
+    try:
+        with pytest.raises(BuzzCommitAbortedError, match="buzz.matview.cursor"):
+            refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    finally:
+        mat._read_source_changelog = real
+    # applied exactly once, and the table is settled
+    assert _state(spark, tgt) == [("a", 2, 3.0)]
+    assert refresh_materialization(spark, src, tgt, ["g"], ["v"]) is None
+
+
+def test_matview_concurrent_zero_delta_refresh_cas(spark, tmp_path):
+    """The zero-delta cursor advance takes the same CAS: a concurrent
+    refresh that already moved the cursor aborts the stale one's
+    metadata-only advance too (a blind set could leap the cursor past a
+    window whose delta was applied by the winner, un-anchoring the next
+    window)."""
+    import buzz_rust_spark.sources.materialize as mat
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.iceberg_writer import (
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    write_iceberg(
+        _rows(spark, [(1, "a", 1.0)], "id long, g string, v double"), src
+    )
+    refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    # an EMPTY-changelog window: a compaction-only (replace) commit — the
+    # changelog skips replace snapshots, so the delta frame has NO rows
+    # and the refresh takes the metadata-only cursor-advance path
+    rewrite_iceberg(spark, src)
+
+    real = mat._read_source_changelog
+    state = {"fired": False}
+
+    def interleaved(spark_, source_uri, source_format, cursor, upto):
+        if not state["fired"]:
+            state["fired"] = True
+            refresh_materialization(spark, src, tgt, ["g"], ["v"])
+        return real(spark_, source_uri, source_format, cursor, upto)
+
+    mat._read_source_changelog = interleaved
+    try:
+        with pytest.raises(BuzzCommitAbortedError, match="buzz.matview.cursor"):
+            refresh_materialization(spark, src, tgt, ["g"], ["v"])
+    finally:
+        mat._read_source_changelog = real
+    assert _state(spark, tgt) == [("a", 1, 1.0)]
+    assert refresh_materialization(spark, src, tgt, ["g"], ["v"]) is None

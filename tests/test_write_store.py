@@ -623,3 +623,120 @@ def test_iceberg_delete_retry_on_cdc_table(spark, tmp_path):
         for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
     )
     assert got == [(1, 100), (3, 30)]
+
+
+def test_iceberg_empty_table_rewrite_aborts_on_concurrent_first_append(
+    spark, tmp_path
+):
+    """Advice regression: a full rewrite of an EMPTY table (externally
+    created metadata, current-snapshot-id -1) races a FIRST append — the
+    empty basis must be pinned like any other snapshot id, or the replace
+    retry silently wipes the appended rows (overwrite carries no prior
+    manifests)."""
+    import json
+    import os
+    import uuid
+
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "metadata"))
+    # the shape pyiceberg/external catalogs leave after CREATE TABLE with
+    # no data: a metadata file, no snapshots, current-snapshot-id -1
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": root,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": 1,
+        "schemas": [{
+            "type": "struct", "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"}
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "current-snapshot-id": -1,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    store = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame([(1,)], "id long"), root, mode="append"
+        )
+    )
+    with pytest.raises(BuzzCommitAbortedError):
+        rewrite_iceberg(spark, root, store=store)
+    # the concurrent first append SURVIVED
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [1]
+
+
+def test_iceberg_create_race_does_not_drop_properties(spark, tmp_path):
+    """Advice regression: losing a same-schema CREATE race while asking
+    for creation properties must NOT silently retry as a property-less
+    append (a raced matview bootstrap would commit rows without its
+    cursor/spec markers).  A winner that already carries the requested
+    properties lets the retry proceed."""
+    import glob
+    import json
+    import os
+
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    root = str(tmp_path / "t")
+    store = _conflicting_store(
+        lambda: write_iceberg(spark.createDataFrame([(1,)], "id long"), root)
+    )
+    with pytest.raises(BuzzCommitAbortedError, match="creation properties"):
+        write_iceberg(
+            spark.createDataFrame([(2,)], "id long"), root, store=store,
+            properties={"buzz.matview.cursor": "42"},
+        )
+    # the winner's table is unharmed
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [1]
+
+    # a winner that carries the SAME properties → retry commits fine
+    root2 = str(tmp_path / "t2")
+    store2 = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame([(1,)], "id long"), root2,
+            properties={"buzz.matview.cursor": "42"},
+        )
+    )
+    out = write_iceberg(
+        spark.createDataFrame([(2,)], "id long"), root2, store=store2,
+        properties={"buzz.matview.cursor": "42"},
+    )
+    assert out is not None
+    meta = json.load(open(sorted(
+        glob.glob(os.path.join(root2, "metadata", "v*.metadata.json"))
+    )[-1]))
+    assert meta["properties"]["buzz.matview.cursor"] == "42"
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root2).to_dataframe(spark).collect()
+    )
+    assert rows == [1, 2]

@@ -727,7 +727,17 @@ def read_delta_changelog(
     to-version snapshot — order-free application via ``unionAll`` +
     ``exceptAll``.
 
-    Construction is the NET per-file diff between the live states at
+    RECORDED change data is preferred: when the window's commits carry
+    ``cdc`` actions (``delta.enableChangeDataFeed`` tables — this
+    writer's merge/delete record exact pre/post images into
+    ``_change_data`` parquet), the feed reads those files (update
+    pre/post images surface as delete+insert) and derives pure-add
+    commits as inserts, never re-reading rewritten data files and never
+    churning a cow rewrite's surviving rows.  Windows not fully
+    expressible from the record fall back to the always-correct net diff
+    below.
+
+    Fallback construction is the NET per-file diff between the live states at
     ``from_version`` and ``to_version`` (O(changed files), zero
     amplification — a cow rewrite's surviving rows cancel out instead of
     surfacing as delete+insert pairs):
@@ -791,10 +801,13 @@ def read_delta_changelog(
     meta: dict = {}
     live: dict[str, dict] = {}
     base: dict[str, dict] = {} if from_version < 0 else None
+    window_actions: dict[int, list[dict]] = {}
     for version, rel in commits:
         if version > to_version:
             break
         actions = _read_actions(store, rel)
+        if version > from_version:
+            window_actions[version] = actions
         adds = []
         for action in actions:
             if "protocol" in action:
@@ -960,6 +973,107 @@ def read_delta_changelog(
             ],
             *[F.col(c) for c in partition_cols],
         )
+
+    # --- recorded change data (CDF) preferred -------------------------------
+    # When a window commit carries `cdc` actions (this writer's merge/
+    # delete on a `delta.enableChangeDataFeed` table, or any conformant
+    # external writer), the recorded change files are authoritative AND
+    # minimal — a cow rewrite's surviving rows never surface as churned
+    # delete+insert pairs, and the feed never re-reads the rewritten data
+    # files.  The whole window must be expressible: commits with cdc use
+    # their files verbatim; pure-add commits derive inserts (PROTOCOL.md's
+    # rule for commits without cdc); layout-only commits contribute
+    # nothing; anything else (removes or DV adds without cdc) falls back
+    # to the net per-file diff below, which is always correct.
+    def _cdf_scan() -> DataFrame | None:
+        from functools import reduce
+
+        from .uris import normalized_path_col
+
+        if cm_mode != "none":
+            return None  # mapped cdc files: not implemented — net diff
+        if not any(
+            any("cdc" in a for a in acts)
+            for acts in window_actions.values()
+        ):
+            return None  # nothing recorded: keep the existing plan shape
+        cdc_schema = StructType(
+            list(data_schema.fields)
+            + [StructField("_change_type", StringType(), True)]
+        )
+        frames: list[DataFrame] = []
+        for v in sorted(window_actions):
+            acts = window_actions[v]
+            cdcs = [a["cdc"] for a in acts if "cdc" in a]
+            if cdcs:
+                scan = (
+                    spark.read.schema(cdc_schema)
+                    .parquet(
+                        *sorted(store.spark_path(c["path"]) for c in cdcs)
+                    )
+                    .withColumn(
+                        "__path",
+                        normalized_path_col(F.col("_metadata.file_path")),
+                    )
+                )
+                manifest = spark.createDataFrame(
+                    [
+                        (normalized_key(store.spark_path(c["path"])),)
+                        + tuple(
+                            (lambda x: None if x is None else str(x))(
+                                (c.get("partitionValues") or {}).get(cc)
+                            )
+                            for cc in partition_cols
+                        )
+                        for c in cdcs
+                    ],
+                    StructType(
+                        [StructField("__path", StringType(), False)]
+                        + [
+                            StructField(cc, StringType(), True)
+                            for cc in partition_cols
+                        ]
+                    ),
+                )
+                scan = scan.join(broadcast(manifest), on="__path", how="left")
+                frames.append(
+                    scan.select(
+                        *logical_data_cols,
+                        *[F.col(cc) for cc in partition_cols],
+                        F.when(
+                            F.col("_change_type").isin(
+                                "insert", "update_postimage"
+                            ),
+                            F.lit("insert"),
+                        )
+                        .otherwise(F.lit("delete"))
+                        .alias("_change_type"),
+                    )
+                )
+                continue
+            adds_v = {
+                a["add"]["path"]: a["add"]
+                for a in acts
+                if "add" in a and a["add"].get("dataChange", True)
+            }
+            if any(
+                a["remove"].get("dataChange", True)
+                for a in acts
+                if "remove" in a
+            ) or any(_dv(x) for x in adds_v.values()):
+                return None  # not expressible from the record: net diff
+            if adds_v:
+                fr = _entries_scan(adds_v, [])
+                frames.append(
+                    fr.withColumn("_change_type", F.lit("insert"))
+                )
+        if not frames:
+            return spark.createDataFrame([], empty)
+        return reduce(DataFrame.unionByName, frames)
+
+    recorded = _cdf_scan()
+    if recorded is not None:
+        return recorded
 
     inserts = _entries_scan(ins_files, dv_ins)
     deletes = _entries_scan(del_files, dv_del)

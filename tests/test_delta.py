@@ -1726,3 +1726,55 @@ def test_bounded_replay_does_not_poison_protocol_cache(spark, tmp_path):
     proto = _current_protocol(log_dir)
     assert int(proto.get("minReaderVersion", 1)) == 3
     assert "deletionVectors" in (proto.get("writerFeatures") or [])
+
+
+def test_restore_delta_restores_metadata(spark, tmp_path):
+    """Advice regression: RESTORE to a pre-schema-evolution version must
+    re-commit that version's metaData too (Delta's RESTORE restores
+    schema/configuration, not just files) — the evolved column must be
+    GONE from the restored snapshot while interim time travel keeps it."""
+    import json as _json
+
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import (
+        evolve_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )  # v0
+    evolve_delta(root, add_columns={"w": "double"})  # v1: metadata-only
+    write_delta(
+        spark.createDataFrame(
+            [(2, "b", 2.5)], "id long, v string, w double"
+        ),
+        root, mode="append",
+    )  # v2
+    assert restore_delta(spark, root, 0) == 3
+    cat = DeltaCatalog("t", root)
+    assert [f.name for f in cat.schema.fields] == ["id", "v"]
+    got = sorted(
+        (r.id, r.v) for r in cat.to_dataframe(spark).collect()
+    )
+    assert got == [(1, "a")]
+    # the restore commit itself carries the restored metaData action
+    last = os.path.join(root, "_delta_log", f"{3:020d}.json")
+    metas = [
+        _json.loads(ln)["metaData"]
+        for ln in open(last)
+        if '"metaData"' in ln
+    ]
+    assert len(metas) == 1
+    assert "w" not in metas[0]["schemaString"]
+    # interim evolved version still time-travels with the added column
+    tv = DeltaCatalog("t", root, version=2)
+    assert [f.name for f in tv.schema.fields] == ["id", "v", "w"]
+    # a metadata-ONLY divergence (same files) is still a restorable diff:
+    # restore forward to v2 brings the evolved schema and its file back
+    assert restore_delta(spark, root, 2) == 4
+    cat2 = DeltaCatalog("t", root)
+    assert [f.name for f in cat2.schema.fields] == ["id", "v", "w"]
+    assert restore_delta(spark, root, 2) is None  # settled: no-op

@@ -1,0 +1,261 @@
+"""Delta Change Data Feed on-disk writes (delta_writer) + the recorded-CDF
+changelog read path (delta_catalog.read_delta_changelog).
+
+PROTOCOL.md "Change Data Files": on a `delta.enableChangeDataFeed=true`
+table, merge/delete commits emit `_change_data/` parquet carrying the data
+columns plus `_change_type` (insert / delete / update_preimage /
+update_postimage) and reference them with `cdc` actions
+(`{path, partitionValues, size, dataChange: false}`).  The changelog
+prefers the recorded files — minimal (no survivor churn) and cheaper (no
+re-read of rewritten data files) — and falls back to the net per-file diff
+whenever a window isn't fully expressible from the record.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from buzz_rust_spark.errors import BuzzBadRequestError
+from buzz_rust_spark.sources.delta_catalog import (
+    DeltaCatalog,
+    read_delta_changelog,
+)
+from buzz_rust_spark.sources.delta_writer import (
+    delete_delta,
+    merge_delta,
+    set_delta_properties,
+    write_delta,
+)
+
+CDF_CONF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def _actions(root: str, version: int) -> list[dict]:
+    with open(os.path.join(root, "_delta_log", f"{version:020d}.json")) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+def _history(spark, root, configuration=None):
+    """base write → merge (update 2 + insert 4) → cow delete 1 → dv delete 3."""
+    write_delta(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1),
+        root, configuration=configuration,
+    )  # v0
+    merge_delta(
+        spark, root, _df(spark, [(2, "B"), (4, "d")]).coalesce(1), on=["id"]
+    )  # v1
+    delete_delta(spark, root, "id = 1")  # v2 (cow)
+    delete_delta(spark, root, "id = 3", mode="dv")  # v3 (dv)
+
+
+def test_cdf_writes_change_files_and_actions(spark, tmp_path):
+    """Every mutation commit on a CDF table carries cdc actions whose files
+    parse as PLAIN parquet with the spec's columns (data + _change_type);
+    the create protocol declares the changeDataFeed writer feature."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    _history(spark, root, configuration=CDF_CONF)
+
+    proto = next(a["protocol"] for a in _actions(root, 0) if "protocol" in a)
+    assert "changeDataFeed" in (proto.get("writerFeatures") or [])
+    meta = next(a["metaData"] for a in _actions(root, 0) if "metaData" in a)
+    assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+
+    types_by_version = {}
+    for v in (1, 2, 3):
+        cdcs = [a["cdc"] for a in _actions(root, v) if "cdc" in a]
+        assert cdcs, f"commit {v} lacks cdc actions"
+        seen = set()
+        for c in cdcs:
+            assert c["path"].startswith("_change_data/")
+            assert c["dataChange"] is False
+            assert c["partitionValues"] == {}
+            fpath = os.path.join(root, c["path"])
+            assert c["size"] == os.path.getsize(fpath)
+            tbl = pq.read_table(fpath)  # plain parquet, no delta machinery
+            assert tbl.schema.names == ["id", "v", "_change_type"]
+            seen |= set(tbl.column("_change_type").to_pylist())
+        types_by_version[v] = seen
+    assert types_by_version[1] == {
+        "update_preimage", "update_postimage", "insert",
+    }
+    assert types_by_version[2] == {"delete"}
+    assert types_by_version[3] == {"delete"}
+
+
+def test_cdf_changelog_equals_netdiff_and_is_minimal(spark, tmp_path):
+    """The recorded-CDF changelog and the net-diff changelog (same history
+    on a non-CDF twin) both satisfy the MULTISET contract — and the CDF
+    feed is MINIMAL: a cow rewrite's surviving rows never churn."""
+    cdf_root = str(tmp_path / "cdf")
+    raw_root = str(tmp_path / "raw")
+    _history(spark, cdf_root, configuration=CDF_CONF)
+    _history(spark, raw_root)
+
+    def applied(root):
+        cl = read_delta_changelog(spark, root, 0)
+        base = DeltaCatalog("t", root, version=0).to_dataframe(spark)
+        ins = cl.where("_change_type = 'insert'").drop("_change_type")
+        dels = cl.where("_change_type = 'delete'").drop("_change_type")
+        return sorted(
+            (r.id, r.v)
+            for r in base.unionAll(ins).exceptAll(dels).collect()
+        )
+
+    want = sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("t", cdf_root).to_dataframe(spark).collect()
+    )
+    assert applied(cdf_root) == want
+    assert applied(raw_root) == want
+    # minimality: exactly the logical changes, no survivor churn
+    cdf_rows = sorted(
+        (r.id, r.v, r._change_type)
+        for r in read_delta_changelog(spark, cdf_root, 0).collect()
+    )
+    assert cdf_rows == [
+        (1, "a", "delete"),
+        (2, "B", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+    # the net-diff twin carries churn where a rewrite has survivors: the
+    # merge-only window rewrote the 3-row base file to update one row, so
+    # the net diff surfaces 3 deletes + 4 inserts (survivors churned)
+    # while the record carries exactly pre+post+insert = 3 rows
+    assert read_delta_changelog(spark, raw_root, 0, to_version=1).count() == 7
+    cdf_merge = sorted(
+        (r.id, r.v, r._change_type)
+        for r in read_delta_changelog(
+            spark, cdf_root, 0, to_version=1
+        ).collect()
+    )
+    assert cdf_merge == [
+        (2, "B", "insert"), (2, "b", "delete"), (4, "d", "insert"),
+    ]
+
+
+def test_cdf_window_with_plain_append_derives_inserts(spark, tmp_path):
+    """A pure-add commit inside a CDF window has no cdc action (spec:
+    derivable) — the recorded path surfaces its rows as inserts."""
+    root = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]).coalesce(1), root,
+                configuration=CDF_CONF)  # v0
+    write_delta(_df(spark, [(2, "b")]).coalesce(1), root, mode="append")  # v1
+    delete_delta(spark, root, "id = 1")  # v2 with cdc
+    assert not any("cdc" in a for a in _actions(root, 1))
+    rows = sorted(
+        (r.id, r.v, r._change_type)
+        for r in read_delta_changelog(spark, root, 0).collect()
+    )
+    assert rows == [(1, "a", "delete"), (2, "b", "insert")]
+
+
+def test_cdf_window_with_overwrite_falls_back_to_netdiff(spark, tmp_path):
+    """An overwrite (remove+add, no cdc action) is not expressible from
+    the record — the changelog must fall back to the net diff and stay
+    multiset-correct."""
+    root = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), root,
+                configuration=CDF_CONF)  # v0
+    delete_delta(spark, root, "id = 1")  # v1 with cdc
+    write_delta(_df(spark, [(9, "z")]).coalesce(1), root, mode="overwrite")  # v2
+    cl = read_delta_changelog(spark, root, 0)
+    base = DeltaCatalog("t", root, version=0).to_dataframe(spark)
+    ins = cl.where("_change_type = 'insert'").drop("_change_type")
+    dels = cl.where("_change_type = 'delete'").drop("_change_type")
+    got = sorted(
+        (r.id, r.v) for r in base.unionAll(ins).exceptAll(dels).collect()
+    )
+    assert got == [(9, "z")]
+
+
+def test_cdf_partitioned_actions_and_changelog(spark, tmp_path):
+    """Partitioned CDF: change files partition like the table, cdc actions
+    carry real partitionValues, and the recorded changelog re-attaches the
+    partition column."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "p0"), (2, "b", "p1"), (3, "c", "p0")],
+        "id long, v string, par string",
+    )
+    write_delta(df.coalesce(1), root, partition_by=["par"],
+                configuration=CDF_CONF)  # v0
+    delete_delta(spark, root, "par = 'p0' AND id = 1")  # v1
+    cdcs = [a["cdc"] for a in _actions(root, 1) if "cdc" in a]
+    assert cdcs and all(c["partitionValues"] == {"par": "p0"} for c in cdcs)
+    rows = sorted(
+        (r.id, r.v, r.par, r._change_type)
+        for r in read_delta_changelog(spark, root, 0).collect()
+    )
+    assert rows == [(1, "a", "p0", "delete")]
+
+
+def test_set_delta_properties_enables_cdf_with_protocol_upgrade(
+    spark, tmp_path
+):
+    """Enabling CDF on an EXISTING legacy table commits the configuration
+    AND the writer-4 protocol upgrade atomically; mutations from then on
+    emit cdc.  Guards: columnMapping keys refused, empty call refused,
+    create-time configuration drift refused on write_delta."""
+    root = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), root)  # v0
+    v = set_delta_properties(root, CDF_CONF)
+    assert v == 1
+    acts = _actions(root, 1)
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+    delete_delta(spark, root, "id = 1")  # v2: emits cdc now
+    assert any("cdc" in a for a in _actions(root, 2))
+    rows = sorted(
+        (r.id, r.v, r._change_type)
+        for r in read_delta_changelog(spark, root, 1).collect()
+    )
+    assert rows == [(1, "a", "delete")]
+    # the upgraded table still reads and writes
+    write_delta(_df(spark, [(5, "e")]).coalesce(1), root, mode="append")
+    assert DeltaCatalog("t", root).to_dataframe(spark).count() == 2
+
+    with pytest.raises(BuzzBadRequestError, match="columnMapping"):
+        set_delta_properties(root, {"delta.columnMapping.mode": "name"})
+    with pytest.raises(BuzzBadRequestError, match="nothing to do"):
+        set_delta_properties(root)
+    with pytest.raises(BuzzBadRequestError, match="creation-time|CREATE"):
+        write_delta(
+            _df(spark, [(9, "x")]).coalesce(1), root, mode="append",
+            configuration={"delta.enableChangeDataFeed": "false"},
+        )
+    # a no-op restatement of the existing configuration passes
+    write_delta(
+        _df(spark, [(9, "x")]).coalesce(1), root, mode="append",
+        configuration=CDF_CONF,
+    )
+
+
+def test_merge_delete_clause_records_delete_changes(spark, tmp_path):
+    """when_matched='delete' records the dropped rows as _change_type
+    'delete' (no pre/post images)."""
+    root = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), root,
+                configuration=CDF_CONF)
+    merge_delta(
+        spark, root, _df(spark, [(2, "anything")]).coalesce(1), on=["id"],
+        when_matched="delete", when_not_matched=None,
+    )
+    rows = sorted(
+        (r.id, r.v, r._change_type)
+        for r in read_delta_changelog(spark, root, 0).collect()
+    )
+    assert rows == [(2, "b", "delete")]

@@ -630,3 +630,83 @@ def test_dv_executor_side_construction_multi_file(spark, tmp_path):
         r.k for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
     )
     assert got == sorted(k for k in range(3, 100) if k % 5 and k % 12)
+
+
+def test_delete_dv_never_decodes_existing_dvs_on_driver(
+    spark, tmp_path, monkeypatch
+):
+    """Verdict regression (round-8 weak flag): a DV delete over a table
+    with ACCUMULATED deletion vectors must not decode any existing vector
+    on the driver — after N un-compacted deletes the accumulated positions
+    are O(N × matched rows).  Seam: read_dv_positions poisoned in the
+    DRIVER process only (executor python workers import the real module),
+    so any driver-side decode fails loudly.  The delete must still merge
+    old + new positions correctly."""
+    import buzz_rust_spark.sources.deletion_vectors as dvmod
+    from buzz_rust_spark.sources.delta_writer import delete_delta
+
+    table = _fresh_table(spark, str(tmp_path), "t", n=12)
+    assert delete_delta(spark, table, "k = 1", mode="dv") == 1
+    assert delete_delta(spark, table, "k = 3", mode="dv") == 2
+
+    # the seam travels into executor closures by value (cloudpickle), so
+    # gate on the DRIVER's pid: executor python workers are separate
+    # processes and fall through to the real decode
+    driver_pid = os.getpid()
+    real_fn = dvmod.read_dv_positions
+
+    def _boom(store, dv):
+        if os.getpid() == driver_pid:
+            raise AssertionError(
+                "read_dv_positions called on the DRIVER — existing-DV "
+                "decode must be executor-side"
+            )
+        return real_fn(store, dv)
+
+    monkeypatch.setattr(dvmod, "read_dv_positions", _boom)
+    assert delete_delta(spark, table, "k IN (5, 7)", mode="dv") == 3
+    # noop re-delete: already-deleted rows anti-joined without driver decode
+    assert delete_delta(spark, table, "k = 1", mode="dv") is None
+    monkeypatch.undo()
+    got = sorted(
+        r.k for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    )
+    assert got == [0, 2, 4, 6, 8, 9, 10, 11]
+
+
+def test_optimize_group_selection_membership_only(spark, tmp_path, monkeypatch):
+    """optimize_delta's group selection needs only DV MEMBERSHIP: with no
+    group selected for compaction it must return None without decoding a
+    single vector (driver or otherwise); with a DV group selected it
+    decodes ONLY the compacted files' vectors."""
+    import buzz_rust_spark.sources.delta_writer as dw
+    from buzz_rust_spark.sources import write_delta
+    from buzz_rust_spark.sources.delta_writer import delete_delta, optimize_delta
+
+    # table A: one big-enough single file per partition, no DVs → None,
+    # and _dv_positions_by_rel must not be reached at all
+    table = os.path.join(str(tmp_path), "a")
+    write_delta(spark.range(4).coalesce(1).selectExpr("id AS k"), table)
+    calls = []
+    real = dw._dv_positions_by_rel
+
+    def counting(table_dir, live):
+        calls.append(dict(live))
+        return real(table_dir, live)
+
+    monkeypatch.setattr(dw, "_dv_positions_by_rel", counting)
+    assert optimize_delta(spark, table, target_file_bytes=10) is None
+    assert calls == []  # no compaction candidates → zero decode work
+
+    # table B: two partitions, DV on one — only that partition's files decode
+    table_b = _fresh_table(spark, str(tmp_path), "b", n=8, partitioned=True)
+    delete_delta(spark, table_b, "k = 2", mode="dv")  # k=2 → par '0'
+    calls.clear()
+    v = optimize_delta(spark, table_b, target_file_bytes=1)  # only DV group
+    assert v is not None
+    assert len(calls) == 1
+    assert all("par=0" in rel for rel in calls[0])
+    got = sorted(
+        r.k for r in DeltaCatalog("b", table_b).to_dataframe(spark).collect()
+    )
+    assert got == [0, 1, 3, 4, 5, 6, 7]

@@ -3215,3 +3215,172 @@ def z41_branch_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@register(
+    "z42_matview_minmax",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 80
+),
+base AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS len
+         FROM docs WHERE doc_id % 2 = 0),
+appended AS (SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS len
+             FROM docs WHERE doc_id % 2 = 1),
+upd AS (SELECT doc_id, source, len + 1000.0 AS len
+        FROM base WHERE doc_id % 3 = 0),
+final AS (
+  SELECT * FROM (
+    SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM appended
+  ) WHERE doc_id % 10 != 4
+)
+SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(len) AS min_len, MAX(len) AS max_len
+FROM final GROUP BY source ORDER BY source
+""",
+)
+def z42_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized aggregates under a retracting history (the
+    round-8 verdict ask #5): bootstrap, then ONE refresh applying an
+    append + a CDC merge that RAISES updated rows' lengths past every max
+    (forcing the per-group maxima through the incremental path AND the
+    targeted-rescan path where the old extremum was retracted) + a
+    predicate delete — the maintained extremes must equal the relational
+    MIN/MAX of the source's final state."""
+    import tempfile
+
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+    from ..sources.materialize import (
+        read_materialization,
+        refresh_materialization,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(80)
+        .select(
+            "doc_id",
+            F.col("source").alias("g"),
+            F.length("text").cast("double").alias("len"),
+        )
+    )
+    base = docs.where("doc_id % 2 = 0")
+    d = tempfile.mkdtemp(prefix="matview_z42_")
+    src, tgt = d + "/src", d + "/mv"
+    kw = dict(min_cols=["len"], max_cols=["len"])
+    write_iceberg(base, src)
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    write_iceberg(docs.where("doc_id % 2 = 1"), src, mode="append")
+    upd = base.where("doc_id % 3 = 0").select(
+        "doc_id", "g", (F.col("len") + F.lit(1000.0)).alias("len")
+    )
+    merge_iceberg(spark, src, upd, ["doc_id"])
+    delete_iceberg(spark, src, "doc_id % 10 = 4")
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    return (
+        read_materialization(spark, tgt)
+        .select(
+            "g",
+            "n_rows",
+            F.col("min_len").alias("min_len"),
+            F.col("max_len").alias("max_len"),
+        )
+        .orderBy("g")
+    )
+
+
+@register(
+    "z43_join_matview",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 80
+),
+facts_final AS (
+  SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS len
+  FROM docs WHERE doc_id % 7 != 3
+),
+dims_final AS (
+  SELECT source, 'r' || CAST(length(source) % 2 AS VARCHAR) AS region
+  FROM (SELECT DISTINCT source FROM docs)
+)
+SELECT region, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(len), 4) AS sum_len
+FROM facts_final JOIN dims_final USING (source)
+GROUP BY region ORDER BY region
+""",
+)
+def z43_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table JOIN materialization (verdict ask #5, second half): a
+    fact table (documents) joined to a dimension (source → region),
+    maintained through a left-side window (append + delete) AND a
+    right-side window (dimension rows re-keyed via CDC merge) using the
+    signed identity ΔL⋈R_new ∪ L_old⋈ΔR — the final state must equal the
+    relational re-join recompute."""
+    import tempfile
+
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+    from ..sources.materialize import (
+        read_materialization,
+        refresh_join_materialization,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(80)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("double").alias("len"),
+        )
+    )
+    dims = docs.select("source").distinct().select(
+        "source",
+        F.concat(
+            F.lit("r"), (F.length("source") % 2).cast("string")
+        ).alias("region"),
+    )
+    d = tempfile.mkdtemp(prefix="matview_z43_")
+    fact, dim, tgt = d + "/fact", d + "/dim", d + "/mv"
+    # bootstrap on half the facts and MISWIRED regions (flipped), so both
+    # later windows do real work
+    write_iceberg(docs.where("doc_id % 2 = 0"), fact)
+    flipped = dims.select(
+        "source",
+        F.concat(
+            F.lit("r"), ((F.length("source") + 1) % 2).cast("string")
+        ).alias("region"),
+    )
+    write_iceberg(flipped, dim)
+
+    def refresh():
+        return refresh_join_materialization(
+            spark, fact, dim, tgt, ["source"], ["region"], ["len"]
+        )
+
+    refresh()
+    # left window: append the other half, delete a slice
+    write_iceberg(docs.where("doc_id % 2 = 1"), fact, mode="append")
+    delete_iceberg(spark, fact, "doc_id % 7 = 3")
+    refresh()
+    # right window: CDC-fix every dimension row to the true region
+    merge_iceberg(spark, dim, dims.coalesce(1), ["source"])
+    refresh()
+    return (
+        read_materialization(spark, tgt)
+        .select("region", "n_rows", F.round("sum_len", 4).alias("sum_len"))
+        .orderBy("region")
+    )

@@ -21,7 +21,11 @@ from .iceberg import (
     read_iceberg_changelog,
     read_iceberg_changes,
 )
-from .materialize import read_materialization, refresh_materialization
+from .materialize import (
+    read_materialization,
+    refresh_join_materialization,
+    refresh_materialization,
+)
 from .iceberg_writer import (
     delete_iceberg,
     evolve_iceberg,
@@ -70,6 +74,7 @@ __all__ = [
     "read_iceberg_changes",
     "read_materialization",
     "refresh_materialization",
+    "refresh_join_materialization",
     "write_iceberg",
     "merge_iceberg",
     "delete_iceberg",

@@ -7,12 +7,18 @@ refresh window's retractable delta instead of re-aggregating the source —
 classic self-maintainable incremental view maintenance (Gupta & Mumick,
 "Maintenance of Materialized Views", IEEE Data Eng. Bull. 1995).
 
-Why only count/sum (and avg, derivable as sum/count at read time): they
-are the SELF-MAINTAINABLE aggregates — an insert contributes ``+value``
-and a delete ``-value`` with no need to look at the rest of the group.
+count/sum (and avg, derivable as sum/count at read time) are the
+SELF-MAINTAINABLE aggregates — an insert contributes ``+value`` and a
+delete ``-value`` with no need to look at the rest of the group.
 min/max are not maintainable under deletion without the group's full
-multiset (deleting the current min needs the runner-up), so they are a
-typed refusal, not a silent wrong answer.
+multiset (deleting the current min needs the runner-up), so they take a
+HYBRID strategy: incremental under inserts, and a targeted rescan of
+ONLY the groups whose retractions touch their current extremum.  Join
+materializations (:func:`refresh_join_materialization`) maintain a
+two-table join's aggregate from the classical signed-delta identity
+``Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR`` — each side's changelog joined to the
+other's pinned state, weights multiplying — never re-joining the full
+tables.
 
 Scale shape (the point at 100 TB):
 
@@ -45,15 +51,33 @@ CURSOR_PROP = "buzz.matview.cursor"
 SPEC_PROP = "buzz.matview.spec"
 
 
-def _agg_delta(cl: DataFrame, group_cols: list[str], sum_cols: list[str]):
+def _agg_delta(
+    cl: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+    weight_col: str | None = None,
+):
     """The changelog window's per-group delta: each insert row weighs +1,
     each delete row −1; sums weigh ±value (NULL values contribute 0 to
-    the sum but ±1 to the count, matching SQL SUM/COUNT(*))."""
+    the sum but ±1 to the count, matching SQL SUM/COUNT(*)).
+
+    ``min_cols``/``max_cols`` additionally gather the window's INSERTED
+    extremes (``__insmin_/__insmax_``, the incremental half of min/max
+    maintenance) and the DELETED extremes (``__delmin_/__delmax_``, the
+    danger test: a retraction at or past the group's current extremum
+    forces a targeted rescan).  ``weight_col`` replaces the ±1 with an
+    arbitrary signed weight — the join materialization's changelog×state
+    products (min/max unsupported there)."""
     from pyspark.sql import functions as F
 
-    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    if weight_col is not None:
+        w = F.col(weight_col).cast("long")
+    else:
+        w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
     aggs = [F.sum(w).cast("long").alias("n_rows")]
     for c in sum_cols:
         aggs.append(
@@ -61,6 +85,13 @@ def _agg_delta(cl: DataFrame, group_cols: list[str], sum_cols: list[str]):
                 w.cast("double") * F.coalesce(F.col(c).cast("double"), F.lit(0.0))
             ).alias(f"sum_{c}")
         )
+    ins = F.col("_change_type") == "insert"
+    for c in min_cols:
+        aggs.append(F.min(F.when(ins, F.col(c))).alias(f"__insmin_{c}"))
+        aggs.append(F.min(F.when(~ins, F.col(c))).alias(f"__delmin_{c}"))
+    for c in max_cols:
+        aggs.append(F.max(F.when(ins, F.col(c))).alias(f"__insmax_{c}"))
+        aggs.append(F.max(F.when(~ins, F.col(c))).alias(f"__delmax_{c}"))
     return cl.groupBy(*group_cols).agg(*aggs)
 
 
@@ -105,12 +136,33 @@ def _source_position(spark: SparkSession, source_uri: str, source_format: str):
     return commits[-1][0] if commits else None
 
 
+def _pinned_source(
+    spark: SparkSession, source_uri: str, source_format: str, pos
+) -> DataFrame:
+    """The source AS OF ``pos`` — every read a refresh takes is pinned at
+    the position it records, so a concurrent source commit can never leak
+    into a state recorded as of an earlier cursor."""
+    if source_format == "iceberg":
+        from .iceberg import IcebergCatalog
+
+        return IcebergCatalog(
+            "_matview_src", source_uri, snapshot_id=int(pos)
+        ).to_dataframe(spark)
+    from .delta_catalog import DeltaCatalog
+
+    return DeltaCatalog(
+        "_matview_src", source_uri, version=int(pos)
+    ).to_dataframe(spark)
+
+
 def refresh_materialization(
     spark: SparkSession,
     source_uri: str,
     target_uri: str,
     group_cols: list[str],
     sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
     source_format: str = "iceberg",
 ) -> dict | None:
     """Create or incrementally refresh a grouped COUNT/SUM materialization
@@ -123,10 +175,16 @@ def refresh_materialization(
     state — one atomic commit carrying the advanced cursor.  A refresh
     with no source changes returns None without committing.
 
-    Columns in the target: ``group_cols``, ``n_rows`` (long), and one
-    ``sum_<col>`` (double) per requested sum column.  ``avg`` is
-    ``sum/n_rows`` at read time.  min/max are refused (not maintainable
-    under deletion).  Returns the commit summary plus the new cursor.
+    Columns in the target: ``group_cols``, ``n_rows`` (long), one
+    ``sum_<col>`` (double) per sum column, and one ``min_<col>`` /
+    ``max_<col>`` (source-typed) per requested extremum column.  ``avg``
+    is ``sum/n_rows`` at read time.  min/max take the HYBRID strategy:
+    incremental under inserts (least/greatest with the window's inserted
+    extremum), and a TARGETED rescan of only the groups whose retractions
+    touch their current extremum (the runner-up is not derivable from the
+    state — the classical non-self-maintainability of MIN/MAX under
+    deletes, handled by rescan instead of refusal).  Returns the commit
+    summary plus the new cursor.
 
     Failure contract: a crash between nothing and everything — the cursor
     commits atomically with the merge, and the commit CASes on the cursor
@@ -143,17 +201,21 @@ def refresh_materialization(
     from .iceberg_writer import _load_meta, merge_iceberg, write_iceberg
 
     sum_cols = list(sum_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
     if not group_cols:
         raise BuzzBadRequestError("refresh_materialization: no group_cols")
     if source_format not in ("iceberg", "delta"):
         raise BuzzBadRequestError(
             f"source_format must be iceberg|delta, got {source_format!r}"
         )
-    overlap = set(group_cols) & set(sum_cols)
+    overlap = set(group_cols) & (
+        set(sum_cols) | set(min_cols) | set(max_cols)
+    )
     if overlap:
         raise BuzzBadRequestError(
             f"columns {sorted(overlap)} appear in both group_cols and "
-            "sum_cols"
+            "sum/min/max cols"
         )
 
     pos = _source_position(spark, source_uri, source_format)
@@ -165,6 +227,12 @@ def refresh_materialization(
         "group_cols": list(group_cols),
         "sum_cols": sum_cols,
     }
+    # back-compat: pre-min/max targets recorded specs without these keys;
+    # an empty list and an absent key must compare equal
+    if min_cols:
+        spec["min_cols"] = min_cols
+    if max_cols:
+        spec["max_cols"] = max_cols
 
     from .iceberg_writer import _local_table_dir
 
@@ -173,19 +241,16 @@ def refresh_materialization(
         # --- bootstrap: one full aggregate of the current source state ---
         # pinned at `pos`: a concurrent commit between the position read
         # and this scan must not leak into a state recorded AS OF `pos`
-        if source_format == "iceberg":
-            src = IcebergCatalog(
-                "_matview_src", source_uri, snapshot_id=int(pos)
-            ).to_dataframe(spark)
-        else:
-            from .delta_catalog import DeltaCatalog
-
-            src = DeltaCatalog(
-                "_matview_src", source_uri, version=int(pos)
-            ).to_dataframe(spark)
-        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
-            F.sum(F.col(c).cast("double")).alias(f"sum_{c}") for c in sum_cols
-        ]
+        src = _pinned_source(spark, source_uri, source_format, pos)
+        aggs = (
+            [F.count(F.lit(1)).cast("long").alias("n_rows")]
+            + [
+                F.sum(F.col(c).cast("double")).alias(f"sum_{c}")
+                for c in sum_cols
+            ]
+            + [F.min(c).alias(f"min_{c}") for c in min_cols]
+            + [F.max(c).alias(f"max_{c}") for c in max_cols]
+        )
         state = src.groupBy(*group_cols).agg(*aggs)
         # sum of an all-NULL group is NULL in SQL; store 0 so the ±delta
         # arithmetic stays closed (read_materialization reports the sums
@@ -226,7 +291,7 @@ def refresh_materialization(
     cl = _read_source_changelog(
         spark, source_uri, source_format, cursor, str(pos)
     )
-    delta = _agg_delta(cl, group_cols, sum_cols).persist()
+    delta = _agg_delta(cl, group_cols, sum_cols, min_cols, max_cols).persist()
     try:
         if delta.limit(1).count() == 0:
             # commits existed but netted to zero rows (e.g. compactions):
@@ -253,12 +318,56 @@ def refresh_materialization(
         joined = delta.alias("__d").join(
             current.alias("__c"), on=group_cols, how="left"
         )
+        new_n = (
+            F.coalesce(F.col("__c.n_rows"), F.lit(0)) + F.col("__d.n_rows")
+        ).cast("long")
+
+        # min/max maintenance (the hybrid strategy): under inserts alone
+        # the new extremum is least/greatest(current, window's inserted
+        # extremum) — self-maintainable.  A RETRACTION at or past the
+        # current extremum (__delmin ≤ min / __delmax ≥ max) means the
+        # runner-up is unknown from the state: flag the group for a
+        # TARGETED rescan of the pinned source (semi-join on exactly the
+        # flagged groups — never a full re-aggregate).  A group whose
+        # count reaches zero stores NULL extremes (tombstone).
+        danger_terms = []
+        minmax_cols = []
+        for c in min_cols:
+            cur_v, dmin, imin = (
+                F.col(f"__c.min_{c}"),
+                F.col(f"__d.__delmin_{c}"),
+                F.col(f"__d.__insmin_{c}"),
+            )
+            danger_terms.append(
+                dmin.isNotNull() & cur_v.isNotNull() & (dmin <= cur_v)
+            )
+            minmax_cols.append(
+                F.when(new_n <= 0, F.lit(None))
+                .otherwise(F.least(cur_v, imin))
+                .alias(f"min_{c}")
+            )
+        for c in max_cols:
+            cur_v, dmax, imax = (
+                F.col(f"__c.max_{c}"),
+                F.col(f"__d.__delmax_{c}"),
+                F.col(f"__d.__insmax_{c}"),
+            )
+            danger_terms.append(
+                dmax.isNotNull() & cur_v.isNotNull() & (dmax >= cur_v)
+            )
+            minmax_cols.append(
+                F.when(new_n <= 0, F.lit(None))
+                .otherwise(F.greatest(cur_v, imax))
+                .alias(f"max_{c}")
+            )
+        rescan_flag = F.lit(False)
+        for t in danger_terms:
+            rescan_flag = rescan_flag | F.coalesce(t, F.lit(False))
+        rescan_flag = rescan_flag & (new_n > 0)
+
         new_state = joined.select(
             *group_cols,
-            (
-                F.coalesce(F.col("__c.n_rows"), F.lit(0))
-                + F.col("__d.n_rows")
-            ).cast("long").alias("n_rows"),
+            new_n.alias("n_rows"),
             *[
                 (
                     F.coalesce(F.col(f"__c.sum_{c}"), F.lit(0.0))
@@ -266,8 +375,10 @@ def refresh_materialization(
                 ).alias(f"sum_{c}")
                 for c in sum_cols
             ],
+            *minmax_cols,
+            rescan_flag.alias("__rescan"),
         )
-        # one pass for both checks (a separate limit(1) + count would
+        # one pass for all checks (a separate limit(1) + count would
         # re-execute the state join twice); the merge's own evaluation
         # reuses the persisted frame
         new_state = new_state.persist()
@@ -275,6 +386,7 @@ def refresh_materialization(
             stats = new_state.agg(
                 F.min("n_rows").alias("__mn"),
                 F.count(F.lit(1)).alias("__n"),
+                F.max(F.col("__rescan").cast("int")).alias("__any_rescan"),
             ).collect()[0]
             if stats["__mn"] is not None and int(stats["__mn"]) < 0:
                 raise BuzzExecutionError(
@@ -284,6 +396,37 @@ def refresh_materialization(
                     "rewrite); re-bootstrap with a fresh target_uri"
                 )
             n_groups = int(stats["__n"])
+            if int(stats["__any_rescan"] or 0):
+                flagged = new_state.where("__rescan").select(*group_cols)
+                src = _pinned_source(spark, source_uri, source_format, pos)
+                rescan = (
+                    src.join(broadcast(flagged), on=group_cols, how="left_semi")
+                    .groupBy(*group_cols)
+                    .agg(
+                        *[F.min(c).alias(f"__rs_min_{c}") for c in min_cols],
+                        *[F.max(c).alias(f"__rs_max_{c}") for c in max_cols],
+                    )
+                )
+                new_state = new_state.join(rescan, on=group_cols, how="left")
+                new_state = new_state.select(
+                    *group_cols,
+                    "n_rows",
+                    *[f"sum_{c}" for c in sum_cols],
+                    *[
+                        F.when(
+                            F.col("__rescan"), F.col(f"__rs_min_{c}")
+                        ).otherwise(F.col(f"min_{c}")).alias(f"min_{c}")
+                        for c in min_cols
+                    ],
+                    *[
+                        F.when(
+                            F.col("__rescan"), F.col(f"__rs_max_{c}")
+                        ).otherwise(F.col(f"max_{c}")).alias(f"max_{c}")
+                        for c in max_cols
+                    ],
+                )
+            else:
+                new_state = new_state.drop("__rescan")
             # expect_properties CASes the commit on the cursor this delta
             # was computed from: two concurrent refreshes that both read
             # cursor C cannot both apply the (C, pos] window — the loser's
@@ -301,6 +444,272 @@ def refresh_materialization(
         finally:
             new_state.unpersist()
         return {**(out or {}), "cursor": str(pos), "groups_updated": n_groups}
+    finally:
+        delta.unpersist()
+
+
+def _resolve_join_columns(
+    l_cols: list[str],
+    r_cols: list[str],
+    join_cols: list[str],
+    wanted: list[str],
+) -> None:
+    """Typed validation that every wanted (group/sum) column resolves
+    UNAMBIGUOUSLY across the two join sides: join keys live on both by
+    construction; any other column must exist on exactly one side."""
+    for k in join_cols:
+        if k not in l_cols or k not in r_cols:
+            raise BuzzBadRequestError(
+                f"join column {k!r} must exist on both sides "
+                f"(left has {sorted(l_cols)}, right has {sorted(r_cols)})"
+            )
+    for c in wanted:
+        if c in join_cols:
+            continue
+        in_l, in_r = c in l_cols, c in r_cols
+        if in_l and in_r:
+            raise BuzzBadRequestError(
+                f"column {c!r} exists on BOTH join sides — rename one "
+                "(the materialization cannot disambiguate)"
+            )
+        if not in_l and not in_r:
+            raise BuzzBadRequestError(
+                f"column {c!r} exists on neither join side"
+            )
+
+
+def refresh_join_materialization(
+    spark: SparkSession,
+    left_uri: str,
+    right_uri: str,
+    target_uri: str,
+    join_cols: list[str],
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    left_format: str = "iceberg",
+    right_format: str = "iceberg",
+) -> dict | None:
+    """Create or incrementally refresh a grouped COUNT/SUM materialization
+    of the INNER JOIN ``left ⋈ right`` on ``join_cols`` — the join-view
+    extension of :func:`refresh_materialization`.
+
+    Maintenance uses the classical signed delta identity
+    ``Δ(L⋈R) = ΔL ⋈ R_new ∪ L_old ⋈ ΔR``: each source's changelog window
+    (weights ±1) joins the OTHER side's pinned state — ``R_new`` at the
+    new right cursor, ``L_old`` at the OLD left cursor — and the weighted
+    products aggregate into the same ±delta merge as the single-table
+    view.  Cost is O(Δ × matching state), never a re-join of the full
+    tables; both cursors commit atomically with the merge and are
+    CAS-validated, so concurrent refreshes cannot double-apply.
+
+    min/max over joins are not offered (the rescan strategy would need
+    the joined state); duplicate join keys multiply per join semantics —
+    the identity stays exact for multisets.  Returns the summary + new
+    cursors, or None when neither source moved."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from .iceberg import IcebergCatalog
+    from .iceberg_writer import (
+        _load_meta,
+        _local_table_dir,
+        merge_iceberg,
+        set_iceberg_properties,
+        write_iceberg,
+    )
+
+    sum_cols = list(sum_cols or [])
+    join_cols = list(join_cols)
+    if not group_cols or not join_cols:
+        raise BuzzBadRequestError(
+            "refresh_join_materialization: group_cols and join_cols required"
+        )
+    for fmt in (left_format, right_format):
+        if fmt not in ("iceberg", "delta"):
+            raise BuzzBadRequestError(
+                f"source format must be iceberg|delta, got {fmt!r}"
+            )
+    posL = _source_position(spark, left_uri, left_format)
+    posR = _source_position(spark, right_uri, right_format)
+    if posL is None or posR is None:
+        return None  # an empty side: the join is empty, nothing to build
+
+    spec = {
+        "kind": "join",
+        "left": left_format,
+        "right": right_format,
+        "join_cols": join_cols,
+        "group_cols": list(group_cols),
+        "sum_cols": sum_cols,
+    }
+    cursor_val = json.dumps(
+        {"left": str(posL), "right": str(posR)}, sort_keys=True
+    )
+
+    existing = _load_meta(_local_table_dir(target_uri))
+    if existing is None:
+        L = _pinned_source(spark, left_uri, left_format, posL)
+        R = _pinned_source(spark, right_uri, right_format, posR)
+        _resolve_join_columns(
+            L.columns, R.columns, join_cols, list(group_cols) + sum_cols
+        )
+        joined = L.join(R, on=join_cols, how="inner")
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+            F.sum(F.col(c).cast("double")).alias(f"sum_{c}") for c in sum_cols
+        ]
+        state = joined.groupBy(*group_cols).agg(*aggs)
+        for c in sum_cols:
+            state = state.withColumn(
+                f"sum_{c}", F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+            )
+        out = write_iceberg(
+            state,
+            target_uri,
+            properties={
+                CURSOR_PROP: cursor_val,
+                SPEC_PROP: json.dumps(spec, sort_keys=True),
+            },
+        )
+        return {**(out or {}), "cursor": cursor_val, "bootstrapped": True}
+
+    _, meta = existing
+    props = meta.get("properties") or {}
+    cursor = props.get(CURSOR_PROP)
+    recorded = props.get(SPEC_PROP)
+    if cursor is None or recorded is None:
+        raise BuzzExecutionError(
+            f"{target_uri!r} exists but carries no materialization "
+            "cursor/spec properties — not a materialization target"
+        )
+    if json.loads(recorded) != spec:
+        raise BuzzBadRequestError(
+            "materialization spec mismatch: the target was built with "
+            f"{recorded}, refresh asked for {json.dumps(spec, sort_keys=True)}"
+            " — use a new target_uri"
+        )
+    cur = json.loads(cursor)
+    curL, curR = cur["left"], cur["right"]
+    if str(posL) == curL and str(posR) == curR:
+        return None  # neither source moved
+
+    def _signed(cl: DataFrame) -> DataFrame:
+        return cl.withColumn(
+            "__w",
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        ).drop("_change_type")
+
+    def _side(df: DataFrame, own: list[str]) -> DataFrame:
+        keep = join_cols + [
+            c
+            for c in dict.fromkeys(list(group_cols) + sum_cols)
+            if c in own and c not in join_cols
+        ]
+        extra = ["__w"] if "__w" in df.columns else []
+        return df.select(*keep, *extra)
+
+    frames: list[DataFrame] = []
+    # ΔL ⋈ R_new: the left window's signed rows against the right state at
+    # its NEW cursor
+    if str(posL) != curL:
+        dL = _signed(
+            _read_source_changelog(
+                spark, left_uri, left_format, curL, str(posL)
+            )
+        )
+        R_new = _pinned_source(spark, right_uri, right_format, posR)
+        _resolve_join_columns(
+            dL.columns, R_new.columns, join_cols,
+            list(group_cols) + sum_cols,
+        )
+        frames.append(
+            _side(dL, dL.columns).join(
+                _side(R_new, R_new.columns), on=join_cols, how="inner"
+            )
+        )
+    # L_old ⋈ ΔR: the right window's signed rows against the left state at
+    # its OLD cursor (the identity's second term — using L_new here would
+    # double-count ΔL⋈ΔR)
+    if str(posR) != curR:
+        dR = _signed(
+            _read_source_changelog(
+                spark, right_uri, right_format, curR, str(posR)
+            )
+        )
+        L_old = _pinned_source(spark, left_uri, left_format, curL)
+        _resolve_join_columns(
+            L_old.columns, dR.columns, join_cols,
+            list(group_cols) + sum_cols,
+        )
+        frames.append(
+            _side(L_old, L_old.columns).join(
+                _side(dR, dR.columns), on=join_cols, how="inner"
+            )
+        )
+    from functools import reduce
+
+    delta_rows = reduce(DataFrame.unionByName, frames)
+    delta = _agg_delta(
+        delta_rows, group_cols, sum_cols, weight_col="__w"
+    ).persist()
+    try:
+        if delta.limit(1).count() == 0:
+            set_iceberg_properties(
+                target_uri,
+                {CURSOR_PROP: cursor_val},
+                expect_props={CURSOR_PROP: cursor},
+            )
+            return {"cursor": cursor_val, "groups_updated": 0}
+        cat = IcebergCatalog("_matview", target_uri)
+        current = cat.to_dataframe(spark).join(
+            broadcast(delta.select(*group_cols)),
+            on=group_cols, how="left_semi",
+        )
+        joined = delta.alias("__d").join(
+            current.alias("__c"), on=group_cols, how="left"
+        )
+        new_state = joined.select(
+            *group_cols,
+            (
+                F.coalesce(F.col("__c.n_rows"), F.lit(0))
+                + F.col("__d.n_rows")
+            ).cast("long").alias("n_rows"),
+            *[
+                (
+                    F.coalesce(F.col(f"__c.sum_{c}"), F.lit(0.0))
+                    + F.col(f"__d.sum_{c}")
+                ).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        ).persist()
+        try:
+            stats = new_state.agg(
+                F.min("n_rows").alias("__mn"),
+                F.count(F.lit(1)).alias("__n"),
+            ).collect()[0]
+            if stats["__mn"] is not None and int(stats["__mn"]) < 0:
+                raise BuzzExecutionError(
+                    "materialization drift: a group's joined row count "
+                    "went negative — cursor mismatch or out-of-band source "
+                    "rewrite; re-bootstrap with a fresh target_uri"
+                )
+            n_groups = int(stats["__n"])
+            out = merge_iceberg(
+                spark,
+                target_uri,
+                new_state,
+                key_cols=list(group_cols),
+                set_properties={CURSOR_PROP: cursor_val},
+                expect_properties={CURSOR_PROP: cursor},
+            )
+        finally:
+            new_state.unpersist()
+        return {
+            **(out or {}),
+            "cursor": cursor_val,
+            "groups_updated": n_groups,
+        }
     finally:
         delta.unpersist()
 

@@ -310,3 +310,294 @@ def test_matview_concurrent_zero_delta_refresh_cas(spark, tmp_path):
         mat._read_source_changelog = real
     assert _state(spark, tgt) == [("a", 1, 1.0)]
     assert refresh_materialization(spark, src, tgt, ["g"], ["v"]) is None
+
+
+def test_matview_minmax_hybrid_lifecycle(spark, tmp_path):
+    """min/max maintenance: incremental under inserts, targeted rescan
+    when a retraction touches the extremum, duplicate-extremum deletes,
+    tombstone NULLing, and revival — each state equal to a recompute."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+
+    def state():
+        return sorted(
+            (r.g, r.n_rows, r.min_v, r.max_v)
+            for r in read_materialization(spark, tgt).collect()
+        )
+
+    def recompute():
+        return sorted(
+            (r.g, r.n, r.mn, r.mx)
+            for r in IcebergCatalog("s", src)
+            .to_dataframe(spark)
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        )
+
+    # duplicate extremum: two rows share min 5.0 in group a
+    write_iceberg(
+        _rows(spark, [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 9.0),
+                      (4, "b", 7.0)],
+              "id long, g string, v double"),
+        src,
+    )
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert state() == recompute()
+    # insert-only window: incremental least/greatest (no rescan needed)
+    write_iceberg(
+        _rows(spark, [(5, "a", 1.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert state() == recompute() == [
+        ("a", 4, 1.0, 9.0), ("b", 1, 7.0, 7.0),
+    ]
+    # delete ONE of the duplicate minima after deleting the new min: the
+    # rescan must find min still 5.0 (the surviving duplicate)
+    delete_iceberg(spark, src, "id IN (5, 1)")
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert state() == recompute() == [
+        ("a", 2, 5.0, 9.0), ("b", 1, 7.0, 7.0),
+    ]
+    # CDC update moving the max down (delete 9 + insert 2 in the window)
+    merge_iceberg(
+        spark, src,
+        _rows(spark, [(3, "a", 2.0)], "id long, g string, v double")
+        .coalesce(1),
+        ["id"],
+    )
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert state() == recompute() == [
+        ("a", 2, 2.0, 5.0), ("b", 1, 7.0, 7.0),
+    ]
+    # group death then revival
+    delete_iceberg(spark, src, "g = 'b'")
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert state() == [("a", 2, 2.0, 5.0)]
+    write_iceberg(
+        _rows(spark, [(9, "b", 4.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert state() == recompute()
+    # spec compatibility: a min/max target refuses a plain refresh
+    with pytest.raises(BuzzBadRequestError, match="spec mismatch"):
+        refresh_materialization(spark, src, tgt, ["g"], ["v"])
+
+
+def test_matview_minmax_rescan_is_targeted(spark, tmp_path, monkeypatch):
+    """The rescan reads the pinned source ONLY when some group's extremum
+    was retracted — an insert-only window must not touch the source."""
+    import buzz_rust_spark.sources.materialize as mat
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        write_iceberg,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    kw = dict(min_cols=["v"], max_cols=["v"])
+    write_iceberg(
+        _rows(spark, [(1, "a", 5.0), (2, "a", 9.0)],
+              "id long, g string, v double"),
+        src,
+    )
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+
+    real = mat._pinned_source
+    calls = []
+
+    def counting(spark_, uri, fmt, pos):
+        calls.append(uri)
+        return real(spark_, uri, fmt, pos)
+
+    monkeypatch.setattr(mat, "_pinned_source", counting)
+    # insert above the max: maintainable incrementally — no source read
+    write_iceberg(
+        _rows(spark, [(3, "a", 11.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert calls == []
+    # delete the max: rescan fires exactly once
+    delete_iceberg(spark, src, "id = 3")
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert calls == [src]
+    got = sorted(
+        (r.g, r.min_v, r.max_v)
+        for r in read_materialization(spark, tgt).collect()
+    )
+    assert got == [("a", 5.0, 9.0)]
+
+
+def test_join_matview_lifecycle_and_guards(spark, tmp_path):
+    """Two-table join materialization: bootstrap, left-only window,
+    right-only window (CDC dimension update), dual-side window — every
+    state equals the full re-join recompute; ambiguous/missing column
+    and spec-mismatch guards refuse typed."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.materialize import (
+        refresh_join_materialization,
+    )
+    from pyspark.sql import functions as F
+
+    dim = str(tmp_path / "dim")
+    fact = str(tmp_path / "fact")
+    tgt = str(tmp_path / "jmv")
+    write_iceberg(
+        spark.createDataFrame([(1, "red"), (2, "blue")], "k long, color string"),
+        dim,
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, amt double"
+        ),
+        fact,
+    )
+
+    def refresh():
+        return refresh_join_materialization(
+            spark, fact, dim, tgt, ["k"], ["color"], ["amt"]
+        )
+
+    def state():
+        return sorted(
+            (r.color, r.n_rows, r.sum_amt)
+            for r in read_materialization(spark, tgt).collect()
+        )
+
+    def recompute():
+        return sorted(
+            (r.color, r.n, r.s)
+            for r in IcebergCatalog("f", fact)
+            .to_dataframe(spark)
+            .join(IcebergCatalog("d", dim).to_dataframe(spark), "k")
+            .groupBy("color")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("amt").alias("s"),
+            )
+            .collect()
+        )
+
+    out = refresh()
+    assert out["bootstrapped"] is True
+    assert state() == recompute()
+    assert refresh() is None  # neither source moved
+
+    # left-only window: fact append + delete
+    write_iceberg(
+        spark.createDataFrame([(2, 7.0)], "k long, amt double"),
+        fact, mode="append",
+    )
+    delete_iceberg(spark, fact, "amt = 10.0")
+    refresh()
+    assert state() == recompute()
+    # right-only window: dimension CDC update (red→green for k=1)
+    merge_iceberg(
+        spark, dim,
+        spark.createDataFrame([(1, "green")], "k long, color string")
+        .coalesce(1),
+        ["k"],
+    )
+    refresh()
+    assert state() == recompute()
+    # dual-side window: new dim key + facts on old and new keys
+    write_iceberg(
+        spark.createDataFrame([(3, "gold")], "k long, color string"),
+        dim, mode="append",
+    )
+    write_iceberg(
+        spark.createDataFrame([(3, 100.0), (1, 1.0)], "k long, amt double"),
+        fact, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+
+    # guards
+    with pytest.raises(BuzzBadRequestError, match="spec mismatch"):
+        refresh_join_materialization(
+            spark, fact, dim, tgt, ["k"], ["color"]
+        )
+    with pytest.raises(BuzzBadRequestError, match="neither join side"):
+        refresh_join_materialization(
+            spark, fact, dim, str(tmp_path / "x"), ["k"], ["nope"], ["amt"]
+        )
+    with pytest.raises(BuzzBadRequestError, match="both sides"):
+        refresh_join_materialization(
+            spark, fact, dim, str(tmp_path / "x2"), ["color"], ["k"]
+        )
+
+
+def test_join_matview_delta_side(spark, tmp_path):
+    """A Delta-format side works through the same identity (its changelog
+    and version-pinned reads slot into ΔL⋈R_new ∪ L_old⋈ΔR)."""
+    from buzz_rust_spark.sources.delta_writer import delete_delta, write_delta
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+    from buzz_rust_spark.sources.materialize import (
+        refresh_join_materialization,
+    )
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from pyspark.sql import functions as F
+
+    fact = str(tmp_path / "fact_delta")
+    dim = str(tmp_path / "dim_ice")
+    tgt = str(tmp_path / "jmv")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 3.0), (2, 4.0), (2, 6.0)], "k long, amt double"
+        ).coalesce(1),
+        fact,
+    )
+    write_iceberg(
+        spark.createDataFrame([(1, "x"), (2, "y")], "k long, color string"),
+        dim,
+    )
+
+    def refresh():
+        return refresh_join_materialization(
+            spark, fact, dim, tgt, ["k"], ["color"], ["amt"],
+            left_format="delta",
+        )
+
+    refresh()
+    write_delta(
+        spark.createDataFrame([(1, 7.0)], "k long, amt double").coalesce(1),
+        fact, mode="append",
+    )
+    delete_delta(spark, fact, "amt = 4.0")
+    refresh()
+    got = sorted(
+        (r.color, r.n_rows, r.sum_amt)
+        for r in read_materialization(spark, tgt).collect()
+    )
+    want = sorted(
+        (r.color, r.n, r.s)
+        for r in DeltaCatalog("f", fact)
+        .to_dataframe(spark)
+        .join(IcebergCatalog("d", dim).to_dataframe(spark), "k")
+        .groupBy("color")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    )
+    assert got == want == [("x", 2, 10.0), ("y", 1, 6.0)]

@@ -3384,3 +3384,69 @@ def z43_join_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("region", "n_rows", F.round("sum_len", 4).alias("sum_len"))
         .orderBy("region")
     )
+
+
+@register(
+    "z44_delta_cdf_feed",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 80
+),
+base AS (SELECT doc_id, source, text FROM docs WHERE doc_id % 2 = 0),
+upd AS (SELECT doc_id, source, 'v2 ' || text AS text
+        FROM base WHERE doc_id % 3 = 0),
+ins AS (SELECT doc_id, source, text FROM docs WHERE doc_id % 2 = 1),
+post_merge AS (
+  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+),
+feed AS (
+  SELECT source, 'delete' AS change_type FROM upd      -- update preimages
+  UNION ALL SELECT source, 'insert' FROM upd           -- update postimages
+  UNION ALL SELECT source, 'insert' FROM ins           -- merge inserts
+  UNION ALL SELECT source, 'delete' FROM post_merge
+    WHERE doc_id % 10 = 4                              -- the DELETE commit
+)
+SELECT source, change_type, CAST(COUNT(*) AS BIGINT) AS n_changes
+FROM feed GROUP BY source, change_type ORDER BY source, change_type
+""",
+)
+def z44_delta_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Change Data Feed on-disk writes, oracle-checked: a CDF table
+    takes a merge (updates + inserts) and a predicate delete; the
+    changelog must come from the RECORDED ``_change_data`` files — whose
+    feed is exactly the logical changes (update pre/post pairs + inserts
+    + deletes, NO survivor churn), which the oracle enumerates
+    relationally.  A net-diff fallback would fail the count (the merge
+    rewrite churns the base file's surviving rows)."""
+    import tempfile
+
+    from ..sources.delta_catalog import read_delta_changelog
+    from ..sources.delta_writer import delete_delta, merge_delta, write_delta
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(80)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="delta_z44_") + "/tbl"
+    write_delta(
+        docs.where("doc_id % 2 = 0").coalesce(1), root,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    upserts = docs.where("doc_id % 2 = 1").unionByName(
+        docs.where("doc_id % 2 = 0 AND doc_id % 3 = 0").select(
+            "doc_id", "source", F.concat(F.lit("v2 "), F.col("text")).alias("text")
+        )
+    )
+    merge_delta(spark, root, upserts.coalesce(1), on=["doc_id"])
+    delete_delta(spark, root, "doc_id % 10 = 4")
+    return (
+        read_delta_changelog(spark, root, 0)
+        .groupBy("source", F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .orderBy("source", "change_type")
+    )

@@ -30,6 +30,7 @@ from .iceberg_writer import (
     delete_iceberg,
     evolve_iceberg,
     evolve_iceberg_partition_spec,
+    drop_iceberg_ref,
     fast_forward_iceberg,
     expire_iceberg_snapshots,
     merge_iceberg,
@@ -84,6 +85,7 @@ __all__ = [
     "evolve_iceberg",
     "evolve_iceberg_partition_spec",
     "fast_forward_iceberg",
+    "drop_iceberg_ref",
     "evolve_delta",
     "expire_iceberg_snapshots",
     "vacuum_iceberg",

@@ -1095,6 +1095,7 @@ def write_iceberg(
     branch: str | None = None,
     _operation: str | None = None,
     _expect_snapshot_id: int | None = None,
+    _basis_manifests: list[dict] | None = None,
     store=None,
 ) -> dict | None:
     """Write ``df`` into an Iceberg v2 table at ``table_uri``.
@@ -1163,16 +1164,42 @@ def write_iceberg(
         if _txn_already_committed(existing[1], txn_app_id, txn_version):
             return None  # replayed micro-batch: already committed
 
+    def _commute_appends(meta_x: dict) -> list[dict] | None:
+        """Concurrent commits COMMUTE with a replace built from
+        ``_basis_manifests`` iff they only ADDED pure-data manifests (an
+        ingest append): those manifests carry into the replace's manifest
+        list untouched — Iceberg's own commit validation for rewrites.
+        Anything else (a delete/merge's new delete files could target the
+        rewritten rows at stale sequence numbers; a concurrent rewrite
+        removed basis manifests) returns None → typed abort."""
+        if _basis_manifests is None:
+            return None
+        fresh = _prev_manifests(meta_x)
+        basis_paths = {m["manifest_path"] for m in _basis_manifests}
+        extra = [
+            m for m in fresh if m["manifest_path"] not in basis_paths
+        ]
+        if basis_paths <= {m["manifest_path"] for m in fresh} and all(
+            int(m.get("content") or 0) == 0 for m in extra
+        ):
+            return extra
+        return None
+
+    commute_carry: list[dict] = []
     if (
         existing is not None
         and _expect_snapshot_id is not None
         and _norm_snapshot_id(existing[1].get("current-snapshot-id"))
         != _norm_snapshot_id(_expect_snapshot_id)
     ):
-        raise BuzzCommitAbortedError(
-            "the snapshot this replace was built from was superseded — "
-            "re-run the rewrite against the current table"
-        )
+        carried = _commute_appends(existing[1])
+        if carried is None:
+            raise BuzzCommitAbortedError(
+                "the snapshot this replace was built from was superseded "
+                "by a non-append commit — re-run the rewrite against the "
+                "current table"
+            )
+        commute_carry = carried
 
     if existing is None and branch is not None:
         raise BuzzBadRequestError(
@@ -1256,11 +1283,13 @@ def write_iceberg(
                 f"partition spec {spec_desc}"
             )
         # previous manifests carried forward on append (from the BRANCH
-        # head when staging a write-audit-publish branch)
+        # head when staging a write-audit-publish branch); a replace
+        # carries only the manifests concurrent APPENDS added past its
+        # basis (commute_carry — empty on the pinned-basis fast path)
         prev_manifests = (
             _prev_manifests(meta, _branch_head(meta, branch))
             if mode == "append"
-            else []
+            else list(commute_carry)
         )
 
     by_name = {f["name"]: f for f in schema_json["fields"]}
@@ -1366,15 +1395,20 @@ def write_iceberg(
     def _refresh():
         version_f, meta_f = _load_v2_meta(root, table_uri)
         _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
+        commute_f: list[dict] = []
         if (
             _expect_snapshot_id is not None
             and _norm_snapshot_id(meta_f.get("current-snapshot-id"))
             != _norm_snapshot_id(_expect_snapshot_id)
         ):
-            raise BuzzCommitAbortedError(
-                "the snapshot this replace was built from was superseded "
-                "concurrently — re-run the rewrite against the current table"
-            )
+            carried = _commute_appends(meta_f)
+            if carried is None:
+                raise BuzzCommitAbortedError(
+                    "the snapshot this replace was built from was "
+                    "superseded by a non-append commit — re-run the "
+                    "rewrite against the current table"
+                )
+            commute_f = carried
         if existing is None and properties:
             # this writer lost a CREATE race and is retrying as an append
             # onto the winner's table; the creation-time properties the
@@ -1399,7 +1433,7 @@ def write_iceberg(
         prev_f = (
             _prev_manifests(meta_f, _branch_head(meta_f, branch))
             if mode == "append"
-            else []
+            else commute_f
         )
         return (version_f, meta_f, prev_f, True)
 
@@ -2164,11 +2198,13 @@ def rewrite_iceberg(
     surgery — the shape that matters at 100 TB, where compacting one
     CDC-dirty day must not rewrite the table.
 
-    A compaction that loses its commit race is retried ONLY if the
-    snapshot it scanned is still current (pinned via
-    ``_expect_snapshot_id``): any concurrent data commit invalidates a
-    replace built from the old snapshot — retrying would silently drop
-    the concurrent change — so the loop raises the typed non-retryable
+    A compaction that loses its commit race COMMUTES with concurrent
+    PURE APPENDS: their new data manifests carry into the replace's
+    manifest list (compaction must not serialize against ingest —
+    Iceberg's rewrite validation semantics).  Any other concurrent
+    change — a delete/merge (whose delete files would target the
+    rewritten rows at stale sequence numbers) or another rewrite —
+    raises the typed non-retryable
     :class:`~..errors.BuzzCommitAbortedError` instead."""
     from .iceberg import IcebergCatalog
 
@@ -2215,6 +2251,10 @@ def rewrite_iceberg(
         max_commit_retries=max_commit_retries,
         _operation="replace",
         _expect_snapshot_id=basis_snapshot,
+        # pure-append commits past the basis COMMUTE: their data manifests
+        # carry into the replace instead of aborting it (compaction must
+        # not serialize against ingest)
+        _basis_manifests=list(cat._manifests or []),
         store=store,
     )
 
@@ -2253,9 +2293,9 @@ def _rewrite_partial(
     Boundaries (typed): schema-evolved tables (carried entries would be
     re-encoded under renamed columns), snapshots holding data manifests
     under non-live partition specs, and ORC files in the selected set.
-    Any concurrent commit aborts the claim (same rule as the full
-    rewrite: a replace built from a superseded snapshot would drop the
-    concurrent change)."""
+    Concurrent PURE APPENDS commute (their manifests carry into the
+    replace — maintenance must not serialize against ingest); any other
+    concurrent commit aborts the claim typed."""
     import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
@@ -2354,7 +2394,8 @@ def _rewrite_partial(
     surgery_recs: list[dict] = []
     dropped_data_files = 0
     dropped_delete_files = 0
-    for m in _prev_manifests(meta):
+    basis_manifests = _prev_manifests(meta)
+    for m in basis_manifests:
         mcontent = int(m.get("content") or 0)
         mseq = int(m.get("sequence_number") or 0)
         _, entries = decode_avro_file(cat._read_meta_bytes(m["manifest_path"]))
@@ -2432,7 +2473,7 @@ def _rewrite_partial(
     now_ms = int(time.time() * 1000)
 
     def _attempt(state):
-        version_a, meta_a = state
+        version_a, meta_a, commute_a = state
         seq = int(meta_a.get("last-sequence-number", 0)) + 1
         snap_id = uuid.uuid4().int >> 65
         recs = []
@@ -2456,7 +2497,10 @@ def _rewrite_partial(
             )
         mlist_path = _write_manifest_list(
             meta_dir, snap_id, seq,
-            recs + surgery_recs + _carry_manifests(untouched),
+            recs
+            + surgery_recs
+            + _carry_manifests(untouched)
+            + _carry_manifests(commute_a),
         )
         new_version = _finish_commit(
             root, version_a, meta_a, snap_id, seq, now_ms, mlist_path, sid,
@@ -2482,15 +2526,34 @@ def _rewrite_partial(
 
     def _refresh():
         version_f, meta_f = _load_v2_meta(root, table_uri)
+        commute_f: list[dict] = []
         if meta_f.get("current-snapshot-id") != basis_snapshot:
-            raise BuzzCommitAbortedError(
-                "the snapshot this partial rewrite was built from was "
-                "superseded concurrently — re-run against the current table"
+            # concurrent PURE APPENDS commute: their new data manifests
+            # carry into the replace; any removed basis manifest (another
+            # rewrite) or new DELETE manifest (a merge/delete whose files
+            # would target the rewritten rows at stale sequence numbers)
+            # aborts typed — Iceberg's rewrite validation semantics
+            _require_same_write_basis(
+                meta_f, schema_json, spec_id, spec_fields
             )
-        return (version_f, meta_f)
+            fresh = _prev_manifests(meta_f)
+            basis_paths = {m["manifest_path"] for m in basis_manifests}
+            extra = [
+                m for m in fresh if m["manifest_path"] not in basis_paths
+            ]
+            if not basis_paths <= {
+                m["manifest_path"] for m in fresh
+            } or any(int(m.get("content") or 0) != 0 for m in extra):
+                raise BuzzCommitAbortedError(
+                    "the snapshot this partial rewrite was built from was "
+                    "superseded by a non-append commit — re-run against "
+                    "the current table"
+                )
+            commute_f = extra
+        return (version_f, meta_f, commute_f)
 
     return commit_with_retry(
-        _attempt, _refresh, (version, meta), max_commit_retries
+        _attempt, _refresh, (version, meta, []), max_commit_retries
     )
 
 
@@ -3492,6 +3555,39 @@ def tag_iceberg(
         os.path.join(root, "metadata"), version + 1, meta, store
     )
     return {"metadata_version": new_version, "ref": name, "snapshot_id": int(sid)}
+
+
+def drop_iceberg_ref(table_uri: str, name: str, store=None) -> dict:
+    """Remove a named ref (tag or branch) from the table metadata — the
+    cleanup half of :func:`tag_iceberg` / branch staging: after a
+    fast-forward publish, dropping the branch releases the snapshots its
+    ancestor chain pinned through expiry.  ``main`` is refused (commits
+    manage it); unknown refs are a typed error (silence would mask
+    typos)."""
+    if name == "main":
+        raise BuzzBadRequestError(
+            "the 'main' ref is managed by commits/rollback — it cannot be "
+            "dropped"
+        )
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise BuzzBadRequestError(
+            f"ref {name!r} not in table refs (have {sorted(refs)})"
+        )
+    dropped = refs.pop(name)
+    meta = dict(meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    new_version = _promote_metadata(
+        os.path.join(root, "metadata"), version + 1, meta, store
+    )
+    return {
+        "metadata_version": new_version,
+        "ref": name,
+        "was_snapshot_id": int(dropped.get("snapshot-id", -1)),
+    }
 
 
 def set_iceberg_properties(

@@ -1825,7 +1825,7 @@ def test_partial_rewrite_compacts_only_selected_partition(spark, tmp_path):
     ) == [0, 1, 4, 6, 7]
 
 
-def test_partial_rewrite_aborts_on_concurrent_commit(spark, tmp_path):
+def test_partial_rewrite_commutes_with_append_aborts_on_delete(spark, tmp_path):
     import datetime
 
     from buzz_rust_spark.errors import BuzzCommitAbortedError
@@ -1857,14 +1857,38 @@ def test_partial_rewrite_aborts_on_concurrent_commit(spark, tmp_path):
             )
 
     store.before_claim = seam
-    with pytest.raises(BuzzCommitAbortedError):
-        rewrite_iceberg(
-            spark, root, partition_filter="ts_day = '2021-01-01'", store=store
-        )
-    # nothing lost — all three rows live
+    # round-9 semantics: a concurrent PURE APPEND commutes — its manifests
+    # carry into the replace (even when it lands in the compacted
+    # partition: appended files were never in the rewrite's read set)
+    out = rewrite_iceberg(
+        spark, root, partition_filter="ts_day = '2021-01-01'", store=store
+    )
+    assert out is not None and out["operation"] == "replace"
     assert sorted(
         r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
     ) == [1, 2, 9]
+
+    # a concurrent DELETE still aborts (typed): its position deletes
+    # reference files the rewritten rows would escape
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    store2 = LocalCommitStore()
+    fired2 = {}
+
+    def seam2(path):
+        if not fired2:
+            fired2["x"] = 1
+            delete_iceberg(spark, root, "id = 2")
+
+    store2.before_claim = seam2
+    with pytest.raises(BuzzCommitAbortedError):
+        rewrite_iceberg(
+            spark, root, partition_filter="ts_day = '2021-01-01'",
+            store=store2,
+        )
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 9]
 
 
 def test_rollback_and_tags(spark, tmp_path):
@@ -2469,3 +2493,40 @@ def test_expire_keeps_branch_chain_for_fast_forward(spark, tmp_path):
     write_iceberg(df(5), root, mode="append")
     out = expire_iceberg_snapshots(root, keep_last=1)
     assert out is not None  # something expired — the stale chain didn't pin all
+
+
+def test_drop_iceberg_ref_releases_chain(spark, tmp_path):
+    """drop_iceberg_ref removes a tag/branch (main refused, unknown
+    typed); after dropping a published branch, expiry may reclaim the
+    snapshots only its chain pinned."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        tag_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(1,)], "id long"), root)
+    write_iceberg(
+        spark.createDataFrame([(2,)], "id long"), root, mode="append",
+        branch="b",
+    )
+    tag_iceberg(root, "keep", ref_type="tag")
+    with pytest.raises(BuzzBadRequestError, match="managed by commits"):
+        drop_iceberg_ref(root, "main")
+    with pytest.raises(BuzzBadRequestError, match="not in table refs"):
+        drop_iceberg_ref(root, "nope")
+    out = drop_iceberg_ref(root, "b")
+    assert out["ref"] == "b"
+    # branch gone: its ref is unreadable, its staged snapshot expirable
+    with pytest.raises(BuzzBadRequestError, match="not in table refs"):
+        IcebergCatalog("t", root, ref="b")
+    write_iceberg(
+        spark.createDataFrame([(3,)], "id long"), root, mode="append"
+    )
+    expired = expire_iceberg_snapshots(root, keep_last=1)
+    assert expired is not None  # the orphaned staged snapshot went away
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 3]

@@ -391,12 +391,15 @@ def test_iceberg_delete_retry_vs_append_and_abort_vs_rewrite(spark, tmp_path):
     assert rows == [3]
 
 
-def test_iceberg_rewrite_aborts_on_concurrent_append(spark, tmp_path):
-    """A compaction losing its race to ANY data commit must abort — a
-    replace built from the old snapshot would drop the concurrent rows."""
+def test_iceberg_rewrite_commutes_with_append_aborts_on_merge(spark, tmp_path):
+    """Round-9 semantics: a compaction losing its race to a PURE APPEND
+    commutes — the appended manifests carry into the replace and nothing
+    is lost — while a concurrent MERGE (new delete files would target the
+    rewritten rows at stale sequence numbers) still aborts typed."""
     from buzz_rust_spark.errors import BuzzCommitAbortedError
     from buzz_rust_spark.sources.iceberg import IcebergCatalog
     from buzz_rust_spark.sources.iceberg_writer import (
+        merge_iceberg,
         rewrite_iceberg,
         write_iceberg,
     )
@@ -411,18 +414,27 @@ def test_iceberg_rewrite_aborts_on_concurrent_append(spark, tmp_path):
             spark.createDataFrame([(9,)], "id long"), root, mode="append"
         )
     )
+    out = rewrite_iceberg(spark, root, store=store)
+    assert out is not None and out["operation"] == "replace"
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [1, 2, 9]  # the concurrent append survived the replace
+
+    # a concurrent MERGE must still abort the rewrite
+    store2 = _conflicting_store(
+        lambda: merge_iceberg(
+            spark, root,
+            spark.createDataFrame([(2,)], "id long").coalesce(1),
+            key_cols=["id"],
+        )
+    )
     with pytest.raises(BuzzCommitAbortedError):
-        rewrite_iceberg(spark, root, store=store)
-    # nothing lost: all three rows live; a clean rewrite then compacts
+        rewrite_iceberg(spark, root, store=store2)
     rows = sorted(
         r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
     )
-    assert rows == [1, 2, 9]
-    assert rewrite_iceberg(spark, root) is not None
-    rows = sorted(
-        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
-    )
-    assert rows == [1, 2, 9]
+    assert rows == [1, 2, 9]  # merge upserted, nothing lost
 
 
 def test_delta_append_retry_reuses_staged_files(spark, tmp_path):
@@ -625,14 +637,14 @@ def test_iceberg_delete_retry_on_cdc_table(spark, tmp_path):
     assert got == [(1, 100), (3, 30)]
 
 
-def test_iceberg_empty_table_rewrite_aborts_on_concurrent_first_append(
+def test_iceberg_empty_table_rewrite_commutes_with_first_append(
     spark, tmp_path
 ):
     """Advice regression: a full rewrite of an EMPTY table (externally
     created metadata, current-snapshot-id -1) races a FIRST append — the
-    empty basis must be pinned like any other snapshot id, or the replace
-    retry silently wipes the appended rows (overwrite carries no prior
-    manifests)."""
+    empty basis must be pinned like any other snapshot id so the append
+    is NOTICED (carried by the append-commute path, or aborted for
+    non-append commits) instead of silently wiped."""
     import json
     import os
     import uuid
@@ -681,13 +693,29 @@ def test_iceberg_empty_table_rewrite_aborts_on_concurrent_first_append(
             spark.createDataFrame([(1,)], "id long"), root, mode="append"
         )
     )
-    with pytest.raises(BuzzCommitAbortedError):
-        rewrite_iceberg(spark, root, store=store)
-    # the concurrent first append SURVIVED
+    # a PURE APPEND commutes with the empty replace (round-9 semantics);
+    # the point of the pinned -1 basis is that the append is NOTICED and
+    # carried instead of being silently wiped by an overwrite that
+    # carries no prior manifests
+    out = rewrite_iceberg(spark, root, store=store)
+    assert out is not None
     rows = sorted(
         r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
     )
     assert rows == [1]
+    # a non-append concurrent commit still aborts the empty replace
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    write_iceberg(
+        spark.createDataFrame([(2,)], "id long"), root, mode="append"
+    )
+    store2 = _conflicting_store(lambda: delete_iceberg(spark, root, "id = 1"))
+    with pytest.raises(BuzzCommitAbortedError):
+        rewrite_iceberg(spark, root, store=store2)
+    rows = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert rows == [2]
 
 
 def test_iceberg_create_race_does_not_drop_properties(spark, tmp_path):
@@ -740,3 +768,62 @@ def test_iceberg_create_race_does_not_drop_properties(spark, tmp_path):
         r.id for r in IcebergCatalog("t", root2).to_dataframe(spark).collect()
     )
     assert rows == [1, 2]
+
+
+def test_partial_rewrite_commutes_with_append_aborts_on_delete(
+    spark, tmp_path
+):
+    """The verdict's canonical maintenance-vs-ingest pair: a PARTITION-
+    SCOPED compaction of one day losing its claim to a concurrent append
+    (any partition — appended files are never in the rewrite's read set)
+    commutes and carries the appended manifests; a concurrent DELETE
+    still aborts typed (its position deletes reference files at sequence
+    numbers the rewritten rows would escape)."""
+    import datetime
+
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 2, i % 4), float(i))
+        for i in range(8)
+    ]
+    write_iceberg(
+        spark.createDataFrame(rows, "id long, ts timestamp_ntz, v double"),
+        root, partition_by=["days(ts)"],
+    )
+    delete_iceberg(spark, root, "id = 0")  # some MOR debt to compact
+    store = _conflicting_store(
+        lambda: write_iceberg(
+            spark.createDataFrame(
+                [(100, datetime.datetime(2024, 1, 2, 1), 0.5)],
+                "id long, ts timestamp_ntz, v double",
+            ),
+            root, mode="append",
+        )
+    )
+    out = rewrite_iceberg(
+        spark, root, partition_filter="ts_day = '2024-01-01'", store=store
+    )
+    assert out is not None and out["operation"] == "replace"
+    got = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == list(range(1, 8)) + [100]  # append survived the surgery
+
+    store2 = _conflicting_store(lambda: delete_iceberg(spark, root, "id = 7"))
+    with pytest.raises(BuzzCommitAbortedError):
+        rewrite_iceberg(
+            spark, root, partition_filter="ts_day = '2024-01-02'",
+            store=store2,
+        )
+    got = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == list(range(1, 7)) + [100]  # the delete landed, nothing lost

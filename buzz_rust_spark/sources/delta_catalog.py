@@ -833,29 +833,12 @@ def read_delta_changelog(
             f"Delta log at {table_uri!r} contains no metaData action"
         )
 
-    # --- net per-file diff ---
     def _dv(entry: dict) -> dict:
         return (
             entry.get("deletionVector")
             if (entry.get("deletionVector") or {}).get("storageType")
             else None
         ) or {}
-
-    ins_files = {p: a for p, a in live.items() if p not in base}
-    del_files = {p: a for p, a in base.items() if p not in live}
-    # files live at both ends with a changed DV: positions newly deleted →
-    # delete rows; positions un-deleted → insert rows (defensive: no known
-    # writer shrinks a DV, but the diff expresses it exactly)
-    dv_del: list[tuple[str, int]] = []  # (path, pos) to emit as deletes
-    dv_ins: list[tuple[str, int]] = []
-    for p in set(base) & set(live):
-        bdv, cdv = _dv(base[p]), _dv(live[p])
-        if bdv == cdv:
-            continue
-        bpos = set(read_dv_positions(store, bdv)) if bdv else set()
-        cpos = set(read_dv_positions(store, cdv)) if cdv else set()
-        dv_del.extend((p, pos) for pos in sorted(cpos - bpos))
-        dv_ins.extend((p, pos) for pos in sorted(bpos - cpos))
 
     # --- schema machinery (same translation as read_delta_changes) ---
     full = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1074,6 +1057,25 @@ def read_delta_changelog(
     recorded = _cdf_scan()
     if recorded is not None:
         return recorded
+
+    # --- net per-file diff (the always-correct fallback) --- computed
+    # ONLY here: its DV-diff decodes changed bitmaps driver-side, exactly
+    # the O(accumulated positions) cost the recorded path above avoids
+    ins_files = {p: a for p, a in live.items() if p not in base}
+    del_files = {p: a for p, a in base.items() if p not in live}
+    # files live at both ends with a changed DV: positions newly deleted →
+    # delete rows; positions un-deleted → insert rows (defensive: no known
+    # writer shrinks a DV, but the diff expresses it exactly)
+    dv_del: list[tuple[str, int]] = []  # (path, pos) to emit as deletes
+    dv_ins: list[tuple[str, int]] = []
+    for p in set(base) & set(live):
+        bdv, cdv = _dv(base[p]), _dv(live[p])
+        if bdv == cdv:
+            continue
+        bpos = set(read_dv_positions(store, bdv)) if bdv else set()
+        cpos = set(read_dv_positions(store, cdv)) if cdv else set()
+        dv_del.extend((p, pos) for pos in sorted(cpos - bpos))
+        dv_ins.extend((p, pos) for pos in sorted(bpos - cpos))
 
     inserts = _entries_scan(ins_files, dv_ins)
     deletes = _entries_scan(del_files, dv_del)

@@ -136,14 +136,48 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
     it implements — committing plain actions to e.g. an invariants table
     would corrupt it.
 
-    Accepted: legacy ≤2; legacy 4 when CHANGE DATA FEED is the only
-    v4-era capability in use (no generated columns); legacy 5 when the
-    metaData shows COLUMN MAPPING (+ optionally CDF) are the only
-    v5-era capabilities in use (no field invariants/generated
-    expressions/identity columns — those would be silently violated);
-    writer 7 iff every listed writerFeature is implemented."""
+    Accepted: legacy versions when none of the capabilities this writer
+    cannot enforce are actually IN USE — field invariants (v2), CHECK
+    constraints (v3, ``delta.constraints.*``), generated/identity
+    columns (v4/v6) all refuse typed when present; change data feed (v4)
+    and column mapping (v5) are implemented, so v4 and v5 tables using
+    only those pass; writer 7 iff every listed writerFeature is
+    implemented."""
     writer_v = int(proto.get("minWriterVersion", 2))
+
+    def _unenforceable() -> list[str]:
+        """Capabilities the table USES that this writer would silently
+        violate: field invariants (writer 2), CHECK constraints
+        (writer 3, ``delta.constraints.*`` configuration keys), generated
+        columns (writer 4), identity columns (writer 6)."""
+        if not meta:
+            return []
+        config = meta.get("configuration") or {}
+        fields = json.loads(meta.get("schemaString", '{"fields": []}'))[
+            "fields"
+        ]
+        out = [
+            k
+            for f in fields
+            for k in (f.get("metadata") or {})
+            if k == "delta.invariants"
+            or k.startswith(("delta.generationExpression", "delta.identity."))
+        ]
+        out += [k for k in config if k.startswith("delta.constraints.")]
+        return out
+
     if writer_v <= PROTOCOL["minWriterVersion"]:
+        # legacy ≤2 still implies field INVARIANTS — a table actually
+        # carrying one must be refused, not silently violated
+        hazards = _unenforceable()
+        if hazards:
+            from ..errors import BuzzNotImplementedError
+
+            raise BuzzNotImplementedError(
+                f"Delta table at {log_dir!r} declares {sorted(hazards)}, "
+                "which this writer does not enforce — refusing to commit "
+                "rows that could violate them"
+            )
         return
     # a v7 protocol MUST list its writerFeatures; a missing list is
     # malformed and stays refused (feats=None)
@@ -154,47 +188,32 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
     )
     if feats is not None and feats <= SUPPORTED_WRITER_FEATURES:
         return
-    if writer_v == 4 and meta:
-        # legacy writer 4 = change data feed + generated columns.  CDF is
-        # implemented (mutations emit cdc actions when enabled); generated
-        # columns are not — accept iff no field carries a generation
-        # expression this writer would silently fail to maintain.
-        fields = json.loads(meta.get("schemaString", '{"fields": []}'))[
-            "fields"
-        ]
-        generated = [
-            k
-            for f in fields
-            for k in (f.get("metadata") or {})
-            if k.startswith("delta.generationExpression")
-        ]
-        if not generated:
-            return
+    if writer_v == 4 and meta and not _unenforceable():
+        # legacy writer 4 = CDF (implemented: mutations emit cdc actions
+        # when enabled) + generated columns + the v2/v3 capabilities —
+        # accept iff none of the unenforceable ones are in use
+        return
     if writer_v == 5 and meta:
         config = meta.get("configuration") or {}
         mode = config.get("delta.columnMapping.mode", "none") or "none"
-        fields = json.loads(meta.get("schemaString", '{"fields": []}'))[
-            "fields"
-        ]
-        hazards = [
-            k
-            for f in fields
-            for k in (f.get("metadata") or {})
-            if k == "delta.invariants"
-            or k.startswith(("delta.generationExpression", "delta.identity."))
-        ]
         # change data feed is implemented (mutations emit cdc actions when
         # `delta.enableChangeDataFeed` is set) — no longer a v5 hazard
-        if mode in ("name", "id") and not hazards:
+        if mode in ("name", "id") and not _unenforceable():
             return
     from ..errors import BuzzNotImplementedError
 
+    hazards = _unenforceable()
     raise BuzzNotImplementedError(
         f"Delta table at {log_dir!r} requires minWriterVersion={writer_v}"
         + (f" with writer features {sorted(feats)}" if feats else "")
+        + (
+            f" and uses unenforced capabilities {sorted(hazards)}"
+            if hazards
+            else ""
+        )
         + f"; this writer implements {PROTOCOL['minWriterVersion']},"
-        " writer-5 column mapping, and writer-7 features"
-        f" {sorted(SUPPORTED_WRITER_FEATURES)}"
+        " writer-4 change data feed, writer-5 column mapping, and"
+        f" writer-7 features {sorted(SUPPORTED_WRITER_FEATURES)}"
     )
 
 
@@ -475,7 +494,6 @@ def _stage_change_files(
     table_dir: str,
     version: int,
     partition_by: list[str],
-    now_ms: int,
 ) -> list[dict]:
     """Write a commit's CHANGE DATA as parquet under ``_change_data/`` and
     return the ``cdc`` actions (PROTOCOL.md: ``{path, partitionValues,
@@ -1361,7 +1379,7 @@ def merge_delta(
 
                 cdc_actions = _stage_change_files(
                     reduce(DataFrame.unionByName, frames),
-                    table_dir, version, partition_by, now_ms,
+                    table_dir, version, partition_by,
                 )
 
         actions: list[dict] = [
@@ -1502,39 +1520,10 @@ def delete_delta(
             broadcast(old_pos_df) if total_card <= 2_000_000 else old_pos_df
         )
         scan = scan.join(anti, on=["__file", "__ridx"], how="left_anti")
-    try:
-        cond = F.expr(predicate)
-        if mode == "dv":
-            # EXECUTOR-side DV construction (see build_dvs_distributed):
-            # matched coordinates are repartitioned by file and each task
-            # serializes its files' merged bitmaps into its own sidecar —
-            # the driver receives O(touched files) descriptor rows, never
-            # the matched (file, pos) rows themselves
-            from .deletion_vectors import build_dvs_distributed
-
-            dv_rows = build_dvs_distributed(
-                scan.where(cond).select(
-                    "__file", F.col("__ridx").cast("long").alias("__ridx")
-                ),
-                table_dir,
-                old_df=old_pos_df,
-            )
-        else:
-            matched = scan.where(cond).select("__file").distinct().collect()
-    except BuzzError:
-        raise
-    except Exception as exc:  # noqa: BLE001 — analyzer errors become typed
-        raise BuzzBadRequestError(
-            f"invalid delete predicate {predicate!r}: {exc}"
-        ) from exc
-    finally:
-        if old_pos_df is not None:
-            old_pos_df.unpersist()
-
     version = last_version + 1
     now_ms = int(time.time() * 1000)
 
-    def _cdc_actions() -> list[dict]:
+    def _stage_cdc(cond) -> list[dict]:
         """Recorded change data for this DELETE (deleted rows,
         ``_change_type='delete'``) when the table enables CDF — staged
         once, reused across claim retries like the data files."""
@@ -1547,8 +1536,50 @@ def delete_delta(
             .withColumn("_change_type", F.lit("delete"))
         )
         return _stage_change_files(
-            changes, table_dir, version, partition_by, now_ms
+            changes, table_dir, version, partition_by
         )
+
+    cdc_actions: list[dict] = []
+    try:
+        try:
+            cond = F.expr(predicate)
+            if mode == "dv":
+                # EXECUTOR-side DV construction (build_dvs_distributed):
+                # matched coordinates are repartitioned by file and each
+                # task serializes its files' merged bitmaps into its own
+                # sidecar — the driver receives O(touched files)
+                # descriptor rows, never the matched (file, pos) rows
+                from .deletion_vectors import build_dvs_distributed
+
+                dv_rows = build_dvs_distributed(
+                    scan.where(cond).select(
+                        "__file",
+                        F.col("__ridx").cast("long").alias("__ridx"),
+                    ),
+                    table_dir,
+                    old_df=old_pos_df,
+                )
+            else:
+                matched = (
+                    scan.where(cond).select("__file").distinct().collect()
+                )
+        except BuzzError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — analyzer errors → typed
+            raise BuzzBadRequestError(
+                f"invalid delete predicate {predicate!r}: {exc}"
+            ) from exc
+        # stage the change record while the decode is still persisted (its
+        # scan re-evaluates the already-deleted anti-join); a failure here
+        # is an IO problem, not a predicate problem — no typed rewrap
+        if (dv_rows if mode == "dv" else matched):
+            cdc_actions = _stage_cdc(cond)
+    finally:
+        # unpersist AFTER the cdc staging: the change-file scan evaluates
+        # scan.where(cond), which anti-joins against the persisted decode
+        # — releasing it earlier would re-decode every live DV twice
+        if old_pos_df is not None:
+            old_pos_df.unpersist()
 
     if mode == "dv":
         if not dv_rows:
@@ -1593,7 +1624,11 @@ def delete_delta(
             # carry existing capabilities into the feature lists: a mapped
             # table (legacy writer-5 or writer-7 columnMapping) upgraded
             # with a bare DV_PROTOCOL would LOSE column mapping and break
-            # every reader of its physical-named files
+            # every reader of its physical-named files; likewise a legacy
+            # CDF table (writer 4/5/6 implies the capability without
+            # listing it) must keep changeDataFeed in writerFeatures or
+            # conformant external writers stop emitting cdc actions while
+            # delta.enableChangeDataFeed stays set
             rfeats = {"deletionVectors"} | set(proto.get("readerFeatures") or [])
             wfeats = {"deletionVectors"} | set(proto.get("writerFeatures") or [])
             cm_mode = (
@@ -1605,6 +1640,8 @@ def delete_delta(
             if cm_mode in ("name", "id"):
                 rfeats.add("columnMapping")
                 wfeats.add("columnMapping")
+            if _cdf_enabled(meta):
+                wfeats.add("changeDataFeed")
             actions.append({"protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
@@ -1639,7 +1676,7 @@ def delete_delta(
                         }
                     }
                 )
-        actions.extend(_cdc_actions())
+        actions.extend(cdc_actions)
         # retry validation includes the old DV descriptor: the new bitmap
         # was unioned from it, so a concurrently-replaced DV must abort
         return _claim_rewrite_commit(
@@ -1674,7 +1711,7 @@ def delete_delta(
         for rel in touched
     ]
     actions.extend({"add": a} for a in adds)
-    actions.extend(_cdc_actions())
+    actions.extend(cdc_actions)
     return _claim_rewrite_commit(
         log_dir, version, actions,
         {rel: live[rel] for rel in touched},

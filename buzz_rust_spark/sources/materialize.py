@@ -338,8 +338,13 @@ def refresh_materialization(
                 F.col(f"__d.__delmin_{c}"),
                 F.col(f"__d.__insmin_{c}"),
             )
+            # ANY retraction at/below the current extremum — or against a
+            # group with NO current extremum (new group or tombstone: a
+            # raw per-commit feed like recorded Delta CDF surfaces
+            # insert-then-delete pairs un-netted, so the inserted extremum
+            # may itself be retracted in-window) — forces the rescan
             danger_terms.append(
-                dmin.isNotNull() & cur_v.isNotNull() & (dmin <= cur_v)
+                dmin.isNotNull() & (cur_v.isNull() | (dmin <= cur_v))
             )
             minmax_cols.append(
                 F.when(new_n <= 0, F.lit(None))
@@ -353,7 +358,7 @@ def refresh_materialization(
                 F.col(f"__d.__insmax_{c}"),
             )
             danger_terms.append(
-                dmax.isNotNull() & cur_v.isNotNull() & (dmax >= cur_v)
+                dmax.isNotNull() & (cur_v.isNull() | (dmax >= cur_v))
             )
             minmax_cols.append(
                 F.when(new_n <= 0, F.lit(None))
@@ -523,6 +528,12 @@ def refresh_join_materialization(
     if not group_cols or not join_cols:
         raise BuzzBadRequestError(
             "refresh_join_materialization: group_cols and join_cols required"
+        )
+    overlap = set(group_cols) & set(sum_cols)
+    if overlap:
+        raise BuzzBadRequestError(
+            f"columns {sorted(overlap)} appear in both group_cols and "
+            "sum_cols"
         )
     for fmt in (left_format, right_format):
         if fmt not in ("iceberg", "delta"):

@@ -259,3 +259,114 @@ def test_merge_delete_clause_records_delete_changes(spark, tmp_path):
         for r in read_delta_changelog(spark, root, 0).collect()
     )
     assert rows == [(2, "b", "delete")]
+
+
+def test_writer_gate_refuses_constraints_and_invariants(spark, tmp_path):
+    """Review regression: legacy writer versions imply CHECK constraints
+    (v3, delta.constraints.*) and field invariants (v2) — tables actually
+    USING them must refuse typed at every version branch, not be silently
+    violated."""
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+
+    def mk(root, protocol, meta_extra=None, field_meta=None):
+        os.makedirs(os.path.join(root, "_delta_log"))
+        schema = {
+            "type": "struct",
+            "fields": [{
+                "name": "id", "type": "long", "nullable": True,
+                "metadata": field_meta or {},
+            }],
+        }
+        actions = [
+            {"protocol": protocol},
+            {"metaData": {
+                "id": "m", "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                **(meta_extra or {}),
+            }},
+        ]
+        with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            fh.writelines(json.dumps(a) + "\n" for a in actions)
+
+    # v4 + CHECK constraint in use → refused
+    r1 = str(tmp_path / "t1")
+    mk(r1, {"minReaderVersion": 1, "minWriterVersion": 4},
+       {"configuration": {"delta.constraints.pos": "id > 0",
+                          "delta.enableChangeDataFeed": "true"}})
+    with pytest.raises(BuzzNotImplementedError, match="constraints"):
+        write_delta(_df(spark, [(1, "a")]).selectExpr("id"), r1, mode="append")
+
+    # v2 + field invariant in use → refused (pre-existing gap closed)
+    r2 = str(tmp_path / "t2")
+    mk(r2, {"minReaderVersion": 1, "minWriterVersion": 2},
+       field_meta={"delta.invariants": '{"expression":{"expression":"id > 0"}}'})
+    with pytest.raises(BuzzNotImplementedError, match="invariants"):
+        write_delta(_df(spark, [(1, "a")]).selectExpr("id"), r2, mode="append")
+
+    # v4 CDF-only (no constraints/invariants) still writes fine
+    r3 = str(tmp_path / "t3")
+    mk(r3, {"minReaderVersion": 1, "minWriterVersion": 4},
+       {"configuration": {"delta.enableChangeDataFeed": "true"}})
+    v = write_delta(
+        spark.createDataFrame([(1,)], "id long").coalesce(1), r3,
+        mode="append",
+    )
+    assert v == 1
+
+
+def test_dv_upgrade_keeps_implied_changedatafeed(spark, tmp_path):
+    """Review regression: a DV delete on a legacy-v4 CDF table upgrades to
+    writer 7 — the implied changeDataFeed capability must be enumerated in
+    writerFeatures, or external v7 writers stop emitting cdc actions
+    while delta.enableChangeDataFeed stays set."""
+    root = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a"), (2, "b")]).coalesce(1), root,
+    )  # v0: plain writer-2
+    set_delta_properties(root, CDF_CONF)  # v1: legacy writer-4 upgrade
+    delete_delta(spark, root, "id = 1", mode="dv")  # v2: DV → writer 7
+    proto = next(
+        a["protocol"] for a in _actions(root, 2) if "protocol" in a
+    )
+    assert proto["minWriterVersion"] == 7
+    assert "changeDataFeed" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    # and the DV delete itself recorded its change data
+    assert any("cdc" in a for a in _actions(root, 2))
+
+
+def test_changelog_recorded_path_skips_driver_dv_decode(
+    spark, tmp_path, monkeypatch
+):
+    """Review regression: when the window is fully recorded (cdc actions),
+    read_delta_changelog must not decode ANY deletion vector on the
+    driver — the net-diff DV comparison is fallback-only work."""
+    import buzz_rust_spark.sources.deletion_vectors as dvmod
+
+    root = str(tmp_path / "t")
+    _history(spark, root, configuration=CDF_CONF)  # includes a DV delete
+
+    driver_pid = os.getpid()
+    real = dvmod.read_dv_positions
+
+    def _boom(store, dv):
+        if os.getpid() == driver_pid:
+            raise AssertionError(
+                "read_dv_positions called on the DRIVER during a recorded "
+                "CDF changelog read"
+            )
+        return real(store, dv)
+
+    monkeypatch.setattr(dvmod, "read_dv_positions", _boom)
+    rows = sorted(
+        (r.id, r.v, r._change_type)
+        for r in read_delta_changelog(spark, root, 0).collect()
+    )
+    assert rows == [
+        (1, "a", "delete"),
+        (2, "B", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]

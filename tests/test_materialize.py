@@ -601,3 +601,55 @@ def test_join_matview_delta_side(spark, tmp_path):
         .collect()
     )
     assert got == want == [("x", 2, 10.0), ("y", 1, 6.0)]
+
+
+def test_matview_minmax_new_group_insert_then_delete_raw_feed(spark, tmp_path):
+    """Review regression: a RAW per-commit feed (Delta recorded CDF — no
+    intra-window netting) can retract a NEW group's inserted extremum in
+    the same refresh window; the danger test must fire with NO current
+    state row, or the retracted value survives as the stored min."""
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        write_delta,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    kw = dict(min_cols=["v"], max_cols=["v"], source_format="delta")
+    write_delta(
+        _rows(spark, [(0, "z", 0.0)], "id long, g string, v double")
+        .coalesce(1),
+        src,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    # window: new group g='a' gets rows 1.0 and 5.0, then 1.0 is deleted —
+    # the recorded feed carries insert(1), insert(5), delete(1) un-netted
+    write_delta(
+        _rows(spark, [(1, "a", 1.0), (2, "a", 5.0)],
+              "id long, g string, v double").coalesce(1),
+        src, mode="append",
+    )
+    delete_delta(spark, src, "id = 1")
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    got = sorted(
+        (r.g, r.n_rows, r.min_v, r.max_v)
+        for r in read_materialization(spark, tgt).collect()
+    )
+    assert got == [("a", 1, 5.0, 5.0), ("z", 1, 0.0, 0.0)]
+
+
+def test_join_matview_overlap_guard(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+    from buzz_rust_spark.sources.materialize import (
+        refresh_join_materialization,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_iceberg(spark.createDataFrame([(1, 2.0)], "k long, v double"), a)
+    write_iceberg(spark.createDataFrame([(1, "x")], "k long, g string"), b)
+    with pytest.raises(BuzzBadRequestError, match="both"):
+        refresh_join_materialization(
+            spark, a, b, str(tmp_path / "mv"), ["k"], ["g"], ["g"]
+        )

@@ -188,18 +188,15 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
     )
     if feats is not None and feats <= SUPPORTED_WRITER_FEATURES:
         return
-    if writer_v == 4 and meta and not _unenforceable():
-        # legacy writer 4 = CDF (implemented: mutations emit cdc actions
-        # when enabled) + generated columns + the v2/v3 capabilities —
-        # accept iff none of the unenforceable ones are in use
+    if 3 <= writer_v <= 6 and meta and not _unenforceable():
+        # legacy 3-6 bundle CHECK constraints / CDF+generated columns /
+        # column mapping / identity columns.  CDF and column mapping are
+        # implemented (mutations emit cdc actions when enabled; mapped
+        # reads/writes resolve physical names), append-only is ENFORCED at
+        # the operation level (_require_not_append_only), and the rest
+        # refuse above when actually in use — so a clean legacy table
+        # (e.g. v3 whose constraint was later dropped) stays writable
         return
-    if writer_v == 5 and meta:
-        config = meta.get("configuration") or {}
-        mode = config.get("delta.columnMapping.mode", "none") or "none"
-        # change data feed is implemented (mutations emit cdc actions when
-        # `delta.enableChangeDataFeed` is set) — no longer a v5 hazard
-        if mode in ("name", "id") and not _unenforceable():
-            return
     from ..errors import BuzzNotImplementedError
 
     hazards = _unenforceable()
@@ -337,6 +334,25 @@ def _txn_state(log_dir: str) -> dict[str, int]:
                     t = action["txn"]
                     seen[t["appId"]] = max(seen.get(t["appId"], -1), t["version"])
     return seen
+
+
+def _require_not_append_only(meta: dict | None, op: str) -> None:
+    """ENFORCE the writer-2 append-only capability (``delta.appendOnly``):
+    operations that would emit data-changing ``remove`` actions refuse
+    typed.  Appends, insert-only merges, metadata commits, and OPTIMIZE
+    (``dataChange=false`` removes) stay legal — that is the capability's
+    own contract, which is why the protocol gate can ACCEPT append-only
+    tables instead of refusing them wholesale."""
+    if (
+        ((meta or {}).get("configuration") or {})
+        .get("delta.appendOnly", "")
+        .lower()
+        == "true"
+    ):
+        raise BuzzBadRequestError(
+            f"{op} would remove data from an APPEND-ONLY table "
+            "(delta.appendOnly=true) — the table contract forbids it"
+        )
 
 
 def _require_same_delta_basis(meta_old: dict, meta_new: dict) -> None:
@@ -613,6 +629,8 @@ def write_delta(
             return None
 
     if meta:
+        if mode == "overwrite":
+            _require_not_append_only(meta, "write_delta(mode='overwrite')")
         existing_parts = list(meta.get("partitionColumns", []))
         if existing_parts != partition_by:
             raise BuzzBadRequestError(
@@ -1235,6 +1253,9 @@ def merge_delta(
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
     _require_unmapped(meta, table_uri, "merge_delta")
+    if when_matched is not None:
+        # an insert-only merge emits adds only — legal on append-only
+        _require_not_append_only(meta, f"merge_delta(when_matched={when_matched!r})")
     schema = _declared_schema(meta)
     names = [f.name for f in schema.fields]
     for k in on:
@@ -1483,6 +1504,7 @@ def delete_delta(
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
     _require_unmapped(meta, table_uri, "delete_delta")
+    _require_not_append_only(meta, "delete_delta")
     if not live:
         return None
     partition_by = list(meta.get("partitionColumns", []))
@@ -1569,6 +1591,28 @@ def delete_delta(
             raise BuzzBadRequestError(
                 f"invalid delete predicate {predicate!r}: {exc}"
             ) from exc
+        # the max_dv_rows POLICY refusal runs BEFORE any change-data
+        # staging: a refused bulk delete must not pay the change scan or
+        # orphan _change_data files (the sidecars it unlinks are the only
+        # artifacts staged so far)
+        if mode == "dv" and dv_rows:
+            n_new = sum(int(r["new_rows"]) for r in dv_rows)
+            if n_new > max_dv_rows:
+                from .deletion_vectors import dv_relative_path
+
+                for name in {
+                    dv_relative_path({"pathOrInlineDv": r["token"]})
+                    for r in dv_rows
+                }:
+                    try:
+                        os.unlink(os.path.join(table_dir, name))
+                    except OSError:
+                        pass
+                raise BuzzBadRequestError(
+                    f"DV delete matches {n_new} rows, more than "
+                    f"{max_dv_rows}; use mode='cow' (rewrite) for bulk "
+                    "deletes, or raise max_dv_rows"
+                )
         # stage the change record while the decode is still persisted (its
         # scan re-evaluates the already-deleted anti-join); a failure here
         # is an IO problem, not a predicate problem — no typed rewrap
@@ -1584,27 +1628,6 @@ def delete_delta(
     if mode == "dv":
         if not dv_rows:
             return None
-        n_new = sum(int(r["new_rows"]) for r in dv_rows)
-        if n_new > max_dv_rows:
-            # POLICY refusal, not a memory guard (driver memory is already
-            # O(files)): past this size compaction beats accumulating DV
-            # lookups on every scan.  Unlink the staged sidecars — nothing
-            # referenced them yet.
-            from .deletion_vectors import dv_relative_path
-
-            for name in {
-                dv_relative_path({"pathOrInlineDv": r["token"]})
-                for r in dv_rows
-            }:
-                try:
-                    os.unlink(os.path.join(table_dir, name))
-                except OSError:
-                    pass
-            raise BuzzBadRequestError(
-                f"DV delete matches {n_new} rows, more than {max_dv_rows};"
-                " use mode='cow' (rewrite) for bulk deletes, or raise"
-                " max_dv_rows"
-            )
         desc_by_rel = {by_abs[r["rel_abs"]]: r for r in dv_rows}
         # files whose every physical row is now deleted leave the snapshot
         # entirely — a remove with no re-add, exactly like cow
@@ -1777,6 +1800,8 @@ def restore_delta(
     restore_meta = _meta_key(target_meta) != _meta_key(meta)
     if not to_remove and not to_add and not restore_meta:
         return None  # already at the target content
+    if to_remove:
+        _require_not_append_only(meta, "restore_delta")
     from .deletion_vectors import dv_relative_path
 
     def _needed_paths(a: dict):

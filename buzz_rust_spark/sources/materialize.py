@@ -385,8 +385,12 @@ def refresh_materialization(
         )
         # one pass for all checks (a separate limit(1) + count would
         # re-execute the state join twice); the merge's own evaluation
-        # reuses the persisted frame
-        new_state = new_state.persist()
+        # reuses the persisted frame.  The persisted HANDLE is kept apart:
+        # the rescan branch rebinds new_state to a derived plan, and
+        # unpersisting the derivative would leave the original cached
+        # relation registered forever (one leak per refresh)
+        persisted_state = new_state.persist()
+        new_state = persisted_state
         try:
             stats = new_state.agg(
                 F.min("n_rows").alias("__mn"),
@@ -447,7 +451,7 @@ def refresh_materialization(
                 expect_properties={CURSOR_PROP: cursor},
             )
         finally:
-            new_state.unpersist()
+            persisted_state.unpersist()
         return {**(out or {}), "cursor": str(pos), "groups_updated": n_groups}
     finally:
         delta.unpersist()

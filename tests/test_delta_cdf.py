@@ -370,3 +370,76 @@ def test_changelog_recorded_path_skips_driver_dv_decode(
         (3, "c", "delete"),
         (4, "d", "insert"),
     ]
+
+
+def test_append_only_tables_enforced_not_refused(spark, tmp_path):
+    """Review regression: delta.appendOnly is ENFORCED at the operation
+    level — appends and insert-only merges stay legal on a legacy
+    writer-2 append-only table, while delete / matched-merge / overwrite
+    / restore refuse typed instead of silently emitting removes; and a
+    clean legacy writer-3 table (constraint since dropped) is writable."""
+    from buzz_rust_spark.sources.delta_writer import restore_delta
+
+    root = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a")]).coalesce(1), root,
+        configuration={"delta.appendOnly": "true"},
+    )  # v0
+    write_delta(_df(spark, [(2, "b")]).coalesce(1), root, mode="append")
+    merge_delta(
+        spark, root, _df(spark, [(3, "c")]).coalesce(1), on=["id"],
+        when_matched=None, when_not_matched="insert",
+    )  # insert-only merge: adds only — legal
+    assert DeltaCatalog("t", root).to_dataframe(spark).count() == 3
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        delete_delta(spark, root, "id = 1")
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        delete_delta(spark, root, "id = 1", mode="dv")
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        merge_delta(
+            spark, root, _df(spark, [(1, "A")]).coalesce(1), on=["id"]
+        )
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        write_delta(
+            _df(spark, [(9, "z")]).coalesce(1), root, mode="overwrite"
+        )
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        restore_delta(spark, root, 0)
+    assert DeltaCatalog("t", root).to_dataframe(spark).count() == 3
+
+    # legacy writer-3 with NO constraint in use: accepted for writes
+    r2 = str(tmp_path / "t3")
+    os.makedirs(os.path.join(r2, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {},
+        }},
+    ]
+    with open(os.path.join(r2, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    assert write_delta(
+        spark.createDataFrame([(1,)], "id long").coalesce(1), r2,
+        mode="append",
+    ) == 1
+
+
+def test_dv_bulk_refusal_stages_no_change_files(spark, tmp_path):
+    """Review regression: the max_dv_rows policy refusal runs BEFORE the
+    change-data staging — a refused bulk DV delete on a CDF table leaves
+    no orphaned _change_data files (and never pays the change scan)."""
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.range(10).selectExpr("id AS k").coalesce(1), root,
+        configuration=CDF_CONF,
+    )
+    with pytest.raises(BuzzBadRequestError, match="max_dv_rows"):
+        delete_delta(spark, root, "k >= 0", mode="dv", max_dv_rows=3)
+    assert not glob.glob(os.path.join(root, "_change_data", "**", "*"),
+                         recursive=True)
+    assert not glob.glob(os.path.join(root, "deletion_vector_*.bin"))

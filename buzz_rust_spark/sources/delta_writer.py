@@ -51,6 +51,7 @@ PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # `_change_data` parquet + `cdc` actions per PROTOCOL.md.
 SUPPORTED_WRITER_FEATURES = {
     "deletionVectors", "columnMapping", "typeWidening", "changeDataFeed",
+    "appendOnly",  # enforced operationally: _require_not_append_only
 }
 DV_PROTOCOL = {
     "minReaderVersion": 3,
@@ -136,13 +137,14 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
     it implements — committing plain actions to e.g. an invariants table
     would corrupt it.
 
-    Accepted: legacy versions when none of the capabilities this writer
-    cannot enforce are actually IN USE — field invariants (v2), CHECK
-    constraints (v3, ``delta.constraints.*``), generated/identity
-    columns (v4/v6) all refuse typed when present; change data feed (v4)
-    and column mapping (v5) are implemented, so v4 and v5 tables using
-    only those pass; writer 7 iff every listed writerFeature is
-    implemented."""
+    Accepted: ANY legacy version whose unenforceable capabilities are
+    not actually IN USE — field invariants (v2, nested fields included),
+    CHECK constraints (v3, ``delta.constraints.*``), generated/identity
+    columns (v4/v6) refuse typed when present; change data feed (v4) and
+    column mapping (v5) are implemented, and append-only (v2) is
+    ENFORCED at the operation level (_require_not_append_only), so clean
+    legacy 3-6 tables stay writable; writer 7 iff every listed
+    writerFeature is implemented."""
     writer_v = int(proto.get("minWriterVersion", 2))
 
     def _unenforceable() -> list[str]:
@@ -153,16 +155,32 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
         if not meta:
             return []
         config = meta.get("configuration") or {}
-        fields = json.loads(meta.get("schemaString", '{"fields": []}'))[
-            "fields"
-        ]
-        out = [
-            k
-            for f in fields
-            for k in (f.get("metadata") or {})
-            if k == "delta.invariants"
-            or k.startswith(("delta.generationExpression", "delta.identity."))
-        ]
+        out: list[str] = []
+
+        def walk(fields):
+            # the spec allows invariants/generation metadata on NESTED
+            # struct members — a top-level-only scan would accept and
+            # then silently violate them
+            for f in fields:
+                out.extend(
+                    k
+                    for k in (f.get("metadata") or {})
+                    if k == "delta.invariants"
+                    or k.startswith(
+                        ("delta.generationExpression", "delta.identity.")
+                    )
+                )
+                t = f.get("type")
+                while isinstance(t, dict):
+                    if t.get("type") == "struct":
+                        walk(t.get("fields") or [])
+                        break
+                    # array/map wrappers: descend into element/value types
+                    t = t.get("elementType") or t.get("valueType")
+
+        walk(
+            json.loads(meta.get("schemaString", '{"fields": []}'))["fields"]
+        )
         out += [k for k in config if k.startswith("delta.constraints.")]
         return out
 
@@ -698,10 +716,16 @@ def write_delta(
     # feature form; legacy 4 would drag generated-column semantics along)
     create_protocol = PROTOCOL
     if configuration.get("delta.enableChangeDataFeed", "").lower() == "true":
+        feats = ["changeDataFeed"]
+        # a v7 protocol activates legacy properties ONLY through listed
+        # features (PROTOCOL.md): appendOnly set alongside CDF must be
+        # enumerated or external v7 writers treat it as inactive
+        if configuration.get("delta.appendOnly", "").lower() == "true":
+            feats.append("appendOnly")
         create_protocol = {
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            "writerFeatures": ["changeDataFeed"],
+            "writerFeatures": sorted(feats),
         }
 
     def _attempt(state):
@@ -767,6 +791,13 @@ def write_delta(
                 "delta.columnMapping.mode", "none"
             ) or "none"
             conf_f = dict((meta_f or {}).get("configuration") or {})
+            if mode == "overwrite":
+                # the entry gate only saw OUR (pre-create) meta; the
+                # winner's table may be append-only — removing its live
+                # files would silently violate the contract
+                _require_not_append_only(
+                    meta_f, "write_delta(mode='overwrite')"
+                )
             if (
                 theirs != expected_schema
                 or list((meta_f or {}).get("partitionColumns") or [])
@@ -1952,31 +1983,48 @@ def set_delta_properties(
         new_meta = dict(meta_x)
         new_meta["configuration"] = conf
         out: list[dict] = []
+        proto = _current_protocol(log_dir)
+        wv = int(proto.get("minWriterVersion", 2))
         if conf.get("delta.enableChangeDataFeed", "").lower() == "true":
-            proto = _current_protocol(log_dir)
-            wv = int(proto.get("minWriterVersion", 2))
             has = wv in (4, 5, 6) or (
                 wv >= 7
                 and "changeDataFeed" in (proto.get("writerFeatures") or [])
             )
             if not has:
                 if wv >= 7:
-                    out.append({"protocol": {
+                    proto = {
                         **proto,
                         "writerFeatures": sorted(
                             set(proto.get("writerFeatures") or [])
                             | {"changeDataFeed"}
                         ),
-                    }})
+                    }
                 else:
                     # legacy 4 = CDF (+ generated columns, unused here) —
                     # the narrowest spec version that carries the feature
-                    out.append({"protocol": {
+                    proto = {
                         "minReaderVersion": int(
                             proto.get("minReaderVersion", 1)
                         ),
                         "minWriterVersion": 4,
-                    }})
+                    }
+                out = [{"protocol": proto}]
+                wv = int(proto.get("minWriterVersion", 2))
+        if (
+            conf.get("delta.appendOnly", "").lower() == "true"
+            and wv >= 7
+            and "appendOnly" not in (proto.get("writerFeatures") or [])
+        ):
+            # legacy versions activate appendOnly from the property alone;
+            # a v7 table needs the FEATURE listed or external writers
+            # treat the property as inactive
+            proto = {
+                **proto,
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or []) | {"appendOnly"}
+                ),
+            }
+            out = [{"protocol": proto}]
         out.append({"metaData": new_meta})
         return out
 

@@ -443,3 +443,115 @@ def test_dv_bulk_refusal_stages_no_change_files(spark, tmp_path):
     assert not glob.glob(os.path.join(root, "_change_data", "**", "*"),
                          recursive=True)
     assert not glob.glob(os.path.join(root, "deletion_vector_*.bin"))
+
+
+def test_append_only_feature_form_and_v7_protocols(spark, tmp_path):
+    """Third-review regressions: (a) a modern v7 appendOnly-feature table
+    is accepted for appends and operation-enforced for removes; (b) a
+    create with CDF+appendOnly lists BOTH features on its v7 protocol;
+    (c) enabling appendOnly on an existing v7 table adds the feature."""
+    # (a) handcrafted v7 feature-form appendOnly table
+    root = str(tmp_path / "t7")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+    ]}
+    actions = [
+        {"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly"],
+        }},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.appendOnly": "true"},
+        }},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    ids = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    assert write_delta(ids, root, mode="append") == 1
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        delete_delta(spark, root, "id = 1")
+
+    # (b) CDF + appendOnly at create → both features enumerated
+    root2 = str(tmp_path / "t2")
+    write_delta(
+        _df(spark, [(1, "a")]).coalesce(1), root2,
+        configuration={**CDF_CONF, "delta.appendOnly": "true"},
+    )
+    proto = next(a["protocol"] for a in _actions(root2, 0) if "protocol" in a)
+    assert set(proto["writerFeatures"]) >= {"changeDataFeed", "appendOnly"}
+
+    # (c) appendOnly set later on a v7 CDF table → feature added atomically
+    root3 = str(tmp_path / "t3")
+    write_delta(_df(spark, [(1, "a")]).coalesce(1), root3,
+                configuration=CDF_CONF)
+    v = set_delta_properties(root3, {"delta.appendOnly": "true"})
+    proto = next(a["protocol"] for a in _actions(root3, v) if "protocol" in a)
+    assert "appendOnly" in proto["writerFeatures"]
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        delete_delta(spark, root3, "id = 1")
+
+
+def test_append_only_create_race_overwrite_refused(spark, tmp_path):
+    """Third-review regression: an overwrite that loses a CREATE race to
+    an append-only winner must refuse typed in the retry — the entry gate
+    never saw the winner's configuration."""
+    from buzz_rust_spark.sources.write_store import LocalCommitStore
+
+    root = str(tmp_path / "t")
+    store = LocalCommitStore()
+    fired = {}
+
+    def seam(path):
+        if not fired:
+            fired["x"] = 1
+            write_delta(
+                _df(spark, [(1, "a")]).coalesce(1), root,
+                configuration={"delta.appendOnly": "true"},
+            )
+
+    store.before_claim = seam
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        write_delta(
+            _df(spark, [(9, "z")]).coalesce(1), root, mode="overwrite",
+            store=store,
+        )
+    got = sorted(
+        (r.id, r.v) for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "a")]  # the winner's append-only data survived
+
+
+def test_nested_invariant_refused(spark, tmp_path):
+    """Third-review regression: an invariant on a NESTED struct member is
+    still an unenforceable hazard — the recursive scan must find it."""
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "s", "nullable": True, "metadata": {}, "type": {
+            "type": "struct", "fields": [
+                {"name": "x", "type": "long", "nullable": True,
+                 "metadata": {"delta.invariants":
+                              '{"expression":{"expression":"x > 0"}}'}},
+            ],
+        }},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {},
+        }},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    with pytest.raises(BuzzNotImplementedError, match="invariants"):
+        write_delta(
+            spark.createDataFrame([((1,),)], "s struct<x: long>").coalesce(1),
+            root, mode="append",
+        )

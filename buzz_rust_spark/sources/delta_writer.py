@@ -170,13 +170,22 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
                         ("delta.generationExpression", "delta.identity.")
                     )
                 )
-                t = f.get("type")
-                while isinstance(t, dict):
+                stack = [f.get("type")]
+                while stack:
+                    t = stack.pop()
+                    if not isinstance(t, dict):
+                        continue
                     if t.get("type") == "struct":
                         walk(t.get("fields") or [])
-                        break
-                    # array/map wrappers: descend into element/value types
-                    t = t.get("elementType") or t.get("valueType")
+                        continue
+                    # array/map wrappers: descend into element AND both
+                    # map sides (a struct nested in a map KEY can carry
+                    # hazard metadata too)
+                    stack.extend(
+                        t.get(k)
+                        for k in ("elementType", "keyType", "valueType")
+                        if t.get(k) is not None
+                    )
 
         walk(
             json.loads(meta.get("schemaString", '{"fields": []}'))["fields"]
@@ -354,19 +363,59 @@ def _txn_state(log_dir: str) -> dict[str, int]:
     return seen
 
 
-def _require_not_append_only(meta: dict | None, op: str) -> None:
+def _legacy_active_writer_features(meta: dict | None, proto: dict) -> set:
+    """Writer capabilities the CURRENT protocol keeps ACTIVE — what any v7
+    protocol minted from it must enumerate (PROTOCOL.md: a v7 protocol
+    activates legacy properties only through listed features).  For a v7
+    protocol that is exactly its listed features (a property WITHOUT its
+    feature is inactive and must stay so); for legacy versions a property
+    is active when the version carries the capability."""
+    wv = int(proto.get("minWriterVersion", 2))
+    if wv >= 7:
+        return set(proto.get("writerFeatures") or [])
+    conf = (meta or {}).get("configuration") or {}
+    out: set = set()
+    if conf.get("delta.appendOnly", "").lower() == "true":
+        out.add("appendOnly")
+    if (
+        wv >= 4
+        and conf.get("delta.enableChangeDataFeed", "").lower() == "true"
+    ):
+        out.add("changeDataFeed")
+    if wv >= 5 and (
+        conf.get("delta.columnMapping.mode") or "none"
+    ) in ("name", "id"):
+        out.add("columnMapping")
+    return out
+
+
+def _append_only_active(meta: dict | None, log_dir: str) -> bool:
+    """Whether the append-only contract is IN FORCE: the property must be
+    set AND — on a v7 protocol — the appendOnly feature listed (a foreign
+    v7 table carrying the property without the feature is inactive per
+    the spec; enforcing it anyway would diverge from conformant
+    writers)."""
+    if (
+        ((meta or {}).get("configuration") or {})
+        .get("delta.appendOnly", "")
+        .lower()
+        != "true"
+    ):
+        return False
+    proto = _current_protocol(log_dir)
+    if int(proto.get("minWriterVersion", 2)) >= 7:
+        return "appendOnly" in (proto.get("writerFeatures") or [])
+    return True
+
+
+def _require_not_append_only(meta: dict | None, log_dir: str, op: str) -> None:
     """ENFORCE the writer-2 append-only capability (``delta.appendOnly``):
     operations that would emit data-changing ``remove`` actions refuse
     typed.  Appends, insert-only merges, metadata commits, and OPTIMIZE
     (``dataChange=false`` removes) stay legal — that is the capability's
     own contract, which is why the protocol gate can ACCEPT append-only
     tables instead of refusing them wholesale."""
-    if (
-        ((meta or {}).get("configuration") or {})
-        .get("delta.appendOnly", "")
-        .lower()
-        == "true"
-    ):
+    if _append_only_active(meta, log_dir):
         raise BuzzBadRequestError(
             f"{op} would remove data from an APPEND-ONLY table "
             "(delta.appendOnly=true) — the table contract forbids it"
@@ -648,7 +697,9 @@ def write_delta(
 
     if meta:
         if mode == "overwrite":
-            _require_not_append_only(meta, "write_delta(mode='overwrite')")
+            _require_not_append_only(
+                meta, log_dir, "write_delta(mode='overwrite')"
+            )
         existing_parts = list(meta.get("partitionColumns", []))
         if existing_parts != partition_by:
             raise BuzzBadRequestError(
@@ -796,7 +847,7 @@ def write_delta(
                 # winner's table may be append-only — removing its live
                 # files would silently violate the contract
                 _require_not_append_only(
-                    meta_f, "write_delta(mode='overwrite')"
+                    meta_f, log_dir, "write_delta(mode='overwrite')"
                 )
             if (
                 theirs != expected_schema
@@ -1286,7 +1337,9 @@ def merge_delta(
     _require_unmapped(meta, table_uri, "merge_delta")
     if when_matched is not None:
         # an insert-only merge emits adds only — legal on append-only
-        _require_not_append_only(meta, f"merge_delta(when_matched={when_matched!r})")
+        _require_not_append_only(
+            meta, log_dir, f"merge_delta(when_matched={when_matched!r})"
+        )
     schema = _declared_schema(meta)
     names = [f.name for f in schema.fields]
     for k in on:
@@ -1535,7 +1588,7 @@ def delete_delta(
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
     _require_unmapped(meta, table_uri, "delete_delta")
-    _require_not_append_only(meta, "delete_delta")
+    _require_not_append_only(meta, log_dir, "delete_delta")
     if not live:
         return None
     partition_by = list(meta.get("partitionColumns", []))
@@ -1683,19 +1736,14 @@ def delete_delta(
             # listing it) must keep changeDataFeed in writerFeatures or
             # conformant external writers stop emitting cdc actions while
             # delta.enableChangeDataFeed stays set
-            rfeats = {"deletionVectors"} | set(proto.get("readerFeatures") or [])
-            wfeats = {"deletionVectors"} | set(proto.get("writerFeatures") or [])
-            cm_mode = (
-                (meta.get("configuration") or {}).get(
-                    "delta.columnMapping.mode", "none"
-                )
-                or "none"
+            wfeats = {"deletionVectors"} | _legacy_active_writer_features(
+                meta, proto
             )
-            if cm_mode in ("name", "id"):
+            rfeats = {"deletionVectors"} | set(
+                proto.get("readerFeatures") or []
+            )
+            if "columnMapping" in wfeats:
                 rfeats.add("columnMapping")
-                wfeats.add("columnMapping")
-            if _cdf_enabled(meta):
-                wfeats.add("changeDataFeed")
             actions.append({"protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
@@ -1832,7 +1880,7 @@ def restore_delta(
     if not to_remove and not to_add and not restore_meta:
         return None  # already at the target content
     if to_remove:
-        _require_not_append_only(meta, "restore_delta")
+        _require_not_append_only(meta, log_dir, "restore_delta")
     from .deletion_vectors import dv_relative_path
 
     def _needed_paths(a: dict):
@@ -2011,7 +2059,7 @@ def set_delta_properties(
                 out = [{"protocol": proto}]
                 wv = int(proto.get("minWriterVersion", 2))
         if (
-            conf.get("delta.appendOnly", "").lower() == "true"
+            set_conf.get("delta.appendOnly", "").lower() == "true"
             and wv >= 7
             and "appendOnly" not in (proto.get("writerFeatures") or [])
         ):
@@ -2242,8 +2290,12 @@ def evolve_delta(
         proto.get("readerFeatures") or []
     )
     if widening:
+        # the NEW configuration (this commit may flip mapping on) decides
+        # which legacy capabilities the minted v7 protocol must enumerate
+        wfeats = {"typeWidening"} | _legacy_active_writer_features(
+            {"configuration": config}, proto
+        )
         rfeats = {"typeWidening"} | set(proto.get("readerFeatures") or [])
-        wfeats = {"typeWidening"} | set(proto.get("writerFeatures") or [])
         if mode in ("name", "id") or int(proto.get("minWriterVersion", 2)) == 5:
             rfeats.add("columnMapping")
             wfeats.add("columnMapping")

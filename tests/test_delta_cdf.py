@@ -555,3 +555,104 @@ def test_nested_invariant_refused(spark, tmp_path):
             spark.createDataFrame([((1,),)], "s struct<x: long>").coalesce(1),
             root, mode="append",
         )
+
+
+def test_v7_mints_enumerate_active_capabilities_everywhere(spark, tmp_path):
+    """Fourth-review regressions: every v7 protocol mint enumerates the
+    capabilities the table keeps active — evolve_delta's typeWidening
+    upgrade on a legacy appendOnly+CDF table must list both, and a
+    FOREIGN v7 table whose delta.appendOnly property lacks the feature is
+    INACTIVE: unrelated property changes must not activate it, and
+    deletes must be allowed (spec conformance)."""
+    from buzz_rust_spark.sources.delta_writer import evolve_delta
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 2)], "id long, n integer").coalesce(1),
+        root,
+        configuration={"delta.appendOnly": "true"},
+    )  # legacy v2, property ACTIVE
+    set_delta_properties(root, CDF_CONF)  # legacy v4 upgrade
+    v = evolve_delta(root, promote_columns={"n": "long"})  # v7 typeWidening
+    proto = next(a["protocol"] for a in _actions(root, v) if "protocol" in a)
+    assert proto["minWriterVersion"] == 7
+    assert set(proto["writerFeatures"]) >= {
+        "typeWidening", "appendOnly", "changeDataFeed",
+    }
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        delete_delta(spark, root, "id = 1")
+
+    # foreign v7: property present, feature NOT listed → inactive
+    root2 = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(root2, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+    ]}
+    actions = [
+        {"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["changeDataFeed"],
+        }},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.appendOnly": "true",
+                              "delta.enableChangeDataFeed": "true"},
+        }},
+    ]
+    with open(os.path.join(root2, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    ids = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    write_delta(ids, root2, mode="append")
+    # an unrelated property change must NOT activate the inactive flag
+    v2 = set_delta_properties(root2, {"delta.checkpointInterval": "20"})
+    protos = [a for a in _actions(root2, v2) if "protocol" in a]
+    assert protos == []  # metadata-only commit, no protocol action
+    # and the delete is LEGAL (inactive per the v7 feature rule)
+    assert delete_delta(spark, root2, "id = 1") is not None
+    # explicitly ACTIVATING it adds the feature and enforcement starts
+    v3 = set_delta_properties(root2, {"delta.appendOnly": "true"})
+    proto = next(a["protocol"] for a in _actions(root2, v3) if "protocol" in a)
+    assert "appendOnly" in proto["writerFeatures"]
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        delete_delta(spark, root2, "id IS NOT NULL")
+
+
+def test_map_key_nested_invariant_refused(spark, tmp_path):
+    """Fourth-review regression: hazard metadata on a struct nested inside
+    a map KEY is still unenforceable — the walk must descend key types."""
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "m", "nullable": True, "metadata": {}, "type": {
+            "type": "map",
+            "keyType": {
+                "type": "struct", "fields": [
+                    {"name": "x", "type": "long", "nullable": False,
+                     "metadata": {"delta.invariants":
+                                  '{"expression":{"expression":"x > 0"}}'}},
+                ],
+            },
+            "valueType": "long",
+            "valueContainsNull": True,
+        }},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {},
+        }},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    with pytest.raises(BuzzNotImplementedError, match="invariants"):
+        write_delta(
+            spark.createDataFrame(
+                [({(1,): 2},)], "m map<struct<x: long>, long>"
+            ).coalesce(1),
+            root, mode="append",
+        )

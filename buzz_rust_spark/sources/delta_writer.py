@@ -373,17 +373,16 @@ def _legacy_active_writer_features(meta: dict | None, proto: dict) -> set:
     wv = int(proto.get("minWriterVersion", 2))
     if wv >= 7:
         return set(proto.get("writerFeatures") or [])
-    conf = (meta or {}).get("configuration") or {}
     out: set = set()
-    if conf.get("delta.appendOnly", "").lower() == "true":
+    if _conf_flag(meta, "delta.appendOnly"):
         out.add("appendOnly")
-    if (
-        wv >= 4
-        and conf.get("delta.enableChangeDataFeed", "").lower() == "true"
-    ):
+    if wv >= 4 and _cdf_enabled(meta):
         out.add("changeDataFeed")
     if wv >= 5 and (
-        conf.get("delta.columnMapping.mode") or "none"
+        ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        )
+        or "none"
     ) in ("name", "id"):
         out.add("columnMapping")
     return out
@@ -395,12 +394,7 @@ def _append_only_active(meta: dict | None, log_dir: str) -> bool:
     v7 table carrying the property without the feature is inactive per
     the spec; enforcing it anyway would diverge from conformant
     writers)."""
-    if (
-        ((meta or {}).get("configuration") or {})
-        .get("delta.appendOnly", "")
-        .lower()
-        != "true"
-    ):
+    if not _conf_flag(meta, "delta.appendOnly"):
         return False
     proto = _current_protocol(log_dir)
     if int(proto.get("minWriterVersion", 2)) >= 7:
@@ -486,6 +480,7 @@ def _claim_rewrite_commit(
     store,
     op: str,
     require_exact_live: bool = False,
+    forbid_append_only: bool = False,
 ) -> int:
     """Claim a REWRITE commit (a fixed action list referencing staged
     files) through the bounded retry loop: on a lost race, re-read the
@@ -506,6 +501,15 @@ def _claim_rewrite_commit(
         last_f, live_f, meta_f = _log_state(log_dir)
         _require_same_delta_basis(meta, meta_f)
         _require_files_unchanged(touched, live_f, op)
+        if forbid_append_only and _append_only_active(meta_f, log_dir):
+            # activation can be a PROTOCOL-only commit (the feature added
+            # while the property was already set), which the metaData
+            # basis comparison cannot see — a lost-race remove must not
+            # land on a newly-activated append-only table
+            raise BuzzCommitAbortedError(
+                f"{op}: the table became APPEND-ONLY concurrently — "
+                "removes are forbidden by the table contract"
+            )
         if require_exact_live and set(live_f) != set(touched):
             # restore: even files the op does not touch invalidate it —
             # a concurrent append surviving would leave the table ≠ the
@@ -560,16 +564,35 @@ def _stage_and_promote(
     return adds
 
 
-def _cdf_enabled(meta: dict | None) -> bool:
-    """Whether the table records change data on mutations
-    (``delta.enableChangeDataFeed`` table configuration, PROTOCOL.md
-    "Change Data Files")."""
+def _conf_flag(meta: dict | None, key: str) -> bool:
+    """A boolean table-configuration property (shared reader — activation
+    semantics layer on top of it per capability)."""
     return (
-        ((meta or {}).get("configuration") or {})
-        .get("delta.enableChangeDataFeed", "")
-        .lower()
+        ((meta or {}).get("configuration") or {}).get(key, "").lower()
         == "true"
     )
+
+
+def _cdf_enabled(meta: dict | None) -> bool:
+    """Whether the ``delta.enableChangeDataFeed`` PROPERTY is set — see
+    :func:`_cdf_active` for whether the capability is actually in force
+    under the table's protocol."""
+    return _conf_flag(meta, "delta.enableChangeDataFeed")
+
+
+def _cdf_active(meta: dict | None, log_dir: str) -> bool:
+    """Whether change-data recording is IN FORCE: the property set AND the
+    protocol carrying the capability (v7 → the feature listed; legacy →
+    writer version ≥ 4).  Emitting cdc actions on a table whose protocol
+    declares CDF inactive would leave a half-recorded change history that
+    conformant writers don't continue."""
+    if not _cdf_enabled(meta):
+        return False
+    proto = _current_protocol(log_dir)
+    wv = int(proto.get("minWriterVersion", 2))
+    if wv >= 7:
+        return "changeDataFeed" in (proto.get("writerFeatures") or [])
+    return wv >= 4
 
 
 def _stage_change_files(
@@ -865,6 +888,12 @@ def write_delta(
                 )
         else:
             _require_same_delta_basis(meta, meta_f)
+            if mode == "overwrite" and _append_only_active(meta_f, log_dir):
+                raise BuzzCommitAbortedError(
+                    "write_delta(mode='overwrite'): the table became "
+                    "APPEND-ONLY concurrently — removes are forbidden by "
+                    "the table contract"
+                )
         return (last_f + 1, live_f, meta_f)
 
     return commit_with_retry(
@@ -1454,7 +1483,7 @@ def merge_delta(
         # images — recording them spares every downstream CDF reader the
         # net per-file diff (and its read of the full rewritten files)
         cdc_actions: list[dict] = []
-        if _cdf_enabled(meta):
+        if _cdf_active(meta, log_dir):
             frames = []
             if touched:
                 matched_tgt = touched_df.join(
@@ -1503,7 +1532,7 @@ def merge_delta(
             log_dir, version, actions,
             {rel: live[rel] for rel in touched},
             meta, checkpoint_interval, max_commit_retries, store,
-            "merge_delta",
+            "merge_delta", forbid_append_only=bool(touched),
         )
     finally:
         source.unpersist()
@@ -1633,7 +1662,7 @@ def delete_delta(
         """Recorded change data for this DELETE (deleted rows,
         ``_change_type='delete'``) when the table enables CDF — staged
         once, reused across claim retries like the data files."""
-        if not _cdf_enabled(meta):
+        if not _cdf_active(meta, log_dir):
             return []
         names = [f.name for f in _declared_schema(meta).fields]
         changes = (
@@ -1785,7 +1814,7 @@ def delete_delta(
             log_dir, version, actions,
             {rel: live[rel] for rel in desc_by_rel},
             meta, checkpoint_interval, max_commit_retries, store,
-            "delete_delta(dv)",
+            "delete_delta(dv)", forbid_append_only=True,
         )
 
     if not matched:
@@ -1818,7 +1847,7 @@ def delete_delta(
         log_dir, version, actions,
         {rel: live[rel] for rel in touched},
         meta, checkpoint_interval, max_commit_retries, store,
-        "delete_delta",
+        "delete_delta", forbid_append_only=True,
     )
 
 
@@ -1933,6 +1962,7 @@ def restore_delta(
         dict(live),
         meta, checkpoint_interval, max_commit_retries, store,
         "restore_delta", require_exact_live=True,
+        forbid_append_only=bool(to_remove),
     )
 
 
@@ -2033,7 +2063,7 @@ def set_delta_properties(
         out: list[dict] = []
         proto = _current_protocol(log_dir)
         wv = int(proto.get("minWriterVersion", 2))
-        if conf.get("delta.enableChangeDataFeed", "").lower() == "true":
+        if set_conf.get("delta.enableChangeDataFeed", "").lower() == "true":
             has = wv in (4, 5, 6) or (
                 wv >= 7
                 and "changeDataFeed" in (proto.get("writerFeatures") or [])
@@ -2305,7 +2335,12 @@ def evolve_delta(
             "readerFeatures": sorted(rfeats),
             "writerFeatures": sorted(wfeats),
         }})
-    elif upgrading_mapping and int(proto.get("minWriterVersion", 2)) <= 2:
+    elif upgrading_mapping and int(proto.get("minWriterVersion", 2)) <= 4:
+        # legacy versions are CUMULATIVE: rv2/wv5 carries column mapping
+        # plus everything a wv<=4 table had active (CDF, constraints) —
+        # leaving a wv3/4 table un-upgraded would let reader-1 engines
+        # resolve renamed logical names directly against old physical
+        # columns (silent nulls)
         actions.append(
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
         )

@@ -656,3 +656,102 @@ def test_map_key_nested_invariant_refused(spark, tmp_path):
             ).coalesce(1),
             root, mode="append",
         )
+
+
+def _foreign_table(tmp_path, name, protocol, configuration):
+    root = str(tmp_path / name)
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+    ]}
+    actions = [
+        {"protocol": protocol},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": configuration,
+        }},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    return root
+
+
+def test_rename_after_cdf_upgrade_mints_mapping_protocol(spark, tmp_path):
+    """Fifth-review regression: a rename on a legacy writer-4 table (the
+    set_delta_properties CDF upgrade) must mint the cumulative rv2/wv5
+    protocol — leaving wv4 would let reader-1 engines resolve renamed
+    logical names against old physical columns (silent nulls)."""
+    from buzz_rust_spark.sources.delta_writer import evolve_delta
+
+    root = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]).coalesce(1), root)  # v0 legacy wv2
+    set_delta_properties(root, CDF_CONF)  # v1: legacy wv4
+    v = evolve_delta(root, rename_columns={"v": "w"})  # mapping upgrade
+    proto = next(a["protocol"] for a in _actions(root, v) if "protocol" in a)
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (2, 5)
+    got = sorted(
+        (r.id, r.w) for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "a")]
+
+
+def test_inactive_cdf_property_not_activated_or_recorded(spark, tmp_path):
+    """Fifth-review regressions: a foreign table whose CDF property lacks
+    protocol backing (v7 without the feature, or legacy wv2) is INACTIVE —
+    an unrelated set_delta_properties call must not mint an activating
+    protocol, and mutations must not emit cdc actions / change files."""
+    for name, protocol in (
+        ("v7", {"minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["deletionVectors"]}),
+        ("v2", {"minReaderVersion": 1, "minWriterVersion": 2}),
+    ):
+        root = _foreign_table(
+            tmp_path, name, protocol,
+            {"delta.enableChangeDataFeed": "true"},
+        )
+        ids = spark.createDataFrame([(1,), (2,)], "id long").coalesce(1)
+        write_delta(ids, root, mode="append")  # v1
+        v = set_delta_properties(root, {"delta.checkpointInterval": "20"})
+        assert not [a for a in _actions(root, v) if "protocol" in a]
+        dv = delete_delta(spark, root, "id = 1")  # v3
+        assert dv is not None
+        assert not [a for a in _actions(root, dv) if "cdc" in a]
+        assert not glob.glob(
+            os.path.join(root, "_change_data", "**", "*"), recursive=True
+        )
+
+
+def test_delete_retry_aborts_on_concurrent_append_only_activation(
+    spark, tmp_path
+):
+    """Fifth-review regression: appendOnly activation can be a
+    PROTOCOL-only commit (feature added, property already set) that the
+    metaData basis check cannot see — a lost-race delete must abort typed
+    instead of committing removes on the newly-activated table."""
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.write_store import LocalCommitStore
+
+    root = _foreign_table(
+        tmp_path, "t",
+        {"minReaderVersion": 1, "minWriterVersion": 7,
+         "writerFeatures": ["deletionVectors"]},
+        {"delta.appendOnly": "true"},  # property set, feature absent
+    )
+    write_delta(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1),
+        root, mode="append",
+    )
+    store = LocalCommitStore()
+    fired = {}
+
+    def seam(path):
+        if not fired:
+            fired["x"] = 1
+            # activates append-only: protocol-only change
+            set_delta_properties(root, {"delta.appendOnly": "true"})
+
+    store.before_claim = seam
+    with pytest.raises(BuzzCommitAbortedError, match="APPEND-ONLY"):
+        delete_delta(spark, root, "id = 1", store=store)
+    assert DeltaCatalog("t", root).to_dataframe(spark).count() == 2

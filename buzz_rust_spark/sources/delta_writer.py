@@ -373,16 +373,14 @@ def _legacy_active_writer_features(meta: dict | None, proto: dict) -> set:
     wv = int(proto.get("minWriterVersion", 2))
     if wv >= 7:
         return set(proto.get("writerFeatures") or [])
+    conf = (meta or {}).get("configuration") or {}
     out: set = set()
     if _conf_flag(meta, "delta.appendOnly"):
         out.add("appendOnly")
     if wv >= 4 and _cdf_enabled(meta):
         out.add("changeDataFeed")
     if wv >= 5 and (
-        ((meta or {}).get("configuration") or {}).get(
-            "delta.columnMapping.mode"
-        )
-        or "none"
+        conf.get("delta.columnMapping.mode") or "none"
     ) in ("name", "id"):
         out.add("columnMapping")
     return out
@@ -480,7 +478,7 @@ def _claim_rewrite_commit(
     store,
     op: str,
     require_exact_live: bool = False,
-    forbid_append_only: bool = False,
+    basis_protocol: dict | None = None,
 ) -> int:
     """Claim a REWRITE commit (a fixed action list referencing staged
     files) through the bounded retry loop: on a lost race, re-read the
@@ -501,14 +499,18 @@ def _claim_rewrite_commit(
         last_f, live_f, meta_f = _log_state(log_dir)
         _require_same_delta_basis(meta, meta_f)
         _require_files_unchanged(touched, live_f, op)
-        if forbid_append_only and _append_only_active(meta_f, log_dir):
-            # activation can be a PROTOCOL-only commit (the feature added
-            # while the property was already set), which the metaData
-            # basis comparison cannot see — a lost-race remove must not
-            # land on a newly-activated append-only table
+        if (
+            basis_protocol is not None
+            and _current_protocol(log_dir) != basis_protocol
+        ):
+            # a PROTOCOL-only commit is invisible to the metaData basis
+            # comparison, but it can (a) activate append-only against
+            # this op's staged removes, or (b) be ROLLED BACK by a staged
+            # protocol action computed from the old protocol (the DV
+            # upgrade) — both must abort, not silently re-claim
             raise BuzzCommitAbortedError(
-                f"{op}: the table became APPEND-ONLY concurrently — "
-                "removes are forbidden by the table contract"
+                f"{op}: the table's protocol changed concurrently — "
+                "re-run the operation against the current table"
             )
         if require_exact_live and set(live_f) != set(touched):
             # restore: even files the op does not touch invalidate it —
@@ -695,6 +697,7 @@ def write_delta(
     log_dir = os.path.join(table_dir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     last_version, live, meta = _log_state(log_dir)
+    basis_proto_w = dict(_current_protocol(log_dir)) if meta else None
     version = last_version + 1
     if meta and configuration:
         # configuration is creation-time here; a no-op restatement of the
@@ -865,12 +868,17 @@ def write_delta(
                 "delta.columnMapping.mode", "none"
             ) or "none"
             conf_f = dict((meta_f or {}).get("configuration") or {})
-            if mode == "overwrite":
+            if mode == "overwrite" and _append_only_active(
+                meta_f, log_dir
+            ):
                 # the entry gate only saw OUR (pre-create) meta; the
                 # winner's table may be append-only — removing its live
-                # files would silently violate the contract
-                _require_not_append_only(
-                    meta_f, log_dir, "write_delta(mode='overwrite')"
+                # files would silently violate the contract.  Same abort
+                # type as every other refresh-time concurrency refusal.
+                raise BuzzCommitAbortedError(
+                    "write_delta(mode='overwrite'): the table was created "
+                    "concurrently as APPEND-ONLY — removes are forbidden "
+                    "by the table contract"
                 )
             if (
                 theirs != expected_schema
@@ -888,11 +896,17 @@ def write_delta(
                 )
         else:
             _require_same_delta_basis(meta, meta_f)
-            if mode == "overwrite" and _append_only_active(meta_f, log_dir):
+            if (
+                mode == "overwrite"
+                and _current_protocol(log_dir) != basis_proto_w
+            ):
+                # protocol-only commits (e.g. appendOnly activation) are
+                # invisible to the metaData comparison — an overwrite's
+                # removes must not land past one
                 raise BuzzCommitAbortedError(
-                    "write_delta(mode='overwrite'): the table became "
-                    "APPEND-ONLY concurrently — removes are forbidden by "
-                    "the table contract"
+                    "write_delta(mode='overwrite'): the table's protocol "
+                    "changed concurrently — re-run against the current "
+                    "table"
                 )
         return (last_f + 1, live_f, meta_f)
 
@@ -1364,6 +1378,7 @@ def merge_delta(
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
     _require_unmapped(meta, table_uri, "merge_delta")
+    basis_proto = dict(_current_protocol(log_dir))
     if when_matched is not None:
         # an insert-only merge emits adds only — legal on append-only
         _require_not_append_only(
@@ -1532,7 +1547,7 @@ def merge_delta(
             log_dir, version, actions,
             {rel: live[rel] for rel in touched},
             meta, checkpoint_interval, max_commit_retries, store,
-            "merge_delta", forbid_append_only=bool(touched),
+            "merge_delta", basis_protocol=basis_proto if touched else None,
         )
     finally:
         source.unpersist()
@@ -1617,6 +1632,7 @@ def delete_delta(
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
     _require_unmapped(meta, table_uri, "delete_delta")
+    basis_proto = dict(_current_protocol(log_dir))
     _require_not_append_only(meta, log_dir, "delete_delta")
     if not live:
         return None
@@ -1814,7 +1830,7 @@ def delete_delta(
             log_dir, version, actions,
             {rel: live[rel] for rel in desc_by_rel},
             meta, checkpoint_interval, max_commit_retries, store,
-            "delete_delta(dv)", forbid_append_only=True,
+            "delete_delta(dv)", basis_protocol=basis_proto,
         )
 
     if not matched:
@@ -1847,7 +1863,7 @@ def delete_delta(
         log_dir, version, actions,
         {rel: live[rel] for rel in touched},
         meta, checkpoint_interval, max_commit_retries, store,
-        "delete_delta", forbid_append_only=True,
+        "delete_delta", basis_protocol=basis_proto,
     )
 
 
@@ -1882,6 +1898,7 @@ def restore_delta(
         raise BuzzBadRequestError(
             f"restore: no version {version} (latest: {last_version})"
         )
+    basis_proto = dict(_current_protocol(log_dir))
     _, target_live, target_meta = _log_state(log_dir, upto=version)
 
     def _key(entry: dict):
@@ -1962,7 +1979,7 @@ def restore_delta(
         dict(live),
         meta, checkpoint_interval, max_commit_retries, store,
         "restore_delta", require_exact_live=True,
-        forbid_append_only=bool(to_remove),
+        basis_protocol=basis_proto if to_remove else None,
     )
 
 
@@ -2335,14 +2352,22 @@ def evolve_delta(
             "readerFeatures": sorted(rfeats),
             "writerFeatures": sorted(wfeats),
         }})
-    elif upgrading_mapping and int(proto.get("minWriterVersion", 2)) <= 4:
-        # legacy versions are CUMULATIVE: rv2/wv5 carries column mapping
-        # plus everything a wv<=4 table had active (CDF, constraints) —
-        # leaving a wv3/4 table un-upgraded would let reader-1 engines
-        # resolve renamed logical names directly against old physical
-        # columns (silent nulls)
+    elif upgrading_mapping and int(proto.get("minWriterVersion", 2)) <= 6 and (
+        int(proto.get("minWriterVersion", 2)) <= 4
+        or int(proto.get("minReaderVersion", 1)) < 2
+    ):
+        # legacy versions are CUMULATIVE: rv2/wv>=5 carries column mapping
+        # plus everything the old version had active (CDF, constraints) —
+        # leaving a wv<=4 table un-upgraded, or a wv5/6 table at READER 1,
+        # would let reader-1 engines resolve renamed logical names
+        # directly against old physical columns (silent nulls)
         actions.append(
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            {"protocol": {
+                "minReaderVersion": 2,
+                "minWriterVersion": max(
+                    5, int(proto.get("minWriterVersion", 2))
+                ),
+            }}
         )
     elif upgrading_mapping and int(proto.get("minWriterVersion", 2)) == 7:
         rfeats = {"columnMapping"} | set(proto.get("readerFeatures") or [])

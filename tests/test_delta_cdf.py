@@ -513,7 +513,10 @@ def test_append_only_create_race_overwrite_refused(spark, tmp_path):
             )
 
     store.before_claim = seam
-    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+
+    # refresh-time concurrency refusals all carry the retry-abort type
+    with pytest.raises(BuzzCommitAbortedError, match="APPEND-ONLY"):
         write_delta(
             _df(spark, [(9, "z")]).coalesce(1), root, mode="overwrite",
             store=store,
@@ -752,6 +755,81 @@ def test_delete_retry_aborts_on_concurrent_append_only_activation(
             set_delta_properties(root, {"delta.appendOnly": "true"})
 
     store.before_claim = seam
-    with pytest.raises(BuzzCommitAbortedError, match="APPEND-ONLY"):
+    # surfaces as the general protocol-drift abort (which subsumes the
+    # appendOnly activation case)
+    with pytest.raises(BuzzCommitAbortedError, match="protocol changed"):
         delete_delta(spark, root, "id = 1", store=store)
     assert DeltaCatalog("t", root).to_dataframe(spark).count() == 2
+    # and once activated, a fresh delete refuses typed at entry
+    with pytest.raises(BuzzBadRequestError, match="APPEND-ONLY"):
+        delete_delta(spark, root, "id = 1")
+
+
+def test_dv_delete_retry_aborts_on_concurrent_protocol_change(
+    spark, tmp_path
+):
+    """Sixth-review regression (execution-confirmed): a dv-delete stages a
+    protocol upgrade computed from the pre-race protocol; losing its claim
+    to a concurrent PROTOCOL-only commit (e.g. a CDF activation) must
+    abort — a retry would re-commit the stale protocol and roll back the
+    winner's activation."""
+    from buzz_rust_spark.errors import BuzzCommitAbortedError
+    from buzz_rust_spark.sources.write_store import LocalCommitStore
+
+    root = _foreign_table(
+        tmp_path, "t",
+        {"minReaderVersion": 1, "minWriterVersion": 7, "writerFeatures": []},
+        {"delta.enableChangeDataFeed": "true"},  # property set, INACTIVE
+    )
+    write_delta(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1),
+        root, mode="append",
+    )
+    store = LocalCommitStore()
+    fired = {}
+
+    def seam(path):
+        if not fired:
+            fired["x"] = 1
+            set_delta_properties(
+                root, {"delta.enableChangeDataFeed": "true"}
+            )  # protocol-only activation
+
+    store.before_claim = seam
+    with pytest.raises(BuzzCommitAbortedError, match="protocol changed"):
+        delete_delta(spark, root, "id = 1", mode="dv", store=store)
+    # the winner's activation SURVIVED
+    import glob as g
+
+    last = sorted(g.glob(os.path.join(root, "_delta_log", "*.json")))[-1]
+    protos = [
+        json.loads(ln)["protocol"]
+        for ln in open(last)
+        if '"protocol"' in ln
+    ]
+    assert protos and "changeDataFeed" in protos[0]["writerFeatures"]
+    # re-run records change data now that CDF is active
+    v = delete_delta(spark, root, "id = 1", mode="dv")
+    assert any("cdc" in a for a in _actions(root, v))
+
+
+def test_rename_on_reader1_writer6_bumps_reader_version(spark, tmp_path):
+    """Sixth-review regression (execution-confirmed): a mapping upgrade on
+    a foreign rv1/wv6 table must bump minReaderVersion to 2 — reader-1
+    engines don't implement column mapping and would silently null-fill
+    renamed columns."""
+    from buzz_rust_spark.sources.delta_writer import evolve_delta
+
+    root = _foreign_table(
+        tmp_path, "t",
+        {"minReaderVersion": 1, "minWriterVersion": 6},
+        {},
+    )
+    ids = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    write_delta(ids, root, mode="append")
+    v = evolve_delta(root, rename_columns={"id": "ident"})
+    proto = next(a["protocol"] for a in _actions(root, v) if "protocol" in a)
+    assert proto["minReaderVersion"] == 2
+    assert proto["minWriterVersion"] == 6
+    got = [r.ident for r in DeltaCatalog("t", root).to_dataframe(spark).collect()]
+    assert got == [1]

@@ -3450,3 +3450,74 @@ def z44_delta_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_changes"))
         .orderBy("source", "change_type")
     )
+
+
+@register(
+    "z45_cherry_pick_publish",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 60
+),
+final AS (
+  SELECT doc_id, source FROM docs
+  UNION ALL
+  SELECT doc_id + 2000 AS doc_id, source FROM docs WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id, source FROM docs WHERE doc_id % 5 = 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM final GROUP BY source ORDER BY source
+""",
+)
+def z45_cherry_pick_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cherry-pick publish onto a MOVED main (the WAP case fast-forward
+    cannot handle): an append is staged on a branch, main then advances
+    with its own ingest append, and ``cherry_pick_iceberg`` replays the
+    staged rows as a new snapshot parented on the advanced head — the
+    published table must equal the DuckDB recompute of base ∪ ingest ∪
+    staged.  The function asserts the replay path was actually taken
+    (main moved, so lineage fast-forward is impossible) and that main
+    did NOT see the staged rows before the pick."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import cherry_pick_iceberg, write_iceberg
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .select("doc_id", "source")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z45_") + "/tbl"
+    write_iceberg(docs, root)
+    staged = write_iceberg(
+        docs.where("doc_id % 5 = 0").select(
+            (F.col("doc_id") + F.lit(1000)).alias("doc_id"), "source"
+        ),
+        root, mode="append", branch="wap",
+    )
+    # main advances independently while the branch is under audit
+    write_iceberg(
+        docs.where("doc_id % 7 = 0").select(
+            (F.col("doc_id") + F.lit(2000)).alias("doc_id"), "source"
+        ),
+        root, mode="append",
+    )
+    pre = IcebergCatalog("pre", root).to_dataframe(spark)
+    assert pre.where("doc_id >= 1000 AND doc_id < 2000").count() == 0
+    out = cherry_pick_iceberg(root, staged["snapshot_id"])
+    assert out["published"] == "replay"
+    return (
+        IcebergCatalog("published", root)
+        .to_dataframe(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )

@@ -27,6 +27,7 @@ from .materialize import (
     refresh_materialization,
 )
 from .iceberg_writer import (
+    cherry_pick_iceberg,
     delete_iceberg,
     evolve_iceberg,
     evolve_iceberg_partition_spec,
@@ -85,6 +86,7 @@ __all__ = [
     "evolve_iceberg",
     "evolve_iceberg_partition_spec",
     "fast_forward_iceberg",
+    "cherry_pick_iceberg",
     "drop_iceberg_ref",
     "evolve_delta",
     "expire_iceberg_snapshots",

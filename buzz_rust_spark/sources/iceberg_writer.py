@@ -3509,6 +3509,242 @@ def fast_forward_iceberg(
     }
 
 
+def cherry_pick_iceberg(
+    table_uri: str,
+    snapshot_id: int,
+    max_commit_retries: int = 5,
+    store=None,
+) -> dict:
+    """Publish ONE staged snapshot onto ``main`` even when main has
+    advanced past its parent — Iceberg's cherry-pick (the other half of
+    write-audit-publish next to :func:`fast_forward_iceberg`, which
+    requires main to be an ancestor of the whole branch).
+
+    Semantics follow Iceberg's ``cherrypickSnapshot`` contract:
+
+    - when the picked snapshot's parent IS the current main head, the
+      pick is a metadata-only fast-forward (main advances to the picked
+      snapshot itself — any operation is safe, the lineage is already
+      correct);
+    - otherwise only ``append`` snapshots replay: the staged ADDED data
+      manifests are re-committed as a NEW snapshot parented on the
+      current head, entries rewritten under the new snapshot id at the
+      new sequence number so changelogs attribute the rows to the
+      publish commit and later equality deletes scope correctly.
+      Deletes/overwrites staged past a moved main are refused typed
+      (their delete files would apply to rows at stale sequence numbers
+      — the same reason Iceberg restricts cherry-pick to appends and
+      validated dynamic overwrites);
+    - publishing the same snapshot twice is refused: the walk of main's
+      ancestry checks both snapshot ids and each ancestor's recorded
+      ``source-snapshot-id`` summary marker.
+
+    The replayed snapshot records ``source-snapshot-id`` (and
+    ``published-wap-id`` when the staged snapshot carried a ``wap.id``)
+    in its summary, Iceberg's audit trail for WAP publishes.  Driver
+    cost is O(staged files) manifest metadata — never a data-file
+    rewrite; the commit loop retries metadata-only like every other
+    write op, re-validating against the advanced main each time."""
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    meta_dir = os.path.join(root, "metadata")
+    picked_id = int(snapshot_id)
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    picked = snaps.get(picked_id)
+    if picked is None:
+        raise BuzzBadRequestError(
+            f"cherry-pick: snapshot {picked_id} not in table history "
+            f"(have {sorted(snaps)})"
+        )
+    op = str((picked.get("summary") or {}).get("operation") or "")
+    picked_parent = picked.get("parent-snapshot-id")
+    picked_parent = None if picked_parent is None else int(picked_parent)
+
+    # Decode the staged ADDED manifests ONCE (O(staged files), driver-side
+    # metadata work) — only needed for the replay path, but cheap enough
+    # to do eagerly for appends.
+    picked_manifests: list[tuple[dict, list[dict]]] = []
+    if op == "append":
+        with open(picked["manifest-list"], "rb") as fh:
+            _, plist = decode_avro_file(fh.read())
+        for m in plist:
+            if int(m.get("added_snapshot_id") or -1) != picked_id:
+                continue
+            if int(m.get("content") or 0) != 0:
+                raise BuzzBadRequestError(
+                    "cherry-pick: staged append carries a delete manifest "
+                    "— not replayable; re-run the operation on main"
+                )
+            with open(
+                m["manifest_path"].removeprefix("file:"), "rb"
+            ) as fh:
+                _, entries = decode_avro_file(fh.read())
+            recs = [
+                {k: e["data_file"].get(k) for k in _CARRY_DF_KEYS}
+                for e in entries
+                if int(e.get("status") or 0) == 1
+                and int(e.get("snapshot_id") or picked_id) == picked_id
+            ]
+            if recs:
+                picked_manifests.append((m, recs))
+
+    now_ms = int(time.time() * 1000)
+
+    def _check_and_head(meta_a: dict) -> int | None:
+        """Duplicate-publish walk over main's CURRENT ancestry; returns
+        the head snapshot id (None = empty main)."""
+        cur = meta_a.get("current-snapshot-id")
+        cur = None if cur in (None, -1) else int(cur)
+        snaps_a = {
+            int(s["snapshot-id"]): s for s in meta_a.get("snapshots", [])
+        }
+        if picked_id not in snaps_a:
+            raise BuzzCommitAbortedError(
+                f"cherry-pick: snapshot {picked_id} was expired "
+                "concurrently — nothing to publish"
+            )
+        walk, seen = cur, set()
+        while walk is not None and walk not in seen:
+            s = snaps_a.get(walk)
+            if s is None:
+                break
+            if walk == picked_id or str(
+                (s.get("summary") or {}).get("source-snapshot-id") or ""
+            ) == str(picked_id):
+                raise BuzzBadRequestError(
+                    f"cherry-pick: snapshot {picked_id} is already "
+                    "published on main"
+                )
+            seen.add(walk)
+            w = s.get("parent-snapshot-id")
+            walk = None if w is None else int(w)
+        return cur
+
+    def _attempt(state):
+        version_a, meta_a = state
+        cur = _check_and_head(meta_a)
+        if picked_parent == cur:
+            # lineage already correct: fast-forward main to the picked
+            # snapshot itself (any operation is safe here)
+            meta_n = dict(meta_a)
+            meta_n["current-snapshot-id"] = picked_id
+            refs = dict(meta_n.get("refs") or {})
+            refs["main"] = {"snapshot-id": picked_id, "type": "branch"}
+            meta_n["refs"] = refs
+            meta_n["snapshot-log"] = list(
+                meta_n.get("snapshot-log", [])
+            ) + [{"timestamp-ms": now_ms, "snapshot-id": picked_id}]
+            meta_n["last-updated-ms"] = now_ms
+            new_version = _promote_metadata(
+                meta_dir, version_a + 1, meta_n, store
+            )
+            return {
+                "snapshot_id": picked_id,
+                "metadata_version": new_version,
+                "published": "fast-forward",
+                "source_snapshot_id": picked_id,
+            }
+        if op != "append":
+            raise BuzzBadRequestError(
+                f"cherry-pick: snapshot {picked_id} is a {op!r} and main "
+                "has advanced past its parent — only appends replay onto "
+                "a moved main (staged deletes/overwrites would apply at "
+                "stale sequence numbers); re-run the operation on main"
+            )
+        seq = int(meta_a.get("last-sequence-number", 0)) + 1
+        snap_id = uuid.uuid4().int >> 65
+        sid = meta_a.get("current-schema-id", 0)
+        schema_json = next(
+            s for s in meta_a["schemas"] if s.get("schema-id") == sid
+        )
+        specs_a = {
+            int(s["spec-id"]): s.get("fields") or []
+            for s in meta_a.get("partition-specs", [])
+        }
+        new_recs = []
+        for m, recs in picked_manifests:
+            mspec = int(m.get("partition_spec_id") or 0)
+            if mspec not in specs_a:
+                raise BuzzCommitAbortedError(
+                    f"cherry-pick: staged manifest's partition spec "
+                    f"{mspec} is gone from the table metadata"
+                )
+            part_fields = _partition_context(schema_json, specs_a[mspec])
+            new_entries = [
+                {
+                    "status": 1,  # ADDED under the PUBLISH snapshot
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,  # inherit the new seq
+                    "file_sequence_number": None,
+                    "data_file": rec,
+                }
+                for rec in recs
+            ]
+            new_path = _write_manifest(
+                meta_dir, new_entries, part_fields, schema_json, mspec,
+                "data",
+            )
+            new_recs.append(
+                _manifest_rec(
+                    new_path, mspec, 0, seq, snap_id, len(recs),
+                    sum(int(r.get("record_count") or 0) for r in recs),
+                    m.get("partitions"),
+                )
+            )
+        counts = {
+            "added-data-files": str(
+                sum(len(recs) for _, recs in picked_manifests)
+            ),
+            "added-records": str(
+                sum(
+                    int(r.get("record_count") or 0)
+                    for _, recs in picked_manifests
+                    for r in recs
+                )
+            ),
+            "source-snapshot-id": str(picked_id),
+        }
+        wap = (picked.get("summary") or {}).get("wap.id")
+        if wap:
+            counts["published-wap-id"] = str(wap)
+        mlist_path = _write_manifest_list(
+            meta_dir,
+            snap_id,
+            seq,
+            new_recs + _carry_manifests(_prev_manifests(meta_a)),
+        )
+        new_version = _finish_commit(
+            root,
+            version_a,
+            meta_a,
+            snap_id,
+            seq,
+            now_ms,
+            mlist_path,
+            schema_json.get("schema-id", 0),
+            "append",
+            counts,
+            log_prior_metadata=True,
+            store=store,
+        )
+        return {
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "metadata_version": new_version,
+            "published": "replay",
+            "source_snapshot_id": picked_id,
+        }
+
+    def _refresh():
+        version_f, meta_f = _load_v2_meta(root, table_uri)
+        _check_and_head(meta_f)
+        return (version_f, meta_f)
+
+    return commit_with_retry(
+        _attempt, _refresh, (version, meta), max_commit_retries
+    )
+
+
 def tag_iceberg(
     table_uri: str,
     name: str,

@@ -2455,6 +2455,124 @@ def test_branch_write_guards(spark, tmp_path):
         fast_forward_iceberg(root, "same")
 
 
+def test_cherry_pick_replays_append_onto_moved_main(spark, tmp_path):
+    """Cherry-pick of a branch-staged APPEND after main advanced: the
+    staged rows replay as a NEW snapshot parented on the current head
+    (main keeps its own commits), the summary records the source
+    snapshot, the changelog attributes the rows to the PUBLISH commit,
+    and a second pick of the same snapshot refuses typed."""
+    from buzz_rust_spark.sources.iceberg import read_iceberg_changes
+    from buzz_rust_spark.sources.iceberg_writer import cherry_pick_iceberg
+
+    root = str(tmp_path / "t")
+
+    def rows(**kw):
+        return sorted(
+            (r.id, r.v)
+            for r in IcebergCatalog("t", root, **kw)
+            .to_dataframe(spark)
+            .collect()
+        )
+
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    staged = write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        root, mode="append", branch="audit",
+    )
+    # main advances past the staged snapshot's parent → fast-forward is
+    # impossible, cherry-pick must REPLAY
+    moved = write_iceberg(
+        spark.createDataFrame([(4, "d")], "id long, v string"),
+        root, mode="append",
+    )
+    out = cherry_pick_iceberg(root, staged["snapshot_id"])
+    assert out["published"] == "replay"
+    assert out["source_snapshot_id"] == staged["snapshot_id"]
+    assert out["snapshot_id"] != staged["snapshot_id"]
+    assert rows() == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    meta = json.load(open(sorted(
+        glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+    )[-1]))
+    pub = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == out["snapshot_id"]
+    )
+    assert pub["summary"]["source-snapshot-id"] == str(staged["snapshot_id"])
+    assert pub["parent-snapshot-id"] == moved["snapshot_id"]
+
+    # changelog: the published rows belong to the PUBLISH snapshot, not
+    # the staged branch snapshot (entry snapshot ids were rewritten)
+    ch = read_iceberg_changes(
+        spark, root, from_snapshot_id=moved["snapshot_id"]
+    ).collect()
+    assert sorted((r.id, r._snapshot_id) for r in ch) == [
+        (3, out["snapshot_id"])
+    ]
+
+    with pytest.raises(BuzzBadRequestError, match="already published"):
+        cherry_pick_iceberg(root, staged["snapshot_id"])
+    # a later equality-delete merge scopes over the replayed rows (they
+    # sit at the PUBLISH sequence number, below the merge's)
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(3, "C2")], "id long, v string").coalesce(1),
+        key_cols=["id"],
+    )
+    assert rows() == [(1, "a"), (2, "b"), (3, "C2"), (4, "d")]
+
+
+def test_cherry_pick_fast_forward_and_refusals(spark, tmp_path):
+    """Cherry-pick when main has NOT moved fast-forwards to the picked
+    snapshot itself; unknown snapshots, picks already on main, and
+    staged DELETES past a moved main refuse typed."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        cherry_pick_iceberg,
+        delete_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+
+    def rows(**kw):
+        return sorted(
+            r.id
+            for r in IcebergCatalog("t", root, **kw)
+            .to_dataframe(spark)
+            .collect()
+        )
+
+    created = write_iceberg(spark.createDataFrame([(1,), (2,)], "id long"), root)
+    with pytest.raises(BuzzBadRequestError, match="not in table history"):
+        cherry_pick_iceberg(root, 12345)
+    with pytest.raises(BuzzBadRequestError, match="already published"):
+        cherry_pick_iceberg(root, created["snapshot_id"])
+
+    staged = write_iceberg(
+        spark.createDataFrame([(3,)], "id long"), root,
+        mode="append", branch="b",
+    )
+    out = cherry_pick_iceberg(root, staged["snapshot_id"])
+    assert out["published"] == "fast-forward"
+    assert out["snapshot_id"] == staged["snapshot_id"]
+    assert rows() == [1, 2, 3]
+
+    # stage a DELETE, advance main → replay refused (appends only)
+    d = delete_iceberg(spark, root, "id = 1", branch="b2")
+    write_iceberg(
+        spark.createDataFrame([(4,)], "id long"), root, mode="append"
+    )
+    with pytest.raises(BuzzBadRequestError, match="only appends replay"):
+        cherry_pick_iceberg(root, d["snapshot_id"])
+    # ...but the SAME staged delete fast-forwards when main is rolled
+    # back to its parent (lineage already correct) — covered by parent
+    # equality, not operation
+    assert rows() == [1, 2, 3, 4]
+
+
 def test_expire_keeps_branch_chain_for_fast_forward(spark, tmp_path):
     """Expiry retains a staged branch's private ancestor chain (not just
     its pinned head): after an aggressive keep_last=1 expire, the branch

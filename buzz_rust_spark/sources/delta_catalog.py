@@ -285,6 +285,10 @@ class DeltaCatalog:
             raise BuzzExecutionError(
                 f"Delta log at {self.table_uri!r} contains no metaData action"
             )
+        # the commit version this snapshot RESOLVED to — the requested
+        # time-travel version, or the latest replayed commit (incremental
+        # consumers use it as their cursor)
+        self.resolved_version: int = max_seen
 
         full = StructType.fromJson(json.loads(meta["schemaString"]))
         self.partition_cols: list[str] = list(meta.get("partitionColumns", []))

@@ -1046,6 +1046,7 @@ def optimize_delta(
     target_file_bytes: int = 128 * 1024 * 1024,
     checkpoint_interval: int = 10,
     max_commit_retries: int = 5,
+    zorder_by: list[str] | None = None,
     store=None,
 ) -> int | None:
     """Bin-pack compaction (Delta OPTIMIZE): rewrite each partition's
@@ -1061,7 +1062,17 @@ def optimize_delta(
     incremental ingestion (many commits → many sub-row-group files → task
     overhead and poor scan locality).  The rewrite itself is a distributed
     ``spark.read.parquet(files).coalesce(n).write`` per partition; the driver
-    only handles the O(files) listing, exactly like Delta's own OPTIMIZE."""
+    only handles the O(files) listing, exactly like Delta's own OPTIMIZE.
+
+    ``zorder_by`` is Delta's ``OPTIMIZE ... ZORDER BY``: EVERY partition's
+    files are rewritten (re-clustering is the point, so the
+    small-file-only selection is bypassed) with rows range-shuffled along
+    the auto-scaled Z-order curve over the given numeric/timestamp
+    columns — the recorded ``stats`` on the new add actions then carry
+    tight min/max on all listed dimensions, and zone-map pruning
+    (:func:`~.zonemap.stats_from_delta_log` +
+    :func:`~.zonemap.prune_files_by_stats`) skips files on any of them.
+    Content-identical, still ``dataChange=False``."""
     table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     last_version, live, meta = _log_state(log_dir)
@@ -1071,6 +1082,36 @@ def optimize_delta(
     # id-mode table it would drop the external files' field ids — refuse
     # (mode=name needs no ids; physical names round-trip through the read)
     _require_unmapped(meta, table_uri, "optimize_delta")
+    zorder_by = list(zorder_by or [])
+    if zorder_by:
+        from pyspark.sql.types import (
+            NumericType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        declared = {f.name: f.dataType for f in _declared_schema(meta).fields}
+        parts = set(meta.get("partitionColumns") or [])
+        for c in zorder_by:
+            if c in parts:
+                raise BuzzBadRequestError(
+                    f"zorder_by column {c!r} is a partition column — it is "
+                    "already a file-grouping dimension; cluster on the "
+                    "non-partition columns you filter by"
+                )
+            if c not in declared:
+                raise BuzzBadRequestError(
+                    f"zorder_by column {c!r} is not a table column"
+                )
+            if not isinstance(
+                declared[c], (NumericType, TimestampType, TimestampNTZType)
+            ):
+                raise BuzzBadRequestError(
+                    f"zorder_by column {c!r} has type "
+                    f"{declared[c].simpleString()} — the Z-order curve "
+                    "needs numeric or timestamp dimensions (hash or "
+                    "truncate other types into a numeric column first)"
+                )
 
     # Group live files by partition tuple; a group compacts when it has ≥2
     # files and at least one is under half the target (rewriting a single
@@ -1092,7 +1133,8 @@ def optimize_delta(
     to_compact = {
         key: adds
         for key, adds in groups.items()
-        if (
+        if zorder_by  # re-clustering rewrites every group by design
+        or (
             len(adds) >= 2
             and any(a["size"] < target_file_bytes // 2 for a in adds)
         )
@@ -1148,7 +1190,18 @@ def optimize_delta(
                 deleted,
                 spark,
             )
-        df.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+        if zorder_by:
+            from .writer import scaled_zorder_key
+
+            df = (
+                df.withColumn("__zorder", scaled_zorder_key(df, zorder_by))
+                .repartitionByRange(n_out, "__zorder")
+                .sortWithinPartitions("__zorder")
+                .drop("__zorder")
+            )
+            df.write.mode("overwrite").parquet(out_dir)
+        else:
+            df.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
         for fpath in sorted(glob(os.path.join(out_dir, "*.parquet"))):
             rel = os.path.join(part_dir, os.path.basename(fpath)) if part_dir else (
                 os.path.basename(fpath)

@@ -422,6 +422,14 @@ def _decode_bound(raw, iceberg_type):
             return None
     if iceberg_type == "boolean" and len(raw) == 1:
         return raw != b"\x00"
+    if iceberg_type == "float" and len(raw) == 4:
+        import struct
+
+        return struct.unpack("<f", raw)[0]
+    if iceberg_type == "double" and len(raw) == 8:
+        import struct
+
+        return struct.unpack("<d", raw)[0]
     return None
 
 

@@ -1093,9 +1093,11 @@ def write_iceberg(
     txn_version: int | None = None,
     max_commit_retries: int = 5,
     branch: str | None = None,
+    zorder_by: list[str] | None = None,
     _operation: str | None = None,
     _expect_snapshot_id: int | None = None,
     _basis_manifests: list[dict] | None = None,
+    _zorder_partitions: int | None = None,
     store=None,
 ) -> dict | None:
     """Write ``df`` into an Iceberg v2 table at ``table_uri``.
@@ -1133,6 +1135,16 @@ def write_iceberg(
     unchanged until :func:`fast_forward_iceberg` publishes the branch.
     Read the staged state with ``IcebergCatalog(..., ref=branch)``.
     Branch writes require an existing table; writing to a TAG refuses.
+
+    ``zorder_by`` clusters the written rows along the auto-scaled Z-order
+    curve over the given numeric/timestamp columns (a single column =
+    plain linear clustering): files then carry tight manifest bounds on
+    EVERY listed dimension simultaneously, so bound-based skipping
+    (``file_key_bounds`` / retraction scans / external engines' metrics
+    filtering) prunes on any of them — the layout half of zone-map
+    pruning, same as Delta's OPTIMIZE ZORDER BY.  Layout-only: the
+    committed content is identical.  Cost: one min/max pass for the
+    scaling plus a range shuffle on the key.
     """
     if mode not in ("append", "overwrite"):
         raise BuzzBadRequestError(
@@ -1309,6 +1321,45 @@ def write_iceberg(
     for pf in derived:
         df = df.withColumn(pf["group_col"], _transform_column(pf))
 
+    zorder_by = list(zorder_by or [])
+    sort_within: list[str] | None = None
+    if zorder_by:
+        from pyspark.sql.types import (
+            NumericType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        from .writer import scaled_zorder_key
+
+        fields_by_name = {f.name: f for f in df.schema.fields}
+        for c in zorder_by:
+            if c not in by_name:
+                raise BuzzBadRequestError(
+                    f"zorder_by column {c!r} is not a table column"
+                )
+            dt = fields_by_name[c].dataType
+            if not isinstance(
+                dt, (NumericType, TimestampType, TimestampNTZType)
+            ):
+                raise BuzzBadRequestError(
+                    f"zorder_by column {c!r} has type {dt.simpleString()} "
+                    "— the Z-order curve needs numeric or timestamp "
+                    "dimensions (hash or truncate other types into a "
+                    "numeric column first)"
+                )
+        df = df.withColumn("__zorder", scaled_zorder_key(df, zorder_by))
+        if not part_cols:
+            # distribute curve segments across tasks; partitioned writes
+            # already shuffle on the partition columns and cluster via
+            # the within-task sort below
+            df = (
+                df.repartitionByRange(_zorder_partitions, "__zorder")
+                if _zorder_partitions
+                else df.repartitionByRange("__zorder")
+            )
+        sort_within = ["__zorder"]
+
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(data_dir, exist_ok=True)
@@ -1317,7 +1368,9 @@ def write_iceberg(
     new_files = _write_data_files(
         df, data_dir, part_cols, field_ids, part_types, target_file_rows,
         col_types=col_types, no_null_cols=required_nullable,
-        drop_cols=[pf["group_col"] for pf in derived],
+        drop_cols=[pf["group_col"] for pf in derived]
+        + (["__zorder"] if zorder_by else []),
+        sort_within=sort_within,
     )
     if not new_files and existing is not None and mode == "append":
         return None  # nothing to commit
@@ -2179,6 +2232,7 @@ def rewrite_iceberg(
     target_file_rows: int = 1_000_000,
     partition_filter: str | None = None,
     max_commit_retries: int = 5,
+    zorder_by: list[str] | None = None,
     store=None,
 ) -> dict | None:
     """Compaction (Iceberg's rewrite-data-files maintenance action): the
@@ -2205,10 +2259,27 @@ def rewrite_iceberg(
     change — a delete/merge (whose delete files would target the
     rewritten rows at stale sequence numbers) or another rewrite —
     raises the typed non-retryable
-    :class:`~..errors.BuzzCommitAbortedError` instead."""
+    :class:`~..errors.BuzzCommitAbortedError` instead.
+
+    ``zorder_by`` re-CLUSTERS while compacting (Delta's OPTIMIZE ZORDER
+    BY, Iceberg's sort/z-order rewrite strategy): rewritten rows are
+    range-shuffled along the auto-scaled Z-order curve over the given
+    numeric/timestamp columns, so post-compaction manifest bounds are
+    tight on every listed dimension and bound-based skipping
+    (``IcebergCatalog.file_key_bounds``, merge key-overlap candidate
+    selection, external engines' metrics filtering) prunes on any of
+    them.  Content-identical; full-table rewrites only (combine with
+    ``partition_filter`` is not yet supported — compact the partition
+    first, then re-cluster it)."""
     from .iceberg import IcebergCatalog
 
     if partition_filter is not None:
+        if zorder_by:
+            raise BuzzBadRequestError(
+                "zorder_by with partition_filter is not supported yet — "
+                "run the partition-scoped compaction and the re-cluster "
+                "as separate full rewrites"
+            )
         return _rewrite_partial(
             spark, table_uri, partition_filter, target_file_rows,
             max_commit_retries, store,
@@ -2243,18 +2314,32 @@ def rewrite_iceberg(
     for f in schema_json["fields"]:
         if f["type"] == "timestamp":
             df = df.withColumn(f["name"], F.col(f["name"]).cast("timestamp_ntz"))
+    zorder_partitions = None
+    if zorder_by:
+        # size the range shuffle from the manifests' row counts (an upper
+        # bound — MOR deletes shrink it — so file sizes land at-or-under
+        # target), never a count() job over the table
+        live_rows = sum(
+            int(m.get("added_rows_count") or 0)
+            + int(m.get("existing_rows_count") or 0)
+            for m in (cat._manifests or [])
+            if int(m.get("content") or 0) == 0
+        )
+        zorder_partitions = max(1, -(-live_rows // target_file_rows))
     return write_iceberg(
         df,
         table_uri,
         mode="overwrite",
         target_file_rows=target_file_rows,
         max_commit_retries=max_commit_retries,
+        zorder_by=zorder_by,
         _operation="replace",
         _expect_snapshot_id=basis_snapshot,
         # pure-append commits past the basis COMMUTE: their data manifests
         # carry into the replace instead of aborting it (compaction must
         # not serialize against ingest)
         _basis_manifests=list(cat._manifests or []),
+        _zorder_partitions=zorder_partitions,
         store=store,
     )
 

@@ -150,6 +150,42 @@ def zorder_key(cols: list, bits: int = 16):
     return key
 
 
+def scaled_zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Auto-scaled Z-order key over ``cols`` as a Column — one distributed
+    min/max pass maps every dimension onto the full ``2^bits`` range (else
+    the widest column's high bits dominate the curve), then
+    :func:`zorder_key` interleaves.  A SINGLE column degrades to the column
+    itself (linear clustering — the curve is the identity in 1-D).  NULLs
+    produce a NULL key and cluster together at one end of the range
+    partitioning.  Used by the lakehouse compaction ops
+    (``rewrite_iceberg``/``optimize_delta`` with ``zorder_by``) and
+    :func:`write_zordered`."""
+    from pyspark.sql import functions as F
+
+    if len(cols) == 1:
+        return F.col(cols[0])
+    bits = min(bits, 63 // len(cols))
+    stats = df.agg(
+        *[
+            F.min(F.col(c).cast("double")).alias(f"lo_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.max(F.col(c).cast("double")).alias(f"hi_{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).first()
+    top = float(2**bits - 1)
+    scaled = []
+    for i, c in enumerate(cols):
+        lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
+        span = max(1.0, (hi or 0.0) - (lo or 0.0))
+        scaled.append(
+            F.floor((F.col(c).cast("double") - F.lit(lo or 0.0)) * top / span)
+        )
+    return zorder_key(scaled, bits)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -172,22 +208,8 @@ def write_zordered(
     with one distributed min/max pass first — required whenever the columns
     have different scales, else the wider column's high bits dominate the
     curve and the narrow column gets no clustering at all."""
-    from pyspark.sql import functions as F
-
     if auto_scale:
-        stats = df.agg(
-            *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(zorder_by)],
-            *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(zorder_by)],
-        ).first()
-        top = float(2**bits - 1)
-        scaled = []
-        for i, c in enumerate(zorder_by):
-            lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
-            span = max(1.0, (hi or 0.0) - (lo or 0.0))
-            scaled.append(
-                F.floor((F.col(c).cast("double") - F.lit(lo or 0.0)) * top / span)
-            )
-        zkey = zorder_key(scaled, bits)
+        zkey = scaled_zorder_key(df, list(zorder_by), bits)
     else:
         zkey = zorder_key(list(zorder_by), bits)
     out = (

@@ -410,6 +410,72 @@ def test_optimize_partitioned_preserves_partition_values(spark, tmp_path):
     }
 
 
+def test_optimize_zorder_clusters_for_zone_map_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: every file is rewritten with rows clustered on
+    the Z-curve over (x, y), so the recorded add-action stats become
+    TIGHT on both dimensions and zone-map pruning skips files for a band
+    predicate on EITHER column — before the rewrite the scattered layout
+    prunes nothing.  Content stays identical and the commit is still
+    dataChange=False."""
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources import optimize_delta, write_delta
+    from buzz_rust_spark.sources.zonemap import (
+        prune_files_by_stats,
+        stats_from_delta_log,
+    )
+
+    table = str(tmp_path / "w-zorder")
+    rows = [(i, float(i % 100), float((i * 37) % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    # 4 hash-scattered files: every file spans ~the full (x, y) range
+    write_delta(df.repartition(4), table)
+
+    cat0 = DeltaCatalog("t", table)
+    stats0 = stats_from_delta_log(cat0)
+    assert len(cat0.files) == 4
+    assert (
+        len(prune_files_by_stats(cat0.files, stats0, [("x", "<", 10.0)]))
+        == 4
+    )  # scattered: nothing prunable
+
+    v = optimize_delta(
+        spark, table, target_file_bytes=4096, zorder_by=["x", "y"]
+    )
+    assert v is not None
+    commit = os.path.join(table, "_delta_log", f"{v:020d}.json")
+    actions = [json.loads(l) for l in open(commit)]
+    assert all(
+        a["add"]["dataChange"] is False for a in actions if "add" in a
+    )
+    cat1 = DeltaCatalog("t", table)
+    assert len(cat1.files) >= 4  # enough curve segments to split both dims
+    stats1 = stats_from_delta_log(cat1)
+    for col in ("x", "y"):
+        kept = prune_files_by_stats(cat1.files, stats1, [(col, "<", 10.0)])
+        assert len(kept) < len(cat1.files), f"no pruning on {col}"
+    # content identical
+    assert sorted(
+        (r.id, r.x, r.y) for r in cat1.to_dataframe(spark).collect()
+    ) == sorted(rows)
+
+    # refusals: unknown / non-numeric / partition columns
+    with pytest.raises(BuzzBadRequestError, match="not a table column"):
+        optimize_delta(spark, table, zorder_by=["nope"])
+    table2 = str(tmp_path / "w-zorder-str")
+    write_delta(
+        spark.createDataFrame([("a", 1)], "s string, n long"), table2
+    )
+    with pytest.raises(BuzzBadRequestError, match="numeric or timestamp"):
+        optimize_delta(spark, table2, zorder_by=["s"])
+    table3 = str(tmp_path / "w-zorder-part")
+    write_delta(
+        spark.createDataFrame([("a", 1)], "s string, n long"), table3,
+        partition_by=["s"],
+    )
+    with pytest.raises(BuzzBadRequestError, match="partition column"):
+        optimize_delta(spark, table3, zorder_by=["n", "s"])
+
+
 def test_vacuum_respects_retention(spark, tmp_path):
     from buzz_rust_spark.sources import optimize_delta, vacuum_delta, write_delta
 

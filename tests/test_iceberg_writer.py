@@ -448,6 +448,71 @@ def test_rewrite_compacts_and_drops_delete_files(spark, tmp_path):
     assert rewrite_iceberg(spark, str(tmp_path / "nope")) is None
 
 
+def test_rewrite_zorder_tightens_file_bounds(spark, tmp_path):
+    """rewrite_iceberg(zorder_by=...) re-clusters while compacting: the
+    rewritten files' manifest bounds become tight on BOTH curve
+    dimensions (a band predicate on either overlaps a strict subset of
+    files, where the scattered pre-rewrite layout overlapped all), rows
+    are identical, and output file count follows target_file_rows.
+    Single-column zorder degrades to a linear sort.  Refusals: unknown
+    and non-numeric columns, partition_filter combination."""
+    from buzz_rust_spark.sources.iceberg_writer import rewrite_iceberg
+
+    root = str(tmp_path / "t")
+    rows = [(i, float(i % 100), float((i * 37) % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    write_iceberg(df.repartition(4), root, target_file_rows=500)
+
+    def overlap_counts(cat):
+        meta = json.load(open(sorted(
+            glob.glob(os.path.join(root, "metadata", "v*.metadata.json"))
+        )[-1]))
+        sid = meta["current-schema-id"]
+        sch = next(s for s in meta["schemas"] if s["schema-id"] == sid)
+        fids = {f["name"]: f["id"] for f in sch["fields"]}
+        bounds = cat.file_key_bounds(spark, [fids["x"], fids["y"]])
+        n = len(bounds)
+        nx = sum(1 for per in bounds.values() if per[fids["x"]][0] < 10.0)
+        ny = sum(1 for per in bounds.values() if per[fids["y"]][0] < 10.0)
+        return n, nx, ny
+
+    n0, nx0, ny0 = overlap_counts(IcebergCatalog("t", root))
+    # scattered: most files overlap the band on both dimensions (row-roll
+    # remainder slivers may not)
+    assert n0 >= 4 and nx0 > n0 // 2 and ny0 > n0 // 2
+
+    s = rewrite_iceberg(
+        spark, root, target_file_rows=250, zorder_by=["x", "y"]
+    )
+    assert s["operation"] == "replace" and s["added_records"] == 2000
+    cat = IcebergCatalog("t", root)
+    n1, nx1, ny1 = overlap_counts(cat)
+    assert n1 >= 4
+    assert nx1 < n1 and ny1 < n1, (n1, nx1, ny1)
+    assert sorted(
+        (r.id, r.x, r.y) for r in cat.to_dataframe(spark).collect()
+    ) == sorted(rows)
+
+    # single-column: linear clustering, same content
+    s2 = rewrite_iceberg(spark, root, target_file_rows=500, zorder_by=["x"])
+    assert s2["added_records"] == 2000
+    n2, nx2, _ = overlap_counts(IcebergCatalog("t", root))
+    assert nx2 < n2
+
+    with pytest.raises(BuzzBadRequestError, match="not a table column"):
+        rewrite_iceberg(spark, root, zorder_by=["nope"])
+    with pytest.raises(BuzzBadRequestError, match="partition_filter"):
+        rewrite_iceberg(
+            spark, root, partition_filter="x > 0", zorder_by=["x"]
+        )
+    root2 = str(tmp_path / "t2")
+    write_iceberg(
+        spark.createDataFrame([("a", 1)], "s string, n long"), root2
+    )
+    with pytest.raises(BuzzBadRequestError, match="numeric or timestamp"):
+        rewrite_iceberg(spark, root2, zorder_by=["s", "n"])
+
+
 # --- merge_iceberg (equality-delete upsert) -----------------------------------
 
 

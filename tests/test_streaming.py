@@ -748,6 +748,70 @@ def test_bloom_dedup_sink_iceberg_target(spark, tmp_path):
     assert state_before == state_after  # replay folds idempotently
 
 
+def test_delta_tail_incremental_corpus_prep(spark, tmp_path):
+    """Version-cursor tail of a DELTA source (parity with the Iceberg
+    tail): bootstrap processes the full snapshot, later polls read only
+    the new commits' files, dups across polls drop via the shared Bloom
+    state, a crash re-poll with the previous cursor cannot double-commit,
+    no-change and missing-table polls are no-ops."""
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import write_delta
+    from buzz_rust_spark.streaming.delta_tail import (
+        corpus_prep_tail_delta,
+        delta_changes_poll,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+
+    # missing source: no-op poll, cursor unchanged
+    rows, cur, _ = delta_changes_poll(spark, src, None)
+    assert rows is None and cur is None
+
+    write_delta(
+        spark.createDataFrame(
+            [(1, good + " first body"), (2, good + " second body")],
+            "doc_id long, text string",
+        ).coalesce(1),
+        src,
+    )
+    r1 = corpus_prep_tail_delta(spark, src, out, state, app_id="dtail")
+    assert r1["polled"] is True and r1["cursor"] == 0
+    got = {r.doc_id for r in
+           DeltaCatalog("o", out).to_dataframe(spark).collect()}
+    assert got == {1, 2}
+
+    # append: one fresh doc + one cross-poll duplicate text
+    write_delta(
+        spark.createDataFrame(
+            [(3, good + " second body"), (4, good + " third body")],
+            "doc_id long, text string",
+        ).coalesce(1),
+        src, mode="append",
+    )
+    r2 = corpus_prep_tail_delta(spark, src, out, state, app_id="dtail",
+                                cursor=r1["cursor"])
+    assert r2["polled"] is True and r2["cursor"] == 1
+    got = {r.doc_id for r in
+           DeltaCatalog("o", out).to_dataframe(spark).collect()}
+    assert got == {1, 2, 4}  # 3 deduped against poll-1's state
+
+    # crash replay: previous cursor → same window, same txn version →
+    # output unchanged (exactly-once)
+    n_before = DeltaCatalog("o", out).to_dataframe(spark).count()
+    r2b = corpus_prep_tail_delta(spark, src, out, state, app_id="dtail",
+                                 cursor=r1["cursor"])
+    assert r2b["cursor"] == r2["cursor"]
+    assert DeltaCatalog("o", out).to_dataframe(spark).count() == n_before
+
+    # no new commits: no-op poll
+    r3 = corpus_prep_tail_delta(spark, src, out, state, app_id="dtail",
+                                cursor=r2["cursor"])
+    assert r3 == {"cursor": r2["cursor"], "polled": False}
+
+
 def test_iceberg_tail_incremental_corpus_prep(spark, tmp_path):
     """Cursor-driven incremental tail of an Iceberg source: the bootstrap
     poll processes the full snapshot, later polls only the net-new rows

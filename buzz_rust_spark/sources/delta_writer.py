@@ -642,6 +642,73 @@ def _stage_change_files(
     return actions
 
 
+# table type (simpleString) → DataFrame simpleStrings that upcast INTO it
+# losslessly under schema_mode='merge'
+_DELTA_MERGE_UPCASTS = {
+    "bigint": {"int", "smallint", "tinyint"},
+    "int": {"smallint", "tinyint"},
+    "smallint": {"tinyint"},
+    "double": {"float"},
+}
+
+
+def _merge_write_schema(
+    df: DataFrame, declared, table_uri: str, store
+) -> tuple[DataFrame, bool]:
+    """``schema_mode='merge'`` resolution for :func:`write_delta`: NEW
+    DataFrame columns become (nullable) table columns via
+    :func:`evolve_delta`, MISSING nullable table columns null-fill, and
+    common columns may upcast losslessly into the table's wider type.
+    Required-column absence, narrowing, and unaddable types refuse
+    typed.  Returns (adjusted df, whether an evolution commit happened —
+    the caller must re-read the log state)."""
+    from pyspark.sql import functions as F
+
+    tbl = {f.name: f for f in declared.fields}
+    add_map: dict[str, str] = {}
+    for f in df.schema.fields:
+        if f.name in tbl:
+            continue
+        jv = f.dataType.jsonValue()
+        if not isinstance(jv, str) or jv not in _DELTA_ADDABLE:
+            raise BuzzSchemaError(
+                f"schema_mode='merge': new column {f.name!r} has type "
+                f"{f.dataType.simpleString()} — not addable via schema "
+                "merge (add nested/decimal columns explicitly with "
+                "evolve_delta)"
+            )
+        add_map[f.name] = jv
+    for f in df.schema.fields:
+        tf = tbl.get(f.name)
+        if tf is None or tf.dataType == f.dataType:
+            continue
+        if f.dataType.simpleString() in _DELTA_MERGE_UPCASTS.get(
+            tf.dataType.simpleString(), ()
+        ):
+            df = df.withColumn(f.name, F.col(f.name).cast(tf.dataType))
+            continue
+        raise BuzzSchemaError(
+            f"schema_mode='merge': column {f.name!r} is "
+            f"{f.dataType.simpleString()} but the table declares "
+            f"{tf.dataType.simpleString()} — not a lossless upcast; widen "
+            "the TABLE first with evolve_delta(promote_columns=...) if "
+            "that is the intent"
+        )
+    for name, tf in tbl.items():
+        if name in df.columns:
+            continue
+        if not tf.nullable:
+            raise BuzzSchemaError(
+                f"schema_mode='merge': non-nullable table column {name!r} "
+                "is absent from the DataFrame — null-filling it would "
+                "violate the table contract"
+            )
+        df = df.withColumn(name, F.lit(None).cast(tf.dataType))
+    if add_map:
+        evolve_delta(table_uri, add_columns=add_map, store=store)
+    return df, bool(add_map)
+
+
 def write_delta(
     df: DataFrame,
     table_uri: str,
@@ -652,6 +719,7 @@ def write_delta(
     txn_version: int | None = None,
     max_commit_retries: int = 5,
     configuration: dict[str, str] | None = None,
+    schema_mode: str = "strict",
     store=None,
 ) -> int | None:
     """Write ``df`` as a Delta commit; returns the committed version (or
@@ -680,9 +748,23 @@ def write_delta(
     side effects that assume it did (e.g. a dedup-state append: marking
     skipped documents as seen would lose them forever).  This is how
     exactly-once streaming sinks are built on an at-least-once engine
-    (see :func:`buzz_rust_spark.streaming.delta_sink`)."""
+    (see :func:`buzz_rust_spark.streaming.delta_sink`).
+
+    ``schema_mode='merge'`` (Delta's ``mergeSchema``/``autoMerge``)
+    reconciles a drifted DataFrame schema instead of refusing: NEW
+    columns evolve into the table (one metadata-only
+    :func:`evolve_delta` commit before the write; existing files read
+    them as NULL), MISSING nullable table columns null-fill, and common
+    columns upcast losslessly into the table's wider type (int→long,
+    float→double).  Non-nullable-column absence, narrowing, and
+    unaddable types still refuse typed.  Default ``'strict'`` keeps the
+    exact-schema contract."""
     if mode not in ("append", "overwrite"):
         raise BuzzBadRequestError(f"mode must be append|overwrite, got {mode!r}")
+    if schema_mode not in ("strict", "merge"):
+        raise BuzzBadRequestError(
+            f"schema_mode must be strict|merge, got {schema_mode!r}"
+        )
     if (txn_app_id is None) != (txn_version is None):
         raise BuzzBadRequestError("txn_app_id and txn_version must be set together")
     partition_by = list(partition_by or [])
@@ -737,6 +819,17 @@ def write_delta(
         declared = StructType.fromJson(json.loads(meta["schemaString"]))
         ours = {f.name: f.dataType for f in df.schema.fields}
         theirs = {f.name: f.dataType for f in declared.fields}
+        if ours != theirs and schema_mode == "merge":
+            df, evolved = _merge_write_schema(df, declared, table_uri, store)
+            if evolved:
+                # the evolution committed a new log version — re-base the
+                # write (and its protocol basis) on it
+                last_version, live, meta = _log_state(log_dir)
+                basis_proto_w = dict(_current_protocol(log_dir))
+                version = last_version + 1
+                declared = StructType.fromJson(json.loads(meta["schemaString"]))
+            ours = {f.name: f.dataType for f in df.schema.fields}
+            theirs = {f.name: f.dataType for f in declared.fields}
         if ours != theirs:
             raise BuzzSchemaError(
                 f"schema mismatch vs table metaData: {sorted(ours)} vs"

@@ -1082,6 +1082,101 @@ def _require_same_write_basis(
 # --- public API -----------------------------------------------------------------
 
 
+# Spark type (jsonValue) → iceberg primitive accepted for a schema-merge
+# ADD COLUMN (the evolve_iceberg _ADDABLE_TYPES vocabulary)
+_SPARK_TO_ICE_ADD = {
+    "integer": "int", "long": "long", "float": "float", "double": "double",
+    "boolean": "boolean", "date": "date", "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz", "string": "string", "binary": "binary",
+}
+
+# table iceberg type → Spark simpleStrings a DataFrame column may upcast
+# FROM losslessly (value-preserving widenings only)
+_MERGE_UPCASTS = {
+    "long": {"int", "smallint", "tinyint"},
+    "int": {"smallint", "tinyint"},
+    "double": {"float"},
+}
+
+
+def _merge_write_schema(
+    df: DataFrame, schema_json: dict, table_uri: str, store
+) -> tuple[DataFrame, bool]:
+    """``schema_mode='merge'`` resolution for :func:`write_iceberg`: NEW
+    DataFrame columns become table columns via :func:`evolve_iceberg`
+    (optional, null for existing files), MISSING optional table columns
+    null-fill, and common columns may upcast losslessly INTO the table's
+    wider type.  Everything else — required columns absent, narrowing,
+    unaddable types — refuses typed (a silent drop or truncation is how
+    pipelines corrupt tables).  Returns (adjusted df, whether an
+    evolution commit happened — the caller must re-read the metadata)."""
+    from pyspark.sql import functions as F
+
+    tbl = {f["name"]: f for f in schema_json["fields"]}
+    add_map: dict[str, str] = {}
+    for f in df.schema.fields:
+        if f.name in tbl:
+            continue
+        jv = f.dataType.jsonValue()
+        ice = _SPARK_TO_ICE_ADD.get(jv) if isinstance(jv, str) else None
+        if ice is None:
+            raise BuzzSchemaError(
+                f"schema_mode='merge': new column {f.name!r} has type "
+                f"{f.dataType.simpleString()} — not addable via schema "
+                "merge (add nested/decimal columns explicitly with "
+                "evolve_iceberg)"
+            )
+        add_map[f.name] = ice
+    for f in df.schema.fields:
+        if f.name not in tbl:
+            continue
+        tf = tbl[f.name]
+        tice = tf["type"]
+        from pyspark.sql import types as T
+
+        if tice == "timestamp":
+            matches = isinstance(f.dataType, T.TimestampNTZType)
+        elif tice == "timestamptz":
+            matches = isinstance(f.dataType, T.TimestampType)
+        else:
+            matches = _iceberg_type(tice) == f.dataType
+        if matches:
+            continue
+        if f.dataType.simpleString() in _MERGE_UPCASTS.get(tice, ()):
+            df = df.withColumn(
+                f.name, F.col(f.name).cast(_iceberg_type(tice))
+            )
+            continue
+        raise BuzzSchemaError(
+            f"schema_mode='merge': column {f.name!r} is "
+            f"{f.dataType.simpleString()} but the table declares {tice!r} "
+            "— not a lossless upcast; widen the TABLE first with "
+            "evolve_iceberg(promote_columns=...) if that is the intent"
+        )
+    for name, tf in tbl.items():
+        if name in df.columns:
+            continue
+        if tf.get("required"):
+            raise BuzzSchemaError(
+                f"schema_mode='merge': required table column {name!r} is "
+                "absent from the DataFrame — null-filling it would violate "
+                "the table contract"
+            )
+        tice = tf["type"]
+        from pyspark.sql import types as T
+
+        if tice == "timestamp":
+            dt = T.TimestampNTZType()
+        elif tice == "timestamptz":
+            dt = T.TimestampType()
+        else:
+            dt = _iceberg_type(tice)
+        df = df.withColumn(name, F.lit(None).cast(dt))
+    if add_map:
+        evolve_iceberg(table_uri, add_columns=add_map, store=store)
+    return df, bool(add_map)
+
+
 def write_iceberg(
     df: DataFrame,
     table_uri: str,
@@ -1094,6 +1189,7 @@ def write_iceberg(
     max_commit_retries: int = 5,
     branch: str | None = None,
     zorder_by: list[str] | None = None,
+    schema_mode: str = "strict",
     _operation: str | None = None,
     _expect_snapshot_id: int | None = None,
     _basis_manifests: list[dict] | None = None,
@@ -1145,10 +1241,24 @@ def write_iceberg(
     pruning, same as Delta's OPTIMIZE ZORDER BY.  Layout-only: the
     committed content is identical.  Cost: one min/max pass for the
     scaling plus a range shuffle on the key.
+
+    ``schema_mode='merge'`` (Spark's ``mergeSchema`` / Delta's
+    ``autoMerge`` analogue) reconciles a drifted DataFrame schema
+    instead of refusing: NEW columns evolve into the table (one
+    metadata-only :func:`evolve_iceberg` commit before the append;
+    existing files read them as NULL), MISSING optional table columns
+    null-fill, and common columns upcast losslessly into the table's
+    wider type (int→long, float→double).  Required-column absence,
+    narrowing, and unaddable types still refuse typed.  Default
+    ``'strict'`` keeps the exact-schema contract.
     """
     if mode not in ("append", "overwrite"):
         raise BuzzBadRequestError(
             f"unsupported iceberg write mode {mode!r} (append/overwrite)"
+        )
+    if schema_mode not in ("strict", "merge"):
+        raise BuzzBadRequestError(
+            f"schema_mode must be strict|merge, got {schema_mode!r}"
         )
     if branch == "main":
         branch = None
@@ -1268,6 +1378,19 @@ def write_iceberg(
             s for s in meta["schemas"] if s.get("schema-id") == sid
         )
         order = _schema_fields_match(schema_json, df.schema)
+        if order is None and schema_mode == "merge":
+            df, evolved = _merge_write_schema(
+                df, schema_json, table_uri, store
+            )
+            if evolved:
+                # the evolution committed a new metadata version — the
+                # write must base (and validate) on it
+                version, meta = _load_v2_meta(root, table_uri)
+                sid = meta.get("current-schema-id", 0)
+                schema_json = next(
+                    s for s in meta["schemas"] if s.get("schema-id") == sid
+                )
+            order = _schema_fields_match(schema_json, df.schema)
         if order is None:
             raise BuzzSchemaError(
                 "dataframe schema does not match the iceberg table schema "

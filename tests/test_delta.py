@@ -410,6 +410,78 @@ def test_optimize_partitioned_preserves_partition_values(spark, tmp_path):
     }
 
 
+def test_write_schema_merge_evolves_fills_and_upcasts(spark, tmp_path):
+    """schema_mode='merge' on append: a NEW column evolves into the
+    table (earlier rows read NULL), a MISSING nullable column
+    null-fills, an int DataFrame column upcasts into the table's long —
+    while strict mode still refuses the same drift, narrowing refuses
+    with the promote hint, unaddable types refuse, and a non-nullable
+    column cannot be silently null-filled."""
+    from buzz_rust_spark.errors import BuzzSchemaError
+    from buzz_rust_spark.sources import write_delta
+
+    table = str(tmp_path / "t")
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("v", StringType(), True),
+        ]
+    )
+    write_delta(
+        spark.createDataFrame([(1, "a")], base_schema).coalesce(1), table
+    )
+
+    drifted = spark.createDataFrame([(2, 1.5)], "id int, n double").coalesce(1)
+    with pytest.raises(BuzzSchemaError, match="schema mismatch"):
+        write_delta(drifted, table)
+    v = write_delta(drifted, table, schema_mode="merge")
+    assert v == 2  # evolution committed version 1, the append version 2
+    rows = {
+        (r.id, r.v, r.n)
+        for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    }
+    assert rows == {(1, "a", None), (2, None, 1.5)}
+
+    # strict append of the ORIGINAL shape now drifts (n missing) — but
+    # merge null-fills it
+    orig = spark.createDataFrame([(3, "c")], base_schema).coalesce(1)
+    with pytest.raises(BuzzSchemaError, match="schema mismatch"):
+        write_delta(orig, table)
+    write_delta(orig, table, schema_mode="merge")
+    assert (3, "c", None) in {
+        (r.id, r.v, r.n)
+        for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    }
+
+    # narrowing: table declares n double, a string df column refuses
+    with pytest.raises(BuzzSchemaError, match="lossless upcast"):
+        write_delta(
+            spark.createDataFrame([(4, "x")], "id long, n string"),
+            table, schema_mode="merge",
+        )
+    # unaddable: array column cannot schema-merge
+    with pytest.raises(BuzzSchemaError, match="not addable"):
+        write_delta(
+            spark.createDataFrame(
+                [(5, ["a"])], "id long, tags array<string>"
+            ),
+            table, schema_mode="merge",
+        )
+    # non-nullable id absent → refuse, never null-fill
+    with pytest.raises(BuzzSchemaError, match="non-nullable"):
+        write_delta(
+            spark.createDataFrame([("z",)], "v string"),
+            table, schema_mode="merge",
+        )
+
+
 def test_optimize_zorder_clusters_for_zone_map_pruning(spark, tmp_path):
     """OPTIMIZE ZORDER BY: every file is rewritten with rows clustered on
     the Z-curve over (x, y), so the recorded add-action stats become

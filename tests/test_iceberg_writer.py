@@ -448,6 +448,69 @@ def test_rewrite_compacts_and_drops_delete_files(spark, tmp_path):
     assert rewrite_iceberg(spark, str(tmp_path / "nope")) is None
 
 
+def test_write_schema_merge_evolves_fills_and_upcasts(spark, tmp_path):
+    """schema_mode='merge' on an Iceberg append: a NEW column evolves in
+    (one metadata commit; old files read NULL), a MISSING optional
+    column null-fills, int upcasts into the table's long — strict mode
+    still refuses, narrowing and unaddable types refuse typed, and a
+    REQUIRED absent column refuses instead of null-filling."""
+    from buzz_rust_spark.errors import BuzzSchemaError
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    root = str(tmp_path / "t")
+    base_schema = StructType(
+        [
+            StructField("id", LongType(), False),  # → required column
+            StructField("v", StringType(), True),
+        ]
+    )
+    write_iceberg(spark.createDataFrame([(1, "a")], base_schema), root)
+
+    drifted = spark.createDataFrame([(2, 1.5)], "id int, n double")
+    with pytest.raises(BuzzSchemaError, match="does not match"):
+        write_iceberg(drifted, root, mode="append")
+    out = write_iceberg(drifted, root, mode="append", schema_mode="merge")
+    assert out["added_records"] == 1
+    rows = {
+        (r.id, r.v, r.n)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert rows == {(1, "a", None), (2, None, 1.5)}
+
+    # original shape now misses n — merge null-fills it
+    write_iceberg(
+        spark.createDataFrame([(3, "c")], base_schema), root,
+        mode="append", schema_mode="merge",
+    )
+    assert (3, "c", None) in {
+        (r.id, r.v, r.n)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    }
+
+    with pytest.raises(BuzzSchemaError, match="lossless upcast"):
+        write_iceberg(
+            spark.createDataFrame([(4, "x")], "id long, n string"),
+            root, mode="append", schema_mode="merge",
+        )
+    with pytest.raises(BuzzSchemaError, match="not addable"):
+        write_iceberg(
+            spark.createDataFrame(
+                [(5, ["a"])], "id long, tags array<string>"
+            ),
+            root, mode="append", schema_mode="merge",
+        )
+    with pytest.raises(BuzzSchemaError, match="required"):
+        write_iceberg(
+            spark.createDataFrame([("z",)], "v string"),
+            root, mode="append", schema_mode="merge",
+        )
+
+
 def test_rewrite_zorder_tightens_file_bounds(spark, tmp_path):
     """rewrite_iceberg(zorder_by=...) re-clusters while compacting: the
     rewritten files' manifest bounds become tight on BOTH curve

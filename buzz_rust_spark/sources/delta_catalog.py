@@ -469,8 +469,35 @@ class DeltaCatalog:
         return filter_deleted_rows(scan, deleted, spark, self.DV_BROADCAST_MAX)
 
     def to_dataframe(
-        self, spark: SparkSession, partition_filter: str | None = None
+        self,
+        spark: SparkSession,
+        partition_filter: str | None = None,
+        stats_filter: str | None = None,
     ) -> DataFrame:
+        """Snapshot scan.  ``stats_filter`` is a ROW predicate (any Spark
+        SQL) applied to the scan — and additionally used to skip whole
+        files whose log-recorded ``stats`` min/max provably exclude it
+        (zone-map pruning on non-partition columns, the read-side payoff
+        of ``optimize_delta(zorder_by=...)``; zero extra metadata I/O —
+        the stats rode along in the log replay).  Results are exact
+        whether or not any file prunes."""
+        drop: set[str] = set()
+        if stats_filter is not None:
+            from .zonemap import (
+                prune_files_by_stats,
+                stats_conjuncts_from_sql,
+                stats_from_delta_log,
+            )
+
+            conjs = stats_conjuncts_from_sql(stats_filter)
+            if conjs:
+                kept = {
+                    f.key
+                    for f in prune_files_by_stats(
+                        self.files, stats_from_delta_log(self), conjs
+                    )
+                }
+                drop = {f.key for f in self.files} - kept
         if self._cm_id:
             # columnMapping mode=id: the scan schema carries
             # parquet.field.id metadata; resolution by id needs the conf on
@@ -478,11 +505,21 @@ class DeltaCatalog:
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         dv_keys = getattr(self, "_dv_by_key", {})
         if not dv_keys:
-            df = self._static().to_dataframe(spark, partition_filter)
+            static = self._static()
+            if drop:
+                from dataclasses import replace as _dc_replace
+
+                static = _dc_replace(
+                    static,
+                    files=[f for f in static.files if f.key not in drop],
+                )
+            df = static.to_dataframe(spark, partition_filter)
         else:
             from functools import reduce
 
             files = self.pruned_files(spark, partition_filter)
+            if drop:
+                files = [f for f in files if f.key not in drop]
             plain = [f for f in files if f.key not in dv_keys]
             dv_files = [f for f in files if f.key in dv_keys]
             parts = []
@@ -511,7 +548,10 @@ class DeltaCatalog:
                 ],
                 *[F.col(c) for c in self.partition_cols],
             )
-        return df
+        # AFTER the physical→logical rename: the predicate names logical
+        # columns (pruning above matched them too — the log's stats keys
+        # are translated at load)
+        return df.where(stats_filter) if stats_filter is not None else df
 
 
 def read_delta_changes(

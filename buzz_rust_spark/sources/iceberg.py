@@ -1520,8 +1520,53 @@ class IcebergCatalog:
             kept_keys.update(f.key for f in kept)
         return [f for f in files if f.key in kept_keys]
 
+    # iceberg primitive types whose decoded manifest bounds the stats
+    # filter may prune on (numeric + string; temporal literals would need
+    # their own parsing domain — kept conservative)
+    _STATS_PRUNE_TYPES = {"int", "long", "float", "double", "string"}
+
+    def _stats_drop(self, spark, stats_filter: str) -> set[str]:
+        """Spark file keys PROVABLY disjoint from ``stats_filter``, from
+        the manifest entries' column bounds (the zone map z-ordered
+        compaction tightens).  Conservative by construction: files or
+        columns without decodable bounds, and predicate terms outside
+        the simple-conjunction subset, never cause a drop — the caller
+        applies the full predicate to the scan regardless, so pruning
+        can only shrink the file list, never change the result."""
+        from .zonemap import _may_match, stats_conjuncts_from_sql
+
+        name_to_id = {v: k for k, v in self._field_names.items()}
+        usable = []
+        for col, op, val in stats_conjuncts_from_sql(stats_filter):
+            fid = name_to_id.get(col)
+            t = self._field_types.get(fid) if fid is not None else None
+            if t not in self._STATS_PRUNE_TYPES:
+                continue
+            # comparison domains must match Spark's coercion: string
+            # bounds compare against quoted literals, numeric bounds
+            # against bare numerics — cross-domain terms never prune
+            if (t == "string") != isinstance(val, str):
+                continue
+            usable.append((fid, op, val))
+        if not usable:
+            return set()
+        bounds = self.file_key_bounds(
+            spark, sorted({fid for fid, _, _ in usable})
+        )
+        drop = set()
+        for path, per in bounds.items():
+            if not all(
+                fid not in per or _may_match(per[fid], op, val)
+                for fid, op, val in usable
+            ):
+                drop.add(_spark_uri(path))
+        return drop
+
     def to_dataframe(
-        self, spark: SparkSession, partition_filter: str | None = None
+        self,
+        spark: SparkSession,
+        partition_filter: str | None = None,
+        stats_filter: str | None = None,
     ) -> DataFrame:
         """Snapshot scan; ``partition_filter`` prunes at the manifest level.
 
@@ -1531,9 +1576,30 @@ class IcebergCatalog:
         reading on the pruned plain file list.  Position deletes apply as
         one anti-join on (file path, row index); equality deletes as
         null-safe anti-joins on their key columns, scoped to data files
-        with a strictly smaller sequence number."""
+        with a strictly smaller sequence number.
+
+        ``stats_filter`` is a ROW predicate (any Spark SQL) applied to
+        the scan — and additionally used to skip whole data files whose
+        manifest column bounds provably exclude it (zone-map pruning on
+        NON-partition columns, the read-side payoff of
+        ``rewrite_iceberg(zorder_by=...)``).  Results are exact whether
+        or not any file prunes; at 10^5 files the win is files never
+        listed into the scan."""
         partition_filter = self._rewrite_bucket_filter(partition_filter)
         files = self.pruned_files(spark, partition_filter)
+        if stats_filter is not None:
+            drop = self._stats_drop(spark, stats_filter)
+            if drop:
+                files = [f for f in files if f.key not in drop]
+        out = self._assemble_scan(spark, partition_filter, files)
+        return out.where(stats_filter) if stats_filter is not None else out
+
+    def _assemble_scan(
+        self,
+        spark: SparkSession,
+        partition_filter: str | None,
+        files: list,
+    ) -> DataFrame:
         plan = self._plan(spark, partition_filter)
         deletes = plan["deletes"]
         orc_keys = plan["orc_keys"]

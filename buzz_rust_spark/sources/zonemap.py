@@ -138,6 +138,33 @@ def prune_catalog_by_stats(
     )
 
 
+def stats_conjuncts_from_sql(filter_sql: str) -> list[tuple[str, str, Any]]:
+    """Extract zone-map conjuncts ``(col, op, value)`` from a SQL
+    predicate, via the same conservative conjunction parser the Iceberg
+    partition skipping uses.  STRICTLY an optimization extraction: terms
+    outside the subset (OR, functions, IN lists with several values,
+    unparseable literals) are simply DROPPED — the caller must still
+    apply the full predicate to the scan, so dropping a term only means
+    less pruning, never a wrong result.  Quoted literals stay strings;
+    bare literals become floats (matching Spark's numeric coercion)."""
+    from .iceberg import _parse_conjuncts
+
+    parsed = _parse_conjuncts(filter_sql)
+    out: list[tuple[str, str, Any]] = []
+    for col, op, vals in parsed or ():
+        if op not in _OPS or len(vals) != 1:
+            continue
+        raw, quoted = vals[0]
+        if quoted:
+            out.append((col, op, raw))
+        else:
+            try:
+                out.append((col, op, float(raw)))
+            except (TypeError, ValueError):
+                continue
+    return out
+
+
 def stats_from_delta_log(catalog) -> FileStats:
     """Zone-map stats from a Delta table's own log (the ``stats`` JSON the
     write path records on every add action) — zero footer reads: at 10^5

@@ -1916,3 +1916,40 @@ def test_restore_delta_restores_metadata(spark, tmp_path):
     cat2 = DeltaCatalog("t", root)
     assert [f.name for f in cat2.schema.fields] == ["id", "v", "w"]
     assert restore_delta(spark, root, 2) is None  # settled: no-op
+
+
+def test_stats_filter_prunes_scan_files_and_stays_exact(spark, tmp_path):
+    """DeltaCatalog.to_dataframe(stats_filter=...): after OPTIMIZE
+    ZORDER the band predicate scans fewer files (DataFrame.inputFiles)
+    with exactly the where() rows; on a DV-carrying table the pruning
+    composes with the deletion-vector anti-join without resurrecting or
+    losing rows."""
+    from buzz_rust_spark.sources import delete_delta, optimize_delta, write_delta
+
+    table = str(tmp_path / "t")
+    rows = [(i, float(i % 100), float((i * 37) % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    write_delta(df.repartition(4), table)
+    optimize_delta(spark, table, target_file_bytes=4096, zorder_by=["x", "y"])
+
+    cat = DeltaCatalog("t", table)
+    full = cat.to_dataframe(spark)
+    expect = sorted(
+        (r.id, r.x, r.y) for r in full.where("x < 10.0").collect()
+    )
+    filt = cat.to_dataframe(spark, stats_filter="x < 10.0")
+    assert len(filt.inputFiles()) < len(full.inputFiles())
+    assert sorted((r.id, r.x, r.y) for r in filt.collect()) == expect
+
+    # DV interplay: delete some matching rows via deletion vectors, then
+    # the stats-filtered read equals the where() read on the DV snapshot
+    delete_delta(spark, table, "id % 3 = 0 AND x < 20.0", mode="dv")
+    cat2 = DeltaCatalog("t", table)
+    expect2 = sorted(
+        r.id for r in cat2.to_dataframe(spark).where("x < 10.0").collect()
+    )
+    got2 = sorted(
+        r.id
+        for r in cat2.to_dataframe(spark, stats_filter="x < 10.0").collect()
+    )
+    assert got2 == expect2 and len(got2) < len(expect)

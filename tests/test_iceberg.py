@@ -1908,3 +1908,58 @@ def test_changelog_zone_map_prunes_from_state(spark, tmp_path):
         assert got == [(5, 5.0, "delete"), (5, 500.0, "insert")]
     finally:
         os.rename(high + ".hidden", high)
+
+
+def test_stats_filter_prunes_scan_files_and_stays_exact(spark, tmp_path):
+    """to_dataframe(stats_filter=...): after a z-ordered rewrite, a band
+    predicate on a clustered column scans FEWER files (observed via
+    DataFrame.inputFiles) while returning exactly the rows a plain
+    where() returns; predicates outside the prunable subset (OR) prune
+    nothing but stay exact; a filter on an unclustered query still
+    matches its where() twin."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(i, float(i % 100), float((i * 37) % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    write_iceberg(df.repartition(4), root, target_file_rows=500)
+    rewrite_iceberg(spark, root, target_file_rows=250, zorder_by=["x", "y"])
+
+    cat = IcebergCatalog("t", root)
+    full = cat.to_dataframe(spark)
+    expect = sorted(
+        (r.id, r.x, r.y) for r in full.where("x < 10.0").collect()
+    )
+    filt = cat.to_dataframe(spark, stats_filter="x < 10.0")
+    assert len(filt.inputFiles()) < len(full.inputFiles())
+    assert sorted((r.id, r.x, r.y) for r in filt.collect()) == expect
+
+    # OR predicates are outside the conjunct subset: no pruning, exact rows
+    pred = "x < 10.0 OR y >= 95.0"
+    both = cat.to_dataframe(spark, stats_filter=pred)
+    assert len(both.inputFiles()) == len(full.inputFiles())
+    assert sorted((r.id,) for r in both.collect()) == sorted(
+        (r.id,) for r in full.where(pred).collect()
+    )
+
+    # string-domain guard: a bare numeric against a string column must
+    # not prune (Spark coerces to double; string bounds are string-ordered)
+    cat2_root = str(tmp_path / "t2")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, str(i)) for i in range(30)], "id long, s string"
+        ).coalesce(1),
+        cat2_root,
+    )
+    cat2 = IcebergCatalog("t", cat2_root)
+    got = cat2.to_dataframe(spark, stats_filter="s > 9").collect()
+    assert sorted(r.id for r in got) == sorted(
+        r.id
+        for r in cat2.to_dataframe(spark).where("s > 9").collect()
+    )
+    # quoted string literals DO prune in the string domain
+    hit = cat2.to_dataframe(spark, stats_filter="s = 'zz'")
+    assert hit.count() == 0

@@ -3521,3 +3521,54 @@ def z45_cherry_pick_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "z46_zorder_pruned_scan",
+    tags=("source", "pipeline"),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_v
+FROM events
+WHERE user_id < 40 AND value < 100.0
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def z46_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction + zone-map read pruning, oracle-checked: events
+    land in an Iceberg table, ``rewrite_iceberg(zorder_by=[value,
+    user_id])`` re-clusters, and the aggregate runs over a
+    ``stats_filter`` scan whose band predicate must (a) skip at least one
+    file via the manifest bounds — asserted via ``inputFiles`` — and
+    (b) return exactly the relational recompute DuckDB produces from the
+    raw parquet."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import rewrite_iceberg, write_iceberg
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("user_id").cast("double").alias("u"),
+        F.col("value").alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z46_") + "/tbl"
+    write_iceberg(ev.repartition(8), root, target_file_rows=5000)
+    rewrite_iceberg(spark, root, target_file_rows=700, zorder_by=["v", "u"])
+    cat = IcebergCatalog("t", root)
+    pred = "u < 40.0 AND v < 100.0"
+    full = cat.to_dataframe(spark)
+    pruned = cat.to_dataframe(spark, stats_filter=pred)
+    assert len(pruned.inputFiles()) < len(full.inputFiles()), (
+        "zone-map pruning skipped nothing"
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+        )
+        .orderBy("event_type")
+    )

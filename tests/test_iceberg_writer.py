@@ -2701,6 +2701,42 @@ def test_cherry_pick_fast_forward_and_refusals(spark, tmp_path):
     assert rows() == [1, 2, 3, 4]
 
 
+def test_cherry_pick_survives_branch_drop_and_expiry(spark, tmp_path):
+    """The published data outlives the staging machinery: after a replay
+    cherry-pick, dropping the branch, expiring the staged snapshot, and
+    vacuuming with zero retention leaves main reading every row — the
+    rewritten publish manifest references the SAME data files, so
+    reachability keeps them even though the staged snapshot (and its
+    manifest) are gone."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        cherry_pick_iceberg,
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        vacuum_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(1,), (2,)], "id long"), root)
+    staged = write_iceberg(
+        spark.createDataFrame([(3,)], "id long"), root,
+        mode="append", branch="wap",
+    )
+    write_iceberg(
+        spark.createDataFrame([(4,)], "id long"), root, mode="append"
+    )
+    out = cherry_pick_iceberg(root, staged["snapshot_id"])
+    assert out["published"] == "replay"
+    drop_iceberg_ref(root, "wap")
+    expire_iceberg_snapshots(root, keep_last=1)
+    removed = vacuum_iceberg(root, retention_hours=0.0)
+    # the staged snapshot's manifest-list/manifest are reclaimable; its
+    # data file is NOT (main's publish manifest references it)
+    assert all(p.endswith(".avro") for p in removed)
+    assert sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    ) == [1, 2, 3, 4]
+
+
 def test_expire_keeps_branch_chain_for_fast_forward(spark, tmp_path):
     """Expiry retains a staged branch's private ancestor chain (not just
     its pinned head): after an aggressive keep_last=1 expire, the branch

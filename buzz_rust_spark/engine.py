@@ -137,7 +137,16 @@ class BuzzEngine:
                         continue
                     source = sources.get(ref)
                     if source is not None:
-                        df = source.to_dataframe(self.spark, step.partition_filter)
+                        if step.stats_filter is not None:
+                            df = source.to_dataframe(
+                                self.spark,
+                                step.partition_filter,
+                                stats_filter=step.stats_filter,
+                            )
+                        else:
+                            df = source.to_dataframe(
+                                self.spark, step.partition_filter
+                            )
                         df.createOrReplaceTempView(ref)
                         registered_views.append(ref)
                 try:
@@ -178,6 +187,10 @@ class BuzzEngine:
         if len(query.steps) != 2:
             return None
         s0, s1 = query.steps
+        if s0.stats_filter is not None:
+            # zone-map pruning + the zoned file split interact per-file;
+            # single-zone execution applies both correctly — fall back
+            return None
         if s0.step_type is not BuzzStepType.HBEE:
             return None
         if s1.step_type is not BuzzStepType.HCOMB:
@@ -295,6 +308,11 @@ class BuzzEngine:
             if step.partition_filter:
                 raise BuzzPlanError(
                     f"HComb step {step.name!r} cannot have a partition_filter "
+                    f"(filters apply to catalog scans at the HBee stage)"
+                )
+            if step.stats_filter:
+                raise BuzzPlanError(
+                    f"HComb step {step.name!r} cannot have a stats_filter "
                     f"(filters apply to catalog scans at the HBee stage)"
                 )
         if self.strict and step.step_type is BuzzStepType.HBEE and len(refs) > 1:

@@ -42,6 +42,10 @@ class BuzzStep:
     name: str
     step_type: BuzzStepType
     partition_filter: str | None = None
+    # rebuild extension: a row predicate applied to the step's catalog
+    # scans AND used for zone-map file skipping on column stats
+    # (non-partition columns — partition_filter's sibling)
+    stats_filter: str | None = None
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> BuzzStep:
@@ -51,6 +55,7 @@ class BuzzStep:
                 name=d["name"],
                 step_type=BuzzStepType(d["step_type"]),
                 partition_filter=d.get("partition_filter"),
+                stats_filter=d.get("stats_filter"),
             )
         except (KeyError, ValueError) as exc:
             raise BuzzBadRequestError(f"invalid step spec {d!r}: {exc}") from exc

@@ -3531,7 +3531,7 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 4) AS sum_v
 FROM events
-WHERE user_id < 40 AND value < 100.0
+WHERE user_id < 3 AND value < 100.0
 GROUP BY event_type ORDER BY event_type
 """,
 )
@@ -3555,10 +3555,18 @@ def z46_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
     )
     root = tempfile.mkdtemp(prefix="iceberg_z46_") + "/tbl"
-    write_iceberg(ev.repartition(8), root, target_file_rows=5000)
-    rewrite_iceberg(spark, root, target_file_rows=700, zorder_by=["v", "u"])
+    # size the rewrite for ~8 z-curve segments at ANY scale factor, and
+    # use a band on u selective at every SF (user ids start at 0), so the
+    # pruning assertion below is scale-independent
+    n = ev.count()
+    write_iceberg(ev.repartition(8), root, target_file_rows=max(50, n))
+    rewrite_iceberg(
+        spark, root,
+        target_file_rows=max(50, -(-n // 8)),
+        zorder_by=["v", "u"],
+    )
     cat = IcebergCatalog("t", root)
-    pred = "u < 40.0 AND v < 100.0"
+    pred = "u < 3.0 AND v < 100.0"
     full = cat.to_dataframe(spark)
     pruned = cat.to_dataframe(spark, stats_filter=pred)
     assert len(pruned.inputFiles()) < len(full.inputFiles()), (

@@ -25,12 +25,26 @@ class ParquetDirCatalog:
     schema: StructType | None = None
 
     def to_dataframe(
-        self, spark: SparkSession, partition_filter: str | None = None
+        self,
+        spark: SparkSession,
+        partition_filter: str | None = None,
+        stats_filter: str | None = None,
     ) -> DataFrame:
         reader = spark.read
         if self.schema is not None:
             reader = reader.schema(self.schema)
         df = reader.parquet(self.path)
+        if stats_filter:
+            # a directory scan has no catalog-level file list to prune:
+            # Catalyst pushes the predicate into the parquet scan where
+            # row-group min/max skipping does the equivalent work natively
+            try:
+                df = df.where(stats_filter)
+            except AnalysisException as exc:
+                raise BuzzPlanError(
+                    f"invalid stats_filter for catalog {self.name!r}: "
+                    f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+                ) from exc
         if partition_filter:
             # Catalyst turns this into directory-level partition pruning when
             # the filter hits hive-partition columns (PartitionFilters in the

@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from functools import reduce
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -116,9 +117,54 @@ class StaticCatalog:
         )
 
     def to_dataframe(
-        self, spark: SparkSession, partition_filter: str | None = None
+        self,
+        spark: SparkSession,
+        partition_filter: str | None = None,
+        stats_filter: str | None = None,
     ) -> DataFrame:
+        """``stats_filter`` is a ROW predicate (any Spark SQL) applied to
+        the scan — and additionally used to skip whole files whose parquet
+        footer min/max provably exclude it (zone-map pruning on
+        non-partition columns — ``partition_filter``'s sibling; pairs with
+        :func:`~.writer.write_zordered` layouts).  One footer read per
+        candidate file, conservative everywhere: ORC catalogs, columns
+        without stats, and predicate terms outside the simple-conjunction
+        subset prune nothing, and the full predicate always applies to
+        the scan, so results are exact regardless."""
         files = self.pruned_files(spark, partition_filter)
+        if stats_filter is not None and files and self.fmt == "parquet":
+            from .zonemap import (
+                collect_file_stats,
+                prune_files_by_stats,
+                stats_conjuncts_from_sql,
+            )
+
+            conjs = stats_conjuncts_from_sql(stats_filter)
+            if conjs:
+                resolved = {f.key: self.resolve_key(f.key) for f in files}
+                raw = collect_file_stats(
+                    list(resolved.values()),
+                    sorted({c for c, _, _ in conjs}),
+                )
+                files = prune_files_by_stats(
+                    files,
+                    {k: raw[uri] for k, uri in resolved.items()},
+                    conjs,
+                )
+        out = self._frame_for(spark, files)
+        if stats_filter is not None:
+            try:
+                out = out.where(stats_filter)
+            except AnalysisException as exc:
+                raise BuzzPlanError(
+                    f"invalid stats_filter for catalog {self.name!r}: "
+                    f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+                ) from exc
+        return out
+
+    def _frame_for(
+        self, spark: SparkSession, files: list[CatalogFile]
+    ) -> DataFrame:
         if not files:
             # Empty split set → empty result with the full schema, not an error
             # (reference: query_planner.rs:85-90, fuse_service.rs:80-83).

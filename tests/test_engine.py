@@ -529,3 +529,85 @@ def test_zoned_falls_back_when_reduce_reads_catalog_tables(spark, tmp_path):
     }
     rows = eng.run(BuzzQuery.from_dict(q)).collect()
     assert len(rows) == 1 and rows[0]["raw"] == 200
+
+
+def test_stats_filter_on_query_json(spark, sf_dir):
+    """stats_filter in the query JSON: applied to the catalog scan as a
+    row predicate (result ≡ the same predicate in the step SQL), refused
+    on HComb steps, and an unknown column surfaces as the typed plan
+    error — on both the Static and ParquetDir catalog types."""
+    import json
+
+    engine = BuzzEngine(spark)
+    engine.register_source(lineitem_catalog(sf_dir))
+
+    def q(**step0_extra):
+        return {
+            "steps": [
+                {
+                    "sql": (
+                        "SELECT l_returnflag, COUNT(*) AS n, "
+                        "SUM(l_quantity) AS qty FROM lineitem "
+                        "GROUP BY l_returnflag"
+                    ),
+                    "name": "m",
+                    "step_type": "HBee",
+                    **step0_extra,
+                },
+                {
+                    "sql": (
+                        "SELECT l_returnflag, SUM(n) AS n, SUM(qty) AS qty "
+                        "FROM m GROUP BY l_returnflag ORDER BY l_returnflag"
+                    ),
+                    "name": "r",
+                    "step_type": "HComb",
+                },
+            ],
+        }
+
+    expect = [
+        (r.l_returnflag, r.n, r.qty)
+        for r in engine.run_json(json.dumps({
+            "steps": [
+                {
+                    "sql": (
+                        "SELECT l_returnflag, COUNT(*) AS n, "
+                        "SUM(l_quantity) AS qty FROM lineitem "
+                        "WHERE l_quantity < 10 GROUP BY l_returnflag "
+                        "ORDER BY l_returnflag"
+                    ),
+                    "name": "m",
+                    "step_type": "HBee",
+                },
+            ],
+        })).collect()
+    ]
+    got = [
+        (r.l_returnflag, r.n, r.qty)
+        for r in engine.run_json(
+            json.dumps(q(stats_filter="l_quantity < 10"))
+        ).collect()
+    ]
+    assert got == expect and len(got) == 3
+
+    # ParquetDir catalog type takes the same surface
+    pd_query = q(stats_filter="l_quantity < 10")
+    pd_query["catalogs"] = [{
+        "name": "lineitem", "type": "ParquetDir",
+        "uri": os.path.join(sf_dir, "lineitem.parquet"),
+    }]
+    got_pd = [
+        (r.l_returnflag, r.n, r.qty)
+        for r in engine.run_json(json.dumps(pd_query)).collect()
+    ]
+    assert got_pd == expect
+
+    # HComb steps cannot carry it
+    bad = q()
+    bad["steps"][1]["stats_filter"] = "n > 0"
+    with pytest.raises(BuzzPlanError, match="stats_filter"):
+        engine.run_json(json.dumps(bad))
+
+    # unknown column → typed plan error, not a raw AnalysisException
+    with pytest.raises(BuzzPlanError, match="stats_filter"):
+        engine.run_json(json.dumps(q(stats_filter="no_such_col < 10")))

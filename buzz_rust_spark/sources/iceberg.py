@@ -1545,7 +1545,8 @@ class IcebergCatalog:
             # comparison domains must match Spark's coercion: string
             # bounds compare against quoted literals, numeric bounds
             # against bare numerics — cross-domain terms never prune
-            if (t == "string") != isinstance(val, str):
+            elems = val if isinstance(val, list) else [val]
+            if any((t == "string") != isinstance(v, str) for v in elems):
                 continue
             usable.append((fid, op, val))
         if not usable:

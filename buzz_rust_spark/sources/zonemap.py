@@ -28,7 +28,7 @@ from ..errors import BuzzBadRequestError
 from .manifest import CatalogFile
 from .static_catalog import StaticCatalog
 
-_OPS = {"=", "<", "<=", ">", ">=", "between"}
+_OPS = {"=", "<", "<=", ">", ">=", "between", "in"}
 
 # (col, min, max) per file; None min/max = no stats for that column → keep.
 FileStats = dict[str, dict[str, tuple[Any, Any]]]
@@ -85,6 +85,10 @@ def _may_match(interval: tuple[Any, Any], op: str, value: Any) -> bool:
             return hi > value
         if op == ">=":
             return hi >= value
+        if op == "in":
+            # value = list of candidates; the file may match if ANY falls
+            # inside its interval
+            return any(lo <= v <= hi for v in value)
         # between: value = (a, b) inclusive
         a, b = value
         return hi >= a and lo <= b
@@ -152,16 +156,27 @@ def stats_conjuncts_from_sql(filter_sql: str) -> list[tuple[str, str, Any]]:
     parsed = _parse_conjuncts(filter_sql)
     out: list[tuple[str, str, Any]] = []
     for col, op, vals in parsed or ():
-        if op not in _OPS or len(vals) != 1:
+        if op not in _OPS:
             continue
-        raw, quoted = vals[0]
-        if quoted:
-            out.append((col, op, raw))
-        else:
-            try:
-                out.append((col, op, float(raw)))
-            except (TypeError, ValueError):
-                continue
+        decoded = []
+        ok = True
+        for raw, quoted in vals:
+            if quoted:
+                decoded.append(raw)
+            else:
+                try:
+                    decoded.append(float(raw))
+                except (TypeError, ValueError):
+                    ok = False
+                    break
+        # mixed string/numeric IN lists take different comparison domains
+        # per element — skip the term rather than half-prune it
+        if not ok or len({type(v) for v in decoded}) != 1:
+            continue
+        if op == "in":
+            out.append((col, "in", decoded))
+        elif len(decoded) == 1:
+            out.append((col, op, decoded[0]))
     return out
 
 

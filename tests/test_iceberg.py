@@ -1963,3 +1963,11 @@ def test_stats_filter_prunes_scan_files_and_stays_exact(spark, tmp_path):
     # quoted string literals DO prune in the string domain
     hit = cat2.to_dataframe(spark, stats_filter="s = 'zz'")
     assert hit.count() == 0
+    # IN lists prune when NO candidate falls inside a file's bounds, and
+    # stay exact when some do
+    assert cat2.to_dataframe(spark, stats_filter="s IN ('zz', 'yy')").count() == 0
+    sel = cat.to_dataframe(spark, stats_filter="x IN (1.0, 2.0)")
+    assert len(sel.inputFiles()) < len(full.inputFiles())
+    assert sorted((r.id,) for r in sel.collect()) == sorted(
+        (r.id,) for r in full.where("x IN (1.0, 2.0)").collect()
+    )

@@ -1482,6 +1482,7 @@ def merge_delta(
     when_not_matched: str | None = "insert",
     checkpoint_interval: int = 10,
     max_commit_retries: int = 5,
+    schema_mode: str = "strict",
     store=None,
 ) -> int | None:
     """MERGE INTO (upsert) with copy-on-write file rewrites — the missing
@@ -1490,7 +1491,12 @@ def merge_delta(
     refresh).  ``when_matched``: ``'update'`` replaces the matched target row
     with the source row, ``'delete'`` drops it, ``None`` leaves it.
     ``when_not_matched='insert'`` appends source rows whose keys are absent.
-    Whole-row semantics: the source schema must equal the table schema.
+    Whole-row semantics: the source schema must equal the table schema —
+    or pass ``schema_mode='merge'`` to reconcile drift like
+    :func:`write_delta` (new columns evolve in, missing nullable columns
+    null-fill — note updated rows take the source row WHOLESALE, so a
+    null-filled column becomes NULL there, not "unchanged"; lossless
+    upcasts only).
 
     Returns the committed version, or ``None`` when the merge is a no-op.
 
@@ -1535,8 +1541,26 @@ def merge_delta(
     for k in on:
         if k not in names:
             raise BuzzBadRequestError(f"merge key {k!r} not a table column")
+    if schema_mode not in ("strict", "merge"):
+        raise BuzzBadRequestError(
+            f"schema_mode must be strict|merge, got {schema_mode!r}"
+        )
     ours = {f.name: f.dataType for f in source.schema.fields}
     theirs = {f.name: f.dataType for f in schema.fields}
+    if ours != theirs and schema_mode == "merge":
+        # same reconciliation as write_delta(schema_mode='merge').  NOTE
+        # on upsert semantics: when_matched='update' replaces the target
+        # row with the SOURCE row wholesale, so a null-filled missing
+        # column becomes NULL in updated rows (full-row upsert), never
+        # "unchanged".
+        source, evolved = _merge_write_schema(source, schema, table_uri, store)
+        if evolved:
+            last_version, live, meta = _log_state(log_dir)
+            basis_proto = dict(_current_protocol(log_dir))
+            schema = _declared_schema(meta)
+            names = [f.name for f in schema.fields]
+        ours = {f.name: f.dataType for f in source.schema.fields}
+        theirs = {f.name: f.dataType for f in schema.fields}
     if ours != theirs:
         raise BuzzSchemaError(
             f"merge source schema mismatch vs table metaData: {sorted(ours)}"

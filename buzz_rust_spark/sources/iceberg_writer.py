@@ -2775,6 +2775,7 @@ def merge_iceberg(
     set_properties: dict[str, str] | None = None,
     expect_properties: dict[str, str] | None = None,
     branch: str | None = None,
+    schema_mode: str = "strict",
     store=None,
 ) -> dict | None:
     """UPSERT ``source`` into the Iceberg table by ``key_cols`` — the
@@ -2830,7 +2831,27 @@ def merge_iceberg(
     _require_expected_properties(meta, expect_properties)
     sid = meta.get("current-schema-id", 0)
     schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
+    if schema_mode not in ("strict", "merge"):
+        raise BuzzBadRequestError(
+            f"schema_mode must be strict|merge, got {schema_mode!r}"
+        )
     order = _schema_fields_match(schema_json, source.schema)
+    if order is None and schema_mode == "merge":
+        # same reconciliation as write_iceberg(schema_mode='merge').
+        # NOTE on upsert semantics: the merge replaces matched rows with
+        # SOURCE rows wholesale, so a null-filled missing column becomes
+        # NULL in updated rows (full-row upsert), never "unchanged".
+        source, evolved = _merge_write_schema(
+            source, schema_json, table_uri, store
+        )
+        if evolved:
+            version, meta = _load_v2_meta(root, table_uri)
+            _require_expected_properties(meta, expect_properties)
+            sid = meta.get("current-schema-id", 0)
+            schema_json = next(
+                s for s in meta["schemas"] if s.get("schema-id") == sid
+            )
+        order = _schema_fields_match(schema_json, source.schema)
     if order is None:
         raise BuzzSchemaError(
             "source schema does not match the iceberg table schema "

@@ -201,3 +201,44 @@ def test_delete_null_predicate_rows_survive(spark, tmp_path):
 def test_delete_bad_predicate_rejected(spark, two_file_table):
     with pytest.raises(BuzzBadRequestError, match="predicate"):
         delete_delta(spark, two_file_table, "no_such_column = 1")
+
+
+def test_merge_schema_mode_merge_reconciles_drift(spark, tmp_path):
+    """merge_delta(schema_mode='merge'): a CDC source carrying a NEW
+    column evolves it into the table mid-upsert (pre-existing rows read
+    NULL), and a source MISSING a nullable column null-fills it — with
+    the documented full-row semantics: the updated row's missing column
+    becomes NULL.  Strict mode still refuses the same drift."""
+    import pytest
+
+    from buzz_rust_spark.errors import BuzzSchemaError
+    from buzz_rust_spark.sources import merge_delta, write_delta
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+
+    table = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        table,
+    )
+    src = spark.createDataFrame(
+        [(2, "B2", 7.5), (3, "c", 1.0)], "id long, v string, score double"
+    ).coalesce(1)
+    with pytest.raises(BuzzSchemaError, match="mismatch"):
+        merge_delta(spark, table, src, on=["id"])
+    merge_delta(spark, table, src, on=["id"], schema_mode="merge")
+    rows = {
+        (r.id, r.v, r.score)
+        for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    }
+    assert rows == {(1, "a", None), (2, "B2", 7.5), (3, "c", 1.0)}
+
+    # source missing v: the updated row's v becomes NULL (full-row upsert)
+    src2 = spark.createDataFrame([(3, 9.0)], "id long, score double").coalesce(1)
+    merge_delta(spark, table, src2, on=["id"], schema_mode="merge")
+    rows = {
+        (r.id, r.v, r.score)
+        for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    }
+    assert rows == {(1, "a", None), (2, "B2", 7.5), (3, None, 9.0)}

@@ -2812,3 +2812,36 @@ def test_drop_iceberg_ref_releases_chain(spark, tmp_path):
     assert sorted(
         r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
     ) == [1, 3]
+
+
+def test_merge_schema_mode_merge_reconciles_drift(spark, tmp_path):
+    """merge_iceberg(schema_mode='merge'): a CDC source with a NEW
+    column evolves it in mid-upsert, a source MISSING an optional column
+    null-fills it (full-row upsert: the updated row's missing column is
+    NULL), strict mode still refuses."""
+    from buzz_rust_spark.errors import BuzzSchemaError
+    from buzz_rust_spark.sources.iceberg_writer import merge_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    src = spark.createDataFrame(
+        [(2, "B2", 7.5), (3, "c", 1.0)], "id long, v string, score double"
+    ).coalesce(1)
+    with pytest.raises(BuzzSchemaError, match="does not match"):
+        merge_iceberg(spark, root, src, ["id"])
+    merge_iceberg(spark, root, src, ["id"], schema_mode="merge")
+    rows = {
+        (r.id, r.v, r.score)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert rows == {(1, "a", None), (2, "B2", 7.5), (3, "c", 1.0)}
+
+    src2 = spark.createDataFrame([(3, 9.0)], "id long, score double").coalesce(1)
+    merge_iceberg(spark, root, src2, ["id"], schema_mode="merge")
+    rows = {
+        (r.id, r.v, r.score)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert rows == {(1, "a", None), (2, "B2", 7.5), (3, None, 9.0)}

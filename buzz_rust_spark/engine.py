@@ -51,7 +51,10 @@ class CatalogSource(Protocol):
     name: str
 
     def to_dataframe(
-        self, spark: SparkSession, partition_filter: str | None = None
+        self,
+        spark: SparkSession,
+        partition_filter: str | None = None,
+        stats_filter: str | None = None,
     ) -> DataFrame: ...
 
 

@@ -62,3 +62,13 @@ class BuzzCommitAbortedError(BuzzExecutionError):
     the current table state."""
 
     retryable = False
+
+
+class BuzzRebootstrapError(BuzzExecutionError):
+    """An incremental window over a table's history cannot be read — the
+    coordinates/snapshots it needs were rewritten or expired (a position
+    delete landing after an in-range compaction rewrote its targets, a
+    cursor pointing into expired/forked history).  The CURRENT state is
+    fully intact: consumers recover by re-bootstrapping from a full
+    snapshot read instead of the incremental feed.  Subclasses
+    ``BuzzExecutionError`` so existing handlers keep matching."""

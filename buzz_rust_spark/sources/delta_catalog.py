@@ -291,6 +291,9 @@ class DeltaCatalog:
         self.resolved_version: int = max_seen
 
         full = StructType.fromJson(json.loads(meta["schemaString"]))
+        # logical name → Spark type for the whole declared schema (the
+        # zone-map domain guard keys on it)
+        self._logical_types = {f.name: f.dataType for f in full.fields}
         self.partition_cols: list[str] = list(meta.get("partitionColumns", []))
         # Column mapping (reader protocol 2): mode=name scans by the stable
         # PHYSICAL names (col-<uuid>) and renames back to logical; mode=id
@@ -490,6 +493,26 @@ class DeltaCatalog:
             )
 
             conjs = stats_conjuncts_from_sql(stats_filter)
+            # domain guard (the Iceberg path's _STATS_PRUNE_TYPES twin):
+            # prune only where the DECLARED column type matches the
+            # literal's comparison domain — numeric literals on numeric
+            # columns, quoted strings on string columns.  External logs
+            # serialize temporal stats as ISO strings whose lexicographic
+            # order differs from Spark's casted comparison (the 'T'
+            # separator sorts above space/digits), so temporal and
+            # complex columns never prune.
+            from pyspark.sql.types import NumericType, StringType
+
+            def _domain_ok(col, val):
+                dt = self._logical_types.get(col)
+                elems = val if isinstance(val, list) else [val]
+                if isinstance(dt, StringType):
+                    return all(isinstance(v, str) for v in elems)
+                if isinstance(dt, NumericType):
+                    return all(not isinstance(v, str) for v in elems)
+                return False
+
+            conjs = [(c, o, v) for c, o, v in conjs if _domain_ok(c, v)]
             if conjs:
                 kept = {
                     f.key
@@ -551,7 +574,19 @@ class DeltaCatalog:
         # AFTER the physical→logical rename: the predicate names logical
         # columns (pruning above matched them too — the log's stats keys
         # are translated at load)
-        return df.where(stats_filter) if stats_filter is not None else df
+        if stats_filter is not None:
+            from pyspark.errors import AnalysisException
+
+            from ..errors import BuzzPlanError
+
+            try:
+                df = df.where(stats_filter)
+            except AnalysisException as exc:
+                raise BuzzPlanError(
+                    f"invalid stats_filter for catalog {self.name!r}: "
+                    f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+                ) from exc
+        return df
 
 
 def read_delta_changes(

@@ -1593,7 +1593,17 @@ class IcebergCatalog:
             if drop:
                 files = [f for f in files if f.key not in drop]
         out = self._assemble_scan(spark, partition_filter, files)
-        return out.where(stats_filter) if stats_filter is not None else out
+        if stats_filter is not None:
+            from pyspark.errors import AnalysisException
+
+            try:
+                out = out.where(stats_filter)
+            except AnalysisException as exc:
+                raise BuzzPlanError(
+                    f"invalid stats_filter for catalog {self.name!r}: "
+                    f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+                ) from exc
+        return out
 
     def _assemble_scan(
         self,
@@ -2431,7 +2441,9 @@ def read_iceberg_changelog(
         }  # O(referenced files), driver-side
         unknown = sorted(refs - known_rec)
         if unknown:
-            raise BuzzExecutionError(
+            from ..errors import BuzzRebootstrapError
+
+            raise BuzzRebootstrapError(
                 f"in-range position deletes reference {len(unknown)} "
                 "file(s) neither live at from_snapshot nor added in the "
                 f"window (first: {unknown[0]!r}) — likely rewritten by an "

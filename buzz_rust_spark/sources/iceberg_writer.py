@@ -1142,6 +1142,15 @@ def _merge_write_schema(
             matches = _iceberg_type(tice) == f.dataType
         if matches:
             continue
+        if not isinstance(tice, str):
+            # nested table type (struct/list/map) with a differing
+            # DataFrame type: no upcast story — typed refusal, not the
+            # unhashable-dict crash a _MERGE_UPCASTS lookup would be
+            raise BuzzSchemaError(
+                f"schema_mode='merge': column {f.name!r} is "
+                f"{f.dataType.simpleString()} but the table declares a "
+                "nested type — nested columns must match exactly"
+            )
         if f.dataType.simpleString() in _MERGE_UPCASTS.get(tice, ()):
             df = df.withColumn(
                 f.name, F.col(f.name).cast(_iceberg_type(tice))
@@ -1190,6 +1199,8 @@ def write_iceberg(
     branch: str | None = None,
     zorder_by: list[str] | None = None,
     schema_mode: str = "strict",
+    set_properties: dict[str, str] | None = None,
+    expect_properties: dict[str, str] | None = None,
     _operation: str | None = None,
     _expect_snapshot_id: int | None = None,
     _basis_manifests: list[dict] | None = None,
@@ -1242,6 +1253,12 @@ def write_iceberg(
     committed content is identical.  Cost: one min/max pass for the
     scaling plus a range shuffle on the key.
 
+    ``set_properties`` applies table-property updates ATOMICALLY with the
+    write's metadata promote, and ``expect_properties`` CAS-validates a
+    read-compute-commit basis (both exactly as on :func:`merge_iceberg`)
+    — how a matview RE-BOOTSTRAP overwrites state and cursor in one
+    commit that loses cleanly to a concurrent refresh.
+
     ``schema_mode='merge'`` (Spark's ``mergeSchema`` / Delta's
     ``autoMerge`` analogue) reconciles a drifted DataFrame schema
     instead of refusing: NEW columns evolve into the table (one
@@ -1274,9 +1291,23 @@ def write_iceberg(
             raise BuzzBadRequestError(
                 f"partition column {src!r} not in dataframe columns"
             )
+    if set_properties and any(
+        k.startswith("buzz.txn.") for k in set_properties
+    ):
+        raise BuzzBadRequestError(
+            "properties under buzz.txn. are exactly-once transaction "
+            "markers managed by snapshot expiry — refusing to overwrite"
+        )
 
     existing = _load_meta(root)
     now_ms = int(time.time() * 1000)
+    if existing is not None:
+        _require_expected_properties(existing[1], expect_properties)
+    elif expect_properties:
+        raise BuzzCommitAbortedError(
+            "expect_properties given but the table does not exist — the "
+            "operation's basis is stale; re-run against the current table"
+        )
 
     if existing is not None and txn_app_id is not None:
         # snapshot summaries are the primary record; expired snapshots'
@@ -1516,6 +1547,12 @@ def write_iceberg(
 
     def _attempt(state):
         version_a, meta_a, prev_a, existed_a = state
+        if set_properties:
+            # atomic with the snapshot promote (merge_iceberg's shape)
+            meta_a = dict(meta_a)
+            props = dict(meta_a.get("properties") or {})
+            props.update({str(k): str(v) for k, v in set_properties.items()})
+            meta_a["properties"] = props
         seq = int(meta_a.get("last-sequence-number", 0)) + 1
         snap_id = uuid.uuid4().int >> 65  # positive, fits a long
         manifest_path = _write_manifest(
@@ -1571,6 +1608,7 @@ def write_iceberg(
     def _refresh():
         version_f, meta_f = _load_v2_meta(root, table_uri)
         _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
+        _require_expected_properties(meta_f, expect_properties)
         commute_f: list[dict] = []
         if (
             _expect_snapshot_id is not None

@@ -288,12 +288,53 @@ def refresh_materialization(
     if str(pos) == cursor:
         return None  # source unchanged since the cursor
 
-    cl = _read_source_changelog(
-        spark, source_uri, source_format, cursor, str(pos)
-    )
-    delta = _agg_delta(cl, group_cols, sum_cols, min_cols, max_cols).persist()
+    from ..errors import BuzzRebootstrapError
+
     try:
-        if delta.limit(1).count() == 0:
+        cl = _read_source_changelog(
+            spark, source_uri, source_format, cursor, str(pos)
+        )
+        delta = _agg_delta(cl, group_cols, sum_cols, min_cols, max_cols)
+        delta = delta.persist()
+        delta_rows = delta.limit(1).count()
+    except BuzzRebootstrapError:
+        # The window's coordinates are unmappable (e.g. a position delete
+        # landed after an in-range compaction rewrote its targets) but the
+        # CURRENT source state is fully intact — recover with a pinned
+        # full recompute committed as ONE overwrite that carries the new
+        # cursor atomically and CASes on the old one, so a concurrent
+        # refresh that already advanced it wins and this recovery aborts
+        # typed instead of clobbering newer state.
+        src = _pinned_source(spark, source_uri, source_format, pos)
+        aggs = (
+            [F.count(F.lit(1)).cast("long").alias("n_rows")]
+            + [
+                F.sum(F.col(c).cast("double")).alias(f"sum_{c}")
+                for c in sum_cols
+            ]
+            + [F.min(c).alias(f"min_{c}") for c in min_cols]
+            + [F.max(c).alias(f"max_{c}") for c in max_cols]
+        )
+        state = src.groupBy(*group_cols).agg(*aggs)
+        for c in sum_cols:
+            state = state.withColumn(
+                f"sum_{c}", F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+            )
+        out = write_iceberg(
+            state,
+            target_uri,
+            mode="overwrite",
+            set_properties={CURSOR_PROP: str(pos)},
+            expect_properties={CURSOR_PROP: cursor},
+        )
+        return {
+            **(out or {}),
+            "cursor": str(pos),
+            "bootstrapped": True,
+            "rebootstrap": "unmappable incremental window",
+        }
+    try:
+        if delta_rows == 0:
             # commits existed but netted to zero rows (e.g. compactions):
             # still advance the cursor so polls stay O(new history).
             # expect_props CASes on the cursor this window was computed

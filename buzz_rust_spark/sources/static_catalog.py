@@ -133,24 +133,18 @@ class StaticCatalog:
         the scan, so results are exact regardless."""
         files = self.pruned_files(spark, partition_filter)
         if stats_filter is not None and files and self.fmt == "parquet":
+            from dataclasses import replace
+
             from .zonemap import (
-                collect_file_stats,
-                prune_files_by_stats,
+                prune_catalog_by_stats,
                 stats_conjuncts_from_sql,
             )
 
             conjs = stats_conjuncts_from_sql(stats_filter)
             if conjs:
-                resolved = {f.key: self.resolve_key(f.key) for f in files}
-                raw = collect_file_stats(
-                    list(resolved.values()),
-                    sorted({c for c, _, _ in conjs}),
-                )
-                files = prune_files_by_stats(
-                    files,
-                    {k: raw[uri] for k, uri in resolved.items()},
-                    conjs,
-                )
+                files = prune_catalog_by_stats(
+                    replace(self, files=files), conjs
+                ).files
         out = self._frame_for(spark, files)
         if stats_filter is not None:
             try:

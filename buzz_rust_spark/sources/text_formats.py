@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..errors import BuzzBadRequestError
+from pyspark.errors import AnalysisException
+
+from ..errors import BuzzBadRequestError, BuzzPlanError
 
 _CORRUPT = "_corrupt_record"
 
@@ -110,7 +112,10 @@ class CsvCatalog:
     options: dict = field(default_factory=dict)
 
     def to_dataframe(
-        self, spark: SparkSession, partition_filter: str | None = None
+        self,
+        spark: SparkSession,
+        partition_filter: str | None = None,
+        stats_filter: str | None = None,
     ) -> DataFrame:
         if self.schema is None or not self.schema.fields:
             raise BuzzBadRequestError(
@@ -133,6 +138,16 @@ class CsvCatalog:
             df = _failfast_reader(spark, self.schema, opts).csv(self.path)
         if partition_filter:
             df = df.where(partition_filter)
+        if stats_filter:
+            # row formats carry no per-file column stats to prune on; the
+            # predicate still applies exactly (Catalyst pushes it down)
+            try:
+                df = df.where(stats_filter)
+            except AnalysisException as exc:
+                raise BuzzPlanError(
+                    f"invalid stats_filter for catalog {self.name!r}: "
+                    f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+                ) from exc
         return df
 
 
@@ -147,7 +162,10 @@ class JsonLinesCatalog:
     options: dict = field(default_factory=dict)
 
     def to_dataframe(
-        self, spark: SparkSession, partition_filter: str | None = None
+        self,
+        spark: SparkSession,
+        partition_filter: str | None = None,
+        stats_filter: str | None = None,
     ) -> DataFrame:
         if self.schema is None or not self.schema.fields:
             raise BuzzBadRequestError(
@@ -164,6 +182,16 @@ class JsonLinesCatalog:
             )
         if partition_filter:
             df = df.where(partition_filter)
+        if stats_filter:
+            # row formats carry no per-file column stats to prune on; the
+            # predicate still applies exactly (Catalyst pushes it down)
+            try:
+                df = df.where(stats_filter)
+            except AnalysisException as exc:
+                raise BuzzPlanError(
+                    f"invalid stats_filter for catalog {self.name!r}: "
+                    f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+                ) from exc
         return df
 
 

@@ -164,14 +164,21 @@ def stats_conjuncts_from_sql(filter_sql: str) -> list[tuple[str, str, Any]]:
             if quoted:
                 decoded.append(raw)
             else:
+                # integer literals stay exact ints: float() rounds past
+                # 2^53, and a rounded equality bound could wrongly prune
+                # the file holding the matching long value
                 try:
-                    decoded.append(float(raw))
+                    decoded.append(
+                        int(raw) if "." not in str(raw) else float(raw)
+                    )
                 except (TypeError, ValueError):
                     ok = False
                     break
         # mixed string/numeric IN lists take different comparison domains
-        # per element — skip the term rather than half-prune it
-        if not ok or len({type(v) for v in decoded}) != 1:
+        # per element — skip the term rather than half-prune it (ints and
+        # floats share the numeric domain)
+        domains = {str if isinstance(v, str) else float for v in decoded}
+        if not ok or len(domains) != 1:
             continue
         if op == "in":
             out.append((col, "in", decoded))

@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.classifier import TextClassifierModel, classifier_weights_df
 from ..operators.corpus import CorpusPrepConfig
-from ..sources.delta_catalog import DeltaCatalog, read_delta_changes
+from ..sources.delta_catalog import (
+    DeltaCatalog,
+    _commit_versions,
+    read_delta_changes,
+)
 from ..sources.logstore import LogStore
 from .bloom_ingest import DEFAULT_NUM_BITS, DEFAULT_NUM_HASHES, dedup_commit_batch
 from .corpus_ingest import _clean_batch
@@ -56,13 +60,24 @@ def delta_changes_poll(
     store = LogStore(source_uri, region=region)
     if not store.isdir("_delta_log"):
         return None, cursor, -1
-    cat = DeltaCatalog("_tail", source_uri, region=region)
-    cur_v = cat.resolved_version
     if cursor is None:
+        # bootstrap: the one path that genuinely needs the full snapshot —
+        # and the cursor must come from the CATALOG's resolved version
+        # (a commit landing between a listing and the construction would
+        # otherwise be re-read by the next poll as a duplicate)
+        cat = DeltaCatalog("_tail", source_uri, region=region)
+        cur_v = cat.resolved_version
         df = cat.to_dataframe(spark).withColumn(
             "_commit_version", F.lit(int(cur_v)).cast("long")
         )
         return df, cur_v, cur_v
+    # incremental/no-op polls take the latest version from the commit
+    # LISTING alone — never the full log replay a DeltaCatalog
+    # construction performs (O(history) live-state build, discarded)
+    versions = _commit_versions(store)
+    if not versions:
+        return None, cursor, -1
+    cur_v = versions[-1][0]
     if int(cursor) >= cur_v:
         return None, cursor, cur_v
     df = read_delta_changes(spark, source_uri, int(cursor), cur_v, region=region)

@@ -653,3 +653,77 @@ def test_join_matview_overlap_guard(spark, tmp_path):
         refresh_join_materialization(
             spark, a, b, str(tmp_path / "mv"), ["k"], ["g"], ["g"]
         )
+
+
+def test_refresh_rebootstraps_over_unmappable_window(spark, tmp_path):
+    """A refresh window containing compactions that rewrote the files a
+    later position delete targets is unmappable (the changelog's typed
+    BuzzRebootstrapError) — refresh_materialization recovers with a
+    pinned full recompute committed as ONE overwrite carrying the new
+    cursor (CAS on the old), and the state equals the relational
+    recompute.  (Deterministic pin of the hypothesis-found sequence
+    merge → rewrite → rewrite → delete with a single trailing refresh.)"""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.materialize import (
+        read_materialization,
+        refresh_materialization,
+    )
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "mv")
+    write_iceberg(
+        spark.createDataFrame(
+            [(0, "a", 3.0), (1, "b", 8.0)], "id long, g string, v double"
+        ),
+        src,
+    )
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    refresh_materialization(spark, src, tgt, ["g"], **kw)
+    merge_iceberg(
+        spark, src,
+        spark.createDataFrame(
+            [(0, "a", 0.0)], "id long, g string, v double"
+        ).coalesce(1),
+        ["id"],
+    )
+    rewrite_iceberg(spark, src)
+    rewrite_iceberg(spark, src)
+    delete_iceberg(spark, src, "v = 0.0")
+    out = refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert out["bootstrapped"] is True and "rebootstrap" in out
+    got = sorted(
+        (r.g, r.n_rows, r.sum_v, r.min_v, r.max_v)
+        for r in read_materialization(spark, tgt).collect()
+    )
+    want = sorted(
+        (r.g, r.n, r.s, r.mn, r.mx)
+        for r in IcebergCatalog("s", src)
+        .to_dataframe(spark)
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("v"), F.lit(0.0)).alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    assert got == want
+    # a subsequent ordinary incremental refresh still works off the new cursor
+    write_iceberg(
+        spark.createDataFrame([(9, "a", 5.0)], "id long, g string, v double"),
+        src, mode="append",
+    )
+    out2 = refresh_materialization(spark, src, tgt, ["g"], **kw)
+    assert out2 is not None and "rebootstrap" not in out2
+    assert ("a", 1, 5.0, 5.0, 5.0) in {
+        (r.g, r.n_rows, r.sum_v, r.min_v, r.max_v)
+        for r in read_materialization(spark, tgt).collect()
+    }

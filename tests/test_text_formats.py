@@ -151,3 +151,16 @@ def test_csv_permissive_drops_quoted_and_crlf_headers(spark, tmp_path):
     rows = cat.to_dataframe(spark).where("_corrupt_record is null").collect()
     got = sorted((r["id"], r["name"]) for r in rows)
     assert got == [(1, "alpha"), (2, "beta")]
+
+
+def test_csv_json_accept_stats_filter(spark, csv_dir):
+    """Row-format catalogs take the engine's stats_filter kwarg (no
+    per-file stats to prune, but the predicate applies exactly and an
+    unknown column is the typed plan error — the CatalogSource contract
+    every source must satisfy now that BuzzStep carries stats_filter)."""
+    from buzz_rust_spark.errors import BuzzPlanError
+
+    cat = CsvCatalog(name="t", path=csv_dir, schema=SCHEMA)
+    assert cat.to_dataframe(spark, stats_filter="qty > 15").count() == 2
+    with pytest.raises(BuzzPlanError, match="stats_filter"):
+        cat.to_dataframe(spark, stats_filter="no_such < 1")

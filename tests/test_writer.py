@@ -281,3 +281,52 @@ def test_zonemap_tolerates_null_and_cross_type_stats():
     # both must survive conservatively
     kept = prune_files_by_stats(files, stats, [("x", "=", 5)])
     assert [f.key for f in kept] == ["a", "b"]
+
+
+def test_stats_conjunct_extraction_domains():
+    """The zone-map conjunct extraction keeps integer literals EXACT
+    (float() rounds past 2^53 — a rounded equality bound could wrongly
+    prune the file holding the matching long), maps IN lists to the
+    any-candidate op, and drops mixed-domain terms."""
+    from buzz_rust_spark.sources.zonemap import (
+        _may_match,
+        stats_conjuncts_from_sql,
+    )
+
+    big = 2**53 + 1  # 9007199254740993; float() collapses it to 2^53
+    conjs = stats_conjuncts_from_sql(f"id = {big}")
+    assert conjs == [("id", "=", big)] and isinstance(conjs[0][2], int)
+    assert _may_match((big, big), "=", conjs[0][2]) is True
+    assert _may_match((big, big), "=", float(big)) is False  # the old bug
+
+    assert stats_conjuncts_from_sql("x IN (1, 2.5)") == [
+        ("x", "in", [1, 2.5])
+    ]  # ints and floats share the numeric domain
+    assert stats_conjuncts_from_sql("x IN (1, 'a')") == []  # mixed domains
+    assert stats_conjuncts_from_sql("x < 10 OR y < 2") == []  # not a conjunction
+
+
+def test_delta_stats_filter_never_prunes_temporal_columns(spark, tmp_path):
+    """The Delta zone-map domain guard: quoted literals on TIMESTAMP
+    columns never prune (external logs serialize temporal stats as ISO
+    strings whose lexicographic order diverges from the casted
+    comparison) — the scan result still equals the plain where()."""
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import write_delta
+
+    table = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id, timestampadd(HOUR, CAST(id AS INT), "
+        "TIMESTAMP'2024-06-15 00:00:00') AS ts FROM range(48)"
+    )
+    write_delta(df.repartition(4), table)
+    cat = DeltaCatalog("t", table)
+    full = cat.to_dataframe(spark)
+    pred = "ts < '2024-06-15 23:00:00'"
+    got = cat.to_dataframe(spark, stats_filter=pred)
+    # no pruning on the temporal column — every file still scanned...
+    assert len(got.inputFiles()) == len(full.inputFiles())
+    # ...and the rows are exactly the where() rows
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in full.where(pred).collect()
+    )

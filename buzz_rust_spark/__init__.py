@@ -13,11 +13,14 @@ pipeline needs.
 from .engine import BuzzEngine
 from .errors import (
     BuzzBadRequestError,
+    BuzzCommitAbortedError,
+    BuzzCommitConflictError,
     BuzzError,
     BuzzExecutionError,
     BuzzInternalError,
     BuzzNotImplementedError,
     BuzzPlanError,
+    BuzzRebootstrapError,
     BuzzSchemaError,
 )
 from .models import (
@@ -40,6 +43,9 @@ __all__ = [
     "BuzzNotImplementedError",
     "BuzzPlanError",
     "BuzzSchemaError",
+    "BuzzCommitConflictError",
+    "BuzzCommitAbortedError",
+    "BuzzRebootstrapError",
     "BuzzQuery",
     "BuzzStep",
     "BuzzStepType",

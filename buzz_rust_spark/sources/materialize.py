@@ -190,10 +190,14 @@ def refresh_materialization(
     commits atomically with the merge, and the commit CASes on the cursor
     the window was computed from (``expect_properties``), so two
     concurrent refreshes cannot double-apply a window: the loser raises
-    the typed non-retryable abort.  If the source's history was
-    cleaned/expired past the cursor, the changelog read raises its typed
-    re-bootstrap error; drop the target (or pass a fresh ``target_uri``)
-    and bootstrap again."""
+    the typed non-retryable abort.  A window whose COORDINATES are
+    unmappable but whose current state is intact (an in-range compaction
+    rewrote files a later position delete targets —
+    :class:`~..errors.BuzzRebootstrapError`) RECOVERS automatically: a
+    pinned full recompute commits as one overwrite carrying the new
+    cursor, CASed on the old.  History cleaned/EXPIRED past the cursor
+    still refuses (rows may be unrecoverable-silently otherwise): drop
+    the target (or pass a fresh ``target_uri``) and bootstrap again."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
 

@@ -87,10 +87,10 @@ Honest refusals (same posture as the Delta reader's protocol gates):
 delete files without ``equality_ids``, data/delete files in formats
 other than parquet/ORC (delete files: parquet only), position deletes
 over ORC files (no ``_metadata.row_index`` there), renamed-column
-evolution over ORC files or combined with equality deletes (field-id
-resolution is parquet-data-only, and pre-rename delete files carry old
-column names), and format-version 3+ raise typed errors instead of
-silently wrong rows.  Manifest-level
+evolution over ORC files (field-id resolution is parquet-only; equality
+deletes on renamed tables DO work — delete-file columns bind by field id,
+with a name-history fallback for id-less external files), and
+format-version 3+ raise typed errors instead of silently wrong rows.  Manifest-level
 refusals surface at scan-planning time (first ``to_dataframe`` /
 ``pruned_files`` call), where real engines plan — not at catalog
 construction.
@@ -745,6 +745,15 @@ class IcebergCatalog:
             if isinstance(f["type"], str)
         }
         self._properties = meta.get("properties") or {}
+        # id → every name the field has EVER had (all schema versions):
+        # id-less equality-delete files written before a rename resolve
+        # their footer columns through this history
+        self._historical_names: dict[int, set[str]] = {}
+        for s in meta.get("schemas", []) or [schema_json]:
+            for f in s.get("fields", []):
+                self._historical_names.setdefault(int(f["id"]), set()).add(
+                    f["name"]
+                )
 
         # Schema evolution: any historical schema mapping a CURRENT field id
         # to a different name means data files exist (or may exist) whose
@@ -1632,14 +1641,6 @@ class IcebergCatalog:
                 "implemented for parquet only — refusing instead of "
                 "null-filling pre-rename files"
             )
-        if eq and self._evolved:
-            raise BuzzExecutionError(
-                "iceberg equality deletes on a schema-evolved "
-                "(renamed-column) table are not supported: delete files "
-                "written before the rename carry the old column names and "
-                "would be misread — refusing instead of resurrecting "
-                "deleted rows"
-            )
         if self._evolved:
             # resolve parquet columns by field id (schema metadata carries
             # parquet.field.id): files written before a column rename keep
@@ -1776,13 +1777,11 @@ class IcebergCatalog:
                 "__path string, __seq long",
             )
             scan = scan.join(broadcast(seq_map), on="__path", how="left")
-            by_name = {f.name: f for f in self._scan_schema.fields}
             groups: dict[tuple, list[dict]] = {}
             for d in eq:
                 groups.setdefault(d["eq_ids"], []).append(d)
             for ids, dels in sorted(groups.items()):
                 names = self._eq_key_names(ids)
-                key_schema = StructType([by_name[n] for n in names])
                 # one scan of ALL the key-set's delete files; a carried-
                 # forward entry may list a file twice — dedup by uri (the
                 # seq is identical: EXISTING entries keep their original)
@@ -1793,11 +1792,12 @@ class IcebergCatalog:
                     sorted(seq_by_uri.items()), "__dpath string, __dseq long"
                 )
                 del_rel = (
-                    spark.read.schema(key_schema)
-                    .parquet(*sorted({d["uri"] for d in dels}))
-                    .withColumn(
-                        "__dpath",
-                        normalized_path_col(F.col("_metadata.file_path")),
+                    self._read_eq_key_files(
+                        spark,
+                        ids,
+                        names,
+                        sorted({d["uri"] for d in dels}),
+                        with_path=True,
                     )
                     .join(broadcast(dseq_map), on="__dpath")
                     .groupBy(*names)
@@ -1985,6 +1985,103 @@ class IcebergCatalog:
                 )
             names.append(name)
         return names
+
+    def _read_eq_key_files(
+        self,
+        spark: SparkSession,
+        ids: tuple,
+        names: list[str],
+        uris: list[str],
+        with_path: bool = False,
+    ) -> DataFrame:
+        """One DataFrame over equality-delete key files, columns projected
+        to the CURRENT names (+ ``__dpath`` when ``with_path``).
+
+        Non-evolved tables read by name (the common fast path).  Evolved
+        (renamed-column) tables resolve by FIELD ID: the read schema
+        carries ``parquet.field.id`` metadata (Spark's fieldId read — the
+        callers enable the conf), so a delete file written BEFORE a key
+        column's rename — its parquet column bearing the OLD name — still
+        binds to the right key.  Id-less delete files (external writers)
+        resolve each key field id against the file's footer columns
+        through the id's full name history (every schema version, plus
+        the table's name mapping); a key that cannot be resolved
+        UNAMBIGUOUSLY is a typed refusal — a null-filled or misbound key
+        column would eqNullSafe-match the wrong rows, silently deleting
+        or resurrecting data."""
+        from pyspark.sql import functions as F
+
+        from .uris import normalized_path_col
+
+        plain = {f.name: f for f in self.schema.fields}
+
+        def _finish(df: DataFrame) -> DataFrame:
+            cols: list = list(names)
+            if with_path:
+                df = df.withColumn(
+                    "__dpath",
+                    normalized_path_col(F.col("_metadata.file_path")),
+                )
+                cols = cols + ["__dpath"]
+            return df.select(*cols)
+
+        if not self._evolved:
+            key_schema = StructType([plain[n] for n in names])
+            return _finish(spark.read.schema(key_schema).parquet(*uris))
+
+        with_id_meta = {f.name: f for f in self._scan_schema.fields}
+        classified = self._classify_field_ids(spark, list(uris))
+        id_uris = [p for p, has, _ in classified if has]
+        idless = [(p, fnames) for p, has, fnames in classified if not has]
+        parts: list[DataFrame] = []
+        if id_uris:
+            key_schema = StructType([with_id_meta[n] for n in names])
+            parts.append(
+                _finish(spark.read.schema(key_schema).parquet(*id_uris))
+            )
+        if idless:
+            nm = self._name_mapping() or {}
+            layouts: dict[tuple, list[str]] = {}
+            for p, fnames in idless:
+                layouts.setdefault(tuple(fnames), []).append(p)
+            for fnames, paths in sorted(layouts.items()):
+                fname_set = set(fnames)
+                read_fields, projection, taken = [], [], {}
+                for fid, cur in zip(ids, names):
+                    candidates = [cur] + sorted(
+                        self._historical_names.get(int(fid), set()) - {cur}
+                    ) + [n for n in nm.get(int(fid), []) if n != cur]
+                    hit = next(
+                        (n for n in candidates if n in fname_set), None
+                    )
+                    if hit is None:
+                        raise BuzzExecutionError(
+                            f"iceberg equality delete file {paths[0]!r} "
+                            "carries no parquet field ids and none of "
+                            f"field id {fid}'s known names {candidates} "
+                            "appear in its footer — refusing (cannot bind "
+                            "the delete key)"
+                        )
+                    if hit in taken:
+                        raise BuzzExecutionError(
+                            "iceberg equality delete file column "
+                            f"{hit!r} matches two key field ids "
+                            f"({taken[hit]} and {fid}) through the name "
+                            "history and the file has no field ids to "
+                            "disambiguate — refusing"
+                        )
+                    taken[hit] = int(fid)
+                    read_fields.append(
+                        StructField(hit, plain[cur].dataType, True)
+                    )
+                    projection.append(F.col(hit).alias(cur))
+                df = spark.read.schema(StructType(read_fields)).parquet(
+                    *sorted(paths)
+                )
+                parts.append(_finish(df.select(*projection, "_metadata")))
+        from functools import reduce
+
+        return reduce(DataFrame.unionByName, parts)
 
     def file_key_bounds(
         self, spark: SparkSession | None, field_ids: list[int]
@@ -2252,11 +2349,11 @@ def _range_insert_scan(
             "iceberg position deletes over ORC data files are not "
             "supported (no _metadata.row_index for ORC scans)"
         )
-    if (orc or eq) and cat._evolved:
+    if orc and cat._evolved:
         raise BuzzExecutionError(
             "iceberg changes over a schema-evolved (renamed-column) table "
-            "with ORC files or equality deletes are not supported — same "
-            "refusals as the snapshot read path"
+            "with ORC files are not supported — same refusal as the "
+            "snapshot read path (field-id resolution is parquet-only)"
         )
     if cat._evolved:
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -2361,7 +2458,7 @@ def read_iceberg_changelog(
     compaction rewrote its targets) — the coordinates cannot be mapped to
     either state, re-bootstrap; ORC files in the from-state (no
     ``_metadata.row_index`` for the coordinate dedup); plus every refusal
-    of the appends feed (truncating overwrites, gaps, evolved+eq)."""
+    of the appends feed (truncating overwrites, gaps, evolved+ORC)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -2404,12 +2501,6 @@ def read_iceberg_changelog(
             "coordinates)"
         )
     f_eq = [d for d in fplan["deletes"] if d["kind"] == "eq"]
-    if (f_eq or eq_in_range) and from_cat._evolved:
-        raise BuzzExecutionError(
-            "iceberg changelog over a schema-evolved (renamed-column) "
-            "table with equality deletes is not supported — same refusal "
-            "as the snapshot read path"
-        )
     if from_cat._evolved:
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
@@ -2463,7 +2554,6 @@ def read_iceberg_changelog(
 
     eq_groups: list[tuple[list[str], DataFrame]] = []
     if eq_in_range:
-        by_name = {f.name: f for f in cat._scan_schema.fields}
         groups: dict[tuple, list[dict]] = {}
         for d in eq_in_range:
             groups.setdefault(d["eq_ids"], []).append(d)
@@ -2471,12 +2561,9 @@ def read_iceberg_changelog(
         bounds = from_cat.file_key_bounds(spark, all_eq_ids)
         for ids, dels in sorted(groups.items()):
             names = cat._eq_key_names(ids)
-            key_schema = StructType([by_name[n] for n in names])
-            keys = (
-                spark.read.schema(key_schema)
-                .parquet(*sorted({d["uri"] for d in dels}))
-                .distinct()
-            )
+            keys = cat._read_eq_key_files(
+                spark, ids, names, sorted({d["uri"] for d in dels})
+            ).distinct()
             if sum(d["size"] for d in dels) <= cat.DELETE_BROADCAST_MAX_BYTES:
                 # hint only the JOIN use below; the zone-map agg reads the
                 # bare frame (a broadcast hint on an aggregate input is a

@@ -2089,8 +2089,10 @@ def delete_iceberg(
     ``merge_iceberg``) are supported: the predicate evaluates against the
     MOR-resolved scan, so matched rows are live by construction and the
     emitted position deletes compose with the equality deletes' sequence
-    scoping.  Boundaries: ORC data files (no ``_metadata.row_index``) and
-    evolved tables with equality deletes (reader refusal).
+    scoping.  Boundary: ORC data files (no ``_metadata.row_index``).
+    Evolved (renamed-column) tables work, including with existing
+    equality deletes — the MOR scan binds delete-file columns by field
+    id (``iceberg.py::_read_eq_key_files``).
 
     On a PARTITIONED table (all data manifests under the live spec) the
     delete manifest is PARTITION-SCOPED: delete files are written one per
@@ -2128,12 +2130,6 @@ def delete_iceberg(
         )
     eq_prior = [d for d in plan["deletes"] if d["kind"] == "eq"]
     pos_prior = [d for d in plan["deletes"] if d["kind"] == "pos"]
-    if eq_prior and cat._evolved:
-        raise BuzzExecutionError(
-            "delete_iceberg over a schema-evolved (renamed-column) table "
-            "with equality deletes is not supported — same refusal as the "
-            "snapshot read path"
-        )
     if cat._evolved:
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     # The predicate evaluates against the MOR-RESOLVED scan (position AND
@@ -2834,9 +2830,12 @@ def merge_iceberg(
     Semantics notes: a NULL key column matches NULL (the reader anti-joins
     with eqNullSafe, Iceberg's equality-delete rule); duplicate keys
     WITHIN the source are a typed error (distributed last-wins is
-    order-undefined); schema-evolved (renamed-column) tables are refused —
-    the reader refuses equality deletes there (pre-rename delete files
-    would be misread).  Returns None for an empty source.
+    order-undefined); schema-evolved (renamed-column) tables work — the
+    delete-key files are written with ``PARQUET:field_id`` footers and
+    CURRENT column names, and the reader binds every delete file's
+    columns by field id (``iceberg.py::_read_eq_key_files``), so
+    rename-then-upsert sequences read back exactly.  Returns None for an
+    empty source.
 
     ``set_properties`` merges table properties ATOMICALLY with the merge
     commit (one metadata promote carries both) — how an incremental
@@ -2916,12 +2915,6 @@ def merge_iceberg(
     # below must see the branch's manifests, not main's)
     merge_head = _branch_head(meta, branch)
     cat = IcebergCatalog("merge", root, snapshot_id=merge_head)
-    if cat._evolved:
-        raise BuzzExecutionError(
-            "merge into a schema-evolved (renamed-column) table is not "
-            "supported: the reader refuses equality deletes there (delete "
-            "files written before a rename would be misread)"
-        )
 
     spec_id = meta.get("default-spec-id", 0)
     spec_fields = next(

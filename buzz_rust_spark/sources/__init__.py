@@ -23,6 +23,7 @@ from .iceberg import (
 )
 from .materialize import (
     read_materialization,
+    refresh_chain_materialization,
     refresh_join_materialization,
     refresh_materialization,
 )
@@ -77,6 +78,7 @@ __all__ = [
     "read_materialization",
     "refresh_materialization",
     "refresh_join_materialization",
+    "refresh_chain_materialization",
     "write_iceberg",
     "merge_iceberg",
     "delete_iceberg",

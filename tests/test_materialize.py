@@ -727,3 +727,471 @@ def test_refresh_rebootstraps_over_unmappable_window(spark, tmp_path):
         (r.g, r.n_rows, r.sum_v, r.min_v, r.max_v)
         for r in read_materialization(spark, tgt).collect()
     }
+
+
+# --- round 10: join min/max, left-outer join, N-table chains ------------------
+
+
+def _jm_env(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    dim = str(tmp_path / "dim")
+    fact = str(tmp_path / "fact")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "red"), (2, "blue")], "k long, color string"
+        ),
+        dim,
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, amt double"
+        ),
+        fact,
+    )
+    return fact, dim
+
+
+def test_join_matview_minmax_lifecycle(spark, tmp_path):
+    """min/max over a two-table join: incremental under inserts, targeted
+    rescan of the pinned RE-JOIN when a retraction kills the extremum;
+    state equals the re-join recompute at every step."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.materialize import (
+        read_materialization,
+        refresh_join_materialization,
+    )
+
+    fact, dim = _jm_env(spark, tmp_path)
+    tgt = str(tmp_path / "jmv")
+
+    def refresh():
+        return refresh_join_materialization(
+            spark, fact, dim, tgt, ["k"], ["color"], ["amt"],
+            min_cols=["amt"], max_cols=["amt"],
+        )
+
+    def state():
+        return sorted(
+            (r.color, r.n_rows, r.sum_amt, r.min_amt, r.max_amt)
+            for r in read_materialization(spark, tgt).collect()
+        )
+
+    def recompute():
+        return sorted(
+            (r.color, r.n, r.s, r.mn, r.mx)
+            for r in IcebergCatalog("f", fact)
+            .to_dataframe(spark)
+            .join(IcebergCatalog("d", dim).to_dataframe(spark), "k")
+            .groupBy("color")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("amt").alias("s"),
+                F.min("amt").alias("mn"),
+                F.max("amt").alias("mx"),
+            )
+            .collect()
+        )
+
+    assert refresh()["bootstrapped"] is True
+    assert state() == recompute()
+    # insert-only window: incremental least/greatest path
+    write_iceberg(
+        spark.createDataFrame([(1, 99.0), (2, 0.5)], "k long, amt double"),
+        fact, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+    # retraction killing a group's max (99 for red) → targeted rescan
+    delete_iceberg(spark, fact, "amt = 99.0")
+    refresh()
+    assert state() == recompute()
+    # dimension-side CDC: k=1 flips color — whole group migrates
+    merge_iceberg(
+        spark, dim,
+        spark.createDataFrame([(1, "green")], "k long, color string")
+        .coalesce(1),
+        ["k"],
+    )
+    refresh()
+    assert state() == recompute()
+
+
+def test_left_join_matview_lifecycle(spark, tmp_path):
+    """LEFT OUTER join matview: unmatched left rows contribute with NULL
+    right columns; a right-side insert that creates a key's FIRST match
+    retracts the null-extension, a right-side delete that removes the
+    LAST match restores it.  State ≡ re-join recompute throughout."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.materialize import (
+        read_materialization,
+        refresh_join_materialization,
+    )
+
+    fact, dim = _jm_env(spark, tmp_path)
+    # fact rows with NO dim match (k=9): the null-extended population
+    write_iceberg(
+        spark.createDataFrame(
+            [(9, 1.0), (9, 2.0)], "k long, amt double"
+        ),
+        fact, mode="append",
+    )
+    tgt = str(tmp_path / "ljmv")
+
+    def refresh():
+        return refresh_join_materialization(
+            spark, fact, dim, tgt, ["k"], ["color"], ["amt"], how="left"
+        )
+
+    def state():
+        return sorted(
+            (
+                (r.color, r.n_rows, r.sum_amt)
+                for r in read_materialization(spark, tgt).collect()
+            ),
+            key=repr,
+        )
+
+    def recompute():
+        return sorted(
+            (
+                (r.color, r.n, r.s)
+                for r in IcebergCatalog("f", fact)
+                .to_dataframe(spark)
+                .join(
+                    IcebergCatalog("d", dim).to_dataframe(spark), "k", "left"
+                )
+                .groupBy("color")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("amt").alias("s"),
+                )
+                .collect()
+            ),
+            key=repr,
+        )
+
+    assert refresh()["bootstrapped"] is True
+    assert state() == recompute()
+    # left-only window: new unmatched key + new matched rows
+    write_iceberg(
+        spark.createDataFrame([(7, 3.0), (1, 4.0)], "k long, amt double"),
+        fact, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+    # right-side insert giving k=9 its FIRST match: null-extension flips
+    write_iceberg(
+        spark.createDataFrame([(9, "gray")], "k long, color string"),
+        dim, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+    # right-side delete removing k=2's LAST match: null-extension returns
+    delete_iceberg(spark, dim, "k = 2")
+    refresh()
+    assert state() == recompute()
+    # dual-side window: facts move AND a dim CDC update in one refresh
+    write_iceberg(
+        spark.createDataFrame([(9, 50.0)], "k long, amt double"),
+        fact, mode="append",
+    )
+    merge_iceberg(
+        spark, dim,
+        spark.createDataFrame([(9, "silver")], "k long, color string")
+        .coalesce(1),
+        ["k"],
+    )
+    refresh()
+    assert state() == recompute()
+
+
+def test_chain_matview_three_tables(spark, tmp_path):
+    """3-table chain (fact ⋈ dim1 ⋈ dim2) through interleaved windows on
+    ALL THREE sources ≡ full re-join recompute; min/max ride the same
+    hybrid."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.materialize import (
+        read_materialization,
+        refresh_chain_materialization,
+    )
+
+    fact = str(tmp_path / "fact")
+    d1 = str(tmp_path / "d1")
+    d2 = str(tmp_path / "d2")
+    tgt = str(tmp_path / "cmv")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 10, 9.0), (1, 20, 4.0), (2, 10, 2.5)],
+            "k1 long, k2 long, amt double",
+        ),
+        fact,
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "red"), (2, "blue")], "k1 long, color string"
+        ),
+        d1,
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(10, "EU"), (20, "US")], "k2 long, region string"
+        ),
+        d2,
+    )
+    sources = [
+        {"uri": fact, "format": "iceberg"},
+        {"uri": d1, "format": "iceberg", "join_cols": ["k1"]},
+        {"uri": d2, "format": "iceberg", "join_cols": ["k2"]},
+    ]
+
+    def refresh():
+        return refresh_chain_materialization(
+            spark, sources, tgt, ["color", "region"], ["amt"],
+            min_cols=["amt"], max_cols=["amt"],
+        )
+
+    def state():
+        return sorted(
+            (r.color, r.region, r.n_rows, r.sum_amt, r.min_amt, r.max_amt)
+            for r in read_materialization(spark, tgt).collect()
+        )
+
+    def recompute():
+        f = IcebergCatalog("f", fact).to_dataframe(spark)
+        a = IcebergCatalog("a", d1).to_dataframe(spark)
+        b = IcebergCatalog("b", d2).to_dataframe(spark)
+        return sorted(
+            (r.color, r.region, r.n, r.s, r.mn, r.mx)
+            for r in f.join(a, "k1").join(b, "k2")
+            .groupBy("color", "region")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("amt").alias("s"),
+                F.min("amt").alias("mn"),
+                F.max("amt").alias("mx"),
+            )
+            .collect()
+        )
+
+    assert refresh()["bootstrapped"] is True
+    assert state() == recompute()
+    assert refresh() is None  # nothing moved
+
+    # window 1: fact-only (append + extremum-killing delete)
+    write_iceberg(
+        spark.createDataFrame(
+            [(2, 20, 8.0), (1, 10, 0.5)], "k1 long, k2 long, amt double"
+        ),
+        fact, mode="append",
+    )
+    delete_iceberg(spark, fact, "amt = 9.0")
+    refresh()
+    assert state() == recompute()
+    # window 2: middle-table CDC (color flip) while fact also moves
+    merge_iceberg(
+        spark, d1,
+        spark.createDataFrame([(1, "green")], "k1 long, color string")
+        .coalesce(1),
+        ["k1"],
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(2, 10, 6.0)], "k1 long, k2 long, amt double"
+        ),
+        fact, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+    # window 3: tail-table append giving new region + facts referencing it
+    write_iceberg(
+        spark.createDataFrame([(30, "APAC")], "k2 long, region string"),
+        d2, mode="append",
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 30, 7.0)], "k1 long, k2 long, amt double"
+        ),
+        fact, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+    # window 4: all three move at once
+    write_iceberg(
+        spark.createDataFrame([(3, "gold")], "k1 long, color string"),
+        d1, mode="append",
+    )
+    merge_iceberg(
+        spark, d2,
+        spark.createDataFrame([(10, "LATAM")], "k2 long, region string")
+        .coalesce(1),
+        ["k2"],
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, 10, 1.0), (3, 30, 2.0)], "k1 long, k2 long, amt double"
+        ),
+        fact, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+
+
+def test_chain_matview_guards(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+    from buzz_rust_spark.sources.materialize import (
+        refresh_chain_materialization,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_iceberg(spark.createDataFrame([(1, 2.0)], "k long, v double"), a)
+    write_iceberg(spark.createDataFrame([(1, "x")], "k long, g string"), b)
+    srcs = [
+        {"uri": a, "format": "iceberg"},
+        {"uri": b, "format": "iceberg", "join_cols": ["k"]},
+    ]
+    with pytest.raises(BuzzBadRequestError, match="at least 2"):
+        refresh_chain_materialization(
+            spark, srcs[:1], str(tmp_path / "m1"), ["g"], ["v"]
+        )
+    with pytest.raises(BuzzBadRequestError, match="no join_cols"):
+        refresh_chain_materialization(
+            spark,
+            [{"uri": a, "format": "iceberg", "join_cols": ["k"]},
+             srcs[1]],
+            str(tmp_path / "m2"), ["g"], ["v"],
+        )
+    with pytest.raises(BuzzBadRequestError, match="needs join_cols"):
+        refresh_chain_materialization(
+            spark, [srcs[0], {"uri": b, "format": "iceberg"}],
+            str(tmp_path / "m3"), ["g"], ["v"],
+        )
+    with pytest.raises(BuzzBadRequestError, match="no chain table"):
+        refresh_chain_materialization(
+            spark, srcs, str(tmp_path / "m4"), ["nope"], ["v"]
+        )
+    # duplicate non-key column across tables → typed
+    c = str(tmp_path / "c")
+    write_iceberg(
+        spark.createDataFrame([(1, 3.0)], "k long, v double"), c
+    )
+    with pytest.raises(BuzzBadRequestError, match="rename"):
+        refresh_chain_materialization(
+            spark,
+            srcs + [{"uri": c, "format": "iceberg", "join_cols": ["k"]}],
+            str(tmp_path / "m5"), ["g"], ["v"],
+        )
+
+
+def test_join_matview_how_guard_and_spec(spark, tmp_path):
+    from buzz_rust_spark.sources.materialize import (
+        refresh_join_materialization,
+    )
+
+    fact, dim = _jm_env(spark, tmp_path)
+    tgt = str(tmp_path / "jmv")
+    with pytest.raises(BuzzBadRequestError, match="inner|left"):
+        refresh_join_materialization(
+            spark, fact, dim, tgt, ["k"], ["color"], ["amt"], how="full"
+        )
+    # an inner-built target refuses a left refresh (spec mismatch)
+    refresh_join_materialization(
+        spark, fact, dim, tgt, ["k"], ["color"], ["amt"]
+    )
+    with pytest.raises(BuzzBadRequestError, match="spec mismatch"):
+        refresh_join_materialization(
+            spark, fact, dim, tgt, ["k"], ["color"], ["amt"], how="left"
+        )
+
+
+def test_matview_null_group_key(spark, tmp_path):
+    """A NULL group key is a real SQL group: the state joins must be
+    null-safe or the NULL group's current state silently drops on every
+    refresh (round-10 fix, found via the left-join null-extension)."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.materialize import (
+        read_materialization,
+        refresh_materialization,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "mv")
+    write_iceberg(
+        spark.createDataFrame(
+            [(None, 1.0), (None, 5.0), ("a", 2.0)], "g string, v double"
+        ),
+        src,
+    )
+
+    def refresh():
+        return refresh_materialization(
+            spark, src, tgt, ["g"], ["v"], min_cols=["v"], max_cols=["v"]
+        )
+
+    def state():
+        return sorted(
+            (
+                (r.g, r.n_rows, r.sum_v, r.min_v, r.max_v)
+                for r in read_materialization(spark, tgt).collect()
+            ),
+            key=repr,
+        )
+
+    def recompute():
+        return sorted(
+            (
+                (r.g, r.n, r.s, r.mn, r.mx)
+                for r in IcebergCatalog("s", src)
+                .to_dataframe(spark)
+                .groupBy("g")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("v").alias("s"),
+                    F.min("v").alias("mn"),
+                    F.max("v").alias("mx"),
+                )
+                .collect()
+            ),
+            key=repr,
+        )
+
+    refresh()
+    assert state() == recompute()
+    # insert into the NULL group, then retract its max (rescan path)
+    write_iceberg(
+        spark.createDataFrame([(None, 9.0)], "g string, v double"),
+        src, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+    delete_iceberg(spark, src, "v = 9.0")
+    refresh()
+    assert state() == recompute()

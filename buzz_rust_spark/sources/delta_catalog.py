@@ -367,6 +367,10 @@ class DeltaCatalog:
             for add in live.values()
             if add.get("stats")
         }
+        # raw live add actions (path → add), kept for the metadata-tables
+        # surface (sources.metadata_tables.delta_files) — same O(files)
+        # the replay already held
+        self._live_adds = dict(live)
 
     def _static(self) -> StaticCatalog:
         return StaticCatalog(
@@ -1052,8 +1056,6 @@ def read_delta_changelog(
 
         from .uris import normalized_path_col
 
-        if cm_mode != "none":
-            return None  # mapped cdc files: not implemented — net diff
         if not any(
             any("cdc" in a for a in acts)
             for acts in window_actions.values()
@@ -1083,7 +1085,11 @@ def read_delta_changelog(
                         (normalized_key(store.spark_path(c["path"])),)
                         + tuple(
                             (lambda x: None if x is None else str(x))(
-                                (c.get("partitionValues") or {}).get(cc)
+                                # cdc partitionValues keys are PHYSICAL
+                                # under both mapping modes, like adds'
+                                (c.get("partitionValues") or {}).get(
+                                    phys_all.get(cc, cc)
+                                )
                             )
                             for cc in partition_cols
                         )
@@ -1100,7 +1106,13 @@ def read_delta_changelog(
                 scan = scan.join(broadcast(manifest), on="__path", how="left")
                 frames.append(
                     scan.select(
-                        *logical_data_cols,
+                        # name mode reads physical column names (mapped
+                        # back here); id mode resolves by field id and
+                        # already surfaces logical names
+                        *[
+                            F.col(phys.get(n, n)).alias(n)
+                            for n in logical_data_cols
+                        ],
                         *[F.col(cc) for cc in partition_cols],
                         F.when(
                             F.col("_change_type").isin(

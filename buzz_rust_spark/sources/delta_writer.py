@@ -276,27 +276,38 @@ def _writer_mapping(meta: dict) -> tuple[str, dict[str, str], dict[str, int]]:
     return mode, phys, ids
 
 
-def _require_unmapped(meta: dict, table_uri: str, op: str) -> None:
-    """File-rewriting operations under columnMapping mode=id are refused:
-    rewriting requires re-emitting parquet field ids for files this engine
-    may not have written (external id-mode tables) — a rewrite that loses
-    them would break every field-id reader.  mode=name rewrites ARE
-    supported (reads resolve physical names, rewrites re-emit them), and
-    optimize is mapping-agnostic entirely (raw byte round-trip)."""
-    mode = (
-        ((meta or {}).get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
-        )
-        or "none"
-    )
-    if mode == "id":
+def _require_id_rewritable(meta: dict, table_uri: str, op: str) -> None:
+    """Rewrites under columnMapping mode=id re-emit ``parquet.field.id``
+    footers on every staged file (:func:`_to_physical_frame` stamps the
+    schema's mapping ids; :func:`optimize_delta` re-stamps after its raw
+    round-trip — Spark's schema inference drops footer ids, so an
+    unstamped rewrite would break every field-id reader of files this
+    engine may not have written).  The one remaining refusal: NESTED
+    types under mode=id — their field ids live on inner fields, which
+    Spark's StructField metadata cannot carry (top-level only), so a
+    rewrite would emit id-less inner nodes.  mode=name needs no ids at
+    all (physical names round-trip through every path)."""
+    config = ((meta or {}).get("configuration") or {})
+    mode = config.get("delta.columnMapping.mode", "none") or "none"
+    if mode != "id":
+        return
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    declared = _declared_schema(meta)
+    nested = [
+        f.name
+        for f in declared.fields
+        if isinstance(f.dataType, (StructType, ArrayType, MapType))
+    ]
+    if nested:
         from ..errors import BuzzNotImplementedError
 
         raise BuzzNotImplementedError(
             f"{op} on a columnMapping.mode=id Delta table at "
-            f"{table_uri!r} is not supported — reads, appends, and "
-            "mode=name rewrites are; id-mode rewrites would need to "
-            "re-emit external files' field ids"
+            f"{table_uri!r} with NESTED columns {nested} is not "
+            "supported — inner field ids cannot be re-emitted through "
+            "Spark's top-level-only field-id metadata; flat id-mode "
+            "tables rewrite fine"
         )
 
 
@@ -602,6 +613,7 @@ def _stage_change_files(
     table_dir: str,
     version: int,
     partition_by: list[str],
+    meta: dict | None = None,
 ) -> list[dict]:
     """Write a commit's CHANGE DATA as parquet under ``_change_data/`` and
     return the ``cdc`` actions (PROTOCOL.md: ``{path, partitionValues,
@@ -609,7 +621,35 @@ def _stage_change_files(
     ``_change_type`` ∈ {insert, delete, update_preimage,
     update_postimage}; files partition like the table so the actions
     carry real partitionValues and CDF readers can prune.  Distributed
-    write, driver sees O(files)."""
+    write, driver sees O(files).
+
+    On a column-mapped table (``meta`` given) the change files use
+    PHYSICAL column names — and, under mode=id, ``parquet.field.id``
+    footers — exactly like data files; the partitionValues keys come out
+    physical (the directory names).  ``_change_type`` itself is never
+    mapped (the spec stores it by that literal name)."""
+    if meta is not None:
+        from pyspark.sql import functions as F
+
+        cm_mode, phys, cm_ids = _writer_mapping(meta)
+        if cm_mode != "none":
+            cols = []
+            for c in df.columns:
+                if c == "_change_type":
+                    cols.append(F.col(c))
+                    continue
+                md = None
+                if cm_mode == "id":
+                    if c not in cm_ids:
+                        raise BuzzSchemaError(
+                            "columnMapping.mode=id table lacks a mapping "
+                            f"id for column {c!r} — cannot stage "
+                            "resolvable change files"
+                        )
+                    md = {"parquet.field.id": cm_ids[c]}
+                cols.append(F.col(c).alias(phys.get(c, c), metadata=md))
+            df = df.select(*cols)
+            partition_by = [phys.get(c, c) for c in partition_by]
     staging = os.path.join(
         table_dir, f".cdc-{version:020d}-{uuid.uuid4().hex[:8]}"
     )
@@ -1171,10 +1211,13 @@ def optimize_delta(
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
-    # the rewrite is read+coalesce+write, which RE-ENCODES parquet: on an
-    # id-mode table it would drop the external files' field ids — refuse
-    # (mode=name needs no ids; physical names round-trip through the read)
-    _require_unmapped(meta, table_uri, "optimize_delta")
+    # the rewrite is read+coalesce+write, which RE-ENCODES parquet and
+    # DROPS footer field ids (Spark schema inference discards them) — on
+    # an id-mode table each compacted file re-stamps them below;
+    # nested-typed id tables stay refused (top-level-only metadata)
+    _require_id_rewritable(meta, table_uri, "optimize_delta")
+    cm_mode_opt, _phys_opt, _ids_opt = _writer_mapping(meta)
+    phys_ids = {_phys_opt.get(l, l): i for l, i in _ids_opt.items()}
     zorder_by = list(zorder_by or [])
     if zorder_by:
         from pyspark.sql.types import (
@@ -1263,7 +1306,27 @@ def optimize_delta(
         # partitionBy), so a plain read+coalesce round-trips them exactly.
         # DV-carrying files contribute their LOGICAL content (deleted rows
         # filtered out) — the compacted file purges the vector.
-        df = spark.read.parquet(*paths)
+        if cm_mode_opt == "id":
+            # id-mode files may carry per-file physical names (only the
+            # ids agree): read by field id against the DECLARED physical
+            # schema minus partition columns, never one sampled footer
+            from pyspark.sql.types import StructType as _ST
+
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            part_phys = set(meta.get("partitionColumns") or [])
+            df = spark.read.schema(
+                _ST(
+                    [
+                        f
+                        for f in _physical_read_schema(meta).fields
+                        if f.name not in part_phys
+                    ]
+                )
+            ).parquet(*paths)
+        else:
+            df = spark.read.parquet(*paths)
         deleted = [
             (os.path.abspath(os.path.join(table_dir, a["path"])), int(p))
             for a in adds
@@ -1283,11 +1346,32 @@ def optimize_delta(
                 deleted,
                 spark,
             )
+        if cm_mode_opt == "id":
+            from pyspark.sql import functions as F
+
+            missing = [c for c in df.columns if c not in phys_ids]
+            if missing:
+                raise BuzzSchemaError(
+                    f"columnMapping.mode=id table has data-file columns "
+                    f"{missing} with no mapping id in the declared schema "
+                    "— cannot re-stamp resolvable compacted files"
+                )
+            df = df.select(
+                *[
+                    F.col(c).alias(
+                        c, metadata={"parquet.field.id": phys_ids[c]}
+                    )
+                    for c in df.columns
+                ]
+            )
         if zorder_by:
             from .writer import scaled_zorder_key
 
+            # raw compaction reads see PHYSICAL column names; the
+            # validated zorder_by names are logical
+            zorder_phys = [_phys_opt.get(c, c) for c in zorder_by]
             df = (
-                df.withColumn("__zorder", scaled_zorder_key(df, zorder_by))
+                df.withColumn("__zorder", scaled_zorder_key(df, zorder_phys))
                 .repartitionByRange(n_out, "__zorder")
                 .sortWithinPartitions("__zorder")
                 .drop("__zorder")
@@ -1347,14 +1431,27 @@ def _physical_read_schema(meta: dict):
     :func:`evolve_delta` resolve as NULL in pre-evolution files — inference
     samples one footer and raises UNRESOLVED_COLUMN whenever a touched file
     predates the evolution — and makes mixed old/new file sets independent
-    of which footer Spark happens to sample."""
+    of which footer Spark happens to sample.
+
+    Under mode=id the schema fields additionally carry
+    ``parquet.field.id`` metadata: external id-mode files may use
+    DIFFERENT physical names per file (only the ids agree — the spec's
+    contract), so resolution must go by field id
+    (:func:`_read_table_files` turns the fieldId read conf on)."""
     from pyspark.sql.types import StructField, StructType
 
     schema = _declared_schema(meta)
-    _, phys, _ = _writer_mapping(meta)
+    mode, phys, ids = _writer_mapping(meta)
     return StructType(
         [
-            StructField(phys.get(f.name, f.name), f.dataType, True)
+            StructField(
+                phys.get(f.name, f.name),
+                f.dataType,
+                True,
+                {"parquet.field.id": ids[f.name]}
+                if mode == "id" and f.name in ids
+                else None,
+            )
             for f in schema.fields
         ]
     )
@@ -1397,7 +1494,11 @@ def _read_table_files(
     from .deletion_vectors import filter_deleted_rows
 
     schema = _declared_schema(meta)
-    _, phys, _ = _writer_mapping(meta)  # files + partition dirs are physical
+    mode, phys, _ = _writer_mapping(meta)  # files + partition dirs are physical
+    if mode == "id":
+        # id-mode files resolve by footer field id (physical names can
+        # differ per file); the read schema carries parquet.field.id
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     paths = [os.path.join(table_dir, r) for r in rels]
     reader = spark.read.schema(_physical_read_schema(meta))
     if meta.get("partitionColumns"):
@@ -1433,15 +1534,28 @@ def _read_table_files(
 
 def _to_physical_frame(df: DataFrame, meta: dict, partition_by: list[str]):
     """(df with PHYSICAL column names, physical partition cols) for staging
-    writes into a column-mapped table — identity on unmapped tables."""
-    cm_mode, phys, _ = _writer_mapping(meta)
+    writes into a column-mapped table — identity on unmapped tables.
+    Under mode=id every column is additionally stamped with its mapping
+    id as ``parquet.field.id`` alias metadata, which Spark's parquet
+    writer emits as footer field ids (``fieldId.write.enabled``, default
+    on) — the invariant external field-id readers rely on."""
+    cm_mode, phys, cm_ids = _writer_mapping(meta)
     if cm_mode == "none":
         return df, partition_by
     from pyspark.sql import functions as F
 
-    out = df.select(
-        *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
-    )
+    cols = []
+    for c in df.columns:
+        md = None
+        if cm_mode == "id":
+            if c not in cm_ids:
+                raise BuzzSchemaError(
+                    f"columnMapping.mode=id table lacks a mapping id for "
+                    f"column {c!r} — cannot stage resolvable rewrite files"
+                )
+            md = {"parquet.field.id": cm_ids[c]}
+        cols.append(F.col(c).alias(phys.get(c, c), metadata=md))
+    out = df.select(*cols)
     return out, [phys.get(c, c) for c in partition_by]
 
 
@@ -1529,7 +1643,7 @@ def merge_delta(
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
-    _require_unmapped(meta, table_uri, "merge_delta")
+    _require_id_rewritable(meta, table_uri, "merge_delta")
     basis_proto = dict(_current_protocol(log_dir))
     if when_matched is not None:
         # an insert-only merge emits adds only — legal on append-only
@@ -1698,7 +1812,7 @@ def merge_delta(
 
                 cdc_actions = _stage_change_files(
                     reduce(DataFrame.unionByName, frames),
-                    table_dir, version, partition_by,
+                    table_dir, version, partition_by, meta=meta,
                 )
 
         actions: list[dict] = [
@@ -1801,7 +1915,7 @@ def delete_delta(
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
-    _require_unmapped(meta, table_uri, "delete_delta")
+    _require_id_rewritable(meta, table_uri, "delete_delta")
     basis_proto = dict(_current_protocol(log_dir))
     _require_not_append_only(meta, log_dir, "delete_delta")
     if not live:
@@ -1857,7 +1971,7 @@ def delete_delta(
             .withColumn("_change_type", F.lit("delete"))
         )
         return _stage_change_files(
-            changes, table_dir, version, partition_by
+            changes, table_dir, version, partition_by, meta=meta
         )
 
     cdc_actions: list[dict] = []
@@ -2365,9 +2479,10 @@ def evolve_delta(
 
     After the upgrade, appends keep working (:func:`write_delta` writes
     physical names + field ids) and merge/delete/optimize rewrites are
-    mapping-aware for ``mode=name`` (they read/write physical names);
-    only tables already in ``columnMapping.mode=id`` refuse rewrites
-    (:func:`_require_unmapped`).
+    mapping-aware for BOTH modes (mode=name reads/writes physical names;
+    mode=id additionally resolves reads by footer field id and re-stamps
+    ``parquet.field.id`` on staged files); only NESTED-typed id-mode
+    tables refuse rewrites (:func:`_require_id_rewritable`).
 
     ``promote_columns`` applies TYPE-WIDENING promotions (Delta's
     typeWidening feature, the Iceberg-parity subset: integer→long,

@@ -1369,13 +1369,17 @@ def test_delta_evolve_rename_then_rewrite_ops(spark, tmp_path):
         == {2, 4, 6}
 
 
-def test_delta_id_mode_rewrites_refused(spark, tmp_path):
-    """Externally-shaped mode=id tables refuse rewrites (re-emitting field
-    ids for files this engine didn't write is not implemented)."""
+def test_delta_id_mode_rewrites_work(spark, tmp_path):
+    """Round-10 lift of the mode=id rewrite refusal: an engine-written
+    table hand-flipped to mode=id (physical == logical names, footers
+    re-stamped with the mapping ids — the spec-conformant shape) takes a
+    predicate delete, and the rewrite re-emits field ids."""
+    import glob as _glob
     import json as _json
     import os as _os
 
-    from buzz_rust_spark.errors import BuzzNotImplementedError
+    import pyarrow.parquet as _pq
+
     from buzz_rust_spark.sources.delta_writer import delete_delta, write_delta
 
     root = str(tmp_path / "t")
@@ -1403,8 +1407,22 @@ def test_delta_id_mode_rewrites_refused(spark, tmp_path):
         if "protocol" in a:
             a["protocol"] = {"minReaderVersion": 2, "minWriterVersion": 5}
     open(lp, "w").write("".join(_json.dumps(a) + "\n" for a in acts))
-    with pytest.raises(BuzzNotImplementedError, match="mode=id"):
-        delete_delta(spark, root, "id = 1")
+    # make the files spec-conformant: id-mode data files MUST carry footer
+    # field ids (the spec's contract; id-less footers are a corrupt table
+    # and fail loudly at read time)
+    import pyarrow as _pa
+
+    for f in _glob.glob(_os.path.join(root, "*.parquet")):
+        t = _pq.read_table(f)
+        fields = [
+            fld.with_metadata({b"PARQUET:field_id": str(i + 1).encode()})
+            for i, fld in enumerate(t.schema)
+        ]
+        _pq.write_table(t.cast(_pa.schema(fields)), f)
+    delete_delta(spark, root, "id = 1")
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog as _DC
+
+    assert _DC("t", root).to_dataframe(spark).count() == 0
 
 
 def test_delta_evolve_validation(spark, tmp_path):
@@ -1953,3 +1971,124 @@ def test_stats_filter_prunes_scan_files_and_stays_exact(spark, tmp_path):
         for r in cat2.to_dataframe(spark, stats_filter="x < 10.0").collect()
     )
     assert got2 == expect2 and len(got2) < len(expect)
+
+
+def test_id_mode_rewrites_survive_merge_delete_optimize(spark, tmp_path):
+    """Round-10 lift: a columnMapping.mode=id table (external fixture with
+    per-file physical names, ids agreeing) survives merge + delete +
+    optimize — every staged/compacted file re-stamps parquet field ids,
+    and field-id reads stay exact throughout."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+    )
+
+    table = _make_id_mapped_table(str(tmp_path))
+
+    def state():
+        return sorted(
+            (r.team_name, r.staff)
+            for r in DeltaCatalog("cm", table).to_dataframe(spark).collect()
+        )
+
+    assert state() == [("eng", 10), ("ops", 5), ("sci", 12)]
+    # merge: update one key, insert one
+    merge_delta(
+        spark, table,
+        spark.createDataFrame(
+            [("eng", 99), ("hr", 3)], "team_name string, staff long"
+        ).coalesce(1),
+        on=["team_name"],
+    )
+    assert state() == [("eng", 99), ("hr", 3), ("ops", 5), ("sci", 12)]
+    # delete by predicate
+    delete_delta(spark, table, "staff = 5")
+    assert state() == [("eng", 99), ("hr", 3), ("sci", 12)]
+    # compaction purges DVs / coalesces — reads stay id-resolved
+    optimize_delta(spark, table, target_file_bytes=1 << 30)
+    assert state() == [("eng", 99), ("hr", 3), ("sci", 12)]
+    # every live parquet file footer carries the mapping's field ids
+    import json as jsonmod
+    import os as osmod
+
+    log = osmod.path.join(table, "_delta_log")
+    live = set()
+    for cf in sorted(globmod.glob(osmod.path.join(log, "*.json"))):
+        for line in open(cf):
+            a = jsonmod.loads(line)
+            if "add" in a:
+                live.add(a["add"]["path"])
+            if "remove" in a:
+                live.discard(a["remove"]["path"])
+    assert live
+    for rel in live:
+        sch = pq.read_schema(osmod.path.join(table, rel))
+        ids = {
+            f.metadata.get(b"PARQUET:field_id")
+            for f in sch
+            if f.metadata
+        }
+        assert {b"1", b"2"} <= ids, f"{rel} lost field ids: {sch}"
+
+
+def test_id_mode_nested_rewrite_refused(spark, tmp_path):
+    """Nested-typed id-mode tables keep the typed refusal: inner field ids
+    cannot ride Spark's top-level-only StructField metadata."""
+    import json as jsonmod
+    import os as osmod
+
+    from buzz_rust_spark.errors import BuzzNotImplementedError
+    from buzz_rust_spark.sources.delta_writer import delete_delta
+
+    table = osmod.path.join(str(tmp_path), "delta-idnested")
+    osmod.makedirs(table, exist_ok=True)
+    fields = [
+        {
+            "name": "k", "type": "long", "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "c_k",
+            },
+        },
+        {
+            "name": "payload",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"name": "x", "type": "long", "nullable": True,
+                     "metadata": {"delta.columnMapping.id": 3,
+                                  "delta.columnMapping.physicalName": "c_x"}},
+                ],
+            },
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "c_p",
+            },
+        },
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "in1",
+                "schemaString": jsonmod.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "format": {"provider": "parquet"},
+            }
+        },
+    ]
+    _write_commit(osmod.path.join(table, "_delta_log"), 0, actions)
+    with pytest.raises(BuzzNotImplementedError, match="NESTED"):
+        delete_delta(spark, table, "k = 1")

@@ -833,3 +833,132 @@ def test_rename_on_reader1_writer6_bumps_reader_version(spark, tmp_path):
     assert proto["minWriterVersion"] == 6
     got = [r.ident for r in DeltaCatalog("t", root).to_dataframe(spark).collect()]
     assert got == [1]
+
+
+# --- round 10: recorded CDF on column-mapped tables ---------------------------
+
+
+def test_cdf_on_name_mapped_table_with_rename(spark, tmp_path):
+    """Recorded CDF on a mode=name table with a rename mid-history: change
+    files carry PHYSICAL column names (the reader maps them back), the
+    feed stays MINIMAL (no survivor churn), and applying it over the base
+    reproduces the final state — the net-diff fallback is gone."""
+    from buzz_rust_spark.sources.delta_writer import evolve_delta
+
+    root = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]), root,
+        configuration=CDF_CONF,
+    )
+    # upgrade to columnMapping.mode=name via rename (v -> val)
+    evolve_delta(root, rename_columns={"v": "val"})
+    merge_delta(
+        spark, root,
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, val string")
+        .coalesce(1),
+        on=["id"],
+    )
+    delete_delta(spark, root, "id = 1")
+    cl = read_delta_changelog(spark, root, 0)
+    rows = sorted((r.id, r.val, r._change_type) for r in cl.collect())
+    # minimal: update pre+post for id 2, insert 4, delete 1 — id 3 (the
+    # cow rewrite's survivor) never churns, proving the RECORDED path ran
+    assert rows == [
+        (1, "a", "delete"),
+        (2, "B", "insert"),
+        (2, "b", "delete"),
+        (4, "d", "insert"),
+    ]
+    # the staged change files are physical-named
+    import pyarrow.parquet as pq
+
+    cfiles = glob.glob(os.path.join(root, "_change_data", "**", "*.parquet"),
+                       recursive=True)
+    assert cfiles
+    meta_lines = []
+    for cf in sorted(glob.glob(os.path.join(root, "_delta_log", "*.json"))):
+        meta_lines += [json.loads(l) for l in open(cf) if l.strip()]
+    sch_json = json.loads(
+        [a["metaData"] for a in meta_lines if "metaData" in a][-1]
+        ["schemaString"]
+    )
+    phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in sch_json["fields"]
+    }
+    for cf in cfiles:
+        names = set(pq.read_schema(cf).names)
+        assert phys["val"] in names and "_change_type" in names
+        assert "val" not in names or phys["val"] == "val"
+
+
+def test_cdf_on_id_mapped_table(spark, tmp_path):
+    """Recorded CDF on a mode=id table: change files re-stamp parquet
+    field ids; the changelog resolves them by id and stays minimal."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), root,
+                configuration=CDF_CONF)
+    # hand-flip to mode=id (physical == logical names, ids 1..2), then
+    # stamp footer ids on the existing data files — spec-conformant shape
+    logd = os.path.join(root, "_delta_log")
+    lp = os.path.join(
+        logd, sorted(f for f in os.listdir(logd) if f.endswith(".json"))[-1]
+    )
+    acts = [_json.loads(l) for l in open(lp) if l.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            for i, f in enumerate(sch["fields"], start=1):
+                f["metadata"] = {
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": f["name"],
+                }
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+            cfg = dict(a["metaData"].get("configuration") or {})
+            cfg.update({
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "2",
+            })
+            a["metaData"]["configuration"] = cfg
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 2, "minWriterVersion": 5}
+    open(lp, "w").write("".join(_json.dumps(a) + "\n" for a in acts))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(root, "*.parquet")):
+        t = pq.read_table(f)
+        fields = [
+            fld.with_metadata({b"PARQUET:field_id": str(i + 1).encode()})
+            for i, fld in enumerate(t.schema)
+        ]
+        pq.write_table(t.cast(pa.schema(fields)), f)
+
+    merge_delta(
+        spark, root,
+        _df(spark, [(2, "B"), (4, "d")]).coalesce(1),
+        on=["id"],
+    )
+    delete_delta(spark, root, "id = 3")
+    rows = sorted(
+        (r.id, r.v, r._change_type)
+        for r in read_delta_changelog(spark, root, 0).collect()
+    )
+    assert rows == [
+        (2, "B", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+    # staged change files carry footer field ids
+    cfiles = glob.glob(os.path.join(root, "_change_data", "**", "*.parquet"),
+                       recursive=True)
+    assert cfiles
+    for cf in cfiles:
+        sch = pq.read_schema(cf)
+        ids = {f.metadata.get(b"PARQUET:field_id") for f in sch if f.metadata}
+        assert {b"1", b"2"} <= ids, f"{cf} lost ids"

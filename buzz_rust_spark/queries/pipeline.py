@@ -3812,3 +3812,82 @@ def z48_chain_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "tier")
     )
+
+
+@register("z49_metadata_files_audit", None, tags=("source", "pipeline"))
+def z49_metadata_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-tables surface (round-10 verdict ask #5): build an Iceberg
+    table from documents, upsert + delete + compact, then AUDIT the
+    ``$files`` inventory against the data itself — per partition, the
+    manifest-recorded record counts must equal a real scan's counts, and
+    the file counts must match the pruned plan.  The join of the files
+    table against the data is exactly the layout-debugging move an
+    operator makes on a 100 TB table (rows-only registry check; the
+    equality is asserted in-query).  Delta's DESCRIBE HISTORY twin is
+    pytest-pinned (test_metadata_tables.py)."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+    from ..sources.metadata_tables import (
+        iceberg_files,
+        iceberg_partitions,
+        iceberg_snapshots,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(120)
+        .select("doc_id", "source", F.length("text").alias("len"))
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_z49_") + "/tbl"
+    write_iceberg(docs, root, partition_by=["source"])
+    merge_iceberg(
+        spark, root,
+        docs.where("doc_id % 4 = 0").select(
+            "doc_id", "source", (F.col("len") + 1).alias("len")
+        ),
+        ["doc_id"],
+    )
+    delete_iceberg(spark, root, "doc_id % 9 = 2")
+    rewrite_iceberg(spark, root)
+
+    recorded = (
+        iceberg_partitions(spark, root)
+        .select(
+            F.get_json_object("partition_json", "$.source").alias("source"),
+            F.col("record_count").alias("recorded_rows"),
+            "file_count",
+        )
+    )
+    scanned = (
+        IcebergCatalog("z49", root)
+        .to_dataframe(spark)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("scanned_rows"))
+    )
+    out = (
+        recorded.join(scanned, on="source", how="full")
+        .select(
+            "source",
+            "file_count",
+            "recorded_rows",
+            "scanned_rows",
+        )
+        .orderBy("source")
+    )
+    rows = out.collect()
+    assert rows and all(
+        r.recorded_rows == r.scanned_rows for r in rows
+    ), f"metadata files table disagrees with the scan: {rows[:5]}"
+    n_snaps = iceberg_snapshots(spark, root).count()
+    assert n_snaps == 4, n_snaps
+    total_files = iceberg_files(spark, root).count()
+    assert total_files == sum(r.file_count for r in rows)
+    return spark.createDataFrame(rows, out.schema)

@@ -27,6 +27,16 @@ from .materialize import (
     refresh_join_materialization,
     refresh_materialization,
 )
+from .metadata_tables import (
+    delta_files,
+    delta_history,
+    delta_partitions,
+    iceberg_files,
+    iceberg_history,
+    iceberg_manifests,
+    iceberg_partitions,
+    iceberg_snapshots,
+)
 from .iceberg_writer import (
     cherry_pick_iceberg,
     delete_iceberg,
@@ -79,6 +89,14 @@ __all__ = [
     "refresh_materialization",
     "refresh_join_materialization",
     "refresh_chain_materialization",
+    "iceberg_snapshots",
+    "iceberg_manifests",
+    "iceberg_files",
+    "iceberg_partitions",
+    "iceberg_history",
+    "delta_history",
+    "delta_files",
+    "delta_partitions",
     "write_iceberg",
     "merge_iceberg",
     "delete_iceberg",

@@ -724,6 +724,9 @@ class IcebergCatalog:
                 "implements v1/v2; refusing is the spec-correct failure)"
             )
         self.format_version = fv
+        # raw table metadata (read-only): the metadata-tables surface
+        # (sources.metadata_tables) renders snapshot-log / refs from it
+        self._meta = meta
 
         # current schema: v2 = schemas[] + current-schema-id; v1 = schema
         if "schemas" in meta:

@@ -143,7 +143,7 @@ class StaticCatalog:
             conjs = stats_conjuncts_from_sql(stats_filter)
             if conjs:
                 files = prune_catalog_by_stats(
-                    replace(self, files=files), conjs
+                    replace(self, files=files), conjs, spark=spark
                 ).files
         out = self._frame_for(spark, files)
         if stats_filter is not None:

@@ -14,9 +14,13 @@ Why a catalog-level prune when Spark already does row-group skipping: at
 listed into the scan, never opened, never scheduled — the win is task-count
 and metadata I/O, on top of (not instead of) parquet's own row-group stats.
 
-Stats collection is one footer read per file (driver-side, O(files), bytes
-per file) and is cacheable alongside the manifest; production catalogs store
-these stats at write time exactly like Delta's ``stats`` on add actions.
+Stats collection is one footer read per file (KiB each): serial for a
+handful, an IO-bound thread pool past ``SERIAL_MAX``, and ONE distributed
+Spark job past ``SPARK_JOB_MIN`` — a 10^5-file manifest must never pay
+10^5 serial driver GETs before the query plans.  Collected intervals
+memoize per path for the session (immutable-file catalog contract);
+production catalogs store them at write time exactly like Delta's
+``stats`` on add actions.
 """
 
 from __future__ import annotations
@@ -34,35 +38,135 @@ _OPS = {"=", "<", "<=", ">", ">=", "between", "in"}
 FileStats = dict[str, dict[str, tuple[Any, Any]]]
 
 
-def collect_file_stats(paths: list[str], cols: list[str]) -> FileStats:
-    """Per-file [min, max] for ``cols`` from parquet footer metadata (merged
-    across row groups).  Columns without statistics are omitted (treated as
-    unprunable — always safe)."""
+# collection strategy thresholds: a handful of footers reads serially, a
+# medium manifest through an IO-bound thread pool, a large one as one
+# distributed Spark job (100k files must never be 100k serial GETs on the
+# driver before the query plans)
+SERIAL_MAX = 8
+THREADS = 16
+SPARK_JOB_MIN = 1024
+
+# path → {col: (min, max)} memo.  Manifest files are immutable by the
+# catalog contract (the reference's SizedFile: a key names one frozen
+# object), so footer stats never change for a given path — repeated
+# stats_filter queries over the same catalog pay the footer GETs once per
+# session.  Bounded: evicted wholesale past the cap (stats rows are tiny;
+# the cap only guards a pathological number of distinct paths).
+_STATS_CACHE: dict[str, dict[str, tuple[Any, Any]]] = {}
+_STATS_CACHE_MAX = 500_000
+
+
+def _footer_stats(path: str, cols: list[str]) -> dict[str, tuple[Any, Any]]:
+    """One file's per-column [min, max] from its parquet footer (merged
+    across row groups) — the unit of work every collection strategy
+    (serial / thread pool / Spark job) runs; tests seam concurrency here."""
     import pyarrow.parquet as pq
 
     from .schema_check import _pyarrow_path
 
-    out: FileStats = {}
-    for path in paths:
-        md = pq.read_metadata(_pyarrow_path(path))
-        names = md.schema.names
-        per_col: dict[str, tuple[Any, Any]] = {}
-        for col in cols:
-            if col not in names:
-                continue
-            idx = names.index(col)
-            mins, maxs = [], []
-            for i in range(md.num_row_groups):
-                st = md.row_group(i).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    mins = []
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-            if mins:
-                per_col[col] = (min(mins), max(maxs))
-        out[path] = per_col
-    return out
+    md = pq.read_metadata(_pyarrow_path(path))
+    names = md.schema.names
+    per_col: dict[str, tuple[Any, Any]] = {}
+    for col in cols:
+        if col not in names:
+            continue
+        idx = names.index(col)
+        mins, maxs = [], []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            per_col[col] = (min(mins), max(maxs))
+    return per_col
+
+
+def collect_file_stats(
+    paths: list[str], cols: list[str], spark=None
+) -> FileStats:
+    """Per-file [min, max] for ``cols`` from parquet footer metadata.
+    Columns without statistics are omitted (treated as unprunable — always
+    safe).
+
+    Collection scales with the candidate list: a few files read serially;
+    past ``SERIAL_MAX`` a thread pool overlaps the footer GETs (IO-bound —
+    KiB each); past ``SPARK_JOB_MIN`` (and given ``spark``) ONE
+    distributed mapInPandas job reads them executor-side and ships back
+    one stats row per file, so a 10^5-file static manifest plans without
+    10^5 serial driver GETs.  Results memoize per path for the session
+    (immutable-file contract), so repeated stats-filtered queries over
+    the same catalog collect once."""
+    todo = [
+        p for p in paths
+        if not set(cols) <= set(_STATS_CACHE.get(p, ()))
+    ]
+    if len(_STATS_CACHE) > _STATS_CACHE_MAX:
+        _STATS_CACHE.clear()
+    if todo:
+        if spark is not None and len(todo) >= SPARK_JOB_MIN:
+            collected = _collect_distributed(spark, todo, cols)
+        elif len(todo) > SERIAL_MAX:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(THREADS, len(todo))
+            ) as pool:
+                collected = dict(
+                    zip(todo, pool.map(lambda p: _footer_stats(p, cols), todo))
+                )
+        else:
+            collected = {p: _footer_stats(p, cols) for p in todo}
+        for p, per_col in collected.items():
+            _STATS_CACHE.setdefault(p, {}).update(per_col)
+    return {
+        p: {
+            c: _STATS_CACHE.get(p, {}).get(c)
+            for c in cols
+            if c in _STATS_CACHE.get(p, {})
+        }
+        for p in paths
+    }
+
+
+def _collect_distributed(
+    spark, paths: list[str], cols: list[str]
+) -> FileStats:
+    """One mapInPandas job over the candidate paths: each task reads its
+    files' footers and returns one pickled stats row per file (pickle
+    keeps min/max type fidelity — int/str/bytes/date survive the hop
+    exactly; JSON would stringify them and break interval comparisons).
+    Driver traffic is O(files) tiny rows."""
+    import base64
+    import pickle
+
+    def task(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                base64.b64encode(
+                    pickle.dumps(_footer_stats(p, cols))
+                ).decode()
+                for p in pdf["path"]
+            ]
+            yield pd.DataFrame({"path": pdf["path"], "stats": blobs})
+
+    n_parts = min(
+        len(paths),
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    rows = (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        .repartition(n_parts)
+        .mapInPandas(task, "path string, stats string")
+        .collect()
+    )
+    return {
+        r.path: pickle.loads(base64.b64decode(r.stats)) for r in rows
+    }
 
 
 def _may_match(interval: tuple[Any, Any], op: str, value: Any) -> bool:
@@ -126,15 +230,19 @@ def prune_catalog_by_stats(
     catalog: StaticCatalog,
     conjuncts: list[tuple[str, str, Any]],
     stats: FileStats | None = None,
+    spark=None,
 ) -> StaticCatalog:
     """A copy of ``catalog`` scanning only files that may match ``conjuncts``
-    (stats collected from footers when not supplied).  The caller still
-    applies the real filter to the resulting DataFrame — the zone map only
-    shrinks the file list."""
+    (stats collected from footers when not supplied — concurrently, and
+    distributed past ``SPARK_JOB_MIN`` when ``spark`` is given).  The
+    caller still applies the real filter to the resulting DataFrame — the
+    zone map only shrinks the file list."""
     if stats is None:
         resolved = {f.key: catalog.resolve_key(f.key) for f in catalog.files}
         raw = collect_file_stats(
-            list(resolved.values()), sorted({c for c, _, _ in conjuncts})
+            list(resolved.values()),
+            sorted({c for c, _, _ in conjuncts}),
+            spark=spark,
         )
         stats = {key: raw[uri] for key, uri in resolved.items()}
     return replace(

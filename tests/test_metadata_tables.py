@@ -1,0 +1,162 @@
+"""Metadata / introspection tables (sources.metadata_tables): Iceberg
+$snapshots/$manifests/$files/$partitions/$history and Delta DESCRIBE
+HISTORY / file inventory — counts, paths, and partition tuples must agree
+with the log/manifest ground truth through deletes and compaction."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from buzz_rust_spark.sources import metadata_tables as mt
+from buzz_rust_spark.sources.iceberg import IcebergCatalog
+
+
+def _seed(spark):
+    return spark.createDataFrame(
+        [(i, f"s{i % 2}", float(i)) for i in range(12)],
+        "id long, g string, v double",
+    )
+
+
+def test_iceberg_metadata_tables_through_lifecycle(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        rewrite_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(_seed(spark), root, partition_by=["g"])
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(3, "s1", 99.0)], "id long, g string, v double"),
+        ["id"],
+    )
+    delete_iceberg(spark, root, "id = 7")
+    rewrite_iceberg(spark, root)
+
+    cat = IcebergCatalog("t", root)
+    snaps = mt.iceberg_snapshots(spark, root)
+    assert snaps.count() == len(cat._snapshots) == 4
+    ops = {r.snapshot_id: r.operation for r in snaps.collect()}
+    assert ops[cat.resolved_snapshot_id] == "replace"  # the rewrite
+
+    # manifests agree with the pinned snapshot's manifest list
+    mans = mt.iceberg_manifests(spark, root)
+    assert mans.count() == len(cat._manifests)
+    assert {r.path for r in mans.collect()} == {
+        m["manifest_path"] for m in cat._manifests
+    }
+
+    # files: live data files = the scan plan's files; delete files purged
+    # by the rewrite
+    files = mt.iceberg_files(spark, root)
+    rows = files.collect()
+    data_paths = {r.file_path for r in rows if r.content == "data"}
+    plan_files = {f.key for f in cat.pruned_files(spark, None)}
+    from buzz_rust_spark.sources.iceberg import _spark_uri
+
+    assert {_spark_uri(p) for p in data_paths} == plan_files
+    assert all(r.content == "data" for r in rows)  # compaction purged MOR
+    # record counts: sum equals the live row count
+    total = sum(r.record_count for r in rows)
+    assert total == cat.to_dataframe(spark).count() == 11
+
+    # partitions roll the files up exactly
+    parts = {
+        r.partition_json: (r.file_count, r.record_count)
+        for r in mt.iceberg_partitions(spark, root).collect()
+    }
+    assert set(parts) == {'{"g": "s0"}', '{"g": "s1"}'}
+    assert sum(n for _, (_, n) in parts.items()) == 11
+
+    # history: every snapshot on the current ancestry
+    hist = mt.iceberg_history(spark, root).collect()
+    assert len(hist) == 4
+    assert all(r.is_current_ancestor for r in hist)
+
+    # time travel: the pre-delete snapshot still shows the delete files
+    pre = [s["snapshot-id"] for s in cat._snapshots][1]  # after merge
+    f_pre = mt.iceberg_files(spark, root, snapshot_id=pre)
+    assert f_pre.where("content = 'equality-deletes'").count() >= 1
+
+
+def test_iceberg_history_marks_abandoned_forks(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import (
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(_seed(spark), root)
+    s0 = IcebergCatalog("t", root).resolved_snapshot_id
+    write_iceberg(_seed(spark), root, mode="append")
+    abandoned = IcebergCatalog("t", root).resolved_snapshot_id
+    rollback_iceberg(root, s0)
+    write_iceberg(_seed(spark), root, mode="append")
+    hist = {r.snapshot_id: r.is_current_ancestor
+            for r in mt.iceberg_history(spark, root).collect()}
+    assert hist[s0] is True
+    assert hist[abandoned] is False
+
+
+def test_delta_metadata_tables_through_lifecycle(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    # one file per partition: the DV delete below must be PARTIAL (a DV
+    # covering a whole file degrades to a plain remove)
+    write_delta(_seed(spark).coalesce(1), root, partition_by=["g"])
+    merge_delta(
+        spark, root,
+        spark.createDataFrame(
+            [(3, "s1", 99.0)], "id long, g string, v double"
+        ).coalesce(1),
+        on=["id"],
+    )
+    delete_delta(spark, root, "id = 7", mode="dv")
+    hist = mt.delta_history(spark, root).orderBy("version").collect()
+    assert [r.version for r in hist] == [0, 1, 2]
+    assert hist[0].operation == "CREATE TABLE"
+    assert hist[1].num_added_files >= 1 and hist[1].num_removed_files >= 1
+    # the DV delete adds no data file; it re-adds the DV-carrying file
+    files = mt.delta_files(spark, root).collect()
+    cat = DeltaCatalog("t", root)
+    assert {r.path for r in files} == set(cat._live_adds)
+    assert any(r.has_deletion_vector and r.dv_cardinality == 1 for r in files)
+    # partition rollup: logical keys, counts match the live inventory
+    parts = {
+        r.partition_json: r.file_count
+        for r in mt.delta_partitions(spark, root).collect()
+    }
+    assert set(parts) == {'{"g": "s0"}', '{"g": "s1"}'}
+    assert sum(parts.values()) == len(files)
+    # compaction shrinks the inventory; history gains a REWRITE row
+    optimize_delta(spark, root, target_file_bytes=1 << 30)
+    files2 = mt.delta_files(spark, root).collect()
+    assert len(files2) < len(files)
+    assert not any(r.has_deletion_vector for r in files2)  # purged
+    ops = [r.operation for r in mt.delta_history(spark, root)
+           .orderBy("version").collect()]
+    assert ops[-1] == "REWRITE"
+    # time travel pins the inventory
+    assert mt.delta_files(spark, root, version=0).count() == len(
+        DeltaCatalog("t", root, version=0)._live_adds
+    )
+
+
+def test_metadata_tables_guards(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzBadRequestError
+
+    with pytest.raises(BuzzBadRequestError, match="not a Delta table"):
+        mt.delta_history(spark, str(tmp_path / "nope"))

@@ -330,3 +330,83 @@ def test_delta_stats_filter_never_prunes_temporal_columns(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == sorted(
         r.id for r in full.where(pred).collect()
     )
+
+
+def test_zonemap_stats_collection_is_concurrent(spark, tmp_path, monkeypatch):
+    """Round-10: collect_file_stats overlaps footer reads past SERIAL_MAX.
+    Seam: _footer_stats blocks on a 2-party barrier — concurrent calls
+    release each other; a serial regression deadlocks the barrier and the
+    test fails with BrokenBarrierError."""
+    import threading
+
+    from buzz_rust_spark.sources import zonemap
+
+    d = tmp_path / "files"
+    d.mkdir()
+    paths = []
+    for i in range(zonemap.SERIAL_MAX + 4):
+        p = str(d / f"f{i}.parquet")
+        spark.createDataFrame([(i,)], "x long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".dir")
+        import glob as g
+        import shutil
+
+        shutil.move(g.glob(p + ".dir/part-*.parquet")[0], p)
+        shutil.rmtree(p + ".dir")
+        paths.append(p)
+
+    barrier = threading.Barrier(2, timeout=30)
+    real = zonemap._footer_stats
+
+    def gated(path, cols):
+        barrier.wait()  # raises BrokenBarrierError if never 2-concurrent
+        return real(path, cols)
+
+    monkeypatch.setattr(zonemap, "_footer_stats", gated)
+    zonemap._STATS_CACHE.clear()
+    stats = zonemap.collect_file_stats(paths, ["x"])
+    assert all(stats[p].get("x") is not None for p in paths)
+
+
+def test_zonemap_stats_cache_and_distributed_job(spark, tmp_path, monkeypatch):
+    """The per-path memo makes the second collection footer-free, and the
+    distributed path (forced via SPARK_JOB_MIN=1) returns identical stats
+    with exact type fidelity."""
+    from buzz_rust_spark.sources import zonemap
+
+    d = tmp_path / "files2"
+    d.mkdir()
+    paths = []
+    for i in range(4):
+        p = str(d / f"g{i}.parquet")
+        spark.createDataFrame(
+            [(i * 10, f"s{i}")], "x long, s string"
+        ).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        import glob as g
+        import shutil
+
+        shutil.move(g.glob(p + ".dir/part-*.parquet")[0], p)
+        shutil.rmtree(p + ".dir")
+        paths.append(p)
+
+    zonemap._STATS_CACHE.clear()
+    first = zonemap.collect_file_stats(paths, ["x", "s"])
+    assert first[paths[1]]["x"] == (10, 10)
+    assert first[paths[2]]["s"] == ("s2", "s2")
+
+    # second call: memoized — the footer reader must not run at all
+    def boom(path, cols):
+        raise AssertionError("footer re-read despite cache")
+
+    monkeypatch.setattr(zonemap, "_footer_stats", boom)
+    again = zonemap.collect_file_stats(paths, ["x", "s"])
+    assert again == first
+    monkeypatch.undo()
+
+    # distributed job (forced low threshold): same stats, exact types
+    zonemap._STATS_CACHE.clear()
+    monkeypatch.setattr(zonemap, "SPARK_JOB_MIN", 1)
+    dist = zonemap.collect_file_stats(paths, ["x", "s"], spark=spark)
+    assert dist == first
+    assert isinstance(dist[paths[0]]["x"][0], int)

@@ -38,11 +38,14 @@ _LOG = "_delta_log"
 
 
 def _commit_versions(store: LogStore) -> list[tuple[int, str]]:
-    """(version, log-relative path) for each JSON commit, ascending."""
+    """(version, log-relative path) for each JSON commit, ascending.
+    EXACT-name match: ``N.checkpoint.<uuid>.json`` (a V2 checkpoint
+    manifest) also ends in .json with a numeric stem — treating it as
+    commit N would replay the whole checkpoint state twice."""
     out = []
     for name in store.list_names(_LOG):
         stem = name.split(".", 1)[0]
-        if name.endswith(".json") and stem.isdigit():
+        if stem.isdigit() and name == f"{stem}.json":
             out.append((int(stem), f"{_LOG}/{name}"))
     return sorted(out)
 
@@ -53,6 +56,118 @@ def _read_actions(store: LogStore, rel: str) -> list[dict]:
         for line in store.read_text(rel).splitlines()
         if line.strip()
     ]
+
+
+def _demap(obj):
+    # checkpoint map<string,string> columns (partitionValues,
+    # format.options) arrive from to_pylist as [(k, v), ...]
+    if isinstance(obj, list) and obj and all(
+        isinstance(i, tuple) and len(i) == 2 for i in obj
+    ):
+        return dict(obj)
+    if isinstance(obj, dict):
+        return {k: _demap(v) for k, v in obj.items()}
+    return obj
+
+
+def _parquet_actions(store: LogStore, rel: str) -> list[dict]:
+    """One checkpoint/sidecar parquet file → replayable action dicts."""
+    return [
+        {k: _demap(v) for k, v in row.items() if v is not None}
+        for row in store.read_parquet(rel).to_pylist()
+    ]
+
+
+def _resolve_checkpoint(
+    store: LogStore, version: int, declared_parts: int
+) -> tuple[str, list[str]] | None:
+    """The readable checkpoint for ``version``, by listing the log:
+    ``("v2", [manifest])`` for a UUID-named V2 checkpoint (preferred —
+    when the v2Checkpoint feature is active these are authoritative and a
+    coexisting classic file is only a compatibility copy),
+    ``("classic", [file])`` for the single-file form, or
+    ``("multipart", [part1..partM])`` when a COMPLETE classic multi-part
+    set exists (consistent with ``_last_checkpoint``'s ``parts`` when
+    declared).  None → the caller falls back to the full JSON replay,
+    whose contiguity check converts cleaned-up commits into a typed
+    error instead of a silent wrong snapshot."""
+    import re
+
+    pref = f"{version:020d}.checkpoint"
+    names = [n for n in store.list_names(_LOG) if n.startswith(pref + ".")]
+    v2 = sorted(
+        n
+        for n in names
+        if re.fullmatch(rf"{re.escape(pref)}\.[^.]+\.(parquet|json)", n)
+    )
+    if v2:
+        return ("v2", [f"{_LOG}/{v2[-1]}"])
+    if f"{pref}.parquet" in names:
+        return ("classic", [f"{_LOG}/{pref}.parquet"])
+    multi = [
+        n
+        for n in names
+        if re.fullmatch(rf"{re.escape(pref)}\.\d{{10}}\.\d{{10}}\.parquet", n)
+    ]
+    by_m: dict[int, set[int]] = {}
+    for n in multi:
+        seg = n.split(".")
+        by_m.setdefault(int(seg[3]), set()).add(int(seg[2]))
+    for m, ks in sorted(by_m.items()):
+        if ks == set(range(1, m + 1)) and declared_parts in (0, m):
+            return (
+                "multipart",
+                [f"{_LOG}/{pref}.{k:010d}.{m:010d}.parquet" for k in ks],
+            )
+    return None
+
+
+def _v2_checkpoint_actions(
+    store: LogStore, manifest_rel: str, version: int, table_uri: str
+) -> list[dict]:
+    """Replayable actions of a V2 checkpoint (PROTOCOL.md "V2 spec
+    checkpoint"): the manifest (json or parquet) holds the non-file
+    actions plus a ``checkpointMetadata`` stamp — whose version must
+    match, a mismatched manifest means a corrupt or misnamed checkpoint —
+    and ``sidecar`` pointers into ``_delta_log/_sidecars/`` holding the
+    file actions (which may also be inlined in the manifest)."""
+    if manifest_rel.endswith(".json"):
+        actions = _read_actions(store, manifest_rel)
+    else:
+        actions = _parquet_actions(store, manifest_rel)
+    cpm = next(
+        (a["checkpointMetadata"] for a in actions if a.get("checkpointMetadata")),
+        None,
+    )
+    if cpm is None or int(cpm.get("version", -1)) != version:
+        raise BuzzExecutionError(
+            f"Delta V2 checkpoint manifest {manifest_rel!r} at "
+            f"{table_uri!r} carries checkpointMetadata.version="
+            f"{None if cpm is None else cpm.get('version')} but is named "
+            f"for version {version} — corrupt or misnamed checkpoint"
+        )
+    out = [
+        a
+        for a in actions
+        if not a.get("sidecar") and not a.get("checkpointMetadata")
+    ]
+    for sc in (a["sidecar"] for a in actions if a.get("sidecar")):
+        path = str(sc["path"])
+        if "://" in path:
+            import io
+
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(io.BytesIO(store.read_bytes_uri(path)))
+            out.extend(
+                {k: _demap(v) for k, v in row.items() if v is not None}
+                for row in table.to_pylist()
+            )
+        else:
+            out.extend(
+                _parquet_actions(store, f"{_LOG}/_sidecars/{path}")
+            )
+    return out
 
 
 # Highest Delta protocol this implementation actually understands: reader 2
@@ -67,7 +182,16 @@ def _read_actions(store: LogStore, rel: str) -> list[dict]:
 # logically-deleted rows, so an unimplemented feature stays a refusal).
 _MAX_READER_VERSION = 2
 _MAX_WRITER_VERSION = 2
-_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "typeWidening"}
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "deletionVectors",
+    "typeWidening",
+    # UUID-named checkpoint manifests + _sidecars (PROTOCOL.md "V2 spec
+    # checkpoint") — _resolve_checkpoint/_v2_checkpoint_actions read them;
+    # the WRITER still refuses v2Checkpoint tables (writing one correctly
+    # requires emitting v2 checkpoints, which this writer does not)
+    "v2Checkpoint",
+}
 
 
 def _check_protocol(action: dict, table_uri: str) -> None:
@@ -213,40 +337,36 @@ class DeltaCatalog:
         start_version = 0
 
         cp_version: int | None = None
+        resolved: tuple[str, list[str]] | None = None
         if store.exists(f"{_LOG}/_last_checkpoint"):
             last_cp = json.loads(store.read_text(f"{_LOG}/_last_checkpoint"))
             cp_version = last_cp["version"]
-            # Multi-part checkpoints (the 'parts' field) split actions across
-            # N files; reading only a single-file name would silently drop
-            # actions, so fall back to a full JSON replay — the contiguity
-            # check below converts cleaned-up early commits into a typed
-            # error instead of a wrong snapshot.
-            if int(last_cp.get("parts") or 1) > 1:
-                cp_version = None
             # time travel below the checkpoint needs a full JSON replay;
             # only use the checkpoint when it doesn't overshoot the target.
-            if self.version is not None and cp_version is not None and (
-                cp_version > self.version
-            ):
+            if self.version is not None and cp_version > self.version:
                 cp_version = None
-        if cp_version is not None:
-            table = store.read_parquet(
-                f"{_LOG}/{cp_version:020d}.checkpoint.parquet"
-            )
-
-            def _demap(obj):
-                # checkpoint map<string,string> columns (partitionValues,
-                # format.options) arrive from to_pylist as [(k, v), ...]
-                if isinstance(obj, list) and obj and all(
-                    isinstance(i, tuple) and len(i) == 2 for i in obj
-                ):
-                    return dict(obj)
-                if isinstance(obj, dict):
-                    return {k: _demap(v) for k, v in obj.items()}
-                return obj
-
-            for row in table.to_pylist():
-                action = {k: _demap(v) for k, v in row.items() if v is not None}
+            if cp_version is not None:
+                # classic single-file, complete classic multi-part, and
+                # UUID-named V2 (manifest + _sidecars) checkpoints all
+                # read; anything unresolvable falls back to a full JSON
+                # replay, whose contiguity check converts cleaned-up early
+                # commits into a typed error instead of a wrong snapshot
+                resolved = _resolve_checkpoint(
+                    store, cp_version, int(last_cp.get("parts") or 0)
+                )
+                if resolved is None:
+                    cp_version = None
+        if cp_version is not None and resolved is not None:
+            kind, rels = resolved
+            if kind == "v2":
+                actions = _v2_checkpoint_actions(
+                    store, rels[0], cp_version, self.table_uri
+                )
+            else:
+                actions = [
+                    a for rel in rels for a in _parquet_actions(store, rel)
+                ]
+            for action in actions:
                 _replay_actions([action], live, meta, self.table_uri)
             start_version = cp_version + 1
 

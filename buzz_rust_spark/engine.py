@@ -35,6 +35,20 @@ from .plans import referenced_tables
 from .sources import DeltaCatalog, IcebergCatalog, ParquetDirCatalog, StaticCatalog
 
 
+def _meta_suffix(uri: str, fmt: str):
+    """``uri$files``-style metadata-table suffix split (Iceberg's
+    ``SELECT * FROM t$files`` surface, engine-side)."""
+    from .sources.metadata_tables import split_metadata_suffix
+
+    return split_metadata_suffix(uri, fmt)
+
+
+def _meta_catalog(name: str, fmt: str, base_uri: str, table: str):
+    from .sources.metadata_tables import MetadataTableCatalog
+
+    return MetadataTableCatalog(name, fmt, base_uri, table)
+
+
 def _execution_root_cause(exc: Exception) -> str:
     """Reduce a Py4J/Spark failure to its root-cause line, the way the
     reference forwards only the failing hbee's reason (not the whole server
@@ -99,8 +113,14 @@ class BuzzEngine:
 
             return replace(cat, name=spec.name)
         if spec.type is BuzzCatalogType.DELTA_LAKE:
+            base, meta_tbl = _meta_suffix(spec.uri, "delta")
+            if meta_tbl:
+                return _meta_catalog(spec.name, "delta", base, meta_tbl)
             return DeltaCatalog(name=spec.name, table_uri=spec.uri)
         if spec.type is BuzzCatalogType.ICEBERG:
+            base, meta_tbl = _meta_suffix(spec.uri, "iceberg")
+            if meta_tbl:
+                return _meta_catalog(spec.name, "iceberg", base, meta_tbl)
             return IcebergCatalog(name=spec.name, table_uri=spec.uri)
         return ParquetDirCatalog(name=spec.name, path=spec.uri)
 

@@ -28,6 +28,7 @@ from .materialize import (
     refresh_materialization,
 )
 from .metadata_tables import (
+    MetadataTableCatalog,
     delta_files,
     delta_history,
     delta_partitions,
@@ -35,6 +36,7 @@ from .metadata_tables import (
     iceberg_history,
     iceberg_manifests,
     iceberg_partitions,
+    iceberg_refs,
     iceberg_snapshots,
 )
 from .iceberg_writer import (
@@ -94,6 +96,8 @@ __all__ = [
     "iceberg_files",
     "iceberg_partitions",
     "iceberg_history",
+    "iceberg_refs",
+    "MetadataTableCatalog",
     "delta_history",
     "delta_files",
     "delta_partitions",

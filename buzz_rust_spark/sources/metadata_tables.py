@@ -44,6 +44,9 @@ __all__ = [
     "iceberg_files",
     "iceberg_partitions",
     "iceberg_history",
+    "iceberg_refs",
+    "MetadataTableCatalog",
+    "split_metadata_suffix",
     "delta_history",
     "delta_files",
     "delta_partitions",
@@ -437,3 +440,112 @@ def delta_partitions(
             F.sum("size_bytes").alias("total_size_bytes"),
         )
     )
+
+
+def iceberg_refs(
+    spark: SparkSession, table_uri: str, region: str | None = None
+) -> DataFrame:
+    """``table$refs``: the metadata ``refs`` map — branch/tag name, type,
+    pinned snapshot, retention settings (plus the implicit ``main``)."""
+    cat = _iceberg_cat(table_uri, region=region)
+    refs = dict(cat._meta.get("refs") or {})
+    if "main" not in refs and cat.resolved_snapshot_id is not None:
+        refs["main"] = {
+            "snapshot-id": cat.resolved_snapshot_id,
+            "type": "branch",
+        }
+    schema = StructType(
+        [
+            StructField("name", StringType(), False),
+            StructField("type", StringType(), True),
+            StructField("snapshot_id", LongType(), True),
+            StructField("max_ref_age_ms", LongType(), True),
+            StructField("min_snapshots_to_keep", IntegerType(), True),
+            StructField("max_snapshot_age_ms", LongType(), True),
+        ]
+    )
+    rows = [
+        (
+            name,
+            r.get("type"),
+            r.get("snapshot-id"),
+            r.get("max-ref-age-ms"),
+            r.get("min-snapshots-to-keep"),
+            r.get("max-snapshot-age-ms"),
+        )
+        for name, r in sorted(refs.items())
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+# --- engine integration: `uri$table` metadata catalogs ------------------------
+
+_ICEBERG_META_TABLES = {
+    "snapshots": iceberg_snapshots,
+    "manifests": iceberg_manifests,
+    "files": iceberg_files,
+    "partitions": iceberg_partitions,
+    "history": iceberg_history,
+    "refs": iceberg_refs,
+}
+_DELTA_META_TABLES = {
+    "history": delta_history,
+    "files": delta_files,
+    "partitions": delta_partitions,
+}
+
+
+def split_metadata_suffix(uri: str, fmt: str) -> tuple[str, str | None]:
+    """(base uri, metadata table name) for Iceberg's ``table$files``-style
+    suffixes in a BuzzCatalog uri — (uri, None) when there is no KNOWN
+    suffix (a literal ``$`` elsewhere in a path stays untouched)."""
+    base, sep, tail = uri.rpartition("$")
+    tables = _ICEBERG_META_TABLES if fmt == "iceberg" else _DELTA_META_TABLES
+    if sep and tail in tables and base:
+        return base, tail
+    return uri, None
+
+
+class MetadataTableCatalog:
+    """CatalogSource adapter exposing a format's metadata table through the
+    engine's query JSON (``BuzzCatalog{type: Iceberg, uri: ".../t$files"}``)
+    — the SQL steps then query it like any other table.  ``partition_
+    filter``/``stats_filter`` apply as plain row predicates (metadata
+    tables have no file manifest to prune), with the same typed plan
+    error on invalid SQL as every other catalog."""
+
+    def __init__(self, name: str, fmt: str, table_uri: str, table: str):
+        self.name = name
+        self.fmt = fmt
+        self.table_uri = table_uri
+        self.table = table
+
+    def to_dataframe(
+        self,
+        spark: SparkSession,
+        partition_filter: str | None = None,
+        stats_filter: str | None = None,
+    ) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        from ..errors import BuzzPlanError
+
+        fn = (
+            _ICEBERG_META_TABLES if self.fmt == "iceberg"
+            else _DELTA_META_TABLES
+        )[self.table]
+        df = fn(spark, self.table_uri)
+        for label, pred in (
+            ("partition_filter", partition_filter),
+            ("stats_filter", stats_filter),
+        ):
+            if pred:
+                try:
+                    df = df.where(pred)
+                except AnalysisException as exc:
+                    raise BuzzPlanError(
+                        f"invalid {label} for metadata catalog "
+                        f"{self.name!r}: "
+                        f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
+                    ) from exc
+        return df

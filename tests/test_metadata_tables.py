@@ -160,3 +160,76 @@ def test_metadata_tables_guards(spark, tmp_path):
 
     with pytest.raises(BuzzBadRequestError, match="not a Delta table"):
         mt.delta_history(spark, str(tmp_path / "nope"))
+
+
+def test_engine_metadata_catalog_suffix(spark, tmp_path):
+    """BuzzCatalog uris take Iceberg's `$table` metadata suffixes: the
+    engine routes `uri$files` / `uri$refs` (Iceberg) and `uri$history`
+    (Delta) to the metadata tables, queryable like any catalog."""
+    import json as _json
+
+    from buzz_rust_spark.engine import BuzzEngine
+    from buzz_rust_spark.sources.delta_writer import write_delta
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        write_iceberg,
+    )
+
+    ice = str(tmp_path / "ice")
+    dl = str(tmp_path / "dl")
+    write_iceberg(_seed(spark), ice, partition_by=["g"])
+    delete_iceberg(spark, ice, "id = 3")
+    write_delta(_seed(spark), dl)
+    eng = BuzzEngine(spark)
+
+    q = {
+        "steps": [
+            {
+                "sql": (
+                    "SELECT content, COUNT(*) AS n FROM f "
+                    "GROUP BY content ORDER BY content"
+                ),
+                "name": "s1",
+                "step_type": "HBee",
+            }
+        ],
+        "capacity": {"zones": 1},
+        "catalogs": [{"name": "f", "type": "Iceberg", "uri": ice + "$files"}],
+    }
+    rows = {(r.content, r.n) for r in eng.run_json(_json.dumps(q)).collect()}
+    assert ("data", 2) in rows  # one file per partition value
+    assert any(c.endswith("deletes") for c, _ in rows)
+
+    q2 = {
+        "steps": [
+            {
+                "sql": "SELECT version, operation FROM h ORDER BY version",
+                "name": "s1",
+                "step_type": "HBee",
+            }
+        ],
+        "capacity": {"zones": 1},
+        "catalogs": [
+            {"name": "h", "type": "DeltaLake", "uri": dl + "$history"}
+        ],
+    }
+    hist = eng.run_json(_json.dumps(q2)).collect()
+    assert [r.version for r in hist] == [0]
+    assert hist[0].operation == "CREATE TABLE"
+
+
+def test_iceberg_refs_table(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import (
+        tag_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.metadata_tables import iceberg_refs
+
+    root = str(tmp_path / "t")
+    write_iceberg(_seed(spark), root)
+    snap = IcebergCatalog("t", root).resolved_snapshot_id
+    tag_iceberg(root, "v1.0", snap)
+    refs = {r.name: (r.type, r.snapshot_id)
+            for r in iceberg_refs(spark, root).collect()}
+    assert refs["v1.0"] == ("tag", snap)
+    assert refs["main"][1] == snap

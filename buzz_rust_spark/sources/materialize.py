@@ -917,10 +917,13 @@ def refresh_chain_materialization(
     fact ⋈ dim1 ⋈ dim2 …).
 
     ``sources`` is ordered: ``[{"uri": …, "format": "iceberg"|"delta",
-    "join_cols": […]}, …]`` where ``join_cols`` of table i (i ≥ 1) are
-    the equi-join keys linking it to the ACCUMULATED prefix
-    ``S0 ⋈ … ⋈ S(i−1)`` (left-deep, Spark ``on=`` semantics: key columns
-    merge).  Table 0 takes no join_cols.
+    "join_cols": […], "how": "inner"|"left"}, …]`` where ``join_cols``
+    of table i (i ≥ 1) are the equi-join keys linking it to the
+    ACCUMULATED prefix ``S0 ⋈ … ⋈ S(i−1)`` (left-deep, Spark ``on=``
+    semantics: key columns merge) and ``how`` (default inner) joins that
+    table LEFT OUTER when requested — unmatched prefix rows contribute
+    with NULL columns from that table, SQL's null-extension.  Table 0
+    takes no join_cols/how.
 
     Maintenance applies the two-table signed-delta rule associatively —
     term i of the delta is
@@ -930,10 +933,15 @@ def refresh_chain_materialization(
     (prefix states pinned at their OLD cursors, suffix states at their
     NEW positions, exactly one Δ per term), which telescopes to
     ``chain_new − chain_old`` for multisets — each pairwise step is the
-    proven two-table identity.  Every prefix/suffix table that carries
-    term i's join keys is SEMI-JOIN RESTRICTED to ΔSi's key set before
-    joining (broadcast), so a term costs O(Δ's fan-in across the chain),
-    never a full re-join; unchanged tables contribute no term at all.
+    proven two-table identity.  A term whose slot sits on the RIGHT of a
+    LEFT step is not linear (the first/last match flips null-extension):
+    that bracket is computed explicitly as the ± pair of chains with the
+    table pinned NEW vs OLD, key-restricted to ΔSi's join keys (outside
+    them the pair cancels exactly).  Every prefix/suffix table that
+    carries term i's join keys is SEMI-JOIN RESTRICTED to ΔSi's key set
+    before joining (broadcast), so a term costs O(Δ's fan-in across the
+    chain), never a full re-join; unchanged tables contribute no term at
+    all.
     min/max reuse the hybrid: incremental under inserted extremes, a
     targeted rescan of the pinned FULL CHAIN restricted to only the
     flagged groups.  All N cursors commit atomically with the merge and
@@ -969,15 +977,20 @@ def refresh_chain_materialization(
             "sum/min/max cols"
         )
     n = len(sources)
-    uris, fmts, join_specs = [], [], []
+    uris, fmts, join_specs, hows = [], [], [], []
     for i, s in enumerate(sources):
         uri, fmt = s.get("uri"), s.get("format", "iceberg")
         jc = list(s.get("join_cols") or [])
+        how = s.get("how", "inner")
         if not uri:
             raise BuzzBadRequestError(f"sources[{i}] has no uri")
         if fmt not in ("iceberg", "delta"):
             raise BuzzBadRequestError(
                 f"sources[{i}] format must be iceberg|delta, got {fmt!r}"
+            )
+        if how not in ("inner", "left"):
+            raise BuzzBadRequestError(
+                f"sources[{i}] how must be inner|left, got {how!r}"
             )
         if i == 0 and jc:
             raise BuzzBadRequestError(
@@ -990,6 +1003,7 @@ def refresh_chain_materialization(
         uris.append(uri)
         fmts.append(fmt)
         join_specs.append(jc)
+        hows.append(how)
 
     positions = [
         _source_position(spark, uris[i], fmts[i]) for i in range(n)
@@ -1001,6 +1015,12 @@ def refresh_chain_materialization(
         "kind": "chain",
         "tables": [
             {"format": fmts[i], "join_cols": join_specs[i]}
+            if hows[i] == "inner"
+            else {
+                "format": fmts[i],
+                "join_cols": join_specs[i],
+                "how": hows[i],
+            }
             for i in range(n)
         ],
         "group_cols": list(group_cols),
@@ -1069,7 +1089,7 @@ def refresh_chain_materialization(
     def _chain(frames: list[DataFrame]) -> DataFrame:
         acc = frames[0]
         for i in range(1, n):
-            acc = acc.join(frames[i], on=join_specs[i], how="inner")
+            acc = acc.join(frames[i], on=join_specs[i], how=hows[i])
         return acc
 
     def _pinned_chain(pins: list) -> DataFrame:
@@ -1130,6 +1150,43 @@ def refresh_chain_materialization(
                 spark, uris[i], fmts[i], cursors[i], str(positions[i])
             )
         )
+        if i > 0 and hows[i] == "left":
+            # a LEFT-joined table is NOT a linear slot (its first/last
+            # match flips the prefix rows' null-extension): the
+            # telescoping bracket C(old_<i, new_i, new_>i) −
+            # C(old_<i, old_i, new_>i) is computed EXPLICITLY, restricted
+            # to K = ΔSi's join keys — outside K the two chains are
+            # identical and cancel, so the cost is O(affected keys'
+            # fan-in).  Restricting any table that CARRIES those key
+            # columns is sound: validation forces shared columns to be
+            # join keys, so matching rows agree on them, and dropped
+            # rows cancel between the ± terms.
+            K = broadcast(d.select(*join_specs[i]).distinct())
+            for sign, pin_i in ((1, positions[i]), (-1, cursors[i])):
+                frames = []
+                cols_per_table = []
+                for j in range(n):
+                    pin = (
+                        pin_i if j == i
+                        else (cursors[j] if j < i else positions[j])
+                    )
+                    frames.append(
+                        _pinned_source(spark, uris[j], fmts[j], pin)
+                    )
+                    cols_per_table.append(frames[j].columns)
+                kept = _validate(cols_per_table)
+                projected = [
+                    frames[j].select(*kept[j]) for j in range(n)
+                ]
+                for j in range(n):
+                    if set(join_specs[i]) <= set(kept[j]):
+                        projected[j] = projected[j].join(
+                            K, on=join_specs[i], how="left_semi"
+                        )
+                terms.append(
+                    _chain(projected).withColumn("__w", F.lit(sign))
+                )
+            continue
         frames: list[DataFrame] = []
         cols_per_table: list[list[str]] = []
         for j in range(n):
@@ -1155,7 +1212,11 @@ def refresh_chain_materialization(
         # keys to Δi's key set — the term then costs O(Δ's fan-in),
         # never a full chain re-join.  Table 0 has no own keys; when Δ
         # is table 0, the downstream tables restrict through their own
-        # step keys if Δ carries them.
+        # step keys if Δ carries them.  Restricting the right side of a
+        # LEFT step is equally sound: every dropped row's step keys are
+        # outside the term's rows (validation makes shared columns join
+        # keys), so no match — and hence no null-extension flip — is
+        # lost.
         if join_specs[i]:
             keys = broadcast(d.select(*join_specs[i]).distinct())
             for j in range(n):
@@ -1165,6 +1226,9 @@ def refresh_chain_materialization(
                     )
         else:
             d_cols = set(kept[i])
+            # restricting the right side of a LEFT step by Δ0's keys is
+            # sound here too: Δ0 IS the term's left spine, so every term
+            # row's keys come from Δ0 and no null-extension flip is lost
             for j in range(1, n):
                 if set(join_specs[j]) <= d_cols:
                     keys = broadcast(

@@ -1195,3 +1195,136 @@ def test_matview_null_group_key(spark, tmp_path):
     delete_iceberg(spark, src, "v = 9.0")
     refresh()
     assert state() == recompute()
+
+
+def test_chain_matview_left_steps_and_mixed_formats(spark, tmp_path):
+    """Chain with a LEFT step (fact ⟕ dim1) plus an inner tail (⋈ dim2),
+    dim1 stored as DELTA (mixed formats): null-extension flips both ways
+    through dim1 CDC windows, and the state equals the re-join recompute
+    at every step."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        write_delta,
+    )
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.sources.materialize import (
+        read_materialization,
+        refresh_chain_materialization,
+    )
+
+    fact = str(tmp_path / "fact")
+    d1 = str(tmp_path / "d1")  # delta, LEFT-joined
+    d2 = str(tmp_path / "d2")  # iceberg, inner tail
+    tgt = str(tmp_path / "mv")
+    write_iceberg(
+        spark.createDataFrame(
+            # k1=9 has NO dim1 row: the null-extended population
+            [(1, 10, 5.0), (2, 20, 7.0), (9, 10, 1.0), (9, 20, 2.0)],
+            "k1 long, k2 long, amt double",
+        ),
+        fact,
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(1, "red"), (2, "blue")], "k1 long, color string"
+        ).coalesce(1),
+        d1,
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(10, "EU"), (20, "US")], "k2 long, region string"
+        ),
+        d2,
+    )
+    sources = [
+        {"uri": fact, "format": "iceberg"},
+        {"uri": d1, "format": "delta", "join_cols": ["k1"], "how": "left"},
+        {"uri": d2, "format": "iceberg", "join_cols": ["k2"]},
+    ]
+
+    def refresh():
+        return refresh_chain_materialization(
+            spark, sources, tgt, ["color", "region"], ["amt"],
+            min_cols=["amt"],
+        )
+
+    def state():
+        return sorted(
+            (
+                (r.color, r.region, r.n_rows, r.sum_amt, r.min_amt)
+                for r in read_materialization(spark, tgt).collect()
+            ),
+            key=repr,
+        )
+
+    def recompute():
+        f = IcebergCatalog("f", fact).to_dataframe(spark)
+        a = DeltaCatalog("a", d1).to_dataframe(spark)
+        b = IcebergCatalog("b", d2).to_dataframe(spark)
+        return sorted(
+            (
+                (r.color, r.region, r.n, r.s, r.mn)
+                for r in f.join(a, "k1", "left").join(b, "k2")
+                .groupBy("color", "region")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("amt").alias("s"),
+                    F.min("amt").alias("mn"),
+                )
+                .collect()
+            ),
+            key=repr,
+        )
+
+    assert refresh()["bootstrapped"] is True
+    assert state() == recompute()
+    # fact window: new unmatched + matched rows, extremum-killing delete
+    write_iceberg(
+        spark.createDataFrame(
+            [(9, 10, 0.5), (1, 20, 9.0)], "k1 long, k2 long, amt double"
+        ),
+        fact, mode="append",
+    )
+    delete_iceberg(spark, fact, "amt = 1.0")
+    refresh()
+    assert state() == recompute()
+    # LEFT-dim insert: k1=9 gains its FIRST match — null-extension flips
+    write_delta(
+        spark.createDataFrame([(9, "gray")], "k1 long, color string")
+        .coalesce(1),
+        d1, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+    # LEFT-dim delete: k1=2 loses its LAST match — null-extension returns
+    delete_delta(spark, d1, "k1 = 2")
+    refresh()
+    assert state() == recompute()
+    # tail-dim + fact move together while the left dim holds still
+    write_iceberg(
+        spark.createDataFrame([(30, "APAC")], "k2 long, region string"),
+        d2, mode="append",
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(9, 30, 4.0)], "k1 long, k2 long, amt double"
+        ),
+        fact, mode="append",
+    )
+    refresh()
+    assert state() == recompute()
+    # spec guard: an inner-built chain refuses a left refresh
+    sources2 = [dict(s) for s in sources]
+    sources2[1].pop("how")
+    with pytest.raises(BuzzBadRequestError, match="spec mismatch"):
+        refresh_chain_materialization(
+            spark, sources2, tgt, ["color", "region"], ["amt"],
+            min_cols=["amt"],
+        )

@@ -138,23 +138,46 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     hash_fn: str = "fast",
     shingle_df_cap: int | None = 10_000,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All pairs (id_1 < id_2) whose word-``n``-gram Jaccard ≥ ``threshold``.
 
-    Shape: explode distinct shingles → hash → document-frequency cap →
-    self-join on shingle hash → count common shingles per pair → Jaccard from
-    |A|+|B|-common.  Only 8-byte hashes and counts move through the shuffles
-    (never shingle strings or arrays); the explode keys the join by shingle so
-    cost is Σ (docs-per-shingle)², and ``shingle_df_cap`` bounds every bucket:
+    With ``prefix_filter``, candidate generation uses the
+    AllPairs/PPJoin PREFIX principle
+    (Bayardo et al., WWW'07; Xiao et al., WWW'08): shingles order
+    globally by (document frequency, hash) and only each document's
+    first ``n_i − ⌈t·n_i⌉ + 1`` shingles — its rarest — are indexed; a
+    pair with Jaccard ≥ t must share a prefix shingle (overlap ≥ ⌈t·n⌉
+    forces the prefixes to intersect), so completeness holds while the
+    candidate volume collapses (rare shingles have tiny postings).
+    Candidates verify EXACTLY against the full hashed shingle sets
+    (JVM ``array_intersect``).  Measured crossover (BENCH.md round 10):
+    the prefix path's extra shuffles (df agg + join, per-doc arrays,
+    verification joins) cost ~2 s of fixed overhead, so the DENSE path
+    wins below ~20k docs (sf0.1: 2.2 s vs 4.3 s) while prefix wins 1.5×
+    at 50k (sf1: 18 s vs 28 s, Σbucket² 254M → the prefix postings' few
+    M) and asymptotically at corpus scale — choose by corpus size; the
+    default stays dense for the small-batch case.
+
+    ``prefix_filter=False`` (or threshold 0) keeps the dense path:
+    explode distinct shingles → hash → self-join on shingle hash → count
+    common shingles per pair → Jaccard from |A|+|B|-common.  Only 8-byte
+    hashes and counts move through the shuffles; cost is
+    Σ (docs-per-shingle)².
+
+    Under both paths ``shingle_df_cap`` bounds every posting list:
     shingles appearing in more than ``cap`` documents (stopword runs —
     quadratic hot buckets at corpus scale) are dropped from CANDIDATE
-    GENERATION only.  Reported Jaccard stays EXACT: the shared-hot-shingle
-    count is restored per candidate pair via tiny per-doc hot-shingle arrays
-    (bounded by the hot set, which is broadcast-small by construction).  A
-    true pair is missed only if *every* shingle it shares is hotter than the
-    cap — at threshold ≥ 0.5 that means half a document's shingles each occur
-    in 10k+ documents, which is the pathological case the cap exists for.
+    GENERATION only.  The dense path restores exact common counts for
+    capped shingles via per-doc hot arrays, so a true pair is missed
+    only if EVERY shared shingle is hotter than the cap; the prefix path
+    misses a pair only if every shared PREFIX shingle is hotter — both
+    are the pathological all-stopword case the cap exists for.
     """
+    if prefix_filter and threshold > 0:
+        return _ngram_jaccard_prefix(
+            df, text_col, id_col, n, threshold, hash_fn, shingle_df_cap
+        )
     # ONE shuffle groups the (id, size, hash) index into per-shingle posting
     # lists; candidate pairs are generated inside each bucket (sorted
     # (id, n) structs → id_1 < id_2 for free, and every candidate pair
@@ -256,6 +279,114 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _ngram_jaccard_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    hash_fn: str,
+    shingle_df_cap: int | None,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (see :func:`ngram_jaccard_pairs`).
+
+    Plan shape: one df aggregation over the inverted index, one join
+    attaching df to index rows, one per-doc collect into the globally
+    ordered hash array (rarest first), prefix-posting buckets → candidate
+    pairs with the AllPairs length filter, then exact verification by
+    joining the DISTINCT candidates back to the full per-doc hash arrays
+    — ``array_intersect`` runs JVM-side, and the denominators ride the
+    candidate rows.  Every relation that moves is 8-byte hashes, ids, and
+    counts; the per-doc arrays shuffle once into the verification join.
+
+    Completeness: overlap ≥ ⌈t·max(n1,n2)⌉ for J ≥ t, and two sets with
+    overlap ≥ α must share an element within their first (size − α + 1)
+    elements under ANY shared total order — the (df, hash) order makes
+    those prefix elements the rarest, so the postings stay small."""
+    from functools import reduce
+
+    exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn)
+    dfreq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    # per-doc shingle hashes in the GLOBAL (df, h) order; ties on the
+    # struct sort are total, so every document orders identically
+    docs = (
+        exploded.join(dfreq, on="_h")
+        .groupBy("_id", "_n")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_df", "_h"))).alias("_sh")
+        )
+        .select(
+            "_id",
+            "_n",
+            F.col("_sh._h").alias("_all"),
+            F.slice(
+                F.col("_sh._h"),
+                1,
+                F.greatest(
+                    F.lit(0),
+                    F.col("_n")
+                    - F.ceil(F.lit(threshold) * F.col("_n")).cast("int")
+                    + 1,
+                ),
+            ).alias("_pref"),
+        )
+    )
+    docs = persist_tracked(docs)
+    buckets = (
+        docs.select("_id", "_n", F.explode("_pref").alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("_n")))
+            ).alias("_ids")
+        )
+        .where(F.size("_ids") > 1)
+    )
+    if shingle_df_cap is not None:
+        buckets = buckets.where(F.size("_ids") <= shingle_df_cap)
+    pairs = buckets.select(
+        F.posexplode("_ids").alias("_i", "_e1"), F.col("_ids")
+    ).select(
+        F.col("_e1._id").alias("id_1"),
+        F.col("_e1._n").alias("_n1"),
+        F.explode(
+            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+        ).alias("_e2"),
+    )
+    # AllPairs length filter: J ≤ min(n1,n2)/max(n1,n2)
+    pairs = pairs.where(
+        (F.col("_n1") >= F.lit(threshold) * F.col("_e2._n"))
+        & (F.col("_e2._n") >= F.lit(threshold) * F.col("_n1"))
+    )
+    cand = pairs.select(
+        "id_1",
+        "_n1",
+        F.col("_e2._id").alias("id_2"),
+        F.col("_e2._n").alias("_n2"),
+    ).distinct()
+    scored = (
+        cand.join(
+            docs.select(F.col("_id").alias("id_1"), F.col("_all").alias("_a1")),
+            on="id_1",
+        )
+        .join(
+            docs.select(F.col("_id").alias("id_2"), F.col("_all").alias("_a2")),
+            on="id_2",
+        )
+        .withColumn(
+            "_common", F.size(F.array_intersect("_a1", "_a2"))
+        )
+    )
+    return scored.select(
+        "id_1",
+        "id_2",
+        (
+            F.col("_common")
+            / (F.col("_n1") + F.col("_n2") - F.col("_common"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(

@@ -154,6 +154,26 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d11_ngram_jaccard_prefix",
+    tags=("dedup",),
+    oracle=_TRUE_PAIRS,
+)
+def d11_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin PREFIX-FILTERED exact Jaccard pairs — the scale
+    path for the exact near-dup join (round 10): only each document's
+    rarest ``n−⌈t·n⌉+1`` shingles (global (df, hash) order) are indexed,
+    so candidate volume collapses while exact verification against the
+    full hashed sets keeps the SAME truth as d02 (shared oracle).
+    Measured 1.5× faster than the dense path at 50k docs and
+    asymptotically better at corpus scale (BENCH.md round 10); d02 stays
+    the small-batch default."""
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        hash_fn="fast", prefix_filter=True,
+    ).select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
     "d03_minhash_lsh",
     headline=True,
     tags=("dedup",),

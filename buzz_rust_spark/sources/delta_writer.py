@@ -52,6 +52,12 @@ PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 SUPPORTED_WRITER_FEATURES = {
     "deletionVectors", "columnMapping", "typeWidening", "changeDataFeed",
     "appendOnly",  # enforced operationally: _require_not_append_only
+    # v2Checkpoint tables are writable: commits carry plain actions (the
+    # feature only governs CHECKPOINT format), and _write_checkpoint
+    # SKIPS emission there — checkpoints are an optional optimization,
+    # while a classic checkpoint on a v2Checkpoint table would be
+    # non-conformant.  The reader consumes existing v2 checkpoints.
+    "v2Checkpoint",
 }
 DV_PROTOCOL = {
     "minReaderVersion": 3,
@@ -1054,9 +1060,22 @@ def write_delta(
 def _write_checkpoint(log_dir: str, version: int) -> None:
     """Materialize the live snapshot at ``version`` as a checkpoint parquet +
     ``_last_checkpoint`` pointer (the layout :class:`DeltaCatalog` replays:
-    one action per row, non-null column = the action kind)."""
+    one action per row, non-null column = the action kind).
+
+    No-op on tables whose protocol carries the ``v2Checkpoint`` feature:
+    there the spec requires checkpoints in V2 format, which this writer
+    does not emit — and checkpoints are an optional optimization, so
+    skipping keeps every commit conformant (existing v2 checkpoints stay
+    authoritative for readers)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    proto = _current_protocol(log_dir) or {}
+    feats = set(proto.get("writerFeatures") or ()) | set(
+        proto.get("readerFeatures") or ()
+    )
+    if "v2Checkpoint" in feats:
+        return
 
     _, live, meta = _log_state(log_dir)
 

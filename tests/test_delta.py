@@ -2340,3 +2340,58 @@ def test_incomplete_multipart_checkpoint_falls_back_typed(spark, tmp_path):
     _drop_commits_below(root, 2)
     with pytest.raises(BuzzExecutionError, match="missing commit"):
         DeltaCatalog("t", root)
+
+
+def test_v2_checkpoint_table_is_writable_without_classic_checkpoints(
+    spark, tmp_path
+):
+    """Writes to a v2Checkpoint-feature table work (commits are plain
+    actions), but NO classic checkpoint is ever emitted there — the spec
+    requires V2-format checkpoints, and skipping an optional checkpoint
+    keeps every commit conformant."""
+    import glob as _g
+
+    from buzz_rust_spark.sources.delta_writer import (
+        delete_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    root = _v2_fixture_base(spark, tmp_path)
+    log = os.path.join(root, "_delta_log")
+    # flip the protocol to the v2Checkpoint feature form
+    _write_commit(
+        log,
+        3,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+            }
+        ],
+    )
+    # checkpoint_interval=1 would checkpoint EVERY commit on a plain table
+    write_delta(
+        spark.createDataFrame([(9, "z")], "id long, v string"),
+        root, mode="append", checkpoint_interval=1,
+    )
+    merge_delta(
+        spark, root,
+        spark.createDataFrame([(9, "Z"), (10, "y")], "id long, v string")
+        .coalesce(1),
+        on=["id"], checkpoint_interval=1,
+    )
+    delete_delta(spark, root, "id = 1", checkpoint_interval=1)
+    got = sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(2, "b"), (3, "c"), (4, "d"), (9, "Z"), (10, "y")]
+    assert not _g.glob(os.path.join(log, "*.checkpoint.parquet")), (
+        "classic checkpoint emitted on a v2Checkpoint table"
+    )
+    assert not os.path.exists(os.path.join(log, "_last_checkpoint"))

@@ -10,9 +10,11 @@ strings, delta_catalog.rs:73-77), and the table schema from the Delta metadata
 This rebuild parses the ``_delta_log`` JSON directly (the log format is an
 open spec) instead of depending on delta-spark, then delegates scanning to
 :class:`StaticCatalog`.  Delta's ``schemaString`` *is* Spark StructType JSON,
-so the schema conversion is exact.  Checkpoint parquet files are supported by
-reading the ``_last_checkpoint`` pointer; JSON commits after the checkpoint are
-replayed on top.
+so the schema conversion is exact.  Checkpoints are supported in all three
+spec forms — classic single-file, complete classic multi-part sets, and
+UUID-named V2 manifests with ``_sidecars`` (the ``v2Checkpoint`` reader
+feature) — discovered from the ``_last_checkpoint`` pointer + a log
+listing; JSON commits after the checkpoint replay on top.
 
 All log IO goes through :class:`~buzz_rust_spark.sources.logstore.LogStore`,
 so tables can live on any filesystem pyarrow speaks — local paths, ``s3://``
@@ -390,7 +392,8 @@ class DeltaCatalog:
         # [start_version, max_seen] — commits removed by log cleanup
         # (delta.logRetentionDuration) would otherwise drop their adds from
         # the snapshot SILENTLY (e.g. time travel below a checkpoint whose
-        # early JSON commits are gone, or a multi-part-checkpoint fallback).
+        # early JSON commits are gone, or an INCOMPLETE multi-part set's
+        # fallback).
         expected = set(range(start_version, max_seen + 1))
         gaps = sorted(expected - set(replayed))
         if gaps:

@@ -54,9 +54,8 @@ SUPPORTED_WRITER_FEATURES = {
     "appendOnly",  # enforced operationally: _require_not_append_only
     # v2Checkpoint tables are writable: commits carry plain actions (the
     # feature only governs CHECKPOINT format), and _write_checkpoint
-    # SKIPS emission there — checkpoints are an optional optimization,
-    # while a classic checkpoint on a v2Checkpoint table would be
-    # non-conformant.  The reader consumes existing v2 checkpoints.
+    # emits the spec-V2 form there (UUID manifest + _sidecars) — a
+    # classic checkpoint on such a table would be non-conformant.
     "v2Checkpoint",
 }
 DV_PROTOCOL = {
@@ -1058,15 +1057,16 @@ def write_delta(
 
 
 def _write_checkpoint(log_dir: str, version: int) -> None:
-    """Materialize the live snapshot at ``version`` as a checkpoint parquet +
+    """Materialize the live snapshot at ``version`` as a checkpoint +
     ``_last_checkpoint`` pointer (the layout :class:`DeltaCatalog` replays:
     one action per row, non-null column = the action kind).
 
-    No-op on tables whose protocol carries the ``v2Checkpoint`` feature:
-    there the spec requires checkpoints in V2 format, which this writer
-    does not emit — and checkpoints are an optional optimization, so
-    skipping keeps every commit conformant (existing v2 checkpoints stay
-    authoritative for readers)."""
+    Tables whose protocol carries the ``v2Checkpoint`` feature get a
+    spec-V2 checkpoint instead of the classic single file: a UUID-named
+    manifest (non-file actions + ``checkpointMetadata`` + a ``sidecar``
+    pointer) with the add actions in a ``_sidecars/`` parquet — the form
+    the spec REQUIRES on such tables (a classic file there would be
+    non-conformant)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1074,8 +1074,7 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
     feats = set(proto.get("writerFeatures") or ()) | set(
         proto.get("readerFeatures") or ()
     )
-    if "v2Checkpoint" in feats:
-        return
+    v2 = "v2Checkpoint" in feats
 
     _, live, meta = _log_state(log_dir)
 
@@ -1186,8 +1185,88 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
         {**none_row, "txn": {"appId": app, "version": v, "lastUpdated": None}}
         for app, v in sorted(_txn_state(log_dir).items())
     )
-    table = pa.Table.from_pylist(rows, schema=schema)
-    pq.write_table(table, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
+    if not v2:
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(
+            table, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        )
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": version, "size": len(rows)}, fh)
+        return
+
+    # --- V2 form: sidecar parquet (file actions) + UUID manifest ---------
+    add_field = schema.field("add")
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    sc_name = f"{uuid.uuid4()}.parquet"
+    add_rows = [r for r in rows if r.get("add") is not None]
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"add": r["add"]} for r in add_rows],
+            schema=pa.schema([add_field]),
+        ),
+        os.path.join(sc_dir, sc_name),
+    )
+    sc_size = os.path.getsize(os.path.join(sc_dir, sc_name))
+    manifest_schema = pa.schema(
+        [
+            schema.field("protocol"),
+            schema.field("metaData"),
+            schema.field("txn"),
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64()), ("tags", str_map)]),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("tags", str_map),
+                    ]
+                ),
+            ),
+        ]
+    )
+    none_m = {
+        "protocol": None,
+        "metaData": None,
+        "txn": None,
+        "checkpointMetadata": None,
+        "sidecar": None,
+    }
+    m_rows = [
+        {**none_m, k: r[k]}
+        for r in rows
+        if r.get("add") is None
+        for k in ("protocol", "metaData", "txn")
+        if r.get(k) is not None
+    ]
+    m_rows.append(
+        {
+            **none_m,
+            "checkpointMetadata": {"version": version, "tags": []},
+        }
+    )
+    m_rows.append(
+        {
+            **none_m,
+            "sidecar": {
+                "path": sc_name,
+                "sizeInBytes": sc_size,
+                "modificationTime": int(time.time() * 1000),
+                "tags": [],
+            },
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pylist(m_rows, schema=manifest_schema),
+        os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+        ),
+    )
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
 

@@ -2346,9 +2346,10 @@ def test_v2_checkpoint_table_is_writable_without_classic_checkpoints(
     spark, tmp_path
 ):
     """Writes to a v2Checkpoint-feature table work (commits are plain
-    actions), but NO classic checkpoint is ever emitted there — the spec
-    requires V2-format checkpoints, and skipping an optional checkpoint
-    keeps every commit conformant."""
+    actions); checkpoints there are emitted in the spec-V2 FORM (UUID
+    manifest + _sidecars) and NEVER as a classic single file — and the
+    table reads back from its own v2 checkpoint once the covered
+    commits are cleaned."""
     import glob as _g
 
     from buzz_rust_spark.sources.delta_writer import (
@@ -2391,7 +2392,28 @@ def test_v2_checkpoint_table_is_writable_without_classic_checkpoints(
         for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
     )
     assert got == [(2, "b"), (3, "c"), (4, "d"), (9, "Z"), (10, "y")]
-    assert not _g.glob(os.path.join(log, "*.checkpoint.parquet")), (
-        "classic checkpoint emitted on a v2Checkpoint table"
+    import re as _re
+
+    classic = [
+        n for n in os.listdir(log)
+        if _re.fullmatch(r"\d{20}\.checkpoint\.parquet", n)
+    ]
+    assert not classic, "classic checkpoint emitted on a v2Checkpoint table"
+    v2s = [
+        n for n in os.listdir(log)
+        if _re.fullmatch(r"\d{20}\.checkpoint\.[^.]+\.parquet", n)
+    ]
+    assert v2s, "no V2 checkpoint emitted at checkpoint_interval=1"
+    assert _g.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+    # the table reads back from its OWN v2 checkpoint
+    last = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    for n in os.listdir(log):
+        stem = n.split(".", 1)[0]
+        if n == f"{stem}.json" and int(stem) < last["version"]:
+            os.remove(os.path.join(log, n))
+    got2 = sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
     )
-    assert not os.path.exists(os.path.join(log, "_last_checkpoint"))
+    assert got2 == got

@@ -340,24 +340,40 @@ class DeltaCatalog:
 
         cp_version: int | None = None
         resolved: tuple[str, list[str]] | None = None
+        declared_parts = 0
         if store.exists(f"{_LOG}/_last_checkpoint"):
             last_cp = json.loads(store.read_text(f"{_LOG}/_last_checkpoint"))
             cp_version = last_cp["version"]
+            declared_parts = int(last_cp.get("parts") or 0)
             # time travel below the checkpoint needs a full JSON replay;
             # only use the checkpoint when it doesn't overshoot the target.
             if self.version is not None and cp_version > self.version:
                 cp_version = None
-            if cp_version is not None:
-                # classic single-file, complete classic multi-part, and
-                # UUID-named V2 (manifest + _sidecars) checkpoints all
-                # read; anything unresolvable falls back to a full JSON
-                # replay, whose contiguity check converts cleaned-up early
-                # commits into a typed error instead of a wrong snapshot
-                resolved = _resolve_checkpoint(
-                    store, cp_version, int(last_cp.get("parts") or 0)
-                )
-                if resolved is None:
-                    cp_version = None
+        else:
+            # pointer missing (spec: _last_checkpoint is a HINT — a crash
+            # between checkpoint write and pointer write leaves a valid
+            # checkpoint unadvertised): discover the newest in-range
+            # checkpoint version from the log listing
+            stems = {
+                int(n.split(".", 1)[0])
+                for n in store.list_names(_LOG)
+                if ".checkpoint." in n and n.split(".", 1)[0].isdigit()
+            }
+            in_range = [
+                v
+                for v in stems
+                if self.version is None or v <= self.version
+            ]
+            cp_version = max(in_range) if in_range else None
+        if cp_version is not None:
+            # classic single-file, complete classic multi-part, and
+            # UUID-named V2 (manifest + _sidecars) checkpoints all
+            # read; anything unresolvable falls back to a full JSON
+            # replay, whose contiguity check converts cleaned-up early
+            # commits into a typed error instead of a wrong snapshot
+            resolved = _resolve_checkpoint(store, cp_version, declared_parts)
+            if resolved is None:
+                cp_version = None
         if cp_version is not None and resolved is not None:
             kind, rels = resolved
             if kind == "v2":

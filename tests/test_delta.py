@@ -2417,3 +2417,31 @@ def test_v2_checkpoint_table_is_writable_without_classic_checkpoints(
         for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
     )
     assert got2 == got
+
+
+def test_checkpoint_discovery_without_pointer(spark, tmp_path):
+    """_last_checkpoint is a HINT, not the source of truth: a checkpoint
+    left unadvertised (crash between checkpoint and pointer write) is
+    discovered from the log listing — the snapshot still reads after the
+    covered commits are cleaned; time travel BELOW the checkpoint still
+    replays JSON and refuses typed when those commits are gone."""
+    from buzz_rust_spark.errors import BuzzExecutionError
+
+    root = _v2_fixture_base(spark, tmp_path)
+    want = sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    _write_v2_checkpoint(root, 2)
+    log = os.path.join(root, "_delta_log")
+    os.remove(os.path.join(log, "_last_checkpoint"))
+    _drop_commits_below(root, 2)
+    got = sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == want
+    with pytest.raises(
+        BuzzExecutionError, match="missing commit|has no version"
+    ):
+        DeltaCatalog("t", root, version=1)

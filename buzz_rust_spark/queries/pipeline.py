@@ -3911,3 +3911,79 @@ def z49_metadata_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_files = iceberg_files(spark, root).count()
     assert total_files == sum(r.file_count for r in rows)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "z50_mapped_cdf_feed",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents ORDER BY doc_id LIMIT 80
+),
+base AS (SELECT doc_id, source, text FROM docs WHERE doc_id % 2 = 0),
+upd AS (SELECT doc_id, source, 'v2 ' || text AS text
+        FROM base WHERE doc_id % 3 = 0),
+ins AS (SELECT doc_id, source, text FROM docs WHERE doc_id % 2 = 1),
+post_merge AS (
+  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+),
+feed AS (
+  SELECT source, 'delete' AS change_type FROM upd
+  UNION ALL SELECT source, 'insert' FROM upd
+  UNION ALL SELECT source, 'insert' FROM ins
+  UNION ALL SELECT source, 'delete' FROM post_merge
+    WHERE doc_id % 10 = 4
+)
+SELECT source, change_type, CAST(COUNT(*) AS BIGINT) AS n_changes
+FROM feed GROUP BY source, change_type ORDER BY source, change_type
+""",
+)
+def z50_mapped_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recorded CDF on a COLUMN-MAPPED Delta table (round-10 verdict ask
+    #4, oracle-graded): the CDF table is upgraded to columnMapping
+    mode=name by a RENAME before the merge + delete, so the change files
+    carry PHYSICAL column names that the changelog must map back — the
+    previous net-diff fallback would fail this count (the merge rewrite
+    churns survivors; the oracle enumerates exactly the logical
+    changes).  Same relational truth as z44, which stays on the unmapped
+    table."""
+    import tempfile
+
+    from ..sources.delta_catalog import read_delta_changelog
+    from ..sources.delta_writer import (
+        delete_delta,
+        evolve_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(80)
+        .select("doc_id", "source", "text")
+    )
+    root = tempfile.mkdtemp(prefix="delta_z50_") + "/tbl"
+    write_delta(
+        docs.where("doc_id % 2 = 0").coalesce(1), root,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # rename → columnMapping mode=name upgrade; later change files are
+    # staged under the PHYSICAL names
+    evolve_delta(root, rename_columns={"text": "body"})
+    upserts = docs.where("doc_id % 2 = 1").unionByName(
+        docs.where("doc_id % 2 = 0 AND doc_id % 3 = 0").select(
+            "doc_id", "source",
+            F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+        )
+    ).withColumnRenamed("text", "body")
+    merge_delta(spark, root, upserts.coalesce(1), on=["doc_id"])
+    delete_delta(spark, root, "doc_id % 10 = 4")
+    return (
+        read_delta_changelog(spark, root, 0)
+        .groupBy("source", F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .orderBy("source", "change_type")
+    )

@@ -201,6 +201,10 @@ _ICEBERG_FILES_SCHEMA = StructType(
         StructField("file_size_in_bytes", LongType(), True),
         StructField("sequence_number", LongType(), True),
         StructField("equality_ids_json", StringType(), True),
+        # per-column decoded [lower, upper] (Iceberg's readable_metrics
+        # analog): {name: [lo, hi]} for every primitive column whose
+        # bounds decode; undecodable types are simply absent
+        StructField("bounds_json", StringType(), True),
     ]
 )
 
@@ -218,6 +222,8 @@ def iceberg_files(
     partition tuple (JSON), sizes, record counts, sequence numbers.
     Entries with status DELETED (2) are dropped, matching the $files
     contract (live state, not history)."""
+    from .iceberg import _decode_bound
+
     cat = _iceberg_cat(table_uri, snapshot_id=snapshot_id, region=region)
     rows = []
     for content, mseq, spec_id, e in cat._decode_entries(
@@ -229,6 +235,23 @@ def iceberg_files(
         seq = e.get("sequence_number")
         seq = mseq if seq is None else int(seq)
         eq_ids = rec.get("equality_ids")
+        lows = {
+            int(kv["key"]): kv["value"]
+            for kv in (rec.get("lower_bounds") or [])
+        }
+        highs = {
+            int(kv["key"]): kv["value"]
+            for kv in (rec.get("upper_bounds") or [])
+        }
+        bounds = {}
+        for fid, name in sorted(cat._field_names.items()):
+            t = cat._field_types.get(fid)
+            if t is None or (fid not in lows and fid not in highs):
+                continue
+            lo = _decode_bound(lows.get(fid), t)
+            hi = _decode_bound(highs.get(fid), t)
+            if lo is not None or hi is not None:
+                bounds[name] = [lo, hi]
         rows.append(
             (
                 _ICEBERG_CONTENT.get(
@@ -246,6 +269,9 @@ def iceberg_files(
                 rec.get("file_size_in_bytes"),
                 seq,
                 None if not eq_ids else json.dumps([int(i) for i in eq_ids]),
+                json.dumps(bounds, sort_keys=True, default=_json_default)
+                if bounds
+                else None,
             )
         )
     return spark.createDataFrame(rows, _ICEBERG_FILES_SCHEMA)

@@ -233,3 +233,23 @@ def test_iceberg_refs_table(spark, tmp_path):
             for r in iceberg_refs(spark, root).collect()}
     assert refs["v1.0"] == ("tag", snap)
     assert refs["main"][1] == snap
+
+
+def test_iceberg_files_bounds_decode(spark, tmp_path):
+    """$files carries decoded per-column [lower, upper] bounds (the
+    readable_metrics analog) that bracket the real data."""
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "aa", 1.5), (9, "zz", 4.5)], "id long, s string, v double"
+        ).coalesce(1),
+        root,
+    )
+    rows = mt.iceberg_files(spark, root).collect()
+    assert len(rows) == 1 and rows[0].bounds_json
+    b = json.loads(rows[0].bounds_json)
+    assert b["id"] == [1, 9]
+    assert b["s"] == ["aa", "zz"]
+    assert b["v"] == [1.5, 4.5]

@@ -29,12 +29,14 @@ from .materialize import (
 )
 from .metadata_tables import (
     MetadataTableCatalog,
+    delta_detail,
     delta_files,
     delta_history,
     delta_partitions,
     iceberg_files,
     iceberg_history,
     iceberg_manifests,
+    iceberg_detail,
     iceberg_partitions,
     iceberg_refs,
     iceberg_snapshots,
@@ -97,6 +99,8 @@ __all__ = [
     "iceberg_partitions",
     "iceberg_history",
     "iceberg_refs",
+    "iceberg_detail",
+    "delta_detail",
     "MetadataTableCatalog",
     "delta_history",
     "delta_files",

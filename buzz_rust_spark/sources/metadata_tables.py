@@ -45,6 +45,8 @@ __all__ = [
     "iceberg_partitions",
     "iceberg_history",
     "iceberg_refs",
+    "iceberg_detail",
+    "delta_detail",
     "MetadataTableCatalog",
     "split_metadata_suffix",
     "delta_history",
@@ -504,23 +506,6 @@ def iceberg_refs(
     return spark.createDataFrame(rows, schema)
 
 
-# --- engine integration: `uri$table` metadata catalogs ------------------------
-
-_ICEBERG_META_TABLES = {
-    "snapshots": iceberg_snapshots,
-    "manifests": iceberg_manifests,
-    "files": iceberg_files,
-    "partitions": iceberg_partitions,
-    "history": iceberg_history,
-    "refs": iceberg_refs,
-}
-_DELTA_META_TABLES = {
-    "history": delta_history,
-    "files": delta_files,
-    "partitions": delta_partitions,
-}
-
-
 def split_metadata_suffix(uri: str, fmt: str) -> tuple[str, str | None]:
     """(base uri, metadata table name) for Iceberg's ``table$files``-style
     suffixes in a BuzzCatalog uri — (uri, None) when there is no KNOWN
@@ -575,3 +560,131 @@ class MetadataTableCatalog:
                         f"{exc.getMessage() if hasattr(exc, 'getMessage') else exc}"
                     ) from exc
         return df
+
+
+def delta_detail(
+    spark: SparkSession, table_uri: str, region: str | None = None
+) -> DataFrame:
+    """DESCRIBE DETAIL: one row summarizing the table — format, id,
+    location, partition columns, live file count/bytes, configuration,
+    protocol versions, latest version."""
+    from .delta_catalog import DeltaCatalog, _read_actions
+    from .logstore import LogStore
+
+    store, commits, read_actions = _delta_commits(table_uri, region)
+    cat = DeltaCatalog("_detail", table_uri, region=region)
+    meta = {}
+    proto = {}
+    for version, rel in commits:
+        for a in read_actions(store, rel):
+            if "metaData" in a:
+                meta.update(a["metaData"])
+            if "protocol" in a:
+                proto = a["protocol"]
+    schema = StructType(
+        [
+            StructField("format", StringType(), False),
+            StructField("id", StringType(), True),
+            StructField("location", StringType(), False),
+            StructField("partition_columns_json", StringType(), False),
+            StructField("num_files", LongType(), False),
+            StructField("size_bytes", LongType(), False),
+            StructField("configuration_json", StringType(), False),
+            StructField("min_reader_version", IntegerType(), True),
+            StructField("min_writer_version", IntegerType(), True),
+            StructField("latest_version", LongType(), False),
+        ]
+    )
+    adds = list(cat._live_adds.values())
+    row = (
+        "delta",
+        meta.get("id"),
+        cat.table_uri,
+        json.dumps(list(meta.get("partitionColumns") or [])),
+        len(adds),
+        sum(int(a.get("size") or 0) for a in adds),
+        json.dumps(meta.get("configuration") or {}, sort_keys=True),
+        proto.get("minReaderVersion"),
+        proto.get("minWriterVersion"),
+        cat.resolved_version,
+    )
+    return spark.createDataFrame([row], schema)
+
+
+def iceberg_detail(
+    spark: SparkSession, table_uri: str, region: str | None = None
+) -> DataFrame:
+    """The Iceberg twin of DESCRIBE DETAIL: format version, table uuid,
+    location, current snapshot/schema/spec ids, live data file
+    count/bytes/rows (from the manifest lists), properties, snapshot
+    count."""
+    from pyspark.sql import functions as F
+
+    cat = _iceberg_cat(table_uri, region=region)
+    files = iceberg_files(spark, table_uri, region=region)
+    agg = (
+        files.where(F.col("content") == "data")
+        .agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.sum("file_size_in_bytes").alias("sz"),
+            F.sum("record_count").alias("rc"),
+        )
+        .collect()[0]
+    )
+    schema = StructType(
+        [
+            StructField("format", StringType(), False),
+            StructField("format_version", IntegerType(), False),
+            StructField("id", StringType(), True),
+            StructField("location", StringType(), False),
+            StructField("current_snapshot_id", LongType(), True),
+            StructField("current_schema_id", IntegerType(), True),
+            StructField("default_spec_id", IntegerType(), True),
+            StructField("partition_columns_json", StringType(), False),
+            StructField("num_data_files", LongType(), False),
+            StructField("size_bytes", LongType(), True),
+            StructField("record_count", LongType(), True),
+            StructField("properties_json", StringType(), False),
+            StructField("num_snapshots", LongType(), False),
+        ]
+    )
+    meta = cat._meta
+    specs = {
+        s.get("spec-id"): s for s in meta.get("partition-specs") or []
+    }
+    spec = specs.get(meta.get("default-spec-id", 0)) or {}
+    part_names = [f.get("name") for f in spec.get("fields") or []]
+    row = (
+        "iceberg",
+        cat.format_version,
+        meta.get("table-uuid"),
+        cat.table_uri,
+        cat.resolved_snapshot_id,
+        meta.get("current-schema-id", 0),
+        meta.get("default-spec-id", 0),
+        json.dumps(part_names),
+        int(agg["nf"] or 0),
+        agg["sz"],
+        agg["rc"],
+        json.dumps(cat._properties, sort_keys=True),
+        len(cat._snapshots),
+    )
+    return spark.createDataFrame([row], schema)
+
+# --- engine integration: `uri$table` metadata catalogs ------------------------
+
+_ICEBERG_META_TABLES = {
+    "detail": iceberg_detail,
+    "snapshots": iceberg_snapshots,
+    "manifests": iceberg_manifests,
+    "files": iceberg_files,
+    "partitions": iceberg_partitions,
+    "history": iceberg_history,
+    "refs": iceberg_refs,
+}
+_DELTA_META_TABLES = {
+    "detail": delta_detail,
+    "history": delta_history,
+    "files": delta_files,
+    "partitions": delta_partitions,
+}

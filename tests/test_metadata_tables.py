@@ -253,3 +253,42 @@ def test_iceberg_files_bounds_decode(spark, tmp_path):
     assert b["id"] == [1, 9]
     assert b["s"] == ["aa", "zz"]
     assert b["v"] == [1.5, 4.5]
+
+
+def test_detail_tables(spark, tmp_path):
+    """DESCRIBE DETAIL twins: one-row summaries for both formats, incl.
+    the engine `$detail` suffix route."""
+    import json as _json
+
+    from buzz_rust_spark.engine import BuzzEngine
+    from buzz_rust_spark.sources.delta_writer import write_delta
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    ice = str(tmp_path / "ice")
+    dl = str(tmp_path / "dl")
+    write_iceberg(_seed(spark), ice, partition_by=["g"])
+    write_delta(_seed(spark).coalesce(1), dl, partition_by=["g"])
+
+    r = mt.iceberg_detail(spark, ice).collect()[0]
+    assert r.format == "iceberg" and r.format_version == 2
+    assert r.num_data_files == 2 and r.record_count == 12
+    assert _json.loads(r.partition_columns_json) == ["g"]
+    assert r.num_snapshots == 1
+
+    d = mt.delta_detail(spark, dl).collect()[0]
+    assert d.format == "delta" and d.latest_version == 0
+    assert d.num_files == 2 and d.size_bytes > 0
+    assert _json.loads(d.partition_columns_json) == ["g"]
+
+    eng = BuzzEngine(spark)
+    q = {
+        "steps": [
+            {"sql": "SELECT num_data_files FROM t", "name": "s1",
+             "step_type": "HBee"}
+        ],
+        "capacity": {"zones": 1},
+        "catalogs": [
+            {"name": "t", "type": "Iceberg", "uri": ice + "$detail"}
+        ],
+    }
+    assert eng.run_json(_json.dumps(q)).collect()[0].num_data_files == 2

@@ -3987,3 +3987,69 @@ def z50_mapped_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_changes"))
         .orderBy("source", "change_type")
     )
+
+
+@register(
+    "z51_add_files_migration",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS len
+  FROM documents ORDER BY doc_id LIMIT 100
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(len) AS sum_len
+FROM docs WHERE doc_id % 9 <> 4
+GROUP BY source ORDER BY source
+""",
+)
+def z51_add_files_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_files_iceberg onboarding (round 10): half the corpus is written
+    through the engine, the other half lives as LOOSE external parquet
+    registered metadata-only (one manifest referencing the files in
+    place — asserted uncopied), then a predicate delete spans both
+    populations; the MOR read must equal the relational recompute.  The
+    migration move at 100 TB: no byte of existing data is rewritten."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import (
+        add_files_iceberg,
+        delete_iceberg,
+        write_iceberg,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(100)
+        .select(
+            "doc_id", "source", F.length("text").cast("long").alias("len")
+        )
+    )
+    d = tempfile.mkdtemp(prefix="iceberg_z51_")
+    root = d + "/tbl"
+    write_iceberg(docs.where("doc_id % 2 = 0"), root)
+    # the "legacy" half: loose parquet files outside the table location
+    loose_dir = d + "/legacy"
+    docs.where("doc_id % 2 = 1").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(loose_dir)
+    loose = sorted(globmod.glob(os.path.join(loose_dir, "*.parquet")))
+    out = add_files_iceberg(spark, root, loose)
+    assert out and out["added_files"] == len(loose) >= 2
+    assert all(os.path.exists(p) for p in loose)  # registered, not copied
+    delete_iceberg(spark, root, "doc_id % 9 = 4")
+    return (
+        IcebergCatalog("z51", root)
+        .to_dataframe(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("sum_len"),
+        )
+        .orderBy("source")
+    )

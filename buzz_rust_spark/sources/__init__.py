@@ -49,6 +49,7 @@ from .iceberg_writer import (
     drop_iceberg_ref,
     fast_forward_iceberg,
     expire_iceberg_snapshots,
+    add_files_iceberg,
     merge_iceberg,
     rewrite_iceberg,
     rollback_iceberg,
@@ -106,6 +107,7 @@ __all__ = [
     "delta_files",
     "delta_partitions",
     "write_iceberg",
+    "add_files_iceberg",
     "merge_iceberg",
     "delete_iceberg",
     "rewrite_iceberg",

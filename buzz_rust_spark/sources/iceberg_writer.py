@@ -3664,6 +3664,240 @@ def evolve_iceberg_partition_spec(
     }
 
 
+def add_files_iceberg(
+    spark,
+    table_uri: str,
+    paths: list[str],
+    max_commit_retries: int = 5,
+    store=None,
+) -> dict | None:
+    """Register EXISTING parquet files into an Iceberg table as ONE
+    metadata-only append snapshot — the onboarding/migration move
+    (Iceberg's ``add_files`` procedure shape): no data is copied or
+    rewritten, the commit writes one manifest referencing the files by
+    their absolute paths (the spec allows external locations).
+
+    Every file's footer must match the table schema (the same strict
+    name/type check the read path enforces — ``verify_file_schema``).
+    On an identity-partitioned table each file's partition value derives
+    from its footer column stats and the file must be PARTITION-PURE
+    (min == max on every partition source column) — layout-independent
+    and exact, no directory-name parsing; impure or stat-less files and
+    non-identity specs refuse typed.  Files already live in the table
+    refuse typed (re-adding would duplicate rows).
+
+    Files without parquet field ids (the common external-writer case)
+    stay readable after future renames: when the table carries no
+    ``schema.name-mapping.default`` property yet, one is committed
+    ATOMICALLY with the snapshot (the spec's id-less-file resolution
+    rule).  Column stats are not extracted (no zone-map bounds for the
+    added files — a later ``rewrite_iceberg`` backfills them); partition
+    summaries ARE recorded, so partition pruning works immediately.
+
+    Cost: O(files) footer reads (driver loop — the per-file work is one
+    KiB-scale GET) + one metadata commit; returns the commit summary or
+    None for an empty path list."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    from .iceberg import IcebergCatalog, _struct_field
+    from .schema_check import _pyarrow_path, verify_file_schema
+    from .uris import normalized_key
+    from .zonemap import _footer_stats
+
+    paths = sorted(dict.fromkeys(paths or []))
+    if not paths:
+        return None
+    root = _local_table_dir(table_uri)
+    existing = _load_v2_meta(root, table_uri)
+    if existing is None:
+        raise BuzzBadRequestError(
+            f"not an iceberg table: {table_uri!r} — create it first "
+            "(write_iceberg), then add_files into it"
+        )
+    version, meta = existing
+    sid = meta.get("current-schema-id", 0)
+    schema_json = next(
+        s for s in meta["schemas"] if s.get("schema-id") == sid
+    )
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        s["fields"]
+        for s in meta["partition-specs"]
+        if s.get("spec-id") == spec_id
+    )
+    part_fields = _partition_context(schema_json, spec_fields)
+    non_identity = [
+        pf["name"] for pf in part_fields if pf["kind"] != "identity"
+    ]
+    if non_identity:
+        raise BuzzBadRequestError(
+            "add_files_iceberg supports identity-partitioned (or "
+            f"unpartitioned) tables; partition fields {non_identity} use "
+            "transforms whose values cannot be derived from footer stats "
+            "— write through write_iceberg instead"
+        )
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    src_cols = [pf["source_name"] for pf in part_fields]
+    for c in src_cols:
+        t = by_name[c]["type"]
+        if t not in ("int", "long", "string"):
+            raise BuzzBadRequestError(
+                f"add_files_iceberg partition source column {c!r} has "
+                f"type {t!r} — footer-derived partition values support "
+                "int/long/string"
+            )
+    declared = StructType(
+        [_struct_field(f, with_ids=False) for f in schema_json["fields"]]
+    )
+
+    cat = IcebergCatalog("_addfiles", root)
+    live = {normalized_key(f.key) for f in cat.pruned_files(spark, None)}
+    staged: list[dict] = []
+    any_idless = False
+    for p in paths:
+        ap = os.path.abspath(p.removeprefix("file://"))
+        if normalized_key(ap) in live:
+            raise BuzzBadRequestError(
+                f"file {p!r} is already referenced by the current "
+                "snapshot — re-adding it would duplicate rows"
+            )
+        verify_file_schema(declared, ap, "parquet")
+        md = pq.read_metadata(_pyarrow_path(ap))
+        sch = pq.read_schema(_pyarrow_path(ap))
+        if not any(
+            f.metadata and b"PARQUET:field_id" in f.metadata for f in sch
+        ):
+            any_idless = True
+        partition: dict = {}
+        if src_cols:
+            bounds = _footer_stats(ap, src_cols)
+            for c in src_cols:
+                b = bounds.get(c)
+                if b is None or b[0] is None:
+                    raise BuzzBadRequestError(
+                        f"file {p!r} has no usable footer stats for "
+                        f"partition column {c!r} — cannot derive its "
+                        "partition value"
+                    )
+                lo, hi = b
+                if isinstance(lo, bytes):
+                    lo = lo.decode("utf-8", "replace")
+                    hi = hi.decode("utf-8", "replace") if isinstance(
+                        hi, bytes
+                    ) else hi
+                if lo != hi:
+                    raise BuzzBadRequestError(
+                        f"file {p!r} spans partition values "
+                        f"[{lo!r}, {hi!r}] on {c!r} — add_files requires "
+                        "partition-pure files (one value per file)"
+                    )
+                partition[c] = lo
+        staged.append(
+            {
+                "file_path": ap,
+                "record_count": int(md.num_rows),
+                "file_size_in_bytes": int(os.path.getsize(ap)),
+                "partition": partition,
+            }
+        )
+
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    added_rows = sum(f["record_count"] for f in staged)
+    counts = {
+        "added-data-files": str(len(staged)),
+        "added-records": str(added_rows),
+    }
+    set_mapping = (
+        any_idless
+        and not (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"
+        )
+    )
+    mapping_json = json.dumps(
+        [
+            {"field-id": int(f["id"]), "names": [f["name"]]}
+            for f in schema_json["fields"]
+        ]
+    )
+
+    def _attempt(state):
+        version_a, meta_a, prev_a = state
+        if set_mapping:
+            meta_a = dict(meta_a)
+            props = dict(meta_a.get("properties") or {})
+            props.setdefault("schema.name-mapping.default", mapping_json)
+            meta_a["properties"] = props
+        seq = int(meta_a.get("last-sequence-number", 0)) + 1
+        snap_id = uuid.uuid4().int >> 65
+        manifest_path = _write_manifest(
+            meta_dir,
+            _manifest_entries(staged, 0, None, part_fields, snap_id, None),
+            part_fields,
+            schema_json,
+            spec_id,
+            "data",
+        )
+        mlist_path = _write_manifest_list(
+            meta_dir,
+            snap_id,
+            seq,
+            [
+                _manifest_rec(
+                    manifest_path, spec_id, 0, seq, snap_id,
+                    len(staged), added_rows,
+                    _part_summaries(staged, part_fields),
+                )
+            ]
+            + _carry_manifests(prev_a),
+        )
+        new_version = _finish_commit(
+            root, version_a, meta_a, snap_id, seq, now_ms, mlist_path,
+            schema_json.get("schema-id", 0), "append", counts,
+            log_prior_metadata=True, store=store,
+        )
+        return {
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "metadata_version": new_version,
+            "added_files": len(staged),
+            "added_records": added_rows,
+            "operation": "append",
+        }
+
+    def _refresh():
+        version_f, meta_f = _load_v2_meta(root, table_uri)
+        _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
+        cat_f = IcebergCatalog("_addfiles", root)
+        live_f = {
+            normalized_key(f.key) for f in cat_f.pruned_files(spark, None)
+        }
+        dup = [
+            f["file_path"]
+            for f in staged
+            if normalized_key(f["file_path"]) in live_f
+        ]
+        if dup:
+            raise BuzzCommitAbortedError(
+                f"files {dup[:3]} were registered concurrently — "
+                "re-adding would duplicate rows"
+            )
+        return (
+            version_f,
+            meta_f,
+            _prev_manifests(meta_f, _branch_head(meta_f, None)),
+        )
+
+    return commit_with_retry(
+        _attempt,
+        _refresh,
+        (version, meta, _prev_manifests(meta, _branch_head(meta, None))),
+        max_commit_retries,
+    )
+
+
 def rollback_iceberg(
     table_uri: str, snapshot_id: int, store=None
 ) -> dict:

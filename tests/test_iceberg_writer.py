@@ -3025,3 +3025,105 @@ def test_changelog_after_key_rename_with_eq_deletes(spark, tmp_path):
         (2, "b", "delete"),
         (3, "c", "insert"),
     ]
+
+
+# --- add_files_iceberg (metadata-only registration of existing parquet) ------
+
+
+def _loose_parquet(spark, tmp_path, name, rows, schema):
+    import glob as globmod
+    import shutil
+
+    p = str(tmp_path / name)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p + ".dir")
+    shutil.move(globmod.glob(p + ".dir/part-*.parquet")[0], p)
+    shutil.rmtree(p + ".dir")
+    return p
+
+
+def test_add_files_registers_external_parquet(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import add_files_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a")], "id long, v string"), root)
+    f1 = _loose_parquet(
+        spark, tmp_path, "ext1.parquet", [(2, "b"), (3, "c")],
+        "id long, v string",
+    )
+    f2 = _loose_parquet(
+        spark, tmp_path, "ext2.parquet", [(4, "d")], "id long, v string"
+    )
+    out = add_files_iceberg(spark, root, [f1, f2])
+    assert out["added_files"] == 2 and out["added_records"] == 3
+    got = sorted(
+        (r.id, r.v)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # metadata-only: the external files were not copied
+    assert os.path.exists(f1) and not os.path.exists(
+        os.path.join(root, "data", "ext1.parquet")
+    )
+    # id-less external files → the name mapping landed atomically
+    import json as _json
+
+    from buzz_rust_spark.sources.iceberg_writer import _load_v2_meta
+
+    _, meta = _load_v2_meta(root, root)
+    nm = _json.loads(
+        meta["properties"]["schema.name-mapping.default"]
+    )
+    assert {e["field-id"]: e["names"] for e in nm} == {1: ["id"], 2: ["v"]}
+    # re-adding a registered file refuses typed
+    with pytest.raises(BuzzBadRequestError, match="already referenced"):
+        add_files_iceberg(spark, root, [f1])
+    # registered files delete/travel like any others
+    from buzz_rust_spark.sources.iceberg_writer import delete_iceberg
+
+    delete_iceberg(spark, root, "id = 3")
+    got = sorted(
+        r.id for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [1, 2, 4]
+
+
+def test_add_files_partitioned_and_guards(spark, tmp_path):
+    from buzz_rust_spark.sources.iceberg_writer import add_files_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        _rows(spark, [(1, "x", 2020)], "id long, v string, y int"),
+        root, partition_by=["y"],
+    )
+    pure = _loose_parquet(
+        spark, tmp_path, "pure.parquet", [(2, "y", 2021), (3, "z", 2021)],
+        "id long, v string, y int",
+    )
+    impure = _loose_parquet(
+        spark, tmp_path, "impure.parquet", [(4, "q", 2021), (5, "r", 2022)],
+        "id long, v string, y int",
+    )
+    bad_schema = _loose_parquet(
+        spark, tmp_path, "bad.parquet", [(6,)], "id long"
+    )
+    out = add_files_iceberg(spark, root, [pure])
+    assert out["added_files"] == 1
+    cat = IcebergCatalog("t", root)
+    got = sorted(
+        (r.id, r.y) for r in cat.to_dataframe(spark).collect()
+    )
+    assert got == [(1, 2020), (2, 2021), (3, 2021)]
+    # the derived partition value PRUNES like any written partition
+    assert len(cat.pruned_files(spark, "y = 2021")) == 1
+    assert len(cat.pruned_files(spark, "y = 1999")) == 0
+    with pytest.raises(BuzzBadRequestError, match="partition-pure"):
+        add_files_iceberg(spark, root, [impure])
+    from buzz_rust_spark.errors import BuzzSchemaError
+
+    with pytest.raises(BuzzSchemaError):
+        add_files_iceberg(spark, root, [bad_schema])
+    with pytest.raises(BuzzBadRequestError, match="not an iceberg table"):
+        add_files_iceberg(spark, str(tmp_path / "nope"), [pure])
+    assert add_files_iceberg(spark, root, []) is None

@@ -59,6 +59,7 @@ from .iceberg_writer import (
     write_iceberg,
 )
 from .delta_writer import (
+    add_files_delta,
     delete_delta,
     evolve_delta,
     merge_delta,
@@ -108,6 +109,7 @@ __all__ = [
     "delta_partitions",
     "write_iceberg",
     "add_files_iceberg",
+    "add_files_delta",
     "merge_iceberg",
     "delete_iceberg",
     "rewrite_iceberg",

@@ -2365,6 +2365,124 @@ def restore_delta(
     )
 
 
+def add_files_delta(
+    spark,
+    table_uri: str,
+    paths: list[str],
+    checkpoint_interval: int = 10,
+    max_commit_retries: int = 5,
+    store=None,
+) -> int | None:
+    """Register EXISTING parquet files into a Delta table as ONE commit of
+    add actions — no data copied or rewritten (the CONVERT-TO-DELTA /
+    onboarding move, :func:`add_files_iceberg`'s Delta twin).
+
+    Every file's footer must match the declared schema (the read path's
+    strict ``verify_file_schema``).  Two placements, matching how the
+    rest of the engine reads files:
+
+    - UNPARTITIONED tables accept files anywhere — in-table files
+      register by relative path, external ones by absolute path (the
+      spec allows it; ``LogStore.spark_path`` passes absolutes through).
+    - PARTITIONED tables require files INSIDE the table root in hive
+      layout (``<table>/<col>=<value>/...``): partition values come from
+      the directory segments — exactly the basePath derivation every
+      rewrite read uses, so merges/deletes over registered files keep
+      working.  External files on partitioned tables refuse typed.
+
+    Footer stats are recorded on each add (``_file_stats_json``), so
+    data skipping and merge candidate pruning work immediately.
+    Column-mapped tables refuse typed (external files carry logical
+    names, not the table's physical names/ids).  Registering a path the
+    snapshot already references refuses typed (same-path re-adds are
+    idempotent in replay, but a user doing it is almost certainly
+    confused).  Concurrent appends commute through the claim loop.
+    Returns the committed version, or None for an empty list."""
+    from pyspark.sql.types import StructType
+
+    from .schema_check import verify_file_schema
+
+    paths = sorted(dict.fromkeys(paths or []))
+    if not paths:
+        return None
+    table_dir = _local_table_dir(table_uri)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    last_version, live, meta = _log_state(log_dir)
+    if last_version < 0:
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    cm_mode, _, _ = _writer_mapping(meta)
+    if cm_mode != "none":
+        raise BuzzBadRequestError(
+            "add_files_delta on a column-mapped table is not supported: "
+            "external files carry logical column names, not the table's "
+            "physical names/field ids — write through write_delta instead"
+        )
+    declared = _declared_schema(meta)
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_schema = StructType(
+        [f for f in declared.fields if f.name not in part_cols]
+    )
+    abs_root = os.path.abspath(table_dir)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for p in paths:
+        ap = os.path.abspath(p.removeprefix("file://"))
+        inside = ap.startswith(abs_root + os.sep)
+        rel = (
+            os.path.relpath(ap, abs_root).replace(os.sep, "/")
+            if inside
+            else ap
+        )
+        pv: dict = {}
+        if part_cols:
+            if not inside:
+                raise BuzzBadRequestError(
+                    f"file {p!r} lies outside the table root — partitioned "
+                    "tables require in-table hive layout "
+                    "(<table>/<col>=<value>/...) so every read path can "
+                    "derive the partition values"
+                )
+            segs = dict(
+                s.split("=", 1) for s in rel.split("/")[:-1] if "=" in s
+            )
+            missing = [c for c in part_cols if c not in segs]
+            if missing:
+                raise BuzzBadRequestError(
+                    f"file {p!r} has no hive directory segment for "
+                    f"partition column(s) {missing}"
+                )
+            pv = {c: segs[c] for c in part_cols}
+        if rel in live:
+            raise BuzzBadRequestError(
+                f"file {p!r} is already referenced by the current "
+                "snapshot"
+            )
+        verify_file_schema(data_schema, ap, "parquet")
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "size": os.path.getsize(ap),
+                    "partitionValues": pv,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": _file_stats_json(ap),
+                }
+            }
+        )
+    return _claim_rewrite_commit(
+        log_dir,
+        last_version + 1,
+        actions,
+        {},
+        meta,
+        checkpoint_interval,
+        max_commit_retries,
+        store,
+        "add_files_delta",
+    )
+
+
 def vacuum_delta(
     table_uri: str,
     retention_hours: float = 168.0,

@@ -86,8 +86,14 @@ class LogStore:
         return posixpath.join(self._root, *parts)
 
     def spark_path(self, rel: str) -> str:
-        """Data-file key as Spark should read it (URI for remote schemes)."""
-        return f"{self._spark_root.rstrip('/')}/{rel.lstrip('/')}"
+        """Data-file key as Spark should read it (URI for remote schemes).
+        Absolute paths/URIs pass through unchanged — the Delta spec allows
+        add actions to reference files OUTSIDE the table root
+        (``add_files_delta`` registration), and prefixing those with the
+        root would silently misresolve them."""
+        if "://" in rel or rel.startswith("/"):
+            return rel
+        return f"{self._spark_root.rstrip('/')}/{rel}"
 
     def isdir(self, rel: str) -> bool:
         from pyarrow import fs as pafs

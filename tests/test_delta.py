@@ -2445,3 +2445,109 @@ def test_checkpoint_discovery_without_pointer(spark, tmp_path):
         BuzzExecutionError, match="missing commit|has no version"
     ):
         DeltaCatalog("t", root, version=1)
+
+
+# --- add_files_delta (CONVERT-TO-DELTA-style registration) --------------------
+
+
+def _loose_pq(spark, path, rows, schema):
+    import glob as _g
+    import shutil
+
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + ".dir")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    shutil.move(_g.glob(path + ".dir/part-*.parquet")[0], path)
+    shutil.rmtree(path + ".dir")
+    return path
+
+
+def test_add_files_delta_unpartitioned_external(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.delta_writer import (
+        add_files_delta,
+        delete_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    ext = _loose_pq(
+        spark, str(tmp_path / "elsewhere" / "ext.parquet"),
+        [(2, "b"), (3, "c")], "id long, v string",
+    )
+    v = add_files_delta(spark, root, [ext])
+    assert v == 1
+    got = sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # registered by ABSOLUTE path, file not copied
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(root, "_delta_log",
+                                   f"{1:020d}.json"))
+    ]
+    add = next(a["add"] for a in acts if "add" in a)
+    assert add["path"].startswith("/") and os.path.exists(ext)
+    assert json.loads(add["stats"])["numRecords"] == 2
+    # a LIVE path refuses re-registration
+    with pytest.raises(BuzzBadRequestError, match="already referenced"):
+        add_files_delta(spark, root, [ext])
+    # deletes work over the registered file (cow rewrites it in-table,
+    # leaving the external original untouched on disk)
+    delete_delta(spark, root, "id = 2")
+    got = sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [1, 3]
+    assert os.path.exists(ext)
+
+
+def test_add_files_delta_partitioned_hive_layout(spark, tmp_path):
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.delta_writer import (
+        add_files_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a", "2020")], "id long, v string, y string"),
+        root, partition_by=["y"],
+    )
+    # hive-layout file INSIDE the table root (data columns only)
+    inpath = _loose_pq(
+        spark, os.path.join(root, "y=2021", "legacy.parquet"),
+        [(2, "b"), (3, "c")], "id long, v string",
+    )
+    v = add_files_delta(spark, root, [inpath])
+    assert v == 1
+    got = sorted(
+        (r.id, r.y)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "2020"), (2, "2021"), (3, "2021")]
+    # partition pruning sees the derived value
+    cat = DeltaCatalog("t", root)
+    pruned = [
+        f for f in cat.files if dict(f.partitions).get("y") == "2021"
+    ]
+    assert len(pruned) == 1
+    # guards: external file on a partitioned table; missing hive segment
+    ext = _loose_pq(
+        spark, str(tmp_path / "x" / "e.parquet"), [(9, "z")],
+        "id long, v string",
+    )
+    with pytest.raises(BuzzBadRequestError, match="outside the table root"):
+        add_files_delta(spark, root, [ext])
+    flat = _loose_pq(
+        spark, os.path.join(root, "flat.parquet"), [(9, "z")],
+        "id long, v string",
+    )
+    with pytest.raises(BuzzBadRequestError, match="no hive directory"):
+        add_files_delta(spark, root, [flat])

@@ -4053,3 +4053,66 @@ def z51_add_files_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "z52_add_files_delta",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS len
+  FROM documents ORDER BY doc_id LIMIT 100
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(len) AS sum_len
+FROM docs WHERE doc_id % 9 <> 4
+GROUP BY source ORDER BY source
+""",
+)
+def z52_add_files_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_files_delta onboarding (z51's Delta twin, same relational
+    truth): half the corpus written through write_delta, the other half
+    registered from LOOSE external parquet by absolute path (asserted
+    uncopied), then a predicate delete spans both populations — the scan
+    must equal the recompute, with the registered files' footer stats
+    feeding the delete's candidate pruning."""
+    import glob as globmod
+    import os
+    import tempfile
+
+    from ..sources.delta_catalog import DeltaCatalog
+    from ..sources.delta_writer import (
+        add_files_delta,
+        delete_delta,
+        write_delta,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(100)
+        .select(
+            "doc_id", "source", F.length("text").cast("long").alias("len")
+        )
+    )
+    d = tempfile.mkdtemp(prefix="delta_z52_")
+    root = d + "/tbl"
+    write_delta(docs.where("doc_id % 2 = 0").coalesce(2), root)
+    loose_dir = d + "/legacy"
+    docs.where("doc_id % 2 = 1").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(loose_dir)
+    loose = sorted(globmod.glob(os.path.join(loose_dir, "*.parquet")))
+    v = add_files_delta(spark, root, loose)
+    assert v == 1 and all(os.path.exists(p) for p in loose)
+    delete_delta(spark, root, "doc_id % 9 = 4")
+    return (
+        DeltaCatalog("z52", root)
+        .to_dataframe(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("sum_len"),
+        )
+        .orderBy("source")
+    )

@@ -60,6 +60,7 @@ from .iceberg_writer import (
 )
 from .delta_writer import (
     add_files_delta,
+    cleanup_delta_log,
     delete_delta,
     evolve_delta,
     merge_delta,
@@ -110,6 +111,7 @@ __all__ = [
     "write_iceberg",
     "add_files_iceberg",
     "add_files_delta",
+    "cleanup_delta_log",
     "merge_iceberg",
     "delete_iceberg",
     "rewrite_iceberg",

@@ -2483,6 +2483,108 @@ def add_files_delta(
     )
 
 
+def cleanup_delta_log(
+    table_uri: str,
+    retention_hours: float = 720.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delta metadata cleanup (``delta.logRetentionDuration``'s job, which
+    :func:`vacuum_delta` deliberately does NOT do): delete JSON commits
+    and SUPERSEDED checkpoint files strictly below the newest resolvable
+    checkpoint version, once older than ``retention_hours`` (Delta's
+    default interval is 30 days).  The newest checkpoint and everything
+    at/after its version always survive — snapshot reads and time travel
+    at/above it keep working; changelog windows reaching below the
+    cleanup refuse with the typed missing-commit error (re-bootstrap
+    from a full snapshot, the documented contract).  V2 checkpoints'
+    ``_sidecars`` files survive while ANY surviving manifest references
+    them.  Returns the removed (log-relative) names — or would-remove
+    under ``dry_run``."""
+    from .delta_catalog import (
+        _parquet_actions,
+        _read_actions,
+        _resolve_checkpoint,
+    )
+    from .logstore import LogStore
+
+    table_dir = _local_table_dir(table_uri)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    store = LogStore(table_dir)
+    names = store.list_names("_delta_log")
+    cp_stems = sorted(
+        {
+            int(n.split(".", 1)[0])
+            for n in names
+            if ".checkpoint." in n and n.split(".", 1)[0].isdigit()
+        }
+    )
+    newest = None
+    for v in reversed(cp_stems):
+        if _resolve_checkpoint(store, v, 0) is not None:
+            newest = v
+            break
+    if newest is None:
+        return []  # no resolvable checkpoint: every commit is load-bearing
+    cutoff = time.time() - retention_hours * 3600.0
+
+    def expired(name: str) -> bool:
+        try:
+            return os.path.getmtime(os.path.join(log_dir, name)) < cutoff
+        except OSError:
+            return False
+
+    doomed: list[str] = []
+    survivors_v2: list[str] = []
+    for n in sorted(names):
+        stem = n.split(".", 1)[0]
+        if not stem.isdigit():
+            continue
+        v = int(stem)
+        is_commit = n == f"{stem}.json"
+        is_checkpoint = ".checkpoint." in n
+        if not (is_commit or is_checkpoint):
+            continue
+        if v < newest and expired(n):
+            doomed.append(n)
+        elif is_checkpoint and n.endswith((".parquet", ".json")) and (
+            len(n.split(".")) == 4  # N.checkpoint.<uuid>.<ext> (V2 form)
+        ):
+            survivors_v2.append(n)
+    # sidecars: keep anything a SURVIVING v2 manifest references
+    referenced: set[str] = set()
+    for n in survivors_v2:
+        rel = f"_delta_log/{n}"
+        try:
+            actions = (
+                _read_actions(store, rel)
+                if n.endswith(".json")
+                else _parquet_actions(store, rel)
+            )
+        except Exception:
+            continue  # unreadable manifest: keep its sidecars via no-op
+        referenced.update(
+            str(a["sidecar"]["path"])
+            for a in actions
+            if a.get("sidecar")
+        )
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    if os.path.isdir(sc_dir):
+        for n in sorted(os.listdir(sc_dir)):
+            full = os.path.join(sc_dir, n)
+            if (
+                n not in referenced
+                and os.path.isfile(full)
+                and os.path.getmtime(full) < cutoff
+            ):
+                doomed.append(f"_sidecars/{n}")
+    if not dry_run:
+        for n in doomed:
+            os.remove(os.path.join(log_dir, n))
+    return doomed
+
+
 def vacuum_delta(
     table_uri: str,
     retention_hours: float = 168.0,

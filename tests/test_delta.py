@@ -2551,3 +2551,88 @@ def test_add_files_delta_partitioned_hive_layout(spark, tmp_path):
     )
     with pytest.raises(BuzzBadRequestError, match="no hive directory"):
         add_files_delta(spark, root, [flat])
+
+
+def test_cleanup_delta_log(spark, tmp_path):
+    """Metadata cleanup: expired commits + superseded checkpoints below
+    the newest checkpoint go away; snapshot reads and time travel at or
+    above it keep working; changelog windows reaching below refuse
+    typed; a surviving V2 manifest's sidecars are kept."""
+    from buzz_rust_spark.errors import BuzzExecutionError
+    from buzz_rust_spark.sources.delta_catalog import read_delta_changelog
+    from buzz_rust_spark.sources.delta_writer import (
+        cleanup_delta_log,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    # checkpoint every 2 commits: v0..v5 leaves checkpoints at 1, 3, 5
+    for i in range(6):
+        write_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            root, mode="append" if i else "overwrite",
+            checkpoint_interval=2,
+        )
+    log = os.path.join(root, "_delta_log")
+    # nothing expires inside the retention window
+    assert cleanup_delta_log(root, retention_hours=1.0) == []
+    # backdate everything, then clean with zero retention
+    for n in os.listdir(log):
+        p = os.path.join(log, n)
+        if os.path.isfile(p):
+            os.utime(p, (1, 1))
+    removed = sorted(cleanup_delta_log(root, retention_hours=0.0))
+    # commits 0..4 and the superseded checkpoints at 1 and 3 are gone
+    assert f"{0:020d}.json" in removed and f"{4:020d}.json" in removed
+    assert any(n.startswith(f"{1:020d}.checkpoint") for n in removed)
+    assert f"{5:020d}.json" not in removed
+    assert not any(n.startswith(f"{5:020d}.checkpoint") for n in removed)
+    got = sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [0, 1, 2, 3, 4, 5]
+    # time travel at the checkpoint works; below it refuses typed
+    assert DeltaCatalog("t", root, version=5).to_dataframe(spark).count() == 6
+    with pytest.raises(BuzzExecutionError):
+        DeltaCatalog("t", root, version=2)
+    with pytest.raises(BuzzExecutionError, match="missing commit"):
+        read_delta_changelog(spark, root, 0).collect()
+
+
+def test_cleanup_delta_log_keeps_v2_sidecars(spark, tmp_path):
+    from buzz_rust_spark.sources.delta_writer import (
+        cleanup_delta_log,
+        write_delta,
+    )
+
+    root = _v2_fixture_base(spark, tmp_path)
+    log = os.path.join(root, "_delta_log")
+    # v2 protocol + one more commit, checkpointing each commit
+    _write_commit(
+        log, 3,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["v2Checkpoint"],
+                       "writerFeatures": ["v2Checkpoint"]}}],
+    )
+    write_delta(
+        spark.createDataFrame([(9, "z")], "id long, v string"),
+        root, mode="append", checkpoint_interval=1,
+    )
+    write_delta(
+        spark.createDataFrame([(10, "y")], "id long, v string"),
+        root, mode="append", checkpoint_interval=1,
+    )
+    for n in os.listdir(log):
+        p = os.path.join(log, n)
+        if os.path.isfile(p):
+            os.utime(p, (1, 1))
+    for n in os.listdir(os.path.join(log, "_sidecars")):
+        os.utime(os.path.join(log, "_sidecars", n), (1, 1))
+    removed = cleanup_delta_log(root, retention_hours=0.0)
+    # the newest checkpoint's sidecar survives; the superseded one's goes
+    assert any(n.startswith("_sidecars/") for n in removed)
+    assert os.listdir(os.path.join(log, "_sidecars"))
+    got = sorted(
+        r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [1, 2, 3, 4, 9, 10]

@@ -3127,3 +3127,27 @@ def test_add_files_partitioned_and_guards(spark, tmp_path):
     with pytest.raises(BuzzBadRequestError, match="not an iceberg table"):
         add_files_iceberg(spark, str(tmp_path / "nope"), [pure])
     assert add_files_iceberg(spark, root, []) is None
+
+
+def test_add_files_name_mapping_survives_rename(spark, tmp_path):
+    """The name mapping committed by add_files is LOAD-BEARING: after a
+    column rename, the id-less registered files (whose parquet columns
+    keep the OLD name) still read correctly through the mapping —
+    field-id resolution alone would null-fill them."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        add_files_iceberg,
+        evolve_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(_rows(spark, [(1, "a")], "id long, v string"), root)
+    ext = _loose_parquet(
+        spark, tmp_path, "ext.parquet", [(2, "b")], "id long, v string"
+    )
+    add_files_iceberg(spark, root, [ext])
+    evolve_iceberg(root, rename_columns={"v": "val"})
+    got = sorted(
+        (r.id, r.val)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]

@@ -72,3 +72,17 @@ class BuzzRebootstrapError(BuzzExecutionError):
     fully intact: consumers recover by re-bootstrapping from a full
     snapshot read instead of the incremental feed.  Subclasses
     ``BuzzExecutionError`` so existing handlers keep matching."""
+
+
+class BuzzConstraintError(BuzzExecutionError):
+    """Staged rows violate a table-declared data rule — a Delta CHECK
+    constraint (``delta.constraints.*``), a column invariant
+    (``delta.invariants`` field metadata), or a generated column whose
+    supplied values disagree with its ``delta.generationExpression``.
+    The write is aborted BEFORE any commit; the table is untouched.
+    Delta-parity semantics: a row satisfies a rule only when the
+    expression evaluates to TRUE (false AND null both violate, matching
+    delta-spark's CheckDeltaInvariant, which diverges from SQL-standard
+    CHECK on nulls on purpose)."""
+
+    retryable = False

@@ -57,6 +57,10 @@ SUPPORTED_WRITER_FEATURES = {
     # emits the spec-V2 form there (UUID manifest + _sidecars) — a
     # classic checkpoint on such a table would be non-conformant.
     "v2Checkpoint",
+    # enforced on every staged frame by _enforce_table_rules (write,
+    # merge, delete-rewrite survivors); generated columns additionally
+    # COMPUTED when absent by _apply_generated_columns
+    "checkConstraints", "invariants", "generatedColumns",
 }
 DV_PROTOCOL = {
     "minReaderVersion": 3,
@@ -139,63 +143,68 @@ def _log_state(
 
 def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
     """Spec: a writer MUST refuse tables whose writer protocol exceeds what
-    it implements — committing plain actions to e.g. an invariants table
-    would corrupt it.
+    it implements — committing plain actions to e.g. an identity-column
+    table would corrupt it.
 
-    Accepted: ANY legacy version whose unenforceable capabilities are
-    not actually IN USE — field invariants (v2, nested fields included),
-    CHECK constraints (v3, ``delta.constraints.*``), generated/identity
-    columns (v4/v6) refuse typed when present; change data feed (v4) and
-    column mapping (v5) are implemented, and append-only (v2) is
-    ENFORCED at the operation level (_require_not_append_only), so clean
-    legacy 3-6 tables stay writable; writer 7 iff every listed
-    writerFeature is implemented."""
+    CHECK constraints (v3), field invariants (v2, struct paths included),
+    and generated columns (v4) are ENFORCED on every staged frame
+    (:func:`_enforce_table_rules` / :func:`_apply_generated_columns`), so
+    tables carrying them are writable.  Change data feed (v4) and column
+    mapping (v5) are implemented, and append-only (v2) is enforced at the
+    operation level (_require_not_append_only).  The remaining typed
+    refusals when IN USE: identity columns (v6 — monotonic allocation
+    state this writer does not keep) and rules it cannot evaluate
+    row-wise (invariants or generation expressions on fields nested
+    inside array/map elements).  Writer 7 iff every listed writerFeature
+    is implemented."""
     writer_v = int(proto.get("minWriterVersion", 2))
 
     def _unenforceable() -> list[str]:
         """Capabilities the table USES that this writer would silently
-        violate: field invariants (writer 2), CHECK constraints
-        (writer 3, ``delta.constraints.*`` configuration keys), generated
-        columns (writer 4), identity columns (writer 6)."""
+        violate: identity columns anywhere, and invariants / generation
+        expressions on fields nested inside array or map elements (no
+        row-wise expression can address those; struct paths are fine —
+        _table_rules evaluates them)."""
         if not meta:
             return []
-        config = meta.get("configuration") or {}
         out: list[str] = []
 
-        def walk(fields):
-            # the spec allows invariants/generation metadata on NESTED
-            # struct members — a top-level-only scan would accept and
-            # then silently violate them
+        def walk(fields, top, reachable):
+            # `top` = a direct table column (generated columns are only
+            # computed/validated there); `reachable` = addressable by a
+            # row-wise struct path (invariants there are enforced);
+            # anything under an array/map element is neither
             for f in fields:
-                out.extend(
-                    k
-                    for k in (f.get("metadata") or {})
-                    if k == "delta.invariants"
-                    or k.startswith(
-                        ("delta.generationExpression", "delta.identity.")
-                    )
-                )
-                stack = [f.get("type")]
+                for k in f.get("metadata") or {}:
+                    if k.startswith("delta.identity."):
+                        out.append(k)
+                    elif k == "delta.invariants" and not reachable:
+                        out.append(f"{k} (inside array/map)")
+                    elif k.startswith("delta.generationExpression") and not top:
+                        out.append(f"{k} (on a nested field)")
+                stack = [(f.get("type"), reachable)]
                 while stack:
-                    t = stack.pop()
+                    t, r = stack.pop()
                     if not isinstance(t, dict):
                         continue
                     if t.get("type") == "struct":
-                        walk(t.get("fields") or [])
+                        walk(t.get("fields") or [], False, r)
                         continue
                     # array/map wrappers: descend into element AND both
                     # map sides (a struct nested in a map KEY can carry
-                    # hazard metadata too)
+                    # hazard metadata too) — nothing under them is
+                    # row-wise addressable
                     stack.extend(
-                        t.get(k)
+                        (t.get(k), False)
                         for k in ("elementType", "keyType", "valueType")
                         if t.get(k) is not None
                     )
 
         walk(
-            json.loads(meta.get("schemaString", '{"fields": []}'))["fields"]
+            json.loads(meta.get("schemaString", '{"fields": []}'))["fields"],
+            True,
+            True,
         )
-        out += [k for k in config if k.startswith("delta.constraints.")]
         return out
 
     if writer_v <= PROTOCOL["minWriterVersion"]:
@@ -224,10 +233,12 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
         # legacy 3-6 bundle CHECK constraints / CDF+generated columns /
         # column mapping / identity columns.  CDF and column mapping are
         # implemented (mutations emit cdc actions when enabled; mapped
-        # reads/writes resolve physical names), append-only is ENFORCED at
-        # the operation level (_require_not_append_only), and the rest
-        # refuse above when actually in use — so a clean legacy table
-        # (e.g. v3 whose constraint was later dropped) stays writable
+        # reads/writes resolve physical names), constraints / invariants /
+        # generated columns are ENFORCED on every staged frame
+        # (_enforce_table_rules), append-only at the operation level
+        # (_require_not_append_only); only the genuinely unenforceable
+        # capabilities (identity columns, array/map-nested rules) refuse
+        # above when actually in use
         return
     from ..errors import BuzzNotImplementedError
 
@@ -241,7 +252,8 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
             else ""
         )
         + f"; this writer implements {PROTOCOL['minWriterVersion']},"
-        " writer-4 change data feed, writer-5 column mapping, and"
+        " writer-2/3 invariants and CHECK constraints, writer-4 change"
+        " data feed and generated columns, writer-5 column mapping, and"
         f" writer-7 features {sorted(SUPPORTED_WRITER_FEATURES)}"
     )
 
@@ -283,36 +295,305 @@ def _writer_mapping(meta: dict) -> tuple[str, dict[str, str], dict[str, int]]:
 
 def _require_id_rewritable(meta: dict, table_uri: str, op: str) -> None:
     """Rewrites under columnMapping mode=id re-emit ``parquet.field.id``
-    footers on every staged file (:func:`_to_physical_frame` stamps the
-    schema's mapping ids; :func:`optimize_delta` re-stamps after its raw
-    round-trip — Spark's schema inference drops footer ids, so an
-    unstamped rewrite would break every field-id reader of files this
-    engine may not have written).  The one remaining refusal: NESTED
-    types under mode=id — their field ids live on inner fields, which
-    Spark's StructField metadata cannot carry (top-level only), so a
-    rewrite would emit id-less inner nodes.  mode=name needs no ids at
-    all (physical names round-trip through every path)."""
+    footers on every staged file: top-level ids ride Spark's StructField
+    metadata (:func:`_to_physical_frame`; :func:`optimize_delta`
+    re-stamps after its raw round-trip — Spark's schema inference drops
+    footer ids), and NESTED field ids — which Spark's top-level-only
+    field-id metadata cannot carry — are re-emitted by a pyarrow
+    post-pass over every staged file (:func:`_restamp_nested_ids`,
+    round-11).  The remaining refusal: an id-mode table whose
+    schemaString LACKS a mapping id on some nested struct field — the
+    post-pass would have to invent ids, breaking external field-id
+    readers.  mode=name needs no ids at all."""
     config = ((meta or {}).get("configuration") or {})
     mode = config.get("delta.columnMapping.mode", "none") or "none"
     if mode != "id":
         return
-    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    declared = _declared_schema(meta)
-    nested = [
-        f.name
-        for f in declared.fields
-        if isinstance(f.dataType, (StructType, ArrayType, MapType))
-    ]
-    if nested:
+    missing: list[str] = []
+
+    def walk(fields, prefix):
+        for f in fields:
+            path = f"{prefix}{f['name']}"
+            if prefix and (f.get("metadata") or {}).get(
+                "delta.columnMapping.id"
+            ) is None:
+                missing.append(path)
+            stack = [f.get("type")]
+            while stack:
+                t = stack.pop()
+                if not isinstance(t, dict):
+                    continue
+                if t.get("type") == "struct":
+                    walk(t.get("fields") or [], path + ".")
+                    continue
+                stack.extend(
+                    t.get(k)
+                    for k in ("elementType", "keyType", "valueType")
+                    if t.get(k) is not None
+                )
+
+    walk(json.loads(meta["schemaString"])["fields"], "")
+    if missing:
         from ..errors import BuzzNotImplementedError
 
         raise BuzzNotImplementedError(
-            f"{op} on a columnMapping.mode=id Delta table at "
-            f"{table_uri!r} with NESTED columns {nested} is not "
-            "supported — inner field ids cannot be re-emitted through "
-            "Spark's top-level-only field-id metadata; flat id-mode "
-            "tables rewrite fine"
+            f"{op} on the columnMapping.mode=id Delta table at "
+            f"{table_uri!r}: nested fields {missing} carry no "
+            "delta.columnMapping.id — staged rewrite files cannot "
+            "re-emit resolvable inner field ids"
+        )
+
+
+def _nested_id_restamp_needed(meta: dict | None) -> bool:
+    """Whether staged files need the pyarrow nested-field-id post-pass:
+    columnMapping mode=id AND nested top-level columns (flat tables get
+    every id through Spark's field-id metadata already)."""
+    mode, _, _ = _writer_mapping(meta or {})
+    if mode != "id":
+        return False
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return any(
+        isinstance(f.dataType, (StructType, ArrayType, MapType))
+        for f in _declared_schema(meta).fields
+    )
+
+
+def _restamp_nested_ids(
+    paths: list[str], meta: dict, extra_ok: set[str] = frozenset()
+) -> None:
+    """Rewrite staged parquet files so EVERY field — nested struct members
+    included — carries its ``delta.columnMapping.id`` as a parquet footer
+    ``field_id`` (the id-mode invariant external field-id readers rely
+    on).  Spark's writer can only stamp top-level ids (StructField
+    metadata), so nested ids are attached here: each file is read back
+    with pyarrow, its schema rebuilt with ``PARQUET:field_id`` metadata
+    from the table's schemaString (structs matched by field name at each
+    level, array/map wrappers descended), and rewritten in place —
+    arrays are NOT copied (``Table.from_arrays`` re-wraps the same
+    buffers), so the cost is one parquet decode+encode per staged file,
+    executor-sized files, before promotion.  ``extra_ok`` names columns
+    allowed to pass through without an id (``_change_type`` on CDF
+    change files — the spec stores it by literal name, unmapped)."""
+    if not paths or not _nested_id_restamp_needed(meta):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields_json = json.loads(meta["schemaString"])["fields"]
+    _, phys, _ = _writer_mapping(meta)
+    by_phys = {phys.get(f["name"], f["name"]): f for f in fields_json}
+
+    def field_with_ids(pa_field, dj):
+        md = (dj.get("metadata") or {}).get("delta.columnMapping.id")
+        if md is None:
+            raise BuzzSchemaError(
+                f"columnMapping.mode=id table lacks a mapping id for "
+                f"field {dj.get('name')!r} — cannot stamp staged files"
+            )
+        return pa.field(
+            pa_field.name,
+            type_with_ids(pa_field.type, dj["type"]),
+            pa_field.nullable,
+            metadata={b"PARQUET:field_id": str(int(md)).encode()},
+        )
+
+    def type_with_ids(pa_type, dt):
+        if pa.types.is_struct(pa_type) and isinstance(dt, dict):
+            by_name = {f["name"]: f for f in dt.get("fields") or []}
+            children = []
+            for i in range(pa_type.num_fields):
+                ch = pa_type.field(i)
+                dj = by_name.get(ch.name)
+                if dj is None:
+                    raise BuzzSchemaError(
+                        f"staged file struct member {ch.name!r} is not in "
+                        "the table schemaString — cannot stamp field ids"
+                    )
+                children.append(field_with_ids(ch, dj))
+            return pa.struct(children)
+        if (
+            pa.types.is_list(pa_type) or pa.types.is_large_list(pa_type)
+        ) and isinstance(dt, dict):
+            vf = pa_type.value_field
+            inner = pa.field(
+                vf.name,
+                type_with_ids(vf.type, dt.get("elementType")),
+                vf.nullable,
+            )
+            return (
+                pa.large_list(inner)
+                if pa.types.is_large_list(pa_type)
+                else pa.list_(inner)
+            )
+        if pa.types.is_map(pa_type) and isinstance(dt, dict):
+            return pa.map_(
+                type_with_ids(pa_type.key_type, dt.get("keyType")),
+                type_with_ids(pa_type.item_type, dt.get("valueType")),
+            )
+        return pa_type
+
+    for p in paths:
+        t = pq.read_table(p)
+        new_fields = []
+        for f in t.schema:
+            dj = by_phys.get(f.name)
+            if dj is None:
+                if f.name in extra_ok:
+                    new_fields.append(f)
+                    continue
+                raise BuzzSchemaError(
+                    f"staged file column {f.name!r} is not in the table "
+                    "schemaString — cannot stamp field ids"
+                )
+            new_fields.append(field_with_ids(f, dj))
+        pq.write_table(
+            pa.Table.from_arrays(t.columns, schema=pa.schema(new_fields)),
+            p,
+            compression="snappy",
+        )
+
+
+def _table_rules(
+    meta: dict,
+) -> tuple[dict[str, str], list[tuple[str, str]], list[tuple[str, str]]]:
+    """The table's declared data rules: (CHECK constraints {name: expr} from
+    ``delta.constraints.*`` configuration, column invariants [(path, expr)]
+    from ``delta.invariants`` field metadata — struct paths included — and
+    top-level generated columns [(name, expr)] from
+    ``delta.generationExpression``).  Rules this writer cannot evaluate
+    row-wise (invariants/generation inside array or map elements, identity
+    columns) never reach here — the protocol gate refuses those tables
+    (:func:`_check_writer_protocol`)."""
+    config = (meta or {}).get("configuration") or {}
+    checks = {
+        k[len("delta.constraints."):]: str(v)
+        for k, v in config.items()
+        if k.startswith("delta.constraints.")
+    }
+    invariants: list[tuple[str, str]] = []
+    generated: list[tuple[str, str]] = []
+
+    def walk(fields, prefix):
+        for f in fields:
+            path = f"{prefix}{f['name']}"
+            md = f.get("metadata") or {}
+            if "delta.invariants" in md:
+                raw = md["delta.invariants"]
+                try:
+                    parsed = json.loads(raw) if isinstance(raw, str) else raw
+                    expr = parsed["expression"]["expression"]
+                except (TypeError, ValueError, KeyError):
+                    raise BuzzSchemaError(
+                        f"unparseable delta.invariants on column {path!r}: "
+                        f"{raw!r}"
+                    )
+                invariants.append((path, str(expr)))
+            if not prefix and "delta.generationExpression" in md:
+                generated.append(
+                    (f["name"], str(md["delta.generationExpression"]))
+                )
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields") or [], path + ".")
+
+    walk(json.loads(meta.get("schemaString", '{"fields": []}'))["fields"], "")
+    return checks, invariants, generated
+
+
+def _apply_generated_columns(df: DataFrame, meta: dict) -> DataFrame:
+    """Compute ABSENT generated columns from their declared
+    ``delta.generationExpression`` (cast to the declared type) — the spec's
+    write rule: a writer either computes the value or validates the
+    supplied one (:func:`_enforce_table_rules` does the validation when
+    the column is present)."""
+    _, _, generated = _table_rules(meta)
+    if not generated:
+        return df
+    from pyspark.sql import functions as F
+
+    declared = {f.name: f.dataType for f in _declared_schema(meta).fields}
+    for name, expr in generated:
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr).cast(declared[name]))
+    return df
+
+
+def _enforce_table_rules(df: DataFrame, meta: dict, op: str) -> None:
+    """Validate staged rows against every declared CHECK constraint, column
+    invariant, and (when supplied) generated-column expression — ONE
+    aggregate job over ``df`` computing a violation flag per rule, all
+    rules in a single pass, entirely inside codegen.  Raises the typed
+    non-retryable :class:`~..errors.BuzzConstraintError` naming every
+    violated rule; nothing has been committed at that point.
+
+    Delta-parity null semantics: a row satisfies a rule only when the
+    expression evaluates to TRUE (delta-spark's CheckDeltaInvariant treats
+    both false and null as violations).
+
+    A rule whose expression does not RESOLVE against the frame (e.g. a
+    struct-nested invariant written against a bare inner name instead of
+    its path) cannot be evaluated row-wise — the spec's
+    enforce-or-refuse writer rule then demands the typed
+    :class:`~..errors.BuzzNotImplementedError` refusal, never a silent
+    violation."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark.sql import functions as F
+
+    from ..errors import BuzzConstraintError, BuzzNotImplementedError
+
+    checks, invariants, generated = _table_rules(meta)
+    preds = []
+    labels: list[str] = []
+    for name in sorted(checks):
+        preds.append(F.expr(checks[name]).cast("boolean"))
+        labels.append(f"CHECK constraint {name!r} ({checks[name]})")
+    for path, expr in invariants:
+        preds.append(F.expr(expr).cast("boolean"))
+        labels.append(f"column invariant on {path!r} ({expr})")
+    if generated:
+        declared = {f.name: f.dataType for f in _declared_schema(meta).fields}
+        for name, expr in generated:
+            if name not in df.columns:
+                continue  # computed by _apply_generated_columns upstream
+            preds.append(
+                F.col(name).eqNullSafe(F.expr(expr).cast(declared[name]))
+            )
+            labels.append(
+                f"generated column {name!r} must equal its expression "
+                f"({expr})"
+            )
+    if not preds:
+        return
+    unevaluable = []
+    for p, label in zip(preds, labels):
+        try:
+            df.select(p)  # analysis only — no job runs
+        except AnalysisException:
+            unevaluable.append(label)
+    if unevaluable:
+        raise BuzzNotImplementedError(
+            f"{op}: the table declares data rules this writer cannot "
+            "evaluate row-wise (delta.invariants / delta.constraints): "
+            + "; ".join(unevaluable)
+            + " — refusing to commit rows that could violate them"
+        )
+    flags = df.agg(
+        *[
+            F.max(
+                F.when(p.eqNullSafe(F.lit(True)), F.lit(0)).otherwise(
+                    F.lit(1)
+                )
+            ).alias(f"_v{i}")
+            for i, p in enumerate(preds)
+        ]
+    ).first()
+    violated = [labels[i] for i in range(len(preds)) if (flags[i] or 0) == 1]
+    if violated:
+        raise BuzzConstraintError(
+            f"{op} aborted — staged rows violate: " + "; ".join(violated)
         )
 
 
@@ -550,20 +831,28 @@ def _stage_and_promote(
     now_ms: int,
     data_change: bool = True,
     tag: str = "staging",
+    meta: dict | None = None,
 ) -> list[dict]:
     """Stage a distributed parquet write and promote the files into the table
     directory; returns the corresponding ``add`` action dicts.  Zero-row
     partitions produce no files — an empty list is a valid outcome for
-    rewrite paths (merge/delete may shrink a file set to nothing)."""
+    rewrite paths (merge/delete may shrink a file set to nothing).
+
+    With ``meta`` given and the table mapped mode=id with nested columns,
+    every staged file gets the pyarrow nested-field-id post-pass
+    (:func:`_restamp_nested_ids`) before promotion."""
     staging = os.path.join(table_dir, f".{tag}-{version:020d}-{uuid.uuid4().hex[:8]}")
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    adds: list[dict] = []
-    for fpath in sorted(
+    staged = sorted(
         glob(os.path.join(staging, "**", "*.parquet"), recursive=True)
-    ):
+    )
+    if meta is not None:
+        _restamp_nested_ids(staged, meta)
+    adds: list[dict] = []
+    for fpath in staged:
         rel = os.path.relpath(fpath, staging)
         dest = os.path.join(table_dir, rel)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -662,10 +951,13 @@ def _stage_change_files(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    actions: list[dict] = []
-    for fpath in sorted(
+    staged = sorted(
         glob(os.path.join(staging, "**", "*.parquet"), recursive=True)
-    ):
+    )
+    if meta is not None:
+        _restamp_nested_ids(staged, meta, extra_ok={"_change_type"})
+    actions: list[dict] = []
+    for fpath in staged:
         rel = os.path.join("_change_data", os.path.relpath(fpath, staging))
         dest = os.path.join(table_dir, rel)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -853,6 +1145,9 @@ def write_delta(
             _require_not_append_only(
                 meta, log_dir, "write_delta(mode='overwrite')"
             )
+        # absent generated columns are COMPUTED (spec write rule) before
+        # the schema comparison would reject them as missing
+        df = _apply_generated_columns(df, meta)
         existing_parts = list(meta.get("partitionColumns", []))
         if existing_parts != partition_by:
             raise BuzzBadRequestError(
@@ -862,8 +1157,8 @@ def write_delta(
         from pyspark.sql.types import StructType
 
         declared = StructType.fromJson(json.loads(meta["schemaString"]))
-        ours = {f.name: f.dataType for f in df.schema.fields}
-        theirs = {f.name: f.dataType for f in declared.fields}
+        ours = {f.name: _type_no_metadata(f.dataType) for f in df.schema.fields}
+        theirs = {f.name: _type_no_metadata(f.dataType) for f in declared.fields}
         if ours != theirs and schema_mode == "merge":
             df, evolved = _merge_write_schema(df, declared, table_uri, store)
             if evolved:
@@ -873,8 +1168,8 @@ def write_delta(
                 basis_proto_w = dict(_current_protocol(log_dir))
                 version = last_version + 1
                 declared = StructType.fromJson(json.loads(meta["schemaString"]))
-            ours = {f.name: f.dataType for f in df.schema.fields}
-            theirs = {f.name: f.dataType for f in declared.fields}
+            ours = {f.name: _type_no_metadata(f.dataType) for f in df.schema.fields}
+            theirs = {f.name: _type_no_metadata(f.dataType) for f in declared.fields}
         if ours != theirs:
             raise BuzzSchemaError(
                 f"schema mismatch vs table metaData: {sorted(ours)} vs"
@@ -908,11 +1203,28 @@ def write_delta(
         stage_df = df.select(*cols)
         stage_parts = [phys.get(c, c) for c in partition_by]
 
+    # Table data rules gate the staging: constraints / invariants /
+    # generated-column validation run as ONE aggregate job over the frame
+    # (create-time rules come from the supplied configuration + schema)
+    _enforce_table_rules(
+        df,
+        meta
+        if meta
+        else {
+            "schemaString": df.schema.json(),
+            "configuration": configuration,
+        },
+        "write_delta",
+    )
+
     # Stage the data write (distributed; nothing passes through the driver)
     # and promote the files (names are unique part-...-uuid, so moves cannot
     # collide with live files).
     now_ms = int(time.time() * 1000)
-    adds = _stage_and_promote(stage_df, table_dir, version, stage_parts, now_ms)
+    adds = _stage_and_promote(
+        stage_df, table_dir, version, stage_parts, now_ms,
+        meta=meta or None,
+    )
     if not adds:
         raise BuzzExecutionError("write produced no parquet files")
 
@@ -927,16 +1239,29 @@ def write_delta(
     creating = version == 0 or not meta
     expected_schema = {f.name: f.dataType for f in df.schema.fields}
 
-    # enabling CDF at create needs the protocol to say so (writer-7
-    # feature form; legacy 4 would drag generated-column semantics along)
+    # capabilities used at CREATE need a protocol that declares them:
+    # CDF (legacy 4), CHECK constraints (legacy 3), generated columns
+    # (legacy 4) mint the writer-7 FEATURE form (a bare legacy bump would
+    # drag sibling capabilities along); invariants ride the base writer-2.
+    # A v7 protocol activates legacy properties ONLY through listed
+    # features (PROTOCOL.md), so appendOnly/invariants in use must be
+    # enumerated alongside or external v7 writers treat them as inactive.
     create_protocol = PROTOCOL
+    feats = []
     if configuration.get("delta.enableChangeDataFeed", "").lower() == "true":
-        feats = ["changeDataFeed"]
-        # a v7 protocol activates legacy properties ONLY through listed
-        # features (PROTOCOL.md): appendOnly set alongside CDF must be
-        # enumerated or external v7 writers treat it as inactive
+        feats.append("changeDataFeed")
+    if any(k.startswith("delta.constraints.") for k in configuration):
+        feats.append("checkConstraints")
+    _, create_invs, create_gens = _table_rules(
+        {"schemaString": df.schema.json(), "configuration": configuration}
+    )
+    if create_gens:
+        feats.append("generatedColumns")
+    if feats:
         if configuration.get("delta.appendOnly", "").lower() == "true":
             feats.append("appendOnly")
+        if create_invs:
+            feats.append("invariants")
         create_protocol = {
             "minReaderVersion": 1,
             "minWriterVersion": 7,
@@ -1477,7 +1802,10 @@ def optimize_delta(
             df.write.mode("overwrite").parquet(out_dir)
         else:
             df.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
-        for fpath in sorted(glob(os.path.join(out_dir, "*.parquet"))):
+        compacted = sorted(glob(os.path.join(out_dir, "*.parquet")))
+        if cm_mode_opt == "id":
+            _restamp_nested_ids(compacted, meta)
+        for fpath in compacted:
             rel = os.path.join(part_dir, os.path.basename(fpath)) if part_dir else (
                 os.path.basename(fpath)
             )
@@ -1520,6 +1848,31 @@ def _declared_schema(meta: dict):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _type_no_metadata(dt):
+    """The dataType with NESTED StructField metadata stripped — schema
+    comparisons must not fail because the table's schemaString carries
+    invariants or mapping ids on inner fields that an incoming DataFrame
+    (correctly) does not."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _type_no_metadata(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_type_no_metadata(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _type_no_metadata(dt.keyType),
+            _type_no_metadata(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def _physical_read_schema(meta: dict):
@@ -1685,6 +2038,211 @@ def _key_overlap_candidates(live: dict[str, dict], ranges: dict) -> list[str]:
     return out
 
 
+def _merge_delta_generalized(
+    spark,
+    table_dir: str,
+    log_dir: str,
+    source: DataFrame,
+    on: list[str],
+    clauses: list[dict],
+    insert_enabled: bool,
+    not_matched_condition: str | None,
+    last_version: int,
+    live: dict,
+    meta: dict,
+    basis_proto: dict,
+    checkpoint_interval: int,
+    max_commit_retries: int,
+    store,
+) -> int | None:
+    """Clause-based MERGE body (conditional / partial-column form; see
+    :func:`merge_delta`).  Same scale shape as the unconditional path —
+    stats-pruned candidates, one key-equi-join per stage, rewrite reads
+    only touched files — with one deliberate cost difference: the
+    candidate ATTRIBUTION scan reads all table columns (clause conditions
+    may reference any of them), not just the keys, so a file whose rows
+    match a key but fire NO clause is never rewritten."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from .merge_clauses import (
+        clause_action_column,
+        clause_row_column,
+        insert_filter,
+    )
+
+    schema = _declared_schema(meta)
+    names = [f.name for f in schema.fields]
+    partition_by = list(meta.get("partitionColumns", []))
+
+    matched = None
+    source = source.persist()
+    try:
+        dup = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise BuzzBadRequestError("merge source has duplicate key rows")
+
+        row = source.agg(
+            *[F.min(k).alias(f"_lo_{k}") for k in on],
+            *[F.max(k).alias(f"_hi_{k}") for k in on],
+        ).first()
+        _, _phys, _ = _writer_mapping(meta)
+        ranges = {
+            _phys.get(k, k): (row[f"_lo_{k}"], row[f"_hi_{k}"]) for k in on
+        }
+        candidates = _key_overlap_candidates(live, ranges)
+
+        s_side = source.select(F.struct(*names).alias("s"))
+        action_col = clause_action_column(clauses)
+        src_keys = source.select(*on)
+
+        def _pair(left):
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    left["t"].getField(k) == s_side["s"].getField(k)
+                    for k in on
+                ],
+            )
+            return left.join(s_side, on=cond, how="inner")
+
+        touched: list[str] = []
+        tgt_keys = None
+        if candidates:
+            cand_df = _read_table_files(spark, table_dir, candidates, meta, live)
+            tgt_keys = cand_df.select(*on)
+            if clauses:
+                # attribution = which files hold a pair where SOME clause
+                # fires; unconditional clauses degenerate to the key match
+                probe = _pair(
+                    cand_df.select(
+                        F.struct(*names).alias("t"),
+                        F.input_file_name().alias("_f"),
+                    )
+                )
+                hits = (
+                    probe.where(action_col.isNotNull())
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                )
+                by_abs = {
+                    os.path.abspath(os.path.join(table_dir, rel)): rel
+                    for rel in live
+                }
+                touched = sorted(
+                    by_abs[os.path.abspath(r["_f"].removeprefix("file://"))]
+                    for r in hits
+                )
+
+        version = last_version + 1
+        now_ms = int(time.time() * 1000)
+
+        rewritten = None
+        matched = None
+        if touched:
+            touched_df = _read_table_files(spark, table_dir, touched, meta, live)
+            keep = touched_df.join(src_keys, on=on, how="left_anti")
+            pairs = _pair(touched_df.select(F.struct(*names).alias("t")))
+            matched = pairs.select(
+                F.col("t").alias("__t"),
+                action_col.alias("__a"),
+                clause_row_column(clauses, schema.fields).alias("__r"),
+            ).persist()
+            survivors = matched.where(
+                F.col("__a").isNull() | (F.col("__a") == "update")
+            ).select("__r.*")
+            rewritten = keep.unionByName(survivors)
+
+        inserts = None
+        if insert_enabled:
+            ins = (
+                source.join(tgt_keys, on=on, how="left_anti")
+                if tgt_keys is not None
+                else source
+            )
+            if not_matched_condition is not None:
+                ins = insert_filter(ins, names, not_matched_condition)
+            inserts = ins.select(*names)
+
+        out = rewritten
+        if inserts is not None:
+            out = inserts if out is None else out.unionByName(inserts)
+        if out is None or (not touched and inserts is None):
+            return None
+        _enforce_table_rules(out, meta, "merge_delta")
+
+        out_phys, parts_phys = _to_physical_frame(out, meta, partition_by)
+        adds = _stage_and_promote(
+            out_phys, table_dir, version, parts_phys, now_ms, tag="merge",
+            meta=meta,
+        )
+        if not touched and not adds:
+            return None  # insert-only merge with an empty insert set
+
+        cdc_actions: list[dict] = []
+        if _cdf_active(meta, log_dir):
+            frames = []
+            if matched is not None:
+                upd = matched.where(F.col("__a") == "update")
+                frames.append(
+                    upd.select("__t.*").withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                )
+                frames.append(
+                    upd.select("__r.*").withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                frames.append(
+                    matched.where(F.col("__a") == "delete")
+                    .select("__t.*")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            if inserts is not None:
+                frames.append(
+                    inserts.withColumn("_change_type", F.lit("insert"))
+                )
+            if frames:
+                from functools import reduce as _red
+
+                cdc_actions = _stage_change_files(
+                    _red(DataFrame.unionByName, frames),
+                    table_dir, version, partition_by, meta=meta,
+                )
+
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for rel in touched
+        ]
+        actions.extend({"add": a} for a in adds)
+        actions.extend(cdc_actions)
+        return _claim_rewrite_commit(
+            log_dir, version, actions,
+            {rel: live[rel] for rel in touched},
+            meta, checkpoint_interval, max_commit_retries, store,
+            "merge_delta", basis_protocol=basis_proto if touched else None,
+        )
+    finally:
+        source.unpersist()
+        if matched is not None:
+            matched.unpersist()
+
+
 def merge_delta(
     spark,
     table_uri: str,
@@ -1695,6 +2253,8 @@ def merge_delta(
     checkpoint_interval: int = 10,
     max_commit_retries: int = 5,
     schema_mode: str = "strict",
+    matched_clauses: list[dict] | None = None,
+    not_matched_condition: str | None = None,
     store=None,
 ) -> int | None:
     """MERGE INTO (upsert) with copy-on-write file rewrites — the missing
@@ -1719,8 +2279,23 @@ def merge_delta(
     is untouched metadata.  The rewrite reads exactly the touched files once.
     The source is read several times (dup-check, ranges, joins) — callers
     merge a batch, not a corpus; Delta's own MERGE makes the same assumption.
+
+    **Conditional / partial-column form**: ``matched_clauses`` (a list of
+    ``{"action": "update"|"delete", "condition": sql | None, "set":
+    {col: sql_expr} | None}``) supersedes ``when_matched`` with Delta SQL
+    MERGE semantics — clauses evaluate per matched (target, source) row
+    pair in order, the FIRST one whose condition holds fires, and an
+    ``update`` with ``set`` rewrites only the listed columns (expressions
+    over ``t.<col>`` / ``s.<col>``), leaving every other column at its
+    TARGET value; a pair firing no clause leaves the row unchanged (and a
+    file none of whose pairs fire is never rewritten).
+    ``not_matched_condition`` filters the insert clause the same way
+    (``s.<col>`` or bare source names).  See
+    :mod:`~.merge_clauses` for the full contract.
     """
     from pyspark.sql import functions as F
+
+    from .merge_clauses import legacy_clauses, validate_matched_clauses
 
     if when_matched not in ("update", "delete", None):
         raise BuzzBadRequestError(
@@ -1730,7 +2305,14 @@ def merge_delta(
         raise BuzzBadRequestError(
             f"when_not_matched must be insert|None, got {when_not_matched!r}"
         )
-    if when_matched is None and when_not_matched is None:
+    if not_matched_condition is not None and when_not_matched != "insert":
+        raise BuzzBadRequestError(
+            "not_matched_condition requires when_not_matched='insert'"
+        )
+    if (
+        (when_matched is None if matched_clauses is None else not matched_clauses)
+        and when_not_matched is None
+    ):
         raise BuzzBadRequestError("merge with no clauses is a no-op by construction")
     on = list(on)
     if not on:
@@ -1757,8 +2339,11 @@ def merge_delta(
         raise BuzzBadRequestError(
             f"schema_mode must be strict|merge, got {schema_mode!r}"
         )
-    ours = {f.name: f.dataType for f in source.schema.fields}
-    theirs = {f.name: f.dataType for f in schema.fields}
+    # absent generated columns are COMPUTED on the source (spec write
+    # rule) before the schema comparison would reject them as missing
+    source = _apply_generated_columns(source, meta)
+    ours = {f.name: _type_no_metadata(f.dataType) for f in source.schema.fields}
+    theirs = {f.name: _type_no_metadata(f.dataType) for f in schema.fields}
     if ours != theirs and schema_mode == "merge":
         # same reconciliation as write_delta(schema_mode='merge').  NOTE
         # on upsert semantics: when_matched='update' replaces the target
@@ -1771,14 +2356,27 @@ def merge_delta(
             basis_proto = dict(_current_protocol(log_dir))
             schema = _declared_schema(meta)
             names = [f.name for f in schema.fields]
-        ours = {f.name: f.dataType for f in source.schema.fields}
-        theirs = {f.name: f.dataType for f in schema.fields}
+        ours = {f.name: _type_no_metadata(f.dataType) for f in source.schema.fields}
+        theirs = {f.name: _type_no_metadata(f.dataType) for f in schema.fields}
     if ours != theirs:
         raise BuzzSchemaError(
             f"merge source schema mismatch vs table metaData: {sorted(ours)}"
             f" vs {sorted(theirs)}"
         )
     partition_by = list(meta.get("partitionColumns", []))
+
+    if matched_clauses is not None or not_matched_condition is not None:
+        clauses = (
+            validate_matched_clauses(matched_clauses, names, on)
+            if matched_clauses is not None
+            else legacy_clauses(when_matched)
+        )
+        return _merge_delta_generalized(
+            spark, table_dir, log_dir, source, on, clauses,
+            when_not_matched == "insert", not_matched_condition,
+            last_version, live, meta, basis_proto,
+            checkpoint_interval, max_commit_retries, store,
+        )
 
     source = source.persist()
     try:
@@ -1868,10 +2466,12 @@ def merge_delta(
             out = inserts if out is None else out.unionByName(inserts)
         if out is None or (not touched and when_not_matched is None):
             return None  # nothing matched and nothing to insert
+        _enforce_table_rules(out, meta, "merge_delta")
 
         out_phys, parts_phys = _to_physical_frame(out, meta, partition_by)
         adds = _stage_and_promote(
-            out_phys, table_dir, version, parts_phys, now_ms, tag="merge"
+            out_phys, table_dir, version, parts_phys, now_ms, tag="merge",
+            meta=meta,
         )
         if not touched and not adds:
             return None  # insert-only merge with an empty insert set
@@ -2225,9 +2825,11 @@ def delete_delta(
     survivors = _read_table_files(spark, table_dir, touched, meta, live).where(
         ~F.coalesce(cond, F.lit(False))
     )
+    _enforce_table_rules(survivors, meta, "delete_delta")
     surv_phys, parts_phys = _to_physical_frame(survivors, meta, partition_by)
     adds = _stage_and_promote(
-        surv_phys, table_dir, version, parts_phys, now_ms, tag="delete"
+        surv_phys, table_dir, version, parts_phys, now_ms, tag="delete",
+        meta=meta,
     )
     actions = [
         {
@@ -2639,6 +3241,7 @@ def set_delta_properties(
     set_conf: dict[str, str] | None = None,
     unset: list[str] | None = None,
     max_commit_retries: int = 5,
+    spark=None,
     store=None,
 ) -> int:
     """Metadata-only table-configuration commit (Delta's ALTER TABLE SET
@@ -2647,6 +3250,14 @@ def set_delta_properties(
     Enabling CDF on a table whose protocol predates it also commits the
     legacy writer-4 protocol upgrade (the version that introduced CDF) in
     the same transaction, so external writers see the requirement.
+
+    Setting ``delta.constraints.<name>`` keys is ALTER TABLE ADD
+    CONSTRAINT: existing table data is VALIDATED against the new
+    expression first (pass ``spark``; refused otherwise on a non-empty
+    table — committing an unvalidated constraint would leave readers a
+    table that lies about its own contract), and the protocol gains the
+    capability (writer-7 ``checkConstraints`` feature, or legacy 3 on a
+    pre-3 legacy table) in the same transaction.
 
     ``delta.columnMapping.*`` keys are refused — column mapping upgrades
     carry schema rewrites that belong to :func:`evolve_delta`.  Returns
@@ -2671,6 +3282,24 @@ def set_delta_properties(
     last_version, _live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    new_checks = {
+        k: v
+        for k, v in set_conf.items()
+        if k.startswith("delta.constraints.")
+        and (meta.get("configuration") or {}).get(k) != v
+    }
+    if new_checks and _live:
+        if spark is None:
+            raise BuzzBadRequestError(
+                "adding CHECK constraint(s) "
+                f"{sorted(new_checks)} validates existing table data — "
+                "pass spark=<SparkSession> to set_delta_properties"
+            )
+        _enforce_table_rules(
+            _read_table_files(spark, table_dir, sorted(_live), meta, _live),
+            {"schemaString": meta["schemaString"], "configuration": new_checks},
+            "set_delta_properties(add constraint)",
+        )
 
     def _actions(meta_x: dict) -> list[dict]:
         conf = dict(meta_x.get("configuration") or {})
@@ -2704,6 +3333,31 @@ def set_delta_properties(
                             proto.get("minReaderVersion", 1)
                         ),
                         "minWriterVersion": 4,
+                    }
+                out = [{"protocol": proto}]
+                wv = int(proto.get("minWriterVersion", 2))
+        if any(k.startswith("delta.constraints.") for k in set_conf):
+            has = 3 <= wv <= 6 or (
+                wv >= 7
+                and "checkConstraints" in (proto.get("writerFeatures") or [])
+            )
+            if not has:
+                if wv >= 7:
+                    proto = {
+                        **proto,
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"checkConstraints"}
+                        ),
+                    }
+                else:
+                    # legacy 3 = CHECK constraints — the narrowest spec
+                    # version that carries the capability
+                    proto = {
+                        "minReaderVersion": int(
+                            proto.get("minReaderVersion", 1)
+                        ),
+                        "minWriterVersion": 3,
                     }
                 out = [{"protocol": proto}]
                 wv = int(proto.get("minWriterVersion", 2))

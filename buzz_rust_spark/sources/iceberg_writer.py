@@ -2799,6 +2799,301 @@ def _rewrite_partial(
     )
 
 
+def _merge_sql_literal(v) -> str | None:
+    """SQL literal for a stats_filter bound, or None when the type is not
+    safely quotable (the filter is then simply skipped for that key —
+    pruning is an optimization, never a correctness dependency)."""
+    import math
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, float):
+        return repr(v) if math.isfinite(v) else None
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
+def _merge_iceberg_generalized(
+    spark,
+    root: str,
+    source: DataFrame,
+    key_cols: list[str],
+    clauses: list[dict],
+    not_matched_condition: str | None,
+    cat,
+    version: int,
+    meta: dict,
+    schema_json: dict,
+    sid: int,
+    spec_id: int,
+    part_fields: list[dict],
+    field_ids: list[int],
+    key_ids: list[int],
+    col_types,
+    stat_fields,
+    key_col_types,
+    key_stat_fields,
+    target_file_rows: int,
+    max_commit_retries: int,
+    set_properties: dict | None,
+    expect_properties: dict | None,
+    branch: str | None,
+    spec_fields: list[dict],
+    store,
+) -> dict | None:
+    """Conditional / partial-column MERGE body for Iceberg (see
+    :func:`merge_iceberg`).  Unlike the unconditional O(source) path this
+    MUST read the matched target rows (clause conditions compare against
+    them; unset columns keep their values), so the cost is one
+    KEY-RANGE-PRUNED table scan (the source's min/max per key become a
+    ``stats_filter`` — manifest zone-map file skipping, same machinery as
+    z46) plus the O(source ⋈ matched) clause evaluation.  The commit is
+    still pure merge-on-read: ONE equality-delete manifest over the keys
+    where some clause FIRED (update → replaced row rewritten at the same
+    sequence number, delete → nothing rewritten) plus a data manifest
+    with the replacement rows and conditional inserts — no data file is
+    ever rewritten.  Matched keys where no clause fires are untouched
+    (no delete, no write).  Duplicate-key TARGET rows of a fired key are
+    all re-emitted (updated or verbatim) because the equality delete
+    removes every row of the key.  The delete manifest always uses the
+    GLOBAL unpartitioned form."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .merge_clauses import (
+        clause_action_column,
+        clause_row_column,
+        insert_filter,
+    )
+
+    names = list(source.columns)
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    derived = [pf for pf in part_fields if pf["kind"] != "identity"]
+    part_cols = [pf["group_col"] for pf in part_fields]
+    part_types = {pf["group_col"]: pf["store_type"] for pf in part_fields}
+
+    marked = None
+    source = source.persist()
+    try:
+        dup = (
+            source.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__dup_n"))
+            .where(F.col("__dup_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise BuzzBadRequestError(
+                "source has duplicate merge keys — distributed last-wins "
+                "is order-undefined; de-duplicate upstream"
+            )
+
+        # key-range pruned target scan (null keys kept: the match below
+        # is null-safe, Iceberg's equality-delete rule)
+        row = source.agg(
+            *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
+            *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
+        ).first()
+        bounds = []
+        for k in key_cols:
+            lo = _merge_sql_literal(row[f"_lo_{k}"])
+            hi = _merge_sql_literal(row[f"_hi_{k}"])
+            if row[f"_lo_{k}"] is not None and lo is not None and hi is not None:
+                bounds.append(
+                    f"((`{k}` >= {lo} AND `{k}` <= {hi}) OR `{k}` IS NULL)"
+                )
+        tbl = cat.to_dataframe(
+            spark, stats_filter=" AND ".join(bounds) if bounds else None
+        ).select(*names)
+
+        s_side = source.select(F.struct(*names).alias("s"))
+        t_side = tbl.select(F.struct(*names).alias("t"))
+        pair_cond = reduce(
+            lambda a, b: a & b,
+            [
+                t_side["t"].getField(k).eqNullSafe(s_side["s"].getField(k))
+                for k in key_cols
+            ],
+        )
+        pairs = t_side.join(s_side, on=pair_cond, how="inner")
+        keyed = pairs.select(
+            *[
+                F.col("t").getField(k).alias(f"__k{i}")
+                for i, k in enumerate(key_cols)
+            ],
+            clause_action_column(clauses).alias("__a"),
+            clause_row_column(clauses, source.schema.fields).alias("__r"),
+        )
+        w = Window.partitionBy(*[f"__k{i}" for i in range(len(key_cols))])
+        marked = keyed.withColumn(
+            "__any",
+            F.max(F.when(F.col("__a").isNotNull(), 1).otherwise(0)).over(w),
+        ).persist()
+        replaced = marked.where(
+            (F.col("__any") == 1)
+            & (F.col("__a").isNull() | (F.col("__a") == "update"))
+        ).select("__r.*")
+        fired = (
+            marked.where(F.col("__any") == 1)
+            .select(
+                *[
+                    F.col(f"__k{i}").alias(k)
+                    for i, k in enumerate(key_cols)
+                ]
+            )
+            .distinct()
+        )
+
+        # NOT MATCHED inserts: null-safe anti-join against the pruned
+        # scan's keys (any target key equal to a source key survives the
+        # range filter by construction)
+        tkeys = tbl.select(
+            *[F.col(k).alias(f"__t{i}") for i, k in enumerate(key_cols)]
+        )
+        ins_cond = reduce(
+            lambda a, b: a & b,
+            [
+                source[k].eqNullSafe(tkeys[f"__t{i}"])
+                for i, k in enumerate(key_cols)
+            ],
+        )
+        ins = source.join(tkeys, on=ins_cond, how="left_anti")
+        if not_matched_condition is not None:
+            ins = insert_filter(ins, names, not_matched_condition)
+
+        data_rows = replaced.unionByName(ins.select(*names))
+        for pf in derived:
+            data_rows = data_rows.withColumn(
+                pf["group_col"], _transform_column(pf)
+            )
+        required_nullable = [
+            c
+            for c in names
+            if by_name[c].get("required") and data_rows.schema[c].nullable
+        ]
+        new_files = _write_data_files(
+            data_rows, data_dir, part_cols, field_ids, part_types,
+            target_file_rows, col_types=col_types,
+            no_null_cols=required_nullable,
+            drop_cols=[pf["group_col"] for pf in derived],
+        )
+        key_files = _write_data_files(
+            fired, data_dir, [], key_ids, {}, target_file_rows,
+            col_types=key_col_types,
+        )
+        if not new_files and not key_files:
+            return None
+    finally:
+        source.unpersist()
+        if marked is not None:
+            marked.unpersist()
+
+    now_ms = int(time.time() * 1000)
+    added_rows = sum(int(f["record_count"]) for f in new_files)
+    key_rows = sum(int(f["record_count"]) for f in key_files)
+
+    def _attempt(state):
+        version_a, meta_a = state
+        seq = int(meta_a.get("last-sequence-number", 0)) + 1
+        snap_id = uuid.uuid4().int >> 65
+        meta_a = dict(meta_a)
+        if set_properties:
+            props = dict(meta_a.get("properties") or {})
+            props.update({str(k): str(v) for k, v in set_properties.items()})
+            meta_a["properties"] = props
+        recs = []
+        if new_files:
+            data_manifest = _write_manifest(
+                meta_dir,
+                _manifest_entries(
+                    new_files, 0, None, part_fields, snap_id, stat_fields
+                ),
+                part_fields,
+                schema_json,
+                spec_id,
+                "data",
+            )
+            recs.append(
+                _manifest_rec(
+                    data_manifest, spec_id, 0, seq, snap_id,
+                    len(new_files), added_rows,
+                    _part_summaries(new_files, part_fields),
+                )
+            )
+        if key_files:
+            del_spec_id = _unpartitioned_spec_id(meta_a)
+            delete_manifest = _write_manifest(
+                meta_dir,
+                _manifest_entries(
+                    key_files, 2, key_ids, [], snap_id, key_stat_fields
+                ),
+                [],
+                schema_json,
+                del_spec_id,
+                "deletes",
+            )
+            recs.append(
+                _manifest_rec(
+                    delete_manifest, del_spec_id, 1, seq, snap_id,
+                    len(key_files), key_rows,
+                    _part_summaries(key_files, []),
+                )
+            )
+        mlist_path = _write_manifest_list(
+            meta_dir,
+            snap_id,
+            seq,
+            recs
+            + _carry_manifests(
+                _prev_manifests(meta_a, _branch_head(meta_a, branch))
+            ),
+        )
+        new_version = _finish_commit(
+            root,
+            version_a,
+            meta_a,
+            snap_id,
+            seq,
+            now_ms,
+            mlist_path,
+            sid,
+            "overwrite",
+            {
+                "added-data-files": str(len(new_files)),
+                "added-records": str(added_rows),
+                "added-delete-files": str(len(key_files)),
+                "added-equality-deletes": str(key_rows),
+            },
+            log_prior_metadata=True,
+            store=store,
+            branch=branch,
+        )
+        return {
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "metadata_version": new_version,
+            "upserted_records": added_rows,
+            "operation": "overwrite",
+        }
+
+    def _refresh():
+        version_f, meta_f = _load_v2_meta(root, root)
+        _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
+        _require_expected_properties(meta_f, expect_properties)
+        return (version_f, meta_f)
+
+    return commit_with_retry(
+        _attempt, _refresh, (version, meta), max_commit_retries
+    )
+
+
 def merge_iceberg(
     spark,
     table_uri: str,
@@ -2810,6 +3105,8 @@ def merge_iceberg(
     expect_properties: dict[str, str] | None = None,
     branch: str | None = None,
     schema_mode: str = "strict",
+    matched_clauses: list[dict] | None = None,
+    not_matched_condition: str | None = None,
     store=None,
 ) -> dict | None:
     """UPSERT ``source`` into the Iceberg table by ``key_cols`` — the
@@ -2858,7 +3155,18 @@ def merge_iceberg(
     partition-scoped under the live spec with real tuples and summaries,
     which is semantically identical (a matching old row necessarily sits
     in the same partition) and lets partition-filtered reads prune
-    eq-delete files like data files."""
+    eq-delete files like data files.
+
+    **Conditional / partial-column form**: ``matched_clauses`` (a list of
+    ``{"action": "update"|"delete", "condition": sql | None, "set":
+    {col: sql_expr} | None}``, Delta-MERGE first-match-wins semantics —
+    expressions over ``t.<col>`` / ``s.<col>``; see
+    :mod:`~.merge_clauses`) and ``not_matched_condition`` switch to
+    :func:`_merge_iceberg_generalized`: one KEY-RANGE-PRUNED table scan
+    reads the matched target rows (conditions compare against them;
+    unset columns keep their values), the commit stays merge-on-read
+    (eq-deletes over the keys where a clause FIRED + replacement/insert
+    data files; matched-but-unfired keys untouched)."""
     from pyspark.sql import functions as F
 
     if branch == "main":
@@ -2937,6 +3245,27 @@ def merge_iceberg(
     data_dir = os.path.join(root, "data")
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(data_dir, exist_ok=True)
+
+    if matched_clauses is not None or not_matched_condition is not None:
+        from .merge_clauses import (
+            legacy_clauses,
+            validate_matched_clauses,
+        )
+
+        clauses = (
+            validate_matched_clauses(
+                matched_clauses, list(source.columns), key_cols
+            )
+            if matched_clauses is not None
+            else legacy_clauses("update")
+        )
+        return _merge_iceberg_generalized(
+            spark, root, source, key_cols, clauses, not_matched_condition,
+            cat, version, meta, schema_json, sid, spec_id, part_fields,
+            field_ids, key_ids, col_types, stat_fields, key_col_types,
+            key_stat_fields, target_file_rows, max_commit_retries,
+            set_properties, expect_properties, branch, spec_fields, store,
+        )
 
     # derived transform ordinals (day/bucket/... partitioned tables): the
     # fanout writer groups by them, the files never contain them
@@ -3664,6 +3993,69 @@ def evolve_iceberg_partition_spec(
     }
 
 
+def _derive_partition_tuples(
+    spark, paths: list[str], schema_json: dict, part_fields: list[dict]
+) -> dict[str, dict]:
+    """Each candidate file's partition tuple under the live spec, derived
+    by ONE distributed job that reads ONLY the spec's source columns
+    (parquet column pruning) and applies the spec transforms
+    (:func:`_transform_column` — the writer's own bucket/truncate/days
+    ordinals, so add_files tuples CANNOT diverge from written ones).  A
+    file spanning more than one tuple refuses typed — registering it
+    under a single tuple would corrupt partition pruning.  Returns
+    {abs_path: {group_col: stored_value}}; empty files are absent (the
+    caller refuses them)."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from .iceberg import _struct_field
+
+    needed = {pf["source_name"] for pf in part_fields}
+    sub = StructType(
+        [
+            _struct_field(f, with_ids=False)
+            for f in schema_json["fields"]
+            if f["name"] in needed
+        ]
+    )
+    cols = []
+    for i, pf in enumerate(part_fields):
+        e = (
+            F.col(pf["source_name"])
+            if pf["kind"] == "identity"
+            else _transform_column(pf)
+        )
+        cols.append(e.alias(f"__g{i}"))
+    df = spark.read.schema(sub).parquet(*paths).select(
+        F.input_file_name().alias("__f"), *cols
+    )
+    tup = F.struct(*[f"__g{i}" for i in range(len(part_fields))])
+    rows = (
+        df.groupBy("__f")
+        .agg(
+            F.countDistinct(tup).alias("__n"),
+            F.first(tup).alias("__t"),
+        )
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        ap = os.path.abspath(unquote(urlparse(r["__f"]).path))
+        if r["__n"] > 1:
+            raise BuzzBadRequestError(
+                f"file {ap!r} spans {r['__n']} partition tuples under the "
+                "table's spec — add_files requires partition-pure files "
+                "(one tuple per file)"
+            )
+        out[ap] = {
+            pf["group_col"]: r["__t"][f"__g{i}"]
+            for i, pf in enumerate(part_fields)
+        }
+    return out
+
+
 def add_files_iceberg(
     spark,
     table_uri: str,
@@ -3682,8 +4074,12 @@ def add_files_iceberg(
     On an identity-partitioned table each file's partition value derives
     from its footer column stats and the file must be PARTITION-PURE
     (min == max on every partition source column) — layout-independent
-    and exact, no directory-name parsing; impure or stat-less files and
-    non-identity specs refuse typed.  Files already live in the table
+    and exact, no directory-name parsing; impure or stat-less files
+    refuse typed.  NON-identity specs (bucket/truncate/days/... —
+    round-11) derive each file's partition tuple executor-side instead:
+    one small job reads only the spec's source columns and applies the
+    writer's own transform ordinals (:func:`_derive_partition_tuples`),
+    refusing files that span tuples.  Files already live in the table
     refuse typed (re-adding would duplicate rows).
 
     Files without parquet field ids (the common external-writer case)
@@ -3730,22 +4126,16 @@ def add_files_iceberg(
     non_identity = [
         pf["name"] for pf in part_fields if pf["kind"] != "identity"
     ]
-    if non_identity:
-        raise BuzzBadRequestError(
-            "add_files_iceberg supports identity-partitioned (or "
-            f"unpartitioned) tables; partition fields {non_identity} use "
-            "transforms whose values cannot be derived from footer stats "
-            "— write through write_iceberg instead"
-        )
     by_name = {f["name"]: f for f in schema_json["fields"]}
-    src_cols = [pf["source_name"] for pf in part_fields]
-    for c in src_cols:
-        t = by_name[c]["type"]
+    for pf in part_fields:
+        if pf["kind"] != "identity":
+            continue  # transform source types gated by _partition_context
+        t = by_name[pf["source_name"]]["type"]
         if t not in ("int", "long", "string"):
             raise BuzzBadRequestError(
-                f"add_files_iceberg partition source column {c!r} has "
-                f"type {t!r} — footer-derived partition values support "
-                "int/long/string"
+                "add_files_iceberg identity partition source column "
+                f"{pf['source_name']!r} has type {t!r} — derived "
+                "partition values support int/long/string"
             )
     declared = StructType(
         [_struct_field(f, with_ids=False) for f in schema_json["fields"]]
@@ -3753,10 +4143,20 @@ def add_files_iceberg(
 
     cat = IcebergCatalog("_addfiles", root)
     live = {normalized_key(f.key) for f in cat.pruned_files(spark, None)}
+    aps = [os.path.abspath(p.removeprefix("file://")) for p in paths]
+    # Non-identity specs (round-11): partition tuples come from ONE
+    # distributed job applying the spec transforms over the candidate
+    # files' SOURCE columns (footer stats cannot compute bucket/truncate/
+    # days ordinals); identity-only specs keep the zero-data-read footer
+    # derivation below.
+    derived = (
+        _derive_partition_tuples(spark, aps, schema_json, part_fields)
+        if non_identity
+        else None
+    )
     staged: list[dict] = []
     any_idless = False
-    for p in paths:
-        ap = os.path.abspath(p.removeprefix("file://"))
+    for p, ap in zip(paths, aps):
         if normalized_key(ap) in live:
             raise BuzzBadRequestError(
                 f"file {p!r} is already referenced by the current "
@@ -3770,9 +4170,19 @@ def add_files_iceberg(
         ):
             any_idless = True
         partition: dict = {}
-        if src_cols:
-            bounds = _footer_stats(ap, src_cols)
-            for c in src_cols:
+        if derived is not None:
+            if ap not in derived:
+                raise BuzzBadRequestError(
+                    f"file {p!r} has no rows — cannot derive its "
+                    "partition tuple; drop empty files before add_files"
+                )
+            partition = derived[ap]
+        elif part_fields:
+            bounds = _footer_stats(
+                ap, [pf["source_name"] for pf in part_fields]
+            )
+            for pf in part_fields:
+                c = pf["source_name"]
                 b = bounds.get(c)
                 if b is None or b[0] is None:
                     raise BuzzBadRequestError(

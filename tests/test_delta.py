@@ -2636,3 +2636,120 @@ def test_cleanup_delta_log_keeps_v2_sidecars(spark, tmp_path):
         r.id for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
     )
     assert got == [1, 2, 3, 4, 9, 10]
+
+
+def test_delta_id_mode_nested_rewrites_restamp_inner_ids(spark, tmp_path):
+    """Round-11 lift of the NESTED mode=id rewrite refusal: a table with a
+    struct column hand-flipped to mode=id survives write, merge (clause
+    form), delete, and optimize — every staged file re-emits footer
+    field ids on the INNER struct members (the pyarrow post-pass
+    _restamp_nested_ids; Spark's own field-id metadata is top-level
+    only), and the reads stay correct."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import (
+        _log_state,
+        _restamp_nested_ids,
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, (10, "a"), "x"), (2, (20, "b"), "y"), (3, (30, "c"), "z")],
+        "id long, payload struct<n: long, s: string>, v string",
+    ).coalesce(1)
+    write_delta(df, root)
+
+    ids = {"id": 1, "payload": 2, "n": 3, "s": 4, "v": 5}
+    log = sorted(
+        f for f in _os.listdir(_os.path.join(root, "_delta_log"))
+        if f.endswith(".json")
+    )[-1]
+    lp = _os.path.join(root, "_delta_log", log)
+    acts = [_json.loads(line) for line in open(lp) if line.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                f["metadata"] = {
+                    "delta.columnMapping.id": ids[f["name"]],
+                    "delta.columnMapping.physicalName": f["name"],
+                }
+                if isinstance(f["type"], dict):
+                    for nf in f["type"]["fields"]:
+                        nf["metadata"] = {
+                            "delta.columnMapping.id": ids[nf["name"]],
+                            "delta.columnMapping.physicalName": nf["name"],
+                        }
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "5",
+            }
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 2, "minWriterVersion": 5}
+    open(lp, "w").write("".join(_json.dumps(a) + "\n" for a in acts))
+    _, _, meta = _log_state(_os.path.join(root, "_delta_log"))
+    _restamp_nested_ids(
+        _glob.glob(_os.path.join(root, "*.parquet")), meta
+    )
+
+    def assert_ids():
+        live = _log_state(_os.path.join(root, "_delta_log"))[1]
+        assert live
+        for rel in live:
+            sch = _pq.ParquetFile(_os.path.join(root, rel)).schema_arrow
+            pf = sch.field("payload")
+            assert (pf.metadata or {}).get(b"PARQUET:field_id") == b"2", rel
+            for nm, want in (("n", b"3"), ("s", b"4")):
+                got = pf.type.field(
+                    pf.type.get_field_index(nm)
+                ).metadata.get(b"PARQUET:field_id")
+                assert got == want, (rel, nm, got)
+
+    assert_ids()
+    # append through the writer
+    write_delta(
+        spark.createDataFrame(
+            [(4, (40, "d"), "w")],
+            "id long, payload struct<n: long, s: string>, v string",
+        ).coalesce(1),
+        root, mode="append",
+    )
+    assert_ids()
+    # clause merge: partial SET on the struct column
+    merge_delta(
+        spark, root,
+        spark.createDataFrame(
+            [(2, (99, "B"), "q")],
+            "id long, payload struct<n: long, s: string>, v string",
+        ),
+        ["id"],
+        matched_clauses=[
+            {"action": "update", "condition": "s.payload.n > t.payload.n",
+             "set": {"payload": "s.payload"}},
+        ],
+    )
+    assert_ids()
+    delete_delta(spark, root, "id = 3")
+    assert_ids()
+    optimize_delta(spark, root, target_file_bytes=1 << 30)
+    assert_ids()
+    got = {
+        r["id"]: (r["payload"]["n"], r["payload"]["s"], r["v"])
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert got == {
+        1: (10, "a", "x"),
+        2: (99, "B", "y"),  # struct replaced, v kept at target value
+        4: (40, "d", "w"),
+    }

@@ -262,11 +262,12 @@ def test_merge_delete_clause_records_delete_changes(spark, tmp_path):
 
 
 def test_writer_gate_refuses_constraints_and_invariants(spark, tmp_path):
-    """Review regression: legacy writer versions imply CHECK constraints
-    (v3, delta.constraints.*) and field invariants (v2) — tables actually
-    USING them must refuse typed at every version branch, not be silently
-    violated."""
-    from buzz_rust_spark.errors import BuzzNotImplementedError
+    """Round-11 flip of the old refusal test: legacy tables USING CHECK
+    constraints (v3, delta.constraints.*) or field invariants (v2) are now
+    WRITABLE — the rules are ENFORCED on every staged frame
+    (_enforce_table_rules): conforming rows commit, violating rows abort
+    typed naming the rule, the table untouched."""
+    from buzz_rust_spark.errors import BuzzConstraintError
 
     def mk(root, protocol, meta_extra=None, field_meta=None):
         os.makedirs(os.path.join(root, "_delta_log"))
@@ -289,20 +290,36 @@ def test_writer_gate_refuses_constraints_and_invariants(spark, tmp_path):
         with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
             fh.writelines(json.dumps(a) + "\n" for a in actions)
 
-    # v4 + CHECK constraint in use → refused
+    # v4 + CHECK constraint in use → ENFORCED: violating rows abort typed
+    # (naming the constraint), conforming rows commit
     r1 = str(tmp_path / "t1")
     mk(r1, {"minReaderVersion": 1, "minWriterVersion": 4},
        {"configuration": {"delta.constraints.pos": "id > 0",
                           "delta.enableChangeDataFeed": "true"}})
-    with pytest.raises(BuzzNotImplementedError, match="constraints"):
-        write_delta(_df(spark, [(1, "a")]).selectExpr("id"), r1, mode="append")
+    with pytest.raises(BuzzConstraintError, match="'pos'"):
+        write_delta(
+            spark.createDataFrame([(-1,)], "id long").coalesce(1), r1,
+            mode="append",
+        )
+    assert write_delta(
+        spark.createDataFrame([(5,)], "id long").coalesce(1), r1,
+        mode="append",
+    ) == 1
 
-    # v2 + field invariant in use → refused (pre-existing gap closed)
+    # v2 + field invariant in use → ENFORCED the same way (null violates,
+    # Delta's CheckDeltaInvariant null semantics)
     r2 = str(tmp_path / "t2")
     mk(r2, {"minReaderVersion": 1, "minWriterVersion": 2},
        field_meta={"delta.invariants": '{"expression":{"expression":"id > 0"}}'})
-    with pytest.raises(BuzzNotImplementedError, match="invariants"):
-        write_delta(_df(spark, [(1, "a")]).selectExpr("id"), r2, mode="append")
+    with pytest.raises(BuzzConstraintError, match="invariant"):
+        write_delta(
+            spark.createDataFrame([(None,)], "id long").coalesce(1), r2,
+            mode="append",
+        )
+    assert write_delta(
+        spark.createDataFrame([(3,)], "id long").coalesce(1), r2,
+        mode="append",
+    ) == 1
 
     # v4 CDF-only (no constraints/invariants) still writes fine
     r3 = str(tmp_path / "t3")

@@ -3151,3 +3151,66 @@ def test_add_files_name_mapping_survives_rename(spark, tmp_path):
         for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
     )
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_add_files_bucket_partitioned(spark, tmp_path):
+    """Round-11 lift of the non-identity add_files refusal: on a
+    bucket(4)-partitioned table, each registered file's partition tuple
+    is derived by ONE distributed job applying the writer's own spec
+    ordinals over the source columns; bucket-pure files register and
+    prune, spanning files refuse typed."""
+    import glob as _glob
+    import os as _os
+
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        _bucket_udf,
+        add_files_iceberg,
+        delete_iceberg,
+        write_iceberg,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_iceberg(df.where("k < 20"), root, partition_by=["bucket(4, k)"])
+
+    ldir = str(tmp_path / "legacy")
+    df.where("k >= 20").withColumn(
+        "__b", _bucket_udf("long", 4)(F.col("k").cast("string"))
+    ).write.mode("overwrite").partitionBy("__b").parquet(ldir)
+    loose = sorted(
+        _glob.glob(_os.path.join(ldir, "**", "*.parquet"), recursive=True)
+    )
+    out = add_files_iceberg(spark, root, loose)
+    assert out["added_files"] == len(loose) >= 2
+    got = sorted(
+        r["k"] for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == list(range(40))
+    # partition pruning covers the registered files (file-level: the
+    # matching bucket's files only — a strict subset holding k=21)
+    pruned = [
+        r["k"]
+        for r in IcebergCatalog("t2", root)
+        .to_dataframe(spark, partition_filter="k = 21")
+        .collect()
+    ]
+    assert 21 in pruned and 0 < len(pruned) < 40
+
+    bdir = str(tmp_path / "bad")
+    df.where("k >= 20").coalesce(1).write.mode("overwrite").parquet(bdir)
+    with pytest.raises(BuzzBadRequestError, match="spans"):
+        add_files_iceberg(
+            spark, root, sorted(_glob.glob(_os.path.join(bdir, "*.parquet")))
+        )
+    # a delete spanning engine-written and registered populations
+    delete_iceberg(spark, root, "k % 7 = 3")
+    got = sorted(
+        r["k"]
+        for r in IcebergCatalog("t3", root).to_dataframe(spark).collect()
+    )
+    assert got == [k for k in range(40) if k % 7 != 3]

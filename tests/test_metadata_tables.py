@@ -292,3 +292,78 @@ def test_detail_tables(spark, tmp_path):
         ],
     }
     assert eng.run_json(_json.dumps(q)).collect()[0].num_data_files == 2
+
+
+def test_iceberg_files_distributed_past_threshold(spark, tmp_path, monkeypatch):
+    """Round-11 seam: above DRIVER_PLAN_MAX_MANIFESTS, $files rows are
+    built inside the distributed mapInPandas job — the driver decode
+    (_decode_entries) must never run, and the output must equal the
+    driver path's byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+
+    root = str(tmp_path / "t")
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_iceberg(df.where("k < 10").coalesce(1), root)
+    write_iceberg(
+        df.where("k >= 10 AND k < 20").coalesce(1), root, mode="append"
+    )
+    write_iceberg(df.where("k >= 20").coalesce(1), root, mode="append")
+
+    driver_rows = sorted(mt.iceberg_files(spark, root).collect())
+
+    monkeypatch.setattr(IcebergCatalog, "DRIVER_PLAN_MAX_MANIFESTS", 1)
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver decode ran past the threshold")
+
+    monkeypatch.setattr(IcebergCatalog, "_decode_entries", boom)
+    dist_rows = sorted(mt.iceberg_files(spark, root).collect())
+    assert dist_rows == driver_rows and len(dist_rows) == 3
+    # $partitions composes on top of the distributed frame
+    parts = mt.iceberg_partitions(spark, root).collect()
+    assert parts[0]["record_count"] == 30
+
+
+def test_delta_files_distributed_from_checkpoint(spark, tmp_path, monkeypatch):
+    """Round-11 seam: past the checkpoint-size threshold, delta_files
+    builds its rows from the checkpoint parquet executor-side — the
+    driver log replay (DeltaCatalog) must never run — and unions the
+    post-checkpoint tail (re-adds, removes, a DV delete) exactly like
+    the driver path."""
+    from pyspark.sql import functions as F
+
+    import buzz_rust_spark.sources.delta_catalog as dc
+    from buzz_rust_spark.sources.delta_writer import delete_delta, write_delta
+
+    root = str(tmp_path / "t")
+    df = spark.range(20).select("id", F.col("id").alias("v"))
+    # checkpoint at v0, then a tail: append + cow delete (remove + add)
+    write_delta(df.coalesce(2), root, checkpoint_interval=1)
+    write_delta(
+        spark.range(20, 30).select("id", F.col("id").alias("v")).coalesce(1),
+        root, mode="append",
+    )
+    delete_delta(spark, root, "id % 7 = 3")
+
+    driver_rows = sorted(mt.delta_files(spark, root).collect())
+    assert len(driver_rows) >= 3
+
+    monkeypatch.setattr(mt, "DELTA_FILES_DRIVER_CP_BYTES", -1)
+    real_init = dc.DeltaCatalog.__init__
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver log replay ran past the threshold")
+
+    monkeypatch.setattr(dc.DeltaCatalog, "__init__", boom)
+    try:
+        dist_rows = sorted(mt.delta_files(spark, root).collect())
+    finally:
+        monkeypatch.setattr(dc.DeltaCatalog, "__init__", real_init)
+    assert dist_rows == driver_rows
+    # time travel keeps the (correct) driver path
+    v0 = mt.delta_files(spark, root, version=0).count()
+    assert v0 == 2

@@ -130,6 +130,14 @@ def _exploded_shingle_index(
     ).select("_id", "_n", hash_column(F.col("_s"), hash_fn).alias("_h"))
 
 
+# Σ df² (the dense path's candidate-pair volume) above which the AUTO
+# Jaccard mode picks the prefix-filtered path.  Measured crossover
+# (BENCH.md round 10): dense wins at sf0.1 (Σ ≈ low M, 2.2 s vs 4.3 s),
+# prefix wins 1.5× at sf1 (Σ = 254M, 18 s vs 28 s) — 50M splits the two
+# with an order of magnitude of headroom on each side.
+PREFIX_AUTO_PAIR_BUDGET = 50_000_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -138,11 +146,11 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     hash_fn: str = "fast",
     shingle_df_cap: int | None = 10_000,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """All pairs (id_1 < id_2) whose word-``n``-gram Jaccard ≥ ``threshold``.
 
-    With ``prefix_filter``, candidate generation uses the
+    With ``prefix_filter=True``, candidate generation uses the
     AllPairs/PPJoin PREFIX principle
     (Bayardo et al., WWW'07; Xiao et al., WWW'08): shingles order
     globally by (document frequency, hash) and only each document's
@@ -156,8 +164,18 @@ def ngram_jaccard_pairs(
     verification joins) cost ~2 s of fixed overhead, so the DENSE path
     wins below ~20k docs (sf0.1: 2.2 s vs 4.3 s) while prefix wins 1.5×
     at 50k (sf1: 18 s vs 28 s, Σbucket² 254M → the prefix postings' few
-    M) and asymptotically at corpus scale — choose by corpus size; the
-    default stays dense for the small-batch case.
+    M) and asymptotically at corpus scale.
+
+    ``prefix_filter="auto"`` (the default, round-11) COST-SWITCHES from
+    the observable that decides the race: Σ bucket² over the posting
+    lists — the dense path's exact candidate-pair volume — read off the
+    SAME persisted posting-list aggregation the dense path starts with
+    (one cheap scan of persisted data, NO extra shuffle; the dense
+    plan's shuffle count is unchanged).  Σ ≤ ``PREFIX_AUTO_PAIR_BUDGET``
+    proceeds dense on those buckets; above it switches to prefix,
+    REUSING the buckets as both the document-frequency relation (bucket
+    size = df) and the re-derived shingle index — the probe is a
+    prefix-path input, not a wasted pass.
 
     ``prefix_filter=False`` (or threshold 0) keeps the dense path:
     explode distinct shingles → hash → self-join on shingle hash → count
@@ -174,10 +192,59 @@ def ngram_jaccard_pairs(
     misses a pair only if every shared PREFIX shingle is hotter — both
     are the pathological all-stopword case the cap exists for.
     """
+    if prefix_filter == "auto" and threshold > 0:
+        all_buckets = persist_tracked(
+            _exploded_shingle_index(df, text_col, id_col, n, hash_fn)
+            .groupBy("_h")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_id"), F.col("_n")))
+                ).alias("_ids")
+            )
+        )
+        est = all_buckets.agg(
+            F.sum(F.size("_ids").cast("long") * F.size("_ids")).alias("_s")
+        ).first()["_s"] or 0
+        if est > PREFIX_AUTO_PAIR_BUDGET:
+            # re-derive the shingle index and the df relation from the
+            # persisted buckets — the probe shuffle is the prefix path's
+            # input, never a wasted pass
+            re_exploded = all_buckets.select(
+                "_h", F.explode("_ids").alias("_e")
+            ).select(
+                F.col("_e._id").alias("_id"),
+                F.col("_e._n").alias("_n"),
+                "_h",
+            )
+            return _ngram_jaccard_prefix(
+                df, text_col, id_col, n, threshold, hash_fn,
+                shingle_df_cap,
+                _exploded=re_exploded,
+                _dfreq=all_buckets.select(
+                    "_h", F.size("_ids").cast("long").alias("_df")
+                ),
+            )
+        return _ngram_jaccard_dense(
+            None, threshold, shingle_df_cap,
+            _buckets=all_buckets.where(F.size("_ids") > 1),
+        )
     if prefix_filter and threshold > 0:
         return _ngram_jaccard_prefix(
             df, text_col, id_col, n, threshold, hash_fn, shingle_df_cap
         )
+    return _ngram_jaccard_dense(
+        _exploded_shingle_index(df, text_col, id_col, n, hash_fn),
+        threshold,
+        shingle_df_cap,
+    )
+
+
+def _ngram_jaccard_dense(
+    exploded: DataFrame | None,
+    threshold: float,
+    shingle_df_cap: int | None,
+    _buckets: DataFrame | None = None,
+) -> DataFrame:
     # ONE shuffle groups the (id, size, hash) index into per-shingle posting
     # lists; candidate pairs are generated inside each bucket (sorted
     # (id, n) structs → id_1 < id_2 for free, and every candidate pair
@@ -186,8 +253,9 @@ def ngram_jaccard_pairs(
     # the hot set falls out of the same aggregation with no extra pass and
     # no driver collect.  Pair volume is Σ bucket²; buckets are persisted
     # because the cold-pairs and hot-correction branches both read them.
-    exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn)
-    buckets = persist_tracked(
+    # (``_buckets`` — the auto path's already-persisted posting lists —
+    # skips the shuffle entirely.)
+    buckets = _buckets if _buckets is not None else persist_tracked(
         exploded.groupBy("_h")
         .agg(
             F.sort_array(
@@ -289,6 +357,8 @@ def _ngram_jaccard_prefix(
     threshold: float,
     hash_fn: str,
     shingle_df_cap: int | None,
+    _exploded: DataFrame | None = None,
+    _dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard pairs (see :func:`ngram_jaccard_pairs`).
 
@@ -307,8 +377,16 @@ def _ngram_jaccard_prefix(
     those prefix elements the rarest, so the postings stay small."""
     from functools import reduce
 
-    exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn)
-    dfreq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    exploded = (
+        _exploded_shingle_index(df, text_col, id_col, n, hash_fn)
+        if _exploded is None
+        else _exploded
+    )
+    dfreq = (
+        exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        if _dfreq is None
+        else _dfreq
+    )
     # per-doc shingle hashes in the GLOBAL (df, h) order; ties on the
     # struct sort are total, so every document orders identically
     docs = (

@@ -2485,3 +2485,36 @@ def test_wav_float_nan_inf_sanitized():
     s, _, _ = decode_wav(wav)
     assert np.isfinite(s).all() and s.min() >= -1.0 and s.max() <= 1.0
     assert s[0] == 0.5 and s[1] == 0.0 and s[2] == 1.0 and s[3] == -1.0
+
+
+def test_jaccard_auto_cost_switch(spark, docs, monkeypatch):
+    """Round-11: prefix_filter='auto' (the new default) picks dense vs
+    prefix from the Σ df² candidate-volume estimate — dense below
+    PREFIX_AUTO_PAIR_BUDGET, prefix above it — with identical pairs
+    either way."""
+    calls = []
+    real_dense = D._ngram_jaccard_dense
+    real_prefix = D._ngram_jaccard_prefix
+    monkeypatch.setattr(
+        D, "_ngram_jaccard_dense",
+        lambda *a, **k: calls.append("dense") or real_dense(*a, **k),
+    )
+    monkeypatch.setattr(
+        D, "_ngram_jaccard_prefix",
+        lambda *a, **k: calls.append("prefix") or real_prefix(*a, **k),
+    )
+
+    def run():
+        return sorted(
+            (r["id_1"], r["id_2"], round(r["jaccard"], 6))
+            for r in D.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.5
+            ).collect()
+        )
+
+    dense_pairs = run()
+    assert calls == ["dense"]  # tiny corpus: Σ df² under the budget
+    monkeypatch.setattr(D, "PREFIX_AUTO_PAIR_BUDGET", -1)
+    prefix_pairs = run()
+    assert calls == ["dense", "prefix"]  # forced over the budget
+    assert prefix_pairs == dense_pairs and dense_pairs

@@ -4240,3 +4240,95 @@ def z53_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("iceberg").alias("fmt"), "doc_id", "source", "len")
     )
     return delta_df.unionByName(ice_df).orderBy("fmt", "doc_id")
+
+
+@register(
+    "z54_identity_columns",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 60
+),
+seeded AS (  -- explicit seeds: even doc_ids, payload tagged seed
+  SELECT 'seed-' || CAST(doc_id AS VARCHAR) AS v FROM docs
+  WHERE doc_id % 2 = 0
+),
+appended AS (  -- generated-identity append: odd doc_ids
+  SELECT 'gen-' || CAST(doc_id AS VARCHAR) AS v FROM docs
+  WHERE doc_id % 2 = 1
+)
+SELECT v, TRUE AS on_grid, TRUE AS above_start
+FROM (SELECT v FROM seeded UNION ALL SELECT v FROM appended)
+ORDER BY v
+""",
+)
+def z54_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IDENTITY columns (round-11 lift of the last capability
+    refusal): a GENERATED BY DEFAULT identity table seeds from explicit
+    values, then a generated append ALLOCATES values — contiguous
+    ``start + k·step`` past the high-water mark, which every
+    value-adding commit advances atomically in its own metaData action.
+    The oracle checks the allocation CONTRACT rather than the concrete
+    values (allocation order is partitioning-dependent by design): every
+    row's identity value lies on the declared arithmetic grid and above
+    start, uniqueness is asserted in-query, and the payload multiset
+    matches the relational recompute.  Reference has no write path
+    (fuse_service.rs:130-135); graded on PROTOCOL.md identity
+    fidelity."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.delta_catalog import DeltaCatalog
+    from ..sources.delta_writer import write_delta
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .select("doc_id", "source")
+    )
+    id_schema = StructType(
+        [
+            StructField(
+                "rid", LongType(), True,
+                {
+                    "delta.identity.start": 100,
+                    "delta.identity.step": 10,
+                    "delta.identity.allowExplicitInsert": True,
+                },
+            ),
+            StructField("v", StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="delta_z54_") + "/tbl"
+    seeds = docs.where("doc_id % 2 = 0").select(
+        (F.lit(100) + F.col("doc_id") * 10).cast("long").alias("rid"),
+        F.concat(F.lit("seed-"), F.col("doc_id").cast("string")).alias("v"),
+    )
+    write_delta(spark.createDataFrame(seeds.collect(), id_schema), root)
+    write_delta(
+        docs.where("doc_id % 2 = 1").select(
+            F.concat(F.lit("gen-"), F.col("doc_id").cast("string")).alias(
+                "v"
+            )
+        ),
+        root,
+        mode="append",
+    )
+    out = DeltaCatalog("z54", root).to_dataframe(spark)
+    rows = out.select("rid").collect()
+    rids = [r["rid"] for r in rows]
+    # in-query contract asserts (uniqueness + mark consistency are not
+    # SQL-expressible against DuckDB without mimicking the allocator)
+    assert len(rids) == len(set(rids)), "identity values must be unique"
+    return out.select(
+        "v",
+        ((F.col("rid") - 100) % 10 == 0).alias("on_grid"),
+        (F.col("rid") >= 100).alias("above_start"),
+    ).orderBy("v")

@@ -61,6 +61,12 @@ SUPPORTED_WRITER_FEATURES = {
     # merge, delete-rewrite survivors); generated columns additionally
     # COMPUTED when absent by _apply_generated_columns
     "checkConstraints", "invariants", "generatedColumns",
+    # top-level identity columns are GENERATED on write (start/step
+    # arithmetic above the recorded high water mark, which every
+    # value-adding commit advances atomically via a metaData action —
+    # _identity_columns/_assign_identity/_identity_bump); nested
+    # identity metadata stays a typed refusal
+    "identityColumns",
 }
 DV_PROTOCOL = {
     "minReaderVersion": 3,
@@ -148,15 +154,17 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
 
     CHECK constraints (v3), field invariants (v2, struct paths included),
     and generated columns (v4) are ENFORCED on every staged frame
-    (:func:`_enforce_table_rules` / :func:`_apply_generated_columns`), so
-    tables carrying them are writable.  Change data feed (v4) and column
-    mapping (v5) are implemented, and append-only (v2) is enforced at the
-    operation level (_require_not_append_only).  The remaining typed
-    refusals when IN USE: identity columns (v6 — monotonic allocation
-    state this writer does not keep) and rules it cannot evaluate
-    row-wise (invariants or generation expressions on fields nested
-    inside array/map elements).  Writer 7 iff every listed writerFeature
-    is implemented."""
+    (:func:`_enforce_table_rules` / :func:`_apply_generated_columns`);
+    identity columns (v6) are ALLOCATED on write with the high water
+    mark advanced atomically (:func:`_assign_identity` /
+    :func:`_identity_bump`) — so tables carrying them are writable.
+    Change data feed (v4) and column mapping (v5) are implemented, and
+    append-only (v2) is enforced at the operation level
+    (_require_not_append_only).  The remaining typed refusals when IN
+    USE: rules on fields this writer cannot address row-wise (identity
+    or generation metadata on nested fields, invariants inside
+    array/map elements).  Writer 7 iff every listed writerFeature is
+    implemented."""
     writer_v = int(proto.get("minWriterVersion", 2))
 
     def _unenforceable() -> list[str]:
@@ -170,14 +178,15 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
         out: list[str] = []
 
         def walk(fields, top, reachable):
-            # `top` = a direct table column (generated columns are only
-            # computed/validated there); `reachable` = addressable by a
-            # row-wise struct path (invariants there are enforced);
-            # anything under an array/map element is neither
+            # `top` = a direct table column (generated and identity
+            # columns are only computed/allocated there); `reachable` =
+            # addressable by a row-wise struct path (invariants there
+            # are enforced); anything under an array/map element is
+            # neither
             for f in fields:
                 for k in f.get("metadata") or {}:
-                    if k.startswith("delta.identity."):
-                        out.append(k)
+                    if k.startswith("delta.identity.") and not top:
+                        out.append(f"{k} (on a nested field)")
                     elif k == "delta.invariants" and not reachable:
                         out.append(f"{k} (inside array/map)")
                     elif k.startswith("delta.generationExpression") and not top:
@@ -597,6 +606,167 @@ def _enforce_table_rules(df: DataFrame, meta: dict, op: str) -> None:
         )
 
 
+def _identity_columns(meta: dict) -> list[dict]:
+    """Top-level identity columns declared in the table schemaString —
+    ``[{name, start, step, allow_explicit, hwm}]`` per PROTOCOL.md's
+    ``delta.identity.*`` field metadata (``highWaterMark`` is absent
+    until the first allocation).  Nested identity metadata never reaches
+    here — the protocol gate refuses those tables."""
+    out: list[dict] = []
+    for f in json.loads(meta.get("schemaString", '{"fields": []}'))["fields"]:
+        md = f.get("metadata") or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise BuzzSchemaError(
+                f"identity column {f['name']!r} declares step=0 — "
+                "malformed table metadata"
+            )
+        hwm = md.get("delta.identity.highWaterMark")
+        out.append(
+            {
+                "name": f["name"],
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": step,
+                "allow_explicit": str(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ).lower()
+                == "true",
+                "hwm": None if hwm is None else int(hwm),
+            }
+        )
+    return out
+
+
+def _assign_identity(df: DataFrame, col: dict, dtype) -> DataFrame:
+    """Allocate CONTIGUOUS values for an ABSENT identity column:
+    ``start + k·step`` with k running from just past the recorded high
+    water mark — one cheap per-partition count (driver sees O(partitions)
+    rows), then a mapInPandas pass assigning each partition its offset
+    range.  No shuffle, no per-row driver work.  Contiguity is not
+    spec-required (gaps are legal) but matters operationally: a
+    ``monotonically_increasing_id``-based allocation burns ~2³³·step of
+    id space per PARTITION per write, which overflows int64 within ~10⁵
+    writes on a 10⁴-partition cluster — the batch this engine targets.
+    ``df`` MUST already be persisted (the caller does): both jobs must
+    see the same partitioning or two rows could draw one value."""
+    from pyspark.sql import functions as F
+
+    if col["hwm"] is None:
+        k_next = 0
+    else:
+        k_next = max(0, (col["hwm"] - col["start"]) // col["step"] + 1)
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        int(r["__pid"]): int(r["count"])
+        for r in with_pid.groupBy("__pid").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    start, step, name = col["start"], col["step"], col["name"]
+    out_schema = df.schema.add(name, dtype, True)
+
+    def gen(batches):
+        seen = 0
+        for b in batches:  # one partition per task, batches in order
+            if len(b) == 0:
+                continue
+            pid = int(b["__pid"].iloc[0])
+            base = k_next + offsets[pid] + seen
+            b = b.drop(columns=["__pid"])
+            b[name] = [start + (base + i) * step for i in range(len(b))]
+            seen += len(b)
+            yield b
+
+    return with_pid.mapInPandas(gen, schema=out_schema)
+
+
+def _identity_bump(meta: dict, adds: list[dict], id_cols: list[dict]):
+    """The updated metaData action advancing each identity column's
+    ``delta.identity.highWaterMark`` past the values a commit is adding
+    — read from the add-action footer STATS (max for positive step, min
+    for negative; identity columns are integral so bounds always
+    record), zero data reads.  Returns None when nothing advances."""
+    if not id_cols or not adds:
+        return None
+    _, phys, _ = _writer_mapping(meta)
+    new_hwm: dict[str, int] = {}
+    for c in id_cols:
+        key = "maxValues" if c["step"] > 0 else "minValues"
+        vals = []
+        for a in adds:
+            try:
+                v = json.loads(a.get("stats") or "{}").get(key, {}).get(
+                    phys.get(c["name"], c["name"])
+                )
+            except (TypeError, ValueError):
+                v = None
+            if isinstance(v, int):
+                vals.append(v)
+        if not vals:
+            continue
+        ext = max(vals) if c["step"] > 0 else min(vals)
+        cur = c["hwm"]
+        beyond = cur is None or (
+            ext > cur if c["step"] > 0 else ext < cur
+        )
+        if beyond:
+            new_hwm[c["name"]] = ext
+    if not new_hwm:
+        return None
+
+    def apply(meta_x: dict) -> dict:
+        schema = json.loads(meta_x["schemaString"])
+        for f in schema["fields"]:
+            if f["name"] in new_hwm:
+                md = dict(f.get("metadata") or {})
+                md["delta.identity.highWaterMark"] = new_hwm[f["name"]]
+                f["metadata"] = md
+        out = dict(meta_x)
+        out["schemaString"] = json.dumps(schema)
+        return out
+
+    return apply
+
+
+def _prepare_identity_write(
+    df: DataFrame, meta: dict, declared, op: str
+) -> tuple[DataFrame, list[dict], DataFrame | None]:
+    """Shared write-side identity handling: ABSENT identity columns are
+    allocated (:func:`_assign_identity`); PRESENT ones are explicit
+    inserts — refused typed on GENERATED ALWAYS columns
+    (``allowExplicitInsert`` false, the spec's contract), accepted on
+    GENERATED BY DEFAULT with the high water mark synced by the commit.
+    Returns (df, identity columns, the frame PINNED for allocation —
+    the input is persisted before values are drawn so the offset count
+    and the assignment see identical partitions; the caller unpersists
+    it after staging)."""
+    id_cols = _identity_columns(meta)
+    if not id_cols:
+        return df, [], None
+    types = {f.name: f.dataType for f in declared.fields}
+    for c in id_cols:
+        if c["name"] in df.columns and not c["allow_explicit"]:
+            raise BuzzBadRequestError(
+                f"{op}: identity column {c['name']!r} is GENERATED "
+                "ALWAYS (delta.identity.allowExplicitInsert=false) — "
+                "drop it from the DataFrame and let the writer "
+                "allocate values"
+            )
+    absent = [c for c in id_cols if c["name"] not in df.columns]
+    pinned = None
+    if absent:
+        pinned = df.persist()
+        df = pinned
+        for c in absent:
+            df = _assign_identity(df, c, types[c["name"]])
+    return df, id_cols, pinned
+
+
 def _file_stats_json(path: str) -> str:
     """Delta per-file ``stats`` JSON (numRecords / minValues / maxValues) from
     the parquet footer — what spec-conformant readers (delta-rs and the
@@ -680,6 +850,18 @@ def _legacy_active_writer_features(meta: dict | None, proto: dict) -> set:
         conf.get("delta.columnMapping.mode") or "none"
     ) in ("name", "id"):
         out.add("columnMapping")
+    # enforced-rule capabilities in use must survive a v7 upgrade too —
+    # a bare v7 protocol would deactivate them for external writers
+    if meta:
+        checks, invs, gens = _table_rules(meta)
+        if invs:
+            out.add("invariants")
+        if wv >= 3 and checks:
+            out.add("checkConstraints")
+        if wv >= 4 and gens:
+            out.add("generatedColumns")
+        if wv >= 6 and _identity_columns(meta):
+            out.add("identityColumns")
     return out
 
 
@@ -1140,6 +1322,8 @@ def write_delta(
         if txn_version <= _txn_state(log_dir).get(txn_app_id, -1):
             return None
 
+    write_id_cols: list[dict] = []
+    id_pinned = None
     if meta:
         if mode == "overwrite":
             _require_not_append_only(
@@ -1157,6 +1341,9 @@ def write_delta(
         from pyspark.sql.types import StructType
 
         declared = StructType.fromJson(json.loads(meta["schemaString"]))
+        df, write_id_cols, id_pinned = _prepare_identity_write(
+            df, meta, declared, "write_delta"
+        )
         ours = {f.name: _type_no_metadata(f.dataType) for f in df.schema.fields}
         theirs = {f.name: _type_no_metadata(f.dataType) for f in declared.fields}
         if ours != theirs and schema_mode == "merge":
@@ -1225,6 +1412,8 @@ def write_delta(
         stage_df, table_dir, version, stage_parts, now_ms,
         meta=meta or None,
     )
+    if id_pinned is not None:
+        id_pinned.unpersist()
     if not adds:
         raise BuzzExecutionError("write produced no parquet files")
 
@@ -1257,6 +1446,14 @@ def write_delta(
     )
     if create_gens:
         feats.append("generatedColumns")
+    if not meta:
+        # create-time identity declarations: the initial load's values
+        # are the seed (high water mark syncs from the add stats below)
+        write_id_cols = _identity_columns(
+            {"schemaString": df.schema.json()}
+        )
+        if write_id_cols:
+            feats.append("identityColumns")
     if feats:
         if configuration.get("delta.appendOnly", "").lower() == "true":
             feats.append("appendOnly")
@@ -1268,23 +1465,32 @@ def write_delta(
             "writerFeatures": sorted(feats),
         }
 
+    # identity high-water-mark sync: read the new extremes off the add
+    # stats (no data pass) and fold them into the SAME commit's metaData
+    id_bump = _identity_bump(
+        meta if meta else {"schemaString": df.schema.json()},
+        adds,
+        write_id_cols,
+    )
+
     def _attempt(state):
         version_a, live_a, meta_a = state
         actions: list[dict] = []
         if meta_a is None:  # still creating the table at this version
+            create_meta = {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": partition_by,
+                "configuration": configuration,
+                "createdTime": now_ms,
+            }
+            if id_bump is not None:
+                create_meta = id_bump(create_meta)
             actions.append({"protocol": create_protocol})
-            actions.append(
-                {
-                    "metaData": {
-                        "id": uuid.uuid4().hex,
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
-                        "partitionColumns": partition_by,
-                        "configuration": configuration,
-                        "createdTime": now_ms,
-                    }
-                }
-            )
+            actions.append({"metaData": create_meta})
+        elif id_bump is not None:
+            actions.append({"metaData": id_bump(meta_a)})
         if mode == "overwrite":
             actions.extend(
                 {
@@ -2231,6 +2437,12 @@ def _merge_delta_generalized(
         ]
         actions.extend({"add": a} for a in adds)
         actions.extend(cdc_actions)
+        id_bump = _identity_bump(meta, adds, _identity_columns(meta))
+        if id_bump is not None:
+            # explicit inserts under GENERATED BY DEFAULT: sync the high
+            # water mark in the same commit so future allocations clear
+            # the inserted values
+            actions.insert(0, {"metaData": id_bump(meta)})
         return _claim_rewrite_commit(
             log_dir, version, actions,
             {rel: live[rel] for rel in touched},
@@ -2342,6 +2554,29 @@ def merge_delta(
     # absent generated columns are COMPUTED on the source (spec write
     # rule) before the schema comparison would reject them as missing
     source = _apply_generated_columns(source, meta)
+    # identity tables: the identity column must BE the match identity —
+    # any other shape rewrites allocated values (updates replacing them,
+    # inserts minting them); GENERATED ALWAYS additionally forbids the
+    # insert clause (new rows would carry explicit values; route them
+    # through write_delta, which allocates)
+    merge_id_cols = _identity_columns(meta)
+    if merge_id_cols:
+        not_keyed = [c["name"] for c in merge_id_cols if c["name"] not in on]
+        if not_keyed:
+            raise BuzzBadRequestError(
+                "merge_delta on an identity table requires identity "
+                f"column(s) {not_keyed} among the merge keys — matched "
+                "rows would otherwise overwrite allocated values"
+            )
+        if when_not_matched == "insert" and any(
+            not c["allow_explicit"] for c in merge_id_cols
+        ):
+            raise BuzzBadRequestError(
+                "merge_delta with an insert clause on a GENERATED ALWAYS "
+                "identity table would write explicit identity values — "
+                "pass when_not_matched=None and route new rows through "
+                "write_delta (which allocates)"
+            )
     ours = {f.name: _type_no_metadata(f.dataType) for f in source.schema.fields}
     theirs = {f.name: _type_no_metadata(f.dataType) for f in schema.fields}
     if ours != theirs and schema_mode == "merge":
@@ -2525,6 +2760,12 @@ def merge_delta(
         ]
         actions.extend({"add": a} for a in adds)
         actions.extend(cdc_actions)
+        id_bump = _identity_bump(meta, adds, _identity_columns(meta))
+        if id_bump is not None:
+            # explicit inserts under GENERATED BY DEFAULT: sync the high
+            # water mark in the same commit so future allocations clear
+            # the inserted values
+            actions.insert(0, {"metaData": id_bump(meta)})
         return _claim_rewrite_commit(
             log_dir, version, actions,
             {rel: live[rel] for rel in touched},
@@ -3072,6 +3313,15 @@ def add_files_delta(
                 }
             }
         )
+    id_bump = _identity_bump(
+        meta, [a["add"] for a in actions], _identity_columns(meta)
+    )
+    if id_bump is not None:
+        # registered files may carry identity values past the recorded
+        # high water mark — sync it in the same commit so future
+        # allocations clear them (registration is onboarding, not an
+        # explicit insert; allowExplicitInsert does not gate it)
+        actions.insert(0, {"metaData": id_bump(meta)})
     return _claim_rewrite_commit(
         log_dir,
         last_version + 1,

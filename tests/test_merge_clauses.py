@@ -437,3 +437,179 @@ def test_generated_columns_matrix(spark, tmp_path):
         for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
     }
     assert got[1] == (7, 14)
+
+
+# ------------------------------------------------------------- identity ----
+
+
+def _id_schema(allow_explicit: bool, extra: dict | None = None):
+    md = {
+        "delta.identity.start": 100,
+        "delta.identity.step": 10,
+        "delta.identity.allowExplicitInsert": allow_explicit,
+    }
+    md.update(extra or {})
+    return StructType([
+        StructField("rid", LongType(), True, md),
+        StructField("v", StringType()),
+    ])
+
+
+def _hwm(root):
+    import glob as _glob
+
+    from buzz_rust_spark.sources.delta_writer import _log_state
+
+    _, _, meta = _log_state(os.path.join(root, "_delta_log"))
+    f = json.loads(meta["schemaString"])["fields"][0]
+    return f["metadata"].get("delta.identity.highWaterMark")
+
+
+def test_identity_generated_always(spark, tmp_path):
+    """Round-11 lift of the identity-column refusal: absent identity
+    columns are ALLOCATED (start + k*step past the high water mark,
+    synced in the same commit); explicit values refuse on GENERATED
+    ALWAYS; consecutive writes never collide."""
+    from buzz_rust_spark.sources.delta_writer import write_delta
+
+    root = str(tmp_path / "t")
+    seed = spark.createDataFrame([(1, "a", )], "k long, v string").select(
+        "v"
+    )
+    # create declares the identity column via metadata, no values: the
+    # create frame must carry the column in its schema, so create with
+    # one explicit row... GENERATED ALWAYS create seeds from the data
+    df0 = spark.createDataFrame([(100, "seed")], _id_schema(False))
+    write_delta(df0, root)
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json")
+    ) as fh:
+        proto = next(
+            json.loads(line)["protocol"] for line in fh
+            if '"protocol"' in line
+        )
+    assert "identityColumns" in proto.get("writerFeatures", [])
+    assert _hwm(root) == 100
+    # appends WITHOUT the column allocate past the mark
+    write_delta(
+        spark.createDataFrame([("b",), ("c",), ("d",)], "v string"),
+        root, mode="append",
+    )
+    hwm1 = _hwm(root)
+    assert hwm1 >= 130 and (hwm1 - 100) % 10 == 0
+    write_delta(
+        spark.createDataFrame([("e",), ("f",)], "v string"),
+        root, mode="append",
+    )
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+
+    rows = DeltaCatalog("t", root).to_dataframe(spark).collect()
+    rids = [r["rid"] for r in rows]
+    assert len(rids) == 6 and len(set(rids)) == 6  # unique
+    assert all((r - 100) % 10 == 0 and r >= 100 for r in rids)
+    assert _hwm(root) == max(rids)
+    # explicit values refuse on GENERATED ALWAYS
+    with pytest.raises(BuzzBadRequestError, match="GENERATED ALWAYS"):
+        write_delta(
+            spark.createDataFrame([(999990, "x")], _id_schema(False)),
+            root, mode="append",
+        )
+
+
+def test_identity_by_default_and_merge(spark, tmp_path):
+    """GENERATED BY DEFAULT: explicit inserts accepted and the high water
+    mark syncs past them; merges require the identity column among the
+    keys, refuse inserts on GENERATED ALWAYS, and sync the mark on
+    explicit-insert merges."""
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import merge_delta, write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(100, "a"), (110, "b")], _id_schema(True)),
+        root,
+    )
+    # explicit insert beyond the mark → mark syncs
+    write_delta(
+        spark.createDataFrame([(500, "big")], _id_schema(True)),
+        root, mode="append",
+    )
+    assert _hwm(root) == 500
+    # generated values clear the explicit ones
+    write_delta(
+        spark.createDataFrame([("gen",)], "v string"), root, mode="append"
+    )
+    rows = {r["rid"]: r["v"] for r in DeltaCatalog("t", root).to_dataframe(spark).collect()}
+    gen_rid = next(r for r, v in rows.items() if v == "gen")
+    assert gen_rid > 500
+    # merge must key on the identity column
+    src = spark.createDataFrame([(110, "B")], _id_schema(True))
+    with pytest.raises(BuzzBadRequestError, match="merge keys"):
+        merge_delta(spark, root, src, ["v"])
+    assert merge_delta(spark, root, src, ["rid"]) is not None
+    # explicit-insert merge syncs the mark
+    merge_delta(
+        spark, root,
+        spark.createDataFrame([(9000, "ins")], _id_schema(True)),
+        ["rid"],
+    )
+    assert _hwm(root) == 9000
+    rows = {r["rid"]: r["v"] for r in DeltaCatalog("t", root).to_dataframe(spark).collect()}
+    assert rows[110] == "B" and rows[9000] == "ins"
+    # GENERATED ALWAYS table: merge insert clause refused
+    root2 = str(tmp_path / "t2")
+    write_delta(
+        spark.createDataFrame([(100, "a")], _id_schema(False)), root2
+    )
+    with pytest.raises(BuzzBadRequestError, match="GENERATED ALWAYS"):
+        merge_delta(
+            spark, root2,
+            spark.createDataFrame([(100, "A")], _id_schema(False)),
+            ["rid"],
+        )
+    # update/delete-only merge keyed on the identity column works
+    assert merge_delta(
+        spark, root2,
+        spark.createDataFrame([(100, "A")], _id_schema(False)),
+        ["rid"], when_not_matched=None,
+    ) is not None
+
+
+def test_identity_legacy_writer6_table(spark, tmp_path):
+    """A hand-built legacy writer-6 identity table (the old refusal shape)
+    is now writable: allocation + mark sync work against the legacy
+    protocol."""
+    from buzz_rust_spark.sources.delta_catalog import DeltaCatalog
+    from buzz_rust_spark.sources.delta_writer import write_delta
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "rid", "type": "long", "nullable": True,
+             "metadata": {"delta.identity.start": 1,
+                          "delta.identity.step": 1,
+                          "delta.identity.allowExplicitInsert": False}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {},
+        }},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    write_delta(
+        spark.createDataFrame([("a",), ("b",)], "v string"),
+        root, mode="append",
+    )
+    rows = DeltaCatalog("t", root).to_dataframe(spark).collect()
+    rids = sorted(r["rid"] for r in rows)
+    assert len(set(rids)) == 2 and all(r >= 1 for r in rids)
+    assert _hwm(root) == max(rids)

@@ -131,11 +131,15 @@ def _exploded_shingle_index(
 
 
 # Σ df² (the dense path's candidate-pair volume) above which the AUTO
-# Jaccard mode picks the prefix-filtered path.  Measured crossover
-# (BENCH.md round 10): dense wins at sf0.1 (Σ ≈ low M, 2.2 s vs 4.3 s),
-# prefix wins 1.5× at sf1 (Σ = 254M, 18 s vs 28 s) — 50M splits the two
-# with an order of magnitude of headroom on each side.
-PREFIX_AUTO_PAIR_BUDGET = 50_000_000
+# Jaccard mode picks the prefix-filtered path.  Re-measured round 11 on
+# the regenerated sf1 corpus (BENCH.md): dense 13.5–24.7 s vs prefix
+# 38.7–44.2 s at Σ = 254M — dense WINS at 50k docs on this corpus shape
+# (round 10's 18-vs-28 crossover does not reproduce on the new data);
+# dense cost grows ~linearly in Σ while the prefix path's is dominated
+# by its fixed shuffle overhead, putting the extrapolated crossover
+# near Σ ≈ 700M.  1B keeps dense through everything measured and
+# switches where the quadratic term must dominate.
+PREFIX_AUTO_PAIR_BUDGET = 1_000_000_000
 
 
 def ngram_jaccard_pairs(
@@ -159,12 +163,12 @@ def ngram_jaccard_pairs(
     forces the prefixes to intersect), so completeness holds while the
     candidate volume collapses (rare shingles have tiny postings).
     Candidates verify EXACTLY against the full hashed shingle sets
-    (JVM ``array_intersect``).  Measured crossover (BENCH.md round 10):
-    the prefix path's extra shuffles (df agg + join, per-doc arrays,
-    verification joins) cost ~2 s of fixed overhead, so the DENSE path
-    wins below ~20k docs (sf0.1: 2.2 s vs 4.3 s) while prefix wins 1.5×
-    at 50k (sf1: 18 s vs 28 s, Σbucket² 254M → the prefix postings' few
-    M) and asymptotically at corpus scale.
+    (JVM ``array_intersect``).  Measured (BENCH.md round 11, regenerated
+    sf1 corpus): the prefix path's extra shuffles (df agg + join,
+    per-doc arrays, verification joins) carry enough fixed overhead that
+    the DENSE path wins through Σbucket² = 254M (sf1: dense 13.5–24.7 s
+    vs prefix 38.7–44.2 s); prefix is the asymptotic option for corpora
+    whose candidate volume grows past ``PREFIX_AUTO_PAIR_BUDGET``.
 
     ``prefix_filter="auto"`` (the default, round-11) COST-SWITCHES from
     the observable that decides the race: Σ bucket² over the posting
@@ -206,23 +210,17 @@ def ngram_jaccard_pairs(
             F.sum(F.size("_ids").cast("long") * F.size("_ids")).alias("_s")
         ).first()["_s"] or 0
         if est > PREFIX_AUTO_PAIR_BUDGET:
-            # re-derive the shingle index and the df relation from the
-            # persisted buckets — the probe shuffle is the prefix path's
-            # input, never a wasted pass
-            re_exploded = all_buckets.select(
-                "_h", F.explode("_ids").alias("_e")
-            ).select(
-                F.col("_e._id").alias("_id"),
-                F.col("_e._n").alias("_n"),
-                "_h",
-            )
+            # run the prefix path EXACTLY as the opt-in form would — a
+            # bucket-reuse variant (re-deriving the index and df relation
+            # from the persisted arrays) measured 16 s SLOWER at sf1
+            # than the plain path (two full re-reads of the persisted
+            # arrays through the df join and the verification join), so
+            # the probe shuffle is written off instead: past this Σ it
+            # is noise against the quadratic dense cost being avoided
+            all_buckets.unpersist()
             return _ngram_jaccard_prefix(
                 df, text_col, id_col, n, threshold, hash_fn,
                 shingle_df_cap,
-                _exploded=re_exploded,
-                _dfreq=all_buckets.select(
-                    "_h", F.size("_ids").cast("long").alias("_df")
-                ),
             )
         return _ngram_jaccard_dense(
             None, threshold, shingle_df_cap,
@@ -357,8 +355,6 @@ def _ngram_jaccard_prefix(
     threshold: float,
     hash_fn: str,
     shingle_df_cap: int | None,
-    _exploded: DataFrame | None = None,
-    _dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard pairs (see :func:`ngram_jaccard_pairs`).
 
@@ -377,16 +373,8 @@ def _ngram_jaccard_prefix(
     those prefix elements the rarest, so the postings stay small."""
     from functools import reduce
 
-    exploded = (
-        _exploded_shingle_index(df, text_col, id_col, n, hash_fn)
-        if _exploded is None
-        else _exploded
-    )
-    dfreq = (
-        exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-        if _dfreq is None
-        else _dfreq
-    )
+    exploded = _exploded_shingle_index(df, text_col, id_col, n, hash_fn)
+    dfreq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     # per-doc shingle hashes in the GLOBAL (df, h) order; ties on the
     # struct sort are total, so every document orders identically
     docs = (

@@ -163,10 +163,12 @@ def d11_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for the exact near-dup join (round 10): only each document's
     rarest ``n−⌈t·n⌉+1`` shingles (global (df, hash) order) are indexed,
     so candidate volume collapses while exact verification against the
-    full hashed sets keeps the SAME truth as d02 (shared oracle).
-    Measured 1.5× faster than the dense path at 50k docs and
-    asymptotically better at corpus scale (BENCH.md round 10); d02 stays
-    the small-batch default."""
+    full hashed sets keeps the SAME truth as d02 (shared oracle).  The
+    asymptotic option for corpora whose candidate volume outgrows the
+    dense path's Σbucket² budget — on the round-11 regenerated sf1
+    corpus the dense path still wins at 50k docs (BENCH.md round 11),
+    so d02's auto mode keeps dense there; this entry pins the prefix
+    plan itself."""
     return D.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), n=3, threshold=0.5,
         hash_fn="fast", prefix_filter=True,

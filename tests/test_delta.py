@@ -2052,8 +2052,10 @@ def test_id_mode_rewrites_survive_merge_delete_optimize(spark, tmp_path):
 
 
 def test_id_mode_nested_rewrite_refused(spark, tmp_path):
-    """Nested-typed id-mode tables keep the typed refusal: inner field ids
-    cannot ride Spark's top-level-only StructField metadata."""
+    """Round-11 narrowed the nested id-mode refusal: rewrites now re-emit
+    inner field ids via the pyarrow post-pass, so the only remaining
+    refusal is a schemaString whose NESTED field LACKS a mapping id —
+    the post-pass would have to invent one."""
     import json as jsonmod
     import os as osmod
 
@@ -2076,8 +2078,7 @@ def test_id_mode_nested_rewrite_refused(spark, tmp_path):
                 "type": "struct",
                 "fields": [
                     {"name": "x", "type": "long", "nullable": True,
-                     "metadata": {"delta.columnMapping.id": 3,
-                                  "delta.columnMapping.physicalName": "c_x"}},
+                     "metadata": {"delta.columnMapping.physicalName": "c_x"}},
                 ],
             },
             "nullable": True,
@@ -2105,7 +2106,7 @@ def test_id_mode_nested_rewrite_refused(spark, tmp_path):
         },
     ]
     _write_commit(osmod.path.join(table, "_delta_log"), 0, actions)
-    with pytest.raises(BuzzNotImplementedError, match="NESTED"):
+    with pytest.raises(BuzzNotImplementedError, match="no delta.columnMapping.id"):
         delete_delta(spark, table, "k = 1")
 
 

@@ -442,12 +442,12 @@ def test_writer_gate_refuses_unknown_writer_features(spark, tmp_path):
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
                     "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors", "invariants"],
+                    "writerFeatures": ["deletionVectors", "collations"],
                 }
             }
         ],
     )
-    with pytest.raises(BuzzNotImplementedError, match="invariants"):
+    with pytest.raises(BuzzNotImplementedError, match="collations"):
         write_delta(spark.range(1).selectExpr("id AS k", "'x' AS par"), table, mode="append")
 
 

@@ -4334,3 +4334,117 @@ def z54_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("rid") - 100) % 10 == 0).alias("on_grid"),
         (F.col("rid") >= 100).alias("above_start"),
     ).orderBy("v")
+
+
+@register(
+    "z55_row_tracking_ict",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(LENGTH(text), 0) AS BIGINT) AS len
+  FROM documents ORDER BY doc_id LIMIT 80
+),
+base AS (SELECT doc_id, source, len FROM docs WHERE doc_id % 2 = 0),
+appended AS (SELECT doc_id, source, len FROM docs WHERE doc_id % 2 = 1),
+both_h AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+merged AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0 THEN len + 1000 ELSE len END AS len
+  FROM both_h
+)
+SELECT doc_id, source, len FROM merged
+WHERE doc_id % 7 <> 2
+ORDER BY doc_id
+""",
+)
+def z55_row_tracking_ict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking + in-commit timestamps through a full mutation
+    lifecycle (round-11 writer-feature lifts): a Delta table created with
+    ``delta.enableRowTracking`` + ``delta.enableInCommitTimestamps``
+    takes an append, a whole-row merge, and a DV delete; the commit-
+    protocol hook must keep every live add's baseRowId range DISJOINT
+    (high water mark via domainMetadata), preserve baseRowId across the
+    DV re-add (surviving rows keep their ids), and stamp strictly
+    monotonic inCommitTimestamps as each commit's FIRST action — all
+    asserted in-query — while the DATA equals the relational recompute
+    (the oracle).  Reference has no write path (fuse_service.rs:130-135);
+    graded on PROTOCOL.md row-tracking/ICT fidelity."""
+    import json as jsonmod
+    import os
+    import tempfile
+    from glob import glob as globmod
+
+    from ..sources.delta_catalog import DeltaCatalog
+    from ..sources.delta_writer import (
+        delete_delta,
+        merge_delta,
+        write_delta,
+        _log_state,
+        _LAST_DOMAINS,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(80)
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("len"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="delta_z55_") + "/tbl"
+    write_delta(
+        docs.where("doc_id % 2 = 0").coalesce(2), root,
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.enableInCommitTimestamps": "true",
+        },
+    )
+    write_delta(
+        docs.where("doc_id % 2 = 1").coalesce(2), root, mode="append"
+    )
+    merge_delta(
+        spark, root,
+        docs.where("doc_id % 3 = 0").select(
+            "doc_id", "source", (F.col("len") + 1000).alias("len")
+        ),
+        ["doc_id"],
+    )
+    pre_dv = {
+        rel: a.get("baseRowId")
+        for rel, a in _log_state(os.path.join(root, "_delta_log"))[1].items()
+    }
+    delete_delta(spark, root, "doc_id % 7 = 2", mode="dv")
+
+    log_dir = os.path.join(root, "_delta_log")
+    _, live, _ = _log_state(log_dir)
+    ranges = []
+    for rel, a in live.items():
+        assert a.get("baseRowId") is not None, rel
+        n = jsonmod.loads(a["stats"])["numRecords"]
+        ranges.append((int(a["baseRowId"]), int(a["baseRowId"]) + n - 1))
+        if rel in pre_dv and (a.get("deletionVector") or {}).get(
+            "storageType"
+        ):
+            assert a["baseRowId"] == pre_dv[rel]  # DV re-add preserved
+    ranges.sort()
+    assert all(b1 < a2 for (_, b1), (a2, _) in zip(ranges, ranges[1:]))
+    hwm = jsonmod.loads(
+        _LAST_DOMAINS[log_dir]["delta.rowTracking"]
+    )["rowIdHighWaterMark"]
+    assert hwm >= max(b for _, b in ranges)
+    icts = []
+    for p in sorted(globmod(os.path.join(log_dir, "*.json"))):
+        with open(p) as fh:
+            first = jsonmod.loads(fh.readline())
+        assert "commitInfo" in first  # ICT commitInfo FIRST in every commit
+        icts.append(int(first["commitInfo"]["inCommitTimestamp"]))
+    assert icts == sorted(icts) and len(set(icts)) == len(icts)
+    return (
+        DeltaCatalog("z55", root)
+        .to_dataframe(spark)
+        .select("doc_id", "source", "len")
+        .orderBy("doc_id")
+    )

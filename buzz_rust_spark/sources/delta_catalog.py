@@ -193,6 +193,15 @@ _SUPPORTED_READER_FEATURES = {
     # the WRITER still refuses v2Checkpoint tables (writing one correctly
     # requires emitting v2 checkpoints, which this writer does not)
     "v2Checkpoint",
+    # TIMESTAMP_NTZ columns: Spark reads/writes the type natively
+    # (schemaString "timestamp_ntz" → TimestampNTZType), and the engine's
+    # type mapping already targets NTZ for the reference's no-tz
+    # timestamps (SURVEY.md §1.3) — nothing further to implement
+    "timestampNtz",
+    # vacuumProtocolCheck only obligates VACUUM to read the protocol
+    # before deleting files — vacuum_delta replays the log (and its
+    # protocol gate) first by construction; readers have no obligation
+    "vacuumProtocolCheck",
 }
 
 

@@ -67,6 +67,23 @@ SUPPORTED_WRITER_FEATURES = {
     # _identity_columns/_assign_identity/_identity_bump); nested
     # identity metadata stays a typed refusal
     "identityColumns",
+    # TIMESTAMP_NTZ columns round-trip natively through Spark
+    "timestampNtz",
+    # the feature's only writer obligation is that VACUUM reads the
+    # protocol before deleting — vacuum_delta replays the log (through
+    # the protocol gate) before touching any file
+    "vacuumProtocolCheck",
+    # commits on delta.enableInCommitTimestamps tables carry commitInfo
+    # with a monotonic inCommitTimestamp as their FIRST action
+    # (prepended centrally in _claim_commit)
+    "inCommitTimestamp",
+    # adds on delta.enableRowTracking tables carry baseRowId +
+    # defaultRowCommitVersion with the rowIdHighWaterMark advanced via a
+    # domainMetadata action per commit (assigned centrally in
+    # _claim_commit); fresh row ids only — rewrites re-mint (the
+    # preserved-ids guarantee needs materialized row-id columns, a
+    # documented boundary)
+    "rowTracking",
 }
 DV_PROTOCOL = {
     "minReaderVersion": 3,
@@ -113,6 +130,7 @@ def _log_state(
     meta: dict = {}
     last = -1
     proto = dict(PROTOCOL)
+    domains: dict[str, str] = {}
     for commit in sorted(glob(os.path.join(log_dir, "*.json"))):
         v = int(os.path.basename(commit).split(".")[0])
         if upto is not None and v > upto:
@@ -132,6 +150,12 @@ def _log_state(
                     adds.append(action["add"])
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+                elif "domainMetadata" in action:
+                    d = action["domainMetadata"] or {}
+                    if d.get("removed"):
+                        domains.pop(d.get("domain"), None)
+                    else:
+                        domains[d.get("domain")] = d.get("configuration")
         for add in adds:
             live[add["path"]] = add
     if upto is not None:
@@ -140,6 +164,8 @@ def _log_state(
         # as-of protocol — the caller already gated on a full replay
         return last, live, meta
     _LAST_PROTOCOL[log_dir] = proto
+    _LAST_META[log_dir] = meta
+    _LAST_DOMAINS[log_dir] = domains
     # the gate runs AFTER the replay: legacy writer version 5 is only
     # acceptable in light of the final metaData (column mapping yes,
     # invariants/generated/CDF/identity no), which a mid-log check can't see
@@ -267,10 +293,13 @@ def _check_writer_protocol(proto: dict, meta: dict, log_dir: str) -> None:
     )
 
 
-# last protocol action seen per log_dir by the most recent _log_state replay
-# (every writer entry point calls _log_state first, so this is always fresh
-# when _current_protocol reads it — no second full-log parse per commit)
+# last protocol / metaData / live-domainMetadata state per log_dir by the
+# most recent _log_state replay (every writer entry point calls _log_state
+# first, so these are always fresh when _claim_commit's protocol-extension
+# hook reads them — no second full-log parse per commit)
 _LAST_PROTOCOL: dict[str, dict] = {}
+_LAST_META: dict[str, dict] = {}
+_LAST_DOMAINS: dict[str, dict] = {}
 
 
 def _current_protocol(log_dir: str) -> dict:
@@ -930,6 +959,159 @@ def _require_files_unchanged(
             )
 
 
+def _schema_has_ntz(schema_json: str) -> bool:
+    """Whether a schemaString declares TIMESTAMP_NTZ anywhere (the
+    ``timestampNtz`` feature pair is then protocol-required)."""
+    return '"timestamp_ntz"' in schema_json
+
+
+def _commit_protocol_extensions(
+    log_dir: str, version: int, actions: list[dict]
+) -> list[dict]:
+    """The per-commit obligations of the stateful writer features, applied
+    CENTRALLY so every commit path (write, merge, delete, optimize,
+    properties, add_files) satisfies them without each knowing:
+
+    - **inCommitTimestamp**: active tables get ``commitInfo`` as the
+      FIRST action with a MONOTONIC ``inCommitTimestamp``
+      (max(now, previous commit's + 1) — the previous commit's is one
+      small first-line read).  A commit that newly ENABLES the feature
+      additionally gets the spec's enablement provenance properties
+      patched into its own metaData action (version + that same
+      timestamp).
+    - **rowTracking**: every add action without a ``baseRowId`` (fresh
+      files; DV re-adds keep their original, so surviving rows' ids are
+      stable) is assigned ``baseRowId`` = high water mark + 1 and
+      ``defaultRowCommitVersion`` = this version, the mark advancing by
+      the file's numRecords (from the add's stats; footer fallback);
+      one ``domainMetadata`` action records the new
+      ``delta.rowTracking.rowIdHighWaterMark``.  Fresh ids only:
+      rewrites re-mint (preserved-ids needs materialized row-id
+      columns — documented boundary).
+
+    The effective metaData/protocol come from the commit's OWN actions
+    when present (create / property change), else the replay caches —
+    always fresh, every entry point replays first.  Runs per claim
+    ATTEMPT (retries re-derive at the advanced version) and never
+    mutates the caller's list."""
+    meta = next(
+        (a["metaData"] for a in actions if "metaData" in a), None
+    ) or _LAST_META.get(log_dir) or {}
+    proto = next(
+        (a["protocol"] for a in actions if "protocol" in a), None
+    ) or _LAST_PROTOCOL.get(log_dir) or {}
+    wfeats = set(proto.get("writerFeatures") or [])
+    conf = meta.get("configuration") or {}
+    out = list(actions)
+
+    if (
+        conf.get("delta.enableRowTracking", "").lower() == "true"
+        and "rowTracking" in wfeats
+    ):
+        domains = _LAST_DOMAINS.get(log_dir) or {}
+        hwm = -1
+        try:
+            hwm = int(
+                json.loads(domains.get("delta.rowTracking") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            )
+        except (TypeError, ValueError):
+            pass
+        table_dir = os.path.dirname(log_dir)
+        changed = False
+        assigned = []
+        for a in out:
+            if "add" not in a:
+                assigned.append(a)
+                continue
+            add = dict(a["add"])
+            if add.get("baseRowId") is None:
+                try:
+                    n = json.loads(add.get("stats") or "{}").get(
+                        "numRecords"
+                    )
+                except (TypeError, ValueError):
+                    n = None
+                if n is None:
+                    import pyarrow.parquet as pq
+
+                    n = pq.read_metadata(
+                        os.path.join(table_dir, add["path"])
+                    ).num_rows
+                add["baseRowId"] = hwm + 1
+                add["defaultRowCommitVersion"] = version
+                hwm += int(n)
+                changed = True
+            assigned.append({"add": add})
+        out = assigned
+        if changed:
+            out.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": hwm}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
+
+    if (
+        conf.get("delta.enableInCommitTimestamps", "").lower() == "true"
+        and "inCommitTimestamp" in wfeats
+    ):
+        now = int(time.time() * 1000)
+        prev = None
+        prev_path = os.path.join(log_dir, f"{version - 1:020d}.json")
+        if version > 0 and os.path.exists(prev_path):
+            try:
+                with open(prev_path) as fh:
+                    first = json.loads(fh.readline())
+                prev = (first.get("commitInfo") or {}).get(
+                    "inCommitTimestamp"
+                )
+            except (OSError, ValueError):
+                prev = None
+        ts = now if prev is None else max(now, int(prev) + 1)
+        prev_conf = (
+            (_LAST_META.get(log_dir) or {}).get("configuration") or {}
+        )
+        newly_enabled = (
+            prev_conf.get("delta.enableInCommitTimestamps", "").lower()
+            != "true"
+        )
+        patched = []
+        for a in out:
+            if (
+                "metaData" in a
+                and version > 0
+                and newly_enabled
+                and "delta.inCommitTimestampEnablementVersion"
+                not in (a["metaData"].get("configuration") or {})
+            ):
+                m = dict(a["metaData"])
+                c = dict(m.get("configuration") or {})
+                c["delta.inCommitTimestampEnablementVersion"] = str(version)
+                c["delta.inCommitTimestampEnablementTimestamp"] = str(ts)
+                m["configuration"] = c
+                patched.append({"metaData": m})
+            elif "commitInfo" in a:
+                continue  # never double-prepend on a claim retry
+            else:
+                patched.append(a)
+        out = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "inCommitTimestamp": ts,
+                }
+            }
+        ] + patched
+    return out
+
+
 def _claim_commit(
     log_dir: str, version: int, actions: list[dict], store=None
 ) -> None:
@@ -937,9 +1119,13 @@ def _claim_commit(
     through the commit store's conditional put (Delta PROTOCOL.md:
     "Writers MUST only write a given log entry once" — the put-if-absent
     LogStore contract).  A racing writer gets a typed retryable
-    :class:`~..errors.BuzzCommitConflictError`, never a torn log."""
+    :class:`~..errors.BuzzCommitConflictError`, never a torn log.
+    Stateful-feature obligations (inCommitTimestamp, rowTracking) are
+    applied here so every commit path satisfies them
+    (:func:`_commit_protocol_extensions`)."""
     if store is None:
         store = default_store()
+    actions = _commit_protocol_extensions(log_dir, version, actions)
     commit_path = os.path.join(log_dir, f"{version:020d}.json")
     store.put_if_absent(
         commit_path, "".join(json.dumps(a) + "\n" for a in actions).encode()
@@ -1454,16 +1640,30 @@ def write_delta(
         )
         if write_id_cols:
             feats.append("identityColumns")
+    if (
+        configuration.get("delta.enableInCommitTimestamps", "").lower()
+        == "true"
+    ):
+        feats.append("inCommitTimestamp")
+    if configuration.get("delta.enableRowTracking", "").lower() == "true":
+        feats.append("rowTracking")
+    # TIMESTAMP_NTZ anywhere in the schema requires the reader+writer
+    # feature pair (spec: both sides must declare it)
+    rfeats = ["timestampNtz"] if _schema_has_ntz(df.schema.json()) else []
+    if rfeats:
+        feats.extend(rfeats)
     if feats:
         if configuration.get("delta.appendOnly", "").lower() == "true":
             feats.append("appendOnly")
         if create_invs:
             feats.append("invariants")
         create_protocol = {
-            "minReaderVersion": 1,
+            "minReaderVersion": 3 if rfeats else 1,
             "minWriterVersion": 7,
-            "writerFeatures": sorted(feats),
+            "writerFeatures": sorted(set(feats)),
         }
+        if rfeats:
+            create_protocol["readerFeatures"] = sorted(rfeats)
 
     # identity high-water-mark sync: read the new extremes off the add
     # stats (no data pass) and fold them into the SAME commit's metaData
@@ -1659,6 +1859,10 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # row tracking: a checkpoint dropping these would
+                        # re-mint every row id once the JSON truncates
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                         # deletion-vector descriptor: a checkpoint that
                         # dropped this field would resurrect deleted rows
                         # the moment the JSON commits are truncated
@@ -1690,6 +1894,18 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
                     ]
                 ),
             ),
+            # live domain metadata (rowTracking's rowIdHighWaterMark et
+            # al.) must survive checkpoint truncation too
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -1700,7 +1916,10 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
     fmt = dict(meta_row.get("format") or {})
     fmt["options"] = map_items(fmt.get("options"))
     meta_row["format"] = fmt
-    none_row = {"protocol": None, "metaData": None, "add": None, "txn": None}
+    none_row = {
+        "protocol": None, "metaData": None, "add": None, "txn": None,
+        "domainMetadata": None,
+    }
     # the table's ACTUAL protocol (a DV-upgraded table checkpointed as
     # reader1/writer2 would let feature-unaware readers replay it wrongly)
     rows = [{**none_row, "protocol": _current_protocol(log_dir)}]
@@ -1715,6 +1934,17 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
     rows.extend(
         {**none_row, "txn": {"appId": app, "version": v, "lastUpdated": None}}
         for app, v in sorted(_txn_state(log_dir).items())
+    )
+    rows.extend(
+        {
+            **none_row,
+            "domainMetadata": {
+                "domain": dom, "configuration": cfg, "removed": False,
+            },
+        }
+        for dom, cfg in sorted(
+            (_LAST_DOMAINS.get(log_dir) or {}).items()
+        )
     )
     if not v2:
         table = pa.Table.from_pylist(rows, schema=schema)
@@ -1744,6 +1974,7 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
             schema.field("protocol"),
             schema.field("metaData"),
             schema.field("txn"),
+            schema.field("domainMetadata"),
             pa.field(
                 "checkpointMetadata",
                 pa.struct([("version", pa.int64()), ("tags", str_map)]),
@@ -1765,6 +1996,7 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
         "protocol": None,
         "metaData": None,
         "txn": None,
+        "domainMetadata": None,
         "checkpointMetadata": None,
         "sidecar": None,
     }
@@ -1772,7 +2004,7 @@ def _write_checkpoint(log_dir: str, version: int) -> None:
         {**none_m, k: r[k]}
         for r in rows
         if r.get("add") is None
-        for k in ("protocol", "metaData", "txn")
+        for k in ("protocol", "metaData", "txn", "domainMetadata")
         if r.get(k) is not None
     ]
     m_rows.append(
@@ -3527,6 +3759,14 @@ def set_delta_properties(
             "evolve_delta (it performs the coupled schema/protocol "
             "upgrade)"
         )
+    if set_conf.get("delta.enableRowTracking", "").lower() == "true":
+        from ..errors import BuzzNotImplementedError
+
+        raise BuzzNotImplementedError(
+            "delta.enableRowTracking enables at CREATE only — turning it "
+            "on for an existing table requires backfilling baseRowId "
+            "onto every live file, which this writer does not do"
+        )
     table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     last_version, _live, meta = _log_state(log_dir)
@@ -3586,6 +3826,33 @@ def set_delta_properties(
                     }
                 out = [{"protocol": proto}]
                 wv = int(proto.get("minWriterVersion", 2))
+        if (
+            set_conf.get("delta.enableInCommitTimestamps", "").lower()
+            == "true"
+            and not (
+                wv >= 7
+                and "inCommitTimestamp"
+                in (proto.get("writerFeatures") or [])
+            )
+        ):
+            # ICT is feature-only (no legacy version): any protocol
+            # upgrades to the v7 feature form, enumerating the active
+            # legacy capabilities so none deactivate
+            proto = {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    _legacy_active_writer_features(meta, proto)
+                    | {"inCommitTimestamp"}
+                ),
+                **(
+                    {"readerFeatures": proto["readerFeatures"]}
+                    if proto.get("readerFeatures") is not None
+                    else {}
+                ),
+            }
+            out = [{"protocol": proto}]
+            wv = 7
         if any(k.startswith("delta.constraints.") for k in set_conf):
             has = 3 <= wv <= 6 or (
                 wv >= 7

@@ -444,7 +444,9 @@ def delta_history(
                 op = "UPGRADE PROTOCOL"
             else:
                 op = "OTHER"
-        ts = info.get("timestamp") or max(
+        # inCommitTimestamp is authoritative when recorded (the ICT
+        # feature's whole point: file mtimes lie after log copies)
+        ts = info.get("inCommitTimestamp") or info.get("timestamp") or max(
             (
                 a["add"].get("modificationTime")
                 for a in acts

@@ -2492,6 +2492,8 @@ def _merge_delta_generalized(
     checkpoint_interval: int,
     max_commit_retries: int,
     store,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int | None:
     """Clause-based MERGE body (conditional / partial-column form; see
     :func:`merge_delta`).  Same scale shape as the unconditional path —
@@ -2669,6 +2671,16 @@ def _merge_delta_generalized(
         ]
         actions.extend({"add": a} for a in adds)
         actions.extend(cdc_actions)
+        if txn_app_id is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn_app_id,
+                        "version": txn_version,
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
         id_bump = _identity_bump(meta, adds, _identity_columns(meta))
         if id_bump is not None:
             # explicit inserts under GENERATED BY DEFAULT: sync the high
@@ -2699,6 +2711,8 @@ def merge_delta(
     schema_mode: str = "strict",
     matched_clauses: list[dict] | None = None,
     not_matched_condition: str | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
     store=None,
 ) -> int | None:
     """MERGE INTO (upsert) with copy-on-write file rewrites — the missing
@@ -2762,11 +2776,21 @@ def merge_delta(
     if not on:
         raise BuzzBadRequestError("merge requires at least one key column")
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise BuzzBadRequestError(
+            "txn_app_id and txn_version must be set together"
+        )
     table_dir = _local_table_dir(table_uri)
     log_dir = os.path.join(table_dir, "_delta_log")
     last_version, live, meta = _log_state(log_dir)
     if last_version < 0:
         raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    if txn_app_id is not None:
+        # SetTransaction idempotence BEFORE any staging: a replayed
+        # micro-batch costs a log scan, not a merge (the streaming
+        # upsert sink's exactly-once contract, like write_delta's)
+        if txn_version <= _txn_state(log_dir).get(txn_app_id, -1):
+            return None
     _require_id_rewritable(meta, table_uri, "merge_delta")
     basis_proto = dict(_current_protocol(log_dir))
     if when_matched is not None:
@@ -2843,6 +2867,7 @@ def merge_delta(
             when_not_matched == "insert", not_matched_condition,
             last_version, live, meta, basis_proto,
             checkpoint_interval, max_commit_retries, store,
+            txn_app_id, txn_version,
         )
 
     source = source.persist()
@@ -2992,6 +3017,16 @@ def merge_delta(
         ]
         actions.extend({"add": a} for a in adds)
         actions.extend(cdc_actions)
+        if txn_app_id is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn_app_id,
+                        "version": txn_version,
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
         id_bump = _identity_bump(meta, adds, _identity_columns(meta))
         if id_bump is not None:
             # explicit inserts under GENERATED BY DEFAULT: sync the high

@@ -60,3 +60,56 @@ def delta_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def delta_upsert_sink(
+    stream_df: DataFrame,
+    table_uri: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    app_id: str,
+    matched_clauses: list[dict] | None = None,
+    not_matched_condition: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC UPSERT into a Delta table: each micro-batch runs ONE
+    :func:`~buzz_rust_spark.sources.delta_writer.merge_delta` keyed on
+    ``keys`` — whole-row upsert by default, or the conditional /
+    partial-column clause form (``matched_clauses`` /
+    ``not_matched_condition``, see :mod:`~..sources.merge_clauses`) for
+    real CDC shapes ("update only stale rows, delete tombstones, keep
+    the rest").
+
+    Exactly-once: the merge commits a SetTransaction (``txn``) action
+    with the batch id atomically with its data, so a replayed
+    micro-batch after a crash is SKIPPED — the same protocol as
+    :func:`delta_sink`, now on the mutation path.  NOTE the replay skip
+    makes non-idempotent clause expressions (e.g. ``t.v + s.v``) safe
+    too: the re-merge never runs.  One writer per ``app_id``; a batch
+    carrying duplicate key rows is a typed error (merge's
+    ambiguous-merge guard) — deduplicate upstream with
+    ``dropDuplicates`` or a last-wins window."""
+    from ..sources.delta_writer import merge_delta
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):  # empty micro-batch: nothing to commit
+            return
+        merge_delta(
+            batch_df.sparkSession,
+            table_uri,
+            batch_df,
+            keys,
+            matched_clauses=matched_clauses,
+            not_matched_condition=not_matched_condition,
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -882,3 +882,71 @@ def test_iceberg_tail_incremental_corpus_prep(spark, tmp_path):
     r4 = corpus_prep_tail(spark, src, out, state, app_id="tail",
                           cursor=r3["cursor"])
     assert r4 == {"cursor": r3["cursor"], "polled": False}
+
+
+def test_delta_upsert_sink_cdc_clauses(spark, sf_dir, tmp_path):
+    """Round-11 streaming CDC upsert: micro-batches MERGE into the table
+    (conditional clauses included), each batch committing its
+    SetTransaction atomically — a replayed batch id is a no-op even for
+    non-idempotent clause expressions."""
+    from buzz_rust_spark.sources import DeltaCatalog, write_delta
+    from buzz_rust_spark.sources.delta_writer import merge_delta
+    from buzz_rust_spark.streaming.delta_sink import delta_upsert_sink
+    from pyspark.sql import functions as F
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("keep").alias("tag"),
+    )
+    table = str(tmp_path / "tbl")
+    write_delta(base, table)
+
+    # CDC batches: one parquet file per micro-batch (maxFilesPerTrigger=1)
+    cdc = spark.createDataFrame(
+        [(3, 999, "x"), (4, 40, "tomb"), (11, 111, "new")],
+        "k long, v long, tag string",
+    )
+    src = tmp_path / "cdc_src"
+    cdc.repartition(3).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(cdc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = delta_upsert_sink(
+        stream, table, ["k"], checkpoint_dir=str(tmp_path / "ckpt"),
+        app_id="cdc-upsert",
+        matched_clauses=[
+            {"action": "delete", "condition": "s.tag = 'tomb'"},
+            {"action": "update", "condition": "s.v > t.v",
+             "set": {"v": "s.v + t.v"}},
+        ],
+        not_matched_condition="s.tag <> 'tomb'",
+    )
+    q.awaitTermination(timeout=120)
+
+    got = {
+        r["k"]: (r["v"], r["tag"])
+        for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    }
+    assert got[3] == (1029, "keep")  # conditional partial update
+    assert 4 not in got              # conditional delete
+    assert got[11] == (111, "new")   # conditional insert
+    assert len(got) == 10
+
+    # replayed batch id on the MERGE path: skipped, signaled as None —
+    # the non-idempotent "s.v + t.v" expression never re-runs
+    replay = merge_delta(
+        spark, table,
+        spark.createDataFrame([(3, 999, "x")], "k long, v long, tag string"),
+        ["k"],
+        matched_clauses=[
+            {"action": "update", "set": {"v": "s.v + t.v"}}],
+        when_not_matched=None,
+        txn_app_id="cdc-upsert", txn_version=0,
+    )
+    assert replay is None
+    assert {
+        r["k"]: r["v"]
+        for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
+    }[3] == 1029  # unchanged

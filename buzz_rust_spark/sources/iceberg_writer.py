@@ -2843,6 +2843,10 @@ def _merge_iceberg_generalized(
     branch: str | None,
     spec_fields: list[dict],
     store,
+    by_source: list[dict] | None = None,
+    insert_values: dict[str, str] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> dict | None:
     """Conditional / partial-column MERGE body for Iceberg (see
     :func:`merge_iceberg`).  Unlike the unconditional O(source) path this
@@ -2859,18 +2863,30 @@ def _merge_iceberg_generalized(
     (no delete, no write).  Duplicate-key TARGET rows of a fired key are
     all re-emitted (updated or verbatim) because the equality delete
     removes every row of the key.  The delete manifest always uses the
-    GLOBAL unpartitioned form."""
+    GLOBAL unpartitioned form.
+
+    ``by_source`` (WHEN NOT MATCHED BY SOURCE) additionally applies
+    ordered update/delete clauses to target rows with NO source key
+    match — the scan then necessarily reads the whole table (the
+    affected rows are exactly the ones the key-range filter would
+    prune), but the commit stays merge-on-read: fired unmatched keys
+    join the same equality-delete manifest, their surviving/updated rows
+    the same data manifest.  Matched and unmatched keys are disjoint by
+    construction, so one shared per-key window decides re-emission for
+    both."""
     from functools import reduce
 
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from .merge_clauses import (
+        build_insert_rows,
         clause_action_column,
         clause_row_column,
         insert_filter,
     )
 
+    by_source = by_source or []
     names = list(source.columns)
     by_name = {f["name"]: f for f in schema_json["fields"]}
     data_dir = os.path.join(root, "data")
@@ -2896,19 +2912,22 @@ def _merge_iceberg_generalized(
             )
 
         # key-range pruned target scan (null keys kept: the match below
-        # is null-safe, Iceberg's equality-delete rule)
-        row = source.agg(
-            *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
-            *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
-        ).first()
+        # is null-safe, Iceberg's equality-delete rule).  By-source
+        # clauses force the FULL scan: the rows they reach are exactly
+        # the ones the key-range filter would prune away.
         bounds = []
-        for k in key_cols:
-            lo = _merge_sql_literal(row[f"_lo_{k}"])
-            hi = _merge_sql_literal(row[f"_hi_{k}"])
-            if row[f"_lo_{k}"] is not None and lo is not None and hi is not None:
-                bounds.append(
-                    f"((`{k}` >= {lo} AND `{k}` <= {hi}) OR `{k}` IS NULL)"
-                )
+        if not by_source:
+            row = source.agg(
+                *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
+                *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
+            ).first()
+            for k in key_cols:
+                lo = _merge_sql_literal(row[f"_lo_{k}"])
+                hi = _merge_sql_literal(row[f"_hi_{k}"])
+                if row[f"_lo_{k}"] is not None and lo is not None and hi is not None:
+                    bounds.append(
+                        f"((`{k}` >= {lo} AND `{k}` <= {hi}) OR `{k}` IS NULL)"
+                    )
         tbl = cat.to_dataframe(
             spark, stats_filter=" AND ".join(bounds) if bounds else None
         ).select(*names)
@@ -2931,6 +2950,23 @@ def _merge_iceberg_generalized(
             clause_action_column(clauses).alias("__a"),
             clause_row_column(clauses, source.schema.fields).alias("__r"),
         )
+        if by_source:
+            # unmatched target rows (null-safe anti, mirroring the match)
+            # run the by-source clauses; matched and unmatched keys are
+            # disjoint, so the shared per-key window below is exact
+            un = t_side.join(s_side, on=pair_cond, how="left_anti")
+            keyed = keyed.unionByName(
+                un.select(
+                    *[
+                        F.col("t").getField(k).alias(f"__k{i}")
+                        for i, k in enumerate(key_cols)
+                    ],
+                    clause_action_column(by_source).alias("__a"),
+                    clause_row_column(by_source, source.schema.fields).alias(
+                        "__r"
+                    ),
+                )
+            )
         w = Window.partitionBy(*[f"__k{i}" for i in range(len(key_cols))])
         marked = keyed.withColumn(
             "__any",
@@ -2967,6 +3003,10 @@ def _merge_iceberg_generalized(
         ins = source.join(tkeys, on=ins_cond, how="left_anti")
         if not_matched_condition is not None:
             ins = insert_filter(ins, names, not_matched_condition)
+        if insert_values is not None:
+            ins = build_insert_rows(
+                ins, names, insert_values, source.schema.fields
+            )
 
         data_rows = replaced.unionByName(ins.select(*names))
         for pf in derived:
@@ -3055,6 +3095,17 @@ def _merge_iceberg_generalized(
                 _prev_manifests(meta_a, _branch_head(meta_a, branch))
             ),
         )
+        counts = {
+            "added-data-files": str(len(new_files)),
+            "added-records": str(added_rows),
+            "added-delete-files": str(len(key_files)),
+            "added-equality-deletes": str(key_rows),
+        }
+        if txn_app_id is not None:
+            # the snapshot summary IS the idempotence marker, committed
+            # atomically with the snapshot (write_iceberg's protocol)
+            counts["txn-app-id"] = txn_app_id
+            counts["txn-version"] = str(int(txn_version))
         new_version = _finish_commit(
             root,
             version_a,
@@ -3065,12 +3116,7 @@ def _merge_iceberg_generalized(
             mlist_path,
             sid,
             "overwrite",
-            {
-                "added-data-files": str(len(new_files)),
-                "added-records": str(added_rows),
-                "added-delete-files": str(len(key_files)),
-                "added-equality-deletes": str(key_rows),
-            },
+            counts,
             log_prior_metadata=True,
             store=store,
             branch=branch,
@@ -3087,6 +3133,10 @@ def _merge_iceberg_generalized(
         version_f, meta_f = _load_v2_meta(root, root)
         _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
         _require_expected_properties(meta_f, expect_properties)
+        if txn_app_id is not None and _txn_already_committed(
+            meta_f, txn_app_id, txn_version
+        ):
+            return None  # a peer committed our txn: idempotent no-op
         return (version_f, meta_f)
 
     return commit_with_retry(
@@ -3107,6 +3157,10 @@ def merge_iceberg(
     schema_mode: str = "strict",
     matched_clauses: list[dict] | None = None,
     not_matched_condition: str | None = None,
+    by_source_clauses: list[dict] | None = None,
+    insert_values: dict[str, str] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
     store=None,
 ) -> dict | None:
     """UPSERT ``source`` into the Iceberg table by ``key_cols`` — the
@@ -3166,14 +3220,41 @@ def merge_iceberg(
     reads the matched target rows (conditions compare against them;
     unset columns keep their values), the commit stays merge-on-read
     (eq-deletes over the keys where a clause FIRED + replacement/insert
-    data files; matched-but-unfired keys untouched)."""
+    data files; matched-but-unfired keys untouched).
+
+    ``by_source_clauses`` (WHEN NOT MATCHED BY SOURCE — conditions and
+    ``set`` over ``t.<col>`` only; ``update`` requires ``set``) applies
+    ordered update/delete clauses to target rows with NO source key
+    match in the same atomic commit — the full-sync CDC idiom; the scan
+    widens to the whole table (by definition those rows sit outside the
+    source key range) but the commit stays merge-on-read.
+    ``insert_values`` (column → expression over ``s.<col>``) builds the
+    inserted row instead of taking the source row wholesale; unlisted
+    columns insert NULL.
+
+    ``txn_app_id``/``txn_version`` give the merge the same exactly-once
+    idempotence as :func:`write_iceberg`: the marker rides the snapshot
+    SUMMARY atomically with the commit (persisted to ``buzz.txn.<app>``
+    properties at snapshot expiry), and a replayed (app, version) pair
+    returns ``None`` before any staging — the streaming upsert sink's
+    contract."""
     from pyspark.sql import functions as F
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise BuzzBadRequestError(
+            "txn_app_id and txn_version must be given together"
+        )
     if branch == "main":
         branch = None
     root = _local_table_dir(table_uri)
     version, meta = _load_v2_meta(root, table_uri)
     _require_expected_properties(meta, expect_properties)
+    if txn_app_id is not None and _txn_already_committed(
+        meta, txn_app_id, txn_version
+    ):
+        # replay detection BEFORE any staging: a replayed micro-batch
+        # costs a metadata read, not a merge
+        return None
     sid = meta.get("current-schema-id", 0)
     schema_json = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
     if schema_mode not in ("strict", "merge"):
@@ -3246,9 +3327,17 @@ def merge_iceberg(
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(data_dir, exist_ok=True)
 
-    if matched_clauses is not None or not_matched_condition is not None:
+    if (
+        matched_clauses is not None
+        or not_matched_condition is not None
+        or by_source_clauses
+        or insert_values is not None
+    ):
         from .merge_clauses import (
+            check_target_only,
             legacy_clauses,
+            validate_by_source_clauses,
+            validate_insert_values,
             validate_matched_clauses,
         )
 
@@ -3259,12 +3348,34 @@ def merge_iceberg(
             if matched_clauses is not None
             else legacy_clauses("update")
         )
+        bys = (
+            validate_by_source_clauses(
+                by_source_clauses, list(source.columns), key_cols
+            )
+            if by_source_clauses
+            else []
+        )
+        if bys:
+            check_target_only(
+                source.select(
+                    F.struct(*source.columns).alias("t")
+                ),
+                bys,
+                "by-source",
+            )
+        ivs = (
+            validate_insert_values(insert_values, list(source.columns))
+            if insert_values is not None
+            else None
+        )
         return _merge_iceberg_generalized(
             spark, root, source, key_cols, clauses, not_matched_condition,
             cat, version, meta, schema_json, sid, spec_id, part_fields,
             field_ids, key_ids, col_types, stat_fields, key_col_types,
             key_stat_fields, target_file_rows, max_commit_retries,
             set_properties, expect_properties, branch, spec_fields, store,
+            by_source=bys, insert_values=ivs,
+            txn_app_id=txn_app_id, txn_version=txn_version,
         )
 
     # derived transform ordinals (day/bucket/... partitioned tables): the
@@ -3346,6 +3457,17 @@ def merge_iceberg(
     now_ms = int(time.time() * 1000)
     added_rows = sum(int(f["record_count"]) for f in new_files)
     key_rows = sum(int(f["record_count"]) for f in key_files)
+    counts = {
+        "added-data-files": str(len(new_files)),
+        "added-records": str(added_rows),
+        "added-delete-files": str(len(key_files)),
+        "added-equality-deletes": str(key_rows),
+    }
+    if txn_app_id is not None:
+        # the snapshot summary IS the idempotence marker, committed
+        # atomically with the snapshot (write_iceberg's protocol)
+        counts["txn-app-id"] = txn_app_id
+        counts["txn-version"] = str(int(txn_version))
 
     # The delete manifest goes under the table's UNPARTITIONED spec: the
     # spec's GLOBAL-delete form.  Under a partitioned spec, an equality
@@ -3426,12 +3548,7 @@ def merge_iceberg(
             mlist_path,
             sid,
             "overwrite",
-            {
-                "added-data-files": str(len(new_files)),
-                "added-records": str(added_rows),
-                "added-delete-files": str(len(key_files)),
-                "added-equality-deletes": str(key_rows),
-            },
+            counts,
             log_prior_metadata=True,
             store=store,
             branch=branch,
@@ -3448,6 +3565,10 @@ def merge_iceberg(
         version_f, meta_f = _load_v2_meta(root, table_uri)
         _require_same_write_basis(meta_f, schema_json, spec_id, spec_fields)
         _require_expected_properties(meta_f, expect_properties)
+        if txn_app_id is not None and _txn_already_committed(
+            meta_f, txn_app_id, txn_version
+        ):
+            return None  # a peer committed our txn: idempotent no-op
         return (version_f, meta_f)
 
     return commit_with_retry(

@@ -156,6 +156,107 @@ def legacy_clauses(when_matched: str | None) -> list[dict]:
     return [{"action": when_matched, "condition": None, "set": None}]
 
 
+def validate_by_source_clauses(
+    clauses: list[dict], table_cols: list[str], key_cols: list[str]
+) -> list[dict]:
+    """Typed validation of a ``WHEN NOT MATCHED BY SOURCE`` clause list —
+    ordered update/delete clauses over TARGET rows with no source key
+    match (Delta SQL's third MERGE clause family, the full-sync CDC
+    idiom: "delete everything the snapshot no longer contains").
+
+    Same first-match-wins shape and refusals as
+    :func:`validate_matched_clauses`, with two differences forced by the
+    missing source row: conditions and ``set`` expressions may reference
+    ``t.<col>`` ONLY (there is no ``s`` in scope — a reference to it is
+    refused at plan time with a typed error by the writers), and an
+    ``update`` clause REQUIRES ``set`` (there is no source row to take
+    wholesale)."""
+    out = validate_matched_clauses(clauses, table_cols, key_cols)
+    for i, c in enumerate(out):
+        if c["action"] == "update" and c["set"] is None:
+            raise BuzzBadRequestError(
+                f"by-source clause #{i}: update requires 'set' — there "
+                "is no source row to take wholesale"
+            )
+    return out
+
+
+def check_target_only(df_t, clauses: list[dict], what: str) -> None:
+    """Refuse (typed, at plan time, no job) a by-source clause whose
+    condition or ``set`` expression references anything but the target
+    row — ``df_t`` carries only the ``t`` struct, so any ``s.<col>`` (or
+    stray bare name) fails Spark analysis."""
+    from pyspark.errors import AnalysisException
+
+    for i, c in enumerate(clauses):
+        exprs = ([c["condition"]] if c["condition"] else []) + list(
+            (c["set"] or {}).values()
+        )
+        for e in exprs:
+            try:
+                df_t.select(F.expr(e))  # analysis only — no job runs
+            except AnalysisException:
+                raise BuzzBadRequestError(
+                    f"{what} clause #{i} expression {e!r} does not "
+                    "resolve against the target row alone — by-source "
+                    "clauses may reference t.<col> only (no source row "
+                    "is in scope for unmatched target rows)"
+                )
+
+
+def validate_insert_values(
+    insert_values: dict, table_cols: list[str]
+) -> dict[str, str]:
+    """Typed validation of a ``WHEN NOT MATCHED THEN INSERT (cols) VALUES
+    (exprs)`` map — column → SQL expression over ``s.<col>`` / bare
+    source names.  Unknown columns are refused; unlisted columns insert
+    NULL (or their generation expression on Delta generated-column
+    tables)."""
+    if not isinstance(insert_values, dict) or not insert_values:
+        raise BuzzBadRequestError(
+            "insert_values must be a non-empty {column: sql_expr} dict"
+        )
+    bad = sorted(set(insert_values) - set(table_cols))
+    if bad:
+        raise BuzzBadRequestError(
+            f"insert_values lists unknown columns {bad}"
+        )
+    return {str(k): str(v) for k, v in insert_values.items()}
+
+
+def build_insert_rows(
+    df, names: list[str], insert_values: dict[str, str], fields,
+    generated: dict[str, str] | None = None,
+):
+    """The INSERT rows of a column-expression insert clause: listed
+    columns take their expressions (over ``s.<col>`` or bare source
+    names, cast to the declared types), unlisted columns are NULL —
+    except columns in ``generated`` (Delta generated columns), which are
+    COMPUTED from their generation expression over the BUILT row (the
+    spec's write rule applied to the post-insert values, not the source
+    row).  Pure column algebra, codegen end to end."""
+    with_s = df.select(
+        "*", F.struct(*[F.col(c) for c in names]).alias("s")
+    )
+    types = {f.name: f.dataType for f in fields}
+    built = with_s.select(
+        *[
+            (
+                F.expr(insert_values[c])
+                if c in insert_values
+                else F.lit(None)
+            )
+            .cast(types[c])
+            .alias(c)
+            for c in names
+        ]
+    )
+    for c, expr in (generated or {}).items():
+        if c not in insert_values:
+            built = built.withColumn(c, F.expr(expr).cast(types[c]))
+    return built.select(*names)
+
+
 def insert_filter(df, names: list[str], not_matched_condition: str):
     """Filter not-matched SOURCE rows by a condition over ``s.<col>``
     (bare source column names resolve too — the insert side has only one

@@ -2539,19 +2539,189 @@ def test_add_files_delta_partitioned_hive_layout(spark, tmp_path):
         f for f in cat.files if dict(f.partitions).get("y") == "2021"
     ]
     assert len(pruned) == 1
-    # guards: external file on a partitioned table; missing hive segment
+    # guards: a file with neither a hive segment nor the partition column
+    # physically present cannot derive its partition value (external or
+    # in-table flat alike)
     ext = _loose_pq(
         spark, str(tmp_path / "x" / "e.parquet"), [(9, "z")],
         "id long, v string",
     )
-    with pytest.raises(BuzzBadRequestError, match="outside the table root"):
+    with pytest.raises(BuzzBadRequestError, match="neither a hive"):
         add_files_delta(spark, root, [ext])
     flat = _loose_pq(
         spark, os.path.join(root, "flat.parquet"), [(9, "z")],
         "id long, v string",
     )
-    with pytest.raises(BuzzBadRequestError, match="no hive directory"):
+    with pytest.raises(BuzzBadRequestError, match="neither a hive"):
         add_files_delta(spark, root, [flat])
+
+
+def test_add_files_delta_partitioned_external_footer_stats(spark, tmp_path):
+    """External (and in-table flat) files on a PARTITIONED table register
+    via footer-stats partition derivation — the round-11 verdict ask #5:
+    partition-pure files (min == max, no nulls) that physically CONTAIN
+    the partition column onboard without the hive-layout requirement;
+    pruning, snapshot reads, and rewrites over them keep working."""
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.delta_writer import (
+        add_files_delta,
+        delete_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", "2020")], "id long, v string, y string"
+        ),
+        root, partition_by=["y"],
+    )
+    # two external partition-pure files carrying y physically
+    e21 = _loose_pq(
+        spark, str(tmp_path / "x" / "e21.parquet"),
+        [(2, "b", "2021"), (3, "c", "2021")], "id long, v string, y string",
+    )
+    e22 = _loose_pq(
+        spark, str(tmp_path / "x" / "e22.parquet"),
+        [(4, "d", "2022")], "id long, v string, y string",
+    )
+    v = add_files_delta(spark, root, [e21, e22])
+    assert v == 1
+    cat = DeltaCatalog("t", root)
+    got = sorted(
+        (r.id, r.v, r.y) for r in cat.to_dataframe(spark).collect()
+    )
+    assert got == [
+        (1, "a", "2020"), (2, "b", "2021"), (3, "c", "2021"),
+        (4, "d", "2022"),
+    ]
+    # partition values came from footer stats, recorded on the add action
+    by_pv = {
+        dict(f.partitions)["y"]: f for f in cat.files
+    }
+    assert set(by_pv) == {"2020", "2021", "2022"}
+    # pruning by the derived value
+    pruned = cat.pruned_files(spark, "y = '2021'")
+    assert len(pruned) == 1
+    # rewrite paths read registered externals correctly: delete one row
+    delete_delta(spark, root, "id = 2")
+    got = sorted(
+        (r.id, r.y)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "2020"), (3, "2021"), (4, "2022")]
+    # and merge over them (the rewrite read attaches add-action values)
+    merge_delta(
+        spark, root,
+        spark.createDataFrame(
+            [(3, "C", "2021")], "id long, v string, y string"
+        ),
+        ["id"],
+    )
+    got = sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "a"), (3, "C"), (4, "d")]
+    # impure file (two y values) refuses typed
+    bad = _loose_pq(
+        spark, str(tmp_path / "x" / "bad.parquet"),
+        [(8, "h", "2023"), (9, "i", "2024")],
+        "id long, v string, y string",
+    )
+    with pytest.raises(BuzzBadRequestError, match="spans more than one"):
+        add_files_delta(spark, root, [bad])
+    # empty file refuses typed
+    empty = _loose_pq(
+        spark, str(tmp_path / "x" / "empty.parquet"), [],
+        "id long, v string, y string",
+    )
+    with pytest.raises(BuzzBadRequestError, match="empty"):
+        add_files_delta(spark, root, [empty])
+
+
+def test_add_files_delta_enforces_table_rules(spark, tmp_path):
+    """Registration runs the registered rows through the table's declared
+    rules (round-11 verdict ask #1 — the one enforce-or-refuse gap): a
+    CHECK-constrained table rejects a violating external file with
+    nothing committed, accepts a conforming one; a generated-column
+    table validates STORED values against the generation expression."""
+    from buzz_rust_spark.errors import BuzzConstraintError
+    from buzz_rust_spark.sources.delta_writer import (
+        add_files_delta,
+        write_delta,
+    )
+
+    # --- CHECK constraint over a data column
+    root = str(tmp_path / "c")
+    write_delta(
+        spark.createDataFrame([(1, 10)], "id long, n long").coalesce(1),
+        root, configuration={"delta.constraints.pos": "n > 0"},
+    )
+    bad = _loose_pq(
+        spark, str(tmp_path / "x" / "bad.parquet"), [(2, -5)],
+        "id long, n long",
+    )
+    with pytest.raises(BuzzConstraintError, match="pos"):
+        add_files_delta(spark, root, [bad])
+    # nothing committed: still version 0, one live file
+    assert len(DeltaCatalog("c", root).files) == 1
+    ok = _loose_pq(
+        spark, str(tmp_path / "x" / "ok.parquet"), [(2, 5)],
+        "id long, n long",
+    )
+    assert add_files_delta(spark, root, [ok]) == 1
+    got = sorted(
+        (r.id, r.n)
+        for r in DeltaCatalog("c", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, 10), (2, 5)]
+
+    # --- CHECK constraint over a PARTITION column (derived values must
+    # reach the enforcement frame)
+    proot = str(tmp_path / "p")
+    write_delta(
+        spark.createDataFrame([(1, "2020")], "id long, y string").coalesce(1),
+        proot, partition_by=["y"],
+        configuration={"delta.constraints.era": "y >= '2000'"},
+    )
+    old = _loose_pq(
+        spark, str(tmp_path / "x" / "old.parquet"), [(2, "1999")],
+        "id long, y string",
+    )
+    with pytest.raises(BuzzConstraintError, match="era"):
+        add_files_delta(spark, proot, [old])
+    new = _loose_pq(
+        spark, str(tmp_path / "x" / "new.parquet"), [(2, "2024")],
+        "id long, y string",
+    )
+    assert add_files_delta(spark, proot, [new]) == 1
+
+    # --- generated column: stored values must equal the expression
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    groot = str(tmp_path / "g")
+    gen_schema = StructType([
+        StructField("a", LongType()),
+        StructField(
+            "b", LongType(), True, {"delta.generationExpression": "a * 2"}
+        ),
+    ])
+    write_delta(
+        spark.createDataFrame([(1, 2)], gen_schema).coalesce(1), groot
+    )
+    gbad = _loose_pq(
+        spark, str(tmp_path / "x" / "gbad.parquet"), [(3, 7)],
+        "a long, b long",
+    )
+    with pytest.raises(BuzzConstraintError, match="generated"):
+        add_files_delta(spark, groot, [gbad])
+    gok = _loose_pq(
+        spark, str(tmp_path / "x" / "gok.parquet"), [(3, 6)],
+        "a long, b long",
+    )
+    assert add_files_delta(spark, groot, [gok]) == 1
 
 
 def test_cleanup_delta_log(spark, tmp_path):
@@ -2754,3 +2924,39 @@ def test_delta_id_mode_nested_rewrites_restamp_inner_ids(spark, tmp_path):
         2: (99, "B", "y"),  # struct replaced, v kept at target value
         4: (40, "d", "w"),
     }
+
+
+def test_files_scan_manifest_branch(spark, tmp_path, monkeypatch):
+    """Past _SCAN_UNION_MAX_GROUPS distinct partition tuples among
+    flat-registered files, the rewrite read switches from per-tuple
+    literal unions to one scan + broadcast manifest join — same rows,
+    bounded plan size (threshold lowered via monkeypatch)."""
+    from buzz_rust_spark.sources import delta_writer
+    from buzz_rust_spark.sources.delta_writer import (
+        add_files_delta,
+        delete_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(0, "seed", "2019")], "id long, v string, y string"
+        ).coalesce(1),
+        root, partition_by=["y"],
+    )
+    exts = []
+    for i in range(3):  # three distinct tuples, all flat externals
+        exts.append(_loose_pq(
+            spark, str(tmp_path / "x" / f"e{i}.parquet"),
+            [(i + 1, f"v{i}", f"202{i}")], "id long, v string, y string",
+        ))
+    add_files_delta(spark, root, exts)
+    monkeypatch.setattr(delta_writer, "_SCAN_UNION_MAX_GROUPS", 1)
+    # a delete whose predicate touches every file exercises the scan
+    delete_delta(spark, root, "id = 2")
+    got = sorted(
+        (r.id, r.y)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(0, "2019"), (1, "2020"), (3, "2022")]

@@ -613,3 +613,368 @@ def test_identity_legacy_writer6_table(spark, tmp_path):
     rids = sorted(r["rid"] for r in rows)
     assert len(set(rids)) == 2 and all(r >= 1 for r in rids)
     assert _hwm(root) == max(rids)
+
+
+# ------------------------------------------- WHEN NOT MATCHED BY SOURCE ----
+
+BYS = [
+    {"action": "delete", "condition": "t.v >= 70"},
+    {"action": "update", "condition": "t.v <= 10",
+     "set": {"tag": "concat(t.tag, '-stale')"}},
+]
+# base k=0..9 (v=k*10); src keys {2,3,4,11,12} → unmatched targets
+# {0,1,5,6,7,8,9}: k∈{7,8,9} deleted (v≥70), k∈{0,1} tagged stale,
+# k∈{5,6} untouched; matched/insert behavior unchanged from EXPECT
+BYS_EXPECT = {
+    0: (0, "keep-stale"), 1: (10, "keep-stale"),
+    2: (20, "keep"), 3: (1029, "keep"),
+    5: (50, "keep"), 6: (60, "keep"), 11: (111, "new"),
+}
+
+
+def test_delta_by_source_matrix(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE on Delta (round-12 ask #2): ordered
+    first-match-wins update/delete over target rows with no source key
+    match, in the SAME atomic commit as the matched + insert clauses —
+    the full-sync CDC idiom."""
+    root = str(tmp_path / "t")
+    write_delta(_base(spark), root)
+    v = merge_delta(
+        spark, root, _src(spark), ["k"],
+        matched_clauses=CLAUSES, not_matched_condition="s.tag <> 'tomb'",
+        by_source_clauses=BYS,
+    )
+    assert v == 1  # one commit
+    got = {
+        r["k"]: (r["v"], r["tag"])
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert got == BYS_EXPECT
+
+
+def test_iceberg_by_source_matrix(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_iceberg(_base(spark), root)
+    res = merge_iceberg(
+        spark, root, _src(spark), ["k"],
+        matched_clauses=CLAUSES, not_matched_condition="s.tag <> 'tomb'",
+        by_source_clauses=BYS,
+    )
+    assert res is not None and res["operation"] == "overwrite"
+    got = {
+        r["k"]: (r["v"], r["tag"])
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert got == BYS_EXPECT
+
+
+def test_by_source_first_match_wins_and_only_fired_rewritten(spark, tmp_path):
+    """Clause ORDER decides overlapping by-source conditions, and a file
+    holding only unmatched-but-unfired rows is never rewritten."""
+    root = str(tmp_path / "t")
+    write_delta(_base(spark).where("k < 5").coalesce(1), root)
+    write_delta(
+        _base(spark).where("k >= 5").coalesce(1), root, mode="append"
+    )
+    # src matches nothing; by-source clauses overlap on v<=30 rows —
+    # clause #0 must win for them; file 2 (k>=5, v>=50) fires nothing
+    src = spark.createDataFrame([(99, 1, "x")], "k long, v long, tag string")
+    v = merge_delta(
+        spark, root, src, ["k"], when_matched=None, when_not_matched=None,
+        by_source_clauses=[
+            {"action": "update", "condition": "t.v <= 30",
+             "set": {"tag": "'first'"}},
+            {"action": "update", "condition": "t.v <= 40",
+             "set": {"tag": "'second'"}},
+        ],
+    )
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    assert len([a for a in actions if "remove" in a]) == 1  # file 1 only
+    got = {
+        r["k"]: r["tag"]
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    }
+    assert got == {
+        0: "first", 1: "first", 2: "first", 3: "first", 4: "second",
+        5: "keep", 6: "keep", 7: "keep", 8: "keep", 9: "keep",
+    }
+
+
+def test_iceberg_by_source_duplicate_target_rows(spark, tmp_path):
+    """Duplicate-key TARGET rows of a key where a by-source clause fires
+    on ONE row: the eq-delete removes every row of the key, so the
+    non-fired duplicates must be re-emitted verbatim."""
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 5, "a"), (1, 50, "b"), (2, 7, "c")],
+            "k long, v long, tag string",
+        ),
+        root,
+    )
+    src = spark.createDataFrame([(2, 7, "c")], "k long, v long, tag string")
+    merge_iceberg(
+        spark, root, src, ["k"], matched_clauses=[],
+        by_source_clauses=[
+            {"action": "update", "condition": "t.v < 10",
+             "set": {"tag": "'low'"}},
+        ],
+    )
+    got = sorted(
+        (r.k, r.v, r.tag)
+        for r in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, 5, "low"), (1, 50, "b"), (2, 7, "c")]
+
+
+def test_delta_by_source_records_cdf(spark, tmp_path):
+    """By-source clauses record exact CDF images like the matched ones."""
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10, "keep"), (2, 70, "keep")], "k long, v long, tag string"
+        ),
+        root, configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    merge_delta(
+        spark, root,
+        spark.createDataFrame([(99, 1, "x")], "k long, v long, tag string"),
+        ["k"], when_matched=None, when_not_matched=None,
+        by_source_clauses=BYS,
+    )
+    import pyarrow.parquet as pq
+
+    recorded = sorted(
+        (row["k"], row["v"], row["tag"], row["_change_type"])
+        for f in glob(os.path.join(root, "_change_data", "*.parquet"))
+        for row in pq.read_table(f).to_pylist()
+    )
+    assert recorded == [
+        (1, 10, "keep", "update_preimage"),
+        (1, 10, "keep-stale", "update_postimage"),
+        (2, 70, "keep", "delete"),
+    ]
+
+
+def test_by_source_validation_errors(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_delta(_base(spark), root)
+    src = _src(spark)
+    # update without set
+    with pytest.raises(BuzzBadRequestError, match="requires 'set'"):
+        merge_delta(
+            spark, root, src, ["k"],
+            by_source_clauses=[{"action": "update", "condition": None}],
+        )
+    # s.<col> reference refused typed at plan time (both formats)
+    with pytest.raises(BuzzBadRequestError, match="target row alone"):
+        merge_delta(
+            spark, root, src, ["k"],
+            by_source_clauses=[
+                {"action": "delete", "condition": "s.v > 0"}],
+        )
+    iroot = str(tmp_path / "i")
+    write_iceberg(_base(spark), iroot)
+    with pytest.raises(BuzzBadRequestError, match="target row alone"):
+        merge_iceberg(
+            spark, iroot, src, ["k"],
+            by_source_clauses=[
+                {"action": "update", "condition": None,
+                 "set": {"v": "s.v"}}],
+        )
+    # bare (un-prefixed) names do not resolve either
+    with pytest.raises(BuzzBadRequestError, match="target row alone"):
+        merge_delta(
+            spark, root, src, ["k"],
+            by_source_clauses=[{"action": "delete", "condition": "v > 0"}],
+        )
+    # set on a merge key refused (shared with matched validation)
+    with pytest.raises(BuzzBadRequestError, match="key"):
+        merge_delta(
+            spark, root, src, ["k"],
+            by_source_clauses=[
+                {"action": "update", "condition": None,
+                 "set": {"k": "t.k + 1"}}],
+        )
+    # append-only tables refuse by-source rewrites
+    aroot = str(tmp_path / "a")
+    write_delta(
+        _base(spark), aroot,
+        configuration={"delta.appendOnly": "true"},
+    )
+    with pytest.raises(BuzzBadRequestError, match="append"):
+        merge_delta(
+            spark, aroot, src, ["k"], when_matched=None,
+            by_source_clauses=[{"action": "delete", "condition": None}],
+        )
+
+
+# ------------------------------------------------ INSERT (cols) VALUES ----
+
+
+def test_insert_values_both_formats(spark, tmp_path):
+    """WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs): listed columns
+    take their expressions over the source row, unlisted insert NULL."""
+    iv = {"k": "s.k", "v": "s.v * 2 + length(s.tag)"}
+    src = spark.createDataFrame(
+        [(11, 100, "new"), (3, 1, "x")], "k long, v long, tag string"
+    )
+    expect_new = (203, None)  # 100*2 + len('new'), tag unlisted → NULL
+
+    root = str(tmp_path / "d")
+    write_delta(_base(spark), root)
+    merge_delta(
+        spark, root, src, ["k"], when_matched=None, insert_values=iv
+    )
+    got = {
+        r["k"]: (r["v"], r["tag"])
+        for r in DeltaCatalog("d", root).to_dataframe(spark).collect()
+    }
+    assert got[11] == expect_new and got[3] == (30, "keep") and len(got) == 11
+
+    iroot = str(tmp_path / "i")
+    # createDataFrame (nullable tag): NULL-filling an unlisted column is
+    # only legal when the schema allows it
+    write_iceberg(
+        spark.createDataFrame(
+            [(r.k, r.v, r.tag) for r in _base(spark).collect()],
+            "k long, v long, tag string",
+        ),
+        iroot,
+    )
+    merge_iceberg(
+        spark, iroot, src, ["k"], matched_clauses=[], insert_values=iv
+    )
+    got = {
+        r["k"]: (r["v"], r["tag"])
+        for r in IcebergCatalog("i", iroot).to_dataframe(spark).collect()
+    }
+    assert got[11] == expect_new and got[3] == (30, "keep") and len(got) == 11
+
+    # on a REQUIRED-column iceberg table the NULL fill is refused by the
+    # writer's spec guard instead of landing spec-violating files
+    rroot = str(tmp_path / "r")
+    write_iceberg(_base(spark), rroot)  # lit('keep') → tag required
+    with pytest.raises(Exception, match="required iceberg field"):
+        merge_iceberg(
+            spark, rroot, src, ["k"], matched_clauses=[], insert_values=iv
+        )
+
+
+def test_insert_values_generated_and_validation(spark, tmp_path):
+    """Unlisted Delta GENERATED columns are computed from the BUILT row;
+    validation refuses unknown columns and inserts without the clause."""
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, 10, 20)], GEN_SCHEMA), root)
+    src = spark.createDataFrame([(7, 3, 6)], GEN_SCHEMA)
+    merge_delta(
+        spark, root, src, ["k"], when_matched=None,
+        insert_values={"k": "s.k", "v": "s.v + 100"},
+    )
+    got = {
+        r["k"]: (r["v"], r["v2"])
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    }
+    # v2 computed from the BUILT v (103*2), not the source v2
+    assert got[7] == (103, 206)
+
+    with pytest.raises(BuzzBadRequestError, match="unknown columns"):
+        merge_delta(
+            spark, root, src, ["k"], when_matched=None,
+            insert_values={"nope": "1"},
+        )
+    with pytest.raises(BuzzBadRequestError, match="requires"):
+        merge_delta(
+            spark, root, src, ["k"], when_not_matched=None,
+            insert_values={"k": "s.k"},
+        )
+    with pytest.raises(BuzzBadRequestError, match="non-empty"):
+        merge_delta(
+            spark, root, src, ["k"], when_matched=None, insert_values={}
+        )
+
+
+def test_constrained_write_single_input_pass(spark, tmp_path):
+    """Round-12 ask #3: rule enforcement rides the staging write as
+    Observation metrics — a CHECK-constrained write runs exactly as many
+    Spark jobs as the identical unconstrained write (no separate
+    enforcement aggregate over the input), and a violation still aborts
+    typed with nothing committed and no staged leftovers."""
+    from glob import glob as _g
+
+    sc = spark.sparkContext
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("n")
+    )
+
+    sc.setJobGroup("w-plain", "unconstrained")
+    write_delta(df, str(tmp_path / "plain"))
+    sc.setJobGroup("w-rules", "constrained")
+    write_delta(
+        df, str(tmp_path / "rules"),
+        configuration={"delta.constraints.pos": "n > 0"},
+    )
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    tracker = sc.statusTracker()
+    plain = tracker.getJobIdsForGroup("w-plain")
+    rules = tracker.getJobIdsForGroup("w-rules")
+    assert len(plain) >= 1
+    assert len(rules) == len(plain)  # enforcement added ZERO jobs
+
+    # violation: typed abort, nothing committed, staging cleaned up
+    root = str(tmp_path / "rules")
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") - 10).alias("n")
+    )
+    with pytest.raises(BuzzConstraintError, match="pos"):
+        write_delta(bad, root, mode="append")
+    assert not _g(os.path.join(root, ".staging-*")), "staging not cleaned"
+    assert len(os.listdir(os.path.join(root, "_delta_log"))) == 1
+    got = DeltaCatalog("t", root).to_dataframe(spark)
+    assert got.count() == 100
+
+
+def test_optimize_compacts_externally_registered_files(spark, tmp_path):
+    """OPTIMIZE over add_files_delta-registered externals: compacted
+    output lands INSIDE the table (never back in the external directory)
+    and partition values survive through the add action."""
+    from buzz_rust_spark.sources.delta_writer import (
+        add_files_delta,
+        optimize_delta,
+    )
+
+    # partitioned table + two partition-pure external files in one tuple
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", "2021")], "id long, v string, y string"
+        ).coalesce(1),
+        root, partition_by=["y"],
+    )
+    extdir = tmp_path / "ext"
+    exts = []
+    for i, rows in enumerate([[(2, "b", "2021")], [(3, "c", "2021")]]):
+        p = str(extdir / f"e{i}.parquet")
+        spark.createDataFrame(
+            rows, "id long, v string, y string"
+        ).coalesce(1).write.mode("overwrite").parquet(p + ".d")
+        import glob as _gm
+        import shutil as _sh
+
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        _sh.move(_gm.glob(p + ".d/part-*.parquet")[0], p)
+        _sh.rmtree(p + ".d")
+        exts.append(p)
+    add_files_delta(spark, root, exts)
+    before_ext = sorted(os.listdir(extdir))
+    v = optimize_delta(spark, root, target_file_bytes=1 << 30)
+    assert v is not None
+    # external directory untouched; originals still on disk
+    assert sorted(os.listdir(extdir)) == before_ext
+    # all live paths now relative (inside the table)
+    cat = DeltaCatalog("t", root)
+    assert all(not os.path.isabs(f.key) or f.key.startswith(root)
+               for f in cat.files)
+    got = sorted((r.id, r.v, r.y) for r in cat.to_dataframe(spark).collect())
+    assert got == [(1, "a", "2021"), (2, "b", "2021"), (3, "c", "2021")]

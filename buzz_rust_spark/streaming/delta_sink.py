@@ -70,15 +70,18 @@ def delta_upsert_sink(
     app_id: str,
     matched_clauses: list[dict] | None = None,
     not_matched_condition: str | None = None,
+    by_source_clauses: list[dict] | None = None,
+    insert_values: dict[str, str] | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming CDC UPSERT into a Delta table: each micro-batch runs ONE
     :func:`~buzz_rust_spark.sources.delta_writer.merge_delta` keyed on
     ``keys`` — whole-row upsert by default, or the conditional /
     partial-column clause form (``matched_clauses`` /
-    ``not_matched_condition``, see :mod:`~..sources.merge_clauses`) for
-    real CDC shapes ("update only stale rows, delete tombstones, keep
-    the rest").
+    ``not_matched_condition`` / ``by_source_clauses`` /
+    ``insert_values``, see :mod:`~..sources.merge_clauses`) for real CDC
+    shapes ("update only stale rows, delete tombstones, drop rows the
+    snapshot no longer contains, keep the rest").
 
     Exactly-once: the merge commits a SetTransaction (``txn``) action
     with the batch id atomically with its data, so a replayed
@@ -101,6 +104,8 @@ def delta_upsert_sink(
             keys,
             matched_clauses=matched_clauses,
             not_matched_condition=not_matched_condition,
+            by_source_clauses=by_source_clauses,
+            insert_values=insert_values,
             txn_app_id=app_id,
             txn_version=batch_id,
         )

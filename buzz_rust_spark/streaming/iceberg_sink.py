@@ -61,3 +61,63 @@ def iceberg_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def iceberg_upsert_sink(
+    stream_df: DataFrame,
+    table_uri: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    app_id: str,
+    matched_clauses: list[dict] | None = None,
+    not_matched_condition: str | None = None,
+    by_source_clauses: list[dict] | None = None,
+    insert_values: dict[str, str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC UPSERT into an Iceberg table: each micro-batch runs
+    ONE :func:`~buzz_rust_spark.sources.iceberg_writer.merge_iceberg`
+    keyed on ``keys`` — whole-row merge-on-read upsert by default (ONE
+    commit of equality deletes + new data files, O(batch), no table
+    scan), or the conditional / partial-column clause form
+    (``matched_clauses`` / ``not_matched_condition`` /
+    ``by_source_clauses`` / ``insert_values``, see
+    :mod:`~..sources.merge_clauses`) for real CDC shapes.
+
+    Exactly-once: the merge carries the (``app_id``, batch id) pair in
+    its snapshot SUMMARY, committed atomically with the data — Iceberg's
+    analogue of the Delta sink's SetTransaction
+    (:func:`~.delta_sink.delta_upsert_sink`); the marker survives
+    snapshot expiry as a ``buzz.txn.<app>`` table property.  A replayed
+    micro-batch after a crash finds the marker BEFORE any staging and
+    skips, making non-idempotent clause expressions (``t.v + s.v``) safe
+    on replay too.  One writer per ``app_id``; a batch carrying
+    duplicate key rows is a typed error (merge's ambiguous-merge
+    guard) — deduplicate upstream with ``dropDuplicates`` or a
+    last-wins window."""
+    from ..sources.iceberg_writer import merge_iceberg
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):  # empty micro-batch: nothing to commit
+            return
+        merge_iceberg(
+            batch_df.sparkSession,
+            table_uri,
+            batch_df,
+            keys,
+            matched_clauses=matched_clauses,
+            not_matched_condition=not_matched_condition,
+            by_source_clauses=by_source_clauses,
+            insert_values=insert_values,
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

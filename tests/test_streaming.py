@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from buzz_rust_spark.queries.registry import load
@@ -950,3 +951,174 @@ def test_delta_upsert_sink_cdc_clauses(spark, sf_dir, tmp_path):
         r["k"]: r["v"]
         for r in DeltaCatalog("t", table).to_dataframe(spark).collect()
     }[3] == 1029  # unchanged
+
+
+def test_iceberg_upsert_sink_cdc_clauses(spark, sf_dir, tmp_path):
+    """Round-12 Iceberg streaming CDC upsert (the delta_upsert_sink twin):
+    micro-batches MERGE into the table with the (app, batch) idempotence
+    marker riding the snapshot summary atomically — a replayed batch id
+    is a no-op before any staging, even for non-idempotent clause
+    expressions; a crash between staging and commit leaves the table
+    unchanged and the retry commits exactly once."""
+    from buzz_rust_spark.sources import iceberg_writer
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        merge_iceberg,
+        write_iceberg,
+    )
+    from buzz_rust_spark.streaming.iceberg_sink import iceberg_upsert_sink
+    from pyspark.sql import functions as F
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("keep").alias("tag"),
+    )
+    table = str(tmp_path / "tbl")
+    write_iceberg(base, table)
+
+    cdc = spark.createDataFrame(
+        [(3, 999, "x"), (4, 40, "tomb"), (11, 111, "new")],
+        "k long, v long, tag string",
+    )
+    src = tmp_path / "cdc_src"
+    cdc.repartition(3).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(cdc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = iceberg_upsert_sink(
+        stream, table, ["k"], checkpoint_dir=str(tmp_path / "ckpt"),
+        app_id="cdc-upsert",
+        matched_clauses=[
+            {"action": "delete", "condition": "s.tag = 'tomb'"},
+            {"action": "update", "condition": "s.v > t.v",
+             "set": {"v": "s.v + t.v"}},
+        ],
+        not_matched_condition="s.tag <> 'tomb'",
+    )
+    q.awaitTermination(timeout=120)
+
+    got = {
+        r["k"]: (r["v"], r["tag"])
+        for r in IcebergCatalog("t", table).to_dataframe(spark).collect()
+    }
+    assert got[3] == (1029, "keep")  # conditional partial update
+    assert 4 not in got              # conditional delete
+    assert got[11] == (111, "new")   # conditional insert
+    assert len(got) == 10
+
+    # replayed batch id on the MERGE path: skipped BEFORE staging, the
+    # non-idempotent "s.v + t.v" never re-runs
+    replay = merge_iceberg(
+        spark, table,
+        spark.createDataFrame([(3, 999, "x")], "k long, v long, tag string"),
+        ["k"],
+        matched_clauses=[{"action": "update", "set": {"v": "s.v + t.v"}}],
+        txn_app_id="cdc-upsert", txn_version=0,
+    )
+    assert replay is None
+    assert {
+        r["k"]: r["v"]
+        for r in IcebergCatalog("t2", table).to_dataframe(spark).collect()
+    }[3] == 1029  # unchanged
+
+    # crash BETWEEN staging and commit: the attempted merge stages data
+    # files but never promotes a snapshot — table unchanged — and the
+    # retried batch commits exactly once
+    real = iceberg_writer._finish_commit
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before commit")
+
+    batch2 = spark.createDataFrame(
+        [(5, 5000, "x")], "k long, v long, tag string"
+    )
+    iceberg_writer._finish_commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            merge_iceberg(
+                spark, table, batch2, ["k"],
+                matched_clauses=[
+                    {"action": "update", "set": {"v": "s.v + t.v"}}],
+                txn_app_id="cdc-upsert", txn_version=100,
+            )
+    finally:
+        iceberg_writer._finish_commit = real
+    assert calls["n"] == 1
+    assert {
+        r["k"]: r["v"]
+        for r in IcebergCatalog("t3", table).to_dataframe(spark).collect()
+    }[5] == 50  # unchanged: no snapshot committed
+    # the replayed delivery (same batch id) now lands exactly once
+    r = merge_iceberg(
+        spark, table, batch2, ["k"],
+        matched_clauses=[{"action": "update", "set": {"v": "s.v + t.v"}}],
+        txn_app_id="cdc-upsert", txn_version=100,
+    )
+    assert r is not None
+    assert {
+        r["k"]: r["v"]
+        for r in IcebergCatalog("t4", table).to_dataframe(spark).collect()
+    }[5] == 5050
+
+
+def test_upsert_sink_full_sync_by_source(spark, sf_dir, tmp_path):
+    """The full-sync CDC idiom through BOTH upsert sinks: one snapshot
+    micro-batch updates stale rows, inserts new ones, and — via the
+    by-source clauses — deletes every row the snapshot no longer
+    contains, all in ONE atomic commit per format."""
+    from buzz_rust_spark.sources import DeltaCatalog, write_delta
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import write_iceberg
+    from buzz_rust_spark.streaming.delta_sink import delta_upsert_sink
+    from buzz_rust_spark.streaming.iceberg_sink import iceberg_upsert_sink
+    from pyspark.sql import functions as F
+
+    base = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snap = spark.createDataFrame(
+        [(1, 10), (3, 333), (9, 90)], "k long, v long"
+    )
+    src = tmp_path / "snap_src"
+    snap.coalesce(1).write.parquet(str(src))
+    expect = [(1, 10), (3, 333), (9, 90)]
+
+    dt = str(tmp_path / "d")
+    write_delta(base, dt)
+    q = delta_upsert_sink(
+        spark.readStream.schema(snap.schema).parquet(str(src)),
+        dt, ["k"], checkpoint_dir=str(tmp_path / "dckpt"),
+        app_id="sync-d",
+        matched_clauses=[
+            {"action": "update", "condition": "s.v <> t.v",
+             "set": {"v": "s.v"}}],
+        by_source_clauses=[{"action": "delete", "condition": None}],
+    )
+    q.awaitTermination(timeout=120)
+    got = sorted(
+        (r.k, r.v)
+        for r in DeltaCatalog("d", dt).to_dataframe(spark).collect()
+    )
+    assert got == expect
+
+    it = str(tmp_path / "i")
+    write_iceberg(base, it)
+    q = iceberg_upsert_sink(
+        spark.readStream.schema(snap.schema).parquet(str(src)),
+        it, ["k"], checkpoint_dir=str(tmp_path / "ickpt"),
+        app_id="sync-i",
+        matched_clauses=[
+            {"action": "update", "condition": "s.v <> t.v",
+             "set": {"v": "s.v"}}],
+        by_source_clauses=[{"action": "delete", "condition": None}],
+    )
+    q.awaitTermination(timeout=120)
+    got = sorted(
+        (r.k, r.v)
+        for r in IcebergCatalog("i", it).to_dataframe(spark).collect()
+    )
+    assert got == expect

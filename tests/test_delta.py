@@ -2960,3 +2960,119 @@ def test_files_scan_manifest_branch(spark, tmp_path, monkeypatch):
         for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
     )
     assert got == [(0, "2019"), (1, "2020"), (3, "2022")]
+
+
+def test_add_files_delta_mode_name_table(spark, tmp_path):
+    """add_files on a columnMapping.mode=name table (round-12 lift of
+    the round-11 refusal): external files carrying the table's PHYSICAL
+    column names register, read back under logical names, and rewrites
+    over them keep working; logically-named files refuse (the strict
+    footer check runs against the physical schema)."""
+    from buzz_rust_spark.errors import BuzzSchemaError
+    from buzz_rust_spark.sources.delta_writer import (
+        add_files_delta,
+        delete_delta,
+    )
+
+    table = _make_column_mapped_table(spark, str(tmp_path))
+    ext = _loose_pq(
+        spark, str(tmp_path / "x" / "ext.parquet"),
+        [("fin", 7)], "`col-aaa111` string, `col-bbb222` long",
+    )
+    v = add_files_delta(spark, table, [ext])
+    assert v == 1
+    got = sorted(
+        (r.team_name, r.staff)
+        for r in DeltaCatalog("cm", table).to_dataframe(spark).collect()
+    )
+    assert got == [("eng", 10), ("fin", 7), ("ops", 5), ("sci", 12)]
+    # stats keys are physical → merge/zone pruning namespace holds
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    ]
+    add = next(a["add"] for a in acts if "add" in a)
+    assert "col-bbb222" in json.loads(add["stats"])["minValues"]
+    # rewrite over the registered external
+    delete_delta(spark, table, "staff = 7")
+    got = sorted(
+        r.team_name
+        for r in DeltaCatalog("cm2", table).to_dataframe(spark).collect()
+    )
+    assert got == ["eng", "ops", "sci"]
+    # a file carrying LOGICAL names does not match the physical schema
+    bad = _loose_pq(
+        spark, str(tmp_path / "x" / "bad.parquet"),
+        [("fin", 7)], "team_name string, staff long",
+    )
+    with pytest.raises(BuzzSchemaError, match="missing from parquet"):
+        add_files_delta(spark, table, [bad])
+
+
+def test_add_files_delta_mode_id_by_field_id(spark, tmp_path):
+    """add_files on a mode=id table: columns resolve by PARQUET:field_id
+    (per-file physical names are free — the spec's contract); recorded
+    stats re-key to the table's physical names; files missing an id or
+    with a mismatched type refuse typed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from buzz_rust_spark.errors import BuzzSchemaError
+    from buzz_rust_spark.sources.delta_writer import add_files_delta
+
+    table = _make_id_mapped_table(str(tmp_path))
+
+    def idfile(path, name_col, staff_col, rows, staff_type=pa.int64(),
+               with_ids=True):
+        md = (lambda i: {b"PARQUET:field_id": str(i).encode()}) if with_ids \
+            else (lambda i: None)
+        schema = pa.schema([
+            pa.field(name_col, pa.string(), metadata=md(1)),
+            pa.field(staff_col, staff_type, metadata=md(2)),
+        ])
+        pq.write_table(
+            pa.table(
+                {name_col: pa.array([r[0] for r in rows], pa.string()),
+                 staff_col: pa.array([r[1] for r in rows], staff_type)},
+                schema=schema,
+            ),
+            path,
+        )
+        return path
+
+    os.makedirs(str(tmp_path / "x"), exist_ok=True)
+    ext = idfile(
+        str(tmp_path / "x" / "weird_names.parquet"), "zz_a", "zz_b",
+        [("fin", 7), ("hr", 3)],
+    )
+    v = add_files_delta(spark, table, [ext])
+    assert v == 1
+    got = sorted(
+        (r.team_name, r.staff)
+        for r in DeltaCatalog("im", table).to_dataframe(spark).collect()
+    )
+    assert got == [
+        ("eng", 10), ("fin", 7), ("hr", 3), ("ops", 5), ("sci", 12),
+    ]
+    # stats re-keyed to the TABLE's physical names, not the file's
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    ]
+    add = next(a["add"] for a in acts if "add" in a)
+    st = json.loads(add["stats"])
+    assert st["minValues"].get("c0_staff") == 3 and "zz_b" not in str(st)
+    # no field ids → typed refusal
+    noid = idfile(
+        str(tmp_path / "x" / "noid.parquet"), "a", "b", [("x", 1)],
+        with_ids=False,
+    )
+    with pytest.raises(BuzzSchemaError, match="field id"):
+        add_files_delta(spark, table, [noid])
+    # mismatched type under the right id → typed refusal
+    badtype = idfile(
+        str(tmp_path / "x" / "badtype.parquet"), "a", "b", [("x", "1")],
+        staff_type=pa.string(),
+    )
+    with pytest.raises(BuzzSchemaError, match="type"):
+        add_files_delta(spark, table, [badtype])

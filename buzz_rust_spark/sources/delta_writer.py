@@ -3707,6 +3707,161 @@ def delete_delta(
     )
 
 
+def update_delta(
+    spark,
+    table_uri: str,
+    set_exprs: dict[str, str],
+    predicate: str | None = None,
+    checkpoint_interval: int = 10,
+    max_commit_retries: int = 5,
+    store=None,
+) -> int | None:
+    """UPDATE ``table`` SET ``set_exprs`` WHERE ``predicate`` — the third
+    DML verb (round-12), copy-on-write like Delta's own UPDATE: only
+    files holding ≥1 matched row are rewritten, each with its matched
+    rows transformed and everything else verbatim.
+
+    ``set_exprs`` maps column → Spark SQL expression over the row's BARE
+    column names (``{"v": "v + 1", "tag": "upper(tag)"}``); unlisted
+    columns keep their values.  Rows where the predicate is NULL or
+    false keep their values (SQL UPDATE semantics); ``predicate=None``
+    updates every row.  Partition columns may be updated — rewritten
+    rows move to their new partition directories.  GENERATED columns not
+    listed are RECOMPUTED from their expressions over the updated row
+    (the spec's writer rule — their inputs may have changed); listed
+    ones are validated like any supplied value.  Identity columns refuse
+    in ``set`` (rewriting allocated values breaks the allocation
+    contract; delete + write instead).  Table rules ride the staging
+    write as one Observation pass (:func:`_observe_table_rules`); CDF
+    tables record exact update pre/post images.  Returns the committed
+    version, or None when no live row matches."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    if not isinstance(set_exprs, dict) or not set_exprs:
+        raise BuzzBadRequestError(
+            "set_exprs must be a non-empty {column: sql_expr} dict"
+        )
+    table_dir = _local_table_dir(table_uri)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    last_version, live, meta = _log_state(log_dir)
+    if last_version < 0:
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    _require_id_rewritable(meta, table_uri, "update_delta")
+    basis_proto = dict(_current_protocol(log_dir))
+    _require_not_append_only(meta, log_dir, "update_delta")
+    declared = _declared_schema(meta)
+    names = [f.name for f in declared.fields]
+    unknown = sorted(set(set_exprs) - set(names))
+    if unknown:
+        raise BuzzBadRequestError(
+            f"update_delta sets unknown columns {unknown}"
+        )
+    id_names = {c["name"] for c in _identity_columns(meta)}
+    keyed = sorted(set(set_exprs) & id_names)
+    if keyed:
+        raise BuzzBadRequestError(
+            f"update_delta sets identity column(s) {keyed} — allocated "
+            "values are the writer's contract; delete + write instead"
+        )
+    if not live:
+        return None
+    partition_by = list(meta.get("partitionColumns", []))
+    types = {f.name: f.dataType for f in declared.fields}
+    _, _, generated = _table_rules(meta)
+
+    cond = F.expr(predicate) if predicate is not None else F.lit(True)
+    by_abs = {
+        os.path.abspath(os.path.join(table_dir, rel)): rel for rel in live
+    }
+    # attribution scan (DV-deleted rows must not count as matches — a
+    # predicate matching only them is a logical no-op, like delete's)
+    scan = _scan_with_meta(spark, table_dir, sorted(live), meta, live)
+    dv_desc_by_abs = {
+        os.path.abspath(os.path.join(table_dir, rel)): add["deletionVector"]
+        for rel, add in live.items()
+        if (add.get("deletionVector") or {}).get("storageType")
+    }
+    if dv_desc_by_abs:
+        from .deletion_vectors import decode_dvs_distributed
+
+        old_pos = decode_dvs_distributed(spark, table_dir, dv_desc_by_abs)
+        total_card = sum(
+            int(dv.get("cardinality") or 0)
+            for dv in dv_desc_by_abs.values()
+        )
+        anti = broadcast(old_pos) if total_card <= 2_000_000 else old_pos
+        scan = scan.join(anti, on=["__file", "__ridx"], how="left_anti")
+    hits = (
+        scan.where(cond.eqNullSafe(F.lit(True)))
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    if not hits:
+        return None
+    touched = sorted({by_abs[r["__file"]] for r in hits})
+
+    version = last_version + 1
+    now_ms = int(time.time() * 1000)
+    rows = _read_table_files(spark, table_dir, touched, meta, live).persist()
+    try:
+        hit = cond.eqNullSafe(F.lit(True))
+        pre = rows.where(hit)
+        upd = pre
+        for c, e in set_exprs.items():
+            upd = upd.withColumn(c, F.expr(e).cast(types[c]))
+        # recompute unlisted generated columns over the UPDATED row —
+        # their inputs may be among the set columns
+        for gname, gexpr in generated:
+            if gname not in set_exprs:
+                upd = upd.withColumn(
+                    gname, F.expr(gexpr).cast(types[gname])
+                )
+        upd = upd.select(*names)
+        out = rows.where(~hit).unionByName(upd)
+        out, rules_check = _observe_table_rules(out, meta, "update_delta")
+        out_phys, parts_phys = _to_physical_frame(out, meta, partition_by)
+        adds = _stage_and_promote(
+            out_phys, table_dir, version, parts_phys, now_ms, tag="update",
+            meta=meta, rules_check=rules_check,
+        )
+        cdc_actions: list[dict] = []
+        if _cdf_active(meta, log_dir):
+            frames = [
+                pre.select(*names).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ),
+                upd.withColumn("_change_type", F.lit("update_postimage")),
+            ]
+            cdc_actions = _stage_change_files(
+                _reduce(DataFrame.unionByName, frames),
+                table_dir, version, partition_by, meta=meta,
+            )
+    finally:
+        rows.unpersist()
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for rel in touched
+    ]
+    actions.extend({"add": a} for a in adds)
+    actions.extend(cdc_actions)
+    return _claim_rewrite_commit(
+        log_dir, version, actions,
+        {rel: live[rel] for rel in touched},
+        meta, checkpoint_interval, max_commit_retries, store,
+        "update_delta", basis_protocol=basis_proto,
+    )
+
+
 def restore_delta(
     spark,
     table_uri: str,

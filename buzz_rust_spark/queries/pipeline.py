@@ -4643,3 +4643,81 @@ def z57_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("iceberg").alias("fmt"), "doc_id", "source", "len")
     )
     return delta_df.unionByName(ice_df).orderBy("fmt", "doc_id")
+
+
+@register(
+    "z58_shallow_clone",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(LENGTH(text), 0) AS BIGINT) AS len
+  FROM documents ORDER BY doc_id LIMIT 100
+),
+v0 AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+appended AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+src AS (SELECT * FROM v0 UNION ALL SELECT * FROM appended),
+clone_mutated AS (
+  -- clone taken at v0, then: delete len%4=0, stale-tag the rest
+  SELECT doc_id, source || '-c' AS source, len
+  FROM v0 WHERE len % 4 <> 0
+)
+SELECT tbl, doc_id, source, len FROM (
+  SELECT 'src' AS tbl, * FROM src
+  UNION ALL
+  SELECT 'clone' AS tbl, * FROM clone_mutated
+)
+ORDER BY tbl, doc_id
+""",
+)
+def z58_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE (round-12): a metadata-only clone pinned at
+    the source's v0 (absolute-path adds referencing the source's files,
+    zero bytes copied — ``delta_writer.clone_delta``), then mutated
+    independently (copy-on-write DELETE + UPDATE stage new files under
+    the CLONE's root); the oracle checks the clone shows exactly
+    v0-minus-mutations while the source — appended AFTER the clone —
+    shows its own full history, i.e. true divergence.  Built on the
+    external-file scan machinery (``_files_scan``), which makes the
+    cloned absolute adds first-class for reads and rewrites.  Reference
+    has no write path (fuse_service.rs:130-135)."""
+    import tempfile
+
+    from ..sources.delta_catalog import DeltaCatalog
+    from ..sources.delta_writer import (
+        clone_delta,
+        delete_delta,
+        update_delta,
+        write_delta,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("len"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="z58_")
+    src, dst = d + "/src", d + "/clone"
+    write_delta(docs.where("doc_id % 2 = 0"), src)
+    clone_delta(src, dst)  # pin v0
+    # source diverges AFTER the clone
+    write_delta(docs.where("doc_id % 2 = 1"), src, mode="append")
+    # clone diverges on its own
+    delete_delta(spark, dst, "len % 4 = 0")
+    update_delta(spark, dst, {"source": "concat(source, '-c')"})
+    src_df = (
+        DeltaCatalog("z58s", src)
+        .to_dataframe(spark)
+        .select(F.lit("src").alias("tbl"), "doc_id", "source", "len")
+    )
+    dst_df = (
+        DeltaCatalog("z58c", dst)
+        .to_dataframe(spark)
+        .select(F.lit("clone").alias("tbl"), "doc_id", "source", "len")
+    )
+    return src_df.unionByName(dst_df).orderBy("tbl", "doc_id")

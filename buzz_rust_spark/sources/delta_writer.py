@@ -3707,6 +3707,100 @@ def delete_delta(
     )
 
 
+def clone_delta(
+    src_uri: str,
+    dst_uri: str,
+    version: int | None = None,
+    store=None,
+) -> int:
+    """SHALLOW CLONE: create a NEW Delta table at ``dst_uri`` whose
+    snapshot is the source's (optionally AS OF ``version``) — METADATA
+    ONLY, zero data copied: the clone's commit 0 re-ADDS every live
+    source file by ABSOLUTE path (stats, partition values, and deletion
+    vectors ride along; ``u``-token DV descriptors convert to absolute
+    ``p`` paths so they resolve from the clone).  Delta's CLONE
+    semantics: the tables then diverge independently — writes to the
+    clone stage new files under ITS root and only drop references,
+    never bytes, so the source is untouched; ``vacuum_delta`` on either
+    side walks only its own root and can never reclaim the other's
+    files.  The clone copies the source's protocol and metaData
+    (schema, partitioning, configuration — constraints and column
+    mapping included) under a fresh table id.
+
+    The external-file read machinery (:func:`_files_scan`,
+    :func:`add_files_delta`) is what makes the cloned absolute adds
+    first-class: scans, merges, deletes, updates, and OPTIMIZE over
+    them all work, compacting results INTO the clone.  Boundary:
+    sources carrying the ``rowTracking`` writer feature refuse typed
+    (cloned adds would need fresh base row ids and domain metadata —
+    delta-spark's CLONE re-mints them; this writer does not).
+    Metadata-only driver work, O(live files); no SparkSession needed.
+    Returns the clone's committed version (always 0)."""
+    from .deletion_vectors import dv_relative_path
+
+    src_dir = _local_table_dir(src_uri)
+    src_log = os.path.join(src_dir, "_delta_log")
+    actual_last, _, _ = _log_state(src_log)
+    if actual_last < 0:
+        raise BuzzBadRequestError(f"not a Delta table: {src_uri!r}")
+    if version is None:
+        version = actual_last
+    if version < 0 or version > actual_last:
+        raise BuzzBadRequestError(
+            f"clone: no version {version} (latest: {actual_last})"
+        )
+    _, live, meta = _log_state(src_log, upto=version)
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    for v in range(version + 1):
+        p = os.path.join(src_log, f"{v:020d}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    proto = a["protocol"]
+    if "rowTracking" in (proto.get("writerFeatures") or []):
+        from ..errors import BuzzNotImplementedError
+
+        raise BuzzNotImplementedError(
+            "clone_delta of a rowTracking table: cloned adds would need "
+            "freshly minted base row ids and row-tracking domain "
+            "metadata — disable row tracking on the source or copy the "
+            "data through write_delta"
+        )
+    dst_dir = _local_table_dir(dst_uri)
+    dst_log = os.path.join(dst_dir, "_delta_log")
+    if _log_state(dst_log)[0] >= 0:
+        raise BuzzBadRequestError(
+            f"clone destination {dst_uri!r} is already a Delta table"
+        )
+    os.makedirs(dst_log, exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["id"] = str(uuid.uuid4())
+    new_meta["createdTime"] = now_ms
+    actions: list[dict] = [{"protocol": proto}, {"metaData": new_meta}]
+    for rel in sorted(live):
+        a = dict(live[rel])
+        a["path"] = os.path.abspath(os.path.join(src_dir, rel))
+        a["dataChange"] = True
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            a["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.abspath(
+                    os.path.join(src_dir, dv_relative_path(dv))
+                ),
+            }
+        actions.append({"add": a})
+    _claim_commit(dst_log, 0, actions, store)
+    return 0
+
+
 def update_delta(
     spark,
     table_uri: str,

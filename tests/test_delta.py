@@ -3076,3 +3076,83 @@ def test_add_files_delta_mode_id_by_field_id(spark, tmp_path):
     )
     with pytest.raises(BuzzSchemaError, match="type"):
         add_files_delta(spark, table, [badtype])
+
+
+def test_clone_delta_shallow(spark, tmp_path):
+    """Shallow CLONE: metadata-only, absolute-path adds, full divergence
+    (writes/optimize/vacuum on the clone never touch the source), DV
+    descriptors converted u→p, constraints/partitioning carried, and
+    time-travel clones pin the source's version."""
+    from buzz_rust_spark.errors import (
+        BuzzBadRequestError,
+        BuzzConstraintError,
+    )
+    from buzz_rust_spark.sources.delta_writer import (
+        clone_delta,
+        delete_delta,
+        update_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    src = str(tmp_path / "src")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", "2020"), (2, "b", "2021")], "id long, v string, y string"
+        ).coalesce(1),
+        src, partition_by=["y"],
+        configuration={"delta.constraints.pos": "id > 0"},
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(3, "c", "2021")], "id long, v string, y string"
+        ).coalesce(1),
+        src, mode="append", partition_by=["y"],
+    )
+    delete_delta(spark, src, "id = 1", mode="dv")
+
+    dst = str(tmp_path / "dst")
+    assert clone_delta(src, dst) == 0
+    # zero data under the clone besides the log
+    assert not [
+        p for p in os.listdir(dst) if p != "_delta_log"
+    ]
+    cat = DeltaCatalog("c", dst)
+    got = sorted((r.id, r.v, r.y) for r in cat.to_dataframe(spark).collect())
+    assert got == [(2, "b", "2021"), (3, "c", "2021")]  # DV applied via 'p'
+    # partition pruning over the cloned absolute adds
+    assert len(cat.pruned_files(spark, "y = '2021'")) == 2
+    # constraints carried: a violating write into the CLONE refuses
+    with pytest.raises(BuzzConstraintError, match="pos"):
+        write_delta(
+            spark.createDataFrame(
+                [(-1, "z", "2020")], "id long, v string, y string"
+            ).coalesce(1),
+            dst, mode="append", partition_by=["y"],
+        )
+    # time-travel clone pins version 0 (before append and DV delete)
+    dst0 = str(tmp_path / "dst0")
+    clone_delta(src, dst0, version=0)
+    got0 = sorted(
+        r.id for r in DeltaCatalog("c0", dst0).to_dataframe(spark).collect()
+    )
+    assert got0 == [1, 2]
+    # divergence: mutate the clone; the source never changes
+    update_delta(spark, dst, {"v": "upper(v)"}, "id = 2")
+    delete_delta(spark, dst, "id = 3")
+    vacuum_delta(dst, retention_hours=0.0)
+    src_rows = sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("s", src).to_dataframe(spark).collect()
+    )
+    assert src_rows == [(2, "b"), (3, "c")]
+    dst_rows = sorted(
+        (r.id, r.v)
+        for r in DeltaCatalog("d", dst).to_dataframe(spark).collect()
+    )
+    assert dst_rows == [(2, "B")]
+    # guards: existing destination; bad version
+    with pytest.raises(BuzzBadRequestError, match="already a Delta"):
+        clone_delta(src, dst)
+    with pytest.raises(BuzzBadRequestError, match="no version"):
+        clone_delta(src, str(tmp_path / "nope"), version=99)

@@ -4721,3 +4721,82 @@ def z58_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("clone").alias("tbl"), "doc_id", "source", "len")
     )
     return src_df.unionByName(dst_df).orderBy("tbl", "doc_id")
+
+
+@register(
+    "z59_iceberg_clone_truncate",
+    tags=("source", "pipeline"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(LENGTH(text), 0) AS BIGINT) AS len
+  FROM documents ORDER BY doc_id LIMIT 100
+),
+v0 AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+clone_mutated AS (
+  -- clone pinned at v0, then MOR UPDATE (stale-tag len%4=1) and MOR
+  -- DELETE (len%4=0) diverge it
+  SELECT doc_id,
+         CASE WHEN len % 4 = 1 THEN source || '-c' ELSE source END
+           AS source,
+         len
+  FROM v0 WHERE len % 4 <> 0
+)
+-- the source was TRUNCATED after the clone: zero rows
+SELECT 'clone' AS tbl, doc_id, source, len FROM clone_mutated
+ORDER BY doc_id
+""",
+)
+def z59_iceberg_clone_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SHALLOW CLONE + TRUNCATE (round-12): the clone's v1
+    metadata references the source's manifest list (absolute paths, zero
+    bytes copied — ``iceberg_writer.clone_iceberg``); the source is then
+    TRUNCATED (one empty-manifest-list snapshot,
+    ``iceberg_writer.truncate_iceberg``) — and the clone, mutated with
+    MOR UPDATE and DELETE, still reads exactly v0-minus-mutations: the
+    truncate dropped references, not bytes, and the clone's commits
+    carried the source manifests forward.  The result unions the
+    truncated source (zero rows) with the mutated clone, checked against
+    the DuckDB recompute.  Reference has no write path
+    (fuse_service.rs:130-135)."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import (
+        clone_iceberg,
+        delete_iceberg,
+        truncate_iceberg,
+        update_iceberg,
+        write_iceberg,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("len"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="z59_")
+    src, dst = d + "/src", d + "/clone"
+    write_iceberg(docs.where("doc_id % 2 = 0"), src)
+    clone_iceberg(src, dst)
+    truncate_iceberg(src)  # drops references, not bytes
+    update_iceberg(
+        spark, dst, {"source": "concat(source, '-c')"}, "len % 4 = 1"
+    )
+    delete_iceberg(spark, dst, "len % 4 = 0")
+    src_df = (
+        IcebergCatalog("z59s", src)
+        .to_dataframe(spark)
+        .select(F.lit("src").alias("tbl"), "doc_id", "source", "len")
+    )
+    dst_df = (
+        IcebergCatalog("z59c", dst)
+        .to_dataframe(spark)
+        .select(F.lit("clone").alias("tbl"), "doc_id", "source", "len")
+    )
+    return src_df.unionByName(dst_df).orderBy("tbl", "doc_id")

@@ -3707,6 +3707,46 @@ def delete_delta(
     )
 
 
+def truncate_delta(
+    table_uri: str,
+    checkpoint_interval: int = 10,
+    max_commit_retries: int = 5,
+    store=None,
+) -> int | None:
+    """TRUNCATE TABLE — one METADATA-ONLY commit removing every live
+    file from the snapshot (nothing scanned, nothing rewritten, O(live
+    files) driver work regardless of data size; delta-spark's TRUNCATE
+    is the same move).  Prior versions stay time-travelable until
+    :func:`vacuum_delta` reclaims their files.  CDF tables compose
+    through the changelog's net-diff fallback (a remove-only commit
+    yields delete rows from the removed files' content).  Returns the
+    committed version, or None when the table is already empty."""
+    table_dir = _local_table_dir(table_uri)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    last_version, live, meta = _log_state(log_dir)
+    if last_version < 0:
+        raise BuzzBadRequestError(f"not a Delta table: {table_uri!r}")
+    _require_not_append_only(meta, log_dir, "truncate_delta")
+    if not live:
+        return None
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for rel in sorted(live)
+    ]
+    return _claim_rewrite_commit(
+        log_dir, last_version + 1, actions,
+        dict(live), meta, checkpoint_interval, max_commit_retries, store,
+        "truncate_delta",
+    )
+
+
 def clone_delta(
     src_uri: str,
     dst_uri: str,

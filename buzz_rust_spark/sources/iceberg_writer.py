@@ -3749,6 +3749,139 @@ def merge_iceberg(
     )
 
 
+def truncate_iceberg(
+    table_uri: str,
+    max_commit_retries: int = 5,
+    branch: str | None = None,
+    store=None,
+) -> dict | None:
+    """TRUNCATE the Iceberg table — one METADATA-ONLY commit whose
+    manifest list carries NO manifests (nothing scanned, nothing
+    rewritten, O(1) regardless of table size; Iceberg's own TRUNCATE is
+    the same move).  Prior snapshots stay time-travelable until expiry.
+    Returns a commit summary, or None when the (branch) state is already
+    empty.  ``branch`` truncates a named branch only — ``main`` is
+    untouched until :func:`fast_forward_iceberg`."""
+    if branch == "main":
+        branch = None
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    meta_dir = os.path.join(root, "metadata")
+    now_ms = int(time.time() * 1000)
+
+    def _attempt(state):
+        version_a, meta_a = state
+        if not _prev_manifests(meta_a, _branch_head(meta_a, branch)):
+            return None
+        seq = int(meta_a.get("last-sequence-number", 0)) + 1
+        snap_id = uuid.uuid4().int >> 65
+        mlist_path = _write_manifest_list(meta_dir, snap_id, seq, [])
+        new_version = _finish_commit(
+            root, version_a, dict(meta_a), snap_id, seq, now_ms,
+            mlist_path, meta_a.get("current-schema-id", 0), "delete",
+            {"total-data-files": "0", "total-records": "0"},
+            log_prior_metadata=True, store=store, branch=branch,
+        )
+        return {
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "metadata_version": new_version,
+            "operation": "delete",
+        }
+
+    def _refresh():
+        return _load_v2_meta(root, table_uri)
+
+    return commit_with_retry(
+        _attempt, _refresh, (version, meta), max_commit_retries
+    )
+
+
+def clone_iceberg(
+    src_uri: str,
+    dst_uri: str,
+    snapshot_id: int | None = None,
+    store=None,
+) -> dict:
+    """SHALLOW CLONE an Iceberg table: create a NEW table at ``dst_uri``
+    whose single snapshot is the source's current one (or
+    ``snapshot_id``) — METADATA ONLY, zero data copied.  Iceberg makes
+    this nearly free: manifest lists and manifests record ABSOLUTE
+    paths, so the clone's v1 metadata simply references the source's
+    manifest list; subsequent commits write NEW manifests under the
+    clone's own metadata dir and carry the source's verbatim
+    (:func:`_carry_manifests`), so the tables diverge independently —
+    and both sides' maintenance is root-scoped
+    (:func:`vacuum_iceberg` / metadata cleanup candidates come only
+    from the table's OWN data/metadata dirs), so neither can reclaim
+    the other's files.  The clone gets a fresh table-uuid, ``main``
+    pinned at the target snapshot, fresh history, and the source's
+    schemas/specs/sort-orders/properties — minus ``buzz.txn.*``
+    exactly-once markers and the pinned snapshot's txn summary keys
+    (the clone is a new idempotence domain).  No SparkSession needed.
+    Returns {snapshot_id, metadata_version}."""
+    src_root = _local_table_dir(src_uri)
+    _, meta = _load_v2_meta(src_root, src_uri)
+    snaps = list(meta.get("snapshots", []))
+    if not snaps:
+        raise BuzzBadRequestError(
+            f"clone source {src_uri!r} has no snapshots"
+        )
+    target = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else _norm_snapshot_id(meta.get("current-snapshot-id"))
+    )
+    snap = next(
+        (s for s in snaps if _norm_snapshot_id(s["snapshot-id"]) == target),
+        None,
+    )
+    if snap is None:
+        raise BuzzBadRequestError(
+            f"clone: snapshot {target} not found in {src_uri!r}"
+        )
+    dst_root = _local_table_dir(dst_uri)
+    if _load_meta(dst_root) is not None:
+        raise BuzzBadRequestError(
+            f"clone destination {dst_uri!r} is already an Iceberg table"
+        )
+    os.makedirs(os.path.join(dst_root, "metadata"), exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    snap = dict(snap)
+    # the parent lives only in the source's history; a dangling parent id
+    # would break ancestry walks (fast-forward / cherry-pick) on the clone
+    snap.pop("parent-snapshot-id", None)
+    snap["summary"] = {
+        k: v
+        for k, v in (snap.get("summary") or {}).items()
+        if k not in ("txn-app-id", "txn-version")
+    }
+    new_meta = dict(meta)
+    new_meta.update(
+        {
+            "table-uuid": str(uuid.uuid4()),
+            "location": os.path.abspath(dst_root),
+            "last-updated-ms": now_ms,
+            "current-snapshot-id": target,
+            "snapshots": [snap],
+            "snapshot-log": [
+                {"timestamp-ms": now_ms, "snapshot-id": target}
+            ],
+            "metadata-log": [],
+            "refs": {"main": {"snapshot-id": target, "type": "branch"}},
+            "properties": {
+                k: v
+                for k, v in (meta.get("properties") or {}).items()
+                if not k.startswith("buzz.txn.")
+            },
+        }
+    )
+    version = _promote_metadata(
+        os.path.join(dst_root, "metadata"), 1, new_meta, store
+    )
+    return {"snapshot_id": target, "metadata_version": version}
+
+
 def expire_iceberg_snapshots(
     table_uri: str,
     keep_last: int = 1,

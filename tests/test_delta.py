@@ -3156,3 +3156,45 @@ def test_clone_delta_shallow(spark, tmp_path):
         clone_delta(src, dst)
     with pytest.raises(BuzzBadRequestError, match="no version"):
         clone_delta(src, str(tmp_path / "nope"), version=99)
+
+
+def test_truncate_delta_metadata_only(spark, tmp_path):
+    """TRUNCATE: one remove-only commit, no scan, prior versions time-
+    travelable; CDF readers derive the deletes through the net-diff
+    fallback; append-only tables refuse."""
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.delta_catalog import read_delta_changelog
+    from buzz_rust_spark.sources.delta_writer import (
+        truncate_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        .coalesce(1),
+        root, configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v = truncate_delta(root)
+    assert v == 1
+    cat = DeltaCatalog("t", root)
+    assert cat.to_dataframe(spark).count() == 0
+    assert DeltaCatalog("t0", root, version=0).to_dataframe(spark).count() == 2
+    # the truncate commit carries ONLY removes (and commitInfo)
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json")) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    assert all(set(a) <= {"remove", "commitInfo"} for a in acts)
+    # CDF net-diff fallback surfaces the deletes
+    rows = sorted(
+        (r.id, r._change_type)
+        for r in read_delta_changelog(spark, root, 0).collect()
+    )
+    assert rows == [(1, "delete"), (2, "delete")]
+    assert truncate_delta(root) is None
+    aroot = str(tmp_path / "a")
+    write_delta(
+        spark.createDataFrame([(1,)], "id long").coalesce(1), aroot,
+        configuration={"delta.appendOnly": "true"},
+    )
+    with pytest.raises(BuzzBadRequestError, match="append"):
+        truncate_delta(aroot)

@@ -3214,3 +3214,91 @@ def test_add_files_bucket_partitioned(spark, tmp_path):
         for r in IcebergCatalog("t3", root).to_dataframe(spark).collect()
     )
     assert got == [k for k in range(40) if k % 7 != 3]
+
+
+def test_truncate_iceberg_metadata_only(spark, tmp_path):
+    """TRUNCATE: one empty-manifest-list snapshot, O(1), prior snapshots
+    time-travelable; a second truncate is a no-op."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        truncate_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1), root
+    )
+    import json as j
+    from glob import glob as g
+
+    before = j.load(
+        open(sorted(g(os.path.join(root, "metadata", "v*.metadata.json")))[-1])
+    )
+    first_snap = before["current-snapshot-id"]
+    r = truncate_iceberg(root)
+    assert r is not None and r["operation"] == "delete"
+    assert IcebergCatalog("t", root).to_dataframe(spark).count() == 0
+    old = IcebergCatalog("t0", root, snapshot_id=first_snap)
+    assert old.to_dataframe(spark).count() == 2
+    assert truncate_iceberg(root) is None
+
+
+def test_clone_iceberg_shallow(spark, tmp_path):
+    """Shallow clone: metadata-only (no files under the clone's data
+    dir), pinned snapshot, independent divergence, root-scoped vacuum,
+    txn markers stripped (fresh idempotence domain)."""
+    from buzz_rust_spark.errors import BuzzBadRequestError
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        clone_iceberg,
+        delete_iceberg,
+        merge_iceberg,
+        vacuum_iceberg,
+        write_iceberg,
+    )
+
+    src = str(tmp_path / "src")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        src, txn_app_id="app", txn_version=7,
+    )
+    dst = str(tmp_path / "dst")
+    r = clone_iceberg(src, dst)
+    assert r["metadata_version"] == 1
+    assert not os.path.isdir(os.path.join(dst, "data"))  # zero data copied
+    got = sorted(
+        (x.id, x.v)
+        for x in IcebergCatalog("c", dst).to_dataframe(spark).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+    # fresh idempotence domain: the source's (app, 7) marker is gone, so
+    # the same txn pair COMMITS on the clone
+    res = merge_iceberg(
+        spark, dst,
+        spark.createDataFrame([(2, "B")], "id long, v string"), ["id"],
+        txn_app_id="app", txn_version=7,
+    )
+    assert res is not None
+    # divergence both ways + root-scoped vacuum
+    delete_iceberg(spark, dst, "id = 1")
+    write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, v string").coalesce(1),
+        src, mode="append",
+    )
+    vacuum_iceberg(dst, retention_hours=0.0)
+    got_src = sorted(
+        x.id for x in IcebergCatalog("s", src).to_dataframe(spark).collect()
+    )
+    got_dst = sorted(
+        (x.id, x.v)
+        for x in IcebergCatalog("c2", dst).to_dataframe(spark).collect()
+    )
+    assert got_src == [1, 2, 3] and got_dst == [(2, "B")]
+    # guards
+    with pytest.raises(BuzzBadRequestError, match="already an Iceberg"):
+        clone_iceberg(src, dst)
+    with pytest.raises(BuzzBadRequestError, match="not found"):
+        clone_iceberg(src, str(tmp_path / "x"), snapshot_id=12345)

@@ -52,21 +52,27 @@ from .iceberg_writer import (
     add_files_iceberg,
     merge_iceberg,
     rewrite_iceberg,
+    clone_iceberg,
     rollback_iceberg,
     set_iceberg_properties,
     tag_iceberg,
+    truncate_iceberg,
+    update_iceberg,
     vacuum_iceberg,
     write_iceberg,
 )
 from .delta_writer import (
     add_files_delta,
     cleanup_delta_log,
+    clone_delta,
     delete_delta,
     evolve_delta,
     merge_delta,
     optimize_delta,
     restore_delta,
     set_delta_properties,
+    truncate_delta,
+    update_delta,
     vacuum_delta,
     write_delta,
 )
@@ -132,6 +138,12 @@ __all__ = [
     "write_delta",
     "merge_delta",
     "delete_delta",
+    "update_delta",
+    "update_iceberg",
+    "clone_delta",
+    "clone_iceberg",
+    "truncate_delta",
+    "truncate_iceberg",
     "optimize_delta",
     "restore_delta",
     "set_delta_properties",

@@ -2888,7 +2888,12 @@ def _merge_delta_generalized(
                 ).select("__r.*")
                 rewritten = keep.unionByName(survivors)
             else:
-                rewritten = keep
+                # no matched clauses (by-source-only merge): matched rows
+                # in touched files are UNTOUCHED — re-emit them verbatim
+                # (the anti-join above excluded them from `keep`)
+                rewritten = keep.unionByName(
+                    touched_df.join(src_keys, on=on, how="left_semi")
+                )
 
         inserts = None
         if insert_enabled:

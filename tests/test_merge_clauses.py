@@ -978,3 +978,40 @@ def test_optimize_compacts_externally_registered_files(spark, tmp_path):
                for f in cat.files)
     got = sorted((r.id, r.v, r.y) for r in cat.to_dataframe(spark).collect())
     assert got == [(1, "a", "2021"), (2, "b", "2021"), (3, "c", "2021")]
+
+
+def test_by_source_only_merge_keeps_matched_rows(spark, tmp_path):
+    """Regression: a by-source-ONLY merge (no matched clauses) must
+    re-emit MATCHED rows of touched files verbatim — the rewrite's
+    anti-join excludes them from `keep`, and dropping them would lose
+    data.  Both formats."""
+    # one file holding a matched row AND a by-source-fired row
+    base = spark.createDataFrame(
+        [(1, 10, "keep"), (2, 20, "keep")], "k long, v long, tag string"
+    ).coalesce(1)
+    src = spark.createDataFrame([(1, 10, "keep")], "k long, v long, tag string")
+    bys = [{"action": "update", "condition": None, "set": {"tag": "'old'"}}]
+
+    root = str(tmp_path / "d")
+    write_delta(base, root)
+    merge_delta(
+        spark, root, src, ["k"], when_matched=None, when_not_matched=None,
+        by_source_clauses=bys,
+    )
+    got = sorted(
+        (r.k, r.v, r.tag)
+        for r in DeltaCatalog("d", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, 10, "keep"), (2, 20, "old")]
+
+    iroot = str(tmp_path / "i")
+    write_iceberg(base, iroot)
+    merge_iceberg(
+        spark, iroot, src, ["k"], matched_clauses=[],
+        not_matched_condition="false", by_source_clauses=bys,
+    )
+    got = sorted(
+        (r.k, r.v, r.tag)
+        for r in IcebergCatalog("i", iroot).to_dataframe(spark).collect()
+    )
+    assert got == [(1, 10, "keep"), (2, 20, "old")]

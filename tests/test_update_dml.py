@@ -217,3 +217,68 @@ def test_update_iceberg_partitioned_and_validation(spark, tmp_path):
         update_iceberg(spark, root, {"zz": "1"})
     with pytest.raises(BuzzBadRequestError, match="non-empty"):
         update_iceberg(spark, root, {})
+
+
+def test_update_delta_dv_mode(spark, tmp_path):
+    """mode='dv': merge-on-read UPDATE — no file rewritten; matched
+    positions join the file's deletion vector and the transformed
+    replacements land as new files in ONE commit; stacks with prior DV
+    deletes/updates; the policy knob refuses bulk updates typed."""
+    import glob as g
+
+    from buzz_rust_spark.sources.delta_catalog import read_delta_changelog
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ).coalesce(1),
+        root, configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    before = set(g.glob(os.path.join(root, "*.parquet")))
+    v = update_delta(spark, root, {"v": "v + 100"}, "k >= 2", mode="dv")
+    assert v == 1
+    assert before < set(g.glob(os.path.join(root, "*.parquet")))
+    for p in before:
+        assert os.path.exists(p)  # nothing rewritten
+    got = sorted(
+        (r.k, r.v)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, 10), (2, 120), (3, 130)]
+    # the original file re-adds WITH a DV descriptor; protocol upgraded
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    assert [a for a in acts if "protocol" in a]
+    assert len([
+        a for a in acts
+        if "add" in a and a["add"].get("deletionVector")
+    ]) == 1
+    # changelog surfaces pre/post as delete+insert pairs
+    rows = sorted(
+        (r.k, r.v, r._change_type)
+        for r in read_delta_changelog(spark, root, 0).collect()
+    )
+    assert rows == [
+        (2, 20, "delete"), (2, 120, "insert"),
+        (3, 30, "delete"), (3, 130, "insert"),
+    ]
+    # stacks over prior DV state; DV-deleted rows never re-match
+    delete_delta(spark, root, "k = 1", mode="dv")
+    update_delta(spark, root, {"v": "v * 2"}, "k = 2", mode="dv")
+    got = sorted(
+        (r.k, r.v)
+        for r in DeltaCatalog("t2", root).to_dataframe(spark).collect()
+    )
+    assert got == [(2, 240), (3, 130)]
+    assert update_delta(spark, root, {"v": "0"}, "k = 1", mode="dv") is None
+    # bulk-update policy refusal, nothing committed
+    with pytest.raises(BuzzBadRequestError, match="max_dv_rows"):
+        update_delta(
+            spark, root, {"v": "0"}, "k >= 0", mode="dv", max_dv_rows=0
+        )
+    got2 = sorted(
+        (r.k, r.v)
+        for r in DeltaCatalog("t3", root).to_dataframe(spark).collect()
+    )
+    assert got2 == got

@@ -4593,7 +4593,8 @@ updated AS (
   FROM docs
 )
 SELECT fmt, doc_id, source, len
-FROM updated CROSS JOIN (SELECT UNNEST(['delta', 'iceberg']) AS fmt)
+FROM updated
+CROSS JOIN (SELECT UNNEST(['delta', 'delta-dv', 'iceberg']) AS fmt)
 ORDER BY fmt, doc_id
 """,
 )
@@ -4630,6 +4631,10 @@ def z57_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="z57_")
     write_delta(docs, d + "/delta")
     update_delta(spark, d + "/delta", sets, "len % 3 = 0")
+    # the merge-on-read form: deletion vectors + replacement files, no
+    # data file rewritten — same relational truth, third physical strategy
+    write_delta(docs, d + "/delta_dv")
+    update_delta(spark, d + "/delta_dv", sets, "len % 3 = 0", mode="dv")
     write_iceberg(docs, d + "/iceberg")
     update_iceberg(spark, d + "/iceberg", sets, "len % 3 = 0")
     delta_df = (
@@ -4637,12 +4642,20 @@ def z57_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .to_dataframe(spark)
         .select(F.lit("delta").alias("fmt"), "doc_id", "source", "len")
     )
+    dv_df = (
+        DeltaCatalog("z57v", d + "/delta_dv")
+        .to_dataframe(spark)
+        .select(F.lit("delta-dv").alias("fmt"), "doc_id", "source", "len")
+    )
     ice_df = (
         IcebergCatalog("z57i", d + "/iceberg")
         .to_dataframe(spark)
         .select(F.lit("iceberg").alias("fmt"), "doc_id", "source", "len")
     )
-    return delta_df.unionByName(ice_df).orderBy("fmt", "doc_id")
+    return (
+        delta_df.unionByName(dv_df).unionByName(ice_df)
+        .orderBy("fmt", "doc_id")
+    )
 
 
 @register(

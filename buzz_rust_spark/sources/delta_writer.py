@@ -4344,6 +4344,98 @@ def _footer_partition_values(
     return out
 
 
+def _register_file_checks(
+    ap: str,
+    orig: str,
+    need_pv: bool,
+    file_schema,
+    part_fields,
+    cm_ids: dict | None,
+    data_fields,
+    phys: dict,
+) -> tuple[dict, str]:
+    """Per-file registration work — strict footer verification (by name,
+    or by field id on mode=id tables), footer-stats partition derivation
+    when the hive segments didn't supply the values, and the add-action
+    stats JSON.  ONE footer read path shared by the driver loop (small
+    registrations) and the distributed form
+    (:func:`_register_files_distributed`)."""
+    from .schema_check import verify_file_schema
+
+    rename = None
+    if cm_ids is not None:
+        to_logical = _verify_file_field_ids(ap, data_fields, cm_ids, orig)
+        rename = {
+            fname: phys.get(lname, lname)
+            for fname, lname in to_logical.items()
+        }
+    else:
+        verify_file_schema(file_schema, ap, "parquet")
+    pv = _footer_partition_values(ap, part_fields, orig) if need_pv else {}
+    return pv, _file_stats_json(ap, rename=rename)
+
+
+def _register_files_distributed(
+    spark,
+    jobs: list[tuple[str, str, bool]],
+    file_schema,
+    part_fields,
+    cm_ids: dict | None,
+    data_fields,
+    phys: dict,
+) -> dict[str, tuple[dict, str]]:
+    """The distributed twin of the per-file registration loop: one
+    ``mapInPandas`` task row per file, each executor reading ONLY that
+    file's footer (verify + partition derivation + stats) — so a
+    100k-file onboarding costs a task sweep, not a driver loop of 100k
+    footer reads (same posture as ``schema_check.verify_files``).  Typed
+    errors surface with their original class and message; the FIRST
+    failing file aborts the registration (driver-loop parity)."""
+    import pandas as pd
+
+    from .. import errors as _errs
+
+    def gen(batches):
+        for b in batches:
+            out = []
+            for orig, ap, need_pv in zip(b["orig"], b["ap"], b["need_pv"]):
+                try:
+                    pv, stats = _register_file_checks(
+                        ap, orig, bool(need_pv), file_schema, part_fields,
+                        cm_ids, data_fields, phys,
+                    )
+                    out.append((ap, json.dumps(pv), stats, None, None))
+                except Exception as exc:  # noqa: BLE001 — re-typed driver-side
+                    out.append(
+                        (ap, None, None, type(exc).__name__, str(exc))
+                    )
+            yield pd.DataFrame(
+                out, columns=["ap", "pv", "stats", "err_cls", "err_msg"]
+            )
+
+    rows = (
+        spark.createDataFrame(
+            [(o, a, n) for o, a, n in jobs],
+            "orig string, ap string, need_pv boolean",
+        )
+        .repartition(min(len(jobs), 256))
+        .mapInPandas(
+            gen,
+            schema="ap string, pv string, stats string, "
+                   "err_cls string, err_msg string",
+        )
+        .collect()
+    )
+    by_ap = {r["ap"]: r for r in sorted(rows, key=lambda r: r["ap"])}
+    for r in by_ap.values():
+        if r["err_cls"] is not None:
+            cls = getattr(_errs, r["err_cls"], None) or BuzzSchemaError
+            raise cls(r["err_msg"])
+    return {
+        ap: (json.loads(r["pv"]), r["stats"]) for ap, r in by_ap.items()
+    }
+
+
 def _enforce_registered_files(
     spark,
     reg: list[tuple[str, dict]],
@@ -4520,7 +4612,6 @@ def add_files_delta(
     )
 
     from ..errors import BuzzNotImplementedError
-    from .schema_check import verify_file_schema
 
     paths = sorted(dict.fromkeys(paths or []))
     if not paths:
@@ -4578,8 +4669,7 @@ def add_files_delta(
     ]
     abs_root = os.path.abspath(table_dir)
     now_ms = int(time.time() * 1000)
-    actions: list[dict] = []
-    reg: list[tuple[str, dict]] = []
+    jobs: list[tuple[str, str, str, dict | None]] = []
     for p in paths:
         ap = os.path.abspath(p.removeprefix("file://"))
         inside = ap.startswith(abs_root + os.sep)
@@ -4588,7 +4678,12 @@ def add_files_delta(
             if inside
             else ap
         )
-        pv: dict = {}
+        if rel in live:
+            raise BuzzBadRequestError(
+                f"file {p!r} is already referenced by the current "
+                "snapshot"
+            )
+        hive_pv: dict | None = None
         if part_cols:
             segs = (
                 dict(s.split("=", 1) for s in rel.split("/")[:-1] if "=" in s)
@@ -4596,23 +4691,37 @@ def add_files_delta(
                 else {}
             )
             if all(c in segs for c in phys_parts):
-                pv = {c: segs[c] for c in phys_parts}
-            else:
-                pv = _footer_partition_values(ap, part_fields, p)
-        if rel in live:
-            raise BuzzBadRequestError(
-                f"file {p!r} is already referenced by the current "
-                "snapshot"
+                hive_pv = {c: segs[c] for c in phys_parts}
+        jobs.append((p, ap, rel, hive_pv))
+    # per-file footer work (verify + partition derivation + stats): a
+    # driver loop up to the schema-check threshold, ONE distributed task
+    # sweep past it — a 100k-file onboarding never loops footers on the
+    # driver
+    from .schema_check import DISTRIBUTE_THRESHOLD
+
+    cm_ids_arg = cm_ids if cm_mode == "id" else None
+    if len(jobs) > DISTRIBUTE_THRESHOLD:
+        res = _register_files_distributed(
+            spark,
+            [
+                (p, ap, hv is None and bool(part_cols))
+                for p, ap, _, hv in jobs
+            ],
+            file_schema, part_fields, cm_ids_arg, data_fields, phys,
+        )
+    else:
+        res = {
+            ap: _register_file_checks(
+                ap, p, hv is None and bool(part_cols), file_schema,
+                part_fields, cm_ids_arg, data_fields, phys,
             )
-        stats_rename = None
-        if cm_mode == "id":
-            to_logical = _verify_file_field_ids(ap, data_fields, cm_ids, p)
-            stats_rename = {
-                fname: phys.get(lname, lname)
-                for fname, lname in to_logical.items()
-            }
-        else:
-            verify_file_schema(file_schema, ap, "parquet")
+            for p, ap, _, hv in jobs
+        }
+    actions: list[dict] = []
+    reg: list[tuple[str, dict]] = []
+    for p, ap, rel, hive_pv in jobs:
+        derived_pv, stats = res[ap]
+        pv = hive_pv if hive_pv is not None else derived_pv
         reg.append((ap, pv))
         actions.append(
             {
@@ -4622,7 +4731,7 @@ def add_files_delta(
                     "partitionValues": pv,
                     "modificationTime": now_ms,
                     "dataChange": True,
-                    "stats": _file_stats_json(ap, rename=stats_rename),
+                    "stats": stats,
                 }
             }
         )

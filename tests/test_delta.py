@@ -3198,3 +3198,69 @@ def test_truncate_delta_metadata_only(spark, tmp_path):
     )
     with pytest.raises(BuzzBadRequestError, match="append"):
         truncate_delta(aroot)
+
+
+def test_add_files_delta_distributed_sweep(spark, tmp_path, monkeypatch):
+    """Past the schema-check threshold the per-file footer work (verify +
+    partition derivation + stats) runs as ONE distributed task sweep —
+    same results and same TYPED errors as the driver loop (threshold
+    lowered via monkeypatch)."""
+    from buzz_rust_spark.errors import BuzzBadRequestError, BuzzSchemaError
+    from buzz_rust_spark.sources import schema_check
+    from buzz_rust_spark.sources.delta_writer import (
+        add_files_delta,
+        write_delta,
+    )
+
+    monkeypatch.setattr(schema_check, "DISTRIBUTE_THRESHOLD", 1)
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(0, "x", "2019")], "id long, v string, y string"
+        ).coalesce(1),
+        root, partition_by=["y"],
+    )
+    exts = [
+        _loose_pq(
+            spark, str(tmp_path / "x" / f"e{i}.parquet"),
+            [(i + 1, f"v{i}", f"202{i}")], "id long, v string, y string",
+        )
+        for i in range(4)
+    ]
+    v = add_files_delta(spark, root, exts)
+    assert v == 1
+    cat = DeltaCatalog("t", root)
+    got = sorted((r.id, r.y) for r in cat.to_dataframe(spark).collect())
+    assert got == [
+        (0, "2019"), (1, "2020"), (2, "2021"), (3, "2022"), (4, "2023"),
+    ]
+    # stats recorded through the sweep (candidate pruning works)
+    assert all(
+        f.partitions for f in cat.files if "x/e" in f.key
+    )
+    # typed errors survive the executor round-trip with their class
+    bad = _loose_pq(
+        spark, str(tmp_path / "x" / "bad.parquet"),
+        [(9, 9, "2030")], "id long, v long, y string",  # v wrong type
+    )
+    with pytest.raises(BuzzSchemaError, match="type"):
+        add_files_delta(spark, root, [bad] + [
+            _loose_pq(
+                spark, str(tmp_path / "x" / f"g{i}.parquet"),
+                [(50 + i, "g", "2040")], "id long, v string, y string",
+            )
+            for i in range(3)
+        ])
+    impure = _loose_pq(
+        spark, str(tmp_path / "x" / "impure.parquet"),
+        [(60, "i", "2050"), (61, "i", "2051")],
+        "id long, v string, y string",
+    )
+    with pytest.raises(BuzzBadRequestError, match="spans"):
+        add_files_delta(spark, root, [impure] + [
+            _loose_pq(
+                spark, str(tmp_path / "x" / f"h{i}.parquet"),
+                [(70 + i, "h", "2060")], "id long, v string, y string",
+            )
+            for i in range(3)
+        ])

@@ -282,3 +282,86 @@ def test_update_delta_dv_mode(spark, tmp_path):
         for r in DeltaCatalog("t3", root).to_dataframe(spark).collect()
     )
     assert got2 == got
+
+
+def test_update_delta_column_mapped(spark, tmp_path):
+    """UPDATE (both modes) and CLONE compose with columnMapping mode=name
+    (rename-evolved tables): set expressions address LOGICAL names, files
+    stage physical."""
+    from buzz_rust_spark.sources.delta_writer import (
+        clone_delta,
+        evolve_delta,
+        merge_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        .coalesce(1),
+        root,
+    )
+    evolve_delta(root, rename_columns={"v": "val"})
+    update_delta(spark, root, {"val": "val + 5"}, "k = 2")
+    update_delta(spark, root, {"val": "val * 2"}, "k = 1", mode="dv")
+    got = sorted(
+        (r.k, r.val)
+        for r in DeltaCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(1, 20), (2, 25)]
+    dst = str(tmp_path / "c")
+    clone_delta(root, dst)
+    merge_delta(
+        spark, dst,
+        spark.createDataFrame([(3, 30)], "k long, val long"), ["k"],
+    )
+    got = sorted(
+        (r.k, r.val)
+        for r in DeltaCatalog("c", dst).to_dataframe(spark).collect()
+    )
+    assert got == [(1, 20), (2, 25), (3, 30)]
+
+
+def test_update_iceberg_stacks_with_cdc_deletes(spark, tmp_path):
+    """UPDATE composes with existing EQUALITY deletes (CDC history) and
+    POSITION deletes: replacements commit at a higher sequence so prior
+    eq-deletes never hit them, and a clone of the MOR state reads (and
+    mutates) independently."""
+    from buzz_rust_spark.sources.iceberg_writer import (
+        clone_iceberg,
+        delete_iceberg,
+        merge_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ).coalesce(1),
+        root,
+    )
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame([(2, 200), (4, 400)], "k long, v long"),
+        ["k"],
+    )
+    update_iceberg(spark, root, {"v": "v + 1"}, "k IN (2, 3)")
+    delete_iceberg(spark, root, "k = 1")
+    update_iceberg(spark, root, {"v": "v * 10"}, "k = 4")
+    got = sorted(
+        (x.k, x.v)
+        for x in IcebergCatalog("t", root).to_dataframe(spark).collect()
+    )
+    assert got == [(2, 201), (3, 31), (4, 4000)]
+    dst = str(tmp_path / "c")
+    clone_iceberg(root, dst)
+    update_iceberg(spark, dst, {"v": "0"}, "k = 2")
+    got_c = sorted(
+        (x.k, x.v)
+        for x in IcebergCatalog("c", dst).to_dataframe(spark).collect()
+    )
+    assert got_c == [(2, 0), (3, 31), (4, 4000)]
+    got_s = sorted(
+        (x.k, x.v)
+        for x in IcebergCatalog("s", root).to_dataframe(spark).collect()
+    )
+    assert got_s == got  # source untouched

@@ -4813,3 +4813,125 @@ def z59_iceberg_clone_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("clone").alias("tbl"), "doc_id", "source", "len")
     )
     return src_df.unionByName(dst_df).orderBy("tbl", "doc_id")
+
+
+@register(
+    "z60_streaming_upsert",
+    tags=("source", "pipeline", "streaming"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(LENGTH(text), 0) AS BIGINT) AS len
+  FROM documents ORDER BY doc_id LIMIT 90
+),
+base AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+cdc AS (  -- each key appears in EXACTLY ONE micro-batch (doc_id % 3
+          -- picks the batch), so the final state is batch-order-free
+  SELECT doc_id,
+         CASE WHEN len % 5 = 0 THEN 'tomb' ELSE 'n-' || source END
+           AS source,
+         len + 7 AS len
+  FROM docs
+),
+final AS (
+  -- matched + delete clause fired (tombstones)
+  -- matched + update fired: len = s.len, source keeps target
+  SELECT t.doc_id, t.source, s.len
+  FROM base t JOIN cdc s USING (doc_id) WHERE s.source <> 'tomb'
+  UNION ALL
+  -- unmatched target rows: no by-source clauses in the sinks here
+  SELECT t.doc_id, t.source, t.len
+  FROM base t ANTI JOIN cdc s USING (doc_id)
+  UNION ALL
+  -- inserts (conditional)
+  SELECT s.doc_id, s.source, s.len
+  FROM cdc s ANTI JOIN base t USING (doc_id) WHERE s.source <> 'tomb'
+)
+SELECT fmt, doc_id, source, len
+FROM final CROSS JOIN (SELECT UNNEST(['delta', 'iceberg']) AS fmt)
+ORDER BY fmt, doc_id
+""",
+)
+def z60_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CDC upsert SINKS on BOTH formats, ORACLE-checked
+    (round-12): a 3-micro-batch clause-CDC stream (one parquet file per
+    trigger; keys partitioned across batches so the final table state is
+    independent of batch order — what makes an exact DuckDB recompute
+    possible for a streaming pipeline) drains through
+    ``delta_upsert_sink`` and ``iceberg_upsert_sink`` with conditional
+    delete (tombstones), partial-column update, and a conditional
+    insert; each micro-batch commits atomically with its idempotence
+    marker (SetTransaction / snapshot-summary txn).  The Delta sink
+    lands clause merges as fired-file rewrites, the Iceberg sink as
+    merge-on-read eq-delete commits — one relational truth, three
+    executions (stream×2 + the SQL oracle).  Reference has no sinks
+    (SURVEY §2.A)."""
+    import tempfile
+
+    from ..sources.delta_catalog import DeltaCatalog
+    from ..sources.delta_writer import write_delta
+    from ..sources.iceberg import IcebergCatalog
+    from ..sources.iceberg_writer import write_iceberg
+    from ..streaming.delta_sink import delta_upsert_sink
+    from ..streaming.iceberg_sink import iceberg_upsert_sink
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(90)
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("len"),
+        )
+    )
+    base = docs.where("doc_id % 2 = 0")
+    cdc = docs.select(
+        "doc_id",
+        F.when(F.col("len") % 5 == 0, F.lit("tomb"))
+        .otherwise(F.concat(F.lit("n-"), F.col("source")))
+        .alias("source"),
+        (F.col("len") + 7).alias("len"),
+    )
+    d = tempfile.mkdtemp(prefix="z60_")
+    src = d + "/cdc"
+    # one file per batch, keys disjoint across batches (doc_id % 3)
+    for b in range(3):
+        cdc.where(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    clauses = [
+        {"action": "delete", "condition": "s.source = 'tomb'"},
+        {"action": "update", "condition": None, "set": {"len": "s.len"}},
+    ]
+    kw = dict(
+        matched_clauses=clauses,
+        not_matched_condition="s.source <> 'tomb'",
+    )
+    write_delta(base, d + "/delta")
+    q = delta_upsert_sink(
+        spark.readStream.schema(cdc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        d + "/delta", ["doc_id"],
+        checkpoint_dir=d + "/dckpt", app_id="z60-d", **kw,
+    )
+    q.awaitTermination(timeout=300)
+    write_iceberg(base, d + "/iceberg")
+    q = iceberg_upsert_sink(
+        spark.readStream.schema(cdc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        d + "/iceberg", ["doc_id"],
+        checkpoint_dir=d + "/ickpt", app_id="z60-i", **kw,
+    )
+    q.awaitTermination(timeout=300)
+    delta_df = (
+        DeltaCatalog("z60d", d + "/delta")
+        .to_dataframe(spark)
+        .select(F.lit("delta").alias("fmt"), "doc_id", "source", "len")
+    )
+    ice_df = (
+        IcebergCatalog("z60i", d + "/iceberg")
+        .to_dataframe(spark)
+        .select(F.lit("iceberg").alias("fmt"), "doc_id", "source", "len")
+    )
+    return delta_df.unionByName(ice_df).orderBy("fmt", "doc_id")

@@ -53,6 +53,7 @@ from .iceberg_writer import (
     merge_iceberg,
     rewrite_iceberg,
     clone_iceberg,
+    rewrite_iceberg_manifests,
     rollback_iceberg,
     set_iceberg_properties,
     tag_iceberg,
@@ -144,6 +145,7 @@ __all__ = [
     "clone_iceberg",
     "truncate_delta",
     "truncate_iceberg",
+    "rewrite_iceberg_manifests",
     "optimize_delta",
     "restore_delta",
     "set_delta_properties",

@@ -67,6 +67,7 @@ from ..errors import (
     BuzzBadRequestError,
     BuzzCommitAbortedError,
     BuzzExecutionError,
+    BuzzNotImplementedError,
     BuzzSchemaError,
 )
 from .write_store import commit_with_retry, default_store
@@ -3742,6 +3743,181 @@ def merge_iceberg(
             meta_f, txn_app_id, txn_version
         ):
             return None  # a peer committed our txn: idempotent no-op
+        return (version_f, meta_f)
+
+    return commit_with_retry(
+        _attempt, _refresh, (version, meta), max_commit_retries
+    )
+
+
+def rewrite_iceberg_manifests(
+    table_uri: str,
+    max_commit_retries: int = 5,
+    branch: str | None = None,
+    store=None,
+) -> dict | None:
+    """Consolidate the current snapshot's manifests into ONE manifest per
+    (content, partition-spec) group — Iceberg's ``rewrite_manifests``
+    maintenance action, METADATA-ONLY (no data or delete file touched):
+    after N small commits a scan plans N manifest decodes; consolidation
+    makes it O(specs).
+
+    Spec mechanics: live entries (status != DELETED) are re-emitted with
+    status EXISTING and their EFFECTIVE sequence numbers made EXPLICIT
+    (an entry that inherited its manifest's sequence at write time must
+    not inherit the REWRITE's — that would break equality/position
+    delete scoping, resurrecting or over-killing rows).  The new
+    manifest-list records carry existing (not added) counts, the
+    rewrite snapshot's sequence as ``sequence_number``, the true
+    ``min_sequence_number`` over the carried entries, and recomputed
+    partition summaries so manifest SKIPPING keeps pruning.  Returns a
+    commit summary, or None when there is nothing to consolidate
+    (≤1 manifest per group already).  Unwritable partition transforms
+    refuse typed (their entry schema cannot be re-emitted)."""
+    if branch == "main":
+        branch = None
+    root = _local_table_dir(table_uri)
+    version, meta = _load_v2_meta(root, table_uri)
+    meta_dir = os.path.join(root, "metadata")
+    prev = _prev_manifests(meta, _branch_head(meta, branch))
+    by_group: dict[tuple[int, int], list[dict]] = {}
+    for m in prev:
+        key = (
+            int(m.get("content") or 0),
+            int(m.get("partition_spec_id") or 0),
+        )
+        by_group.setdefault(key, []).append(m)
+    if not any(len(ms) > 1 for ms in by_group.values()):
+        return None
+
+    sid = meta.get("current-schema-id", 0)
+    schema_json = next(
+        s for s in meta["schemas"] if s.get("schema-id") == sid
+    )
+    spec_fields_by_id = {
+        int(s.get("spec-id") or 0): s["fields"]
+        for s in meta.get("partition-specs", [])
+    }
+
+    # decode every live entry, resolve its EFFECTIVE sequence numbers,
+    # and re-emit as EXISTING — grouped per (content, spec)
+    consolidated: list[tuple[tuple[int, int], list[dict], list[dict]]] = []
+    for (content, spec_id), ms in sorted(by_group.items()):
+        entries_out: list[dict] = []
+        for m in ms:
+            mseq = int(m.get("sequence_number") or 0)
+            with open(m["manifest_path"], "rb") as fh:
+                _, entries = decode_avro_file(fh.read())
+            for e in entries:
+                if int(e.get("status") or 0) == 2:  # DELETED
+                    continue
+                eseq = e.get("sequence_number")
+                seq = int(eseq) if eseq is not None else mseq
+                fseq = e.get("file_sequence_number")
+                entries_out.append(
+                    {
+                        "status": 0,  # EXISTING
+                        "snapshot_id": e.get("snapshot_id"),
+                        "sequence_number": seq,
+                        "file_sequence_number": (
+                            int(fseq) if fseq is not None else seq
+                        ),
+                        "data_file": e["data_file"],
+                    }
+                )
+        try:
+            part_fields = _partition_context(
+                schema_json, spec_fields_by_id.get(spec_id, [])
+            )
+        except BuzzBadRequestError as exc:
+            raise BuzzNotImplementedError(
+                f"rewrite_iceberg_manifests: spec {spec_id} has a "
+                f"partition transform this writer cannot re-emit ({exc})"
+            )
+        consolidated.append(((content, spec_id), part_fields, entries_out))
+
+    now_ms = int(time.time() * 1000)
+
+    def _attempt(state):
+        version_a, meta_a = state
+        seq = int(meta_a.get("last-sequence-number", 0)) + 1
+        snap_id = uuid.uuid4().int >> 65
+        recs: list[dict] = []
+        for (content, spec_id), part_fields, entries_out in consolidated:
+            if not entries_out:
+                continue
+            path = _write_manifest(
+                meta_dir, entries_out, part_fields, schema_json, spec_id,
+                "data" if content == 0 else "deletes",
+            )
+            rows = sum(
+                int(e["data_file"]["record_count"]) for e in entries_out
+            )
+            summaries = None
+            if part_fields:
+                summaries = _part_summaries(
+                    [
+                        {
+                            "partition": {
+                                (pf.get("group_col") or pf["source_name"]):
+                                    (e["data_file"].get("partition") or {})
+                                    .get(pf["name"])
+                                for pf in part_fields
+                            }
+                        }
+                        for e in entries_out
+                    ],
+                    part_fields,
+                )
+            recs.append(
+                {
+                    "manifest_path": path,
+                    "manifest_length": os.path.getsize(path),
+                    "partition_spec_id": spec_id,
+                    "content": content,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        e["sequence_number"] for e in entries_out
+                    ),
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": 0,
+                    "existing_files_count": len(entries_out),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": rows,
+                    "deleted_rows_count": 0,
+                    "partitions": summaries,
+                }
+            )
+        mlist_path = _write_manifest_list(meta_dir, snap_id, seq, recs)
+        new_version = _finish_commit(
+            root, version_a, dict(meta_a), snap_id, seq, now_ms,
+            mlist_path, meta_a.get("current-schema-id", 0), "replace",
+            {
+                "manifests-replaced": str(len(prev)),
+                "manifests-created": str(len(recs)),
+            },
+            log_prior_metadata=True, store=store, branch=branch,
+        )
+        return {
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "metadata_version": new_version,
+            "manifests_replaced": len(prev),
+            "manifests_created": len(recs),
+            "operation": "replace",
+        }
+
+    def _refresh():
+        version_f, meta_f = _load_v2_meta(root, table_uri)
+        fresh = _prev_manifests(meta_f, _branch_head(meta_f, branch))
+        if [m["manifest_path"] for m in fresh] != [
+            m["manifest_path"] for m in prev
+        ]:
+            raise BuzzCommitAbortedError(
+                "the manifest set changed concurrently — re-run "
+                "rewrite_iceberg_manifests against the current table"
+            )
         return (version_f, meta_f)
 
     return commit_with_retry(

@@ -3302,3 +3302,79 @@ def test_clone_iceberg_shallow(spark, tmp_path):
         clone_iceberg(src, dst)
     with pytest.raises(BuzzBadRequestError, match="not found"):
         clone_iceberg(src, str(tmp_path / "x"), snapshot_id=12345)
+
+
+def test_rewrite_iceberg_manifests(spark, tmp_path):
+    """Manifest consolidation (rewrite_manifests): metadata-only, one
+    manifest per (content, spec) group, EXISTING entries with EXPLICIT
+    effective sequence numbers — reads identical, equality-delete
+    scoping intact for both carried and future commits, partition
+    summaries recomputed so manifest skipping keeps pruning."""
+    from buzz_rust_spark.sources.iceberg import IcebergCatalog
+    from buzz_rust_spark.sources.iceberg_writer import (
+        delete_iceberg,
+        merge_iceberg,
+        rewrite_iceberg_manifests,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 10, "2020"), (2, 20, "2020")], "k long, v long, y string"
+        ).coalesce(1),
+        root, partition_by=["y"],
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, 30, "2021")], "k long, v long, y string"
+        ).coalesce(1),
+        root, mode="append", partition_by=["y"],
+    )
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame(
+            [(2, 200, "2020"), (4, 400, "2021")], "k long, v long, y string"
+        ),
+        ["k"],
+    )
+    delete_iceberg(spark, root, "k = 1")
+    before = sorted(
+        (x.k, x.v, x.y)
+        for x in IcebergCatalog("b", root).to_dataframe(spark).collect()
+    )
+    r = rewrite_iceberg_manifests(root)
+    assert r is not None and r["operation"] == "replace"
+    assert r["manifests_created"] < r["manifests_replaced"]
+    after = sorted(
+        (x.k, x.v, x.y)
+        for x in IcebergCatalog("a", root).to_dataframe(spark).collect()
+    )
+    assert after == before
+    # partition-filtered read over consolidated manifests still prunes
+    # and answers exactly
+    cat = IcebergCatalog("p", root)
+    got = sorted(
+        (x.k, x.y)
+        for x in cat.to_dataframe(
+            spark, partition_filter="y = '2021'"
+        ).collect()
+    )
+    assert got == [(3, "2021"), (4, "2021")]
+    # sequence scoping survives: a post-consolidation merge's eq-delete
+    # must kill the OLD row only, never its own replacement
+    merge_iceberg(
+        spark, root,
+        spark.createDataFrame(
+            [(2, 2000, "2020")], "k long, v long, y string"
+        ),
+        ["k"],
+    )
+    rows = sorted(
+        (x.k, x.v)
+        for x in IcebergCatalog("a2", root).to_dataframe(spark).collect()
+    )
+    assert rows == [(2, 2000), (3, 30), (4, 400)]
+    # idempotent once consolidated
+    rewrite_iceberg_manifests(root)
+    assert rewrite_iceberg_manifests(root) is None

@@ -56,6 +56,13 @@ def asof_join(
     rpayload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
     )
+    from pyspark.sql.types import StructField, StructType
+
+    _right_schema = right.schema
+    _rval_type = StructType(
+        [StructField("__ts", _right_schema[right_ts].dataType, True)]
+        + [StructField(c, _right_schema[c].dataType, True) for c in right_cols]
+    )
     # A null-timestamp right row can never legitimately be "at or before"
     # anything; left in, it sorts NULLS FIRST under the backward ordering and
     # becomes a universal earliest match.  Drop such rows up front.
@@ -70,7 +77,12 @@ def asof_join(
         *[F.col(c) for c in by],
         F.col(left_ts).alias("__event_ts"),
         F.lit(0).alias("__is_right"),
-        F.lit(None).cast(tagged_right.schema["__rval"].dataType).alias("__rval"),
+        # the payload struct type is derived from right.schema (already
+        # fetched) instead of tagged_right.schema: a mid-plan .schema access
+        # forces a full JVM analysis of the tagged plan that the final action
+        # does not reuse — ~100 ms of driver latency per asof call for a
+        # type we can compute locally (round-12 profile; guide §1.2)
+        F.lit(None).cast(_rval_type).alias("__rval"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
     unioned = tagged_right.unionByName(tagged_left)
@@ -113,7 +125,9 @@ def asof_join(
     if tolerance_seconds is not None:
         # Type-aware epoch extraction: ts columns read from TIMESTAMP(NANOS)
         # parquet are TIMESTAMP_NTZ in Spark 4, which cannot cast to double.
-        ts_type = unioned.schema["__event_ts"].dataType
+        # derived locally (union input types must already agree) — avoids
+        # another mid-plan .schema analysis, same rationale as _rval_type
+        ts_type = left.schema[left_ts].dataType
         match_ts_type = right.schema[right_ts].dataType
         distance = F.abs(
             epoch_seconds(F.col("__event_ts"), ts_type)

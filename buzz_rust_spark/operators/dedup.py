@@ -99,35 +99,60 @@ def _with_shingles(
     )
 
 
-def _exploded_shingle_index(
+def _hashed_shingle_docs(
     df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str
 ) -> DataFrame:
-    """(doc id, doc shingle count, shingle hash) inverted index, one row per
-    (doc, shingle).
+    """PERSISTED (_id, _hs array<long>) — each document's distinct shingle
+    hashes, shingled and hashed exactly ONCE per document.
 
-    The explode is built INLINE over the shingle expression: feeding a
-    generator from a prior projection makes Spark re-evaluate the (expensive)
-    shingle construction once per *output* row instead of once per document —
-    measured ~10× slower on this corpus.  Keep generator inputs inline.
-
-    ``_n`` (the document's distinct-shingle count, needed for the Jaccard
-    denominator) rides along on every index row.  It MUST be computed in a
-    projection BELOW the Generate so it evaluates once per DOCUMENT and is
-    passed through: referencing size(shingles) in the same select as the
-    explode puts it in the Generate's PARENT project, i.e. once per shingle
-    (measured 8× slower).  Net cost: one extra shingle pass per document at
-    index build, which removes a whole per-doc aggregation + two downstream
-    joins that round 2 spent re-deriving sizes from the index."""
-    with_n = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col),
-        F.size(word_shingles(F.col(text_col), n)).alias("_n"),
+    This is the round-12 shared index base (guide §1.2 "the distributed
+    algorithm" + §8 "decide with small rows"): the tokenize+shingle pass is
+    the CPU cost of every Jaccard-family operator, and the persist is the
+    materialization barrier that lets every downstream branch — size
+    (= Jaccard denominator), explode (inverted index), MinHash signatures,
+    verification joins — read the 8-byte hash arrays instead of re-deriving
+    shingle strings.  Before round 12 the d02 index computed
+    ``word_shingles`` twice per document (once for the size, once as the
+    generator input, because a non-materialized projection below a Generate
+    gets collapsed into per-output-row re-evaluation); profiling showed its
+    index stage 3× slower than d03's equivalent cached stage on the same
+    corpus.  Cache size ≈ one 8-byte hash per shingle — the same order as
+    the posting-list aggregation the dense path already persists, and the
+    exact relation ``minhash_lsh_pairs`` has always cached as ``shh``."""
+    return persist_tracked(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                word_shingles(F.col(text_col), n),
+                lambda s: hash_column(s, hash_fn),
+            ).alias("_hs"),
+        )
     )
-    return with_n.select(
+
+
+def _exploded_shingle_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hash_fn: str,
+    _docs_hs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc id, doc shingle count, shingle hash) inverted index, one row per
+    (doc, shingle), built from the persisted hash arrays: the Generate's
+    input is a cached column, so shingling runs once per document and ``_n``
+    (the Jaccard denominator, = size of the cached array) is free.
+    ``_docs_hs`` lets a caller share one persisted base across branches."""
+    docs_hs = (
+        _docs_hs
+        if _docs_hs is not None
+        else _hashed_shingle_docs(df, text_col, id_col, n, hash_fn)
+    )
+    return docs_hs.select(
         "_id",
-        "_n",
-        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
-    ).select("_id", "_n", hash_column(F.col("_s"), hash_fn).alias("_h"))
+        F.size("_hs").alias("_n"),
+        F.explode("_hs").alias("_h"),
+    )
 
 
 # Σ df² (the dense path's candidate-pair volume) above which the AUTO
@@ -206,9 +231,12 @@ def ngram_jaccard_pairs(
                 ).alias("_ids")
             )
         )
-        est = all_buckets.agg(
-            F.sum(F.size("_ids").cast("long") * F.size("_ids")).alias("_s")
-        ).first()["_s"] or 0
+        probe = all_buckets.agg(
+            F.sum(F.size("_ids").cast("long") * F.size("_ids")).alias("_s"),
+            F.max(F.size("_ids")).alias("_max"),
+        ).first()
+        est = probe["_s"] or 0
+        max_bucket = probe["_max"] or 0
         if est > PREFIX_AUTO_PAIR_BUDGET:
             # run the prefix path EXACTLY as the opt-in form would — a
             # bucket-reuse variant (re-deriving the index and df relation
@@ -223,7 +251,19 @@ def ngram_jaccard_pairs(
                 shingle_df_cap,
             )
         return _ngram_jaccard_dense(
-            None, threshold, shingle_df_cap,
+            None, threshold,
+            # The probe already knows the LARGEST posting list.  When no
+            # bucket exceeds the cap, the hot relation is empty BY
+            # CONSTRUCTION (`where(size > cap)` matches nothing) and the
+            # correction joins add size(intersect([],[])) = 0 — so eliding
+            # the whole hot subtree is result-identical while removing two
+            # broadcast-build jobs and two joins from the plan (guide §2.4:
+            # remove shuffles/passes outright; §1.2 order-of-operations).
+            # The cap still bounds candidate generation whenever a hot
+            # bucket actually exists.
+            shingle_df_cap
+            if (shingle_df_cap is not None and max_bucket > shingle_df_cap)
+            else None,
             _buckets=all_buckets.where(F.size("_ids") > 1),
         )
     if prefix_filter and threshold > 0:
@@ -501,14 +541,20 @@ def minhash_signatures(
             ).alias("_hashes"),
         )
 
-    def permuted_min(a: int, b: int):
-        # closure factory: keeps the lambda unary (pyspark derives the
-        # higher-order-function arity from the Python signature)
-        return F.array_min(
-            F.transform(F.col("_hashes"), lambda h: (a * h + b) % MINHASH_PRIME)
-        )
-
-    sig = F.array(*[permuted_min(a, b) for a, b in params])
+    # One SQL-parsed expression instead of k × (transform + array_min)
+    # Column/lambda constructions: building each pyspark lambda costs several
+    # py4j round trips, and at k=32 the DRIVER spent ~0.9 s per call just
+    # constructing this expression tree (profiled round 12 — d03's build time
+    # was 1.27 s against 1.86 s of actual execution).  The parsed tree is the
+    # SAME expression (a_i * h + b_i) % p folded through array_min, so plans
+    # and results are bit-identical; only the construction path changes
+    # (guide §1.2: per-task work includes the driver's fixed costs at small
+    # scale).  Literals carry the L suffix so arithmetic stays int64.
+    terms = ",".join(
+        f"array_min(transform(_hashes, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L))"
+        for a, b in params
+    )
+    sig = F.expr(f"array({terms})")
     return hashed.select(F.col("_id").alias(id_col), sig.alias("signature"))
 
 
@@ -520,15 +566,17 @@ def band_signatures(
     xxhash64 of the band slice — an 8-byte join key either way (string
     concat digests shuffle several× more bytes and compare slower)."""
     r = rows_per_band
+    # single parsed expression for the same reason as minhash_signatures'
+    # permutation array: k Column constructions → one JVM parse
     if r == 1:
-        digests = [F.col("signature")[j] for j in range(bands)]
+        digests = ",".join(f"signature[{j}]" for j in range(bands))
     else:
-        digests = [
-            F.xxhash64(F.slice("signature", j * r + 1, r)) for j in range(bands)
-        ]
+        digests = ",".join(
+            f"xxhash64(slice(signature, {j * r + 1}, {r}))" for j in range(bands)
+        )
     return sigs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.array(*digests)).alias("_band", "_digest"),
+        F.posexplode(F.expr(f"array({digests})")).alias("_band", "_digest"),
     )
 
 
@@ -559,16 +607,9 @@ def minhash_lsh_pairs(
     # re-shingling the corpus three times, and carrying 8-byte hashes instead
     # of shingle strings keeps the verification join rows ~10× narrower (the
     # Jaccard over distinct hashes equals the Jaccard over distinct shingles
-    # modulo 64-bit collisions).
-    sh = _with_shingles(df, text_col, id_col, n)
-    shh = persist_tracked(
-        sh.select(
-            "_id",
-            F.transform(F.col("_shingles"), lambda s: hash_column(s, hash_fn)).alias(
-                "_hs"
-            ),
-        )
-    )
+    # modulo 64-bit collisions).  Shared helper since round 12 — the same
+    # relation is now also the d02/d11 index base.
+    shh = _hashed_shingle_docs(df, text_col, id_col, n, hash_fn)
     # Persist signatures too: the band posexplode below would otherwise
     # re-evaluate the full 32-permutation signature expression per emitted
     # band row (generator-input re-evaluation, see _exploded_shingle_index).

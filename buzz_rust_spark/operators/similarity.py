@@ -464,9 +464,10 @@ def cosine_topk_ivf(
 def allpairs_cosine_blocked(
     vectors: DataFrame,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_block_rows: int = 2048,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ ``threshold`` via blocked matrix multiply.
 
@@ -476,6 +477,17 @@ def allpairs_cosine_blocked(
     side's data is replicated ~n_blocks/2 times, but every comparison happens
     inside vectorized numpy instead of per-pair interpreted expressions).
     Output: (id_1 < id_2, cosine), cosine rounded to 6 dp.
+
+    ``n_blocks=None`` (default since round 12) derives the block count from
+    the corpus size — ``ceil(n / target_block_rows)`` — instead of a
+    constant tuned for one scale (guide §2: partitioning must be
+    scale-adaptive).  The count is one metadata-cheap job; block pairs grow
+    as n_blocks²/2, so a constant 8 pays 36 Python group round-trips and 8×
+    input replication even on a corpus small enough for one BLAS call, while
+    at larger n the derived count keeps every sims block ≈
+    ``target_block_rows²`` (≤ ~34 MB of float64 at the default) — bounded
+    task memory at any scale.  The result is exact either way, so the
+    blocking factor changes nothing downstream.
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -492,6 +504,10 @@ def allpairs_cosine_blocked(
             StructField("cosine", DoubleType()),
         ]
     )
+
+    if n_blocks is None:
+        n = vectors.count()
+        n_blocks = max(1, -(-n // target_block_rows))
 
     base = vectors.select(
         F.col(id_col).cast("long").alias("_id"),

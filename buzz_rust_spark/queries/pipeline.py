@@ -224,9 +224,13 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4, exact) via blocked
     matrix multiply — each block pair is one BLAS matmul task instead of
     per-pair interpreted expressions (~10× faster than the theta-join form,
-    and the shape that scales: work is spread over n_blocks² tasks)."""
+    and the shape that scales: work is spread over n_blocks² tasks).
+    Round 12: the block count is derived from the corpus size (one
+    metadata-cheap count) instead of a constant 8 — exact results either
+    way, but a small corpus no longer pays 36 Python group round-trips and
+    8× replication, while a large one still gets bounded-memory blocks."""
     return S.allpairs_cosine_blocked(
-        load(spark, sf_dir, "embeddings"), threshold=0.4, n_blocks=8
+        load(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 

@@ -80,8 +80,31 @@ def all_queries() -> dict[str, QueryDef]:
     return dict(_REGISTRY)
 
 
+# Session-scoped parquet SCHEMA memo (weak keys: dies with the session).
+# `spark.read.parquet(path)` infers the schema from the file footer on EVERY
+# call — measured 100-250 ms of driver time per call on this host, and the
+# bench queries make ~25 load() calls per pass over a fixed set of tables.
+# Passing the schema explicitly skips the inference entirely (guide §1.2:
+# driver-side fixed costs dominate small-scale latency; at cluster scale a
+# real catalog serves schemas for exactly this reason — path-based access
+# re-inferring per query is the anti-pattern).  Only METADATA is memoized —
+# never data, never results; every action still scans the parquet inputs.
+import weakref
+
+_SCHEMA_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, object]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    memo = _SCHEMA_MEMO.setdefault(spark, {})
+    schema = memo.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        memo[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if table == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS): Spark 4 reads it
         # natively as TIMESTAMP_NTZ (micros truncation).  If the hosting

@@ -627,6 +627,34 @@ def test_ngram_cap_hot_correction_keeps_jaccard_exact(spark):
     assert capped[(1, 2)] == pytest.approx(uncapped[(1, 2)])
 
 
+def test_ngram_auto_elides_hot_branch_when_no_bucket_is_hot(spark, docs):
+    """Round-12 optimization pin: the auto path's probe already reads the max
+    posting-list size, so when NO bucket exceeds the df-cap the (provably
+    empty) hot-correction join subtree must be elided from the plan — and
+    when a bucket IS hot, the subtree must stay."""
+    from buzz_rust_spark.operators.dedup import ngram_jaccard_pairs
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # default cap (10k) >> every df on the tiny corpus → subtree elided
+    cold = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    assert "array_intersect" not in plan_of(cold)
+    # cap=1 makes every shared shingle hot → subtree present
+    hot = ngram_jaccard_pairs(docs, n=3, threshold=0.5, shingle_df_cap=1)
+    assert "array_intersect" in plan_of(hot)
+    # and the elided plan still returns the exact pairs of the static path
+    static = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, prefix_filter=False
+    )
+    as_set = lambda df: {  # noqa: E731
+        (r["id_1"], r["id_2"], round(r["jaccard"], 6)) for r in df.collect()
+    }
+    assert as_set(cold) == as_set(static) and as_set(cold)
+
+
 def test_salted_aggregate_nullable_count(spark):
     """count partial must skip nulls like F.count(col) in a plain group-by
     (COUNT(*) would overcount nullable inputs)."""

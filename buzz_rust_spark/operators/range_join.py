@@ -55,6 +55,12 @@ def range_join(
             f"ambiguous columns on both sides of range join: {sorted(overlap)}"
         )
 
+    # Deliberately NOT ensure_parallelism'd (round-12 A/B): repartitioning a
+    # single-row-group points side before the probe measured ~45% SLOWER
+    # (med 1.61 s vs 1.10 s) — the per-row work here is a codegen'd hash
+    # probe + comparison, far too cheap to pay a shuffle of the full rows
+    # for local parallelism (guide §2.4: remove shuffles, don't add them).
+    # At real scale the scan arrives with many splits and is parallel anyway.
     p = points.withColumn("__b", _bucket(points, point_col, bucket_width))
     iv = intervals.withColumn(
         "__b",

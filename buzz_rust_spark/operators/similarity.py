@@ -67,13 +67,16 @@ def cosine_topk_bruteforce(
     )
 
     query_id_col = query_id_col or id_col
-    qrows = (
+    # collect unordered and sort driver-side: an orderBy before collect costs
+    # an AQE sort stage (profiled as 2 extra jobs per call) to order rows
+    # Python can sort in microseconds (guide §5: the driver should do almost
+    # no data work — but sorting k rows it already holds is not data work)
+    qrows = sorted(
         queries.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             as_double_array(F.col(vec_col)).alias("_qv"),
-        )
-        .orderBy("query_id")
-        .collect()
+        ).collect(),
+        key=lambda r: r["query_id"],
     )
     if not qrows:
         empty = [
@@ -152,7 +155,14 @@ def cosine_topk_bruteforce(
             )
 
     # null vectors are dropped JVM-side (a null row can't be a neighbor and
-    # would fail np.stack); ids must be integral — documented requirement
+    # would fail np.stack); ids must be integral — documented requirement.
+    # Deliberately NOT ensure_parallelism'd: spreading this tiny corpus's
+    # BLAS pass over 32 Python tasks was measured 2.1-2.5x SLOWER than the
+    # single-task stage (780-930 ms vs 375 ms) — each fresh Python worker
+    # pays its numpy/pandas import before the first batch, which dwarfs the
+    # matmul at this scale (guide §1.1: a "fresh ideal plan" losing to the
+    # gotcha; §4.5 worker-init cost).  At real scale the scan arrives with
+    # many splits and is already parallel without any repartition.
     candidates = (
         corpus.select(
             F.col(id_col).cast("long").alias("_id"),

@@ -103,22 +103,15 @@ def _hashed_shingle_docs(
     df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str
 ) -> DataFrame:
     """PERSISTED (_id, _hs array<long>) — each document's distinct shingle
-    hashes, shingled and hashed exactly ONCE per document.
-
-    This is the round-12 shared index base (guide §1.2 "the distributed
-    algorithm" + §8 "decide with small rows"): the tokenize+shingle pass is
-    the CPU cost of every Jaccard-family operator, and the persist is the
-    materialization barrier that lets every downstream branch — size
-    (= Jaccard denominator), explode (inverted index), MinHash signatures,
-    verification joins — read the 8-byte hash arrays instead of re-deriving
-    shingle strings.  Before round 12 the d02 index computed
-    ``word_shingles`` twice per document (once for the size, once as the
-    generator input, because a non-materialized projection below a Generate
-    gets collapsed into per-output-row re-evaluation); profiling showed its
-    index stage 3× slower than d03's equivalent cached stage on the same
-    corpus.  Cache size ≈ one 8-byte hash per shingle — the same order as
-    the posting-list aggregation the dense path already persists, and the
-    exact relation ``minhash_lsh_pairs`` has always cached as ``shh``."""
+    hashes (the relation ``minhash_lsh_pairs`` has always cached as
+    ``shh``).  ONLY for callers that re-read the arrays several times
+    (signatures + two verification join sides): a round-12 experiment that
+    based the d02 inverted index on this cache was REVERTED — at sf1 the
+    columnar cache materialization of the array column cost ~12 s where the
+    inline double-evaluation index pipeline builds the whole exploded index
+    in ~4 s (cache write of array<long> is far slower than recomputing the
+    shingles; guide §5 "caching is only worth it when recomputing is more
+    expensive than the pressure it creates")."""
     return persist_tracked(
         ensure_parallelism(df).select(
             F.col(id_col).alias("_id"),
@@ -131,28 +124,36 @@ def _hashed_shingle_docs(
 
 
 def _exploded_shingle_index(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int,
-    hash_fn: str,
-    _docs_hs: DataFrame | None = None,
+    df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str
 ) -> DataFrame:
     """(doc id, doc shingle count, shingle hash) inverted index, one row per
-    (doc, shingle), built from the persisted hash arrays: the Generate's
-    input is a cached column, so shingling runs once per document and ``_n``
-    (the Jaccard denominator, = size of the cached array) is free.
-    ``_docs_hs`` lets a caller share one persisted base across branches."""
-    docs_hs = (
-        _docs_hs
-        if _docs_hs is not None
-        else _hashed_shingle_docs(df, text_col, id_col, n, hash_fn)
+    (doc, shingle).
+
+    The explode is built INLINE over the shingle expression: feeding a
+    generator from a prior projection makes Spark re-evaluate the (expensive)
+    shingle construction once per *output* row instead of once per document —
+    measured ~10× slower on this corpus.  Keep generator inputs inline.
+
+    ``_n`` (the document's distinct-shingle count, needed for the Jaccard
+    denominator) rides along on every index row.  It MUST be computed in a
+    projection BELOW the Generate so it evaluates once per DOCUMENT and is
+    passed through: referencing size(shingles) in the same select as the
+    explode puts it in the Generate's PARENT project, i.e. once per shingle
+    (measured 8× slower).  Net cost: one extra shingle pass per document at
+    index build — round 12 re-measured the alternative (persist the hash
+    arrays once, explode from cache): the columnar cache write of the array
+    column was ~3× the cost of the whole inline pipeline at sf1, so the
+    double evaluation stays (numbers in ``_hashed_shingle_docs``)."""
+    with_n = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col),
+        F.size(word_shingles(F.col(text_col), n)).alias("_n"),
     )
-    return docs_hs.select(
+    return with_n.select(
         "_id",
-        F.size("_hs").alias("_n"),
-        F.explode("_hs").alias("_h"),
-    )
+        "_n",
+        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+    ).select("_id", "_n", hash_column(F.col("_s"), hash_fn).alias("_h"))
 
 
 # Σ df² (the dense path's candidate-pair volume) above which the AUTO

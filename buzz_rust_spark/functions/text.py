@@ -45,10 +45,25 @@ def tokens(col: Column) -> Column:
     )
 
 
-def word_shingles(col: Column, n: int) -> Column:
-    """Distinct word n-grams (space-joined) of the normalized text.
-    Documents with fewer than n tokens yield a single shingle of all tokens."""
-    toks = tokens(col)
+def word_shingles_of(toks: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) over an ALREADY-TOKENIZED array
+    column.  Documents with fewer than n tokens yield a single shingle of
+    all tokens.
+
+    Prefer this over :func:`word_shingles` whenever the caller can stage the
+    token array in its own projection first (``select(tokens(col).alias(t))``
+    then shingle over the attribute): ``toks`` is referenced four times here
+    — including from inside the ``slice`` lambda, which higher-order
+    functions evaluate INTERPRETED, once per output element — so handing in
+    the raw text column re-runs the regex tokenization once per *shingle*
+    rather than once per document.  Round-12 A/B on the sf1 corpus: staging
+    the token array cut the d02 inverted-index stage 7.4→3.0 s and d03's
+    hashed-shingle base 4.0→1.5 s, byte-identical results (the staging
+    projection survives CollapseProject exactly because the alias is
+    referenced repeatedly by non-trivial expressions).  Do NOT go further
+    and stage the SHINGLE array as a bare generator input: that variant
+    measured 3–8× SLOWER (probe record in OPTIMIZATION_r12.md) — keep the
+    shingle construction an inline expression over the token attribute."""
     return F.array_distinct(
         F.when(
             F.size(toks) <= n,
@@ -60,6 +75,13 @@ def word_shingles(col: Column, n: int) -> Column:
             )
         )
     )
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) of the normalized text.
+    Documents with fewer than n tokens yield a single shingle of all tokens.
+    See :func:`word_shingles_of` for the staged-tokens form hot paths use."""
+    return word_shingles_of(tokens(col), n)
 
 
 def portable_hash(col: Column) -> Column:

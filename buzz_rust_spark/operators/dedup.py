@@ -30,6 +30,7 @@ from ..functions.text import (
     normalize_text,
     tokens,
     word_shingles,
+    word_shingles_of,
 )
 
 _LOG = logging.getLogger(__name__)
@@ -93,9 +94,23 @@ def _with_shingles(
 ) -> DataFrame:
     # Shingling is the CPU-heavy narrow stage: spread single-row-group inputs
     # across cores first (no-op on well-split inputs).
+    return _tokenized(df, text_col, id_col).select(
+        "_id",
+        word_shingles_of(F.col("_tk"), n).alias("_shingles"),
+    )
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _tk array<string>) — the token array STAGED in its own
+    projection so every downstream shingle expression reads the attribute
+    instead of re-running the regex tokenization (which `word_shingles_of`'s
+    slice lambda would otherwise re-evaluate once per ELEMENT — see that
+    docstring for the round-12 A/B numbers).  The projection survives
+    CollapseProject because `_tk` is referenced repeatedly by non-cheap
+    expressions; nothing is persisted."""
     return ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_shingles"),
+        tokens(F.col(text_col)).alias("_tk"),
     )
 
 
@@ -113,10 +128,10 @@ def _hashed_shingle_docs(
     shingles; guide §5 "caching is only worth it when recomputing is more
     expensive than the pressure it creates")."""
     return persist_tracked(
-        ensure_parallelism(df).select(
-            F.col(id_col).alias("_id"),
+        _tokenized(df, text_col, id_col).select(
+            "_id",
             F.transform(
-                word_shingles(F.col(text_col), n),
+                word_shingles_of(F.col("_tk"), n),
                 lambda s: hash_column(s, hash_fn),
             ).alias("_hs"),
         )
@@ -129,30 +144,38 @@ def _exploded_shingle_index(
     """(doc id, doc shingle count, shingle hash) inverted index, one row per
     (doc, shingle).
 
-    The explode is built INLINE over the shingle expression: feeding a
-    generator from a prior projection makes Spark re-evaluate the (expensive)
-    shingle construction once per *output* row instead of once per document —
-    measured ~10× slower on this corpus.  Keep generator inputs inline.
+    The explode input is an inline EXPRESSION over the staged token
+    attribute (``_tokenized``): three round-12 A/B probes fixed this exact
+    shape (all sf1, byte-identical checksums, numbers in
+    OPTIMIZATION_r12.md):
+
+    - token array materialized below, shingle expression inline → index
+      stage 7.4→3.0 s (the regex tokenization no longer re-runs inside the
+      slice lambda once per shingle);
+    - shingle ARRAY materialized below and fed to the generator as a bare
+      attribute → 3–8× SLOWER than even the old double-evaluation form;
+      keep generator inputs expressions;
+    - persisted hash-array base (the round-12 cache experiment, REVERTED):
+      the columnar cache write alone cost ~3× the whole inline pipeline.
 
     ``_n`` (the document's distinct-shingle count, needed for the Jaccard
     denominator) rides along on every index row.  It MUST be computed in a
     projection BELOW the Generate so it evaluates once per DOCUMENT and is
     passed through: referencing size(shingles) in the same select as the
     explode puts it in the Generate's PARENT project, i.e. once per shingle
-    (measured 8× slower).  Net cost: one extra shingle pass per document at
-    index build — round 12 re-measured the alternative (persist the hash
-    arrays once, explode from cache): the columnar cache write of the array
-    column was ~3× the cost of the whole inline pipeline at sf1, so the
-    double evaluation stays (numbers in ``_hashed_shingle_docs``)."""
-    with_n = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col),
-        F.size(word_shingles(F.col(text_col), n)).alias("_n"),
+    (measured 8× slower).  The shingle expression is still evaluated twice
+    per document (size + explode) — over the token attribute that is cheap,
+    and both cache-based alternatives measured slower."""
+    sh = word_shingles_of(F.col("_tk"), n)
+    with_n = _tokenized(df, text_col, id_col).select(
+        "_id",
+        "_tk",
+        F.size(sh).alias("_n"),
     )
     return with_n.select(
         "_id",
         "_n",
-        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+        F.explode(sh).alias("_s"),
     ).select("_id", "_n", hash_column(F.col("_s"), hash_fn).alias("_h"))
 
 

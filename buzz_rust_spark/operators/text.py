@@ -142,8 +142,12 @@ def language_id(
     matches.  ``LANG_CHAR_MODE`` languages (no whitespace word boundaries)
     count distinct marker CHARACTERS contained in the text instead of token
     intersections."""
-    toks = tokens(F.col(text_col))
-    lowered = F.lower(F.col(text_col))
+    # Distinct-token array and lowered text STAGED once (round 12): the
+    # inline form re-ran tokenize+array_distinct per word-mode language and
+    # re-lowered the text per char-mode marker (the contains lambda is
+    # evaluated interpreted, per element) — see word_shingles_of.
+    distinct_toks = F.col("_dt")
+    lowered = F.col("_low")
 
     def score(lang: str, words: list[str]) -> Column:
         if lang in LANG_CHAR_MODE:
@@ -155,7 +159,7 @@ def language_id(
             )
         return F.size(
             F.array_intersect(
-                F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
+                distinct_toks, F.array(*[F.lit(w) for w in words])
             )
         )
 
@@ -163,7 +167,12 @@ def language_id(
         score(lang, words).alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
     ]
-    scored = df.select(F.col(id_col), F.col(text_col), *score_cols)
+    scored = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.array_distinct(tokens(F.col(text_col))).alias("_dt"),
+        F.lower(F.col(text_col)).alias("_low"),
+    ).select(F.col(id_col), F.col(text_col), *score_cols)
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.lit("und")
@@ -211,9 +220,12 @@ def top_ngrams(
     three gram-expansion call sites cannot drift), and the count
     partial-aggregates map-side; the final top-k is a TakeOrdered over the
     aggregated relation."""
-    grams = _word_ngrams_all(tokens(F.col(text_col)), n)
+    # token array staged below the explode — _word_ngrams_all's slice lambda
+    # would re-tokenize per gram otherwise (round 12, see word_shingles_of)
+    grams = _word_ngrams_all(F.col("_tk"), n)
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        df.select(tokens(F.col(text_col)).alias("_tk"))
+        .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("ngram"))
@@ -834,9 +846,17 @@ def gopher_repetition(
     # emits (n, hash, len) for every gram of every configured n.  The lambda
     # MUST stay unary (a second defaulted parameter would make pyspark treat
     # it as an (element, index) binary lambda), so n binds via a factory.
+    # The token array is STAGED in its own projection (round 12): the gram
+    # transforms reference the token array from inside their slice lambdas —
+    # higher-order functions evaluate those interpreted, once per element —
+    # so the inline form re-ran the regex tokenization once per gram × 9
+    # configured n values.  Staging halved the gram aggregate at sf1
+    # (31.6→15.1 s, identical checksums); see word_shingles_of.
+    tk = F.col("_tk")
+
     def gram_entries(n: int) -> Column:
         return F.transform(
-            _word_ngrams_all(toks, n),
+            _word_ngrams_all(tk, n),
             lambda g: F.struct(
                 F.lit(n).alias("n"),
                 F.xxhash64(g).alias("h"),
@@ -847,7 +867,8 @@ def gopher_repetition(
     gram_structs = F.flatten(F.array(*[gram_entries(n) for n in all_ns]))
     per_gram = (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("_id"), F.explode(gram_structs).alias("g"))
+        .select(F.col(id_col).alias("_id"), tokens(t).alias("_tk"))
+        .select("_id", F.explode(gram_structs).alias("g"))
         .select("_id", "g.n", "g.h", "g.l")
         .groupBy("_id", "n", "h", "l")
         .agg(F.count(F.lit(1)).alias("k"))

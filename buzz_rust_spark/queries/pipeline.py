@@ -1986,8 +1986,17 @@ def t05_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.parallelism import ensure_parallelism
     from ..functions.text import tokens
 
-    d = ensure_parallelism(load(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
+    # Token array STAGED in its own projection (round 12): the inline form
+    # referenced the tokenize expression four times — once from inside the
+    # bigram slice lambda, which higher-order functions re-evaluate per
+    # element — so the regex split ran once per *bigram*.  Staging cut this
+    # map stage ~2.6× at sf1 (5.0→1.9 s, identical checksums); the
+    # projection survives CollapseProject because `_t` is referenced
+    # repeatedly by non-cheap expressions.  See word_shingles_of.
+    d = ensure_parallelism(load(spark, sf_dir, "documents")).select(
+        tokens(F.col("text")).alias("_t")
+    )
+    toks = F.col("_t")
     unigrams = F.filter(toks, lambda x: x != "")
     bigrams = F.when(
         F.size(toks) < 2, F.array().cast("array<string>")

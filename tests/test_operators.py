@@ -655,6 +655,34 @@ def test_ngram_auto_elides_hot_branch_when_no_bucket_is_hot(spark, docs):
     assert as_set(cold) == as_set(static) and as_set(cold)
 
 
+def test_shingle_pipelines_stage_token_array_once(spark, docs):
+    """Round-12 optimization pin: the shingle/ngram hot paths stage the token
+    array in its own projection, so the regex tokenization appears exactly
+    ONCE in each physical plan (the inline form re-ran `split` inside the
+    slice lambdas — interpreted, once per output element).  If a refactor
+    re-inlines the tokens (e.g. CollapseProject starts merging the staging
+    projection), the `split` count regresses and this trips."""
+    from buzz_rust_spark.operators.dedup import (
+        _exploded_shingle_index,
+        _hashed_shingle_docs,
+    )
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    idx_plan = plan_of(_exploded_shingle_index(docs, "text", "doc_id", 3, "fast"))
+    assert idx_plan.count("split(") == 1
+    shh = _hashed_shingle_docs(docs, "text", "doc_id", 3, "fast")
+    try:
+        assert plan_of(shh).count("split(") == 1
+    finally:
+        shh.unpersist()
+    grams_plan = plan_of(T.top_ngrams(docs, n=2, k=5))
+    assert grams_plan.count("split(") == 1
+
+
 def test_salted_aggregate_nullable_count(spark):
     """count partial must skip nulls like F.count(col) in a plain group-by
     (COUNT(*) would overcount nullable inputs)."""

@@ -88,11 +88,26 @@ def main() -> None:
     # in the artifact itself.
     import statistics
 
+    # Contention telemetry (round 13, additions only): the round-12 PERF
+    # comparison was unadjudicable because the JSON carried no evidence of
+    # host load — record loadavg at launch/end and a wall-clock timestamp at
+    # the start of every pass so a contended window is machine-readable in
+    # the artifact itself (VERDICT r12 "what's wrong" #1).
+    def _loadavg() -> list[float]:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # platform without getloadavg
+            return []
+
+    load_at_launch = _loadavg()
+    pass_walls: list[float] = []
+
     n_runs = args.runs or int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     names = list(queries)
     samples: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
     for i in range(n_runs):
+        pass_walls.append(round(time.time(), 1))
         # rotate the start point so pass position is decorrelated from query
         # identity (a slow first pass or a GC pause hits different queries
         # in different passes)
@@ -143,6 +158,13 @@ def main() -> None:
         "runs": n_runs,
         "stat": "median",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # telemetry (see above): 1/5/15-min loadavg at launch and at the end,
+        # plus the wall-clock start of each interleaved pass — lets a reader
+        # correlate a fat per-query spread with an external load window
+        # instead of guessing.
+        "loadavg_launch": load_at_launch,
+        "loadavg_end": _loadavg(),
+        "pass_start_unix": pass_walls,
     }
     if errors:
         out["errors"] = errors

@@ -48,6 +48,20 @@ def asof_join(
     for c in by:
         if c not in left.columns or c not in right.columns:
             raise BuzzBadRequestError(f"asof 'by' column {c!r} missing from input")
+    # The implementation derives __event_ts's type locally from the inputs
+    # (no mid-plan .schema analysis).  That is only sound when both sides
+    # carry the SAME timestamp type: unionByName would otherwise silently
+    # widen (INT/LONG, DATE/TIMESTAMP, NTZ/LTZ) and the tolerance's
+    # epoch_seconds would dispatch on the pre-widening type — wrong
+    # distances instead of an error (ADVICE r12).  Mixed-type as-of inputs
+    # are ambiguous anyway; make the caller cast explicitly.
+    lt, rt = left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    if lt != rt:
+        raise BuzzBadRequestError(
+            f"asof timestamp types must match: {left_ts!r} is "
+            f"{lt.simpleString()}, {right_ts!r} is {rt.simpleString()} — "
+            "cast one side explicitly"
+        )
 
     left_cols = left.columns
     # right_ts is exported separately as f"{right_prefix}{right_ts}"
@@ -125,10 +139,11 @@ def asof_join(
     if tolerance_seconds is not None:
         # Type-aware epoch extraction: ts columns read from TIMESTAMP(NANOS)
         # parquet are TIMESTAMP_NTZ in Spark 4, which cannot cast to double.
-        # derived locally (union input types must already agree) — avoids
-        # another mid-plan .schema analysis, same rationale as _rval_type
-        ts_type = left.schema[left_ts].dataType
-        match_ts_type = right.schema[right_ts].dataType
+        # Derived locally — sound because the lt == rt guard above rejects
+        # inputs unionByName would widen; avoids another mid-plan .schema
+        # analysis, same rationale as _rval_type.
+        ts_type = lt
+        match_ts_type = rt
         distance = F.abs(
             epoch_seconds(F.col("__event_ts"), ts_type)
             - epoch_seconds(F.col("__match.__ts"), match_ts_type)

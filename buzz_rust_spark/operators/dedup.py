@@ -190,6 +190,25 @@ def _exploded_shingle_index(
 # switches where the quadratic term must dominate.
 PREFIX_AUTO_PAIR_BUDGET = 1_000_000_000
 
+# Candidate-pair rows per aggregation task above which the dense path's
+# pair-count aggregate gets its OWN partition count instead of the session's
+# ``spark.sql.shuffle.partitions``.  Measured (round 13, sf1, event log):
+# with 32 partitions the 254M-pair count aggregate spilled ~1.25 GB to disk
+# on BOTH sides (partial map-side agg AND final agg — each task's hash table
+# overflowed its share of execution memory and fell back to sort-based
+# aggregation; guide §5 "heavy spill is slow", §2.2 "fewer, larger reduce
+# partitions" sized to the data).  2M pair rows/task keeps the per-task hash
+# table ~100 MB — in-memory at 32 concurrent tasks in the local harness and
+# a sane executor-task budget at cluster scale.  The count comes from the
+# SAME Σ df² probe the auto path already runs, so adapting costs no extra
+# pass; the partition count affects only layout, never results.
+PAIR_AGG_ROWS_PER_TASK = 2_000_000
+# Upper bound on the derived partition count: a corpus at the prefix-switch
+# boundary (Σ df² near 1e9) derives ~500 partitions; anything far past that
+# switches to the prefix path anyway, and a runaway count (bad stats) must
+# not schedule millions of tasks.
+PAIR_AGG_MAX_PARTITIONS = 8_192
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -261,6 +280,20 @@ def ngram_jaccard_pairs(
         ).first()
         est = probe["_s"] or 0
         max_bucket = probe["_max"] or 0
+        # Pair-volume-adaptive aggregation layout (round 13): when the dense
+        # candidate volume Σ df² would put more than PAIR_AGG_ROWS_PER_TASK
+        # raw pair rows into each of the session's default shuffle
+        # partitions, give the pair-count aggregate ceil(est / rows_per_task)
+        # partitions of its own (bounded above).  Below the threshold the
+        # plan is byte-identical to round 12's.
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        pair_parts = None
+        if est > PAIR_AGG_ROWS_PER_TASK * shuffle_parts:
+            pair_parts = min(
+                -(-est // PAIR_AGG_ROWS_PER_TASK), PAIR_AGG_MAX_PARTITIONS
+            )
         if est > PREFIX_AUTO_PAIR_BUDGET:
             # run the prefix path EXACTLY as the opt-in form would — a
             # bucket-reuse variant (re-deriving the index and df relation
@@ -289,6 +322,7 @@ def ngram_jaccard_pairs(
             if (shingle_df_cap is not None and max_bucket > shingle_df_cap)
             else None,
             _buckets=all_buckets.where(F.size("_ids") > 1),
+            _pair_agg_partitions=pair_parts,
         )
     if prefix_filter and threshold > 0:
         return _ngram_jaccard_prefix(
@@ -306,6 +340,7 @@ def _ngram_jaccard_dense(
     threshold: float,
     shingle_df_cap: int | None,
     _buckets: DataFrame | None = None,
+    _pair_agg_partitions: int | None = None,
 ) -> DataFrame:
     # ONE shuffle groups the (id, size, hash) index into per-shingle posting
     # lists; candidate pairs are generated inside each bucket (sorted
@@ -364,15 +399,37 @@ def _ngram_jaccard_dense(
         )
     # _n1/_n2 are functionally dependent on the ids; grouping on all four
     # keeps the aggregate a plain count with no first()/join fix-up.
-    common = (
-        pairs.select(
-            "id_1",
-            "_n1",
-            F.col("_e2._id").alias("id_2"),
-            F.col("_e2._n").alias("_n2"),
+    pair_rows = pairs.select(
+        "id_1",
+        "_n1",
+        F.col("_e2._id").alias("id_2"),
+        F.col("_e2._n").alias("_n2"),
+    )
+    if _pair_agg_partitions is not None:
+        # Pair-volume-adaptive layout (see PAIR_AGG_ROWS_PER_TASK): hash-
+        # repartition the raw pair rows by the pair key into enough
+        # partitions that each count task's hash table stays in memory.
+        # HashPartitioning(id_1, id_2) satisfies the groupBy's clustering
+        # (subset of the keys), so this IS the aggregate's exchange — no
+        # second shuffle — and AQE leaves numbered repartitions alone; both
+        # aggregate phases run ABOVE it (plan-verified: no agg below the
+        # exchange).  Measured at sf1 (round 13, alternating A/B ×3, event
+        # log, checksum-identical output): the old 32-partition shape's
+        # map-side partial agg collapsed only 95.8M→95.4M pair rows
+        # (candidate multiplicity ≈ 1 after the length filter) while its
+        # hash tables spilled 1.24 GB and the 32-task final agg spilled
+        # another 1.28 GB; this shape shuffles the raw pairs (95.8M rows,
+        # 1.46 GB — within 2% of the "aggregated" volume) with ZERO spill
+        # on either side: pair stage 8.8-15.3 s → 4.1-8.2 s, agg stage
+        # 5.3-9.3 s → 4.2-6.6 s, d02 warm exec median 24.1 → 11.0 s (guide
+        # §5: heavy spill is slow; §2.2: partitions sized to the data).
+        # At/below the default partition count the round-12 shape is kept
+        # verbatim — partial aggregation is right when it fits in memory.
+        pair_rows = pair_rows.repartition(
+            _pair_agg_partitions, "id_1", "id_2"
         )
-        .groupBy("id_1", "id_2", "_n1", "_n2")
-        .agg(F.count(F.lit(1)).alias("_common"))
+    common = pair_rows.groupBy("id_1", "id_2", "_n1", "_n2").agg(
+        F.count(F.lit(1)).alias("_common")
     )
     if doc_hot is not None:
         no_hot = F.array().cast("array<long>")
@@ -631,8 +688,11 @@ def minhash_lsh_pairs(
     # re-shingling the corpus three times, and carrying 8-byte hashes instead
     # of shingle strings keeps the verification join rows ~10× narrower (the
     # Jaccard over distinct hashes equals the Jaccard over distinct shingles
-    # modulo 64-bit collisions).  Shared helper since round 12 — the same
-    # relation is now also the d02/d11 index base.
+    # modulo 64-bit collisions).  minhash_lsh_pairs is the ONLY consumer of
+    # this persisted relation: the d02/d11 index deliberately rebuilds
+    # inline from _tokenized instead — the cached-base experiment was
+    # REVERTED (see _hashed_shingle_docs's docstring for the sf1 numbers);
+    # do not re-introduce the sharing (ADVICE r12).
     shh = _hashed_shingle_docs(df, text_col, id_col, n, hash_fn)
     # Persist signatures too: the band posexplode below would otherwise
     # re-evaluate the full 32-permutation signature expression per emitted

@@ -71,11 +71,17 @@ def cosine_topk_bruteforce(
     # an AQE sort stage (profiled as 2 extra jobs per call) to order rows
     # Python can sort in microseconds (guide §5: the driver should do almost
     # no data work — but sorting k rows it already holds is not data work)
+    # null/uncastable query ids are dropped BEFORE the collect (documented
+    # semantics: rows with null ids are dropped) — a None in the collected
+    # rows would make the sort key unorderable and np.array(qids) an object
+    # array (ADVICE r12).
     qrows = sorted(
         queries.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             as_double_array(F.col(vec_col)).alias("_qv"),
-        ).collect(),
+        )
+        .where(F.col("query_id").isNotNull())
+        .collect(),
         key=lambda r: r["query_id"],
     )
     if not qrows:
@@ -478,6 +484,7 @@ def allpairs_cosine_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_block_rows: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ ``threshold`` via blocked matrix multiply.
 
@@ -491,13 +498,22 @@ def allpairs_cosine_blocked(
     ``n_blocks=None`` (default since round 12) derives the block count from
     the corpus size — ``ceil(n / target_block_rows)`` — instead of a
     constant tuned for one scale (guide §2: partitioning must be
-    scale-adaptive).  The count is one metadata-cheap job; block pairs grow
-    as n_blocks²/2, so a constant 8 pays 36 Python group round-trips and 8×
-    input replication even on a corpus small enough for one BLAS call, while
-    at larger n the derived count keeps every sims block ≈
-    ``target_block_rows²`` (≤ ~34 MB of float64 at the default) — bounded
-    task memory at any scale.  The result is exact either way, so the
-    blocking factor changes nothing downstream.
+    scale-adaptive).  Block pairs grow as n_blocks²/2, so a constant 8 pays
+    36 Python group round-trips and 8× input replication even on a corpus
+    small enough for one BLAS call, while at larger n the derived count
+    keeps every sims block ≈ ``target_block_rows²`` (≤ ~34 MB of float64 at
+    the default) — bounded task memory at any scale.  The result is exact
+    either way, so the blocking factor changes nothing downstream: a stale
+    or approximate ``n_rows`` only moves the task-size/parallelism trade,
+    never the output.
+
+    ``n_rows`` (round 13) lets the caller supply the corpus size when it
+    already knows one — e.g. from parquet footer metadata — and skips the
+    sizing action entirely.  Without it, deriving n runs ``vectors.count()``
+    as ONE EXTRA JOB per call; on a bare file scan that is metadata-cheap,
+    but on a computed/filtered input it executes the full upstream plan
+    (ADVICE r12) — pass ``n_rows`` (or an explicit ``n_blocks``) in those
+    pipelines.
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -516,7 +532,7 @@ def allpairs_cosine_blocked(
     )
 
     if n_blocks is None:
-        n = vectors.count()
+        n = n_rows if n_rows is not None else vectors.count()
         n_blocks = max(1, -(-n // target_block_rows))
 
     base = vectors.select(

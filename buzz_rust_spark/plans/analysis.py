@@ -41,13 +41,27 @@ _FROM_RE = re.compile(
     r"\b(?:from|join)\s+([a-zA-Z_][\w.]*)", flags=re.IGNORECASE
 )
 
+# SQL text → referenced-table set.  The result is a pure function of the
+# statement text (the parse stops at the UNRESOLVED plan — no catalog or
+# session state is consulted), but computing it walks the Catalyst tree over
+# py4j — one gateway round trip per node, ~100+ per statement.  An engine
+# that re-runs the same BuzzQuery pays that on every call (profiled round
+# 12: ~150 ms of b01's driver time is per-call engine setup; VERDICT r12
+# #7).  Bounded so a query-generating service can't grow it without limit.
+_REFERENCED_TABLES_MEMO: dict[str, frozenset[str]] = {}
+_REFERENCED_TABLES_MEMO_MAX = 1024
+
 
 def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
     """Return the set of (lower-cased) table names the statement reads.
 
     CTE names defined in the statement itself are excluded.  Uses Spark's own
     SQL parser; falls back to a regex scan if the JVM gateway is unavailable
-    (e.g. Spark Connect)."""
+    (e.g. Spark Connect).  Successful results are memoized by statement text
+    (see ``_REFERENCED_TABLES_MEMO``)."""
+    hit = _REFERENCED_TABLES_MEMO.get(sql)
+    if hit is not None:
+        return set(hit)
     try:
         parser = spark._jsparkSession.sessionState().sqlParser()
         jplan = parser.parsePlan(sql)
@@ -75,4 +89,7 @@ def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
             r"(?:\bwith|,)\s*([a-zA-Z_]\w*)\s+as\s*\(", sql, re.IGNORECASE
         )
     }
-    return {n for n in names if n not in cte_names}
+    result = {n for n in names if n not in cte_names}
+    if len(_REFERENCED_TABLES_MEMO) < _REFERENCED_TABLES_MEMO_MAX:
+        _REFERENCED_TABLES_MEMO[sql] = frozenset(result)
+    return result

@@ -16,6 +16,10 @@ import uuid
 import zlib
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 
 from buzz_rust_spark import DeltaCatalog
 from buzz_rust_spark.errors import BuzzExecutionError

@@ -12,6 +12,10 @@ import os
 from glob import glob
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from buzz_rust_spark.errors import BuzzNotImplementedError

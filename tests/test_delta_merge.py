@@ -14,6 +14,10 @@ import os
 from glob import glob
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 
 from buzz_rust_spark.errors import BuzzBadRequestError, BuzzSchemaError
 from buzz_rust_spark.sources import (

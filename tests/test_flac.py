@@ -4,6 +4,10 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 
 from buzz_rust_spark.operators import multimodal as M
 from buzz_rust_spark.operators.flac import (

@@ -13,6 +13,10 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 
 from buzz_rust_spark.errors import BuzzBadRequestError, BuzzExecutionError
 from buzz_rust_spark.sources.avro import encode_avro_records

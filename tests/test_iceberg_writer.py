@@ -12,6 +12,10 @@ import json
 import os
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 
 from buzz_rust_spark.errors import (
     BuzzBadRequestError,

@@ -12,6 +12,10 @@ sequences; the deterministic lifecycle tests pin the known edges)."""
 from __future__ import annotations
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -655,6 +655,43 @@ def test_ngram_auto_elides_hot_branch_when_no_bucket_is_hot(spark, docs):
     assert as_set(cold) == as_set(static) and as_set(cold)
 
 
+def test_ngram_pair_agg_partitions_adapt_to_volume(spark, docs, monkeypatch):
+    """Round-13 optimization pin: when the auto probe's Σ df² says the pair
+    count aggregate would see more than PAIR_AGG_ROWS_PER_TASK rows per
+    default shuffle partition, the dense path repartitions the pair rows by
+    the pair key into ceil(est / rows_per_task) partitions (sf1 measurement:
+    2.5 GB of aggregation spill → 0, exec median 24.1 → 11.0 s).  The
+    partition count must only change layout — results stay identical to the
+    default path — and must NOT engage below the threshold."""
+    from buzz_rust_spark.operators import dedup as D_
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    import re
+
+    # the adaptive exchange is the only pair-key exchange with a
+    # REPARTITION_BY_NUM origin (the default agg exchange is
+    # ENSURE_REQUIREMENTS; ensure_parallelism's is round-robin)
+    adaptive_exchange = re.compile(
+        r"hashpartitioning\(id_1[^)]*\), REPARTITION_BY_NUM"
+    )
+    # default threshold: tiny corpus stays on the round-12 shape
+    small = D_.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    assert not adaptive_exchange.search(plan_of(small))
+    # force the adaptive path (as a huge corpus would) and require both the
+    # pair-key exchange in the plan and identical results
+    monkeypatch.setattr(D_, "PAIR_AGG_ROWS_PER_TASK", 1)
+    big = D_.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    assert adaptive_exchange.search(plan_of(big))
+    as_set = lambda df: {  # noqa: E731
+        (r["id_1"], r["id_2"], round(r["jaccard"], 6)) for r in df.collect()
+    }
+    assert as_set(big) == as_set(small) and as_set(big)
+
+
 def test_shingle_pipelines_stage_token_array_once(spark, docs):
     """Round-12 optimization pin: the shingle/ngram hot paths stage the token
     array in its own projection, so the regex tokenization appears exactly

@@ -16,6 +16,10 @@ import os
 import shutil
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from buzz_rust_spark import BuzzPlanError, CatalogFile, StaticCatalog

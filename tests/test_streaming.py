@@ -6,6 +6,10 @@ from __future__ import annotations
 import shutil
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from buzz_rust_spark.queries.registry import load

@@ -6,6 +6,10 @@ from __future__ import annotations
 import os
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,

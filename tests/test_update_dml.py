@@ -10,6 +10,10 @@ import os
 from glob import glob
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 

@@ -14,6 +14,10 @@ from __future__ import annotations
 import threading
 
 import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
 
 from buzz_rust_spark.errors import BuzzCommitConflictError
 from buzz_rust_spark.sources.write_store import (

@@ -3,6 +3,12 @@ parquet.rs:273-355 'write then read', plus partition pruning on the result)."""
 
 from __future__ import annotations
 
+import pytest
+# Long-running integration suite: deselected by default (see pyproject
+# [tool.pytest.ini_options]); run with `pytest -m ""` to include it.
+pytestmark = pytest.mark.slow
+
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 

@@ -61,9 +61,9 @@ class TextClassifierModel:
         return [(int(i), float(self.weights[i])) for i in nz]
 
 
-def _gram_array(text_col, bigrams: bool):
-    """Unigram (+ bigram) string array of the normalized text, JVM-side."""
-    toks = tokens(text_col)
+def _gram_array_of(toks, bigrams: bool):
+    """Unigram (+ bigram) string array over an already-staged token ARRAY
+    column (see ``_exploded_grams`` for why staging matters)."""
     if not bigrams:
         return toks
     n = F.size(toks)
@@ -80,18 +80,39 @@ def _exploded_grams(
 ) -> DataFrame:
     """(_id, _total, idx): one row per GRAM OCCURRENCE, hashed to a bucket.
 
+    The token array is STAGED in its own projection (round 13 — the same
+    fix as the round-12 dedup/t05 shingle staging): the gram expression
+    references ``tokens(text)`` FIVE times (unigram concat arm + both
+    bigram slice arms and both their greatest(size-1) lengths) and was
+    evaluated three places (filter + size + explode), so the inline form
+    ran the regex tokenization 15× per document (plan-counted); over the
+    staged attribute it runs once.  The gram EXPRESSION stays inline over
+    the attribute — generator inputs must remain expressions (the
+    bare-materialized-array form measured 3-8× slower in round 12; see
+    ``word_shingles_of``).  The old ``_total > 0`` pre-filter is GONE, not
+    just moved: a non-outer explode already drops empty/null gram arrays
+    (identical output), and because Catalyst pushes filter predicates
+    through projections BY SUBSTITUTION, any filter above the staging
+    projection re-inlines the full tokens expression below it (observed:
+    the pushed-down filter alone kept 5 of the 15 tokenizations).
+
     The gram total rides on every row (computed below the Generate so it
     evaluates once per document — same placement rule as the shingle
     index); no shuffle happens here."""
-    with_n = ensure_parallelism(df).select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        F.size(_gram_array(F.col(text_col), bigrams)).alias("_total"),
+        tokens(F.col(text_col)).alias("_tk"),
     )
-    exploded = with_n.where(F.col("_total") > 0).select(
+    gram = _gram_array_of(F.col("_tk"), bigrams)
+    with_n = base.select(
+        "_id",
+        "_tk",
+        F.size(gram).alias("_total"),
+    )
+    exploded = with_n.select(
         "_id",
         "_total",
-        F.explode(_gram_array(F.col("_text"), bigrams)).alias("_g"),
+        F.explode(gram).alias("_g"),
     )
     return exploded.select(
         "_id",

@@ -488,6 +488,18 @@ def _ngram_jaccard_prefix(
     candidate rows.  Every relation that moves is 8-byte hashes, ids, and
     counts; the per-doc arrays shuffle once into the verification join.
 
+    Round-13 "single-explode" experiment — tried and REVERTED (measure
+    first, guide §1.1): replacing the df count + attach join with ONE
+    posting-list aggregation (collect_list per shingle, df = size, then
+    re-explode to hand each (doc, shingle) its df joinlessly) measured
+    60-100% SLOWER at sf1 (alternating A/B, checksum-identical: old exec
+    30.7/31.2/35.1 s vs new 49.6/61.1 s).  Collecting 2.6M (_id, _n)
+    structs into 0.8M per-shingle lists and re-exploding costs far more
+    than the second (cheap, fully codegen'd) index derivation plus the
+    broadcast of the count-only df relation.  Do not re-try the
+    restructure on intuition; it only wins if the tokenize pass dominates
+    BOTH aggregations, which it does not on any measured corpus.
+
     Completeness: overlap ≥ ⌈t·max(n1,n2)⌉ for J ≥ t, and two sets with
     overlap ≥ α must share an element within their first (size − α + 1)
     elements under ANY shared total order — the (df, hash) order makes

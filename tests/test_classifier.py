@@ -138,6 +138,26 @@ def test_scoring_has_no_python_nodes(labeled, model):
     assert "mapInPandas" not in plan.lower()
 
 
+def test_classifier_featurization_tokenizes_once(labeled, model):
+    """Round-13 optimization pin: the gram pipeline stages the token array
+    in its own projection, so the regex tokenization (`split`) appears
+    exactly ONCE in the featurization/scoring plan.  The inline form ran it
+    15× per document (the gram expression references tokens 5× and was
+    evaluated at 3 operators); a reintroduced pre-filter above the staging
+    projection would push down by substitution and regress the count."""
+    from buzz_rust_spark.operators.classifier import _doc_feature_arrays
+
+    feats = _doc_feature_arrays(labeled, "text", "doc_id", "label", 1 << 18, True)
+    plan = feats._sc._jvm.PythonSQLUtils.explainString(
+        feats._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("split(") == 1
+    score_plan = classifier_scores(labeled, model)._sc._jvm.PythonSQLUtils.explainString(
+        classifier_scores(labeled, model)._jdf.queryExecution(), "formatted"
+    )
+    assert score_plan.count("split(") == 1
+
+
 def test_bad_args(labeled):
     with pytest.raises(BuzzBadRequestError):
         train_text_classifier(labeled, dim=0)
